@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the `private[sql]` Column <-> Expression converters so
+  * graft's custom Catalyst expressions can be exposed as `Column`s
+  * (Spark 4 moved the public `new Column(expr)` constructor behind
+  * ColumnNode internals).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
