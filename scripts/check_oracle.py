@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> [outDir]
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query result parquet in <outDir>, executes the corresponding
+oracle SQL from <outDir>/oracle_sql.json in DuckDB against the same
+parquet tables, and compares row multisets (columns sorted by name,
+values stringified) — flagging schema or value mismatches.
+
+Driver-side tooling only (duckdb/pyarrow are not dependencies of the
+library itself).
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+
+
+def norm(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    return str(v)
+
+
+def table_rows(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    scols = [cols[i] for i in order]
+    srows = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return scols, srows
+
+
+def main():
+    sf_dir = sys.argv[1]
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    with open(os.path.join(out_dir, "oracle_sql.json")) as fh:
+        oracles = json.load(fh)
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results = {}
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        got_cols, got_rows = table_rows(
+            con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(got_rows)}"
+            continue
+        try:
+            exp_cols, exp_rows = table_rows(con, oracles[name])
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        if got_cols != exp_cols:
+            results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
+        elif got_rows != exp_rows:
+            diff = next((i for i, (a, b) in enumerate(zip(got_rows, exp_rows))
+                         if a != b), min(len(got_rows), len(exp_rows)))
+            g = got_rows[diff] if diff < len(got_rows) else "<missing>"
+            e = exp_rows[diff] if diff < len(exp_rows) else "<missing>"
+            results[name] = (f"VALUE-MISMATCH nrows {len(got_rows)} vs "
+                             f"{len(exp_rows)}; first diff row {diff}:\n"
+                             f"    got {g}\n    exp {e}")
+        else:
+            results[name] = f"OK rows={len(got_rows)}"
+
+    fails = 0
+    for name in sorted(results):
+        status = results[name]
+        if not status.startswith("OK") and not status.startswith("NO-ORACLE"):
+            fails += 1
+        print(f"{name}: {status}")
+    print(f"== {len(results)} queries, {fails} failing")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.analyze.{Analyzer, SlowQueryPipeline}
+import graft.catalog.CqlCatalog
+import graft.model.{AnalysisConfig, QueryPattern}
+import graft.parse.LogColumns
+
+/** End-to-end embodiments of the ACTUAL slow-query pipeline (lexer ->
+  * classify -> enrich -> aggregate) over messages synthesized
+  * deterministically from the `events` table, so the driver's DuckDB
+  * oracle can compute the expected result directly from the source
+  * columns. This is the strongest correctness check in the registry:
+  * every parse/enrich/aggregate stage must be byte-exact for the hash
+  * to match.
+  */
+object SlowLogQueries {
+
+  import Registry.Q
+
+  /** Synthetic CQL catalog: ks0..ks2 x t0..t4, each PRIMARY KEY (id). */
+  private val cql: String =
+    (for { k <- 0 until 3; t <- 0 until 5 } yield
+      s"CREATE TABLE ks$k.t$t (\n    id text,\n    v text,\n    PRIMARY KEY (id)\n);")
+      .mkString("\n")
+
+  private val config = AnalysisConfig(
+    topN = 100, rowsPerMinute = 5, orderBy = "duration", minCount = 1,
+    schema = CqlCatalog.parse(cql))
+
+  /** One slow-query message per event row, shape chosen per
+    * event_type to exercise all five processors.
+    */
+  private def messages(events: DataFrame): DataFrame = {
+    val u3 = (col("user_id") % 3).cast("string")
+    val e5 = (col("event_id") % 5).cast("string")
+    val uid = col("user_id").cast("string")
+    val dur = floor(col("value") * 10).cast("long").cast("string")
+    val prefix = concat(lit("WARN Query too slow, took "), dur, lit(" ms: "))
+    val body: Column =
+      when(col("event_type") === "purchase", concat(
+        lit("[1 bound values] SELECT * FROM ks"), u3, lit(".t"), e5,
+        lit(" WHERE id=?; [id:'u"), uid, lit("']")))
+      .when(col("event_type") === "signup", concat(
+        lit("[2 bound values] INSERT INTO ks"), u3, lit(".t"), e5,
+        lit(" (id, v) VALUES (?, ?); [id:'u"), uid, lit("', v:'zz']")))
+      .when(col("event_type") === "error", lit("BEGIN BATCH APPLY BATCH"))
+      .when(col("event_type") === "click", lit("UPDATE counters SET c = c + 1"))
+      .otherwise(concat(
+        lit("DELETE FROM ks"), u3, lit(".t"), e5, lit(" WHERE id = 'u"), uid, lit("'")))
+    events.select(
+      date_format(timestamp_micros(expr("ts DIV 1000")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp_str"),
+      concat(prefix, body).as("message"),
+      array().cast("array<string>").as("tags"))
+  }
+
+  /** Parsed events through the real pipeline. */
+  def parsed(spark: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(spark)
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    SlowQueryPipeline.parseEvents(messages(events), config)
+  }
+
+  /** Oracle fragment shared by the e2e queries: expected parsed events
+    * computed directly from the source columns.
+    */
+  private val oracleEvents: String =
+    """SELECT
+      | CAST(floor(value*10) AS BIGINT) AS duration,
+      | CASE
+      |  WHEN event_type = 'purchase' THEN
+      |   'SELECT * FROM ks' || CAST(user_id % 3 AS VARCHAR) || '.t' ||
+      |   CAST(event_id % 5 AS VARCHAR) || ' WHERE id=?;'
+      |  WHEN event_type = 'signup' THEN
+      |   'INSERT INTO ks' || CAST(user_id % 3 AS VARCHAR) || '.t' ||
+      |   CAST(event_id % 5 AS VARCHAR) || ' (id, v) VALUES (?, ?);'
+      |  WHEN event_type = 'error' THEN 'BEGIN BATCH APPLY BATCH'
+      |  WHEN event_type = 'click' THEN 'UPDATE counters SET c = c + 1'
+      |  ELSE 'DELETE FROM ks' || CAST(user_id % 3 AS VARCHAR) || '.t' ||
+      |   CAST(event_id % 5 AS VARCHAR) || ' WHERE id = ''u' ||
+      |   CAST(user_id AS VARCHAR) || ''''
+      | END AS query,
+      | CASE WHEN event_type IN ('purchase','signup')
+      |  THEN 'ks' || CAST(user_id % 3 AS VARCHAR) ELSE '' END AS keyspace,
+      | CASE WHEN event_type IN ('purchase','signup')
+      |  THEN 't' || CAST(event_id % 5 AS VARCHAR) ELSE '' END AS column_family,
+      | CASE WHEN event_type IN ('purchase','signup')
+      |  THEN 'u' || CAST(user_id AS VARCHAR) ELSE '' END AS primary_key
+      |FROM events""".stripMargin
+
+  def all: Map[String, Q] = Map(
+
+    // Full pipeline -> A1 query report (lexer + classify + enrich +
+    // groupBy + floor-avg + top-N, every stage oracle-checked)
+    "q17_slowlog_e2e" -> Q(
+      (s, dir) => Analyzer.queryReport(parsed(s, dir), config),
+      Some(s"""WITH ev AS ($oracleEvents)
+              |SELECT query, count(*) AS count, sum(duration) AS duration,
+              | min(keyspace) AS keyspace, min(column_family) AS column_family,
+              | sum(duration) // count(*) AS avg_duration
+              |FROM ev GROUP BY query
+              |ORDER BY duration DESC, query LIMIT 100""".stripMargin)),
+
+    // Full pipeline -> A3 primary-key report (adds J2 catalog lookup +
+    // F7 PK concat end-to-end)
+    "q18_slowlog_pk" -> Q(
+      (s, dir) => Analyzer.primaryKeyReport(parsed(s, dir), config),
+      Some(s"""WITH ev AS ($oracleEvents)
+              |SELECT keyspace, column_family, primary_key,
+              | count(*) AS count, sum(duration) AS duration,
+              | sum(duration) // count(*) AS avg_duration
+              |FROM ev WHERE primary_key <> ''
+              |GROUP BY 1,2,3
+              |ORDER BY duration DESC, keyspace, column_family, primary_key
+              |LIMIT 100""".stripMargin)),
+
+    // F8 — pattern normalization (replace-ALL) under oracle
+    "q19_normalize" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val f = LogColumns.normalizePatterns(
+          Seq(QueryPattern("SELECT name FROM users", Seq("id"))))
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"),
+            concat(lit("SELECT name FROM users WHERE id='z"),
+              col("user_id").cast("string"), lit("' LIMIT 1;")).as("q"))
+          .select(col("event_id"), f(col("q")).as("n"))
+          .select(col("event_id"), col("n._1").as("normalized"),
+            try_element_at(col("n._2"), lit("id")).as("id_val"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             | 'SELECT name FROM users WHERE id=? LIMIT 1;' AS normalized,
+             | 'z' || CAST(user_id AS VARCHAR) AS id_val
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}
+
+/** Flagship entry: the A1 report of the full pipeline at sf0.001. */
+object Flagship {
+  def run(spark: SparkSession, dir: String): DataFrame =
+    Analyzer.queryReport(
+      SlowLogQueries.parsed(spark, dir),
+      AnalysisConfig(minCount = 1, orderBy = "duration"))
+}
