@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Scale design notes (the 100 TB posture):
+  *  - exact/fingerprint dedup is one hash-partitioned shuffle on the
+  *    content hash — the minimum possible; no full-text comparisons
+  *    cross the wire, only (hash, doc_id);
+  *  - MinHash signatures are computed as narrow expressions staged so
+  *    each shingle is md5-hashed exactly ONCE (the hash array is
+  *    materialized as a column; the k affine functions then read it) —
+  *    no explode/shuffle per shingle;
+  *  - candidate pairs come from LSH band buckets (self-join inside a
+  *    bucket), never a global cross join; shingle sets are re-attached
+  *    by id-join for the verify step so the wide arrays don't ride
+  *    through the bucket shuffle;
+  *  - all thresholds are integer comparisons (2*|A∩B| >= |A∪B| for
+  *    Jaccard >= 0.5) so distributed re-computation can never flap.
+  */
+object Dedup {
+
+  import TextOps.{hash32, hash60, tokens}
+
+  /** Word n-gram shingles (distinct), order-insensitive set. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(grams)
+  }
+
+  /** Exact dedup on a content key: marks each row kept/dropped by
+    * min-doc_id-wins within identical keys. One shuffle on the key.
+    */
+  def exactDedup(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    df.withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+  }
+
+  /** MinHash parameters: k hash functions (a*h + b) mod P over 32-bit
+    * shingle hashes reduced mod P. P prime ~2^20 and a,b < 2^20 keep
+    * every product below 2^40 (no overflow in either engine). Values
+    * are fixed constants — signatures must be reproducible across
+    * runs, sessions, and engines.
+    */
+  val MinhashP = 1048573L
+  val minhashParams: Seq[(Long, Long)] =
+    (1 to 16).map(i => ((i * 7919L + 13) % MinhashP, (i * 104729L + 7) % MinhashP))
+
+  /** MinHash signature from an ALREADY-HASHED shingle array
+    * (array<long> of hash32 mod P): array<long> of length k.
+    */
+  def minhashSignature(hs: Column): Column =
+    array(minhashParams.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * a + b, lit(MinhashP))))
+    }: _*)
+
+  /** Shingle-set -> reduced hash array (md5 once per shingle). */
+  def shingleHashes(shingleSet: Column): Column =
+    transform(shingleSet, s => pmod(hash32(s), lit(MinhashP)))
+
+  /** LSH band keys: the signature split into `bands` slices of `rows`
+    * each, each slice hashed to a compact string key. Docs sharing any
+    * band key are near-dup candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("_",
+        lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)
+        .cast("binary"))
+    }: _*)
+
+  /** MinHash+LSH near-dup candidate pairs over (id, text):
+    * staged signature (narrow) -> explode band keys (`bands` rows/doc,
+    * ids only) -> bucket self-join -> distinct pairs -> re-attach
+    * shingle sets by id -> exact Jaccard verify with integer threshold
+    * num/den (e.g. 1/2 for >= 0.5).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rows: Int,
+      num: Int, den: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val withSig = base
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("hs")))
+      .withColumn("bk", bandKeys(col("sig"), bands, rows))
+    val buckets = withSig.select(explode(col("bk")).as("band"), col("id"))
+    val cand = buckets.join(buckets.withColumnRenamed("id", "id_b"), Seq("band"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sets = base.select(col("id"), col("sh"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("i_cnt", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("u_cnt",
+        size(col("sh_a")) + size(col("sh_b")) - col("i_cnt"))
+      .filter(col("i_cnt") * den >= col("u_cnt") * num)
+      .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
+  }
+
+  /** SimHash (60-bit, positive in a signed long) from an
+    * ALREADY-MATERIALIZED array of 60-bit token hashes: bit b is set
+    * when more hashes have bit b set than not. The 60 bit positions
+    * are unrolled statically (shift amounts must be literals), all
+    * reading the one materialized hash array.
+    */
+  def simhashFromHashes(hs: Column): Column = {
+    val nTok = size(hs)
+    (0 until 60).map { b =>
+      val ones = size(filter(hs, h => shiftright(h, b) % 2 === 1))
+      when(ones * 2 > nTok, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Distinct-token 60-bit hash array (md5 once per token). */
+  def tokenHashes60(text: Column): Column =
+    transform(array_distinct(tokens(text)), t => hash60(t))
+
+  /** Hamming distance between two simhashes via xor bit count. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the top `prefixBits` bits (docs
+    * differing only in low bits collide), verify hamming <= maxDist.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixBits: Int, maxDist: Int): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), tokenHashes60(col(textCol)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .withColumn("block", shiftright(col("sig"), 60 - prefixBits))
+    val a = sigs.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs: block on caller-supplied
+    * key columns, compare distinct token sets with integer threshold.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], num: Int, den: Int): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"),
+      concat_ws("\u0001", blockCols: _*).as("block"))
+    val a = base.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
+    val b = base.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("i_cnt", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("u_cnt", size(col("toks_a")) + size(col("toks_b")) - col("i_cnt"))
+      .filter(col("i_cnt") * den >= col("u_cnt") * num)
+      .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: language
+  * ID, quality scoring, token counting, fingerprinting. All are pure
+  * narrow Column expressions — no shuffle, fully codegen'd, safe to
+  * run inline in a 100 TB scan.
+  *
+  * Cross-engine determinism rules (the DuckDB oracle must reproduce
+  * every value): tokenization splits on single spaces dropping empty
+  * tokens; hashes derive from md5 hex prefixes; scores use integer
+  * arithmetic only.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** First 8 md5 hex chars as an unsigned 32-bit value in a long —
+    * the cross-engine portable string hash
+    * (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** First 15 md5 hex chars (60 bits, positive in signed 64). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Token count by whitespace. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Language marker sets for the n-gram-free token-overlap heuristic.
+    * Deliberately tiny and documented: language ID at corpus scale is
+    * a scoring pass over token sets; swap the marker lists for real
+    * profiles without touching the plan shape.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "analytics" -> Seq("query", "table", "join", "group", "sort", "merge"),
+    "streaming" -> Seq("stream", "window", "batch", "row", "data"))
+
+  /** Per-language overlap score: |distinct(tokens) ∩ markers|. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of marker overlap with deterministic
+    * ties (first in langMarkers order wins; all-zero -> "und").
+    */
+  def langPredict(text: Column): Column = {
+    val scored = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Integer quality signals: token count, distinct-token count,
+    * stopword hits, max token length. Score is a pinned integer
+    * formula over them (see quality query oracle).
+    */
+  def qualitySignals(text: Column): Column = {
+    val toks = tokens(text)
+    val dtoks = array_distinct(toks)
+    struct(
+      size(toks).as("n_tokens"),
+      size(dtoks).as("n_distinct"),
+      size(array_intersect(dtoks, array(stopwords.map(lit): _*))).as("n_stop"),
+      array_max(transform(toks, t => length(t))).as("max_tok_len"))
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased text with runs
+    * of whitespace collapsed — the exact-dup key robust to spacing.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Polynomial rolling hash over tokens (order-sensitive document
+    * fingerprint): fold h = (h*31 + hash32(token)) mod 2^31-1. The
+    * modulus keeps every intermediate below 2^37 — no 64-bit overflow
+    * in either engine. Sequential fold in both (Spark `aggregate`,
+    * DuckDB `list_reduce` with a prepended 0 seed) so results are
+    * bit-identical.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = lit(2147483647L) // 2^31-1
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31 + hash32(t), p))
+  }
+}

@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver-contract queries for the training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal) over the
+  * `documents` and `embeddings` test tables.
+  *
+  * The DuckDB oracles replicate every hash/fold bit-exactly:
+  * md5-prefix hashes, integer thresholds, sequential list_reduce
+  * folds for float math (see ops module scaladocs). Long oracle SQL is
+  * generated programmatically next to the parameters it must mirror.
+  */
+object OpsQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // ---- shared oracle SQL fragments -----------------------------------
+
+  /** whitespace tokens, empties dropped */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB equivalent of TextOps.hash32 */
+  private def h32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** DuckDB equivalent of TextOps.hash60 */
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Sequential-fold dot product of two DuckDB lists (len 64). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       | list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       | (x, y) -> x + y)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  def all: Map[String, Q] = Map(
+
+    // ---- text analysis ------------------------------------------------
+
+    "q20_text_stats" -> Q(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextOps.langPredict(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id")),
+      Some {
+        val scores = TextOps.langMarkers.map { case (l, m) =>
+          l -> s"len(list_intersect(list_distinct($toksSql), [${m.map("'" + _ + "'").mkString(",")}]))"
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val langCase = scores.map { case (l, sc) =>
+          s"WHEN $best > 0 AND $sc = $best THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id,
+           | len($toksSql) AS n_tokens,
+           | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+           | CASE $langCase ELSE 'und' END AS lang_pred,
+           | md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           | list_reduce(list_prepend(0::BIGINT,
+           |  list_transform($toksSql, t -> ${h32("t")})),
+           |  (a, b) -> (a * 31 + b) % 2147483647) AS rhash
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "q21_quality" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualitySignals(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct").as("n_distinct"),
+          col("q.n_stop").as("n_stop"),
+          col("q.max_tok_len").as("max_tok_len"))
+        .withColumn("score",
+          col("n_distinct") * 2 + col("n_stop") * 3 -
+            when(col("max_tok_len") > 12, 5).otherwise(0))
+        .filter(col("score") >= 20)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH sig AS (
+           | SELECT doc_id,
+           |  len($toksSql) AS n_tokens,
+           |  len(list_distinct($toksSql)) AS n_distinct,
+           |  len(list_intersect(list_distinct($toksSql),
+           |   ['the','a','of','and','to','in','is'])) AS n_stop,
+           |  list_aggregate(list_transform($toksSql, t -> length(t)), 'max') AS max_tok_len
+           | FROM documents)
+           |SELECT *, n_distinct * 2 + n_stop * 3 -
+           |  (CASE WHEN max_tok_len > 12 THEN 5 ELSE 0 END) AS score
+           |FROM sig
+           |WHERE n_distinct * 2 + n_stop * 3 -
+           |  (CASE WHEN max_tok_len > 12 THEN 5 ELSE 0 END) >= 20
+           |ORDER BY doc_id""".stripMargin)),
+
+    // ---- dedup --------------------------------------------------------
+
+    "q22_dedup_exact" -> Q(
+      (s, dir) => Dedup.exactDedup(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp")),
+        col("fp"), "doc_id")
+        .select(col("doc_id"), col("fp"), col("dup_rank"), col("is_duplicate"))
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH f AS (SELECT doc_id,
+          |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents)
+          |SELECT doc_id, fp,
+          | row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank,
+          | row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_duplicate
+          |FROM f ORDER BY doc_id""".stripMargin)),
+
+    "q23_jaccard_pairs" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          Seq(col("lang"), element_at(TextOps.tokens(col("text")), 1)), 1, 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH base AS (
+           | SELECT doc_id AS id, lang || chr(1) || ($toksSql)[1] AS block,
+           |  list_distinct($toksSql) AS toks
+           | FROM documents),
+           |p AS (
+           | SELECT a.id AS id_a, b.id AS id_b,
+           |  len(list_intersect(a.toks, b.toks)) AS i_cnt,
+           |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u_cnt
+           | FROM base a JOIN base b USING (block) WHERE a.id < b.id)
+           |SELECT id_a, id_b, i_cnt, u_cnt FROM p
+           |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin)),
+
+    "q24_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val p = Dedup.MinhashP
+        val sigTerms = Dedup.minhashParams.map { case (a, b) =>
+          s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"
+        }.mkString(",\n   ")
+        val bandTerms = (0 until 4).map { b =>
+          val elems = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
+          s"md5(concat_ws('_', '$b', ${elems.mkString(", ")}))"
+        }.mkString(",\n   ")
+        s"""WITH toks AS (
+           | SELECT doc_id AS id, $toksSql AS t FROM documents),
+           |sh AS (
+           | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+           |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+           |hs AS (
+           | SELECT id, sh, list_transform(sh, s -> ${h32("s")} % $p) AS hs FROM sh),
+           |sig AS (
+           | SELECT id, sh, [
+           |   $sigTerms
+           | ] AS sig FROM hs),
+           |bands AS (
+           | SELECT id, unnest([
+           |   $bandTerms
+           | ]) AS band FROM sig),
+           |cand AS (
+           | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           | FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+           |chk AS (
+           | SELECT id_a, id_b,
+           |  len(list_intersect(sa.sh, sb.sh)) AS i_cnt,
+           |  len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u_cnt
+           | FROM cand
+           | JOIN sh sa ON sa.id = cand.id_a
+           | JOIN sh sb ON sb.id = cand.id_b)
+           |SELECT id_a, id_b, i_cnt, u_cnt FROM chk
+           |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    "q25_simhash" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.tokenHashes60(col("text")).as("hs"))
+        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+        .orderBy(col("doc_id")),
+      Some {
+        val bitTerms = (0 until 60).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) " +
+            s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+        }.mkString(" +\n  ")
+        s"""WITH toks AS (
+           | SELECT doc_id, list_distinct($toksSql) AS dt FROM documents),
+           |hs AS (
+           | SELECT doc_id, list_transform(dt, t -> ${h60("t")}) AS hs FROM toks)
+           |SELECT doc_id,
+           |  $bitTerms AS sig
+           |FROM hs ORDER BY doc_id""".stripMargin
+      }),
+
+    "q26_simhash_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", prefixBits = 12, maxDist = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        val bitTerms = (0 until 60).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) > len(hs) " +
+            s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""WITH toks AS (
+           | SELECT doc_id, list_distinct($toksSql) AS dt FROM documents),
+           |hs AS (
+           | SELECT doc_id, list_transform(dt, t -> ${h60("t")}) AS hs FROM toks),
+           |sig AS (
+           | SELECT doc_id AS id, ($bitTerms) AS sig FROM hs),
+           |p AS (
+           | SELECT a.id AS id_a, b.id AS id_b,
+           |  bit_count(xor(a.sig, b.sig)) AS dist
+           | FROM sig a JOIN sig b ON (a.sig >> 48) = (b.sig >> 48)
+           | WHERE a.id < b.id)
+           |SELECT id_a, id_b, dist FROM p WHERE dist <= 8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ---- similarity search -------------------------------------------
+
+    "q27_ann_topk" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        // one-row driver lookup of the query vector (a scalar, not data)
+        val qv = typedLit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0))
+        Similarity.topKCosine(emb, "vec_id", "embedding", qv, 10)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos
+           |      FROM embeddings, q)
+           |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    "q28_ann_lsh" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val planes = Similarity.hyperplanes(8, 64)
+        val qv = typedLit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0))
+        Similarity.topKCosineLsh(emb, "vec_id", "embedding", qv, 10, planes)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  sum(CASE WHEN (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+           |c AS (
+           | SELECT b.vec_id, round(${cosSql("b.embedding", "qe")}, 6) AS cos
+           | FROM b, q WHERE b.bucket = q.qb)
+           |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
+    "q29_embed_neardup" -> Q(
+      (s, dir) => {
+        val planes = Similarity.hyperplanes(8, 64)
+        Similarity.nearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", planes, 0.35)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  sum(CASE WHEN (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |p AS (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+           | FROM b x JOIN b y ON x.bucket = y.bucket WHERE x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ---- multimodal ---------------------------------------------------
+
+    "q30_multimodal_meta" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        Multimodal.extractMetadata(docs, "doc_id", "payload")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          | octet_length(encode(text)) AS n_bytes,
+          | octet_length(encode(text)) % 512 AS width,
+          | (octet_length(encode(text)) // 512) % 512 AS height,
+          | md5(text) AS digest
+          |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

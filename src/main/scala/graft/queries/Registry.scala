@@ -10,7 +10,8 @@ object Registry {
 
   case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
-  def all: Map[String, Q] = CoreQueries.all ++ SlowLogQueries.all
+  def all: Map[String, Q] =
+    CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
