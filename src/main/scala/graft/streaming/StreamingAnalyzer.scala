@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming upgrades of the batch reports (SURVEY.md
+  * §2.10): the reference is batch-only, but its per-minute volume
+  * aggregation (A4/A5) is a tumbling window away from a stream.
+  *
+  * Input contract: a streaming DataFrame with the parsed-event schema
+  * (timestamp: timestamp, duration: long, query: string, ...) — the
+  * parse pipeline (SlowQueryPipeline.parseEvents) is stateless
+  * narrow-only, so it composes onto readStream unchanged.
+  */
+object StreamingAnalyzer {
+
+  /** A4 as a streaming tumbling window: per-minute count/sum with a
+    * watermark bounding state. Late rows beyond the watermark are
+    * dropped (the reference had no late policy at all — rows landed
+    * whenever processed; the watermark makes that bound explicit).
+    */
+  def volumePerMinute(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("count"), sum(col("duration")).as("duration"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("minute"),
+        col("count"), col("duration"),
+        floor(col("duration") / col("count")).cast("long").as("avg_duration"))
+
+  /** A5 as a streaming window: per (minute, query) aggregates. The W1
+    * per-minute ranking is done per finalized window downstream
+    * (foreachBatch + the batch Analyzer), because rank-over-updating-
+    * state is not expressible incrementally.
+    */
+  def volumeTopPerMinute(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 minute").as("w"),
+        col("query"), col("primary_key"))
+      .agg(count(lit(1)).as("count"), sum(col("duration")).as("duration"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("minute"),
+        col("query"), col("primary_key"), col("count"), col("duration"))
+
+  /** Event for the stateful session op. */
+  case class SessionEvent(userId: Long, tsMillis: Long, duration: Long)
+  case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)
+
+  /** Custom per-key state: gap-based session aggregation via
+    * mapGroupsWithState with processing-time timeout. Demonstrates
+    * the KeyValueGroupedDataset state surface on top of the same
+    * event stream.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMillis: Long)(
+      implicit enc1: org.apache.spark.sql.Encoder[SessionUpdate]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[(Long, Long, Long, Long)]) =>
+          val sorted = it.toSeq.sortBy(_.tsMillis)
+          var (start, last, n, total) =
+            state.getOption.getOrElse((Long.MaxValue, 0L, 0L, 0L))
+          sorted.foreach { e =>
+            if (n == 0 || e.tsMillis - last > gapMillis) {
+              start = e.tsMillis; n = 0; total = 0
+            }
+            last = e.tsMillis; n += 1; total += e.duration
+          }
+          state.update((start, last, n, total))
+          SessionUpdate(userId, start, n, total)
+      }
+  }
+}

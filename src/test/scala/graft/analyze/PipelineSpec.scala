@@ -1,0 +1,73 @@
+package graft.analyze
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.SparkEntry
+import graft.catalog.CqlCatalog
+import graft.ingest.KibanaReader
+import graft.model.AnalysisConfig
+
+/** End-to-end pipeline over a Kibana fixture (FIXTURES.md shapes),
+  * with hand-computed expected aggregates.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "PipelineSpec")
+
+  private val cql =
+    """CREATE TABLE ks1.users (
+      |    user_id uuid,
+      |    name text,
+      |    PRIMARY KEY (user_id, name)
+      |);""".stripMargin
+
+  private def fixture(): String = {
+    val f = Files.createTempFile("kibana", ".json")
+    Files.writeString(f,
+      """{"responses":[{"hits":{"total":5,"hits":[
+        |{"_source":{"@timestamp":"2026-08-12T15:45:01.123456Z","message":"W Query too slow, took 100 ms: [1 bound values] SELECT * FROM ks1.users WHERE user_id=?; [user_id:'u1']","tags":["prod"]}},
+        |{"_source":{"@timestamp":"2026-08-12T15:45:02.123456Z","message":"W Query too slow, took 200 ms: [1 bound values] SELECT * FROM ks1.users WHERE user_id=?; [user_id:'u1']"}},
+        |{"_source":{"@timestamp":"2026-08-12T15:46:02.123456Z","@message":"W Query too slow, took 301 ms: INSERT INTO ks1.users (user_id) VALUES (1)"}},
+        |{"_source":{"@timestamp":"2026-08-12T15:46:03.123456Z","message":"not slow"}},
+        |{"_source":{"@timestamp":"bad-timestamp","message":"W Query too slow, took 1 ms: SELECT 1"}}
+        |]}}]}""".stripMargin.replace("\n", ""))
+    f.toString
+  }
+
+  test("full pipeline: ingest -> parse -> five reports") {
+    val config = AnalysisConfig(minCount = 1, orderBy = "duration",
+      schema = CqlCatalog.parse(cql))
+    val raw = KibanaReader.hits(spark, Seq(fixture()))
+    val events = SlowQueryPipeline.parseEvents(raw, config)
+    assert(events.count() == 3) // non-slow + bad-timestamp dropped
+
+    val reports = Analyzer.analyze(events, config)
+    val q = reports.query.collect()
+    assert(q.length == 2)
+    // top by duration: INSERT 301 vs SELECT 100+200=300
+    assert(q(0).getAs[String]("query") == "INSERT INTO ks1.users (user_id) VALUES (1)")
+    assert(q(0).getAs[Long]("duration") == 301L)
+    assert(q(1).getAs[Long]("count") == 2L)
+    assert(q(1).getAs[Long]("avg_duration") == 150L)
+
+    val pk = reports.primaryKey.collect()
+    assert(pk.length == 1)
+    assert(pk(0).getAs[String]("primary_key") == "u1")
+    assert(pk(0).getAs[String]("keyspace") == "ks1")
+
+    val vol = reports.volume.collect()
+    assert(vol.map(_.getAs[String]("minute")).toSeq ==
+      Seq("2026-08-12 15:45", "2026-08-12 15:46"))
+
+    val vt = reports.volumeTop.collect()
+    assert(vt.length == 2)
+  }
+
+  test("driver entry smoke: flagship returns rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Invariant tests for the corpus ops; exact value parity with DuckDB
+  * is covered by the oracle gate (q20-q30), so these pin semantics
+  * the oracle can't see: planted duplicates, recall relationships,
+  * edge shapes.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "OpsSpec")
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the  quick   brown fox jumps over the lazy dog"), // spacing dup
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id per fingerprint group") {
+    val out = Dedup.exactDedup(
+      docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      col("fp"), "doc_id")
+    val dups = out.filter(col("is_duplicate")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dups == Set(1L, 2L)) // 0 survives; 2 dups via whitespace collapse
+  }
+
+  test("minhash pairs find the planted near-dup and skip unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }) // unrelated
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct far") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.tokenHashes60(col("text")).as("hs"))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) == sigs(2L)) // whitespace-insensitive tokens
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(3L)) < ham(sigs(0L), sigs(4L)))
+  }
+
+  test("jaccard pairs integer threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      Seq(element_at(TextOps.tokens(col("text")), 1)), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("lsh ANN is a subset-ranking of brute force on the same bucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qv = typedLit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0))
+    val brute = Similarity.topKCosine(emb, "vec_id", "embedding", qv, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val planes = Similarity.hyperplanes(8, 64)
+    val lsh = Similarity.topKCosineLsh(emb, "vec_id", "embedding", qv, 10, planes)
+      .collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getLong(0) == 0L) // query itself tops its own bucket
+    // every LSH result's cosine agrees with the brute-force computation
+    lsh.foreach { r =>
+      brute.get(r.getLong(0)).foreach(c => assert(math.abs(c - r.getDouble(1)) < 1e-9))
+    }
+  }
+
+  test("rolling hash is order-sensitive, fingerprint is not spacing-sensitive") {
+    val out = Seq("a b c", "c b a", "a  b  c").toDF("text")
+      .select(TextOps.rollingHash(col("text")).as("rh"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .collect()
+    assert(out(0).getLong(0) != out(1).getLong(0)) // order matters
+    assert(out(0).getLong(0) == out(2).getLong(0)) // spacing doesn't
+    assert(out(0).getString(1) == out(2).getString(1))
+  }
+
+  test("multimodal metadata derives from real payload bytes") {
+    val media = Multimodal.synthesizePayload(docs, "text")
+    val meta = Multimodal.extractMetadata(media, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(4))).toMap
+    assert(meta(5L)._1 == "short doc".getBytes("UTF-8").length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("short doc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(meta(5L)._2 == expected)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class StreamingAnalyzerSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "StreamingAnalyzerSpec")
+
+  test("volumePerMinute aggregates tumbling windows incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("timestamp", "duration")
+
+    val q = StreamingAnalyzer.volumePerMinute(events)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("vol").start()
+
+    mem.addData(
+      (Timestamp.valueOf("2026-08-12 10:00:01"), 100L),
+      (Timestamp.valueOf("2026-08-12 10:00:30"), 201L),
+      (Timestamp.valueOf("2026-08-12 10:01:10"), 50L))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2026-08-12 10:00:59"), 99L))
+    q.processAllAvailable()
+    // update mode re-emits a row per refinement; the latest state per
+    // minute has the highest count -> max(struct) picks it atomically
+    val rows = spark.table("vol")
+      .groupBy("minute")
+      .agg(max(struct("count", "duration", "avg_duration")).as("s"))
+      .select("minute", "s.count", "s.duration", "s.avg_duration")
+      .orderBy("minute").collect()
+    q.stop()
+
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("2026-08-12 10:00", 3L, 400L, 133L), ("2026-08-12 10:01", 1L, 50L, 50L)))
+  }
+
+  test("sessionize maintains per-user gap sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingAnalyzer.SessionEvent]
+    val out = StreamingAnalyzer.sessionize(mem.toDS(), gapMillis = 60000)
+    val q = out.writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("sess").start()
+
+    mem.addData(
+      StreamingAnalyzer.SessionEvent(1, 1000, 10),
+      StreamingAnalyzer.SessionEvent(1, 2000, 20))
+    q.processAllAvailable()
+    // within the gap -> same session grows
+    mem.addData(StreamingAnalyzer.SessionEvent(1, 50000, 5))
+    q.processAllAvailable()
+    // beyond the gap -> new session
+    mem.addData(StreamingAnalyzer.SessionEvent(1, 500000, 7))
+    q.processAllAvailable()
+    val updates = spark.table("sess").as[StreamingAnalyzer.SessionUpdate].collect()
+    q.stop()
+
+    assert(updates.length == 3)
+    assert(updates(0) == StreamingAnalyzer.SessionUpdate(1, 1000, 2, 30))
+    assert(updates(1) == StreamingAnalyzer.SessionUpdate(1, 1000, 3, 35))
+    assert(updates(2) == StreamingAnalyzer.SessionUpdate(1, 500000, 1, 7))
+  }
+}
