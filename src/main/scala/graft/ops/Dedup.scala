@@ -86,23 +86,31 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rows: Int,
       num: Int, den: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val withSig = base
-      .withColumn("hs", shingleHashes(col("sh")))
-      .withColumn("sig", minhashSignature(col("hs")))
-      .withColumn("bk", bandKeys(col("sig"), bands, rows))
-    val buckets = withSig.select(explode(col("bk")).as("band"), col("id"))
+    // One narrow pass computes hashed shingles + band keys; CACHED
+    // because three downstream consumers (two join sides + the verify
+    // re-attach) would otherwise re-run the md5-heavy scan 4x — at
+    // cluster scale this is the difference between one pass over the
+    // corpus and four.
+    val hashed = df
+      .select(col(idCol).as("id"),
+        shingleHashes(shingles(col(textCol), n)).as("hs"))
+      .withColumn("bk", bandKeys(minhashSignature(col("hs")), bands, rows))
+      .cache()
+    val buckets = hashed.select(explode(col("bk")).as("band"), col("id"))
     val cand = buckets.join(buckets.withColumnRenamed("id", "id_b"), Seq("band"))
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = base.select(col("id"), col("sh"))
+    // Verify on the HASHED shingle sets (longs mod P): ~10x smaller
+    // than the string sets on the wire and in the intersect; the
+    // ~2^-20 per-pair collision probability is the standard MinHash
+    // trade and the oracle replicates it exactly.
+    val sets = hashed.select(col("id"), col("hs"))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("i_cnt", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("u_cnt",
-        size(col("sh_a")) + size(col("sh_b")) - col("i_cnt"))
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("i_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("u_cnt", size(array_union(col("hs_a"), col("hs_b"))))
       .filter(col("i_cnt") * den >= col("u_cnt") * num)
       .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
   }
@@ -137,6 +145,7 @@ object Dedup {
       .select(col(idCol).as("id"), tokenHashes60(col(textCol)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
       .withColumn("block", shiftright(col("sig"), 60 - prefixBits))
+      .cache() // both self-join sides read it; signatures are md5-heavy
     val a = sigs.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
@@ -154,6 +163,7 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"),
       concat_ws("\u0001", blockCols: _*).as("block"))
+      .cache() // both self-join sides
     val a = base.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = base.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))

@@ -175,11 +175,11 @@ object OpsQueries {
            | FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
            |chk AS (
            | SELECT id_a, id_b,
-           |  len(list_intersect(sa.sh, sb.sh)) AS i_cnt,
-           |  len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS u_cnt
+           |  len(list_intersect(sa.hs, sb.hs)) AS i_cnt,
+           |  len(list_distinct(sa.hs || sb.hs)) AS u_cnt
            | FROM cand
-           | JOIN sh sa ON sa.id = cand.id_a
-           | JOIN sh sb ON sb.id = cand.id_b)
+           | JOIN hs sa ON sa.id = cand.id_a
+           | JOIN hs sb ON sb.id = cand.id_b)
            |SELECT id_a, id_b, i_cnt, u_cnt FROM chk
            |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin
       }),
