@@ -48,6 +48,32 @@ object SlowQueryPipeline {
       ColumnBridge.expression(tags),
       catalog))
 
+  /** Data-quality side channel: every raw hit classified by parse
+    * outcome, counted — the Spark form of the reference's aggregated
+    * warning report (AggregatedStreamHandler,
+    * analyze_slow_queries.py:225-261, flushed sorted by count). One
+    * narrow pass + one tiny aggregation; run it alongside parseEvents
+    * to see what a corpus drops and why.
+    */
+  def dataQuality(raw: DataFrame, config: AnalysisConfig): DataFrame = {
+    val catalog = catalogOf(config)
+    raw
+      .select(
+        LogColumns.lex(col("message")).as("lex"),
+        to_timestamp(col("timestamp_str"), TsFmt).as("timestamp"),
+        col("tags"))
+      .select(
+        when(col("lex").isNull, "not_slow_query")
+          .when(col("timestamp").isNull, "bad_timestamp")
+          .when(col("lex.duration").isNull, "bad_duration")
+          .when(enrich(col("lex.query"), col("lex.bound_values"), col("tags"), catalog)
+            .isNull, "no_processor")
+          .otherwise("parsed").as("outcome"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("outcome"))
+  }
+
   /** Parse raw hit rows (timestamp_str, message, tags) into the event
     * schema (type, timestamp, duration, query, bound_values,
     * primary_key, keyspace, column_family, tags).

@@ -118,6 +118,39 @@ object SlowLogQueries {
               |ORDER BY duration DESC, keyspace, column_family, primary_key
               |LIMIT 100""".stripMargin)),
 
+    // Data-quality outcomes over deliberately-corrupted messages
+    // (the reference's aggregated-warning report, S5/O10 analog)
+    "q31_data_quality" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val good = concat(lit("W Query too slow, took "),
+          floor(col("value") * 10).cast("long").cast("string"),
+          lit(" ms: SELECT * FROM ks0.t0 WHERE id=1"))
+        val raw = ev.select(
+          date_format(timestamp_micros(expr("ts DIV 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("ts_good"),
+          col("event_id"), good.as("msg_good"))
+          .select(
+            when(col("event_id") % 7 === 2, "not-a-timestamp")
+              .otherwise(col("ts_good")).as("timestamp_str"),
+            when(col("event_id") % 7 === 0,
+              lit("W Query too slow, took nine ms: SELECT 1"))
+              .when(col("event_id") % 7 === 1, lit("unrelated log line"))
+              .when(col("event_id") % 7 === 3,
+                lit("W Query too slow, took 5 ms: TRUNCATE ks0.t0"))
+              .otherwise(col("msg_good")).as("message"),
+            array().cast("array<string>").as("tags"))
+        SlowQueryPipeline.dataQuality(raw, config)
+      },
+      Some("""SELECT CASE
+             |  WHEN event_id % 7 = 1 THEN 'not_slow_query'
+             |  WHEN event_id % 7 = 2 THEN 'bad_timestamp'
+             |  WHEN event_id % 7 = 0 THEN 'bad_duration'
+             |  WHEN event_id % 7 = 3 THEN 'no_processor'
+             |  ELSE 'parsed' END AS outcome, count(*) AS count
+             |FROM events GROUP BY 1 ORDER BY count DESC, outcome""".stripMargin)),
+
     // F8 — pattern normalization (replace-ALL) under oracle
     "q19_normalize" -> Q(
       (s, dir) => {
