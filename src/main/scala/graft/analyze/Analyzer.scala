@@ -68,17 +68,29 @@ object Analyzer {
     df.orderBy(orderCol(config).desc +: tieBreak.map(col(_).asc): _*)
       .limit(config.topN)
 
-  /** A1 — per normalized query (analyze_slow_queries.py:1014-1024). */
+  /** A1 — per normalized query (analyze_slow_queries.py:1014-1024).
+    *
+    * The reference carries whichever keyspace/column_family created
+    * the dict entry (first-seen, nondeterministic); we pin the payload
+    * with min() per column — deterministic. Aggregation is TWO-stage:
+    * the event-volume stage groups by (query, ks, cf) — all hash
+    * aggregable with map-side partial combine — and only the tiny
+    * distinct-key intermediate pays the SortAggregate that string
+    * min() forces. A single-stage min(string) (or min over a struct)
+    * would sort-aggregate the full event stream — a per-partition
+    * sort the 100 TB plan can't afford.
+    */
   def queryReport(events: DataFrame, config: AnalysisConfig): DataFrame = {
-    val agg = coerced(events)
+    val pre = coerced(events)
+      .groupBy(col("query"), col("keyspace"), col("column_family"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("duration")).as("_dur"))
+    val agg = pre
       .groupBy(col("query"))
       .agg(
-        count(lit(1)).as("count"),
-        sum(col("duration")).as("duration"),
-        min(struct(col("keyspace"), col("column_family"))).as("_kscf"))
-      .select(col("query"), col("count"), col("duration"),
-        col("_kscf.keyspace").as("keyspace"),
-        col("_kscf.column_family").as("column_family"))
+        sum(col("_cnt")).as("count"),
+        sum(col("_dur")).as("duration"),
+        min(col("keyspace")).as("keyspace"),
+        min(col("column_family")).as("column_family"))
     topN(finishAgg(agg, config), config, Seq("query"))
   }
 
@@ -86,16 +98,17 @@ object Analyzer {
     * (analyze_slow_queries.py:1026-1038).
     */
   def queryPkReport(events: DataFrame, config: AnalysisConfig): DataFrame = {
-    val agg = coerced(events)
+    val pre = coerced(events)
       .filter(col("primary_key") =!= "")
+      .groupBy(col("query"), col("primary_key"), col("keyspace"), col("column_family"))
+      .agg(count(lit(1)).as("_cnt"), sum(col("duration")).as("_dur"))
+    val agg = pre
       .groupBy(col("query"), col("primary_key"))
       .agg(
-        count(lit(1)).as("count"),
-        sum(col("duration")).as("duration"),
-        min(struct(col("keyspace"), col("column_family"))).as("_kscf"))
-      .select(col("query"), col("primary_key"), col("count"), col("duration"),
-        col("_kscf.keyspace").as("keyspace"),
-        col("_kscf.column_family").as("column_family"))
+        sum(col("_cnt")).as("count"),
+        sum(col("_dur")).as("duration"),
+        min(col("keyspace")).as("keyspace"),
+        min(col("column_family")).as("column_family"))
     topN(finishAgg(agg, config), config, Seq("query", "primary_key"))
   }
 
