@@ -50,6 +50,24 @@ object KibanaReader {
         coalesce(col("h._source.tags"), array().cast("array<string>")).as("tags"))
       .filter(col("message").contains("Query too slow"))
 
+  /** Streaming variant of [[hits]]: watch a directory of page files.
+    * The downstream parse pipeline is stateless narrow operators, so
+    * it composes on this unchanged
+    * (SlowQueryPipeline.parseEvents(hitsStream(...), config)).
+    */
+  def hitsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Schemas.kibanaHits)
+      .option("multiLine", "true")
+      .json(dir)
+      .select(explode(col("responses")).as("r"))
+      .select(explode(col("r.hits.hits")).as("h"))
+      .select(
+        col("h._source.@timestamp").as("timestamp_str"),
+        coalesce(col("h._source.message"), col("h._source.@message")).as("message"),
+        coalesce(col("h._source.tags"), array().cast("array<string>")).as("tags"))
+      .filter(col("message").contains("Query too slow"))
+
   /** S5 — shard-failure side output
     * (download_slow_queries.py:110-128): one row per failure reason.
     */

@@ -70,4 +70,31 @@ class PipelineSpec extends AnyFunSuite {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
   }
+
+  test("materialized events round-trip through JSON") {
+    val config = AnalysisConfig(minCount = 1, schema = CqlCatalog.parse(cql))
+    val events = SlowQueryPipeline.parseEvents(
+      KibanaReader.hits(spark, Seq(fixture())), config)
+    val dir = Files.createTempDirectory("processed").toString
+    graft.report.Reporter.materialize(events, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == events.count())
+    assert(back.columns.toSet.contains("query"))
+  }
+
+  test("streaming ingest composes with the batch parse pipeline") {
+    val config = AnalysisConfig(minCount = 1, orderBy = "duration",
+      schema = CqlCatalog.parse(cql))
+    val dir = Files.createTempDirectory("pages")
+    Files.copy(java.nio.file.Paths.get(fixture()), dir.resolve("page0.json"))
+    val stream = KibanaReader.hitsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val events = SlowQueryPipeline.parseEvents(stream, config)
+    val q = events.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("stream_events").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("stream_events").count() == 3) // same as batch
+  }
 }
