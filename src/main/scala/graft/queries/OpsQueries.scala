@@ -186,8 +186,8 @@ object OpsQueries {
 
     "q25_simhash" -> Q(
       (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.tokenHashes60(col("text")).as("hs"))
-        .select(col("doc_id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+        .select(col("doc_id"),
+          graft.ops.SketchExpressions.simhash60(col("text")).as("sig"))
         .orderBy(col("doc_id")),
       Some {
         val bitTerms = (0 until 60).map { b =>

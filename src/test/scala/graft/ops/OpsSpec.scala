@@ -78,6 +78,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch kernels agree with the Column-function formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val cmp = docs.select(
+      Dedup.simhashFromHashes(Dedup.tokenHashes60(col("text"))).as("sim_col"),
+      SketchExpressions.simhash60(col("text")).as("sim_ker"),
+      Dedup.minhashSignature(
+        Dedup.shingleHashes(Dedup.shingles(col("text"), 3))).as("mh_col"),
+      SketchExpressions.minhashSignature(col("text"), 3).as("mh_ker"),
+      Dedup.shingleHashes(Dedup.shingles(col("text"), 3)).as("hs_col"),
+      SketchExpressions.hashedShingles(col("text"), 3).as("hs_ker"))
+    cmp.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getSeq[Any](2) == r.getSeq[Any](3))
+      assert(r.getSeq[Any](4) == r.getSeq[Any](5))
+    }
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not spacing-sensitive") {
     val out = Seq("a b c", "c b a", "a  b  c").toDF("text")
       .select(TextOps.rollingHash(col("text")).as("rh"),
