@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Engine-completeness surface beyond the reference's fixed pipeline:
+  * pivot, exact percentiles, grouping sets, scalar subqueries,
+  * collected sets, and JSON field extraction — each oracle-checked.
+  * (SURVEY.md §2.9/§2.6 notes these as "not present" in the
+  * reference; a drop-in engine still wants them.)
+  */
+object ExtendedQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def all: Map[String, Q] = Map(
+
+    "q32_pivot" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", eventTypes)
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+            eventTypes.map(e => coalesce(col(e), lit(0L)).as(e)): _*)
+          .orderBy(col("user_id"))
+      },
+      Some {
+        val cases = eventTypes.map(e =>
+          s"sum(CASE WHEN event_type = '$e' THEN 1 ELSE 0 END) AS $e").mkString(",\n ")
+        s"""SELECT user_id,
+           | $cases
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    "q33_percentiles" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"), floor(col("value") * 10).cast("long").as("d"))
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("d"), lit(0.5)).as("median_d"),
+          percentile(col("d"), lit(0.9)).as("p90_d"),
+          min(col("d")).as("min_d"),
+          max(col("d")).as("max_d"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             | quantile_cont(CAST(floor(value*10) AS BIGINT), 0.5) AS median_d,
+             | quantile_cont(CAST(floor(value*10) AS BIGINT), 0.9) AS p90_d,
+             | min(CAST(floor(value*10) AS BIGINT)) AS min_d,
+             | max(CAST(floor(value*10) AS BIGINT)) AS max_d
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q34_grouping_sets" -> Q(
+      (s, dir) => {
+        t(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql(
+          """SELECT event_type, user_id, count(*) AS cnt
+            |FROM events_v
+            |GROUP BY GROUPING SETS ((event_type), (user_id))
+            |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, user_id, count(*) AS cnt
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_id))
+             |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)),
+
+    "q35_scalar_subquery" -> Q(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        // integer-only comparison: cnt * n_active_custs > n_orders
+        s.sql(
+          """SELECT c.c_custkey, count(o.o_orderkey) AS cnt
+            |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
+            |GROUP BY c.c_custkey
+            |HAVING count(o.o_orderkey) *
+            |  (SELECT count(DISTINCT o_custkey) FROM orders_v) >
+            |  (SELECT count(*) FROM orders_v)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, count(o.o_orderkey) AS cnt
+             |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             |GROUP BY c.c_custkey
+             |HAVING count(o.o_orderkey) *
+             |  (SELECT count(DISTINCT o_custkey) FROM orders) >
+             |  (SELECT count(*) FROM orders)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    "q36_collect_sets" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          sort_array(collect_set(col("event_type"))).as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             | list_sort(list_distinct(list(event_type))) AS types,
+             | count(DISTINCT event_type) AS n_types
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q37_json_extract" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+             |FROM events ORDER BY event_id""".stripMargin))
+  )
+}

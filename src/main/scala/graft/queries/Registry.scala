@@ -11,7 +11,8 @@ object Registry {
   case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
   def all: Map[String, Q] =
-    CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all
+    CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all ++
+      ExtendedQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
