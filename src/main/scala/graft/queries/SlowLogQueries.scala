@@ -58,11 +58,22 @@ object SlowLogQueries {
       array().cast("array<string>").as("tags"))
   }
 
-  /** Parsed events through the real pipeline. */
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Parsed events through the real pipeline; cached per input dir so
+    * the reports that share the parse (q17/q18, flagship) pay it once
+    * — the Spark-side analog of the reference's processed.json
+    * intermediate (S8/O4).
+    */
   def parsed(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(spark)
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    SlowQueryPipeline.parseEvents(messages(events), config)
+    // keyed by session identity too: a cached DataFrame is unusable
+    // from a different (e.g. restarted) SparkSession
+    parsedCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+      val events = spark.read.parquet(s"$dir/events.parquet")
+      SlowQueryPipeline.parseEvents(messages(events), config).cache()
+    })
   }
 
   /** Oracle fragment shared by the e2e queries: expected parsed events
