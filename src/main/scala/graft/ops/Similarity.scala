@@ -82,6 +82,82 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) coarse quantizer: `k` centroids refined with
+    * `iters` Lloyd iterations from a deterministic seed (the k
+    * lowest-id vectors — swap for sampled k-means++ in production; the
+    * index/probe structure is what scales). Returns (cluster ->
+    * centroid array) collected to the driver: centroids are
+    * dimension-count-sized, never data-sized.
+    */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
+    val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
+    var centroids: Array[(Int, Array[Double])] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
+    (0 until iters).foreach { _ =>
+      val assigned = assignClusters(embeddings, vecCol, centroids)
+      val sums = assigned
+        .select(col("_cluster"),
+          posexplode(col(vecCol)).as(Seq("_d", "_x")))
+        .groupBy(col("_cluster"), col("_d"))
+        .agg(sum(col("_x").cast("double")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (c, old) =>
+        byCluster.get(c) match {
+          case None => c -> old // empty cluster keeps its centroid
+          case Some(rows) =>
+            val v = new Array[Double](dims)
+            rows.foreach(r => v(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            c -> v
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (max cosine; ties to
+    * the lowest cluster id). Narrow expression over broadcast-literal
+    * centroids.
+    */
+  def assignClusters(embeddings: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (c, w) =>
+      struct(cosine(col(vecCol), typedLit(w.toSeq)).as("cos"),
+        lit(-c).as("negc"))
+    }
+    embeddings.withColumn("_cluster",
+      -greatest(scored.toSeq: _*).getField("negc"))
+  }
+
+  /** IVF-probed ANN: rank the query's `nprobe` nearest clusters, scan
+    * only vectors assigned there, brute-force top-k within. The scan
+    * touches ~nprobe/k of the corpus — the 100 TB path when LSH
+    * bucket skew is a concern.
+    */
+  def topKCosineIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], kNearest: Int,
+      centroids: Array[(Int, Array[Double])], nprobe: Int): DataFrame = {
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids
+      .map { case (c, w) => c -> cosLocal(queryVec, w) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe).map(_._1).toSet
+    val qLit = typedLit(queryVec.toSeq)
+    assignClusters(embeddings, vecCol, centroids)
+      .filter(col("_cluster").isin(probes.toSeq: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), qLit), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(kNearest)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join, then exact
     * cosine >= minCos (rounded compare). Only same-bucket pairs are
     * ever materialized.

@@ -295,6 +295,21 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // IVF ANN — deterministic coarse quantizer + probed search. No SQL
+    // oracle (k-means refinement isn't reasonably SQL-expressible);
+    // driver records a rows-only check, and OpsSpec pins agreement of
+    // every returned cosine with the exact brute-force computation.
+    "q38_ann_ivf" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).toArray.map(_.toDouble)
+        val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+        Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10, centroids, 4)
+          .withColumnRenamed("id", "vec_id")
+      },
+      None),
+
     // ---- multimodal ---------------------------------------------------
 
     "q30_multimodal_meta" -> Q(

@@ -96,6 +96,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN probes a corpus fraction and agrees with brute force on cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16)
+    assert(centroids.length == 16)
+    val ivf = Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10,
+      centroids, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(0) == 0L) // the query vector's own cell is probed
+    val qv = typedLit(q.toSeq)
+    val brute = Similarity.topKCosine(emb, "vec_id", "embedding", qv, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { r => // every IVF cosine agrees with the exact computation
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not spacing-sensitive") {
     val out = Seq("a b c", "c b a", "a  b  c").toDF("text")
       .select(TextOps.rollingHash(col("text")).as("rh"),
