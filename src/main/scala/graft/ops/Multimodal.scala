@@ -61,4 +61,40 @@ object Multimodal {
     */
   def synthesizePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("byte_offset", IntegerType),
+    StructField("frame_bytes", IntegerType),
+    StructField("frame_digest", StringType)))
+
+  /** Frame sampling for video-shaped payloads: one input row fans out
+    * to ceil(n_bytes / frameBytes) frame rows, each carrying its
+    * offset, length, and a digest of ITS slice of the payload. A real
+    * implementation would seek to keyframes in the container; the
+    * slicing/fan-out/batching plumbing here is the part Spark owns.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).iterator.map { f =>
+            val off = f * frameBytes
+            val len = math.min(frameBytes, bytes.length - off)
+            md.reset()
+            val digest = md.digest(java.util.Arrays.copyOfRange(bytes, off, off + len))
+              .map(b => f"$b%02x").mkString
+            Row(id, f, off, len, digest)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
 }

@@ -96,14 +96,16 @@ object ExtendedQueries {
              |ORDER BY c_custkey""".stripMargin)),
 
     "q36_collect_sets" -> Q(
+      // joined to a plain string: list-typed outputs format differently
+      // across parquet readers, a needless hash-compare hazard
       (s, dir) => t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          sort_array(collect_set(col("event_type"))).as("types"),
+          concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy(col("user_id")),
       Some("""SELECT user_id,
-             | list_sort(list_distinct(list(event_type))) AS types,
+             | array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
              | count(DISTINCT event_type) AS n_types
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -312,6 +312,25 @@ object OpsQueries {
 
     // ---- multimodal ---------------------------------------------------
 
+    // video-shaped fan-out: 1 payload -> N frame rows, each digesting
+    // its own byte slice (documents are ASCII so the oracle's char
+    // slicing equals the kernel's byte slicing)
+    "q39_multimodal_frames" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        Multimodal.sampleFrames(docs, "doc_id", "payload", frameBytes = 100)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(
+        """SELECT doc_id, f AS frame_idx, f * 100 AS byte_offset,
+          | least(100, length(text) - f * 100) AS frame_bytes,
+          | md5(substring(text, f * 100 + 1, 100)) AS frame_digest
+          |FROM documents,
+          | unnest(generate_series(0,
+          |   CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS t(f)
+          |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
         val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
