@@ -18,8 +18,9 @@ import graft.model.AnalysisConfig
   *    should `.cache()` the events DF before fanning out);
   *  - "first-seen" group payloads (whichever row created the dict
   *    entry carried keyspace/column_family) are nondeterministic in
-  *    both Python-dict and distributed form, so we pin them with
-  *    `min(struct(...))` — a deterministic total order;
+  *    both Python-dict and distributed form, so we pin them with a
+  *    min() over the sep-joined (keyspace, column_family) pair — a
+  *    deterministic total order that keeps the pair atomic;
   *  - top-N is `orderBy(desc).limit(n)`, which Catalyst plans as
   *    TakeOrderedAndProject (bounded per-partition heaps, no global
   *    sort — strictly better than the reference's full sort at :1107);
@@ -68,15 +69,30 @@ object Analyzer {
     df.orderBy(orderCol(config).desc +: tieBreak.map(col(_).asc): _*)
       .limit(config.topN)
 
+  /** Separator for the atomic (keyspace, column_family) payload pair;
+    * a control char that can't occur in CQL identifiers.
+    */
+  private val PairSep = "\u0001"
+
+  private def pairMin: Column =
+    min(concat_ws(PairSep, col("keyspace"), col("column_family"))).as("_kscf")
+
+  private def splitPair(df: DataFrame): DataFrame =
+    df.select(
+      df.columns.filterNot(_ == "_kscf").map(col).toSeq :+
+        split(col("_kscf"), PairSep).getItem(0).as("keyspace") :+
+        split(col("_kscf"), PairSep).getItem(1).as("column_family"): _*)
+
   /** A1 — per normalized query (analyze_slow_queries.py:1014-1024).
     *
     * The reference carries whichever keyspace/column_family created
     * the dict entry (first-seen, nondeterministic); we pin the payload
-    * with min() per column — deterministic. Aggregation is TWO-stage:
-    * the event-volume stage groups by (query, ks, cf) — all hash
-    * aggregable with map-side partial combine — and only the tiny
-    * distinct-key intermediate pays the SortAggregate that string
-    * min() forces. A single-stage min(string) (or min over a struct)
+    * with min() over the sep-joined pair — deterministic AND atomic
+    * (per-column mins could fabricate a pair that never co-occurred).
+    * Aggregation is TWO-stage: the event-volume stage groups by
+    * (query, ks, cf) — all hash aggregable with map-side partial
+    * combine — and only the tiny distinct-key intermediate pays the
+    * SortAggregate that string min() forces. A single-stage string min
     * would sort-aggregate the full event stream — a per-partition
     * sort the 100 TB plan can't afford.
     */
@@ -84,13 +100,9 @@ object Analyzer {
     val pre = coerced(events)
       .groupBy(col("query"), col("keyspace"), col("column_family"))
       .agg(count(lit(1)).as("_cnt"), sum(col("duration")).as("_dur"))
-    val agg = pre
-      .groupBy(col("query"))
-      .agg(
-        sum(col("_cnt")).as("count"),
-        sum(col("_dur")).as("duration"),
-        min(col("keyspace")).as("keyspace"),
-        min(col("column_family")).as("column_family"))
+    val agg = splitPair(
+      pre.groupBy(col("query"))
+        .agg(sum(col("_cnt")).as("count"), sum(col("_dur")).as("duration"), pairMin))
     topN(finishAgg(agg, config), config, Seq("query"))
   }
 
@@ -102,13 +114,9 @@ object Analyzer {
       .filter(col("primary_key") =!= "")
       .groupBy(col("query"), col("primary_key"), col("keyspace"), col("column_family"))
       .agg(count(lit(1)).as("_cnt"), sum(col("duration")).as("_dur"))
-    val agg = pre
-      .groupBy(col("query"), col("primary_key"))
-      .agg(
-        sum(col("_cnt")).as("count"),
-        sum(col("_dur")).as("duration"),
-        min(col("keyspace")).as("keyspace"),
-        min(col("column_family")).as("column_family"))
+    val agg = splitPair(
+      pre.groupBy(col("query"), col("primary_key"))
+        .agg(sum(col("_cnt")).as("count"), sum(col("_dur")).as("duration"), pairMin))
     topN(finishAgg(agg, config), config, Seq("query", "primary_key"))
   }
 

@@ -22,15 +22,30 @@ object Downloader {
   /** Abort threshold (download_slow_queries.py:105-106). */
   val MaxResults = 10000000L
 
-  /** S3 — `_msearch` NDJSON header line
-    * (download_slow_queries.py:246-260).
+  /** Minimal JSON string escaping (the reference goes through
+    * json.dumps).
+    */
+  private def j(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** S3 — `_msearch` NDJSON header line, field-for-field as the
+    * reference (download_slow_queries.py:248-260).
     */
   def buildRequestHeader(index: String): String =
-    s"""{"index":["$index"],"ignore_unavailable":true,"timeout":30000,"preference":1541576165784}"""
+    s"""{"index": ${j(index)}, "ignore_unavailable": true, "timeout": 30000}"""
 
   /** S3 — `_msearch` body line: bool query of match_phrase(message) AND
-    * epoch-second timestamp range AND optional query_string, sorted
-    * newest-first, paged via size/from
+    * epoch-second timestamp range AND an optional query_string (which
+    * the reference wraps in embedded quotes — an exact PHRASE, not
+    * term OR), sorted newest-first, paged via size/from
     * (download_slow_queries.py:186-243).
     */
   def buildRequestBody(
@@ -41,16 +56,16 @@ object Downloader {
       from: Int = 0,
       queryString: Option[String] = None): String = {
     val must = new StringBuilder
-    must.append(s"""{"match_phrase":{"message":{"query":"$message"}}}""")
+    must.append(s"""{"match_phrase": {"message": {"query": ${j(message)}}}}""")
     must.append(
-      s""",{"range":{"@timestamp":{"gte":$startEpochSec,"lte":$endEpochSec,"format":"epoch_second"}}}""")
+      s""", {"range": {"@timestamp": {"gte": $startEpochSec, "lte": $endEpochSec, "format": "epoch_second"}}}""")
     queryString.foreach { q =>
+      // reference: "query": "\"{}\"".format(query) — embedded quotes
       must.append(
-        s""",{"query_string":{"query":"$q","analyze_wildcard":true,"default_field":"*"}}""")
+        s""", {"query_string": {"query": ${j("\"" + q + "\"")}, "analyze_wildcard": true, "default_field": "*"}}""")
     }
-    s"""{"version":true,"size":$size,"from":$from,""" +
-      s""""sort":[{"@timestamp":{"order":"desc","unmapped_type":"boolean"}}],""" +
-      s""""query":{"bool":{"must":[${must.result()}],"filter":[],"should":[],"must_not":[]}}}"""
+    s"""{"query": {"bool": {"must": [${must.result()}]}}, "size": $size, "from": $from, """ +
+      s""""sort": [{"@timestamp": {"order": "desc", "unmapped_type": "boolean"}}]}"""
   }
 
   /** S2 — page count from a total-hits figure
@@ -78,23 +93,30 @@ object Downloader {
     (url, index, cookie)
   }
 
-  private val fmtDateTime = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
-  private val fmtTime = DateTimeFormatter.ofPattern("HH:mm")
+  private val fmtDateTime = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm[:ss]")
+  private val fmtTime = DateTimeFormatter.ofPattern("HH:mm[:ss]")
 
   /** F10 — resolve the ingest window (download_slow_queries.py:159-183):
-    * defaults 05:00-12:00 of `today`; time-only inputs get today's
-    * date; full "yyyy-MM-dd HH:mm" inputs pass through.
+    * no inputs -> 05:00-12:00 of `today`; exactly one input -> error
+    * (reference: 'Must provide both start and end time'); inputs
+    * without a date part ('-' probe, as the reference) get today's
+    * date; seconds optional.
     */
   def timeInterval(
       start: Option[String],
       end: Option[String],
       today: LocalDate): (LocalDateTime, LocalDateTime) = {
-    def resolve(s: Option[String], default: LocalTime): LocalDateTime = s match {
-      case None => today.atTime(default)
-      case Some(v) if v.contains(" ") => LocalDateTime.parse(v, fmtDateTime)
-      case Some(v) => today.atTime(LocalTime.parse(v, fmtTime))
+    (start, end) match {
+      case (None, None) =>
+        (today.atTime(LocalTime.of(5, 0)), today.atTime(LocalTime.of(12, 0)))
+      case (Some(s), Some(e)) =>
+        def resolve(v: String): LocalDateTime =
+          if (v.contains("-")) LocalDateTime.parse(v, fmtDateTime)
+          else today.atTime(LocalTime.parse(v, fmtTime))
+        (resolve(s), resolve(e))
+      case _ =>
+        throw new IllegalArgumentException("Must provide both start and end time")
     }
-    (resolve(start, LocalTime.of(5, 0)), resolve(end, LocalTime.of(12, 0)))
   }
 
   def toEpochSecond(dt: LocalDateTime, zone: ZoneId): Long =

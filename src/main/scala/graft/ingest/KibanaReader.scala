@@ -77,9 +77,14 @@ object KibanaReader {
       .select(explode(col("r._shards.failures")).as("f"))
       .select(col("f.reason.reason").as("reason"))
 
-  /** Documents that failed to parse at all (data-quality channel). */
+  /** Documents that failed to parse at all (data-quality channel).
+    * The intermediate is cached: Spark disallows querying ONLY the
+    * internal corrupt-record column of a raw JSON scan
+    * ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]).
+    */
   def corruptRecords(spark: SparkSession, paths: Seq[String]): DataFrame =
     readRaw(spark, paths)
+      .cache()
       .filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol))
 }

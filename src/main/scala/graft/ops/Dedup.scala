@@ -93,10 +93,15 @@ object Dedup {
     // re-attach) would otherwise re-run the md5-heavy scan 4x — at
     // cluster scale this is the difference between one pass over the
     // corpus and four.
+    // Docs with fewer than n tokens have an EMPTY shingle set: their
+    // signature is all-null, every such doc would share one band
+    // bucket, and the 0/0 Jaccard verify is vacuously true — m^2
+    // false pairs. They cannot be minhashed; exclude them up front.
     val hashed = df
       .select(col(idCol).as("id"),
         SketchExpressions.hashedShingles(col(textCol), n).as("hs"),
         SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
+      .filter(size(col("hs")) > 0)
       .withColumn("bk", bandKeys(col("sig"), bands, rows))
       .cache()
     val buckets = hashed.select(explode(col("bk")).as("band"), col("id"))

@@ -44,12 +44,17 @@ object Multimodal {
     val spark = media.sparkSession
     val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
       .mapPartitions { it =>
-        // per-partition init of the (stub) decoder happens here
+        // per-partition init of the (stub) decoder happens here;
+        // a null payload yields null metadata instead of an NPE
+        // (O10: one malformed row never fails the job)
         it.map { r =>
-          val id = r.getLong(0)
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
           val bytes = r.getAs[Array[Byte]](1)
-          val (n, w, h, digest) = decodeStub(bytes)
-          Row(id, n, w, h, digest)
+          if (bytes == null) Row(id, null, null, null, null)
+          else {
+            val (n, w, h, digest) = decodeStub(bytes)
+            Row(id, n, w, h, digest)
+          }
         }
       }
     spark.createDataFrame(rdd, mediaMetaSchema)
@@ -82,8 +87,10 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { r =>
-          val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          if (r.isNullAt(0) || bytes == null) Iterator.empty // skip malformed
+          else {
+          val id = r.getLong(0)
           val nFrames = (bytes.length + frameBytes - 1) / frameBytes
           (0 until nFrames).iterator.map { f =>
             val off = f * frameBytes
@@ -92,6 +99,7 @@ object Multimodal {
             val digest = md.digest(java.util.Arrays.copyOfRange(bytes, off, off + len))
               .map(b => f"$b%02x").mkString
             Row(id, f, off, len, digest)
+          }
           }
         }
       }

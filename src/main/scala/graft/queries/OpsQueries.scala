@@ -161,7 +161,8 @@ object OpsQueries {
            | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
            |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
            |hs AS (
-           | SELECT id, sh, list_transform(sh, s -> ${h32("s")} % $p) AS hs FROM sh),
+           | SELECT id, sh, list_transform(sh, s -> ${h32("s")} % $p) AS hs FROM sh
+           | WHERE len(sh) > 0),
            |sig AS (
            | SELECT id, sh, [
            |   $sigTerms

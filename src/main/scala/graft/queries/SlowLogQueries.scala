@@ -111,7 +111,8 @@ object SlowLogQueries {
       (s, dir) => Analyzer.queryReport(parsed(s, dir), config),
       Some(s"""WITH ev AS ($oracleEvents)
               |SELECT query, count(*) AS count, sum(duration) AS duration,
-              | min(keyspace) AS keyspace, min(column_family) AS column_family,
+              | split_part(min(keyspace || chr(1) || column_family), chr(1), 1) AS keyspace,
+              | split_part(min(keyspace || chr(1) || column_family), chr(1), 2) AS column_family,
               | sum(duration) // count(*) AS avg_duration
               |FROM ev GROUP BY query
               |ORDER BY duration DESC, query LIMIT 100""".stripMargin)),

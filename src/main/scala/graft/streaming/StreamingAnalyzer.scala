@@ -50,29 +50,36 @@ object StreamingAnalyzer {
   case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)
 
   /** Custom per-key state: gap-based session aggregation via
-    * mapGroupsWithState with processing-time timeout. Demonstrates
-    * the KeyValueGroupedDataset state surface on top of the same
-    * event stream.
+    * flatMapGroupsWithState. Emits one update per session TOUCHED in
+    * the batch — every session closed by a gap inside the batch gets
+    * its final aggregate, and the still-open session gets its current
+    * state (a mapGroups variant that returns only the last state
+    * would silently drop sessions opened and closed within one
+    * micro-batch).
     */
   def sessionize(events: Dataset[SessionEvent], gapMillis: Long)(
       implicit enc1: org.apache.spark.sql.Encoder[SessionUpdate]): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.userId)
-      .mapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (userId, it, state: GroupState[(Long, Long, Long, Long)]) =>
           val sorted = it.toSeq.sortBy(_.tsMillis)
           var (start, last, n, total) =
             state.getOption.getOrElse((Long.MaxValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
           sorted.foreach { e =>
-            if (n == 0 || e.tsMillis - last > gapMillis) {
-              start = e.tsMillis; n = 0; total = 0
+            if (n > 0 && e.tsMillis - last > gapMillis) {
+              out += SessionUpdate(userId, start, n, total) // session closed
+              n = 0; total = 0
             }
+            if (n == 0) start = e.tsMillis
             last = e.tsMillis; n += 1; total += e.duration
           }
           state.update((start, last, n, total))
-          SessionUpdate(userId, start, n, total)
+          if (n > 0) out += SessionUpdate(userId, start, n, total) // open session
+          out.iterator
       }
   }
 }

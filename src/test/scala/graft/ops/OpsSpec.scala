@@ -33,6 +33,13 @@ class OpsSpec extends AnyFunSuite {
     assert(dups == Set(1L, 2L)) // 0 survives; 2 dups via whitespace collapse
   }
 
+  test("minhash excludes sub-n-token docs instead of vacuously pairing them") {
+    val shorts = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "x")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(shorts, "doc_id", "text",
+      n = 3, bands = 4, rows = 4, num = 1, den = 1)
+    assert(pairs.count() == 0) // no 0/0-Jaccard false positives
+  }
+
   test("minhash pairs find the planted near-dup and skip unrelated") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
       n = 3, bands = 4, rows = 4, num = 1, den = 2)

@@ -57,15 +57,26 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
     // within the gap -> same session grows
     mem.addData(StreamingAnalyzer.SessionEvent(1, 50000, 5))
     q.processAllAvailable()
-    // beyond the gap -> new session
-    mem.addData(StreamingAnalyzer.SessionEvent(1, 500000, 7))
+    // beyond the gap -> new session; plus a same-batch open+close for
+    // user 2 (both sessions must be emitted from the one batch)
+    mem.addData(
+      StreamingAnalyzer.SessionEvent(1, 500000, 7),
+      StreamingAnalyzer.SessionEvent(2, 1000, 1),
+      StreamingAnalyzer.SessionEvent(2, 900000, 2))
     q.processAllAvailable()
     val updates = spark.table("sess").as[StreamingAnalyzer.SessionUpdate].collect()
     q.stop()
 
-    assert(updates.length == 3)
-    assert(updates(0) == StreamingAnalyzer.SessionUpdate(1, 1000, 2, 30))
-    assert(updates(1) == StreamingAnalyzer.SessionUpdate(1, 1000, 3, 35))
-    assert(updates(2) == StreamingAnalyzer.SessionUpdate(1, 500000, 1, 7))
+    val u1 = updates.filter(_.userId == 1)
+    assert(u1.toSeq == Seq(
+      StreamingAnalyzer.SessionUpdate(1, 1000, 2, 30), // batch 1 open
+      StreamingAnalyzer.SessionUpdate(1, 1000, 3, 35), // batch 2 open
+      StreamingAnalyzer.SessionUpdate(1, 1000, 3, 35), // batch 3 closes it
+      StreamingAnalyzer.SessionUpdate(1, 500000, 1, 7))) // batch 3 new open
+    // intra-batch closed session is NOT lost
+    val u2 = updates.filter(_.userId == 2)
+    assert(u2.toSet == Set(
+      StreamingAnalyzer.SessionUpdate(2, 1000, 1, 1),
+      StreamingAnalyzer.SessionUpdate(2, 900000, 1, 2)))
   }
 }
