@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.ops.{HashedShinglesExpr, MinHashSignatureExpr, SimHash60Expr}
+import graft.parse.LexSlowQuery
+
+/** SQL-surface registration of graft's custom expressions, so
+  * spark.sql users get the same operators as the DataFrame API:
+  *
+  *   SELECT lex_slow_query(message).duration, simhash60(text),
+  *          minhash_signature(text), hashed_shingles(text) ...
+  *
+  * Two entry points: [[GraftExtensions]] for builder-time wiring
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`), and
+  * [[GraftFunctions.register]] for an already-built session (the
+  * driver-owned sessions of the Verify/Bench contract).
+  */
+object GraftFunctions {
+
+  /** (name, builder) for every SQL-exposed graft expression. MinHash/
+    * shingle arity is pinned to the library default n=3 shingles.
+    */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "lex_slow_query" -> (args => LexSlowQuery(args.head)),
+    "simhash60" -> (args => SimHash60Expr(args.head)),
+    "minhash_signature" -> (args => MinHashSignatureExpr(args.head, 3)),
+    "hashed_shingles" -> (args => HashedShinglesExpr(args.head, 3)))
+
+  def register(spark: SparkSession): SparkSession = {
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    spark
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft", name),
+          builder))
+    }
+}

@@ -29,7 +29,7 @@ object GraftSession {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark
+    GraftFunctions.register(spark)
   }
 
   /** Local session for tests/mains outside the driver contract. */
