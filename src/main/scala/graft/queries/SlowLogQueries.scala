@@ -72,7 +72,12 @@ object SlowLogQueries {
     // from a different (e.g. restarted) SparkSession
     parsedCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
       val events = spark.read.parquet(s"$dir/events.parquet")
-      SlowQueryPipeline.parseEvents(messages(events), config).cache()
+      // cache only what the reports read — the bound_values maps and
+      // tags arrays roughly double the cached footprint for nothing
+      SlowQueryPipeline.parseEvents(messages(events), config)
+        .select("timestamp", "duration", "query", "primary_key",
+          "keyspace", "column_family")
+        .cache()
     })
   }
 

@@ -66,4 +66,18 @@ object Reporter {
     */
   def materialize(events: DataFrame, dir: String): Unit =
     events.write.mode("overwrite").json(dir)
+
+  /** S8 at scale: parquet partitioned by statement type and day —
+    * downstream per-type / per-day reads prune whole directories
+    * (partition pruning), and parquet beats the reference's JSON dump
+    * on both size and re-read cost.
+    */
+  def materializePartitioned(events: DataFrame, dir: String): Unit =
+    events
+      .withColumn("event_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("timestamp")))
+      .write.mode("overwrite")
+      .partitionBy("type", "event_date")
+      .parquet(dir)
 }

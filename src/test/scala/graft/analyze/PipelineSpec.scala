@@ -71,6 +71,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("partitioned materialization prunes by type") {
+    val config = AnalysisConfig(minCount = 1, schema = CqlCatalog.parse(cql))
+    val events = SlowQueryPipeline.parseEvents(
+      KibanaReader.hits(spark, Seq(fixture())), config)
+    val dir = Files.createTempDirectory("partitioned").toString
+    graft.report.Reporter.materializePartitioned(events, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition-pruned read touches only the SELECT directory
+    val sel = back.filter(back("type") === "SELECT")
+    assert(sel.count() == 2)
+    assert(new java.io.File(dir, "type=SELECT").exists())
+    assert(new java.io.File(dir, "type=INSERT").exists())
+  }
+
   test("materialized events round-trip through JSON") {
     val config = AnalysisConfig(minCount = 1, schema = CqlCatalog.parse(cql))
     val events = SlowQueryPipeline.parseEvents(
