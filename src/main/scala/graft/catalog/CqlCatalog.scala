@@ -51,7 +51,11 @@ object CqlCatalog {
             current = Some((k, c))
             if (!result.contains((k, c))) result += ((k, c) -> TableMeta(Nil, Nil))
           case _ =>
-            throw new IllegalArgumentException(s"Unparseable CREATE TABLE line: $line")
+            // a line merely MENTIONING 'CREATE TABLE' (comment, prose):
+            // the reference records a junk None-keyed entry and moves on
+            // (analyze_slow_queries.py:336-346); a PRIMARY KEY line
+            // while in this state still errors, matching its raise
+            current = None
         }
       }
       if (line.contains("PRIMARY KEY (")) {

@@ -167,10 +167,18 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], num: Int, den: Int): DataFrame = {
+    // null-PROPAGATING block key (concat, not concat_ws): a null block
+    // component must disqualify the row, exactly like the oracle's
+    // SQL `||`. Empty-token docs are excluded outright - their 0/0
+    // Jaccard would pass any threshold vacuously (same defect class
+    // as the minhash sub-n-token fix).
+    val blockKey = blockCols.map(_.cast("string"))
+      .reduce((a, b) => concat(a, lit("\u0001"), b))
     val base = df.select(
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"),
-      concat_ws("\u0001", blockCols: _*).as("block"))
+      blockKey.as("block"))
+      .filter(size(col("toks")) > 0 && col("block").isNotNull)
       .cache() // both self-join sides
     val a = base.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = base.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))

@@ -63,7 +63,7 @@ case class SlowQueryCatalog(
       if (bvStr != null) bound = parseBoundValues(bvStr)
       if (qtype == "SELECT" && patterns.nonEmpty) {
         patterns.find(p => query.startsWith(p.start)).foreach { p =>
-          val (nq, pbv) = normalize(query, p)
+          val (nq, pbv) = SlowQueryCatalog.normalize(query, p)
           query = nq
           pbv.foreach { case (k, v) => bound(k) = v } // dict.update
         }
@@ -114,8 +114,22 @@ case class SlowQueryCatalog(
     cfKs.getOrElse(cf, null)
   }
 
-  /** F8 normalization (analyze_slow_queries.py:860-886). */
-  private def normalize(query0: String, p: QueryPattern): (String, Seq[(String, String)]) = {
+}
+
+object SlowQueryCatalog {
+
+  def truthy(s: String): Boolean = s != null && s.nonEmpty
+
+  def strip(s: String, c: Char): String =
+    s.dropWhile(_ == c).reverse.dropWhile(_ == c).reverse
+
+  /** F8 normalization (analyze_slow_queries.py:860-886) — the ONE
+    * implementation, shared by the fused expression and the
+    * [[LogColumns.normalizePatterns]] UDF so the quirk semantics
+    * (positional find, strip-space then first-of-space/comma/semicolon,
+    * replace-ALL) can never drift between the two surfaces.
+    */
+  def normalize(query0: String, p: QueryPattern): (String, Seq[(String, String)]) = {
     var q = query0
     val bv = mutable.ArrayBuffer.empty[(String, String)]
     p.parameters.foreach { name =>
@@ -134,14 +148,6 @@ case class SlowQueryCatalog(
     }
     (q, bv.toSeq)
   }
-}
-
-object SlowQueryCatalog {
-
-  def truthy(s: String): Boolean = s != null && s.nonEmpty
-
-  def strip(s: String, c: Char): String =
-    s.dropWhile(_ == c).reverse.dropWhile(_ == c).reverse
 
   /** F1 (analyze_slow_queries.py:295-316). */
   def strSlice(s: String, before: String, after: String): String = {

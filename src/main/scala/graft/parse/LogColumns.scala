@@ -177,26 +177,9 @@ object LogColumns {
       else patterns.find(p => query.startsWith(p.start)) match {
         case None => (query, Map.empty[String, String])
         case Some(p) =>
-          var q = query
-          val bound = scala.collection.mutable.LinkedHashMap.empty[String, String]
-          p.parameters.foreach { name =>
-            val from = math.max(0, q.indexOf(name) + name.length)
-            val eq = q.indexOf('=', math.min(from, q.length))
-            val start = math.min(eq + 1, q.length) // eq = -1 -> start 0
-            val temp = stripChar(q.substring(start), ' ')
-            var end = temp.indexOf(' ')
-            if (end == -1) end = temp.indexOf(',')
-            if (end == -1) end = temp.indexOf(';')
-            if (end != -1) {
-              val value = temp.substring(0, end)
-              q = q.replace(value, "?")
-              bound(name.toLowerCase) = stripChar(value, '\'')
-            }
-          }
-          (q, bound.toMap)
+          // shared kernel — see SlowQueryCatalog.normalize
+          val (q, bv) = SlowQueryCatalog.normalize(query, p)
+          (q, bv.toMap)
       }
     }
-
-  private def stripChar(s: String, c: Char): String =
-    s.dropWhile(_ == c).reverse.dropWhile(_ == c).reverse
 }

@@ -59,26 +59,31 @@ object SlowLogQueries {
   }
 
   private val parsedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
 
   /** Parsed events through the real pipeline; cached per input dir so
     * the reports that share the parse (q17/q18, flagship) pay it once
     * — the Spark-side analog of the reference's processed.json
-    * intermediate (S8/O4).
+    * intermediate (S8/O4). An entry is re-parsed when the session it
+    * was built on is gone (a cached DataFrame is unusable from a
+    * different or restarted SparkSession); one entry per dir, so the
+    * map stays bounded.
     */
   def parsed(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(spark)
-    // keyed by session identity too: a cached DataFrame is unusable
-    // from a different (e.g. restarted) SparkSession
-    parsedCache.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+    def build(): (SparkSession, DataFrame) = {
       val events = spark.read.parquet(s"$dir/events.parquet")
       // cache only what the reports read — the bound_values maps and
       // tags arrays roughly double the cached footprint for nothing
-      SlowQueryPipeline.parseEvents(messages(events), config)
+      spark -> SlowQueryPipeline.parseEvents(messages(events), config)
         .select("timestamp", "duration", "query", "primary_key",
           "keyspace", "column_family")
         .cache()
-    })
+    }
+    parsedCache.compute(dir, (_, existing) =>
+      if (existing != null && (existing._1 eq spark) &&
+        !existing._1.sparkContext.isStopped) existing
+      else build())._2
   }
 
   /** Oracle fragment shared by the e2e queries: expected parsed events
