@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators.
+  *
+  * The as-of join ("latest right row at or before each left row's
+  * time") is composed from built-ins — preference (a) of the custom-
+  * operator ladder: tag both sides, union, and carry the most recent
+  * right payload forward with an ignore-nulls last_value window. One
+  * hash shuffle on the join key, linear scan within each key
+  * partition — no range-condition row explosion, no broadcast
+  * requirement, skew bounded by the hottest key's row count. This is
+  * the plan a dedicated AsOfJoinExec would produce anyway, so the
+  * custom-physical-operator escape hatch stays unused.
+  */
+object Temporal {
+
+  /** Left as-of join: every left row, enriched with the payload of the
+    * latest right row whose `rightTime` <= the left row's `leftTime`
+    * (equal times match). The right side must be unique per
+    * (key, time) — pre-aggregate if it isn't, or the carried payload
+    * among ties is unspecified.
+    *
+    * @param payload right-side columns to carry (by name)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: Column, rightTime: Column,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pStruct = struct(payload.map(col): _*)
+    val l = left
+      .withColumn("_t", leftTime)
+      .withColumn("_side", lit(1))
+      .withColumn("_p", lit(null).cast(right.select(pStruct).schema.head.dataType))
+    val r = right
+      .withColumn("_t", rightTime)
+      .withColumn("_side", lit(0))
+      .withColumn("_p", pStruct)
+      .select((col(key) +: (Seq(col("_t"), col("_side"), col("_p")) ++
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)))): _*)
+
+    // right rows sort before left rows at equal times (<= semantics)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.select((col(key) +: (Seq(col("_t"), col("_side"), col("_p")) ++
+        leftCols.filterNot(_ == key).map(col))): _*)
+      .unionByName(r)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)
+  }
+}

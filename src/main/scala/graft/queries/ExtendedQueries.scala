@@ -109,6 +109,41 @@ object ExtendedQueries {
              | count(DISTINCT event_type) AS n_types
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // as-of join vs DuckDB's native ASOF JOIN — two entirely
+    // independent implementations must agree row-for-row. Event times
+    // are remapped into the orders date range so matches genuinely
+    // vary; the right side is deduped to one row per (custkey, date).
+    "q40_asof_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_id"),
+          (col("user_id") % 150).as("cust"),
+          to_timestamp(date_add(lit("1995-01-01").cast("date"),
+            (col("event_id") % 2400).cast("int"))).as("at"))
+        val ord = t(s, dir, "orders")
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"),
+            max(col("o_totalprice").cast("decimal(18,2)")).as("o_price"))
+          .withColumnRenamed("o_custkey", "cust")
+        graft.ops.Temporal.asofJoin(ev, ord, "cust",
+          col("at"), col("o_orderdate"), Seq("o_orderkey", "o_price"))
+          .select(col("event_id"), col("o_orderkey"), col("o_price"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH ev AS (
+             | SELECT event_id, user_id % 150 AS cust,
+             |  TIMESTAMP '1995-01-01' + to_days(CAST(event_id % 2400 AS INT)) AS at
+             | FROM events),
+             |ord AS (
+             | SELECT o_custkey AS cust, o_orderdate,
+             |  max(o_orderkey) AS o_orderkey,
+             |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS o_price
+             | FROM orders GROUP BY 1, 2)
+             |SELECT e.event_id, o.o_orderkey, o.o_price
+             |FROM ev e ASOF LEFT JOIN ord o
+             |  ON e.cust = o.cust AND e.at >= o.o_orderdate
+             |ORDER BY e.event_id""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class TemporalSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "TemporalSpec")
+  import spark.implicits._
+
+  test("asof join: latest at-or-before match, equal-time matches, no-match nulls") {
+    val left = Seq(
+      (1L, "k1", 5L), // after two updates -> t=3 wins
+      (2L, "k1", 3L), // equal time -> matches the t=3 update
+      (3L, "k1", 2L), // between updates -> t=1
+      (4L, "k1", 0L), // before any update -> null
+      (5L, "k2", 9L), // other key -> its own history
+      (6L, "k3", 9L)  // key with no right rows -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", 1L, "v1"), ("k1", 3L, "v3"),
+      ("k2", 4L, "w4")
+    ).toDF("k", "rt", "v")
+
+    val got = Temporal.asofJoin(left, right, "k", col("t"), col("rt"), Seq("v"))
+      .orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("v"))
+    assert(got.toSeq == Seq(
+      1L -> "v3", 2L -> "v3", 3L -> "v1", 4L -> null, 5L -> "w4", 6L -> null))
+  }
+
+  test("asof join preserves all left columns and row count") {
+    val left = Seq((1L, "k1", 10L, "payload")).toDF("id", "k", "t", "extra")
+    val right = Seq(("k1", 1L, 42L)).toDF("k", "rt", "rv")
+    val out = Temporal.asofJoin(left, right, "k", col("t"), col("rt"), Seq("rv"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "extra", "rv"))
+    val r = out.head()
+    assert(r.getString(3) == "payload" && r.getLong(4) == 42L)
+  }
+}
