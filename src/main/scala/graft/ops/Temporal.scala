@@ -18,6 +18,32 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Interval (range) join: left rows at a point in time against right
+    * rows holding [start, end] intervals, point within interval
+    * (inclusive both ends). Implemented by BUCKETING time into
+    * `bucketWidth`-sized chunks: each interval explodes into the
+    * buckets it spans, points join on their single bucket, and the
+    * exact containment predicate filters within the bucket — an
+    * equi-join + filter instead of the O(n*m) broadcast-nested-loop a
+    * raw inequality join plans. Choose bucketWidth near the typical
+    * interval length: wider means fewer replicas per interval,
+    * narrower means fewer false candidates per bucket.
+    *
+    * Times are long epoch values (any consistent unit).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointTime: Column, startCol: Column, endCol: Column,
+      bucketWidth: Long): DataFrame = {
+    val p = points.withColumn("_pt", pointTime)
+      .withColumn("_bucket", expr(s"_pt DIV $bucketWidth"))
+    val iv = intervals.withColumn("_s", startCol).withColumn("_e", endCol)
+      .withColumn("_bucket",
+        explode(sequence(expr(s"_s DIV $bucketWidth"), expr(s"_e DIV $bucketWidth"))))
+    p.join(iv, Seq("_bucket"))
+      .filter(col("_pt") >= col("_s") && col("_pt") <= col("_e"))
+      .drop("_bucket", "_pt", "_s", "_e")
+  }
+
   /** Left as-of join: every left row, enriched with the payload of the
     * latest right row whose `rightTime` <= the left row's `leftTime`
     * (equal times match). The right side must be unique per

@@ -144,6 +144,38 @@ object ExtendedQueries {
              |  ON e.cust = o.cust AND e.at >= o.o_orderdate
              |ORDER BY e.event_id""".stripMargin)),
 
+    // bucketed interval join: events (day-granular point) inside
+    // 14-day order windows for the same customer; oracle is the plain
+    // inequality join
+    "q41_range_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_id"), (col("user_id") % 150).as("cust"),
+          (col("event_id") % 2400).as("day"))
+        val iv = t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("start_day"))
+          .withColumn("end_day", col("start_day") + 13)
+        graft.ops.Temporal.rangeJoin(ev, iv,
+          col("day"), col("start_day"), col("end_day"), bucketWidth = 14)
+          .filter(col("cust") === col("o_custkey"))
+          .select(col("event_id"), col("o_orderkey"))
+          .orderBy(col("event_id"), col("o_orderkey"))
+      },
+      Some("""WITH ev AS (
+             | SELECT event_id, user_id % 150 AS cust, event_id % 2400 AS day
+             | FROM events),
+             |iv AS (
+             | SELECT o_orderkey, o_custkey,
+             |  date_diff('day', DATE '1995-01-01', o_orderdate) AS start_day
+             | FROM orders)
+             |SELECT e.event_id, i.o_orderkey
+             |FROM ev e JOIN iv i
+             |  ON e.cust = i.o_custkey
+             | AND e.day >= i.start_day AND e.day <= i.start_day + 13
+             |ORDER BY e.event_id, i.o_orderkey""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),

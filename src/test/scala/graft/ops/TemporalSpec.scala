@@ -31,6 +31,22 @@ class TemporalSpec extends AnyFunSuite {
       1L -> "v3", 2L -> "v3", 3L -> "v1", 4L -> null, 5L -> "w4", 6L -> null))
   }
 
+  test("range join: inclusive bounds, bucket-boundary spans, no false hits") {
+    val points = Seq((1L, 0L), (2L, 13L), (3L, 14L), (4L, 27L), (5L, 100L))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, 0L, 13L), (11L, 13L, 27L)).toDF("iid", "s", "e")
+    val got = Temporal.rangeJoin(points, intervals,
+      col("t"), col("s"), col("e"), bucketWidth = 14)
+      .select(col("pid"), col("iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(
+      (1L, 10L), // t=0 in [0,13]
+      (2L, 10L), (2L, 11L), // t=13 inclusive in both
+      (3L, 11L), // t=14 crosses the bucket boundary into [13,27]
+      (4L, 11L))) // t=27 inclusive end
+    // t=100 matches nothing
+  }
+
   test("asof join preserves all left columns and row count") {
     val left = Seq((1L, "k1", 10L, "payload")).toDF("id", "k", "t", "extra")
     val right = Seq(("k1", 1L, 42L)).toDF("k", "rt", "rv")
