@@ -45,6 +45,31 @@ object StreamingAnalyzer {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("minute"),
         col("query"), col("primary_key"), col("count"), col("duration"))
 
+  /** W1 applied to a finalized micro-batch of volumeTopPerMinute
+    * output: per-minute top-N ranking with the batch Analyzer's
+    * deterministic tie-breaks. Rank-over-updating-state is not
+    * incrementally expressible, so the intended wiring is
+    * append-output (watermark-finalized windows) + foreachBatch:
+    *
+    * {{{
+    * volumeTopPerMinute(events).writeStream
+    *   .outputMode(OutputMode.Append)
+    *   .foreachBatch { (batch, _) =>
+    *     sink(StreamingAnalyzer.rankPerMinute(batch, rowsPerMinute, "count"))
+    *   }.start()
+    * }}}
+    */
+  def rankPerMinute(batch: DataFrame, rowsPerMinute: Int,
+      orderBy: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("minute"))
+      .orderBy(col(orderBy).desc, col("query").asc, col("primary_key").asc)
+    batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= rowsPerMinute)
+      .drop("rn")
+  }
+
   /** Event for the stateful session op. */
   case class SessionEvent(userId: Long, tsMillis: Long, duration: Long)
   case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)

@@ -42,6 +42,39 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
       Seq(("2026-08-12 10:00", 3L, 400L, 133L), ("2026-08-12 10:01", 1L, 50L, 50L)))
   }
 
+  test("append-mode volume-top windows finalize and rank via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, String)]
+    val events = mem.toDF().toDF("timestamp", "duration", "query", "primary_key")
+
+    val ranked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val q = StreamingAnalyzer.volumeTopPerMinute(events, watermark = "0 seconds")
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingAnalyzer.rankPerMinute(batch, rowsPerMinute = 1, orderBy = "count")
+          .collect().foreach(r => ranked.synchronized {
+            ranked += ((r.getAs[String]("minute"), r.getAs[String]("query"),
+              r.getAs[Long]("count")))
+          })
+        ()
+      }
+      .start()
+
+    mem.addData(
+      (Timestamp.valueOf("2026-08-12 10:00:01"), 10L, "Q1", "p"),
+      (Timestamp.valueOf("2026-08-12 10:00:02"), 10L, "Q1", "p"),
+      (Timestamp.valueOf("2026-08-12 10:00:03"), 10L, "Q2", "p"))
+    q.processAllAvailable()
+    // advancing event time past the window closes 10:00
+    mem.addData((Timestamp.valueOf("2026-08-12 10:05:00"), 1L, "Q9", "p"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(ranked.toList == List(("2026-08-12 10:00", "Q1", 2L))) // top-1 only
+  }
+
   test("sessionize maintains per-user gap sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
