@@ -176,6 +176,19 @@ object ExtendedQueries {
              | AND e.day >= i.start_day AND e.day <= i.start_day + 13
              |ORDER BY e.event_id, i.o_orderkey""".stripMargin)),
 
+    // HLL approximate distinct counts: algorithm-specific, so no
+    // cross-engine oracle (DuckDB's approx_distinct uses a different
+    // sketch); rows-only here, with the accuracy bound pinned by
+    // ExtendedQueriesSpec against exact counts.
+    "q42_approx_distinct" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+      None),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),
