@@ -70,6 +70,17 @@ object StreamingAnalyzer {
       .drop("rn")
   }
 
+  /** Streaming exact dedup: duplicates of the key columns arriving
+    * within the watermark delay are dropped; state is bounded by the
+    * watermark (the unbounded-state dropDuplicates footgun avoided).
+    * The batch-side counterpart is Dedup.exactDedup.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, delay: String): DataFrame =
+    events
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Event for the stateful session op. */
   case class SessionEvent(userId: Long, tsMillis: Long, duration: Long)
   case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)

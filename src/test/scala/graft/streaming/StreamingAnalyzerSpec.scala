@@ -75,6 +75,26 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
     assert(ranked.toList == List(("2026-08-12 10:00", "Q1", 2L))) // top-1 only
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("timestamp", "doc_key")
+    val q = StreamingAnalyzer.dedupStream(events, Seq("doc_key"), "timestamp", "10 minutes")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2026-08-12 10:00:01"), "A"),
+      (Timestamp.valueOf("2026-08-12 10:00:02"), "A"), // dup, same batch
+      (Timestamp.valueOf("2026-08-12 10:00:03"), "B"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2026-08-12 10:01:00"), "A")) // dup, later batch
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("dedup_out").collect().map(_.getString(1)).sorted
+    assert(keys.toSeq == Seq("A", "B"))
+  }
+
   test("sessionize maintains per-user gap sessions across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
