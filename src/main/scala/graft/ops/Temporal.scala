@@ -18,44 +18,63 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String], side: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$side side uses reserved internal column name(s) ${clash.mkString(", ")}; rename them first")
+  }
+
   /** Interval (range) join: left rows at a point in time against right
     * rows holding [start, end] intervals, point within interval
-    * (inclusive both ends). Implemented by BUCKETING time into
+    * (inclusive both ends), optionally also matching on equi-`keys`
+    * present on BOTH sides. Implemented by BUCKETING time into
     * `bucketWidth`-sized chunks: each interval explodes into the
-    * buckets it spans, points join on their single bucket, and the
-    * exact containment predicate filters within the bucket — an
-    * equi-join + filter instead of the O(n*m) broadcast-nested-loop a
-    * raw inequality join plans. Choose bucketWidth near the typical
-    * interval length: wider means fewer replicas per interval,
-    * narrower means fewer false candidates per bucket.
+    * buckets it spans, points join on (bucket, keys), and the exact
+    * containment predicate filters within the bucket — an equi-join +
+    * filter instead of the O(n*m) broadcast-nested-loop a raw
+    * inequality join plans. Pass the join keys here rather than
+    * post-filtering: keyed candidates shrink by the key cardinality.
+    * Choose bucketWidth near the typical interval length: wider means
+    * fewer replicas per interval, narrower means fewer false
+    * candidates per bucket.
     *
     * Times are long epoch values (any consistent unit).
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointTime: Column, startCol: Column, endCol: Column,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("_pt", "_bucket", "_s", "_e")
+    requireNoReserved(points, reserved, "points")
+    requireNoReserved(intervals, reserved, "intervals")
     val p = points.withColumn("_pt", pointTime)
       .withColumn("_bucket", expr(s"_pt DIV $bucketWidth"))
     val iv = intervals.withColumn("_s", startCol).withColumn("_e", endCol)
       .withColumn("_bucket",
         explode(sequence(expr(s"_s DIV $bucketWidth"), expr(s"_e DIV $bucketWidth"))))
-    p.join(iv, Seq("_bucket"))
+    p.join(iv, "_bucket" +: keys)
       .filter(col("_pt") >= col("_s") && col("_pt") <= col("_e"))
       .drop("_bucket", "_pt", "_s", "_e")
   }
 
   /** Left as-of join: every left row, enriched with the payload of the
     * latest right row whose `rightTime` <= the left row's `leftTime`
-    * (equal times match). The right side must be unique per
-    * (key, time) — pre-aggregate if it isn't, or the carried payload
-    * among ties is unspecified.
+    * (equal times match; right rows with a NULL time never match,
+    * same as SQL ASOF). The right side must be unique per (key, time)
+    * — pre-aggregate if it isn't, or the carried payload among ties
+    * is unspecified.
     *
-    * @param payload right-side columns to carry (by name)
+    * @param payload right-side columns to carry (by name; must not
+    *                collide with left column names)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: Column, rightTime: Column,
       payload: Seq[String]): DataFrame = {
+    val reserved = Seq("_t", "_side", "_p", "_match")
+    requireNoReserved(left, reserved, "left")
+    requireNoReserved(right, reserved, "right")
     val leftCols = left.columns.toSeq
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload column(s) ${payload.filter(leftCols.contains)} collide with left columns")
     val pStruct = struct(payload.map(col): _*)
     val l = left
       .withColumn("_t", leftTime)
@@ -63,6 +82,10 @@ object Temporal {
       .withColumn("_p", lit(null).cast(right.select(pStruct).schema.head.dataType))
     val r = right
       .withColumn("_t", rightTime)
+      // NULL right time can never satisfy rightTime <= leftTime; an
+      // ascending sort would otherwise place it first and carry its
+      // payload into every pre-history left row
+      .filter(col("_t").isNotNull)
       .withColumn("_side", lit(0))
       .withColumn("_p", pStruct)
       .select((col(key) +: (Seq(col("_t"), col("_side"), col("_p")) ++
@@ -78,6 +101,7 @@ object Temporal {
       .unionByName(r)
       .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"_match.$p").as(p)): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("_match").getField(p).as(p)): _*)
   }
 }

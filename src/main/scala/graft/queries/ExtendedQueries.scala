@@ -153,13 +153,13 @@ object ExtendedQueries {
           col("event_id"), (col("user_id") % 150).as("cust"),
           (col("event_id") % 2400).as("day"))
         val iv = t(s, dir, "orders").select(
-          col("o_orderkey"), col("o_custkey"),
+          col("o_orderkey"), col("o_custkey").as("cust"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
             .cast("long").as("start_day"))
           .withColumn("end_day", col("start_day") + 13)
         graft.ops.Temporal.rangeJoin(ev, iv,
-          col("day"), col("start_day"), col("end_day"), bucketWidth = 14)
-          .filter(col("cust") === col("o_custkey"))
+          col("day"), col("start_day"), col("end_day"), bucketWidth = 14,
+          keys = Seq("cust"))
           .select(col("event_id"), col("o_orderkey"))
           .orderBy(col("event_id"), col("o_orderkey"))
       },

@@ -47,6 +47,38 @@ class TemporalSpec extends AnyFunSuite {
     // t=100 matches nothing
   }
 
+  test("asof join: NULL right times never match (ASOF parity)") {
+    val left = Seq((1L, "k1", 5L)).toDF("id", "k", "t")
+    val right = Seq(("k1", Option.empty[Long], "vNULL"), ("k1", Some(7L), "v7"))
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofJoin(left, right, "k", col("t"), col("rt"), Seq("v"))
+      .head()
+    assert(got.getAs[String]("v") == null) // not vNULL, not v7
+  }
+
+  test("reserved internal names are rejected loudly") {
+    val bad = Seq((1L, "k", 2L)).toDF("id", "k", "_t")
+    val right = Seq(("k", 1L, "v")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(bad, right, "k", col("id"), col("rt"), Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(bad.withColumnRenamed("_t", "_bucket"), right,
+        col("id"), col("rt"), col("rt"), 10)
+    }
+  }
+
+  test("range join with equi-keys restricts candidates per key") {
+    val points = Seq((1L, "A", 5L), (2L, "B", 5L)).toDF("pid", "k", "t")
+    val intervals = Seq(("A", 0L, 10L, 100L), ("B", 0L, 10L, 200L))
+      .toDF("k", "s", "e", "iv")
+    val got = Temporal.rangeJoin(points, intervals,
+      col("t"), col("s"), col("e"), bucketWidth = 14, keys = Seq("k"))
+      .select(col("pid"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 200L))) // no cross-key matches
+  }
+
   test("asof join preserves all left columns and row count") {
     val left = Seq((1L, "k1", 10L, "payload")).toDF("id", "k", "t", "extra")
     val right = Seq(("k1", 1L, 42L)).toDF("k", "rt", "rv")
