@@ -189,6 +189,36 @@ object ExtendedQueries {
         .orderBy(col("l_returnflag")),
       None),
 
+    // native session windows (merge-within-gap) vs an oracle that
+    // derives the same sessions with lag/cumsum arithmetic
+    "q43_session_window" -> Q(
+      (s, dir) => t(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("tsm"),
+          floor(col("value") * 10).cast("long").as("d"))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), sum(col("d")).as("dur"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("cnt"), col("dur"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+             | SELECT user_id, ts, CAST(floor(value*10) AS BIGINT) AS d,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+             | FROM events
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             | SELECT user_id, ts, d,
+             |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             | FROM e)
+             |SELECT user_id,
+             | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             | count(*) AS cnt, sum(d) AS dur
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),
