@@ -37,6 +37,19 @@ class BucketingSpec extends AnyFunSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS dim_bucketed")
+    // the in-memory catalog forgets tables between JVM runs but the
+    // warehouse DIRECTORY persists; clear the locations or saveAsTable
+    // fails with LOCATION_ALREADY_EXISTS on rerun
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("ev_bucketed", "dim_bucketed").foreach { t =>
+      val dir = wh.resolve(t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     (1 to 10000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
       .write.bucketBy(8, "k").sortBy("k").saveAsTable("ev_bucketed")
     (1 to 500).map(i => (i.toLong, s"label$i")).toDF("k", "label")
