@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Physical-plan regression guards: the scale-critical plan
+  * properties (bounded-heap top-N, broadcast dimension joins,
+  * map-side partial aggregation, cache reuse, pruned scans) asserted
+  * as substrings of the executed plan, so a future change that
+  * silently degrades a plan fails here rather than only in BENCH
+  * numbers.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "PlanShapeSpec")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Registry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("top-N plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q03_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan("q06_join_enrich")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("full-scan aggregation is hash-based with partial combine") {
+    val p = plan("q01_agg_sum")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("slow-log report keeps the event volume on HashAggregate") {
+    // the tiny pair-min rollup may sort-aggregate; the full-volume
+    // first stage must not
+    val p = plan("q17_slowlog_e2e")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("InMemoryTableScan")) // shared parse served from cache
+  }
+
+  test("scans prune to referenced columns") {
+    val p = plan("q03_topn")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_partkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"))
+  }
+
+  test("minhash candidate generation reuses the cached signatures") {
+    val p = plan("q24_minhash_lsh")
+    assert(p.contains("InMemoryTableScan"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("range join stays an equi-join (no nested loop)") {
+    val p = plan("q41_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
