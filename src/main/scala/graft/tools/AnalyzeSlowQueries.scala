@@ -19,7 +19,12 @@ import graft.report.Reporter
   *   AnalyzeSlowQueries <outDir> <jsonPathOrGlob>... [--schema f.cql]
   *     [--queries f.json] [--tags f.json] [--top-n N]
   *     [--rows-per-minute N] [--order-by count|duration|avg_duration]
-  *     [--min-count N]
+  *     [--min-count N] [--processed dir]
+  *
+  * --processed re-analyzes a previous run's materialized events
+  * (the `<outDir>/processed` JSON, reference's processed.json
+  * re-analysis workflow) instead of parsing raw pages; positional
+  * paths are then ignored.
   *
   * queries file format (reference :27-36): JSON array of
   *   {"start": "...", "parameters": ["...", ...]}
@@ -31,6 +36,8 @@ object AnalyzeSlowQueries {
     require(args.length >= 2, "usage: AnalyzeSlowQueries <outDir> <json>... [flags]")
     val outDir = args(0)
     val (flags, files) = parseArgs(args.drop(1).toList)
+    require(flags.contains("processed") || files.nonEmpty,
+      "provide input JSON paths or --processed <dir>")
 
     val schema = flags.get("schema")
       .map(f => CqlCatalog.parse(read(f)))
@@ -56,9 +63,15 @@ object AnalyzeSlowQueries {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = KibanaReader.hits(spark, files)
-    val events = SlowQueryPipeline.parseEvents(raw, config).cache()
-    Reporter.materialize(events, s"$outDir/processed")
+    val events = flags.get("processed") match {
+      case Some(dir) =>
+        spark.read.schema(graft.model.Schemas.slowQueryEvent).json(dir).cache()
+      case None =>
+        val parsed = SlowQueryPipeline
+          .parseEvents(KibanaReader.hits(spark, files), config).cache()
+        Reporter.materialize(parsed, s"$outDir/processed")
+        parsed
+    }
     val reports = Analyzer.analyze(events, config)
     Reporter.report(reports, outDir)
     println(s"[graft] wrote reports to $outDir (events=${events.count()})")
