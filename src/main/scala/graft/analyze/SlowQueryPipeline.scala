@@ -60,7 +60,7 @@ object SlowQueryPipeline {
     raw
       .select(
         LogColumns.lex(col("message")).as("lex"),
-        to_timestamp(col("timestamp_str"), TsFmt).as("timestamp"),
+        LogColumns.kibanaTimestamp(col("timestamp_str")).as("timestamp"),
         col("tags"))
       .select(
         when(col("lex").isNull, "not_slow_query")
@@ -83,7 +83,7 @@ object SlowQueryPipeline {
     raw
       .select(
         LogColumns.lex(col("message")).as("lex"),
-        to_timestamp(col("timestamp_str"), TsFmt).as("timestamp"),
+        LogColumns.kibanaTimestamp(col("timestamp_str")).as("timestamp"),
         col("tags"))
       // get_log raise / strptime raise / int() raise
       // -> row skipped (analyze_slow_queries.py:1299-1300)

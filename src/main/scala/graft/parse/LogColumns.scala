@@ -46,6 +46,11 @@ object LogColumns {
     ColumnBridge.column(LexSlowQuery(ColumnBridge.expression(msg.cast("string"))))
   }
 
+  /** Fixed-format Kibana timestamp parse (see [[KibanaTimestamp]]):
+    * the general DateTimeFormatter dominated the whole parse path.
+    */
+  def kibanaTimestamp(c: Column): Column = KibanaTimestamp.parse(c)
+
   /** F3 — bound-values string -> entries array, preserving order.
     * Reference semantics (analyze_slow_queries.py:454-476): strip ALL
     * '[' and ']' chars, split on ',', split each fragment on the FIRST

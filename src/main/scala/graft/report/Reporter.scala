@@ -61,11 +61,19 @@ object Reporter {
       s"$outDir/volume_top_n")
   }
 
+  /** Timestamp format for the JSON materialization round-trip: Spark's
+    * default writes milliseconds only, silently truncating the
+    * microsecond precision the parse path produced.
+    */
+  val MaterializeTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** S8 — durable intermediate materialization of parsed events
     * (analyze_slow_queries.py:140-142).
     */
   def materialize(events: DataFrame, dir: String): Unit =
-    events.write.mode("overwrite").json(dir)
+    events.write.mode("overwrite")
+      .option("timestampFormat", MaterializeTsFmt)
+      .json(dir)
 
   /** S8 at scale: parquet partitioned by statement type and day —
     * downstream per-type / per-day reads prune whole directories

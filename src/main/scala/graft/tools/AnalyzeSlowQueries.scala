@@ -65,7 +65,9 @@ object AnalyzeSlowQueries {
 
     val events = flags.get("processed") match {
       case Some(dir) =>
-        spark.read.schema(graft.model.Schemas.slowQueryEvent).json(dir).cache()
+        spark.read.schema(graft.model.Schemas.slowQueryEvent)
+          .option("timestampFormat", Reporter.MaterializeTsFmt)
+          .json(dir).cache()
       case None =>
         val parsed = SlowQueryPipeline
           .parseEvents(KibanaReader.hits(spark, files), config).cache()
@@ -85,6 +87,8 @@ object AnalyzeSlowQueries {
     while (rest.nonEmpty) rest match {
       case flag :: v :: tail if flag.startsWith("--") =>
         flags += (flag.stripPrefix("--") -> v); rest = tail
+      case flag :: Nil if flag.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $flag requires a value")
       case f :: tail => files :+= f; rest = tail
       case Nil => ()
     }

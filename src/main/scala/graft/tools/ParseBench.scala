@@ -21,8 +21,13 @@ object ParseBench {
       s"CREATE TABLE ks$k.t$t (\n    id text,\n    PRIMARY KEY (id)\n);").mkString("\n")
     val config = AnalysisConfig(schema = graft.catalog.CqlCatalog.parse(cql))
 
+    // timestamp VARIES per row — a constant literal would let Catalyst
+    // constant-fold the to_timestamp away and overstate throughput
     val raw = spark.range(n).select(
-      lit("2026-08-12T15:45:01.123456Z").as("timestamp_str"),
+      concat(lit("2026-08-12T15:45:"),
+        lpad((col("id") % 60).cast("string"), 2, "0"),
+        lit("."), lpad((col("id") % 1000000).cast("string"), 6, "0"),
+        lit("Z")).as("timestamp_str"),
       concat(
         lit("WARN Query too slow, took "), (col("id") % 5000).cast("string"),
         lit(" ms: [1 bound values] SELECT * FROM ks"), (col("id") % 3).cast("string"),

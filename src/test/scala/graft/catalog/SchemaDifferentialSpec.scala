@@ -18,9 +18,10 @@ class SchemaDifferentialSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   test("schema corpus matches the reference parse, errors included") {
-    val in = getClass.getResourceAsStream("/schema_golden.jsonl")
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/schema_golden.jsonl"), "UTF-8")
     var checked = 0
-    scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+    try src.getLines().foreach { line =>
       val c = mapper.readValue(line, classOf[java.util.Map[String, Object]])
       val cql = c.get("cql").asInstanceOf[String]
       val expectError = c.get("error").asInstanceOf[Boolean]
@@ -39,6 +40,7 @@ class SchemaDifferentialSpec extends AnyFunSuite {
       }
       checked += 1
     }
+    finally src.close()
     assert(checked == 156)
   }
 }

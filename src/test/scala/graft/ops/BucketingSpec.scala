@@ -26,15 +26,16 @@ class BucketingSpec extends AnyFunSuite {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.tune(s)
-    // runtime conf: builder configs are ignored when getOrCreate
-    // reuses another suite's session. Disable auto-broadcast so the
-    // un-bucketed contrast join genuinely shuffles.
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s
   }
 
   test("join of co-bucketed tables plans without a shuffle exchange") {
     import spark.implicits._
+    // the session is a JVM-wide singleton shared across suites: the
+    // broadcast-threshold override must not leak to later suites
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS ev_bucketed")
     spark.sql("DROP TABLE IF EXISTS dim_bucketed")
     // the in-memory catalog forgets tables between JVM runs but the
@@ -46,8 +47,10 @@ class BucketingSpec extends AnyFunSuite {
       val dir = wh.resolve(t)
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
     }
     (1 to 10000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "v")
@@ -67,5 +70,8 @@ class BucketingSpec extends AnyFunSuite {
       .join((1 to 500).map(i => (i.toLong, s"l$i")).toDF("k", "label"), "k")
     assert(plain.queryExecution.executedPlan.toString
       .contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+    }
   }
 }

@@ -19,10 +19,12 @@ class LexDifferentialSpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   private def cases: Seq[java.util.Map[String, Object]] = {
-    val in = getClass.getResourceAsStream("/lexer_golden.jsonl")
-    scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { line =>
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/lexer_golden.jsonl"), "UTF-8")
+    try src.getLines().map { line =>
       mapper.readValue(line, classOf[java.util.Map[String, Object]])
     }.toSeq
+    finally src.close()
   }
 
   test("1200-case differential corpus matches the reference parse exactly") {
@@ -39,6 +41,11 @@ class LexDifferentialSpec extends AnyFunSuite {
           val u = row.getUTF8String(i); if (u == null) null else u.toString
         }
         assert(s(0) == c.get("duration"), s"duration of: $msg")
+        // field 1: Python int() semantics (null = raise -> row skip)
+        val expInt = c.get("duration_int")
+        if (expInt == null) assert(row.isNullAt(1), s"duration_int of: $msg")
+        else assert(row.getLong(1) == expInt.asInstanceOf[Number].longValue(),
+          s"duration_int of: $msg")
         assert(s(2) == c.get("counts"), s"counts of: $msg")
         assert(s(3) == c.get("bound_values"), s"bound_values of: $msg")
         assert(s(4) == c.get("query"), s"query of: $msg")
