@@ -87,6 +87,23 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
 
+  /** Deterministic dataset split assignment: md5-bucket of the id
+    * (plus a salt so different experiments draw independent splits)
+    * into [0, 100), mapped to named splits by cumulative percentage.
+    * Stable across runs, sessions, engines, and cluster layouts —
+    * the property random() splits lack.
+    *
+    * @param splits (name, percent) in order; percents must sum to 100
+    */
+  def splitAssign(id: Column, salt: String, splits: Seq[(String, Int)]): Column = {
+    require(splits.map(_._2).sum == 100, "split percents must sum to 100")
+    val bucket = pmod(hash32(concat(id.cast("string"), lit("_" + salt))), lit(100))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    splits.zip(cum).foldRight(lit(null).cast("string"): Column) {
+      case (((name, _), upper), acc) => when(bucket < upper, name).otherwise(acc)
+    }
+  }
+
   /** Polynomial rolling hash over tokens (order-sensitive document
     * fingerprint): fold h = (h*31 + hash32(token)) mod 2^31-1. The
     * modulus keeps every intermediate below 2^37 — no 64-bit overflow

@@ -311,6 +311,26 @@ object OpsQueries {
       },
       None),
 
+    // deterministic train/val/test split — stable across engines and
+    // cluster layouts (md5 buckets, not random())
+    "q44_train_split" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split", TextOps.splitAssign(col("doc_id"), "exp1",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split"), col("lang")),
+      Some {
+        val bucket =
+          s"${h32("CAST(doc_id AS VARCHAR) || '_exp1'")} % 100"
+        s"""SELECT CASE
+           |  WHEN $bucket < 80 THEN 'train'
+           |  WHEN $bucket < 90 THEN 'val'
+           |  ELSE 'test' END AS split,
+           | lang, count(*) AS cnt
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     // ---- multimodal ---------------------------------------------------
 
     // video-shaped fan-out: 1 payload -> N frame rows, each digesting
