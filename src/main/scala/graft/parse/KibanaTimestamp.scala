@@ -23,23 +23,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KibanaTimestampParser {
 
-  /** Micros since epoch (UTC), or null. */
+  /** Micros since epoch (UTC), or null. Scans the UTF8String bytes
+    * directly — the accepted alphabet is pure ASCII, so no String
+    * decode/allocation on the hot path.
+    */
   def parse(u: UTF8String): Any = {
     if (u == null) return null
-    val s = u.toString
-    val n = s.length
-    // minimal layout: yyyy-MM-ddTHH:mm:ss.fZ = 22 chars; max 27
+    val n = u.numBytes()
+    // minimal layout: yyyy-MM-ddTHH:mm:ss.fZ = 22 bytes; max 27
     if (n < 22 || n > 27) return null
-    if (s.charAt(4) != '-' || s.charAt(7) != '-' || s.charAt(10) != 'T' ||
-      s.charAt(13) != ':' || s.charAt(16) != ':' || s.charAt(19) != '.' ||
-      s.charAt(n - 1) != 'Z') return null
-    val year = digits(s, 0, 4)
-    val month = digits(s, 5, 7)
-    val day = digits(s, 8, 10)
-    val hour = digits(s, 11, 13)
-    val minute = digits(s, 14, 16)
-    val sec = digits(s, 17, 19)
-    val frac = digits(s, 20, n - 1)
+    if (u.getByte(4) != '-' || u.getByte(7) != '-' || u.getByte(10) != 'T' ||
+      u.getByte(13) != ':' || u.getByte(16) != ':' || u.getByte(19) != '.' ||
+      u.getByte(n - 1) != 'Z') return null
+    val year = digits(u, 0, 4)
+    val month = digits(u, 5, 7)
+    val day = digits(u, 8, 10)
+    val hour = digits(u, 11, 13)
+    val minute = digits(u, 14, 16)
+    val sec = digits(u, 17, 19)
+    val frac = digits(u, 20, n - 1)
     if (year < 0 || month < 0 || day < 0 || hour < 0 || minute < 0 ||
       sec < 0 || frac < 0) return null
     val fracDigits = n - 1 - 20
@@ -56,15 +58,15 @@ object KibanaTimestampParser {
     }
   }
 
-  /** Parse [from, until) as digits; -1 when empty or non-digit. */
-  private def digits(s: String, from: Int, until: Int): Long = {
+  /** Parse bytes [from, until) as digits; -1 when empty or non-digit. */
+  private def digits(u: UTF8String, from: Int, until: Int): Long = {
     if (until <= from) return -1L
     var v = 0L
     var i = from
     while (i < until) {
-      val c = s.charAt(i)
-      if (c < '0' || c > '9') return -1L
-      v = v * 10 + (c - '0')
+      val b = u.getByte(i)
+      if (b < '0' || b > '9') return -1L
+      v = v * 10 + (b - '0')
       i += 1
     }
     v

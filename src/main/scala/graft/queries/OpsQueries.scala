@@ -323,7 +323,10 @@ object OpsQueries {
       Some {
         val bucket =
           s"${h32("CAST(doc_id AS VARCHAR) || '_exp1'")} % 100"
+        // NULL id -> NULL split on both sides (Spark's when-chain
+        // falls through to null; a bare ELSE here would say 'test')
         s"""SELECT CASE
+           |  WHEN ($bucket) IS NULL THEN NULL
            |  WHEN $bucket < 80 THEN 'train'
            |  WHEN $bucket < 90 THEN 'val'
            |  ELSE 'test' END AS split,

@@ -75,6 +75,14 @@ object Reporter {
       .option("timestampFormat", MaterializeTsFmt)
       .json(dir)
 
+  /** Read [[materialize]] output back with the event schema and the
+    * matching timestamp format — the `--processed` re-analysis input.
+    */
+  def readMaterialized(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.schema(graft.model.Schemas.slowQueryEvent)
+      .option("timestampFormat", MaterializeTsFmt)
+      .json(dir)
+
   /** S8 at scale: parquet partitioned by statement type and day —
     * downstream per-type / per-day reads prune whole directories
     * (partition pruning), and parquet beats the reference's JSON dump

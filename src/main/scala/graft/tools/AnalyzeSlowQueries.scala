@@ -64,10 +64,7 @@ object AnalyzeSlowQueries {
     spark.sparkContext.setLogLevel("WARN")
 
     val events = flags.get("processed") match {
-      case Some(dir) =>
-        spark.read.schema(graft.model.Schemas.slowQueryEvent)
-          .option("timestampFormat", Reporter.MaterializeTsFmt)
-          .json(dir).cache()
+      case Some(dir) => Reporter.readMaterialized(spark, dir).cache()
       case None =>
         val parsed = SlowQueryPipeline
           .parseEvents(KibanaReader.hits(spark, files), config).cache()
@@ -85,6 +82,8 @@ object AnalyzeSlowQueries {
     var files = Vector.empty[String]
     var rest = args
     while (rest.nonEmpty) rest match {
+      case flag :: v :: _ if flag.startsWith("--") && v.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag $flag requires a value")
       case flag :: v :: tail if flag.startsWith("--") =>
         flags += (flag.stripPrefix("--") -> v); rest = tail
       case flag :: Nil if flag.startsWith("--") =>

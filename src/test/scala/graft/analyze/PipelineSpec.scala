@@ -86,15 +86,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "type=INSERT").exists())
   }
 
-  test("materialized events round-trip through JSON") {
+  test("materialized events round-trip with microsecond fidelity") {
     val config = AnalysisConfig(minCount = 1, schema = CqlCatalog.parse(cql))
     val events = SlowQueryPipeline.parseEvents(
       KibanaReader.hits(spark, Seq(fixture())), config)
     val dir = Files.createTempDirectory("processed").toString
     graft.report.Reporter.materialize(events, dir)
-    val back = spark.read.json(dir)
-    assert(back.count() == events.count())
-    assert(back.columns.toSet.contains("query"))
+    val back = graft.report.Reporter.readMaterialized(spark, dir)
+    // same names and types (nullability legitimately loosens on read)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      events.schema.map(f => (f.name, f.dataType)))
+    // the .123456 micros survive the write/read pairing exactly
+    val orig = events.select("timestamp").collect()
+      .map(_.getTimestamp(0)).sortBy(_.getTime)
+    val round = back.select("timestamp").collect()
+      .map(_.getTimestamp(0)).sortBy(_.getTime)
+    assert(round.toSeq == orig.toSeq)
+    assert(orig.head.getNanos % 1000000 != 0) // fixture really has micros
   }
 
   test("streaming ingest composes with the batch parse pipeline") {

@@ -11,6 +11,7 @@ class ExtendedQueriesSpec extends AnyFunSuite {
 
   test("approx distinct stays within HLL error of exact counts") {
     val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
     val approx = Registry.queries("q42_approx_distinct")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -16,8 +16,10 @@ class PlanShapeSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local(4, "PlanShapeSpec")
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String =
+  private def plan(q: String): String = {
+    assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
     Registry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+  }
 
   test("top-N plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("q03_topn")
