@@ -74,17 +74,45 @@ object SlowQueryPipeline {
       .orderBy(col("count").desc, col("outcome"))
   }
 
+  /** [[parseEvents]] with free-riding pipeline metrics — the Spark
+    * form of the reference's Timer/warning counters
+    * (analyze_slow_queries.py:151-261): an `Observation` attached to
+    * the raw scan counts total hits and each skip class WITHOUT a
+    * second pass; metrics become available after the first action on
+    * the returned DataFrame (`observation.get`).
+    */
+  def parseEventsObserved(raw: DataFrame, config: AnalysisConfig)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("graft_pipeline")
+    val lexed = raw.select(
+      LogColumns.lex(col("message")).as("lex"),
+      LogColumns.kibanaTimestamp(col("timestamp_str")).as("timestamp"),
+      col("tags"))
+    val observed = lexed.observe(obs,
+      count(lit(1)).as("hits"),
+      count(when(col("lex").isNull, 1)).as("not_slow_query"),
+      count(when(col("lex").isNotNull && col("timestamp").isNull, 1))
+        .as("bad_timestamp"),
+      count(when(col("lex").isNotNull && col("timestamp").isNotNull &&
+        col("lex.duration").isNull, 1)).as("bad_duration"))
+    (finishParse(observed, catalogOf(config)), obs)
+  }
+
   /** Parse raw hit rows (timestamp_str, message, tags) into the event
     * schema (type, timestamp, duration, query, bound_values,
     * primary_key, keyspace, column_family, tags).
     */
-  def parseEvents(raw: DataFrame, config: AnalysisConfig): DataFrame = {
-    val catalog = catalogOf(config)
-    raw
-      .select(
+  def parseEvents(raw: DataFrame, config: AnalysisConfig): DataFrame =
+    finishParse(
+      raw.select(
         LogColumns.lex(col("message")).as("lex"),
         LogColumns.kibanaTimestamp(col("timestamp_str")).as("timestamp"),
-        col("tags"))
+        col("tags")),
+      catalogOf(config))
+
+  /** Post-lex stages shared with [[parseEventsObserved]]. */
+  private def finishParse(lexed: DataFrame, catalog: SlowQueryCatalog): DataFrame = {
+    lexed
       // get_log raise / strptime raise / int() raise
       // -> row skipped (analyze_slow_queries.py:1299-1300)
       .filter(col("lex").isNotNull && col("timestamp").isNotNull &&

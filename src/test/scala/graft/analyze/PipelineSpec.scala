@@ -66,6 +66,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(vt.length == 2)
   }
 
+  test("observed parse exposes skip-class metrics without a second pass") {
+    val config = AnalysisConfig(minCount = 1, schema = CqlCatalog.parse(cql))
+    val (events, obs) = SlowQueryPipeline.parseEventsObserved(
+      KibanaReader.hits(spark, Seq(fixture())), config)
+    assert(events.count() == 3)
+    val m = obs.get
+    assert(m("hits") == 4L) // prefiltered slow-query lines reaching lex
+    assert(m("not_slow_query") == 0L) // P1 prefilter already dropped it
+    assert(m("bad_timestamp") == 1L)
+    assert(m("bad_duration") == 0L)
+  }
+
   test("driver entry smoke: flagship returns rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
