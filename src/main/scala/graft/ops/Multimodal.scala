@@ -67,6 +67,33 @@ object Multimodal {
   def synthesizePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
 
+  /** STUB resize: a real implementation would decode, scale to the
+    * target dimensions, and re-encode; the deterministic fake
+    * truncates or zero-pads the payload to targetBytes so the
+    * batched-transform plumbing (binary in -> binary out, per-
+    * partition init) is real and testable.
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    java.util.Arrays.copyOf(bytes, targetBytes)
+
+  /** Batched payload resize: (id, payload) -> (id, payload resized). */
+  def resizePayloads(media: DataFrame, idCol: String, payloadCol: String,
+      targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.isNullAt(0) || bytes == null) Iterator.empty
+          else Iterator.single(Row(r.getLong(0), resizeStub(bytes, targetBytes)))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("frame_idx", IntegerType),

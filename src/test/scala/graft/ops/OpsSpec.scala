@@ -131,6 +131,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getString(1) == out(2).getString(1))
   }
 
+  test("multimodal resize truncates or pads to the target size") {
+    val media = Multimodal.synthesizePayload(docs, "text")
+    val resized = Multimodal.resizePayloads(media, "doc_id", "payload", 16)
+    val byId = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(byId.values.forall(_.length == 16))
+    assert(new String(byId(5L).take(9), "UTF-8") == "short doc") // padded
+    assert(new String(byId(0L), "UTF-8") == "the quick brown " ) // truncated
+  }
+
   test("multimodal metadata derives from real payload bytes") {
     val media = Multimodal.synthesizePayload(docs, "text")
     val meta = Multimodal.extractMetadata(media, "doc_id", "payload")
