@@ -26,6 +26,29 @@ class ExtendedQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment is deterministic and roughly proportional") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 2000L).toDF("id")
+    val assign = graft.ops.TextOps.splitAssign(col("id"), "exp1",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = ids.withColumn("s", assign).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts("train") > 1500 && counts("train") < 1700) // ~80%
+    assert(counts("val") > 120 && counts("val") < 280)
+    // determinism: same salt -> identical assignment across evaluations
+    val again = ids.withColumn("s", assign).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // different salt -> different (but still proportional) draw
+    val other = ids.withColumn("s",
+      graft.ops.TextOps.splitAssign(col("id"), "exp2",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .filter(col("s") =!= assign).count()
+    assert(other > 0)
+  }
+
   test("every registered oracle is syntactically runnable SQL text") {
     // structural sanity: non-empty, balanced parens, mentions a table
     Registry.oracleSql.foreach { case (name, sql) =>
