@@ -38,6 +38,18 @@ def table_rows(con, sql):
     return scols, srows
 
 
+def table_types(con, sql):
+    """DuckDB-reported result types, sorted by column name.
+
+    The driver's hash compare is result-type sensitive (round-1: DuckDB
+    sum(BIGINT)=HUGEINT / sum(DECIMAL(18,2))=DECIMAL(38,2) failed 14
+    value-identical queries), so the local gate must compare DESCRIBE
+    output, not just stringified values.
+    """
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return sorted((r[0], r[1]) for r in rows)
+
+
 def main():
     sf_dir = sys.argv[1]
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -66,8 +78,14 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             continue
+        got_types = table_types(
+            con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
+        exp_types = table_types(con, oracles[name])
         if got_cols != exp_cols:
             results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
+        elif got_types != exp_types:
+            diffs = [(g, e) for g, e in zip(got_types, exp_types) if g != e]
+            results[name] = f"TYPE-MISMATCH (spark, oracle) pairs: {diffs}"
         elif got_rows != exp_rows:
             diff = next((i for i, (a, b) in enumerate(zip(got_rows, exp_rows))
                          if a != b), min(len(got_rows), len(exp_rows)))

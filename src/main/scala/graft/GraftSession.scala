@@ -23,13 +23,24 @@ import org.apache.spark.sql.SparkSession
   *    value (analyze_slow_queries.py:466-476); Spark's default throws.
   */
 object GraftSession {
+  /** Sessions whose SQL functions are already registered — re-registering
+    * on every tune() call works but spams "replaced a previously
+    * registered function" warnings (170+ per bench run). Weak keys so a
+    * stopped session doesn't pin memory.
+    */
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    GraftFunctions.register(spark)
+    registered.synchronized {
+      if (registered.add(spark)) GraftFunctions.register(spark)
+    }
+    spark
   }
 
   /** Local session for tests/mains outside the driver contract. */

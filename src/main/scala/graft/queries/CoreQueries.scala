@@ -42,9 +42,13 @@ object CoreQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
+      // CASTs on aggregate outputs pin DuckDB's result types to Spark's
+      // (sum(DECIMAL(18,2)) is DECIMAL(38,2) in DuckDB vs DECIMAL(28,2)
+      // in Spark; sum(BIGINT) is HUGEINT vs BIGINT) — the driver's hash
+      // compare is type-sensitive even when values are identical.
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
     // P3 — HAVING min_count (reference :1077-1091)
@@ -56,7 +60,7 @@ object CoreQueries {
         .filter(col("cnt") >= 5)
         .orderBy(col("event_type"), col("user_id")),
       Some("""SELECT event_type, user_id, count(*) AS cnt,
-             | sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
              |FROM events GROUP BY 1,2 HAVING count(*) >= 5 ORDER BY 1,2""".stripMargin)),
 
     // T1 — global top-N with deterministic tie-break (TakeOrderedAndProject)
@@ -68,7 +72,7 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("l_partkey").asc)
         .limit(100),
       Some("""SELECT l_partkey,
-             | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
              | count(*) AS cnt
              |FROM lineitem GROUP BY 1
              |ORDER BY revenue DESC, l_partkey LIMIT 100""".stripMargin)),
@@ -87,8 +91,8 @@ object CoreQueries {
       },
       Some("""SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
              | count(*) AS cnt,
-             | sum(CAST(floor(value*10) AS BIGINT)) AS duration,
-             | sum(CAST(floor(value*10) AS BIGINT)) // count(*) AS avg_duration
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) AS BIGINT) AS duration,
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) // count(*) AS BIGINT) AS avg_duration
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // A5+W1 — per-minute top-k by ranking window
@@ -109,8 +113,8 @@ object CoreQueries {
              | SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
              |  event_type, count(*) AS cnt
              | FROM events GROUP BY 1,2),
-             |r AS (SELECT *, row_number() OVER
-             |  (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS rn FROM a)
+             |r AS (SELECT *, CAST(row_number() OVER
+             |  (PARTITION BY bucket ORDER BY cnt DESC, event_type) AS INTEGER) AS rn FROM a)
              |SELECT bucket, event_type, cnt, rn FROM r WHERE rn <= 3
              |ORDER BY bucket, rn""".stripMargin)),
 
@@ -129,7 +133,7 @@ object CoreQueries {
           .orderBy(col("nation"))
       },
       Some("""SELECT coalesce(n_name, 'unknown') AS nation, count(*) AS cnt,
-             | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
              |FROM orders
              |LEFT JOIN customer ON o_custkey = c_custkey
              |LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -153,7 +157,8 @@ object CoreQueries {
              |  WHEN event_type = 'purchase' THEN 'PURCHASE'
              |  WHEN event_type = 'error' THEN 'ERROR'
              |  ELSE 'OTHER' END AS class,
-             | count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+             | count(*) AS cnt,
+             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // F2 — the REAL lexer over synthesized slow-query lines; the oracle
@@ -178,8 +183,8 @@ object CoreQueries {
       Some("""SELECT 'SELECT * FROM ks' || CAST(user_id % 3 AS VARCHAR)
              |  || '.t' || CAST(event_id % 5 AS VARCHAR) || ' WHERE id=?;' AS query,
              | count(*) AS cnt,
-             | sum(CAST(floor(value*10) AS BIGINT)) AS duration,
-             | sum(CAST(floor(value*10) AS BIGINT)) // count(*) AS avg_duration
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) AS BIGINT) AS duration,
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) // count(*) AS BIGINT) AS avg_duration
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // F3 — bound-values map parse; oracle reconstructs expected values
@@ -281,7 +286,7 @@ object CoreQueries {
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
@@ -299,9 +304,9 @@ object CoreQueries {
       },
       Some("""SELECT event_id, user_id,
              | lag(event_type, 1) OVER w AS prev_type,
-             | sum(CAST(floor(value*10) AS BIGINT)) OVER
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) OVER
              |  (PARTITION BY user_id ORDER BY ts, event_id
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin)),
@@ -330,8 +335,8 @@ object CoreQueries {
              | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
              |s AS (
              | SELECT user_id,
-             |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
              | FROM g)
              |SELECT user_id, session_id, count(*) AS cnt FROM s
              |GROUP BY 1,2 ORDER BY 1,2""".stripMargin))

@@ -36,7 +36,8 @@ object ExtendedQueries {
       },
       Some {
         val cases = eventTypes.map(e =>
-          s"sum(CASE WHEN event_type = '$e' THEN 1 ELSE 0 END) AS $e").mkString(",\n ")
+          s"CAST(sum(CASE WHEN event_type = '$e' THEN 1 ELSE 0 END) AS BIGINT) AS $e")
+          .mkString(",\n ")
         s"""SELECT user_id,
            | $cases
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
@@ -130,6 +131,11 @@ object ExtendedQueries {
           .select(col("event_id"), col("o_orderkey"), col("o_price"))
           .orderBy(col("event_id"))
       },
+      // Portable as-of oracle: union probe + state rows, carry the last
+      // non-null state forward per cust (DuckDB's native ASOF JOIN has
+      // version-sensitive equal-timestamp semantics — round-1 verdict).
+      // State rows sort before probes at equal t (is_probe 0 < 1), so a
+      // probe at exactly the state's timestamp matches it (>= semantics).
       Some("""WITH ev AS (
              | SELECT event_id, user_id % 150 AS cust,
              |  TIMESTAMP '1995-01-01' + to_days(CAST(event_id % 2400 AS INT)) AS at
@@ -138,11 +144,25 @@ object ExtendedQueries {
              | SELECT o_custkey AS cust, o_orderdate,
              |  max(o_orderkey) AS o_orderkey,
              |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS o_price
-             | FROM orders GROUP BY 1, 2)
-             |SELECT e.event_id, o.o_orderkey, o.o_price
-             |FROM ev e ASOF LEFT JOIN ord o
-             |  ON e.cust = o.cust AND e.at >= o.o_orderdate
-             |ORDER BY e.event_id""".stripMargin)),
+             | FROM orders GROUP BY 1, 2),
+             |u AS (
+             | SELECT cust, at AS t, 1 AS is_probe, event_id,
+             |  CAST(NULL AS BIGINT) AS o_orderkey,
+             |  CAST(NULL AS DECIMAL(18,2)) AS o_price
+             | FROM ev
+             | UNION ALL
+             | SELECT cust, CAST(o_orderdate AS TIMESTAMP) AS t, 0 AS is_probe,
+             |  CAST(NULL AS BIGINT) AS event_id, o_orderkey, o_price
+             | FROM ord),
+             |f AS (
+             | SELECT event_id, is_probe,
+             |  last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
+             |  last_value(o_price IGNORE NULLS) OVER w AS o_price
+             | FROM u
+             | WINDOW w AS (PARTITION BY cust ORDER BY t, is_probe
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, o_orderkey, o_price FROM f WHERE is_probe = 1
+             |ORDER BY event_id""".stripMargin)),
 
     // bucketed interval join: events (day-granular point) inside
     // 14-day order windows for the same customer; oracle is the plain
@@ -215,7 +235,7 @@ object ExtendedQueries {
              | FROM e)
              |SELECT user_id,
              | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-             | count(*) AS cnt, sum(d) AS dur
+             | count(*) AS cnt, CAST(sum(d) AS BIGINT) AS dur
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 

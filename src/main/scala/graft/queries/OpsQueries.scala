@@ -66,8 +66,8 @@ object OpsQueries {
           s"WHEN $best > 0 AND $sc = $best THEN '$l'"
         }.mkString(" ")
         s"""SELECT doc_id,
-           | len($toksSql) AS n_tokens,
-           | length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+           | CAST(len($toksSql) AS INTEGER) AS n_tokens,
+           | CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpeish,
            | CASE $langCase ELSE 'und' END AS lang_pred,
            | md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
            | list_reduce(list_prepend(0::BIGINT,
@@ -92,14 +92,15 @@ object OpsQueries {
       Some(
         s"""WITH sig AS (
            | SELECT doc_id,
-           |  len($toksSql) AS n_tokens,
-           |  len(list_distinct($toksSql)) AS n_distinct,
-           |  len(list_intersect(list_distinct($toksSql),
-           |   ['the','a','of','and','to','in','is'])) AS n_stop,
-           |  list_aggregate(list_transform($toksSql, t -> length(t)), 'max') AS max_tok_len
+           |  CAST(len($toksSql) AS INTEGER) AS n_tokens,
+           |  CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
+           |  CAST(len(list_intersect(list_distinct($toksSql),
+           |   ['the','a','of','and','to','in','is'])) AS INTEGER) AS n_stop,
+           |  CAST(list_aggregate(list_transform($toksSql, t -> length(t)), 'max')
+           |   AS INTEGER) AS max_tok_len
            | FROM documents)
-           |SELECT *, n_distinct * 2 + n_stop * 3 -
-           |  (CASE WHEN max_tok_len > 12 THEN 5 ELSE 0 END) AS score
+           |SELECT *, CAST(n_distinct * 2 + n_stop * 3 -
+           |  (CASE WHEN max_tok_len > 12 THEN 5 ELSE 0 END) AS INTEGER) AS score
            |FROM sig
            |WHERE n_distinct * 2 + n_stop * 3 -
            |  (CASE WHEN max_tok_len > 12 THEN 5 ELSE 0 END) >= 20
@@ -118,7 +119,7 @@ object OpsQueries {
         """WITH f AS (SELECT doc_id,
           |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents)
           |SELECT doc_id, fp,
-          | row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank,
+          | CAST(row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS INTEGER) AS dup_rank,
           | row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_duplicate
           |FROM f ORDER BY doc_id""".stripMargin)),
 
@@ -136,8 +137,9 @@ object OpsQueries {
            | FROM documents),
            |p AS (
            | SELECT a.id AS id_a, b.id AS id_b,
-           |  len(list_intersect(a.toks, b.toks)) AS i_cnt,
-           |  len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u_cnt
+           |  CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS i_cnt,
+           |  CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+           |   AS INTEGER) AS u_cnt
            | FROM base a JOIN base b USING (block) WHERE a.id < b.id)
            |SELECT id_a, id_b, i_cnt, u_cnt FROM p
            |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin)),
@@ -176,8 +178,8 @@ object OpsQueries {
            | FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
            |chk AS (
            | SELECT id_a, id_b,
-           |  len(list_intersect(sa.hs, sb.hs)) AS i_cnt,
-           |  len(list_distinct(sa.hs || sb.hs)) AS u_cnt
+           |  CAST(len(list_intersect(sa.hs, sb.hs)) AS INTEGER) AS i_cnt,
+           |  CAST(len(list_distinct(sa.hs || sb.hs)) AS INTEGER) AS u_cnt
            | FROM cand
            | JOIN hs sa ON sa.id = cand.id_a
            | JOIN hs sb ON sb.id = cand.id_b)
@@ -221,7 +223,7 @@ object OpsQueries {
            | SELECT doc_id AS id, ($bitTerms) AS sig FROM hs),
            |p AS (
            | SELECT a.id AS id_a, b.id AS id_b,
-           |  bit_count(xor(a.sig, b.sig)) AS dist
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS dist
            | FROM sig a JOIN sig b ON (a.sig >> 48) = (b.sig >> 48)
            | WHERE a.id < b.id)
            |SELECT id_a, id_b, dist FROM p WHERE dist <= 8
@@ -347,8 +349,9 @@ object OpsQueries {
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       Some(
-        """SELECT doc_id, f AS frame_idx, f * 100 AS byte_offset,
-          | least(100, length(text) - f * 100) AS frame_bytes,
+        """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+          | CAST(f * 100 AS INTEGER) AS byte_offset,
+          | CAST(least(100, length(text) - f * 100) AS INTEGER) AS frame_bytes,
           | md5(substring(text, f * 100 + 1, 100)) AS frame_digest
           |FROM documents,
           | unnest(generate_series(0,
@@ -364,9 +367,9 @@ object OpsQueries {
       },
       Some(
         """SELECT doc_id,
-          | octet_length(encode(text)) AS n_bytes,
-          | octet_length(encode(text)) % 512 AS width,
-          | (octet_length(encode(text)) // 512) % 512 AS height,
+          | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          | CAST(octet_length(encode(text)) % 512 AS INTEGER) AS width,
+          | CAST((octet_length(encode(text)) // 512) % 512 AS INTEGER) AS height,
           | md5(text) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin))
   )

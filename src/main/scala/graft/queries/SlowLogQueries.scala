@@ -119,11 +119,14 @@ object SlowLogQueries {
     // groupBy + floor-avg + top-N, every stage oracle-checked)
     "q17_slowlog_e2e" -> Q(
       (s, dir) => Analyzer.queryReport(parsed(s, dir), config),
+      // CAST pins DuckDB's sum(BIGINT)=HUGEINT back to Spark's BIGINT —
+      // the driver's hash compare is type-sensitive (round-1 verdict).
       Some(s"""WITH ev AS ($oracleEvents)
-              |SELECT query, count(*) AS count, sum(duration) AS duration,
+              |SELECT query, count(*) AS count,
+              | CAST(sum(duration) AS BIGINT) AS duration,
               | split_part(min(keyspace || chr(1) || column_family), chr(1), 1) AS keyspace,
               | split_part(min(keyspace || chr(1) || column_family), chr(1), 2) AS column_family,
-              | sum(duration) // count(*) AS avg_duration
+              | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
               |FROM ev GROUP BY query
               |ORDER BY duration DESC, query LIMIT 100""".stripMargin)),
 
@@ -133,8 +136,9 @@ object SlowLogQueries {
       (s, dir) => Analyzer.primaryKeyReport(parsed(s, dir), config),
       Some(s"""WITH ev AS ($oracleEvents)
               |SELECT keyspace, column_family, primary_key,
-              | count(*) AS count, sum(duration) AS duration,
-              | sum(duration) // count(*) AS avg_duration
+              | count(*) AS count,
+              | CAST(sum(duration) AS BIGINT) AS duration,
+              | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
               |FROM ev WHERE primary_key <> ''
               |GROUP BY 1,2,3
               |ORDER BY duration DESC, keyspace, column_family, primary_key
