@@ -358,6 +358,27 @@ object OpsQueries {
           |   CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS t(f)
           |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // batched binary->binary resize; targetBytes=40 < every document
+    // length (min 44 across SFs), so the oracle only needs the
+    // truncation arm — DuckDB's md5 is VARCHAR-only and can't hash the
+    // NUL zero-padding; the pad arm stays pinned by OpsSpec. Docs are
+    // ASCII, so char slicing equals the kernel's byte slicing.
+    "q49_multimodal_resize" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        Multimodal.resizePayloads(docs, "doc_id", "payload", targetBytes = 40)
+          .withColumnRenamed("id", "doc_id")
+          .select(col("doc_id"),
+            length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+          | CAST(40 AS INTEGER) AS n_bytes,
+          | md5(substring(text, 1, 40)) AS digest
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
         val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")

@@ -91,6 +91,7 @@ object SlowLogQueries {
     */
   private val oracleEvents: String =
     """SELECT
+      | strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
       | CAST(floor(value*10) AS BIGINT) AS duration,
       | CASE
       |  WHEN event_type = 'purchase' THEN
@@ -143,6 +144,85 @@ object SlowLogQueries {
               |GROUP BY 1,2,3
               |ORDER BY duration DESC, keyspace, column_family, primary_key
               |LIMIT 100""".stripMargin)),
+
+    // Full pipeline -> A2 per-(query, primary_key) report — completes
+    // oracle coverage of the reference's five-report core together
+    // with q46/q47 (analyze_slow_queries.py:1026-1038)
+    "q45_slowlog_query_pk" -> Q(
+      (s, dir) => Analyzer.queryPkReport(parsed(s, dir), config),
+      Some(s"""WITH ev AS ($oracleEvents)
+              |SELECT query, primary_key, count(*) AS count,
+              | CAST(sum(duration) AS BIGINT) AS duration,
+              | split_part(min(keyspace || chr(1) || column_family), chr(1), 1) AS keyspace,
+              | split_part(min(keyspace || chr(1) || column_family), chr(1), 2) AS column_family,
+              | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
+              |FROM ev WHERE primary_key <> ''
+              |GROUP BY query, primary_key
+              |ORDER BY duration DESC, query, primary_key LIMIT 100""".stripMargin)),
+
+    // Full pipeline -> A4 per-minute volume (analyze_slow_queries.py:1053-1061)
+    "q46_slowlog_volume" -> Q(
+      (s, dir) => Analyzer.volumeReport(parsed(s, dir), config),
+      Some(s"""WITH ev AS ($oracleEvents)
+              |SELECT minute, count(*) AS count,
+              | CAST(sum(duration) AS BIGINT) AS duration,
+              | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
+              |FROM ev GROUP BY minute ORDER BY minute""".stripMargin)),
+
+    // Full pipeline -> A5 per-minute top rows_per_minute groups
+    // (analyze_slow_queries.py:1063-1075, 1116-1121)
+    "q47_slowlog_volume_top" -> Q(
+      (s, dir) => Analyzer.volumeTopReport(parsed(s, dir), config),
+      Some(s"""WITH ev AS ($oracleEvents),
+              |a AS (
+              | SELECT minute, query, primary_key, count(*) AS count,
+              |  CAST(sum(duration) AS BIGINT) AS duration,
+              |  CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
+              | FROM ev GROUP BY 1, 2, 3),
+              |r AS (
+              | SELECT *, row_number() OVER (PARTITION BY minute
+              |  ORDER BY duration DESC, query, primary_key) AS rn FROM a)
+              |SELECT minute, query, primary_key, count, duration, avg_duration
+              |FROM r WHERE rn <= 5
+              |ORDER BY minute, duration DESC, query, primary_key""".stripMargin)),
+
+    // J1 tags-fallback keyspace guess under oracle: unprefixed table
+    // names whose cf lives in >1 keyspace (the 'unknown' sentinel,
+    // analyze_slow_queries.py:566) resolve through the tag->keyspace
+    // map (analyze_slow_queries.py:543-546); rows with an unmapped tag
+    // keep the sentinel and get no primary key (no schema for
+    // unknown.cf). The one reference behavior that had no oracle
+    // entry in round 1.
+    "q48_tags_keyspace" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        val u3 = (col("user_id") % 3).cast("string")
+        val e5 = (col("event_id") % 5).cast("string")
+        val uid = col("user_id").cast("string")
+        val dur = floor(col("value") * 10).cast("long").cast("string")
+        val raw = ev.select(
+          date_format(timestamp_micros(expr("ts DIV 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp_str"),
+          concat(lit("WARN Query too slow, took "), dur,
+            lit(" ms: [1 bound values] SELECT * FROM t"), e5,
+            lit(" WHERE id=?; [id:'u"), uid, lit("']")).as("message"),
+          array(when(col("user_id") % 7 === 0, lit("zzz"))
+            .otherwise(concat(lit("app"), u3))).as("tags"))
+        val cfg = config.copy(
+          tags = Map("app0" -> "ks0", "app1" -> "ks1", "app2" -> "ks2"))
+        SlowQueryPipeline.parseEvents(raw, cfg)
+          .groupBy(col("keyspace"), col("column_family"))
+          .agg(count(lit(1)).as("cnt"), count(col("primary_key")).as("n_pk"))
+          .orderBy(col("keyspace"), col("column_family"))
+      },
+      Some("""SELECT
+             | CASE WHEN user_id % 7 = 0 THEN 'unknown'
+             |      ELSE 'ks' || CAST(user_id % 3 AS VARCHAR) END AS keyspace,
+             | 't' || CAST(event_id % 5 AS VARCHAR) AS column_family,
+             | count(*) AS cnt,
+             | count(CASE WHEN user_id % 7 = 0 THEN NULL ELSE 1 END) AS n_pk
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Data-quality outcomes over deliberately-corrupted messages
     // (the reference's aggregated-warning report, S5/O10 analog)
