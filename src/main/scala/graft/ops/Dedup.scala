@@ -144,22 +144,53 @@ object Dedup {
   /** Hamming distance between two simhashes via xor bit count. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the top `prefixBits` bits (docs
-    * differing only in low bits collide), verify hamming <= maxDist.
+  /** Pigeonhole band blocking over a (id, sig) signature table: the 60
+    * bits are split into `maxDist + 1` contiguous bands, so any pair at
+    * hamming distance <= maxDist differs in at most maxDist bands and
+    * MUST agree exactly on at least one — candidate recall is 100% by
+    * construction (an earlier top-prefix blocking silently missed pairs
+    * whose differing bits fell inside the prefix). Candidates are the
+    * union of per-(band idx, band value) bucket self-joins, deduped,
+    * then hamming-verified.
+    *
+    * Scale note: expected bucket size is corpus / 2^bandWidth per band
+    * (~64-128 values per band at 60 bits / 9 bands). For corpora where
+    * that is too coarse, grow the signature (e.g. 128-bit SimHash)
+    * so each band carries more bits — the blocking shape is unchanged.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      prefixBits: Int, maxDist: Int): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"),
-        SketchExpressions.simhash60(col(textCol)).as("sig"))
-      .withColumn("block", shiftright(col("sig"), 60 - prefixBits))
-      .cache() // both self-join sides read it; signatures are md5-heavy
-    val a = sigs.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val bands = maxDist + 1
+    val base = 60 / bands
+    val extra = 60 % bands // the first `extra` bands are one bit wider
+    val widths = Seq.tabulate(bands)(i => if (i < extra) base + 1 else base)
+    val los = widths.scanLeft(0)(_ + _).init
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("bi"),
+        shiftright(col("sig"), los(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bv"))
+    }: _*)
+    val e = sigs.select(col("id"), col("sig"), explode(bandStructs).as("bk"))
+    val a = e.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = e.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      // a close pair collides in SEVERAL bands — dedup before the
+      // (cheap) verify; sigs ride along, identical in every duplicate
+      .dropDuplicates("id_a", "id_b")
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** SimHash near-dup pairs over (id, text): complete recall at
+    * hamming distance <= maxDist via pigeonhole band blocking.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"),
+        SketchExpressions.simhash60(col(textCol)).as("sig"))
+      .cache() // every band self-join side reads it; sigs are md5-heavy
+    simhashPairsFromSigs(sigs, maxDist)
   }
 
   /** Blocked n-gram Jaccard near-dup pairs: block on caller-supplied

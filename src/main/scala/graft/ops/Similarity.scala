@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays as double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float arrays as double —
+    * higher-order-function formulation, kept as the differential
+    * reference for the fused kernel (OpsSpec pins agreement).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused codegen cosine (bit-identical fold order to [[cosineHof]];
+    * HOFs evaluate interpreted — see [[VectorKernels]]).
+    */
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   /** Brute-force cosine top-k against one query vector (plans as
     * TakeOrderedAndProject).
@@ -53,10 +60,10 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id from `planes` integer hyperplanes: bit p
-    * set when dot(v, w_p) >= 0. Narrow expression; the weights ship as
-    * literals.
+    * set when dot(v, w_p) >= 0 — HOF formulation, differential
+    * reference for the fused kernel.
     */
-  def lshBucket(vec: Column, planes: Array[Array[Int]]): Column =
+  def lshBucketHof(vec: Column, planes: Array[Array[Int]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
       val wLit = typedLit(w.toSeq)
       val d = aggregate(
@@ -64,6 +71,12 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Fused codegen LSH bucket: one pass over the vector for all
+    * planes, weights ride inside the expression.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Int]]): Column =
+    VectorExpressions.lshBucket(vec, planes)
 
   /** LSH-accelerated ANN: probe only the query's bucket, then rank.
     * Recall < 1 by construction — the scale path; pair with
@@ -90,15 +103,23 @@ object Similarity {
     * dimension-count-sized, never data-sized.
     */
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
+      k: Int, iters: Int = 2, sampleMod: Int = 1): Array[(Int, Array[Double])] = {
     val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // Lloyd refinement needs representative centroids, not the full
+    // corpus: with sampleMod > 1 each iteration scans a deterministic
+    // 1/sampleMod hash-slice instead of everything — the 100 TB
+    // posture (the assignment pass in topKCosineIvf stays full). A
+    // hash filter, not .sample(): reproducible across partitionings.
+    val refineCorpus =
+      if (sampleMod <= 1) embeddings
+      else embeddings.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     var centroids: Array[(Int, Array[Double])] = embeddings
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
     (0 until iters).foreach { _ =>
-      val assigned = assignClusters(embeddings, vecCol, centroids)
+      val assigned = assignClusters(refineCorpus, vecCol, centroids)
       val sums = assigned
         .select(col("_cluster"),
           posexplode(col(vecCol)).as(Seq("_d", "_x")))

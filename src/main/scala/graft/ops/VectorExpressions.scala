@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Single-pass vector kernels as custom Catalyst expressions.
+  *
+  * The Column formulation (`aggregate(zip_with(...))`) is semantically
+  * identical but higher-order functions evaluate interpreted (codegen
+  * fallback) and allocate a lambda frame per element — round-1 bench
+  * showed the 8-plane LSH bucketing as the slowest query in the suite
+  * for exactly this reason. Same cure as [[SketchExpressions]]: fuse
+  * the per-row loop into one codegen'd static call.
+  *
+  * Float determinism contract (pinned by oracle queries q27-q29 and
+  * the differential test in OpsSpec): every accumulator folds
+  * sequentially in index order — bit-identical to the strict left fold
+  * of Spark's `aggregate` and the oracle's `list_reduce` — and floats
+  * widen to double before multiplying.
+  */
+object VectorKernels {
+
+  // element accessor codes (resolved per child at codegen time)
+  final val ElemFloat = 0
+  final val ElemDouble = 1
+  final val ElemInt = 2
+  final val ElemLong = 3
+
+  def elemCode(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => ElemFloat
+    case ArrayType(DoubleType, _) => ElemDouble
+    case ArrayType(IntegerType, _) => ElemInt
+    case ArrayType(LongType, _) => ElemLong
+    case other =>
+      throw new IllegalArgumentException(s"unsupported vector type $other")
+  }
+
+  private def get(a: ArrayData, i: Int, code: Int): Double = code match {
+    case ElemFloat => a.getFloat(i).toDouble
+    case ElemDouble => a.getDouble(i)
+    case ElemInt => a.getInt(i).toDouble
+    case _ => a.getLong(i).toDouble
+  }
+
+  /** Sequential-fold dot product (index order, doubles). */
+  def dot(a: ArrayData, ca: Int, b: ArrayData, cb: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, i, ca) * get(b, i, cb); i += 1 }
+    s
+  }
+
+  /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))); the three
+    * sums each accumulate in index order, so fusing them into one loop
+    * yields bit-identical doubles to three separate folds.
+    */
+  def cosine(a: ArrayData, ca: Int, b: ArrayData, cb: Int): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, ca)
+      val y = get(b, i, cb)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit LSH bucket: bit p set when dot(v, planes(p)) >= 0. */
+  def lshBucket(v: ArrayData, cv: Int, planes: Array[Array[Int]]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val n = math.min(v.numElements(), w.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += get(v, i, cv) * w(i).toDouble; i += 1 }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** cosine_sim(a, b): double. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], VectorKernels.elemCode(left.dataType),
+      b.asInstanceOf[ArrayData], VectorKernels.elemCode(right.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ca, cb) =
+      (VectorKernels.elemCode(left.dataType), VectorKernels.elemCode(right.dataType))
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.ops.VectorKernels.cosine($l, $ca, $r, $cb);")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** lsh_bucket(vec): long — `planes` ships inside the expression as a
+  * reference object (dimension-sized, never shuffled).
+  */
+case class LshBucketExpr(child: Expression, planes: Array[Array[Int]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData],
+      VectorKernels.elemCode(child.dataType), planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cv = VectorKernels.elemCode(child.dataType)
+    val ref = ctx.addReferenceObj("lshPlanes", planes, "int[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.lshBucket($c, $cv, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucketExpr =
+    copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+object VectorExpressions {
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def lshBucket(vec: Column, planes: Array[Array[Int]]): Column =
+    ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes))
+}

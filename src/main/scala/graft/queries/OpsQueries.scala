@@ -206,9 +206,13 @@ object OpsQueries {
            |FROM hs ORDER BY doc_id""".stripMargin
       }),
 
+    // The oracle is deliberately STRONGER than a blocking mirror: it
+    // brute-forces ALL pairs at hamming distance <= 8, so the hash
+    // match proves the pigeonhole band blocking has complete recall —
+    // not merely that both engines block identically.
     "q26_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
-        "doc_id", "text", prefixBits = 12, maxDist = 8)
+        "doc_id", "text", maxDist = 8)
         .orderBy(col("id_a"), col("id_b")),
       Some {
         val bitTerms = (0 until 60).map { b =>
@@ -224,8 +228,7 @@ object OpsQueries {
            |p AS (
            | SELECT a.id AS id_a, b.id AS id_b,
            |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS dist
-           | FROM sig a JOIN sig b ON (a.sig >> 48) = (b.sig >> 48)
-           | WHERE a.id < b.id)
+           | FROM sig a JOIN sig b ON a.id < b.id)
            |SELECT id_a, id_b, dist FROM p WHERE dist <= 8
            |ORDER BY id_a, id_b""".stripMargin
       }),
@@ -307,7 +310,8 @@ object OpsQueries {
         val emb = t(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
           .head().getSeq[Float](0).toArray.map(_.toDouble)
-        val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+        val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16,
+          iters = 2, sampleMod = 4)
         Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10, centroids, 4)
           .withColumnRenamed("id", "vec_id")
       },

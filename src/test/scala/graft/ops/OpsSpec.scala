@@ -60,6 +60,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ham(sigs(0L), sigs(3L)) < ham(sigs(0L), sigs(4L)))
   }
 
+  test("simhash band blocking finds pairs wherever the differing bits fall") {
+    // s1 differs from s0 only in the TOP bits — the round-1 top-prefix
+    // blocking could never generate this pair; pigeonhole bands must.
+    val s0 = 0x0ABCDEF012345L
+    val s1 = s0 ^ (7L << 57) // 3 of the top 12 bits
+    val s2 = s0 ^ 0x3FL // 6 low bits
+    val far = s0 ^ ((1L << 30) - 1) // 30 bits apart — not a pair
+    val sigs = Seq((0L, s0), (1L, s1), (2L, s2), (3L, far)).toDF("id", "sig")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(3))
+    assert(pairs.get((0L, 2L)).contains(6))
+    assert(!pairs.contains((1L, 2L))) // dist 9 > maxDist
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("jaccard pairs integer threshold") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       Seq(element_at(TextOps.tokens(col("text")), 1)), 1, 2)
@@ -82,6 +98,24 @@ class OpsSpec extends AnyFunSuite {
     // every LSH result's cosine agrees with the brute-force computation
     lsh.foreach { r =>
       brute.get(r.getLong(0)).foreach(c => assert(math.abs(c - r.getDouble(1)) < 1e-9))
+    }
+  }
+
+  test("vector kernels agree bit-for-bit with the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.hyperplanes(8, 64)
+    val qv = typedLit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0))
+    val cmp = emb.select(
+      Similarity.cosineHof(col("embedding"), qv).as("cos_hof"),
+      Similarity.cosine(col("embedding"), qv).as("cos_ker"),
+      Similarity.lshBucketHof(col("embedding"), planes).as("b_hof"),
+      Similarity.lshBucket(col("embedding"), planes).as("b_ker"))
+    cmp.collect().foreach { r =>
+      // exact double equality: fold order is part of the contract
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getLong(2) == r.getLong(3))
     }
   }
 
