@@ -172,10 +172,20 @@ object Dedup {
     val e = sigs.select(col("id"), col("sig"), explode(bandStructs).as("bk"))
     val a = e.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = e.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // A close pair collides in SEVERAL bands. Emitting it only from its
+    // FIRST agreeing band makes every output row unique by construction
+    // — nine codegen'd comparisons per candidate instead of shuffling
+    // the whole (skew-prone) candidate flood through dropDuplicates.
+    def bandVal(sig: Column, b: Int): Column =
+      shiftright(sig, los(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+    val firstAgreeingBand = (0 until bands).foldRight(lit(-1): Column) { (b, els) =>
+      when(bandVal(col("sig_a"), b) === bandVal(col("sig_b"), b), lit(b))
+        .otherwise(els)
+    }
     a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
-      // a close pair collides in SEVERAL bands — dedup before the
-      // (cheap) verify; sigs ride along, identical in every duplicate
-      .dropDuplicates("id_a", "id_b")
+      .filter(col("bk").getField("bi") === firstAgreeingBand)
+      // hamming verify is one codegen'd xor+popcount — candidates from
+      // hot band values die inside the join stage, nothing shuffles
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
