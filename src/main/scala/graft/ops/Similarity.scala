@@ -95,6 +95,27 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN: probe every bucket within `maxFlip` sign-bit
+    * flips of the query's bucket (9 buckets for 8 planes at maxFlip=1)
+    * — the standard recall repair for sign-LSH, trading a constant
+    * factor of scanned buckets for recall instead of more tables.
+    * Recall still < 1; [[topKCosine]] remains the exact baseline.
+    */
+  def topKCosineLshMultiProbe(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Column, k: Int,
+      planes: Array[Array[Int]], maxFlip: Int = 1): DataFrame = {
+    val bucketed = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshBucket(col(vecCol), planes).as("bucket"))
+    val qBucket = lshBucket(queryVec, planes)
+    // bucket distance = popcount of XOR over the plane sign bits
+    bucketed
+      .filter(bit_count(col("bucket").bitwiseXOR(qBucket)) <= maxFlip)
+      .select(col("id"), round(cosine(col("v"), queryVec), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) coarse quantizer: `k` centroids refined with
     * `iters` Lloyd iterations from a deterministic seed (the k
     * lowest-id vectors — swap for sampled k-means++ in production; the
@@ -194,5 +215,42 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** OR-construction near-dup pairs over SEVERAL independent plane
+    * tables: a pair is a candidate when ANY table buckets it together,
+    * so recall is 1 - prod(1 - p^planes) instead of a single table's
+    * p^planes — the scale path when one table's bucket space is too
+    * coarse (round-1 verdict on the 8-plane/256-bucket single table).
+    * Each table contributes one bucket self-join; a pair is emitted
+    * only from the FIRST table that buckets it together (same
+    * no-dedup-shuffle trick as the simhash bands).
+    */
+  def nearDupPairsMultiTable(embeddings: DataFrame, idCol: String,
+      vecCol: String, planeTables: Seq[Array[Array[Int]]],
+      minCos: Double): DataFrame = {
+    val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
+      lshBucket(col(vecCol), p).as(s"b$t")
+    }
+    val bucketed = embeddings.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols): _*)
+      .cache() // every per-table self-join side reads it
+    val tables = planeTables.indices.map { t =>
+      val aSide = bucketed.select(
+        col(s"b$t").as("bk") +: col("id").as("id_a") +: col("v").as("v_a") +:
+          (0 until t).map(u => col(s"b$u").as(s"a$u")): _*)
+      val bSide = bucketed.select(
+        col(s"b$t").as("bk") +: col("id").as("id_b") +: col("v").as("v_b") +:
+          (0 until t).map(u => col(s"b$u").as(s"bb$u")): _*)
+      val joined = aSide.join(bSide, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+      // drop pairs already found by an earlier table
+      val fresh = (0 until t).foldLeft(joined) { (df, u) =>
+        df.filter(col(s"a$u") =!= col(s"bb$u"))
+      }
+      fresh.select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+    }
+    tables.reduce(_ unionByName _).filter(col("cos") >= minCos)
   }
 }

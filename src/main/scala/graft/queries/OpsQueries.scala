@@ -301,6 +301,68 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // multi-probe repair of q28's recall: scan every bucket within one
+    // sign-bit flip of the query's bucket (9 of 256), not just the
+    // exact bucket
+    "q50_ann_multiprobe" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val planes = Similarity.hyperplanes(8, 64)
+        val qv = typedLit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0))
+        Similarity.topKCosineLshMultiProbe(emb, "vec_id", "embedding",
+          qv, 10, planes, maxFlip = 1)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+           |c AS (
+           | SELECT b.vec_id, round(${cosSql("b.embedding", "qe")}, 6) AS cos
+           | FROM b, q WHERE bit_count(xor(b.bucket, q.qb)) <= 1)
+           |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
+    // OR-construction over two independent plane tables: a pair is a
+    // candidate when EITHER table buckets it together — the recall
+    // (and bucket-space) repair for q29's single 8-plane table; each
+    // pair is emitted exactly once (first-table-wins, no dedup shuffle)
+    "q51_embed_neardup_multitable" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(16, 64)
+        Similarity.nearDupPairsMultiTable(t(s, dir, "embeddings"),
+          "vec_id", "embedding", Seq(all.take(8), all.drop(8)), 0.35)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 15) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN p < 8 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
+           |  CAST(sum(CASE WHEN p >= 8 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << (p - 8)) ELSE 0::BIGINT END) AS BIGINT) AS b1
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |p AS (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+           | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1)
+           | WHERE x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // IVF ANN — deterministic coarse quantizer + probed search. No SQL
     // oracle (k-means refinement isn't reasonably SQL-expressible);
     // driver records a rows-only check, and OpsSpec pins agreement of

@@ -119,6 +119,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe and multi-table widen recall over their single variants") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = Similarity.hyperplanes(16, 64)
+    val planes = all.take(8)
+    val qv = typedLit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0))
+    val single = Similarity.topKCosineLsh(emb, "vec_id", "embedding", qv, 50, planes)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.topKCosineLshMultiProbe(
+      emb, "vec_id", "embedding", qv, 50, planes, maxFlip = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi) || multi.size == 50) // superset until k caps it
+    assert(multi.size >= single.size)
+    val onePairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", planes, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoPairs = Similarity.nearDupPairsMultiTable(
+      emb, "vec_id", "embedding", Seq(planes, all.drop(8)), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(twoPairs.length == twoPairs.toSet.size) // exactly-once emission
+    assert(onePairs.subsetOf(twoPairs.toSet)) // OR-construction only adds
+  }
+
   test("sketch kernels agree with the Column-function formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
