@@ -66,4 +66,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ANN paths use the fused vector kernels, not interpreted HOFs") {
+    for (q <- Seq("q27_ann_topk", "q28_ann_lsh", "q29_embed_neardup")) {
+      val p = plan(q)
+      assert(p.contains("cosine_sim"), s"$q missing fused cosine")
+      // the HOF formulation would appear as aggregate(zip_with(...))
+      assert(!p.contains("zip_with"), s"$q still has interpreted HOF math")
+    }
+    assert(plan("q28_ann_lsh").contains("lsh_bucket"))
+  }
+
+  test("simhash pairs: no dedup shuffle, no cross join, cached sigs") {
+    val p = plan("q26_simhash_pairs")
+    assert(p.contains("InMemoryTableScan")) // both band-join sides cached
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // exactly-once emission replaced dropDuplicates: no agg on pair ids
+    assert(!p.contains("partial_first"))
+  }
 }
