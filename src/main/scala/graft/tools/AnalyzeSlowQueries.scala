@@ -33,6 +33,22 @@ import graft.report.Reporter
 object AnalyzeSlowQueries {
 
   def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-analyze-slow-queries")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    run(args, spark)
+    spark.stop()
+  }
+
+  /** The whole CLI chain minus session lifecycle — e2e-testable
+    * (CliSpec drives it on fixture pages against golden CSVs).
+    */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     require(args.length >= 2, "usage: AnalyzeSlowQueries <outDir> <json>... [flags]")
     val outDir = args(0)
     val (flags, files) = parseArgs(args.drop(1).toList)
@@ -54,15 +70,6 @@ object AnalyzeSlowQueries {
       patterns = patterns,
       tags = tags)
 
-    val spark = GraftSession.tune(SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-analyze-slow-queries")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
-
     val events = flags.get("processed") match {
       case Some(dir) => Reporter.readMaterialized(spark, dir).cache()
       case None =>
@@ -74,7 +81,7 @@ object AnalyzeSlowQueries {
     val reports = Analyzer.analyze(events, config)
     Reporter.report(reports, outDir)
     println(s"[graft] wrote reports to $outDir (events=${events.count()})")
-    spark.stop()
+    events.unpersist()
   }
 
   private def parseArgs(args: List[String]): (Map[String, String], Seq[String]) = {
