@@ -39,7 +39,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val note = "full-materialization timing (toRdd, round-2+); " +
+      "not comparable to round-1 count()-based numbers"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -239,6 +239,34 @@ object ExtendedQueries {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, session_start""".stripMargin)),
 
+    // skew tools under oracle: salting is semantically transparent, so
+    // the plain aggregation / join IS the oracle — the hash match
+    // proves the two-phase merge and key replication change nothing
+    "q52_salted_agg" -> Q(
+      (s, dir) => graft.ops.Skew.saltedCountSum(
+        t(s, dir, "events"),
+        keys = Seq(col("event_type")),
+        valueCol = floor(col("value") * 10).cast("long"),
+        saltSource = col("user_id"), salts = 8)
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS count,
+             | CAST(sum(CAST(floor(value*10) AS BIGINT)) AS BIGINT) AS sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    "q53_salted_join" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 25).as("n_nationkey"))
+        val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        graft.ops.Skew.saltedJoin(ev, nat, "n_nationkey",
+          saltSource = col("event_id"), salts = 8)
+          .select(col("event_id"), col("n_name"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, n_name
+             |FROM events JOIN nation ON user_id % 25 = n_nationkey
+             |ORDER BY event_id""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),
