@@ -1,0 +1,148 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-analysis kernels (same cure as [[SketchKernels]]:
+  * the Column formulations recompute the token array per signal and
+  * run interpreted HOFs; these tokenize once per row inside one
+  * codegen'd call). Value parity with the Column forms and the DuckDB
+  * oracles is pinned by OpsSpec + q20/q21.
+  */
+object TextKernels {
+
+  import SketchKernels.{hash32, tokenize}
+
+  /** Polynomial rolling hash: fold h = (h*31 + hash32(tok)) mod 2^31-1
+    * (intermediates < 2^37 — no overflow; empty input -> seed 0).
+    */
+  def rollingHash(text: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    var h = 0L
+    tokenize(text).foreach { t => h = (h * 31 + hash32(md, t)) % 2147483647L }
+    h
+  }
+
+  /** Argmax of distinct-token marker overlap, first-wins ties,
+    * all-zero -> "und" — mirrors `TextOps.langPredict`.
+    */
+  def langPredict(text: String, markers: Seq[(String, Seq[String])]): String = {
+    val distinct = new java.util.HashSet[String]()
+    tokenize(text).foreach(distinct.add)
+    val scores = markers.map { case (l, m) => l -> m.count(distinct.contains) }
+    val best = scores.map(_._2).max
+    if (best == 0) "und"
+    else scores.find(_._2 == best).get._1
+  }
+
+  /** (n_tokens, n_distinct, n_stop, max_tok_len) in one pass;
+    * max_tok_len is null for token-less text (array_max(empty) parity).
+    * Token length counts code points (Spark `length`, DuckDB `length`).
+    */
+  def qualitySignals(text: String, stopwords: Seq[String]): GenericInternalRow = {
+    val toks = tokenize(text)
+    val distinct = new java.util.HashSet[String]()
+    var maxLen = 0
+    toks.foreach { t =>
+      distinct.add(t)
+      val len = t.codePointCount(0, t.length)
+      if (len > maxLen) maxLen = len
+    }
+    val nStop = stopwords.count(distinct.contains)
+    new GenericInternalRow(Array[Any](
+      toks.length, distinct.size, nStop,
+      if (toks.isEmpty) null else maxLen))
+  }
+
+  // codegen entry points
+  def rollingHashEval(u: UTF8String): Long = rollingHash(u.toString)
+  def langEval(u: UTF8String, markers: Seq[(String, Seq[String])]): UTF8String =
+    UTF8String.fromString(langPredict(u.toString, markers))
+  def qualityEval(u: UTF8String, stop: Seq[String]): GenericInternalRow =
+    qualitySignals(u.toString, stop)
+  def tokenCountEval(u: UTF8String): Int = tokenize(u.toString).length
+}
+
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingHashEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.rollingHashEval($c);")
+  override protected def withNewChildInternal(c: Expression): RollingHashExpr =
+    copy(child = c)
+  override def prettyName: String = "rolling_hash"
+}
+
+case class LangPredictExpr(child: Expression,
+    markers: Seq[(String, Seq[String])]) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langEval(input.asInstanceOf[UTF8String], markers)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langMarkers", markers,
+      "scala.collection.immutable.Seq")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.langEval($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): LangPredictExpr =
+    copy(child = c)
+  override def prettyName: String = "lang_predict"
+}
+
+case class QualitySignalsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("max_tok_len", IntegerType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.qualityEval(input.asInstanceOf[UTF8String], stopwords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", stopwords,
+      "scala.collection.immutable.Seq")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.qualityEval($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): QualitySignalsExpr =
+    copy(child = c)
+  override def prettyName: String = "quality_signals"
+}
+
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenCountEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.tokenCountEval($c);")
+  override protected def withNewChildInternal(c: Expression): TokenCountExpr =
+    copy(child = c)
+  override def prettyName: String = "token_count"
+}
+
+object TextExpressions {
+  def rollingHash(text: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(text.cast("string"))))
+  def langPredict(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    ColumnBridge.column(LangPredictExpr(
+      ColumnBridge.expression(text.cast("string")), markers))
+  def qualitySignals(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(QualitySignalsExpr(
+      ColumnBridge.expression(text.cast("string")), stopwords))
+  def tokenCount(text: Column): Column =
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text.cast("string"))))
+}

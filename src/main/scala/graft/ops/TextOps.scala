@@ -30,8 +30,11 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Token count by whitespace. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count by whitespace — HOF form (differential reference). */
+  def tokenCountHof(text: Column): Column = size(tokens(text))
+
+  /** Token count by whitespace (fused kernel). */
+  def tokenCount(text: Column): Column = TextExpressions.tokenCount(text)
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric symbols each count as one token.
@@ -54,10 +57,11 @@ object TextOps {
     size(array_intersect(array_distinct(tokens(text)),
       array(markers.map(lit): _*)))
 
-  /** Predicted language: argmax of marker overlap with deterministic
-    * ties (first in langMarkers order wins; all-zero -> "und").
+  /** Predicted language — HOF form (differential reference): argmax of
+    * marker overlap with deterministic ties (first in langMarkers order
+    * wins; all-zero -> "und").
     */
-  def langPredict(text: Column): Column = {
+  def langPredictHof(text: Column): Column = {
     val scored = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
@@ -65,13 +69,18 @@ object TextOps {
     }
   }
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  /** Predicted language (fused kernel, one tokenize per row). */
+  def langPredict(text: Column): Column =
+    TextExpressions.langPredict(text, langMarkers)
 
-  /** Integer quality signals: token count, distinct-token count,
-    * stopword hits, max token length. Score is a pinned integer
-    * formula over them (see quality query oracle).
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Integer quality signals — HOF form (differential reference):
+    * token count, distinct-token count, stopword hits, max token
+    * length. Score is a pinned integer formula over them (see quality
+    * query oracle).
     */
-  def qualitySignals(text: Column): Column = {
+  def qualitySignalsHof(text: Column): Column = {
     val toks = tokens(text)
     val dtoks = array_distinct(toks)
     struct(
@@ -80,6 +89,10 @@ object TextOps {
       size(array_intersect(dtoks, array(stopwords.map(lit): _*))).as("n_stop"),
       array_max(transform(toks, t => length(t))).as("max_tok_len"))
   }
+
+  /** Integer quality signals (fused kernel, one pass per row). */
+  def qualitySignals(text: Column): Column =
+    TextExpressions.qualitySignals(text, stopwords)
 
   /** Normalized-content fingerprint: md5 of lowercased text with runs
     * of whitespace collapsed — the exact-dup key robust to spacing.
@@ -111,9 +124,14 @@ object TextOps {
     * DuckDB `list_reduce` with a prepended 0 seed) so results are
     * bit-identical.
     */
-  def rollingHash(text: Column): Column = {
+  def rollingHashHof(text: Column): Column = {
     val p = lit(2147483647L) // 2^31-1
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31 + hash32(t), p))
   }
+
+  /** Rolling hash (fused kernel: one MessageDigest, no per-token
+    * hex-string round trips).
+    */
+  def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
 }

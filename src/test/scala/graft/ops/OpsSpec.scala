@@ -141,6 +141,28 @@ class OpsSpec extends AnyFunSuite {
     assert(onePairs.subsetOf(twoPairs.toSet)) // OR-construction only adds
   }
 
+  test("text kernels agree with the HOF formulation incl. edge shapes") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionByName(Seq("", "   ", "x", "the the the",
+        "one-token", "a b  c   d").toDF("text"))
+    val cmp = corpus.select(
+      TextOps.tokenCountHof(col("text")).as("tc_h"),
+      TextOps.tokenCount(col("text")).as("tc_k"),
+      TextOps.langPredictHof(col("text")).as("lp_h"),
+      TextOps.langPredict(col("text")).as("lp_k"),
+      TextOps.qualitySignalsHof(col("text")).as("q_h"),
+      TextOps.qualitySignals(col("text")).as("q_k"),
+      TextOps.rollingHashHof(col("text")).as("rh_h"),
+      TextOps.rollingHash(col("text")).as("rh_k"))
+    cmp.collect().foreach { r =>
+      assert(r.getInt(0) == r.getInt(1))
+      assert(r.getString(2) == r.getString(3))
+      assert(r.getStruct(4) == r.getStruct(5))
+      assert(r.getLong(6) == r.getLong(7))
+    }
+  }
+
   test("sketch kernels agree with the Column-function formulation") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
