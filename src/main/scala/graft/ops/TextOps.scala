@@ -94,11 +94,17 @@ object TextOps {
   def qualitySignals(text: Column): Column =
     TextExpressions.qualitySignals(text, stopwords)
 
-  /** Normalized-content fingerprint: md5 of lowercased text with runs
-    * of whitespace collapsed — the exact-dup key robust to spacing.
+  /** Normalized-content fingerprint — HOF/regex form (differential
+    * reference): md5 of lowercased text with runs of whitespace
+    * collapsed — the exact-dup key robust to spacing.
     */
-  def fingerprint(text: Column): Column =
+  def fingerprintHof(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Normalized-content fingerprint (fused kernel — the regex form
+    * measured ~276us/row).
+    */
+  def fingerprint(text: Column): Column = TextExpressions.fingerprint(text)
 
   /** Deterministic dataset split assignment: md5-bucket of the id
     * (plus a salt so different experiments draw independent splits)

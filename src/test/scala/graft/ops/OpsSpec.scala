@@ -145,8 +145,11 @@ class OpsSpec extends AnyFunSuite {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
       .unionByName(Seq("", "   ", "x", "the the the",
-        "one-token", "a b  c   d").toDF("text"))
+        "one-token", "a b  c   d", "a\tb\nc\r MIXED Case", "\ttrail ")
+        .toDF("text"))
     val cmp = corpus.select(
+      TextOps.fingerprintHof(col("text")).as("fp_h"),
+      TextOps.fingerprint(col("text")).as("fp_k"),
       TextOps.tokenCountHof(col("text")).as("tc_h"),
       TextOps.tokenCount(col("text")).as("tc_k"),
       TextOps.langPredictHof(col("text")).as("lp_h"),
@@ -156,10 +159,11 @@ class OpsSpec extends AnyFunSuite {
       TextOps.rollingHashHof(col("text")).as("rh_h"),
       TextOps.rollingHash(col("text")).as("rh_k"))
     cmp.collect().foreach { r =>
-      assert(r.getInt(0) == r.getInt(1))
-      assert(r.getString(2) == r.getString(3))
-      assert(r.getStruct(4) == r.getStruct(5))
-      assert(r.getLong(6) == r.getLong(7))
+      assert(r.getString(0) == r.getString(1)) // fingerprint
+      assert(r.getInt(2) == r.getInt(3)) // token count
+      assert(r.getString(4) == r.getString(5)) // lang
+      assert(r.getStruct(6) == r.getStruct(7)) // quality signals
+      assert(r.getLong(8) == r.getLong(9)) // rolling hash
     }
   }
 
