@@ -116,6 +116,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN / kNN join: top-k corpus neighbors for EVERY query
+    * vector at once — the shape real pipelines use (a probe set, not
+    * one vector). Corpus and probes are bucketed by the same planes;
+    * the probe side broadcasts (queries are small relative to the
+    * corpus), so the corpus is never shuffled for the join — only the
+    * same-bucket candidates pay the per-query ranking window.
+    */
+  def knnJoinLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, planes: Array[Array[Int]]): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"),
+      lshBucket(col(qvecCol), planes).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id"), col("cos"), col("rn"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: `k` centroids refined with
     * `iters` Lloyd iterations from a deterministic seed (the k
     * lowest-id vectors — swap for sampled k-means++ in production; the

@@ -363,6 +363,43 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // batch ANN: top-k neighbors for a whole probe SET in one pass
+    // (LSH-bucketed kNN join, broadcast probes) — the pipeline shape,
+    // vs q28's single-vector probe
+    "q54_knn_join" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val planes = Similarity.hyperplanes(8, 64)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Similarity.knnJoinLsh(emb, "vec_id", "embedding",
+          probes, "qid", "embedding", k = 5, planes)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy(col("qid"), col("rn"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |c AS (
+           | SELECT q.vec_id AS qid, b.vec_id,
+           |  round(${cosSql("b.embedding", "q.embedding")}, 6) AS cos
+           | FROM b JOIN b q ON b.bucket = q.bucket
+           | WHERE q.vec_id < 5),
+           |r AS (
+           | SELECT *, CAST(row_number() OVER
+           |  (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+           | FROM c)
+           |SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5
+           |ORDER BY qid, rn""".stripMargin
+      }),
+
     // IVF ANN — deterministic coarse quantizer + probed search. No SQL
     // oracle (k-means refinement isn't reasonably SQL-expressible);
     // driver records a rows-only check, and OpsSpec pins agreement of

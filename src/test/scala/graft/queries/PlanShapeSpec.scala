@@ -77,6 +77,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q28_ann_lsh").contains("lsh_bucket"))
   }
 
+  test("knn join broadcasts the probe side; corpus never shuffles for the join") {
+    val p = plan("q54_knn_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("cosine_sim") && p.contains("lsh_bucket"))
+  }
+
   test("simhash pairs: no dedup shuffle, no cross join, cached sigs") {
     val p = plan("q26_simhash_pairs")
     assert(p.contains("InMemoryTableScan")) // both band-join sides cached
