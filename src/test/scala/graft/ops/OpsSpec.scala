@@ -76,6 +76,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("pigeonhole decomposition: every <=maxDist pair shares a band (randomized)") {
+    // pure check of the blocking math simhashPairsFromSigs relies on:
+    // 9 bands over 60 bits, any pair with <=8 differing bits agrees on
+    // at least one full band. Deterministic seed; 20k random cases.
+    val bands = 9
+    val base = 60 / bands
+    val extra = 60 % bands
+    val widths = Seq.tabulate(bands)(i => if (i < extra) base + 1 else base)
+    val los = widths.scanLeft(0)(_ + _).init
+    val rnd = new scala.util.Random(42)
+    (1 to 20000).foreach { _ =>
+      val sig = rnd.nextLong() & ((1L << 60) - 1)
+      val nFlips = 1 + rnd.nextInt(8)
+      val flipped = Iterator.continually(rnd.nextInt(60)).distinct
+        .take(nFlips).foldLeft(sig)((s, b) => s ^ (1L << b))
+      val shares = (0 until bands).exists { b =>
+        ((sig >> los(b)) & ((1L << widths(b)) - 1)) ==
+          ((flipped >> los(b)) & ((1L << widths(b)) - 1))
+      }
+      assert(shares, f"no shared band for sig=$sig%x flips=$nFlips")
+    }
+  }
+
   test("jaccard pairs integer threshold") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       Seq(element_at(TextOps.tokens(col("text")), 1)), 1, 2)
