@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.ops.{HashedShinglesExpr, MinHashSignatureExpr, SimHash60Expr}
+import graft.ops.{CosineSimExpr, FingerprintExpr, HashedShinglesExpr,
+  LangPredictExpr, MinHashSignatureExpr, QualitySignalsExpr,
+  RollingHashExpr, SimHash60Expr, TextOps, TokenCountExpr}
 import graft.parse.LexSlowQuery
 
 /** SQL-surface registration of graft's custom expressions, so
@@ -28,7 +30,13 @@ object GraftFunctions {
     "lex_slow_query" -> (args => LexSlowQuery(args.head)),
     "simhash60" -> (args => SimHash60Expr(args.head)),
     "minhash_signature" -> (args => MinHashSignatureExpr(args.head, 3)),
-    "hashed_shingles" -> (args => HashedShinglesExpr(args.head, 3)))
+    "hashed_shingles" -> (args => HashedShinglesExpr(args.head, 3)),
+    "cosine_sim" -> (args => CosineSimExpr(args.head, args(1))),
+    "text_fingerprint" -> (args => FingerprintExpr(args.head)),
+    "rolling_hash" -> (args => RollingHashExpr(args.head)),
+    "token_count" -> (args => TokenCountExpr(args.head)),
+    "lang_predict" -> (args => LangPredictExpr(args.head, TextOps.langMarkers)),
+    "quality_signals" -> (args => QualitySignalsExpr(args.head, TextOps.stopwords)))
 
   def register(spark: SparkSession): SparkSession = {
     functions.foreach { case (name, builder) =>

@@ -28,6 +28,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[Long](1) == viaDf.getSeq[Long](1))
   }
 
+  test("vector and text kernels are callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        | cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        | text_fingerprint('A  b') AS fp,
+        | rolling_hash('a b') AS rh,
+        | token_count(' a  b c ') AS tc,
+        | lang_predict('the query table') AS lang,
+        | quality_signals('the the cat').n_distinct AS nd""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getString(1).length == 32) // md5 hex of 'a b'
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 3)
+    assert(r.getString(4) == "analytics") // 2 analytics markers beat 1 en
+    assert(r.getInt(5) == 2)
+  }
+
   test("corrupt-record side channel returns the broken documents") {
     val dir = java.nio.file.Files.createTempDirectory("pages")
     java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {{{")
