@@ -94,6 +94,46 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** STUB feature extractor: a real implementation would decode the
+    * payload and run a vision/audio model per partition batch; the
+    * deterministic fake derives a dims-length vector from md5 of the
+    * payload bytes + dimension index. Components are INTEGER-valued
+    * floats ((hash32 % 1001) - 500) — exactly representable in both
+    * engines, so the downstream cosine math is oracle-checkable with
+    * no float-rounding hazard (cosine is scale-invariant, a magnitude
+    * normalization would add nothing).
+    */
+  def featureStub(bytes: Array[Byte], dims: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val text = new String(bytes, "UTF-8") // stub: real decoders read the codec, not UTF-8
+    Array.tabulate(dims) { d =>
+      val h = graft.ops.SketchKernels.hash32(md, text + "_" + d)
+      (h % 1001L - 500L).toFloat
+    }
+  }
+
+  /** Batched per-partition feature extraction: (id, payload) ->
+    * (id, features array<float>) — the multimodal on-ramp to the
+    * similarity/dedup operators (ANN top-k, near-dup pairs, kNN join).
+    */
+  def extractFeatures(media: DataFrame, idCol: String, payloadCol: String,
+      dims: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        // per-partition init of the (stub) model happens here
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.isNullAt(0) || bytes == null) Iterator.empty
+          else Iterator.single(Row(r.getLong(0), featureStub(bytes, dims).toSeq))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val frameSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("frame_idx", IntegerType),

@@ -35,14 +35,14 @@ object OpsQueries {
   /** DuckDB equivalent of TextOps.hash60 */
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Sequential-fold dot product of two DuckDB lists (len 64). */
-  private def dotSql(a: String, b: String): String =
+  /** Sequential-fold dot product of two DuckDB lists. */
+  private def dotSql(a: String, b: String, dims: Int = 64): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
-       | list_transform(generate_series(1, 64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       | list_transform(generate_series(1, $dims), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        | (x, y) -> x + y)""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def cosSql(a: String, b: String, dims: Int = 64): String =
+    s"(${dotSql(a, b, dims)}) / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
 
   def all: Map[String, Q] = Map(
 
@@ -481,6 +481,32 @@ object OpsQueries {
           | CAST(40 AS INTEGER) AS n_bytes,
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // multimodal -> similarity composition: batched (stub) feature
+    // extraction over binary payloads feeding exact ANN top-k — the
+    // pipeline on-ramp from media columns into the vector operators.
+    // Feature components are integer-valued floats (exact in both
+    // engines), so the cosines are oracle-checkable.
+    "q55_multimodal_ann" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        val feats = Multimodal.extractFeatures(docs, "doc_id", "payload",
+          dims = 16).cache()
+        val qv = typedLit(feats.filter(col("id") === 0)
+          .select(col("features")).head().getSeq[Float](0))
+        Similarity.topKCosine(feats, "id", "features", qv, 10)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(
+        s"""WITH f AS (
+           | SELECT doc_id, list_transform(generate_series(0, 15), d ->
+           |  CAST((('0x' || substr(md5(text || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+           |   % 1001) - 500 AS FLOAT)) AS features
+           | FROM documents),
+           |q AS (SELECT features AS qe FROM f WHERE doc_id = 0),
+           |c AS (SELECT doc_id, round(${cosSql("features", "qe", 16)}, 6) AS cos
+           |      FROM f, q)
+           |SELECT doc_id, cos FROM c ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin)),
 
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
