@@ -81,7 +81,18 @@ def main():
         got_types = table_types(
             con, f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         exp_types = table_types(con, oracles[name])
-        if got_cols != exp_cols:
+        # DECIMAL in a FINAL result is a portability hazard even when both
+        # sides agree: trailing-zero values ('730.00') stringify differently
+        # across engines' decimal/float repr paths, and the driver's hash
+        # diverges exactly there (round-2 verdict: 6 value-identical queries
+        # failed on this alone). Convention: emit BIGINT cents
+        # ((sum(...)*100).cast("long") / CAST(...*100 AS BIGINT)) or DOUBLE.
+        dec_cols = [c for c, ty in got_types if "DECIMAL" in ty.upper()]
+        if dec_cols:
+            results[name] = (f"DECIMAL-HAZARD columns {dec_cols}: final "
+                             "results must not be DECIMAL — emit BIGINT "
+                             "cents (*100 cast long) or DOUBLE on both sides")
+        elif got_cols != exp_cols:
             results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
         elif got_types != exp_types:
             diffs = [(g, e) for g, e in zip(got_types, exp_types) if g != e]

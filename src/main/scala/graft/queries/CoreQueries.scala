@@ -14,7 +14,9 @@ import graft.parse.LogColumns
   * Conventions for oracle hash-parity:
   *  - double columns that get aggregated are cast to DECIMAL(18,2)
   *    first (exact arithmetic — summing IEEE doubles in different
-  *    orders would flap the hash);
+  *    orders would flap the hash) — but the FINAL output is always
+  *    BIGINT cents (`(sum(...)*100).cast("long")`), never DECIMAL:
+  *    trailing-zero decimals ("730.00") render engine-dependently;
   *  - every query ends in a total ORDER BY (ties broken by keys);
   *  - the reference's floor-division average is `//` in DuckDB and
   *    floor() in Spark, both on exact integers.
@@ -39,16 +41,17 @@ object CoreQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"))
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("sum_qty_c"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("sum_price_c"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
-      // CASTs on aggregate outputs pin DuckDB's result types to Spark's
-      // (sum(DECIMAL(18,2)) is DECIMAL(38,2) in DuckDB vs DECIMAL(28,2)
-      // in Spark; sum(BIGINT) is HUGEINT vs BIGINT) — the driver's hash
-      // compare is type-sensitive even when values are identical.
+      // Final outputs are exact BIGINT cents, never DECIMAL: decimal
+      // values with trailing zeros ("730.00") render differently across
+      // engines' string paths and flap type-sensitive hash compares. The
+      // ×100 happens AFTER the exact DECIMAL(18,2) sum, so no precision
+      // is lost.
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_price_c
              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
     // P3 — HAVING min_count (reference :1077-1091)
@@ -56,26 +59,26 @@ object CoreQueries {
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
         .filter(col("cnt") >= 5)
         .orderBy(col("event_type"), col("user_id")),
       Some("""SELECT event_type, user_id, count(*) AS cnt,
-             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+             | CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
              |FROM events GROUP BY 1,2 HAVING count(*) >= 5 ORDER BY 1,2""".stripMargin)),
 
     // T1 — global top-N with deterministic tie-break (TakeOrderedAndProject)
     "q03_topn" -> Q(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"),
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long").as("revenue_c"),
           count(lit(1)).as("cnt"))
-        .orderBy(col("revenue").desc, col("l_partkey").asc)
+        .orderBy(col("revenue_c").desc, col("l_partkey").asc)
         .limit(100),
       Some("""SELECT l_partkey,
-             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue,
+             | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue_c,
              | count(*) AS cnt
              |FROM lineitem GROUP BY 1
-             |ORDER BY revenue DESC, l_partkey LIMIT 100""".stripMargin)),
+             |ORDER BY revenue_c DESC, l_partkey LIMIT 100""".stripMargin)),
 
     // A4 — per-minute tumbling volume with floor-div average
     "q04_volume" -> Q(
@@ -129,11 +132,11 @@ object CoreQueries {
           .join(nation, col("c_nationkey") === col("n_nationkey"), "left")
           .groupBy(coalesce(col("n_name"), lit("unknown")).as("nation"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+            (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("total_c"))
           .orderBy(col("nation"))
       },
       Some("""SELECT coalesce(n_name, 'unknown') AS nation, count(*) AS cnt,
-             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
              |FROM orders
              |LEFT JOIN customer ON o_custkey = c_custkey
              |LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -150,7 +153,7 @@ object CoreQueries {
           col("value"))
         .groupBy(col("class"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("sum_value_c"))
         .orderBy(col("class")),
       Some("""SELECT CASE
              |  WHEN event_type = 'purchase' AND value >= 100 THEN 'BIG_PURCHASE'
@@ -158,7 +161,7 @@ object CoreQueries {
              |  WHEN event_type = 'error' THEN 'ERROR'
              |  ELSE 'OTHER' END AS class,
              | count(*) AS cnt,
-             | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+             | CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // F2 — the REAL lexer over synthesized slow-query lines; the oracle
@@ -283,10 +286,10 @@ object CoreQueries {
       (s, dir) => t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100).cast("long").as("sum_qty_c"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+             | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty_c
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 

@@ -124,11 +124,13 @@ object ExtendedQueries {
         val ord = t(s, dir, "orders")
           .groupBy(col("o_custkey"), col("o_orderdate"))
           .agg(max(col("o_orderkey")).as("o_orderkey"),
-            max(col("o_totalprice").cast("decimal(18,2)")).as("o_price"))
+            // BIGINT cents, not DECIMAL — trailing-zero decimals render
+            // engine-dependently and flap type-sensitive hash compares
+            (max(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long").as("o_price_c"))
           .withColumnRenamed("o_custkey", "cust")
         graft.ops.Temporal.asofJoin(ev, ord, "cust",
-          col("at"), col("o_orderdate"), Seq("o_orderkey", "o_price"))
-          .select(col("event_id"), col("o_orderkey"), col("o_price"))
+          col("at"), col("o_orderdate"), Seq("o_orderkey", "o_price_c"))
+          .select(col("event_id"), col("o_orderkey"), col("o_price_c"))
           .orderBy(col("event_id"))
       },
       // Portable as-of oracle: union probe + state rows, carry the last
@@ -143,25 +145,25 @@ object ExtendedQueries {
              |ord AS (
              | SELECT o_custkey AS cust, o_orderdate,
              |  max(o_orderkey) AS o_orderkey,
-             |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS o_price
+             |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS o_price_c
              | FROM orders GROUP BY 1, 2),
              |u AS (
              | SELECT cust, at AS t, 1 AS is_probe, event_id,
              |  CAST(NULL AS BIGINT) AS o_orderkey,
-             |  CAST(NULL AS DECIMAL(18,2)) AS o_price
+             |  CAST(NULL AS BIGINT) AS o_price_c
              | FROM ev
              | UNION ALL
              | SELECT cust, CAST(o_orderdate AS TIMESTAMP) AS t, 0 AS is_probe,
-             |  CAST(NULL AS BIGINT) AS event_id, o_orderkey, o_price
+             |  CAST(NULL AS BIGINT) AS event_id, o_orderkey, o_price_c
              | FROM ord),
              |f AS (
              | SELECT event_id, is_probe,
              |  last_value(o_orderkey IGNORE NULLS) OVER w AS o_orderkey,
-             |  last_value(o_price IGNORE NULLS) OVER w AS o_price
+             |  last_value(o_price_c IGNORE NULLS) OVER w AS o_price_c
              | FROM u
              | WINDOW w AS (PARTITION BY cust ORDER BY t, is_probe
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT event_id, o_orderkey, o_price FROM f WHERE is_probe = 1
+             |SELECT event_id, o_orderkey, o_price_c FROM f WHERE is_probe = 1
              |ORDER BY event_id""".stripMargin)),
 
     // bucketed interval join: events (day-granular point) inside
