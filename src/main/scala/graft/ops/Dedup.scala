@@ -191,6 +191,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Band layout for a multi-word signature: `bands` contiguous slices
+    * that never straddle a word boundary (so extraction is one shift +
+    * mask per band, sign-safe because every word is < 2^wordBits).
+    * Words get ceil/floor shares of the bands; bits within a word get
+    * ceil/floor shares of the word's width. Returns (word, lo, width).
+    */
+  private[ops] def wideBandLayout(words: Int, wordBits: Int,
+      bands: Int): Seq[(Int, Int, Int)] = {
+    require(bands >= words, s"need >= $words bands to cover $words words")
+    val perWord = Seq.tabulate(words)(w =>
+      bands / words + (if (w < bands % words) 1 else 0))
+    perWord.zipWithIndex.flatMap { case (k, w) =>
+      val base = wordBits / k
+      val extra = wordBits % k
+      val widths = Seq.tabulate(k)(i => if (i < extra) base + 1 else base)
+      val los = widths.scanLeft(0)(_ + _).init
+      los.zip(widths).map { case (lo, wd) => (w, lo, wd) }
+    }
+  }
+
+  /** Pigeonhole band blocking over a MULTI-WORD (id, sig: array<long>)
+    * signature table — the wide-signature upgrade of
+    * [[simhashPairsFromSigs]]. Same recall-complete construction
+    * (maxDist+1 bands; a <=maxDist pair must agree on one), but with
+    * `words` x `wordBits` signature bits each band carries
+    * words*wordBits/(maxDist+1) bits, so the per-band value space is
+    * ~2^13-2^15 instead of 2^6-2^7: bucket population stays
+    * corpus/2^bandWidth — the quadratic-bucket ceiling of the 60-bit
+    * form is gone at large corpus sizes.
+    */
+  def simhashPairsFromSigsWide(sigs: DataFrame, maxDist: Int,
+      words: Int = 2, wordBits: Int = 60): DataFrame = {
+    val layout = wideBandLayout(words, wordBits, maxDist + 1)
+    def bandVal(sig: Column, b: Int): Column = {
+      val (w, lo, wd) = layout(b)
+      shiftright(element_at(sig, w + 1), lo).bitwiseAND(lit((1L << wd) - 1))
+    }
+    val bandStructs = array(layout.indices.map { b =>
+      struct(lit(b).as("bi"), bandVal(col("sig"), b).as("bv"))
+    }: _*)
+    val e = sigs.select(col("id"), col("sig"), explode(bandStructs).as("bk"))
+    val a = e.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = e.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val firstAgreeingBand = layout.indices.foldRight(lit(-1): Column) { (bd, els) =>
+      when(bandVal(col("sig_a"), bd) === bandVal(col("sig_b"), bd), lit(bd))
+        .otherwise(els)
+    }
+    val dist = (0 until words).map(w =>
+      bit_count(element_at(col("sig_a"), w + 1)
+        .bitwiseXOR(element_at(col("sig_b"), w + 1)))).reduce(_ + _)
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .filter(col("bk").getField("bi") === firstAgreeingBand)
+      .withColumn("dist", dist)
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** 120-bit SimHash near-dup pairs over (id, text): complete recall
+    * at hamming distance <= maxDist, scale-safe band-value space
+    * (see [[simhashPairsFromSigsWide]]).
+    */
+  def simhashPairs120(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"),
+        SketchExpressions.simhash120(col(textCol)).as("sig"))
+      .cache() // every band self-join side reads it; sigs are md5-heavy
+    simhashPairsFromSigsWide(sigs, maxDist)
+  }
+
   /** SimHash near-dup pairs over (id, text): complete recall at
     * hamming distance <= maxDist via pigeonhole band blocking.
     */

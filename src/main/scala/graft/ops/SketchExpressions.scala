@@ -142,6 +142,56 @@ object SketchKernels {
     }
     sig
   }
+
+  /** md5 hex chars 17..31 = 60 bits from the SECOND half of the digest
+    * (bytes 8..14 + high nibble of byte 15) — independent of hash60's
+    * bits, same non-negative-long representation.
+    */
+  def hash60b(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var h = 0L
+    var i = 8
+    while (i < 15) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(15) & 0xf0L) >> 4)
+  }
+
+  /** 120-bit SimHash as TWO 60-bit words (majority vote per bit over
+    * distinct tokens, same rule as simhash60). Two 60-bit words
+    * instead of 2x64 keep every word non-negative, so bit shifts and
+    * hex literals behave identically in Spark and the DuckDB oracle
+    * (16 hex chars overflow a signed BIGINT parse). Word 0 uses md5
+    * hex chars 1-15 (== simhash60's hash), word 1 chars 17-31.
+    */
+  def simhash120(text: String): Array[Any] = {
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](120)
+    var n = 0
+    tokenize(text).foreach { t =>
+      if (seen.add(t)) {
+        n += 1
+        val h0 = hash60(md, t)
+        val h1 = hash60b(md, t)
+        var b = 0
+        while (b < 60) {
+          if (((h0 >> b) & 1L) == 1L) counts(b) += 1
+          if (((h1 >> b) & 1L) == 1L) counts(60 + b) += 1
+          b += 1
+        }
+      }
+    }
+    val sig = new Array[Long](2)
+    var b = 0
+    while (b < 120) {
+      if (counts(b) * 2 > n) sig(b / 60) |= (1L << (b % 60))
+      b += 1
+    }
+    Array[Any](sig(0), sig(1))
+  }
+
+  def simhash120Eval(u: UTF8String): GenericArrayData =
+    new GenericArrayData(simhash120(u.toString))
 }
 
 /** minhash_signature(text): array<long> of k affine-min values. */
@@ -188,6 +238,20 @@ case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash60"
 }
 
+/** simhash120(text): array<long> of two 60-bit words. */
+case class SimHash120Expr(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash120Eval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.SketchKernels.simhash120Eval($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash120Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash120"
+}
+
 object SketchExpressions {
   def minhashSignature(text: Column, n: Int): Column =
     ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(text.cast("string")), n))
@@ -195,4 +259,6 @@ object SketchExpressions {
     ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text.cast("string")), n))
   def simhash60(text: Column): Column =
     ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(text.cast("string"))))
+  def simhash120(text: Column): Column =
+    ColumnBridge.column(SimHash120Expr(ColumnBridge.expression(text.cast("string"))))
 }

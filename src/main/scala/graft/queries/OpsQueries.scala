@@ -35,6 +35,9 @@ object OpsQueries {
   /** DuckDB equivalent of TextOps.hash60 */
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** DuckDB equivalent of SketchKernels.hash60b (md5 hex chars 17-31) */
+  private def h60b(e: String) = s"('0x' || substr(md5($e), 17, 15))::BIGINT"
+
   /** Sequential-fold dot product of two DuckDB lists. */
   private def dotSql(a: String, b: String, dims: Int = 64): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -228,6 +231,40 @@ object OpsQueries {
            |p AS (
            | SELECT a.id AS id_a, b.id AS id_b,
            |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS dist
+           | FROM sig a JOIN sig b ON a.id < b.id)
+           |SELECT id_a, id_b, dist FROM p WHERE dist <= 8
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // 120-bit (two 60-bit words) SimHash pairs — the scale-safe upgrade
+    // of q26: each pigeonhole band now carries 12-15 bits (~4k-32k
+    // distinct values), so bucket population stays corpus/2^bandWidth
+    // instead of hitting the 60-bit form's ~2^7 value ceiling. Oracle
+    // is again the STRONGER brute-force all-pairs check (recall proof,
+    // not a blocking mirror).
+    "q56_simhash_wide_pairs" -> Q(
+      (s, dir) => Dedup.simhashPairs120(t(s, dir, "documents"),
+        "doc_id", "text", maxDist = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some {
+        def bitTerms(hsList: String) = (0 until 60).map { b =>
+          s"(CASE WHEN 2 * len(list_filter($hsList, h -> ((h >> $b) & 1) = 1)) > len($hsList) " +
+            s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+        }.mkString(" + ")
+        s"""WITH toks AS (
+           | SELECT doc_id, list_distinct($toksSql) AS dt FROM documents),
+           |hs AS (
+           | SELECT doc_id,
+           |  list_transform(dt, t -> ${h60("t")}) AS h0,
+           |  list_transform(dt, t -> ${h60b("t")}) AS h1
+           | FROM toks),
+           |sig AS (
+           | SELECT doc_id AS id, (${bitTerms("h0")}) AS s0,
+           |  (${bitTerms("h1")}) AS s1 FROM hs),
+           |p AS (
+           | SELECT a.id AS id_a, b.id AS id_b,
+           |  CAST(bit_count(xor(a.s0, b.s0))
+           |   + bit_count(xor(a.s1, b.s1)) AS INTEGER) AS dist
            | FROM sig a JOIN sig b ON a.id < b.id)
            |SELECT id_a, id_b, dist FROM p WHERE dist <= 8
            |ORDER BY id_a, id_b""".stripMargin

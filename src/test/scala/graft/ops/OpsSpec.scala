@@ -99,6 +99,64 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("wide band layout: no word straddle, full coverage, >=12-bit bands") {
+    val layout = Dedup.wideBandLayout(words = 2, wordBits = 60, bands = 9)
+    assert(layout.size == 9)
+    // every band inside one word
+    layout.foreach { case (w, lo, wd) =>
+      assert(w == 0 || w == 1); assert(lo >= 0 && lo + wd <= 60)
+    }
+    // exact bit coverage per word, no overlap
+    (0 to 1).foreach { w =>
+      val covered = layout.filter(_._1 == w)
+        .flatMap { case (_, lo, wd) => lo until (lo + wd) }
+      assert(covered.sorted == (0 until 60))
+    }
+    // the scale property q26's 60-bit form lacks: every band value
+    // space is >= 2^12 (bucket population ~ corpus / 4096 or better)
+    assert(layout.map(_._3).min >= 12)
+  }
+
+  test("wide pigeonhole: every <=maxDist 120-bit pair shares a band (randomized)") {
+    val layout = Dedup.wideBandLayout(2, 60, 9)
+    val rnd = new scala.util.Random(43)
+    val mask60 = (1L << 60) - 1
+    (1 to 20000).foreach { _ =>
+      val sig = Array(rnd.nextLong() & mask60, rnd.nextLong() & mask60)
+      val nFlips = 1 + rnd.nextInt(8)
+      val flipped = sig.clone()
+      Iterator.continually(rnd.nextInt(120)).distinct.take(nFlips)
+        .foreach(b => flipped(b / 60) ^= (1L << (b % 60)))
+      val shares = layout.exists { case (w, lo, wd) =>
+        ((sig(w) >> lo) & ((1L << wd) - 1)) ==
+          ((flipped(w) >> lo) & ((1L << wd) - 1))
+      }
+      assert(shares, s"no shared band, flips=$nFlips")
+    }
+  }
+
+  test("simhash120: word0 == simhash60; blocking finds cross-word split pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    docs.select(SketchExpressions.simhash120(col("text")).as("s2"),
+      SketchExpressions.simhash60(col("text")).as("s1"))
+      .collect().foreach(r => assert(r.getSeq[Long](0).head == r.getLong(1)))
+    // a pair whose 8 differing bits straddle BOTH words — single-word
+    // blocking over either word alone could place all its differing
+    // bits badly; the 2-word pigeonhole must still find it
+    val w0 = 0x0ABCDEF012345L
+    val w1 = 0x0123456789ABCL
+    val s0 = (0L, w0, w1)
+    val s1 = (1L, w0 ^ (0xFL << 56), w1 ^ 0xFL) // 4 high + 4 low bits
+    val s2 = (2L, w0 ^ (0x1FL << 55), w1 ^ 0xFL) // 9 bits — beyond maxDist
+    val sigs = Seq(s0, s1, s2)
+      .toDF("id", "w0", "w1").select(col("id"), array(col("w0"), col("w1")).as("sig"))
+    val pairs = Dedup.simhashPairsFromSigsWide(sigs, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 1L)).contains(8))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
   test("jaccard pairs integer threshold") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       Seq(element_at(TextOps.tokens(col("text")), 1)), 1, 2)
