@@ -273,8 +273,53 @@ object Dedup {
     simhashPairsFromSigs(sigs, maxDist)
   }
 
+  /** Skew-resistant blocked Jaccard pairs: each doc is emitted into k
+    * blocks keyed by its k SMALLEST word-n-gram SHINGLE hashes (the
+    * min-of-k rarest-feature trick). Shingles, not tokens: the shingle
+    * space is ~vocab^n, so per-shingle document frequency is low and no
+    * single key can capture a corpus fraction — measured on the test
+    * corpus (SkewProbe) the max block is 0.6-1.2% of docs and SHRINKS
+    * with scale, vs 1.9-2.8% for the natural (lang, first-token) key
+    * and 77-81% (!) for single-token min-hashes, which degenerate when
+    * one frequent token draws a globally-minimal hash value. Two docs
+    * are candidates when their k-min sets intersect; each candidate
+    * pair is emitted exactly once from its SMALLEST shared key (no
+    * dedup shuffle — same pattern as the simhash first-agreeing-band
+    * emission), then token-Jaccard-verified with the integer threshold.
+    *
+    * Recall: near-dup docs share most shingles, so their global-min
+    * shingle hash coincides with probability ~= shingle-Jaccard
+    * (the MinHash estimator); k min-keys push that toward 1.
+    */
+  def jaccardPairsMinK(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, num: Int, den: Int): DataFrame = {
+    val base = df.select(
+      col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"),
+      slice(array_sort(SketchExpressions.hashedShingles(col(textCol), n)), 1, k)
+        .as("keys"))
+      .filter(size(col("keys")) > 0) // sub-n-token docs cannot block
+      .cache() // both self-join sides
+    val e = base.select(explode(col("keys")).as("bk"),
+      col("id"), col("toks"), col("keys"))
+    val a = e.select(col("bk"), col("id").as("id_a"),
+      col("toks").as("toks_a"), col("keys").as("keys_a"))
+    val b = e.select(col("bk"), col("id").as("id_b"),
+      col("toks").as("toks_b"), col("keys").as("keys_b"))
+    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+      // exactly-once: only the smallest shared key emits the pair
+      .filter(col("bk") === array_min(array_intersect(col("keys_a"), col("keys_b"))))
+      .withColumn("i_cnt", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("u_cnt", size(col("toks_a")) + size(col("toks_b")) - col("i_cnt"))
+      .filter(col("i_cnt") * den >= col("u_cnt") * num)
+      .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: block on caller-supplied
     * key columns, compare distinct token sets with integer threshold.
+    * Small-corpus / pedagogical variant: a natural-key block (lang,
+    * first token, ...) is Zipf-skewed — at corpus scale prefer
+    * [[jaccardPairsMinK]], whose hash-derived blocks are uniform.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[Column], num: Int, den: Int): DataFrame = {

@@ -192,6 +192,7 @@ object SketchKernels {
 
   def simhash120Eval(u: UTF8String): GenericArrayData =
     new GenericArrayData(simhash120(u.toString))
+
 }
 
 /** minhash_signature(text): array<long> of k affine-min values. */

@@ -126,24 +126,37 @@ object OpsQueries {
           | row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_duplicate
           |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Skew-resistant blocking: k smallest 3-gram-shingle hashes per doc
+    // (the min-of-k rarest-feature trick) instead of the Zipf-skewed
+    // (lang, first token) natural key — see jaccardPairsMinK scaladoc
+    // for the measured skew numbers (old key 1.9-2.8% max block; this
+    // key 0.6-1.2% and shrinking with scale). The oracle is the
+    // STRONGER any-shared-key brute force (all id<id pairs whose k-min
+    // sets intersect), so the hash match proves the exploded
+    // first-agreeing-key emission is exactly-once and complete, not
+    // merely that both engines block identically.
     "q23_jaccard_pairs" -> Q(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.jaccardPairs(docs, "doc_id", "text",
-          Seq(col("lang"), element_at(TextOps.tokens(col("text")), 1)), 1, 2)
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) => Dedup.jaccardPairsMinK(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 3, num = 1, den = 2)
+        .orderBy(col("id_a"), col("id_b")),
       Some(
-        s"""WITH base AS (
-           | SELECT doc_id AS id, lang || chr(1) || ($toksSql)[1] AS block,
-           |  list_distinct($toksSql) AS toks
-           | FROM documents),
+        s"""WITH tk AS (
+           | SELECT doc_id AS id, $toksSql AS t FROM documents),
+           |sh AS (
+           | SELECT id, list_distinct(t) AS toks,
+           |  list_distinct(list_transform(generate_series(1, len(t) - 2),
+           |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM tk),
+           |base AS (
+           | SELECT id, toks, list_slice(list_sort(
+           |   list_transform(sh, s -> ${h32("s")} % ${Dedup.MinhashP})), 1, 3) AS keys
+           | FROM sh WHERE len(sh) > 0),
            |p AS (
            | SELECT a.id AS id_a, b.id AS id_b,
            |  CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS i_cnt,
            |  CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
            |   AS INTEGER) AS u_cnt
-           | FROM base a JOIN base b USING (block) WHERE a.id < b.id)
+           | FROM base a JOIN base b ON a.id < b.id
+           |  AND len(list_intersect(a.keys, b.keys)) > 0)
            |SELECT id_a, id_b, i_cnt, u_cnt FROM p
            |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin)),
 
