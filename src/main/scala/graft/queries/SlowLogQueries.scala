@@ -3,11 +3,14 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.streaming.OutputMode
+
 import graft.GraftSession
 import graft.analyze.{Analyzer, SlowQueryPipeline}
 import graft.catalog.CqlCatalog
 import graft.model.{AnalysisConfig, QueryPattern}
 import graft.parse.LogColumns
+import graft.streaming.StreamingAnalyzer
 
 /** End-to-end embodiments of the ACTUAL slow-query pipeline (lexer ->
   * classify -> enrich -> aggregate) over messages synthesized
@@ -114,6 +117,16 @@ object SlowLogQueries {
       |  THEN 'u' || CAST(user_id AS VARCHAR) ELSE '' END AS primary_key
       |FROM events""".stripMargin
 
+  /** A4 per-minute volume oracle — shared by the batch (q46) and
+    * streaming (q57) embodiments: both must equal it exactly.
+    */
+  private val volumeOracle: String =
+    s"""WITH ev AS ($oracleEvents)
+       |SELECT minute, count(*) AS count,
+       | CAST(sum(duration) AS BIGINT) AS duration,
+       | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
+       |FROM ev GROUP BY minute ORDER BY minute""".stripMargin
+
   def all: Map[String, Q] = Map(
 
     // Full pipeline -> A1 query report (lexer + classify + enrich +
@@ -163,11 +176,37 @@ object SlowLogQueries {
     // Full pipeline -> A4 per-minute volume (analyze_slow_queries.py:1053-1061)
     "q46_slowlog_volume" -> Q(
       (s, dir) => Analyzer.volumeReport(parsed(s, dir), config),
-      Some(s"""WITH ev AS ($oracleEvents)
-              |SELECT minute, count(*) AS count,
-              | CAST(sum(duration) AS BIGINT) AS duration,
-              | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
-              |FROM ev GROUP BY minute ORDER BY minute""".stripMargin)),
+      Some(volumeOracle)),
+
+    // §2.10 driver-visible streaming check: the SAME per-minute volume
+    // computed by the Structured-Streaming plan (file source -> 1-min
+    // tumbling window, several real micro-batches) must equal q46's
+    // batch oracle. The source stays a distributed parquet stream; only
+    // the minute-level RESULT (thousands of rows) lands in the memory
+    // sink. Complete output mode so every window emits at end-of-input
+    // (append/watermark finalization semantics are pinned separately in
+    // StreamingAnalyzerSpec).
+    "q57_streaming_volume" -> Q(
+      (s, dir) => {
+        val ev = parsed(s, dir).select(col("timestamp"), col("duration"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+        ev.write.mode("overwrite").parquet(tmp.toString)
+        val stream = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+          .parquet(tmp.toString)
+        val qn = "graft_stream_vol_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val query = StreamingAnalyzer.volumePerMinute(stream)
+          .writeStream
+          .outputMode(OutputMode.Complete)
+          .format("memory")
+          .queryName(qn)
+          .start()
+        try { query.processAllAvailable() } finally { query.stop() }
+        s.table(qn).orderBy(col("minute"))
+      },
+      Some(volumeOracle)),
 
     // Full pipeline -> A5 per-minute top rows_per_minute groups
     // (analyze_slow_queries.py:1063-1075, 1116-1121)
