@@ -206,13 +206,8 @@ object Similarity {
   def topKCosineIvf(embeddings: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Double], kNearest: Int,
       centroids: Array[(Int, Array[Double])], nprobe: Int): DataFrame = {
-    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probes = centroids
-      .map { case (c, w) => c -> cosLocal(queryVec, w) }
+      .map { case (c, w) => c -> cosScalar(queryVec, w) }
       .sortBy { case (c, s) => (-s, c) }
       .take(nprobe).map(_._1).toSet
     val qLit = typedLit(queryVec.toSeq)
@@ -221,6 +216,93 @@ object Similarity {
       .select(col(idCol).as("id"), round(cosine(col(vecCol), qLit), 6).as("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(kNearest)
+  }
+
+  private def cosScalar(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Angular radius of each IVF cell: the max angle between a member
+    * and its centroid. One distributed pass at index-build time; the
+    * result is k scalars on the driver (never data-sized). Requires
+    * centroid ids 0..k-1 (ivfCentroids' output shape).
+    */
+  def ivfCellRadii(embeddings: DataFrame, vecCol: String,
+      centroids: Array[(Int, Array[Double])]): Array[(Int, Double)] = {
+    val ordered = centroids.sortBy(_._1)
+    val cosOwn = element_at(
+      array(ordered.map { case (_, w) =>
+        cosine(col(vecCol), typedLit(w.toSeq)) }: _*),
+      col("_cluster") + 1)
+    assignClusters(embeddings, vecCol, centroids)
+      .select(col("_cluster").as("c"),
+        acos(least(lit(1.0), greatest(lit(-1.0), cosOwn))).as("ang"))
+      .groupBy(col("c")).agg(max(col("ang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+  }
+
+  /** EXACT top-k via IVF with spherical triangle-inequality pruning:
+    * recall is 10/10 by construction, not a tuning outcome.
+    *
+    * Cosine depends only on direction, so cells live on the unit
+    * sphere; for a query q, cell centroid c with angle theta(q,c) and
+    * cell radius r_c, no member of the cell can beat
+    * cos(max(0, theta(q,c) - r_c)). Pass 1 scans the `nprobe`
+    * angularly-nearest cells and takes their top-k; pass 2 scans only
+    * the remaining cells whose bound can still beat the current k-th
+    * best (with a 1e-6 margin absorbing the 6-decimal output
+    * rounding). On clustered corpora pass 2 is empty or tiny; on
+    * pathological (uniform) corpora it degrades gracefully toward a
+    * full scan — but never returns a wrong answer, which is what lets
+    * q58's oracle assert IVF top-k == brute-force top-k exactly.
+    *
+    * At 100 TB the `assignClusters` recomputation would be a
+    * materialized index column (partition/bucket by cell) so each pass
+    * is a partition-pruned read; the probe logic is unchanged.
+    */
+  def topKCosineIvfExact(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], kNearest: Int,
+      centroids: Array[(Int, Array[Double])], radii: Array[(Int, Double)],
+      nprobe: Int): DataFrame = {
+    val (cells, df) = topKCosineIvfExactWithCells(
+      embeddings, idCol, vecCol, queryVec, kNearest, centroids, radii, nprobe)
+    val _ = cells
+    df
+  }
+
+  /** [[topKCosineIvfExact]] plus the probed cell set (for tests that
+    * assert the pruning actually prunes).
+    */
+  def topKCosineIvfExactWithCells(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Array[Double], kNearest: Int,
+      centroids: Array[(Int, Array[Double])], radii: Array[(Int, Double)],
+      nprobe: Int): (Set[Int], DataFrame) = {
+    val theta = centroids.map { case (c, w) =>
+      c -> math.acos(math.max(-1.0, math.min(1.0, cosScalar(queryVec, w))))
+    }.toMap
+    val rad = radii.toMap
+    val initial = theta.toSeq.sortBy { case (c, th) => (th, c) }
+      .take(nprobe).map(_._1).toSet
+    val qLit = typedLit(queryVec.toSeq)
+    val assigned = assignClusters(embeddings, vecCol, centroids)
+    def scanCells(cells: Set[Int]): DataFrame =
+      assigned.filter(col("_cluster").isin(cells.toSeq: _*))
+        .select(col(idCol).as("id"), round(cosine(col(vecCol), qLit), 6).as("cos"))
+        .orderBy(col("cos").desc, col("id").asc)
+        .limit(kNearest)
+    val first = scanCells(initial).collect()
+    // k-th best so far; if pass 1 found fewer than k, every cell whose
+    // bound beats "nothing" must be probed
+    val t = if (first.length < kNearest) -2.0 else first.last.getDouble(1)
+    val extra = centroids.map(_._1).filterNot(initial)
+      .filter { c =>
+        val bound = math.cos(math.max(0.0, theta(c) - rad.getOrElse(c, 0.0)))
+        bound >= t - 1e-6
+      }.toSet
+    val cells = initial ++ extra
+    (cells, scanCells(cells))
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket self-join, then exact

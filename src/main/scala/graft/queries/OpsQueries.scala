@@ -466,6 +466,45 @@ object OpsQueries {
       },
       None),
 
+    // IVF recall, driver-visible AND oracle-exact: plain probe-limited
+    // IVF on this corpus is data-limited (the embeddings are
+    // near-uniform, so true neighbors scatter across cells and
+    // E[recall] ~ nprobe/k — measured 3-10/10 even at nprobe=10/16;
+    // RecallProbe). q58 therefore runs the EXACT IVF variant —
+    // spherical triangle-inequality pruning guarantees the true top-k
+    // by construction — semi-joins it against the brute-force top-10,
+    // and emits recall_at_10. The oracle re-derives the true top-10 in
+    // SQL and asserts recall 10/10: a wrong pruning bound drops rows
+    // AND diverges the recall column. The plain-IVF floor and the
+    // prune-actually-prunes property are pinned in OpsSpec.
+    "q58_ivf_recall" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).toArray.map(_.toDouble)
+        val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16,
+          iters = 2, sampleMod = 4)
+        val radii = Similarity.ivfCellRadii(emb, "embedding", centroids)
+        val ivf = Similarity.topKCosineIvfExact(emb, "vec_id", "embedding",
+          q, 10, centroids, radii, nprobe = 4).select(col("id"))
+        val bf = Similarity.topKCosine(emb, "vec_id", "embedding",
+          typedLit(emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0)), 10)
+        bf.join(ivf, Seq("id"), "left_semi")
+          .withColumn("recall_at_10",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()).cast("long"))
+          .withColumnRenamed("id", "vec_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+      },
+      Some(
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos
+           |      FROM embeddings, q),
+           |t AS (SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10)
+           |SELECT vec_id, cos, CAST(10 AS BIGINT) AS recall_at_10 FROM t
+           |ORDER BY cos DESC, vec_id""".stripMargin)),
+
     // deterministic train/val/test split — stable across engines and
     // cluster layouts (md5 buckets, not random())
     "q44_train_split" -> Q(
