@@ -61,7 +61,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val note = "full-materialization timing (toRdd, round-2+); " +
       "not comparable to round-1 count()-based numbers"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}"""
+    println(line)
+    // Also land the line in a file: sbt interleaves Spark logs with
+    // stdout, so a consumer tailing the process output can fail to
+    // parse the JSON (BENCH_r02 "parsed": null). The file is clean.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
