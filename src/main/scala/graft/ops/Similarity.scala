@@ -322,14 +322,26 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** OR-construction near-dup pairs over SEVERAL independent plane
-    * tables: a pair is a candidate when ANY table buckets it together,
-    * so recall is 1 - prod(1 - p^planes) instead of a single table's
-    * p^planes — the scale path when one table's bucket space is too
+  /** OR-construction near-dup pairs over L independent plane tables:
+    * a pair is a candidate when ANY table buckets it together. With
+    * per-plane agreement probability p = 1 - theta/pi (theta = the
+    * pair's angle), a b-plane table buckets the pair together with
+    * probability p^b, so
+    *
+    *   recall(L tables x b planes) = 1 - (1 - p^b)^L.
+    *
+    * Wider tables sharpen precision (bucket space 2^b, fewer random
+    * collisions in the self-joins) while more tables repair the recall
+    * that widening costs: e.g. at cos 0.95 (theta ~ 0.1*pi, p ~ 0.9),
+    * one 8-plane table gives 0.43 recall over 256 buckets; 3 x 16
+    * planes give 1-(1-0.185)^3 ~ 0.46 over 65536 buckets — similar
+    * recall, 256x fewer candidates per bucket; 8 x 16 reach ~0.8.
+    * This is the scale path when one table's bucket space is too
     * coarse (round-1 verdict on the 8-plane/256-bucket single table).
     * Each table contributes one bucket self-join; a pair is emitted
     * only from the FIRST table that buckets it together (same
-    * no-dedup-shuffle trick as the simhash bands).
+    * no-dedup-shuffle trick as the simhash bands), so the union is
+    * exactly-once without a distinct shuffle.
     */
   def nearDupPairsMultiTable(embeddings: DataFrame, idCol: String,
       vecCol: String, planeTables: Seq[Array[Array[Int]]],

@@ -413,6 +413,42 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // the wide OR-construction: L=3 tables x 16 planes (65536 buckets
+    // each — 256x finer than q51's 8-plane tables, so per-bucket
+    // candidate volume collapses at scale) with the same
+    // first-table-wins exactly-once emission; recall formula
+    // 1-(1-p^16)^3 documented at nearDupPairsMultiTable
+    "q59_embed_neardup_wide_or" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(48, 64)
+        Similarity.nearDupPairsMultiTable(t(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          Seq(all.take(16), all.slice(16, 32), all.drop(32)), 0.30)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 47) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN p < 16 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
+           |  CAST(sum(CASE WHEN p >= 16 AND p < 32 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << (p - 16)) ELSE 0::BIGINT END) AS BIGINT) AS b1,
+           |  CAST(sum(CASE WHEN p >= 32 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END) AS BIGINT) AS b2
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |p AS (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+           | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2)
+           | WHERE x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.30
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // batch ANN: top-k neighbors for a whole probe SET in one pass
     // (LSH-bucketed kNN join, broadcast probes) — the pipeline shape,
     // vs q28's single-vector probe
