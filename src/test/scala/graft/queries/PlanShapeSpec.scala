@@ -92,4 +92,38 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly-once emission replaced dropDuplicates: no agg on pair ids
     assert(!p.contains("partial_first"))
   }
+
+  test("wide simhash pairs keep the 60-bit form's plan shape") {
+    val p = plan("q56_simhash_wide_pairs")
+    assert(p.contains("InMemoryTableScan")) // cached sig pass
+    assert(p.contains("simhash120")) // fused kernel, not HOF bit math
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("partial_first")) // first-agreeing-band emission
+  }
+
+  test("min-k jaccard: fused shingle kernel, equi-join on keys, cached base") {
+    val p = plan("q23_jaccard_pairs")
+    assert(p.contains("hashed_shingles")) // fused kernel computes the keys
+    assert(p.contains("InMemoryTableScan")) // both self-join sides cached
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("partial_first")) // smallest-shared-key emission
+  }
+
+  test("exact IVF recall gate: fused cosine, bounded-heap top-k, no cross join") {
+    val p = plan("q58_ivf_recall")
+    assert(p.contains("cosine_sim"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("zip_with")) // no interpreted HOF math
+  }
+
+  test("wide OR-construction: per-table equi-joins only, fused kernels") {
+    val p = plan("q59_embed_neardup_wide_or")
+    assert(p.contains("lsh_bucket") && p.contains("cosine_sim"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("partial_first")) // first-table-wins emission
+  }
 }
