@@ -315,6 +315,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
   }
 
+  /** Connected components of an undirected pair graph (id_a, id_b) by
+    * iterative min-label propagation: every node ends labeled with the
+    * smallest id reachable from it. This is the step that turns
+    * near-dup PAIRS (minhash/simhash/embedding) into DEDUP CLUSTERS —
+    * pick one canonical doc per component, drop the rest.
+    *
+    * Scale posture: each iteration is one equi-join + one min-combine
+    * (both map-side-combinable hash shuffles on node id); iterations
+    * needed = component diameter, and near-dup clusters are
+    * shallow (a hub template + its variants), so convergence is fast.
+    * The loop's per-iteration driver action is a LIMIT-1 convergence
+    * probe, never data-sized; lineage is truncated every 5 rounds
+    * (localCheckpoint) so plans don't grow unboundedly. For adversarial
+    * long-chain graphs swap in the large-star/small-star contraction
+    * (same join shapes, O(log d) rounds).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).cache()
+    var iter = 0
+    var done = sym.isEmpty
+    while (!done && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+        .withColumnRenamed("src", "id")
+      var next = labels.withColumnRenamed("comp", "oc")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("oc"),
+          least(col("oc"), coalesce(col("nbr"), col("oc"))).as("comp"))
+      if (iter % 5 == 4) next = next.localCheckpoint()
+      next = next.cache()
+      done = next.filter(col("comp") =!= col("oc")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("comp")).cache()
+      prev.unpersist()
+      next.unpersist()
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Dedup clustering over (id, text): near-dup pairs (MinHash+LSH)
+    * -> connected components -> every doc labeled with its cluster and
+    * whether it is the canonical (minimum-id) member. Docs without
+    * near-dups are their own singleton cluster.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rows: Int, num: Int, den: Int): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, bands, rows, num, den)
+      .select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster"))
+      .withColumn("is_canonical", col(idCol) === col("cluster"))
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: block on caller-supplied
     * key columns, compare distinct token sets with integer threshold.
     * Small-corpus / pedagogical variant: a natural-key block (lang,

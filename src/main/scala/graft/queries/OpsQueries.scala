@@ -38,6 +38,48 @@ object OpsQueries {
   /** DuckDB equivalent of SketchKernels.hash60b (md5 hex chars 17-31) */
   private def h60b(e: String) = s"('0x' || substr(md5($e), 17, 15))::BIGINT"
 
+  /** Shared CTE chain deriving the MinHash near-dup candidate pairs
+    * (mirrors Dedup.minhashPairs with n=3, 4 bands x 4 rows): ends at
+    * `chk(id_a, id_b, i_cnt, u_cnt)`. Used by q24 (the pair check)
+    * and q60 (clusters over the same graph).
+    */
+  private lazy val minhashCtes: String = {
+    val p = Dedup.MinhashP
+    val sigTerms = Dedup.minhashParams.map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"
+    }.mkString(",\n   ")
+    val bandTerms = (0 until 4).map { b =>
+      val elems = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
+      s"md5(concat_ws('_', '$b', ${elems.mkString(", ")}))"
+    }.mkString(",\n   ")
+    s"""toks AS (
+       | SELECT doc_id AS id, $toksSql AS t FROM documents),
+       |sh AS (
+       | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+       |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
+       |hs AS (
+       | SELECT id, sh, list_transform(sh, s -> ${h32("s")} % $p) AS hs FROM sh
+       | WHERE len(sh) > 0),
+       |sig AS (
+       | SELECT id, sh, [
+       |   $sigTerms
+       | ] AS sig FROM hs),
+       |bands AS (
+       | SELECT id, unnest([
+       |   $bandTerms
+       | ]) AS band FROM sig),
+       |cand AS (
+       | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
+       |chk AS (
+       | SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.hs, sb.hs)) AS INTEGER) AS i_cnt,
+       |  CAST(len(list_distinct(sa.hs || sb.hs)) AS INTEGER) AS u_cnt
+       | FROM cand
+       | JOIN hs sa ON sa.id = cand.id_a
+       | JOIN hs sb ON sb.id = cand.id_b)""".stripMargin
+  }
+
   /** Sequential-fold dot product of two DuckDB lists. */
   private def dotSql(a: String, b: String, dims: Int = 64): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
@@ -164,44 +206,38 @@ object OpsQueries {
       (s, dir) => Dedup.minhashPairs(t(s, dir, "documents"),
         "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
         .orderBy(col("id_a"), col("id_b")),
-      Some {
-        val p = Dedup.MinhashP
-        val sigTerms = Dedup.minhashParams.map { case (a, b) =>
-          s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"
-        }.mkString(",\n   ")
-        val bandTerms = (0 until 4).map { b =>
-          val elems = (0 until 4).map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)")
-          s"md5(concat_ws('_', '$b', ${elems.mkString(", ")}))"
-        }.mkString(",\n   ")
-        s"""WITH toks AS (
-           | SELECT doc_id AS id, $toksSql AS t FROM documents),
-           |sh AS (
-           | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-           |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
-           |hs AS (
-           | SELECT id, sh, list_transform(sh, s -> ${h32("s")} % $p) AS hs FROM sh
-           | WHERE len(sh) > 0),
-           |sig AS (
-           | SELECT id, sh, [
-           |   $sigTerms
-           | ] AS sig FROM hs),
-           |bands AS (
-           | SELECT id, unnest([
-           |   $bandTerms
-           | ]) AS band FROM sig),
-           |cand AS (
-           | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           | FROM bands a JOIN bands b USING (band) WHERE a.id < b.id),
-           |chk AS (
-           | SELECT id_a, id_b,
-           |  CAST(len(list_intersect(sa.hs, sb.hs)) AS INTEGER) AS i_cnt,
-           |  CAST(len(list_distinct(sa.hs || sb.hs)) AS INTEGER) AS u_cnt
-           | FROM cand
-           | JOIN hs sa ON sa.id = cand.id_a
-           | JOIN hs sb ON sb.id = cand.id_b)
+      Some(
+        s"""WITH $minhashCtes
            |SELECT id_a, id_b, i_cnt, u_cnt FROM chk
-           |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin
-      }),
+           |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin)),
+
+    // pairs -> CLUSTERS: the step an actual dedup pipeline needs after
+    // candidate generation. Connected components by min-label
+    // propagation over the MinHash near-dup graph; every doc gets its
+    // cluster id (min reachable doc_id) and a canonical flag. The
+    // oracle recomputes the same components with a recursive CTE over
+    // the same pair derivation — transitive closure, so it checks
+    // REACHABILITY, independent of the Spark side's iteration order.
+    "q60_dedup_clusters" -> Q(
+      (s, dir) => Dedup.dedupClusters(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH RECURSIVE $minhashCtes,
+           |pairs AS (
+           | SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (
+           | SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+           |SELECT doc_id, cluster, doc_id = cluster AS is_canonical
+           |FROM comp ORDER BY doc_id""".stripMargin)),
 
     "q25_simhash" -> Q(
       (s, dir) => t(s, dir, "documents")

@@ -165,6 +165,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("connected components: chains, cycles, singletons, empty graph") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // cycle 10-11-12-10, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comps(_) == 10L))
+    assert(Seq(20L, 21L).forall(comps(_) == 20L))
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("dedup clusters: identical docs share a cluster with one canonical") {
+    val out = Dedup.dedupClusters(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == byId(1L)._2) // identical docs, one cluster
+    assert(byId(0L)._3 && !byId(1L)._3) // min id is canonical
+    assert(byId(4L)._2 == 4L && byId(4L)._3) // unrelated doc is a singleton
+    assert(out.length == docs.count()) // every doc labeled
+  }
+
   test("min-k shingle blocking finds near-dups and bounds block skew") {
     val pairs = Dedup.jaccardPairsMinK(docs, "doc_id", "text",
       n = 3, k = 3, num = 1, den = 2)
