@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines: language
@@ -140,4 +140,33 @@ object TextOps {
     * hex-string round trips).
     */
   def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
+
+  /** Greedy contiguous sequence packing: docs in a deterministic
+    * per-stream order (streamCol partitions, idCol order) are packed
+    * into fixed token-budget context blocks; a doc belongs to the
+    * block in which its first token falls (cumulative-sum DIV
+    * capacity, i.e. concat-then-chunk pretraining layout). Returns
+    * per-(stream, block) packing stats.
+    *
+    * Scale posture: the running sum is a window partitioned by the
+    * STREAM column, so each stream's cumsum is independent — parallel
+    * across streams, no global single-partition sort (the classic
+    * global-cumsum trap). Streams are the unit a packing job shards
+    * by anyway (per language / per shard file).
+    */
+  def packSequences(df: DataFrame, streamCol: String, idCol: String,
+      textCol: String, capacity: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col(idCol))
+    df.select(col(streamCol), col(idCol),
+      tokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("block",
+        floor((col("cum") - col("toks")) / capacity).cast("long"))
+      .groupBy(col(streamCol), col("block"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"))
+  }
 }

@@ -643,6 +643,28 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // sequence packing: docs -> fixed token-budget context blocks
+    // (concat-then-chunk pretraining layout), cumsum windowed PER
+    // STREAM (lang) so no global single-partition sort
+    "q61_sequence_packing" -> Q(
+      (s, dir) => TextOps.packSequences(t(s, dir, "documents"),
+        "lang", "doc_id", "text", capacity = 512)
+        .orderBy(col("lang"), col("block")),
+      Some(
+        s"""WITH tc AS (
+           | SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents),
+           |c AS (
+           | SELECT lang, doc_id, toks,
+           |  CAST(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           | FROM tc)
+           |SELECT lang, (cum - toks) // 512 AS block,
+           | count(*) AS n_docs,
+           | CAST(sum(toks) AS BIGINT) AS tokens,
+           | min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM c GROUP BY 1, 2 ORDER BY lang, block""".stripMargin)),
+
     // multimodal -> similarity composition: batched (stub) feature
     // extraction over binary payloads feeding exact ANN top-k — the
     // pipeline on-ramp from media columns into the vector operators.
