@@ -141,6 +141,27 @@ object TextOps {
     */
   def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
 
+  /** PII redaction patterns: emails, then long digit runs (>= 7 —
+    * phone/account numbers; shorter runs are ids/quantities and stay).
+    * Both are RE2-compatible (no backrefs/lookarounds), so Java regex
+    * (Spark) and RE2 (DuckDB et al.) agree. Spark's regexp_replace is
+    * a native codegen expression; if profiling ever shows the
+    * backtracking engine hot on a 100 TB scan, the fix is a fused
+    * scan kernel like TextExpressions — the patterns need no
+    * backtracking.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** Redact emails then long digit runs. Email first: an email's
+    * local/domain part may contain a long digit run, and the
+    * placeholder must win.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(LongNumRe), lit("<NUM>"))
+
   /** Greedy contiguous sequence packing: docs in a deterministic
     * per-stream order (streamCol partitions, idCol order) are packed
     * into fixed token-budget context blocks; a doc belongs to the

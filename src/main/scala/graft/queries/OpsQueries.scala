@@ -643,6 +643,29 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction over synthesized dirty text: the oracle computes
+    // the expected REDACTED string by construction (it knows exactly
+    // what PII was planted), so the regexes must redact all of it and
+    // nothing else — a miss or an over-match both flip the hash
+    "q62_redact" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val dirty = concat(
+          lit("user u"), col("user_id").cast("string"),
+          lit(" email u"), col("user_id").cast("string"),
+          lit("@mail.example phone "),
+          lpad((col("event_id") % 1000000000L).cast("string"), 9, "0"),
+          lit(" ref "), (col("event_id") % 1000L).cast("string"))
+        ev.select(col("event_id"), TextOps.redact(dirty).as("clean"))
+          .orderBy(col("event_id"))
+      },
+      Some(
+        """SELECT event_id,
+          | 'user u' || CAST(user_id AS VARCHAR) ||
+          | ' email <EMAIL> phone <NUM> ref ' ||
+          | CAST(event_id % 1000 AS VARCHAR) AS clean
+          |FROM events ORDER BY event_id""".stripMargin)),
+
     // sequence packing: docs -> fixed token-budget context blocks
     // (concat-then-chunk pretraining layout), cumsum windowed PER
     // STREAM (lang) so no global single-partition sort
