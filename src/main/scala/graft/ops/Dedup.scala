@@ -321,15 +321,14 @@ object Dedup {
     * near-dup PAIRS (minhash/simhash/embedding) into DEDUP CLUSTERS —
     * pick one canonical doc per component, drop the rest.
     *
-    * Scale posture: each iteration is one equi-join + one min-combine
-    * (both map-side-combinable hash shuffles on node id); iterations
-    * needed = component diameter, and near-dup clusters are
-    * shallow (a hub template + its variants), so convergence is fast.
-    * The loop's per-iteration driver action is a LIMIT-1 convergence
-    * probe, never data-sized; lineage is truncated every 5 rounds
-    * (localCheckpoint) so plans don't grow unboundedly. For adversarial
-    * long-chain graphs swap in the large-star/small-star contraction
-    * (same join shapes, O(log d) rounds).
+    * Scale posture: each round is a neighbor-min step (equi-join +
+    * map-side-combinable min shuffle on node id) followed by a
+    * pointer-doubling step (comp := comp(comp), one self-join) — the
+    * doubling halves remaining path lengths, so rounds are
+    * O(log diameter) rather than O(diameter) even on adversarial
+    * chain graphs. The loop's per-round driver action is a LIMIT-1
+    * convergence probe, never data-sized; lineage is truncated every
+    * few rounds (localCheckpoint) so plans don't grow unboundedly.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val sym = pairs
@@ -339,6 +338,14 @@ object Dedup {
       .cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).cache()
+    // ONE Spark action per round (the convergence count, which also
+    // materializes the round's cache): on small/medium graphs the loop
+    // cost is per-job constant overhead, not data. Tables from the
+    // previous round are released one round LATE (prev/prevStepped) so
+    // nothing a lazy plan still references is evicted before its
+    // consumer materializes.
+    var prevStepped: DataFrame = null
+    var prev: DataFrame = null
     var iter = 0
     var done = sym.isEmpty
     while (!done && iter < maxIters) {
@@ -346,17 +353,33 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
         .withColumnRenamed("src", "id")
-      var next = labels.withColumnRenamed("comp", "oc")
+      var stepped = labels.withColumnRenamed("comp", "oc")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("oc"),
           least(col("oc"), coalesce(col("nbr"), col("oc"))).as("comp"))
-      if (iter % 5 == 4) next = next.localCheckpoint()
-      next = next.cache()
-      done = next.filter(col("comp") =!= col("oc")).isEmpty
-      val prev = labels
-      labels = next.select(col("id"), col("comp")).cache()
-      prev.unpersist()
-      next.unpersist()
+      if (iter % 3 == 2) stepped = stepped.localCheckpoint()
+      stepped = stepped.cache()
+      // the count materializes stepped's cache AND decides convergence
+      done = stepped.filter(col("comp") =!= col("oc")).count() == 0
+      if (prev != null) prev.unpersist()
+      if (prevStepped != null) prevStepped.unpersist()
+      prev = labels
+      prevStepped = stepped
+      labels =
+        if (done) stepped.select(col("id"), col("comp"))
+        else {
+          // pointer doubling: follow the label's label (comp is always
+          // a node id, so the lookup is a self-join on the cached label
+          // table); halves remaining path lengths -> O(log diameter)
+          // rounds even on chain graphs. Skipped on the confirm round:
+          // a fixpoint of the neighbor step is a fixpoint of doubling.
+          stepped
+            .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
+              Seq("comp"), "left")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+            .cache()
+        }
       iter += 1
     }
     sym.unpersist()
