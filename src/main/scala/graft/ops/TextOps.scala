@@ -141,6 +141,35 @@ object TextOps {
     */
   def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
 
+  /** Top-k salient terms per doc by an integer-exact tf-idf score:
+    * score = tf * SCALE * N DIV df (rational idf — no ln(), which is
+    * libm-dependent and would flap cross-engine hashes). The inverted
+    * index shape at scale: one explode + (doc, token) count for tf,
+    * one distinct-doc count for df; df is VOCABULARY-sized, so it
+    * broadcasts to the tf join — the corpus-sized side never
+    * reshuffles; ranking is windowed per doc.
+    *
+    * `n` (corpus size) is a driver scalar from one count — at 100 TB
+    * this is one cheap agg, or a known catalog statistic.
+    */
+  def topTfidfTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val scale = 1000000L
+    val n = df.count()
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfreq), Seq("token"))
+      .withColumn("score", expr(s"tf * $scale * ${n}L DIV df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** PII redaction patterns: emails, then long digit runs (>= 7 —
     * phone/account numbers; shorter runs are ids/quantities and stay).
     * Both are RE2-compatible (no backrefs/lookarounds), so Java regex

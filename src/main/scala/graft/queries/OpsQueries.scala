@@ -643,6 +643,33 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // tf-idf top terms per doc (inverted-index shape): integer-exact
+    // rational idf (tf * SCALE * N DIV df) — no ln(), which is
+    // libm-dependent; vocabulary-sized df side broadcasts
+    "q63_tfidf_terms" -> Q(
+      (s, dir) => TextOps.topTfidfTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("token")),
+      Some(
+        s"""WITH tok AS (
+           | SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |tf AS (
+           | SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (
+           | SELECT token, count(*) AS df FROM
+           |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+           |n AS (SELECT count(*) AS n FROM documents),
+           |s AS (
+           | SELECT doc_id, token, tf, df, tf * 1000000 * n.n // df AS score
+           | FROM tf JOIN dfreq USING (token), n),
+           |r AS (
+           | SELECT *, row_number() OVER
+           |  (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM s)
+           |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           | CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+           |FROM r WHERE rn <= 3
+           |ORDER BY doc_id, score DESC, token""".stripMargin)),
+
     // PII redaction over synthesized dirty text: the oracle computes
     // the expected REDACTED string by construction (it knows exactly
     // what PII was planted), so the regexes must redact all of it and
