@@ -305,6 +305,28 @@ object Similarity {
     (cells, scanCells(cells))
   }
 
+  /** Per-group mean-pooled centroid of a vector column, in the
+    * dimension-pivoted layout that scales: posexplode to
+    * (group, dim, x) rows, one hash aggregation keyed by (group, dim)
+    * — partial map-side combine applies, no vector objects ride the
+    * shuffle, and width-D vectors never concentrate on one task. The
+    * flat (group, dim) output IS the scale-correct representation;
+    * reassembling arrays is a narrow collect_list away when needed.
+    *
+    * Exactness: sums are exact for integer-valued components (the
+    * multimodal feature vectors); the milli-mean uses floor over a
+    * double division of exact integers — identical in IEEE math on
+    * both engines.
+    */
+  def groupCentroids(vectors: DataFrame, groupCol: Column, vecCol: String): DataFrame =
+    vectors
+      .select(groupCol.as("grp"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("grp"), col("dim"), col("x").cast("long").as("x"))
+      .groupBy(col("grp"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+      .withColumn("mean_milli",
+        floor(col("total") * 1000.0 / col("n")).cast("long"))
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join, then exact
     * cosine >= minCos (rounded compare). Only same-bucket pairs are
     * ever materialized.

@@ -643,6 +643,31 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // per-group mean-pooled feature centroids in the dimension-pivoted
+    // layout (posexplode -> one (grp, dim) hash agg; vectors never ride
+    // a shuffle whole). Exact: integer-valued features, floor over an
+    // IEEE-identical double division
+    "q64_feature_centroids" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        val feats = Multimodal.extractFeatures(docs, "doc_id", "payload", dims = 16)
+        Similarity.groupCentroids(feats, pmod(col("id"), lit(8)), "features")
+          .orderBy(col("grp"), col("dim"))
+      },
+      Some(
+        s"""WITH f AS (
+           | SELECT doc_id, list_transform(generate_series(0, 15), d ->
+           |  (('0x' || substr(md5(text || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+           |   % 1001) - 500) AS fe
+           | FROM documents),
+           |e AS (
+           | SELECT doc_id % 8 AS grp, i - 1 AS dim, fe[i] AS x
+           | FROM f, generate_series(1, 16) AS t(i))
+           |SELECT CAST(grp AS BIGINT) AS grp, CAST(dim AS INTEGER) AS dim,
+           | count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+           | CAST(floor(sum(x) * 1000.0 / count(*)) AS BIGINT) AS mean_milli
+           |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin)),
+
     // tf-idf top terms per doc (inverted-index shape): integer-exact
     // rational idf (tf * SCALE * N DIV df) — no ln(), which is
     // libm-dependent; vocabulary-sized df side broadcasts
