@@ -123,6 +123,31 @@ object TextOps {
     }
   }
 
+  /** Deterministic per-stratum downsampling: keep a row when its
+    * salted md5 bucket (0..999) falls under the stratum's per-mille
+    * rate. Engine-, partitioning-, and run-independent (the same rows
+    * are kept everywhere — unlike rand()-based .sample), which is what
+    * makes rebalancing reproducible and auditable. Strata missing from
+    * `permille` keep everything (rate 1000).
+    */
+  def stratifiedKeep(id: Column, stratum: Column, salt: String,
+      permille: Map[String, Int]): Column = {
+    val bucket = pmod(hash32(concat(id.cast("string"), lit("_" + salt))), lit(1000))
+    val rate = permille.foldRight(lit(1000): Column) {
+      case ((s, r), acc) => when(stratum === s, lit(r)).otherwise(acc)
+    }
+    bucket < rate
+  }
+
+  /** Order-independent table fingerprint: bit_xor of a per-row content
+    * hash. XOR commutes, so the checksum is independent of row order,
+    * partitioning, and merge order — one map-side-combinable aggregate
+    * even at 100 TB. Pair with count: xor alone cannot see a row
+    * duplicated an even number of times.
+    */
+  def rowHash(cols: Column*): Column =
+    hash32(concat_ws("", cols.map(_.cast("string")): _*))
+
   /** Polynomial rolling hash over tokens (order-sensitive document
     * fingerprint): fold h = (h*31 + hash32(token)) mod 2^31-1. The
     * modulus keeps every intermediate below 2^37 — no 64-bit overflow

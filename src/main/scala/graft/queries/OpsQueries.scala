@@ -643,6 +643,44 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // deterministic stratified downsampling: per-lang per-mille rates
+    // over salted md5 buckets — reproducible across engines, runs, and
+    // partitionings (rand()-based .sample is none of those); the
+    // oracle re-derives the exact surviving row set
+    "q65_stratified_sample" -> Q(
+      (s, dir) => {
+        val rates = Map("en" -> 600, "de" -> 250, "es" -> 250, "fr" -> 250)
+        val docs = t(s, dir, "documents")
+        docs.filter(TextOps.stratifiedKeep(col("doc_id"), col("lang"),
+          "bal1", rates))
+          .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH k AS (
+           | SELECT lang FROM documents
+           | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_bal1'), 1, 8))::BIGINT
+           |   % 1000 <
+           |  CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 250
+           |   WHEN 'es' THEN 250 WHEN 'fr' THEN 250 ELSE 1000 END)
+           |SELECT lang, count(*) AS kept FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // order-independent table fingerprint: bit_xor of per-row content
+    // hashes + count per lang — one map-side-combinable aggregate, the
+    // integrity-manifest shape for dataset versioning at scale
+    "q66_table_checksum" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(TextOps.rowHash(col("doc_id"), col("text"))).as("checksum"))
+        .orderBy(col("lang")),
+      Some(
+        s"""SELECT lang, count(*) AS n,
+           | CAST(bit_xor(('0x' || substr(md5(
+           |   CAST(doc_id AS VARCHAR) || chr(1) || text), 1, 8))::BIGINT) AS BIGINT)
+           |  AS checksum
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // per-group mean-pooled feature centroids in the dimension-pivoted
     // layout (posexplode -> one (grp, dim) hash agg; vectors never ride
     // a shuffle whole). Exact: integer-valued features, floor over an
