@@ -81,6 +81,53 @@ object StreamingAnalyzer {
       .withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Input/output rows for the streaming near-dup suppressor. */
+  case class SigDoc(docId: Long, band: Long, sig0: Long, sig1: Long, tsMillis: Long)
+  case class NearDupVerdict(docId: Long, dup: Boolean, dupOf: Long)
+
+  /** Streaming near-dup suppression, LSH-style: docs are keyed by a
+    * SimHash band value; within a bucket, a doc whose 120-bit
+    * signature is within `maxDist` of an ALREADY-ADMITTED doc is
+    * marked dup (with the admitted doc's id), otherwise admitted and
+    * added to the bucket state. Single-band recall is p_band per pair
+    * (the q56 pigeonhole math); chain L band-keyed passes for the
+    * OR-construction, exactly as in the batch operators.
+    *
+    * State is bounded two ways: per-bucket admitted list capped at
+    * `maxPerBucket` (oldest evicted first — a streaming index, not an
+    * archive), and processing within a micro-batch is ordered by
+    * (tsMillis, docId) so results don't depend on partition arrival
+    * order.
+    */
+  def nearDupSuppressStream(docs: Dataset[SigDoc], maxDist: Int,
+      maxPerBucket: Int = 64)(
+      implicit enc: org.apache.spark.sql.Encoder[NearDupVerdict]): Dataset[NearDupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], NearDupVerdict](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[List[(Long, Long, Long)]]) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupVerdict]
+          it.toSeq.sortBy(d => (d.tsMillis, d.docId)).foreach { d =>
+            val hit = admitted.find { case (_, s0, s1) =>
+              java.lang.Long.bitCount(s0 ^ d.sig0) +
+                java.lang.Long.bitCount(s1 ^ d.sig1) <= maxDist
+            }
+            hit match {
+              case Some((id, _, _)) =>
+                out += NearDupVerdict(d.docId, dup = true, dupOf = id)
+              case None =>
+                out += NearDupVerdict(d.docId, dup = false, dupOf = d.docId)
+                admitted = ((d.docId, d.sig0, d.sig1) :: admitted).take(maxPerBucket)
+            }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
   /** Event for the stateful session op. */
   case class SessionEvent(userId: Long, tsMillis: Long, duration: Long)
   case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)
