@@ -643,6 +643,44 @@ object OpsQueries {
           | md5(substring(text, 1, 40)) AS digest
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // per-stratum quality floor by EXACT discrete median (lower
+    // median = order statistic at rank (n+1) DIV 2): integer-exact
+    // order statistics per group, no approx sketch, no float
+    // interpolation — cross-engine stable by construction
+    "q67_median_floor" -> Q(
+      (s, dir) => {
+        val tc = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("toks"), col("doc_id"))
+        val ranked = tc.withColumn("rn", row_number().over(w))
+        val counts = tc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val med = ranked.join(broadcast(counts), Seq("lang"))
+          .filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("lang"), col("toks").as("med_toks"))
+        tc.join(broadcast(med), Seq("lang"))
+          .filter(col("toks") >= col("med_toks"))
+          .groupBy(col("lang"), col("med_toks"))
+          .agg(count(lit(1)).as("kept"))
+          .select(col("lang"), col("med_toks"), col("kept"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tc AS (
+           | SELECT lang, doc_id, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents),
+           |r AS (
+           | SELECT lang, toks, row_number() OVER
+           |  (PARTITION BY lang ORDER BY toks, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lang) AS n
+           | FROM tc),
+           |med AS (
+           | SELECT lang, toks AS med_toks FROM r WHERE rn = (n + 1) // 2)
+           |SELECT tc.lang, med_toks, count(*) AS kept
+           |FROM tc JOIN med ON tc.lang = med.lang AND tc.toks >= med_toks
+           |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // deterministic stratified downsampling: per-lang per-mille rates
     // over salted md5 buckets — reproducible across engines, runs, and
     // partitionings (rand()-based .sample is none of those); the
