@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.ops.{CosineSimExpr, FingerprintExpr, HashedShinglesExpr,
   LangPredictExpr, MinHashSignatureExpr, QualitySignalsExpr,
-  RollingHashExpr, SimHash60Expr, TextOps, TokenCountExpr}
+  RollingHashExpr, SimHash120Expr, SimHash60Expr, TextOps, TokenCountExpr}
 import graft.parse.LexSlowQuery
 
 /** SQL-surface registration of graft's custom expressions, so
@@ -29,6 +29,7 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "lex_slow_query" -> (args => LexSlowQuery(args.head)),
     "simhash60" -> (args => SimHash60Expr(args.head)),
+    "simhash120" -> (args => SimHash120Expr(args.head)),
     "minhash_signature" -> (args => MinHashSignatureExpr(args.head, 3)),
     "hashed_shingles" -> (args => HashedShinglesExpr(args.head, 3)),
     "cosine_sim" -> (args => CosineSimExpr(args.head, args(1))),

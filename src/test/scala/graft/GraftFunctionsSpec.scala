@@ -18,14 +18,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
   test("sketch functions are callable from SQL and match the DataFrame API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val viaSql = spark.sql("SELECT simhash60('a b c') AS s, minhash_signature('a b c d') AS m")
+    val viaSql = spark.sql(
+      "SELECT simhash60('a b c') AS s, minhash_signature('a b c d') AS m, " +
+        "simhash120('a b c') AS s2")
       .head()
     val viaDf = Seq(("a b c", "a b c d")).toDF("t1", "t2")
       .select(graft.ops.SketchExpressions.simhash60(col("t1")).as("s"),
-        graft.ops.SketchExpressions.minhashSignature(col("t2"), 3).as("m"))
+        graft.ops.SketchExpressions.minhashSignature(col("t2"), 3).as("m"),
+        graft.ops.SketchExpressions.simhash120(col("t1")).as("s2"))
       .head()
     assert(viaSql.getLong(0) == viaDf.getLong(0))
     assert(viaSql.getSeq[Long](1) == viaDf.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) == viaDf.getSeq[Long](2))
+    assert(viaSql.getSeq[Long](2).head == viaSql.getLong(0)) // word0 == simhash60
   }
 
   test("vector and text kernels are callable from SQL") {
