@@ -315,6 +315,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
   }
 
+  /** Cross-corpus near-dup pairs (train/test CONTAMINATION check):
+    * MinHash band buckets of corpus A hash-joined with corpus B's —
+    * never a self-join, never A x B. Each (a, b) contaminated pair is
+    * emitted exactly once from the FIRST band both sides share (the
+    * no-dedup-shuffle trick), then Jaccard-verified on hashed shingle
+    * sets with the integer threshold. At scale the band join shuffles
+    * ids+band keys only; shingle sets re-attach by id afterwards.
+    */
+  def crossMinhashPairs(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rows: Int,
+      num: Int, den: Int): DataFrame = {
+    def prep(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(s"id_$side"),
+        SketchExpressions.hashedShingles(col(textCol), n).as(s"hs_$side"),
+        SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
+      .filter(size(col(s"hs_$side")) > 0)
+      .withColumn(s"bk_$side", bandKeys(col("sig"), bands, rows))
+      .drop("sig")
+      .cache() // band join side + verify re-attach
+    val pa = prep(a, "a")
+    val pb = prep(b, "b")
+    val ea = pa.select(posexplode(col("bk_a")).as(Seq("bi", "band")),
+      col("id_a"), col("bk_a"))
+    val eb = pb.select(explode(col("bk_b")).as("band"), col("id_b"), col("bk_b"))
+    val firstShared = (0 until bands).foldRight(lit(-1): Column) { (i, els) =>
+      when(element_at(col("bk_a"), i + 1) === element_at(col("bk_b"), i + 1), lit(i))
+        .otherwise(els)
+    }
+    val cand = ea.join(eb, Seq("band"))
+      .filter(col("bi") === firstShared)
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(pa.select(col("id_a"), col("hs_a")), Seq("id_a"))
+      .join(pb.select(col("id_b"), col("hs_b")), Seq("id_b"))
+      .withColumn("i_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("u_cnt", size(array_union(col("hs_a"), col("hs_b"))))
+      .filter(col("i_cnt") * den >= col("u_cnt") * num)
+      .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
+  }
+
   /** Connected components of an undirected pair graph (id_a, id_b) by
     * iterative min-label propagation: every node ends labeled with the
     * smallest id reachable from it. This is the step that turns

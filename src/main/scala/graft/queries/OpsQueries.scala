@@ -285,6 +285,38 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // cross-corpus contamination: test docs (odd ids) that are MinHash
+    // near-dups of train docs (even ids) — a band hash-JOIN between the
+    // two corpora, never a self-join or cross product; exactly-once
+    // emission from the first shared band. Oracle: any-shared-band
+    // brute force over the same band derivation, proving emission
+    // complete and exactly-once
+    "q68_contamination" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.crossMinhashPairs(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(
+        s"""WITH $minhashCtes,
+           |tr AS (SELECT id, band FROM bands WHERE id % 2 = 0),
+           |te AS (SELECT id, band FROM bands WHERE id % 2 = 1),
+           |cand2 AS (
+           | SELECT DISTINCT tr.id AS id_a, te.id AS id_b
+           | FROM tr JOIN te USING (band)),
+           |chk2 AS (
+           | SELECT id_a, id_b,
+           |  CAST(len(list_intersect(sa.hs, sb.hs)) AS INTEGER) AS i_cnt,
+           |  CAST(len(list_distinct(sa.hs || sb.hs)) AS INTEGER) AS u_cnt
+           | FROM cand2
+           | JOIN hs sa ON sa.id = cand2.id_a
+           | JOIN hs sb ON sb.id = cand2.id_b)
+           |SELECT id_a, id_b, i_cnt, u_cnt FROM chk2
+           |WHERE i_cnt * 2 >= u_cnt ORDER BY id_a, id_b""".stripMargin)),
+
     // 120-bit (two 60-bit words) SimHash pairs — the scale-safe upgrade
     // of q26: each pigeonhole band now carries 12-15 bits (~4k-32k
     // distinct values), so bucket population stays corpus/2^bandWidth
