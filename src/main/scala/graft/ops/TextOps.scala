@@ -195,6 +195,26 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Overlapping token-window chunking (the RAG / pretraining
+    * chunker): each doc fans out to windows of `chunk` tokens taken
+    * every `stride` tokens (overlap = chunk - stride). Pure narrow
+    * fan-out — sequence + transform + posexplode, no shuffle; chunk
+    * count per doc is ceil(n/stride), so output size is predictable
+    * from token counts.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunk >= stride, "need chunk >= stride > 0")
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, size(tk) - 1, $stride), s -> " +
+            s"concat_ws(' ', slice(tk, s + 1, $chunk)))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", tokenCount(col("chunk_text")))
+  }
+
   /** PII redaction patterns: emails, then long digit runs (>= 7 —
     * phone/account numbers; shorter runs are ids/quantities and stay).
     * Both are RE2-compatible (no backrefs/lookarounds), so Java regex

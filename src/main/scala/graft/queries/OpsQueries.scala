@@ -826,6 +826,24 @@ object OpsQueries {
           | CAST(event_id % 1000 AS VARCHAR) AS clean
           |FROM events ORDER BY event_id""".stripMargin)),
 
+    // overlapping token-window chunking (RAG/pretraining chunker):
+    // windows of 32 tokens every 24 (8-token overlap), narrow fan-out
+    "q69_chunking" -> Q(
+      (s, dir) => TextOps.chunkDocs(t(s, dir, "documents"),
+        "doc_id", "text", chunk = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, $toksSql AS t FROM documents
+           | WHERE len($toksSql) > 0),
+           |st AS (
+           | SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 24)) AS s
+           | FROM tk)
+           |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+           | array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text,
+           | CAST(len(list_slice(t, s + 1, s + 32)) AS INTEGER) AS n_tokens
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // sequence packing: docs -> fixed token-budget context blocks
     // (concat-then-chunk pretraining layout), cumsum windowed PER
     // STREAM (lang) so no global single-partition sort
