@@ -423,6 +423,32 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSet == bf)
   }
 
+  test("new text ops are null- and empty-safe") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType, nullable = true)))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "en", "plain text here"),
+        org.apache.spark.sql.Row(2L, "en", ""),
+        org.apache.spark.sql.Row(3L, "en", "   "),
+        org.apache.spark.sql.Row(4L, "en", null))), schema)
+    // chunking drops token-less docs, keeps the real one
+    val chunks = TextOps.chunkDocs(weird, "doc_id", "text", 4, 3).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L))
+    // packing likewise only counts docs with tokens (empty/null -> 0)
+    val packed = TextOps.packSequences(weird, "lang", "doc_id", "text", 8)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(packed == 4) // all four rows land in blocks (0-token docs too)
+    // redact passes null through as null, empties as empties
+    val red = weird.select(col("doc_id"), TextOps.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(red(4L).isEmpty && red(2L).contains(""))
+    // tf-idf simply has no rows for token-less docs
+    val tfidf = TextOps.topTfidfTerms(weird, "doc_id", "text", 2)
+    assert(tfidf.select(col("doc_id")).distinct().count() == 1)
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not spacing-sensitive") {
     val out = Seq("a b c", "c b a", "a  b  c").toDF("text")
       .select(TextOps.rollingHash(col("text")).as("rh"),
