@@ -126,4 +126,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("partial_first")) // first-table-wins emission
   }
+
+  test("tf-idf broadcasts the vocabulary-sized df side") {
+    val p = plan("q63_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin")) // corpus side must not reshuffle for the join
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("contamination check: band equi-joins, no self/cross join, cached sketches") {
+    val p = plan("q68_contamination")
+    assert(p.contains("InMemoryTableScan")) // both prepared sides cached
+    assert(p.contains("hashed_shingles")) // fused sketch kernels
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("partial_first")) // first-shared-band emission
+  }
 }
