@@ -54,15 +54,19 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Keep the line SHORT: the consumer parses it out of a bounded tail
+    // of the sbt output, and BENCH_r03 showed a 69-query line with
+    // 9-decimal floats overflowing that window (the head of the line was
+    // truncated -> "parsed": null). Millisecond precision is plenty.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val note = "full-materialization timing (toRdd, round-2+); " +
-      "not comparable to round-1 count()-based numbers"
+    val note = "full-materialization timing (toRdd)"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file: sbt interleaves Spark logs with
     // stdout, so a consumer tailing the process output can fail to

@@ -371,6 +371,24 @@ object Dedup {
     * few rounds (localCheckpoint) so plans don't grow unboundedly.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // AQE is OFF for the duration of the loop (restored after). Adaptive
+    // planning re-optimizes and resubmits every shuffle stage of every
+    // round as its own scheduling step; on the pair graph — which is
+    // orders of magnitude smaller than the corpus that produced it —
+    // that per-round planning latency dominates the actual work
+    // (measured: 2.2 s/round with AQE vs 0.5-0.9 s/round without, same
+    // plan shapes, CcProbe). The loop's joins are uniform id-keyed hash
+    // joins with stable per-round statistics, exactly the case static
+    // planning handles; near-dup-graph skew shows up as big components
+    // (handled by pointer doubling), not as hot shuffle keys.
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(pairs, maxIters)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int): DataFrame = {
     val sym = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs

@@ -8,7 +8,10 @@ import graft.ops.Dedup
 
 /** Diagnostic: times the dedup-clusters pipeline at sf0.1, to
   * separate machine-load noise from real regressions in the
-  * component loop.
+  * component loop. History: round 3 measured ~2.2 s/round of pure AQE
+  * stage-replanning latency on a 255-edge pair graph (vs 0.5-0.9
+  * s/round static) — hence the AQE save/restore guard inside
+  * [[Dedup.connectedComponents]].
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
