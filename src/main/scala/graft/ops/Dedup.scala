@@ -26,14 +26,8 @@ object Dedup {
   import TextOps.{hash32, hash60, tokens}
 
   /** Word n-gram shingles (distinct), order-insensitive set. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(TextOps.ngrams(text, n))
 
   /** Exact dedup on a content key: marks each row kept/dropped by
     * min-doc_id-wins within identical keys. One shuffle on the key.

@@ -82,7 +82,35 @@ object TextKernels {
     md.digest(sb.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
+  /** Gopher-style repetition signals in one pass: (n_tokens,
+    * top_tok_cnt, n_bigrams, n_dup_bigrams). top_tok_cnt is the
+    * occurrence count of the most frequent token (null for token-less
+    * text — max-of-empty parity with the oracle); n_dup_bigrams counts
+    * bigram occurrences beyond each bigram's first (total - distinct).
+    */
+  def repetitionStats(text: String): GenericInternalRow = {
+    val toks = tokenize(text)
+    val freq = new java.util.HashMap[String, Int]()
+    toks.foreach(t => freq.merge(t, 1, Integer.sum))
+    var top = 0
+    freq.values.forEach(c => if (c > top) top = c)
+    val bigrams = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length - 1) {
+      bigrams.add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    val nBigrams = math.max(toks.length - 1, 0)
+    new GenericInternalRow(Array[Any](
+      toks.length,
+      if (toks.isEmpty) null else top,
+      nBigrams,
+      nBigrams - bigrams.size))
+  }
+
   // codegen entry points
+  def repetitionEval(u: UTF8String): GenericInternalRow =
+    repetitionStats(u.toString)
   def fingerprintEval(u: UTF8String): UTF8String =
     UTF8String.fromString(fingerprint(u.toString))
   def rollingHashEval(u: UTF8String): Long = rollingHash(u.toString)
@@ -157,6 +185,23 @@ case class QualitySignalsExpr(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "quality_signals"
 }
 
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("top_tok_cnt", IntegerType, nullable = true),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_dup_bigrams", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionEval(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.repetitionEval($c);")
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = IntegerType
@@ -183,4 +228,6 @@ object TextExpressions {
       ColumnBridge.expression(text.cast("string")), stopwords))
   def tokenCount(text: Column): Column =
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text.cast("string"))))
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text.cast("string"))))
 }

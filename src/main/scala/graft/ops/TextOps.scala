@@ -166,6 +166,78 @@ object TextOps {
     */
   def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
 
+  /** Ordered word n-grams, duplicates KEPT (the counting form;
+    * Dedup.shingles is the distinct set form over the same windows).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals (fused kernel, one pass per row):
+    * struct(n_tokens, top_tok_cnt, n_bigrams, n_dup_bigrams). The
+    * repetition FILTERS of Rai et al.'s quality pipeline reduce to
+    * integer comparisons over these (e.g. most-common-token fraction
+    * > 20%  <=>  top_tok_cnt * 5 > n_tokens) — kept as integers so the
+    * thresholds never flap cross-engine.
+    */
+  def repetitionStats(text: Column): Column =
+    TextExpressions.repetitionStats(text)
+
+  /** Repetition signals — HOF form (differential reference; quadratic
+    * in distinct tokens, never for the hot path).
+    */
+  def repetitionStatsHof(text: Column): Column = {
+    val tk = tokens(text)
+    val bigrams = ngrams(text, 2)
+    struct(
+      size(tk).as("n_tokens"),
+      array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t)))).as("top_tok_cnt"),
+      size(bigrams).as("n_bigrams"),
+      (size(bigrams) - size(array_distinct(bigrams))).as("n_dup_bigrams"))
+  }
+
+  /** Per-key cap (domain capping): keep at most `n` rows per key,
+    * ranked by `order`. One shuffle on the key; the per-key rank is a
+    * window, which at 100 TB is exactly the shape you want for
+    * "at most N documents per domain" — each domain's rows land on one
+    * reducer, and N is small. (For a SKEWED cap with huge N, two-phase
+    * salted top-N is the fallback — see Skew.saltedAgg.)
+    */
+  def capPerKey(df: DataFrame, keyCol: Column, order: Seq[Column],
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
+  /** Deterministic corpus reshard (the training-data "global shuffle"
+    * without random()): shard = salted md5 bucket of the id, position
+    * within the shard = rank of a SECOND independent salted hash — so
+    * both the shard assignment and the intra-shard order are
+    * reproducible across runs, engines, and cluster layouts, and
+    * re-running on an appended corpus moves only the new rows.
+    * One shuffle on the shard id; per-shard windows rank
+    * corpus/nShards rows each.
+    */
+  def reshard(df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    val shard = pmod(hash32(concat(col(idCol).cast("string"),
+      lit("_" + salt + "_shard"))), lit(nShards))
+    val posKey = hash32(concat(col(idCol).cast("string"),
+      lit("_" + salt + "_pos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos_key"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos_key", posKey)
+      .withColumn("pos", row_number().over(w))
+      .drop("pos_key")
+  }
+
   /** Top-k salient terms per doc by an integer-exact tf-idf score:
     * score = tf * SCALE * N DIV df (rational idf — no ln(), which is
     * libm-dependent and would flap cross-engine hashes). The inverted

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{BloomExpressions, TextOps}
+
+/** Round-4 training-data-pipeline operators: corpus curation steps a
+  * pretraining data job runs AFTER dedup — domain capping, repetition
+  * filtering (Gopher rules), corpus n-gram/vocabulary statistics,
+  * n-gram decontamination with a broadcast-bloom prune, deterministic
+  * resharding, and curriculum length bucketing.
+  *
+  * Same oracle discipline as OpsQueries: md5-derived hashes, integer
+  * thresholds, explicit CASTs to Spark's result types.
+  */
+object PipelineQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** whitespace tokens, empties dropped (mirror of TextOps.tokens) */
+  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB equivalent of TextOps.hash32 */
+  private def h32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  def all: Map[String, Q] = Map(
+
+    // Domain capping: at most N docs per source, best-first — the
+    // anti-over-representation step (a single crawl domain must not
+    // dominate the corpus). One shuffle on the key; rank-N windows are
+    // the right scale shape because N is small by definition.
+    "q70_domain_cap" -> Q(
+      (s, dir) => TextOps.capPerKey(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        col("source"), Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+        .orderBy(col("source"), col("rk")),
+      Some(
+        """SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS rk FROM (
+          | SELECT doc_id, source, n_chars,
+          |  row_number() OVER (PARTITION BY source
+          |    ORDER BY n_chars DESC, doc_id) AS rk
+          | FROM documents) WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // Gopher-style repetition filter signals, integer-exact: the
+    // most-common-token count and duplicate-bigram count per doc (one
+    // fused pass per row — the HOF form is quadratic and stays a
+    // differential test). is_repetitive pins the >20% rule as an
+    // integer comparison.
+    "q71_repetition" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.top_tok_cnt").as("top_tok_cnt"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.n_dup_bigrams").as("n_dup_bigrams"))
+        .withColumn("is_repetitive", col("top_tok_cnt") * 5 > col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |r AS (SELECT doc_id,
+           | CAST(len(t) AS INTEGER) AS n_tokens,
+           | CAST(list_aggregate(list_transform(list_distinct(t),
+           |   x -> len(list_filter(t, y -> y = x))), 'max') AS INTEGER) AS top_tok_cnt,
+           | CAST(greatest(len(t) - 1, 0) AS INTEGER) AS n_bigrams,
+           | CAST(greatest(len(t) - 1, 0) - len(list_distinct(
+           |   list_transform(generate_series(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1]))) AS INTEGER) AS n_dup_bigrams
+           | FROM tk)
+           |SELECT doc_id, n_tokens, top_tok_cnt, n_bigrams, n_dup_bigrams,
+           | top_tok_cnt * 5 > n_tokens AS is_repetitive
+           |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-wide most-frequent trigrams: explode KEEPING duplicates
+    // (counting form of the shingle fan-out), partial-agg count, global
+    // top-100 via TakeOrderedAndProject — never a full sort.
+    "q72_top_ngrams" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextOps.ngrams(col("text"), 3)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(100),
+      Some(
+        s"""WITH g AS (
+           | SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+           |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           | FROM (SELECT $toksSql AS t FROM documents))
+           |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+           |ORDER BY cnt DESC, gram LIMIT 100""".stripMargin)),
+
+    // Vocabulary Zipf profile: top-50 tokens with rank, cumulative
+    // count, and ppm coverage of the whole token stream. The global
+    // window runs over the LIMIT-50 result only (50 rows on one
+    // reducer — never the vocabulary); the stream total is one
+    // map-side-combinable scalar agg.
+    "q73_zipf" -> Q(
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+        val rankW = Window.orderBy(col("cnt").desc, col("token"))
+        counts.orderBy(col("cnt").desc, col("token")).limit(50)
+          .withColumn("rank", row_number().over(rankW))
+          .withColumn("cum_cnt", sum(col("cnt")).over(
+            rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("ppm", expr(s"cum_cnt * 1000000 DIV ${total}L"))
+          .orderBy(col("rank"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50)
+           |SELECT token, cnt,
+           | CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+           | CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+           |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+           | CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+           |   ROWS UNBOUNDED PRECEDING) * 1000000 // total AS BIGINT) AS ppm
+           |FROM top, tot ORDER BY rank""".stripMargin)),
+
+    // n-gram decontamination (the GPT-3/PaLM rule): train docs sharing
+    // any 8-gram with the test corpus, with per-doc hit counts. The
+    // test side's distinct 8-grams build a broadcast BLOOM that prunes
+    // the train-side gram stream in the scan stage (map-side, no
+    // shuffle); survivors are exact-verified by a broadcast semi-join,
+    // so the result is exactly the IN-subquery's — bloom false
+    // positives cannot leak (see BloomExpressions scaladoc).
+    "q74_ngram_decontam" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents").select(col("doc_id"),
+          explode(array_distinct(TextOps.ngrams(col("text"), 8))).as("gram"))
+        val test = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("gram")).distinct().cache()
+        val bloom = BloomExpressions.buildLongBloom(test,
+          TextOps.hash32(col("gram")), expectedItems = test.count())
+        grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .filter(BloomExpressions.mightContain(
+            TextOps.hash32(col("gram")), bloom))
+          .join(broadcast(test), Seq("gram"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |  list_transform(generate_series(1, len(t) - 7),
+           |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |    || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+           |    || ' ' || t[i+7]))) AS gram FROM tk),
+           |te AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+           |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+           |SELECT doc_id, count(*) AS n_hits FROM tr
+           |WHERE gram IN (SELECT gram FROM te)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic reshard — the training-data "global shuffle"
+    // without random(): salted-hash shard assignment + an independent
+    // salted-hash intra-shard order, reproducible across engines and
+    // cluster layouts. One shuffle; per-shard rank windows.
+    "q75_reshard" -> Q(
+      (s, dir) => TextOps.reshard(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nShards = 16, salt = "epoch1")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+      Some(
+        s"""WITH s AS (SELECT doc_id,
+           |  ${h32("CAST(doc_id AS VARCHAR) || '_epoch1_shard'")} % 16 AS shard,
+           |  ${h32("CAST(doc_id AS VARCHAR) || '_epoch1_pos'")} AS pk
+           | FROM documents)
+           |SELECT doc_id, shard,
+           | CAST(row_number() OVER (PARTITION BY shard
+           |   ORDER BY pk, doc_id) AS INTEGER) AS pos
+           |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // Curriculum length-bucketing: docs binned by token count into
+    // doubling buckets, with per-bucket doc/token totals and the
+    // cumulative token budget in bucket order (the window runs over
+    // <= 6 bucket rows, not data).
+    "q76_length_buckets" -> Q(
+      (s, dir) => {
+        val bucketed = t(s, dir, "documents")
+          .select(TextOps.tokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("bucket",
+            when(col("toks") < 16, 0).when(col("toks") < 32, 1)
+              .when(col("toks") < 64, 2).when(col("toks") < 128, 3)
+              .when(col("toks") < 256, 4).otherwise(5).cast("long"))
+        bucketed.groupBy(col("bucket")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("sum_tokens"),
+          min(col("toks")).as("min_tokens"),
+          max(col("toks")).as("max_tokens"))
+          .withColumn("cum_tokens", sum(col("sum_tokens")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        s"""WITH b AS (SELECT CASE
+           |  WHEN len(t) < 16 THEN 0 WHEN len(t) < 32 THEN 1
+           |  WHEN len(t) < 64 THEN 2 WHEN len(t) < 128 THEN 3
+           |  WHEN len(t) < 256 THEN 4 ELSE 5 END::BIGINT AS bucket,
+           |  len(t)::BIGINT AS toks
+           | FROM (SELECT $toksSql AS t FROM documents)),
+           |a AS (SELECT bucket, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           |  min(toks) AS min_tokens, max(toks) AS max_tokens
+           | FROM b GROUP BY bucket)
+           |SELECT bucket, n_docs, sum_tokens, min_tokens, max_tokens,
+           | CAST(sum(sum_tokens) OVER (ORDER BY bucket
+           |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |FROM a ORDER BY bucket""".stripMargin)))
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Invariants for the round-4 curation operators (domain cap,
+  * repetition stats, bloom decontamination, reshard); value parity
+  * with DuckDB is covered by the oracle gate (q70-q76).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "PipelineOpsSpec")
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "a a a a a a a a b c"), // 8/10 same token, repeated bigrams
+    (1L, "one two three four five six seven eight nine ten"),
+    (2L, "x y x y x y x y x y"), // alternating: dup bigrams, top 5/10
+    (3L, ""),
+    (4L, "solo")
+  ).toDF("doc_id", "text")
+
+  test("repetition kernel matches the HOF differential form") {
+    val k = docs.select(col("doc_id"),
+      TextOps.repetitionStats(col("text")).as("r")).orderBy("doc_id").collect()
+    val h = docs.select(col("doc_id"),
+      TextOps.repetitionStatsHof(col("text")).as("r")).orderBy("doc_id").collect()
+    k.zip(h).foreach { case (a, b) =>
+      assert(a.getStruct(1) == b.getStruct(1), s"doc ${a.getLong(0)}")
+    }
+  }
+
+  test("repetition stats values on planted docs") {
+    val m = docs.select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.top_tok_cnt"),
+        col("r.n_bigrams"), col("r.n_dup_bigrams"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(m(0L) == ((10, 8, 9, 6)))  // bigrams: 'a a'x7,'a b','b c' -> 9 total, 3 distinct
+    assert(m(2L) == ((10, 5, 9, 7)))  // 'x y'x5 + 'y x'x4 -> 2 distinct of 9
+    assert(m(3L) == ((0, -1, 0, 0)))  // empty text: null top count
+    assert(m(4L) == ((1, 1, 0, 0)))
+  }
+
+  test("bloom prune never drops a true member (superset of exact)") {
+    val keys = (0L until 2000L).map(i => (i, s"key_$i")).toDF("id", "k")
+    val small = keys.filter(col("id") % 7 === 0).select(col("k"))
+    val bloom = BloomExpressions.buildLongBloom(small,
+      TextOps.hash32(col("k")), expectedItems = 300)
+    val pruned = keys.filter(BloomExpressions.mightContain(
+      TextOps.hash32(col("k")), bloom))
+    // every true member survives the prune...
+    assert(pruned.join(small, Seq("k"), "left_semi").count() == small.count())
+    // ...and the prune + exact verify equals the exact semi-join
+    val verified = pruned.join(small, Seq("k"), "left_semi")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(verified == (0L until 2000L).filter(_ % 7 == 0).toSet)
+  }
+
+  test("bloom might_contain stays codegen'd (appears in plan, no UDF)") {
+    val keys = spark.range(100).select(col("id"),
+      concat(lit("k"), col("id")).as("k"))
+    val bloom = BloomExpressions.buildLongBloom(keys.limit(10),
+      TextOps.hash32(col("k")), expectedItems = 10)
+    val plan = keys.filter(BloomExpressions.mightContain(
+      TextOps.hash32(col("k")), bloom))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"))
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("capPerKey keeps at most n per key, best-first, deterministic ties") {
+    val rows = Seq(("s1", 1L, 10L), ("s1", 2L, 10L), ("s1", 3L, 5L),
+      ("s1", 4L, 20L), ("s2", 5L, 1L)).toDF("src", "id", "sz")
+    val out = TextOps.capPerKey(rows, col("src"),
+      Seq(col("sz").desc, col("id").asc), n = 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(4L, 1L, 5L)) // s1: 20 then the id-1 of the tied 10s
+  }
+
+  test("reshard is a permutation: every doc exactly once, positions contiguous") {
+    val ids = (0L until 500L).toDF("doc_id")
+    val out = TextOps.reshard(ids, "doc_id", nShards = 8, salt = "t").cache()
+    assert(out.count() == 500)
+    assert(out.select(col("doc_id")).distinct().count() == 500)
+    // per shard: positions are 1..count(shard)
+    val bad = out.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+    // deterministic: a second run gives the identical assignment
+    val again = TextOps.reshard(ids, "doc_id", nShards = 8, salt = "t")
+    assert(out.exceptAll(again).count() == 0)
+    out.unpersist()
+  }
+
+  test("ngrams keeps duplicates; shingles is its distinct set") {
+    val d = Seq((0L, "x y x y")).toDF("doc_id", "text")
+    val g = d.select(TextOps.ngrams(col("text"), 2).as("g"))
+      .head().getSeq[String](0)
+    assert(g == Seq("x y", "y x", "x y"))
+    val s = d.select(Dedup.shingles(col("text"), 2).as("s"))
+      .head().getSeq[String](0)
+    assert(s.toSet == Set("x y", "y x") && s.length == 2)
+  }
+}

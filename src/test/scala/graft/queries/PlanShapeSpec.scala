@@ -134,6 +134,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("corpus top-ngrams: partial agg + bounded-heap top-N") {
+    val p = plan("q72_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject")) // never a global sort
+    assert(p.contains("partial_")) // map-side combine under the shuffle
+  }
+
+  test("ngram decontamination: bloom prune in scan stage, broadcast verify") {
+    val p = plan("q74_ngram_decontam")
+    assert(p.contains("bloom_might_contain")) // map-side sketch prune
+    assert(p.contains("BroadcastHashJoin")) // exact verify vs small test side
+    assert(!p.contains("SortMergeJoin")) // corpus grams never reshuffle to verify
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("domain cap and reshard shuffle once on the key (no extra exchanges)") {
+    for (q <- Seq("q70_domain_cap", "q75_reshard")) {
+      val p = plan(q)
+      // the rank window + final presentation sort; nothing else shuffles
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("repetition stats run as the fused kernel, not HOF array math") {
+    val p = plan("q71_repetition")
+    assert(p.contains("repetition_stats"))
+    assert(!p.contains("array_distinct")) // the quadratic HOF form
+  }
+
   test("contamination check: band equi-joins, no self/cross join, cached sketches") {
     val p = plan("q68_contamination")
     assert(p.contains("InMemoryTableScan")) // both prepared sides cached
