@@ -25,9 +25,12 @@ object Dedup {
 
   import TextOps.{hash32, hash60, tokens}
 
-  /** Word n-gram shingles (distinct), order-insensitive set. */
+  /** Word n-gram shingles (distinct) — HOF differential reference for
+    * the fused kernels (tests only; hot paths use
+    * SketchExpressions.hashedShingles / TextOps.ngramsDistinct).
+    */
   def shingles(text: Column, n: Int): Column =
-    array_distinct(TextOps.ngrams(text, n))
+    array_distinct(TextOps.ngramsHof(text, n))
 
   /** Exact dedup on a content key: marks each row kept/dropped by
     * min-doc_id-wins within identical keys. One shuffle on the key.

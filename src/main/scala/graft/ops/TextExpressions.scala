@@ -6,6 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -108,7 +109,34 @@ object TextKernels {
       nBigrams - bigrams.size))
   }
 
+  /** Ordered word n-grams in one pass (duplicates kept, or first-
+    * occurrence-distinct when `distinct`): the HOF formulation
+    * (transform + n element_at lookups + concat_ws per window) runs
+    * interpreted and dominated the n-gram fan-out queries (q72/q74
+    * measured 7-17 s at sf0.1); this is the same one-StringBuilder
+    * sliding join the sketch kernels use. Sub-n-token text -> empty
+    * array (HOF parity).
+    */
+  def ngrams(text: String, n: Int, distinct: Boolean): Array[Any] = {
+    val toks = tokenize(text)
+    if (toks.length < n) return Array.empty[Any]
+    val out = new scala.collection.mutable.ArrayBuffer[Any](toks.length - n + 1)
+    val seen = if (distinct) new java.util.HashSet[String]() else null
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val g = sb.toString
+      if (seen == null || seen.add(g)) out += UTF8String.fromString(g)
+      i += 1
+    }
+    out.toArray
+  }
+
   // codegen entry points
+  def ngramsEval(u: UTF8String, n: Int, distinct: Boolean): ArrayData =
+    new GenericArrayData(ngrams(u.toString, n, distinct))
   def repetitionEval(u: UTF8String): GenericInternalRow =
     repetitionStats(u.toString)
   def fingerprintEval(u: UTF8String): UTF8String =
@@ -185,6 +213,20 @@ case class QualitySignalsExpr(child: Expression, stopwords: Seq[String])
   override def prettyName: String = "quality_signals"
 }
 
+case class NgramsExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.ngramsEval(input.asInstanceOf[UTF8String], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.ngramsEval($c, $n, $distinct);")
+  override protected def withNewChildInternal(c: Expression): NgramsExpr =
+    copy(child = c)
+  override def prettyName: String = "ngrams"
+}
+
 case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
@@ -230,4 +272,7 @@ object TextExpressions {
     ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text.cast("string"))))
   def repetitionStats(text: Column): Column =
     ColumnBridge.column(RepetitionStatsExpr(ColumnBridge.expression(text.cast("string"))))
+  def ngrams(text: Column, n: Int, distinct: Boolean = false): Column =
+    ColumnBridge.column(NgramsExpr(
+      ColumnBridge.expression(text.cast("string")), n, distinct))
 }

@@ -166,10 +166,23 @@ object TextOps {
     */
   def rollingHash(text: Column): Column = TextExpressions.rollingHash(text)
 
-  /** Ordered word n-grams, duplicates KEPT (the counting form;
-    * Dedup.shingles is the distinct set form over the same windows).
+  /** Ordered word n-grams, duplicates KEPT (fused kernel — the
+    * counting form; [[ngramsDistinct]] is the set form over the same
+    * windows). Sub-n-token text -> empty array.
     */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column =
+    TextExpressions.ngrams(text, n, distinct = false)
+
+  /** Distinct word n-grams, first occurrence kept (fused kernel;
+    * == array_distinct(ngrams)).
+    */
+  def ngramsDistinct(text: Column, n: Int): Column =
+    TextExpressions.ngrams(text, n, distinct = true)
+
+  /** n-grams — HOF form (differential reference; interpreted, the
+    * fused kernel measured ~10x faster on the fan-out queries).
+    */
+  def ngramsHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
@@ -192,7 +205,7 @@ object TextOps {
     */
   def repetitionStatsHof(text: Column): Column = {
     val tk = tokens(text)
-    val bigrams = ngrams(text, 2)
+    val bigrams = ngramsHof(text, 2)
     struct(
       size(tk).as("n_tokens"),
       array_max(transform(array_distinct(tk),

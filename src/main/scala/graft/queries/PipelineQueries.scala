@@ -138,14 +138,17 @@ object PipelineQueries {
     "q74_ngram_decontam" -> Q(
       (s, dir) => {
         val grams = t(s, dir, "documents").select(col("doc_id"),
-          explode(array_distinct(TextOps.ngrams(col("text"), 8))).as("gram"))
+          explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
         val test = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select(col("gram")).distinct().cache()
+        // bloom keys are xxhash64 — Spark-internal only (build and
+        // probe use the same fn; the ORACLE-visible comparison is the
+        // exact semi-join on gram strings), so no md5 portability tax
         val bloom = BloomExpressions.buildLongBloom(test,
-          TextOps.hash32(col("gram")), expectedItems = test.count())
+          xxhash64(col("gram")), expectedItems = test.count())
         grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
           .filter(BloomExpressions.mightContain(
-            TextOps.hash32(col("gram")), bloom))
+            xxhash64(col("gram")), bloom))
           .join(broadcast(test), Seq("gram"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
           .orderBy(col("doc_id"))

@@ -106,4 +106,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(s.toSet == Set("x y", "y x") && s.length == 2)
   }
+
+  test("fused ngrams kernel matches the HOF differential form") {
+    val d = docs.union(Seq((9L, "a b  c   d e")).toDF("doc_id", "text"))
+    for (n <- Seq(2, 3, 8)) {
+      val fused = d.select(col("doc_id"), TextOps.ngrams(col("text"), n).as("g"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      val hof = d.select(col("doc_id"), TextOps.ngramsHof(col("text"), n).as("g"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      assert(fused.toSeq == hof.toSeq, s"n=$n")
+      val fusedD = d.select(TextOps.ngramsDistinct(col("text"), n).as("g"))
+        .collect().map(_.getSeq[String](0))
+      val hofD = d.select(array_distinct(TextOps.ngramsHof(col("text"), n)).as("g"))
+        .collect().map(_.getSeq[String](0))
+      assert(fusedD.toSeq == hofD.toSeq, s"distinct n=$n")
+    }
+  }
 }

@@ -134,10 +134,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("corpus top-ngrams: partial agg + bounded-heap top-N") {
+  test("corpus top-ngrams: fused fan-out, partial agg + bounded-heap top-N") {
     val p = plan("q72_top_ngrams")
     assert(p.contains("TakeOrderedAndProject")) // never a global sort
     assert(p.contains("partial_")) // map-side combine under the shuffle
+    assert(p.contains("ngrams")) // fused kernel, not interpreted HOF windows
+    assert(!p.contains("concat_ws")) // the HOF construction's signature
   }
 
   test("ngram decontamination: bloom prune in scan stage, broadcast verify") {
