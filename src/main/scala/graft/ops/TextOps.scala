@@ -251,6 +251,45 @@ object TextOps {
       .drop("pos_key")
   }
 
+  /** Deterministic token-budget subsample ("take the first B tokens'
+    * worth of docs"): docs are globally ordered by a salted hash
+    * (+ id tie-break) and kept while the running token total stays
+    * within `budget`. The global cumulative sum — the classic
+    * single-partition-sort trap — is computed as a DISTRIBUTED PREFIX
+    * SUM instead: the 32-bit hash space is cut into `nBuckets`
+    * contiguous ranges (so bucket order == global hash order), each
+    * bucket's token total is one map-side-combinable agg, the
+    * bucket-count-sized totals row set becomes driver-side prefix
+    * offsets (scalar-sized, like IVF centroids), and each bucket then
+    * runs an independent windowed cumsum + its offset. Buckets whose
+    * offset already exceeds the budget are pruned BEFORE the window —
+    * at 100 TB with a 1% budget, 99% of the corpus never reaches the
+    * sort.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, salt: String, nBuckets: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bucketWidth = (1L << 32) / nBuckets
+    val base = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("h", hash32(concat(col(idCol).cast("string"),
+        lit("_" + salt))))
+      .withColumn("bucket", expr(s"h DIV $bucketWidth"))
+    val totals = base.groupBy(col("bucket")).agg(sum(col("toks")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bucket", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h"), col(idCol))
+    base.join(broadcast(offDf), Seq("bucket"))
+      .filter(col("off") < budget) // prune whole buckets past the budget
+      .withColumn("cum_tokens", sum(col("toks")).over(w) + col("off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("toks"), col("cum_tokens"))
+  }
+
   /** Top-k salient terms per doc by an integer-exact tf-idf score:
     * score = tf * SCALE * N DIV df (rational idf — no ln(), which is
     * libm-dependent and would flap cross-engine hashes). The inverted

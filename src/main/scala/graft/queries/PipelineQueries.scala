@@ -186,6 +186,74 @@ object PipelineQueries {
            |   ORDER BY pk, doc_id) AS INTEGER) AS pos
            |FROM s ORDER BY shard, pos""".stripMargin)),
 
+    // Dataset card: the per-source summary a curation job publishes —
+    // doc/token totals, language spread, repetitive-doc and
+    // exact-dup-doc counts. One pass computes every per-doc signal
+    // (fused kernels), then two key-shuffles (per-source agg;
+    // per-(source, fingerprint) dup counting).
+    "q77_data_card" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"), col("lang"),
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"),
+          TextOps.repetitionStats(col("text")).as("r"),
+          TextOps.fingerprint(col("text")).as("fp"))
+          .withColumn("rep",
+            when(col("r.top_tok_cnt") * 5 > col("r.n_tokens"), 1L)
+              .otherwise(0L))
+        val stats = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("rep")).as("n_repetitive"))
+        val dups = d.groupBy(col("source"), col("fp"))
+          .agg((count(lit(1)) - 1).as("extra"))
+          .groupBy(col("source")).agg(sum(col("extra")).as("n_dup_docs"))
+        stats.join(dups, Seq("source")).orderBy(col("source"))
+      },
+      Some(
+        s"""WITH d AS (SELECT source, lang, doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS toks,
+           |  list_aggregate(list_transform(list_distinct($toksSql),
+           |    x -> len(list_filter($toksSql, y -> y = x))), 'max') AS top_cnt,
+           |  len($toksSql) AS n_toks,
+           |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+           | FROM documents),
+           |st AS (SELECT source, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(sum(CASE WHEN top_cnt * 5 > n_toks THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_repetitive
+           | FROM d GROUP BY source),
+           |du AS (SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+           | FROM (SELECT source, fp, count(*) AS c FROM d GROUP BY 1, 2)
+           | GROUP BY source)
+           |SELECT st.source, n_docs, n_tokens, n_langs, n_repetitive,
+           |  n_dup_docs
+           |FROM st JOIN du USING (source) ORDER BY source""".stripMargin)),
+
+    // Deterministic token-budget subsample via DISTRIBUTED PREFIX SUM
+    // (contiguous hash-range buckets -> per-bucket totals -> driver
+    // prefix offsets -> per-bucket windowed cumsum, over-budget
+    // buckets pruned before the window) — the scale-safe form of the
+    // global running total the oracle computes with one big window.
+    "q79_token_budget" -> Q(
+      (s, dir) => TextOps.tokenBudgetSample(t(s, dir, "documents"),
+        "doc_id", "text", budget = 10000L, salt = "b1")
+        .orderBy(col("cum_tokens"), col("doc_id")),
+      Some(
+        s"""WITH s AS (SELECT doc_id,
+           |  CAST(len($toksSql) AS BIGINT) AS toks,
+           |  ${h32("CAST(doc_id AS VARCHAR) || '_b1'")} AS h
+           | FROM documents),
+           |c AS (SELECT doc_id, toks,
+           |  CAST(sum(toks) OVER (ORDER BY h, doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           | FROM s)
+           |SELECT doc_id, toks, cum_tokens FROM c
+           |WHERE cum_tokens <= 10000
+           |ORDER BY cum_tokens, doc_id""".stripMargin)),
+
     // Curriculum length-bucketing: docs binned by token count into
     // doubling buckets, with per-bucket doc/token totals and the
     // cumulative token budget in bucket order (the window runs over

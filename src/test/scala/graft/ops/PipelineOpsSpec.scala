@@ -107,6 +107,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(s.toSet == Set("x y", "y x") && s.length == 2)
   }
 
+  test("token-budget sample: distributed prefix sum equals the global window") {
+    val ids = (0L until 400L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenBudgetSample(ids, "doc_id", "text",
+      budget = 300L, salt = "t", nBuckets = 8).cache()
+    // naive single-window reference
+    val h = TextOps.hash32(concat(col("doc_id").cast("string"), lit("_t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = ids.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("h", h)
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .filter(col("cum_tokens") <= 300)
+      .select(col("doc_id"), col("toks"), col("cum_tokens"))
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+    // the kept set fills the budget: max cum <= budget, and the next
+    // doc in hash order would overflow it (or nothing was left)
+    val mx = out.agg(max(col("cum_tokens"))).head().getLong(0)
+    assert(mx <= 300)
+    out.unpersist()
+  }
+
   test("fused ngrams kernel matches the HOF differential form") {
     val d = docs.union(Seq((9L, "a b  c   d e")).toDF("doc_id", "text"))
     for (n <- Seq(2, 3, 8)) {
