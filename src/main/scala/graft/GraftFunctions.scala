@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.ops.{CosineSimExpr, FingerprintExpr, HashedShinglesExpr,
-  LangPredictExpr, MinHashSignatureExpr, QualitySignalsExpr,
-  RollingHashExpr, SimHash120Expr, SimHash60Expr, TextOps, TokenCountExpr}
+  LangPredictExpr, MinHashSignatureExpr, NgramsExpr, QualitySignalsExpr,
+  RepetitionStatsExpr, RollingHashExpr, SimHash120Expr, SimHash60Expr,
+  TextOps, TokenCountExpr}
 import graft.parse.LexSlowQuery
 
 /** SQL-surface registration of graft's custom expressions, so
@@ -37,7 +38,11 @@ object GraftFunctions {
     "rolling_hash" -> (args => RollingHashExpr(args.head)),
     "token_count" -> (args => TokenCountExpr(args.head)),
     "lang_predict" -> (args => LangPredictExpr(args.head, TextOps.langMarkers)),
-    "quality_signals" -> (args => QualitySignalsExpr(args.head, TextOps.stopwords)))
+    "quality_signals" -> (args => QualitySignalsExpr(args.head, TextOps.stopwords)),
+    // trigram default, matching the shingle arity above
+    "ngrams" -> (args => NgramsExpr(args.head, 3, distinct = false)),
+    "ngrams_distinct" -> (args => NgramsExpr(args.head, 3, distinct = true)),
+    "repetition_stats" -> (args => RepetitionStatsExpr(args.head)))
 
   def register(spark: SparkSession): SparkSession = {
     functions.foreach { case (name, builder) =>
