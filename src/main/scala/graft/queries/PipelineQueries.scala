@@ -254,6 +254,50 @@ object PipelineQueries {
            |WHERE cum_tokens <= 10000
            |ORDER BY cum_tokens, doc_id""".stripMargin)),
 
+    // q74's decontamination as a STREAM: train docs arrive in
+    // file-stream micro-batches and are checked against the static
+    // test-gram table via a stream-static left-semi join (static side
+    // loaded once, probed per batch). The oracle is the same exact
+    // IN-subquery as q74 — streaming the corpus must not change one
+    // verdict.
+    "q80_streaming_decontam" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val test = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
+          .distinct()
+        val train = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dc")
+        train.write.mode("overwrite").parquet(tmp.toString)
+        val stream = s.readStream.schema(train.schema)
+          .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+          .parquet(tmp.toString)
+        val qn = "graft_stream_dc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val query = graft.streaming.StreamingAnalyzer
+          .decontaminateStream(stream, "doc_id", "text", test, n = 8)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+          .format("memory")
+          .queryName(qn)
+          .start()
+        try { query.processAllAvailable() } finally { query.stop() }
+        s.table(qn).orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |  list_transform(generate_series(1, len(t) - 7),
+           |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |    || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+           |    || ' ' || t[i+7]))) AS gram FROM tk),
+           |te AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+           |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+           |SELECT doc_id, count(*) AS n_hits FROM tr
+           |WHERE gram IN (SELECT gram FROM te)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Curriculum length-bucketing: docs binned by token count into
     // doubling buckets, with per-bucket doc/token totals and the
     // cumulative token budget in bucket order (the window runs over

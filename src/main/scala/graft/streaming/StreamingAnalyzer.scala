@@ -128,6 +128,22 @@ object StreamingAnalyzer {
       }
   }
 
+  /** Streaming n-gram decontamination: incoming docs are checked
+    * against a STATIC test-set gram table via a stream-static
+    * left-semi join (the static side broadcasts; no stream-side state
+    * beyond the running per-doc aggregate). The batch counterpart is
+    * the q74 bloom-pruned pipeline — on a stream the static side is
+    * loaded once and every micro-batch probes it, which is exactly
+    * the "check each arriving crawl shard against the eval set"
+    * production shape.
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+      testGrams: DataFrame, n: Int): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.ops.TextOps.ngramsDistinct(col(textCol), n)).as("gram"))
+      .join(testGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+
   /** Event for the stateful session op. */
   case class SessionEvent(userId: Long, tsMillis: Long, duration: Long)
   case class SessionUpdate(userId: Long, sessionStart: Long, events: Long, totalDuration: Long)
