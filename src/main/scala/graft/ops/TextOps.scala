@@ -270,8 +270,10 @@ object TextOps {
       budget: Long, salt: String, nBuckets: Int = 32): DataFrame = {
     val spark = df.sparkSession
     val bucketWidth = (1L << 32) / nBuckets
+    // null text counts 0 tokens (included, costs no budget) — a bare
+    // null would null the windowed cumsum and silently drop the row
     val base = df.select(col(idCol),
-      tokenCount(col(textCol)).cast("long").as("toks"))
+      coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("toks"))
       .withColumn("h", hash32(concat(col(idCol).cast("string"),
         lit("_" + salt))))
       .withColumn("bucket", expr(s"h DIV $bucketWidth"))

@@ -132,6 +132,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("round-4 ops are null- and empty-safe") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "s1", "plain text here"),
+        org.apache.spark.sql.Row(2L, "s1", ""),
+        org.apache.spark.sql.Row(3L, null, "   "),
+        org.apache.spark.sql.Row(4L, "s2", null))), schema)
+    // ngrams: null -> null, token-less -> empty array
+    val g = weird.select(col("doc_id"), TextOps.ngrams(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(g(4L).isEmpty)
+    assert(g(2L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    assert(g(3L).exists(_.asInstanceOf[scala.collection.Seq[_]].isEmpty))
+    // repetition stats: null -> null struct; empty -> zero counts with
+    // null top_tok_cnt
+    val r = weird.select(col("doc_id"),
+      TextOps.repetitionStats(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(4L).isEmpty)
+    assert(r(2L).isDefined && r(3L).isDefined)
+    // capPerKey: null keys form their own group (SQL GROUP BY-style)
+    val capped = TextOps.capPerKey(weird, col("source"),
+      Seq(col("doc_id").asc), n = 1)
+    assert(capped.count() == 3) // s1, s2, null each keep one
+    // token budget: null/empty docs count 0 tokens but stay sampleable
+    val tb = TextOps.tokenBudgetSample(weird, "doc_id", "text",
+      budget = 100L, salt = "t", nBuckets = 4)
+    assert(tb.count() == 4)
+  }
+
   test("fused ngrams kernel matches the HOF differential form") {
     val d = docs.union(Seq((9L, "a b  c   d e")).toDF("doc_id", "text"))
     for (n <- Seq(2, 3, 8)) {
