@@ -43,7 +43,7 @@ object OpsQueries {
     * `chk(id_a, id_b, i_cnt, u_cnt)`. Used by q24 (the pair check)
     * and q60 (clusters over the same graph).
     */
-  private lazy val minhashCtes: String = {
+  private[queries] lazy val minhashCtes: String = {
     val p = Dedup.MinhashP
     val sigTerms = Dedup.minhashParams.map { case (a, b) =>
       s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"

@@ -254,6 +254,41 @@ object PipelineQueries {
            |WHERE cum_tokens <= 10000
            |ORDER BY cum_tokens, doc_id""".stripMargin)),
 
+    // Incremental ("seen-before") dedup — the production append path:
+    // an arriving BATCH (odd ids) is checked against the existing
+    // corpus LEDGER (even ids) with the cross-corpus MinHash band join
+    // (never a self-join), and every batch doc gets a VERDICT: is_new,
+    // or dup_of = the smallest matching ledger doc. Differs from q68
+    // (which emits the pair list): this is the per-doc admission
+    // decision an ingest job acts on. The oracle recomputes verdicts
+    // from the brute-force shared-band pair set.
+    "q78_incremental_dedup" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ledger = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val pairs = graft.ops.Dedup.crossMinhashPairs(ledger, batch,
+          "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        val dupOf = pairs.groupBy(col("id_b"))
+          .agg(min(col("id_a")).as("dup_of"))
+        batch.select(col("doc_id"))
+          .join(dupOf.withColumnRenamed("id_b", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("is_new", col("dup_of").isNull)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |p AS (
+           | SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS lid,
+           |        CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS bid
+           | FROM chk
+           | WHERE (id_a % 2) <> (id_b % 2) AND i_cnt * 2 >= u_cnt),
+           |v AS (SELECT bid, min(lid) AS dup_of FROM p GROUP BY bid)
+           |SELECT d.doc_id, v.dup_of, v.dup_of IS NULL AS is_new
+           |FROM documents d LEFT JOIN v ON v.bid = d.doc_id
+           |WHERE d.doc_id % 2 = 1
+           |ORDER BY d.doc_id""".stripMargin)),
+
     // q74's decontamination as a STREAM: train docs arrive in
     // file-stream micro-batches and are checked against the static
     // test-gram table via a stream-static left-semi join (static side
