@@ -49,12 +49,18 @@ object GraftFunctions {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // optimizer rules can't be injected into a built session through
+    // extensions; experimentalMethods is the supported hook for that
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.FuseNgramsDistinct))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.FuseNgramsDistinct
     spark
   }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -62,4 +68,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft", name),
           builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.FuseNgramsDistinct)
+  }
 }

@@ -50,6 +50,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(5) == 2)
   }
 
+  test("ngrams SQL surface and the array_distinct fusion rule") {
+    val r = spark.sql(
+      """SELECT ngrams('x y x y') AS g,
+        |       ngrams_distinct('x y x y') AS gd,
+        |       repetition_stats('a a b').top_tok_cnt AS top""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("x y x", "y x y"))
+    assert(r.getSeq[String](1) == Seq("x y x", "y x y"))
+    assert(r.getInt(2) == 2)
+    // the optimizer rewrites array_distinct(ngrams(..)) into the
+    // kernel's distinct mode: no ArrayDistinct survives optimization
+    val q = spark.sql("SELECT array_distinct(ngrams('x y x y x')) AS g")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("array_distinct"))
+    assert(q.head().getSeq[String](0) == Seq("x y x", "y x y"))
+  }
+
   test("corrupt-record side channel returns the broken documents") {
     val dir = java.nio.file.Files.createTempDirectory("pages")
     java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {{{")
