@@ -39,6 +39,19 @@ object Bench {
       val nat = spark.read.parquet(s"$sfDir/nation.parquet")
       ev.join(broadcast(nat), ev("user_id") % 25 === nat("n_nationkey"))
         .queryExecution.toRdd.foreach(_ => ())
+      // text/sketch kernel JIT + codegen, so the first documents query
+      // measures the operator rather than compilation
+      val doc = spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
+      doc.select(
+        graft.ops.SketchExpressions.simhash120(col("text")),
+        graft.ops.SketchExpressions.minhashSignature(col("text"), 3),
+        graft.ops.TextExpressions.ngrams(col("text"), 3, distinct = true),
+        graft.ops.TextExpressions.repetitionStats(col("text")),
+        graft.ops.TextExpressions.fingerprint(col("text")))
+        .queryExecution.toRdd.foreach(_ => ())
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(500)
+      emb.select(graft.ops.VectorExpressions.cosine(col("embedding"),
+        col("embedding"))).queryExecution.toRdd.foreach(_ => ())
     } catch { case _: Throwable => () } // warm-up must never fail the bench
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
