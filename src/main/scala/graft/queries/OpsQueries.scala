@@ -419,6 +419,55 @@ object OpsQueries {
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
+    // pairs -> CLUSTERS for the EMBEDDING modality (the q60 story on
+    // vectors): LSH near-dup pairs -> connected components -> every
+    // vector labeled with its cluster and a canonical flag. Oracle is
+    // the recursive-CTE transitive closure over the same bucket-join
+    // pair derivation — reachability-exact, independent of the Spark
+    // side's iteration order.
+    "q81_embed_clusters" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val planes = Similarity.hyperplanes(8, 64)
+        val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+          planes, 0.35).select(col("id_a"), col("id_b"))
+        val comps = Dedup.connectedComponents(pairs)
+        emb.select(col("vec_id"))
+          .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("cluster"))
+          .withColumn("is_canonical", col("vec_id") === col("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH RECURSIVE w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  sum(CASE WHEN (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |pr AS (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           | FROM b x JOIN b y ON x.bucket = y.bucket
+           | WHERE x.vec_id < y.vec_id
+           |  AND round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.35),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pr
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pr),
+           |reach(a, bb) AS (
+           | SELECT vec_id, vec_id FROM embeddings
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.bb = s.src),
+           |comp AS (
+           | SELECT a AS vec_id, min(bb) AS cluster FROM reach GROUP BY a)
+           |SELECT vec_id, cluster, vec_id = cluster AS is_canonical
+           |FROM comp ORDER BY vec_id""".stripMargin
+      }),
+
     // multi-probe repair of q28's recall: scan every bucket within one
     // sign-bit flip of the query's bucket (9 of 256), not just the
     // exact bucket
