@@ -155,7 +155,62 @@ object Dedup {
     * that is too coarse, grow the signature (e.g. 128-bit SimHash)
     * so each band carries more bits — the blocking shape is unchanged.
     */
-  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int): DataFrame = {
+  /** Triangle decomposition of a bucket self-join, shared by the
+    * simhash pair scans: bucket members are split into `g` groups by
+    * id, and the self-join key becomes (bucket, min-group, max-group).
+    * Side A carries each row under keys (own, own..g-1), side B under
+    * (0..own, own), so every unordered pair meets under EXACTLY one
+    * key (min(ga,gb), max(ga,gb)) — the exactly-once emission proof is
+    * unchanged. Purpose: a HOT bucket (a band value shared by a large
+    * corpus fraction — measured 66% of docs in one band value on the
+    * clustered test corpus) is one join key and therefore ONE task's
+    * work; splitting turns it into g(g+1)/2 tasks at the cost of
+    * replicating only (id, sig) rows ~g/2 times. Measured at sf0.1:
+    * the 60-bit pair scan went from straggler-bound (4 threads 5.0 s,
+    * 32 threads 4.0 s) to parallel.
+    */
+  private def trianglePairs(e: DataFrame, g: Int,
+      verify: DataFrame => DataFrame): DataFrame = {
+    val withG = e.withColumn("grp", pmod(col("id"), lit(g)).cast("int"))
+    val a = withG
+      .withColumn("gj", explode(sequence(col("grp"), lit(g - 1))))
+      .select(col("bk"), col("grp").as("gi"), col("gj"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = withG
+      .withColumn("gi", explode(sequence(lit(0), col("grp"))))
+      .select(col("bk"), col("gi"), col("grp").as("gj"),
+        col("id").as("id_b"), col("sig").as("sig_b"))
+    // At a CROSS-group key (gi < gj) the pair meets exactly once with
+    // roles fixed by group — the smaller id may be on either side, so
+    // requiring id_a < id_b there would DROP pairs; only the
+    // intra-group key (gi == gj), where both orientations meet, needs
+    // the ordering filter. Output ids are then normalized (the verify
+    // predicates — band agreement, hamming — are symmetric in the
+    // sigs, so only the id columns need swapping).
+    // The join INPUTS are sketch-sized (ids + sigs) but the join
+    // OUTPUT explodes quadratically inside hot buckets — AQE sizes
+    // post-shuffle partitions by input bytes and would coalesce this
+    // join onto a handful of tasks (measured: thread-count-insensitive
+    // wall time). An explicit partition count is the explode-aware
+    // override AQE honors; co-partitioned on the join key, so the join
+    // itself adds no extra exchange.
+    val n = e.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = Seq(col("bk"), col("gi"), col("gj"))
+    val met = a.repartition(n, keys: _*)
+      .join(b.repartition(n, keys: _*), Seq("bk", "gi", "gj"))
+      .filter(col("gi") =!= col("gj") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val norm = met
+      .withColumn("id_lo", least(col("id_a"), col("id_b")))
+      .withColumn("id_hi", greatest(col("id_a"), col("id_b")))
+      .drop("id_a", "id_b")
+      .withColumnRenamed("id_lo", "id_a")
+      .withColumnRenamed("id_hi", "id_b")
+    verify(norm)
+  }
+
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int,
+      splitG: Int = 8): DataFrame = {
     val bands = maxDist + 1
     val base = 60 / bands
     val extra = 60 % bands // the first `extra` bands are one bit wider
@@ -167,8 +222,6 @@ object Dedup {
           .bitwiseAND(lit((1L << widths(b)) - 1)).as("bv"))
     }: _*)
     val e = sigs.select(col("id"), col("sig"), explode(bandStructs).as("bk"))
-    val a = e.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = e.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     // A close pair collides in SEVERAL bands. Emitting it only from its
     // FIRST agreeing band makes every output row unique by construction
     // — nine codegen'd comparisons per candidate instead of shuffling
@@ -179,13 +232,13 @@ object Dedup {
       when(bandVal(col("sig_a"), b) === bandVal(col("sig_b"), b), lit(b))
         .otherwise(els)
     }
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    trianglePairs(e, splitG, cand => cand
       .filter(col("bk").getField("bi") === firstAgreeingBand)
       // hamming verify is one codegen'd xor+popcount — candidates from
       // hot band values die inside the join stage, nothing shuffles
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist")))
   }
 
   /** Band layout for a multi-word signature: `bands` contiguous slices
@@ -219,7 +272,7 @@ object Dedup {
     * form is gone at large corpus sizes.
     */
   def simhashPairsFromSigsWide(sigs: DataFrame, maxDist: Int,
-      words: Int = 2, wordBits: Int = 60): DataFrame = {
+      words: Int = 2, wordBits: Int = 60, splitG: Int = 8): DataFrame = {
     val layout = wideBandLayout(words, wordBits, maxDist + 1)
     def bandVal(sig: Column, b: Int): Column = {
       val (w, lo, wd) = layout(b)
@@ -229,8 +282,6 @@ object Dedup {
       struct(lit(b).as("bi"), bandVal(col("sig"), b).as("bv"))
     }: _*)
     val e = sigs.select(col("id"), col("sig"), explode(bandStructs).as("bk"))
-    val a = e.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = e.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     val firstAgreeingBand = layout.indices.foldRight(lit(-1): Column) { (bd, els) =>
       when(bandVal(col("sig_a"), bd) === bandVal(col("sig_b"), bd), lit(bd))
         .otherwise(els)
@@ -238,11 +289,11 @@ object Dedup {
     val dist = (0 until words).map(w =>
       bit_count(element_at(col("sig_a"), w + 1)
         .bitwiseXOR(element_at(col("sig_b"), w + 1)))).reduce(_ + _)
-    a.join(b, Seq("bk")).filter(col("id_a") < col("id_b"))
+    trianglePairs(e, splitG, cand => cand
       .filter(col("bk").getField("bi") === firstAgreeingBand)
       .withColumn("dist", dist)
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("id_a"), col("id_b"), col("dist")))
   }
 
   /** 120-bit SimHash near-dup pairs over (id, text): complete recall

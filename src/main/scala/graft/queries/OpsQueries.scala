@@ -177,9 +177,16 @@ object OpsQueries {
     // sets intersect), so the hash match proves the exploded
     // first-agreeing-key emission is exactly-once and complete, not
     // merely that both engines block identically.
+    // localCheckpoint(lazy) before the presentation sort, here and in
+    // q26/q56: a global orderBy RANGE-SAMPLES its child, so an
+    // un-checkpointed sort executes the whole pair scan TWICE
+    // (measured 3.0 s -> 1.5 s on q26's join at sf0.1). The
+    // checkpoint materializes the (id, id, dist/cnt) output — tiny
+    // next to the corpus — and both the sample and the sort read it.
     "q23_jaccard_pairs" -> Q(
       (s, dir) => Dedup.jaccardPairsMinK(t(s, dir, "documents"),
         "doc_id", "text", n = 3, k = 3, num = 1, den = 2)
+        .localCheckpoint(false)
         .orderBy(col("id_a"), col("id_b")),
       Some(
         s"""WITH tk AS (
@@ -265,6 +272,7 @@ object OpsQueries {
     "q26_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxDist = 8)
+        .localCheckpoint(false) // see q23 — sort would run the scan twice
         .orderBy(col("id_a"), col("id_b")),
       Some {
         val bitTerms = (0 until 60).map { b =>
@@ -326,6 +334,7 @@ object OpsQueries {
     "q56_simhash_wide_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs120(t(s, dir, "documents"),
         "doc_id", "text", maxDist = 8)
+        .localCheckpoint(false) // see q23 — sort would run the scan twice
         .orderBy(col("id_a"), col("id_b")),
       Some {
         def bitTerms(hsList: String) = (0 until 60).map { b =>
