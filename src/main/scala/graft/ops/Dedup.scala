@@ -101,11 +101,22 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .withColumn("bk", bandKeys(col("sig"), bands, rows))
       .cache()
-    val buckets = hashed.select(explode(col("bk")).as("band"), col("id"))
-    val cand = buckets.join(buckets.withColumnRenamed("id", "id_b"), Seq("band"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // exactly-once candidate emission from the FIRST band both docs
+    // share (the crossMinhashPairs trick, applied to the self-join):
+    // `bands` codegen'd comparisons per collision instead of shuffling
+    // the candidate flood through dropDuplicates
+    val ea = hashed.select(posexplode(col("bk")).as(Seq("bi", "band")),
+      col("id").as("id_a"), col("bk").as("bk_a"))
+    val eb = hashed.select(explode(col("bk")).as("band"),
+      col("id").as("id_b"), col("bk").as("bk_b"))
+    val firstShared = (0 until bands).foldRight(lit(-1): Column) { (i, els) =>
+      when(element_at(col("bk_a"), i + 1) === element_at(col("bk_b"), i + 1),
+        lit(i)).otherwise(els)
+    }
+    val cand = ea.join(eb, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("bi") === firstShared)
+      .select(col("id_a"), col("id_b"))
     // Verify on the HASHED shingle sets (longs mod P): ~10x smaller
     // than the string sets on the wire and in the intersect; the
     // ~2^-20 per-pair collision probability is the standard MinHash
