@@ -333,6 +333,98 @@ object PipelineQueries {
            |WHERE gram IN (SELECT gram FROM te)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Dedup KEEP policy by quality: real pipelines keep the BEST copy
+    // per near-dup cluster, not the lowest id — clusters (q60's
+    // operator) joined with the q21 integer quality score, argmax per
+    // cluster with min-id ties. Oracle: recursive-closure clusters +
+    // the same score formula + the same window.
+    "q82_dedup_keep_best" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = graft.ops.Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("doc_id"), col("cluster"))
+        val scored = docs.select(col("doc_id"),
+          TextOps.qualitySignals(col("text")).as("q"))
+          .select(col("doc_id"),
+            (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+              when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"))
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        clusters.join(scored, Seq("doc_id"))
+          .withColumn("keep", row_number().over(w) === 1)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (
+           | SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (
+           | SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |sc AS (
+           | SELECT doc_id,
+           |  CAST(len(list_intersect(list_distinct($toksSql),
+           |    ['the','a','of','and','to','in','is'])) * 3
+           |   + len(list_distinct($toksSql)) * 2
+           |   - (CASE WHEN list_aggregate(list_transform($toksSql,
+           |       t -> length(t)), 'max') > 12 THEN 5 ELSE 0 END)
+           |   AS INTEGER) AS score
+           | FROM documents)
+           |SELECT c.doc_id, c.cluster, sc.score,
+           | row_number() OVER (PARTITION BY c.cluster
+           |   ORDER BY sc.score DESC, c.doc_id) = 1 AS keep
+           |FROM comp c JOIN sc ON sc.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin)),
+
+    // MinHash estimator diagnostics: for each verified near-dup pair,
+    // the signature-agreement estimate (matching positions of the
+    // 16-slot signature — the textbook Jaccard estimator) next to the
+    // exact intersect/union counts, so sketch accuracy is measurable
+    // in-engine. All integers; the estimator unrolls to 16 codegen'd
+    // comparisons.
+    "q83_minhash_estimate" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sigs = docs.select(col("doc_id"),
+          graft.ops.SketchExpressions.minhashSignature(col("text"), 3).as("sig"))
+        val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        val est = (1 to 16).map(i =>
+          when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+            .otherwise(0)).reduce(_ + _)
+        pairs
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+            Seq("id_a"))
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"),
+            est.as("est_match"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val estSql = (1 to 16).map(i =>
+          s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${OpsQueries.minhashCtes},
+           |p AS (
+           | SELECT id_a, id_b, i_cnt, u_cnt FROM chk
+           | WHERE i_cnt * 2 >= u_cnt)
+           |SELECT p.id_a, p.id_b, p.i_cnt, p.u_cnt,
+           | CAST($estSql AS INTEGER) AS est_match
+           |FROM p
+           |JOIN sig sa ON sa.id = p.id_a
+           |JOIN sig sb ON sb.id = p.id_b
+           |ORDER BY p.id_a, p.id_b""".stripMargin
+      }),
+
     // Curriculum length-bucketing: docs binned by token count into
     // doubling buckets, with per-bucket doc/token totals and the
     // cumulative token budget in bucket order (the window runs over
