@@ -166,6 +166,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tb.count() == 4)
   }
 
+  test("triangle split emits exactly the monolithic join's pair set") {
+    // 200 docs drawn from a tiny vocab -> dense sig collisions, so the
+    // decomposition is exercised across hot buckets and both group
+    // orderings (the round-4 bug: id_a<id_b at a cross-group key drops
+    // pairs whose smaller id lands in the larger group)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val dense = (0L until 200L).map { i =>
+      val toks = (0 until 12).map(j => vocab(((i * 7 + j * j + 3) % 6).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = dense.select(col("doc_id").as("id"),
+      SketchExpressions.simhash60(col("text")).as("sig")).cache()
+    def pairSet(g: Int) =
+      Dedup.simhashPairsFromSigs(sigs, maxDist = 8, splitG = g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val mono = pairSet(1)
+    val split = pairSet(8)
+    assert(mono == split)
+    assert(mono.nonEmpty) // the corpus must actually produce pairs
+    assert(mono.forall { case (a, b, _) => a < b }) // normalized ordering
+    sigs.unpersist()
+  }
+
   test("fused ngrams kernel matches the HOF differential form") {
     val d = docs.union(Seq((9L, "a b  c   d e")).toDF("doc_id", "text"))
     for (n <- Seq(2, 3, 8)) {
