@@ -425,6 +425,34 @@ object PipelineQueries {
            |ORDER BY p.id_a, p.id_b""".stripMargin
       }),
 
+    // Column profile (ANALYZE-style table statistics) in ONE pass —
+    // row count, per-column null counts, exact distinct cardinalities,
+    // numeric min/max — the stats a catalog publishes and a curation
+    // job sanity-checks before/after every transform. Single
+    // map-side-combinable aggregate over the full scan (the distincts
+    // expand, but per-column, never row x column).
+    "q84_column_profile" -> Q(
+      (s, dir) => t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("null_type"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        (floor(min(col("value")) * 1000)).cast("long").as("min_value_milli"),
+        (floor(max(col("value")) * 1000)).cast("long").as("max_value_milli")),
+      Some(
+        """SELECT count(*) AS n_rows,
+          | CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+          | CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_type,
+          | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+          | min(event_id) AS min_id, max(event_id) AS max_id,
+          | CAST(floor(min(value) * 1000) AS BIGINT) AS min_value_milli,
+          | CAST(floor(max(value) * 1000) AS BIGINT) AS max_value_milli
+          |FROM events""".stripMargin)),
+
     // Curriculum length-bucketing: docs binned by token count into
     // doubling buckets, with per-bucket doc/token totals and the
     // cumulative token budget in bucket order (the window runs over
