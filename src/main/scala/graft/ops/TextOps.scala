@@ -228,6 +228,36 @@ object TextOps {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
   }
 
+  /** Temperature-flattened source-mixture sampling (alpha = 1/2),
+    * exact-integer and deterministic: a source with n docs is kept at
+    * rate 1/isqrt(n), so its expected surviving count is ~sqrt(n) —
+    * the standard mixture reweighting that keeps one giant crawl
+    * source from dominating a training run while never starving small
+    * curated ones. A doc survives iff hash32(id) % isqrt(n) == 0 — no
+    * random(), so the sample is reproducible across runs, engines and
+    * partitionings, and appending data to one source never flips
+    * another source's verdicts. isqrt is double sqrt plus an integer
+    * correction step (exact below 2^52, i.e. any per-source count).
+    * Plan: one map-side-combinable count per source, source-count
+    * table broadcast back, per-row hash filter — one tiny shuffle
+    * regardless of corpus size.
+    */
+  def temperatureSample(df: DataFrame, idCol: Column,
+      srcCol: Column): DataFrame = {
+    val cnts = df.select(srcCol.as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("r0", floor(sqrt(col("n_docs"))).cast("long"))
+      .withColumn("samp_den",
+        when(col("r0") * col("r0") > col("n_docs"), col("r0") - 1)
+          .when((col("r0") + 1) * (col("r0") + 1) <= col("n_docs"),
+            col("r0") + 1)
+          .otherwise(col("r0")))
+      .drop("r0")
+    df.withColumn("src", srcCol)
+      .join(broadcast(cnts), Seq("src"))
+      .filter(pmod(hash32(idCol.cast("string")), col("samp_den")) === 0)
+  }
+
   /** Deterministic corpus reshard (the training-data "global shuffle"
     * without random()): shard = salted md5 bucket of the id, position
     * within the shard = rank of a SECOND independent salted hash — so

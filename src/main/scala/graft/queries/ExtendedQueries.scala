@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -268,6 +269,40 @@ object ExtendedQueries {
       Some("""SELECT event_id, n_name
              |FROM events JOIN nation ON user_id % 25 = n_nationkey
              |ORDER BY event_id""".stripMargin)),
+
+    // Time-based rolling aggregates: a RANGE frame over integer epoch
+    // seconds (10-minute trailing window per user). RANGE — not ROWS —
+    // is the semantics a monitoring/feature pipeline needs ("events in
+    // the last N minutes"), and the integer ORDER BY key keeps the
+    // frame arithmetic exact cross-engine. One hash shuffle on
+    // user_id; each partition is a linear scan with a sliding frame.
+    // The user subset keeps the driver-side result bounded — the
+    // window itself runs pre-LIMIT shapes at full scale.
+    "q86_rolling_window" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+          .rangeBetween(-600, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") % 47 === 0)
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000000000").as("ts_sec"),
+            floor(col("value") * 10).cast("long").as("d"))
+          .withColumn("roll_cnt", count(lit(1)).over(w))
+          .withColumn("roll_sum", sum(col("d")).over(w))
+          .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+      },
+      Some("""WITH e AS (
+             | SELECT event_id, user_id,
+             |  epoch_ns(ts) // 1000000000 AS ts_sec,
+             |  CAST(floor(value*10) AS BIGINT) AS d
+             | FROM events WHERE user_id % 47 = 0)
+             |SELECT event_id, user_id, ts_sec, d,
+             | count(*) OVER w AS roll_cnt,
+             | CAST(sum(d) OVER w AS BIGINT) AS roll_sum
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             | RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, ts_sec, event_id""".stripMargin)),
 
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")

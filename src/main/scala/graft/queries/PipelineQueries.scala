@@ -489,5 +489,44 @@ object PipelineQueries {
            |SELECT bucket, n_docs, sum_tokens, min_tokens, max_tokens,
            | CAST(sum(sum_tokens) OVER (ORDER BY bucket
            |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-           |FROM a ORDER BY bucket""".stripMargin)))
+           |FROM a ORDER BY bucket""".stripMargin)),
+
+    // Temperature-flattened source mixture (alpha = 1/2): per-source
+    // doc counts, the integer sampling denominator isqrt(n), and the
+    // surviving count under the deterministic hash32(id) % isqrt(n)
+    // == 0 rule. The oracle re-derives the SAME doc-level verdicts
+    // (same md5 hash, same integer isqrt), so the hash match proves
+    // the sample is engine-independent — the property that makes a
+    // mixture resumable mid-training. See TextOps.temperatureSample.
+    "q87_mixture_sample" -> Q(
+      (s, dir) => TextOps.temperatureSample(
+        t(s, dir, "documents"), col("doc_id"), col("source"))
+        .groupBy(col("src").as("source"), col("n_docs"), col("samp_den"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("source")),
+      Some(
+        """WITH c AS (SELECT source, count(*) AS n_docs
+          |  FROM documents GROUP BY 1),
+          |s AS (SELECT source, n_docs,
+          |  CAST(floor(sqrt(n_docs)) AS BIGINT) AS r0 FROM c),
+          |s2 AS (SELECT source, n_docs,
+          |  CASE WHEN r0*r0 > n_docs THEN r0 - 1
+          |       WHEN (r0+1)*(r0+1) <= n_docs THEN r0 + 1
+          |       ELSE r0 END AS samp_den FROM s)
+          |SELECT d.source, n_docs, samp_den, count(*) AS n_sampled
+          |FROM documents d JOIN s2 USING (source)
+          |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |  % samp_den = 0
+          |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // Distributed BPE vocabulary learning: 8 merge rounds over the
+    // corpus word table. The oracle unrolls the same iterative
+    // algorithm as a generated CTE chain (same separator-string
+    // segmentation, same left-to-right replace semantics, same
+    // tie-break), so the hash match covers every round's pair counts
+    // AND argmax choice end-to-end. See ops/Bpe.scala.
+    "q88_bpe_learn" -> Q(
+      (s, dir) => graft.ops.Bpe.learn(s, t(s, dir, "documents"),
+        "text", rounds = 8),
+      Some(graft.ops.Bpe.oracleSql(toksSql, rounds = 8))))
 }

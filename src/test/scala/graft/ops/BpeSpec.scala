@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** BPE vocabulary learning against hand-computed merges on the classic
+  * Sennrich corpus, plus the a==b run-merge edge case that the
+  * separator-string replace encoding must get right.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "BpeSpec")
+  import spark.implicits._
+
+  test("learn reproduces hand-computed merges on the classic corpus") {
+    // low:3 lower:2 newest:5 widest:3 — the worked example from the
+    // original BPE paper. Hand-derived merge sequence with the
+    // (count desc, lhs, rhs) tie-break:
+    //  1: (e,s)  8   2: (es,t) 8   3: (e,w) 5   4: (ew,est) 5
+    val docs = Seq(
+      "low low low lower lower",
+      "newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val m = Bpe.learn(spark, docs, "text", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1L, "e", "s", "es", 8L),
+      (2L, "es", "t", "est", 8L),
+      (3L, "e", "w", "ew", 5L),
+      (4L, "ew", "est", "ewest", 5L)))
+  }
+
+  test("a==b runs merge left-to-right non-overlapping") {
+    // "aaaa" x2: round 1 counts 3 adjacent (a,a) positions per word
+    // (6 total) and segments to [aa, aa]; round 2 merges (aa,aa) = 2.
+    val docs = Seq("aaaa aaaa").toDF("text")
+    val m = Bpe.learn(spark, docs, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L)))
+  }
+
+  test("learn stops early when no pairs remain") {
+    val docs = Seq("x y z").toDF("text") // all 1-char words after r1? no pairs at all
+    val m = Bpe.learn(spark, docs, "text", rounds = 5).collect()
+    assert(m.isEmpty)
+  }
+
+  test("corpus text never contains the separator char") {
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("text").contains(Bpe.Sep)).count()
+    assert(n == 0L)
+  }
+}
