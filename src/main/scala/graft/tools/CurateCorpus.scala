@@ -1,0 +1,169 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{BloomExpressions, Dedup, TextOps}
+
+/** CLI: the full pretraining-corpus curation funnel as ONE composed
+  * job — parquet in, curated shard-partitioned parquet out, with the
+  * per-stage survivor funnel printed and written alongside. Chains the
+  * library's individual operators in the order a production pipeline
+  * runs them:
+  *
+  *   1. language filter        (n-gram marker scorer, langPredict)
+  *   2. quality + repetition   (token-count bounds, Gopher 20% rule)
+  *   3. exact dedup            (normalized fingerprint, min-id wins)
+  *   4. near-dup clusters      (MinHash+LSH -> connected components,
+  *                              keep best-quality doc per cluster)
+  *   5. decontamination        (8-gram overlap vs a holdout table,
+  *                              broadcast-bloom prune + exact semi-join)
+  *   6. mixture flattening     (temperature sampling, alpha = 1/2)
+  *   7. reshard + write        (deterministic epoch shuffle, shard=K/)
+  *
+  * Every stage is the SAME operator the registry oracle-checks
+  * individually (q20/q21/q22/q24/q60/q74/q82/q87/q75); this tool is
+  * the composition a reference user actually runs. Each stage is one
+  * shuffle or less; nothing here collects data to the driver — the
+  * funnel counts are scalar aggregates.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.CurateCorpus <in.parquet> <outDir>
+  *     [--id doc_id] [--text text] [--lang en|any]
+  *     [--min-tokens 5] [--max-tokens 100000]
+  *     [--holdout h.parquet] [--temperature none|0.5] [--source source]
+  *     [--shards 16] [--salt epoch1]"
+  */
+object CurateCorpus {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic body (tests pass their own session). Returns the
+    * funnel: (stage name, surviving doc count) in pipeline order.
+    */
+  def run(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: CurateCorpus <in.parquet> <outDir> [flags]")
+    val in = args(0)
+    val out = args(1)
+    val flags = args.drop(2).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val idCol = flags.getOrElse("id", "doc_id")
+    val textCol = flags.getOrElse("text", "text")
+    val srcCol = flags.getOrElse("source", "source")
+    val lang = flags.getOrElse("lang", "any")
+    val minToks = flags.getOrElse("min-tokens", "5").toInt
+    val maxToks = flags.getOrElse("max-tokens", "100000").toInt
+    GraftSession.tune(spark)
+
+    val funnel = Seq.newBuilder[(String, Long)]
+    def stage(name: String, df: DataFrame): DataFrame = {
+      val c = df.cache()
+      funnel += (name -> c.count())
+      c
+    }
+
+    val docs = stage("input", spark.read.parquet(in))
+
+    // 1. language: trust an existing label column when the corpus has
+    // one, fall back to the n-gram marker predictor when it doesn't —
+    // the usual split between labeled curated sources and raw crawl
+    val afterLang =
+      if (lang == "any") docs
+      else {
+        val langExpr =
+          if (docs.columns.contains("lang")) col("lang")
+          else TextOps.langPredict(col(textCol))
+        stage("lang", docs.filter(langExpr === lang))
+      }
+
+    // 2. quality + repetition (token bounds, Gopher most-common-token
+    // <= 20% of the doc)
+    val afterQuality = stage("quality", afterLang
+      .withColumn("_nt", TextOps.tokenCount(col(textCol)))
+      .withColumn("_rep", TextOps.repetitionStats(col(textCol)))
+      .filter(col("_nt") >= minToks && col("_nt") <= maxToks &&
+        col("_rep.top_tok_cnt") * 5 <= col("_nt"))
+      .drop("_nt", "_rep"))
+
+    // 3. exact dedup on the normalized content fingerprint
+    val afterExact = stage("exact_dedup", Dedup.exactDedup(
+      afterQuality, TextOps.fingerprint(col(textCol)), idCol)
+      .filter(!col("is_duplicate")).drop("dup_rank", "is_duplicate"))
+
+    // 4. near-dup clusters, keep the best-quality doc per cluster
+    val clusters = Dedup.dedupClusters(afterExact, idCol, textCol,
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .select(col(idCol), col("cluster"))
+    val scored = afterExact.withColumn("_q",
+      TextOps.qualitySignals(col(textCol)))
+      .withColumn("_score",
+        col("_q.n_distinct") * 2 + col("_q.n_stop") * 3 -
+          when(col("_q.max_tok_len") > 12, 5).otherwise(0))
+      .drop("_q")
+    val keepW = Window.partitionBy(col("cluster"))
+      .orderBy(col("_score").desc, col(idCol).asc)
+    val afterNear = stage("near_dedup", scored
+      .join(clusters, Seq(idCol))
+      .withColumn("_rn", row_number().over(keepW))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_score", "cluster"))
+
+    // 5. decontamination against a holdout (optional): any shared
+    // distinct 8-gram disqualifies the doc. Bloom prunes the gram
+    // stream before the exact semi-join decides.
+    val afterDecon = flags.get("holdout") match {
+      case None => afterNear
+      case Some(h) =>
+        val holdGrams = spark.read.parquet(h)
+          .select(explode(TextOps.ngramsDistinct(col(textCol), 8)).as("gram"))
+          .distinct().cache()
+        val bloom = BloomExpressions.buildLongBloom(holdGrams,
+          xxhash64(col("gram")), expectedItems = holdGrams.count())
+        val contaminated = afterNear
+          .select(col(idCol), explode(TextOps.ngramsDistinct(col(textCol), 8))
+            .as("gram"))
+          .filter(BloomExpressions.mightContain(xxhash64(col("gram")), bloom))
+          .join(broadcast(holdGrams), Seq("gram"), "left_semi")
+          .select(col(idCol)).distinct()
+        stage("decontam", afterNear
+          .join(contaminated, Seq(idCol), "left_anti"))
+    }
+
+    // 6. temperature mixture flattening (optional)
+    val afterMix = flags.getOrElse("temperature", "none") match {
+      case "none" => afterDecon
+      case _ => stage("mixture", TextOps.temperatureSample(
+        afterDecon, col(idCol), col(srcCol))
+        .drop("src", "n_docs", "samp_den"))
+    }
+
+    // 7. deterministic reshard + partitioned write
+    val nShards = flags.getOrElse("shards", "16").toInt
+    val salt = flags.getOrElse("salt", "epoch1")
+    TextOps.reshard(afterMix, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/corpus")
+
+    val f = funnel.result()
+    val funnelDf = spark.createDataFrame(f.zipWithIndex.map {
+      case ((n, c), i) => (i.toLong, n, c)
+    }).toDF("stage_idx", "stage", "n_docs")
+    funnelDf.coalesce(1).write.mode("overwrite")
+      .json(s"$out/funnel")
+    f.foreach { case (n, c) => println(s"[graft-curate] $n: $c") }
+    f
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** End-to-end drive of the composed curation funnel on the sf0.001
+  * corpus, holdout decontamination included.
+  */
+class CurateCorpusSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "CurateCorpusSpec")
+
+  test("curation funnel runs end-to-end and only ever shrinks") {
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    // holdout = a slice of the corpus itself: those docs trivially
+    // share all their 8-grams with their originals, so if they survive
+    // to the decontam stage they MUST be dropped there
+    val hold = spark.read.parquet(in).filter(col("doc_id") % 100 === 7)
+    hold.write.mode("overwrite").parquet(s"$tmp/holdout")
+
+    val funnel = CurateCorpus.run(spark, Array(in, s"$tmp/out",
+      "--lang", "en", "--holdout", s"$tmp/holdout",
+      "--temperature", "0.5", "--shards", "4", "--salt", "e1"))
+
+    val names = funnel.map(_._1)
+    assert(names == Seq("input", "lang", "quality", "exact_dedup",
+      "near_dedup", "decontam", "mixture"))
+    val counts = funnel.map(_._2)
+    assert(counts.head == 500L)
+    assert(counts(1) == 193L) // the labeled-en slice of sf0.001
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel must be monotone: $funnel")
+    assert(counts.last > 0L)
+
+    // written corpus == mixture survivors, laid out in 4 shard dirs
+    val outDf = spark.read.parquet(s"$tmp/out/corpus")
+    assert(outDf.count() == counts.last)
+    assert(outDf.select(col("shard")).distinct().count() <= 4)
+
+    // no long-survivor shares an 8-gram with the holdout
+    val holdIds = hold.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val survivors = outDf.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.intersect(holdIds).isEmpty,
+      "holdout docs must never survive decontamination")
+
+    // funnel artifact exists and matches
+    val fj = spark.read.json(s"$tmp/out/funnel")
+    assert(fj.count() == funnel.length)
+  }
+}
