@@ -304,6 +304,82 @@ object ExtendedQueries {
              | RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, ts_sec, event_id""".stripMargin)),
 
+    // Retention cohort matrix: users grouped by first-seen week,
+    // counted in each later week they return. Week index is integer
+    // epoch-day DIV 7 — no engine week-start semantics in play. Two
+    // hash shuffles (per-user min, then cell counts); the (user, week)
+    // distinct collapses activity before the join, so the cohort join
+    // runs on user-week granularity, not raw events.
+    "q89_retention_cohorts" -> Q(
+      (s, dir) => {
+        val uw = t(s, dir, "events")
+          .select(col("user_id"),
+            expr("ts DIV 1000000000 DIV 604800").as("week"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        uw.join(cohort, Seq("user_id"))
+          .withColumn("offset", col("week") - col("cohort_week"))
+          .groupBy(col("cohort_week"), col("offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("offset"))
+      },
+      Some("""WITH uw AS (
+             | SELECT DISTINCT user_id,
+             |  epoch_ns(ts) // 1000000000 // 604800 AS week
+             | FROM events),
+             |c AS (SELECT user_id, min(week) AS cohort_week
+             |      FROM uw GROUP BY 1)
+             |SELECT cohort_week, week - cohort_week AS "offset",
+             | count(*) AS n_users
+             |FROM uw JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Ordered conversion funnel: signup -> click -> purchase, each
+    // stage's timestamp strictly after the previous stage's FIRST
+    // completion (min-ts chaining — the standard funnel semantics).
+    // Each stage is a filtered per-user min + an equi-join on user_id;
+    // stage populations only shrink, so later joins run on shrinking
+    // keys. Output: one row per stage with the surviving user count.
+    "q90_funnel" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), expr("ts DIV 1000").as("tsu"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("tsu") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("tsu") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t3"))
+        val stages = Seq(("1_signup", s1), ("2_click_after_signup", s2),
+          ("3_purchase_after_click", s3))
+        stages.map { case (nm, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(nm).as("stage"),
+            col("n_users"))
+        }.reduce(_.unionAll(_)).orderBy(col("stage"))
+      },
+      Some("""WITH ev AS (
+             | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu
+             | FROM events),
+             |s1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
+             |       WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT ev.user_id, min(tsu) AS t2 FROM ev
+             |       JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tsu > t1 GROUP BY 1),
+             |s3 AS (SELECT ev.user_id, min(tsu) AS t3 FROM ev
+             |       JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tsu > t2 GROUP BY 1)
+             |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+             |UNION ALL
+             |SELECT '2_click_after_signup', count(*) FROM s2
+             |UNION ALL
+             |SELECT '3_purchase_after_click', count(*) FROM s3
+             |ORDER BY stage""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),

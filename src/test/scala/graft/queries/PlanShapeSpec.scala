@@ -32,6 +32,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("mixture sampling broadcasts the source-count table") {
+    // the per-source denominator table is dimension-sized; the corpus
+    // side must never shuffle for the join
+    val p = plan("q87_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("full-scan aggregation is hash-based with partial combine") {
     val p = plan("q01_agg_sum")
     assert(p.contains("HashAggregate"))
