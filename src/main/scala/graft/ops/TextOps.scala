@@ -371,6 +371,38 @@ object TextOps {
       .withColumn("n_tokens", tokenCount(col("chunk_text")))
   }
 
+  /** Passage-level dedup (the sub-document variant of exact dedup —
+    * "remove duplicated paragraphs wherever they recur"): docs split
+    * into non-overlapping `chunk`-token passages; a passage survives
+    * only at its FIRST global occurrence (min (doc, position) over its
+    * content hash); each doc is rebuilt from its surviving passages in
+    * position order. One shuffle keyed on the passage md5 (the text
+    * rides that shuffle exactly once — it is needed for the rebuild
+    * anyway), then one groupBy(doc) for reassembly. Docs whose every
+    * passage was seen earlier come back with empty text, not dropped —
+    * the caller decides the policy.
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int): DataFrame = {
+    val ch = chunkDocs(df, idCol, textCol, chunk, chunk)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk_text")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    val kept = ch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        c => c.getField("chunk_text")), " ").as("text_kept"))
+    ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** PII redaction patterns: emails, then long digit runs (>= 7 —
     * phone/account numbers; shorter runs are ids/quantities and stay).
     * Both are RE2-compatible (no backrefs/lookarounds), so Java regex

@@ -528,5 +528,36 @@ object PipelineQueries {
     "q88_bpe_learn" -> Q(
       (s, dir) => graft.ops.Bpe.learn(s, t(s, dir, "documents"),
         "text", rounds = 8),
-      Some(graft.ops.Bpe.oracleSql(toksSql, rounds = 8))))
+      Some(graft.ops.Bpe.oracleSql(toksSql, rounds = 8))),
+
+    // Passage-level dedup: 16-token non-overlapping passages, each
+    // surviving only at its first global (doc, position) occurrence;
+    // docs rebuilt from survivors. The sub-document complement of q22
+    // — what the dedup papers apply when whole-doc dedup leaves
+    // boilerplate recurring inside otherwise-unique pages.
+    "q91_passage_dedup" -> Q(
+      (s, dir) => TextOps.passageDedup(
+        t(s, dir, "documents"), "doc_id", "text", chunk = 16)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, $toksSql AS t FROM documents
+           | WHERE len($toksSql) > 0),
+           |ch AS (
+           | SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+           |  array_to_string(list_slice(t, s + 1, s + 16), ' ') AS chunk_text
+           | FROM (SELECT doc_id, t,
+           |        unnest(generate_series(0, len(t) - 1, 16)) AS s FROM tk)),
+           |rk AS (
+           | SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+           |   ORDER BY doc_id, chunk_idx) AS rn FROM ch),
+           |agg AS (
+           | SELECT doc_id, count(*) AS n_kept,
+           |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_kept
+           | FROM rk WHERE rn = 1 GROUP BY 1),
+           |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+           |SELECT t.doc_id, n_chunks,
+           | coalesce(n_kept, 0) AS n_kept,
+           | coalesce(text_kept, '') AS text_kept
+           |FROM tot t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)))
 }
