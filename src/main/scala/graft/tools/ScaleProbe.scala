@@ -56,6 +56,15 @@ object ScaleProbe {
         docs, "doc_id", "text", budget = 10000L, salt = "sp"))
       time("reshard", k)(TextOps.reshard(
         docs.select(col("doc_id")), "doc_id", 16, "sp"))
+      time("passage_dedup", k)(TextOps.passageDedup(
+        docs, "doc_id", "text", chunk = 16))
+      time("mixture_sample", k)(TextOps.temperatureSample(
+        docs, col("doc_id"), col("source")))
+      if (k > 1) { // learn() drives its own actions; time it wall-clock
+        val t0 = System.nanoTime()
+        graft.ops.Bpe.learn(spark, docs, "text", rounds = 4).collect()
+        println(f"[scale] ${"bpe_learn(4)"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
       time("decontam_bloom", k) {
         val grams = docs.select(col("doc_id"),
           explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
