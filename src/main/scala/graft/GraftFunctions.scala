@@ -42,7 +42,10 @@ object GraftFunctions {
     // trigram default, matching the shingle arity above
     "ngrams" -> (args => NgramsExpr(args.head, 3, distinct = false)),
     "ngrams_distinct" -> (args => NgramsExpr(args.head, 3, distinct = true)),
-    "repetition_stats" -> (args => RepetitionStatsExpr(args.head)))
+    "repetition_stats" -> (args => RepetitionStatsExpr(args.head)),
+    // aggregate: k must be a foldable literal
+    "topk_by" -> (args => graft.ops.TopKByAgg(args(0), args(1),
+      args(2).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): SparkSession = {
     functions.foreach { case (name, builder) =>

@@ -380,6 +380,41 @@ object ExtendedQueries {
              |SELECT '3_purchase_after_click', count(*) FROM s3
              |ORDER BY stage""".stripMargin)),
 
+    // Grouped exact top-k via the custom TypedImperativeAggregate
+    // (ops/TopKAgg.scala): k-bounded heaps with map-side partial
+    // combine replace the rank-window's full per-group shuffle-sort.
+    // The oracle IS that window — the hash match proves the heap
+    // aggregate implements (ord DESC, payload ASC) ranking exactly,
+    // ties included.
+    "q93_topk_agg" -> Q(
+      (s, dir) => {
+        val pre = t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            floor(col("value") * 10).cast("long").as("d"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("d")).as("dur"))
+        pre.groupBy(col("event_type"))
+          .agg(graft.ops.TopKAgg.topKBy(col("dur"),
+            col("user_id").cast("string"), 3).as("top"))
+          .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("event_type"),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("t.payload").as("user_id"),
+            col("t.ord").as("dur"))
+          .orderBy(col("event_type"), col("rank"))
+      },
+      Some("""WITH p AS (
+             | SELECT event_type, user_id,
+             |  CAST(sum(CAST(floor(value*10) AS BIGINT)) AS BIGINT) AS dur
+             | FROM events GROUP BY 1, 2),
+             |r AS (
+             | SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, dur,
+             |  CAST(row_number() OVER (PARTITION BY event_type
+             |   ORDER BY dur DESC, CAST(user_id AS VARCHAR)) AS INTEGER) AS rank
+             | FROM p)
+             |SELECT event_type, rank, user_id, dur FROM r
+             |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin)),
+
     "q37_json_extract" -> Q(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"),

@@ -273,6 +273,44 @@ object SlowLogQueries {
               |FROM r WHERE rn <= 5
               |ORDER BY minute, duration DESC, query, primary_key""".stripMargin)),
 
+    // §2.10 driver-visible streaming check #3 — watermark-bounded
+    // exact dedup: dropDuplicatesWithinWatermark on (query, pk) over
+    // file-stream micro-batches, appended to a parquet sink, then a
+    // batch rollup of the deduped stream. The watermark here exceeds
+    // the corpus time span so the stream's verdicts equal batch
+    // DISTINCT exactly (the oracle); a production job sets a real
+    // lateness bound and the state store stays bounded — which is the
+    // point of this operator over a naive stream dropDuplicates.
+    "q92_streaming_dedup" -> Q(
+      (s, dir) => {
+        val ev = parsed(s, dir).select(col("timestamp"), col("query"),
+          coalesce(col("primary_key"), lit("")).as("primary_key"))
+        val src = stableStreamSrc(dir, "dedup", ev)
+        val out = "/tmp/graft_stream_dedup_out_" +
+          Integer.toHexString(dir.hashCode)
+        val stream = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+          .parquet(src)
+        val query = StreamingAnalyzer.dedupStream(stream,
+          Seq("query", "primary_key"), "timestamp", "3650 days")
+          .writeStream
+          .outputMode(OutputMode.Append)
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.write.mode(if (id == 0) "overwrite" else "append")
+              .parquet(out)
+          }
+          .start()
+        try { query.processAllAvailable() } finally { query.stop() }
+        s.read.parquet(out)
+          .groupBy(col("query"))
+          .agg(count(lit(1)).as("n_distinct_pk"))
+          .orderBy(col("query"))
+      },
+      Some(s"""WITH ev AS ($oracleEvents)
+              |SELECT query, count(DISTINCT primary_key) AS n_distinct_pk
+              |FROM ev GROUP BY query ORDER BY query""".stripMargin)),
+
     // Full pipeline -> A5 per-minute top rows_per_minute groups
     // (analyze_slow_queries.py:1063-1075, 1116-1121)
     "q47_slowlog_volume_top" -> Q(

@@ -15,6 +15,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 42L)
   }
 
+  test("topk_by aggregate is callable from SQL") {
+    val r = spark.sql(
+      """SELECT topk_by(v, p, 2) AS top FROM VALUES
+        |  (1L, 'a'), (9L, 'b'), (5L, 'c') AS t(v, p)""".stripMargin)
+      .selectExpr("transform(top, x -> x.payload) AS ps").head()
+    assert(r.getSeq[String](0) == Seq("b", "c"))
+  }
+
   test("sketch functions are callable from SQL and match the DataFrame API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
