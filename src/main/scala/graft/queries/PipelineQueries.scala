@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -559,5 +559,41 @@ object PipelineQueries {
            |SELECT t.doc_id, n_chunks,
            | coalesce(n_kept, 0) AS n_kept,
            | coalesce(text_kept, '') AS text_kept
-           |FROM tot t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)))
+           |FROM tot t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // Vocabulary drift between two corpus snapshots (here: the even/
+    // odd doc_id halves standing in for consecutive crawls): top-20
+    // tokens by absolute count change. FULL OUTER join on the token —
+    // a token may exist in only one snapshot — with integer-exact
+    // deltas; both token-count aggregations are map-side combinable
+    // and the final top-20 is a bounded heap.
+    "q94_vocab_drift" -> Q(
+      (s, dir) => {
+        def cnts(f: Column => Column) = t(s, dir, "documents")
+          .filter(f(col("doc_id")))
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        val a = cnts(_ % 2 === 0).withColumnRenamed("cnt", "cnt_a")
+        val b = cnts(_ % 2 =!= 0).withColumnRenamed("cnt", "cnt_b")
+        a.join(b, Seq("token"), "full_outer")
+          .select(col("token"),
+            coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+            coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+          .withColumn("delta", abs(col("cnt_a") - col("cnt_b")))
+          .orderBy(col("delta").desc, col("token")).limit(20)
+      },
+      Some(
+        s"""WITH a AS (
+           | SELECT unnest($toksSql) AS token FROM documents
+           | WHERE doc_id % 2 = 0),
+           |ac AS (SELECT token, count(*) AS cnt_a FROM a GROUP BY 1),
+           |b AS (
+           | SELECT unnest($toksSql) AS token FROM documents
+           | WHERE doc_id % 2 <> 0),
+           |bc AS (SELECT token, count(*) AS cnt_b FROM b GROUP BY 1)
+           |SELECT coalesce(ac.token, bc.token) AS token,
+           | coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
+           | abs(coalesce(cnt_a, 0) - coalesce(cnt_b, 0)) AS delta
+           |FROM ac FULL OUTER JOIN bc USING (token)
+           |ORDER BY delta DESC, token LIMIT 20""".stripMargin)))
 }

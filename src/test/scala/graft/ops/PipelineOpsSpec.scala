@@ -166,6 +166,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tb.count() == 4)
   }
 
+  test("late round-4 ops are null- and empty-safe") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    val weird = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "s1", "one two three four"),
+        org.apache.spark.sql.Row(2L, "s1", ""),
+        org.apache.spark.sql.Row(3L, "s1", null),
+        org.apache.spark.sql.Row(4L, "s2", "one two three four"))), schema)
+
+    // passage dedup: token-less docs are absent (no passages), dup
+    // passages keep only the first (doc_id, pos) occurrence
+    val pd = TextOps.passageDedup(weird, "doc_id", "text", chunk = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!pd.contains(2L) && !pd.contains(3L))
+    assert(pd(1L) == ((2L, 2L, "one two three four")))
+    assert(pd(4L) == ((2L, 0L, ""))) // every passage seen at doc 1
+
+    // temperature sampling: a 1-doc source has isqrt(1)=1 -> always
+    // kept; verdicts don't change when other sources grow
+    val ts = TextOps.temperatureSample(weird.filter(col("doc_id") === 4L)
+      .unionByName(weird.filter(col("doc_id") < 4L)),
+      col("doc_id"), col("source"))
+    assert(ts.filter(col("doc_id") === 4L).count() == 1L)
+
+    // BPE: a corpus of null/empty text learns nothing, no crash
+    val m = Bpe.learn(spark, weird.filter(col("doc_id").isin(2L, 3L)),
+      "text", rounds = 3)
+    assert(m.count() == 0L)
+  }
+
   test("triangle split emits exactly the monolithic join's pair set") {
     // 200 docs drawn from a tiny vocab -> dense sig collisions, so the
     // decomposition is exercised across hot buckets and both group
