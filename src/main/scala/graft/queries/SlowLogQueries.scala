@@ -273,6 +273,47 @@ object SlowLogQueries {
               |FROM r WHERE rn <= 5
               |ORDER BY minute, duration DESC, query, primary_key""".stripMargin)),
 
+    // §2.10 driver-visible streaming check #4 — hopping windows:
+    // 10-minute windows sliding every 5, so each event feeds exactly
+    // two overlapping windows. The oracle re-derives the two window
+    // starts per event arithmetically (epoch-aligned, like Spark's
+    // window()) and aggregates — proving the streaming fan-out
+    // windowing equals its batch set semantics.
+    "q95_streaming_hopping" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+            floor(col("value") * 10).cast("long").as("duration"))
+        val src = stableStreamSrc(dir, "hop", ev)
+        val stream = s.readStream
+          .schema(ev.schema)
+          .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+          .parquet(src)
+        val qn = "graft_stream_hop_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val query = StreamingAnalyzer.volumeHopping(stream)
+          .writeStream
+          .outputMode(OutputMode.Complete)
+          .format("memory")
+          .queryName(qn)
+          .start()
+        try { query.processAllAvailable() } finally { query.stop() }
+        s.table(qn).orderBy(col("win_start"))
+      },
+      Some("""WITH e AS (
+             | SELECT epoch_ns(ts) // 1000000000 AS t,
+             |  CAST(floor(value*10) AS BIGINT) AS d
+             | FROM events),
+             |w AS (
+             | SELECT unnest([(t // 300) * 300, (t // 300) * 300 - 300]) AS ws,
+             |  d
+             | FROM e)
+             |SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M')
+             |  AS win_start,
+             | count(*) AS count, CAST(sum(d) AS BIGINT) AS duration
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // §2.10 driver-visible streaming check #3 — watermark-bounded
     // exact dedup: dropDuplicatesWithinWatermark on (query, pk) over
     // file-stream micro-batches, appended to a parquet sink, then a

@@ -30,6 +30,24 @@ object StreamingAnalyzer {
         col("count"), col("duration"),
         floor(col("duration") / col("count")).cast("long").as("avg_duration"))
 
+  /** Hopping (sliding) windows: `width`-long windows emitted every
+    * `slide` — each event lands in width/slide overlapping windows
+    * (the "last 10 minutes, refreshed every 5" monitoring shape that
+    * tumbling windows can't express). State per key is bounded by the
+    * watermark exactly as in the tumbling case; the fan-out factor is
+    * width/slide, paid at update time, not in state size.
+    */
+  def volumeHopping(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), width, slide).as("w"))
+      .agg(count(lit(1)).as("count"), sum(col("duration")).as("duration"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("count"), col("duration"))
+
   /** A5 as a streaming window: per (minute, query) aggregates. The W1
     * per-minute ranking is done per finalized window downstream
     * (foreachBatch + the batch Analyzer), because rank-over-updating-
