@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * dimension-sized by definition, like the IVF centroid set).
   *
   * Segmentations are carried as a separator-delimited STRING, not an
-  * array: each token is wrapped in single  separators, so
+  * array: each token is wrapped in single U+001F separators, so
   * adjacent tokens a,b show the boundary pattern `‖a‖‖b‖`. Applying a
   * merge is then plain `replace(seg, ‖a‖‖b‖, ‖ab‖)` — and because SQL
   * `replace` substitutes left-to-right non-overlapping, it implements
