@@ -40,6 +40,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("passage dedup's rank filter plans as WindowGroupLimit") {
+    // rn = 1 must run the group-limit pushdown (partial limit before
+    // the shuffle), not a full per-group sort + filter
+    val p = plan("q91_passage_dedup")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("top-k aggregate combines partially map-side") {
+    // the whole point of TopKByAgg vs the rank window: partial +
+    // final ObjectHashAggregate around one exchange, <= k rows per
+    // group shipped
+    val p = plan("q93_topk_agg")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_topk_by"))
+    assert(!p.contains("Window"))
+  }
+
   test("full-scan aggregation is hash-based with partial combine") {
     val p = plan("q01_agg_sum")
     assert(p.contains("HashAggregate"))
