@@ -273,6 +273,62 @@ object SlowLogQueries {
               |FROM r WHERE rn <= 5
               |ORDER BY minute, duration DESC, query, primary_key""".stripMargin)),
 
+    // §2.10 driver-visible streaming check #5 — stream-stream interval
+    // join: each signup matched to the same user's purchases within
+    // the following hour, both sides watermarked so join state is
+    // bounded by watermark + time constraint. The oracle is the plain
+    // batch interval join; equality proves the streaming buffer/evict
+    // machinery loses and invents nothing across micro-batches.
+    "q96_streaming_interval_join" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+        val src = stableStreamSrc(dir, "ssjoin", ev)
+        def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+            .parquet(src)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(userAs), col("event_id").as(idAs),
+              col("tsm").as(tsAs))
+        val joined = StreamingAnalyzer.intervalJoinStream(
+          side("signup", "signup_id", "l_user", "lts"),
+          side("purchase", "purchase_id", "r_user", "rts"),
+          joinKey = "l_user = r_user", leftTs = "lts", rightTs = "rts",
+          within = "1 HOUR", watermark = "1 day")
+        val qn = "graft_stream_ssj_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val query = joined.writeStream
+          .outputMode(OutputMode.Append)
+          .format("memory")
+          .queryName(qn)
+          .start()
+        try { query.processAllAvailable() } finally { query.stop() }
+        s.table(qn)
+          .select(col("l_user").as("user_id"), col("signup_id"),
+            col("purchase_id"),
+            unix_micros(col("lts")).as("lts_us"),
+            unix_micros(col("rts")).as("rts_us"))
+          .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+      },
+      // the join compares the SAME microsecond-truncated instants the
+      // Spark side carries (ts DIV 1000) — comparing raw nanos here
+      // could flip a sub-microsecond boundary pair
+      Some("""WITH s AS (
+             | SELECT user_id, event_id AS signup_id,
+             |  epoch_ns(ts) // 1000 AS lts_us
+             | FROM events WHERE event_type = 'signup'),
+             |p AS (
+             | SELECT user_id, event_id AS purchase_id,
+             |  epoch_ns(ts) // 1000 AS rts_us
+             | FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, signup_id, purchase_id, lts_us, rts_us
+             |FROM s JOIN p ON s.user_id = p.user_id
+             | AND rts_us > lts_us AND rts_us <= lts_us + 3600000000
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // §2.10 driver-visible streaming check #4 — hopping windows:
     // 10-minute windows sliding every 5, so each event feeds exactly
     // two overlapping windows. The oracle re-derives the two window

@@ -48,6 +48,22 @@ object StreamingAnalyzer {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("count"), col("duration"))
 
+  /** Stream-stream interval join: left events matched to right events
+    * with the same key whose time falls in (leftTs, leftTs + within].
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can evict state for rows whose
+    * match window has passed — the state-bounded form of a streaming
+    * join (an unconstrained stream-stream join would buffer forever).
+    * Column names must already be disambiguated by the caller.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      joinKey: String, leftTs: String, rightTs: String,
+      within: String, watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$joinKey AND $rightTs > $leftTs AND " +
+          s"$rightTs <= $leftTs + INTERVAL $within"))
+
   /** A5 as a streaming window: per (minute, query) aggregates. The W1
     * per-minute ranking is done per finalized window downstream
     * (foreachBatch + the batch Analyzer), because rank-over-updating-

@@ -200,6 +200,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(m.count() == 0L)
   }
 
+  test("passage dedup matches a naive reference on random corpora") {
+    // naive: chunk every doc, keep a passage only the first time its
+    // text is seen scanning docs in (doc_id, position) order
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val chunk = 3
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val passages = toks.grouped(chunk).map(_.mkString(" ")).toSeq
+        val kept = passages.filter(p => seen.add(p))
+        Some(id -> ((passages.size.toLong, kept.size.toLong,
+          kept.mkString(" "))))
+      }
+    }.toMap
+    val got = TextOps.passageDedup(docs.toDF("doc_id", "text"),
+      "doc_id", "text", chunk)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+  }
+
   test("triangle split emits exactly the monolithic join's pair set") {
     // 200 docs drawn from a tiny vocab -> dense sig collisions, so the
     // decomposition is exercised across hot buckets and both group
