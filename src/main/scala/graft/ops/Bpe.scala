@@ -84,14 +84,17 @@ object Bpe {
         val (a, b, cnt) =
           (pairs(0).getString(0), pairs(0).getString(1), pairs(0).getLong(2))
         merges += Row(step.toLong, a, b, a + b, cnt)
+        // the collect above just materialized `words`, so the round-
+        // older cache is now safe to release (one round late — its
+        // child is materialized and won't recompute through it)
+        if (prev != null) prev.unpersist()
+        prev = words
         // plain literal replace — regexp-free, left-to-right
         val applied = words.withColumn("seg",
           replace(col("seg"), lit(Sep + a + Sep + Sep + b + Sep),
             lit(Sep + a + b + Sep)))
         words = (if (step % 3 == 0) applied.localCheckpoint(false)
                  else applied).cache()
-        if (prev != null) prev.unpersist()
-        prev = words
         step += 1
       }
     }
