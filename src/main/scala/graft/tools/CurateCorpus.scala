@@ -68,9 +68,16 @@ object CurateCorpus {
     GraftSession.tune(spark)
 
     val funnel = Seq.newBuilder[(String, Long)]
+    // each stage caches (several later stages read it), and the
+    // previous stage's cache is released once the current one has
+    // materialized through it — at corpus scale holding the whole
+    // funnel pinned would evict the stages still in use
+    var lastCached: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
       val c = df.cache()
       funnel += (name -> c.count())
+      if (lastCached != null && !(lastCached eq c)) lastCached.unpersist()
+      lastCached = c
       c
     }
 
