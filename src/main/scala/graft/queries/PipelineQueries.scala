@@ -595,5 +595,46 @@ object PipelineQueries {
            | coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
            | abs(coalesce(cnt_a, 0) - coalesce(cnt_b, 0)) AS delta
            |FROM ac FULL OUTER JOIN bc USING (token)
-           |ORDER BY delta DESC, token LIMIT 20""".stripMargin)))
+           |ORDER BY delta DESC, token LIMIT 20""".stripMargin)),
+
+    // Latest-wins upsert materialization (the SCD-1 merge a corpus
+    // refresh performs): a base snapshot unioned with an update batch
+    // (modified texts + brand-new ids), highest version per doc wins.
+    // One shuffle on the id; the rn=1 filter plans as WindowGroupLimit
+    // so no group's rows fully sort. Updates are synthesized from the
+    // same table so the oracle can re-derive them bit-identically.
+    "q97_upsert" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val base = docs.withColumn("version", lit(0L))
+        val upd = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+          .withColumn("version", lit(1L))
+          .unionByName(docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+            .withColumn("version", lit(1L)))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc)
+        base.unionByName(upd)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .select(col("doc_id"), col("version"),
+            md5(coalesce(col("text"), lit(""))).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT doc_id, text, 0 AS version FROM documents),
+          |upd AS (
+          |  SELECT doc_id, text || ' v2' AS text, 1 AS version
+          |  FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, text, 1
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |  ORDER BY version DESC) AS rn FROM u)
+          |SELECT doc_id, CAST(version AS BIGINT) AS version,
+          | md5(coalesce(text, '')) AS text_md5
+          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
 }
