@@ -11,6 +11,7 @@ import graft.catalog.CqlCatalog
 import graft.model.{AnalysisConfig, QueryPattern}
 import graft.parse.LogColumns
 import graft.streaming.StreamingAnalyzer
+import graft.topology.Topology
 
 /** End-to-end embodiments of the ACTUAL slow-query pipeline (lexer ->
   * classify -> enrich -> aggregate) over messages synthesized
@@ -272,6 +273,45 @@ object SlowLogQueries {
               |SELECT minute, query, primary_key, count, duration, avg_duration
               |FROM r WHERE rn <= 5
               |ORDER BY minute, duration DESC, query, primary_key""".stripMargin)),
+
+    // J3/S11 driver-visible: the find_pk_nodes enrichment run with a
+    // DETERMINISTIC resolver (node = md5-derived ring position, RF=3)
+    // so the batched mapPartitions RPC shape itself is oracle-checked
+    // — the oracle re-derives the same ring arithmetic from the same
+    // md5. Production swaps in NodetoolResolver; the plan (one task
+    // per partition of keys, resolver reused across its rows) is
+    // identical. Output is the reference's normalized long form.
+    "q98_topology_endpoints" -> Q(
+      (s, dir) => {
+        val pks = parsed(s, dir)
+          .filter(col("primary_key").isNotNull && col("primary_key") =!= "")
+          .select(col("keyspace"), col("column_family"), col("primary_key"))
+          .distinct()
+        val resolver = new Topology.EndpointResolver {
+          def resolve(ks: String, cf: String, pk: String): Option[Seq[String]] = {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val h = graft.ops.SketchKernels.hash32(md, s"$ks.$cf.$pk")
+            Some((0 until 3).map(i => "node" + ((h + i) % 8)))
+          }
+        }
+        Topology.long(Topology.resolveEndpoints(pks, resolver))
+          .orderBy(col("keyspace"), col("column_family"),
+            col("primary_key"), col("endpoint"))
+      },
+      Some(s"""WITH ev AS ($oracleEvents),
+              |pks AS (
+              | SELECT DISTINCT keyspace, column_family, primary_key
+              | FROM ev WHERE primary_key <> ''),
+              |h AS (
+              | SELECT *, ('0x' || substr(md5(keyspace || '.' ||
+              |   column_family || '.' || primary_key), 1, 8))::BIGINT AS hh
+              | FROM pks)
+              |SELECT keyspace, column_family, primary_key,
+              | unnest(['node' || CAST(hh % 8 AS VARCHAR),
+              |         'node' || CAST((hh + 1) % 8 AS VARCHAR),
+              |         'node' || CAST((hh + 2) % 8 AS VARCHAR)]) AS endpoint
+              |FROM h
+              |ORDER BY keyspace, column_family, primary_key, endpoint""".stripMargin)),
 
     // §2.10 driver-visible streaming check #5 — stream-stream interval
     // join: each signup matched to the same user's purchases within
