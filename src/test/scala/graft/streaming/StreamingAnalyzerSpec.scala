@@ -166,4 +166,41 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
       StreamingAnalyzer.SessionUpdate(2, 1000, 1, 1),
       StreamingAnalyzer.SessionUpdate(2, 900000, 1, 2)))
   }
+
+  test("interval join matches in-window pairs and evicts state past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    val left = lMem.toDF().toDF("l_user", "signup_id", "lts")
+    val right = rMem.toDF().toDF("r_user", "purchase_id", "rts")
+    val q = StreamingAnalyzer.intervalJoinStream(left, right,
+      "l_user = r_user", "lts", "rts", within = "1 HOUR",
+      watermark = "10 minutes")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ssj").start()
+
+    // batch 1: a signup, plus an in-window purchase -> one pair
+    lMem.addData((1L, 100L, Timestamp.valueOf("2026-08-12 10:00:00")))
+    rMem.addData((1L, 200L, Timestamp.valueOf("2026-08-12 10:30:00")))
+    q.processAllAvailable()
+    // batch 2: advance both watermarks far past the signup's match
+    // window (10:00 + 1h + 10min delay)
+    lMem.addData((9L, 999L, Timestamp.valueOf("2026-08-12 15:00:00")))
+    rMem.addData((9L, 998L, Timestamp.valueOf("2026-08-12 15:00:01")))
+    q.processAllAvailable()
+    // batch 3: a LATE purchase that would match user 1's signup — its
+    // event time is behind the watermark, so the signup's state is
+    // gone and no pair may appear
+    rMem.addData((1L, 201L, Timestamp.valueOf("2026-08-12 10:45:00")))
+    q.processAllAvailable()
+
+    val pairs = spark.table("ssj")
+      .select($"signup_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs.contains((100L, 200L)))   // in-window pair emitted
+    assert(pairs.contains((999L, 998L)))   // watermark-advancing pair
+    assert(!pairs.contains((100L, 201L)),
+      "late row behind the watermark must not join — state was evicted")
+  }
 }
