@@ -53,7 +53,15 @@ object Bench {
       emb.select(graft.ops.VectorExpressions.cosine(col("embedding"),
         col("embedding"))).queryExecution.toRdd.foreach(_ => ())
     } catch { case _: Throwable => () } // warm-up must never fail the bench
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    def storageBytes: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         // Materialize every row of every column (toRdd evaluates the full
@@ -65,28 +73,41 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcMs = gcMillis - gc0
+      val stored = storageBytes
+      // Release the query's scratch caches OUTSIDE its timed window:
+      // 98 queries in one JVM accumulate dead cached blocks otherwise,
+      // and the round-4 bench showed the fallout (q43-q46 3.6-6x
+      // regressions from storage-pool pressure + GC).
+      Scratch.release()
+      (name, sec, ok, gcMs, stored)
     }
-    // Keep the line SHORT: the consumer parses it out of a bounded tail
-    // of the sbt output, and BENCH_r03 showed a 69-query line with
-    // 9-decimal floats overflowing that window (the head of the line was
-    // truncated -> "parsed": null). Millisecond precision is plenty.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // per-query GC time and post-query cached bytes: the diagnostics
+    // that root-caused the round-4 regression cluster, kept in the
+    // artifact so the next regression is explainable from the file
+    val diag = results.map { case (k, _, _, g, b) =>
+      "\"" + k + "\":[" + g + "," + b + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val note = "full-materialization timing (toRdd)"
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"note":"$note","sf":"$sfDir"}"""
-    println(line)
-    // Also land the line in a file: sbt interleaves Spark logs with
-    // stdout, so a consumer tailing the process output can fail to
-    // parse the JSON (BENCH_r02 "parsed": null). The file is clean.
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"gc_ms_and_stored_bytes":$diag,"note":"$note","sf":"$sfDir"}"""
+    // The per-query map outgrew the consumer's bounded stdout tail at
+    // 98 queries (BENCH_r03/r04 "parsed": null, tail truncated
+    // mid-object) — stdout gets a SHORT summary line the tail always
+    // fits, and the full per-query map lands only in /tmp/bench.json.
+    val short =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"/tmp/bench.json","note":"$note","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    println(short)
     spark.stop()
   }
 }

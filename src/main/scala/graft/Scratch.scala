@@ -1,0 +1,65 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Registry of QUERY-SCOPED cached data.
+  *
+  * Operators cache intermediates that several branches of their own
+  * plan read (LSH signatures, shingle sets, CC labels); those caches
+  * are dead the moment the query's result is materialized, but
+  * `Dataset.cache()` pins them in the session's CacheManager forever.
+  * Run 98 queries in one JVM (Bench/Verify) and the leaked blocks
+  * squeeze the storage pool until the long-lived parse cache is
+  * evicted and every later query pays GC — the round-4 q43-q46
+  * regression cluster.
+  *
+  * Routing query-scoped caches through [[Scratch.cache]] (and
+  * query-scoped lineage cuts through [[Scratch.localCheckpoint]])
+  * records a release thunk; harnesses call [[Scratch.release]] after
+  * each query is fully materialized. Releasing is idempotent and
+  * never throws, so operators that already unpersist eagerly (the CC
+  * loop's one-round-late discipline) can register too. Long-lived
+  * caches (the shared slow-log parse cache — the reference's
+  * processed.json analog) intentionally do NOT register.
+  *
+  * On a real cluster the same discipline applies per job; here the
+  * harness is the job boundary.
+  */
+object Scratch {
+  private val live = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Cache `ds` and register it for the next [[release]]. */
+  def cache[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.cache()
+    live.add(() => c.unpersist(false))
+    c
+  }
+
+  /** Local-checkpoint `df` (lazy) and register the backing RDD's
+    * blocks for the next [[release]] — checkpointed RDDs are pinned
+    * only by driver references, and the CacheManager-free path means
+    * ContextCleaner would otherwise wait for a full driver GC.
+    */
+  def localCheckpoint(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(false)
+    live.add(() => c.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(false)
+      case _ => ()
+    })
+    c
+  }
+
+  /** Unpersist every registered scratch cache (idempotent, may be
+    * called between queries on a live session).
+    */
+  def release(): Unit = {
+    var f = live.poll()
+    while (f != null) {
+      try f() catch { case _: Throwable => () }
+      f = live.poll()
+    }
+  }
+}

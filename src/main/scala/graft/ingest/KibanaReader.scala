@@ -83,8 +83,7 @@ object KibanaReader {
     * ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]).
     */
   def corruptRecords(spark: SparkSession, paths: Seq[String]): DataFrame =
-    readRaw(spark, paths)
-      .cache()
+    graft.Scratch.cache(readRaw(spark, paths))
       .filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol))
 }

@@ -54,11 +54,10 @@ object Bpe {
       textCol: String, rounds: Int): DataFrame = {
     // corpus -> weighted word table (the one corpus-sized shuffle),
     // then char-level initial segmentation ‖c1‖‖c2‖…
-    var words = docs
+    var words = graft.Scratch.cache(docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("seg", regexp_replace(col("word"), "(.)", Sep + "$1" + Sep))
-      .cache()
+      .withColumn("seg", regexp_replace(col("word"), "(.)", Sep + "$1" + Sep)))
     var prev: DataFrame = null
 
     val merges = Seq.newBuilder[Row]
@@ -93,8 +92,9 @@ object Bpe {
         val applied = words.withColumn("seg",
           replace(col("seg"), lit(Sep + a + Sep + Sep + b + Sep),
             lit(Sep + a + b + Sep)))
-        words = (if (step % 3 == 0) applied.localCheckpoint(false)
-                 else applied).cache()
+        words = graft.Scratch.cache(
+          if (step % 3 == 0) graft.Scratch.localCheckpoint(applied)
+          else applied)
         step += 1
       }
     }

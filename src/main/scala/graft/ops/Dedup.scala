@@ -94,13 +94,12 @@ object Dedup {
     // signature is all-null, every such doc would share one band
     // bucket, and the 0/0 Jaccard verify is vacuously true — m^2
     // false pairs. They cannot be minhashed; exclude them up front.
-    val hashed = df
+    val hashed = graft.Scratch.cache(df
       .select(col(idCol).as("id"),
         SketchExpressions.hashedShingles(col(textCol), n).as("hs"),
         SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
       .filter(size(col("hs")) > 0)
-      .withColumn("bk", bandKeys(col("sig"), bands, rows))
-      .cache()
+      .withColumn("bk", bandKeys(col("sig"), bands, rows)))
     // exactly-once candidate emission from the FIRST band both docs
     // share (the crossMinhashPairs trick, applied to the self-join):
     // `bands` codegen'd comparisons per collision instead of shuffling
@@ -313,10 +312,10 @@ object Dedup {
     */
   def simhashPairs120(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val sigs = df
+    val sigs = graft.Scratch.cache(df
       .select(col(idCol).as("id"),
         SketchExpressions.simhash120(col(textCol)).as("sig"))
-      .cache() // every band self-join side reads it; sigs are md5-heavy
+      ) // every band self-join side reads it; sigs are md5-heavy
     simhashPairsFromSigsWide(sigs, maxDist)
   }
 
@@ -325,10 +324,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
-    val sigs = df
+    val sigs = graft.Scratch.cache(df
       .select(col(idCol).as("id"),
         SketchExpressions.simhash60(col(textCol)).as("sig"))
-      .cache() // every band self-join side reads it; sigs are md5-heavy
+      ) // every band self-join side reads it; sigs are md5-heavy
     simhashPairsFromSigs(sigs, maxDist)
   }
 
@@ -352,13 +351,12 @@ object Dedup {
     */
   def jaccardPairsMinK(df: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, num: Int, den: Int): DataFrame = {
-    val base = df.select(
+    val base = graft.Scratch.cache(df.select(
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"),
       slice(array_sort(SketchExpressions.hashedShingles(col(textCol), n)), 1, k)
         .as("keys"))
-      .filter(size(col("keys")) > 0) // sub-n-token docs cannot block
-      .cache() // both self-join sides
+      .filter(size(col("keys")) > 0)) // sub-n-token docs cannot block; both self-join sides
     val e = base.select(explode(col("keys")).as("bk"),
       col("id"), col("toks"), col("keys"))
     val a = e.select(col("bk"), col("id").as("id_a"),
@@ -392,9 +390,10 @@ object Dedup {
       .filter(size(col(s"hs_$side")) > 0)
       .withColumn(s"bk_$side", bandKeys(col("sig"), bands, rows))
       .drop("sig")
-      .cache() // band join side + verify re-attach
-    val pa = prep(a, "a")
-    val pb = prep(b, "b")
+    def prepC(df: DataFrame, side: String): DataFrame =
+      graft.Scratch.cache(prep(df, side)) // band join side + verify re-attach
+    val pa = prepC(a, "a")
+    val pb = prepC(b, "b")
     val ea = pa.select(posexplode(col("bk_a")).as(Seq("bi", "band")),
       col("id_a"), col("bk_a"))
     val eb = pb.select(explode(col("bk_b")).as("band"), col("id_b"), col("bk_b"))
@@ -448,13 +447,12 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int): DataFrame = {
-    val sym = pairs
+    val sym = graft.Scratch.cache(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cache()
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    var labels = graft.Scratch.cache(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     // ONE Spark action per round (the convergence count, which also
     // materializes the round's cache): on small/medium graphs the loop
     // cost is per-job constant overhead, not data. Tables from the
@@ -474,8 +472,10 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("oc"),
           least(col("oc"), coalesce(col("nbr"), col("oc"))).as("comp"))
-      if (iter % 3 == 2) stepped = stepped.localCheckpoint()
-      stepped = stepped.cache()
+      // lazy checkpoint: the convergence count below materializes it,
+      // so this stays one action per round
+      if (iter % 3 == 2) stepped = graft.Scratch.localCheckpoint(stepped)
+      stepped = graft.Scratch.cache(stepped)
       // the count materializes stepped's cache AND decides convergence
       done = stepped.filter(col("comp") =!= col("oc")).count() == 0
       if (prev != null) prev.unpersist()
@@ -490,12 +490,11 @@ object Dedup {
           // table); halves remaining path lengths -> O(log diameter)
           // rounds even on chain graphs. Skipped on the confirm round:
           // a fixpoint of the neighbor step is a fixpoint of doubling.
-          stepped
+          graft.Scratch.cache(stepped
             .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
               Seq("comp"), "left")
             .select(col("id"),
-              least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
-            .cache()
+              least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
         }
       iter += 1
     }
@@ -535,12 +534,12 @@ object Dedup {
     // as the minhash sub-n-token fix).
     val blockKey = blockCols.map(_.cast("string"))
       .reduce((a, b) => concat(a, lit("\u0001"), b))
-    val base = df.select(
+    val base = graft.Scratch.cache(df.select(
       col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"),
       blockKey.as("block"))
       .filter(size(col("toks")) > 0 && col("block").isNotNull)
-      .cache() // both self-join sides
+      ) // both self-join sides
     val a = base.select(col("block"), col("id").as("id_a"), col("toks").as("toks_a"))
     val b = base.select(col("block"), col("id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))

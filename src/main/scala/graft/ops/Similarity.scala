@@ -371,9 +371,9 @@ object Similarity {
     val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
       lshBucket(col(vecCol), p).as(s"b$t")
     }
-    val bucketed = embeddings.select(
+    val bucketed = graft.Scratch.cache(embeddings.select(
       (col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols): _*)
-      .cache() // every per-table self-join side reads it
+      ) // every per-table self-join side reads it
     val tables = planeTables.indices.map { t =>
       val aSide = bucketed.select(
         col(s"b$t").as("bk") +: col("id").as("id_a") +: col("v").as("v_a") +:

@@ -199,18 +199,36 @@ object ExtendedQueries {
              | AND e.day >= i.start_day AND e.day <= i.start_day + 13
              |ORDER BY e.event_id, i.o_orderkey""".stripMargin)),
 
-    // HLL approximate distinct counts: algorithm-specific, so no
-    // cross-engine oracle (DuckDB's approx_distinct uses a different
-    // sketch); rows-only here, with the accuracy bound pinned by
-    // ExtendedQueriesSpec against exact counts.
+    // HLL approximate distinct counts. The raw sketch estimates are
+    // algorithm-specific (DuckDB's approx_distinct uses a different
+    // sketch), so the driver-visible output carries what BOTH engines
+    // can compute: the exact distinct counts plus an integer
+    // within-10%-of-exact verdict on Spark's HLL estimate (default
+    // rsd 0.05, so 10% is a 2-sigma bound and the flag is
+    // deterministically 1 on this data — the oracle asserts exactly
+    // that; an HLL drift past the bound flips the flag and reddens
+    // the hash). Tighter estimate-vs-exact accuracy remains pinned by
+    // ExtendedQueriesSpec.
     "q42_approx_distinct" -> Q(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("approx_parts") - col("exact_parts")) * 10
+            <= col("exact_parts")).cast("long").as("parts_within_10pct"),
+          (abs(col("approx_orders") - col("exact_orders")) * 10
+            <= col("exact_orders")).cast("long").as("orders_within_10pct"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+             | count(DISTINCT l_partkey) AS exact_parts,
+             | count(DISTINCT l_orderkey) AS exact_orders,
+             | CAST(1 AS BIGINT) AS parts_within_10pct,
+             | CAST(1 AS BIGINT) AS orders_within_10pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // native session windows (merge-within-gap) vs an oracle that
     // derives the same sessions with lag/cumsum arithmetic

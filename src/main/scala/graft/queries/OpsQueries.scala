@@ -186,7 +186,7 @@ object OpsQueries {
     "q23_jaccard_pairs" -> Q(
       (s, dir) => Dedup.jaccardPairsMinK(t(s, dir, "documents"),
         "doc_id", "text", n = 3, k = 3, num = 1, den = 2)
-        .localCheckpoint(false)
+        .transform(graft.Scratch.localCheckpoint)
         .orderBy(col("id_a"), col("id_b")),
       Some(
         s"""WITH tk AS (
@@ -272,7 +272,8 @@ object OpsQueries {
     "q26_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxDist = 8)
-        .localCheckpoint(false) // see q23 — sort would run the scan twice
+        // see q23 — sort would run the scan twice
+        .transform(graft.Scratch.localCheckpoint)
         .orderBy(col("id_a"), col("id_b")),
       Some {
         val bitTerms = (0 until 60).map { b =>
@@ -334,7 +335,8 @@ object OpsQueries {
     "q56_simhash_wide_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs120(t(s, dir, "documents"),
         "doc_id", "text", maxDist = 8)
-        .localCheckpoint(false) // see q23 — sort would run the scan twice
+        // see q23 — sort would run the scan twice
+        .transform(graft.Scratch.localCheckpoint)
         .orderBy(col("id_a"), col("id_b")),
       Some {
         def bitTerms(hsList: String) = (0 until 60).map { b =>
@@ -612,10 +614,17 @@ object OpsQueries {
            |ORDER BY qid, rn""".stripMargin
       }),
 
-    // IVF ANN — deterministic coarse quantizer + probed search. No SQL
-    // oracle (k-means refinement isn't reasonably SQL-expressible);
-    // driver records a rows-only check, and OpsSpec pins agreement of
-    // every returned cosine with the exact brute-force computation.
+    // IVF ANN — deterministic coarse quantizer + probed search, run at
+    // FULL probe fan-out (nprobe = k = 16) so the registered output is
+    // provably the brute-force top-10: probing every cell makes the
+    // probe filter a partition-completeness check (any vector the
+    // assignment drops, duplicates, or mis-buckets diverges the top-k)
+    // and the oracle is plain SQL. recall_at_10 folds the IVF-vs-brute
+    // agreement into the output as an integer the oracle re-derives
+    // (the q58 pattern). The APPROXIMATE nprobe < k path — recall is
+    // data-limited on this near-uniform corpus, E[recall] ~ nprobe/k —
+    // stays pinned by OpsSpec (returned cosines agree with exact
+    // computation; recall floor) and q58's exact-IVF gate.
     "q38_ann_ivf" -> Q(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -623,10 +632,26 @@ object OpsQueries {
           .head().getSeq[Float](0).toArray.map(_.toDouble)
         val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16,
           iters = 2, sampleMod = 4)
-        Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10, centroids, 4)
+        val ivf = Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10,
+          centroids, nprobe = 16)
+        val bf = Similarity.topKCosine(emb, "vec_id", "embedding",
+          typedLit(emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0)), 10)
+          .select(col("id"))
+        ivf.join(bf, Seq("id"), "left_semi")
+          .withColumn("recall_at_10",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()).cast("long"))
           .withColumnRenamed("id", "vec_id")
+          .orderBy(col("cos").desc, col("vec_id"))
       },
-      None),
+      Some(
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |c AS (SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS cos
+           |      FROM embeddings, q),
+           |t AS (SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10)
+           |SELECT vec_id, cos, CAST(10 AS BIGINT) AS recall_at_10 FROM t
+           |ORDER BY cos DESC, vec_id""".stripMargin)),
 
     // IVF recall, driver-visible AND oracle-exact: plain probe-limited
     // IVF on this corpus is data-limited (the embeddings are
@@ -932,8 +957,8 @@ object OpsQueries {
     "q55_multimodal_ann" -> Q(
       (s, dir) => {
         val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
-        val feats = Multimodal.extractFeatures(docs, "doc_id", "payload",
-          dims = 16).cache()
+        val feats = graft.Scratch.cache(
+          Multimodal.extractFeatures(docs, "doc_id", "payload", dims = 16))
         val qv = typedLit(feats.filter(col("id") === 0)
           .select(col("features")).head().getSeq[Float](0))
         Similarity.topKCosine(feats, "id", "features", qv, 10)

@@ -139,8 +139,9 @@ object PipelineQueries {
       (s, dir) => {
         val grams = t(s, dir, "documents").select(col("doc_id"),
           explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
-        val test = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select(col("gram")).distinct().cache()
+        val test = graft.Scratch.cache(grams
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("gram")).distinct())
         // bloom keys are xxhash64 — Spark-internal only (build and
         // probe use the same fn; the ORACLE-visible comparison is the
         // exact semi-join on gram strings), so no md5 portability tax
