@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.ops.{CosineSimExpr, FingerprintExpr, HashedShinglesExpr,
   LangPredictExpr, MinHashSignatureExpr, NgramsExpr, QualitySignalsExpr,
@@ -43,8 +44,12 @@ object GraftFunctions {
     "ngrams" -> (args => NgramsExpr(args.head, 3, distinct = false)),
     "ngrams_distinct" -> (args => NgramsExpr(args.head, 3, distinct = true)),
     "repetition_stats" -> (args => RepetitionStatsExpr(args.head)),
-    // aggregate: k must be a foldable literal
-    "topk_by" -> (args => graft.ops.TopKByAgg(args(0), args(1),
+    // aggregate: k must be a foldable literal. The ord/payload casts
+    // mirror the Scala wrapper (TopKAgg.topKBy): TopKByAgg.update
+    // reads Long/UTF8String directly, so an uncast INT ord or
+    // non-string payload from SQL would ClassCastException at runtime.
+    "topk_by" -> (args => graft.ops.TopKByAgg(
+      Cast(args(0), LongType), Cast(args(1), StringType),
       args(2).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): SparkSession = {

@@ -54,10 +54,17 @@ object Bpe {
       textCol: String, rounds: Int): DataFrame = {
     // corpus -> weighted word table (the one corpus-sized shuffle),
     // then char-level initial segmentation ‖c1‖‖c2‖…
+    // (?s) dotall: Java's bare '.' skips LF CR U+0085 U+2028 U+2029, while
+    // RE2's (the oracle's) skips only \n — a token containing any of
+    // them would segment DIFFERENTLY per engine. The separator char
+    // itself is stripped from tokens first (on both sides): a literal
+    // U+001F inside a token would corrupt the separator encoding
+    // identically in both engines, invisible to the oracle.
     var words = graft.Scratch.cache(docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("seg", regexp_replace(col("word"), "(.)", Sep + "$1" + Sep)))
+      .withColumn("seg", regexp_replace(translate(col("word"), Sep, ""),
+        "(?s)(.)", Sep + "$1" + Sep)))
     var prev: DataFrame = null
 
     val merges = Seq.newBuilder[Row]
@@ -137,7 +144,7 @@ object Bpe {
     }.mkString("\nUNION ALL ")
     s"""WITH w0 AS (
        | SELECT t AS word, count(*) AS cnt,
-       |  regexp_replace(t, '(.)', $sep||'\\1'||$sep, 'g') AS seg
+       |  regexp_replace(replace(t, $sep, ''), '(?s)(.)', $sep||'\\1'||$sep, 'g') AS seg
        | FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY t),
        |$rnds
        |$sel

@@ -181,7 +181,12 @@ object Dedup {
     */
   private def trianglePairs(e: DataFrame, g: Int,
       verify: DataFrame => DataFrame): DataFrame = {
-    val withG = e.withColumn("grp", pmod(col("id"), lit(g)).cast("int"))
+    // group on a HASH of the id: pmod on the raw id would coerce a
+    // string id to null (sequence(null,..) -> explode drops the row,
+    // silently losing every pair); xxhash64 gives every orderable id
+    // type a uniform group
+    val withG = e.withColumn("grp",
+      pmod(xxhash64(col("id")), lit(g)).cast("int"))
     val a = withG
       .withColumn("gj", explode(sequence(col("grp"), lit(g - 1))))
       .select(col("bk"), col("grp").as("gi"), col("gj"),
@@ -219,6 +224,17 @@ object Dedup {
     verify(norm)
   }
 
+  /** SMALL-CORPUS variant: recall-complete pigeonhole blocking over
+    * the 60-bit signature. With maxDist=8 its 9 bands carry only 6-7
+    * bits each — 64-128 distinct band values — so expected bucket
+    * population is LINEAR in corpus size and candidate generation
+    * quadratic at scale. Pedagogically useful (the layout arithmetic
+    * is readable) and fine up to ~10^6 docs; at corpus scale use the
+    * 120-bit [[simhashPairsFromSigsWide]] (12-15-bit bands, the q56
+    * form), which keeps the same recall guarantee with a band-value
+    * space ~100x larger. SkewSpec pins the bucket-population gap
+    * between the two layouts.
+    */
   def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int,
       splitG: Int = 8): DataFrame = {
     val bands = maxDist + 1
@@ -499,7 +515,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    // cut the loop lineage under the returned (id, comp) table:
+    // caching short-circuits execution but consumers would still
+    // re-ANALYZE a plan embedding the pair generation + up to 3
+    // rounds of label joins on every downstream action (measured
+    // seconds of pure planning per action on the q99 funnel)
+    graft.Scratch.localCheckpoint(labels)
   }
 
   /** Dedup clustering over (id, text): near-dup pairs (MinHash+LSH)

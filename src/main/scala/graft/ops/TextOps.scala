@@ -323,12 +323,18 @@ object TextOps {
   }
 
   /** Top-k salient terms per doc by an integer-exact tf-idf score:
-    * score = tf * SCALE * N DIV df (rational idf — no ln(), which is
-    * libm-dependent and would flap cross-engine hashes). The inverted
-    * index shape at scale: one explode + (doc, token) count for tf,
-    * one distinct-doc count for df; df is VOCABULARY-sized, so it
-    * broadcasts to the tf join — the corpus-sized side never
-    * reshuffles; ranking is windowed per doc.
+    * score = tf * ((SCALE * N) DIV df) (rational idf — no ln(), which
+    * is libm-dependent and would flap cross-engine hashes). The
+    * association matters for overflow: the naive (tf * SCALE * N)
+    * DIV df forms tf*SCALE*N first, past 2^63 at tf*N > 9.2e12 —
+    * trivially reached at billion-doc scale. Grouping the idf factor
+    * first bounds the product by tf * (SCALE*N/df): exact while
+    * N < 9.2e12 docs and, per term, tf * idf_scaled < 2^63 — for a
+    * df=1 term at N=1e9 that allows tf up to ~9e9, beyond any real
+    * document. The inverted index shape at scale: one explode +
+    * (doc, token) count for tf, one distinct-doc count for df; df is
+    * VOCABULARY-sized, so it broadcasts to the tf join — the
+    * corpus-sized side never reshuffles; ranking is windowed per doc.
     *
     * `n` (corpus size) is a driver scalar from one count — at 100 TB
     * this is one cheap agg, or a known catalog statistic.
@@ -345,7 +351,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
     tf.join(broadcast(dfreq), Seq("token"))
-      .withColumn("score", expr(s"tf * $scale * ${n}L DIV df"))
+      .withColumn("score", expr(s"tf * (($scale * ${n}L) DIV df)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))

@@ -43,7 +43,12 @@ object OpsQueries {
     * `chk(id_a, id_b, i_cnt, u_cnt)`. Used by q24 (the pair check)
     * and q60 (clusters over the same graph).
     */
-  private[queries] lazy val minhashCtes: String = {
+  private[queries] lazy val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** [[minhashCtes]] over an arbitrary (doc_id, text) source CTE —
+    * q99 composes it over the curation funnel's survivors.
+    */
+  private[queries] def minhashCtesFrom(src: String): String = {
     val p = Dedup.MinhashP
     val sigTerms = Dedup.minhashParams.map { case (a, b) =>
       s"list_aggregate(list_transform(hs, h -> (h * $a + $b) % $p), 'min')"
@@ -53,7 +58,7 @@ object OpsQueries {
       s"md5(concat_ws('_', '$b', ${elems.mkString(", ")}))"
     }.mkString(",\n   ")
     s"""toks AS (
-       | SELECT doc_id AS id, $toksSql AS t FROM documents),
+       | SELECT doc_id AS id, $toksSql AS t FROM $src),
        |sh AS (
        | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
        |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM toks),
@@ -269,6 +274,11 @@ object OpsQueries {
     // brute-forces ALL pairs at hamming distance <= 8, so the hash
     // match proves the pigeonhole band blocking has complete recall —
     // not merely that both engines block identically.
+    // SCOPE: q26 registers the SMALL-CORPUS 60-bit variant (6-7-bit
+    // band values -> bucket population linear in corpus size; see
+    // Dedup.simhashPairsFromSigs scaladoc). Its at-scale successor is
+    // q56 (120-bit, 12-15-bit bands); q26 stays registered as the
+    // readable form and as a second recall oracle on the same corpus.
     "q26_simhash_pairs" -> Q(
       (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"),
         "doc_id", "text", maxDist = 8)
@@ -876,7 +886,7 @@ object OpsQueries {
            |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
            |n AS (SELECT count(*) AS n FROM documents),
            |s AS (
-           | SELECT doc_id, token, tf, df, tf * 1000000 * n.n // df AS score
+           | SELECT doc_id, token, tf, df, tf * ((1000000 * n.n) // df) AS score
            | FROM tf JOIN dfreq USING (token), n),
            |r AS (
            | SELECT *, row_number() OVER

@@ -637,5 +637,110 @@ object PipelineQueries {
           |  ORDER BY version DESC) AS rn FROM u)
           |SELECT doc_id, CAST(version AS BIGINT) AS version,
           | md5(coalesce(text, '')) AS text_md5
-          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
+          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // THE flagship composition under oracle: the CurateCorpus CLI's
+    // 7-stage funnel (lang -> quality/repetition -> exact dedup ->
+    // near-dup keep-best -> 8-gram decontamination -> temperature
+    // mixture -> reshard), run through the ACTUAL tool entry point
+    // (tools/CurateCorpus.run — the same composed job a production
+    // pipeline submits), emitting the per-stage survivor counts. The
+    // oracle composes the individual stage oracles (q21/q22/q60/q82/
+    // q74/q87 fragments) over the shrinking survivor set, so a
+    // divergence at ANY stage shifts every later count. Holdout =
+    // the q74 convention (doc_id % 10 == 0 slice), re-written each
+    // run so a regenerated fixture can't serve stale contamination.
+    "q99_curate_funnel" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val tmp = "/tmp/graft_q99_" + Integer.toHexString(dir.hashCode)
+        val hold = tmp + "/holdout"
+        val out = tmp + "/curated"
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(10)) === 0)
+          .write.mode("overwrite").parquet(hold)
+        val funnel = graft.tools.CurateCorpus.run(s, Array(
+          s"$dir/documents.parquet", out,
+          "--lang", "en", "--holdout", hold, "--temperature", "0.5"))
+        import s.implicits._
+        funnel.zipWithIndex
+          .map { case ((n, c), i) => (i.toLong, n, c) }
+          .toDF("stage_idx", "stage", "n_docs")
+          .orderBy(col("stage_idx"))
+      },
+      Some {
+        // ONE line: a multi-line fragment interpolated into the outer
+        // stripMargin template would lose the leading '|' of its '||'
+        // continuation lines to the margin strip
+        val gram8 = "list_distinct(list_transform(generate_series(1, len(t) - 7), " +
+          (0 until 8).map(i => s"t[i+$i]").mkString("i -> ", " || ' ' || ", "))")
+        val h32doc =
+          "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        s"""WITH RECURSIVE
+           |inp AS (SELECT doc_id, text, lang, source FROM documents),
+           |lng AS (SELECT * FROM inp WHERE lang = 'en'),
+           |qtk AS (SELECT *, $toksSql AS t FROM lng),
+           |qf AS (SELECT doc_id, text, lang, source FROM qtk
+           | WHERE len(t) >= 5 AND len(t) <= 100000
+           |  AND list_aggregate(list_transform(list_distinct(t),
+           |   x -> len(list_filter(t, y -> y = x))), 'max') * 5 <= len(t)),
+           |ex AS (SELECT doc_id, text, lang, source FROM (
+           |  SELECT *, row_number() OVER (
+           |   PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           |   ORDER BY doc_id) AS rn FROM qf) WHERE rn = 1),
+           |${OpsQueries.minhashCtesFrom("ex")},
+           |pairs AS (
+           | SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM ex
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (
+           | SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |sc AS (
+           | SELECT doc_id,
+           |  CAST(len(list_intersect(list_distinct($toksSql),
+           |    ['the','a','of','and','to','in','is'])) * 3
+           |   + len(list_distinct($toksSql)) * 2
+           |   - (CASE WHEN list_aggregate(list_transform($toksSql,
+           |       t -> length(t)), 'max') > 12 THEN 5 ELSE 0 END)
+           |   AS INTEGER) AS score
+           | FROM ex),
+           |nr AS (
+           | SELECT c.doc_id FROM comp c JOIN sc USING (doc_id)
+           | QUALIFY row_number() OVER (PARTITION BY c.cluster
+           |   ORDER BY sc.score DESC, c.doc_id) = 1),
+           |nrd AS (SELECT e.* FROM ex e JOIN nr USING (doc_id)),
+           |htk AS (SELECT doc_id, $toksSql AS t FROM documents
+           |  WHERE doc_id % 10 = 0),
+           |hg AS (SELECT DISTINCT unnest($gram8) AS gram FROM htk),
+           |dtk AS (SELECT doc_id, $toksSql AS t FROM nrd),
+           |cont AS (SELECT DISTINCT doc_id FROM
+           |  (SELECT doc_id, unnest($gram8) AS gram FROM dtk)
+           |  WHERE gram IN (SELECT gram FROM hg)),
+           |dc AS (SELECT * FROM nrd
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |mc AS (SELECT source, count(*) AS n_docs FROM dc GROUP BY 1),
+           |m1 AS (SELECT source, n_docs,
+           |  CAST(floor(sqrt(n_docs)) AS BIGINT) AS r0 FROM mc),
+           |m2 AS (SELECT source,
+           |  CASE WHEN r0*r0 > n_docs THEN r0 - 1
+           |       WHEN (r0+1)*(r0+1) <= n_docs THEN r0 + 1
+           |       ELSE r0 END AS samp_den FROM m1),
+           |mx AS (SELECT dc.doc_id FROM dc JOIN m2 USING (source)
+           |  WHERE $h32doc % samp_den = 0)
+           |SELECT * FROM (
+           | SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage,
+           |  count(*) AS n_docs FROM inp
+           | UNION ALL SELECT 1, 'lang', count(*) FROM lng
+           | UNION ALL SELECT 2, 'quality', count(*) FROM qf
+           | UNION ALL SELECT 3, 'exact_dedup', count(*) FROM ex
+           | UNION ALL SELECT 4, 'near_dedup', count(*) FROM nr
+           | UNION ALL SELECT 5, 'decontam', count(*) FROM dc
+           | UNION ALL SELECT 6, 'mixture', count(*) FROM mx
+           |) ORDER BY stage_idx""".stripMargin
+      }))
 }

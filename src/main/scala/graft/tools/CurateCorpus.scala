@@ -74,8 +74,10 @@ object CurateCorpus {
     // funnel pinned would evict the stages still in use
     var lastCached: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
-      val c = df.cache()
+      val t0 = System.nanoTime()
+      val c = graft.Scratch.cache(df)
       funnel += (name -> c.count())
+      System.err.println(f"[graft-curate] stage $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       if (lastCached != null && !(lastCached eq c)) lastCached.unpersist()
       lastCached = c
       c
@@ -109,10 +111,20 @@ object CurateCorpus {
       afterQuality, TextOps.fingerprint(col(textCol)), idCol)
       .filter(!col("is_duplicate")).drop("dup_rank", "is_duplicate"))
 
-    // 4. near-dup clusters, keep the best-quality doc per cluster
-    val clusters = Dedup.dedupClusters(afterExact, idCol, textCol,
-      n = 3, bands = 4, rows = 4, num = 1, den = 2)
-      .select(col(idCol), col("cluster"))
+    // 4. near-dup clusters, keep the best-quality doc per cluster.
+    // localCheckpoint CUTS THE LINEAGE under the (id, cluster) table:
+    // caching alone short-circuits execution but NOT analysis — every
+    // later stage's action would re-optimize a logical plan embedding
+    // the whole minhash band fold + CC-loop join tree, and measured on
+    // the sf0.1 funnel that planning tax made each downstream stage
+    // seconds slower on hundreds of rows (mixture 5.8 s -> sub-second
+    // after the cut; the checkpoint itself is 2 tiny columns).
+    val tCl = System.nanoTime()
+    val clusters = graft.Scratch.localCheckpoint(
+      Dedup.dedupClusters(afterExact, idCol, textCol,
+        n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        .select(col(idCol), col("cluster")))
+    System.err.println(f"[graft-curate] clusters(eager CC) ${(System.nanoTime() - tCl) / 1e9}%6.2f s")
     val scored = afterExact.withColumn("_q",
       TextOps.qualitySignals(col(textCol)))
       .withColumn("_score",
@@ -133,9 +145,9 @@ object CurateCorpus {
     val afterDecon = flags.get("holdout") match {
       case None => afterNear
       case Some(h) =>
-        val holdGrams = spark.read.parquet(h)
+        val holdGrams = graft.Scratch.cache(spark.read.parquet(h)
           .select(explode(TextOps.ngramsDistinct(col(textCol), 8)).as("gram"))
-          .distinct().cache()
+          .distinct())
         val bloom = BloomExpressions.buildLongBloom(holdGrams,
           xxhash64(col("gram")), expectedItems = holdGrams.count())
         val contaminated = afterNear
@@ -159,10 +171,12 @@ object CurateCorpus {
     // 7. deterministic reshard + partitioned write
     val nShards = flags.getOrElse("shards", "16").toInt
     val salt = flags.getOrElse("salt", "epoch1")
+    val tW = System.nanoTime()
     TextOps.reshard(afterMix, idCol, nShards, salt)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$out/corpus")
+    System.err.println(f"[graft-curate] reshard write      ${(System.nanoTime() - tW) / 1e9}%6.2f s")
 
     val f = funnel.result()
     val funnelDf = spark.createDataFrame(f.zipWithIndex.map {

@@ -80,6 +80,63 @@ object ScaleProbe {
       }
       docs.unpersist()
     }
+    // streaming-state scaling: input grows k-fold, state must not
+    for (k <- Seq(2, 8)) streamStateProbe(spark, k)
     spark.stop()
+  }
+
+  /** The 100 TB streaming argument, measured instead of asserted: the
+    * q92/q96 stateful operators hold state bounded by the WATERMARK
+    * HORIZON, not by input size. Replicate the events stream k-fold
+    * in TIME (replica i shifted by i * span, one file per replica, so
+    * each micro-batch is a time-contiguous slice and the watermark
+    * advances between batches), run with a horizon much shorter than
+    * the total span, and record the max state-store rows the engine
+    * reports: input grows k-fold, max state stays ~flat.
+    */
+  private def streamStateProbe(spark: SparkSession, k: Int): Unit = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts DIV 1000").as("tsu"))
+    val mm = ev.agg(min(col("tsu")), max(col("tsu"))).head()
+    val span = mm.getLong(1) - mm.getLong(0) + 3600L * 1000000L
+    val nIn = ev.count() * k
+    val dir = s"/tmp/graft_scaleprobe_stream_$k"
+    (0 until k).foreach { i =>
+      ev.withColumn("tsm", timestamp_micros(col("tsu") + lit(i * span)))
+        .drop("tsu")
+        .coalesce(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def maxState(q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+    }
+    // q92 shape: watermark-bounded exact dedup, 60-min horizon << span
+    val dedupState = maxState(graft.streaming.StreamingAnalyzer
+      .dedupStream(src.select(col("tsm").as("timestamp"),
+        col("event_type").as("query"),
+        col("event_id").cast("string").as("primary_key")),
+        Seq("query", "primary_key"), "timestamp", "60 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("noop").start())
+    println(f"[scale] stream_dedup_state  x$k%-2d input=$nIn%9d maxStateRows=$dedupState")
+    // q96 shape: stream-stream interval join, both sides watermarked
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) =
+      src.filter(col("event_type") === tpe)
+        .select(col("user_id").as(userAs), col("event_id").as(idAs),
+          col("tsm").as(tsAs))
+    val joinState = maxState(graft.streaming.StreamingAnalyzer
+      .intervalJoinStream(
+        side("signup", "signup_id", "l_user", "lts"),
+        side("purchase", "purchase_id", "r_user", "rts"),
+        joinKey = "l_user = r_user", leftTs = "lts", rightTs = "rts",
+        within = "1 HOUR", watermark = "60 minutes")
+      .writeStream.outputMode(OutputMode.Append).format("noop").start())
+    println(f"[scale] stream_join_state   x$k%-2d input=$nIn%9d maxStateRows=$joinState")
   }
 }

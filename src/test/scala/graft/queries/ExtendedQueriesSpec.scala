@@ -12,18 +12,47 @@ class ExtendedQueriesSpec extends AnyFunSuite {
   test("approx distinct stays within HLL error of exact counts") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
-    val approx = Registry.queries("q42_approx_distinct")(spark, dir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = spark.read.parquet(s"$dir/lineitem.parquet")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("p"),
+    // the raw-estimate accuracy pin (tighter than q42's 10% verdict)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        countDistinct(col("l_partkey")).as("p"),
         countDistinct(col("l_orderkey")).as("o"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    exact.foreach { case (flag, (p, o)) =>
-      val (ap, ao) = approx(flag)
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (flag, ap, ao, p, o) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
       assert(math.abs(ap - p).toDouble / p < 0.1, s"$flag parts: $ap vs $p")
       assert(math.abs(ao - o).toDouble / o < 0.1, s"$flag orders: $ao vs $o")
     }
+    // and the driver-visible q42 shape: exact counts + verdict flags,
+    // every flag 1 (the oracle asserts the same constants)
+    val q42 = Registry.queries("q42_approx_distinct")(spark, dir).collect()
+    assert(q42.nonEmpty)
+    q42.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L,
+        s"${r.getString(0)} HLL verdict flags: $r")
+    }
+  }
+
+  test("stableStreamSrc re-writes when the source content changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src_fp").toFile
+    val ev = new java.io.File(dir, "events.parquet")
+    spark.range(5).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(ev.getAbsolutePath)
+    val p1 = SlowLogQueries.stableStreamSrc(dir.getAbsolutePath, "fptest",
+      spark.range(5).toDF("x"))
+    assert(spark.read.parquet(p1).count() == 5)
+    // regenerate the fixture in place: same path, new content
+    spark.range(9).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(ev.getAbsolutePath)
+    ev.listFiles().foreach(f => f.setLastModified(f.lastModified() + 5000))
+    val p2 = SlowLogQueries.stableStreamSrc(dir.getAbsolutePath, "fptest",
+      spark.range(9).toDF("x"))
+    assert(p1 != p2, "path-keyed cache served stale stream input")
+    assert(spark.read.parquet(p2).count() == 9)
   }
 
   test("split assignment is deterministic and roughly proportional") {
