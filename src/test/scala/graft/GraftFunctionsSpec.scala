@@ -23,6 +23,17 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](0) == Seq("b", "c"))
   }
 
+  test("topk_by casts non-long ord and non-string payload (SQL path)") {
+    // the registry wraps args in Cast(Long)/Cast(String) like the
+    // Scala wrapper — an INT ord or INT payload from SQL used to
+    // ClassCastException inside TopKByAgg.update
+    val r = spark.sql(
+      """SELECT topk_by(v, p, 2) AS top FROM VALUES
+        |  (1, 10), (9, 90), (5, 50) AS t(v, p)""".stripMargin)
+      .selectExpr("transform(top, x -> x.payload) AS ps").head()
+    assert(r.getSeq[String](0) == Seq("90", "50"))
+  }
+
   test("sketch functions are callable from SQL and match the DataFrame API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

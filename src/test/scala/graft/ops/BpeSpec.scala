@@ -51,6 +51,30 @@ class BpeSpec extends AnyFunSuite {
     assert(m.isEmpty)
   }
 
+  test("tokens containing line terminators segment fully (dotall)") {
+    // tokens() splits on single spaces, so a token CAN contain \n.
+    // Without (?s), Java's '.' skips \n and the bare newline corrupts
+    // the separator encoding (and RE2's '.' skips a DIFFERENT set, so
+    // the two engines would corrupt differently — invisible to any
+    // hash compare). Pairs here: (x,\n):3, (\n,y):3, (z,z):2 — the
+    // (cnt desc, lhs, rhs) tie-break picks lhs '\n' < 'x'.
+    val docs = Seq("x\ny x\ny x\ny", "zz zz").toDF("text")
+    val m = Bpe.learn(spark, docs, "text", rounds = 1).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(1) == "\n" && m(0).getString(2) == "y"
+      && m(0).getLong(4) == 3L)
+  }
+
+  test("literal separator chars are stripped from tokens before segmenting") {
+    // U+001F inside a token would corrupt the boundary encoding
+    // IDENTICALLY in both engines — stripped up front instead
+    val docs = Seq("ab ab").toDF("text")
+    val m = Bpe.learn(spark, docs, "text", rounds = 1).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(1) == "a" && m(0).getString(2) == "b"
+      && m(0).getLong(4) == 2L)
+  }
+
   test("corpus text never contains the separator char") {
     val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("text").contains(Bpe.Sep)).count()

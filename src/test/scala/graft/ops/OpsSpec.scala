@@ -76,6 +76,18 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhash pair scan works with STRING ids (triangle grouping hashes the id)") {
+    // regression: trianglePairs grouped on pmod(id, g) — a string id
+    // coerced to null, sequence(null, ..) nulled out, and explode
+    // dropped every candidate, silently returning zero pairs
+    val s0 = 0x0ABCDEF012345L
+    val sigs = Seq(("docA", s0), ("docB", s0 ^ 0x3FL), ("docC", s0 ^ ((1L << 30) - 1)))
+      .toDF("id", "sig")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(pairs == Map(("docA", "docB") -> 6))
+  }
+
   test("pigeonhole decomposition: every <=maxDist pair shares a band (randomized)") {
     // pure check of the blocking math simhashPairsFromSigs relies on:
     // 9 bands over 60 bits, any pair with <=8 differing bits agrees on
