@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over a pair table — PageRank in exact
+  * integer arithmetic, so a SQL oracle can unroll the same iterations
+  * as CTEs and hash-match bit-for-bit (the same discipline as the BPE
+  * learner's unrolled-round oracle).
+  *
+  * Rank is carried in fixed-point units of `scale` (1e6 = one unit of
+  * mass). With damping 85/100:
+  *   r_0(v)   = scale
+  *   r_{t+1}(v) = (15 * scale) DIV 100
+  *              + (85 * sum_{u in N(v)} (r_t(u) DIV deg(u))) DIV 100
+  * All divisions are on nonnegative longs, where Spark's truncating
+  * `DIV` and DuckDB's `//` floor division agree. The pair graph is
+  * symmetrized, so every node has deg >= 1 and an in-edge — no
+  * dangling-mass term. Overflow: inflow <= deg_max * scale and
+  * 85 * inflow stays below 2^63 for any deg_max < 1e11.
+  *
+  * 100 TB posture: the driver never sees the graph — each iteration
+  * is one hash join (edges x ranks on src) plus one edge-keyed
+  * partial-aggregated groupBy(dst); edges and degrees are computed
+  * once and cached; the loop builds ONE plan with no interior actions
+  * (3 iterations is shallow enough that lineage re-analysis is
+  * negligible — an open-ended loop would localCheckpoint per the
+  * connected-components discipline, ops/Dedup.scala).
+  */
+object GraphOps {
+
+  /** Integer PageRank over an undirected pair table (id_a, id_b).
+    * Output: (node, deg, pr_rank) per node, rank after `iters`
+    * iterations in fixed-point `scale` units.
+    */
+  def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    val edges = graft.Scratch.cache(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val deg = graft.Scratch.cache(
+      edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val base = (15L * scale) / 100L
+    var r = deg.select(col("node"), col("deg"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(r.select(col("node").as("src"), expr("r DIV deg").as("c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("inflow"))
+      // symmetric graph: every node has an in-edge, but keep the
+      // left join + coalesce so a node set mismatch can never silently
+      // drop rows
+      r = deg.join(inflow, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + expr("(85 * coalesce(inflow, 0)) DIV 100")).as("r"))
+    }
+    r.select(col("node"), col("deg"), col("r").as("pr_rank"))
+  }
+}

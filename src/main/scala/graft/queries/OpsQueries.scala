@@ -27,7 +27,7 @@ object OpsQueries {
   // ---- shared oracle SQL fragments -----------------------------------
 
   /** whitespace tokens, empties dropped */
-  private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[queries] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** DuckDB equivalent of TextOps.hash32 */
   private def h32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{Dedup, DocSim, GraphOps, Quantize}
+
+/** Round-5 widening of the pipeline-operator surface: embedding
+  * quantization audit, sparse TF-IDF document-similarity join,
+  * integer PageRank over the near-dup graph, z-score volume anomaly
+  * detection, and a quantile-sketch accuracy verdict. Same oracle
+  * discipline as OpsQueries: every formula is integer-exact (or
+  * exact fixed-point from float inputs) so DuckDB reproduces the
+  * hashes bit-for-bit.
+  */
+object ScaleQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def all: Map[String, Q] = Map(
+
+    // per-dimension int8 affine quantization of the embedding corpus,
+    // with an in-query reconstruction-error certificate: max_err must
+    // sit within one quantization step. Exact fixed-point micros
+    // (floor(double(v)*1e6) — see ops/Quantize.scala) keep every
+    // value integer on both engines.
+    "q100_quantize_audit" -> Q(
+      (s, dir) => Quantize.quantizeAudit(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("dim")),
+      Some(
+        """WITH ex AS (
+          | SELECT unnest(range(len(embedding))) AS dim,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+          | FROM embeddings),
+          |st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY 1),
+          |c AS (
+          | SELECT dim, lo, hi, v,
+          |  CASE WHEN hi > lo THEN ((v - lo) * 255) // (hi - lo)
+          |       ELSE 0 END AS code
+          | FROM ex JOIN st USING (dim)),
+          |r AS (
+          | SELECT dim, lo, hi, code,
+          |  v - (lo + (code * (hi - lo)) // 255) AS err
+          | FROM c)
+          |SELECT CAST(dim AS INTEGER) AS dim, lo, hi, count(*) AS n,
+          | CAST(min(code) AS BIGINT) AS min_code,
+          | CAST(max(code) AS BIGINT) AS max_code,
+          | CAST(max(err) AS BIGINT) AS max_err,
+          | CAST(sum(err) AS BIGINT) AS sum_err,
+          | CAST(max(err) <= ((hi - lo) // 255) + 1 AS BIGINT) AS ok
+          |FROM r GROUP BY dim, lo, hi ORDER BY dim""".stripMargin)),
+
+    // top-50 most similar document pairs by integer TF-IDF dot
+    // product through the df-capped inverted index (posting lists
+    // bounded by maxDf=20 — the scale guarantee; see ops/DocSim.scala)
+    "q101_docsim_pairs" -> Q(
+      (s, dir) => DocSim.tfidfPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxDf = 20, topN = 50),
+      Some(
+        s"""WITH tok AS (
+           | SELECT doc_id AS id, unnest(${OpsQueries.toksSql}) AS token
+           | FROM documents),
+           |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfq AS (
+           | SELECT token, count(*) AS df FROM tf GROUP BY 1
+           | HAVING count(*) BETWEEN 2 AND 20),
+           |w AS (
+           | SELECT token, id, tf * (${DocSim.Scale} // df) AS w
+           | FROM tf JOIN dfq USING (token)),
+           |p AS (
+           | SELECT a.id AS id_a, b.id AS id_b,
+           |  sum(a.w * b.w) AS dot, count(*) AS shared
+           | FROM w a JOIN w b USING (token) WHERE a.id < b.id
+           | GROUP BY 1, 2)
+           |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+           | CAST(shared AS BIGINT) AS shared
+           |FROM p ORDER BY dot DESC, id_a, id_b LIMIT 50""".stripMargin)),
+
+    // integer PageRank (3 unrolled iterations, damping 85/100, rank in
+    // 1e6 fixed-point) over the symmetrized MinHash near-dup graph —
+    // the oracle re-derives the same graph (OpsQueries.minhashCtes)
+    // and unrolls the same three iterations as CTEs
+    "q102_pagerank" -> Q(
+      (s, dir) => GraphOps.pagerank(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2),
+        iters = 3).orderBy(col("node")),
+      Some {
+        val iter = (prev: String, next: String) =>
+          s"""$next AS (
+             | SELECT d.node, d.deg,
+             |  150000 + (85 * s.inflow) // 100 AS r
+             | FROM d JOIN (
+             |  SELECT e.dst AS node, sum(p.r // p.deg) AS inflow
+             |  FROM e JOIN $prev p ON e.src = p.node GROUP BY 1) s
+             | USING (node))""".stripMargin
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |e AS (
+           | SELECT id_a AS src, id_b AS dst FROM pr
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pr),
+           |d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT node, deg, 1000000 AS r FROM d),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS pr_rank
+           |FROM r3 ORDER BY node""".stripMargin
+      }),
+
+    // volume anomaly detection on the events stream: per-minute counts
+    // flagged when cnt > mean + 3 sigma, in exact integer arithmetic —
+    // (N*cnt - S)^2 > 9*(N*SS - S^2) multiplies the z-score rule
+    // through by N^2 so no engine ever divides or square-roots
+    "q103_anomaly_minutes" -> Q(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .select(expr("ts DIV 60000000000").as("minute"))
+          .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
+        val st = cnt.agg(count(lit(1)).as("nm"),
+          sum(col("cnt")).as("s"), sum(expr("cnt * cnt")).as("ss"))
+        cnt.crossJoin(broadcast(st))
+          .withColumn("dev_n", expr("nm * cnt - s"))
+          .withColumn("flag", (col("dev_n") > 0 &&
+            expr("dev_n * dev_n > 9 * (nm * ss - s * s)")).cast("long"))
+          .select(col("minute"), col("cnt"), col("dev_n"), col("flag"))
+          .orderBy(col("minute"))
+      },
+      Some(
+        """WITH m AS (
+          | SELECT epoch_ns(ts) // 60000000000 AS minute, count(*) AS cnt
+          | FROM events GROUP BY 1),
+          |st AS (
+          | SELECT count(*) AS nm, CAST(sum(cnt) AS BIGINT) AS s,
+          |  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM m)
+          |SELECT minute, cnt, nm * cnt - s AS dev_n,
+          | CAST(nm * cnt - s > 0 AND
+          |  (nm * cnt - s) * (nm * cnt - s) > 9 * (nm * ss - s * s)
+          |  AS BIGINT) AS flag
+          |FROM m, st ORDER BY minute""".stripMargin)),
+
+    // quantile-sketch accuracy verdict (q42's pattern for
+    // percentile_approx): exact discrete p50/p90 per lang by order
+    // statistic, plus integer within-tolerance flags for the sketch —
+    // the oracle computes the exact values and asserts the flags,
+    // so a sketch outside tolerance flips the hash
+    "q104_quantile_verdict" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        val ranked = docs.withColumn("rn", row_number().over(w))
+        val st = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        val ex = ranked.join(broadcast(st), Seq("lang"))
+        val e50 = ex.filter(col("rn") === expr("(n + 1) DIV 2"))
+          .select(col("lang"), col("n_chars").as("exact_p50"))
+        val e90 = ex.filter(col("rn") === expr("(9 * n + 9) DIV 10"))
+          .select(col("lang"), col("n_chars").as("exact_p90"))
+        val approx = docs.groupBy(col("lang")).agg(
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("a90"))
+        st.join(e50, Seq("lang")).join(e90, Seq("lang"))
+          .join(approx, Seq("lang"))
+          .withColumn("tol", greatest(lit(2L), expr("(hi - lo) DIV 10")))
+          .select(col("lang"), col("n"), col("exact_p50"), col("exact_p90"),
+            (abs(col("a50") - col("exact_p50")) <= col("tol"))
+              .cast("long").as("within_p50"),
+            (abs(col("a90") - col("exact_p90")) <= col("tol"))
+              .cast("long").as("within_p90"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH st AS (
+          | SELECT lang, count(*) AS n, min(n_chars) AS lo, max(n_chars) AS hi
+          | FROM documents GROUP BY 1),
+          |r AS (
+          | SELECT lang, n_chars, row_number() OVER
+          |  (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+          | FROM documents),
+          |e50 AS (
+          | SELECT r.lang, n_chars AS exact_p50 FROM r JOIN st USING (lang)
+          | WHERE rn = (n + 1) // 2),
+          |e90 AS (
+          | SELECT r.lang, n_chars AS exact_p90 FROM r JOIN st USING (lang)
+          | WHERE rn = (9 * n + 9) // 10)
+          |SELECT lang, n, exact_p50, exact_p90,
+          | CAST(1 AS BIGINT) AS within_p50, CAST(1 AS BIGINT) AS within_p90
+          |FROM st JOIN e50 USING (lang) JOIN e90 USING (lang)
+          |ORDER BY lang""".stripMargin))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Invariant tests for the round-5 scale ops (quantization audit,
+  * sparse TF-IDF similarity join, integer PageRank); exact DuckDB
+  * parity is the oracle gate's job (q100-q102) — these pin the
+  * semantics the oracle can't see: certificates hold by construction,
+  * known-answer graphs, pruning behavior.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "ScaleOpsSpec")
+  import spark.implicits._
+
+  test("quantize audit: codes span [0,255] and errors sit within one step") {
+    val vecs = Seq(
+      (0L, Array(0.0f, -1.0f, 0.5f)),
+      (1L, Array(1.0f, 1.0f, 0.5f)),
+      (2L, Array(0.25f, 0.0f, 0.5f)),
+      (3L, Array(0.75f, -0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val audit = Quantize.quantizeAudit(vecs, "embedding")
+      .orderBy(col("dim")).collect()
+    assert(audit.length == 3)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("ok") == 1L, s"certificate failed: $r")
+      assert(r.getAs[Long]("min_code") == 0L)
+    }
+    // dims with spread hit the full code range; the constant dim
+    // (hi == lo) degenerates to code 0 with zero error
+    assert(audit(0).getAs[Long]("max_code") == 255L)
+    assert(audit(2).getAs[Long]("max_code") == 0L)
+    assert(audit(2).getAs[Long]("max_err") == 0L)
+  }
+
+  test("quantize audit: recon error bounded by construction on random-ish floats") {
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), d -> " +
+        "CAST(sin(CAST(id * 8 + d AS DOUBLE)) AS FLOAT))").as("embedding"))
+    val bad = Quantize.quantizeAudit(vecs, "embedding")
+      .filter(col("ok") =!= 1L).count()
+    assert(bad == 0)
+  }
+
+  test("tfidf pairs: near-identical docs outrank unrelated ones; hot terms pruned") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),   // shares 4 rare terms with 0
+      (2L, "eta theta iota kappa lambda"),
+      (3L, "eta theta iota kappa mu"),        // shares 4 rare terms with 2
+      (4L, "common common common common nu"), // 'common' df=1 -> can't pair
+      (5L, "xi omicron pi rho sigma")
+    ).toDF("doc_id", "text")
+    val pairs = DocSim.tfidfPairs(docs, "doc_id", "text", maxDf = 3, topN = 10)
+      .collect()
+    val ranked = pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ranked.take(2).toSet == Set((0L, 1L), (2L, 3L)))
+    // no pair involves doc 4 or 5: their terms are df=1
+    assert(!ranked.exists { case (a, b) => Set(a, b).exists(Set(4L, 5L)) })
+  }
+
+  test("tfidf pairs: df cap prunes the stopword-shared pair") {
+    // every doc shares 'the' (df=4) — with maxDf=3 the only pairing
+    // evidence left is the rare bigram-ish overlap of docs 0/1
+    val docs = Seq(
+      (0L, "the unique1 unique2"),
+      (1L, "the unique1 unique2"),
+      (2L, "the solo1 solo2"),
+      (3L, "the solo3 solo4")
+    ).toDF("doc_id", "text")
+    val pairs = DocSim.tfidfPairs(docs, "doc_id", "text", maxDf = 3, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
+
+  test("pagerank: path graph ranks the center above the leaves, mass conserved-ish") {
+    // 0 - 1 - 2 path: node 1 has deg 2, leaves deg 1
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val r = GraphOps.pagerank(pairs, iters = 3).orderBy(col("node")).collect()
+    graft.Scratch.release()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val ranks = r.map(_.getAs[Long]("pr_rank"))
+    assert(ranks(1) > ranks(0) && ranks(1) > ranks(2), ranks.mkString(","))
+    assert(ranks(0) == ranks(2)) // symmetric leaves
+    // fixed-point mass stays near 3 * scale (integer truncation only loses)
+    val total = ranks.sum
+    assert(total <= 3000000L && total > 2990000L, s"total=$total")
+  }
+
+  test("pagerank: regular graph is uniform and stationary") {
+    // triangle: every node deg 2 — PR is exactly uniform each iteration
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
+    val r = GraphOps.pagerank(pairs, iters = 3).collect()
+    graft.Scratch.release()
+    val ranks = r.map(_.getAs[Long]("pr_rank")).distinct
+    assert(ranks.length == 1, ranks.mkString(","))
+  }
+}
