@@ -64,7 +64,14 @@ object Bench {
     }
     def storageBytes: Long =
       spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (comma-separated name substrings); the
+    // driver never sets it, so its runs always time the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+    val results = picked.map { case (name, fn) =>
       val gc0 = gcMillis
       val t0 = System.nanoTime()
       val ok =

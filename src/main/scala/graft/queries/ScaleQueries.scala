@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, DocSim, GraphOps, Quantize}
+import graft.ops.{Dedup, DocSim, GraphOps, Layout, Quantize}
 
 /** Round-5 widening of the pipeline-operator surface: embedding
   * quantization audit, sparse TF-IDF document-similarity join,
@@ -195,6 +195,105 @@ object ScaleQueries {
           |SELECT lang, n, exact_p50, exact_p90,
           | CAST(1 AS BIGINT) AS within_p50, CAST(1 AS BIGINT) AS within_p90
           |FROM st JOIN e50 USING (lang) JOIN e90 USING (lang)
-          |ORDER BY lang""".stripMargin))
+          |ORDER BY lang""".stripMargin)),
+
+    // corpus release diff: two deterministic synthetic releases of the
+    // documents table (B drops doc_id%10==3 and edits doc_id%5==0,
+    // A drops doc_id%10==7) full-outer joined on id, classified
+    // added/removed/changed/unchanged by content hash, rolled up per
+    // source. One shuffle on the id; hashes compare without moving
+    // text. The dataset-card companion for shipping corpus updates.
+    "q105_corpus_diff" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h_a"))
+        val b = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+          .select(col("doc_id"), col("source").as("source_b"),
+            md5(concat(col("text"),
+              when(pmod(col("doc_id"), lit(5)) === 0, lit(" v2"))
+                .otherwise(lit(""))).cast("binary")).as("h_b"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("source"), col("source_b")).as("source"),
+            when(col("h_a").isNull, lit("added"))
+              .when(col("h_b").isNull, lit("removed"))
+              .when(col("h_a") =!= col("h_b"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some(
+        """WITH a AS (
+          | SELECT doc_id, source, md5(text) AS h_a
+          | FROM documents WHERE doc_id % 10 <> 7),
+          |b AS (
+          | SELECT doc_id, source AS source_b,
+          |  md5(text || CASE WHEN doc_id % 5 = 0 THEN ' v2' ELSE '' END) AS h_b
+          | FROM documents WHERE doc_id % 10 <> 3),
+          |d AS (
+          | SELECT COALESCE(a.source, b.source_b) AS source,
+          |  CASE WHEN h_a IS NULL THEN 'added'
+          |       WHEN h_b IS NULL THEN 'removed'
+          |       WHEN h_a <> h_b THEN 'changed'
+          |       ELSE 'unchanged' END AS status
+          | FROM a FULL OUTER JOIN b USING (doc_id))
+          |SELECT source, status, count(*) AS n
+          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Z-order layout audit: Morton-interleave (user_id, second) into
+    // a clustering key (the OPTIMIZE ZORDER primitive), bucket rows by
+    // the key's top bits, and measure per-bucket min/max spans in BOTH
+    // dimensions against a row-major layout of the same bucket count.
+    // The audited claim: z-buckets bound both dimensions (32x32
+    // tiles), so min/max file statistics prune on either predicate —
+    // row-major buckets bound only the leading dimension. Pure bit
+    // arithmetic, bit-identical in the oracle (ops/Layout.scala).
+    "q106_zorder_audit" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(expr("ts DIV 1000000000"), lit(1024L)).as("y"))
+        val z = ev.select(lit("zorder").as("layout"),
+          shiftright(Layout.morton(col("x"), col("y"), 10), 10).as("bucket"),
+          col("x"), col("y"))
+        val rm = ev.select(lit("rowmajor").as("layout"),
+          shiftright(col("x") * 1024 + col("y"), 10).as("bucket"),
+          col("x"), col("y"))
+        z.union(rm)
+          .groupBy(col("layout"), col("bucket"))
+          .agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+            min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
+            count(lit(1)).as("nb"))
+          .groupBy(col("layout"))
+          .agg(count(lit(1)).as("buckets"), sum(col("nb")).as("rows_total"),
+            max(expr("x_hi - x_lo")).as("max_dx"),
+            max(expr("y_hi - y_lo")).as("max_dy"),
+            sum(expr("(x_hi - x_lo + 1) + (y_hi - y_lo + 1)")).as("sum_spans"))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val m = Layout.mortonSql("x", "y", 10)
+        s"""WITH ev AS (
+           | SELECT user_id % 1024 AS x,
+           |  (epoch_ns(ts) // 1000000000) % 1024 AS y
+           | FROM events),
+           |pts AS (
+           | SELECT 'zorder' AS layout, $m >> 10 AS bucket, x, y FROM ev
+           | UNION ALL
+           | SELECT 'rowmajor' AS layout, (x * 1024 + y) >> 10 AS bucket, x, y
+           | FROM ev),
+           |bk AS (
+           | SELECT layout, bucket, min(x) AS x_lo, max(x) AS x_hi,
+           |  min(y) AS y_lo, max(y) AS y_hi, count(*) AS nb
+           | FROM pts GROUP BY 1, 2)
+           |SELECT layout, count(*) AS buckets,
+           | CAST(sum(nb) AS BIGINT) AS rows_total,
+           | CAST(max(x_hi - x_lo) AS BIGINT) AS max_dx,
+           | CAST(max(y_hi - y_lo) AS BIGINT) AS max_dy,
+           | CAST(sum((x_hi - x_lo + 1) + (y_hi - y_lo + 1)) AS BIGINT) AS sum_spans
+           |FROM bk GROUP BY layout ORDER BY layout""".stripMargin
+      })
   )
 }

@@ -91,6 +91,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total <= 3000000L && total > 2990000L, s"total=$total")
   }
 
+  test("morton key: bucket bits are exactly the interleaved tile coordinates") {
+    // morton(x,y,10) >> 10 must equal morton(x>>5, y>>5, 5): the top
+    // bucket bits ARE the 32x32 tile id, which is the whole locality
+    // guarantee the z-order layout audit (q106) relies on
+    val pts = spark.range(2000).select(
+      pmod(xxhash64(col("id"), lit("x")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit("y")), lit(1024L)).as("y"))
+    val bad = pts.filter(
+      shiftright(Layout.morton(col("x"), col("y"), 10), 10) =!=
+        Layout.morton(shiftright(col("x"), 5), shiftright(col("y"), 5), 5))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("z-order buckets bound BOTH dimensions; row-major only the leading one") {
+    val pts = spark.range(4000).select(
+      pmod(xxhash64(col("id"), lit("x")), lit(1024L)).as("x"),
+      pmod(xxhash64(col("id"), lit("y")), lit(1024L)).as("y"))
+    val spans = pts
+      .groupBy(shiftright(Layout.morton(col("x"), col("y"), 10), 10).as("b"))
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"))
+      .agg(max(col("dx")), max(col("dy"))).head()
+    assert(spans.getLong(0) <= 31 && spans.getLong(1) <= 31, spans.toString)
+    val rowMajor = pts
+      .groupBy(shiftright(col("x") * 1024 + col("y"), 10).as("b"))
+      .agg((max(col("y")) - min(col("y"))).as("dy"))
+      .agg(max(col("dy"))).head()
+    assert(rowMajor.getLong(0) > 31 * 4, rowMajor.toString)
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")

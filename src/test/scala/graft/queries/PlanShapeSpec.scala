@@ -213,4 +213,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("partial_first")) // first-shared-band emission
   }
+
+  test("quantize audit: dimension stats broadcast, embedding column pruned scan") {
+    val p = plan("q100_quantize_audit")
+    assert(p.contains("BroadcastHashJoin")) // 64-row stats side
+    assert(!p.contains("SortMergeJoin")) // exploded corpus never reshuffles to meet stats
+    assert(p.contains("ReadSchema: struct<embedding")) // vec_id pruned away
+  }
+
+  test("docsim join: df cap side broadcasts, postings meet on an equi-join") {
+    val p = plan("q101_docsim_pairs")
+    assert(p.contains("BroadcastHashJoin")) // vocabulary-sized dfreq
+    assert(p.contains("TakeOrderedAndProject")) // top-N without a global sort
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan")) // postings cached, both join sides reuse
+  }
+
+  test("pagerank: equi-joins only, cached edge/degree tables reused per iteration") {
+    val p = plan("q102_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan"))
+  }
 }
