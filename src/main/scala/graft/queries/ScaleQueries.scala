@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, DocSim, GraphOps, Layout, Quantize}
+import graft.ops.{Dedup, DocSim, Fuzzy, GraphOps, Layout, Quantize}
 
 /** Round-5 widening of the pipeline-operator surface: embedding
   * quantization audit, sparse TF-IDF document-similarity join,
@@ -294,6 +294,38 @@ object ScaleQueries {
            | CAST(max(y_hi - y_lo) AS BIGINT) AS max_dy,
            | CAST(sum((x_hi - x_lo + 1) + (y_hi - y_lo + 1)) AS BIGINT) AS sum_spans
            |FROM bk GROUP BY layout ORDER BY layout""".stripMargin
-      })
+      }),
+
+    // fixed-width fuzzy record linkage: normalized 24-char keys,
+    // pairs within Hamming distance 2 via segment-pigeonhole blocking
+    // (recall-complete by construction — the oracle is the BRUTE
+    // FORCE all-pairs scan, so a single missed candidate flips the
+    // hash), annotated with the keys' Levenshtein distance
+    "q107_fuzzy_linkage" -> Q(
+      (s, dir) => graft.Scratch.cache(
+        Fuzzy.fuzzyKeyPairs(t(s, dir, "documents"),
+          "doc_id", "text", width = 24, k = 2))
+        // cache before the presentation sort: the range-partitioned
+        // orderBy samples its input first, which would re-run the
+        // whole candidate join (the q56 lesson); the verified pair
+        // table is tiny
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        """WITH ky AS (
+          | SELECT doc_id AS id,
+          |  rpad(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |   1, 24), 24, '#') AS key
+          | FROM documents),
+          |p AS (
+          | SELECT a.id AS id_a, b.id AS id_b, a.key AS ka, b.key AS kb
+          | FROM ky a JOIN ky b ON a.id < b.id),
+          |h AS (
+          | SELECT id_a, id_b, ka, kb,
+          |  len(list_filter(generate_series(1, 24),
+          |   i -> substr(ka, i, 1) <> substr(kb, i, 1))) AS hd
+          | FROM p)
+          |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hd,
+          | CAST(levenshtein(ka, kb) AS BIGINT) AS ld
+          |FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -78,7 +78,67 @@ object ScaleProbe {
           .join(broadcast(test), Seq("gram"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       }
+      // release diff of the replicated corpus against an edited copy —
+      // the q105 shape: one id shuffle, hashes travel, text does not
+      time("corpus_diff", k) {
+        val a = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h_a"))
+        val b = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+          .select(col("doc_id"), col("source").as("sb"),
+            md5(concat(col("text"), when(pmod(col("doc_id"), lit(5)) === 0,
+              lit(" v2")).otherwise(lit(""))).cast("binary")).as("h_b"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("source"), col("sb")).as("source"),
+            when(col("h_a").isNull, lit("added"))
+              .when(col("h_b").isNull, lit("removed"))
+              .when(col("h_a") =!= col("h_b"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy(col("source"), col("status")).agg(count(lit(1)).as("n"))
+      }
       docs.unpersist()
+    }
+    // embedding-side linear ops (q100 shape): replicate the vector
+    // corpus; the audit's shuffles stay dimension-sized regardless of k
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embN = embBase.count()
+    for (k <- Seq(1, 2, 8, 32)) {
+      val emb = (0 until k).map(i =>
+        embBase.withColumn("vec_id", col("vec_id") + lit(i * embN)))
+        .reduce(_ unionByName _).cache()
+      emb.count()
+      time("quantize_audit", k)(
+        graft.ops.Quantize.quantizeAudit(emb, "embedding"))
+      emb.unpersist()
+    }
+    // event-side linear ops: anomaly flags (q103) and the z-order
+    // layout audit (q106) — both reduce to key-bounded aggregates
+    val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val evN = evBase.count()
+    for (k <- Seq(1, 2, 8, 32)) {
+      val ev = (0 until k).map(i =>
+        evBase.withColumn("event_id", col("event_id") + lit(i * evN)))
+        .reduce(_ unionByName _).cache()
+      ev.count()
+      time("anomaly_minutes", k) {
+        val cnt = ev.select(expr("ts DIV 60000000000").as("minute"))
+          .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
+        val st = cnt.agg(count(lit(1)).as("nm"),
+          sum(col("cnt")).as("s"), sum(expr("cnt * cnt")).as("ss"))
+        cnt.crossJoin(broadcast(st))
+          .withColumn("dev_n", expr("nm * cnt - s"))
+          .withColumn("flag", (col("dev_n") > 0 &&
+            expr("dev_n * dev_n > 9 * (nm * ss - s * s)")).cast("long"))
+      }
+      time("zorder_audit", k) {
+        val pts = ev.select(pmod(col("user_id"), lit(1024L)).as("x"),
+          pmod(expr("ts DIV 1000000000"), lit(1024L)).as("y"))
+        pts.groupBy(shiftright(
+            graft.ops.Layout.morton(col("x"), col("y"), 10), 10).as("bucket"))
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
+            count(lit(1)))
+      }
+      ev.unpersist()
     }
     // streaming-state scaling: input grows k-fold, state must not
     for (k <- Seq(2, 8)) streamStateProbe(spark, k)

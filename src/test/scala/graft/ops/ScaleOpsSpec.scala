@@ -122,6 +122,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rowMajor.getLong(0) > 31 * 4, rowMajor.toString)
   }
 
+  test("fuzzy linkage: planted typos within k found, beyond k not, exactly once") {
+    val docs = Seq(
+      (0L, "The Quick Brown Fox!!"),      // normalizes like 1 and 2
+      (1L, "the quick brown fox"),        // hd 0 vs 0
+      (2L, "the quick crown fox"),        // 1 substitution
+      (3L, "the quick crown box today"),  // 2 subs vs 2 (within 24 chars)
+      (4L, "a totally different string"),
+      (5L, "the quick VROWN G0X")         // 3 subs vs 1 -> beyond k=2
+    ).toDF("doc_id", "text")
+    val out = Fuzzy.fuzzyKeyPairs(docs, "doc_id", "text", width = 24, k = 2)
+      .orderBy(col("id_a"), col("id_b")).collect()
+    graft.Scratch.release()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly-once: no duplicate pair rows even when multiple segments agree
+    assert(pairs.distinct == pairs)
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L))
+      && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) })
+    val hd01 = out.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(hd01.getAs[Long]("hd") == 0L && hd01.getAs[Long]("ld") == 0L)
+  }
+
+  test("fuzzy linkage matches the brute-force Hamming join") {
+    // 60 keys over a tiny alphabet force plenty of near-collisions
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("k"), pmod(col("id"), lit(3)).cast("string"),
+        lit(" v"), pmod(xxhash64(col("id")), lit(9)).cast("string"),
+        lit(" t"), pmod(xxhash64(col("id"), lit(2)), lit(4)).cast("string"))
+        .as("text"))
+    val fast = Fuzzy.fuzzyKeyPairs(docs, "doc_id", "text", width = 12, k = 2)
+      .select(col("id_a"), col("id_b"), col("hd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Scratch.release()
+    val keyed = docs.select(col("doc_id"), Fuzzy.linkKey(col("text"), 12).as("key"))
+    val a = keyed.select(col("doc_id").as("id_a"), col("key").as("ka"))
+    val b = keyed.select(col("doc_id").as("id_b"), col("key").as("kb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hd", Fuzzy.hammingDistUnrolled(col("ka"), col("kb"), 12))
+      .filter(col("hd") <= 2)
+      .select(col("id_a"), col("id_b"), col("hd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty) // the corpus actually exercises the path
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
