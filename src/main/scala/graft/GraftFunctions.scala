@@ -5,10 +5,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.types.{LongType, StringType}
 
-import graft.ops.{CosineSimExpr, FingerprintExpr, HashedShinglesExpr,
-  LangPredictExpr, MinHashSignatureExpr, NgramsExpr, QualitySignalsExpr,
-  RepetitionStatsExpr, RollingHashExpr, SimHash120Expr, SimHash60Expr,
-  TextOps, TokenCountExpr}
+import graft.ops.{CosineSimExpr, FingerprintExpr, HammingExpr,
+  HashedShinglesExpr, LangPredictExpr, MinHashSignatureExpr, NgramsExpr,
+  QualitySignalsExpr, RepetitionStatsExpr, RollingHashExpr, SimHash120Expr,
+  SimHash60Expr, TextOps, TokenCountExpr}
 import graft.parse.LexSlowQuery
 
 /** SQL-surface registration of graft's custom expressions, so
@@ -44,6 +44,9 @@ object GraftFunctions {
     "ngrams" -> (args => NgramsExpr(args.head, 3, distinct = false)),
     "ngrams_distinct" -> (args => NgramsExpr(args.head, 3, distinct = true)),
     "repetition_stats" -> (args => RepetitionStatsExpr(args.head)),
+    // byte-wise Hamming distance of two strings (fuzzy-linkage verify)
+    "hamming_dist" -> (args => HammingExpr(
+      Cast(args(0), StringType), Cast(args(1), StringType))),
     // aggregate: k must be a foldable literal. The ord/payload casts
     // mirror the Scala wrapper (TopKAgg.topKBy): TopKByAgg.update
     // reads Long/UTF8String directly, so an uncast INT ord or

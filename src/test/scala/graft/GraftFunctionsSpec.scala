@@ -85,6 +85,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(q.head().getSeq[String](0) == Seq("x y x", "y x y"))
   }
 
+  test("hamming_dist SQL surface: casts + byte semantics") {
+    val r = spark.sql(
+      """SELECT hamming_dist('abcd', 'abxd') AS h1,
+        |       hamming_dist('abc', 'abcde') AS h2,
+        |       hamming_dist(12345, 12945) AS h3""".stripMargin).head()
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L) // length difference counts per byte
+    assert(r.getLong(2) == 1L) // non-string args cast, not ClassCast
+  }
+
   test("corrupt-record side channel returns the broken documents") {
     val dir = java.nio.file.Files.createTempDirectory("pages")
     java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {{{")

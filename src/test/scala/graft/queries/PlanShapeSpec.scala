@@ -236,4 +236,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("InMemoryTableScan"))
   }
+
+  test("fuzzy linkage: fused hamming kernel, segment equi-join, no cross join") {
+    val p = plan("q107_fuzzy_linkage")
+    assert(p.contains("hamming_dist")) // the fused verify kernel
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan")) // keyed table cached for both sides
+  }
 }
