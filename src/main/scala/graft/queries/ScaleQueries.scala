@@ -326,6 +326,34 @@ object ScaleQueries {
           | FROM p)
           |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hd,
           | CAST(levenshtein(ka, kb) AS BIGINT) AS ld
-          |FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin))
+          |FROM h WHERE hd <= 2 ORDER BY id_a, id_b""".stripMargin)),
+
+    // per-group equi-depth histogram (8 tiles of n_chars per lang) —
+    // the statistics backbone behind range-partition boundaries and
+    // skew detection: exact ntile over a deterministic total order
+    // (value, id). At 100 TB the same profile comes from
+    // approx_percentile boundaries (q104 gates that sketch); the
+    // exact form here is what the sketch is graded against.
+    "q108_equidepth_hist" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+        docs.withColumn("tile", ntile(8).over(w))
+          .groupBy(col("lang"), col("tile"))
+          .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+            max(col("n_chars")).as("hi"))
+          .select(col("lang"), col("tile"), col("n"), col("lo"), col("hi"))
+          .orderBy(col("lang"), col("tile"))
+      },
+      Some(
+        """WITH t AS (
+          | SELECT lang, n_chars, ntile(8) OVER
+          |  (PARTITION BY lang ORDER BY n_chars, doc_id) AS tile
+          | FROM documents)
+          |SELECT lang, CAST(tile AS INTEGER) AS tile, count(*) AS n,
+          | min(n_chars) AS lo, max(n_chars) AS hi
+          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
