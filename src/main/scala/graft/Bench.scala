@@ -113,11 +113,21 @@ object Bench {
     // 98 queries (BENCH_r03/r04 "parsed": null, tail truncated
     // mid-object) — stdout gets a SHORT summary line the tail always
     // fits, and the full per-query map lands only in /tmp/bench.json.
+    // delete-then-write so a failed write can never leave a STALE
+    // previous run's map advertised as this run's; on failure the
+    // full line falls back to stderr and the short line says so
+    val detail =
+      try {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("/tmp/bench.json"))
+        java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+          (full + "\n").getBytes("UTF-8"))
+        "/tmp/bench.json"
+      } catch { case _: Throwable =>
+        System.err.println(full)
+        "WRITE-FAILED:see-stderr"
+      }
     val short =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"/tmp/bench.json","note":"$note","sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"$detail","note":"$note","sf":"$sfDir"}"""
     println(short)
     spark.stop()
   }

@@ -28,6 +28,14 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * harness is the job boundary.
   */
 object Scratch {
+  // CONTRACT: one query at a time per JVM. The registry is
+  // process-global, so release() drains EVERY registered entry —
+  // under concurrent query execution it would unpersist another
+  // query's in-flight caches (recompute, slow) and its localCheckpoint
+  // blocks (unrecoverable: lineage is truncated). The Verify/Bench
+  // harnesses and the CLIs are sequential by construction; a
+  // concurrent host must scope releases itself (snapshot the queue
+  // per query) before sharing a session across threads.
   private val live = new ConcurrentLinkedQueue[() => Unit]()
 
   /** Cache `ds` and register it for the next [[release]]. */

@@ -83,8 +83,13 @@ object Fuzzy {
       val (start, len) = bounds(s)
       substring(key, start, len)
     }
-    val keyed = graft.Scratch.cache(df.select(col(idCol).as("id"),
-      linkKey(col(textCol), width).as("key")))
+    // null text would diverge from a SQL brute-force oracle (a NULL
+    // key's char compares are NULL -> a DuckDB list_filter counts 0
+    // mismatches and emits the pair; Spark's null equi-join key drops
+    // it) — exclude null keys as part of the operator's contract
+    val keyed = graft.Scratch.cache(df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), linkKey(col(textCol), width).as("key")))
     val ea = keyed.select(col("id").as("id_a"), col("key").as("key_a"),
       posexplode(array(bounds.indices.map(s => seg(col("key"), s)): _*))
         .as(Seq("si", "sv")))

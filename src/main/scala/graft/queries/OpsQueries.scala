@@ -645,8 +645,7 @@ object OpsQueries {
         val ivf = Similarity.topKCosineIvf(emb, "vec_id", "embedding", q, 10,
           centroids, nprobe = 16)
         val bf = Similarity.topKCosine(emb, "vec_id", "embedding",
-          typedLit(emb.filter(col("vec_id") === 0)
-            .select(col("embedding")).head().getSeq[Float](0)), 10)
+          typedLit(q.map(_.toFloat).toSeq), 10)
           .select(col("id"))
         ivf.join(bf, Seq("id"), "left_semi")
           .withColumn("recall_at_10",

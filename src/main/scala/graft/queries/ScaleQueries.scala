@@ -275,9 +275,11 @@ object ScaleQueries {
       },
       Some {
         val m = Layout.mortonSql("x", "y", 10)
+        // pmod equivalents, not bare % (sign-preserving in DuckDB):
+        // parity must not depend on the fixture having nonneg ids
         s"""WITH ev AS (
-           | SELECT user_id % 1024 AS x,
-           |  (epoch_ns(ts) // 1000000000) % 1024 AS y
+           | SELECT ((user_id % 1024) + 1024) % 1024 AS x,
+           |  (((epoch_ns(ts) // 1000000000) % 1024) + 1024) % 1024 AS y
            | FROM events),
            |pts AS (
            | SELECT 'zorder' AS layout, $m >> 10 AS bucket, x, y FROM ev
@@ -315,7 +317,7 @@ object ScaleQueries {
           | SELECT doc_id AS id,
           |  rpad(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
           |   1, 24), 24, '#') AS key
-          | FROM documents),
+          | FROM documents WHERE text IS NOT NULL),
           |p AS (
           | SELECT a.id AS id_a, b.id AS id_b, a.key AS ka, b.key AS kb
           | FROM ky a JOIN ky b ON a.id < b.id),

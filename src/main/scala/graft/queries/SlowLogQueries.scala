@@ -47,11 +47,25 @@ object SlowLogQueries {
     */
   private[queries] def stableStreamSrc(dir: String, tag: String,
       df: => DataFrame): String = {
-    val path = "/tmp/graft_stream_src_" + tag + "_" +
-      Integer.toHexString(dir.hashCode) + "_" + srcFingerprint(dir)
-    if (!new java.io.File(path, "_SUCCESS").exists)
+    val prefix = "graft_stream_src_" + tag + "_" +
+      Integer.toHexString(dir.hashCode) + "_"
+    val path = "/tmp/" + prefix + srcFingerprint(dir)
+    if (!new java.io.File(path, "_SUCCESS").exists) {
+      // a regenerated fixture gets a new fingerprint suffix; reap the
+      // superseded siblings so /tmp holds one copy per (tag, sfDir)
+      val tmp = new java.io.File("/tmp")
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) && f.getPath != path)
+        .foreach(deleteRecursively)
       df.write.mode("overwrite").parquet(path)
+    }
     path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   // ---- stream source builders (shared by the queries and the bench
