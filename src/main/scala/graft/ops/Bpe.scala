@@ -117,6 +117,35 @@ object Bpe {
       .orderBy(col("step"))
   }
 
+  /** ENCODE with a learned vocabulary — the apply side of BPE, the
+    * op a pipeline actually runs over the full 100 TB once training
+    * tokenization is fixed. Shape: the merge table is rounds-sized on
+    * the driver (like the IVF centroid set); segmentation + merge
+    * application runs on the DISTINCT word table (vocab-sized, not
+    * corpus-sized); the per-doc pass is one explode feeding a
+    * broadcast join against the vocab and a map-side-combinable sum.
+    * Output: (id, words, bpe_tokens) per doc.
+    */
+  def encode(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int): DataFrame = {
+    val m = learn(spark, docs, textCol, rounds).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word")).distinct()
+      .withColumn("seg", regexp_replace(translate(col("word"), Sep, ""),
+        "(?s)(.)", Sep + "$1" + Sep))
+    val seged = m.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("seg", replace(col("seg"),
+        lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)))
+    }
+      .withColumn("n_tok", size(split(trim(col("seg"), Sep), Sep + Sep)))
+      .select(col("word"), col("n_tok"))
+    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(seged), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("words"), sum(col("n_tok")).as("bpe_tokens"))
+  }
+
   /** Generated DuckDB oracle: the merge rounds UNROLLED as a CTE
     * chain — pair counts, argmax pair, replace-apply — using the same
     * separator encoding, the same md5-free integer arithmetic, and
@@ -149,5 +178,42 @@ object Bpe {
        |$rnds
        |$sel
        |ORDER BY step""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[encode]]: the same learned-merge
+    * CTE chain as [[oracleSql]], then the final segmented word table
+    * joined back to per-doc tokens and summed.
+    */
+  def encodeOracleSql(toksSql: String, rounds: Int): String = {
+    val sep = "chr(31)"
+    val rnds = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT cnt, string_split(trim(seg, $sep), $sep||$sep) AS tk
+         |  FROM w${r - 1}),
+         |p$r AS (SELECT pr[1] AS a, pr[2] AS b,
+         |   CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT cnt, unnest(list_transform(
+         |    generate_series(1, len(tk) - 1), i -> [tk[i], tk[i+1]])) AS pr
+         |   FROM t$r) GROUP BY 1, 2),
+         |b$r AS (SELECT a, b, pair_cnt FROM p$r
+         |  ORDER BY pair_cnt DESC, a, b LIMIT 1),
+         |w$r AS (SELECT word, cnt, replace(seg,
+         |   $sep||b.a||$sep||$sep||b.b||$sep, $sep||b.a||b.b||$sep) AS seg
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       | SELECT t AS word, count(*) AS cnt,
+       |  regexp_replace(replace(t, $sep, ''), '(?s)(.)', $sep||'\\1'||$sep, 'g') AS seg
+       | FROM (SELECT unnest($toksSql) AS t FROM documents) GROUP BY t),
+       |$rnds,
+       |vocab AS (
+       | SELECT word,
+       |  len(string_split(trim(seg, $sep), $sep||$sep)) AS n_tok
+       | FROM w$rounds),
+       |dt AS (
+       | SELECT doc_id, unnest($toksSql) AS word FROM documents)
+       |SELECT doc_id, count(*) AS words,
+       | CAST(sum(n_tok) AS BIGINT) AS bpe_tokens
+       |FROM dt JOIN vocab USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

@@ -356,6 +356,17 @@ object ScaleQueries {
           | FROM documents)
           |SELECT lang, CAST(tile AS INTEGER) AS tile, count(*) AS n,
           | min(n_chars) AS lo, max(n_chars) AS hi
-          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // BPE ENCODE — the apply side of q88's learner: tokenize the
+    // corpus with the 8-round learned vocabulary and report per-doc
+    // word/BPE-token counts. The oracle re-learns the same merges
+    // (q88's unrolled CTE chain) and re-applies them, so the whole
+    // learn-then-encode path is hash-checked end to end.
+    "q109_bpe_encode" -> Q(
+      (s, dir) => graft.ops.Bpe.encode(s, t(s, dir, "documents"),
+        "doc_id", "text", rounds = 8)
+        .orderBy(col("doc_id")),
+      Some(graft.ops.Bpe.encodeOracleSql(OpsQueries.toksSql, rounds = 8)))
   )
 }

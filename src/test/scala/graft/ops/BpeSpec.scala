@@ -33,6 +33,24 @@ class BpeSpec extends AnyFunSuite {
       (4L, "ew", "est", "ewest", 5L)))
   }
 
+  test("encode applies the learned merges: Sennrich corpus token counts") {
+    // after 4 merges (es, est, ew, ewest): newest -> [n,ewest] = 2,
+    // widest -> [w,i,d,est] = 4, low -> [l,o,w] = 3,
+    // lower -> [l,o,w,e,r] = 5
+    val docs = Seq(
+      (0L, "low low low lower lower"),
+      (1L, "newest newest newest newest newest"),
+      (2L, "widest widest widest")).toDF("doc_id", "text")
+    val enc = Bpe.encode(spark, docs, "doc_id", "text", rounds = 4)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Scratch.release()
+    assert(enc.toSeq == Seq(
+      (0L, 5L, 3L * 3 + 2L * 5), // 3 low + 2 lower = 19
+      (1L, 5L, 5L * 2),          // 5 newest = 10
+      (2L, 3L, 3L * 4)))         // 3 widest = 12
+  }
+
   test("a==b runs merge left-to-right non-overlapping") {
     // "aaaa" x2: round 1 counts 3 adjacent (a,a) positions per word
     // (6 total) and segments to [aa, aa]; round 2 merges (aa,aa) = 2.
