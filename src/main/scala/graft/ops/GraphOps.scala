@@ -34,6 +34,30 @@ object GraphOps {
     * iterations in fixed-point `scale` units.
     */
   def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    // The loop builds one ~3*iters-shuffle-stage plan over a graph
+    // orders of magnitude smaller than the corpus that produced it —
+    // the q60 regime, where AQE's per-stage re-planning costs more
+    // than the stages. AQE conf only matters at EXECUTION, so the
+    // result is materialized (node-sized cache + count) INSIDE the
+    // guarded region; callers then read the cache.
+    val spark = pairs.sparkSession
+    // Materialize the pair generator FIRST, under whatever adaptive
+    // settings it was planned for (its skew handling must not be
+    // sacrificed to the loop's regime) — then run the loop stages
+    // with AQE off.
+    val p = graft.Scratch.cache(pairs)
+    p.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.Scratch.cache(pagerankLoop(p, iters, scale))
+      out.count()
+      out
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def pagerankLoop(pairs: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
     val edges = graft.Scratch.cache(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
