@@ -35,6 +35,42 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
+  /** Hard-negative mining for contrastive training data: for each
+    * anchor, the top-k most cosine-similar candidates whose TEXTS are
+    * NOT near-duplicates of the anchor's — embedding-similar but
+    * textually distinct, exactly the pairs a retrieval model learns
+    * most from. Cross-modal composition: the ranking runs on the
+    * vector modality (fused cosine kernel), the exclusion on the text
+    * modality (a near-dup pair table, e.g. [[Dedup.minhashPairs]]).
+    *
+    * Shape: the anchor set is probe-sized and BROADCASTS over the
+    * corpus (the kNN-join posture — the corpus never shuffles to be
+    * scored); the exclusion is one symmetric anti-join on
+    * (anchor, cand); per-anchor top-k is a rank window over
+    * anchors x corpus scored rows, WindowGroupLimit-prunable.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      nearDupPairs: DataFrame, nAnchors: Int, k: Int): DataFrame = {
+    val anchors = emb.filter(col(idCol) < nAnchors)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("av"))
+    val cands = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val sym = nearDupPairs
+      .select(col("id_a").as("anchor_id"), col("id_b").as("cand_id"))
+      .union(nearDupPairs
+        .select(col("id_b").as("anchor_id"), col("id_a").as("cand_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("cand_id"))
+    cands.crossJoin(broadcast(anchors))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        round(cosine(col("cv"), col("av")), 6).as("cos"))
+      .join(sym, Seq("anchor_id", "cand_id"), "left_anti")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("cand_id"), col("cos"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Brute-force cosine top-k against one query vector (plans as
     * TakeOrderedAndProject).
     */

@@ -91,7 +91,7 @@ object OpsQueries {
        | list_transform(generate_series(1, $dims), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        | (x, y) -> x + y)""".stripMargin
 
-  private def cosSql(a: String, b: String, dims: Int = 64): String =
+  private[queries] def cosSql(a: String, b: String, dims: Int = 64): String =
     s"(${dotSql(a, b, dims)}) / (sqrt(${dotSql(a, a, dims)}) * sqrt(${dotSql(b, b, dims)}))"
 
   def all: Map[String, Q] = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, DocSim, Fuzzy, GraphOps, Layout, Quantize}
+import graft.ops.{Dedup, DocSim, Fuzzy, GraphOps, Layout, Quantize, Similarity}
 
 /** Round-5 widening of the pipeline-operator surface: embedding
   * quantization audit, sparse TF-IDF document-similarity join,
@@ -118,7 +118,11 @@ object ScaleQueries {
     // volume anomaly detection on the events stream: per-minute counts
     // flagged when cnt > mean + 3 sigma, in exact integer arithmetic —
     // (N*cnt - S)^2 > 9*(N*SS - S^2) multiplies the z-score rule
-    // through by N^2 so no engine ever divides or square-roots
+    // through by N^2 so no engine ever divides or square-roots.
+    // Overflow bound: exact while N*maxcnt < 2^31.5 (dev^2 < 2^63);
+    // at trillion-event scale run the rule per day/shard or in
+    // DECIMAL(38,0) — the shape (tiny stats broadcast over a
+    // key-bounded aggregate) is unchanged
     "q103_anomaly_minutes" -> Q(
       (s, dir) => {
         val cnt = t(s, dir, "events")
@@ -367,6 +371,44 @@ object ScaleQueries {
       (s, dir) => graft.ops.Bpe.encode(s, t(s, dir, "documents"),
         "doc_id", "text", rounds = 8)
         .orderBy(col("doc_id")),
-      Some(graft.ops.Bpe.encodeOracleSql(OpsQueries.toksSql, rounds = 8)))
+      Some(graft.ops.Bpe.encodeOracleSql(OpsQueries.toksSql, rounds = 8))),
+
+    // hard-negative mining (contrastive training data): per anchor,
+    // the top-5 cosine-nearest candidates whose TEXTS are not
+    // near-dups of the anchor's — the vector modality ranks, the text
+    // modality (q24's minhash pair graph) excludes. vec_id and doc_id
+    // are aligned in the fixtures.
+    "q110_hard_negatives" -> Q(
+      (s, dir) => Similarity.hardNegatives(t(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2),
+        nAnchors = 8, k = 5)
+        .orderBy(col("anchor_id"), col("rnk")),
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |nd AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS anchor_id, id_b AS cand_id FROM nd
+           | UNION ALL
+           | SELECT id_b AS anchor_id, id_a AS cand_id FROM nd),
+           |a AS (
+           | SELECT vec_id AS anchor_id, embedding AS av
+           | FROM embeddings WHERE vec_id < 8),
+           |sc AS (
+           | SELECT a.anchor_id, e.vec_id AS cand_id,
+           |  round(${OpsQueries.cosSql("e.embedding", "a.av")}, 6) AS cos
+           | FROM embeddings e, a WHERE e.vec_id <> a.anchor_id),
+           |fl AS (
+           | SELECT sc.* FROM sc
+           | WHERE NOT EXISTS (SELECT 1 FROM sym
+           |  WHERE sym.anchor_id = sc.anchor_id
+           |   AND sym.cand_id = sc.cand_id)),
+           |r AS (
+           | SELECT *, row_number() OVER
+           |  (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rnk
+           | FROM fl)
+           |SELECT anchor_id, cand_id, cos, CAST(rnk AS INTEGER) AS rnk
+           |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin))
   )
 }

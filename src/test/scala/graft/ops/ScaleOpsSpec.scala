@@ -168,6 +168,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the corpus actually exercises the path
   }
 
+  test("hard negatives: near-dups excluded, ranked by cosine, k-bounded") {
+    // 4 vectors: anchor 0; 1 is its text near-dup (must be excluded
+    // even though it's the nearest vector); 2 close; 3 far
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val nearDups = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      nearDups, nAnchors = 1, k = 2)
+      .orderBy(col("rnk")).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L)) // 1 excluded
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2))
+    assert(out(0).getDouble(2) > out(1).getDouble(2))
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
