@@ -237,6 +237,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"))
   }
 
+  test("hard negatives: anchors broadcast, corpus never shuffles to be scored") {
+    val p = plan("q110_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin")) // the intended 8-anchor cross
+    assert(p.contains("cosine_sim")) // fused kernel, not interpreted HOF
+    assert(!p.contains("CartesianProduct")) // never a shuffle-shuffle cross
+  }
+
   test("fuzzy linkage: fused hamming kernel, segment equi-join, no cross join") {
     val p = plan("q107_fuzzy_linkage")
     assert(p.contains("hamming_dist")) // the fused verify kernel
