@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, DocSim, Fuzzy, GraphOps, Layout, Quantize, Similarity}
+import graft.ops.{BloomExpressions, Dedup, DocSim, Fuzzy, GraphOps, Layout,
+  Quantize, Similarity, TextOps}
 
 /** Round-5 widening of the pipeline-operator surface: embedding
   * quantization audit, sparse TF-IDF document-similarity join,
@@ -409,6 +410,48 @@ object ScaleQueries {
            |  (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rnk
            | FROM fl)
            |SELECT anchor_id, cand_id, cos, CAST(rnk AS INTEGER) AS rnk
-           |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin))
+           |FROM r WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin)),
+
+    // multi-benchmark decontamination scorecard: q74's rule against
+    // THREE test sets at once, with per-(doc, set) hit attribution —
+    // what a release pipeline actually runs (decontaminate against
+    // many benchmarks simultaneously). The scale point: ONE pass over
+    // the corpus gram stream serves all K sets — one shared bloom
+    // prunes map-side, then a single broadcast join attributes
+    // survivors to every set containing the gram (vs K independent
+    // passes at K x the scan cost).
+    "q111_multi_decontam" -> Q(
+      (s, dir) => {
+        val grams = t(s, dir, "documents").select(col("doc_id"),
+          explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
+        val test = graft.Scratch.cache(grams
+          .filter(pmod(col("doc_id"), lit(10)) <= 2)
+          .select(pmod(col("doc_id"), lit(10)).cast("int").as("tset"),
+            col("gram")).distinct())
+        // sized to the (set, gram) count — an upper bound on distinct
+        // grams, so the bloom only gets sparser
+        val bloom = BloomExpressions.buildLongBloom(
+          test.select(col("gram")), xxhash64(col("gram")),
+          expectedItems = test.count())
+        grams.filter(pmod(col("doc_id"), lit(10)) > 2)
+          .filter(BloomExpressions.mightContain(xxhash64(col("gram")), bloom))
+          .join(broadcast(test), Seq("gram"))
+          .groupBy(col("doc_id"), col("tset"))
+          .agg(count(lit(1)).as("n_hits"))
+          .orderBy(col("doc_id"), col("tset"))
+      },
+      Some(
+        s"""WITH tk AS (SELECT doc_id, ${OpsQueries.toksSql} AS t FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(
+           |  list_transform(generate_series(1, len(t) - 7),
+           |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |    || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+           |    || ' ' || t[i+7]))) AS gram FROM tk),
+           |te AS (SELECT DISTINCT CAST(doc_id % 10 AS INTEGER) AS tset, gram
+           |       FROM g WHERE doc_id % 10 <= 2),
+           |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 > 2)
+           |SELECT tr.doc_id, te.tset, count(*) AS n_hits
+           |FROM tr JOIN te USING (gram)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
