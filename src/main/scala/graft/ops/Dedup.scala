@@ -144,6 +144,58 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** MinHash near-dup pairs with a TEMPORAL HORIZON: only pairs whose
+    * `weekCol` buckets differ by at most 1 are candidates — the
+    * blocking an append-only corpus needs at scale, where "is this a
+    * near-dup of something ingested recently" is the real question
+    * and the candidate space must not grow with total corpus AGE,
+    * only with the horizon window.
+    *
+    * Blocking key is (band, week-ish): each doc emits every band key
+    * under weeks {w, w+1}, so docs meet iff they share a band AND
+    * |w_a - w_b| <= 1. Exactly-once emission on BOTH axes: across
+    * bands by the first-shared-band filter (the minhashPairs trick),
+    * across weeks by keeping only the meeting key w == max(w_a, w_b)
+    * (same-week pairs also meet at w+1; Δ=1 pairs meet only at the
+    * max). Verify is the exact hashed-shingle Jaccard.
+    */
+  def minhashPairsHorizon(df: DataFrame, idCol: String, textCol: String,
+      week: Column, n: Int, bands: Int, rows: Int,
+      num: Int, den: Int): DataFrame = {
+    val hashed = graft.Scratch.cache(df
+      .select(col(idCol).as("id"), week.as("wk"),
+        SketchExpressions.hashedShingles(col(textCol), n).as("hs"),
+        SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("bk", bandKeys(col("sig"), bands, rows)))
+    val ea = hashed
+      .select(posexplode(col("bk")).as(Seq("bi", "band")),
+        col("id").as("id_a"), col("wk").as("wk_a"), col("bk").as("bk_a"))
+      .withColumn("wj", explode(array(col("wk_a"), col("wk_a") + 1)))
+    val eb = hashed
+      .select(explode(col("bk")).as("band"),
+        col("id").as("id_b"), col("wk").as("wk_b"), col("bk").as("bk_b"))
+      .withColumn("wj", explode(array(col("wk_b"), col("wk_b") + 1)))
+    val firstShared = (0 until bands).foldRight(lit(-1): Column) { (i, els) =>
+      when(element_at(col("bk_a"), i + 1) === element_at(col("bk_b"), i + 1),
+        lit(i)).otherwise(els)
+    }
+    val cand = ea.join(eb, Seq("band", "wj"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("wj") === greatest(col("wk_a"), col("wk_b")))
+      .filter(col("bi") === firstShared)
+      .select(col("id_a"), col("id_b"), col("wk_a"), col("wk_b"))
+    val sets = hashed.select(col("id"), col("hs"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("i_cnt", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("u_cnt", size(array_union(col("hs_a"), col("hs_b"))))
+      .filter(col("i_cnt") * den >= col("u_cnt") * num)
+      .select(col("id_a"), col("id_b"), col("wk_a"), col("wk_b"),
+        col("i_cnt"), col("u_cnt"))
+  }
+
   /** Distinct-token 60-bit hash array (md5 once per token). */
   def tokenHashes60(text: Column): Column =
     transform(array_distinct(tokens(text)), t => hash60(t))

@@ -452,6 +452,28 @@ object ScaleQueries {
            |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 > 2)
            |SELECT tr.doc_id, te.tset, count(*) AS n_hits
            |FROM tr JOIN te USING (gram)
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // horizon-bounded near-dup: q24's pairs restricted to docs whose
+    // (synthetic) ingestion weeks differ by <= 1, via (band, week)
+    // blocking keys — candidate space grows with the horizon WINDOW,
+    // not with corpus age. Oracle = the recall-complete band-sharing
+    // pair set post-filtered by the same horizon, so a pair the
+    // temporal blocking wrongly drops (or double-emits) flips the
+    // hash.
+    "q112_horizon_neardup" -> Q(
+      (s, dir) => Dedup.minhashPairsHorizon(t(s, dir, "documents"),
+        "doc_id", "text", week = expr("doc_id DIV 70"),
+        n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |wk AS (SELECT doc_id AS id, doc_id // 70 AS w FROM documents)
+           |SELECT c.id_a, c.id_b, a.w AS wk_a, b.w AS wk_b, i_cnt, u_cnt
+           |FROM chk c
+           |JOIN wk a ON a.id = c.id_a
+           |JOIN wk b ON b.id = c.id_b
+           |WHERE i_cnt * 2 >= u_cnt AND abs(a.w - b.w) <= 1
+           |ORDER BY id_a, id_b""".stripMargin))
   )
 }

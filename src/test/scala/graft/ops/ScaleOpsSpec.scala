@@ -186,6 +186,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out(0).getDouble(2) > out(1).getDouble(2))
   }
 
+  test("horizon near-dup: adjacent weeks pair exactly once, distant weeks never") {
+    val txt = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (0L, txt), (1L, txt),   // weeks 0,0 -> pair, exactly once
+      (10L, txt),             // week 1: pairs with 0 and 1 (delta 1)
+      (25L, txt)              // week 2: pairs with 10 only (0/1 are delta 2)
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsHorizon(docs, "doc_id", "text",
+      week = expr("doc_id DIV 10"), n = 3, bands = 4, rows = 4,
+      num = 1, den = 2).collect()
+    graft.Scratch.release()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.distinct == pairs, s"double emission: $pairs")
+    assert(pairs.toSet == Set((0L, 1L), (0L, 10L), (1L, 10L), (10L, 25L)))
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
