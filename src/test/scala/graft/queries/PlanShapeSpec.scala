@@ -237,6 +237,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"))
   }
 
+  test("horizon near-dup: (band, week) equi-join, cached signatures, no cross") {
+    val p = plan("q112_horizon_neardup")
+    assert(p.contains("InMemoryTableScan")) // shared hashed-signature cache
+    assert(p.contains("hashed_shingles")) // fused sketch kernel
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("hard negatives: anchors broadcast, corpus never shuffles to be scored") {
     val p = plan("q110_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin")) // the intended 8-anchor cross
