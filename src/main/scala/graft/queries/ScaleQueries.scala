@@ -474,6 +474,46 @@ object ScaleQueries {
            |JOIN wk a ON a.id = c.id_a
            |JOIN wk b ON b.id = c.id_b
            |WHERE i_cnt * 2 >= u_cnt AND abs(a.w - b.w) <= 1
-           |ORDER BY id_a, id_b""".stripMargin))
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // degree-oriented triangle counting over the near-dup graph:
+    // per-node triangle participation (clique membership vs hub of
+    // unrelated collisions). The oracle re-derives the same acyclic
+    // (degree, id) orientation with row-value comparisons and the
+    // same wedge-close joins — exactly-once per triangle by the
+    // orientation argument, checked cross-engine.
+    "q113_triangles" -> Q(
+      (s, dir) => GraphOps.triangleCounts(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2))
+        .orderBy(col("node")),
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS u, id_b AS v FROM pr
+           | UNION ALL SELECT id_b, id_a FROM pr),
+           |d AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+           |wd AS (
+           | SELECT id_a, id_b, da.deg AS da, db.deg AS db FROM pr
+           | JOIN d da ON da.node = id_a JOIN d db ON db.node = id_b),
+           |o AS (
+           | SELECT
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN id_a ELSE id_b END AS u,
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN id_b ELSE id_a END AS v,
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN db ELSE da END AS dv
+           | FROM wd),
+           |wg AS (
+           | SELECT a.u, a.v, b.v AS w FROM o a JOIN o b USING (u)
+           | WHERE row(a.dv, a.v) < row(b.dv, b.v)),
+           |tr AS (
+           | SELECT wg.u, wg.v, wg.w FROM wg
+           | JOIN o ON o.u = wg.v AND o.v = wg.w),
+           |ex AS (SELECT unnest([u, v, w]) AS node FROM tr)
+           |SELECT node, count(*) AS n_tri FROM ex
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -202,6 +202,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((0L, 1L), (0L, 10L), (1L, 10L), (10L, 25L)))
   }
 
+  test("triangle counts: known graphs, exactly-once per triangle") {
+    // triangle 0-1-2 plus pendant 3: nodes 0,1,2 have 1 triangle, 3 none
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = GraphOps.triangleCounts(tri).orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.Scratch.release()
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L)))
+    // K4: every node sits in C(3,2) = 3 triangles; 4 triangles total
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val o4 = GraphOps.triangleCounts(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Scratch.release()
+    assert(o4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
