@@ -68,6 +68,43 @@ object GraphOps {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Fixed-round k-core peel over an undirected pair table
+    * (id_a, id_b): each round drops nodes whose CURRENT degree is
+    * below `k` and the edges touching them; `rounds` rounds of
+    * peeling approximate the k-core from above (exact once a round
+    * changes nothing). Output is one row per node of the INPUT
+    * graph: initial degree, post-peel degree, and the in-core flag —
+    * the dup-graph triage signal (in-core nodes sit in dense dup
+    * cliques worth a human look; peeled pendants are ordinary
+    * pairwise near-dups).
+    *
+    * Scale posture: each round is one degree aggregation plus two
+    * semi-join-shaped filters, all keyed on node id — no all-pairs,
+    * no driver state. The edge set shrinks monotonically, and each
+    * round's survivor set is Scratch-cached so the unrolled plan
+    * stays linear in `rounds` (uncached, every round re-references
+    * the previous edge set twice and the plan doubles per round).
+    */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("id_a").as("node"))
+        .union(e.select(col("id_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var e = graft.Scratch.cache(pairs.select(col("id_a"), col("id_b")))
+    val deg0 = degrees(e)
+    for (_ <- 1 to rounds) {
+      val s = degrees(e).filter(col("deg") >= k).select("node")
+      e = graft.Scratch.cache(e
+        .join(s.select(col("node").as("id_a")), Seq("id_a"))
+        .join(s.select(col("node").as("id_b")), Seq("id_b")))
+    }
+    deg0.select(col("node"), col("deg").as("deg0"))
+      .join(degrees(e).select(col("node"), col("deg")), Seq("node"), "left")
+      .select(col("node"), col("deg0"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        (coalesce(col("deg"), lit(0L)) >= k).cast("long").as("in_core"))
+  }
+
   /** Integer PageRank over an undirected pair table (id_a, id_b).
     * Output: (node, deg, pr_rank) per node, rank after `iters`
     * iterations in fixed-point `scale` units.

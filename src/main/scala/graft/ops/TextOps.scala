@@ -458,4 +458,92 @@ object TextOps {
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
   }
+
+  /** Cross-document boilerplate audit (CCNet-style line dedup,
+    * re-expressed over fixed token segments since the corpus carries
+    * no newlines): cut each doc into consecutive `segLen`-token
+    * segments, count DISTINCT docs per segment, and flag segments
+    * present in more than `maxDocs` docs as boilerplate. Output is
+    * one row per doc: total segments, boilerplate segments, and the
+    * integer boilerplate percentage.
+    *
+    * Scale posture: one explode (n_tokens/segLen rows per doc), one
+    * groupBy on the 60-bit segment hash — segments never shuffle as
+    * strings, only as longs — and the doc-frequency side joins back
+    * by the same hash. No self-join, no all-pairs; this is the
+    * filter that removes nav bars / cookie banners from a crawl at
+    * corpus scale, one shuffle each way.
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 8, maxDocs: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val seg = docs
+      .filter(size(toks) > 0)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          sequence(lit(0),
+            ((size(toks) + segLen - 1) / segLen).cast("int") - 1),
+          i => concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen)))))
+          .as("seg"))
+      .select(col("id"), hash60(col("seg")).as("sh"))
+    val segDf = seg.groupBy("sh")
+      .agg(countDistinct(col("id")).as("ndocs"))
+    seg.join(segDf, Seq("sh"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("ndocs") > maxDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col(idCol), col("n_segs"), col("n_boiler"),
+        (col("n_boiler") * 100 / col("n_segs")).cast("long")
+          .as("pct_boiler"))
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every token `n`-gram by position, then keep the
+    * MINIMUM hash of each `w`-position window — any shared substring
+    * of length >= n + w - 1 tokens is GUARANTEED to share a
+    * fingerprint, while only ~2/(w+1) of positions are kept. Returns
+    * the distinct (id, fp) fingerprint table.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    docs
+      .filter(size(toks) >= n + w - 1)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(1), size(toks) - n + 1),
+          i => hash60(concat_ws(" ", slice(toks, i, lit(n)))))))
+      .select(col("id"), col("pos"),
+        min(col("col")).over(win).as("fp"),
+        count(lit(1)).over(win).as("cnt"))
+      .filter(col("cnt") === w)
+      .select(col("id"), col("fp")).distinct()
+  }
+
+  /** Document-overlap pairs through the winnowing fingerprint index:
+    * pairs sharing >= `minShared` fingerprints, with the shared
+    * count. Fingerprints present in more than `maxDf` docs are
+    * dropped FIRST (a hub fingerprint is boilerplate by definition
+    * and would quadratically explode its bucket — same cap
+    * discipline as the TF-IDF posting lists, ops/DocSim.scala).
+    *
+    * Scale posture: the join is an inverted-index bucket join whose
+    * per-bucket fan-out is bounded by maxDf^2; no all-pairs, no
+    * broadcast of anything data-sized.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 5, maxDf: Int = 20,
+      minShared: Int = 5): DataFrame = {
+    val fp = graft.Scratch.cache(winnowFingerprints(docs, idCol, textCol, n, w))
+    val capped = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val fpc = graft.Scratch.cache(fp.join(capped, Seq("fp")))
+    fpc.select(col("fp"), col("id").as("id_a"))
+      .join(fpc.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

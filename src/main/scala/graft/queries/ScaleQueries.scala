@@ -514,6 +514,111 @@ object ScaleQueries {
            | JOIN o ON o.u = wg.v AND o.v = wg.w),
            |ex AS (SELECT unnest([u, v, w]) AS node FROM tr)
            |SELECT node, count(*) AS n_tri FROM ex
-           |GROUP BY 1 ORDER BY 1""".stripMargin))
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // cross-document boilerplate audit: fixed 8-token segments,
+    // boilerplate = segment (by 60-bit hash) in > 2 distinct docs.
+    // The oracle groups by the SAME md5-prefix hash, so both engines
+    // agree by construction even on a hash collision.
+    "q114_boilerplate" -> Q(
+      (s, dir) => TextOps.boilerplateStats(
+        t(s, dir, "documents"), "doc_id", "text", segLen = 8, maxDocs = 2)
+        .orderBy(col("doc_id")),
+      Some(
+        """WITH tok AS (
+          | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents),
+          |seg AS (
+          | SELECT doc_id,
+          |  ('0x' || substr(md5(array_to_string(
+          |    list_slice(t, i * 8 + 1, i * 8 + 8), ' ')), 1, 15))::BIGINT AS sh
+          | FROM tok, unnest(range((len(t) + 7) // 8)) AS u(i)),
+          |df AS (SELECT sh, count(DISTINCT doc_id) AS ndocs FROM seg GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_segs,
+          | CAST(count(*) FILTER (WHERE df.ndocs > 2) AS BIGINT) AS n_boiler,
+          | CAST((count(*) FILTER (WHERE df.ndocs > 2)) * 100 // count(*)
+          |      AS BIGINT) AS pct_boiler
+          |FROM seg JOIN df USING (sh)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // winnowing (MOSS) fingerprint overlap pairs: per-position 4-gram
+    // hashes, min of each 5-position window, df-capped inverted-index
+    // join. Guarantee: any shared run of >= n+w-1 = 8 tokens shares a
+    // fingerprint. The oracle replays the same window minima with a
+    // ROWS frame and the full-window count trick.
+    "q115_winnow_pairs" -> Q(
+      (s, dir) => TextOps.winnowPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 4, w = 5, maxDf = 20, minShared = 5)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        s"""WITH $winnowCtes,
+           |pr AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           | FROM fpc a JOIN fpc b USING (fp) WHERE a.doc_id < b.doc_id
+           | GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT * FROM pr ORDER BY id_a, id_b""".stripMargin)),
+
+    // fixed-round k-core peel over the winnowing overlap graph: every
+    // input-graph node with initial degree, post-peel degree, and the
+    // in-core flag. The oracle unrolls the 3 peel rounds as CTEs —
+    // degree, survivor filter, edge restriction — exactly the loop
+    // the Spark side runs.
+    "q116_kcore" -> Q(
+      (s, dir) => GraphOps.kCore(
+        TextOps.winnowPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 4, w = 5, maxDf = 20, minShared = 5),
+        k = 2, rounds = 3)
+        .orderBy(col("node")),
+      Some(
+        s"""WITH $winnowCtes,
+           |e0 AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM fpc a JOIN fpc b USING (fp) WHERE a.doc_id < b.doc_id
+           | GROUP BY 1, 2 HAVING count(*) >= 5),
+           |d0 AS (SELECT u AS node, count(*) AS deg FROM (
+           |  SELECT id_a AS u FROM e0 UNION ALL SELECT id_b FROM e0) GROUP BY 1),
+           |s0 AS (SELECT node FROM d0 WHERE deg >= 2),
+           |e1 AS (SELECT id_a, id_b FROM e0
+           |  JOIN s0 a ON a.node = id_a JOIN s0 b ON b.node = id_b),
+           |d1 AS (SELECT u AS node, count(*) AS deg FROM (
+           |  SELECT id_a AS u FROM e1 UNION ALL SELECT id_b FROM e1) GROUP BY 1),
+           |s1 AS (SELECT node FROM d1 WHERE deg >= 2),
+           |e2 AS (SELECT id_a, id_b FROM e1
+           |  JOIN s1 a ON a.node = id_a JOIN s1 b ON b.node = id_b),
+           |d2 AS (SELECT u AS node, count(*) AS deg FROM (
+           |  SELECT id_a AS u FROM e2 UNION ALL SELECT id_b FROM e2) GROUP BY 1),
+           |s2 AS (SELECT node FROM d2 WHERE deg >= 2),
+           |e3 AS (SELECT id_a, id_b FROM e2
+           |  JOIN s2 a ON a.node = id_a JOIN s2 b ON b.node = id_b),
+           |d3 AS (SELECT u AS node, count(*) AS deg FROM (
+           |  SELECT id_a AS u FROM e3 UNION ALL SELECT id_b FROM e3) GROUP BY 1)
+           |SELECT d0.node, d0.deg AS deg0,
+           | COALESCE(d3.deg, 0) AS deg,
+           | CAST(COALESCE(d3.deg, 0) >= 2 AS BIGINT) AS in_core
+           |FROM d0 LEFT JOIN d3 USING (node) ORDER BY node""".stripMargin))
   )
+
+  /** Shared oracle CTE chain for the winnowing fingerprint table
+    * (tok -> per-position 4-gram hashes -> 5-window minima -> distinct
+    * fingerprints -> df-capped index), used by q115 and q116.
+    */
+  private val winnowCtes: String =
+    """tok AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      | FROM documents),
+      |ng AS (
+      | SELECT doc_id, i AS pos,
+      |  ('0x' || substr(md5(array_to_string(
+      |    list_slice(t, i, i + 3), ' ')), 1, 15))::BIGINT AS h
+      | FROM tok, unnest(range(1, len(t) - 2)) AS u(i)),
+      |w AS (
+      | SELECT doc_id, pos,
+      |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m,
+      |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt
+      | FROM ng),
+      |fp AS (SELECT DISTINCT doc_id, m AS fp FROM w WHERE cnt = 5),
+      |capped AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 20),
+      |fpc AS (SELECT doc_id, fp FROM fp JOIN capped USING (fp))""".stripMargin
 }

@@ -218,6 +218,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(o4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("boilerplate: segment shared by >maxDocs docs is flagged in every doc") {
+    val docs = Seq(
+      (0L, "a b x y"), (1L, "a b z w"), (2L, "a b q r"), (3L, "u v s t")
+    ).toDF("doc_id", "text")
+    val out = TextOps.boilerplateStats(docs, "doc_id", "text",
+      segLen = 2, maxDocs = 2).orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "a b" appears in 3 docs (> 2) -> boilerplate; each of docs 0-2
+    // has 2 segments, 1 flagged (50%); doc 3 is clean
+    assert(out.toSeq == Seq((0L, 2L, 1L, 50L), (1L, 2L, 1L, 50L),
+      (2L, 2L, 1L, 50L), (3L, 2L, 0L, 0L)))
+  }
+
+  test("winnowing: shared run of n+w-1 tokens guarantees a shared fingerprint") {
+    // docs 0 and 1 share the 8-token run p1..p8 (n=4, w=5 -> n+w-1=8);
+    // doc 2 is disjoint vocabulary
+    val docs = Seq(
+      (0L, "x1 x2 x3 p1 p2 p3 p4 p5 p6 p7 p8 y1 y2 y3"),
+      (1L, "z1 z2 p1 p2 p3 p4 p5 p6 p7 p8 w1 w2 w3 w4"),
+      (2L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 m11 m12 m13 m14")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text",
+      n = 4, w = 5, maxDf = 20, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Scratch.release()
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("kcore: triangle survives k=2 peel, pendant is removed") {
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = GraphOps.kCore(g, k = 2, rounds = 3).orderBy(col("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.Scratch.release()
+    // node 2: initial deg 3, post-peel deg 2 (edge to pendant 3 gone)
+    assert(out.toSeq == Seq((0L, 2L, 2L, 1L), (1L, 2L, 2L, 1L),
+      (2L, 3L, 2L, 1L), (3L, 1L, 0L, 0L)))
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
