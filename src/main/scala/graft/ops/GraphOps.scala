@@ -44,7 +44,15 @@ object GraphOps {
     * out-degree <= O(sqrt(2m)) — the textbook id-ordering variant
     * explodes on hubs; this one provably cannot.
     */
-  def triangleCounts(pairs: DataFrame): DataFrame = {
+  def triangleCounts(rawPairs: DataFrame): DataFrame = {
+    // the pair graph is orders of magnitude smaller than the corpus
+    // that produced it; truncating its lineage here (lazy checkpoint)
+    // keeps the wedge plan — which references the edge table three
+    // times — from re-ANALYZING the full upstream pair pipeline 3x
+    // (caching bounds execution, not analysis; measured 3.9 s -> sub-s
+    // on the winnow graph)
+    val pairs = graft.Scratch.localCheckpoint(
+      rawPairs.select(col("id_a"), col("id_b")))
     val sym = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
@@ -90,7 +98,12 @@ object GraphOps {
       e.select(col("id_a").as("node"))
         .union(e.select(col("id_b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-    var e = graft.Scratch.cache(pairs.select(col("id_a"), col("id_b")))
+    // lineage cut, not just a cache: every peel round references the
+    // previous edge set three times (degree + two filters), so an
+    // uncut plan re-analyzes the upstream pair pipeline 3^rounds
+    // times (measured 10.3 s -> ~1 s for 3 rounds on the winnow graph)
+    var e = graft.Scratch.localCheckpoint(
+      pairs.select(col("id_a"), col("id_b")))
     val deg0 = degrees(e)
     for (_ <- 1 to rounds) {
       val s = degrees(e).filter(col("deg") >= k).select("node")

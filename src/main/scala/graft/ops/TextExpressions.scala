@@ -117,6 +117,47 @@ object TextKernels {
     * sliding join the sketch kernels use. Sub-n-token text -> empty
     * array (HOF parity).
     */
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken) in one
+    * pass: per-position n-gram 60-bit hashes (one MessageDigest, no
+    * hex round trips), minimum of each w-position window, distinct.
+    * The HOF formulation (transform + slice + array_min per window)
+    * runs interpreted per element — same cost family as the n-gram
+    * HOF this kernel family replaced. Fewer than w full windows ->
+    * empty array.
+    */
+  def winnow(text: String, n: Int, w: Int): Array[Any] = {
+    val toks = tokenize(text)
+    val p = toks.length - n + 1
+    if (p < w) return Array.empty[Any]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](p)
+    var i = 0
+    while (i < p) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      hs(i) = SketchKernels.hash60(md, sb.toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + w <= p) {
+      var m = hs(i)
+      var j = 1
+      while (j < w) { if (hs(i + j) < m) m = hs(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    out
+  }
+
+  def winnowEval(u: UTF8String, n: Int, w: Int): ArrayData =
+    new GenericArrayData(winnow(u.toString, n, w))
+
   def ngrams(text: String, n: Int, distinct: Boolean): Array[Any] = {
     val toks = tokenize(text)
     if (toks.length < n) return Array.empty[Any]
@@ -244,6 +285,20 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_stats"
 }
 
+case class WinnowExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowEval(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.TextKernels.winnowEval($c, $n, $w);")
+  override protected def withNewChildInternal(c: Expression): WinnowExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow"
+}
+
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def dataType: DataType = IntegerType
@@ -275,4 +330,7 @@ object TextExpressions {
   def ngrams(text: Column, n: Int, distinct: Boolean = false): Column =
     ColumnBridge.column(NgramsExpr(
       ColumnBridge.expression(text.cast("string")), n, distinct))
+  def winnow(text: Column, n: Int, w: Int): Column =
+    ColumnBridge.column(WinnowExpr(
+      ColumnBridge.expression(text.cast("string")), n, w))
 }

@@ -505,20 +505,27 @@ object TextOps {
     * the distinct (id, fp) fingerprint table.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 5): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(TextExpressions.winnow(col(textCol), n, w)).as("fp"))
+
+  /** Winnowing fingerprints — HOF form (differential reference for
+    * the fused kernel): per-position hash array, window minima via
+    * slice + array_min, per-doc distinct. Fully narrow like the
+    * kernel, but interpreted per element.
+    */
+  def winnowFingerprintsHof(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 4, w: Int = 5): DataFrame = {
     val toks = tokens(col(textCol))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
     docs
       .filter(size(toks) >= n + w - 1)
       .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(1), size(toks) - n + 1),
-          i => hash60(concat_ws(" ", slice(toks, i, lit(n)))))))
-      .select(col("id"), col("pos"),
-        min(col("col")).over(win).as("fp"),
-        count(lit(1)).over(win).as("cnt"))
-      .filter(col("cnt") === w)
-      .select(col("id"), col("fp")).distinct()
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => hash60(concat_ws(" ", slice(toks, i, lit(n))))).as("hs"))
+      .select(col("id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("hs")) - w + 1),
+            j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
   }
 
   /** Document-overlap pairs through the winnowing fingerprint index:

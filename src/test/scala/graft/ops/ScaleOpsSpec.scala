@@ -246,6 +246,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("winnow kernel matches the HOF differential") {
+    // deterministic synthetic corpus: LCG token stream over a small
+    // vocab, varying lengths (incl. sub-window docs -> empty sets)
+    val vocab = Vector("agg", "scan", "join", "sort", "key", "row",
+      "table", "value", "batch", "merge")
+    var seed = 12345L
+    def nextTok(): String = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      vocab(((seed >>> 33) % vocab.size).toInt)
+    }
+    val docs = (0L until 60L).map { id =>
+      val len = 3 + (id % 37).toInt
+      (id, (0 until len).map(_ => nextTok()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val kernel = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hof = TextOps.winnowFingerprintsHof(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel == hof)
+    assert(kernel.nonEmpty)
+  }
+
   test("kcore: triangle survives k=2 peel, pendant is removed") {
     val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val out = GraphOps.kCore(g, k = 2, rounds = 3).orderBy(col("node"))
