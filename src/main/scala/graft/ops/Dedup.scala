@@ -440,6 +440,113 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
   }
 
+  /** Catalog-level overlap triage: one MinHash signature PER SOURCE
+    * (componentwise minimum over that source's per-doc signatures —
+    * exactly the signature of the union of the source's shingle
+    * sets), then all source pairs scored by matching components in
+    * permille (the standard MinHash Jaccard estimate, here of
+    * source-union overlap). Answers "which two crawls/dumps largely
+    * duplicate each other" BEFORE any doc-level work is spent.
+    *
+    * Scale posture: per-doc signatures reduce map-side to k longs
+    * per source; the pair join is over #sources × k rows (catalog-
+    * sized, nothing data-sized moves after the first aggregate).
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sigs = df.select(col(srcCol).as("src"),
+      SketchExpressions.minhashSignature(col(textCol), n).as("sig"))
+      .filter(size(filter(col("sig"), v => v.isNotNull)) > 0)
+      .select(col("src"), posexplode(col("sig")).as(Seq("k", "v")))
+      .groupBy(col("src"), col("k")).agg(min(col("v")).as("v"))
+    sigs.select(col("src").as("src_a"), col("k"), col("v").as("v_a"))
+      .join(sigs.select(col("src").as("src_b"), col("k"), col("v").as("v_b")),
+        Seq("k"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_cnt"),
+        sum(when(col("v_a") === col("v_b"), 1L).otherwise(0L)).as("matches"))
+      .select(col("src_a"), col("src_b"), col("matches"),
+        (col("matches") * 1000 / col("k_cnt")).cast("long").as("est_permille"))
+  }
+
+  /** Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| over
+    * |shingles(A)| (and over |B|), in permille — the detector for a
+    * SMALL doc quoted inside a big one, which symmetric-Jaccard
+    * minhash blocking structurally misses (containment with a large
+    * size ratio has low Jaccard, so the signatures never collide).
+    *
+    * Blocking is PREFIX FILTERING (the SSJoin/PPJoin discipline):
+    * order each doc's shingles by ascending corpus df (ties by
+    * hash), and probe the inverted index with only the first
+    * n - ceil(t*n) + 1 of them. Pigeonhole guarantee: a pair whose
+    * smaller-side containment reaches t MUST share a probe shingle
+    * of the contained doc — if it missed the whole prefix, the
+    * overlap could be at most ceil(t*n) - 1 < t*n. Every doc probes
+    * (covering either containment direction), the index side holds
+    * all shingles, and because probes are each doc's RAREST
+    * shingles, per-probe fan-out is the df of a rare shingle, not a
+    * hot one. Recall is therefore EXACT — the oracle checks this
+    * query against brute-force all-pairs containment — while probe
+    * volume stays ~(1-t) of the exploded corpus. Candidates dedupe
+    * by pair key, then containment is verified exactly on the full
+    * distinct shingle sets re-attached by id.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrPermille: Int = 800): DataFrame = {
+    // sorted once so the verify can run the merge-scan intersect kernel
+    val base = graft.Scratch.cache(df.select(
+      col(idCol).as("id"),
+      array_sort(SketchExpressions.hashedShingles(col(textCol), n)).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val ex = base.select(col("id"), explode(col("hs")).as("sh"))
+    // hashedShingles is distinct-per-doc, so count(*) IS doc frequency
+    val dfc = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    // every doc's shingles with their (df, sh)-order position — the
+    // probe side filters to the prefix, the index side keeps all but
+    // carries the position for the POSITIONAL filter below
+    val wd = graft.Scratch.cache(ex.join(dfc, Seq("sh"))
+      .select(col("id"), col("sh"),
+        row_number().over(wDoc).as("rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id")))
+          .as("n")))
+    // overlap needed for floor(i*1000/n) >= t: o_min = ceil(t*n/1000)
+    val probes = wd
+      .filter(col("rn") <=
+        col("n") - floor((lit(thrPermille) * col("n") + 999) / 1000) + 1)
+      .select(col("sh"), col("id").as("id_p"),
+        col("rn").as("rn_p"), col("n").as("n_p"))
+    // positional filter (PPJoin): the shared subset sorts identically
+    // in both lists under the GLOBAL (df, sh) order, so at the
+    // earliest shared shingle the remaining-suffix bound
+    // min(n_p-rn_p, n_i-rn_i)+1 upper-bounds the overlap; pruning
+    // occurrences that cannot reach o_min of the smaller side keeps
+    // exactly-once recall (the earliest shared occurrence always
+    // survives) while discarding most random collisions.
+    val cand = probes
+      .join(wd.select(col("sh"), col("id").as("id_i"),
+        col("rn").as("rn_i"), col("n").as("n_i")), Seq("sh"))
+      .filter(col("id_p") =!= col("id_i"))
+      .filter(least(col("n_p") - col("rn_p"), col("n_i") - col("rn_i")) + 1 >=
+        floor((lit(thrPermille) * least(col("n_p"), col("n_i")) + 999) / 1000))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SketchExpressions.sortedIntersectCount(col("hs_a"), col("hs_b"))
+          .as("i_cnt"),
+        size(col("hs_a")).as("n_a"), size(col("hs_b")).as("n_b"))
+      .withColumn("cont_a", (col("i_cnt") * 1000 / col("n_a")).cast("long"))
+      .withColumn("cont_b", (col("i_cnt") * 1000 / col("n_b")).cast("long"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= thrPermille)
+  }
+
   /** Cross-corpus near-dup pairs (train/test CONTAMINATION check):
     * MinHash band buckets of corpus A hash-joined with corpus B's —
     * never a self-join, never A x B. Each (a, b) contaminated pair is

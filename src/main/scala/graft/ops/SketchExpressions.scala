@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -106,6 +106,30 @@ object SketchKernels {
       }
     }
     out.toArray
+  }
+
+  /** Distinct-match count of two ascending-sorted long arrays
+    * (two-pointer merge, duplicate runs consumed once).
+    */
+  def sortedIntersectCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else {
+        cnt += 1
+        while (i < na && a.getLong(i) == va) i += 1
+        while (j < nb && b.getLong(j) == va) j += 1
+      }
+    }
+    cnt
   }
 
   // codegen entry points (static calls emitted by the expressions)
@@ -225,6 +249,30 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   override def prettyName: String = "hashed_shingles"
 }
 
+/** sorted_intersect_count(a, b): distinct values present in BOTH
+  * sorted long arrays, by a two-pointer merge scan that skips
+  * duplicates — semantics of len(list_intersect(a, b)) without
+  * building per-row hash sets or result arrays (the generic
+  * array_intersect was the dominant cost of the containment verify:
+  * candidate pairs x ~2x50-element set builds per row).
+  * PRECONDITION: both inputs ascending-sorted.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ops.SketchKernels.sortedIntersectCount($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : SortedIntersectCountExpr = copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
 /** simhash60(text): long. */
 case class SimHash60Expr(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
@@ -262,4 +310,7 @@ object SketchExpressions {
     ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(text.cast("string"))))
   def simhash120(text: Column): Column =
     ColumnBridge.column(SimHash120Expr(ColumnBridge.expression(text.cast("string"))))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCountExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -459,6 +459,76 @@ object TextOps {
         max(col(idCol)).as("last_id"))
   }
 
+  /** Distribution-matching downsample scoreboard: given a target
+    * class mix (percents summing to 100), compute the LARGEST corpus
+    * scale at which the target mix is achievable without
+    * upsampling — scale = min over classes of obs_c / target_c —
+    * derive each class's deterministic keep rate in permille, and
+    * report per class: observed count, target percent, keep rate,
+    * and the count actually kept by the salted md5-bucket rule (the
+    * same engine-independent rule the stratified sampler uses).
+    *
+    * Scale posture: the rate table is class-count-sized (the one
+    * single-partition window runs over ~5 rows); docs join to it by
+    * class (broadcast-sized side) and the keep rule is a narrow
+    * per-row hash — one aggregate pass plus one broadcast join over
+    * the corpus, no collect.
+    */
+  def matchDistribution(docs: DataFrame, idCol: String, classCol: String,
+      target: Seq[(String, Int)], salt: String): DataFrame = {
+    require(target.map(_._2).sum == 100, "target percents must sum to 100")
+    val spark = docs.sparkSession
+    val tgt = spark.createDataFrame(target).toDF("cls", "tgt")
+    val obs = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("obs"))
+      .join(tgt, Seq("cls"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = obs
+      .withColumn("scale1e6",
+        min(floor(col("obs") * 1000000L / col("tgt")).cast("long")).over(wAll))
+      .withColumn("final_n",
+        floor(col("scale1e6") * col("tgt") / 1000000L).cast("long"))
+      .withColumn("permille",
+        floor(col("final_n") * 1000 / col("obs")).cast("long"))
+      .select(col("cls"), col("obs"), col("tgt").cast("long").as("tgt"),
+        col("permille"))
+    val bucket = pmod(
+      hash32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000))
+    docs.select(col(classCol).as("cls"), col(idCol))
+      .join(rates, Seq("cls"))
+      .groupBy(col("cls"))
+      .agg(first(col("obs")).as("obs"), first(col("tgt")).as("tgt"),
+        first(col("permille")).as("permille"),
+        sum(when(bucket < col("permille"), 1L).otherwise(0L)).as("kept"))
+  }
+
+  /** Per-document token-rarity score: rank every vocabulary token by
+    * corpus frequency (dense rank, most frequent = 1, ties broken by
+    * token), then score each doc as the mean rank of its token
+    * OCCURRENCES (integer floor). High scores flag docs built from
+    * tail vocabulary — gibberish, code soup, OCR noise — the cheap
+    * corpus-relative complement to the per-row quality signals.
+    *
+    * Scale posture: one explode + one vocabulary aggregate; the
+    * ranked vocabulary is vocab-sized (the single-partition rank
+    * window runs over it, same bound as the TF-IDF df side) and
+    * joins back to occurrences by token. Two shuffles total.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val ranked = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .select(col("token"), dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token"))).as("rank"))
+    tok.join(ranked, Seq("token"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("rank")).cast("long").as("rank_sum"))
+      .select(col(idCol), col("n_tokens"), col("rank_sum"),
+        floor(col("rank_sum") / col("n_tokens")).cast("long").as("rarity"))
+  }
+
   /** Cross-document boilerplate audit (CCNet-style line dedup,
     * re-expressed over fixed token segments since the corpus carries
     * no newlines): cut each doc into consecutive `segLen`-token

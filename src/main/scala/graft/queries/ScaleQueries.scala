@@ -595,7 +595,116 @@ object ScaleQueries {
            |SELECT d0.node, d0.deg AS deg0,
            | COALESCE(d3.deg, 0) AS deg,
            | CAST(COALESCE(d3.deg, 0) >= 2 AS BIGINT) AS in_core
-           |FROM d0 LEFT JOIN d3 USING (node) ORDER BY node""".stripMargin))
+           |FROM d0 LEFT JOIN d3 USING (node) ORDER BY node""".stripMargin)),
+
+    // asymmetric containment pairs (small doc quoted inside a big
+    // one — the case symmetric-Jaccard minhash blocking misses).
+    // Spark blocks by prefix filtering, whose recall is EXACT by the
+    // pigeonhole argument, so the oracle is brute-force all-pairs —
+    // it proves both the containment arithmetic AND that the
+    // prefix-filter blocking lost nothing.
+    "q117_containment" -> Q(
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, thrPermille = 800)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id AS id, ${OpsQueries.toksSql} AS t FROM documents),
+           |shs AS (
+           | SELECT id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+           |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM tk),
+           |hs AS (
+           | SELECT id, list_transform(s,
+           |   x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % ${Dedup.MinhashP}) AS hs
+           | FROM shs WHERE len(s) > 0),
+           |v AS (
+           | SELECT ha.id AS id_a, hb.id AS id_b,
+           |  CAST(len(list_intersect(ha.hs, hb.hs)) AS INTEGER) AS i_cnt,
+           |  CAST(len(ha.hs) AS INTEGER) AS n_a,
+           |  CAST(len(hb.hs) AS INTEGER) AS n_b
+           | FROM hs ha JOIN hs hb ON ha.id < hb.id)
+           |SELECT id_a, id_b, i_cnt, n_a, n_b,
+           | CAST(i_cnt * 1000 // n_a AS BIGINT) AS cont_a,
+           | CAST(i_cnt * 1000 // n_b AS BIGINT) AS cont_b
+           |FROM v WHERE greatest(i_cnt * 1000 // n_a, i_cnt * 1000 // n_b) >= 800
+           |ORDER BY id_a, id_b""".stripMargin)),
+
+    // distribution-matching downsample scoreboard: largest achievable
+    // scale for the target lang mix (no upsampling), per-class keep
+    // permille, and the exact kept counts under the salted md5-bucket
+    // rule. Every number is integer; the oracle replays the same
+    // min-scale arithmetic and hash rule.
+    "q118_match_distribution" -> Q(
+      (s, dir) => TextOps.matchDistribution(t(s, dir, "documents"),
+        "doc_id", "lang",
+        Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15),
+        salt = "mix1")
+        .orderBy(col("cls")),
+      Some(
+        """WITH tgt(cls, tgt) AS (
+          |  VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)),
+          |obs AS (SELECT lang AS cls, count(*) AS obs FROM documents GROUP BY 1),
+          |j AS (SELECT cls, obs, tgt FROM obs JOIN tgt USING (cls)),
+          |sc AS (SELECT min(obs * 1000000 // tgt) AS scale1e6 FROM j),
+          |r AS (
+          | SELECT cls, obs, CAST(tgt AS BIGINT) AS tgt,
+          |  (scale1e6 * tgt // 1000000) * 1000 // obs AS permille
+          | FROM j, sc),
+          |k AS (
+          | SELECT lang AS cls,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_mix1'), 1, 8))::BIGINT
+          |    % 1000 AS bucket
+          | FROM documents)
+          |SELECT cls, obs, tgt, CAST(permille AS BIGINT) AS permille,
+          | CAST(count(*) FILTER (WHERE bucket < permille) AS BIGINT) AS kept
+          |FROM k JOIN r USING (cls)
+          |GROUP BY cls, obs, tgt, permille ORDER BY cls""".stripMargin)),
+
+    // corpus-relative token-rarity score: dense frequency rank of the
+    // vocabulary, mean rank per doc occurrence (integer floor) — the
+    // tail-vocabulary / gibberish flag.
+    "q119_token_rarity" -> Q(
+      (s, dir) => TextOps.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tok AS (
+           | SELECT doc_id AS id, unnest(${OpsQueries.toksSql}) AS token
+           | FROM documents),
+           |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+           |r AS (SELECT token,
+           |  dense_rank() OVER (ORDER BY cnt DESC, token) AS rank FROM v)
+           |SELECT id AS doc_id, count(*) AS n_tokens,
+           | CAST(sum(rank) AS BIGINT) AS rank_sum,
+           | CAST(sum(rank) // count(*) AS BIGINT) AS rarity
+           |FROM tok JOIN r USING (token)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // catalog-level source-overlap matrix: one union-MinHash signature
+    // per source (componentwise min over per-doc signatures), all
+    // source pairs scored by matching components in permille. The
+    // oracle re-derives per-doc signatures from the shared minhash
+    // CTEs and aggregates the same way.
+    "q120_source_overlap" -> Q(
+      (s, dir) => Dedup.sourceOverlap(t(s, dir, "documents"),
+        "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b")),
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |srcm AS (SELECT doc_id AS id, source FROM documents),
+           |sg AS (
+           | SELECT source, i AS k, sig[i] AS v
+           | FROM sig JOIN srcm USING (id),
+           |  unnest(generate_series(1, 16)) AS u(i)),
+           |m AS (SELECT source, k, min(v) AS v FROM sg GROUP BY 1, 2),
+           |p AS (
+           | SELECT a.source AS src_a, b.source AS src_b,
+           |  count(*) AS k_cnt,
+           |  sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS matches
+           | FROM m a JOIN m b ON a.k = b.k AND a.source < b.source
+           | GROUP BY 1, 2)
+           |SELECT src_a, src_b, CAST(matches AS BIGINT) AS matches,
+           | CAST(matches * 1000 // k_cnt AS BIGINT) AS est_permille
+           |FROM p ORDER BY src_a, src_b""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

@@ -246,6 +246,61 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("containment: small doc inside big doc found despite low Jaccard") {
+    // doc 1 (8 tokens) is verbatim inside doc 0 (28 tokens): Jaccard
+    // of shingle sets ~ 6/26 = 0.23 (far below any near-dup bar) but
+    // containment of 1 in 0 is 1000 permille; doc 2 is disjoint
+    val big = "q w e r t y u i o p a s d f g h j k l z x c v b n m aa bb"
+    val small = "a s d f g h j k"
+    val docs = Seq((0L, big), (1L, small), (2L, "m1 m2 m3 m4 m5 m6 m7 m8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, thrPermille = 800).collect()
+    graft.Scratch.release()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getAs[Long]("cont_b") == 1000L) // all of B's shingles in A
+    assert(r.getAs[Long]("cont_a") < 300L)   // asymmetry: A mostly not in B
+  }
+
+  test("match distribution: scale pinned by scarcest class, no upsampling") {
+    val docs = ((0L until 8L).map(i => (i, "a")) ++
+      (8L until 10L).map(i => (i, "b"))).toDF("doc_id", "cls")
+    val out = TextOps.matchDistribution(docs, "doc_id", "cls",
+      Seq("a" -> 50, "b" -> 50), salt = "t")
+      .orderBy(col("cls")).collect()
+    // scale = min(8/0.5, 2/0.5) = 4 docs total -> 2 per class:
+    // class a keeps 2/8 = 250 permille, class b keeps all 1000
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+      == Seq(("a", 8L, 250L), ("b", 2L, 1000L)))
+    val kept = out.map(r => (r.getString(0), r.getLong(4))).toMap
+    assert(kept("b") == 2L)      // rate 1000 keeps everything
+    assert(kept("a") <= 8L)      // bucket rule; exact count is hash-defined
+  }
+
+  test("token rarity: mean dense frequency rank per occurrence") {
+    val docs = Seq((0L, "x x x y"), (1L, "z")).toDF("doc_id", "text")
+    val out = TextOps.tokenRarity(docs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ranks: x(cnt 3) -> 1, y -> 2, z -> 3 (cnt ties broken by token)
+    assert(out.toSeq == Seq((0L, 4L, 5L, 1L), (1L, 1L, 3L, 3L)))
+  }
+
+  test("source overlap: identical sources estimate 1000 permille") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(("sA", t1), ("sB", t1), ("sC", t2))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(3))).toMap
+    assert(out.size == 3)
+    assert(out(("sA", "sB")) == 1000L)
+    assert(out(("sA", "sC")) < 1000L)
+  }
+
   test("winnow kernel matches the HOF differential") {
     // deterministic synthetic corpus: LCG token stream over a small
     // vocab, varying lengths (incl. sub-window docs -> empty sets)
