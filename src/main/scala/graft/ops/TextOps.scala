@@ -529,6 +529,38 @@ object TextOps {
         floor(col("rank_sum") / col("n_tokens")).cast("long").as("rarity"))
   }
 
+  /** Per-document bigram surprisal: rank each bigram WITHIN its
+    * prefix-token group by corpus frequency (dense rank, most common
+    * continuation = 1), then score a doc as the mean rank of its
+    * bigram occurrences, x100 integer floor. A cheap integer-exact
+    * stand-in for conditional-bigram perplexity: docs whose every
+    * continuation is the corpus's most likely one score ~100
+    * (templated/repetitive), docs full of rank-20 continuations
+    * score ~2000 (incoherent token soup).
+    *
+    * Scale posture: the rank window partitions by the PREFIX token —
+    * parallel across the vocabulary, never a global sort (unlike the
+    * unigram rarity rank, whose window is vocab-global); one bigram
+    * vocabulary aggregate, one join back by bigram.
+    */
+  def bigramSurprise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("id"),
+      explode(ngrams(col(textCol), 2)).as("bg"))
+    val ranked = bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .select(col("bg"), dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1")).orderBy(col("cnt").desc, col("bg")))
+        .as("rank"))
+    bg.join(ranked, Seq("bg"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("rank")).cast("long").as("surprise_sum"))
+      .select(col(idCol), col("n_bigrams"), col("surprise_sum"),
+        floor(col("surprise_sum") * 100 / col("n_bigrams")).cast("long")
+          .as("surprise_x100"))
+  }
+
   /** Cross-document boilerplate audit (CCNet-style line dedup,
     * re-expressed over fixed token segments since the corpus carries
     * no newlines): cut each doc into consecutive `segLen`-token

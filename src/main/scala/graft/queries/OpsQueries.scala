@@ -86,7 +86,7 @@ object OpsQueries {
   }
 
   /** Sequential-fold dot product of two DuckDB lists. */
-  private def dotSql(a: String, b: String, dims: Int = 64): String =
+  private[queries] def dotSql(a: String, b: String, dims: Int = 64): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        | list_transform(generate_series(1, $dims), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
        | (x, y) -> x + y)""".stripMargin

@@ -704,7 +704,204 @@ object ScaleQueries {
            | GROUP BY 1, 2)
            |SELECT src_a, src_b, CAST(matches AS BIGINT) AS matches,
            | CAST(matches * 1000 // k_cnt AS BIGINT) AS est_permille
-           |FROM p ORDER BY src_a, src_b""".stripMargin))
+           |FROM p ORDER BY src_a, src_b""".stripMargin)),
+
+    // modality-agreement matrix for dedup: pairs found by text
+    // MinHash LSH vs by embedding sign-LSH, full-outer joined on the
+    // pair key and counted by presence. Disagreement is the
+    // diagnostic: text_only = paraphrase-invisible surface dups,
+    // embedding_only = semantic dups the shingles miss.
+    "q121_dedup_agreement" -> Q(
+      (s, dir) => {
+        val tp = Dedup.minhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("id_a"), col("id_b")).withColumn("tf", lit(1L))
+        val ep = Similarity.nearDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", Similarity.hyperplanes(8, 64), 0.35)
+          .select(col("id_a"), col("id_b")).withColumn("ef", lit(1L))
+        tp.join(ep, Seq("id_a", "id_b"), "full_outer")
+          .select(when(col("tf").isNotNull && col("ef").isNotNull, "both")
+            .when(col("tf").isNotNull, "text_only")
+            .otherwise("embedding_only").as("modality"))
+          .groupBy(col("modality")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("modality"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH ${OpsQueries.minhashCtes},
+           |tpr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |bk AS (
+           | SELECT vec_id, embedding,
+           |  sum(CASE WHEN (${OpsQueries.dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |epr AS (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b
+           | FROM bk x JOIN bk y ON x.bucket = y.bucket
+           | WHERE x.vec_id < y.vec_id
+           |  AND round(${OpsQueries.cosSql("x.embedding", "y.embedding")}, 6)
+           |      >= 0.35),
+           |ag AS (
+           | SELECT CASE
+           |   WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+           |   WHEN t.id_a IS NOT NULL THEN 'text_only'
+           |   ELSE 'embedding_only' END AS modality
+           | FROM tpr t FULL OUTER JOIN epr e
+           |  ON t.id_a = e.id_a AND t.id_b = e.id_b)
+           |SELECT modality, count(*) AS n_pairs FROM ag
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // incremental clustering gate: absorb the new batch (doc_id >=
+    // 250) into yesterday's clusters by contracting old components to
+    // supernodes and running CC over NEW edges only. The oracle is
+    // the from-scratch recursive transitive closure over ALL pairs —
+    // a hash match proves incremental == full reclustering.
+    "q122_incremental_cc" -> Q(
+      (s, dir) => Dedup.incrementalClusters(t(s, dir, "documents"),
+        "doc_id", "text", splitId = 250L,
+        n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+           |SELECT a AS doc_id, min(b) AS cluster FROM reach
+           |GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // bigram-surprisal quality score: dense rank of each bigram
+    // within its prefix-token group (most common continuation = 1),
+    // doc score = mean occurrence rank x100. The rank window is
+    // per-prefix — parallel across the vocabulary, no global sort.
+    "q123_bigram_surprise" -> Q(
+      (s, dir) => TextOps.bigramSurprise(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tok AS (
+           | SELECT doc_id AS id, ${OpsQueries.toksSql} AS t FROM documents),
+           |bgt AS (
+           | SELECT id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |   i -> t[i] || ' ' || t[i+1])) AS bg FROM tok),
+           |c AS (SELECT bg, count(*) AS cnt FROM bgt GROUP BY 1),
+           |r AS (SELECT bg, dense_rank() OVER (
+           |  PARTITION BY string_split(bg, ' ')[1]
+           |  ORDER BY cnt DESC, bg) AS rank FROM c)
+           |SELECT id AS doc_id, count(*) AS n_bigrams,
+           | CAST(sum(rank) AS BIGINT) AS surprise_sum,
+           | CAST(sum(rank) * 100 // count(*) AS BIGINT) AS surprise_x100
+           |FROM bgt JOIN r USING (bg)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // dedup ROI report: per cluster-size bucket, how many clusters,
+    // how many docs a keep-canonical policy removes, and how many
+    // tokens that saves — the number that justifies (or kills) a
+    // dedup stage at corpus scale.
+    "q124_dedup_roi" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lab = Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        val tk = docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        val cl = lab.join(tk, Seq("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("csize"), sum(col("tk")).as("tot"),
+            sum(when(col("is_canonical"), col("tk")).otherwise(0L)).as("kept"))
+        cl.groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("tot") - col("kept")).as("tokens_saved"))
+          .select(col("csize"), col("n_clusters"),
+            ((col("csize") - 1) * col("n_clusters")).as("docs_removed"),
+            col("tokens_saved"))
+          .orderBy(col("csize"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |tk AS (
+           | SELECT doc_id, CAST(len(${OpsQueries.toksSql}) AS BIGINT) AS tk
+           | FROM documents),
+           |cl AS (
+           | SELECT cluster, count(*) AS csize, sum(tk) AS tot,
+           |  sum(CASE WHEN doc_id = cluster THEN tk ELSE 0 END) AS kept
+           | FROM comp JOIN tk USING (doc_id) GROUP BY 1)
+           |SELECT csize, count(*) AS n_clusters,
+           | CAST((csize - 1) * count(*) AS BIGINT) AS docs_removed,
+           | CAST(sum(tot - kept) AS BIGINT) AS tokens_saved
+           |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // dup x quality contingency: are near-dup cluster members
+    // disproportionately low-quality? Counts over the 2x2 of
+    // (in a multi-doc cluster) x (below the q21 quality bar) —
+    // the interaction that decides stage ORDER in a curation funnel
+    // (dedup-then-filter vs filter-then-dedup).
+    "q126_dup_quality" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lab = Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        val csize = lab.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        val q = docs.select(col("doc_id"),
+          TextOps.qualitySignals(col("text")).as("q"))
+          .select(col("doc_id"),
+            (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+              when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"))
+        lab.join(csize, Seq("cluster")).join(q, Seq("doc_id"))
+          .select((col("csize") > 1).cast("long").as("in_dup_cluster"),
+            (col("score") < 20).cast("long").as("low_quality"))
+          .groupBy(col("in_dup_cluster"), col("low_quality"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("in_dup_cluster"), col("low_quality"))
+      },
+      Some {
+        val ts = OpsQueries.toksSql
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |cs AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+           |qs AS (
+           | SELECT doc_id,
+           |  len(list_distinct($ts)) * 2 +
+           |  len(list_intersect(list_distinct($ts),
+           |   ['the','a','of','and','to','in','is'])) * 3 -
+           |  CASE WHEN list_aggregate(list_transform($ts, t -> length(t)),
+           |   'max') > 12 THEN 5 ELSE 0 END AS score
+           | FROM documents),
+           |j AS (
+           | SELECT CAST(csize > 1 AS BIGINT) AS in_dup_cluster,
+           |  CAST(score < 20 AS BIGINT) AS low_quality
+           | FROM comp JOIN cs USING (cluster) JOIN qs USING (doc_id))
+           |SELECT in_dup_cluster, low_quality, count(*) AS n_docs
+           |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      })
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

@@ -264,6 +264,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("cont_a") < 300L)   // asymmetry: A mostly not in B
   }
 
+  test("incremental clustering equals from-scratch clustering across the split") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content with nothing shared at all here now"
+    val docs = Seq(
+      (0L, dup), (1L, dup), (2L, "unique old text that matches nothing else ok"),
+      (300L, dup), (301L, other), (302L, other)
+    ).toDF("doc_id", "text")
+    val inc = Dedup.incrementalClusters(docs, "doc_id", "text", splitId = 250L,
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Scratch.release()
+    val full = Dedup.dedupClusters(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .select(col("doc_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.Scratch.release()
+    assert(inc == full)
+    // the new doc 300 joined the OLD cluster {0,1}; 301/302 formed a
+    // purely-new cluster; 2 stayed a singleton
+    assert(inc == Set((0L, 0L), (1L, 0L), (2L, 2L), (300L, 0L),
+      (301L, 301L), (302L, 301L)))
+  }
+
   test("match distribution: scale pinned by scarcest class, no upsampling") {
     val docs = ((0L until 8L).map(i => (i, "a")) ++
       (8L until 10L).map(i => (i, "b"))).toDF("doc_id", "cls")
