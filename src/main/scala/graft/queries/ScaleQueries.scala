@@ -855,7 +855,7 @@ object ScaleQueries {
     // (in a multi-doc cluster) x (below the q21 quality bar) —
     // the interaction that decides stage ORDER in a curation funnel
     // (dedup-then-filter vs filter-then-dedup).
-    "q126_dup_quality" -> Q(
+    "q125_dup_quality" -> Q(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val lab = Dedup.dedupClusters(docs, "doc_id", "text",
