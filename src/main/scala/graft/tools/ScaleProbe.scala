@@ -96,6 +96,19 @@ object ScaleProbe {
               .otherwise(lit("unchanged")).as("status"))
           .groupBy(col("source"), col("status")).agg(count(lit(1)).as("n"))
       }
+      // round-5 linear ops: per-doc outputs (pair emitters excluded —
+      // replication makes their OUTPUT quadratic by construction)
+      time("boilerplate", k)(TextOps.boilerplateStats(
+        docs, "doc_id", "text", segLen = 8, maxDocs = 2))
+      time("winnow_fps", k)(TextOps.winnowFingerprints(
+        docs, "doc_id", "text")
+        .groupBy(col("fp")).agg(count(lit(1)).as("df")))
+      time("token_rarity", k)(TextOps.tokenRarity(docs, "doc_id", "text"))
+      time("bigram_surprise", k)(TextOps.bigramSurprise(docs, "doc_id", "text"))
+      time("match_dist", k)(TextOps.matchDistribution(docs, "doc_id", "lang",
+        Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15), "sp"))
+      time("source_overlap", k)(Dedup.sourceOverlap(docs, "source", "text"))
+      graft.Scratch.release()
       docs.unpersist()
     }
     // embedding-side linear ops (q100 shape): replicate the vector

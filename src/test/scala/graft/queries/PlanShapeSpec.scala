@@ -259,4 +259,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("InMemoryTableScan")) // keyed table cached for both sides
   }
+
+  test("winnow pairs: fused kernel, inverted-index equi-join, no cross") {
+    val p = plan("q115_winnow_pairs")
+    assert(p.contains("winnow(")) // the one-pass fingerprint kernel
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("containment: merge-scan verify kernel over prefix-filtered index") {
+    val p = plan("q117_containment")
+    assert(p.contains("sorted_intersect_count")) // not generic array_intersect
+    assert(p.contains("hashed_shingles")) // fused sketch kernel
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("boilerplate: scan prunes to id+text, hash aggregation") {
+    val p = plan("q114_boilerplate")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("triangles and k-core: equi-joins only on the edge tables") {
+    Seq("q113_triangles", "q116_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
 }
