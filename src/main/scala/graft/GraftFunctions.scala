@@ -3,12 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 import graft.ops.{CosineSimExpr, FingerprintExpr, HammingExpr,
   HashedShinglesExpr, LangPredictExpr, MinHashSignatureExpr, NgramsExpr,
   QualitySignalsExpr, RepetitionStatsExpr, RollingHashExpr, SimHash120Expr,
-  SimHash60Expr, TextOps, TokenCountExpr}
+  SimHash60Expr, SortedIntersectCountExpr, TextOps, TokenCountExpr,
+  WinnowExpr}
 import graft.parse.LexSlowQuery
 
 /** SQL-surface registration of graft's custom expressions, so
@@ -47,6 +48,11 @@ object GraftFunctions {
     // byte-wise Hamming distance of two strings (fuzzy-linkage verify)
     "hamming_dist" -> (args => HammingExpr(
       Cast(args(0), StringType), Cast(args(1), StringType))),
+    // winnowing fingerprint set, library defaults n=4 w=5 (q115)
+    "winnow" -> (args => WinnowExpr(Cast(args(0), StringType), 4, 5)),
+    // distinct-match count of two SORTED long arrays (q117 verify)
+    "sorted_intersect_count" -> (args => SortedIntersectCountExpr(
+      Cast(args(0), ArrayType(LongType)), Cast(args(1), ArrayType(LongType)))),
     // aggregate: k must be a foldable literal. The ord/payload casts
     // mirror the Scala wrapper (TopKAgg.topKBy): TopKByAgg.update
     // reads Long/UTF8String directly, so an uncast INT ord or

@@ -95,6 +95,19 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 1L) // non-string args cast, not ClassCast
   }
 
+  test("winnow and sorted_intersect_count SQL surfaces") {
+    val r = spark.sql(
+      """SELECT size(winnow('a b c d e f g h i j k l')) AS nf,
+        |       sorted_intersect_count(array(1L, 3L, 5L, 7L),
+        |                              array(3L, 4L, 5L, 9L)) AS ic,
+        |       sorted_intersect_count(array(1, 2, 3),
+        |                              array(2, 3, 4)) AS ic_cast
+        |""".stripMargin).head()
+    assert(r.getInt(0) > 0)       // 12 tokens >= n+w-1=8 -> fingerprints
+    assert(r.getInt(1) == 2)      // {3,5}
+    assert(r.getInt(2) == 2)      // int arrays cast to long, not ClassCast
+  }
+
   test("corrupt-record side channel returns the broken documents") {
     val dir = java.nio.file.Files.createTempDirectory("pages")
     java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {{{")
