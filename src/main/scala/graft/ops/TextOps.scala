@@ -529,6 +529,33 @@ object TextOps {
         floor(col("rank_sum") / col("n_tokens")).cast("long").as("rarity"))
   }
 
+  /** Deterministic weighted reservoir: exactly `k` rows per stratum,
+    * chosen by ascending integer priority hash * 1e6 DIV weight —
+    * the fixed-point analog of A-Res (Efraimidis/Spirakis) weighted
+    * sampling without replacement: doubling a row's weight halves
+    * its priority, so heavy rows win slots proportionally more
+    * often, yet the draw is a pure function of (id, salt) — stable
+    * across runs, engines, and partitionings, unlike rand()-based
+    * reservoirs. All arithmetic is integer (DIV), never a
+    * double-rounded quotient that could flap a cross-engine hash.
+    *
+    * Scale posture: one windowed pass; the rank<=k filter plans as
+    * WindowGroupLimit, so each map task forwards at most k rows per
+    * stratum to the shuffle — the reservoir property itself.
+    */
+  def weightedReservoir(docs: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, k: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("pri"), col(idCol))
+    docs.select(col(stratumCol).as("stratum"), col(idCol),
+      hash32(concat(col(idCol).cast("string"), lit("_" + salt))).as("h"),
+      weight.cast("long").as("wt"))
+      .withColumn("pri", expr("(h * 1000000) DIV wt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("stratum"), col("rn"), col(idCol), col("pri"))
+  }
+
   /** Per-document bigram surprisal: rank each bigram WITHIN its
     * prefix-token group by corpus frequency (dense rank, most common
     * continuation = 1), then score a doc as the mean rank of its

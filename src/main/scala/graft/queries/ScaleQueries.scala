@@ -901,7 +901,27 @@ object ScaleQueries {
            | FROM comp JOIN cs USING (cluster) JOIN qs USING (doc_id))
            |SELECT in_dup_cluster, low_quality, count(*) AS n_docs
            |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // deterministic weighted reservoir: exactly 20 docs per lang by
+    // ascending hash*1e6 DIV n_chars priority (fixed-point A-Res —
+    // longer docs proportionally likelier), engine- and run-stable.
+    "q126_weighted_reservoir" -> Q(
+      (s, dir) => TextOps.weightedReservoir(t(s, dir, "documents"),
+        "doc_id", "lang", col("n_chars"), k = 20, salt = "rsv1")
+        .orderBy(col("stratum"), col("rn")),
+      Some(
+        """WITH k AS (
+          | SELECT lang AS stratum, doc_id, n_chars,
+          |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rsv1'), 1, 8))::BIGINT
+          |   * 1000000) // n_chars AS pri
+          | FROM documents),
+          |r AS (
+          | SELECT stratum, doc_id, pri, row_number() OVER (
+          |  PARTITION BY stratum ORDER BY pri, doc_id) AS rn
+          | FROM k)
+          |SELECT stratum, rn, doc_id, pri FROM r WHERE rn <= 20
+          |ORDER BY stratum, rn""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

@@ -302,6 +302,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept("a") <= 8L)      // bucket rule; exact count is hash-defined
   }
 
+  test("weighted reservoir: exact k per stratum, heavy row always wins a slot") {
+    val docs = (0L until 30L).map(i =>
+      (i, "a", if (i == 17L) 1000000L else 1L)).toDF("doc_id", "cls", "w")
+    val out = TextOps.weightedReservoir(docs, "doc_id", "cls",
+      col("w"), k = 5, salt = "t").orderBy(col("rn")).collect()
+    assert(out.length == 5)
+    // pri(17) = hash * 1e6 / 1e6 = hash < any hash * 1e6 -> rank 1
+    assert(out.head.getLong(2) == 17L)
+    // priorities ascend with rank
+    val pris = out.map(_.getLong(3))
+    assert(pris.sameElements(pris.sorted))
+  }
+
   test("token rarity: mean dense frequency rank per occurrence") {
     val docs = Seq((0L, "x x x y"), (1L, "z")).toDF("doc_id", "text")
     val out = TextOps.tokenRarity(docs, "doc_id", "text")

@@ -283,6 +283,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("weighted reservoir plans as WindowGroupLimit (<= k rows/stratum shuffle)") {
+    val p = plan("q126_weighted_reservoir")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("triangles and k-core: equi-joins only on the edge tables") {
     Seq("q113_triangles", "q116_kcore").foreach { q =>
       val p = plan(q)
