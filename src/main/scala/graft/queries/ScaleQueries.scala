@@ -497,7 +497,7 @@ object ScaleQueries {
            |wd AS (
            | SELECT id_a, id_b, da.deg AS da, db.deg AS db FROM pr
            | JOIN d da ON da.node = id_a JOIN d db ON db.node = id_b),
-           |o AS (
+           |o AS MATERIALIZED (
            | SELECT
            |  CASE WHEN row(da, id_a) < row(db, id_b)
            |       THEN id_a ELSE id_b END AS u,
@@ -571,26 +571,26 @@ object ScaleQueries {
         .orderBy(col("node")),
       Some(
         s"""WITH $winnowCtes,
-           |e0 AS (
+           |e0 AS MATERIALIZED (
            | SELECT a.doc_id AS id_a, b.doc_id AS id_b
            | FROM fpc a JOIN fpc b USING (fp) WHERE a.doc_id < b.doc_id
            | GROUP BY 1, 2 HAVING count(*) >= 5),
-           |d0 AS (SELECT u AS node, count(*) AS deg FROM (
+           |d0 AS MATERIALIZED (SELECT u AS node, count(*) AS deg FROM (
            |  SELECT id_a AS u FROM e0 UNION ALL SELECT id_b FROM e0) GROUP BY 1),
-           |s0 AS (SELECT node FROM d0 WHERE deg >= 2),
-           |e1 AS (SELECT id_a, id_b FROM e0
+           |s0 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= 2),
+           |e1 AS MATERIALIZED (SELECT id_a, id_b FROM e0
            |  JOIN s0 a ON a.node = id_a JOIN s0 b ON b.node = id_b),
-           |d1 AS (SELECT u AS node, count(*) AS deg FROM (
+           |d1 AS MATERIALIZED (SELECT u AS node, count(*) AS deg FROM (
            |  SELECT id_a AS u FROM e1 UNION ALL SELECT id_b FROM e1) GROUP BY 1),
-           |s1 AS (SELECT node FROM d1 WHERE deg >= 2),
-           |e2 AS (SELECT id_a, id_b FROM e1
+           |s1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 2),
+           |e2 AS MATERIALIZED (SELECT id_a, id_b FROM e1
            |  JOIN s1 a ON a.node = id_a JOIN s1 b ON b.node = id_b),
-           |d2 AS (SELECT u AS node, count(*) AS deg FROM (
+           |d2 AS MATERIALIZED (SELECT u AS node, count(*) AS deg FROM (
            |  SELECT id_a AS u FROM e2 UNION ALL SELECT id_b FROM e2) GROUP BY 1),
-           |s2 AS (SELECT node FROM d2 WHERE deg >= 2),
-           |e3 AS (SELECT id_a, id_b FROM e2
+           |s2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 2),
+           |e3 AS MATERIALIZED (SELECT id_a, id_b FROM e2
            |  JOIN s2 a ON a.node = id_a JOIN s2 b ON b.node = id_b),
-           |d3 AS (SELECT u AS node, count(*) AS deg FROM (
+           |d3 AS MATERIALIZED (SELECT u AS node, count(*) AS deg FROM (
            |  SELECT id_a AS u FROM e3 UNION ALL SELECT id_b FROM e3) GROUP BY 1)
            |SELECT d0.node, d0.deg AS deg0,
            | COALESCE(d3.deg, 0) AS deg,
@@ -944,7 +944,7 @@ object ScaleQueries {
       |  count(*) OVER (PARTITION BY doc_id ORDER BY pos
       |               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS cnt
       | FROM ng),
-      |fp AS (SELECT DISTINCT doc_id, m AS fp FROM w WHERE cnt = 5),
-      |capped AS (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 20),
-      |fpc AS (SELECT doc_id, fp FROM fp JOIN capped USING (fp))""".stripMargin
+      |fp AS MATERIALIZED (SELECT DISTINCT doc_id, m AS fp FROM w WHERE cnt = 5),
+      |capped AS MATERIALIZED (SELECT fp FROM fp GROUP BY 1 HAVING count(*) <= 20),
+      |fpc AS MATERIALIZED (SELECT doc_id, fp FROM fp JOIN capped USING (fp))""".stripMargin
 }
