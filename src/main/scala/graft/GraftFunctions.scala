@@ -59,7 +59,11 @@ object GraftFunctions {
     // non-string payload from SQL would ClassCastException at runtime.
     "topk_by" -> (args => graft.ops.TopKByAgg(
       Cast(args(0), LongType), Cast(args(1), StringType),
-      args(2).eval().asInstanceOf[Number].intValue())))
+      args(2).eval().asInstanceOf[Number].intValue())),
+    // aggregate: Misra-Gries candidate keys, k must be foldable
+    "misra_gries" -> (args => graft.ops.MisraGriesAgg(
+      Cast(args(0), StringType),
+      args(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): SparkSession = {
     functions.foreach { case (name, builder) =>

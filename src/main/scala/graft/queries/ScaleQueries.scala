@@ -921,7 +921,37 @@ object ScaleQueries {
           |  PARTITION BY stratum ORDER BY pri, doc_id) AS rn
           | FROM k)
           |SELECT stratum, rn, doc_id, pri FROM r WHERE rn <= 20
-          |ORDER BY stratum, rn""".stripMargin))
+          |ORDER BY stratum, rn""".stripMargin)),
+
+    // Misra-Gries heavy hitters through the mergeable sketch UDAF:
+    // 16 counters against a synthesized 2-hot/5000-cold key column
+    // (the corpus itself is deliberately uniform — q62's synthesis
+    // precedent), then exact re-count of the <= 16 candidates and the
+    // strict n/(k+1) cut. The oracle brute-forces the true heavy
+    // set, so the hash match proves the sketch lost no heavy hitter
+    // under merge — the q58 recall-oracle pattern.
+    "q127_heavy_hitters" -> Q(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          when(col("event_id") % 3 === 0,
+            concat(lit("hot_"), (col("event_id") % 2).cast("string")))
+            .otherwise(
+              concat(lit("cold_"), (col("event_id") % 5000).cast("string")))
+            .as("key"))
+        graft.ops.HeavyHitters.heavyHitters(ev, "key", k = 16)
+          .orderBy(col("key"))
+      },
+      Some(
+        """WITH kv AS (
+          | SELECT CASE WHEN event_id % 3 = 0
+          |   THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+          |   ELSE 'cold_' || CAST(event_id % 5000 AS VARCHAR) END AS key
+          | FROM events),
+          |nt AS (SELECT count(*) AS n FROM kv),
+          |c AS (SELECT key, count(*) AS cnt FROM kv GROUP BY 1)
+          |SELECT key, cnt, n AS n_rows,
+          | CAST(cnt * 1000 // n AS BIGINT) AS share_permille
+          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

@@ -108,6 +108,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2)      // int arrays cast to long, not ClassCast
   }
 
+  test("misra_gries aggregate is callable from SQL and keeps the hot key") {
+    spark.range(100).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'hot' ELSE 'c' || id END AS k")
+      .createOrReplaceTempView("mg_in")
+    val cand = spark.sql("SELECT misra_gries(k, 4) AS c FROM mg_in")
+      .head().getSeq[String](0)
+    assert(cand.contains("hot")) // freq n/2 > n/5 -> guaranteed present
+    assert(cand.size <= 4)
+  }
+
   test("corrupt-record side channel returns the broken documents") {
     val dir = java.nio.file.Files.createTempDirectory("pages")
     java.nio.file.Files.writeString(dir.resolve("bad.json"), "not json {{{")

@@ -302,6 +302,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept("a") <= 8L)      // bucket rule; exact count is hash-defined
   }
 
+  test("misra-gries: heavy keys survive any partitioning; exact verify is stable") {
+    // 2 hot keys (1/4 of mass each) among 2000 cold singletons; k=8
+    // counters guarantee catching freq > n/9
+    val rows = (0L until 4000L).map { i =>
+      if (i % 4 == 0) "hotA" else if (i % 4 == 1) "hotB" else s"cold_$i"
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("key").repartition(parts)
+      val out = HeavyHitters.heavyHitters(df, "key", k = 8)
+        .orderBy(col("key")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out == Seq(("hotA", 1000L), ("hotB", 1000L)), s"parts=$parts")
+    }
+  }
+
   test("weighted reservoir: exact k per stratum, heavy row always wins a slot") {
     val docs = (0L until 30L).map(i =>
       (i, "a", if (i == 17L) 1000000L else 1L)).toDF("doc_id", "cls", "w")
