@@ -951,7 +951,66 @@ object ScaleQueries {
           |c AS (SELECT key, count(*) AS cnt FROM kv GROUP BY 1)
           |SELECT key, cnt, n AS n_rows,
           | CAST(cnt * 1000 // n AS BIGINT) AS share_permille
-          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin))
+          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin)),
+
+    // conversion-window funnel: each stage must fire within 6h of the
+    // previous stage's first-touch (q90 is the unwindowed chain);
+    // reports users converting per stage and the summed conversion
+    // delay in exact integer micros. Each stage is one equi-join on
+    // user plus a min-aggregate — no window function, no self-join
+    // fan-out; stage tables shrink monotonically.
+    "q128_funnel_windowed" -> Q(
+      (s, dir) => {
+        val D = 21600000000L // 6h in micros
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_type"), expr("ts DIV 1000").as("tsu"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("tsu") > col("t1") && col("tsu") <= col("t1") + D)
+          .groupBy(col("user_id"))
+          .agg(min(col("tsu")).as("t2"), min(col("t1")).as("t1"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2.select(col("user_id"), col("t2")), Seq("user_id"))
+          .filter(col("tsu") > col("t2") && col("tsu") <= col("t2") + D)
+          .groupBy(col("user_id"))
+          .agg(min(col("tsu")).as("t3"), min(col("t2")).as("t2"))
+        s1.agg(count(lit(1)).as("n_users"))
+          .select(lit("1_signup").as("stage"), col("n_users"),
+            lit(0L).as("sum_delay_us"))
+          .unionAll(s2.agg(count(lit(1)).as("n_users"),
+            sum(col("t2") - col("t1")).as("sum_delay_us"))
+            .select(lit("2_click_6h").as("stage"), col("n_users"),
+              col("sum_delay_us")))
+          .unionAll(s3.agg(count(lit(1)).as("n_users"),
+            sum(col("t3") - col("t2")).as("sum_delay_us"))
+            .select(lit("3_purchase_6h").as("stage"), col("n_users"),
+              col("sum_delay_us")))
+          .orderBy(col("stage"))
+      },
+      Some(
+        """WITH ev AS (
+          | SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu FROM events),
+          |s1 AS (SELECT user_id, min(tsu) AS t1 FROM ev
+          |       WHERE event_type = 'signup' GROUP BY 1),
+          |s2 AS (SELECT ev.user_id, min(tsu) AS t2, min(t1) AS t1 FROM ev
+          |       JOIN s1 USING (user_id)
+          |       WHERE event_type = 'click'
+          |        AND tsu > t1 AND tsu <= t1 + 21600000000
+          |       GROUP BY 1),
+          |s3 AS (SELECT ev.user_id, min(tsu) AS t3, min(t2) AS t2 FROM ev
+          |       JOIN s2 USING (user_id)
+          |       WHERE event_type = 'purchase'
+          |        AND tsu > t2 AND tsu <= t2 + 21600000000
+          |       GROUP BY 1)
+          |SELECT '1_signup' AS stage, count(*) AS n_users,
+          | CAST(0 AS BIGINT) AS sum_delay_us FROM s1
+          |UNION ALL
+          |SELECT '2_click_6h', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM s2
+          |UNION ALL
+          |SELECT '3_purchase_6h', count(*), CAST(sum(t3 - t2) AS BIGINT) FROM s3
+          |ORDER BY stage""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table
