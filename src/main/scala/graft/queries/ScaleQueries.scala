@@ -1010,7 +1010,48 @@ object ScaleQueries {
           |SELECT '2_click_6h', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM s2
           |UNION ALL
           |SELECT '3_purchase_6h', count(*), CAST(sum(t3 - t2) AS BIGINT) FROM s3
-          |ORDER BY stage""".stripMargin))
+          |ORDER BY stage""".stripMargin)),
+
+    // event-transition matrix (first-order Markov counts): per-user
+    // lag window ordered by (ts, event_id) — the unique id breaks
+    // timestamp ties identically in both engines — then global
+    // (prev, next) counts with integer row-normalized permille.
+    // Scale: the window partitions by user (parallel), the matrix is
+    // |event_types|^2-sized.
+    "q129_transitions" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+        val tr = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts DIV 1000").as("tsu"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+        val c = tr.groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = c.groupBy(col("prev")).agg(sum(col("cnt")).as("row_total"))
+        c.join(tot, Seq("prev"))
+          .select(col("prev"), col("next"), col("cnt"),
+            (col("cnt") * 1000 / col("row_total")).cast("long")
+              .as("p_permille"))
+          .orderBy(col("prev"), col("next"))
+      },
+      Some(
+        """WITH ev AS (
+          | SELECT user_id, event_id, event_type,
+          |  epoch_ns(ts) // 1000 AS tsu FROM events),
+          |tr AS (
+          | SELECT user_id, event_type,
+          |  lag(event_type) OVER (
+          |   PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+          | FROM ev),
+          |c AS (
+          | SELECT prev, event_type AS next, count(*) AS cnt FROM tr
+          | WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT prev, sum(cnt) AS row_total FROM c GROUP BY 1)
+          |SELECT prev, next, cnt,
+          | CAST(cnt * 1000 // row_total AS BIGINT) AS p_permille
+          |FROM c JOIN tot USING (prev) ORDER BY prev, next""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table
