@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
 
 import graft.ops.{CosineSimExpr, FingerprintExpr, HammingExpr,
@@ -48,11 +48,25 @@ object GraftFunctions {
     // byte-wise Hamming distance of two strings (fuzzy-linkage verify)
     "hamming_dist" -> (args => HammingExpr(
       Cast(args(0), StringType), Cast(args(1), StringType))),
-    // winnowing fingerprint set, library defaults n=4 w=5 (q115)
-    "winnow" -> (args => WinnowExpr(Cast(args(0), StringType), 4, 5)),
-    // distinct-match count of two SORTED long arrays (q117 verify)
-    "sorted_intersect_count" -> (args => SortedIntersectCountExpr(
-      Cast(args(0), ArrayType(LongType)), Cast(args(1), ArrayType(LongType)))),
+    // winnowing fingerprint set, n=4 w=5 PINNED (extra args would
+    // otherwise be silently ignored — fail loudly instead)
+    "winnow" -> (args => {
+      require(args.length == 1,
+        "winnow(text) takes exactly 1 argument (n=4, w=5 are pinned)")
+      WinnowExpr(Cast(args(0), StringType), 4, 5)
+    }),
+    // distinct-match count of two long arrays. The SQL surface sorts
+    // both inputs (SortArray) so ad-hoc callers can't silently get an
+    // undercount from unsorted arrays; internal hot paths call the
+    // kernel directly on pre-sorted data and skip the re-sort.
+    "sorted_intersect_count" -> (args => {
+      require(args.length == 2, "sorted_intersect_count(a, b) takes 2 arrays")
+      SortedIntersectCountExpr(
+        new org.apache.spark.sql.catalyst.expressions.SortArray(
+          Cast(args(0), ArrayType(LongType)), Literal(true)),
+        new org.apache.spark.sql.catalyst.expressions.SortArray(
+          Cast(args(1), ArrayType(LongType)), Literal(true)))
+    }),
     // aggregate: k must be a foldable literal. The ord/payload casts
     // mirror the Scala wrapper (TopKAgg.topKBy): TopKByAgg.update
     // reads Long/UTF8String directly, so an uncast INT ord or
@@ -61,9 +75,12 @@ object GraftFunctions {
       Cast(args(0), LongType), Cast(args(1), StringType),
       args(2).eval().asInstanceOf[Number].intValue())),
     // aggregate: Misra-Gries candidate keys, k must be foldable
-    "misra_gries" -> (args => graft.ops.MisraGriesAgg(
-      Cast(args(0), StringType),
-      args(1).eval().asInstanceOf[Number].intValue())))
+    "misra_gries" -> (args => {
+      require(args.length == 2, "misra_gries(key, k) takes 2 arguments")
+      graft.ops.MisraGriesAgg(
+        Cast(args(0), StringType),
+        args(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   def register(spark: SparkSession): SparkSession = {
     functions.foreach { case (name, builder) =>

@@ -590,8 +590,13 @@ object Dedup {
         SketchExpressions.sortedIntersectCount(col("hs_a"), col("hs_b"))
           .as("i_cnt"),
         size(col("hs_a")).as("n_a"), size(col("hs_b")).as("n_b"))
-      .withColumn("cont_a", (col("i_cnt") * 1000 / col("n_a")).cast("long"))
-      .withColumn("cont_b", (col("i_cnt") * 1000 / col("n_b")).cast("long"))
+      // widen BEFORE the x1000: Int i_cnt * 1000 wraps negative past
+      // ~2.1M shared shingles (a multi-megatoken doc) and would
+      // silently drop a true containment pair
+      .withColumn("cont_a",
+        (col("i_cnt").cast("long") * 1000 / col("n_a")).cast("long"))
+      .withColumn("cont_b",
+        (col("i_cnt").cast("long") * 1000 / col("n_b")).cast("long"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= thrPermille)
   }
 

@@ -479,27 +479,33 @@ object TextOps {
     require(target.map(_._2).sum == 100, "target percents must sum to 100")
     val spark = docs.sparkSession
     val tgt = spark.createDataFrame(target).toDF("cls", "tgt")
-    val obs = docs.groupBy(col(classCol).as("cls"))
-      .agg(count(lit(1)).as("obs"))
-      .join(tgt, Seq("cls"))
+    // LEFT join from the TARGET side: a target class with zero
+    // observed docs pins the achievable scale to ZERO (the mix is
+    // unreachable without upsampling) instead of silently dropping
+    // out of the min. All derivations are integer DIV — a double
+    // quotient would lose ulps past 2^53 (billion-doc classes) and
+    // drift from the oracle's exact `//`.
+    val obs = tgt.join(
+      docs.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nobs")),
+      Seq("cls"), "left")
+      .select(col("cls"), col("tgt"), coalesce(col("nobs"), lit(0L)).as("obs"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val rates = obs
-      .withColumn("scale1e6",
-        min(floor(col("obs") * 1000000L / col("tgt")).cast("long")).over(wAll))
-      .withColumn("final_n",
-        floor(col("scale1e6") * col("tgt") / 1000000L).cast("long"))
+      .withColumn("scale1e6", min(expr("(obs * 1000000) DIV tgt")).over(wAll))
+      .withColumn("final_n", expr("(scale1e6 * tgt) DIV 1000000"))
       .withColumn("permille",
-        floor(col("final_n") * 1000 / col("obs")).cast("long"))
+        when(col("obs") > 0, expr("(final_n * 1000) DIV obs")).otherwise(0L))
       .select(col("cls"), col("obs"), col("tgt").cast("long").as("tgt"),
         col("permille"))
     val bucket = pmod(
       hash32(concat(col(idCol).cast("string"), lit("_" + salt))), lit(1000))
-    docs.select(col(classCol).as("cls"), col(idCol))
-      .join(rates, Seq("cls"))
+    val kept = docs.select(col(classCol).as("cls"), col(idCol))
+      .join(rates.select(col("cls"), col("permille")), Seq("cls"))
       .groupBy(col("cls"))
-      .agg(first(col("obs")).as("obs"), first(col("tgt")).as("tgt"),
-        first(col("permille")).as("permille"),
-        sum(when(bucket < col("permille"), 1L).otherwise(0L)).as("kept"))
+      .agg(sum(when(bucket < col("permille"), 1L).otherwise(0L)).as("nkept"))
+    rates.join(kept, Seq("cls"), "left")
+      .select(col("cls"), col("obs"), col("tgt"), col("permille"),
+        coalesce(col("nkept"), lit(0L)).as("kept"))
   }
 
   /** Per-document token-rarity score: rank every vocabulary token by
@@ -550,6 +556,10 @@ object TextOps {
     docs.select(col(stratumCol).as("stratum"), col(idCol),
       hash32(concat(col(idCol).cast("string"), lit("_" + salt))).as("h"),
       weight.cast("long").as("wt"))
+      // zero/negative/null weight = zero selection probability: such
+      // rows are EXCLUDED, not given the NULL-sorts-first jackpot a
+      // naive DIV would hand them (and the oracle's `//` would error)
+      .filter(col("wt") > 0)
       .withColumn("pri", expr("(h * 1000000) DIV wt"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

@@ -643,22 +643,28 @@ object ScaleQueries {
       Some(
         """WITH tgt(cls, tgt) AS (
           |  VALUES ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15)),
-          |obs AS (SELECT lang AS cls, count(*) AS obs FROM documents GROUP BY 1),
-          |j AS (SELECT cls, obs, tgt FROM obs JOIN tgt USING (cls)),
+          |obsc AS (SELECT lang AS cls, count(*) AS nobs FROM documents GROUP BY 1),
+          |j AS (
+          | SELECT cls, tgt, COALESCE(nobs, 0) AS obs
+          | FROM tgt LEFT JOIN obsc USING (cls)),
           |sc AS (SELECT min(obs * 1000000 // tgt) AS scale1e6 FROM j),
           |r AS (
           | SELECT cls, obs, CAST(tgt AS BIGINT) AS tgt,
-          |  (scale1e6 * tgt // 1000000) * 1000 // obs AS permille
+          |  CASE WHEN obs > 0
+          |   THEN (scale1e6 * tgt // 1000000) * 1000 // obs
+          |   ELSE 0 END AS permille
           | FROM j, sc),
           |k AS (
           | SELECT lang AS cls,
           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_mix1'), 1, 8))::BIGINT
           |    % 1000 AS bucket
-          | FROM documents)
+          | FROM documents),
+          |kc AS (
+          | SELECT cls, count(*) FILTER (WHERE bucket < permille) AS nkept
+          | FROM k JOIN r USING (cls) GROUP BY 1)
           |SELECT cls, obs, tgt, CAST(permille AS BIGINT) AS permille,
-          | CAST(count(*) FILTER (WHERE bucket < permille) AS BIGINT) AS kept
-          |FROM k JOIN r USING (cls)
-          |GROUP BY cls, obs, tgt, permille ORDER BY cls""".stripMargin)),
+          | CAST(COALESCE(nkept, 0) AS BIGINT) AS kept
+          |FROM r LEFT JOIN kc USING (cls) ORDER BY cls""".stripMargin)),
 
     // corpus-relative token-rarity score: dense frequency rank of the
     // vocabulary, mean rank per doc occurrence (integer floor) — the
@@ -915,7 +921,7 @@ object ScaleQueries {
           | SELECT lang AS stratum, doc_id, n_chars,
           |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rsv1'), 1, 8))::BIGINT
           |   * 1000000) // n_chars AS pri
-          | FROM documents),
+          | FROM documents WHERE n_chars > 0),
           |r AS (
           | SELECT stratum, doc_id, pri, row_number() OVER (
           |  PARTITION BY stratum ORDER BY pri, doc_id) AS rn

@@ -106,6 +106,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(0) > 0)       // 12 tokens >= n+w-1=8 -> fingerprints
     assert(r.getInt(1) == 2)      // {3,5}
     assert(r.getInt(2) == 2)      // int arrays cast to long, not ClassCast
+    // the SQL surface re-sorts: unsorted input cannot undercount
+    val u = spark.sql(
+      "SELECT sorted_intersect_count(array(3L, 1L), array(1L, 3L)) AS c")
+      .head().getInt(0)
+    assert(u == 2)
   }
 
   test("misra_gries aggregate is callable from SQL and keeps the hot key") {

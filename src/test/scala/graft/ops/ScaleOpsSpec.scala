@@ -331,6 +331,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pris.sameElements(pris.sorted))
   }
 
+  test("match distribution: a target class with zero docs pins scale to zero") {
+    val docs = ((0L until 8L).map(i => (i, "a"))).toDF("doc_id", "cls")
+    val out = TextOps.matchDistribution(docs, "doc_id", "cls",
+      Seq("a" -> 50, "b" -> 50), salt = "t")
+      .orderBy(col("cls")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // class b is unobserved: the mix is unreachable, so EVERY class
+    // keeps zero (scale = 0) and b still appears on the scoreboard
+    assert(out.toSeq == Seq(("a", 8L, 0L, 0L), ("b", 0L, 0L, 0L)))
+  }
+
+  test("weighted reservoir: non-positive weights are excluded, not promoted") {
+    val docs = Seq((0L, "a", 5L), (1L, "a", 0L), (2L, "a", -3L), (3L, "a", 7L))
+      .toDF("doc_id", "cls", "w")
+    val out = TextOps.weightedReservoir(docs, "doc_id", "cls",
+      col("w"), k = 10, salt = "t").collect().map(_.getLong(2)).toSet
+    assert(out == Set(0L, 3L)) // zero/negative weight never wins a slot
+  }
+
   test("token rarity: mean dense frequency rank per occurrence") {
     val docs = Seq((0L, "x x x y"), (1L, "z")).toDF("doc_id", "text")
     val out = TextOps.tokenRarity(docs, "doc_id", "text")
