@@ -1057,7 +1057,61 @@ object ScaleQueries {
           |tot AS (SELECT prev, sum(cnt) AS row_total FROM c GROUP BY 1)
           |SELECT prev, next, cnt,
           | CAST(cnt * 1000 // row_total AS BIGINT) AS p_permille
-          |FROM c JOIN tot USING (prev) ORDER BY prev, next""".stripMargin))
+          |FROM c JOIN tot USING (prev) ORDER BY prev, next""".stripMargin)),
+
+    // STREAMING Misra-Gries: the same sketch as q127 but as a
+    // Structured-Streaming global aggregate in Complete mode — the
+    // canonical bounded-state claim for frequent items over an
+    // unbounded stream: the state store holds ONE k-counter buffer,
+    // never per-key state, while micro-batches merge in via the
+    // mergeable-summary combine. Candidates are then exact-verified
+    // against the static table exactly as in q127, so the shared
+    // brute-force oracle also proves the sketch survived micro-batch
+    // merging with zero heavy-hitter loss.
+    "q130_streaming_heavy_hitters" -> Q(
+      (s, dir) => {
+        val keyed = t(s, dir, "events").select(
+          when(col("event_id") % 3 === 0,
+            concat(lit("hot_"), (col("event_id") % 2).cast("string")))
+            .otherwise(
+              concat(lit("cold_"), (col("event_id") % 5000).cast("string")))
+            .as("key"))
+        val src = SlowLogQueries.stableStreamSrc(dir, "hh", keyed)
+        val row = SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(keyed.schema)
+            .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+            .parquet(src)
+          val qn = "graft_stream_hh_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val query = stream
+            .agg(graft.ops.HeavyHitters.candidates(col("key"), 16).as("cand"),
+              count(lit(1)).as("n"))
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+            .format("memory").queryName(qn).start()
+          try { query.processAllAvailable() } finally { query.stop() }
+          s.table(qn).head()
+        }
+        val cand = row.getSeq[String](0)
+        val n = row.getLong(1)
+        keyed.filter(col("key").isin(cand: _*))
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 17 > n)
+          .select(col("key"), col("cnt"), lit(n).as("n_rows"),
+            (col("cnt") * 1000 / n).cast("long").as("share_permille"))
+          .orderBy(col("key"))
+      },
+      Some(
+        """WITH kv AS (
+          | SELECT CASE WHEN event_id % 3 = 0
+          |   THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+          |   ELSE 'cold_' || CAST(event_id % 5000 AS VARCHAR) END AS key
+          | FROM events),
+          |nt AS (SELECT count(*) AS n FROM kv),
+          |c AS (SELECT key, count(*) AS cnt FROM kv GROUP BY 1)
+          |SELECT key, cnt, n AS n_rows,
+          | CAST(cnt * 1000 // n AS BIGINT) AS share_permille
+          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin))
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

@@ -119,7 +119,7 @@ object SlowLogQueries {
     * real cluster this is the stream job's own
     * spark.sql.shuffle.partitions, sized to state volume.
     */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  private[queries] def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val was = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n)
     try body finally s.conf.set("spark.sql.shuffle.partitions", was)
