@@ -118,6 +118,43 @@ object GraphOps {
         (coalesce(col("deg"), lit(0L)) >= k).cast("long").as("in_core"))
   }
 
+  /** Synchronous label propagation over an undirected pair table —
+    * `rounds` fixed rounds, each node adopting the MOST FREQUENT
+    * label among its neighbors (ties -> smallest label; isolated
+    * nodes cannot occur since every node comes from an edge). Unlike
+    * connected components (pure reachability), LP respects edge
+    * DENSITY: two cliques joined by one bridge edge keep separate
+    * communities — the distinction that matters when a near-dup
+    * "cluster" is really two templates glued by a chance collision.
+    *
+    * Deterministic by construction: synchronous updates + total
+    * tie-break order, so the oracle unrolls the same rounds as CTEs.
+    * Scale posture: each round is one neighbor-label count (shuffle
+    * on node) and one per-node argmax window (WindowGroupLimit
+    * shape); the edge table is lineage-cut once up front.
+    */
+  def labelPropagation(rawPairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val pairs = graft.Scratch.localCheckpoint(
+      rawPairs.select(col("id_a"), col("id_b")))
+    val sym = graft.Scratch.cache(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var lab = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+      lab = graft.Scratch.cache(cnt
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl")))
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Integer PageRank over an undirected pair table (id_a, id_b).
     * Output: (node, deg, pr_rank) per node, rank after `iters`
     * iterations in fixed-point `scale` units.

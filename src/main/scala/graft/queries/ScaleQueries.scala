@@ -1111,7 +1111,40 @@ object ScaleQueries {
           |c AS (SELECT key, count(*) AS cnt FROM kv GROUP BY 1)
           |SELECT key, cnt, n AS n_rows,
           | CAST(cnt * 1000 // n AS BIGINT) AS share_permille
-          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin))
+          |FROM c, nt WHERE cnt * 17 > n ORDER BY key""".stripMargin)),
+
+    // synchronous label-propagation communities over the near-dup
+    // graph (3 unrolled rounds, most-frequent neighbor label,
+    // smallest-label ties). The oracle replays the identical rounds
+    // as MATERIALIZED CTEs — mode + tie-break are total orders, so
+    // the hash pins every round exactly.
+    "q131_label_prop" -> Q(
+      (s, dir) => GraphOps.labelPropagation(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2), rounds = 3)
+        .orderBy(col("node")),
+      Some {
+        val round = (prev: String, cn: String, ln: String) =>
+          s"""$cn AS MATERIALIZED (
+             | SELECT s.src, l.lbl, count(*) AS c
+             | FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+             |$ln AS MATERIALIZED (
+             | SELECT src AS node, lbl FROM (
+             |  SELECT src, lbl, row_number() OVER (
+             |   PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM $cn)
+             | WHERE rn = 1)""".stripMargin
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS MATERIALIZED (
+           | SELECT id_a AS src, id_b AS dst FROM pr
+           | UNION ALL SELECT id_b, id_a FROM pr),
+           |l0 AS MATERIALIZED (
+           | SELECT DISTINCT src AS node, src AS lbl FROM sym),
+           |${round("l0", "c1", "l1")},
+           |${round("l1", "c2", "l2")},
+           |${round("l2", "c3", "l3")}
+           |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
+      })
   )
 
   /** Shared oracle CTE chain for the winnowing fingerprint table

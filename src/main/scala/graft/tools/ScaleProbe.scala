@@ -108,6 +108,13 @@ object ScaleProbe {
       time("match_dist", k)(TextOps.matchDistribution(docs, "doc_id", "lang",
         Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15), "sp"))
       time("source_overlap", k)(Dedup.sourceOverlap(docs, "source", "text"))
+      if (k > 1) { // drives its own k-sized candidate collect
+        val t0 = System.nanoTime()
+        graft.ops.HeavyHitters.heavyHitters(
+          docs.select((col("doc_id") % 97).cast("string").as("key")), "key", 16)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"[scale] ${"heavy_hitters"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
       graft.Scratch.release()
       docs.unpersist()
     }

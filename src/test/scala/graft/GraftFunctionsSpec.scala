@@ -121,6 +121,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(cand.contains("hot")) // freq n/2 > n/5 -> guaranteed present
     assert(cand.size <= 4)
+    // pinned-parameter surfaces reject extra args instead of silently
+    // ignoring them
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow('a b c', 6, 10)").head()
+    }
+    assert(e.getMessage.contains("winnow(text)"))
   }
 
   test("corrupt-record side channel returns the broken documents") {

@@ -404,6 +404,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       (2L, 3L, 2L, 1L), (3L, 1L, 0L, 0L)))
   }
 
+  test("label propagation: bridged cliques keep separate communities (CC cannot)") {
+    // K4 {0..3} and K4 {10..13} joined by one bridge 3-10: CC merges
+    // them into one component; LP keeps two density communities
+    val k4a = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val k4b = k4a.map { case (a, b) => (a + 10L, b + 10L) }
+    val g = (k4a ++ k4b :+ (3L, 10L)).toDF("id_a", "id_b")
+    val lp = GraphOps.labelPropagation(g, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Scratch.release()
+    val commA = (0L to 3L).map(lp).toSet
+    val commB = (10L to 13L).map(lp).toSet
+    assert(commA.size == 1 && commB.size == 1 && commA != commB)
+    val cc = Dedup.connectedComponents(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Scratch.release()
+    assert((0L to 3L).map(cc).toSet == (10L to 13L).map(cc).toSet) // one comp
+  }
+
   test("pagerank: regular graph is uniform and stationary") {
     // triangle: every node deg 2 — PR is exactly uniform each iteration
     val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("id_a", "id_b")
