@@ -203,4 +203,31 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
     assert(!pairs.contains((100L, 201L)),
       "late row behind the watermark must not join — state was evicted")
   }
+
+  test("streaming misra-gries keeps ONE state row regardless of key cardinality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("key")
+      .agg(graft.ops.HeavyHitters.candidates(
+        org.apache.spark.sql.functions.col("key"), 8).as("cand"))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("mg_state").start()
+    // 3 micro-batches, 3000 distinct keys + one hot key at 1/3 mass
+    (0 until 3).foreach { b =>
+      mem.addData((0 until 1000).flatMap(i =>
+        Seq("hot", s"cold_${b}_$i")))
+      q.processAllAvailable()
+    }
+    val maxState = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    val cand = spark.table("mg_state").head().getSeq[String](0)
+    q.stop()
+    // the q130 claim, measured: 6000 input rows / 3001 distinct keys
+    // -> state is the single k-counter buffer row, and the hot key
+    // (freq n/2 > n/9) survived every micro-batch merge
+    assert(maxState == 1L, s"state rows = $maxState")
+    assert(cand.contains("hot"))
+  }
 }
