@@ -288,6 +288,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("heavy hitters: sketch aggregate combines partially map-side") {
+    // q127's returned DataFrame is the exact-verify second pass (the
+    // sketch pass runs eagerly for its k-sized candidate collect), so
+    // pin the aggregate's own plan directly
+    val p = spark.range(1000)
+      .selectExpr("CAST(id % 37 AS STRING) AS key")
+      .agg(graft.ops.HeavyHitters.candidates(
+        org.apache.spark.sql.functions.col("key"), 8))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_misra_gries"))
+  }
+
+  test("label propagation's argmax filter plans as WindowGroupLimit") {
+    val p = plan("q131_label_prop")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("triangles and k-core: equi-joins only on the edge tables") {
     Seq("q113_triangles", "q116_kcore").foreach { q =>
       val p = plan(q)
