@@ -7,13 +7,19 @@ import graft.GraftSession
 import graft.ops.{BloomExpressions, Dedup, DocSim, Fuzzy, GraphOps, Layout,
   Quantize, Similarity, TextOps}
 
-/** Round-5 widening of the pipeline-operator surface: embedding
-  * quantization audit, sparse TF-IDF document-similarity join,
-  * integer PageRank over the near-dup graph, z-score volume anomaly
-  * detection, and a quantile-sketch accuracy verdict. Same oracle
-  * discipline as OpsQueries: every formula is integer-exact (or
-  * exact fixed-point from float inputs) so DuckDB reproduces the
-  * hashes bit-for-bit.
+/** Round-5 widening of the pipeline-operator surface (q100-q131):
+  * embedding quantization, TF-IDF similarity joins, graph analytics
+  * over the near-dup graph (PageRank, triangles, k-core, label
+  * propagation, incremental CC), anomaly/quantile verdicts, release
+  * diffs and layout audits, fuzzy linkage, boilerplate and winnowing
+  * fingerprints, containment detection, distribution matching,
+  * rarity/surprisal scores, source-overlap and modality-agreement
+  * matrices, weighted reservoirs, Misra-Gries heavy hitters (batch
+  * and streaming), windowed funnels, and transition matrices. Same
+  * oracle discipline as OpsQueries: every formula is integer-exact
+  * (or exact fixed-point from float inputs) so DuckDB reproduces the
+  * hashes bit-for-bit; CTEs referenced more than once per level are
+  * MATERIALIZED (DuckDB inlines per reference).
   */
 object ScaleQueries {
 
