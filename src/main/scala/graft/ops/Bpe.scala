@@ -44,15 +44,7 @@ object Bpe {
     */
   def learn(spark: SparkSession, docs: DataFrame, textCol: String,
       rounds: Int): DataFrame = {
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try learnLoop(spark, docs, textCol, rounds)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-  }
-
-  private def learnLoop(spark: SparkSession, docs: DataFrame,
-      textCol: String, rounds: Int): DataFrame = {
-    // corpus -> weighted word table (the one corpus-sized shuffle),
+    // corpus -> weighted word table (the ONE corpus-sized shuffle),
     // then char-level initial segmentation ‖c1‖‖c2‖…
     // (?s) dotall: Java's bare '.' skips LF CR U+0085 U+2028 U+2029, while
     // RE2's (the oracle's) skips only \n — a token containing any of
@@ -60,11 +52,25 @@ object Bpe {
     // itself is stripped from tokens first (on both sides): a literal
     // U+001F inside a token would corrupt the separator encoding
     // identically in both engines, invisible to the oracle.
-    var words = graft.Scratch.cache(docs
+    // Built and MATERIALIZED here, under the session's adaptive
+    // settings: Zipf-skewed word keys are exactly what AQE skew
+    // handling exists for. Only the tiny vocab-sized loop rounds run
+    // with AQE off (per-round re-planning latency dominates there).
+    val words0 = graft.Scratch.cache(docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("seg", regexp_replace(translate(col("word"), Sep, ""),
         "(?s)(.)", Sep + "$1" + Sep)))
+    words0.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try learnLoop(spark, words0, rounds)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def learnLoop(spark: SparkSession, words0: DataFrame,
+      rounds: Int): DataFrame = {
+    var words = words0
     var prev: DataFrame = null
 
     val merges = Seq.newBuilder[Row]

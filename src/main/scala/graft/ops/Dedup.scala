@@ -668,17 +668,25 @@ object Dedup {
     // planning handles; near-dup-graph skew shows up as big components
     // (handled by pointer doubling), not as hot shuffle keys.
     val spark = pairs.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(pairs, maxIters)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-  }
-
-  private def connectedComponentsLoop(pairs: DataFrame, maxIters: Int): DataFrame = {
+    // The caller's pair pipeline may be corpus-sized and skew-prone
+    // (e.g. dedupClusters hands in the lazy band-bucket self-join) —
+    // materialize it HERE, under the session's adaptive settings, so
+    // AQE skew-splitting applies to the hot-bucket join. Only the
+    // loop's uniform id-keyed rounds run with AQE off. The count
+    // doubles as the loop's edge-count input.
     val sym = graft.Scratch.cache(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+    val edgeCnt = sym.count()
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(sym, edgeCnt, maxIters)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def connectedComponentsLoop(sym: DataFrame, edgeCnt: Long,
+      maxIters: Int): DataFrame = {
     var labels = graft.Scratch.cache(sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")))
     // ONE Spark action per round (the convergence count, which also
@@ -695,10 +703,9 @@ object Dedup {
     // is off in-loop by design — see connectedComponents). At 100 TB
     // the edge count drives this to the session ceiling; on a small
     // graph it collapses every round's shuffle to a handful of tasks,
-    // which is most of a toy-scale round's wall time. The count also
-    // materializes sym's cache (it replaces the old isEmpty probe).
-    val spark = pairs.sparkSession
-    val edgeCnt = sym.count()
+    // which is most of a toy-scale round's wall time. edgeCnt arrives
+    // from the caller, which counted sym under AQE.
+    val spark = sym.sparkSession
     val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(partsWas.toLong,
       edgeCnt / 50000L + 1L)).toString

@@ -78,6 +78,13 @@ object Fuzzy {
     */
   def fuzzyKeyPairs(df: DataFrame, idCol: String, textCol: String,
       width: Int, k: Int): DataFrame = {
+    // width < k+1 would make base = 0: the first k segments become
+    // empty strings shared by EVERY row, and the segment equi-join
+    // degenerates to the all-pairs cross product the pigeonhole
+    // blocking exists to prevent (still correct, scale destroyed)
+    require(width >= k + 1,
+      s"key width ($width) must be at least k+1 (${k + 1}) so every " +
+        "pigeonhole segment is non-empty")
     val bounds = segBounds(width, k)
     def seg(key: Column, s: Int): Column = {
       val (start, len) = bounds(s)

@@ -21,16 +21,27 @@ object Layout {
   /** Morton-interleave the low `bits` bits of nonneg longs x and y:
     * bit b of x lands at position 2b, bit b of y at 2b+1.
     */
-  def morton(x: Column, y: Column, bits: Int): Column =
+  def morton(x: Column, y: Column, bits: Int): Column = {
+    requireBits(bits)
     (0 until bits).map { b =>
       shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b)) +
         shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1))
     }.reduce(_ + _)
+  }
+
+  // bits = 32 would need position 2*31+1 = 63 — the long sign bit —
+  // making 1L << 63 negative and breaking the key's sort order
+  private def requireBits(bits: Int): Unit =
+    require(bits >= 1 && bits <= 31,
+      s"bits must be in [1, 31], got $bits (interleaved positions " +
+        "reach 2*bits-1 and must stay below the long sign bit)")
 
   /** The same interleave as DuckDB SQL, for oracle construction. */
-  def mortonSql(x: String, y: String, bits: Int): String =
+  def mortonSql(x: String, y: String, bits: Int): String = {
+    requireBits(bits)
     (0 until bits).map { b =>
       s"((($x >> $b) & 1) * ${1L << (2 * b)}) + " +
         s"((($y >> $b) & 1) * ${1L << (2 * b + 1)})"
     }.mkString("(", " + ", ")")
+  }
 }

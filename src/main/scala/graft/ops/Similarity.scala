@@ -48,6 +48,12 @@ object Similarity {
     * scored); the exclusion is one symmetric anti-join on
     * (anchor, cand); per-anchor top-k is a rank window over
     * anchors x corpus scored rows, WindowGroupLimit-prunable.
+    *
+    * Anchor-set contract: anchors are the rows with `idCol` in
+    * [0, nAnchors) — ids must be DENSE and ZERO-BASED (the fixture's
+    * embedding ids are). For sparse/hashed/offset id spaces,
+    * row_number the frame (or pre-map ids) first, or the filter
+    * silently selects the wrong count — down to zero anchors.
     */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
       nearDupPairs: DataFrame, nAnchors: Int, k: Int): DataFrame = {

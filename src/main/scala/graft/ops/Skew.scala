@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String],
+      side: String): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$side input uses reserved internal column name(s) " +
+        s"${clash.mkString(", ")}; rename them first (withColumn would " +
+        "silently overwrite them and drop them from the output)")
+  }
+
   /** Two-phase salted count/sum — the A1-report shape for a hot key:
     * rows spread over `salts` deterministic sub-keys, partially
     * aggregated per (key, salt), merged per key. Deterministic salt
@@ -20,6 +29,7 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, keys: Seq[Column], valueCol: Column,
       saltSource: Column, salts: Int): DataFrame = {
+    requireNoReserved(df, Seq("_v", "_salt"), "input")
     val salted = df
       .withColumn("_v", valueCol)
       .withColumn("_salt", pmod(hash(saltSource), lit(salts)))
@@ -38,6 +48,8 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltSource: Column, salts: Int): DataFrame = {
+    requireNoReserved(left, Seq("_salt"), "left")
+    requireNoReserved(right, Seq("_salt"), "right")
     val l = left.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -43,6 +43,9 @@ object Temporal {
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointTime: Column, startCol: Column, endCol: Column,
       bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0,
+      s"bucketWidth must be positive, got $bucketWidth (DIV by zero would " +
+        "null every bucket key and silently return an empty join)")
     val reserved = Seq("_pt", "_bucket", "_s", "_e")
     requireNoReserved(points, reserved, "points")
     requireNoReserved(intervals, reserved, "intervals")
@@ -59,9 +62,12 @@ object Temporal {
   /** Left as-of join: every left row, enriched with the payload of the
     * latest right row whose `rightTime` <= the left row's `leftTime`
     * (equal times match; right rows with a NULL time never match,
-    * same as SQL ASOF). The right side must be unique per (key, time)
-    * — pre-aggregate if it isn't, or the carried payload among ties
-    * is unspecified.
+    * same as SQL ASOF). NULL join keys follow equi-join semantics:
+    * a NULL-key left row matches nothing (the window partition would
+    * otherwise group all NULL keys together and enrich them from each
+    * other — NOT what `ON l.key = r.key` means). The right side must
+    * be unique per (key, time) — pre-aggregate if it isn't, or the
+    * carried payload among ties is unspecified.
     *
     * @param payload right-side columns to carry (by name; must not
     *                collide with left column names)
@@ -84,8 +90,11 @@ object Temporal {
       .withColumn("_t", rightTime)
       // NULL right time can never satisfy rightTime <= leftTime; an
       // ascending sort would otherwise place it first and carry its
-      // payload into every pre-history left row
-      .filter(col("_t").isNotNull)
+      // payload into every pre-history left row. NULL right keys can
+      // never equi-match a left key, but partitionBy groups NULLs
+      // into one partition — drop them or NULL-key left rows would
+      // be enriched from NULL-key right rows
+      .filter(col("_t").isNotNull && col(key).isNotNull)
       .withColumn("_side", lit(0))
       .withColumn("_p", pStruct)
       .select((col(key) +: (Seq(col("_t"), col("_side"), col("_p")) ++

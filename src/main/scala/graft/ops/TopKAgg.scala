@@ -45,7 +45,10 @@ case class TopKByAgg(
     * payload. Keeping the queue at size k therefore retains the k
     * best under (ord DESC, payload ASC).
     */
-  private def worstFirst: Ordering[(Long, UTF8String)] =
+  // @transient lazy: one instance per (de)serialized aggregate rather
+  // than a fresh allocation per push() call on the per-row hot path;
+  // transient because the anonymous Ordering is not Serializable
+  @transient private lazy val worstFirst: Ordering[(Long, UTF8String)] =
     new Ordering[(Long, UTF8String)] {
       override def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
         val c = java.lang.Long.compare(b._1, a._1)

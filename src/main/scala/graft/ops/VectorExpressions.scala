@@ -46,15 +46,6 @@ object VectorKernels {
     case _ => a.getLong(i).toDouble
   }
 
-  /** Sequential-fold dot product (index order, doubles). */
-  def dot(a: ArrayData, ca: Int, b: ArrayData, cb: Int): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += get(a, i, ca) * get(b, i, cb); i += 1 }
-    s
-  }
-
   /** cosine = dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))); the three
     * sums each accumulate in index order, so fusing them into one loop
     * yields bit-identical doubles to three separate folds.

@@ -56,6 +56,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.getAs[String]("v") == null) // not vNULL, not v7
   }
 
+  test("asof join: NULL keys match nothing (equi-join parity)") {
+    // a NULL-key left row must NOT be enriched from NULL-key right
+    // rows — `ON l.key = r.key` never matches NULL to NULL; the
+    // window partition would otherwise group them together
+    val left = Seq((1L, Option.empty[String], 5L), (2L, Some("k1"), 5L))
+      .toDF("id", "k", "t")
+    val right = Seq((Option.empty[String], 1L, "vN"), (Some("k1"), 1L, "v1"))
+      .toDF("k", "rt", "v")
+    val got = Temporal.asofJoin(left, right, "k", col("t"), col("rt"), Seq("v"))
+      .orderBy(col("id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("v"))
+    assert(got.toSeq == Seq(1L -> null, 2L -> "v1"))
+  }
+
+  test("range join rejects non-positive bucketWidth loudly") {
+    val points = Seq((1L, 0L)).toDF("pid", "t")
+    val intervals = Seq((10L, 0L, 13L)).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(points, intervals, col("t"), col("s"), col("e"), 0L)
+    }
+  }
+
   test("reserved internal names are rejected loudly") {
     val bad = Seq((1L, "k", 2L)).toDF("id", "k", "_t")
     val right = Seq(("k", 1L, "v")).toDF("k", "rt", "v")
