@@ -518,6 +518,41 @@ object Dedup {
         (col("matches") * 1000 / col("k_cnt")).cast("long").as("est_permille"))
   }
 
+  /** EXACT token-set overlap matrix between sources — the calibration
+    * differential for [[sourceOverlap]]'s MinHash estimate: same pair
+    * key, exact |A ∩ B| / |A ∪ B| in permille. Zero-intersection
+    * pairs are kept (complete matrix) via a catalog-sized pair frame.
+    *
+    * Scale posture: the corpus collapses ONCE to the distinct
+    * (source, token) table (vocab × sources, not corpus-sized);
+    * intersections come from a self-join on token whose fan-out per
+    * token is C(k,2) for a token in k sources — bounded by the
+    * CATALOG pair count, not the corpus; per-source set sizes and the
+    * full pair frame are catalog-sized and broadcast.
+    */
+  def sourceOverlapExact(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val tok = graft.Scratch.cache(df
+      .select(col(srcCol).as("src"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .distinct()) // set semantics; both the size agg and the join side
+    val sizes = tok.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a")))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+    val inter = tok.select(col("src").as("src_a"), col("token"))
+      .join(tok.select(col("src").as("src_b"), col("token")), Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("i"), lit(0L)).as("inter"),
+        col("n_a"), col("n_b"),
+        (coalesce(col("i"), lit(0L)) * 1000 /
+          (col("n_a") + col("n_b") - coalesce(col("i"), lit(0L))))
+          .cast("long").as("jaccard_permille"))
+  }
+
   /** Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| over
     * |shingles(A)| (and over |B|), in permille — the detector for a
     * SMALL doc quoted inside a big one, which symmetric-Jaccard

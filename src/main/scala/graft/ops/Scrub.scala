@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII / sensitive-pattern redaction audit — the scrub stage every
+  * training-data pipeline runs before release (C4 removed lines by
+  * pattern; most production pipelines mask ids, emails, phone
+  * numbers). This operator measures the stage rather than just
+  * applying it: per (group, rule) it reports rows scanned, rows hit,
+  * total matches, and the character delta the masking would cause —
+  * the numbers a release review actually asks for.
+  *
+  * Cross-engine contract: patterns must stay in the Java-regex ∩ RE2
+  * common subset (character classes, bounded/unbounded repetition,
+  * alternation, anchors, \b; NO lookaround, NO backreferences) and
+  * replacements must not contain `$` — then Spark's regexp_count /
+  * regexp_replace and DuckDB's regexp_extract_all /
+  * regexp_replace(..., 'g') agree match-for-match, which is what the
+  * q132 oracle pins.
+  *
+  * Scale posture: one narrow projection pass over the corpus, one
+  * map-side-combinable aggregation on (group, rule) — rule count is
+  * a literal array crossed per row (rules × rows stays map-local,
+  * never shuffles more than the grouped partials). No UDF: the
+  * regexes run inside codegen'd string expressions.
+  */
+object Scrub {
+
+  /** One redaction rule: a reporting category, a pattern (Java ∩ RE2
+    * subset), and the mask text (no `$`).
+    */
+  final case class Rule(category: String, pattern: String, mask: String)
+
+  /** Per (group, rule) audit counts. Output columns:
+    * groupCol, category, n_rows, rows_hit, n_matches, chars_delta
+    * (positive when masking shrinks the text).
+    */
+  def redactionAudit(df: DataFrame, textCol: Column, groupCol: Column,
+      rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one redaction rule required")
+    require(rules.forall(!_.mask.contains("$")),
+      "mask must not contain '$' (engine-dependent backreference syntax)")
+    // one struct per rule, crossed with every row map-side: the
+    // per-rule counts are computed on the spot, so what shuffles is
+    // only the (group, category) partial aggregates
+    val perRule = rules.map { r =>
+      struct(
+        lit(r.category).as("category"),
+        regexp_count(textCol, lit(r.pattern)).as("cnt"),
+        (length(textCol) -
+          length(regexp_replace(textCol, r.pattern, r.mask))).as("delta"))
+    }
+    df.select(groupCol.as("grp"), explode(array(perRule: _*)).as("r"))
+      .select(col("grp"), col("r.category").as("category"),
+        col("r.cnt").as("cnt"), col("r.delta").as("delta"))
+      .groupBy(col("grp"), col("category"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("rows_hit"),
+        sum(col("cnt")).cast("long").as("n_matches"),
+        sum(col("delta")).cast("long").as("chars_delta"))
+  }
+
+  /** The apply side: the text with all rules masked, applied in rule
+    * order (later rules see earlier rules' masks — document rule
+    * order as part of the pipeline config).
+    */
+  def redact(textCol: Column, rules: Seq[Rule]): Column =
+    rules.foldLeft(textCol) { (c, r) =>
+      regexp_replace(c, r.pattern, r.mask)
+    }
+}

@@ -692,4 +692,54 @@ object TextOps {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Winsorized length statistics per group: exact loPermille /
+    * hiPermille cutoffs on an integer value column, the value sum
+    * after clipping to [lo_cut, hi_cut], and how many rows each side
+    * clipped — the robust-stats report that decides outlier-length
+    * truncation policy before tokenization.
+    *
+    * Exact percentiles WITHOUT a corpus-scale sort: the corpus
+    * collapses once to a (group, value) histogram (value-DOMAIN
+    * sized); the cumulative window that locates the cutoffs and the
+    * clipped re-aggregation both run on the histogram. Rank rule:
+    * cut = smallest v whose cumulative count reaches
+    * ceil(n * permille / 1000) — ceil via the integer identity
+    * cum * 1000 >= n * p. All arithmetic is integer-exact, so DuckDB
+    * reproduces the hashes bit-for-bit.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
+      loPermille: Int, hiPermille: Int): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo <= hi <= 1000, got ($loPermille, $hiPermille)")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(groupCol.as("grp"), valueCol.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val h = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val cuts = h.groupBy(col("grp")).agg(
+      max(col("n")).as("n"),
+      min(when(col("cum") * 1000 >= col("n") * loPermille, col("v")))
+        .as("lo_cut"),
+      min(when(col("cum") * 1000 >= col("n") * hiPermille, col("v")))
+        .as("hi_cut"))
+    hist.join(broadcast(cuts), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("lo_cut")).cast("long").as("lo_cut"),
+        max(col("hi_cut")).cast("long").as("hi_cut"),
+        sum(greatest(least(col("v"), col("hi_cut")), col("lo_cut")) *
+          col("cnt")).cast("long").as("winsor_sum"),
+        sum(when(col("v") < col("lo_cut"), col("cnt")).otherwise(0L))
+          .cast("long").as("clipped_lo"),
+        sum(when(col("v") > col("hi_cut"), col("cnt")).otherwise(0L))
+          .cast("long").as("clipped_hi"))
+      .withColumn("winsor_mean_permille",
+        (col("winsor_sum") * 1000 / col("n")).cast("long"))
+  }
 }

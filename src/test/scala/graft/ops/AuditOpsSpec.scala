@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class AuditOpsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "AuditOpsSpec")
+  import spark.implicits._
+
+  test("redactionAudit: per-rule counts, hits, and exact char deltas") {
+    val df = Seq(
+      ("a", "id 123456 and 9876543 end"), // 2 digit-run matches
+      ("a", "no digits here"),            // 0 matches
+      ("b", "777777")                     // 1 match, whole string
+    ).toDF("g", "txt")
+    val rules = Seq(Scrub.Rule("digit_run", "[0-9]{6,}", "<ID>"))
+    val got = Scrub.redactionAudit(df, col("txt"), col("g"), rules)
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // deltas: "123456"(6)+"9876543"(7) -> "<ID>"(4) twice = 13-8 = 5;
+    // "777777"(6) -> 4 chars = delta 2
+    assert(got.toSeq == Seq(
+      ("a", "digit_run", 2L, 1L, 2L, 5L),
+      ("b", "digit_run", 1L, 1L, 1L, 2L)))
+  }
+
+  test("redactionAudit: multiple rules audited independently per row") {
+    val df = Seq(("g", "Customer#000001 met Supplier#000002")).toDF("g", "txt")
+    val rules = Seq(
+      Scrub.Rule("digit_run", "[0-9]{6,}", "<ID>"),
+      Scrub.Rule("entity_tag", "(Customer|Supplier)#", "<ENT>#"))
+    val got = Scrub.redactionAudit(df, col("txt"), col("g"), rules)
+      .orderBy(col("category"))
+      .collect().map(r => (r.getString(1), r.getLong(4), r.getLong(5)))
+    // digit_run: two 6-char runs -> <ID> = (6-4)*2 = 4
+    // entity_tag: Customer#(9) and Supplier#(9) -> <ENT>#(6) = 3+3 = 6
+    assert(got.toSeq == Seq(("digit_run", 2L, 4L), ("entity_tag", 2L, 6L)))
+  }
+
+  test("redact applies rules in order and rejects $ masks") {
+    val out = Seq(("x123456y"))
+      .toDF("t")
+      .select(Scrub.redact(col("t"),
+        Seq(Scrub.Rule("d", "[0-9]{6,}", "<ID>"),
+          Scrub.Rule("tag", "x<ID>", "<X>"))).as("r"))
+      .head().getString(0)
+    assert(out == "<X>y") // second rule sees the first rule's mask
+    intercept[IllegalArgumentException] {
+      Scrub.redactionAudit(Seq(("g", "t")).toDF("g", "t"), col("t"),
+        col("g"), Seq(Scrub.Rule("bad", "a", "$1")))
+    }
+  }
+
+  test("sourceOverlapExact: exact jaccard, zero-overlap pairs kept") {
+    val df = Seq(
+      ("s1", "a b c"), ("s1", "c d"),   // s1 tokens {a,b,c,d}
+      ("s2", "c d e"),                  // s2 tokens {c,d,e}
+      ("s3", "zz")                      // s3 tokens {zz} — disjoint
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlapExact(df, "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("s1", "s2", 2L, 4L, 3L, 400L), // {c,d} / {a,b,c,d,e} = 2/5
+      ("s1", "s3", 0L, 4L, 1L, 0L),
+      ("s2", "s3", 0L, 3L, 1L, 0L)))
+  }
+
+  test("winsorizedStats: exact cutoffs, clipped sum and counts") {
+    // group g: values 1..10 once each; p[200,800] -> lo_cut = smallest
+    // v with cum*1000 >= 10*200 (cum >= 2) = 2; hi_cut: cum >= 8 -> 8
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("grp0", "v0")
+    val got = TextOps.winsorizedStats(df, col("grp0"), col("v0"), 200, 800)
+      .head()
+    assert(got.getAs[Long]("lo_cut") == 2L)
+    assert(got.getAs[Long]("hi_cut") == 8L)
+    // winsor sum: 2 + (2..8 as-is) + 8 = 2+35+8 ... values 1->2,
+    // 2..8 sum 35, 9->8, 10->8 => 2+35+8+8 = 53
+    assert(got.getAs[Long]("winsor_sum") == 53L)
+    assert(got.getAs[Long]("clipped_lo") == 1L)
+    assert(got.getAs[Long]("clipped_hi") == 2L)
+    assert(got.getAs[Long]("winsor_mean_permille") == 5300L)
+  }
+
+  test("winsorizedStats: [0, 1000] clips nothing") {
+    val df = Seq(("g", 5L), ("g", 100L), ("h", 7L)).toDF("g", "v")
+    val got = TextOps.winsorizedStats(df, col("g"), col("v"), 0, 1000)
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("winsor_sum"),
+        r.getAs[Long]("clipped_lo") + r.getAs[Long]("clipped_hi")))
+    assert(got.toSeq == Seq(("g", 105L, 0L), ("h", 7L, 0L)))
+  }
+}
