@@ -544,7 +544,9 @@ object Dedup {
       .join(tok.select(col("src").as("src_b"), col("token")), Seq("token"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("i"))
-    pairs.join(inter, Seq("src_a", "src_b"), "left")
+    // inter is catalog-sized after its aggregation (<= C(#sources, 2)
+    // rows) — broadcast it so the completion join never sort-merges
+    pairs.join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("i"), lit(0L)).as("inter"),
         col("n_a"), col("n_b"),

@@ -314,4 +314,33 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), q)
     }
   }
+
+  test("redaction audit: regex counting is pure expressions, hash aggregation") {
+    val p = plan("q132_redaction_audit")
+    // the per-rule counts are plain string expressions (regexp_count
+    // lowers to size(regexp_extract_all)) — codegen-able, no UDF; the
+    // audit aggregates partially map-side
+    assert(p.contains("regexp_extract_all"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("exact source jaccard: completion join broadcasts, no corpus cross") {
+    val p = plan("q133_source_jaccard_exact")
+    // the aggregated intersection table broadcasts onto the pair
+    // frame; the only nested-loop join allowed is the deliberate
+    // catalog-sized (sources x sources) pair frame — never a
+    // CartesianProduct over anything data-sized
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("winsorized stats: cutoffs broadcast back onto the histogram") {
+    val p = plan("q134_winsorized_stats")
+    // the cuts table is group-cardinality-sized — must broadcast; the
+    // only sort is the value-domain window, not a corpus sort
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
