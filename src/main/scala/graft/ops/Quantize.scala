@@ -55,4 +55,30 @@ object Quantize {
       .withColumn("ok",
         (col("max_err") <= expr("((hi - lo) DIV 255) + 1")).cast("long"))
   }
+
+  /** Per-VECTOR quality audit, grouped by dimensionality — the
+    * release check that catches ragged arrays, zero/degenerate
+    * vectors, and norm drift before an index build. Norms are exact
+    * fixed-point: norm2 = sum(micros(v)^2) per vector (<= 2^46 for
+    * 64 dims of unit-scale floats), reported in DIV-1e6 units so the
+    * corpus-wide sum stays far from long range (bound: corpus rows
+    * < ~1e11 at 64 dims — document-scale safe).
+    *
+    * One narrow pass: the per-vector fold happens map-side inside the
+    * projection; only (dims)-keyed partials shuffle.
+    */
+  def embeddingAudit(df: DataFrame, vecCol: String): DataFrame = {
+    val m = df.select(size(col(vecCol)).as("dims"),
+      aggregate(transform(col(vecCol), v => micros(v)),
+        lit(0L), (acc, x) => acc + x * x).as("norm2"))
+      .withColumn("n2u", expr("norm2 DIV 1000000"))
+    m.groupBy(col("dims"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("norm2") === 0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2u")).as("min_norm2u"),
+        max(col("n2u")).as("max_norm2u"),
+        sum(col("n2u")).cast("long").as("sum_norm2u"))
+      .withColumn("avg_norm2u",
+        (col("sum_norm2u") / col("n")).cast("long"))
+  }
 }

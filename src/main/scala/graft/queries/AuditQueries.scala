@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, Scrub, TextOps}
+import graft.ops.{Dedup, Eval, Quantize, Scrub, TextOps}
 
 /** Release-audit additions (q132+): the reports a data-release review
   * asks for right before shipping — what would the scrub stage mask,
@@ -129,6 +129,93 @@ object AuditQueries {
           | CAST(sum(greatest(least(v, hi_cut), lo_cut) * cnt) * 1000
           |  // max(n) AS BIGINT) AS winsor_mean_permille
           |FROM hist JOIN cuts USING (lang) GROUP BY lang
-          |ORDER BY lang""".stripMargin))
+          |ORDER BY lang""".stripMargin)),
+
+    // filter-cascade calibration: the cheap quality score (q21's
+    // integer formula) audited against the expensive repetition
+    // verdict (q71's signals) at every threshold — precision/recall/
+    // F1 in exact integer permille, computed entirely on the
+    // score-domain histogram (ops/Eval.scala).
+    "q135_cascade_calibration" -> Q(
+      (s, dir) => {
+        val sig = t(s, dir, "documents").select(
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        val scored = sig.select(
+          (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+            when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"),
+          when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams") &&
+            col("r.top_tok_cnt") * 5 <= col("r.n_tokens"), 1L)
+            .otherwise(0L).as("label"))
+        Eval.thresholdSweep(scored, col("score"), col("label"))
+          .orderBy(col("threshold"))
+      },
+      Some(
+        """WITH tk AS (
+          | SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents),
+          |sig AS MATERIALIZED (
+          | SELECT
+          |  CAST(len(list_distinct(t)) AS INTEGER) * 2 +
+          |  CAST(len(list_intersect(list_distinct(t),
+          |    ['the','a','of','and','to','in','is'])) AS INTEGER) * 3 -
+          |  CASE WHEN CAST(list_aggregate(list_transform(t,
+          |    x -> length(x)), 'max') AS INTEGER) > 12
+          |   THEN 5 ELSE 0 END AS score,
+          |  CASE WHEN
+          |   (CAST(greatest(len(t) - 1, 0) AS INTEGER) -
+          |    CAST(len(list_distinct(list_transform(
+          |     generate_series(1, len(t) - 1),
+          |     i -> t[i] || ' ' || t[i+1]))) AS INTEGER)) * 5
+          |     <= CAST(greatest(len(t) - 1, 0) AS INTEGER)
+          |   AND CAST(list_aggregate(list_transform(list_distinct(t),
+          |     x -> len(list_filter(t, y -> y = x))), 'max')
+          |     AS INTEGER) * 5 <= CAST(len(t) AS INTEGER)
+          |   THEN 1 ELSE 0 END AS label
+          | FROM tk),
+          |h AS MATERIALIZED (
+          | SELECT score AS threshold, count(*) AS cnt, sum(label) AS pos
+          | FROM sig GROUP BY 1),
+          |c AS (
+          | SELECT threshold,
+          |  sum(cnt) OVER (ORDER BY threshold DESC
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+          |  sum(pos) OVER (ORDER BY threshold DESC
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |  sum(pos) OVER () AS total_pos
+          | FROM h)
+          |SELECT threshold,
+          | CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+          | CAST(tp * 1000 // n_pred AS BIGINT) AS precision_permille,
+          | CAST(CASE WHEN total_pos = 0 THEN 0
+          |  ELSE tp * 1000 // total_pos END AS BIGINT) AS recall_permille,
+          | CAST(tp * 2000 // (n_pred + total_pos) AS BIGINT) AS f1_permille
+          |FROM c ORDER BY threshold""".stripMargin)),
+
+    // per-vector embedding release audit grouped by dimensionality:
+    // ragged arrays, zero vectors, exact fixed-point norm extremes
+    // and means — the check an index build runs first. Complements
+    // q100's per-DIMENSION quantize audit.
+    "q136_embedding_audit" -> Q(
+      (s, dir) => Quantize.embeddingAudit(t(s, dir, "embeddings"),
+        "embedding").orderBy(col("dims")),
+      Some(
+        """WITH ex AS (
+          | SELECT vec_id, len(embedding) AS dims,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings),
+          |nv AS MATERIALIZED (
+          | SELECT vec_id, max(dims) AS dims, sum(m * m) AS norm2
+          | FROM ex GROUP BY 1),
+          |u AS (SELECT dims, norm2, norm2 // 1000000 AS n2u FROM nv)
+          |SELECT CAST(dims AS INTEGER) AS dims, count(*) AS n,
+          | CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |  AS n_zero,
+          | CAST(min(n2u) AS BIGINT) AS min_norm2u,
+          | CAST(max(n2u) AS BIGINT) AS max_norm2u,
+          | CAST(sum(n2u) AS BIGINT) AS sum_norm2u,
+          | CAST(sum(n2u) // count(*) AS BIGINT) AS avg_norm2u
+          |FROM u GROUP BY dims ORDER BY dims""".stripMargin))
   )
 }

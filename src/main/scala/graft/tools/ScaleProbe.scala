@@ -108,6 +108,30 @@ object ScaleProbe {
       time("match_dist", k)(TextOps.matchDistribution(docs, "doc_id", "lang",
         Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15), "sp"))
       time("source_overlap", k)(Dedup.sourceOverlap(docs, "source", "text"))
+      // audit family (q132-q135): per-doc signal extraction + domain-
+      // sized aggregation — the frames past the first aggregate are
+      // rule-, catalog-, or score-domain-sized, so wall time tracks
+      // the scan alone. Replication also leaves winsorize cutoffs and
+      // sweep ratios IDENTICAL (histogram counts scale k-fold, ranks
+      // in permille don't) — asserted in AuditOpsSpec.
+      time("redaction_audit", k)(graft.ops.Scrub.redactionAudit(
+        docs, col("text"), col("source"),
+        Seq(graft.ops.Scrub.Rule("stop_the", "the", "<T>"),
+          graft.ops.Scrub.Rule("digit_run", "[0-9]{6,}", "<ID>"))))
+      time("source_jac_exact", k)(Dedup.sourceOverlapExact(
+        docs, "source", "text"))
+      time("winsorize", k)(TextOps.winsorizedStats(
+        docs, col("lang"), col("n_chars"), 50, 950))
+      time("threshold_sweep", k) {
+        val sig = docs.select(
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        graft.ops.Eval.thresholdSweep(
+          sig.select((col("q.n_distinct") * 2 + col("q.n_stop") * 3).as("s"),
+            when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams"), 1L)
+              .otherwise(0L).as("l")),
+          col("s"), col("l"))
+      }
       if (k > 1) { // drives its own k-sized candidate collect
         val t0 = System.nanoTime()
         graft.ops.HeavyHitters.heavyHitters(

@@ -87,6 +87,66 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("winsor_mean_permille") == 5300L)
   }
 
+  test("thresholdSweep: exact precision/recall/f1 at every threshold") {
+    // scores/labels: (3,1) (3,0) (2,1) (1,0) — total_pos = 2
+    val df = Seq((3, 1L), (3, 0L), (2, 1L), (1, 0L)).toDF("s", "l")
+    val got = Eval.thresholdSweep(df, col("s"), col("l"))
+      .orderBy(col("threshold"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      // t=1: pred all 4, tp=2 -> p=500, r=1000, f1=2*2*1000/(4+2)=666
+      (1, 4L, 2L, 500L, 1000L, 666L),
+      // t=2: pred 3, tp=2 -> p=666, r=1000, f1=4000/5=800
+      (2, 3L, 2L, 666L, 1000L, 800L),
+      // t=3: pred 2, tp=1 -> p=500, r=500, f1=2000/4=500
+      (3, 2L, 1L, 500L, 500L, 500L)))
+  }
+
+  test("thresholdSweep: zero positives yields zero recall, no crash") {
+    val df = Seq((5, 0L), (7, 0L)).toDF("s", "l")
+    val got = Eval.thresholdSweep(df, col("s"), col("l"))
+      .orderBy(col("threshold"))
+      .collect().map(r => (r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L), (0L, 0L)))
+  }
+
+  test("embeddingAudit: zero vectors, ragged dims, exact norm units") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),       // norm2 = 1e12 -> n2u = 1e6
+      (2L, Array(0.0f, 0.0f)),       // zero vector, dims 2
+      (3L, Array(2.0f))              // ragged: dims 1, norm2u = 4e6
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.embeddingAudit(df, "embedding")
+      .orderBy(col("dims"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 0L, 4000000L, 4000000L),
+      (2, 2L, 1L, 1000000L, 500000L)))
+  }
+
+  test("replication invariance: cutoffs and sweep ratios survive k-fold copies") {
+    // the scaling argument the ScaleProbe comment makes: replicating
+    // every row k-fold multiplies histogram counts by k but leaves
+    // ranks-in-permille (and hence cutoffs, precision, recall) fixed
+    val base = Seq((1, 1L), (5, 0L), (9, 1L), (13, 0L), (21, 1L))
+      .toDF("s", "l")
+    val rep = base.union(base).union(base)
+    val w1 = TextOps.winsorizedStats(base, lit("g"), col("s"), 200, 800)
+      .select("lo_cut", "hi_cut", "winsor_mean_permille").head()
+    val w3 = TextOps.winsorizedStats(rep, lit("g"), col("s"), 200, 800)
+      .select("lo_cut", "hi_cut", "winsor_mean_permille").head()
+    assert(w1 == w3)
+    val s1 = Eval.thresholdSweep(base, col("s"), col("l"))
+      .select("threshold", "precision_permille", "recall_permille")
+      .orderBy(col("threshold")).collect().toSeq
+    val s3 = Eval.thresholdSweep(rep, col("s"), col("l"))
+      .select("threshold", "precision_permille", "recall_permille")
+      .orderBy(col("threshold")).collect().toSeq
+    assert(s1 == s3)
+  }
+
   test("winsorizedStats: [0, 1000] clips nothing") {
     val df = Seq(("g", 5L), ("g", 100L), ("h", 7L)).toDF("g", "v")
     val got = TextOps.winsorizedStats(df, col("g"), col("v"), 0, 1000)

@@ -13,7 +13,8 @@ class RegistrySpec extends AnyFunSuite {
     val maps = Seq(
       "CoreQueries" -> CoreQueries.all, "SlowLogQueries" -> SlowLogQueries.all,
       "OpsQueries" -> OpsQueries.all, "ExtendedQueries" -> ExtendedQueries.all,
-      "PipelineQueries" -> PipelineQueries.all, "ScaleQueries" -> ScaleQueries.all)
+      "PipelineQueries" -> PipelineQueries.all, "ScaleQueries" -> ScaleQueries.all,
+      "AuditQueries" -> AuditQueries.all)
     val perMap = maps.map(_._2.size).sum
     assert(Registry.all.size == perMap,
       s"merged=${Registry.all.size} != sum=$perMap — a name collides")
