@@ -518,23 +518,31 @@ object Dedup {
         (col("matches") * 1000 / col("k_cnt")).cast("long").as("est_permille"))
   }
 
-  /** EXACT token-set overlap matrix between sources — the calibration
-    * differential for [[sourceOverlap]]'s MinHash estimate: same pair
-    * key, exact |A ∩ B| / |A ∪ B| in permille. Zero-intersection
-    * pairs are kept (complete matrix) via a catalog-sized pair frame.
+  /** EXACT n-gram-set overlap matrix between sources — the
+    * calibration differential for [[sourceOverlap]]'s MinHash
+    * estimate: same pair key and (with the default n = 3) the same
+    * shingle-set statistic the signatures estimate, computed exactly
+    * in permille. A different n would be a DIFFERENT statistic —
+    * unigram vocabularies overlap far more than 3-gram sets, and a
+    * calibration against the wrong set definition attributes the gap
+    * to estimator error. Zero-intersection pairs are kept (complete
+    * matrix) via a catalog-sized pair frame.
     *
     * Scale posture: the corpus collapses ONCE to the distinct
-    * (source, token) table (vocab × sources, not corpus-sized);
-    * intersections come from a self-join on token whose fan-out per
-    * token is C(k,2) for a token in k sources — bounded by the
-    * CATALOG pair count, not the corpus; per-source set sizes and the
-    * full pair frame are catalog-sized and broadcast.
+    * (source, gram) table (n-gram-vocab × sources, not corpus-sized);
+    * intersections come from a self-join on gram whose fan-out per
+    * gram is C(k,2) for a gram in k sources — bounded by the CATALOG
+    * pair count, not the corpus; per-source set sizes and the full
+    * pair frame are catalog-sized and broadcast.
     */
   def sourceOverlapExact(df: DataFrame, srcCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams =
+      if (n == 1) array_distinct(TextOps.tokens(col(textCol)))
+      else TextOps.ngramsDistinct(col(textCol), n)
     val tok = graft.Scratch.cache(df
-      .select(col(srcCol).as("src"),
-        explode(array_distinct(TextOps.tokens(col(textCol)))).as("token"))
+      .select(col(srcCol).as("src"), explode(grams).as("token"))
       .distinct()) // set semantics; both the size agg and the join side
     val sizes = tok.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val pairs = broadcast(sizes.select(col("src").as("src_a"), col("n").as("n_a")))
@@ -549,10 +557,10 @@ object Dedup {
     pairs.join(broadcast(inter), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),
         coalesce(col("i"), lit(0L)).as("inter"),
-        col("n_a"), col("n_b"),
-        (coalesce(col("i"), lit(0L)) * 1000 /
-          (col("n_a") + col("n_b") - coalesce(col("i"), lit(0L))))
-          .cast("long").as("jaccard_permille"))
+        col("n_a"), col("n_b"))
+      // integer DIV (not double `/`): exact past 2^53 set sizes
+      .withColumn("jaccard_permille",
+        expr("(inter * 1000) DIV (n_a + n_b - inter)"))
   }
 
   /** Asymmetric containment pairs: |shingles(A) ∩ shingles(B)| over

@@ -37,15 +37,15 @@ object Eval {
       .withColumn("n_pred", sum(col("cnt")).over(wDesc))
       .withColumn("tp", sum(col("pos")).over(wDesc))
       .withColumn("total_pos", sum(col("pos")).over(wAll))
+      // integer DIV throughout: double `/` would round above 2^53,
+      // silently breaking the bit-for-bit oracle claim at corpus scale
       .select(col("threshold"),
         col("n_pred").cast("long").as("n_pred"),
         col("tp").cast("long").as("tp"),
-        (col("tp") * 1000 / col("n_pred")).cast("long")
-          .as("precision_permille"),
+        expr("(tp * 1000) DIV n_pred").as("precision_permille"),
         when(col("total_pos") === 0, 0L)
-          .otherwise((col("tp") * 1000 / col("total_pos")).cast("long"))
+          .otherwise(expr("(tp * 1000) DIV total_pos"))
           .as("recall_permille"),
-        (col("tp") * 2000 / (col("n_pred") + col("total_pos"))).cast("long")
-          .as("f1_permille"))
+        expr("(tp * 2000) DIV (n_pred + total_pos)").as("f1_permille"))
   }
 }

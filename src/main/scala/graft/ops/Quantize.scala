@@ -68,6 +68,11 @@ object Quantize {
     * projection; only (dims)-keyed partials shuffle.
     */
   def embeddingAudit(df: DataFrame, vecCol: String): DataFrame = {
+    // contract: every PHYSICAL ROW is audited independently (duplicate
+    // ids are two vectors — merging them would sum unrelated norms);
+    // an empty array is a dims=0, norm2=0 row (a zero vector), and a
+    // NULL array is a dims=NULL group with NULL norms. The oracle
+    // mirrors this with per-row list folds, never unnest+group.
     val m = df.select(size(col(vecCol)).as("dims"),
       aggregate(transform(col(vecCol), v => micros(v)),
         lit(0L), (acc, x) => acc + x * x).as("norm2"))
@@ -78,7 +83,7 @@ object Quantize {
         min(col("n2u")).as("min_norm2u"),
         max(col("n2u")).as("max_norm2u"),
         sum(col("n2u")).cast("long").as("sum_norm2u"))
-      .withColumn("avg_norm2u",
-        (col("sum_norm2u") / col("n")).cast("long"))
+      // integer DIV, not double `/`: sum*1 stays exact past 2^53
+      .withColumn("avg_norm2u", expr("sum_norm2u DIV n"))
   }
 }

@@ -39,8 +39,9 @@ object Scrub {
   def redactionAudit(df: DataFrame, textCol: Column, groupCol: Column,
       rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one redaction rule required")
-    require(rules.forall(!_.mask.contains("$")),
-      "mask must not contain '$' (engine-dependent backreference syntax)")
+    require(rules.forall(r => !r.mask.contains("$") && !r.mask.contains("\\")),
+      "mask must not contain '$' or '\\' (Java replacement strings " +
+        "treat both as escapes; RE2 does not — the engines would diverge)")
     // one struct per rule, crossed with every row map-side: the
     // per-rule counts are computed on the spot, so what shuffles is
     // only the (group, category) partial aggregates
@@ -65,8 +66,11 @@ object Scrub {
     * order (later rules see earlier rules' masks — document rule
     * order as part of the pipeline config).
     */
-  def redact(textCol: Column, rules: Seq[Rule]): Column =
+  def redact(textCol: Column, rules: Seq[Rule]): Column = {
+    require(rules.forall(r => !r.mask.contains("$") && !r.mask.contains("\\")),
+      "mask must not contain '$' or '\\' (Java replacement escapes)")
     rules.foldLeft(textCol) { (c, r) =>
       regexp_replace(c, r.pattern, r.mask)
     }
+  }
 }

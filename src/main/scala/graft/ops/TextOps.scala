@@ -713,7 +713,11 @@ object TextOps {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
       s"need 0 <= lo <= hi <= 1000, got ($loPermille, $hiPermille)")
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(groupCol.as("grp"), valueCol.as("v"))
+    // NULL values are excluded by contract (a NULL length has no rank;
+    // keeping them would also diverge cross-engine — Spark windows
+    // sort NULLS FIRST ascending, DuckDB NULLS LAST)
+    val hist = df.filter(valueCol.isNotNull)
+      .groupBy(groupCol.as("grp"), valueCol.as("v"))
       .agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -739,7 +743,9 @@ object TextOps {
           .cast("long").as("clipped_lo"),
         sum(when(col("v") > col("hi_cut"), col("cnt")).otherwise(0L))
           .cast("long").as("clipped_hi"))
+      // integer DIV: double `/` rounds above 2^53, breaking the
+      // bit-for-bit claim once summed chars pass ~9e12
       .withColumn("winsor_mean_permille",
-        (col("winsor_sum") * 1000 / col("n")).cast("long"))
+        expr("(winsor_sum * 1000) DIV n"))
   }
 }

@@ -61,21 +61,27 @@ object AuditQueries {
           |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // EXACT source-overlap matrix — the calibration differential for
-    // q120's MinHash estimate: same pair key, exact token-set
-    // Jaccard in permille, zero-overlap pairs kept. The corpus
-    // collapses once to the distinct (source, token) table; every
-    // later frame is vocab- or catalog-sized.
+    // q120's MinHash estimate: same pair key and the SAME 3-gram
+    // shingle-set statistic the signatures estimate (a different set
+    // definition would attribute vocabulary-vs-shingle divergence to
+    // estimator error), exact in permille, zero-overlap pairs kept.
+    // The corpus collapses once to the distinct (source, gram) table;
+    // every later frame is vocab- or catalog-sized.
     "q133_source_jaccard_exact" -> Q(
       (s, dir) => Dedup.sourceOverlapExact(
-        t(s, dir, "documents"), "source", "text")
+        t(s, dir, "documents"), "source", "text", n = 3)
         .orderBy(col("src_a"), col("src_b")),
       Some(
-        """WITH tok AS MATERIALIZED (
+        """WITH tk AS (
+          | SELECT source AS src,
+          |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents),
+          |tok AS MATERIALIZED (
           | SELECT DISTINCT src, token FROM (
-          |  SELECT source AS src,
-          |   unnest(list_filter(string_split(text, ' '), x -> x <> ''))
-          |    AS token
-          |  FROM documents)),
+          |  SELECT src,
+          |   unnest(list_transform(generate_series(1, len(t) - 2),
+          |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS token
+          |  FROM tk)),
           |sz AS MATERIALIZED (
           | SELECT src, count(*) AS n FROM tok GROUP BY 1),
           |pr AS (
@@ -105,7 +111,7 @@ object AuditQueries {
       Some(
         """WITH hist AS MATERIALIZED (
           | SELECT lang, n_chars AS v, count(*) AS cnt
-          | FROM documents GROUP BY 1, 2),
+          | FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
           |h AS (
           | SELECT lang, v, cnt,
           |  sum(cnt) OVER (PARTITION BY lang ORDER BY v
@@ -200,14 +206,21 @@ object AuditQueries {
       (s, dir) => Quantize.embeddingAudit(t(s, dir, "embeddings"),
         "embedding").orderBy(col("dims")),
       Some(
+        // per-ROW list folds, never unnest+group-by-id: unnest would
+        // DROP empty/NULL vectors (the degenerate rows the audit
+        // exists to catch) and merge duplicated ids into one
+        // meaningless summed norm
         """WITH ex AS (
-          | SELECT vec_id, len(embedding) AS dims,
-          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-          |   AS BIGINT) AS m
+          | SELECT len(embedding) AS dims,
+          |  list_aggregate(list_transform(embedding,
+          |   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) *
+          |        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)),
+          |   'sum') AS s
           | FROM embeddings),
-          |nv AS MATERIALIZED (
-          | SELECT vec_id, max(dims) AS dims, sum(m * m) AS norm2
-          | FROM ex GROUP BY 1),
+          |nv AS (
+          | SELECT dims,
+          |  CASE WHEN dims IS NOT NULL THEN COALESCE(s, 0) END AS norm2
+          | FROM ex),
           |u AS (SELECT dims, norm2, norm2 // 1000000 AS n2u FROM nv)
           |SELECT CAST(dims AS INTEGER) AS dims, count(*) AS n,
           | CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -55,13 +55,13 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("sourceOverlapExact: exact jaccard, zero-overlap pairs kept") {
+  test("sourceOverlapExact: exact unigram jaccard, zero-overlap pairs kept") {
     val df = Seq(
       ("s1", "a b c"), ("s1", "c d"),   // s1 tokens {a,b,c,d}
       ("s2", "c d e"),                  // s2 tokens {c,d,e}
       ("s3", "zz")                      // s3 tokens {zz} — disjoint
     ).toDF("source", "text")
-    val got = Dedup.sourceOverlapExact(df, "source", "text")
+    val got = Dedup.sourceOverlapExact(df, "source", "text", n = 1)
       .orderBy(col("src_a"), col("src_b"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
@@ -69,6 +69,20 @@ class AuditOpsSpec extends AnyFunSuite {
       ("s1", "s2", 2L, 4L, 3L, 400L), // {c,d} / {a,b,c,d,e} = 2/5
       ("s1", "s3", 0L, 4L, 1L, 0L),
       ("s2", "s3", 0L, 3L, 1L, 0L)))
+  }
+
+  test("sourceOverlapExact: default n=3 measures shingle sets, not vocab") {
+    // same vocabulary, shifted word order: unigram jaccard is 1000,
+    // trigram jaccard is 0 — the statistic q120's minhash estimates
+    val df = Seq(
+      ("s1", "a b c d"), // 3-grams {a b c, b c d}
+      ("s2", "d c b a")  // 3-grams {d c b, c b a}
+    ).toDF("source", "text")
+    val tri = Dedup.sourceOverlapExact(df, "source", "text").head()
+    assert(tri.getAs[Long]("inter") == 0L &&
+      tri.getAs[Long]("jaccard_permille") == 0L)
+    val uni = Dedup.sourceOverlapExact(df, "source", "text", n = 1).head()
+    assert(uni.getAs[Long]("jaccard_permille") == 1000L)
   }
 
   test("winsorizedStats: exact cutoffs, clipped sum and counts") {
