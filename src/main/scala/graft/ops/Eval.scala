@@ -48,4 +48,108 @@ object Eval {
           .as("recall_permille"),
         expr("(tp * 2000) DIV (n_pred + total_pos)").as("f1_permille"))
   }
+
+  /** Exact per-group AUC (area under the ROC curve) of `scoreCol`
+    * against binary `labelCol`, via the Mann-Whitney rank-sum identity
+    * with full tie handling: on the (group, score) histogram, a tie
+    * group of `cnt` rows ending at cumulative rank `cum` spans ranks
+    * [cum-cnt+1, cum], so its doubled average rank is 2*cum - cnt + 1
+    * and doubled-U = sum(pos * (2*cum - cnt + 1)) - n_pos*(n_pos+1).
+    * AUC = U / (n_pos * n_neg), reported as integer permille. Groups
+    * with no positives or no negatives report NULL (AUC undefined).
+    *
+    * Scale posture: the corpus collapses ONCE to the per-group score
+    * histogram (group × score-domain sized); the rank windows partition
+    * by group over that histogram — never corpus-sized frames. The
+    * rank-sum and the permille numerator exceed 2^63 once a group
+    * passes ~10^9 rows, so both accumulate in DECIMAL(38,0) (the
+    * oracle's HUGEINT twin) — exact to 10^38, then the bounded
+    * permille result drops back to BIGINT.
+    */
+  def groupAuc(df: DataFrame, groupCol: Column, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val hist = df.groupBy(groupCol.as("grp"), scoreCol.as("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(labelCol.cast("long")).as("pos"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum((col("cum") * 2 - col("cnt") + 1).cast("decimal(38,0)") *
+          col("pos")).as("r2"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .withColumn("u2",
+        col("r2") - col("n_pos").cast("decimal(38,0)") * (col("n_pos") + 1))
+      .select(col("grp"), col("n"), col("n_pos"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((u2 * 1000) DIV
+              |  (CAST(n_pos AS DECIMAL(38,0)) * 2 * n_neg) AS BIGINT)"""
+              .stripMargin))
+          .as("auc_permille"))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov distance of each group's
+    * `valueCol` distribution against the GLOBAL distribution of the
+    * same frame, in integer permille: D = max over v of
+    * |ECDF_grp(v) - ECDF_all(v)|, evaluated cross-multiplied so no
+    * division happens until the final permille.
+    *
+    * The max needs no group × value-domain cross frame: the step
+    * function |cum_g(v)*N - cum_all(v)*n_g| is piecewise monotone
+    * between the group's OWN value steps (only cum_all moves, one
+    * direction), so per group-row it suffices to test (a) the step
+    * itself and (b) the supremum just BEFORE it — previous group
+    * cumulative against cum_all(v) - cnt_all(v). The frame therefore
+    * stays (group, value)-keyed end to end. NULL values are excluded
+    * by contract (no rank cross-engine).
+    *
+    * Scale posture: two domain-sized histograms, one broadcast-able
+    * join on value, windows partitioned by group. Cross products
+    * cum * N reach 2^63 at ~3*10^9 rows either side, so comparisons
+    * run in DECIMAL(38,0) (oracle: HUGEINT); the permille result is
+    * bounded and drops back to BIGINT.
+    */
+  def ksDrift(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val rows = df.filter(valueCol.isNotNull)
+      .select(groupCol.as("grp"), valueCol.as("v"))
+    val gHist = graft.Scratch.cache(
+      rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt")))
+    val aHist = gHist.groupBy(col("v"))
+      .agg(sum(col("cnt")).as("cnt_all"))
+      .withColumn("cum_all", sum(col("cnt_all")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wG = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = gHist
+      .withColumn("cum_g", sum(col("cnt")).over(wG))
+      .join(aHist, Seq("v"))
+    val totals = gHist.groupBy(col("grp"))
+      .agg(sum(col("cnt")).cast("long").as("n_g"))
+      .withColumn("n_all",
+        sum(col("n_g")).over(Window.partitionBy()).cast("long"))
+    val d = joined.join(broadcast(totals), Seq("grp"))
+      .select(col("grp"), col("n_g"), col("n_all"),
+        greatest(
+          abs(col("cum_g").cast("decimal(38,0)") * col("n_all") -
+            col("cum_all").cast("decimal(38,0)") * col("n_g")),
+          abs((col("cum_g") - col("cnt")).cast("decimal(38,0)") *
+            col("n_all") -
+            (col("cum_all") - col("cnt_all")).cast("decimal(38,0)") *
+            col("n_g"))).as("gap"))
+      .groupBy(col("grp"))
+      .agg(first(col("n_g")).as("n"),
+        first(col("n_all")).as("n_all"),
+        max(col("gap")).as("d_scaled"))
+    d.select(col("grp"), col("n").cast("long").as("n"),
+      expr("""CAST((d_scaled * 1000) DIV
+             |  (CAST(n AS DECIMAL(38,0)) * n_all) AS BIGINT)"""
+        .stripMargin).as("ks_permille"))
+  }
 }

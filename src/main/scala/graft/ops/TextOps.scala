@@ -748,4 +748,31 @@ object TextOps {
       .withColumn("winsor_mean_permille",
         expr("(winsor_sum * 1000) DIV n"))
   }
+
+  /** Per-group vocabulary richness with the bias-corrected Chao1
+    * estimate of TOTAL (unseen-included) vocabulary:
+    * chao1 = D + f1*(f1-1) / (2*(f2+1)), where D = observed distinct
+    * tokens, f1 = singletons, f2 = doubletons — the data-card number
+    * that says how much vocabulary another crawl of the same source
+    * would add. Integer DIV keeps it exact (f1 caps at the vocabulary,
+    * ~10^9 at web scale, so f1*(f1-1) stays under 2^63).
+    *
+    * Scale posture: the corpus collapses ONCE to (group, token)
+    * occurrence counts — group × vocab sized, one shuffle — and every
+    * later frame is group-keyed. No windows, no joins.
+    */
+  def vocabRichness(df: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame =
+    df.select(groupCol.as("grp"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("d_observed"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("long").as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).cast("long").as("f2"),
+        sum(col("cnt")).cast("long").as("n_tokens"))
+      .withColumn("chao1",
+        expr("d_observed + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
+      .select(col("grp"), col("n_tokens"), col("d_observed"),
+        col("f1"), col("f2"), col("chao1"))
 }

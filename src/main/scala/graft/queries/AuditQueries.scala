@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -229,6 +230,193 @@ object AuditQueries {
           | CAST(max(n2u) AS BIGINT) AS max_norm2u,
           | CAST(sum(n2u) AS BIGINT) AS sum_norm2u,
           | CAST(sum(n2u) // count(*) AS BIGINT) AS avg_norm2u
-          |FROM u GROUP BY dims ORDER BY dims""".stripMargin))
+          |FROM u GROUP BY dims ORDER BY dims""".stripMargin)),
+
+    // per-LANGUAGE AUC of the cheap cascade score against the
+    // expensive repetition verdict — the generalization check on
+    // q135's global calibration: a language whose AUC collapses needs
+    // its own threshold (or its own filter). Exact Mann-Whitney with
+    // tie handling on the per-lang score histogram (ops/Eval.scala);
+    // rank sums accumulate in DECIMAL(38,0)/HUGEINT.
+    "q137_score_auc" -> Q(
+      (s, dir) => {
+        val sig = t(s, dir, "documents").select(
+          col("lang"),
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        val scored = sig.select(
+          col("lang"),
+          (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+            when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"),
+          when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams") &&
+            col("r.top_tok_cnt") * 5 <= col("r.n_tokens"), 1L)
+            .otherwise(0L).as("label"))
+        Eval.groupAuc(scored, col("lang"), col("score"), col("label"))
+          .withColumnRenamed("grp", "lang")
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH tk AS (
+          | SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents),
+          |sig AS MATERIALIZED (
+          | SELECT lang,
+          |  CAST(len(list_distinct(t)) AS INTEGER) * 2 +
+          |  CAST(len(list_intersect(list_distinct(t),
+          |    ['the','a','of','and','to','in','is'])) AS INTEGER) * 3 -
+          |  CASE WHEN CAST(list_aggregate(list_transform(t,
+          |    x -> length(x)), 'max') AS INTEGER) > 12
+          |   THEN 5 ELSE 0 END AS score,
+          |  CASE WHEN
+          |   (CAST(greatest(len(t) - 1, 0) AS INTEGER) -
+          |    CAST(len(list_distinct(list_transform(
+          |     generate_series(1, len(t) - 1),
+          |     i -> t[i] || ' ' || t[i+1]))) AS INTEGER)) * 5
+          |     <= CAST(greatest(len(t) - 1, 0) AS INTEGER)
+          |   AND CAST(list_aggregate(list_transform(list_distinct(t),
+          |     x -> len(list_filter(t, y -> y = x))), 'max')
+          |     AS INTEGER) * 5 <= CAST(len(t) AS INTEGER)
+          |   THEN 1 ELSE 0 END AS label
+          | FROM tk),
+          |h AS MATERIALIZED (
+          | SELECT lang, score, count(*) AS cnt, sum(label) AS pos
+          | FROM sig GROUP BY 1, 2),
+          |c AS (
+          | SELECT lang, cnt, pos,
+          |  sum(cnt) OVER (PARTITION BY lang ORDER BY score
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          | FROM h),
+          |g AS (
+          | SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+          |  CAST(sum(pos) AS BIGINT) AS n_pos,
+          |  sum(CAST(pos AS HUGEINT) * (2 * cum - cnt + 1)) AS r2
+          | FROM c GROUP BY 1),
+          |u AS (
+          | SELECT lang, n, n_pos, n - n_pos AS n_neg,
+          |  r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS u2
+          | FROM g)
+          |SELECT lang, n, n_pos,
+          | CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+          |  ELSE (u2 * 1000) // (CAST(n_pos AS HUGEINT) * 2 * n_neg)
+          |  END AS BIGINT) AS auc_permille
+          |FROM u ORDER BY lang""".stripMargin)),
+
+    // per-source Kolmogorov-Smirnov drift of the length distribution
+    // against the whole corpus — the release check that catches a
+    // crawl whose length profile quietly diverged. Exact integer
+    // cross-multiplied ECDF gap (ops/Eval.scala), permille output.
+    "q138_length_ks" -> Q(
+      (s, dir) => Eval.ksDrift(t(s, dir, "documents"),
+        col("source"), col("n_chars"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some(
+        """WITH rows_f AS (
+          | SELECT source AS grp, n_chars AS v FROM documents
+          | WHERE n_chars IS NOT NULL),
+          |gh AS MATERIALIZED (
+          | SELECT grp, v, count(*) AS cnt FROM rows_f GROUP BY 1, 2),
+          |ah AS MATERIALIZED (
+          | SELECT v, sum(cnt) AS cnt_all FROM gh GROUP BY 1),
+          |ac AS (
+          | SELECT v, cnt_all,
+          |  sum(cnt_all) OVER (ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+          | FROM ah),
+          |gc AS (
+          | SELECT grp, v, cnt,
+          |  sum(cnt) OVER (PARTITION BY grp ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+          | FROM gh),
+          |tot AS MATERIALIZED (
+          | SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
+          | FROM gh GROUP BY 1),
+          |tot2 AS (
+          | SELECT grp, n_g, CAST(sum(n_g) OVER () AS BIGINT) AS n_all
+          | FROM tot),
+          |j AS (
+          | SELECT g.grp, t.n_g, t.n_all,
+          |  greatest(
+          |   abs(CAST(g.cum_g AS HUGEINT) * t.n_all -
+          |       CAST(a.cum_all AS HUGEINT) * t.n_g),
+          |   abs(CAST(g.cum_g - g.cnt AS HUGEINT) * t.n_all -
+          |       CAST(a.cum_all - a.cnt_all AS HUGEINT) * t.n_g)) AS gap
+          | FROM gc g JOIN ac a USING (v) JOIN tot2 t ON g.grp = t.grp)
+          |SELECT grp AS source, CAST(any_value(n_g) AS BIGINT) AS n,
+          | CAST((max(gap) * 1000) //
+          |  (CAST(any_value(n_g) AS HUGEINT) * any_value(n_all))
+          |  AS BIGINT) AS ks_permille
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // deterministic hash-split audit: every doc lands in train/val/
+    // test by md5(doc_id) bucket (the portable hash32 — stable across
+    // engines, re-runs, and cluster sizes), and the report shows the
+    // realized per-language composition. What shuffles is only the
+    // (lang, split) partials; the permille share comes from a
+    // lang-partitioned window on the 15-row aggregate.
+    "q139_split_audit" -> Q(
+      (s, dir) => {
+        val b = TextOps.hash32(col("doc_id").cast("string")) % 100
+        t(s, dir, "documents")
+          .select(col("lang"),
+            when(b < 80, "train").when(b < 90, "val").otherwise("test")
+              .as("split"),
+            col("n_chars"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .withColumn("n_lang",
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+          .select(col("lang"), col("split"), col("n_docs"),
+            col("sum_chars"),
+            expr("(n_docs * 1000) DIV n_lang").as("lang_permille"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(
+        """WITH d AS (
+          | SELECT lang,
+          |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |    ::BIGINT % 100 < 80 THEN 'train'
+          |   WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+          |    ::BIGINT % 100 < 90 THEN 'val'
+          |   ELSE 'test' END AS split,
+          |  n_chars
+          | FROM documents),
+          |g AS MATERIALIZED (
+          | SELECT lang, split, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          | FROM d GROUP BY 1, 2)
+          |SELECT lang, split, n_docs, sum_chars,
+          | CAST(n_docs * 1000 //
+          |  (sum(n_docs) OVER (PARTITION BY lang)) AS BIGINT)
+          |  AS lang_permille
+          |FROM g ORDER BY lang, split""".stripMargin)),
+
+    // per-source vocabulary richness with the bias-corrected Chao1
+    // estimate of total (unseen-included) vocabulary — the data-card
+    // number that says how much NEW vocabulary another crawl of the
+    // same source would add (high f1 share = undersampled source).
+    "q140_vocab_richness" -> Q(
+      (s, dir) => TextOps.vocabRichness(t(s, dir, "documents"),
+        col("source"), col("text"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some(
+        """WITH tok AS (
+          | SELECT source AS grp,
+          |  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          |   AS token
+          | FROM documents),
+          |tc AS MATERIALIZED (
+          | SELECT grp, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+          |g AS (
+          | SELECT grp, CAST(count(*) AS BIGINT) AS d_observed,
+          |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          |  CAST(sum(cnt) AS BIGINT) AS n_tokens
+          | FROM tc GROUP BY 1)
+          |SELECT grp AS source, n_tokens, d_observed, f1, f2,
+          | d_observed + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1
+          |FROM g ORDER BY source""".stripMargin))
   )
 }

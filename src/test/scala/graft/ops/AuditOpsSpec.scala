@@ -169,4 +169,85 @@ class AuditOpsSpec extends AnyFunSuite {
         r.getAs[Long]("clipped_lo") + r.getAs[Long]("clipped_hi")))
     assert(got.toSeq == Seq(("g", 105L, 0L), ("h", 7L, 0L)))
   }
+
+  test("groupAuc: perfect / inverted / all-ties / degenerate groups") {
+    val df = Seq(
+      // perfect separation: positives strictly above negatives
+      ("sep", 1, 0L), ("sep", 2, 0L), ("sep", 3, 1L), ("sep", 4, 1L),
+      // inverted: the single positive sits below the negative
+      ("inv", 1, 1L), ("inv", 2, 0L),
+      // all scores tied: AUC is exactly 1/2
+      ("tie", 5, 0L), ("tie", 5, 1L),
+      // no negatives: AUC undefined -> NULL
+      ("deg", 7, 1L), ("deg", 8, 1L)
+    ).toDF("g", "s", "l")
+    val got = Eval.groupAuc(df, col("g"), col("s"), col("l"))
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"),
+        Option(r.getAs[java.lang.Long]("auc_permille"))))
+    assert(got.toSeq == Seq(
+      ("deg", 2L, 2L, None),
+      ("inv", 2L, 1L, Some(0L)),
+      ("sep", 4L, 2L, Some(1000L)),
+      ("tie", 2L, 1L, Some(500L))))
+  }
+
+  test("groupAuc: tie-broken mid case and replication invariance") {
+    // scores: neg{1, 3, 3}, pos{3, 5}: pairs won = (3>1) + (5>all 3) = 4,
+    // half-credit for the two (3,3) ties = 1 -> U = 5 of 6 -> 833
+    val base = Seq(("g", 1, 0L), ("g", 3, 0L), ("g", 3, 0L),
+      ("g", 3, 1L), ("g", 5, 1L)).toDF("g", "s", "l")
+    def auc(df: org.apache.spark.sql.DataFrame): Long =
+      Eval.groupAuc(df, col("g"), col("s"), col("l"))
+        .head().getAs[Long]("auc_permille")
+    assert(auc(base) == 833L)
+    assert(auc(base.union(base).union(base)) == 833L)
+  }
+
+  test("ksDrift: disjoint halves, identical group, and a gap between steps") {
+    val df = Seq(
+      ("lo", 1L), ("lo", 2L),  // ECDF jumps to 1 by v=2
+      ("hi", 3L), ("hi", 4L)   // ECDF still 0 at v=2
+    ).toDF("g", "v")
+    val got = Eval.ksDrift(df, col("g"), col("v"))
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n"),
+        r.getAs[Long]("ks_permille")))
+    // at v=2: |ECDF_lo - ECDF_all| = |1 - 1/2| = 1/2; symmetric for hi
+    assert(got.toSeq == Seq(("hi", 2L, 500L), ("lo", 2L, 500L)))
+    // a group that IS the corpus drifts zero
+    val solo = Seq(("g", 1L), ("g", 9L)).toDF("g", "v")
+    assert(Eval.ksDrift(solo, col("g"), col("v"))
+      .head().getAs[Long]("ks_permille") == 0L)
+  }
+
+  test("ksDrift: supremum between group steps is caught") {
+    // g1 = {1, 10}, g2 = {2,...,9}: between g1's steps the global
+    // ECDF keeps climbing — the max gap sits just BEFORE v=10,
+    // where cum_g1 = 1/2 and cum_all = 9/10: D = 2/5
+    val df = (Seq(("g1", 1L), ("g1", 10L)) ++
+      (2L to 9L).map(("g2", _))).toDF("g", "v")
+    val d = Eval.ksDrift(df, col("g"), col("v"))
+      .orderBy(col("grp")).collect()
+    assert(d(0).getAs[Long]("ks_permille") == 400L)
+  }
+
+  test("vocabRichness: chao1 from singleton/doubleton counts") {
+    val df = Seq(
+      // s1: a a b c d -> D=4, f1=3 (b c d), f2=1 (a)
+      //     chao1 = 4 + 3*2 DIV (2*2) = 5
+      ("s1", "a a b c d"),
+      // s2: x x -> D=1, f1=0, f2=1, chao1 = 1
+      ("s2", "x x")
+    ).toDF("src", "txt")
+    val got = TextOps.vocabRichness(df, col("src"), col("txt"))
+      .orderBy(col("grp"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("d_observed"), r.getAs[Long]("f1"),
+        r.getAs[Long]("f2"), r.getAs[Long]("chao1")))
+    assert(got.toSeq == Seq(
+      ("s1", 5L, 4L, 3L, 1L, 5L),
+      ("s2", 2L, 1L, 0L, 1L, 1L)))
+  }
 }
