@@ -86,4 +86,47 @@ object Quantize {
       // integer DIV, not double `/`: sum*1 stays exact past 2^53
       .withColumn("avg_norm2u", expr("sum_norm2u DIV n"))
   }
+
+  /** Pairwise squared L2 distances between per-group embedding
+    * centroids, in exact fixed-point — the class-separation audit an
+    * embedding release runs after training: labels whose centroids
+    * collapse together predict retrieval confusion. Only rows with
+    * exactly `dims` components participate (ragged rows are
+    * [[embeddingAudit]]'s findings, not this report's input).
+    *
+    * Centroid components are integer micros (sum DIV n — truncating
+    * division, which Spark DIV and DuckDB // both apply, negatives
+    * included); dist2u = sum((c_a - c_b)^2) DIV 1e6 per pair.
+    *
+    * 100 TB posture: one corpus pass collapses to (group, dim)
+    * partial sums — the explode pipelines into map-side partial
+    * aggregation, so what shuffles is group-catalog × dims partials.
+    * The pair matrix is a self-join of the CATALOG-sized centroid
+    * frame on dim (broadcast), never touching the corpus again.
+    * Overflow: |micros| <= ~2^21 for unit-scale floats, so a 2^41
+    * per-pair-dim square times 4096 dims stays < 2^53 — and the
+    * per-(grp,dim) sum holds to ~4*10^12 corpus rows per group.
+    */
+  def centroidDistances(df: DataFrame, vecCol: String, groupCol: Column,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val ex = df.filter(size(col(vecCol)) === dims)
+      .select(groupCol.as("grp"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("grp"), col("i"), micros(col("v")).cast("long").as("m"))
+    val cent = graft.Scratch.cache(ex.groupBy(col("grp"), col("i"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("grp"), col("i"), expr("s DIV cnt").as("c"), col("cnt")))
+    val a = cent.select(col("grp").as("grp_a"), col("i"),
+      col("c").as("c_a"), col("cnt").as("n_a"))
+    val b = cent.select(col("grp").as("grp_b"), col("i"),
+      col("c").as("c_b"), col("cnt").as("n_b"))
+    a.join(broadcast(b), Seq("i")).filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(max(col("n_a")).cast("long").as("n_a"),
+        max(col("n_b")).cast("long").as("n_b"),
+        sum((col("c_a") - col("c_b")) * (col("c_a") - col("c_b")))
+          .as("d2"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        expr("d2 DIV 1000000").cast("long").as("dist2u"))
+  }
 }

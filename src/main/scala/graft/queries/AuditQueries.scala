@@ -417,6 +417,33 @@ object AuditQueries {
           | FROM tc GROUP BY 1)
           |SELECT grp AS source, n_tokens, d_observed, f1, f2,
           | d_observed + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1
-          |FROM g ORDER BY source""".stripMargin))
+          |FROM g ORDER BY source""".stripMargin)),
+
+    // pairwise label-centroid distance matrix in exact fixed-point —
+    // the class-separation audit: labels whose centroids collapse
+    // predict retrieval confusion. One corpus pass to (label, dim)
+    // partials; the pair matrix is a broadcast self-join of the
+    // catalog-sized centroid frame.
+    "q141_centroid_distances" -> Q(
+      (s, dir) => Quantize.centroidDistances(t(s, dir, "embeddings"),
+        "embedding", col("label"), dims = 64)
+        .orderBy(col("grp_a"), col("grp_b")),
+      Some(
+        """WITH ex AS (
+          | SELECT label AS grp, unnest(range(len(embedding))) AS i,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings WHERE len(embedding) = 64),
+          |cent AS MATERIALIZED (
+          | SELECT grp, i, CAST(sum(m) AS BIGINT) // count(*) AS c,
+          |  count(*) AS cnt
+          | FROM ex GROUP BY 1, 2)
+          |SELECT a.grp AS grp_a, b.grp AS grp_b,
+          | CAST(max(a.cnt) AS BIGINT) AS n_a,
+          | CAST(max(b.cnt) AS BIGINT) AS n_b,
+          | CAST(sum((a.c - b.c) * (a.c - b.c)) // 1000000 AS BIGINT)
+          |  AS dist2u
+          |FROM cent a JOIN cent b ON a.i = b.i AND a.grp < b.grp
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

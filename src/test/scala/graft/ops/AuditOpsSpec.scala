@@ -250,4 +250,30 @@ class AuditOpsSpec extends AnyFunSuite {
       ("s1", 5L, 4L, 3L, 1L, 5L),
       ("s2", 2L, 1L, 0L, 1L, 1L)))
   }
+
+  test("centroidDistances: exact micros centroids, ragged rows excluded") {
+    val df = Seq(
+      (0, Array(0f, 0f)), (0, Array(2f, 2f)), // centroid (1e6, 1e6)
+      (1, Array(-1f, 3f)),                    // centroid (-1e6, 3e6)
+      (1, Array(7f))                          // ragged -> excluded
+    ).toDF("label", "embedding")
+    val got = Quantize.centroidDistances(df, "embedding", col("label"), 2)
+      .head()
+    // diff (2e6, -2e6): d2 = 8e12 -> dist2u = 8e6; n counts post-filter
+    assert((got.getAs[Int]("grp_a"), got.getAs[Int]("grp_b"),
+      got.getAs[Long]("n_a"), got.getAs[Long]("n_b"),
+      got.getAs[Long]("dist2u")) == (0, 1, 2L, 1L, 8000000L))
+  }
+
+  test("centroidDistances: negative sums divide by truncation (DuckDB parity)") {
+    // label 0 sums to -1000001 micros over 2 rows: trunc -> -500000
+    // (floor would give -500001 and a dist2u of 250001)
+    val df = Seq(
+      (0, Array(-1f, 0f)), (0, Array(-0.000001f, 0f)),
+      (1, Array(0f, 0f))
+    ).toDF("label", "embedding")
+    val got = Quantize.centroidDistances(df, "embedding", col("label"), 2)
+      .head()
+    assert(got.getAs[Long]("dist2u") == 250000L)
+  }
 }
