@@ -73,4 +73,51 @@ object Scrub {
       regexp_replace(c, r.pattern, r.mask)
     }
   }
+
+  /** Per-group encoding-hygiene audit — the mojibake check a crawl
+    * release runs before tokenization: U+FFFD replacement characters
+    * (a decoder already gave up once), bare control characters
+    * (anything below U+0020 except tab/newline/CR), non-ASCII density,
+    * and the longest space run (boilerplate/layout artifacts). NULL
+    * texts are excluded by contract.
+    *
+    * Cross-engine exactness: Spark's `length` and DuckDB's `len` both
+    * count CODEPOINTS (not UTF-16 units), and both regex engines match
+    * `[^\x00-\x7F]` per codepoint — so the subtraction trick
+    * (len(text) - len(strip(text))) counts identically, astral chars
+    * included. Output columns: grp, n_docs, docs_replacement,
+    * docs_control, n_chars, n_nonascii, nonascii_permille, max_ws_run.
+    *
+    * Scale posture: one narrow projection pass (all regexes inside
+    * codegen'd string expressions, no UDF), one map-side-combinable
+    * aggregation on the group key. Nothing corpus-sized shuffles.
+    */
+  def encodingAudit(df: DataFrame, textCol: Column,
+      groupCol: Column): DataFrame = {
+    val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+    df.filter(textCol.isNotNull)
+      .select(groupCol.as("grp"),
+        length(textCol).as("n_chars"),
+        (length(textCol) -
+          length(regexp_replace(textCol, "[^\\x00-\\x7F]", "")))
+          .as("n_nonascii"),
+        textCol.contains("�").cast("long").as("has_repl"),
+        textCol.rlike(ctl).cast("long").as("has_ctl"),
+        coalesce(array_max(transform(
+          regexp_extract_all(textCol, lit(" +"), lit(0)),
+          m => length(m))), lit(0)).as("ws_run"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("has_repl")).cast("long").as("docs_replacement"),
+        sum(col("has_ctl")).cast("long").as("docs_control"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(col("n_nonascii")).cast("long").as("n_nonascii"),
+        max(col("ws_run")).cast("long").as("max_ws_run"))
+      .withColumn("nonascii_permille",
+        when(col("n_chars") === 0, 0L)
+          .otherwise(expr("(n_nonascii * 1000) DIV n_chars")))
+      .select(col("grp"), col("n_docs"), col("docs_replacement"),
+        col("docs_control"), col("n_chars"), col("n_nonascii"),
+        col("nonascii_permille"), col("max_ws_run"))
+  }
 }

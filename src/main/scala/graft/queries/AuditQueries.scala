@@ -444,6 +444,40 @@ object AuditQueries {
           | CAST(sum((a.c - b.c) * (a.c - b.c)) // 1000000 AS BIGINT)
           |  AS dist2u
           |FROM cent a JOIN cent b ON a.i = b.i AND a.grp < b.grp
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // encoding-hygiene audit per source: U+FFFD replacement chars,
+    // bare control chars, non-ASCII density, longest space run — the
+    // mojibake check before tokenization. Both engines count
+    // CODEPOINTS (Spark length == DuckDB len) and match the same
+    // RE2∩Java classes, so the strip-subtraction counts are exact.
+    "q142_encoding_audit" -> Q(
+      (s, dir) => Scrub.encodingAudit(t(s, dir, "documents"),
+        col("text"), col("source"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some(
+        """WITH d AS (
+          | SELECT source AS grp,
+          |  len(text) AS n_chars,
+          |  len(text) - len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+          |   AS n_nonascii,
+          |  CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END
+          |   AS has_repl,
+          |  CASE WHEN regexp_matches(text,
+          |   '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS has_ctl,
+          |  COALESCE(list_max(list_transform(
+          |   regexp_extract_all(text, ' +'), m -> len(m))), 0) AS ws_run
+          | FROM documents WHERE text IS NOT NULL)
+          |SELECT grp AS source, count(*) AS n_docs,
+          | CAST(sum(has_repl) AS BIGINT) AS docs_replacement,
+          | CAST(sum(has_ctl) AS BIGINT) AS docs_control,
+          | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+          | CAST(sum(n_nonascii) AS BIGINT) AS n_nonascii,
+          | CAST(CASE WHEN sum(n_chars) = 0 THEN 0
+          |  ELSE (sum(n_nonascii) * 1000) // sum(n_chars) END AS BIGINT)
+          |  AS nonascii_permille,
+          | CAST(max(ws_run) AS BIGINT) AS max_ws_run
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

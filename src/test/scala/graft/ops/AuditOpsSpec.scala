@@ -276,4 +276,21 @@ class AuditOpsSpec extends AnyFunSuite {
       .head()
     assert(got.getAs[Long]("dist2u") == 250000L)
   }
+
+  test("encodingAudit: U+FFFD, control chars, non-ASCII density, space runs") {
+    val df = Seq(
+      ("a", "héllo"),    // 5 chars, 1 non-ascii
+      ("a", "a\u0001b"),      // bare control char
+      ("a", "a�b"),      // replacement char (also non-ascii)
+      ("a", "x  y"),          // space run of 2
+      ("a", "t\tn\n"),        // tab/newline are NOT control by contract
+      ("b", null)             // NULL text excluded
+    ).toDF("src", "txt")
+    val got = Scrub.encodingAudit(df, col("txt"), col("src")).head()
+    assert((got.getAs[String]("grp"), got.getAs[Long]("n_docs"),
+      got.getAs[Long]("docs_replacement"), got.getAs[Long]("docs_control"),
+      got.getAs[Long]("n_chars"), got.getAs[Long]("n_nonascii"),
+      got.getAs[Long]("nonascii_permille"), got.getAs[Long]("max_ws_run"))
+      == ("a", 5L, 1L, 1L, 19L, 2L, 105L, 2L))
+  }
 }
