@@ -77,6 +77,47 @@ object Similarity {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Matryoshka-truncation retrieval audit: per probe vector, how much
+    * of the full-dimension top-k neighborhood survives when vectors are
+    * truncated to their first `prefixDims` components — the number that
+    * decides whether a cheaper truncated index is safe to ship. Output
+    * one row per probe: (pid, overlap_at_k, overlap_permille).
+    *
+    * Probe/anchor contract matches [[hardNegatives]]: probes are the
+    * rows with id in [0, nProbes), ids dense and zero-based.
+    *
+    * Shape: probes BROADCAST over the corpus (corpus never shuffles to
+    * be scored); both rankings come from rank windows over the same
+    * probes x corpus scored frame, so the audit costs ONE pass plus a
+    * probe-keyed window sort. This is exact brute-force by design — an
+    * audit over a bounded probe sample, not the serving path (that is
+    * the IVF/LSH family, q38/q50/q58).
+    */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+      nProbes: Int, k: Int, prefixDims: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1 && prefixDims >= 1,
+      s"need positive nProbes/k/prefixDims, got ($nProbes, $k, $prefixDims)")
+    val probes = emb.filter(col(idCol) < nProbes)
+      .select(col(idCol).as("pid"), col(vecCol).as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+    val wF = w.partitionBy(col("pid")).orderBy(col("cos_full").desc, col("cid"))
+    val wT = w.partitionBy(col("pid")).orderBy(col("cos_trunc").desc, col("cid"))
+    emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"),
+        round(cosine(col("cv"), col("pv")), 6).as("cos_full"),
+        round(cosine(slice(col("cv"), 1, prefixDims),
+          slice(col("pv"), 1, prefixDims)), 6).as("cos_trunc"))
+      .withColumn("rf", row_number().over(wF))
+      .withColumn("rt", row_number().over(wT))
+      .groupBy(col("pid"))
+      .agg(sum(when(col("rf") <= k && col("rt") <= k, 1L).otherwise(0L))
+        .cast("long").as("overlap_at_k"))
+      .select(col("pid"), col("overlap_at_k"),
+        expr(s"(overlap_at_k * 1000) DIV $k").as("overlap_permille"))
+  }
+
   /** Brute-force cosine top-k against one query vector (plans as
     * TakeOrderedAndProject).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, Eval, Quantize, Scrub, TextOps}
+import graft.ops.{Dedup, Eval, Quantize, Scrub, Similarity, TextOps}
 
 /** Release-audit additions (q132+): the reports a data-release review
   * asks for right before shipping — what would the scrub stage mask,
@@ -478,6 +478,41 @@ object AuditQueries {
           |  ELSE (sum(n_nonascii) * 1000) // sum(n_chars) END AS BIGINT)
           |  AS nonascii_permille,
           | CAST(max(ws_run) AS BIGINT) AS max_ws_run
-          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // matryoshka-truncation retrieval audit: per probe, how much of
+    // the full-64-dim top-10 neighborhood survives at 16 dims — the
+    // go/no-go number for shipping a truncated index. Probes
+    // broadcast; the corpus is scored in one pass; both rankings are
+    // windows over the same scored frame.
+    "q143_truncation_recall" -> Q(
+      (s, dir) => Similarity.truncationRecall(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nProbes = 10, k = 10, prefixDims = 16)
+        .withColumnRenamed("pid", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(
+        s"""WITH p AS (
+           | SELECT vec_id AS pid, embedding AS pv FROM embeddings
+           | WHERE vec_id < 10),
+           |sc AS MATERIALIZED (
+           | SELECT p.pid, e.vec_id AS cid,
+           |  round(${OpsQueries.cosSql("e.embedding", "p.pv")}, 6)
+           |   AS cos_full,
+           |  round(${OpsQueries.cosSql("e.embedding", "p.pv", 16)}, 6)
+           |   AS cos_trunc
+           | FROM embeddings e, p WHERE e.vec_id <> p.pid),
+           |r AS (
+           | SELECT pid, cid,
+           |  row_number() OVER (PARTITION BY pid
+           |   ORDER BY cos_full DESC, cid) AS rf,
+           |  row_number() OVER (PARTITION BY pid
+           |   ORDER BY cos_trunc DESC, cid) AS rt
+           | FROM sc)
+           |SELECT pid AS vec_id,
+           | CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS overlap_at_k,
+           | CAST((sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+           |  * 1000) // 10 AS BIGINT) AS overlap_permille
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -293,4 +293,20 @@ class AuditOpsSpec extends AnyFunSuite {
       got.getAs[Long]("nonascii_permille"), got.getAs[Long]("max_ws_run"))
       == ("a", 5L, 1L, 1L, 19L, 2L, 105L, 2L))
   }
+
+  test("truncationRecall: prefix ranking diverges from full ranking") {
+    // probe v0 = [1, 0]; full-cosine top-2 is {v3, v1} (v3's tiny
+    // negative tail beats v1's), but the 1-dim prefix ranks all of
+    // v1/v2/v3 at cos=1 and tie-breaks by id -> {v1, v2}: overlap 1
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.01f)),
+      (2L, Array(1f, 1f)),
+      (3L, Array(1f, -0.005f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.truncationRecall(df, "vec_id", "embedding",
+      nProbes = 1, k = 2, prefixDims = 1).head()
+    assert((got.getAs[Long]("pid"), got.getAs[Long]("overlap_at_k"),
+      got.getAs[Long]("overlap_permille")) == (0L, 1L, 500L))
+  }
 }
