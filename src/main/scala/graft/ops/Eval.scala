@@ -114,6 +114,57 @@ object Eval {
     * run in DECIMAL(38,0) (oracle: HUGEINT); the permille result is
     * bounded and drops back to BIGINT.
     */
+  /** Exact chi-square independence audit of two categorical columns
+    * (e.g. source x language): one output row per cell of the FULL
+    * contingency table — zero cells included, they carry expected
+    * counts too — with the observed count, the expected count in
+    * millis, the cell's chi-square contribution in micros, and the
+    * table-wide total. All arithmetic is integer:
+    *   exp_milli      = (R * C * 1000) DIV N
+    *   contrib_micros = (1e6 * (O*N - R*C)^2) DIV (N * R * C)
+    * (the (O*N - R*C) form clears denominators before squaring, so no
+    * division happens until the final DIV — each cell floors once,
+    * order-independent, so both engines agree bit-for-bit). The 1e6
+    * scaling is applied via the split identity
+    * floor(1e6*s/d) = 1e6*(s DIV d) + (1e6*(s MOD d)) DIV d, which
+    * keeps every intermediate inside DECIMAL(38,0)/HUGEINT up to
+    * ~3*10^9 corpus rows (the square itself is the binding term);
+    * past that the statistic needs a divide-first formulation that
+    * trades exactness, so the bound is documented instead of
+    * silently rounded through.
+    *
+    * Scale posture: the corpus collapses ONCE to observed cells; the
+    * full table is a broadcast cross of the two catalog-sized margin
+    * frames (justified: both sides are category catalogs, not data).
+    */
+  def chi2Independence(df: DataFrame, rowCol: Column,
+      colCol: Column): DataFrame = {
+    val cells = graft.Scratch.cache(
+      df.groupBy(rowCol.as("r"), colCol.as("c"))
+        .agg(count(lit(1)).as("obs")))
+    val rm = cells.groupBy(col("r")).agg(sum(col("obs")).as("rn"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("obs")).as("cn"))
+    val full = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("rn"), col("cn"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+    val scored = full
+      .withColumn("dev",
+        expr("CAST(obs AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn"))
+      .withColumn("sq", expr("dev * dev"))
+      .withColumn("den", expr("CAST(n AS DECIMAL(38,0)) * rn * cn"))
+      .select(col("r"), col("c"),
+        col("obs").cast("long").as("obs"),
+        expr("CAST((CAST(rn AS DECIMAL(38,0)) * cn * 1000) DIV n AS BIGINT)")
+          .as("exp_milli"),
+        expr("""CAST((sq DIV den) * 1000000 +
+               |  ((sq % den) * 1000000) DIV den AS BIGINT)""".stripMargin)
+          .as("contrib_micros"))
+    scored.withColumn("chi2_total_micros",
+      sum(col("contrib_micros")).over(Window.partitionBy()).cast("long"))
+  }
+
   def ksDrift(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
     val rows = df.filter(valueCol.isNotNull)

@@ -513,6 +513,49 @@ object AuditQueries {
            |  AS BIGINT) AS overlap_at_k,
            | CAST((sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
            |  * 1000) // 10 AS BIGINT) AS overlap_permille
-           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // exact chi-square independence audit of source x language: full
+    // contingency table (zero cells included) with integer expected
+    // counts and chi-square contributions — "is language mix
+    // independent of source" as a number, not a feeling. Cleared
+    // denominators + split-division keep it bit-exact in
+    // DECIMAL(38)/HUGEINT (ops/Eval.scala documents the ~3e9-row
+    // bound).
+    "q144_chi2_independence" -> Q(
+      (s, dir) => Eval.chi2Independence(t(s, dir, "documents"),
+        col("source"), col("lang"))
+        .withColumnRenamed("r", "source")
+        .withColumnRenamed("c", "lang")
+        .orderBy(col("source"), col("lang")),
+      Some(
+        """WITH cells AS MATERIALIZED (
+          | SELECT source AS r, lang AS c, count(*) AS obs
+          | FROM documents GROUP BY 1, 2),
+          |rm AS MATERIALIZED (SELECT r, sum(obs) AS rn FROM cells GROUP BY 1),
+          |cm AS MATERIALIZED (SELECT c, sum(obs) AS cn FROM cells GROUP BY 1),
+          |full_t AS (
+          | SELECT rm.r, cm.c, rm.rn, cm.cn, COALESCE(cells.obs, 0) AS obs
+          | FROM rm CROSS JOIN cm
+          | LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+          |w AS (
+          | SELECT r, c, rn, cn, obs, sum(obs) OVER () AS n FROM full_t),
+          |d1 AS (
+          | SELECT r, c, obs, rn, cn, n,
+          |  CAST(obs AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn AS dev,
+          |  CAST(n AS HUGEINT) * rn * cn AS den
+          | FROM w),
+          |sc AS MATERIALIZED (
+          | SELECT r, c, CAST(obs AS BIGINT) AS obs,
+          |  CAST((CAST(rn AS HUGEINT) * cn * 1000) // n AS BIGINT)
+          |   AS exp_milli,
+          |  CAST((dev * dev // den) * 1000000 +
+          |   ((dev * dev % den) * 1000000) // den AS BIGINT)
+          |   AS contrib_micros
+          | FROM d1)
+          |SELECT r AS source, c AS lang, obs, exp_milli, contrib_micros,
+          | CAST(sum(contrib_micros) OVER () AS BIGINT)
+          |  AS chi2_total_micros
+          |FROM sc ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -294,6 +294,26 @@ class AuditOpsSpec extends AnyFunSuite {
       == ("a", 5L, 1L, 1L, 19L, 2L, 105L, 2L))
   }
 
+  test("chi2Independence: exact cell contributions, zero cells included") {
+    // symmetric 2x2: every cell E=15, dev^2 = 300^2, den = 54000
+    // -> contrib = floor(9e4 * 1e6 / 5.4e4) = 1666666 each
+    val sym = (Seq.fill(10)(("r1", "a")) ++ Seq.fill(20)(("r1", "b")) ++
+      Seq.fill(20)(("r2", "a")) ++ Seq.fill(10)(("r2", "b")))
+      .toDF("src", "lng")
+    val gotSym = Eval.chi2Independence(sym, col("src"), col("lng"))
+      .collect()
+    assert(gotSym.forall(_.getAs[Long]("contrib_micros") == 1666666L))
+    assert(gotSym.forall(_.getAs[Long]("chi2_total_micros") == 6666664L))
+    assert(gotSym.forall(_.getAs[Long]("exp_milli") == 15000L))
+    // zero cell (r1, b) must appear with its expected count
+    val z = (Seq.fill(2)(("r1", "a")) ++ Seq(("r2", "a"), ("r2", "b")))
+      .toDF("src", "lng")
+    val zero = Eval.chi2Independence(z, col("src"), col("lng"))
+      .filter(col("r") === "r1" && col("c") === "b").head()
+    assert((zero.getAs[Long]("obs"), zero.getAs[Long]("exp_milli"),
+      zero.getAs[Long]("contrib_micros")) == (0L, 500L, 500000L))
+  }
+
   test("truncationRecall: prefix ranking diverges from full ranking") {
     // probe v0 = [1, 0]; full-cosine top-2 is {v3, v1} (v3's tiny
     // negative tail beats v1's), but the 1-dim prefix ranks all of
