@@ -55,4 +55,55 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Key-skew profile — the report that decides whether a shuffle on
+    * `keyCol` needs [[saltedCountSum]]/[[saltedJoin]] at all: exact
+    * key-size percentiles, the hottest key's share, and the Gini
+    * coefficient of the key-size distribution, all integer-exact.
+    * One row: n_keys, n_rows, top1_cnt, top1_permille, p50_cnt,
+    * p99_cnt, gini_permille.
+    *
+    * Gini over ascending key sizes without sorting keys: on the
+    * count-of-counts histogram (k keys of size v, cumulative keys K
+    * through the bucket), the sorted-index identity collapses to
+    * sum(v * k * (2K - k - n_keys)) — bucket-local terms over a
+    * SIZE-DOMAIN-sized frame. Numerator terms reach n_rows * n_keys,
+    * so they accumulate in DECIMAL(38,0) (oracle: HUGEINT).
+    *
+    * Scale posture: one shuffle to key counts (map-side combinable),
+    * then everything runs on the count-of-counts histogram — domain-
+    * sized, like the percentile operators. Nothing else moves.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coc = df.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("k"))
+    val wCum = Window.orderBy(col("cnt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    coc
+      .withColumn("kcum", sum(col("k")).over(wCum))
+      .withColumn("n_keys", sum(col("k")).over(wAll))
+      .withColumn("n_rows", sum(col("cnt") * col("k")).over(wAll))
+      .groupBy(col("n_keys"), col("n_rows"))
+      .agg(
+        max(col("cnt")).as("top1_cnt"),
+        min(when(col("kcum") * 1000 >= col("n_keys") * 500, col("cnt")))
+          .as("p50_cnt"),
+        min(when(col("kcum") * 1000 >= col("n_keys") * 990, col("cnt")))
+          .as("p99_cnt"),
+        sum(col("cnt").cast("decimal(38,0)") * col("k") *
+          (col("kcum") * 2 - col("k") - col("n_keys"))).as("gnum"))
+      .select(
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("top1_cnt").cast("long").as("top1_cnt"),
+        expr("(top1_cnt * 1000) DIV n_rows").as("top1_permille"),
+        col("p50_cnt").cast("long").as("p50_cnt"),
+        col("p99_cnt").cast("long").as("p99_cnt"),
+        expr("""CAST((gnum * 1000) DIV
+               |  (CAST(n_keys AS DECIMAL(38,0)) * n_rows) AS BIGINT)"""
+          .stripMargin).as("gini_permille"))
+  }
 }

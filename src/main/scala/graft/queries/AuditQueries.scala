@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, Eval, Quantize, Scrub, Similarity, TextOps}
+import graft.ops.{Dedup, Eval, Quantize, Scrub, Similarity, Skew, TextOps}
 
 /** Release-audit additions (q132+): the reports a data-release review
   * asks for right before shipping — what would the scrub stage mask,
@@ -556,6 +556,44 @@ object AuditQueries {
           |SELECT r AS source, c AS lang, obs, exp_milli, contrib_micros,
           | CAST(sum(contrib_micros) OVER () AS BIGINT)
           |  AS chi2_total_micros
-          |FROM sc ORDER BY 1, 2""".stripMargin))
+          |FROM sc ORDER BY 1, 2""".stripMargin)),
+
+    // key-skew profile of events.user_id — exact size percentiles,
+    // hottest-key share, and the Gini coefficient of the key-size
+    // distribution, all from the count-of-counts histogram: the
+    // report that decides whether a shuffle needs salting before the
+    // job runs at scale (ops/Skew.scala mitigations).
+    "q145_key_skew" -> Q(
+      (s, dir) => Skew.keySkewProfile(t(s, dir, "events"),
+        col("user_id")),
+      Some(
+        """WITH kc AS MATERIALIZED (
+          | SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+          |coc AS MATERIALIZED (
+          | SELECT cnt, count(*) AS k FROM kc GROUP BY 1),
+          |w AS (
+          | SELECT cnt, k,
+          |  sum(k) OVER (ORDER BY cnt
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kcum,
+          |  sum(k) OVER () AS n_keys,
+          |  sum(cnt * k) OVER () AS n_rows
+          | FROM coc),
+          |a AS (
+          | SELECT CAST(any_value(n_keys) AS BIGINT) AS n_keys,
+          |  CAST(any_value(n_rows) AS BIGINT) AS n_rows,
+          |  CAST(max(cnt) AS BIGINT) AS top1_cnt,
+          |  CAST(min(CASE WHEN kcum * 1000 >= n_keys * 500 THEN cnt END)
+          |   AS BIGINT) AS p50_cnt,
+          |  CAST(min(CASE WHEN kcum * 1000 >= n_keys * 990 THEN cnt END)
+          |   AS BIGINT) AS p99_cnt,
+          |  sum(CAST(cnt AS HUGEINT) * k * (kcum * 2 - k - n_keys))
+          |   AS gnum
+          | FROM w)
+          |SELECT n_keys, n_rows, top1_cnt,
+          | CAST((top1_cnt * 1000) // n_rows AS BIGINT) AS top1_permille,
+          | p50_cnt, p99_cnt,
+          | CAST((gnum * 1000) // (CAST(n_keys AS HUGEINT) * n_rows)
+          |  AS BIGINT) AS gini_permille
+          |FROM a""".stripMargin))
   )
 }

@@ -314,6 +314,23 @@ class AuditOpsSpec extends AnyFunSuite {
       zero.getAs[Long]("contrib_micros")) == (0L, 500L, 500000L))
   }
 
+  test("keySkewProfile: exact gini, percentiles, hottest-key share") {
+    // key sizes ascending: 1, 1, 2, 4 -> n_keys 4, n_rows 8
+    // gini = sum((2i-n-1)*x_i)/(n*sum) = (-3-1+2+12)/32 = 312 permille
+    val df = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val got = Skew.keySkewProfile(df, col("k")).head()
+    assert((got.getAs[Long]("n_keys"), got.getAs[Long]("n_rows"),
+      got.getAs[Long]("top1_cnt"), got.getAs[Long]("top1_permille"),
+      got.getAs[Long]("p50_cnt"), got.getAs[Long]("p99_cnt"),
+      got.getAs[Long]("gini_permille"))
+      == (4L, 8L, 4L, 500L, 1L, 4L, 312L))
+    // uniform keys: gini exactly 0
+    val uni = (1 to 6).map(i => s"k$i").toDF("k")
+    assert(Skew.keySkewProfile(uni, col("k")).head()
+      .getAs[Long]("gini_permille") == 0L)
+  }
+
   test("truncationRecall: prefix ranking diverges from full ranking") {
     // probe v0 = [1, 0]; full-cosine top-2 is {v3, v1} (v3's tiny
     // negative tail beats v1's), but the 1-dim prefix ranks all of
