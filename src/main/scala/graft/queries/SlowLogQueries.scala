@@ -101,9 +101,17 @@ object SlowLogQueries {
         timestamp_micros(expr("ts DIV 1000")).as("tsm"))
   }
 
+  private def sessSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("tsm"),
+        floor(col("value") * 10).cast("long").as("d"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
-      "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _)
+      "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
@@ -501,6 +509,51 @@ object SlowLogQueries {
              |  AS win_start,
              | count(*) AS count, CAST(sum(d) AS BIGINT) AS duration
              |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // streaming SESSION windows — the state shape the fixed/hopping
+    // windows can't express: open per-user sessions that MERGE when a
+    // bridging event arrives across micro-batches. Complete mode, so
+    // end-of-input equals q43's batch session semantics exactly (the
+    // lag/cumsum oracle); production uses append + a real watermark
+    // (state = open sessions, evicted at watermark + gap).
+    "q146_streaming_sessions" -> Q(
+      (s, dir) => {
+        val ev = sessSrc(s, dir)
+        val src = stableStreamSrc(dir, "sess", ev)
+        withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+            .parquet(src)
+          val qn = "graft_stream_sess_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val query = StreamingAnalyzer.sessionizeStream(stream)
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .format("memory")
+            .queryName(qn)
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+          s.table(qn).orderBy(col("user_id"), col("session_start"))
+        }
+      },
+      Some("""WITH e AS (
+             | SELECT user_id, ts, CAST(floor(value*10) AS BIGINT) AS d,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |   THEN 1 ELSE 0 END AS new_sess
+             | FROM events
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             | SELECT user_id, ts, d,
+             |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             | FROM e)
+             |SELECT user_id,
+             | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             | count(*) AS cnt, CAST(sum(d) AS BIGINT) AS dur
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
 
     // §2.10 driver-visible streaming check #3 — watermark-bounded
     // exact dedup: dropDuplicatesWithinWatermark on (query, pk) over

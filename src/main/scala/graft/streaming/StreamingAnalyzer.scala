@@ -48,6 +48,32 @@ object StreamingAnalyzer {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("count"), col("duration"))
 
+  /** Gap-merged session windows on a stream: per-user sessions that
+    * extend while events arrive within `gap` of each other — the
+    * streaming form of q43's batch session_window, with the state
+    * store carrying open sessions that MERGE as micro-batches land
+    * (two separate sessions join when a bridging event arrives; this
+    * merge is what distinguishes session state from fixed windows).
+    * Input contract: (user_id, tsm: timestamp, d: long).
+    *
+    * Run in Complete mode here so end-of-input equals the batch
+    * result exactly (update mode is unsupported for session windows);
+    * a production job uses append mode with a real watermark, which
+    * both finalizes sessions and bounds state — per-key open-session
+    * state, evicted at watermark + gap.
+    */
+  def sessionizeStream(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("tsm", watermark)
+      .groupBy(col("user_id"), session_window(col("tsm"), gap).as("w"))
+      .agg(count(lit(1)).as("cnt"), sum(col("d")).as("dur"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("cnt"), col("dur"))
+
   /** Stream-stream interval join: left events matched to right events
     * with the same key whose time falls in (leftTs, leftTs + within].
     * Both sides carry watermarks and the join condition bounds event
