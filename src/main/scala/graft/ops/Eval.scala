@@ -165,6 +165,52 @@ object Eval {
       sum(col("contrib_micros")).over(Window.partitionBy()).cast("long"))
   }
 
+  /** Exact per-group OLS trend (least-squares slope of y over x) in
+    * integer micros — the drift detector: "is this source's document
+    * length (or quality score) sliding as ingestion progresses".
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), reported as
+    * slope_micro = that ratio * 1e6, floored toward zero identically
+    * in both engines via the split-division identity (valid for
+    * negative numerators too, because Spark DIV/% and DuckDB /// %
+    * agree on truncation and sign-of-dividend remainders).
+    *
+    * x is rebased per group to x - min(x) before the sums: the slope
+    * is algebraically shift-invariant, and the rebase is what keeps
+    * n*Sxx inside DECIMAL(38,0)/HUGEINT — exact while
+    * n * span^2 * n < 10^38 (e.g. 10^9 rows over a 10^9 id span).
+    * Groups with zero x-variance report NULL. Output: grp, n, x_span,
+    * mean_y_milli, slope_micro.
+    *
+    * Scale posture: two map-side-combinable aggregations on the group
+    * key (min pass broadcast back, then the moment sums). Nothing
+    * corpus-sized shuffles, no windows.
+    */
+  def olsTrend(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(groupCol.as("grp"), xCol.cast("long").as("x0"),
+        yCol.cast("long").as("y"))
+    val mins = base.groupBy(col("grp")).agg(min(col("x0")).as("xmin"))
+    val m = base.join(broadcast(mins), Seq("grp"))
+      .withColumn("x", col("x0") - col("xmin"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("x")).as("x_span"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+    m.select(col("grp"), col("n").cast("long").as("n"),
+      col("x_span").cast("long").as("x_span"),
+      expr("(sy * 1000) DIV n").as("mean_y_milli"),
+      when(col("den") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          "(num DIV den) * 1000000 + ((num % den) * 1000000) DIV den"))
+        .as("slope_micro"))
+  }
+
   def ksDrift(df: DataFrame, groupCol: Column,
       valueCol: Column): DataFrame = {
     val rows = df.filter(valueCol.isNotNull)

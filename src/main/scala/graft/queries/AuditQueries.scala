@@ -594,6 +594,44 @@ object AuditQueries {
           | p50_cnt, p99_cnt,
           | CAST((gnum * 1000) // (CAST(n_keys AS HUGEINT) * n_rows)
           |  AS BIGINT) AS gini_permille
-          |FROM a""".stripMargin))
+          |FROM a""".stripMargin)),
+
+    // per-source OLS drift trend: exact rational least-squares slope
+    // of n_chars over doc_id (ingestion order proxy) in integer
+    // micros — "is this source's document length sliding". x rebased
+    // per group to keep the moment sums in DECIMAL(38)/HUGEINT
+    // (slope is shift-invariant); split-division floors identically
+    // cross-engine, negatives included (ops/Eval.scala).
+    "q147_source_trend" -> Q(
+      (s, dir) => Eval.olsTrend(t(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some(
+        """WITH b AS (
+          | SELECT source AS grp, doc_id AS x0, n_chars AS y
+          | FROM documents
+          | WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          |mn AS MATERIALIZED (
+          | SELECT grp, min(x0) AS xmin FROM b GROUP BY 1),
+          |m AS MATERIALIZED (
+          | SELECT b.grp, count(*) AS n, max(b.x0 - mn.xmin) AS x_span,
+          |  sum(CAST(b.x0 - mn.xmin AS HUGEINT)) AS sx,
+          |  sum(CAST(b.y AS HUGEINT)) AS sy,
+          |  sum(CAST(b.x0 - mn.xmin AS HUGEINT) * b.y) AS sxy,
+          |  sum(CAST(b.x0 - mn.xmin AS HUGEINT) * (b.x0 - mn.xmin))
+          |   AS sxx
+          | FROM b JOIN mn ON b.grp = mn.grp GROUP BY 1),
+          |d AS (
+          | SELECT grp, n, x_span, sy,
+          |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+          | FROM m)
+          |SELECT grp AS source, CAST(n AS BIGINT) AS n,
+          | CAST(x_span AS BIGINT) AS x_span,
+          | CAST((sy * 1000) // n AS BIGINT) AS mean_y_milli,
+          | CAST(CASE WHEN den = 0 THEN NULL
+          |  ELSE (num // den) * 1000000 + ((num % den) * 1000000) // den
+          |  END AS BIGINT) AS slope_micro
+          |FROM d ORDER BY source""".stripMargin))
   )
 }

@@ -159,6 +159,19 @@ class AuditOpsSpec extends AnyFunSuite {
       .select("threshold", "precision_permille", "recall_permille")
       .orderBy(col("threshold")).collect().toSeq
     assert(s1 == s3)
+    // KS and Gini are distribution statistics: k-fold replication
+    // (every count x3) must leave them bit-identical
+    val kdf = Seq(("g1", 1L), ("g1", 2L), ("g2", 2L), ("g2", 4L))
+      .toDF("g", "v")
+    val krep = kdf.union(kdf).union(kdf)
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      Eval.ksDrift(df, col("g"), col("v"))
+        .select("grp", "ks_permille").orderBy("grp").collect().toSeq
+    assert(ks(kdf) == ks(krep))
+    val sk1 = Skew.keySkewProfile(kdf, col("g")).head()
+    val sk3 = Skew.keySkewProfile(krep, col("g")).head()
+    assert(sk1.getAs[Long]("gini_permille") == sk3.getAs[Long]("gini_permille"))
+    assert(sk1.getAs[Long]("top1_permille") == sk3.getAs[Long]("top1_permille"))
   }
 
   test("winsorizedStats: [0, 1000] clips nothing") {
@@ -312,6 +325,22 @@ class AuditOpsSpec extends AnyFunSuite {
       .filter(col("r") === "r1" && col("c") === "b").head()
     assert((zero.getAs[Long]("obs"), zero.getAs[Long]("exp_milli"),
       zero.getAs[Long]("contrib_micros")) == (0L, 500L, 500000L))
+  }
+
+  test("olsTrend: exact slopes, truncation on negative fractions, flat-x NULL") {
+    val df = Seq(
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),       // slope 2
+      ("frac", 0L, 0L), ("frac", 1L, 1L), ("frac", 2L, 1L), // slope 1/2
+      // x in {0,1,3}, num=-5, den=14: -5e6/14 = -357142.857 -> TRUNC
+      // -357142 (floor would give -357143 — this pins the semantics)
+      ("neg", 0L, 1L), ("neg", 1L, 1L), ("neg", 3L, 0L),
+      ("flat", 7L, 1L), ("flat", 7L, 5L)                    // den 0 -> NULL
+    ).toDF("g", "x", "y")
+    val got = Eval.olsTrend(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        Option(r.getAs[java.lang.Long]("slope_micro"))).toMap
+    assert(got == Map("up" -> Some(2000000L), "frac" -> Some(500000L),
+      "neg" -> Some(-357142L), "flat" -> None))
   }
 
   test("keySkewProfile: exact gini, percentiles, hottest-key share") {
