@@ -165,6 +165,24 @@ object Eval {
       sum(col("contrib_micros")).over(Window.partitionBy()).cast("long"))
   }
 
+  /** Classifier confusion matrix: observed (label, prediction) cells
+    * with counts and the within-label share in permille — the
+    * diagonal is per-class recall. Observed cells only (a full table
+    * with zero cells is [[chi2Independence]]'s job).
+    *
+    * Scale posture: one map-side-combinable aggregation to the
+    * class-catalog-sized cell frame; the share window partitions by
+    * label over that frame.
+    */
+  def confusionMatrix(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame =
+    df.groupBy(labelCol.as("label"), predCol.as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_label",
+        sum(col("n")).over(Window.partitionBy(col("label"))))
+      .select(col("label"), col("pred"), col("n").cast("long").as("n"),
+        expr("(n * 1000) DIV n_label").as("label_permille"))
+
   /** Exact per-group OLS trend (least-squares slope of y over x) in
     * integer micros — the drift detector: "is this source's document
     * length (or quality score) sliding as ingestion progresses".

@@ -632,6 +632,37 @@ object AuditQueries {
           | CAST(CASE WHEN den = 0 THEN NULL
           |  ELSE (num // den) * 1000000 + ((num % den) * 1000000) // den
           |  END AS BIGINT) AS slope_micro
-          |FROM d ORDER BY source""".stripMargin))
+          |FROM d ORDER BY source""".stripMargin)),
+
+    // language-ID confusion matrix: the labeled lang column against
+    // the fused lang_predict kernel's verdict — per-class recall on
+    // the diagonal, in permille. The oracle re-derives the marker
+    // argmax (q20's fragment) and the same share window.
+    "q148_lang_confusion" -> Q(
+      (s, dir) => Eval.confusionMatrix(t(s, dir, "documents"),
+        col("lang"), TextOps.langPredict(col("text")))
+        .withColumnRenamed("label", "lang")
+        .withColumnRenamed("pred", "lang_pred")
+        .orderBy(col("lang"), col("lang_pred")),
+      Some {
+        val toks = OpsQueries.toksSql
+        val scores = TextOps.langMarkers.map { case (l, m) =>
+          l -> (s"len(list_intersect(list_distinct($toks), " +
+            s"[${m.map("'" + _ + "'").mkString(",")}]))")
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val langCase = scores.map { case (l, sc) =>
+          s"WHEN $best > 0 AND $sc = $best THEN '$l'"
+        }.mkString(" ")
+        s"""WITH p AS (
+           | SELECT lang, CASE $langCase ELSE 'und' END AS lang_pred
+           | FROM documents),
+           |g AS MATERIALIZED (
+           | SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2)
+           |SELECT lang, lang_pred, n,
+           | CAST((n * 1000) // (sum(n) OVER (PARTITION BY lang))
+           |  AS BIGINT) AS label_permille
+           |FROM g ORDER BY 1, 2""".stripMargin
+      })
   )
 }

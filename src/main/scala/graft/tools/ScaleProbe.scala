@@ -139,6 +139,34 @@ object ScaleProbe {
           .queryExecution.toRdd.foreach(_ => ())
         println(f"[scale] ${"heavy_hitters"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       }
+      // statistics family (q137/q138/q144/q145/q147): every one
+      // collapses to a domain-, catalog-, or histogram-sized frame
+      // after one scan+shuffle, so wall time must track the scan.
+      // Replication leaves AUC/KS/Gini bit-identical (asserted in
+      // AuditOpsSpec); chi2 contributions scale exactly k-fold.
+      time("group_auc", k) {
+        val sig = docs.select(col("lang"),
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        graft.ops.Eval.groupAuc(
+          sig.select(col("lang"),
+            (col("q.n_distinct") * 2 + col("q.n_stop") * 3).as("s"),
+            when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams"), 1L)
+              .otherwise(0L).as("l")),
+          col("lang"), col("s"), col("l"))
+      }
+      time("ks_drift", k)(graft.ops.Eval.ksDrift(
+        docs, col("source"), col("n_chars")))
+      time("chi2_indep", k)(graft.ops.Eval.chi2Independence(
+        docs, col("source"), col("lang")))
+      time("vocab_richness", k)(TextOps.vocabRichness(
+        docs, col("source"), col("text")))
+      time("encoding_audit", k)(graft.ops.Scrub.encodingAudit(
+        docs, col("text"), col("source")))
+      time("ols_trend", k)(graft.ops.Eval.olsTrend(
+        docs, col("source"), col("doc_id"), col("n_chars")))
+      time("key_skew", k)(graft.ops.Skew.keySkewProfile(
+        docs, pmod(col("doc_id"), lit(997L))))
       graft.Scratch.release()
       docs.unpersist()
     }
@@ -153,6 +181,13 @@ object ScaleProbe {
       emb.count()
       time("quantize_audit", k)(
         graft.ops.Quantize.quantizeAudit(emb, "embedding"))
+      time("embedding_audit", k)(
+        graft.ops.Quantize.embeddingAudit(emb, "embedding"))
+      time("centroid_dist", k)(graft.ops.Quantize.centroidDistances(
+        emb, "embedding", col("label"), dims = 64))
+      // probe count fixed -> cost is nProbes x corpus, linear in k
+      time("trunc_recall", k)(graft.ops.Similarity.truncationRecall(
+        emb, "vec_id", "embedding", nProbes = 10, k = 10, prefixDims = 16))
       emb.unpersist()
     }
     // event-side linear ops: anomaly flags (q103) and the z-order
