@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -663,6 +663,41 @@ object AuditQueries {
            | CAST((n * 1000) // (sum(n) OVER (PARTITION BY lang))
            |  AS BIGINT) AS label_permille
            |FROM g ORDER BY 1, 2""".stripMargin
+      }),
+
+    // cross-validation fold-leakage audit: assign 5 folds by the
+    // portable hash, then count near-dup pairs (q24's MinHash graph)
+    // whose members land in DIFFERENT folds — each such pair leaks
+    // training text into evaluation. The pair scan dominates; the
+    // fold arithmetic rides on the pair frame map-side.
+    "q149_fold_leakage" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("id_a"), col("id_b"))
+        def fold(c: Column) = TextOps.hash32(c.cast("string")) % 5
+        pairs.select(
+          least(fold(col("id_a")), fold(col("id_b"))).as("fold_lo"),
+          greatest(fold(col("id_a")), fold(col("id_b"))).as("fold_hi"))
+          .groupBy(col("fold_lo"), col("fold_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaked",
+            (col("fold_lo") =!= col("fold_hi")).cast("long"))
+          .orderBy(col("fold_lo"), col("fold_hi"))
+      },
+      Some {
+        def h(e: String) =
+          s"(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % 5)"
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |f AS (
+           | SELECT least(${h("id_a")}, ${h("id_b")}) AS fold_lo,
+           |  greatest(${h("id_a")}, ${h("id_b")}) AS fold_hi
+           | FROM pr)
+           |SELECT fold_lo, fold_hi, count(*) AS n_pairs,
+           | CAST(CASE WHEN fold_lo <> fold_hi THEN 1 ELSE 0 END AS BIGINT)
+           |  AS leaked
+           |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       })
   )
 }
