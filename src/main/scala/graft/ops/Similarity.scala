@@ -94,9 +94,21 @@ object Similarity {
     * the IVF/LSH family, q38/q50/q58).
     */
   def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
-      nProbes: Int, k: Int, prefixDims: Int): DataFrame = {
-    require(nProbes >= 1 && k >= 1 && prefixDims >= 1,
-      s"need positive nProbes/k/prefixDims, got ($nProbes, $k, $prefixDims)")
+      nProbes: Int, k: Int, prefixDims: Int): DataFrame =
+    truncRanked(emb, idCol, vecCol, nProbes, prefixDims)
+      .groupBy(col("pid"))
+      .agg(sum(when(col("rf") <= k && col("rt") <= k, 1L).otherwise(0L))
+        .cast("long").as("overlap_at_k"))
+      .select(col("pid"), col("overlap_at_k"),
+        expr(s"(overlap_at_k * 1000) DIV $k").as("overlap_permille"))
+
+  /** Shared frame for the truncation audits: probes x corpus scored
+    * once, ranked by full-dims and prefix-dims cosine.
+    */
+  private def truncRanked(emb: DataFrame, idCol: String, vecCol: String,
+      nProbes: Int, prefixDims: Int): DataFrame = {
+    require(nProbes >= 1 && prefixDims >= 1,
+      s"need positive nProbes/prefixDims, got ($nProbes, $prefixDims)")
     val probes = emb.filter(col(idCol) < nProbes)
       .select(col(idCol).as("pid"), col(vecCol).as("pv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -111,12 +123,71 @@ object Similarity {
           slice(col("pv"), 1, prefixDims)), 6).as("cos_trunc"))
       .withColumn("rf", row_number().over(wF))
       .withColumn("rt", row_number().over(wT))
-      .groupBy(col("pid"))
-      .agg(sum(when(col("rf") <= k && col("rt") <= k, 1L).otherwise(0L))
-        .cast("long").as("overlap_at_k"))
-      .select(col("pid"), col("overlap_at_k"),
-        expr(s"(overlap_at_k * 1000) DIV $k").as("overlap_permille"))
   }
+
+  /** Exact truncated rank-biased overlap (RBO, Webber et al.) at
+    * depth k with persistence p = 9/10, between the full-dims and
+    * prefix-dims rankings per probe:
+    *   RBO@k = (1-p) * sum_{d=1..k} p^(d-1) * A_d / d
+    * where A_d = |top_d(full) ∩ top_d(trunc)|. Unlike overlap@k, RBO
+    * weights agreement at the TOP of the ranking — the metric that
+    * matches what retrieval actually serves.
+    *
+    * Exact integers throughout: an item with ranks (rf, rt) joins the
+    * intersection at depth max(rf, rt), so A_d is a cumulative count;
+    * each term is scaled by 9^(d-1) * 10^(k-d) * (lcm(1..k) / d) —
+    * integer by construction — and the single division to ppm happens
+    * once at the end in DECIMAL(38,0)/HUGEINT. k <= 12 keeps the
+    * scaled terms inside 2^63.
+    *
+    * Scale posture: identical to [[truncationRecall]] — one scored
+    * pass, probe-keyed windows; the depth fan-out is k rows per
+    * retained item (bounded by nProbes * k^2, probe-sized).
+    */
+  /** Exact-integer RBO weights for depth k, persistence 9/10: per-depth
+    * scaled numerators 9^(d-1) * 10^(k-d) * (lcm(1..k)/d) and the
+    * common denominator 10^k * lcm(1..k) — term_d * A_d summed over
+    * depths, divided once by the denominator, IS (1-p)*sum p^(d-1)A_d/d
+    * exactly. Shared with the q150 oracle so both engines scale terms
+    * identically.
+    */
+  def rboWeights(k: Int): (Seq[Long], BigInt) = {
+    require(k >= 1 && k <= 12, s"k must be in [1, 12], got $k")
+    val lcmK = (1 to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val coef = (1 to k).map(d =>
+      (1 until d).foldLeft(1L)((a, _) => a * 9) *
+        (1L to (k - d).toLong).foldLeft(1L)((a, _) => a * 10) *
+        (lcmK / d))
+    (coef, (1 to k).foldLeft(BigInt(1))((a, _) => a * 10) * lcmK)
+  }
+
+  def truncationRbo(emb: DataFrame, idCol: String, vecCol: String,
+      nProbes: Int, k: Int, prefixDims: Int): DataFrame = {
+    val (coef, denom) = rboWeights(k)
+    val coefArr = array(coef.map(lit): _*)
+    val scored = truncRanked(emb, idCol, vecCol, nProbes, prefixDims)
+      .filter(col("rf") <= k && col("rt") <= k)
+      .select(col("pid"),
+        greatest(col("rf"), col("rt")).as("m"))
+      // item joins A_d for every depth d >= m: explode the tail depths
+      .select(col("pid"), explode(sequence(col("m"), lit(k))).as("d"))
+      .groupBy(col("pid"), col("d")).agg(count(lit(1)).as("a_d"))
+      .select(col("pid"),
+        (element_at(coefArr, col("d").cast("int")) * col("a_d"))
+          .as("term"))
+      .groupBy(col("pid"))
+      .agg(sum(col("term").cast("decimal(38,0)")).as("s"))
+      .select(col("pid"),
+        expr(s"CAST((s * 1000000) DIV CAST('$denom' AS DECIMAL(38,0)) " +
+          "AS BIGINT)").as("rbo_ppm"))
+    // a probe whose rankings share NOTHING in the top k emits no rows
+    // above — it must still report rbo_ppm = 0
+    emb.filter(col(idCol) < nProbes).select(col(idCol).as("pid"))
+      .join(scored, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("rbo_ppm"), lit(0L)).as("rbo_ppm"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
 
   /** Brute-force cosine top-k against one query vector (plans as
     * TakeOrderedAndProject).

@@ -698,6 +698,54 @@ object AuditQueries {
            | CAST(CASE WHEN fold_lo <> fold_hi THEN 1 ELSE 0 END AS BIGINT)
            |  AS leaked
            |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // exact rank-biased overlap (p = 9/10) between the full-64-dim
+    // and 16-dim-prefix rankings per probe — q143's overlap@10
+    // weighted toward the TOP of the ranking, where retrieval
+    // actually serves. Integer throughout: shared scaled weights
+    // (Similarity.rboWeights) on both engines, one ppm division at
+    // the end in DECIMAL(38)/HUGEINT.
+    "q150_truncation_rbo" -> Q(
+      (s, dir) => Similarity.truncationRbo(t(s, dir, "embeddings"),
+        "vec_id", "embedding", nProbes = 10, k = 10, prefixDims = 16)
+        .withColumnRenamed("pid", "vec_id")
+        .orderBy(col("vec_id")),
+      Some {
+        val (coef, denom) = Similarity.rboWeights(10)
+        val wt = coef.zipWithIndex
+          .map { case (c, i) => s"(${i + 1}, ${c}::BIGINT)" }.mkString(", ")
+        s"""WITH p AS (
+           | SELECT vec_id AS pid, embedding AS pv FROM embeddings
+           | WHERE vec_id < 10),
+           |sc AS MATERIALIZED (
+           | SELECT p.pid, e.vec_id AS cid,
+           |  round(${OpsQueries.cosSql("e.embedding", "p.pv")}, 6)
+           |   AS cos_full,
+           |  round(${OpsQueries.cosSql("e.embedding", "p.pv", 16)}, 6)
+           |   AS cos_trunc
+           | FROM embeddings e, p WHERE e.vec_id <> p.pid),
+           |r AS (
+           | SELECT pid, cid,
+           |  row_number() OVER (PARTITION BY pid
+           |   ORDER BY cos_full DESC, cid) AS rf,
+           |  row_number() OVER (PARTITION BY pid
+           |   ORDER BY cos_trunc DESC, cid) AS rt
+           | FROM sc),
+           |mh AS (
+           | SELECT pid, unnest(generate_series(greatest(rf, rt), 10)) AS d
+           | FROM r WHERE rf <= 10 AND rt <= 10),
+           |wt(d, c) AS (VALUES $wt),
+           |ad AS (
+           | SELECT pid, d, count(*) AS a_d FROM mh GROUP BY 1, 2),
+           |a AS (
+           | SELECT pid, sum(CAST(a_d AS HUGEINT) * wt.c) AS s
+           | FROM ad JOIN wt ON ad.d = wt.d GROUP BY 1)
+           |SELECT pr.pid AS vec_id,
+           | CAST(COALESCE((a.s * 1000000) // ${denom}::HUGEINT, 0)
+           |  AS BIGINT) AS rbo_ppm
+           |FROM (SELECT DISTINCT pid FROM p) pr LEFT JOIN a USING (pid)
+           |ORDER BY 1""".stripMargin
       })
   )
 }

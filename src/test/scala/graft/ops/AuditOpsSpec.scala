@@ -374,5 +374,15 @@ class AuditOpsSpec extends AnyFunSuite {
       nProbes = 1, k = 2, prefixDims = 1).head()
     assert((got.getAs[Long]("pid"), got.getAs[Long]("overlap_at_k"),
       got.getAs[Long]("overlap_permille")) == (0L, 1L, 500L))
+    // same fixture, RBO@2 p=9/10: A_1 = 0 (tops disagree), A_2 = 1
+    // -> (1/10)(0 + 0.9 * 1/2) = 0.045 -> 45000 ppm
+    val rbo = Similarity.truncationRbo(df, "vec_id", "embedding",
+      nProbes = 1, k = 2, prefixDims = 1).head()
+    assert(rbo.getAs[Long]("rbo_ppm") == 45000L)
+    // identical rankings (prefix == full dims): truncated RBO@k is
+    // exactly 1 - p^k = 0.19 for k=2
+    val same = Similarity.truncationRbo(df, "vec_id", "embedding",
+      nProbes = 1, k = 2, prefixDims = 2).head()
+    assert(same.getAs[Long]("rbo_ppm") == 190000L)
   }
 }
