@@ -242,9 +242,11 @@ object Eval {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wG = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the global histogram is value-DOMAIN-sized at any corpus scale —
+    // broadcast it so the windowed group frame keeps its grp layout
     val joined = gHist
       .withColumn("cum_g", sum(col("cnt")).over(wG))
-      .join(aHist, Seq("v"))
+      .join(broadcast(aHist), Seq("v"))
     val totals = gHist.groupBy(col("grp"))
       .agg(sum(col("cnt")).cast("long").as("n_g"))
       .withColumn("n_all",
