@@ -746,6 +746,55 @@ object AuditQueries {
            |  AS BIGINT) AS rbo_ppm
            |FROM (SELECT DISTINCT pid FROM p) pr LEFT JOIN a USING (pid)
            |ORDER BY 1""".stripMargin
+      }),
+
+    // corpus novelty growth curve: how many NEW distinct 8-grams each
+    // ingestion decile introduces (first-occurrence decile per gram) —
+    // the diminishing-returns chart that decides whether crawling
+    // MORE of a source is worth it. One gram-keyed shuffle (min is
+    // map-side combinable); the decile frame is 10 rows.
+    "q151_novelty_curve" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id")).as("m"))
+        val firstDec = docs.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) DIV (m + 1)").as("dec"),
+            explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
+          .groupBy(col("gram")).agg(min(col("dec")).as("decile"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstDec.groupBy(col("decile"))
+          .agg(count(lit(1)).as("new_grams"))
+          .withColumn("cum_grams",
+            sum(col("new_grams")).over(wCum).cast("long"))
+          .withColumn("total",
+            sum(col("new_grams")).over(Window.partitionBy()))
+          .select(col("decile"), col("new_grams"), col("cum_grams"),
+            expr("(new_grams * 1000) DIV total").as("share_permille"))
+          .orderBy(col("decile"))
+      },
+      Some {
+        val toks = OpsQueries.toksSql
+        s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |tk AS (SELECT doc_id, $toks AS t FROM documents),
+           |g AS (
+           | SELECT (tk.doc_id * 10) // (mx.m + 1) AS dec,
+           |  unnest(list_distinct(
+           |   list_transform(generate_series(1, len(t) - 7),
+           |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |     || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+           |     || ' ' || t[i+7]))) AS gram
+           | FROM tk, mx),
+           |f AS MATERIALIZED (
+           | SELECT gram, min(dec) AS decile FROM g GROUP BY 1),
+           |c AS (SELECT decile, count(*) AS new_grams FROM f GROUP BY 1)
+           |SELECT decile, new_grams,
+           | CAST(sum(new_grams) OVER (ORDER BY decile
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |  AS cum_grams,
+           | CAST((new_grams * 1000) // (sum(new_grams) OVER ()) AS BIGINT)
+           |  AS share_permille
+           |FROM c ORDER BY decile""".stripMargin
       })
   )
 }
