@@ -749,6 +749,35 @@ object TextOps {
         expr("(winsor_sum * 1000) DIV n"))
   }
 
+  /** Corpus novelty growth curve: how many NEW distinct n-grams each
+    * id-range bucket introduces (first-occurrence bucket per gram) —
+    * the diminishing-returns chart for "is more of this corpus worth
+    * crawling". Buckets are (id * buckets) DIV (max_id + 1), so the
+    * curve follows ingestion order without a sort.
+    *
+    * Scale posture: one gram-keyed shuffle (min is map-side
+    * combinable) off the fused n-gram kernel; the bucket frame is
+    * `buckets` rows. Output: decile, new_grams, cum_grams,
+    * share_permille.
+    */
+  def noveltyCurve(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = df.agg(max(col(idCol)).as("m"))
+    val firstDec = df.crossJoin(broadcast(mx))
+      .select(expr(s"($idCol * $buckets) DIV (m + 1)").as("dec"),
+        explode(ngramsDistinct(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(min(col("dec")).as("decile"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_grams", sum(col("new_grams")).over(wCum).cast("long"))
+      .withColumn("total", sum(col("new_grams")).over(Window.partitionBy()))
+      .select(col("decile"), col("new_grams"), col("cum_grams"),
+        expr("(new_grams * 1000) DIV total").as("share_permille"))
+  }
+
   /** Per-group vocabulary richness with the bias-corrected Chao1
     * estimate of TOTAL (unseen-included) vocabulary:
     * chao1 = D + f1*(f1-1) / (2*(f2+1)), where D = observed distinct

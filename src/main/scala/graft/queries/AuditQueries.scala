@@ -754,25 +754,9 @@ object AuditQueries {
     // MORE of a source is worth it. One gram-keyed shuffle (min is
     // map-side combinable); the decile frame is 10 rows.
     "q151_novelty_curve" -> Q(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val mx = docs.agg(max(col("doc_id")).as("m"))
-        val firstDec = docs.crossJoin(broadcast(mx))
-          .select(expr("(doc_id * 10) DIV (m + 1)").as("dec"),
-            explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
-          .groupBy(col("gram")).agg(min(col("dec")).as("decile"))
-        val wCum = Window.orderBy(col("decile"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        firstDec.groupBy(col("decile"))
-          .agg(count(lit(1)).as("new_grams"))
-          .withColumn("cum_grams",
-            sum(col("new_grams")).over(wCum).cast("long"))
-          .withColumn("total",
-            sum(col("new_grams")).over(Window.partitionBy()))
-          .select(col("decile"), col("new_grams"), col("cum_grams"),
-            expr("(new_grams * 1000) DIV total").as("share_permille"))
-          .orderBy(col("decile"))
-      },
+      (s, dir) => TextOps.noveltyCurve(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, buckets = 10)
+        .orderBy(col("decile")),
       Some {
         val toks = OpsQueries.toksSql
         s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),

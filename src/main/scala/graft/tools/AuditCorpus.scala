@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.{Eval, Scrub, Skew, TextOps}
+
+/** CLI: the pre-release audit battery as ONE job — parquet in, a
+  * directory of audit reports out, one parquet dataset per report plus
+  * a summary JSON. Runs the SAME operators the registry oracle-checks
+  * individually (q134 winsorized lengths, q138 KS drift, q140 Chao1,
+  * q142 encoding hygiene, q144 chi-square, q145 key skew, q147 OLS
+  * trend, q148 lang confusion, q151 novelty curve) — this tool is the
+  * composition a release review actually runs before shipping a
+  * corpus.
+  *
+  * Every report collapses the corpus to a catalog-, domain-, or
+  * histogram-sized frame in one pass (the ops document their scale
+  * posture); the input is read ONCE and cached across reports, and
+  * nothing data-sized reaches the driver.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.AuditCorpus <in.parquet> <outDir>
+  *     [--id doc_id] [--text text] [--source source] [--lang lang]"
+  *
+  * The lang-dependent reports (chi2, confusion) are skipped when the
+  * corpus has no lang column.
+  */
+object AuditCorpus {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-audit")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic body (tests pass their own session). Returns
+    * (report name, row count) per written report.
+    */
+  def run(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: AuditCorpus <in.parquet> <outDir> [flags]")
+    val in = args(0)
+    val out = args(1)
+    val flags = args.drop(2).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val idCol = flags.getOrElse("id", "doc_id")
+    val textCol = flags.getOrElse("text", "text")
+    val srcCol = flags.getOrElse("source", "source")
+    val langCol = flags.getOrElse("lang", "lang")
+    GraftSession.tune(spark)
+
+    val docs = graft.Scratch.cache(spark.read.parquet(in)
+      .withColumn("_len", length(col(textCol)).cast("long")))
+    val written = Seq.newBuilder[(String, Long)]
+    def report(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      val n = spark.read.parquet(s"$out/$name").count()
+      written += (name -> n)
+      System.err.println(
+        f"[graft-audit] $name%-18s $n%6d rows ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+
+    report("encoding", Scrub.encodingAudit(docs, col(textCol), col(srcCol)))
+    report("length_winsorized", TextOps.winsorizedStats(
+      docs, col(srcCol), col("_len"), 50, 950))
+    report("length_ks", Eval.ksDrift(docs, col(srcCol), col("_len")))
+    report("vocab_richness", TextOps.vocabRichness(
+      docs, col(srcCol), col(textCol)))
+    report("key_skew", Skew.keySkewProfile(docs, col(srcCol)))
+    report("length_trend", Eval.olsTrend(
+      docs, col(srcCol), col(idCol), col("_len")))
+    report("novelty_curve", TextOps.noveltyCurve(docs, idCol, textCol))
+    if (docs.columns.contains(langCol)) {
+      report("chi2_source_lang", Eval.chi2Independence(
+        docs, col(srcCol), col(langCol)))
+      report("lang_confusion", Eval.confusionMatrix(
+        docs, col(langCol), TextOps.langPredict(col(textCol))))
+    }
+
+    val res = written.result()
+    val summary = spark.createDataFrame(res.zipWithIndex.map {
+      case ((name, n), i) => (i, name, n)
+    }).toDF("ord", "report", "rows")
+    summary.coalesce(1).write.mode("overwrite").json(s"$out/summary")
+    docs.unpersist()
+    res
+  }
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class AuditCorpusSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "AuditCorpusSpec")
+
+  test("audit battery e2e: all reports written, counts coherent") {
+    val out = Files.createTempDirectory("graft_audit_out").toString
+    val res = AuditCorpus.run(spark, Array(
+      "/root/testdata/sf0.001/documents.parquet", out)).toMap
+
+    val nSources = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("source").distinct().count()
+    // per-source reports carry one row per source
+    assert(res("encoding") == nSources)
+    assert(res("vocab_richness") == nSources)
+    assert(res("length_trend") == nSources)
+    assert(res("key_skew") == 1L)
+    assert(res("novelty_curve") >= 1L && res("novelty_curve") <= 10L)
+    // lang column exists in the fixture -> lang reports present
+    assert(res.contains("chi2_source_lang") && res.contains("lang_confusion"))
+    // summary json lists every report
+    val summary = spark.read.json(s"$out/summary")
+    assert(summary.count() == res.size)
+    // encoding audit totals must equal the corpus doc count
+    val nDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .where("text IS NOT NULL").count()
+    val audited = spark.read.parquet(s"$out/encoding")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(audited == nDocs)
+  }
+}
