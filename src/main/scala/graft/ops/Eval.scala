@@ -165,6 +165,37 @@ object Eval {
       sum(col("contrib_micros")).over(Window.partitionBy()).cast("long"))
   }
 
+  /** Per-group Pearson correlation of two numeric columns. The moment
+    * sums accumulate EXACTLY in DECIMAL(38,0)/HUGEINT (one
+    * map-side-combinable pass); only the final
+    * num / sqrt(denx * deny) happens in double, rounded to 6 places —
+    * the same cross-engine double contract the cosine queries pin
+    * (identical integer inputs + identical IEEE op order = identical
+    * bits). Zero-variance groups report NULL. Output: grp, n, corr.
+    */
+  def pearson(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame =
+    df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(groupCol.as("grp"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("denx", expr("n * sxx - sx * sx"))
+      .withColumn("deny", expr("n * syy - sy * sy"))
+      .select(col("grp"), col("n").cast("long").as("n"),
+        when(col("denx") === 0 || col("deny") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            sqrt(col("denx").cast("double") * col("deny").cast("double")),
+            6))
+          .as("corr"))
+
   /** Classifier confusion matrix: observed (label, prediction) cells
     * with counts and the within-label share in permille — the
     * diagonal is per-class recall. Observed cells only (a full table

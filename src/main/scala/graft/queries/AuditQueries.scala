@@ -748,6 +748,56 @@ object AuditQueries {
            |ORDER BY 1""".stripMargin
       }),
 
+    // per-source Pearson correlation between document length and the
+    // q21 quality score — "does this source's quality ride on length"
+    // (a filter tuned on one collapses on the other if |corr| is
+    // high). Moments exact in DECIMAL(38)/HUGEINT; the single final
+    // double division/sqrt rounds to 6 like the cosine family.
+    "q152_length_quality_corr" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          col("n_chars"),
+          TextOps.qualitySignals(col("text")).as("q"))
+          .select(col("source"), col("n_chars"),
+            (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+              when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"))
+        Eval.pearson(d, col("source"), col("n_chars"), col("score"))
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH tk AS (
+          | SELECT source, n_chars,
+          |  list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents WHERE text IS NOT NULL),
+          |sc AS (
+          | SELECT source, CAST(n_chars AS BIGINT) AS x,
+          |  CAST(CAST(len(list_distinct(t)) AS INTEGER) * 2 +
+          |   CAST(len(list_intersect(list_distinct(t),
+          |    ['the','a','of','and','to','in','is'])) AS INTEGER) * 3 -
+          |   CASE WHEN CAST(list_aggregate(list_transform(t,
+          |     x -> length(x)), 'max') AS INTEGER) > 12
+          |    THEN 5 ELSE 0 END AS BIGINT) AS y
+          | FROM tk
+          | WHERE n_chars IS NOT NULL),
+          |m AS (
+          | SELECT source, count(*) AS n,
+          |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+          |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+          |  sum(CAST(y AS HUGEINT) * y) AS syy
+          | FROM sc GROUP BY 1),
+          |d AS (
+          | SELECT source, n, n * sxy - sx * sy AS num,
+          |  n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny
+          | FROM m)
+          |SELECT source, CAST(n AS BIGINT) AS n,
+          | CASE WHEN denx = 0 OR deny = 0 THEN NULL
+          |  ELSE round(CAST(num AS DOUBLE) /
+          |   sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6)
+          | END AS corr
+          |FROM d ORDER BY source""".stripMargin)),
+
     // corpus novelty growth curve: how many NEW distinct 8-grams each
     // ingestion decile introduces (first-occurrence decile per gram) —
     // the diminishing-returns chart that decides whether crawling

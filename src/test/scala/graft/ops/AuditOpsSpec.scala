@@ -327,6 +327,21 @@ class AuditOpsSpec extends AnyFunSuite {
       zero.getAs[Long]("contrib_micros")) == (0L, 500L, 500000L))
   }
 
+  test("pearson: perfect / inverted / uncorrelated / degenerate groups") {
+    val df = Seq(
+      ("pos", 1L, 10L), ("pos", 2L, 20L), ("pos", 3L, 30L), // corr 1
+      ("neg", 1L, 3L), ("neg", 2L, 2L), ("neg", 3L, 1L),    // corr -1
+      // symmetric V shape: num = 0 -> corr 0
+      ("zero", 1L, 1L), ("zero", 2L, 0L), ("zero", 3L, 1L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L)                    // deny 0 -> NULL
+    ).toDF("g", "x", "y")
+    val got = Eval.pearson(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("grp") ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(got == Map("pos" -> Some(1.0), "neg" -> Some(-1.0),
+      "zero" -> Some(0.0), "flat" -> None))
+  }
+
   test("olsTrend: exact slopes, truncation on negative fractions, flat-x NULL") {
     val df = Seq(
       ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),       // slope 2
