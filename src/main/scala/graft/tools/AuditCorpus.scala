@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Eval, Scrub, Skew, TextOps}
+import graft.ops.{Eval, Quantize, Scrub, Similarity, Skew, TextOps}
 
 /** CLI: the pre-release audit battery as ONE job — parquet in, a
   * directory of audit reports out, one parquet dataset per report plus
@@ -22,10 +22,14 @@ import graft.ops.{Eval, Scrub, Skew, TextOps}
   *
   * Usage:
   *   sbt "runMain graft.tools.AuditCorpus <in.parquet> <outDir>
-  *     [--id doc_id] [--text text] [--source source] [--lang lang]"
+  *     [--id doc_id] [--text text] [--source source] [--lang lang]
+  *     [--embeddings e.parquet] [--vec embedding] [--vec-id vec_id]
+  *     [--vec-label label] [--dims 64]"
   *
   * The lang-dependent reports (chi2, confusion) are skipped when the
-  * corpus has no lang column.
+  * corpus has no lang column; the vector reports (per-vector audit,
+  * centroid distances, truncation recall) run only when --embeddings
+  * is given.
   */
 object AuditCorpus {
   def main(args: Array[String]): Unit = {
@@ -83,6 +87,21 @@ object AuditCorpus {
         docs, col(srcCol), col(langCol)))
       report("lang_confusion", Eval.confusionMatrix(
         docs, col(langCol), TextOps.langPredict(col(textCol))))
+    }
+
+    flags.get("embeddings").foreach { embPath =>
+      val vecCol = flags.getOrElse("vec", "embedding")
+      val vecId = flags.getOrElse("vec-id", "vec_id")
+      val labelCol = flags.getOrElse("vec-label", "label")
+      val dims = flags.getOrElse("dims", "64").toInt
+      val emb = graft.Scratch.cache(spark.read.parquet(embPath))
+      report("embedding_audit", Quantize.embeddingAudit(emb, vecCol))
+      if (emb.columns.contains(labelCol))
+        report("centroid_distances", Quantize.centroidDistances(
+          emb, vecCol, col(labelCol), dims))
+      report("truncation_recall", Similarity.truncationRecall(
+        emb, vecId, vecCol, nProbes = 10, k = 10, prefixDims = dims / 4))
+      emb.unpersist()
     }
 
     val res = written.result()

@@ -13,7 +13,11 @@ class AuditCorpusSpec extends AnyFunSuite {
   test("audit battery e2e: all reports written, counts coherent") {
     val out = Files.createTempDirectory("graft_audit_out").toString
     val res = AuditCorpus.run(spark, Array(
-      "/root/testdata/sf0.001/documents.parquet", out)).toMap
+      "/root/testdata/sf0.001/documents.parquet", out,
+      "--embeddings", "/root/testdata/sf0.001/embeddings.parquet")).toMap
+    // vector reports present and probe-shaped
+    assert(res("truncation_recall") == 10L)
+    assert(res("centroid_distances") == 45L) // C(10,2) label pairs
 
     val nSources = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
