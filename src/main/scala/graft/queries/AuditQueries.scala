@@ -748,6 +748,66 @@ object AuditQueries {
            |ORDER BY 1""".stripMargin
       }),
 
+    // per-event-type inter-arrival gap profile: per-user lag gaps in
+    // whole seconds ((ts, event_id)-tie-broken, q129's ordering),
+    // winsorized [5%, 95%] on the gap-domain histogram — the
+    // operational "how bursty is this event stream" report. The lag
+    // window shuffles once on user_id; the percentile machinery runs
+    // on the domain-sized histogram (q134's operator).
+    "q153_interarrival" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        val gaps = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            expr("ts DIV 1000").as("tsu"))
+          .withColumn("prev", lag(col("tsu"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("event_type"),
+            expr("(tsu - prev) DIV 1000000").as("gap_s"))
+        TextOps.winsorizedStats(gaps, col("event_type"), col("gap_s"),
+          loPermille = 50, hiPermille = 950)
+          .withColumnRenamed("grp", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH e AS (
+          | SELECT user_id, event_id, event_type,
+          |  epoch_ns(ts) // 1000 AS tsu
+          | FROM events),
+          |g AS (
+          | SELECT event_type,
+          |  (tsu - lag(tsu) OVER (PARTITION BY user_id
+          |    ORDER BY tsu, event_id)) // 1000000 AS v
+          | FROM e),
+          |hist AS MATERIALIZED (
+          | SELECT event_type, v, count(*) AS cnt
+          | FROM g WHERE v IS NOT NULL GROUP BY 1, 2),
+          |h AS (
+          | SELECT event_type, v, cnt,
+          |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |  sum(cnt) OVER (PARTITION BY event_type) AS n
+          | FROM hist),
+          |cuts AS MATERIALIZED (
+          | SELECT event_type, max(n) AS n,
+          |  min(CASE WHEN cum * 1000 >= n * 50 THEN v END) AS lo_cut,
+          |  min(CASE WHEN cum * 1000 >= n * 950 THEN v END) AS hi_cut
+          | FROM h GROUP BY 1)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+          | CAST(max(lo_cut) AS BIGINT) AS lo_cut,
+          | CAST(max(hi_cut) AS BIGINT) AS hi_cut,
+          | CAST(sum(greatest(least(v, hi_cut), lo_cut) * cnt) AS BIGINT)
+          |  AS winsor_sum,
+          | CAST(sum(CASE WHEN v < lo_cut THEN cnt ELSE 0 END) AS BIGINT)
+          |  AS clipped_lo,
+          | CAST(sum(CASE WHEN v > hi_cut THEN cnt ELSE 0 END) AS BIGINT)
+          |  AS clipped_hi,
+          | CAST(sum(greatest(least(v, hi_cut), lo_cut) * cnt) * 1000
+          |  // max(n) AS BIGINT) AS winsor_mean_permille
+          |FROM hist JOIN cuts USING (event_type) GROUP BY event_type
+          |ORDER BY event_type""".stripMargin)),
+
     // per-source Pearson correlation between document length and the
     // q21 quality score — "does this source's quality ride on length"
     // (a filter tuned on one collapses on the other if |corr| is
