@@ -748,6 +748,41 @@ object AuditQueries {
            |ORDER BY 1""".stripMargin
       }),
 
+    // Count-Min-Sketch accuracy verdict — the q42/q104 pattern for
+    // Spark's built-in count_min_sketch: exact per-key counts plus an
+    // integer flag that the sketch estimate sits in [exact,
+    // exact + eps*N] (one-sided error by construction; deterministic
+    // at a fixed seed). The sketch is a mergeable binary aggregate —
+    // the cluster-scale path for frequency estimates without a
+    // key-space shuffle; the estimate probe reads the ONE sketch row
+    // driver-side against the catalog-sized key list.
+    "q154_cms_verdict" -> Q(
+      (s, dir) => {
+        import org.apache.spark.util.sketch.CountMinSketch
+        val ev = t(s, dir, "events")
+        val eps = 0.001
+        val bytes = ev.select(
+          expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")
+            .as("sk")).head().getAs[Array[Byte]]("sk")
+        val cms = CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("exact_cnt"))
+        val n = ev.count()
+        val bound = udf((k: String, ex: Long) => {
+          val est = cms.estimateCount(k)
+          if (est >= ex && est <= ex + (eps * n).toLong + 1) 1L else 0L
+        })
+        exact.select(col("event_type"),
+          col("exact_cnt").cast("long").as("exact_cnt"),
+          bound(col("event_type"), col("exact_cnt")).as("within_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """SELECT event_type, count(*) AS exact_cnt,
+          | CAST(1 AS BIGINT) AS within_bound
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // per-event-type inter-arrival gap profile: per-user lag gaps in
     // whole seconds ((ts, event_id)-tie-broken, q129's ordering),
     // winsorized [5%, 95%] on the gap-domain histogram — the
