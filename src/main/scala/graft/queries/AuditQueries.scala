@@ -748,6 +748,51 @@ object AuditQueries {
            |ORDER BY 1""".stripMargin
       }),
 
+    // morphological collapse ratio: vocabulary size before/after a
+    // crude deterministic suffix strip ((ing|ed|es|s)$ on tokens
+    // longer than 4 chars) per language — the signal for whether a
+    // stemmed index is worth building. Two distinct-aggregations on
+    // DIFFERENT columns stay SEPARATE passes over the cached distinct
+    // (lang, token) table (q42's Expand lesson), meeting in a
+    // catalog-sized join.
+    "q155_stem_collapse" -> Q(
+      (s, dir) => {
+        val base = graft.Scratch.cache(t(s, dir, "documents")
+          .select(col("lang"),
+            explode(TextOps.tokens(col("text"))).as("token"))
+          .distinct())
+        val stem = when(length(col("token")) > 4,
+          regexp_replace(col("token"), "(ing|ed|es|s)$", ""))
+          .otherwise(col("token"))
+        val vocab = base.groupBy(col("lang"))
+          .agg(count(lit(1)).as("vocab"))
+        val stems = base.select(col("lang"), stem.as("s")).distinct()
+          .groupBy(col("lang")).agg(count(lit(1)).as("stems"))
+        vocab.join(broadcast(stems), Seq("lang"))
+          .select(col("lang"), col("vocab").cast("long").as("vocab"),
+            col("stems").cast("long").as("stems"),
+            expr("((vocab - stems) * 1000) DIV vocab")
+              .as("collapse_permille"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        """WITH base AS MATERIALIZED (
+          | SELECT DISTINCT lang,
+          |  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          |   AS token
+          | FROM documents),
+          |v AS (SELECT lang, count(*) AS vocab FROM base GROUP BY 1),
+          |st AS (
+          | SELECT lang, count(DISTINCT CASE WHEN length(token) > 4
+          |  THEN regexp_replace(token, '(ing|ed|es|s)$', '')
+          |  ELSE token END) AS stems
+          | FROM base GROUP BY 1)
+          |SELECT lang, CAST(vocab AS BIGINT) AS vocab,
+          | CAST(stems AS BIGINT) AS stems,
+          | CAST(((vocab - stems) * 1000) // vocab AS BIGINT)
+          |  AS collapse_permille
+          |FROM v JOIN st USING (lang) ORDER BY lang""".stripMargin)),
+
     // Count-Min-Sketch accuracy verdict — the q42/q104 pattern for
     // Spark's built-in count_min_sketch: exact per-key counts plus an
     // integer flag that the sketch estimate sits in [exact,
