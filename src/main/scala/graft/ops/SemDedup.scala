@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+  * coarse-cluster the embedding space with k-means, then prune
+  * within each cluster the vectors whose cosine to an earlier-kept
+  * member exceeds a threshold. Surface-level dedup (MinHash over
+  * shingles, [[Dedup]]) cannot see paraphrases; this operator works
+  * purely in the embedding modality, and the cluster structure keeps
+  * the comparison budget at ~N/k per cell instead of all-pairs.
+  *
+  * Everything the CLUSTERING decides is computed in exact fixed-point
+  * integer arithmetic so an independent engine reproduces it
+  * bit-for-bit (the [[Quantize]] discipline): vectors map to micros
+  * (floor(double(v) * 1e6) — exact for float32 inputs), assignment
+  * minimizes the integer squared L2 distance with ties to the lowest
+  * centroid id, and centroid updates are truncating integer means
+  * (Spark DIV == DuckDB // , negatives included). Lloyd iterations
+  * are deterministic and UNROLLED in the oracle as CTE chains — the
+  * same pattern as the BPE-learning oracle. The final prune re-reads
+  * the original float vectors and uses the session's proven
+  * round(cosine, 6) cross-engine contract.
+  *
+  * Determinism choices (documented contract, mirrored by the oracle):
+  *   - init: the k lowest-id vectors are the seed centroids;
+  *   - an empty cluster keeps its previous centroid;
+  *   - "earlier-kept" is simply lower id — doc a is dropped iff SOME
+  *     lower-id doc in the same cluster has round(cos, 6) >= tau.
+  *     (The greedy chain variant — only kept docs can drop others —
+  *     needs a sequential scan per cluster; the lower-id rule is the
+  *     standard order-free simplification and errs on dropping more.)
+  *
+  * 100 TB posture: each Lloyd round is one narrow corpus pass — the
+  * per-row distance math is a k x dims fused expression over
+  * broadcast-literal centroids (no join, no shuffle), and the update
+  * collapses map-side to (k x dims) partial sums; only
+  * catalog-sized statistics reach the driver (same posture as
+  * [[Similarity.ivfCentroids]]). The prune self-joins WITHIN cluster
+  * cells only: pick k ~ N/target_cell so cells stay bounded, and the
+  * join shuffles (cluster, id, vec) once on the cluster key. Cell
+  * skew at extreme scale: sub-block hot cells with sign-LSH
+  * ([[Similarity.nearDupPairs]]) — composition, not a new operator.
+  * Overflow: |micros| <= ~2^21 for unit-scale floats, so a per-dim
+  * squared difference is < 2^44 and a 4096-dim distance < 2^56;
+  * per-(cluster, dim) sums hold to ~2^41 rows per cluster.
+  */
+object SemDedup {
+
+  /** Exact fixed-point micros vector of a float-array column. */
+  def microsVec(vecCol: Column): Column =
+    transform(vecCol, v => Quantize.micros(v).cast("long"))
+
+  /** Integer squared-L2 distance between a micros-vector column and a
+    * literal centroid.
+    */
+  private def dist2(mv: Column, c: Array[Long]): Column =
+    aggregate(zip_with(mv, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid id (min integer distance, ties to the lowest
+    * centroid id) as a column over broadcast-literal centroids:
+    * array_position finds the FIRST index holding the minimum, which
+    * is exactly the lowest-j tie-break.
+    */
+  private def assignExpr(mv: Column, cents: Array[Array[Long]]): Column = {
+    val ds = array(cents.map(c => dist2(mv, c)).toSeq: _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Deterministic fixed-point Lloyd: k seed centroids (the k
+    * lowest-id vectors, in id order), `iters` rounds of
+    * assign + truncating-integer-mean update. Returns the final
+    * centroids indexed 0..k-1. Only (k x dims) longs ever reach the
+    * driver.
+    */
+  def fixedPointCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
+    val base = df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
+        microsVec(col(vecCol)).as("mv"))
+    var cents: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
+      .select(col("mv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    (0 until iters).foreach { _ =>
+      val sums = base
+        .select(assignExpr(col("mv"), cents).as("j"),
+          posexplode(col("mv")).as(Seq("i", "m")))
+        .groupBy(col("j"), col("i"))
+        .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j) match {
+          case None => old // empty cluster keeps its centroid
+          case Some(rows) =>
+            val v = new Array[Long](dims)
+            // Long / truncates toward zero == Spark DIV == DuckDB //
+            rows.foreach(r => v(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+            v
+        }
+      }
+    }
+    cents
+  }
+
+  /** Per-vector SemDeDup verdict: (id, cluster, dropped) for every
+    * `dims`-dimensional vector, where dropped = 1 iff a lower-id
+    * vector in the same k-means cluster has round(cosine, 6) >= tau.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = fixedPointCentroids(df, idCol, vecCol, k, dims, iters)
+    // cached: the output frame plus both sides of the in-cluster join
+    val assigned = graft.Scratch.cache(df
+      .filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("cluster", assignExpr(microsVec(col("v")), cents)))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_b") < col("id_a"))
+      .filter(round(Similarity.cosine(col("v_a"), col("v_b")), 6) >= tau)
+      .select(col("id_a").as("id")).distinct()
+      .withColumn("dropped", lit(1L))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("dropped"), lit(0L)).as("dropped"))
+  }
+}

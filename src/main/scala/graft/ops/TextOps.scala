@@ -804,4 +804,52 @@ object TextOps {
         expr("d_observed + (f1 * (f1 - 1)) DIV (2 * (f2 + 1))"))
       .select(col("grp"), col("n_tokens"), col("d_observed"),
         col("f1"), col("f2"), col("chao1"))
+
+  /** Hashed-n-gram importance weights (the DSIR recipe, Xie et al.
+    * 2023): score every document by how target-like its content
+    * distribution is, using hashed bigram features — the selection
+    * signal for skewing a raw crawl toward a target domain WITHOUT a
+    * trained classifier. Each bigram occurrence hashes into one of
+    * `buckets` feature buckets; the per-bucket score is a smoothed
+    * target-share estimate in ppm,
+    *   score(b) = ((tgt_cnt + 1) * 1e6) DIV (all_cnt + 2),
+    * i.e. P(target | bucket) with add-one smoothing — DSIR's
+    * log-likelihood-ratio is replaced by this rational share so both
+    * engines agree bit-for-bit (no transcendental log cross-engine).
+    * A document's weight is the sum of its occurrences' bucket
+    * scores; w_avg (integer mean) is the resampling score, and
+    * `selected` applies a fixed threshold deterministic across
+    * engines (swap for q126's weighted reservoir to sample instead
+    * of cut).
+    *
+    * 100 TB posture: two narrow passes over the exploded bigrams —
+    * a bucket-keyed aggregate whose output is `buckets` rows
+    * (map-side combinable, broadcast back), and a doc-keyed
+    * aggregate joined against that broadcast. Nothing corpus-sized
+    * shuffles on a non-doc key. Overflow: (tgt_cnt + 1) * 1e6 needs
+    * tgt_cnt < 9.2e12 occurrences PER BUCKET — at a trillion-bigram
+    * corpus size the bucket counts approach that only if `buckets`
+    * is tiny; widen to DECIMAL(38,0)/HUGEINT past it. Docs with no
+    * bigram (< 2 tokens) carry no evidence and are absent from the
+    * output — a length floor upstream is the usual companion.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int, selectThreshold: Long): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def ex = df.select(col(idCol).as("id"),
+      isTarget.cast("long").as("tgt"),
+      explode(ngrams(col(textCol), 2)).as("g"))
+      .select(col("id"), col("tgt"),
+        pmod(hash32(col("g")), lit(buckets.toLong)).as("b"))
+    val score = ex.groupBy(col("b"))
+      .agg(sum(col("tgt")).as("t"), count(lit(1)).as("r"))
+      .select(col("b"), expr("((t + 1) * 1000000) DIV (r + 2)").as("score"))
+    ex.join(broadcast(score), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("score")).as("w_sum"))
+      .select(col("id"), col("n_grams"), col("w_sum"),
+        expr("w_sum DIV n_grams").as("w_avg"))
+      .withColumn("selected",
+        (col("w_avg") >= selectThreshold).cast("long"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, Eval, Quantize, Scrub, Similarity, Skew, TextOps}
+import graft.ops.{Dedup, Eval, Quantize, Scrub, SemDedup, Similarity, Skew, TextOps}
 
 /** Release-audit additions (q132+): the reports a data-release review
   * asks for right before shipping — what would the scrub stage mask,
@@ -969,6 +969,106 @@ object AuditQueries {
            | CAST((new_grams * 1000) // (sum(new_grams) OVER ()) AS BIGINT)
            |  AS share_permille
            |FROM c ORDER BY decile""".stripMargin
-      })
+      }),
+
+    // SemDeDup: fixed-point k-means coarse clustering (2 Lloyd rounds
+    // unrolled in the oracle as CTE chains, the BPE pattern) + within-
+    // cluster cosine pruning against lower-id members. Every cluster
+    // decision is integer-exact; the prune reuses the round(cos, 6)
+    // contract. The oracle replays the ENTIRE Lloyd trajectory — a
+    // hash match proves assignment, update, empty-cluster, and
+    // tie-break semantics all agree bit-for-bit.
+    "q156_semantic_dedup" -> Q(
+      (s, dir) => SemDedup.semanticDedup(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, dims = 64, iters = 2, tau = 0.25)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id")),
+      Some {
+        def d(cent: String) =
+          s"""SELECT ex.id, c.j, sum((ex.m - c.c) * (ex.m - c.c)) AS d
+             |  FROM ex JOIN $cent c USING (i) GROUP BY 1, 2""".stripMargin
+        def a(dist: String) =
+          s"""SELECT id, j FROM (
+             |  SELECT id, j, row_number() OVER (
+             |   PARTITION BY id ORDER BY d, j) AS rn FROM $dist)
+             |  WHERE rn = 1""".stripMargin
+        def u(assign: String) =
+          s"""SELECT $assign.j, ex.i,
+             |  CAST(sum(ex.m) AS BIGINT) // count(*) AS c
+             |  FROM $assign JOIN ex USING (id) GROUP BY 1, 2""".stripMargin
+        def c(upd: String, prev: String) =
+          s"""SELECT * FROM $upd UNION ALL
+             |  SELECT j, i, c FROM $prev
+             |  WHERE j NOT IN (SELECT j FROM $upd)""".stripMargin
+        s"""WITH ex AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS i,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM ex ORDER BY id LIMIT 8)),
+           |c0 AS MATERIALIZED (
+           | SELECT seed.j, ex.i, ex.m AS c FROM ex JOIN seed USING (id)),
+           |d1 AS (${d("c0")}),
+           |a1 AS MATERIALIZED (${a("d1")}),
+           |u1 AS MATERIALIZED (${u("a1")}),
+           |c1 AS MATERIALIZED (${c("u1", "c0")}),
+           |d2 AS (${d("c1")}),
+           |a2 AS MATERIALIZED (${a("d2")}),
+           |u2 AS MATERIALIZED (${u("a2")}),
+           |c2 AS MATERIALIZED (${c("u2", "c1")}),
+           |d3 AS (${d("c2")}),
+           |a3 AS MATERIALIZED (${a("d3")}),
+           |emb AS MATERIALIZED (
+           | SELECT vec_id AS id, embedding FROM embeddings
+           | WHERE len(embedding) = 64),
+           |dup AS (
+           | SELECT DISTINCT a.id FROM a3 a JOIN a3 b
+           |  ON a.j = b.j AND b.id < a.id
+           | JOIN emb ea ON ea.id = a.id
+           | JOIN emb eb ON eb.id = b.id
+           | WHERE round(${OpsQueries.cosSql("ea.embedding", "eb.embedding")},
+           |   6) >= 0.25)
+           |SELECT a3.id AS vec_id, CAST(a3.j AS BIGINT) AS cluster,
+           | CAST(CASE WHEN dup.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           |  AS dropped
+           |FROM a3 LEFT JOIN dup ON dup.id = a3.id
+           |ORDER BY vec_id""".stripMargin
+      }),
+
+    // DSIR importance weights: hashed-bigram bucket scores (smoothed
+    // target share in ppm) summed per doc — target = English docs.
+    // The bucket stats table is feature-space-sized and broadcast;
+    // the oracle replays the identical md5-bucket hash and integer
+    // smoothing.
+    "q157_importance_weights" -> Q(
+      (s, dir) => TextOps.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en",
+        buckets = 4096, selectThreshold = 440000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, lang, ${OpsQueries.toksSql} AS t FROM documents),
+           |f AS MATERIALIZED (
+           | SELECT doc_id AS id,
+           |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+           |  ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b
+           | FROM (SELECT doc_id, lang,
+           |   unnest(list_transform(generate_series(1, len(t) - 1),
+           |    i -> t[i] || ' ' || t[i+1])) AS g FROM tk)),
+           |sc AS MATERIALIZED (
+           | SELECT b, (sum(tgt) + 1) * 1000000 // (count(*) + 2) AS score
+           | FROM f GROUP BY 1),
+           |d AS (
+           | SELECT id, count(*) AS n_grams, sum(score) AS w_sum
+           | FROM f JOIN sc USING (b) GROUP BY 1)
+           |SELECT id AS doc_id, n_grams,
+           | CAST(w_sum AS BIGINT) AS w_sum,
+           | CAST(w_sum // n_grams AS BIGINT) AS w_avg,
+           | CAST(CASE WHEN w_sum // n_grams >= 440000 THEN 1 ELSE 0 END
+           |  AS BIGINT) AS selected
+           |FROM d ORDER BY doc_id""".stripMargin))
   )
 }

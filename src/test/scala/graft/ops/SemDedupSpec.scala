@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+class SemDedupSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "SemDedupSpec")
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("fixed-point centroids: two separated groups converge to integer means") {
+    // group A ~ (1, 0), group B ~ (0, 1); seeds = two lowest ids (one
+    // from each group), so one Lloyd round lands on the exact
+    // truncating integer means of each side.
+    val df = vecs(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f),
+      3L -> Seq(0.9f, 0.1f), 4L -> Seq(0.1f, 0.9f))
+    val cents = SemDedup.fixedPointCentroids(df, "vec_id", "embedding",
+      k = 2, dims = 2, iters = 1)
+    // micros are the float32 value, not the decimal literal:
+    // 0.9f -> 0.8999999761... -> floor 899999; 0.1f -> 0.1000000014...
+    // -> floor 100000. Means truncate: (1000000 + 899999) / 2 = 949999.
+    assert(cents(0).toSeq == Seq(949999L, 50000L))
+    assert(cents(1).toSeq == Seq(50000L, 949999L))
+  }
+
+  test("assignment ties break to the lowest centroid id; empty cluster keeps its seed") {
+    // ids 1 and 2 are identical vectors -> both seed centroids 0 and 1
+    // coincide; every point is equidistant from both, so everything
+    // lands in cluster 0 and cluster 1 goes empty (keeping its seed).
+    val df = vecs(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(1.0f, 0.0f), 3L -> Seq(0.0f, 1.0f))
+    val out = SemDedup.semanticDedup(df, "vec_id", "embedding",
+      k = 3, dims = 2, iters = 2, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(2L)._1)      // identical vectors co-cluster
+    assert(out(1L)._1 != out(3L)._1)      // orthogonal vector separate
+    assert(out(1L)._2 == 0L)              // lowest id kept
+    assert(out(2L)._2 == 1L)              // identical higher id dropped
+    assert(out(3L)._2 == 0L)              // no lower-id near-dup
+  }
+
+  test("prune only fires within a cluster and above tau") {
+    // near-dup pair split across clusters must NOT drop (the SemDeDup
+    // contract: comparisons are per-cell)
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = vecs(1L -> a, 2L -> b, 3L -> b, 4L -> a)
+    val out = SemDedup.semanticDedup(df, "vec_id", "embedding",
+      k = 2, dims = 4, iters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (0L, 0L))
+    assert(out(2L)._2 == 0L)              // first of its cluster: kept
+    assert(out(3L)._1 == out(2L)._1 && out(3L)._2 == 1L)
+    assert(out(4L)._1 == out(1L)._1 && out(4L)._2 == 1L)
+  }
+
+  test("importance weights: smoothed bucket shares, integer-exact") {
+    // two distinct bigrams: "a a" seen once in target + once in raw,
+    // "b b" only in raw. score(aa) = (1+1)*1e6 // (2+2) = 500000;
+    // score(bb) = (0+1)*1e6 // (1+2) = 333333. One-token doc absent.
+    val docs = Seq(
+      (1L, "a a", "en"), (2L, "b b", "fr"), (3L, "a a", "fr"),
+      (4L, "x", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 4096, selectThreshold = 450000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (1L, 500000L, 500000L, 1L))
+    assert(out(2L) == (1L, 333333L, 333333L, 0L))
+    assert(out(3L) == (1L, 500000L, 500000L, 1L))
+    assert(!out.contains(4L))             // sub-2-token doc: no evidence
+  }
+}
