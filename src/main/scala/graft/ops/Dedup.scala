@@ -701,7 +701,20 @@ object Dedup {
     * convergence probe, never data-sized; lineage is truncated every
     * few rounds (localCheckpoint) so plans don't grow unboundedly.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  /** Below this many (directed) edge rows the component labels are
+    * computed with a driver-side union-find instead of the
+    * distributed loop: the collect is BOUNDED by this constant
+    * (~32 MB of longs at the cap — a size-adaptive strategy choice,
+    * same spirit as Spark's broadcast threshold, NOT data-sized
+    * driver state), and at bench scale the near-dup graph is a few
+    * hundred edges where the loop's per-round job overhead dwarfs
+    * the work by orders of magnitude. Larger graphs — e.g. a full
+    * 100 TB corpus re-cluster — take the distributed loop below.
+    */
+  val DriverCcMaxEdges = 1000000L
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     // AQE is OFF for the duration of the loop (restored after). Adaptive
     // planning re-optimizes and resubmits every shuffle stage of every
     // round as its own scheduling step; on the pair graph — which is
@@ -724,10 +737,46 @@ object Dedup {
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
     val edgeCnt = sym.count()
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(sym, edgeCnt, maxIters)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    if (edgeCnt <= driverMaxEdges) {
+      val out = driverUnionFind(sym)
+      sym.unpersist()
+      out
+    } else {
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try connectedComponentsLoop(sym, edgeCnt, maxIters)
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  /** Driver-side union-find over a size-bounded symmetric edge table
+    * (see [[DriverCcMaxEdges]]). Union-by-min-root keeps every
+    * component's root at its MINIMUM member id, so labels are
+    * identical to the distributed loop's min-label fixpoint — the
+    * choice of path is invisible to every consumer and oracle. The
+    * result is a LocalRelation, so downstream joins broadcast it.
+    */
+  private def driverUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    sym.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
   }
 
   private def connectedComponentsLoop(sym: DataFrame, edgeCnt: Long,

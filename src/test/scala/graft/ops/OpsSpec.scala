@@ -235,6 +235,22 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("connected components: driver union-find == distributed loop on a random graph") {
+    // seeded random graph with chains, merges, and singleton-free
+    // nodes; the driver path (default threshold) and the forced
+    // distributed loop must produce identical min-id labels
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop)
+  }
+
   test("dedup clusters: identical docs share a cluster with one canonical") {
     val out = Dedup.dedupClusters(docs, "doc_id", "text",
       n = 3, bands = 4, rows = 4, num = 1, den = 2)
