@@ -159,7 +159,8 @@ object GraphOps {
     * Output: (node, deg, pr_rank) per node, rank after `iters`
     * iterations in fixed-point `scale` units.
     */
-  def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+  def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L,
+      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     // The loop builds one ~3*iters-shuffle-stage plan over a graph
     // orders of magnitude smaller than the corpus that produced it —
     // the q60 regime, where AQE's per-stage re-planning costs more
@@ -172,7 +173,11 @@ object GraphOps {
     // sacrificed to the loop's regime) — then run the loop stages
     // with AQE off.
     val p = graft.Scratch.cache(pairs)
-    p.count()
+    val edgeCnt = p.count()
+    // Size-adaptive (the connectedComponents pattern): under the
+    // bounded cap the whole iteration runs driver-side on collected
+    // edges — identical integer arithmetic, zero shuffle stages.
+    if (edgeCnt * 2 <= driverMaxEdges) return driverPagerank(p, iters, scale)
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -180,6 +185,37 @@ object GraphOps {
       out.count()
       out
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  /** Driver-side replay of [[pagerankLoop]]'s exact integer updates
+    * over a size-bounded collected edge list: same truncating
+    * divisions in the same order, so the (node, deg, pr_rank) rows
+    * are bit-identical to the distributed loop's. Returns a
+    * LocalRelation (broadcastable downstream).
+    */
+  private def driverPagerank(p: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1),
+        r.getLong(1) -> r.getLong(0)))
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (src, _) => deg(src) = deg.getOrElse(src, 0L) + 1L }
+    val base = (15L * scale) / 100L
+    var r = deg.map { case (k, _) => k -> scale }
+    (1 to iters).foreach { _ =>
+      val inflow = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (src, dst) =>
+        inflow(dst) = inflow.getOrElse(dst, 0L) + r(src) / deg(src)
+      }
+      r = deg.map { case (k, _) =>
+        k -> (base + (85L * inflow.getOrElse(k, 0L)) / 100L)
+      }
+    }
+    deg.iterator.map { case (k, d) => (k, d, r(k)) }.toSeq
+      .toDF("node", "deg", "pr_rank")
   }
 
   private def pagerankLoop(pairs: DataFrame, iters: Int,

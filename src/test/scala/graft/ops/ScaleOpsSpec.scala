@@ -91,6 +91,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total <= 3000000L && total > 2990000L, s"total=$total")
   }
 
+  test("pagerank: driver replay == distributed loop on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaDriver = rows(GraphOps.pagerank(pairs, iters = 3))
+    graft.Scratch.release()
+    val viaLoop = rows(GraphOps.pagerank(pairs, iters = 3, driverMaxEdges = 0L))
+    graft.Scratch.release()
+    assert(viaDriver == viaLoop)
+  }
+
   test("morton key: bucket bits are exactly the interleaved tile coordinates") {
     // morton(x,y,10) >> 10 must equal morton(x>>5, y>>5, 5): the top
     // bucket bits ARE the 32x32 tile id, which is the whole locality
