@@ -93,7 +93,8 @@ object GraphOps {
     * stays linear in `rounds` (uncached, every round re-references
     * the previous edge set twice and the plan doubles per round).
     */
-  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3,
+      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("id_a").as("node"))
         .union(e.select(col("id_b").as("node")))
@@ -104,6 +105,9 @@ object GraphOps {
     // times (measured 10.3 s -> ~1 s for 3 rounds on the winnow graph)
     var e = graft.Scratch.localCheckpoint(
       pairs.select(col("id_a"), col("id_b")))
+    // size-adaptive (the connectedComponents pattern): replay the
+    // peel driver-side under the bounded cap — identical rows
+    if (e.count() <= driverMaxEdges) return driverKCore(e, k, rounds)
     val deg0 = degrees(e)
     for (_ <- 1 to rounds) {
       val s = degrees(e).filter(col("deg") >= k).select("node")
@@ -116,6 +120,30 @@ object GraphOps {
       .select(col("node"), col("deg0"),
         coalesce(col("deg"), lit(0L)).as("deg"),
         (coalesce(col("deg"), lit(0L)) >= k).cast("long").as("in_core"))
+  }
+
+  /** Driver-side replay of [[kCore]]'s peel rounds over a
+    * size-bounded collected edge list — identical row-for-row
+    * (duplicate pair rows, if any, count in degrees exactly as the
+    * distributed aggregation counts them).
+    */
+  private def driverKCore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    def degrees(xs: Array[(Long, Long)]): Map[Long, Long] =
+      (xs.map(_._1) ++ xs.map(_._2)).groupBy(identity)
+        .map { case (n, occ) => n -> occ.length.toLong }
+    val deg0 = degrees(es)
+    (1 to rounds).foreach { _ =>
+      val keep = degrees(es).filter(_._2 >= k).keySet
+      es = es.filter { case (a, b) => keep(a) && keep(b) }
+    }
+    val degF = degrees(es)
+    deg0.iterator.map { case (n, d0) =>
+      val d = degF.getOrElse(n, 0L)
+      (n, d0, d, if (d >= k) 1L else 0L)
+    }.toSeq.toDF("node", "deg0", "deg", "in_core")
   }
 
   /** Synchronous label propagation over an undirected pair table —
@@ -133,12 +161,21 @@ object GraphOps {
     * on node) and one per-node argmax window (WindowGroupLimit
     * shape); the edge table is lineage-cut once up front.
     */
-  def labelPropagation(rawPairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(rawPairs: DataFrame, rounds: Int = 3,
+      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     val pairs = graft.Scratch.localCheckpoint(
       rawPairs.select(col("id_a"), col("id_b")))
     val sym = graft.Scratch.cache(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    // size-adaptive (the connectedComponents pattern): synchronous
+    // rounds replay driver-side under the bounded cap
+    val edgeCnt = sym.count()
+    if (edgeCnt <= driverMaxEdges) {
+      val out = driverLabelProp(sym, rounds)
+      sym.unpersist()
+      return out
+    }
     var lab = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -153,6 +190,26 @@ object GraphOps {
         .select(col("src").as("node"), col("lbl")))
     }
     lab.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Driver-side replay of [[labelPropagation]]'s synchronous rounds
+    * over a size-bounded collected symmetric edge list — same
+    * most-frequent-neighbor-label updates with the same
+    * (count desc, label asc) tie-break.
+    */
+  private def driverLabelProp(sym: DataFrame, rounds: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val es = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var lab: Map[Long, Long] = es.map(_._1).distinct.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      lab = es.groupBy(_._1).map { case (src, nbrs) =>
+        val counts = nbrs.map(e => lab(e._2))
+          .groupBy(identity).map { case (l, occ) => l -> occ.length }
+        src -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab.toSeq.toDF("node", "community")
   }
 
   /** Integer PageRank over an undirected pair table (id_a, id_b).

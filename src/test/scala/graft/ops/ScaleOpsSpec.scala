@@ -91,6 +91,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total <= 3000000L && total > 2990000L, s"total=$total")
   }
 
+  test("kcore and label propagation: driver replay == distributed loop") {
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    def kcRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(kcRows(GraphOps.kCore(pairs, k = 3, rounds = 3)) ==
+      kcRows(GraphOps.kCore(pairs, k = 3, rounds = 3, driverMaxEdges = 0L)))
+    graft.Scratch.release()
+    def lpRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lpRows(GraphOps.labelPropagation(pairs, rounds = 3)) ==
+      lpRows(GraphOps.labelPropagation(pairs, rounds = 3, driverMaxEdges = 0L)))
+    graft.Scratch.release()
+  }
+
   test("pagerank: driver replay == distributed loop on a random graph") {
     val rnd = new scala.util.Random(11)
     val pairs = (1 to 300)
