@@ -231,7 +231,17 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("pagerank: equi-joins only, cached edge/degree tables reused per iteration") {
-    val p = plan("q102_pagerank")
+    // at this scale the size-adaptive driver replay kicks in — the
+    // registry plan must be a LocalRelation scan (zero shuffle
+    // stages); the DISTRIBUTED loop's shape is pinned separately by
+    // forcing the cap to zero
+    val pq = plan("q102_pagerank")
+    assert(pq.contains("LocalTableScan"))
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val p = graft.ops.GraphOps.pagerank(edges, iters = 3, driverMaxEdges = 0L)
+      .queryExecution.executedPlan.toString
+    graft.Scratch.release()
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("InMemoryTableScan"))
@@ -302,7 +312,16 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("label propagation's argmax filter plans as WindowGroupLimit") {
-    val p = plan("q131_label_prop")
+    // registry plan is the driver replay at this scale (LocalRelation);
+    // the distributed form's WindowGroupLimit is pinned by forcing the
+    // cap to zero
+    val pq = plan("q131_label_prop")
+    assert(pq.contains("LocalTableScan"))
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val p = graft.ops.GraphOps.labelPropagation(edges, rounds = 2,
+      driverMaxEdges = 0L).queryExecution.executedPlan.toString
+    graft.Scratch.release()
     assert(p.contains("WindowGroupLimit"))
     assert(!p.contains("CartesianProduct"))
   }
@@ -342,5 +361,22 @@ class PlanShapeSpec extends AnyFunSuite {
     // only sort is the value-domain window, not a corpus sort
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("semantic dedup: no cartesian, no corpus sort-merge; prune join stays in-cluster") {
+    val p = plan("q156_semantic_dedup")
+    // the within-cluster self-join is an equi-join on the cluster id;
+    // nothing may plan as an all-pairs nested loop
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("importance weights: bucket score table broadcasts onto the exploded corpus") {
+    val p = plan("q157_importance_weights")
+    // the score side is buckets-sized (4096 rows) — the corpus join
+    // must broadcast it, never shuffle the exploded bigrams by bucket
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
 }
