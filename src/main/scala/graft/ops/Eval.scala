@@ -300,4 +300,36 @@ object Eval {
              |  (CAST(n AS DECIMAL(38,0)) * n_all) AS BIGINT)"""
         .stripMargin).as("ks_permille"))
   }
+
+  /** Reliability-diagram bins (calibration audit): the score domain
+    * splits into `nbins` equal-width bins between the observed min
+    * and max, and each bin reports its size, positive count, and
+    * positive rate in permille — where [[thresholdSweep]] answers
+    * "what cutoff", this answers "does a score of X MEAN probability
+    * X" (the monotone-rate check before a cheap score gates an
+    * expensive stage). bin = ((score - lo) * nbins) DIV (hi - lo + 1)
+    * — integer-exact, upper edge inclusive by the +1.
+    *
+    * Scale posture: the corpus collapses ONCE to the score-domain
+    * histogram; the (lo, hi) frame is one broadcast row; the bin
+    * aggregate is histogram-sized. Overflow bound: sum(score * cnt)
+    * per bin must stay below 2^63 — holds to ~10^12 rows of
+    * integer scores under 2^31; widen to DECIMAL(38,0) past that.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: Column,
+      labelCol: Column, nbins: Int): DataFrame = {
+    require(nbins >= 1, s"nbins must be >= 1, got $nbins")
+    val hist = df.groupBy(scoreCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"), sum(labelCol.cast("long")).as("pos"))
+    val bounds = hist.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    hist.join(broadcast(bounds))
+      .withColumn("bin", expr(s"((v - lo) * $nbins) DIV (hi - lo + 1)"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("v") * col("cnt")).cast("long").as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000) DIV n").as("pos_permille"),
+        expr("score_sum DIV n").as("mean_score"))
+  }
 }

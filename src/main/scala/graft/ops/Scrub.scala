@@ -120,4 +120,39 @@ object Scrub {
         col("docs_control"), col("n_chars"), col("n_nonascii"),
         col("nonascii_permille"), col("max_ws_run"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple: for each
+    * threshold in `ks`, how many equivalence classes (distinct QI
+    * combinations) hold FEWER than k rows, how many rows sit in
+    * them, and the at-risk share in permille — the re-identification
+    * triage a release review runs on metadata columns before
+    * shipping (a row alone in its (source, lang, length-bucket)
+    * class is linkable even with the text scrubbed).
+    *
+    * Scale posture: one corpus pass collapses to the per-class size
+    * table (QI-cardinality-sized), which collapses again to the
+    * class-SIZE histogram (value-domain-sized); thresholds join that
+    * histogram broadcast. The only driver scalar is the total row
+    * count off the histogram. All arithmetic integer-exact.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[Column],
+      ks: Seq[Int]): DataFrame = {
+    require(qiCols.nonEmpty && ks.nonEmpty, "need QI columns and thresholds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("csize"))
+    val hist = graft.Scratch.cache(classes.groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_classes")))
+    val total = hist.agg(sum(col("csize") * col("n_classes")))
+      .head().getLong(0)
+    ks.toDF("k")
+      .join(broadcast(hist), col("csize") < col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("n_classes")), lit(0L)).cast("long")
+          .as("classes_below"),
+        coalesce(sum(col("csize") * col("n_classes")), lit(0L)).cast("long")
+          .as("docs_below"))
+      .withColumn("total_docs", lit(total))
+      .withColumn("risk_permille", expr("(docs_below * 1000) DIV total_docs"))
+  }
 }

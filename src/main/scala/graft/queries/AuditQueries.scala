@@ -1069,6 +1069,89 @@ object AuditQueries {
            | CAST(w_sum // n_grams AS BIGINT) AS w_avg,
            | CAST(CASE WHEN w_sum // n_grams >= 440000 THEN 1 ELSE 0 END
            |  AS BIGINT) AS selected
-           |FROM d ORDER BY doc_id""".stripMargin))
+           |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // k-anonymity audit over the (source, lang, length-bucket)
+    // quasi-identifier: classes below each k, rows at risk, permille
+    // share — the metadata re-identification triage.
+    "q158_k_anonymity" -> Q(
+      (s, dir) => Scrub.kAnonymity(t(s, dir, "documents"),
+        Seq(col("source"), col("lang"), expr("n_chars DIV 100")),
+        Seq(2, 5, 10))
+        .select(col("k").cast("long").as("k"), col("classes_below"),
+          col("docs_below"), col("total_docs"), col("risk_permille"))
+        .orderBy(col("k")),
+      Some(
+        """WITH cls AS (
+          | SELECT source, lang, n_chars // 100 AS lb, count(*) AS csize
+          | FROM documents GROUP BY 1, 2, 3),
+          |h AS MATERIALIZED (
+          | SELECT csize, count(*) AS n_classes FROM cls GROUP BY 1),
+          |tot AS (SELECT sum(csize * n_classes) AS total FROM h),
+          |kk(k) AS (VALUES (2), (5), (10))
+          |SELECT CAST(kk.k AS BIGINT) AS k,
+          | CAST(COALESCE(sum(h.n_classes), 0) AS BIGINT) AS classes_below,
+          | CAST(COALESCE(sum(h.csize * h.n_classes), 0) AS BIGINT)
+          |  AS docs_below,
+          | CAST(tot.total AS BIGINT) AS total_docs,
+          | CAST(COALESCE(sum(h.csize * h.n_classes), 0) * 1000
+          |  // tot.total AS BIGINT) AS risk_permille
+          |FROM kk CROSS JOIN tot LEFT JOIN h ON h.csize < kk.k
+          |GROUP BY kk.k, tot.total ORDER BY k""".stripMargin)),
+
+    // reliability-diagram calibration of the cheap quality score
+    // against the repetition verdict (q135's pair, binned instead of
+    // swept): per equal-width score bin, size, positives, positive
+    // rate — "does score X mean probability X".
+    "q159_calibration_bins" -> Q(
+      (s, dir) => {
+        val sig = t(s, dir, "documents").select(
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        val scored = sig.select(
+          (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+            when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"),
+          when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams") &&
+            col("r.top_tok_cnt") * 5 <= col("r.n_tokens"), 1L)
+            .otherwise(0L).as("label"))
+        Eval.calibrationBins(scored, col("score"), col("label"), nbins = 10)
+          .orderBy(col("bin"))
+      },
+      Some(
+        """WITH tk AS (
+          | SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+          | FROM documents),
+          |sig AS MATERIALIZED (
+          | SELECT
+          |  CAST(len(list_distinct(t)) AS INTEGER) * 2 +
+          |  CAST(len(list_intersect(list_distinct(t),
+          |    ['the','a','of','and','to','in','is'])) AS INTEGER) * 3 -
+          |  CASE WHEN CAST(list_aggregate(list_transform(t,
+          |    x -> length(x)), 'max') AS INTEGER) > 12
+          |   THEN 5 ELSE 0 END AS score,
+          |  CASE WHEN
+          |   (CAST(greatest(len(t) - 1, 0) AS INTEGER) -
+          |    CAST(len(list_distinct(list_transform(
+          |     generate_series(1, len(t) - 1),
+          |     i -> t[i] || ' ' || t[i+1]))) AS INTEGER)) * 5
+          |     <= CAST(greatest(len(t) - 1, 0) AS INTEGER)
+          |   AND CAST(list_aggregate(list_transform(list_distinct(t),
+          |     x -> len(list_filter(t, y -> y = x))), 'max')
+          |     AS INTEGER) * 5 <= CAST(len(t) AS INTEGER)
+          |   THEN 1 ELSE 0 END AS label
+          | FROM tk),
+          |h AS MATERIALIZED (
+          | SELECT CAST(score AS BIGINT) AS v, count(*) AS cnt,
+          |  sum(label) AS pos
+          | FROM sig GROUP BY 1),
+          |b AS (SELECT min(v) AS lo, max(v) AS hi FROM h),
+          |g AS (
+          | SELECT ((v - lo) * 10) // (hi - lo + 1) AS bin, cnt, pos, v
+          | FROM h, b)
+          |SELECT bin, CAST(sum(cnt) AS BIGINT) AS n,
+          | CAST(sum(pos) AS BIGINT) AS n_pos,
+          | CAST(sum(pos) * 1000 // sum(cnt) AS BIGINT) AS pos_permille,
+          | CAST(sum(v * cnt) // sum(cnt) AS BIGINT) AS mean_score
+          |FROM g GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

@@ -400,4 +400,34 @@ class AuditOpsSpec extends AnyFunSuite {
       nProbes = 1, k = 2, prefixDims = 2).head()
     assert(same.getAs[Long]("rbo_ppm") == 190000L)
   }
+
+  test("kAnonymity: class-size thresholds, risk shares, empty-below case") {
+    // classes: (s1,a)x3, (s1,b)x1, (s2,a)x2 -> sizes {3,1,2}, total 6
+    val df = Seq(("s1", "a"), ("s1", "a"), ("s1", "a"), ("s1", "b"),
+      ("s2", "a"), ("s2", "a")).toDF("src", "lg")
+    val got = Scrub.kAnonymity(df, Seq(col("src"), col("lg")), Seq(1, 2, 4))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // k=1: nothing below; k=2: one singleton class (1 doc, 166pm);
+    // k=4: all three classes below (6 docs, 1000pm)
+    assert(got.toSeq == Seq(
+      (1, 0L, 0L, 6L, 0L),
+      (2, 1L, 1L, 6L, 166L),
+      (4, 3L, 6L, 6L, 1000L)))
+  }
+
+  test("calibrationBins: equal-width bins, inclusive upper edge, exact rates") {
+    // scores 0..9 with label = score >= 5: 10 values, 5 bins of
+    // width 2; bins 0-1 all negative, 3-4 all positive, bin 2 mixed
+    val df = (0 to 9).map(s => (s.toLong, if (s >= 5) 1L else 0L))
+      .toDF("score", "label")
+    val got = Eval.calibrationBins(df, col("score"), col("label"), nbins = 5)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 0L, 0L), (1L, 2L, 0L, 0L, 2L), (2L, 2L, 1L, 500L, 4L),
+      (3L, 2L, 2L, 1000L, 6L), (4L, 2L, 2L, 1000L, 8L)))
+  }
 }
