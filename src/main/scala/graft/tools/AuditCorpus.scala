@@ -87,7 +87,26 @@ object AuditCorpus {
         docs, col(srcCol), col(langCol)))
       report("lang_confusion", Eval.confusionMatrix(
         docs, col(langCol), TextOps.langPredict(col(textCol))))
+      // q158's re-identification triage on the metadata QI tuple
+      report("k_anonymity", Scrub.kAnonymity(docs,
+        Seq(col(srcCol), col(langCol), expr("_len DIV 100")),
+        Seq(2, 5, 10)))
     }
+    // q159's reliability diagram of the cheap quality score against
+    // the repetition verdict
+    report("calibration_bins", {
+      val sig = docs.select(
+        TextOps.qualitySignals(col(textCol)).as("q"),
+        TextOps.repetitionStats(col(textCol)).as("r"))
+      Eval.calibrationBins(
+        sig.select(
+          (col("q.n_distinct") * 2 + col("q.n_stop") * 3 -
+            when(col("q.max_tok_len") > 12, 5).otherwise(0)).as("score"),
+          when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams") &&
+            col("r.top_tok_cnt") * 5 <= col("r.n_tokens"), 1L)
+            .otherwise(0L).as("label")),
+        col("score"), col("label"), nbins = 10)
+    })
 
     flags.get("embeddings").foreach { embPath =>
       val vecCol = flags.getOrElse("vec", "embedding")

@@ -167,6 +167,28 @@ object ScaleProbe {
         docs, col("source"), col("doc_id"), col("n_chars")))
       time("key_skew", k)(graft.ops.Skew.keySkewProfile(
         docs, pmod(col("doc_id"), lit(997L))))
+      // DSIR weights (q157): two bucket-keyed passes + one doc-keyed
+      // aggregate — the bucket stats table is feature-space-sized at
+      // any corpus scale, so wall time must track the scan
+      time("importance_w", k)(TextOps.importanceWeights(
+        docs, "doc_id", "text", col("lang") === "en",
+        buckets = 4096, selectThreshold = 440000L))
+      // k-anonymity (q158) / calibration (q159): value-domain frames
+      // after one scan — replication scales counts k-fold and leaves
+      // permille shares identical
+      time("k_anonymity", k)(graft.ops.Scrub.kAnonymity(docs,
+        Seq(col("source"), col("lang"), expr("n_chars DIV 100")),
+        Seq(2, 5, 10)))
+      time("calib_bins", k) {
+        val sig = docs.select(
+          TextOps.qualitySignals(col("text")).as("q"),
+          TextOps.repetitionStats(col("text")).as("r"))
+        graft.ops.Eval.calibrationBins(
+          sig.select((col("q.n_distinct") * 2 + col("q.n_stop") * 3).as("s"),
+            when(col("r.n_dup_bigrams") * 5 <= col("r.n_bigrams"), 1L)
+              .otherwise(0L).as("l")),
+          col("s"), col("l"), nbins = 10)
+      }
       graft.Scratch.release()
       docs.unpersist()
     }
@@ -188,6 +210,19 @@ object ScaleProbe {
       // probe count fixed -> cost is nProbes x corpus, linear in k
       time("trunc_recall", k)(graft.ops.Similarity.truncationRecall(
         emb, "vec_id", "embedding", nProbes = 10, k = 10, prefixDims = 16))
+      // SemDeDup's LINEAR stages (q156): Lloyd fit + assignment are
+      // broadcast-centroid passes (drives its own per-round actions
+      // -> wall clock). The within-cell prune is excluded: replicas
+      // are IDENTICAL vectors, so replication packs each cell with
+      // cos=1 pairs and the candidate count grows quadratically by
+      // construction, like the pair emitters above.
+      if (k > 1) {
+        val t0 = System.nanoTime()
+        graft.ops.SemDedup.fixedPointCentroids(
+          emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+        println(f"[scale] ${"semdedup_fit"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
       emb.unpersist()
     }
     // event-side linear ops: anomaly flags (q103) and the z-order

@@ -30,6 +30,9 @@ class AuditCorpusSpec extends AnyFunSuite {
     assert(res("novelty_curve") >= 1L && res("novelty_curve") <= 10L)
     // lang column exists in the fixture -> lang reports present
     assert(res.contains("chi2_source_lang") && res.contains("lang_confusion"))
+    // privacy + calibration reports: one row per threshold / <= nbins
+    assert(res("k_anonymity") == 3L)
+    assert(res("calibration_bins") >= 1L && res("calibration_bins") <= 10L)
     // summary json lists every report
     val summary = spark.read.json(s"$out/summary")
     assert(summary.count() == res.size)
