@@ -1152,6 +1152,80 @@ object AuditQueries {
           | CAST(sum(pos) AS BIGINT) AS n_pos,
           | CAST(sum(pos) * 1000 // sum(cnt) AS BIGINT) AS pos_permille,
           | CAST(sum(v * cnt) // sum(cnt) AS BIGINT) AS mean_score
-          |FROM g GROUP BY 1 ORDER BY bin""".stripMargin))
+          |FROM g GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // leakage-free fold split — the CONSTRUCTIVE counterpart to
+    // q149's audit: folds are assigned by hashing the near-dup
+    // CLUSTER label (q60's components), so every near-dup pair lands
+    // whole in one fold and the cross-fold leaked-pair count is
+    // provably zero. Per fold: docs, clusters, doc share, and the
+    // leaked count (all-zero column, oracle-checked) — q44's
+    // doc-hash split cannot make this guarantee.
+    "q160_cluster_safe_split" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lab = Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("doc_id"), col("cluster"))
+        def fold(c: Column) = TextOps.hash32(c.cast("string")) % 5
+        val labF = graft.Scratch.cache(
+          lab.withColumn("fold", fold(col("cluster"))))
+        val perFold = labF.groupBy(col("fold"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("id_a"), col("id_b"))
+        val leaked = pairs
+          .join(labF.select(col("doc_id").as("id_a"), col("fold").as("fa")),
+            Seq("id_a"))
+          .join(labF.select(col("doc_id").as("id_b"), col("fold").as("fb")),
+            Seq("id_b"))
+          .filter(col("fa") =!= col("fb"))
+          .groupBy(least(col("fa"), col("fb")).as("fold"))
+          .agg(count(lit(1)).as("leaked_pairs"))
+        perFold.join(leaked, Seq("fold"), "left")
+          .withColumn("total", sum(col("n_docs"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          .select(col("fold"), col("n_docs"), col("n_clusters"),
+            expr("(n_docs * 1000) DIV total").as("share_permille"),
+            coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs"))
+          .orderBy(col("fold"))
+      },
+      Some {
+        def h(e: String) =
+          s"(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 8))::BIGINT % 5)"
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS MATERIALIZED (
+           | SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |lf AS MATERIALIZED (
+           | SELECT doc_id, cluster, ${h("cluster")} AS fold FROM comp),
+           |pf AS (
+           | SELECT fold, count(*) AS n_docs,
+           |  count(DISTINCT cluster) AS n_clusters
+           | FROM lf GROUP BY 1),
+           |lk AS (
+           | SELECT least(fa.fold, fb.fold) AS fold,
+           |  count(*) AS leaked_pairs
+           | FROM pairs p
+           | JOIN lf fa ON fa.doc_id = p.id_a
+           | JOIN lf fb ON fb.doc_id = p.id_b
+           | WHERE fa.fold <> fb.fold GROUP BY 1)
+           |SELECT pf.fold, CAST(pf.n_docs AS BIGINT) AS n_docs,
+           | CAST(pf.n_clusters AS BIGINT) AS n_clusters,
+           | CAST(pf.n_docs * 1000 // (SELECT sum(n_docs) FROM pf)
+           |  AS BIGINT) AS share_permille,
+           | CAST(COALESCE(lk.leaked_pairs, 0) AS BIGINT) AS leaked_pairs
+           |FROM pf LEFT JOIN lk USING (fold) ORDER BY fold""".stripMargin
+      })
   )
 }
