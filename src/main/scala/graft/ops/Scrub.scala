@@ -143,7 +143,8 @@ object Scrub {
     val classes = df.groupBy(qiCols: _*).agg(count(lit(1)).as("csize"))
     val hist = graft.Scratch.cache(classes.groupBy(col("csize"))
       .agg(count(lit(1)).as("n_classes")))
-    val total = hist.agg(sum(col("csize") * col("n_classes")))
+    val total = hist.agg(
+      coalesce(sum(col("csize") * col("n_classes")), lit(0L)))
       .head().getLong(0)
     ks.toDF("k")
       .join(broadcast(hist), col("csize") < col("k"), "left")
@@ -153,6 +154,8 @@ object Scrub {
         coalesce(sum(col("csize") * col("n_classes")), lit(0L)).cast("long")
           .as("docs_below"))
       .withColumn("total_docs", lit(total))
-      .withColumn("risk_permille", expr("(docs_below * 1000) DIV total_docs"))
+      .withColumn("risk_permille", // empty corpus: 0, not a DIV-by-0 null
+        if (total == 0L) lit(0L)
+        else expr("(docs_below * 1000) DIV total_docs"))
   }
 }
