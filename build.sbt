@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The harness runs 160 queries in ONE local[32] JVM: an 8g heap
+  // forces storage-pool eviction + background G1 churn that inflates
+  // every query ~2x (measured: full suite 261s vs the same queries
+  // isolated at half that), and 160 codegen-heavy plans can exhaust
+  // the default 240m JIT code cache (compilation silently stops).
+  // The bench box has 128GiB; 32g driver heap + 512m code cache keep
+  // the suite measuring operators instead of JVM pressure.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
