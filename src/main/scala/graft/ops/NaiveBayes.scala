@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial Naive Bayes — the classic learned
+  * classifier of large-scale curation pipelines (fasttext-style
+  * language ID, quality triage), trained and applied wholly as
+  * DataFrame aggregations, with BIT-EXACT integer arithmetic so an
+  * independent engine reproduces every prediction.
+  *
+  * Determinism contract: NB needs log-likelihoods, and floating logs
+  * diverge across engines in the last ulp. We use the integer log2
+  * floor instead: bitlen(x) = number of binary digits of x
+  * (= floor(log2 x) + 1), computed as the LENGTH of the base-2
+  * string — `length(conv(x, 10, 2))` in Spark, `length(printf('%b',
+  * x))` in DuckDB — both exact for any positive int64. Laplace-
+  * smoothed token likelihoods are scaled to fixed point first:
+  *   w(c,t) = bitlen( ((cnt(c,t) + 1) * 2^40) DIV (tot(c) + V) )
+  * so one bitlen unit ~= one factor of 2 in probability — a coarse
+  * (log2-floor) but fully deterministic quantization of the NB
+  * score. Ties in the argmax break to the lexicographically smallest
+  * class. The 2^40 scale bounds cnt+1 <= 2^23 before the product can
+  * overflow int64; corpora past ~8M occurrences of one token in one
+  * class drop the scale to 2^30 (and the quantization coarsens by
+  * nothing — bitlen subtracts the same shift everywhere).
+  *
+  * 100 TB posture: the model IS a DataFrame — cnt(c,t) lives
+  * vocabulary x classes-sized, partitioned by (class, token); no
+  * driver-side model materialization anywhere. Train = one
+  * (class, token) shuffle with map-side partial counts; apply = the
+  * test corpus's token counts fanned out |C| ways (|C| = #classes,
+  * single digits), joined to the model on (class, token) — a plain
+  * shuffle join that scales with corpus size, then one doc-key
+  * aggregation and a 1-row-per-doc argmax window. Class totals,
+  * vocabulary size, and priors ride as 1-row / |C|-row broadcast
+  * frames, never collected.
+  */
+object NaiveBayes {
+
+  private val Scale = 1099511627776L // 2^40
+
+  /** bitlen(x) for positive x: digits in the base-2 representation. */
+  private def bitlen(x: org.apache.spark.sql.Column) =
+    length(conv(x, 10, 2)).cast("long")
+
+  /** Train on `train`, predict every `test` doc, return the confusion
+    * matrix (actual, predicted, n_docs). Both inputs need (docId,
+    * classCol, textCol) columns; tokenization is the engine-wide
+    * whitespace contract (TextOps.tokens).
+    */
+  def confusion(train: DataFrame, test: DataFrame, docId: String,
+      classCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(docId).as("doc_id"),
+      col(classCol).as("cls"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val trainToks = graft.Scratch.cache(toks(train))
+
+    // the model: Laplace-ready occurrence counts per (class, token)
+    val cnt = trainToks.groupBy(col("cls"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    // per-class occurrence totals and doc priors (|C| rows)
+    val tot = trainToks.groupBy(col("cls"))
+      .agg(count(lit(1)).as("tot"))
+    val prior = train.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("ndt"))))
+      .select(col("cls"),
+        bitlen(expr(s"nd * $Scale DIV ndt")).as("prior_w"))
+    // vocabulary size (1 row, broadcast — never collected)
+    val vocab = trainToks.select(col("token")).distinct()
+      .agg(count(lit(1)).as("v"))
+
+    // test corpus as (doc, token, multiplicity), fanned out per class
+    val testToks = toks(test)
+      .groupBy(col("doc_id"), col("cls").as("actual"), col("token"))
+      .agg(count(lit(1)).as("m"))
+    val classes = tot.crossJoin(broadcast(vocab))
+      .select(col("cls"), (col("tot") + col("v")).as("denom"))
+    val model = cnt.select(col("cls").as("c2"), col("token").as("token2"),
+      col("n"))
+    val scored = testToks
+      .crossJoin(broadcast(classes))
+      .join(model,
+        col("cls") === col("c2") && col("token") === col("token2"), "left")
+      .withColumn("num", (coalesce(col("n"), lit(0L)) + 1) * lit(Scale))
+      .select(col("doc_id"), col("actual"), col("cls"), col("m"),
+        bitlen(expr("num DIV denom")).as("w"))
+    val scores = scored.groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg(sum(col("m") * col("w")).as("like_sum"))
+      .join(broadcast(prior), Seq("cls"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("like_sum") + col("prior_w")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.NaiveBayes
+
+/** Learned-model pipeline operators (q163+): classifiers trained AND
+  * applied as distributed DataFrame programs, with integer-exact
+  * scoring so the DuckDB oracle reproduces every prediction.
+  */
+object LearnQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def all: Map[String, Q] = Map(
+
+    // Multinomial Naive Bayes language classifier: train on
+    // doc_id % 5 != 0, predict the held-out fifth, emit the
+    // (actual, predicted) confusion matrix. The LEARNED counterpart
+    // of q148's fixed-marker heuristic lang-ID. Likelihoods are
+    // Laplace-smoothed fixed-point integers quantized by bitlen
+    // (= floor(log2)+1, exact in both engines via base-2 string
+    // length), so the argmax — ties to the smallest class name — is
+    // bit-reproducible. See ops/NaiveBayes.scala for the 100 TB
+    // layout (the model stays a (class, token)-partitioned frame).
+    // On THIS corpus the matrix is off-diagonal-heavy: the synthetic
+    // text draws from one shared vocabulary regardless of lang, so
+    // the registry row checks the mechanism cross-engine; separable-
+    // corpus accuracy (perfect diagonal) is pinned in NaiveBayesSpec.
+    "q163_nb_confusion" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        NaiveBayes.confusion(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "lang", "text")
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, lang, unnest(${OpsQueries.toksSql}) AS token
+           | FROM documents),
+           |tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+           |te AS (
+           | SELECT doc_id, lang AS actual, token, count(*) AS m
+           | FROM tk WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+           |cnt AS (
+           | SELECT lang AS c2, token AS token2, count(*) AS n
+           | FROM tr GROUP BY 1, 2),
+           |tot AS (SELECT lang AS cls, count(*) AS tot FROM tr GROUP BY 1),
+           |v AS (SELECT count(DISTINCT token) AS v FROM tr),
+           |prior AS (
+           | SELECT d.lang AS cls,
+           |  length(printf('%b', count(DISTINCT d.doc_id) * 1099511627776
+           |    // (SELECT count(DISTINCT doc_id)
+           |        FROM documents WHERE doc_id % 5 <> 0))) AS prior_w
+           | FROM documents d WHERE d.doc_id % 5 <> 0 GROUP BY 1),
+           |cl AS (SELECT cls, tot + v.v AS denom FROM tot CROSS JOIN v),
+           |sc AS (
+           | SELECT te.doc_id, te.actual, cl.cls,
+           |  sum(te.m * length(printf('%b',
+           |    ((coalesce(cnt.n, 0) + 1) * 1099511627776) // cl.denom)))
+           |   AS like_sum
+           | FROM te CROSS JOIN cl
+           | LEFT JOIN cnt ON cnt.c2 = cl.cls AND cnt.token2 = te.token
+           | GROUP BY 1, 2, 3),
+           |scp AS (
+           | SELECT sc.doc_id, sc.actual, sc.cls,
+           |  sc.like_sum + prior.prior_w AS score
+           | FROM sc JOIN prior ON prior.cls = sc.cls),
+           |pr AS (
+           | SELECT doc_id, actual, cls,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cls) AS rk
+           | FROM scp)
+           |SELECT actual, cls AS predicted, count(*) AS n_docs
+           |FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}

@@ -13,7 +13,7 @@ object Registry {
   def all: Map[String, Q] =
     CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      AuditQueries.all ++ SpanQueries.all
+      AuditQueries.all ++ SpanQueries.all ++ LearnQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }
