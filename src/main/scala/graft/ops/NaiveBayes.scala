@@ -45,12 +45,13 @@ object NaiveBayes {
   private def bitlen(x: org.apache.spark.sql.Column) =
     length(conv(x, 10, 2)).cast("long")
 
-  /** Train on `train`, predict every `test` doc, return the confusion
-    * matrix (actual, predicted, n_docs). Both inputs need (docId,
-    * classCol, textCol) columns; tokenization is the engine-wide
-    * whitespace contract (TextOps.tokens).
+  /** Train on `train`, score every `test` doc against every class:
+    * (doc_id, actual, cls, score). Both inputs need (docId, classCol,
+    * textCol) columns; tokenization is the engine-wide whitespace
+    * contract (TextOps.tokens). The downstream argmax ([[confusion]])
+    * and margin ([[labelErrorCandidates]]) views share this pass.
     */
-  def confusion(train: DataFrame, test: DataFrame, docId: String,
+  def scores(train: DataFrame, test: DataFrame, docId: String,
       classCol: String, textCol: String): DataFrame = {
     def toks(df: DataFrame) = df.select(col(docId).as("doc_id"),
       col(classCol).as("cls"),
@@ -87,17 +88,53 @@ object NaiveBayes {
       .withColumn("num", (coalesce(col("n"), lit(0L)) + 1) * lit(Scale))
       .select(col("doc_id"), col("actual"), col("cls"), col("m"),
         bitlen(expr("num DIV denom")).as("w"))
-    val scores = scored.groupBy(col("doc_id"), col("actual"), col("cls"))
+    scored.groupBy(col("doc_id"), col("actual"), col("cls"))
       .agg(sum(col("m") * col("w")).as("like_sum"))
       .join(broadcast(prior), Seq("cls"))
       .select(col("doc_id"), col("actual"), col("cls"),
         (col("like_sum") + col("prior_w")).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cls"))
-    scores.withColumn("rk", row_number().over(w))
+  }
+
+  private def argmaxWindow = Window.partitionBy(col("doc_id"))
+    .orderBy(col("score").desc, col("cls"))
+
+  /** Confusion matrix (actual, predicted, n_docs) over [[scores]]'s
+    * argmax (ties to the smallest class name).
+    */
+  def confusion(train: DataFrame, test: DataFrame, docId: String,
+      classCol: String, textCol: String): DataFrame =
+    scores(train, test, docId, classCol, textCol)
+      .withColumn("rk", row_number().over(argmaxWindow))
       .filter(col("rk") === 1)
       .groupBy(col("actual"), col("cls").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("actual"), col("predicted"))
+
+  /** Label-error candidates: the misclassified test docs ranked by
+    * the model's CONFIDENCE against the recorded label — margin =
+    * score(predicted) - score(actual). The confident-learning recipe
+    * for surfacing mislabeled training data: a large positive margin
+    * means the model is sure the label is wrong; humans (or a
+    * stronger model) review the top of this list. Output:
+    * (doc_id, actual, predicted, margin), margin desc / doc_id asc,
+    * top `k` — TakeOrderedAndProject, never a full sort.
+    */
+  def labelErrorCandidates(train: DataFrame, test: DataFrame,
+      docId: String, classCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val sc = graft.Scratch.cache(
+      scores(train, test, docId, classCol, textCol))
+    val best = sc.withColumn("rk", row_number().over(argmaxWindow))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("actual"),
+        col("cls").as("predicted"), col("score").as("best_score"))
+    val own = sc.filter(col("cls") === col("actual"))
+      .select(col("doc_id"), col("score").as("actual_score"))
+    best.join(own, Seq("doc_id"))
+      .filter(col("predicted") =!= col("actual"))
+      .select(col("doc_id"), col("actual"), col("predicted"),
+        (col("best_score") - col("actual_score")).as("margin"))
+      .orderBy(col("margin").desc, col("doc_id"))
+      .limit(k)
   }
 }

@@ -852,4 +852,45 @@ object TextOps {
       .withColumn("selected",
         (col("w_avg") >= selectThreshold).cast("long"))
   }
+
+  /** PMI collocation mining: the top-k adjacent token pairs ranked by
+    * pointwise mutual information — the corpus-statistics op behind
+    * phrase detection (merge "new york" into one token before BPE /
+    * embedding training).
+    *
+    * Determinism: PMI's log and its constant corpus factors are
+    * monotone decorations — ranking by n_xy / (n_x * n_y) is
+    * rank-equivalent to ranking by PMI within one corpus. We emit the
+    * integer score n_xy * SCALE DIV (n_x * n_y) (SCALE = 1e6; exact
+    * while n_x * n_y < 2^63 / 1e6 — unigram pair products to ~9e12,
+    * i.e. two tokens of ~3M occurrences each; larger corpora shrink
+    * SCALE) with a min-count floor to suppress noise pairs, ordered
+    * (score desc, bigram asc) — fully reproducible cross-engine.
+    *
+    * Scale: unigram and bigram counts are two key-shuffles with
+    * map-side partials; unigram counts are VOCABULARY-sized, so both
+    * enrichment joins broadcast them onto the bigram frame (the
+    * corpus-sized side is reduced to distinct bigrams before any
+    * join); the top-k is TakeOrderedAndProject, never a full sort.
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int,
+      minCount: Long): DataFrame = {
+    val scale = 1000000L
+    val uni = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val bi = df.select(explode(ngrams(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+    bi.join(broadcast(uni.select(col("token").as("x"), col("n").as("n_x"))),
+        Seq("x"))
+      .join(broadcast(uni.select(col("token").as("y"), col("n").as("n_y"))),
+        Seq("y"))
+      .withColumn("score", expr(s"n_xy * $scale DIV (n_x * n_y)"))
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        col("score"))
+      .orderBy(col("score").desc, col("bigram").asc)
+      .limit(k)
+  }
 }

@@ -19,6 +19,43 @@ object LearnQueries {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Shared CTE chain ending in scp(doc_id, actual, cls, score): the
+    * SQL twin of [[graft.ops.NaiveBayes.scores]] on the documents
+    * table with the doc_id % 5 holdout split and lang classes.
+    */
+  private val nbScoreSql: String =
+    s"""tk AS (
+       | SELECT doc_id, lang, unnest(${OpsQueries.toksSql}) AS token
+       | FROM documents),
+       |tr AS MATERIALIZED (SELECT * FROM tk WHERE doc_id % 5 <> 0),
+       |te AS MATERIALIZED (
+       | SELECT doc_id, lang AS actual, token, count(*) AS m
+       | FROM tk WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+       |cnt AS (
+       | SELECT lang AS c2, token AS token2, count(*) AS n
+       | FROM tr GROUP BY 1, 2),
+       |tot AS (SELECT lang AS cls, count(*) AS tot FROM tr GROUP BY 1),
+       |v AS (SELECT count(DISTINCT token) AS v FROM tr),
+       |prior AS (
+       | SELECT d.lang AS cls,
+       |  length(printf('%b', count(DISTINCT d.doc_id) * 1099511627776
+       |    // (SELECT count(DISTINCT doc_id)
+       |        FROM documents WHERE doc_id % 5 <> 0))) AS prior_w
+       | FROM documents d WHERE d.doc_id % 5 <> 0 GROUP BY 1),
+       |cl AS (SELECT cls, tot + v.v AS denom FROM tot CROSS JOIN v),
+       |sc AS (
+       | SELECT te.doc_id, te.actual, cl.cls,
+       |  sum(te.m * length(printf('%b',
+       |    ((coalesce(cnt.n, 0) + 1) * 1099511627776) // cl.denom)))
+       |   AS like_sum
+       | FROM te CROSS JOIN cl
+       | LEFT JOIN cnt ON cnt.c2 = cl.cls AND cnt.token2 = te.token
+       | GROUP BY 1, 2, 3),
+       |scp AS MATERIALIZED (
+       | SELECT sc.doc_id, sc.actual, sc.cls,
+       |  sc.like_sum + prior.prior_w AS score
+       | FROM sc JOIN prior ON prior.cls = sc.cls)""".stripMargin
+
   def all: Map[String, Q] = Map(
 
     // Multinomial Naive Bayes language classifier: train on
@@ -43,37 +80,7 @@ object LearnQueries {
           "doc_id", "lang", "text")
       },
       Some(
-        s"""WITH tk AS (
-           | SELECT doc_id, lang, unnest(${OpsQueries.toksSql}) AS token
-           | FROM documents),
-           |tr AS (SELECT * FROM tk WHERE doc_id % 5 <> 0),
-           |te AS (
-           | SELECT doc_id, lang AS actual, token, count(*) AS m
-           | FROM tk WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
-           |cnt AS (
-           | SELECT lang AS c2, token AS token2, count(*) AS n
-           | FROM tr GROUP BY 1, 2),
-           |tot AS (SELECT lang AS cls, count(*) AS tot FROM tr GROUP BY 1),
-           |v AS (SELECT count(DISTINCT token) AS v FROM tr),
-           |prior AS (
-           | SELECT d.lang AS cls,
-           |  length(printf('%b', count(DISTINCT d.doc_id) * 1099511627776
-           |    // (SELECT count(DISTINCT doc_id)
-           |        FROM documents WHERE doc_id % 5 <> 0))) AS prior_w
-           | FROM documents d WHERE d.doc_id % 5 <> 0 GROUP BY 1),
-           |cl AS (SELECT cls, tot + v.v AS denom FROM tot CROSS JOIN v),
-           |sc AS (
-           | SELECT te.doc_id, te.actual, cl.cls,
-           |  sum(te.m * length(printf('%b',
-           |    ((coalesce(cnt.n, 0) + 1) * 1099511627776) // cl.denom)))
-           |   AS like_sum
-           | FROM te CROSS JOIN cl
-           | LEFT JOIN cnt ON cnt.c2 = cl.cls AND cnt.token2 = te.token
-           | GROUP BY 1, 2, 3),
-           |scp AS (
-           | SELECT sc.doc_id, sc.actual, sc.cls,
-           |  sc.like_sum + prior.prior_w AS score
-           | FROM sc JOIN prior ON prior.cls = sc.cls),
+        s"""WITH $nbScoreSql,
            |pr AS (
            | SELECT doc_id, actual, cls,
            |  row_number() OVER (PARTITION BY doc_id
@@ -81,5 +88,36 @@ object LearnQueries {
            | FROM scp)
            |SELECT actual, cls AS predicted, count(*) AS n_docs
            |FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Confident-learning label audit: the misclassified held-out docs
+    // ranked by the NB model's margin AGAINST the recorded label
+    // (score of the winning class minus score of the labeled class) —
+    // the review queue a labeling pipeline drains to find mislabeled
+    // data. Integer margins ride the same bitlen quantization as
+    // q163, so the ranking is engine-reproducible; top-25 with
+    // doc_id tie-break plans as TakeOrderedAndProject.
+    "q165_label_errors" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        NaiveBayes.labelErrorCandidates(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "lang", "text", k = 25)
+      },
+      Some(
+        s"""WITH $nbScoreSql,
+           |best AS (
+           | SELECT doc_id, actual, cls AS predicted, score,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cls) AS rk
+           | FROM scp),
+           |own AS (
+           | SELECT doc_id, score AS actual_score FROM scp
+           | WHERE cls = actual)
+           |SELECT b.doc_id, b.actual, b.predicted,
+           | CAST(b.score - o.actual_score AS BIGINT) AS margin
+           |FROM best b JOIN own o USING (doc_id)
+           |WHERE b.rk = 1 AND b.predicted <> b.actual
+           |ORDER BY margin DESC, b.doc_id LIMIT 25""".stripMargin)),
   )
 }

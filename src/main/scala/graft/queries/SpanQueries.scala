@@ -131,5 +131,33 @@ object SpanQueries {
            |$spanSql
            |SELECT doc_id, span_start, span_len, n_hits
            |FROM sp ORDER BY doc_id, span_start""".stripMargin)),
+
+    // PMI collocation mining: top-50 adjacent token pairs by
+    // pointwise mutual information (rank-equivalent integer form —
+    // n_xy * 1e6 DIV (n_x * n_y); PMI's log and corpus constants are
+    // monotone), min corpus count 5. The phrase-detection statistic
+    // run before tokenizer/embedding training. Unigram counts are
+    // vocabulary-sized and broadcast onto the distinct-bigram frame;
+    // top-k plans as TakeOrderedAndProject.
+    "q164_collocations" -> Q(
+      (s, dir) => TextOps.collocations(t(s, dir, "documents"), "text",
+        k = 50, minCount = 5),
+      Some(
+        s"""WITH tk AS (
+           | SELECT ${OpsQueries.toksSql} AS t FROM documents),
+           |un AS (
+           | SELECT t2.token, count(*) AS n
+           | FROM (SELECT unnest(t) AS token FROM tk) t2 GROUP BY 1),
+           |bn AS (
+           | SELECT bigram, count(*) AS n_xy
+           | FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+           |   i -> t[i] || ' ' || t[i+1])) AS bigram FROM tk) b2
+           | GROUP BY 1 HAVING count(*) >= 5)
+           |SELECT b.bigram, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+           | (b.n_xy * 1000000) // (ux.n * uy.n) AS score
+           |FROM bn b
+           |JOIN un ux ON ux.token = string_split(b.bigram, ' ')[1]
+           |JOIN un uy ON uy.token = string_split(b.bigram, ' ')[2]
+           |ORDER BY score DESC, bigram LIMIT 50""".stripMargin)),
   )
 }

@@ -57,4 +57,39 @@ class NaiveBayesSpec extends AnyFunSuite {
     val test = Seq((10L, "a", "red red blue"), (11L, "b", "blue blue red"))
     assert(confusion(train, test) == Seq(("a", "a", 1L), ("b", "b", 1L)))
   }
+
+  test("label-error candidates surface the mislabeled doc, ranked by margin") {
+    val train = Seq(
+      (1L, "a", "apple apple banana apple apple"),
+      (2L, "a", "banana apple apple apple"),
+      (3L, "b", "zebra yak zebra zebra yak"),
+      (4L, "b", "yak yak zebra zebra"))
+    val test = Seq(
+      (10L, "b", "apple apple banana apple apple apple"), // wrong label, strong
+      (11L, "a", "apple banana"),                         // correct label
+      (12L, "a", "zebra yak"))                            // wrong label, weaker
+    val got = NaiveBayes.labelErrorCandidates(
+      train.toDF("doc_id", "cls", "text"),
+      test.toDF("doc_id", "cls", "text"), "doc_id", "cls", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq
+    // both mislabeled docs appear (correct one filtered), 10 first:
+    // six misfit tokens beat two
+    assert(got == Seq((10L, "b", "a"), (12L, "a", "b")))
+  }
+
+  test("collocations rank exclusive pairs above promiscuous ones") {
+    val docs = Seq(
+      // "new york" is exclusive (3/(3*3)); "the ..." pairs dilute
+      // through the promiscuous "the" (2/(6*2))
+      (1L, "new york new york new york"),
+      (2L, "the cat the cat the dog the dog the bird the fish"))
+      .toDF("doc_id", "text")
+    val got = TextOps.collocations(docs, "text", k = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .toSeq
+    assert(got.head == ("new york", 3L, 333333L))
+    // scores non-increasing, and the exclusive pair dominates
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+  }
 }
