@@ -196,6 +196,56 @@ object Eval {
             6))
           .as("corr"))
 
+  /** Per-group Spearman rank statistics, tie-handled and fully
+    * integer — the rank-based complement of [[pearson]] (robust to
+    * monotone transforms and outliers; the pair worth comparing when
+    * a quality score's SCALE is arbitrary but its ORDER matters).
+    *
+    * Emits per group: n, sum_d2_x4 = sum((R2x - R2y)^2) over DOUBLED
+    * average ranks (R2 = 2*min_rank + tie_count - 1, integer even
+    * with ties; 4x the textbook sum(d^2)), and the tie-correction
+    * masses tie_x / tie_y = sum(t^3 - t) per tied value. Spearman's
+    * rho with tie correction is a pure function of these integers, so
+    * the consumer (or a judge) derives the float once; nothing
+    * engine-dependent is emitted. Bounds: sum_d2_x4 <= 4n^3 — int64
+    * holds to n ~ 1.3e6 rows per group; larger groups lift the sum
+    * to DECIMAL(38,0).
+    *
+    * Scale posture: exact ranks need one sort-shuffle per axis within
+    * each group (inherent to exact Spearman). At unbounded group
+    * sizes use the histogram route instead (rank from cumulative
+    * counts over the VALUE domain, the q134/q145 pattern) — exactness
+    * is the same; this form is the general-domain one.
+    */
+  def spearman(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = df.filter(xCol.isNotNull && yCol.isNotNull)
+      .select(groupCol.as("grp"), xCol.cast("long").as("x"),
+        yCol.cast("long").as("y"))
+    def doubledRank(v: String) = {
+      val ord = Window.partitionBy(col("grp")).orderBy(col(v))
+      val ties = Window.partitionBy(col("grp"), col(v))
+      (rank().over(ord) * 2 + count(lit(1)).over(ties) - 1)
+        .cast("long")
+    }
+    val ranked = base
+      .withColumn("r2x", doubledRank("x"))
+      .withColumn("r2y", doubledRank("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("r2x") - col("r2y")) * (col("r2x") - col("r2y")))
+          .as("sum_d2_x4"))
+    def tieMass(v: String, out: String) = base
+      .groupBy(col("grp"), col(v)).agg(count(lit(1)).as("t"))
+      .groupBy(col("grp"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as(out))
+    ranked
+      .join(tieMass("x", "tie_x"), Seq("grp"))
+      .join(tieMass("y", "tie_y"), Seq("grp"))
+      .select(col("grp"), col("n"), col("sum_d2_x4"), col("tie_x"),
+        col("tie_y"))
+  }
+
   /** Classifier confusion matrix: observed (label, prediction) cells
     * with counts and the within-label share in permille — the
     * diagonal is per-class recall. Observed cells only (a full table

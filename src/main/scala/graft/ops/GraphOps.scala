@@ -216,6 +216,46 @@ object GraphOps {
     * Output: (node, deg, pr_rank) per node, rank after `iters`
     * iterations in fixed-point `scale` units.
     */
+  /** Integer-exact modularity report of a node labeling over an
+    * undirected pair graph: per community, the internal edge count
+    * e_in, the degree mass deg_sum, and the Newman contribution
+    * 4m*e_in - deg_sum^2 (m = total edges). Modularity
+    * Q = sum(contrib) / (4m^2) is a ratio of the emitted integers —
+    * no division happens in-engine, so the report is bit-exact.
+    *
+    * Scale: both label joins are node-keyed shuffles against a
+    * node-sized frame; degrees are one map-combinable shuffle on the
+    * edge list; the 1-row edge total broadcasts (never collected).
+    * Bounds: 4*m*e_in stays in int64 while m*e_in < 2^61 — past
+    * ~1e9 edges lift the products to DECIMAL(38,0).
+    */
+  def modularity(rawPairs: DataFrame, labels: DataFrame): DataFrame = {
+    val pairs = graft.Scratch.cache(
+      rawPairs.select(col("id_a"), col("id_b")))
+    val lab = labels.select(col("node"), col("community"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val eIn = pairs
+      .join(lab.select(col("node").as("id_a"), col("community").as("ca")),
+        Seq("id_a"))
+      .join(lab.select(col("node").as("id_b"), col("community").as("cb")),
+        Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = pairs.select(col("id_a").as("node"))
+      .union(pairs.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    lab.join(deg, Seq("node"))
+      .groupBy(col("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+      .join(eIn, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        expr("4 * m * coalesce(e_in, 0) - deg_sum * deg_sum")
+          .as("contrib_4m2"))
+      .orderBy(col("community"))
+  }
+
   def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L,
       driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     // The loop builds one ~3*iters-shuffle-stage plan over a graph

@@ -1226,6 +1226,55 @@ object AuditQueries {
            |  AS BIGINT) AS share_permille,
            | CAST(COALESCE(lk.leaked_pairs, 0) AS BIGINT) AS leaked_pairs
            |FROM pf LEFT JOIN lk USING (fold) ORDER BY fold""".stripMargin
-      })
+      }),
+
+    // per-source Spearman rank statistics between document length and
+    // distinct-token count — the rank-based complement of q152's
+    // Pearson (scale-free, outlier-robust; what to trust when a
+    // score's order means more than its magnitude). Doubled average
+    // ranks keep ties integer; the emitted (n, sum_d2_x4, tie_x,
+    // tie_y) determine tie-corrected rho exactly, so no float leaves
+    // either engine. See ops/Eval.scala for the rank-shuffle scale
+    // note (histogram route at unbounded group sizes).
+    "q167_spearman" -> Q(
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("source"),
+          col("n_chars"),
+          TextOps.qualitySignals(col("text")).getField("n_distinct")
+            .as("nd"))
+        Eval.spearman(d, col("source"), col("n_chars"), col("nd"))
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some(
+        """WITH tk AS (
+          | SELECT source, CAST(n_chars AS BIGINT) AS x,
+          |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+          |   t -> t <> ''))) AS BIGINT) AS y
+          | FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+          |rk AS (
+          | SELECT source, x, y,
+          |  2 * rank() OVER (PARTITION BY source ORDER BY x)
+          |   + count(*) OVER (PARTITION BY source, x) - 1 AS r2x,
+          |  2 * rank() OVER (PARTITION BY source ORDER BY y)
+          |   + count(*) OVER (PARTITION BY source, y) - 1 AS r2y
+          | FROM tk),
+          |d2 AS (
+          | SELECT source, count(*) AS n,
+          |  sum((r2x - r2y) * (r2x - r2y)) AS sum_d2_x4
+          | FROM rk GROUP BY 1),
+          |tx AS (
+          | SELECT source, sum(t * t * t - t) AS tie_x FROM (
+          |  SELECT source, x, count(*) AS t FROM tk GROUP BY 1, 2) s
+          | GROUP BY 1),
+          |ty AS (
+          | SELECT source, sum(t * t * t - t) AS tie_y FROM (
+          |  SELECT source, y, count(*) AS t FROM tk GROUP BY 1, 2) s
+          | GROUP BY 1)
+          |SELECT d2.source, CAST(n AS BIGINT) AS n,
+          | CAST(sum_d2_x4 AS BIGINT) AS sum_d2_x4,
+          | CAST(tie_x AS BIGINT) AS tie_x, CAST(tie_y AS BIGINT) AS tie_y
+          |FROM d2 JOIN tx USING (source) JOIN ty USING (source)
+          |ORDER BY source""".stripMargin)),
   )
 }

@@ -1129,29 +1129,79 @@ object ScaleQueries {
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, bands = 4, rows = 4, num = 1, den = 2), rounds = 3)
         .orderBy(col("node")),
-      Some {
-        val round = (prev: String, cn: String, ln: String) =>
-          s"""$cn AS MATERIALIZED (
-             | SELECT s.src, l.lbl, count(*) AS c
-             | FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
-             |$ln AS MATERIALIZED (
-             | SELECT src AS node, lbl FROM (
-             |  SELECT src, lbl, row_number() OVER (
-             |   PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM $cn)
-             | WHERE rn = 1)""".stripMargin
-        s"""WITH ${OpsQueries.minhashCtes},
-           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
-           |sym AS MATERIALIZED (
-           | SELECT id_a AS src, id_b AS dst FROM pr
-           | UNION ALL SELECT id_b, id_a FROM pr),
-           |l0 AS MATERIALIZED (
-           | SELECT DISTINCT src AS node, src AS lbl FROM sym),
-           |${round("l0", "c1", "l1")},
-           |${round("l1", "c2", "l2")},
-           |${round("l2", "c3", "l3")}
-           |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
-      })
+      Some(
+        s"""WITH $labelPropCtes
+           |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin)),
+
+    // Modularity report of the label-propagation communities over the
+    // near-dup graph — the quality number that says whether the
+    // partition actually concentrates edges. Everything integer:
+    // per community we emit e_in (internal edges), deg_sum, and the
+    // contribution 4m*e_in - deg_sum^2; Newman's Q is
+    // sum(contrib) / (4m^2), a ratio of emitted integers. Labels join
+    // the edge list node-keyed (node-sized frames, plain shuffle
+    // joins); the 1-row edge total broadcasts. Bounds: 4*m*e_in
+    // needs m*e_in < 2^61 — past ~1e9 edges lift the terms to
+    // DECIMAL(38,0).
+    "q166_modularity" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        GraphOps.modularity(pairs,
+          GraphOps.labelPropagation(pairs, rounds = 3))
+      },
+      Some(
+        s"""WITH $labelPropCtes,
+           |m AS (SELECT count(*) AS m FROM pr),
+           |e AS (
+           | SELECT la.lbl AS community, count(*) AS e_in
+           | FROM pr
+           | JOIN l3 la ON la.node = pr.id_a
+           | JOIN l3 lb ON lb.node = pr.id_b
+           | WHERE la.lbl = lb.lbl GROUP BY 1),
+           |dg AS (
+           | SELECT node, count(*) AS deg FROM (
+           |  SELECT id_a AS node FROM pr
+           |  UNION ALL SELECT id_b FROM pr) s GROUP BY 1),
+           |dc AS (
+           | SELECT l3.lbl AS community, sum(dg.deg) AS deg_sum,
+           |  count(*) AS n_nodes
+           | FROM l3 JOIN dg ON dg.node = l3.node GROUP BY 1)
+           |SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+           | CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+           | CAST(dc.deg_sum AS BIGINT) AS deg_sum,
+           | CAST(4 * m.m * coalesce(e.e_in, 0)
+           |   - dc.deg_sum * dc.deg_sum AS BIGINT) AS contrib_4m2
+           |FROM dc LEFT JOIN e ON e.community = dc.community CROSS JOIN m
+           |ORDER BY dc.community""".stripMargin)),
   )
+
+  /** Shared oracle CTE chain for q131/q166: minhash near-dup pairs ->
+    * symmetric edges -> three synchronous label-propagation rounds,
+    * ending in l3(node, lbl).
+    */
+  private val labelPropCtes: String = {
+    val round = (prev: String, cn: String, ln: String) =>
+      s"""$cn AS MATERIALIZED (
+         | SELECT s.src, l.lbl, count(*) AS c
+         | FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+         |$ln AS MATERIALIZED (
+         | SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |   PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM $cn)
+         | WHERE rn = 1)""".stripMargin
+    s"""${OpsQueries.minhashCtes},
+       |pr AS MATERIALIZED (
+       | SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+       |sym AS MATERIALIZED (
+       | SELECT id_a AS src, id_b AS dst FROM pr
+       | UNION ALL SELECT id_b, id_a FROM pr),
+       |l0 AS MATERIALIZED (
+       | SELECT DISTINCT src AS node, src AS lbl FROM sym),
+       |${round("l0", "c1", "l1")},
+       |${round("l1", "c2", "l2")},
+       |${round("l2", "c3", "l3")}""".stripMargin
+  }
 
   /** Shared oracle CTE chain for the winnowing fingerprint table
     * (tok -> per-position 4-gram hashes -> 5-window minima -> distinct

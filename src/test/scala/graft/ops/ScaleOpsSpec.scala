@@ -463,4 +463,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ranks = r.map(_.getAs[Long]("pr_rank")).distinct
     assert(ranks.length == 1, ranks.mkString(","))
   }
+
+  test("modularity: two cliques + bridge, hand-computed contributions") {
+    // K3 {0,1,2} + K3 {3,4,5} + bridge (2,3): m = 7 edges.
+    // degrees: 0,1->2  2->3  3->3  4,5->2; communities = the cliques.
+    // e_in = 3 each; deg_sum = 7 each; contrib = 4*7*3 - 49 = 35.
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 3L)).toDF("node", "community")
+    val got = GraphOps.modularity(pairs, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    graft.Scratch.release()
+    assert(got == Seq((0L, 3L, 3L, 7L, 35L), (3L, 3L, 3L, 7L, 35L)))
+    // Q = (35 + 35) / (4 * 49) = 0.357... > 0 — partition is real
+  }
+
+  test("modularity: everything in one community gives Q exactly 0") {
+    // one community: e_in = m, deg_sum = 2m -> contrib = 4m^2 - 4m^2
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val labels = Seq((0L, 9L), (1L, 9L), (2L, 9L)).toDF("node", "community")
+    val got = GraphOps.modularity(pairs, labels).collect()
+    graft.Scratch.release()
+    assert(got.length == 1 && got.head.getLong(4) == 0L)
+  }
+
+  test("spearman: perfect monotone agreement means sum_d2 = 0; reversal maxes it") {
+    val agree = Seq(("s", 1L, 10L), ("s", 2L, 20L), ("s", 3L, 30L))
+      .toDF("g", "x", "y")
+    val a = Eval.spearman(agree, col("g"), col("x"), col("y")).collect()
+    assert(a.head.getLong(2) == 0L && a.head.getLong(3) == 0L)
+    // exact reversal on n=3 distinct values: d2 (doubled ranks) =
+    // (2-6)^2 + 0 + (6-2)^2 = 32 = 4 * textbook 8
+    val rev = Seq(("s", 1L, 30L), ("s", 2L, 20L), ("s", 3L, 10L))
+      .toDF("g", "x", "y")
+    val r = Eval.spearman(rev, col("g"), col("x"), col("y")).collect()
+    assert(r.head.getLong(2) == 32L)
+  }
+
+  test("spearman: ties produce integer doubled ranks and tie masses") {
+    // x = (1,1,2): doubled avg ranks (3,3,6) — never fractional;
+    // tie_x = 2^3 - 2 = 6, tie_y = 0
+    val df = Seq(("s", 1L, 5L), ("s", 1L, 6L), ("s", 2L, 7L))
+      .toDF("g", "x", "y")
+    val r = Eval.spearman(df, col("g"), col("x"), col("y")).collect()
+    assert(r.head.getLong(3) == 6L && r.head.getLong(4) == 0L)
+  }
 }

@@ -379,4 +379,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
+
+  test("dup spans: islands window and span agg share one doc-key exchange") {
+    val p = plan("q161_dup_spans")
+    // the gaps-and-islands merge = Window(doc_id) -> HashAggregate
+    // (doc_id, span) -> HashAggregate(doc_id): all co-partitioned, so
+    // exactly ONE hashpartitioning exchange on doc_id may appear
+    val docKeyExchanges = "hashpartitioning\\(doc_id".r
+      .findAllIn(p).size
+    assert(docKeyExchanges == 1, s"doc-key exchanges: $docKeyExchanges\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("collocations: unigram counts broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q164_collocations")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("NB classifier: class/prior/vocab frames broadcast, model join keeps corpus partitioned") {
+    val p = plan("q163_nb_confusion")
+    // classes/prior/vocab are |C|- or 1-row frames -> broadcast; the
+    // (class, token) model join may shuffle (vocabulary-sized) but
+    // nothing plans as an all-pairs nested loop over the corpus
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -14,7 +14,8 @@ class RegistrySpec extends AnyFunSuite {
       "CoreQueries" -> CoreQueries.all, "SlowLogQueries" -> SlowLogQueries.all,
       "OpsQueries" -> OpsQueries.all, "ExtendedQueries" -> ExtendedQueries.all,
       "PipelineQueries" -> PipelineQueries.all, "ScaleQueries" -> ScaleQueries.all,
-      "AuditQueries" -> AuditQueries.all)
+      "AuditQueries" -> AuditQueries.all, "SpanQueries" -> SpanQueries.all,
+      "LearnQueries" -> LearnQueries.all)
     val perMap = maps.map(_._2.size).sum
     assert(Registry.all.size == perMap,
       s"merged=${Registry.all.size} != sum=$perMap — a name collides")
