@@ -189,6 +189,44 @@ object ScaleProbe {
               .otherwise(0L).as("l")),
           col("s"), col("l"), nbins = 10)
       }
+      // span layer (q161/q162): gram-keyed dup set + doc-keyed island
+      // merge — per-doc output bounded by doc length, so linear.
+      // (Replication makes every gram cross-doc-duplicated, which
+      // maximizes the hit density — a worst-case timing, not a skew.)
+      time("dup_spans", k) {
+        val grams = docs.select(col("doc_id"),
+          posexplode(TextOps.ngrams(col("text"), 8)).as(Seq("pos", "gram")))
+        val dup = grams.groupBy(col("gram"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("gram"))
+        graft.ops.Spans.mergeSpans(
+          grams.join(dup, Seq("gram"), "left_semi")
+            .select(col("doc_id"), col("pos")), "doc_id", "pos", 8)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      }
+      // NB classifier (q163): model frame is vocabulary x classes-
+      // sized (fixed under replication); apply is |C| x test tokens
+      time("nb_confusion", k)(graft.ops.NaiveBayes.confusion(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "lang", "text"))
+      // collocations (q164): vocabulary-sized count frames, broadcast
+      // joins, TakeOrderedAndProject top-k
+      time("collocations", k)(TextOps.collocations(
+        docs, "text", k = 50, minCount = 5))
+      // Spearman (q167): per-axis rank window within each source
+      time("spearman", k)(graft.ops.Eval.spearman(
+        docs, col("source"), col("n_chars"), col("doc_id") % 1000))
+      // modularity (q166) over a synthetic linear-sized edge chain
+      // (pair emitters are excluded by policy; the REPORT itself is
+      // what must scale linearly in edges)
+      time("modularity", k) {
+        val chain = docs.select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1).as("id_b"))
+        graft.ops.GraphOps.modularity(chain,
+          chain.select(col("id_a").as("node"),
+            expr("id_a DIV 64").as("community")))
+      }
       graft.Scratch.release()
       docs.unpersist()
     }
