@@ -251,6 +251,9 @@ object GraphOps {
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        // boundary edges (the conductance numerator): every degree
+        // end not consumed by an internal edge crosses the cut
+        expr("deg_sum - 2 * coalesce(e_in, 0)").as("cut_edges"),
         expr("4 * m * coalesce(e_in, 0) - deg_sum * deg_sum")
           .as("contrib_4m2"))
       .orderBy(col("community"))

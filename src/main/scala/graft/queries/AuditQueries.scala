@@ -1276,5 +1276,58 @@ object AuditQueries {
           | CAST(tie_x AS BIGINT) AS tie_x, CAST(tie_y AS BIGINT) AS tie_y
           |FROM d2 JOIN tx USING (source) JOIN ty USING (source)
           |ORDER BY source""".stripMargin)),
+
+    // shard-balance audit: q75's epoch reshard run through q144's
+    // chi-square machinery on (shard, source) — "did the shuffle
+    // actually MIX, or did a source clump into a shard". Each cell
+    // carries its observed count, expected permille mass, and exact
+    // micro-scaled chi2 contribution; a clumped source shows up as a
+    // dominant contrib cell before the epoch ever trains. Audits the
+    // REAL operator (same salted-hash shard assignment), not a
+    // re-derivation.
+    "q168_shard_balance" -> Q(
+      (s, dir) => Eval.chi2Independence(
+        TextOps.reshard(t(s, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id",
+          nShards = 16, salt = "epoch1"),
+        col("shard"), col("source"))
+        .withColumnRenamed("r", "shard")
+        .withColumnRenamed("c", "source")
+        .orderBy(col("shard"), col("source")),
+      Some {
+        val h32 = (e: String) => s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+        s"""WITH sh AS (
+           | SELECT ${h32("CAST(doc_id AS VARCHAR) || '_epoch1_shard'")} % 16
+           |   AS shard, source
+           | FROM documents),
+           |cells AS MATERIALIZED (
+           | SELECT shard AS r, source AS c, count(*) AS obs
+           | FROM sh GROUP BY 1, 2),
+           |rm AS MATERIALIZED (SELECT r, sum(obs) AS rn FROM cells GROUP BY 1),
+           |cm AS MATERIALIZED (SELECT c, sum(obs) AS cn FROM cells GROUP BY 1),
+           |full_t AS (
+           | SELECT rm.r, cm.c, rm.rn, cm.cn, COALESCE(cells.obs, 0) AS obs
+           | FROM rm CROSS JOIN cm
+           | LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+           |w AS (
+           | SELECT r, c, rn, cn, obs, sum(obs) OVER () AS n FROM full_t),
+           |d1 AS (
+           | SELECT r, c, obs, rn, cn, n,
+           |  CAST(obs AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn AS dev,
+           |  CAST(n AS HUGEINT) * rn * cn AS den
+           | FROM w),
+           |sc AS MATERIALIZED (
+           | SELECT r, c, CAST(obs AS BIGINT) AS obs,
+           |  CAST((CAST(rn AS HUGEINT) * cn * 1000) // n AS BIGINT)
+           |   AS exp_milli,
+           |  CAST((dev * dev // den) * 1000000 +
+           |   ((dev * dev % den) * 1000000) // den AS BIGINT)
+           |   AS contrib_micros
+           | FROM d1)
+           |SELECT r AS shard, c AS source, obs, exp_milli, contrib_micros,
+           | CAST(sum(contrib_micros) OVER () AS BIGINT)
+           |  AS chi2_total_micros
+           |FROM sc ORDER BY 1, 2""".stripMargin
+      }),
   )
 }

@@ -1170,6 +1170,8 @@ object ScaleQueries {
            |SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
            | CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
            | CAST(dc.deg_sum AS BIGINT) AS deg_sum,
+           | CAST(dc.deg_sum - 2 * coalesce(e.e_in, 0) AS BIGINT)
+           |  AS cut_edges,
            | CAST(4 * m.m * coalesce(e.e_in, 0)
            |   - dc.deg_sum * dc.deg_sum AS BIGINT) AS contrib_4m2
            |FROM dc LEFT JOIN e ON e.community = dc.community CROSS JOIN m

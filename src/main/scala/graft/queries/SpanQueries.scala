@@ -159,5 +159,68 @@ object SpanQueries {
            |JOIN un ux ON ux.token = string_split(b.bigram, ' ')[1]
            |JOIN un uy ON uy.token = string_split(b.bigram, ' ')[2]
            |ORDER BY score DESC, bigram LIMIT 50""".stripMargin)),
+
+    // span-dedup ROI: what surgical (span-level) dedup saves, per
+    // source — q124 prices DROPPING whole duplicate docs; this prices
+    // CUTTING just the duplicated intervals: total tokens, tokens
+    // inside cross-document dup spans, docs the cut would fully
+    // consume, and the savings rate in permille. The number that
+    // decides doc-level vs span-level dedup for a source.
+    "q169_span_savings" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val grams = graft.Scratch.cache(posGrams(docs, n))
+        val dup = grams.groupBy(col("gram"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("gram"))
+        val covered = Spans.mergeSpans(
+          grams.join(dup, Seq("gram"), "left_semi")
+            .select(col("doc_id"), col("pos")), "doc_id", "pos", n)
+          .groupBy(col("doc_id"))
+          .agg(sum(col("span_len")).as("covered"))
+        docs.select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+          .join(covered, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce(col("covered"), lit(0L)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("total_tokens"),
+            sum(col("cov")).as("dup_span_tokens"),
+            sum((col("cov") === col("toks")).cast("long"))
+              .as("fully_covered_docs"))
+          .withColumn("savings_permille",
+            expr("dup_span_tokens * 1000 DIV total_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""WITH $posGramSql,
+           |d AS (
+           | SELECT gram FROM pgr GROUP BY gram
+           | HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (
+           | SELECT doc_id, pos FROM pgr
+           | WHERE gram IN (SELECT gram FROM d)),
+           |$spanSql,
+           |cov AS (
+           | SELECT doc_id, sum(span_len) AS covered FROM sp GROUP BY 1),
+           |dt AS (
+           | SELECT d2.doc_id, d2.source, CAST(len(tk.t) AS BIGINT) AS toks,
+           |  COALESCE(cov.covered, 0) AS cov
+           | FROM documents d2
+           | JOIN tk ON tk.doc_id = d2.doc_id
+           | LEFT JOIN cov ON cov.doc_id = d2.doc_id),
+           |agg AS (
+           | SELECT source, count(*) AS n_docs,
+           |  sum(toks) AS total_tokens, sum(cov) AS dup_span_tokens,
+           |  sum(CASE WHEN cov = toks THEN 1 ELSE 0 END)
+           |   AS fully_covered_docs
+           | FROM dt GROUP BY 1)
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           | CAST(total_tokens AS BIGINT) AS total_tokens,
+           | CAST(dup_span_tokens AS BIGINT) AS dup_span_tokens,
+           | CAST(fully_covered_docs AS BIGINT) AS fully_covered_docs,
+           | CAST(dup_span_tokens * 1000 // total_tokens AS BIGINT)
+           |  AS savings_permille
+           |FROM agg ORDER BY source""".stripMargin)),
   )
 }
