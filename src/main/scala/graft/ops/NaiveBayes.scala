@@ -45,19 +45,20 @@ object NaiveBayes {
   private def bitlen(x: org.apache.spark.sql.Column) =
     length(conv(x, 10, 2)).cast("long")
 
-  /** Train on `train`, score every `test` doc against every class:
-    * (doc_id, actual, cls, score). Both inputs need (docId, classCol,
-    * textCol) columns; tokenization is the engine-wide whitespace
-    * contract (TextOps.tokens). The downstream argmax ([[confusion]])
-    * and margin ([[labelErrorCandidates]]) views share this pass.
+  /** A fitted model, entirely as DataFrames (nothing is collected):
+    * `classes` (cls, denom) and `prior` (cls, prior_w) are |C|-row
+    * broadcast sides; `counts` (c2, token2, n) is the vocabulary x
+    * classes count frame, partitioned by (class, token). Batch
+    * scoring ([[scores]]) and stream-static scoring (q170) share it.
     */
-  def scores(train: DataFrame, test: DataFrame, docId: String,
-      classCol: String, textCol: String): DataFrame = {
-    def toks(df: DataFrame) = df.select(col(docId).as("doc_id"),
-      col(classCol).as("cls"),
-      explode(TextOps.tokens(col(textCol))).as("token"))
-    val trainToks = graft.Scratch.cache(toks(train))
+  case class Model(classes: DataFrame, counts: DataFrame, prior: DataFrame)
 
+  /** Train the multinomial model on `train`. */
+  def fit(train: DataFrame, classCol: String,
+      textCol: String): Model = {
+    val trainToks = graft.Scratch.cache(
+      train.select(col(classCol).as("cls"),
+        explode(TextOps.tokens(col(textCol))).as("token")))
     // the model: Laplace-ready occurrence counts per (class, token)
     val cnt = trainToks.groupBy(col("cls"), col("token"))
       .agg(count(lit(1)).as("n"))
@@ -72,25 +73,47 @@ object NaiveBayes {
     // vocabulary size (1 row, broadcast — never collected)
     val vocab = trainToks.select(col("token")).distinct()
       .agg(count(lit(1)).as("v"))
-
-    // test corpus as (doc, token, multiplicity), fanned out per class
-    val testToks = toks(test)
-      .groupBy(col("doc_id"), col("cls").as("actual"), col("token"))
-      .agg(count(lit(1)).as("m"))
     val classes = tot.crossJoin(broadcast(vocab))
       .select(col("cls"), (col("tot") + col("v")).as("denom"))
-    val model = cnt.select(col("cls").as("c2"), col("token").as("token2"),
-      col("n"))
-    val scored = testToks
-      .crossJoin(broadcast(classes))
-      .join(model,
+    Model(classes,
+      cnt.select(col("cls").as("c2"), col("token").as("token2"), col("n")),
+      prior)
+  }
+
+  /** Per-token-occurrence likelihood weights against every class:
+    * input rows (doc_id, actual, token) — one row PER OCCURRENCE —
+    * fanned out |C| ways with the bitlen weight attached. Works on a
+    * batch frame or a stream (all joins are (stream-)static with the
+    * model on the static side; no aggregation happens here).
+    */
+  def tokenWeights(toks: DataFrame, model: Model): DataFrame =
+    toks.withColumn("_one", lit(1))
+      // |C|-row fan-out as a constant-key broadcast equi-join: the
+      // same plan batch-side, and legal in a stream (stream-static
+      // cross joins are not; constant-key hash joins are)
+      .join(broadcast(model.classes.withColumn("_one", lit(1))), Seq("_one"))
+      .join(model.counts,
         col("cls") === col("c2") && col("token") === col("token2"), "left")
       .withColumn("num", (coalesce(col("n"), lit(0L)) + 1) * lit(Scale))
-      .select(col("doc_id"), col("actual"), col("cls"), col("m"),
+      .select(col("doc_id"), col("actual"), col("cls"),
         bitlen(expr("num DIV denom")).as("w"))
-    scored.groupBy(col("doc_id"), col("actual"), col("cls"))
-      .agg(sum(col("m") * col("w")).as("like_sum"))
-      .join(broadcast(prior), Seq("cls"))
+
+  /** Train on `train`, score every `test` doc against every class:
+    * (doc_id, actual, cls, score). Both inputs need (docId, classCol,
+    * textCol) columns; tokenization is the engine-wide whitespace
+    * contract (TextOps.tokens). The downstream argmax ([[confusion]])
+    * and margin ([[labelErrorCandidates]]) views share this pass.
+    */
+  def scores(train: DataFrame, test: DataFrame, docId: String,
+      classCol: String, textCol: String): DataFrame = {
+    val model = fit(train, classCol, textCol)
+    val testToks = test.select(col(docId).as("doc_id"),
+      col(classCol).as("actual"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    tokenWeights(testToks, model)
+      .groupBy(col("doc_id"), col("actual"), col("cls"))
+      .agg(sum(col("w")).as("like_sum"))
+      .join(broadcast(model.prior), Seq("cls"))
       .select(col("doc_id"), col("actual"), col("cls"),
         (col("like_sum") + col("prior_w")).as("score"))
   }

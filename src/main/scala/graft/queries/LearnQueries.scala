@@ -119,5 +119,62 @@ object LearnQueries {
            |FROM best b JOIN own o USING (doc_id)
            |WHERE b.rk = 1 AND b.predicted <> b.actual
            |ORDER BY margin DESC, b.doc_id LIMIT 25""".stripMargin)),
+
+    // §2.10 x q163: ONLINE classification — the holdout docs arrive
+    // as a file STREAM and are scored against the batch-trained model
+    // via stream-static joins (constant-key broadcast fan-out + left
+    // join onto the (class, token) count frame), with the per-(doc,
+    // class) likelihood sum as the single streaming aggregation
+    // (Complete mode). foreachBatch snapshot-ranks the argmax and
+    // overwrites the sink (the q85 leaderboard shape) — end-of-input
+    // equals the batch confusion matrix EXACTLY, so q163's oracle
+    // checks the streaming path too.
+    "q170_streaming_classify" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.ops.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "lang", "text")
+        val ev = SlowLogQueries.nbtestSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "nbtest", ev)
+        val out = "/tmp/graft_stream_nb_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 8).parquet(src)
+          val toks = stream.select(col("doc_id"),
+            col("lang").as("actual"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+          val likeSums = graft.ops.NaiveBayes.tokenWeights(toks, model)
+            .groupBy(col("doc_id"), col("actual"), col("cls"))
+            .agg(sum(col("w")).as("like_sum"))
+          val query = likeSums.writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("doc_id"))
+                .orderBy(col("score").desc, col("cls"))
+              batch.join(broadcast(model.prior), Seq("cls"))
+                .select(col("doc_id"), col("actual"), col("cls"),
+                  (col("like_sum") + col("prior_w")).as("score"))
+                .withColumn("rk", row_number().over(w))
+                .filter(col("rk") === 1)
+                .groupBy(col("actual"), col("cls").as("predicted"))
+                .agg(count(lit(1)).as("n_docs"))
+                .write.mode("overwrite").parquet(out)
+            }
+            .start()
+          try query.processAllAvailable() finally query.stop()
+        }
+        s.read.parquet(out).orderBy(col("actual"), col("predicted"))
+      },
+      Some(
+        s"""WITH $nbScoreSql,
+           |pr AS (
+           | SELECT doc_id, actual, cls,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cls) AS rk
+           | FROM scp)
+           |SELECT actual, cls AS predicted, count(*) AS n_docs
+           |FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

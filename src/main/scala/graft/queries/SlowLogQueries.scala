@@ -109,9 +109,20 @@ object SlowLogQueries {
         floor(col("value") * 10).cast("long").as("d"))
   }
 
+  /** The q163 holdout split as a stream fixture (q170 classifies it
+    * against the batch-trained model).
+    */
+  private[queries] def nbtestSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
-      "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _)
+      "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
+      "nbtest" -> nbtestSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
