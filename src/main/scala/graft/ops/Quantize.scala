@@ -129,4 +129,40 @@ object Quantize {
       .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
         expr("d2 DIV 1000000").cast("long").as("dist2u"))
   }
+
+  /** Nearest-centroid (Rocchio) classification of held-out vectors
+    * against label centroids fit on the train split — the embedding-
+    * space sibling of the token-space Naive Bayes (q163): train =
+    * one (label, dim) partial-sum pass; apply = test vectors exploded
+    * per dim, joined to the CATALOG-sized centroid frame (broadcast),
+    * one (vec, label) aggregation, argmin window (ties to the
+    * smallest label). All arithmetic in fixed-point micros with
+    * truncating centroid division — bit-identical cross-engine.
+    * Output: (actual, predicted, n_vecs) confusion matrix.
+    */
+  def nearestCentroidConfusion(train: DataFrame, test: DataFrame,
+      idCol: String, vecCol: String, labelCol: Column,
+      dims: Int): DataFrame = {
+    val cent = train.filter(size(col(vecCol)) === dims)
+      .select(labelCol.as("grp"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("grp"), col("i"), micros(col("v")).cast("long").as("m"))
+      .groupBy(col("grp"), col("i"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("grp"), col("i"), expr("s DIV cnt").as("c"))
+    val exTest = test.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).as("vec_id"), labelCol.as("actual"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("vec_id"), col("actual"), col("i"),
+        micros(col("v")).cast("long").as("m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("grp"))
+    exTest.join(broadcast(cent), Seq("i"))
+      .groupBy(col("vec_id"), col("actual"), col("grp"))
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("actual"), col("grp").as("predicted"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("actual"), col("predicted"))
+  }
 }

@@ -176,5 +176,101 @@ object LearnQueries {
            | FROM scp)
            |SELECT actual, cls AS predicted, count(*) AS n_docs
            |FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Nearest-centroid (Rocchio) classifier on the embedding corpus —
+    // the vector-space sibling of q163: label centroids fit on the
+    // vec_id % 5 train split (fixed-point micros, truncating
+    // division — q141's arithmetic), held-out vectors assigned to the
+    // nearest centroid by exact integer squared distance, ties to the
+    // smallest label. Centroid frame is catalog-sized and broadcasts;
+    // the corpus is touched once per split.
+    "q171_rocchio_confusion" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.Quantize.nearestCentroidConfusion(
+          emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+          "vec_id", "embedding", col("label"), dims = 64)
+      },
+      Some(
+        """WITH tr AS (
+          | SELECT label AS grp, unnest(range(len(embedding))) AS i,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings WHERE len(embedding) = 64 AND vec_id % 5 <> 0),
+          |cent AS MATERIALIZED (
+          | SELECT grp, i, CAST(sum(m) AS BIGINT) // count(*) AS c
+          | FROM tr GROUP BY 1, 2),
+          |te AS (
+          | SELECT vec_id, label AS actual,
+          |  unnest(range(len(embedding))) AS i,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings WHERE len(embedding) = 64 AND vec_id % 5 = 0),
+          |d AS (
+          | SELECT te.vec_id, te.actual, cent.grp,
+          |  sum((te.m - cent.c) * (te.m - cent.c)) AS d2
+          | FROM te JOIN cent ON cent.i = te.i GROUP BY 1, 2, 3),
+          |p AS (
+          | SELECT vec_id, actual, grp,
+          |  row_number() OVER (PARTITION BY vec_id
+          |    ORDER BY d2, grp) AS rk
+          | FROM d)
+          |SELECT actual, grp AS predicted, count(*) AS n_vecs
+          |FROM p WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Reliability calibration of the NB classifier: confidence =
+    // integer margin between the winning and runner-up class scores,
+    // binned by q159's equal-width integer rule, with the observed
+    // correctness rate per bin — "does a 2x-likelihood margin
+    // actually mean it's right more often". The histogram collapses
+    // the holdout to margin-domain rows before any window; bounds
+    // ride as a 1-row broadcast.
+    "q172_nb_calibration" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sc = graft.Scratch.cache(graft.ops.NaiveBayes.scores(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "lang", "text"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
+        val ranked = graft.Scratch.cache(
+          sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2))
+        val m = ranked.filter(col("rk") === 1)
+          .select(col("doc_id"), col("actual"),
+            col("cls").as("predicted"), col("score").as("s1"))
+          .join(ranked.filter(col("rk") === 2)
+            .select(col("doc_id"), col("score").as("s2")), Seq("doc_id"))
+          .select((col("s1") - col("s2")).as("margin"),
+            (col("predicted") === col("actual")).cast("long").as("correct"))
+        graft.ops.Eval.calibrationBins(m, col("margin"), col("correct"),
+          nbins = 10)
+          .orderBy(col("bin"))
+      },
+      Some(
+        s"""WITH $nbScoreSql,
+           |rk AS MATERIALIZED (
+           | SELECT doc_id, actual, cls, score,
+           |  row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cls) AS rk
+           | FROM scp),
+           |mg AS (
+           | SELECT CAST(a.score - b.score AS BIGINT) AS v,
+           |  CASE WHEN a.cls = a.actual THEN 1 ELSE 0 END AS pos
+           | FROM rk a JOIN rk b ON b.doc_id = a.doc_id AND b.rk = 2
+           | WHERE a.rk = 1),
+           |hist AS MATERIALIZED (
+           | SELECT v, count(*) AS cnt, sum(pos) AS pos FROM mg GROUP BY 1),
+           |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM hist),
+           |bb AS (
+           | SELECT h.v, h.cnt, h.pos,
+           |  ((h.v - bounds.lo) * 10) // (bounds.hi - bounds.lo + 1) AS bin
+           | FROM hist h CROSS JOIN bounds)
+           |SELECT bin, CAST(sum(cnt) AS BIGINT) AS n,
+           | CAST(sum(pos) AS BIGINT) AS n_pos,
+           | CAST((sum(pos) * 1000) // sum(cnt) AS BIGINT) AS pos_permille,
+           | CAST(sum(v * cnt) // sum(cnt) AS BIGINT) AS mean_score
+           |FROM bb GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
