@@ -41,4 +41,32 @@ class SpansSpec extends AnyFunSuite {
     val run = (0 until 50).map(p => (7L, p))
     assert(merge(run, 8) == Seq((7L, 0L, 57L, 50L)))
   }
+
+  test("random positions: spans == brute-force interval union (seeded)") {
+    val rnd = new scala.util.Random(42)
+    // brute-force reference: mark every covered token, read off runs
+    def naive(ps: Seq[Int], n: Int): Seq[(Long, Long, Long)] = {
+      val covered = ps.flatMap(p => p until p + n).toSet
+      val hits = ps.toSet
+      if (covered.isEmpty) Nil
+      else {
+        val sorted = covered.toSeq.sorted
+        val runs = sorted.tail.foldLeft(List(List(sorted.head))) {
+          case (acc @ (cur :: rest), t) =>
+            if (t == cur.head + 1) (t :: cur) :: rest else List(t) :: acc
+          case (Nil, t) => List(List(t))
+        }.map(_.reverse).reverse
+        runs.map(r => (r.head.toLong, r.length.toLong,
+          r.count(hits.contains).toLong))
+      }
+    }
+    for (trial <- 1 to 12) {
+      val n = 1 + rnd.nextInt(8)
+      val ps = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(100)).distinct
+      val got = merge(ps.map(p => (1L, p)), n)
+        .map { case (_, st, len, hits) => (st, len, hits) }
+      assert(got == naive(ps, n).sortBy(_._1),
+        s"trial $trial n=$n ps=${ps.sorted}")
+    }
+  }
 }
