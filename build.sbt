@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output normally goes through sbt's logger, which
+// prefixes every line with [info]/[error]; that prefix breaks any
+// consumer that parses Bench's one-line JSON summary from the process
+// tail (BENCH_r03..r05 "parsed": null). StdoutOutput passes the forked
+// process's stdout/stderr through verbatim instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -713,8 +713,24 @@ object Dedup {
     */
   val DriverCcMaxEdges = 1000000L
 
+  /** Session override for the driver-replay cap: like Spark's own
+    * `autoBroadcastJoinThreshold`, the size-adaptive cutoff is a
+    * CONFIG, not a burned-in constant — an operator fleet tuned for a
+    * beefier driver raises it, a test forces the distributed path
+    * with 0. An explicit per-call `driverMaxEdges` argument still
+    * wins over the session conf (callers that pass a value know
+    * their graph better than the session default does).
+    */
+  val DriverReplayCapKey = "spark.graft.driverReplayMaxEdges"
+
+  def driverReplayCap(df: DataFrame, passed: Long): Long =
+    if (passed != DriverCcMaxEdges) passed
+    else df.sparkSession.conf
+      .get(DriverReplayCapKey, DriverCcMaxEdges.toString).toLong
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
       driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+    val replayCap = driverReplayCap(pairs, driverMaxEdges)
     // AQE is OFF for the duration of the loop (restored after). Adaptive
     // planning re-optimizes and resubmits every shuffle stage of every
     // round as its own scheduling step; on the pair graph — which is
@@ -737,7 +753,7 @@ object Dedup {
       .unionByName(pairs
         .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
     val edgeCnt = sym.count()
-    if (edgeCnt <= driverMaxEdges) {
+    if (edgeCnt <= replayCap) {
       val out = driverUnionFind(sym)
       sym.unpersist()
       out

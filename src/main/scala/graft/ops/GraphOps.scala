@@ -106,8 +106,11 @@ object GraphOps {
     var e = graft.Scratch.localCheckpoint(
       pairs.select(col("id_a"), col("id_b")))
     // size-adaptive (the connectedComponents pattern): replay the
-    // peel driver-side under the bounded cap — identical rows
-    if (e.count() <= driverMaxEdges) return driverKCore(e, k, rounds)
+    // peel driver-side under the bounded cap — identical rows.
+    // Cap resolves through spark.graft.driverReplayMaxEdges unless
+    // the caller passed an explicit value (Dedup.driverReplayCap).
+    if (e.count() <= Dedup.driverReplayCap(e, driverMaxEdges))
+      return driverKCore(e, k, rounds)
     val deg0 = degrees(e)
     for (_ <- 1 to rounds) {
       val s = degrees(e).filter(col("deg") >= k).select("node")
@@ -171,7 +174,7 @@ object GraphOps {
     // size-adaptive (the connectedComponents pattern): synchronous
     // rounds replay driver-side under the bounded cap
     val edgeCnt = sym.count()
-    if (edgeCnt <= driverMaxEdges) {
+    if (edgeCnt <= Dedup.driverReplayCap(sym, driverMaxEdges)) {
       val out = driverLabelProp(sym, rounds)
       sym.unpersist()
       return out
@@ -226,9 +229,27 @@ object GraphOps {
     * Scale: both label joins are node-keyed shuffles against a
     * node-sized frame; degrees are one map-combinable shuffle on the
     * edge list; the 1-row edge total broadcasts (never collected).
-    * Bounds: 4*m*e_in stays in int64 while m*e_in < 2^61 — past
-    * ~1e9 edges lift the products to DECIMAL(38,0).
+    * Bounds: the products 4*m*e_in and deg_sum^2 leave int64 once
+    * m*e_in exceeds 2^61 (~1e9 edges of a balanced partition), so the
+    * contribution is computed in DECIMAL(38,0) UNCONDITIONALLY —
+    * exact to m*e_in < 1e37, i.e. any graph a 100 TB corpus can
+    * produce — rather than switching representation at a size
+    * threshold (a conditional type would make the report's schema
+    * depend on the data, breaking every downstream consumer the day
+    * the graph grows past the bound). Community-count rows make the
+    * decimal arithmetic cost unmeasurable.
     */
+
+  /** Newman contribution 4m*e_in - deg_sum^2 in DECIMAL(38,0) —
+    * factored out so the overflow regime (m*e_in > 2^61) is unit-
+    * testable with synthetic magnitudes no test-sized graph can reach.
+    */
+  private[ops] def modularityContrib(m: org.apache.spark.sql.Column,
+      eIn: org.apache.spark.sql.Column,
+      degSum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(4).cast("decimal(38,0)") * m.cast("decimal(38,0)") * eIn
+      - degSum.cast("decimal(38,0)") * degSum).cast("decimal(38,0)")
+
   def modularity(rawPairs: DataFrame, labels: DataFrame): DataFrame = {
     val pairs = graft.Scratch.cache(
       rawPairs.select(col("id_a"), col("id_b")))
@@ -254,8 +275,8 @@ object GraphOps {
         // boundary edges (the conductance numerator): every degree
         // end not consumed by an internal edge crosses the cut
         expr("deg_sum - 2 * coalesce(e_in, 0)").as("cut_edges"),
-        expr("4 * m * coalesce(e_in, 0) - deg_sum * deg_sum")
-          .as("contrib_4m2"))
+        modularityContrib(col("m"), coalesce(col("e_in"), lit(0L)),
+          col("deg_sum")).as("contrib_4m2"))
       .orderBy(col("community"))
   }
 
@@ -277,7 +298,8 @@ object GraphOps {
     // Size-adaptive (the connectedComponents pattern): under the
     // bounded cap the whole iteration runs driver-side on collected
     // edges — identical integer arithmetic, zero shuffle stages.
-    if (edgeCnt * 2 <= driverMaxEdges) return driverPagerank(p, iters, scale)
+    if (edgeCnt * 2 <= Dedup.driverReplayCap(p, driverMaxEdges))
+      return driverPagerank(p, iters, scale)
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

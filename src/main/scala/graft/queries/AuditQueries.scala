@@ -18,10 +18,8 @@ object AuditQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   def all: Map[String, Q] = Map(
 

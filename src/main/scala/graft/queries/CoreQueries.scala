@@ -25,10 +25,8 @@ object CoreQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   /** events.ts is INT64 nanos (read as long); integer-divide to micros. */
   private def evTs = timestamp_micros(expr("ts DIV 1000"))

@@ -16,10 +16,8 @@ object ExtendedQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 

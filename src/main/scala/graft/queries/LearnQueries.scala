@@ -14,10 +14,8 @@ object LearnQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   /** Shared CTE chain ending in scp(doc_id, actual, cls, score): the
     * SQL twin of [[graft.ops.NaiveBayes.scores]] on the documents

@@ -19,10 +19,8 @@ object OpsQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   // ---- shared oracle SQL fragments -----------------------------------
 

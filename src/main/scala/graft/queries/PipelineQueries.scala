@@ -20,10 +20,8 @@ object PipelineQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   /** whitespace tokens, empties dropped (mirror of TextOps.tokens) */
   private val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"

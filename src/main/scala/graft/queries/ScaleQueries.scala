@@ -25,10 +25,8 @@ object ScaleQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   def all: Map[String, Q] = Map(
 
@@ -1140,15 +1138,21 @@ object ScaleQueries {
     // contribution 4m*e_in - deg_sum^2; Newman's Q is
     // sum(contrib) / (4m^2), a ratio of emitted integers. Labels join
     // the edge list node-keyed (node-sized frames, plain shuffle
-    // joins); the 1-row edge total broadcasts. Bounds: 4*m*e_in
-    // needs m*e_in < 2^61 — past ~1e9 edges lift the terms to
-    // DECIMAL(38,0).
+    // joins); the 1-row edge total broadcasts. The contribution is
+    // DECIMAL(38,0) unconditionally — int64 dies at m*e_in > 2^61
+    // (~1e9 edges), decimal is exact to 1e37 with a data-independent
+    // schema (both engines cast identically). The DRIVER-FACING
+    // column is the exact decimal as a STRING: final-result DECIMAL
+    // is the known cross-engine hash hazard (scripts/check_oracle.py),
+    // and a string carries the full 38 digits losslessly where BIGINT
+    // truncates and DOUBLE rounds.
     "q166_modularity" -> Q(
       (s, dir) => {
         val pairs = Dedup.minhashPairs(t(s, dir, "documents"), "doc_id",
           "text", n = 3, bands = 4, rows = 4, num = 1, den = 2)
         GraphOps.modularity(pairs,
           GraphOps.labelPropagation(pairs, rounds = 3))
+          .withColumn("contrib_4m2", col("contrib_4m2").cast("string"))
       },
       Some(
         s"""WITH $labelPropCtes,
@@ -1172,8 +1176,9 @@ object ScaleQueries {
            | CAST(dc.deg_sum AS BIGINT) AS deg_sum,
            | CAST(dc.deg_sum - 2 * coalesce(e.e_in, 0) AS BIGINT)
            |  AS cut_edges,
-           | CAST(4 * m.m * coalesce(e.e_in, 0)
-           |   - dc.deg_sum * dc.deg_sum AS BIGINT) AS contrib_4m2
+           | CAST(CAST(4 * CAST(m.m AS DECIMAL(38,0)) * coalesce(e.e_in, 0)
+           |   - CAST(dc.deg_sum AS DECIMAL(38,0)) * dc.deg_sum
+           |   AS DECIMAL(38,0)) AS VARCHAR) AS contrib_4m2
            |FROM dc LEFT JOIN e ON e.community = dc.community CROSS JOIN m
            |ORDER BY dc.community""".stripMargin)),
   )

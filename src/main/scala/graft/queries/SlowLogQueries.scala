@@ -85,7 +85,7 @@ object SlowLogQueries {
 
   private def hopSrc(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(s)
-    s.read.parquet(s"$dir/events.parquet")
+    Registry.table(s, dir, "events")
       .select(timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
         floor(col("value") * 10).cast("long").as("duration"))
   }
@@ -95,7 +95,7 @@ object SlowLogQueries {
   // changes nothing checked and keeps the state path the hot path
   private def ssjoinSrc(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(s)
-    s.read.parquet(s"$dir/events.parquet")
+    Registry.table(s, dir, "events")
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         timestamp_micros(expr("ts DIV 1000")).as("tsm"))
@@ -103,7 +103,7 @@ object SlowLogQueries {
 
   private def sessSrc(s: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(s)
-    s.read.parquet(s"$dir/events.parquet")
+    Registry.table(s, dir, "events")
       .select(col("user_id"),
         timestamp_micros(expr("ts DIV 1000")).as("tsm"),
         floor(col("value") * 10).cast("long").as("d"))
@@ -201,7 +201,7 @@ object SlowLogQueries {
   def parsed(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.tune(spark)
     def build(): (SparkSession, DataFrame) = {
-      val events = spark.read.parquet(s"$dir/events.parquet")
+      val events = Registry.table(spark, dir, "events")
       // cache only what the reports read — the bound_values maps and
       // tags arrays roughly double the cached footprint for nothing
       spark -> SlowQueryPipeline.parseEvents(messages(events), config)
@@ -632,7 +632,7 @@ object SlowLogQueries {
     "q48_tags_keyspace" -> Q(
       (s, dir) => {
         GraftSession.tune(s)
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = Registry.table(s, dir, "events")
         val u3 = (col("user_id") % 3).cast("string")
         val e5 = (col("event_id") % 5).cast("string")
         val uid = col("user_id").cast("string")
@@ -665,7 +665,7 @@ object SlowLogQueries {
     "q31_data_quality" -> Q(
       (s, dir) => {
         GraftSession.tune(s)
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = Registry.table(s, dir, "events")
         val good = concat(lit("W Query too slow, took "),
           floor(col("value") * 10).cast("long").cast("string"),
           lit(" ms: SELECT * FROM ks0.t0 WHERE id=1"))
@@ -699,7 +699,7 @@ object SlowLogQueries {
         GraftSession.tune(s)
         val f = LogColumns.normalizePatterns(
           Seq(QueryPattern("SELECT name FROM users", Seq("id"))))
-        s.read.parquet(s"$dir/events.parquet")
+        Registry.table(s, dir, "events")
           .select(col("event_id"),
             concat(lit("SELECT name FROM users WHERE id='z"),
               col("user_id").cast("string"), lit("' LIMIT 1;")).as("q"))

@@ -17,10 +17,8 @@ object SpanQueries {
 
   import Registry.Q
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
 
   /** 0-based positional 8-grams of every document: (doc_id, pos, gram). */
   private def posGrams(docs: DataFrame, n: Int): DataFrame =

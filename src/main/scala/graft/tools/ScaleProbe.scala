@@ -265,7 +265,7 @@ object ScaleProbe {
     }
     // event-side linear ops: anomaly flags (q103) and the z-order
     // layout audit (q106) — both reduce to key-bounded aggregates
-    val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val evBase = graft.queries.Registry.table(spark, "/root/testdata/sf0.1", "events")
     val evN = evBase.count()
     for (k <- Seq(1, 2, 8, 32)) {
       val ev = (0 until k).map(i =>
@@ -308,7 +308,7 @@ object ScaleProbe {
     */
   private def streamStateProbe(spark: SparkSession, k: Int): Unit = {
     import org.apache.spark.sql.streaming.OutputMode
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val ev = graft.queries.Registry.table(spark, "/root/testdata/sf0.1", "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
         expr("ts DIV 1000").as("tsu"))
     val mm = ev.agg(min(col("tsu")), max(col("tsu"))).head()

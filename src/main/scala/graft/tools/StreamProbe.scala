@@ -31,7 +31,7 @@ object StreamProbe {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
       try {
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev = graft.queries.Registry.table(spark, sfDir, "events")
           .select(timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
             (col("event_id") % 1000).as("duration"))
         val src = "/tmp/graft_streamprobe_src"

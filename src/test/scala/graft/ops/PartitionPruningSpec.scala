@@ -18,7 +18,7 @@ class PartitionPruningSpec extends AnyFunSuite {
 
   test("date-partitioned scan prunes to the predicate's partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.queries.Registry.table(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", date_format(
         timestamp_micros(expr("ts DIV 1000")), "yyyy-MM-dd"))
     ev.write.mode("overwrite").partitionBy("day").parquet(tmp)

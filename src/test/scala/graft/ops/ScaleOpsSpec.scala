@@ -474,7 +474,7 @@ class ScaleOpsSpec extends AnyFunSuite {
       (5L, 3L)).toDF("node", "community")
     val got = GraphOps.modularity(pairs, labels).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toSeq
+        r.getLong(4), r.getDecimal(5).longValueExact())).toSeq
     graft.Scratch.release()
     // cut_edges = 7 - 2*3 = 1 each (the bridge, once per side)
     assert(got == Seq((0L, 3L, 3L, 7L, 1L, 35L), (3L, 3L, 3L, 7L, 1L, 35L)))
@@ -487,7 +487,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val labels = Seq((0L, 9L), (1L, 9L), (2L, 9L)).toDF("node", "community")
     val got = GraphOps.modularity(pairs, labels).collect()
     graft.Scratch.release()
-    assert(got.length == 1 && got.head.getLong(5) == 0L)
+    assert(got.length == 1 && got.head.getDecimal(5).longValueExact() == 0L)
     assert(got.head.getLong(4) == 0L) // no cut edges either
   }
 
