@@ -294,14 +294,28 @@ object Similarity {
   }
 
   /** IVF (inverted-file) coarse quantizer: `k` centroids refined with
-    * `iters` Lloyd iterations from a deterministic seed (the k
-    * lowest-id vectors — swap for sampled k-means++ in production; the
-    * index/probe structure is what scales). Returns (cluster ->
-    * centroid array) collected to the driver: centroids are
-    * dimension-count-sized, never data-sized.
+    * `iters` Lloyd iterations from a deterministic seed. Returns
+    * (cluster -> centroid array) collected to the driver: centroids
+    * are dimension-count-sized, never data-sized.
+    *
+    * Seeding (`init`):
+    *  - `"lowest-id"` (default): the k lowest-id vectors — the
+    *    oracle-pinned deterministic mode (q38/q58 hash against it).
+    *  - `"kmpp"`: sampled k-means++ seeding over a bounded
+    *    deterministic hash-sample. One distributed pass picks the
+    *    max(k*32, 2048) sample vectors with the smallest xxhash64(id)
+    *    (a uniform pseudo-random slice, reproducible across
+    *    partitionings); D^2 sampling (probability proportional to
+    *    squared chord distance to the nearest seed, fixed-seed PRNG)
+    *    then runs driver-side on that sample — k*|sample| cosine
+    *    evaluations, microseconds next to one Lloyd pass. D^2 keeps
+    *    seeds out of already-covered clusters without the
+    *    outlier-chasing of pure farthest-first, the k-means++
+    *    O(log k)-approximation argument.
     */
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 2, sampleMod: Int = 1): Array[(Int, Array[Double])] = {
+      k: Int, iters: Int = 2, sampleMod: Int = 1,
+      init: String = "lowest-id"): Array[(Int, Array[Double])] = {
     val dims = embeddings.select(size(col(vecCol))).head().getInt(0)
     // Lloyd refinement needs representative centroids, not the full
     // corpus: with sampleMod > 1 each iteration scans a deterministic
@@ -311,11 +325,13 @@ object Similarity {
     val refineCorpus =
       if (sampleMod <= 1) embeddings
       else embeddings.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
-    var centroids: Array[(Int, Array[Double])] = embeddings
-      .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
+    var centroids: Array[(Int, Array[Double])] =
+      if (init == "kmpp") kmppSeeds(embeddings, idCol, vecCol, k)
+      else embeddings
+        .orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](0).toArray.map(_.toDouble) }
     (0 until iters).foreach { _ =>
       val assigned = assignClusters(refineCorpus, vecCol, centroids)
       val sums = assigned
@@ -336,6 +352,59 @@ object Similarity {
       }
     }
     centroids
+  }
+
+  /** Deterministic farthest-first (sampled k-means++-style) seeds:
+    * see [[ivfCentroids]]. The TopK-by-hash sample is one
+    * TakeOrderedAndProject over the corpus; everything after is
+    * driver-side on <= max(k*32, 2048) vectors.
+    */
+  private def kmppSeeds(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int): Array[(Int, Array[Double])] = {
+    val cap = math.max(k * 32, 2048)
+    val sample: Array[Array[Double]] = embeddings
+      .select(col(vecCol), xxhash64(col(idCol)).as("_h"))
+      .orderBy(col("_h"), col(vecCol).cast("string"))
+      .limit(cap)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    if (sample.isEmpty) return Array.empty
+    // k-means++ D^2 sampling over the sample, with the randomness
+    // made deterministic (fixed-seed PRNG over the hash-ordered
+    // sample): each next seed is drawn with probability proportional
+    // to squared chord distance 2*(1 - cos) to its nearest seed.
+    // Proper D^2 sampling beats pure farthest-first (maximin) on
+    // noisy corpora, where maximin provably walks the outliers.
+    val rnd = new scala.util.Random(42)
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minCos = sample.map(v => cosScalar(v, seeds.head))
+    while (seeds.size < math.min(k, sample.length)) {
+      var total = 0.0
+      var i = 0
+      while (i < sample.length) { total += 2.0 * (1.0 - minCos(i)); i += 1 }
+      var pick = 0
+      if (total > 0) {
+        val target = rnd.nextDouble() * total
+        var acc = 0.0
+        i = 0
+        var found = -1
+        while (i < sample.length && found < 0) {
+          acc += 2.0 * (1.0 - minCos(i))
+          if (acc >= target) found = i
+          i += 1
+        }
+        pick = if (found >= 0) found else sample.length - 1
+      } else pick = seeds.size % sample.length // degenerate: all identical
+      val nw = sample(pick)
+      seeds += nw
+      i = 0
+      while (i < sample.length) {
+        val c = cosScalar(sample(i), nw)
+        if (c > minCos(i)) minCos(i) = c
+        i += 1
+      }
+    }
+    seeds.toArray.zipWithIndex.map { case (v, i) => i -> v }
   }
 
   /** Assign each vector to its nearest centroid (max cosine; ties to

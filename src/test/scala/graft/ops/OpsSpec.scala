@@ -400,6 +400,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmpp seeding: deterministic, and spreads seeds across clusters where lowest-id cannot") {
+    import spark.implicits._
+    // four tight direction-clusters; ids ordered so the k=4 LOWEST-ID
+    // seeds all fall in cluster 0 — the adversarial case the
+    // farthest-first init exists for
+    val vecs = (0 until 40).map { i =>
+      val axis = i / 10
+      val v = Array.fill(4)(0.05f * ((i * 7 % 3) - 1))
+      v(axis) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def seeds() = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 0, init = "kmpp")
+    val a = seeds(); val b = seeds()
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq, "not deterministic")
+    // each kmpp seed points along a DIFFERENT axis = one per cluster
+    val axes = a.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(axes == Set(0, 1, 2, 3), s"kmpp seeds not spread: ${axes}")
+    // lowest-id seeds (iters=0) all sit in cluster 0 on this layout
+    val low = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 0)
+    assert(low.map { case (_, v) => v.indexOf(v.max) }.toSet == Set(0))
+  }
+
   test("IVF recall: exact variant is 10/10 by construction, plain is data-limited") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .cache()
