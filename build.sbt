@@ -17,6 +17,10 @@ run / fork := true
 // tail (BENCH_r03..r05 "parsed": null). StdoutOutput passes the forked
 // process's stdout/stderr through verbatim instead.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own "[success] Total time" trailer otherwise prints
+// AFTER Bench's final summary line, so a consumer that reads the
+// literal last line of the process tail still misses the JSON.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
