@@ -21,6 +21,7 @@ run / outputStrategy := Some(StdoutOutput)
 // AFTER Bench's final summary line, so a consumer that reads the
 // literal last line of the process tail still misses the JSON.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

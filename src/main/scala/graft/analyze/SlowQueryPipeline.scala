@@ -37,7 +37,8 @@ object SlowQueryPipeline {
       cfKs = CqlCatalog.cfKeyspaces(config.schema),
       tagKs = config.tags,
       pkIdx = config.schema.map { case (k, meta) => k -> meta.partitionKey },
-      patterns = config.patterns)
+      patterns = config.patterns,
+      enrichDml = config.enrichDml)
 
   /** The fused enrichment as a Column. */
   def enrich(query: Column, bvStr: Column, tags: Column,

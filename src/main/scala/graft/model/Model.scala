@@ -22,8 +22,18 @@ case class QueryPattern(start: String, parameters: Seq[String])
 /** Analysis configuration (reference: analyze_slow_queries.py:90-109,
   * CLI defaults :1315-1319).
   *
-  * @param orderBy one of "count" | "duration" | "avg_duration"
-  * @param tags    map tag -> keyspace used as keyspace-guess fallback
+  * @param orderBy   one of "count" | "duration" | "avg_duration"
+  * @param tags      map tag -> keyspace used as keyspace-guess fallback
+  * @param enrichDml opt-in DOCUMENTED DEVIATION: the reference leaves
+  *                  DELETE/UPDATE rows unenriched (passthrough
+  *                  processors, analyze_slow_queries.py:770-837) and
+  *                  carries the gap as a TODO (:57 "Parse primary key
+  *                  out of DELETE and UPDATE statements"). With this
+  *                  flag the C5/C6 processors run the same bound-values
+  *                  -> table -> PK path as SELECT/INSERT (F3/F6/F7
+  *                  reuse), so DML rows land in the primary-key
+  *                  reports. Default false = byte-exact reference
+  *                  parity.
   */
 case class AnalysisConfig(
     topN: Int = 100,
@@ -32,7 +42,8 @@ case class AnalysisConfig(
     minCount: Int = 5,
     schema: Map[(String, String), TableMeta] = Map.empty,
     patterns: Seq[QueryPattern] = Nil,
-    tags: Map[String, String] = Map.empty)
+    tags: Map[String, String] = Map.empty,
+    enrichDml: Boolean = false)
 
 object Schemas {
 

@@ -339,9 +339,16 @@ object TextOps {
     * `n` (corpus size) is a driver scalar from one count — at 100 TB
     * this is one cheap agg, or a known catalog statistic.
     */
+  /** The tf-idf score with the OVERFLOW-SAFE association (idf factor
+    * formed first) — factored out so the overflow spec pins the
+    * operator's actual formula at a synthetic billion-doc `n` no
+    * test corpus can reach (OpsSpec "tf-idf score association").
+    */
+  private[ops] def tfidfScore(n: Long, scale: Long = 1000000L): Column =
+    expr(s"tf * (($scale * ${n}L) DIV df)")
+
   def topTfidfTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val scale = 1000000L
     val n = df.count()
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col(idCol), col("token"))
@@ -351,7 +358,7 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
     tf.join(broadcast(dfreq), Seq("token"))
-      .withColumn("score", expr(s"tf * (($scale * ${n}L) DIV df)"))
+      .withColumn("score", tfidfScore(n))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"))

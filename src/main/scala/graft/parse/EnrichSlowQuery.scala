@@ -28,7 +28,8 @@ case class SlowQueryCatalog(
     cfKs: Map[String, String],
     tagKs: Map[String, String],
     pkIdx: Map[(String, String), Seq[String]],
-    patterns: Seq[QueryPattern]) extends Serializable {
+    patterns: Seq[QueryPattern],
+    enrichDml: Boolean = false) extends Serializable {
 
   import SlowQueryCatalog._
 
@@ -59,7 +60,8 @@ case class SlowQueryCatalog(
     var columnFamily: String = null
     var primaryKey: String = null
 
-    if (qtype == "SELECT" || qtype == "INSERT") {
+    if (qtype == "SELECT" || qtype == "INSERT" ||
+        (enrichDml && (qtype == "DELETE" || qtype == "UPDATE"))) {
       if (bvStr != null) bound = parseBoundValues(bvStr)
       if (qtype == "SELECT" && patterns.nonEmpty) {
         patterns.find(p => query.startsWith(p.start)).foreach { p =>
@@ -68,8 +70,14 @@ case class SlowQueryCatalog(
           pbv.foreach { case (k, v) => bound(k) = v } // dict.update
         }
       }
-      val table =
-        if (qtype == "SELECT") selectTable(query) else insertTable(rawQuery)
+      // DELETE shares SELECT's " FROM <tbl> " shape; UPDATE names the
+      // table immediately after the verb (CQL: UPDATE tbl SET ...)
+      val table = qtype match {
+        case "SELECT" => selectTable(query)
+        case "DELETE" => selectTable(query)
+        case "INSERT" => insertTable(rawQuery)
+        case _        => updateTable(rawQuery)
+      }
       if (table != null) {
         if (table.contains(".")) {
           // Python table.split('.') 2-tuple unpack: != 2 parts raises
@@ -171,6 +179,17 @@ object SlowQueryCatalog {
   def insertTable(q: String): String = {
     var t = strSlice(q, "INSERT INTO ", " ")
     if (!truthy(t)) t = strSlice(q, "insert into ", " ")
+    if (truthy(t)) t else null
+  }
+
+  /** UPDATE-statement table extraction — no reference counterpart
+    * (the reference's TODO at analyze_slow_queries.py:57); built in
+    * the F5 style: probe the cased then lowercase verb, table runs to
+    * the next space (CQL: `UPDATE tbl [USING ...] SET ...`).
+    */
+  def updateTable(q: String): String = {
+    var t = strSlice(q, "UPDATE ", " ")
+    if (!truthy(t)) t = strSlice(q, "update ", " ")
     if (truthy(t)) t else null
   }
 

@@ -711,7 +711,70 @@ object SlowLogQueries {
       Some("""SELECT event_id,
              | 'SELECT name FROM users WHERE id=? LIMIT 1;' AS normalized,
              | 'z' || CAST(user_id AS VARCHAR) AS id_val
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // DOCUMENTED DEVIATION (reference TODO analyze_slow_queries.py:57
+    // "Parse primary key out of DELETE and UPDATE statements"): with
+    // AnalysisConfig(enrichDml = true) the C5/C6 processors run the
+    // same bound-values -> table -> PK enrichment as SELECT/INSERT,
+    // so DML statements land in the primary-key reports instead of
+    // passing through dark. The corpus mixes enrichable DELETE/UPDATE
+    // (dotted table + bound values), an UPDATE with neither (counter
+    // bump — gets a cf but no ks/pk, staying OUT of the report like
+    // the reference's passthrough), BATCH noise, and a SELECT
+    // control group; the report aggregates per (type, ks, cf, pk).
+    "q173_dml_pk" -> Q(
+      (s, dir) => {
+        GraftSession.tune(s)
+        val u3 = (col("user_id") % 3).cast("string")
+        val e5 = (col("event_id") % 5).cast("string")
+        val uid = col("user_id").cast("string")
+        val dur = floor(col("value") * 10).cast("long").cast("string")
+        val prefix = concat(lit("WARN Query too slow, took "), dur, lit(" ms: "))
+        val body: Column =
+          when(col("event_type") === "purchase", concat(
+            lit("[1 bound values] DELETE FROM ks"), u3, lit(".t"), e5,
+            lit(" WHERE id=?; [id:'u"), uid, lit("']")))
+          .when(col("event_type") === "signup", concat(
+            lit("[2 bound values] UPDATE ks"), u3, lit(".t"), e5,
+            lit(" SET v=? WHERE id=?; [v:'zz', id:'u"), uid, lit("']")))
+          .when(col("event_type") === "error", lit("BEGIN BATCH APPLY BATCH"))
+          .when(col("event_type") === "click", lit("UPDATE counters SET c = c + 1"))
+          .otherwise(concat(
+            lit("[1 bound values] SELECT * FROM ks"), u3, lit(".t"), e5,
+            lit(" WHERE id=?; [id:'u"), uid, lit("']")))
+        val raw = Registry.table(s, dir, "events").select(
+          date_format(timestamp_micros(expr("ts DIV 1000")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("timestamp_str"),
+          concat(prefix, body).as("message"),
+          array().cast("array<string>").as("tags"))
+        SlowQueryPipeline.parseEvents(raw, config.copy(enrichDml = true))
+          .filter(col("primary_key").isNotNull && col("primary_key") =!= "")
+          .groupBy(col("type"), col("keyspace"), col("column_family"),
+            col("primary_key"))
+          .agg(count(lit(1)).as("count"), sum(col("duration")).as("duration"))
+          .withColumn("avg_duration", expr("duration DIV count"))
+          .orderBy(col("duration").desc, col("type"), col("keyspace"),
+            col("column_family"), col("primary_key"))
+          .limit(100)
+      },
+      Some("""WITH ev AS (
+             | SELECT
+             |  CASE WHEN event_type = 'purchase' THEN 'DELETE'
+             |       WHEN event_type = 'signup' THEN 'UPDATE'
+             |       ELSE 'SELECT' END AS type,
+             |  'ks' || CAST(user_id % 3 AS VARCHAR) AS keyspace,
+             |  't' || CAST(event_id % 5 AS VARCHAR) AS column_family,
+             |  'u' || CAST(user_id AS VARCHAR) AS primary_key,
+             |  CAST(floor(value*10) AS BIGINT) AS duration
+             | FROM events
+             | WHERE event_type IN ('purchase', 'signup', 'view'))
+             |SELECT type, keyspace, column_family, primary_key,
+             | count(*) AS count, CAST(sum(duration) AS BIGINT) AS duration,
+             | CAST(sum(duration) // count(*) AS BIGINT) AS avg_duration
+             |FROM ev GROUP BY 1,2,3,4
+             |ORDER BY duration DESC, type, keyspace, column_family,
+             | primary_key LIMIT 100""".stripMargin))
   )
 }
 

@@ -230,6 +230,48 @@ object ScaleProbe {
       graft.Scratch.release()
       docs.unpersist()
     }
+    // Banded dedup + CC at scale. The pair emitters are excluded from
+    // the loop above because IDENTICAL replicas make their OUTPUT
+    // quadratic by construction (every doc gains k-1 exact twins).
+    // Suffixing every token with its replica index instead makes each
+    // replica its own near-dup universe: within-replica shingle
+    // equality — and therefore the entire pair structure — is
+    // preserved exactly (all tokens of replica i carry the same
+    // suffix), while cross-replica shingles can never collide. True
+    // output is exactly k-fold the base output, so a scale-correct
+    // banded plan must show ~linear wall time here.
+    for (k <- Seq(1, 2, 8, 32)) {
+      val docs = (0 until k).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * n))
+          .withColumn("text", concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(t, lit("\u0001" + i.toString)))))
+      }.reduce(_ unionByName _).cache()
+      docs.count()
+      time("minhash_band_lsh", k)(Dedup.minhashPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rows = 4, num = 1, den = 2))
+      graft.Scratch.release()
+      time("simhash120_pairs", k)(Dedup.simhashPairs120(
+        docs, "doc_id", "text", maxDist = 8))
+      graft.Scratch.release()
+      // Connected components on a k-fold chain graph (n-1 edges and
+      // one n-diameter component per replica: iteration count is set
+      // by the DIAMETER — constant in k — while per-iteration work is
+      // linear in k, the shape that isolates the loop's scaling).
+      // cap=0 forces the DISTRIBUTED min-label + pointer-doubling
+      // path — the one that runs at 100 TB — not the driver replay.
+      if (k > 1) {
+        val edges = docs.select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1).as("id_b"))
+          .filter(pmod(col("id_a"), lit(n)) =!= (n - 1))
+        val t0 = System.nanoTime()
+        Dedup.connectedComponents(edges, maxIters = 25, driverMaxEdges = 0L)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"[scale] ${"cc_distributed"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
+      docs.unpersist()
+    }
     // embedding-side linear ops (q100 shape): replicate the vector
     // corpus; the audit's shuffles stay dimension-sized regardless of k
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")

@@ -501,6 +501,23 @@ class OpsSpec extends AnyFunSuite {
     assert(tfidf.select(col("doc_id")).distinct().count() == 1)
   }
 
+  test("tf-idf score association stays exact where the naive form overflows (ADVICE pin)") {
+    import spark.implicits._
+    // billion-doc regime: the naive association forms tf * SCALE * N
+    // first — 1e19 > 2^63 for the tf=10000 rows regardless of df —
+    // while the shipped association divides by df before multiplying
+    // by tf and stays in range; it must match BigInt arithmetic
+    val n = 1000000000L
+    val cases = Seq((10000L, 1000000L), (10000L, 3L), (5L, 7L), (1L, 999999999L))
+    val got = cases.toDF("tf", "df")
+      .withColumn("score", TextOps.tfidfScore(n))
+      .orderBy(col("df")).collect().map(_.getLong(2)).toSeq
+    val want = cases.sortBy(_._2).map { case (tf, df) =>
+      (BigInt(tf) * ((BigInt(1000000L) * BigInt(n)) / BigInt(df))).toLong
+    }
+    assert(got == want)
+  }
+
   test("rolling hash is order-sensitive, fingerprint is not spacing-sensitive") {
     val out = Seq("a b c", "c b a", "a  b  c").toDF("text")
       .select(TextOps.rollingHash(col("text")).as("rh"),

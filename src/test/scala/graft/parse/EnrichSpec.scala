@@ -113,4 +113,47 @@ class EnrichSpec extends AnyFunSuite {
     assert(enrich("TRUNCATE ks1.users") == null)
     assert(enrich("Select mixed case") == null)
   }
+
+  // --- enrichDml (documented deviation; reference TODO
+  // analyze_slow_queries.py:57) ---
+
+  private val dmlCatalog = catalog.copy(enrichDml = true)
+
+  private def enrichDml(q: String, bv: String = null, tags: Seq[String] = Nil) = {
+    val t = if (tags.isEmpty) null
+      else ArrayData.toArrayData(tags.map(UTF8String.fromString).toArray)
+    dmlCatalog.enrichInternal(UTF8String.fromString(q),
+      if (bv == null) null else UTF8String.fromString(bv), t)
+  }
+
+  test("DML parity: bound values alone never enrich DELETE/UPDATE by default") {
+    val r = enrich("DELETE FROM ks1.users WHERE user_id=?;", "[user_id:'u1']")
+    assert(f(r, 3) == null && f(r, 4) == null && f(r, 5) == null)
+  }
+
+  test("enrichDml: DELETE gets ks/cf and pk from bound values") {
+    val r = enrichDml("DELETE FROM ks1.users WHERE user_id=?;", "[user_id:'u1']")
+    assert(f(r, 0) == "DELETE" && f(r, 3) == "ks1" && f(r, 4) == "users")
+    assert(f(r, 5) == "u1")
+  }
+
+  test("enrichDml: UPDATE composite pk assembles in schema order") {
+    val r = enrichDml("UPDATE ks2.metrics SET v=? WHERE day=? AND tenant=?;",
+      "[v:'9', day:'0107', tenant:'acme']")
+    assert(f(r, 0) == "UPDATE" && f(r, 3) == "ks2" && f(r, 4) == "metrics")
+    assert(f(r, 5) == "acme-0107") // pkIdx order, not WHERE order
+  }
+
+  test("enrichDml: undotted UPDATE guesses keyspace like SELECT; counter bump stays dark") {
+    val r = enrichDml("UPDATE users SET v=? WHERE other=?;", "[v:'1', other:'o1']",
+      tags = Seq("appA"))
+    assert(f(r, 3) == "ks3" && f(r, 4) == "users" && f(r, 5) == "o1")
+    val c = enrichDml("UPDATE counters SET c = c + 1")
+    assert(f(c, 0) == "UPDATE" && f(c, 3) == null && f(c, 4) == "counters")
+    assert(f(c, 5) == null) // no bound values -> pk never attempted
+  }
+
+  test("enrichDml: multi-dot DELETE table keeps tuple-unpack parity (row skip)") {
+    assert(enrichDml("DELETE FROM a.b.c WHERE x=?;", "[x:'1']") == null)
+  }
 }
