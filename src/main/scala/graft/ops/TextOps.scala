@@ -605,6 +605,129 @@ object TextOps {
           .as("surprise_x100"))
   }
 
+  /** Per-doc bigram language-model surprisal in integer BITS — the
+    * perplexity-proxy quality filter, engine-exactly: surprisal of a
+    * bigram is bitlen(C(w1 ·)) - bitlen(C(w1 w2)) ~ -log2 P(w2|w1)
+    * (bitlen = length of the binary representation, the established
+    * cross-engine integer-log2: Spark `length(conv(x,10,2))` ==
+    * DuckDB `length(printf('%b',x))`). Unlike [[bigramSurprise]]
+    * (occurrence-RANK-based), this scores actual probability ratios,
+    * so rare continuations of common prefixes — the fluency signal a
+    * perplexity filter keys on — dominate.
+    *
+    * Scale: both count tables are bigram-VOCABULARY-sized; the prefix
+    * totals derive from the bigram counts (no second corpus pass);
+    * the corpus shuffles once on the gram key to pick up its score —
+    * the q123 shape. No sort, no driver state.
+    */
+  def lmSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("id"),
+      explode(ngrams(col(textCol), 2)).as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val bits = c2.join(c1, Seq("w1"))
+      .select(col("bg"),
+        (length(conv(col("c1"), 10, 2)) - length(conv(col("c2"), 10, 2)))
+          .cast("long").as("bits"))
+    bg.join(bits, Seq("bg"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bits")).as("bits_sum"))
+      .withColumn("bits_x100", expr("bits_sum * 100 DIV n_bigrams"))
+  }
+
+  /** Mixture reweighting plan (the DoReMi-style "hit these domain
+    * shares" step, downsample-only): given target corpus shares in
+    * permille, emit per source the integer keep-rate that realizes
+    * the target — capped at 1000 (no upsampling) — plus the expected
+    * post-sampling doc count and the deficit where the source simply
+    * has too few docs. All arithmetic integer permille; sources
+    * absent from `targets` get target 0 (dropped by the plan).
+    *
+    * Scale: one map-side-combinable count per source + a
+    * catalog-sized broadcast join; the corpus itself never shuffles.
+    */
+  def mixtureReweight(docs: DataFrame, srcCol: Column,
+      targets: Seq[(String, Int)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(srcCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tgt = targets.toDF("source", "target_permille")
+    counts.join(broadcast(tgt), Seq("source"), "left")
+      .na.fill(0, Seq("target_permille"))
+      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+      .withColumn("keep_permille",
+        least(lit(1000L), expr("(target_permille * n_total) DIV n_docs")))
+      .withColumn("expected_docs", expr("(n_docs * keep_permille) DIV 1000"))
+      .withColumn("deficit_docs",
+        greatest(lit(0L), expr("(target_permille * n_total) DIV 1000 - expected_docs")))
+      .select(col("source"), col("n_docs"), col("target_permille"),
+        col("keep_permille"), col("expected_docs"), col("deficit_docs"))
+  }
+
+  /** Token-balanced curriculum phases: order docs by an integer
+    * difficulty score (easiest first, id tie-break) and cut the
+    * sequence into `phases` contiguous groups of ~equal TOKEN mass —
+    * phase = ((cumulative_tokens - 1) * phases) DIV total. The
+    * global cumulative sum uses the [[tokenBudgetSample]] distributed
+    * prefix-sum shape, with buckets cut on the SCORE DOMAIN (so
+    * bucket order == score order): per-bucket totals to the driver
+    * (bucket-count-sized), prefix offsets broadcast back, windowed
+    * cumsum per bucket. No global sort, no single-partition window.
+    */
+  def curriculumPhases(docs: DataFrame, idCol: String, scoreCol: Column,
+      tokCol: Column, phases: Int, nBuckets: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).as("id"),
+      scoreCol.cast("long").as("score"),
+      coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
+    val agg = base.agg(max(col("score")), sum(col("toks"))).head()
+    val maxS = agg.getLong(0); val total = math.max(agg.getLong(1), 1L)
+    val b = base.withColumn("bucket",
+      expr(s"(score * $nBuckets) DIV ${maxS + 1}"))
+    val totals = b.groupBy(col("bucket")).agg(sum(col("toks")).as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = offsets.toSeq.toDF("bucket", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("score"), col("id"))
+    b.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("cum", sum(col("toks")).over(w) + col("off"))
+      .withColumn("phase", expr(s"((cum - 1) * $phases) DIV $total"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("phase"))
+  }
+
+  /** Cross-label n-gram leakage matrix: for every unordered label
+    * pair, how many DISTINCT n-grams appear under both labels — the
+    * split-hygiene audit that catches e.g. the same boilerplate (or
+    * the same document) filed under two languages or two training
+    * splits. No pair join on docs: (gram, label) is deduplicated,
+    * grams collapse to their label SET (bounded by the label-domain
+    * size), and pairs explode from that tiny set — gram strings
+    * shuffle once.
+    */
+  def crossLabelLeakage(docs: DataFrame, idCol: String, labelCol: Column,
+      textCol: String, n: Int = 8): DataFrame = {
+    val gl = docs.select(labelCol.as("lab"),
+        explode(ngramsDistinct(col(textCol), n)).as("gram"))
+      .distinct()
+    gl.groupBy(col("gram")).agg(collect_set(col("lab")).as("labs"))
+      .filter(size(col("labs")) >= 2)
+      .select(explode(col("labs")).as("lab_a"), col("labs"))
+      .select(col("lab_a"), explode(col("labs")).as("lab_b"))
+      .filter(col("lab_a") < col("lab_b"))
+      .groupBy(col("lab_a"), col("lab_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("lab_a"), col("lab_b"))
+  }
+
   /** Cross-document boilerplate audit (CCNet-style line dedup,
     * re-expressed over fixed token segments since the corpus carries
     * no newlines): cut each doc into consecutive `segLen`-token

@@ -40,7 +40,8 @@ object Registry {
   def all: Map[String, Q] =
     CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
-      AuditQueries.all ++ SpanQueries.all ++ LearnQueries.all
+      AuditQueries.all ++ SpanQueries.all ++ LearnQueries.all ++
+      CurationQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

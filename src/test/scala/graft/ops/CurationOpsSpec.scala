@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the round-6 curation operators (q174-q177). */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder
+    .master("local[4]").appName("curation-ops")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("lmSurprisal: rare continuation of a common prefix costs more bits") {
+    import spark.implicits._
+    // prefix 'the' continues to 'cat' 7x and to 'quark' once:
+    // C1(the)=8 -> bitlen 4; C2(the cat)=7 -> bitlen 3 (1 bit);
+    // C2(the quark)=1 -> bitlen 1 (3 bits)
+    val docs = ((1 to 7).map(i => (i.toLong, "the cat")) :+
+      (8L, "the quark")).toDF("doc_id", "text")
+    val out = TextOps.lmSurprisal(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L && out(8L) == 3L)
+  }
+
+  test("mixtureReweight: starved source keeps all + deficit; unlisted drops") {
+    import spark.implicits._
+    // 10 docs: a=5, b=4, c=1
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val out = TextOps.mixtureReweight(docs, col("source"),
+      Seq("a" -> 200, "c" -> 400)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // a: target 2 docs of 5 -> keep 400 permille, expected 2, deficit 0
+    assert(out("a") == (5L, 400L, 2L, 0L))
+    // c: target 4 docs of 1 -> capped at keep-all, expected 1, deficit 3
+    assert(out("c") == (1L, 1000L, 1L, 3L))
+    // b unlisted: target 0 -> keep 0, expected 0, no deficit
+    assert(out("b") == (4L, 0L, 0L, 0L))
+  }
+
+  test("curriculumPhases: contiguous score ranges with ~equal token mass") {
+    import spark.implicits._
+    // 12 docs, 10 tokens each, scores 1..12 -> 3 phases of exactly 4
+    val docs = (1 to 12).map(i =>
+      (i.toLong, i.toLong, ("w " * 10).trim)).toDF("doc_id", "sc", "text")
+    val out = TextOps.curriculumPhases(docs, "doc_id", col("sc"),
+      TextOps.tokenCount(col("text")), phases = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 4L, 40L, 1L, 4L),
+      (1L, 4L, 40L, 5L, 8L), (2L, 4L, 40L, 9L, 12L)))
+  }
+
+  test("curriculumPhases: token-weighted cuts, not doc-count cuts") {
+    import spark.implicits._
+    // one heavy doc (60 tokens) + six light (10 each): the heavy one
+    // fills phase 0 alone (60 of 120 total = phases 0 and 1 range)
+    val docs = ((1L, 1L, ("w " * 60).trim) +:
+      (2 to 7).map(i => (i.toLong, i.toLong, ("w " * 10).trim)))
+      .toDF("doc_id", "sc", "text")
+    val out = TextOps.curriculumPhases(docs, "doc_id", col("sc"),
+      TextOps.tokenCount(col("text")), phases = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // heavy doc spans the phase-0 token range by itself: cum=60 ->
+    // phase ((60-1)*3) DIV 120 = 1, so it lands in phase 1 and no doc
+    // is in phase 0 (cut semantics: phase of a doc = phase of its
+    // LAST token; a doc straddling a boundary counts once, later).
+    // phase 1 = heavy + light at cum 70, 80; phase 2 = cum 90..120.
+    assert(!out.contains(0L))
+    assert(out(1L) == 3L && out(2L) == 4L)
+  }
+
+  test("crossLabelLeakage counts each shared gram once per label pair") {
+    import spark.implicits._
+    val g = "a b c d e f g h" // one 8-gram
+    val docs = Seq(
+      (1L, "en", g), (2L, "en", g),        // same gram twice under en
+      (3L, "de", g),                        // shared en<->de
+      (4L, "fr", g),                        // shared with both
+      (5L, "de", "z z z z z z z z")         // de-only gram
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.crossLabelLeakage(docs, "doc_id", col("lang"), "text", 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet == Set(("de", "en", 1L), ("de", "fr", 1L), ("en", "fr", 1L)))
+  }
+}
