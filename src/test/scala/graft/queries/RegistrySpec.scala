@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
       "OpsQueries" -> OpsQueries.all, "ExtendedQueries" -> ExtendedQueries.all,
       "PipelineQueries" -> PipelineQueries.all, "ScaleQueries" -> ScaleQueries.all,
       "AuditQueries" -> AuditQueries.all, "SpanQueries" -> SpanQueries.all,
-      "LearnQueries" -> LearnQueries.all)
+      "LearnQueries" -> LearnQueries.all,
+      "CurationQueries" -> CurationQueries.all)
     val perMap = maps.map(_._2.size).sum
     assert(Registry.all.size == perMap,
       s"merged=${Registry.all.size} != sum=$perMap — a name collides")
