@@ -132,7 +132,11 @@ object Bpe {
     * broadcast join against the vocab and a map-side-combinable sum.
     * Output: (id, words, bpe_tokens) per doc.
     */
-  def encode(spark: SparkSession, docs: DataFrame, idCol: String,
+  /** (word -> BPE token count) vocabulary table for the `rounds`-
+    * round learned merges — the shared apply side of [[encode]] and
+    * [[fertility]]. Vocabulary-sized; broadcasts to the corpus join.
+    */
+  private def vocabNTok(spark: SparkSession, docs: DataFrame,
       textCol: String, rounds: Int): DataFrame = {
     val m = learn(spark, docs, textCol, rounds).collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -140,16 +144,38 @@ object Bpe {
       .select(explode(TextOps.tokens(col(textCol))).as("word")).distinct()
       .withColumn("seg", regexp_replace(translate(col("word"), Sep, ""),
         "(?s)(.)", Sep + "$1" + Sep))
-    val seged = m.foldLeft(words) { case (df, (a, b)) =>
+    m.foldLeft(words) { case (df, (a, b)) =>
       df.withColumn("seg", replace(col("seg"),
         lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)))
     }
       .withColumn("n_tok", size(split(trim(col("seg"), Sep), Sep + Sep)))
       .select(col("word"), col("n_tok"))
+  }
+
+  def encode(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, rounds: Int): DataFrame = {
+    val seged = vocabNTok(spark, docs, textCol, rounds)
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
       .join(broadcast(seged), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("words"), sum(col("n_tok")).as("bpe_tokens"))
+  }
+
+  /** Tokenizer fertility by group (the "how many BPE tokens does a
+    * word cost in each language" table that drives per-language token
+    * budgets): permille ratio of BPE tokens to whitespace words under
+    * the corpus-learned `rounds`-round vocabulary. Same plan shape as
+    * [[encode]] — the corpus meets only a broadcast vocabulary.
+    */
+  def fertility(spark: SparkSession, docs: DataFrame, groupCol: String,
+      textCol: String, rounds: Int): DataFrame = {
+    val seged = vocabNTok(spark, docs, textCol, rounds)
+    docs.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(seged), Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("words"), sum(col("n_tok")).as("bpe_tokens"))
+      .withColumn("fertility_permille",
+        expr("(bpe_tokens * 1000) DIV words"))
   }
 
   /** Generated DuckDB oracle: the merge rounds UNROLLED as a CTE
@@ -221,5 +247,23 @@ object Bpe {
        | CAST(sum(n_tok) AS BIGINT) AS bpe_tokens
        |FROM dt JOIN vocab USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[fertility]]: the [[encodeOracleSql]]
+    * merge chain + vocabulary, aggregated per group column instead of
+    * per doc.
+    */
+  def fertilityOracleSql(toksSql: String, groupCol: String,
+      rounds: Int): String = {
+    val base = encodeOracleSql(toksSql, rounds)
+    val cut = base.indexOf("dt AS (")
+    base.substring(0, cut) +
+      s"""dt AS (
+         | SELECT $groupCol, unnest($toksSql) AS word FROM documents)
+         |SELECT $groupCol, count(*) AS words,
+         | CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+         | CAST(sum(n_tok) * 1000 // count(*) AS BIGINT) AS fertility_permille
+         |FROM dt JOIN vocab USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

@@ -314,8 +314,18 @@ object Eval {
       valueCol: Column): DataFrame = {
     val rows = df.filter(valueCol.isNotNull)
       .select(groupCol.as("grp"), valueCol.as("v"))
-    val gHist = graft.Scratch.cache(
-      rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt")))
+    ksDriftFromHist(graft.Scratch.cache(
+      rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))))
+  }
+
+  /** [[ksDrift]] from an ALREADY-AGGREGATED (grp, v, cnt) histogram —
+    * the entry point for streaming drift monitoring (q178): a
+    * Complete-mode streaming aggregation maintains exactly this
+    * histogram (value-domain-bounded state), and each micro-batch
+    * snapshot runs the same KS arithmetic batch-side, so the stream's
+    * final verdict equals the batch operator's by construction.
+    */
+  def ksDriftFromHist(gHist: DataFrame): DataFrame = {
     val aHist = gHist.groupBy(col("v"))
       .agg(sum(col("cnt")).as("cnt_all"))
       .withColumn("cum_all", sum(col("cnt_all")).over(

@@ -704,6 +704,45 @@ object TextOps {
       .orderBy(col("phase"))
   }
 
+  /** Degenerate-repetition detector (the "model is looping" / spammy
+    * filler signal): per doc, the longest run of identical
+    * CONSECUTIVE tokens ("go go go go" -> 4) and the longest chain of
+    * period-2 bigram repeats ("a b a b a b" -> the bigram "a b"
+    * occurs 3 times at stride 2 -> 3). Both in ONE narrow HOF pass
+    * over the token array — no explode, no shuffle, no per-token
+    * window; the aggregation state is six scalars.
+    *
+    * The period-2 recurrence: r_i = 1 + (s_i == s_{i-2} ? r_{i-2} :
+    * 0) over bigrams s_i, tracked with two alternating run counters
+    * (the parity chains) plus the last three tokens.
+    */
+  def repeatRuns(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val acc0 = struct(
+      lit(null).cast("string").as("p1"), lit(null).cast("string").as("p2"),
+      lit(null).cast("string").as("p3"),
+      lit(0L).as("run1"), lit(0L).as("best1"),
+      lit(0L).as("runA"), lit(0L).as("runB"), lit(0L).as("best2"))
+    val stepped = aggregate(tokens(col(textCol)), acc0, (a, t) => {
+      val same1 = a.getField("p1").isNotNull && (a.getField("p1") === t)
+      val run1 = when(same1, a.getField("run1") + 1L).otherwise(lit(1L))
+      // bigram (p1, t) vs the one two back (p3, p2): runB holds the
+      // stride-2 chain length ending at s_{i-2}; after the step the
+      // counters swap parity
+      val sameBg = a.getField("p1").isNotNull && a.getField("p3").isNotNull &&
+        (t === a.getField("p2")) && (a.getField("p1") === a.getField("p3"))
+      val newRun = when(sameBg, a.getField("runB") + 1L)
+        .otherwise(when(a.getField("p1").isNotNull, lit(1L)).otherwise(lit(0L)))
+      struct(t.as("p1"), a.getField("p1").as("p2"), a.getField("p2").as("p3"),
+        run1.as("run1"), greatest(a.getField("best1"), run1).as("best1"),
+        newRun.as("runA"), a.getField("runA").as("runB"),
+        greatest(a.getField("best2"), newRun).as("best2"))
+    })
+    docs.select(col(idCol),
+      coalesce(size(tokens(col(textCol))), lit(0)).cast("long").as("n_tokens"),
+      coalesce(stepped.getField("best1"), lit(0L)).as("max_token_run"),
+      coalesce(stepped.getField("best2"), lit(0L)).as("max_bigram_loop"))
+  }
+
   /** Cross-label n-gram leakage matrix: for every unordered label
     * pair, how many DISTINCT n-grams appear under both labels — the
     * split-hygiene audit that catches e.g. the same boilerplate (or

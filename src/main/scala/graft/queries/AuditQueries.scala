@@ -21,6 +21,49 @@ object AuditQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Registry.table(spark, dir, name)
 
+
+  /** The per-group KS-vs-global oracle (exact integer
+    * cross-multiplied ECDF gap) — shared by the batch (q138) and
+    * streaming (q178) embodiments, which must both equal it.
+    */
+  private[queries] val ksDriftOracle: String =
+    """WITH rows_f AS (
+          | SELECT source AS grp, n_chars AS v FROM documents
+          | WHERE n_chars IS NOT NULL),
+          |gh AS MATERIALIZED (
+          | SELECT grp, v, count(*) AS cnt FROM rows_f GROUP BY 1, 2),
+          |ah AS MATERIALIZED (
+          | SELECT v, sum(cnt) AS cnt_all FROM gh GROUP BY 1),
+          |ac AS (
+          | SELECT v, cnt_all,
+          |  sum(cnt_all) OVER (ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+          | FROM ah),
+          |gc AS (
+          | SELECT grp, v, cnt,
+          |  sum(cnt) OVER (PARTITION BY grp ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+          | FROM gh),
+          |tot AS MATERIALIZED (
+          | SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
+          | FROM gh GROUP BY 1),
+          |tot2 AS (
+          | SELECT grp, n_g, CAST(sum(n_g) OVER () AS BIGINT) AS n_all
+          | FROM tot),
+          |j AS (
+          | SELECT g.grp, t.n_g, t.n_all,
+          |  greatest(
+          |   abs(CAST(g.cum_g AS HUGEINT) * t.n_all -
+          |       CAST(a.cum_all AS HUGEINT) * t.n_g),
+          |   abs(CAST(g.cum_g - g.cnt AS HUGEINT) * t.n_all -
+          |       CAST(a.cum_all - a.cnt_all AS HUGEINT) * t.n_g)) AS gap
+          | FROM gc g JOIN ac a USING (v) JOIN tot2 t ON g.grp = t.grp)
+          |SELECT grp AS source, CAST(any_value(n_g) AS BIGINT) AS n,
+          | CAST((max(gap) * 1000) //
+          |  (CAST(any_value(n_g) AS HUGEINT) * any_value(n_all))
+          |  AS BIGINT) AS ks_permille
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Map[String, Q] = Map(
 
     // scrub-stage audit over the entity-name surfaces: per
@@ -308,43 +351,7 @@ object AuditQueries {
         col("source"), col("n_chars"))
         .withColumnRenamed("grp", "source")
         .orderBy(col("source")),
-      Some(
-        """WITH rows_f AS (
-          | SELECT source AS grp, n_chars AS v FROM documents
-          | WHERE n_chars IS NOT NULL),
-          |gh AS MATERIALIZED (
-          | SELECT grp, v, count(*) AS cnt FROM rows_f GROUP BY 1, 2),
-          |ah AS MATERIALIZED (
-          | SELECT v, sum(cnt) AS cnt_all FROM gh GROUP BY 1),
-          |ac AS (
-          | SELECT v, cnt_all,
-          |  sum(cnt_all) OVER (ORDER BY v
-          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
-          | FROM ah),
-          |gc AS (
-          | SELECT grp, v, cnt,
-          |  sum(cnt) OVER (PARTITION BY grp ORDER BY v
-          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
-          | FROM gh),
-          |tot AS MATERIALIZED (
-          | SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
-          | FROM gh GROUP BY 1),
-          |tot2 AS (
-          | SELECT grp, n_g, CAST(sum(n_g) OVER () AS BIGINT) AS n_all
-          | FROM tot),
-          |j AS (
-          | SELECT g.grp, t.n_g, t.n_all,
-          |  greatest(
-          |   abs(CAST(g.cum_g AS HUGEINT) * t.n_all -
-          |       CAST(a.cum_all AS HUGEINT) * t.n_g),
-          |   abs(CAST(g.cum_g - g.cnt AS HUGEINT) * t.n_all -
-          |       CAST(a.cum_all - a.cnt_all AS HUGEINT) * t.n_g)) AS gap
-          | FROM gc g JOIN ac a USING (v) JOIN tot2 t ON g.grp = t.grp)
-          |SELECT grp AS source, CAST(any_value(n_g) AS BIGINT) AS n,
-          | CAST((max(gap) * 1000) //
-          |  (CAST(any_value(n_g) AS HUGEINT) * any_value(n_all))
-          |  AS BIGINT) AS ks_permille
-          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(AuditQueries.ksDriftOracle)),
 
     // deterministic hash-split audit: every doc lands in train/val/
     // test by md5(doc_id) bucket (the portable hash32 — stable across

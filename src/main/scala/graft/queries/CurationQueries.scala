@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
-import graft.ops.TextOps
+import graft.ops.{Bpe, Dedup, Eval, TextOps}
 
 /** Round-6 curation-pipeline additions: LM-surprisal quality scoring,
   * mixture reweighting, token-balanced curriculum phases, and the
@@ -117,6 +119,135 @@ object CurationQueries {
            |SELECT a.lang AS lab_a, b.lang AS lab_b,
            | count(*) AS n_shared_grams
            |FROM g a JOIN g b ON a.gram = b.gram AND a.lang < b.lang
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // STREAMING drift monitor: the q138 per-source KS verdict
+    // maintained as a stream. The streaming state is exactly the
+    // (grp, v, cnt) histogram — value-domain-bounded, never
+    // input-sized — kept by a Complete-mode aggregation; each
+    // micro-batch snapshot runs the same integer KS arithmetic
+    // (Eval.ksDriftFromHist) batch-side and overwrites the sink, so
+    // end-of-input equals the batch operator (and q138's oracle)
+    // by construction.
+    "q178_streaming_ks_drift" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.driftSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "drift", ev)
+        val out = "/tmp/graft_stream_drift_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8) // force >1 micro-batch
+            .parquet(src)
+          val query = stream
+            .groupBy(col("grp"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try Eval.ksDriftFromHist(batch)
+                .write.mode("overwrite").parquet(out)
+              finally batch.unpersist()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some(AuditQueries.ksDriftOracle)),
+
+    // Degenerate-repetition audit: longest identical-token run and
+    // longest period-2 bigram loop per doc, one narrow HOF pass (six
+    // scalars of fold state, no explode/shuffle). The oracle computes
+    // both via gaps-and-islands windows over exploded positions — a
+    // completely different algorithm shape agreeing bit-for-bit.
+    "q179_repeat_runs" -> Q(
+      (s, dir) => TextOps.repeatRuns(t(s, dir, "documents"),
+        "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(
+        s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |tks AS (
+           | SELECT doc_id, pos, t[pos] AS tk FROM (
+           |  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+           |  FROM tok)),
+           |r1 AS (SELECT doc_id, tk,
+           |  pos - row_number() OVER (PARTITION BY doc_id, tk ORDER BY pos)
+           |   AS grp FROM tks),
+           |m1 AS (SELECT doc_id, max(c) AS mx FROM (
+           |  SELECT doc_id, count(*) AS c FROM r1 GROUP BY doc_id, tk, grp)
+           | GROUP BY doc_id),
+           |bgs AS (
+           | SELECT doc_id, pos, pos % 2 AS par,
+           |  t[pos] || ' ' || t[pos+1] AS bg FROM (
+           |  SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS pos, t
+           |  FROM tok)),
+           |r2 AS (SELECT doc_id, par, bg,
+           |  pos - 2 * row_number() OVER (PARTITION BY doc_id, par, bg
+           |   ORDER BY pos) AS grp FROM bgs),
+           |m2 AS (SELECT doc_id, max(c) AS mx FROM (
+           |  SELECT doc_id, count(*) AS c FROM r2 GROUP BY doc_id, par, bg, grp)
+           | GROUP BY doc_id)
+           |SELECT tok.doc_id,
+           | CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens,
+           | CAST(coalesce(m1.mx, 0) AS BIGINT) AS max_token_run,
+           | CAST(coalesce(m2.mx, 0) AS BIGINT) AS max_bigram_loop
+           |FROM tok LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility by language under the corpus-learned
+    // 8-round BPE vocabulary — the per-language token-budget table.
+    // The oracle re-learns the merges (q88's unrolled CTE chain),
+    // re-applies them, and aggregates per lang, so the whole
+    // learn -> apply -> aggregate path is hash-checked.
+    "q180_tokenizer_fertility" -> Q(
+      (s, dir) => Bpe.fertility(s, t(s, dir, "documents"),
+        "lang", "text", rounds = 8)
+        .orderBy(col("lang")),
+      Some(Bpe.fertilityOracleSql(toksSql, "lang", rounds = 8))),
+
+    // Dup-cluster source purity: do near-dup clusters stay inside one
+    // source, or is duplication cross-source (syndication)? Histogram
+    // over (cluster size, distinct sources) for multi-doc clusters —
+    // the number that decides whether dedup can run per-source
+    // (cheap, parallel) or must be global. Oracle: recursive
+    // transitive closure over the q24 pair graph + source join.
+    "q181_cluster_purity" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val lab = Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        lab.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("csize"),
+            count_distinct(col("source")).as("n_sources"))
+          .filter(col("csize") >= 2)
+          .groupBy(col("csize"), col("n_sources"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy(col("csize"), col("n_sources"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+           |cl AS (
+           | SELECT cluster, count(*) AS csize,
+           |  count(DISTINCT d.source) AS n_sources
+           | FROM comp JOIN documents d USING (doc_id) GROUP BY 1)
+           |SELECT csize, n_sources, count(*) AS n_clusters
+           |FROM cl WHERE csize >= 2
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -119,10 +119,20 @@ object SlowLogQueries {
       .select(col("doc_id"), col("lang"), col("text"))
   }
 
+  /** The q138 ksDrift input as a stream fixture (q178 maintains its
+    * (grp, v) histogram as Complete-mode streaming state).
+    */
+  private[queries] def driftSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars").isNotNull)
+      .select(col("source").as("grp"), col("n_chars").as("v"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
-      "nbtest" -> nbtestSrc _)
+      "nbtest" -> nbtestSrc _, "drift" -> driftSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes

@@ -75,6 +75,40 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(1L) == 3L && out(2L) == 4L)
   }
 
+  test("repeatRuns: stutters, period-2 loops, and degenerate inputs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "go go go go stop"),          // token run 4, loop: "go go" x? s1=s3 -> 2
+      (2L, "a b a b a b"),               // loop 3 ("a b" at stride 2)
+      (3L, "x y z"),                     // no repeats: run 1, loop 1
+      (4L, ""),                          // empty -> all zeros
+      (5L, "w"),                         // single token: run 1, loop 0
+      (6L, "c d c e c d c d")            // s5=(c,d),s7=(c,d): loop 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.repeatRuns(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (5L, 4L, 2L))
+    assert(out(2L) == (6L, 1L, 3L))
+    assert(out(3L) == (3L, 1L, 1L))
+    assert(out(4L) == (0L, 0L, 0L))
+    assert(out(5L) == (1L, 1L, 0L))
+    assert(out(6L) == (8L, 1L, 2L))
+  }
+
+  test("ksDriftFromHist on a pre-aggregated histogram equals ksDrift on rows") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 5L), ("b", 2L), ("b", 9L),
+      ("b", 9L), ("b", 9L), ("c", 4L)).toDF("g", "v")
+    val direct = Eval.ksDrift(rows, col("g"), col("v"))
+      .orderBy(col("grp")).collect().toSeq.map(_.toSeq)
+    val hist = rows.groupBy(col("g").as("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val fromHist = Eval.ksDriftFromHist(hist)
+      .orderBy(col("grp")).collect().toSeq.map(_.toSeq)
+    assert(direct == fromHist)
+  }
+
   test("crossLabelLeakage counts each shared gram once per label pair") {
     import spark.implicits._
     val g = "a b c d e f g h" // one 8-gram
