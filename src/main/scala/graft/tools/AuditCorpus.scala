@@ -108,6 +108,27 @@ object AuditCorpus {
         col("score"), col("label"), nbins = 10)
     })
 
+    // q179's degenerate-repetition verdicts, collapsed to the
+    // (token-run, bigram-loop) histogram — value-domain-sized
+    report("repeat_runs", TextOps.repeatRuns(docs, idCol, textCol)
+      .groupBy(col("max_token_run"), col("max_bigram_loop"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("max_token_run"), col("max_bigram_loop")))
+    // q174's perplexity-proxy score as a per-source histogram of
+    // whole-bit buckets (catalog x bits-domain rows)
+    report("surprisal_hist", TextOps.lmSurprisal(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(srcCol)), Seq(idCol))
+      .groupBy(col(srcCol), expr("bits_x100 DIV 100").as("bits"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col(srcCol), col("bits")))
+    if (docs.columns.contains(langCol)) {
+      // q177's split-hygiene matrix and q180's token-budget table
+      report("cross_label_leakage", TextOps.crossLabelLeakage(
+        docs, idCol, col(langCol), textCol, n = 8))
+      report("tokenizer_fertility", graft.ops.Bpe.fertility(
+        spark, docs, langCol, textCol, rounds = 8))
+    }
+
     flags.get("embeddings").foreach { embPath =>
       val vecCol = flags.getOrElse("vec", "embedding")
       val vecId = flags.getOrElse("vec-id", "vec_id")

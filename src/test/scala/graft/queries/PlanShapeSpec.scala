@@ -406,4 +406,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("repeat-runs fold is a pure narrow pass (zero exchanges before the sort)") {
+    // the whole point of the six-scalar HOF fold: no explode, no
+    // shuffle, no per-token window — the OP plan (before the
+    // presentation orderBy) must contain no Exchange at all
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextOps.repeatRuns(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"))
+  }
+
+  test("curriculum phases: windows are bucket-partitioned, never single-partition") {
+    val p = plan("q176_curriculum_phases")
+    // the distributed prefix sum must keep every Window partitioned by
+    // the score bucket — a Window with an empty partitionSpec is the
+    // single-partition global-sort trap this op exists to avoid
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "single-partition window found:\n" + p)
+    assert(p.contains("BroadcastHashJoin")) // offsets frame broadcast
+  }
+
+  test("mixture reweight: corpus never shuffles past the count aggregate") {
+    val p = plan("q175_mixture_reweight")
+    // counts + targets are catalog-sized: both joins broadcast
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin")) // 1-row total frame
+    assert(!p.contains("SortMergeJoin"))
+  }
 }

@@ -33,6 +33,18 @@ class AuditCorpusSpec extends AnyFunSuite {
     // privacy + calibration reports: one row per threshold / <= nbins
     assert(res("k_anonymity") == 3L)
     assert(res("calibration_bins") >= 1L && res("calibration_bins") <= 10L)
+    // round-6 reports: repetition histogram covers every doc; the
+    // leakage matrix is label-pair bounded; fertility is per-lang
+    val nLangs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("lang").distinct().count()
+    val repTotal = spark.read.parquet(s"$out/repeat_runs")
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head().getLong(0)
+    assert(repTotal == spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count())
+    assert(res("cross_label_leakage") <= nLangs * (nLangs - 1) / 2)
+    assert(res("tokenizer_fertility") == nLangs)
+    assert(res.contains("surprisal_hist"))
     // summary json lists every report
     val summary = spark.read.json(s"$out/summary")
     assert(summary.count() == res.size)
