@@ -767,6 +767,28 @@ object TextOps {
       .orderBy(col("lab_a"), col("lab_b"))
   }
 
+  /** Prefix-template mining (the "same form letter / scraped page
+    * shell" families): the template key is the first `k` tokens with
+    * digit runs collapsed to `<N>`, keyed by its md5 (32 hex chars on
+    * the wire regardless of template length, collision-safe at corpus
+    * scale where a 32-bit hash is not). One groupBy on the md5 key;
+    * output bounded by the HAVING >= 2 filter. Digit collapse uses
+    * the Java-and-RE2-compatible `[0-9]+` (the q132 regex subset
+    * discipline) so the oracle's regexp_replace agrees byte-for-byte.
+    */
+  def prefixTemplates(docs: DataFrame, srcCol: Column, textCol: String,
+      k: Int = 6): DataFrame = {
+    val tpl = concat_ws(" ", transform(
+      slice(tokens(col(textCol)), 1, k),
+      t => regexp_replace(t, lit("[0-9]+"), lit("<N>"))))
+    docs.filter(col(textCol).isNotNull)
+      .select(md5(tpl.cast("binary")).as("tpl_md5"), srcCol.as("source"))
+      .groupBy(col("tpl_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** Cross-document boilerplate audit (CCNet-style line dedup,
     * re-expressed over fixed token segments since the corpus carries
     * no newlines): cut each doc into consecutive `segLen`-token

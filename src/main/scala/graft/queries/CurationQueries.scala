@@ -248,6 +248,95 @@ object CurationQueries {
            | FROM comp JOIN documents d USING (doc_id) GROUP BY 1)
            |SELECT csize, n_sources, count(*) AS n_clusters
            |FROM cl WHERE csize >= 2
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Prefix-template families: first-6-token shells (digits
+    // collapsed) seen on >= 2 docs, with source spread — the form-
+    // letter / scraped-shell miner. Keyed by template md5 so the
+    // group key is 32 hex chars regardless of template length.
+    "q182_prefix_templates" -> Q(
+      (s, dir) => TextOps.prefixTemplates(t(s, dir, "documents"),
+        col("source"), "text", k = 6)
+        .orderBy(col("n_docs").desc, col("tpl_md5")),
+      Some(
+        s"""WITH tpl AS (
+           | SELECT source, md5(array_to_string(list_transform(
+           |   ($toksSql)[1:6], t -> regexp_replace(t, '[0-9]+', '<N>', 'g')),
+           |   ' ')) AS tpl_md5
+           | FROM documents WHERE text IS NOT NULL)
+           |SELECT tpl_md5, count(*) AS n_docs,
+           | count(DISTINCT source) AS n_sources
+           |FROM tpl GROUP BY 1 HAVING count(*) >= 2
+           |ORDER BY n_docs DESC, tpl_md5""".stripMargin)),
+
+    // Near-dup involvement by ingestion decile — "is duplication
+    // getting worse over time": per doc_id decile, docs touching any
+    // q24 near-dup pair, in permille. One semi join against the
+    // (bounded) involved-id set; the corpus never self-joins here.
+    "q183_dup_rate_trend" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val n = docs.count()
+        val involved = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        docs.select(col("doc_id"))
+          .join(involved.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+          .groupBy(expr(s"(doc_id * 10) DIV $n").as("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_dup_docs"))
+          .withColumn("dup_permille", expr("(n_dup_docs * 1000) DIV n_docs"))
+          .orderBy(col("decile"))
+      },
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |inv AS (
+           | SELECT DISTINCT doc_id FROM (
+           |  SELECT id_a AS doc_id FROM pr
+           |  UNION ALL SELECT id_b AS doc_id FROM pr)),
+           |n AS (SELECT count(*) AS n FROM documents)
+           |SELECT (d.doc_id * 10) // (SELECT n FROM n) AS decile,
+           | count(*) AS n_docs,
+           | CAST(sum(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS n_dup_docs,
+           | CAST(sum(CASE WHEN inv.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |  * 1000 // count(*) AS BIGINT) AS dup_permille
+           |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAMING anomaly monitor: q103's 3-sigma per-minute volume
+    // flags as a stream — Complete-mode minute-count histogram state
+    // (minutes-domain-bounded), the shared integer flag math applied
+    // to each snapshot batch-side; end-of-input equals q103's oracle.
+    "q184_streaming_anomaly" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.anomSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "anom", ev)
+        val out = "/tmp/graft_stream_anom_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+          val query = stream
+            .groupBy(col("minute"))
+            .agg(count(lit(1)).as("cnt"))
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try ScaleQueries.anomalyFlags(batch)
+                .write.mode("overwrite").parquet(out)
+              finally batch.unpersist()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out).orderBy(col("minute"))
+      },
+      Some(ScaleQueries.anomalyOracle))
   )
 }

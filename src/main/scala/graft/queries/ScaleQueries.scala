@@ -28,6 +28,33 @@ object ScaleQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Registry.table(spark, dir, name)
 
+  /** 3-sigma per-minute volume flags from a (minute, cnt) frame —
+    * cleared-denominator integer form (n*cnt - s vs 9*(n*ss - s^2)),
+    * shared by the batch (q103) and streaming (q184) embodiments.
+    */
+  private[queries] def anomalyFlags(cnt: DataFrame): DataFrame = {
+    val st = cnt.agg(count(lit(1)).as("nm"),
+      sum(col("cnt")).as("s"), sum(expr("cnt * cnt")).as("ss"))
+    cnt.crossJoin(broadcast(st))
+      .withColumn("dev_n", expr("nm * cnt - s"))
+      .withColumn("flag", (col("dev_n") > 0 &&
+        expr("dev_n * dev_n > 9 * (nm * ss - s * s)")).cast("long"))
+      .select(col("minute"), col("cnt"), col("dev_n"), col("flag"))
+  }
+
+  private[queries] val anomalyOracle: String =
+    """WITH m AS (
+      | SELECT epoch_ns(ts) // 60000000000 AS minute, count(*) AS cnt
+      | FROM events GROUP BY 1),
+      |st AS (
+      | SELECT count(*) AS nm, CAST(sum(cnt) AS BIGINT) AS s,
+      |  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM m)
+      |SELECT minute, cnt, nm * cnt - s AS dev_n,
+      | CAST(nm * cnt - s > 0 AND
+      |  (nm * cnt - s) * (nm * cnt - s) > 9 * (nm * ss - s * s)
+      |  AS BIGINT) AS flag
+      |FROM m, st ORDER BY minute""".stripMargin
+
   def all: Map[String, Q] = Map(
 
     // per-dimension int8 affine quantization of the embedding corpus,
@@ -129,31 +156,11 @@ object ScaleQueries {
     // DECIMAL(38,0) — the shape (tiny stats broadcast over a
     // key-bounded aggregate) is unchanged
     "q103_anomaly_minutes" -> Q(
-      (s, dir) => {
-        val cnt = t(s, dir, "events")
+      (s, dir) => ScaleQueries.anomalyFlags(t(s, dir, "events")
           .select(expr("ts DIV 60000000000").as("minute"))
-          .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
-        val st = cnt.agg(count(lit(1)).as("nm"),
-          sum(col("cnt")).as("s"), sum(expr("cnt * cnt")).as("ss"))
-        cnt.crossJoin(broadcast(st))
-          .withColumn("dev_n", expr("nm * cnt - s"))
-          .withColumn("flag", (col("dev_n") > 0 &&
-            expr("dev_n * dev_n > 9 * (nm * ss - s * s)")).cast("long"))
-          .select(col("minute"), col("cnt"), col("dev_n"), col("flag"))
-          .orderBy(col("minute"))
-      },
-      Some(
-        """WITH m AS (
-          | SELECT epoch_ns(ts) // 60000000000 AS minute, count(*) AS cnt
-          | FROM events GROUP BY 1),
-          |st AS (
-          | SELECT count(*) AS nm, CAST(sum(cnt) AS BIGINT) AS s,
-          |  CAST(sum(cnt * cnt) AS BIGINT) AS ss FROM m)
-          |SELECT minute, cnt, nm * cnt - s AS dev_n,
-          | CAST(nm * cnt - s > 0 AND
-          |  (nm * cnt - s) * (nm * cnt - s) > 9 * (nm * ss - s * s)
-          |  AS BIGINT) AS flag
-          |FROM m, st ORDER BY minute""".stripMargin)),
+          .groupBy(col("minute")).agg(count(lit(1)).as("cnt")))
+        .orderBy(col("minute")),
+      Some(ScaleQueries.anomalyOracle)),
 
     // quantile-sketch accuracy verdict (q42's pattern for
     // percentile_approx): exact discrete p50/p90 per lang by order

@@ -129,10 +129,19 @@ object SlowLogQueries {
       .select(col("source").as("grp"), col("n_chars").as("v"))
   }
 
+  /** The q103 per-minute volume input as a stream fixture (q184
+    * keeps the minute-count histogram as Complete-mode state).
+    */
+  private[queries] def anomSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    Registry.table(s, dir, "events")
+      .select(expr("ts DIV 60000000000").as("minute"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
-      "nbtest" -> nbtestSrc _, "drift" -> driftSrc _)
+      "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes

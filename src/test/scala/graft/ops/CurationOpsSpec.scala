@@ -96,6 +96,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out(6L) == (8L, 1L, 2L))
   }
 
+  test("repeatRuns: differential vs a naive reference on 200 seeded random docs") {
+    import spark.implicits._
+    def naive(toks: IndexedSeq[String]): (Long, Long) = {
+      var best1 = 0L; var run = 0L; var prev: String = null
+      toks.foreach { t =>
+        run = if (t == prev) run + 1 else 1
+        prev = t; best1 = math.max(best1, run)
+      }
+      val bgs = if (toks.length < 2) IndexedSeq.empty
+        else toks.sliding(2).map(w => (w(0), w(1))).toIndexedSeq
+      val runs = Array.fill(bgs.length)(1L)
+      var best2 = 0L
+      bgs.indices.foreach { i =>
+        if (i >= 2 && bgs(i) == bgs(i - 2)) runs(i) = runs(i - 2) + 1
+        best2 = math.max(best2, runs(i))
+      }
+      (best1, best2)
+    }
+    val rnd = new scala.util.Random(1234)
+    val alpha = Vector("a", "b", "c")
+    val docs = (0 until 200).map { i =>
+      val len = rnd.nextInt(26)
+      val toks = Vector.fill(len) {
+        // bias towards repeats/loops so the interesting branches fire
+        if (rnd.nextInt(3) == 0 && len > 2) alpha(i % 3)
+        else alpha(rnd.nextInt(3))
+      }
+      (i.toLong, toks.mkString(" "), toks)
+    }
+    val got = TextOps.repeatRuns(
+      docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, _, toks) =>
+      assert(got(id) == naive(toks), s"doc $id: ${toks.mkString(" ")}")
+    }
+  }
+
   test("ksDriftFromHist on a pre-aggregated histogram equals ksDrift on rows") {
     import spark.implicits._
     val rows = Seq(("a", 1L), ("a", 1L), ("a", 5L), ("b", 2L), ("b", 9L),
