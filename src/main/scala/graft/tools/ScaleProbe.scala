@@ -20,7 +20,17 @@ import graft.ops.{Dedup, TextOps}
   */
 object ScaleProbe {
 
+  /** SPARK_GRAFT_PROBE=sub1,sub2 filters probes by label substring
+    * (the Bench SPARK_GRAFT_ONLY convention) — lets a new operator's
+    * probe run without repeating the full ~10-minute battery.
+    */
+  private val only: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_PROBE").map(_.split(",").toSeq)
+  private def enabled(label: String): Boolean =
+    only.forall(_.exists(label.contains))
+
   private def time(label: String, k: Int)(df: => DataFrame): Unit = {
+    if (!enabled(label)) return
     val t0 = System.nanoTime()
     df.queryExecution.toRdd.foreach(_ => ())
     if (k > 1) // k=1 is the untimed warm-up round
@@ -60,7 +70,7 @@ object ScaleProbe {
         docs, "doc_id", "text", chunk = 16))
       time("mixture_sample", k)(TextOps.temperatureSample(
         docs, col("doc_id"), col("source")))
-      if (k > 1) { // learn() drives its own actions; time it wall-clock
+      if (k > 1 && enabled("bpe_learn")) { // learn() drives its own actions; time it wall-clock
         val t0 = System.nanoTime()
         graft.ops.Bpe.learn(spark, docs, "text", rounds = 4).collect()
         println(f"[scale] ${"bpe_learn(4)"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -132,7 +142,7 @@ object ScaleProbe {
               .otherwise(0L).as("l")),
           col("s"), col("l"))
       }
-      if (k > 1) { // drives its own k-sized candidate collect
+      if (k > 1 && enabled("heavy_hitters")) { // drives its own k-sized candidate collect
         val t0 = System.nanoTime()
         graft.ops.HeavyHitters.heavyHitters(
           docs.select((col("doc_id") % 97).cast("string").as("key")), "key", 16)
@@ -227,6 +237,18 @@ object ScaleProbe {
           chain.select(col("id_a").as("node"),
             expr("id_a DIV 64").as("community")))
       }
+      // round-6 ops (q174-q184 batch): all per-doc or domain-bounded
+      // outputs — replication multiplies counts, never pair spaces.
+      // crossLabelLeakage: replicas carry the SAME labels, so the
+      // label-set collapse is identical and output is constant in k.
+      time("lm_surprisal", k)(TextOps.lmSurprisal(docs, "doc_id", "text"))
+      time("repeat_runs", k)(TextOps.repeatRuns(docs, "doc_id", "text"))
+      time("cross_leakage", k)(TextOps.crossLabelLeakage(
+        docs, "doc_id", col("lang"), "text", n = 8))
+      time("curriculum", k)(TextOps.curriculumPhases(docs, "doc_id",
+        col("n_chars"), TextOps.tokenCount(col("text")), phases = 3))
+      time("prefix_templates", k)(TextOps.prefixTemplates(
+        docs, col("source"), "text", k = 6))
       graft.Scratch.release()
       docs.unpersist()
     }
@@ -260,7 +282,7 @@ object ScaleProbe {
       // linear in k, the shape that isolates the loop's scaling).
       // cap=0 forces the DISTRIBUTED min-label + pointer-doubling
       // path — the one that runs at 100 TB — not the driver replay.
-      if (k > 1) {
+      if (k > 1 && enabled("cc_distributed")) {
         val edges = docs.select(col("doc_id").as("id_a"),
             (col("doc_id") + 1).as("id_b"))
           .filter(pmod(col("id_a"), lit(n)) =!= (n - 1))
@@ -296,7 +318,7 @@ object ScaleProbe {
       // are IDENTICAL vectors, so replication packs each cell with
       // cos=1 pairs and the candidate count grows quadratically by
       // construction, like the pair emitters above.
-      if (k > 1) {
+      if (k > 1 && enabled("semdedup_fit")) {
         val t0 = System.nanoTime()
         graft.ops.SemDedup.fixedPointCentroids(
           emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
@@ -335,7 +357,8 @@ object ScaleProbe {
       ev.unpersist()
     }
     // streaming-state scaling: input grows k-fold, state must not
-    for (k <- Seq(2, 8)) streamStateProbe(spark, k)
+    if (enabled("stream_state"))
+      for (k <- Seq(2, 8)) streamStateProbe(spark, k)
     spark.stop()
   }
 
