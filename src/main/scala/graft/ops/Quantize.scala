@@ -35,6 +35,42 @@ object Quantize {
   /** Exact fixed-point micros of a float column (see object doc). */
   def micros(v: Column): Column = floor(v.cast("double") * lit(1000000d))
 
+  /** Product-quantization codes + per-vector quantization error: the
+    * `dims` dimensions split into `m` contiguous subspaces, each
+    * coarse-quantized by an independent fixed-point Lloyd codebook
+    * ([[SemDedup]]'s exact-integer k-means contract: micros vectors,
+    * lowest-id seeds, truncating-mean updates, ties to the lowest
+    * code). Output per vector: the m codes and the exact integer
+    * squared reconstruction error (sum of the winning per-subspace
+    * distances).
+    *
+    * This is the memory half of the at-scale ANN story (IVF routes,
+    * PQ compresses): m codebooks of k x (dims/m) longs — catalog-
+    * sized, broadcast — replace the vectors with m log2(k)-bit codes.
+    * Every per-subspace pass is the [[SemDedup.assignDist]] shape:
+    * explode + broadcast codebook join + id-keyed aggregate; the
+    * corpus never self-joins and only codebooks reach the driver.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
+    val sub = dims / m
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
+        SemDedup.microsVec(col(vecCol)).as("mv")))
+    val parts = (0 until m).map { s =>
+      val sl = graft.Scratch.cache(base.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv")))
+      val cents = SemDedup.lloyd(sl, k, sub, iters)
+      SemDedup.assignDist(sl, cents).select(col("id"),
+        col("cluster").cast("long").as(s"code$s"), col("d").as(s"err$s"))
+    }
+    val joined = parts.reduce(_.join(_, Seq("id")))
+    joined.select(col("id") +:
+      (0 until m).map(s => col(s"code$s")) :+
+      (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
+  }
+
   /** Per-dimension quantization audit over (id, Array[Float]) rows:
     * one row per dimension with the quantization range, code range,
     * and reconstruction-error certificate.

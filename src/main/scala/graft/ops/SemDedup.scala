@@ -73,7 +73,7 @@ object SemDedup {
     * the broadcast centroid frame on dimension, aggregate distances
     * per (id, j), then struct-min argmax per id. Returns (id, cluster).
     */
-  private def assign(base: DataFrame,
+  private[ops] def assign(base: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
     base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
       .join(broadcast(centroidFrame(base, cents)), Seq("i"))
@@ -83,10 +83,25 @@ object SemDedup {
       .agg(min(struct(col("d"), col("j"))).as("s"))
       .select(col("id"), col("s").getField("j").as("cluster"))
 
+  /** [[assign]] keeping the winning squared distance: (id, cluster,
+    * d) — the PQ audit needs the per-vector quantization error, not
+    * just the code.
+    */
+  private[ops] def assignDist(base: DataFrame,
+      cents: Array[Array[Long]]): DataFrame =
+    base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
+      .join(broadcast(centroidFrame(base, cents)), Seq("i"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d"), col("j"))).as("s"))
+      .select(col("id"), col("s").getField("j").as("cluster"),
+        col("s").getField("d").as("d"))
+
   /** Lloyd rounds over a cached (id, mv) frame; see object doc for
     * the exact-arithmetic contract.
     */
-  private def lloyd(base: DataFrame, k: Int, dims: Int,
+  private[ops] def lloyd(base: DataFrame, k: Int, dims: Int,
       iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .select(col("mv")).collect()

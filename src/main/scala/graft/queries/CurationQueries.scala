@@ -22,7 +22,68 @@ object CurationQueries {
 
   private val toksSql = OpsQueries.toksSql
 
+  /** Generated DuckDB oracle for [[graft.ops.Quantize.pqCodes]] at
+    * dims=64, m=2, k=4, iters=1: per subspace, the q156 fixed-point
+    * Lloyd CTE chain (seed -> assign -> truncating-mean update ->
+    * final assign keeping the winning distance), then the code/error
+    * join. Exact integer arithmetic end to end.
+    */
+  private def pqOracle: String = {
+    def chain(s: Int): String = {
+      val lo = s * 32
+      val ex = s"ex$s"
+      def d(cent: String, out: String) =
+        s"""$out AS (SELECT $ex.id, c.j, sum(($ex.m - c.c) * ($ex.m - c.c)) AS d
+           |  FROM $ex JOIN $cent c USING (i) GROUP BY 1, 2)""".stripMargin
+      s"""$ex AS MATERIALIZED (
+         | SELECT id, gi - $lo AS i, m FROM exall
+         | WHERE gi >= $lo AND gi < ${lo + 32}),
+         |c0_$s AS MATERIALIZED (
+         | SELECT seed.j, $ex.i, $ex.m AS c FROM $ex JOIN seed USING (id)),
+         |${d(s"c0_$s", s"d1_$s")},
+         |a1_$s AS MATERIALIZED (SELECT id, j FROM (
+         |  SELECT id, j, row_number() OVER (
+         |   PARTITION BY id ORDER BY d, j) AS rn FROM d1_$s) WHERE rn = 1),
+         |u1_$s AS MATERIALIZED (
+         | SELECT a1_$s.j, $ex.i, CAST(sum($ex.m) AS BIGINT) // count(*) AS c
+         | FROM a1_$s JOIN $ex USING (id) GROUP BY 1, 2),
+         |c1_$s AS MATERIALIZED (SELECT * FROM u1_$s UNION ALL
+         | SELECT j, i, c FROM c0_$s
+         | WHERE j NOT IN (SELECT j FROM u1_$s)),
+         |${d(s"c1_$s", s"d2_$s")},
+         |a2_$s AS MATERIALIZED (SELECT id, j, d FROM (
+         |  SELECT id, j, d, row_number() OVER (
+         |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$s) WHERE rn = 1)"""
+        .stripMargin
+    }
+    s"""WITH exall AS MATERIALIZED (
+       | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+       |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+       |   AS BIGINT) AS m
+       | FROM embeddings WHERE len(embedding) = 64),
+       |seed AS (
+       | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+       | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
+       |${chain(0)},
+       |${chain(1)}
+       |SELECT a2_0.id AS vec_id, CAST(a2_0.j AS BIGINT) AS code0,
+       | CAST(a2_1.j AS BIGINT) AS code1,
+       | CAST(a2_0.d + a2_1.d AS BIGINT) AS err_q
+       |FROM a2_0 JOIN a2_1 USING (id) ORDER BY vec_id""".stripMargin
+  }
+
   def all: Map[String, Q] = Map(
+
+    // Product quantization (the memory half of at-scale ANN: IVF
+    // routes, PQ compresses): 2 subspaces x 4 codes over the 64-dim
+    // embeddings, exact fixed-point codebooks, per-vector integer
+    // reconstruction error. The oracle unrolls both Lloyd chains.
+    "q185_pq_codes" -> Q(
+      (s, dir) => graft.ops.Quantize.pqCodes(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 64, m = 2, k = 4, iters = 1)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(pqOracle)),
 
     // Perplexity-proxy quality filter: per-doc mean bigram surprisal
     // in integer bits under the corpus's own bigram LM. Complements

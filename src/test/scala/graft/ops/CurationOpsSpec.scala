@@ -146,6 +146,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(direct == fromHist)
   }
 
+  test("pqCodes: self-seeded corpus gets zero reconstruction error, codes per subspace") {
+    import spark.implicits._
+    // 4 vectors, each its own seed: after one truncating-mean round
+    // every centroid equals its seed, so err_q = 0 and each vector
+    // codes to itself in BOTH subspaces
+    val vecs = (0 until 4).map { i =>
+      val v = Array.fill(8)(0.0f); v(i) = 1.0f; v(4 + i) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.pqCodes(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 4, iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0L until 4L).foreach { i =>
+      assert(out(i) == (i, i, 0L), s"vec $i: ${out(i)}")
+    }
+  }
+
   test("crossLabelLeakage counts each shared gram once per label pair") {
     import spark.implicits._
     val g = "a b c d e f g h" // one 8-gram
