@@ -71,6 +71,76 @@ object Quantize {
       (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
   }
 
+  /** Asymmetric-distance (ADC) recall gate for the PQ index: rank
+    * the corpus for each probe by the PQ-approximated distance — the
+    * probe's exact subspace slices against each vector's CODEBOOK
+    * ENTRY, the standard ADC trick — and report top-k overlap vs the
+    * exact cosine ranking, per probe (the q143 shape). The probe
+    * distance table is (nProbes x m x k) — catalog-sized, computed
+    * driver-side from the collected probe vectors and broadcast —
+    * so scoring the corpus is one broadcast join against the
+    * (id, subspace, code) frame plus an id-keyed sum: the corpus
+    * never ships vectors to compare, only its log2(k)-bit codes.
+    */
+  def pqAdcRecall(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, iters: Int,
+      nProbes: Int, topK: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dims / m
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        SemDedup.microsVec(col(vecCol)).as("mv")))
+    val slices = (0 until m).map { s =>
+      graft.Scratch.cache(base.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv")))
+    }
+    val books = slices.map(sl => SemDedup.lloyd(sl, k, sub, iters))
+    val codes = (0 until m).map { s =>
+      SemDedup.assignDist(slices(s), books(s))
+        .select(col("id"), lit(s).as("s"), col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+    // (pid, s, code) -> ADC distance table, driver-computed from the
+    // nProbes collected probe vectors (bounded like the codebooks)
+    val probeVecs = base.filter(col("id") < nProbes)
+      .select(col("id"), col("mv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val table = probeVecs.flatMap { case (pid, pv) =>
+      (0 until m).flatMap { s =>
+        books(s).zipWithIndex.map { case (c, j) =>
+          var d = 0L; var i = 0
+          while (i < sub) {
+            val diff = pv(s * sub + i) - c(i); d += diff * diff; i += 1
+          }
+          (pid, s, j.toLong, d)
+        }
+      }
+    }.toSeq.toDF("pid", "s", "code", "d")
+    val adc = codes.join(broadcast(table), Seq("s", "code"))
+      .filter(col("id") =!= col("pid"))
+      .groupBy(col("pid"), col("id"))
+      .agg(sum(col("d")).as("adc"))
+    val probes = base.filter(col("id") < nProbes)
+      .select(col("id").as("pid"), col("v").as("pv"))
+    val exact = base.select(col("id"), col("v"))
+      .crossJoin(broadcast(probes))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"),
+        round(Similarity.cosine(col("v"), col("pv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+    val wE = w.partitionBy(col("pid")).orderBy(col("cos").desc, col("id"))
+    val wA = w.partitionBy(col("pid")).orderBy(col("adc"), col("id"))
+    exact.join(adc, Seq("pid", "id"))
+      .withColumn("re", row_number().over(wE))
+      .withColumn("ra", row_number().over(wA))
+      .groupBy(col("pid"))
+      .agg(sum(when(col("re") <= topK && col("ra") <= topK, 1L)
+        .otherwise(0L)).cast("long").as("overlap_at_k"))
+      .select(col("pid"), col("overlap_at_k"),
+        expr(s"(overlap_at_k * 1000) DIV $topK").as("overlap_permille"))
+  }
+
   /** Per-dimension quantization audit over (id, Array[Float]) rows:
     * one row per dimension with the quantization range, code range,
     * and reconstruction-error certificate.

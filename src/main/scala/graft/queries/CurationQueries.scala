@@ -56,7 +56,7 @@ object CurationQueries {
          |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$s) WHERE rn = 1)"""
         .stripMargin
     }
-    s"""WITH exall AS MATERIALIZED (
+    s"""exall AS MATERIALIZED (
        | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
        |   AS BIGINT) AS m
@@ -65,12 +65,58 @@ object CurationQueries {
        | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
        | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
        |${chain(0)},
-       |${chain(1)}
+       |${chain(1)}""".stripMargin
+  }
+
+  private def pqCodesOracle: String =
+    s"""WITH $pqOracle
        |SELECT a2_0.id AS vec_id, CAST(a2_0.j AS BIGINT) AS code0,
        | CAST(a2_1.j AS BIGINT) AS code1,
        | CAST(a2_0.d + a2_1.d AS BIGINT) AS err_q
        |FROM a2_0 JOIN a2_1 USING (id) ORDER BY vec_id""".stripMargin
-  }
+
+  /** ADC recall oracle over the same chains: the probe's exact
+    * slices against the final codebooks give the (pid, code)
+    * distance tables; the corpus scores by code lookup; rankings
+    * and overlap mirror q143's shape.
+    */
+  private def pqAdcOracle: String =
+    s"""WITH $pqOracle,
+       |pt0 AS MATERIALIZED (
+       | SELECT p.pid, c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+       | FROM (SELECT id AS pid, gi AS i, m FROM exall
+       |   WHERE id < 10 AND gi < 32) p
+       | JOIN c1_0 c USING (i) GROUP BY 1, 2),
+       |pt1 AS MATERIALIZED (
+       | SELECT p.pid, c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+       | FROM (SELECT id AS pid, gi - 32 AS i, m FROM exall
+       |   WHERE id < 10 AND gi >= 32) p
+       | JOIN c1_1 c USING (i) GROUP BY 1, 2),
+       |adc AS MATERIALIZED (
+       | SELECT pt0.pid, a2_0.id, pt0.d + pt1.d AS adc
+       | FROM a2_0 JOIN pt0 ON pt0.j = a2_0.j
+       | JOIN a2_1 ON a2_1.id = a2_0.id
+       | JOIN pt1 ON pt1.j = a2_1.j AND pt1.pid = pt0.pid
+       | WHERE a2_0.id <> pt0.pid),
+       |exa AS MATERIALIZED (
+       | SELECT p.pid, e.vec_id AS id,
+       |  round(${OpsQueries.cosSql("e.embedding", "p.pv")}, 6) AS cos
+       | FROM embeddings e, (SELECT vec_id AS pid, embedding AS pv
+       |   FROM embeddings WHERE vec_id < 10 AND len(embedding) = 64) p
+       | WHERE e.vec_id <> p.pid AND len(e.embedding) = 64),
+       |r AS (
+       | SELECT exa.pid, exa.id,
+       |  row_number() OVER (PARTITION BY exa.pid
+       |   ORDER BY cos DESC, exa.id) AS re,
+       |  row_number() OVER (PARTITION BY exa.pid
+       |   ORDER BY adc, exa.id) AS ra
+       | FROM exa JOIN adc ON adc.pid = exa.pid AND adc.id = exa.id)
+       |SELECT pid AS vec_id,
+       | CAST(sum(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS overlap_at_k,
+       | CAST((sum(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END)
+       |  * 1000) // 10 AS BIGINT) AS overlap_permille
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   def all: Map[String, Q] = Map(
 
@@ -83,7 +129,19 @@ object CurationQueries {
         "vec_id", "embedding", dims = 64, m = 2, k = 4, iters = 1)
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id")),
-      Some(pqOracle)),
+      Some(pqCodesOracle)),
+
+    // ADC search over the q185 index: rank by probe-slice-vs-codebook
+    // distances (the corpus ships only its codes), recall vs the
+    // exact cosine top-10 per probe — the measured answer to "what
+    // does 2x4 PQ compression cost in retrieval quality here".
+    "q186_pq_adc_recall" -> Q(
+      (s, dir) => graft.ops.Quantize.pqAdcRecall(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 64, m = 2, k = 4, iters = 1,
+        nProbes = 10, topK = 10)
+        .withColumnRenamed("pid", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(pqAdcOracle)),
 
     // Perplexity-proxy quality filter: per-doc mean bigram surprisal
     // in integer bits under the corpus's own bigram LM. Complements
