@@ -73,7 +73,7 @@ object SemDedup {
     * the broadcast centroid frame on dimension, aggregate distances
     * per (id, j), then struct-min argmax per id. Returns (id, cluster).
     */
-  private[ops] def assign(base: DataFrame,
+  private[graft] def assign(base: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
     base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
       .join(broadcast(centroidFrame(base, cents)), Seq("i"))
@@ -87,7 +87,7 @@ object SemDedup {
     * d) — the PQ audit needs the per-vector quantization error, not
     * just the code.
     */
-  private[ops] def assignDist(base: DataFrame,
+  private[graft] def assignDist(base: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
     base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
       .join(broadcast(centroidFrame(base, cents)), Seq("i"))
@@ -101,7 +101,7 @@ object SemDedup {
   /** Lloyd rounds over a cached (id, mv) frame; see object doc for
     * the exact-arithmetic contract.
     */
-  private[ops] def lloyd(base: DataFrame, k: Int, dims: Int,
+  private[graft] def lloyd(base: DataFrame, k: Int, dims: Int,
       iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .select(col("mv")).collect()

@@ -1,0 +1,181 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.SemDedup
+
+/** CLI: ANN index BUILD / SEARCH split with persisted artifacts — the
+  * production retrieval shape (index once, probe many) composed from
+  * the library's exact-integer primitives:
+  *
+  *   - IVF coarse router: fixed-point Lloyd cells over the full
+  *     vectors ([[SemDedup]]'s integer k-means contract), persisted
+  *     as a (cell, i, c) centroid frame + (id, cell) assignments;
+  *   - PQ payload: m per-subspace codebooks + per-vector codes
+  *     ([[graft.ops.Quantize.pqCodes]]'s layout in long form), so the
+  *     search set ships log2(k)-bit codes, not vectors.
+  *
+  * Search routes a probe to its `nprobe` nearest cells (driver math
+  * on the catalog-sized centroid frame), scores ONLY those cells'
+  * members by ADC (probe slices vs codebook entries, one broadcast
+  * join), and returns the top-k (id, adc). Global-PQ simplification:
+  * codes quantize the raw vectors, not per-cell residuals — the
+  * standard first rung of the IVF-PQ ladder; residual encoding slots
+  * into the same artifact layout.
+  *
+  * Every artifact is integer-exact parquet, so a rebuilt index is
+  * byte-identical and IndexCorpusSpec can re-derive a search answer
+  * from the persisted files alone.
+  *
+  * Usage:
+  *   runMain graft.tools.IndexCorpus build <emb.parquet> <indexDir>
+  *     [--id vec_id] [--vec embedding] [--dims 64] [--ivf-k 8]
+  *     [--pq-m 2] [--pq-k 4] [--iters 1]
+  *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
+  *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
+  */
+object IndexCorpus {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-index")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args.headOption match {
+        case Some("build")  => build(spark, args.drop(1))
+        case Some("search") =>
+          search(spark, args.drop(1)).show(100, truncate = false)
+        case _ => sys.error("usage: IndexCorpus build|search ...")
+      }
+    } finally spark.stop()
+  }
+
+  private def flagsOf(args: Array[String], from: Int): Map[String, String] =
+    args.drop(from).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  /** Build the index artifacts; returns (artifact, rows) per write. */
+  def build(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: build <emb.parquet> <indexDir> [flags]")
+    val (in, out) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "vec_id")
+    val vecCol = flags.getOrElse("vec", "embedding")
+    val dims = flags.getOrElse("dims", "64").toInt
+    val ivfK = flags.getOrElse("ivf-k", "8").toInt
+    val pqM = flags.getOrElse("pq-m", "2").toInt
+    val pqK = flags.getOrElse("pq-k", "4").toInt
+    val iters = flags.getOrElse("iters", "1").toInt
+    require(dims % pqM == 0, s"pq-m must divide dims; got $pqM, $dims")
+    val sub = dims / pqM
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val base = graft.Scratch.cache(
+      spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+        .select(col(idCol).cast("long").as("id"),
+          SemDedup.microsVec(col(vecCol)).as("mv")))
+    val written = Seq.newBuilder[(String, Long)]
+    def write(name: String, df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      written += (name -> spark.read.parquet(s"$out/$name").count())
+    }
+
+    // IVF router: full-dim fixed-point cells + assignments
+    val cells = SemDedup.lloyd(base, ivfK, dims, iters)
+    write("ivf_centroids", cells.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
+    }.toSeq.toDF("cell", "i", "c"))
+    write("assignments", SemDedup.assignDist(base, cells)
+      .select(col("id"), col("cluster").cast("long").as("cell")))
+
+    // PQ payload: per-subspace codebooks + long-form codes
+    val slices = (0 until pqM).map { s =>
+      graft.Scratch.cache(base.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv")))
+    }
+    val books = slices.map(sl => SemDedup.lloyd(sl, pqK, sub, iters))
+    write("pq_codebooks", books.zipWithIndex.flatMap { case (b, s) =>
+      b.toSeq.zipWithIndex.flatMap { case (c, j) =>
+        c.toSeq.zipWithIndex.map { case (v, i) =>
+          (s.toLong, j.toLong, i.toLong, v)
+        }
+      }
+    }.toDF("s", "j", "i", "c"))
+    write("pq_codes", (0 until pqM).map { s =>
+      SemDedup.assignDist(slices(s), books(s))
+        .select(col("id"), lit(s.toLong).as("s"),
+          col("cluster").cast("long").as("code"))
+    }.reduce(_ unionByName _))
+
+    val res = written.result()
+    Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
+      ("iters", iters)).map { case (k, v) => (k, v.toLong) }
+      .++(res).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").json(s"$out/summary")
+    res
+  }
+
+  /** Search the persisted index: route, ADC-score the probed cells,
+    * top-k. The probe vector is read from `emb` by id (the serving
+    * path would pass the vector directly — same math).
+    */
+  def search(spark: SparkSession, args: Array[String]): DataFrame = {
+    require(args.length >= 3, "usage: search <indexDir> <emb.parquet> <probeId> [flags]")
+    val (idx, in, probeId) = (args(0), args(1), args(2).toLong)
+    val flags = flagsOf(args, 3)
+    val idCol = flags.getOrElse("id", "vec_id")
+    val vecCol = flags.getOrElse("vec", "embedding")
+    val k = flags.getOrElse("k", "10").toInt
+    val nprobe = flags.getOrElse("nprobe", "2").toInt
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rows) =>
+        j -> rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      }
+    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rows) =>
+        sj -> rows.sortBy(_.getLong(2)).map(_.getLong(3))
+      }
+    val dims = cents.head._2.length
+    val pqM = books.keys.map(_._1).max.toInt + 1
+    val sub = dims / pqM
+
+    val pv = spark.read.parquet(in)
+      .filter(col(idCol).cast("long") === probeId && size(col(vecCol)) === dims)
+      .select(SemDedup.microsVec(col(vecCol))).head().getSeq[Long](0).toArray
+    def l2(a: Array[Long], off: Int, c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < c.length) { val x = a(off + i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    // route: nprobe nearest cells (ties to the lowest cell id)
+    val probedCells = cents.toSeq
+      .map { case (j, c) => (l2(pv, 0, c), j) }.sorted.take(nprobe)
+      .map(_._2)
+    // ADC table for this probe: (s, code) -> distance
+    val table = books.toSeq.map { case ((s, j), c) =>
+      (s, j, l2(pv, s.toInt * sub, c))
+    }.toDF("s", "code", "d")
+
+    val members = spark.read.parquet(s"$idx/assignments")
+      .filter(col("cell").isin(probedCells: _*))
+      .filter(col("id") =!= probeId)
+    spark.read.parquet(s"$idx/pq_codes")
+      .join(members.select(col("id")), Seq("id"), "left_semi")
+      .join(broadcast(table), Seq("s", "code"))
+      .groupBy(col("id")).agg(sum(col("d")).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Build/search e2e over persisted artifacts: the search answer must
+  * be re-derivable from the parquet files alone (plain Scala below),
+  * and a rebuild must be value-identical (the exact-integer
+  * contract's whole point).
+  */
+class IndexCorpusSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "IndexCorpusSpec")
+  private val emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+  test("index build + search: answer re-derivable from artifacts; rebuild identical") {
+    val idx = Files.createTempDirectory("graft_index").toString
+    val res = IndexCorpus.build(spark, Array(emb, idx)).toMap
+    assert(res.keySet == Set("ivf_centroids", "assignments",
+      "pq_codebooks", "pq_codes"))
+    val nVec = res("assignments")
+    assert(res("pq_codes") == nVec * 2) // long form: one row per subspace
+    assert(res("ivf_centroids") == 8L * 64)  // ivf_k x dims
+    assert(res("pq_codebooks") == 2L * 4 * 32) // m x k x sub
+
+    val got = IndexCorpus.search(spark,
+      Array(idx, emb, "7", "--k", "5", "--nprobe", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // independent re-derivation from the persisted files
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rs) =>
+        sj -> rs.sortBy(_.getLong(2)).map(_.getLong(3)) }
+    val assign = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = spark.read.parquet(s"$idx/pq_codes").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val pv = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(emb)
+        .filter(col("vec_id") === 7 && size(col("embedding")) === 64)
+        .select(graft.ops.SemDedup.microsVec(col("embedding")))
+        .head().getSeq[Long](0).toArray
+    }
+    def l2(off: Int, c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < c.length) { val x = pv(off + i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probed = cents.toSeq.map { case (j, c) => (l2(0, c), j) }
+      .sorted.take(2).map(_._2).toSet
+    val want = assign.toSeq
+      .filter { case (id, cell) => probed(cell) && id != 7L }
+      .map { case (id, _) =>
+        val adc = (0 until 2).map { s =>
+          l2(s * 32, books((s.toLong, codes(id)(s.toLong))))
+        }.sum
+        (adc, id)
+      }.sorted.take(5).map { case (adc, id) => (id, adc) }
+    assert(got == want, s"got=$got want=$want")
+
+    // rebuild determinism: value-identical artifacts
+    val idx2 = Files.createTempDirectory("graft_index2").toString
+    IndexCorpus.build(spark, Array(emb, idx2))
+    for (art <- Seq("ivf_centroids", "assignments", "pq_codebooks", "pq_codes")) {
+      val a = spark.read.parquet(s"$idx/$art").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$idx2/$art").collect().map(_.toSeq).toSet
+      assert(a == b, s"$art differs across rebuilds")
+    }
+  }
+}
