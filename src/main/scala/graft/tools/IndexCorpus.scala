@@ -62,7 +62,14 @@ object IndexCorpus {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-  /** Build the index artifacts; returns (artifact, rows) per write. */
+  /** Build the index artifacts; returns (artifact, rows) per write.
+    * `--residual true` quantizes each vector's RESIDUAL against its
+    * IVF cell centroid instead of the raw vector (the second rung of
+    * the IVF-PQ ladder: the router absorbs the coarse structure, so
+    * the codebooks spend their bits on what remains). Artifact layout
+    * is identical; the flag is recorded in `summary` and honored by
+    * [[search]].
+    */
   def build(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: build <emb.parquet> <indexDir> [flags]")
     val (in, out) = (args(0), args(1))
@@ -74,6 +81,7 @@ object IndexCorpus {
     val pqM = flags.getOrElse("pq-m", "2").toInt
     val pqK = flags.getOrElse("pq-k", "4").toInt
     val iters = flags.getOrElse("iters", "1").toInt
+    val residual = flags.getOrElse("residual", "false").toBoolean
     require(dims % pqM == 0, s"pq-m must divide dims; got $pqM, $dims")
     val sub = dims / pqM
     GraftSession.tune(spark)
@@ -97,9 +105,24 @@ object IndexCorpus {
     write("assignments", SemDedup.assignDist(base, cells)
       .select(col("id"), col("cluster").cast("long").as("cell")))
 
+    // Encoding input: raw vectors, or residuals against the cell
+    // centroid (one broadcast join + a zip_with — still one narrow
+    // pass over the corpus)
+    val encBase =
+      if (!residual) base
+      else {
+        val centsDf = cells.zipWithIndex
+          .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+        graft.Scratch.cache(base
+          .join(spark.read.parquet(s"$out/assignments"), Seq("id"))
+          .join(broadcast(centsDf), Seq("cell"))
+          .select(col("id"),
+            zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
+      }
+
     // PQ payload: per-subspace codebooks + long-form codes
     val slices = (0 until pqM).map { s =>
-      graft.Scratch.cache(base.select(col("id"),
+      graft.Scratch.cache(encBase.select(col("id"),
         slice(col("mv"), s * sub + 1, sub).as("mv")))
     }
     val books = slices.map(sl => SemDedup.lloyd(sl, pqK, sub, iters))
@@ -117,9 +140,10 @@ object IndexCorpus {
     }.reduce(_ unionByName _))
 
     val res = written.result()
-    Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
-      ("iters", iters)).map { case (k, v) => (k, v.toLong) }
-      .++(res).toDF("key", "value")
+    (Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
+      ("iters", iters), ("residual", if (residual) 1 else 0))
+      .map { case (k, v) => (k, v.toLong) } ++ res)
+      .toDF("key", "value")
       .coalesce(1).write.mode("overwrite").json(s"$out/summary")
     res
   }
@@ -147,6 +171,9 @@ object IndexCorpus {
       .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rows) =>
         sj -> rows.sortBy(_.getLong(2)).map(_.getLong(3))
       }
+    val residual = spark.read.json(s"$idx/summary")
+      .filter(col("key") === "residual")
+      .collect().headOption.exists(_.getLong(1) == 1L)
     val dims = cents.head._2.length
     val pqM = books.keys.map(_._1).max.toInt + 1
     val sub = dims / pqM
@@ -163,19 +190,36 @@ object IndexCorpus {
     val probedCells = cents.toSeq
       .map { case (j, c) => (l2(pv, 0, c), j) }.sorted.take(nprobe)
       .map(_._2)
-    // ADC table for this probe: (s, code) -> distance
-    val table = books.toSeq.map { case ((s, j), c) =>
-      (s, j, l2(pv, s.toInt * sub, c))
-    }.toDF("s", "code", "d")
-
     val members = spark.read.parquet(s"$idx/assignments")
       .filter(col("cell").isin(probedCells: _*))
       .filter(col("id") =!= probeId)
-    spark.read.parquet(s"$idx/pq_codes")
-      .join(members.select(col("id")), Seq("id"), "left_semi")
-      .join(broadcast(table), Seq("s", "code"))
-      .groupBy(col("id")).agg(sum(col("d")).as("adc"))
-      .orderBy(col("adc"), col("id"))
-      .limit(k)
+    val codes = spark.read.parquet(s"$idx/pq_codes")
+    if (!residual) {
+      // global PQ: one (s, code) -> distance table for the probe
+      val table = books.toSeq.map { case ((s, j), c) =>
+        (s, j, l2(pv, s.toInt * sub, c))
+      }.toDF("s", "code", "d")
+      codes.join(members.select(col("id")), Seq("id"), "left_semi")
+        .join(broadcast(table), Seq("s", "code"))
+        .groupBy(col("id")).agg(sum(col("d")).as("adc"))
+        .orderBy(col("adc"), col("id"))
+        .limit(k)
+    } else {
+      // residual PQ: the codes quantize (vector - cell centroid), so
+      // the probe's table is keyed by CELL too — its residual against
+      // each probed cell vs the codebook entries (nprobe x m x k rows)
+      val table = probedCells.flatMap { pc =>
+        val cc = cents(pc)
+        val pr = Array.tabulate(dims)(i => pv(i) - cc(i))
+        books.toSeq.map { case ((s, j), c) =>
+          (pc, s, j, l2(pr, s.toInt * sub, c))
+        }
+      }.toDF("cell", "s", "code", "d")
+      codes.join(members, Seq("id")) // attach the candidate's cell
+        .join(broadcast(table), Seq("cell", "s", "code"))
+        .groupBy(col("id")).agg(sum(col("d")).as("adc"))
+        .orderBy(col("adc"), col("id"))
+        .limit(k)
+    }
   }
 }

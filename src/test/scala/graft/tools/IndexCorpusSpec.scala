@@ -75,4 +75,55 @@ class IndexCorpusSpec extends AnyFunSuite {
       assert(a == b, s"$art differs across rebuilds")
     }
   }
+
+  test("residual mode: codes quantize (vector - cell centroid); search honors it") {
+    import org.apache.spark.sql.functions._
+    val idx = Files.createTempDirectory("graft_index_res").toString
+    IndexCorpus.build(spark, Array(emb, idx, "--residual", "true"))
+    val got = IndexCorpus.search(spark,
+      Array(idx, emb, "7", "--k", "5", "--nprobe", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rs) =>
+        sj -> rs.sortBy(_.getLong(2)).map(_.getLong(3)) }
+    val assign = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = spark.read.parquet(s"$idx/pq_codes").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val pv = spark.read.parquet(emb)
+      .filter(col("vec_id") === 7 && size(col("embedding")) === 64)
+      .select(graft.ops.SemDedup.microsVec(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    def l2(a: Array[Long], off: Int, c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < c.length) { val x = a(off + i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probed = cents.toSeq.map { case (j, c) => (l2(pv, 0, c), j) }
+      .sorted.take(2).map(_._2).toSet
+    val want = assign.toSeq
+      .filter { case (id, cell) => probed(cell) && id != 7L }
+      .map { case (id, cell) =>
+        val cc = cents(cell)
+        val pr = Array.tabulate(64)(i => pv(i) - cc(i))
+        val adc = (0 until 2).map { s =>
+          l2(pr, s * 32, books((s.toLong, codes(id)(s.toLong))))
+        }.sum
+        (adc, id)
+      }.sorted.take(5).map { case (adc, id) => (id, adc) }
+    assert(got == want, s"got=$got want=$want")
+
+    // the codes themselves must differ from the global-PQ build for
+    // at least some vectors (the residual actually changed the input)
+    val idxG = Files.createTempDirectory("graft_index_g").toString
+    IndexCorpus.build(spark, Array(emb, idxG))
+    val cg = spark.read.parquet(s"$idxG/pq_codes").collect().map(_.toSeq).toSet
+    val cr = spark.read.parquet(s"$idx/pq_codes").collect().map(_.toSeq).toSet
+    assert(cg != cr, "residual build produced identical codes to global")
+  }
 }
