@@ -425,6 +425,152 @@ object CurationQueries {
            |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Referential-integrity audit over the warehouse tables: per FK
+    // relation, child rows, orphan rows (anti join against the
+    // parent), distinct FK values and orphan FK values, orphan
+    // permille. Anti joins shuffle on the key (parent side broadcasts
+    // when dimension-sized); output is one row per relation.
+    "q187_fk_audit" -> Q(
+      (s, dir) => {
+        def rel(name: String, child: DataFrame, fk: String,
+            parent: DataFrame, pk: String) = {
+          val orphans = child.join(parent.select(col(pk).as(fk)),
+            Seq(fk), "left_anti")
+          child.agg(count(lit(1)).as("n_child"),
+              count_distinct(col(fk)).as("n_fk_values"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+              count_distinct(col(fk)).as("n_orphan_values")))
+            .select(lit(name).as("relation"), col("n_child"),
+              col("n_fk_values"), col("n_orphans"), col("n_orphan_values"),
+              expr("(n_orphans * 1000) DIV n_child").as("orphan_permille"))
+        }
+        rel("orders->customer",
+            t(s, dir, "orders").select(col("o_custkey")), "o_custkey",
+            t(s, dir, "customer"), "c_custkey")
+          .unionByName(rel("lineitem->orders",
+            t(s, dir, "lineitem").select(col("l_orderkey")), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"))
+          .orderBy(col("relation"))
+      },
+      Some(
+        """WITH r1 AS (
+          | SELECT 'orders->customer' AS relation,
+          |  count(*) AS n_child, count(DISTINCT o_custkey) AS n_fk_values,
+          |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_orphans,
+          |  count(DISTINCT CASE WHEN c.c_custkey IS NULL
+          |   THEN o_custkey END) AS n_orphan_values
+          | FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+          |r2 AS (
+          | SELECT 'lineitem->orders' AS relation,
+          |  count(*) AS n_child, count(DISTINCT l_orderkey) AS n_fk_values,
+          |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_orphans,
+          |  count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+          |   THEN l_orderkey END) AS n_orphan_values
+          | FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+          |SELECT relation, n_child, n_fk_values, n_orphans, n_orphan_values,
+          | CAST(n_orphans * 1000 // n_child AS BIGINT) AS orphan_permille
+          |FROM u ORDER BY relation""".stripMargin)),
+
+    // SCD-style state-change summary: per user, event_type change
+    // intervals in (ts, event_id) order — change count, distinct
+    // states, and the longest CLOSED dwell (interval start to next
+    // interval start). One user-keyed window pass; per-user output.
+    "q188_state_intervals" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+          .withColumn("interval", sum(col("chg")).over(w))
+        val iv = ev.groupBy(col("user_id"), col("interval"))
+          .agg(min(col("ts")).as("start"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("interval"))
+        iv.withColumn("dwell", lead(col("start"), 1).over(w2) - col("start"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            max(col("dwell")).as("max_closed_dwell"))
+          .join(t(s, dir, "events").groupBy(col("user_id"))
+            .agg(count_distinct(col("event_type")).as("n_states")), Seq("user_id"))
+          .select(col("user_id"), col("n_intervals"), col("n_states"),
+            coalesce(col("max_closed_dwell"), lit(0L)).as("max_closed_dwell"))
+          .orderBy(col("user_id"))
+      },
+      Some(
+        """WITH ev AS (
+          | SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type,
+          |  CASE WHEN lag(event_type) OVER w IS NULL
+          |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+          | FROM events
+          | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |iv0 AS (
+          | SELECT user_id, event_id, ts,
+          |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS interval
+          | FROM ev),
+          |iv AS (
+          | SELECT user_id, interval, min(ts) AS start
+          | FROM iv0 GROUP BY 1, 2),
+          |dw AS (
+          | SELECT user_id, interval,
+          |  lead(start) OVER (PARTITION BY user_id ORDER BY interval)
+          |   - start AS dwell
+          | FROM iv),
+          |st AS (
+          | SELECT user_id, count(DISTINCT event_type) AS n_states
+          | FROM events GROUP BY 1)
+          |SELECT d.user_id, count(*) AS n_intervals,
+          | CAST(any_value(st.n_states) AS BIGINT) AS n_states,
+          | CAST(coalesce(max(d.dwell), 0) AS BIGINT) AS max_closed_dwell
+          |FROM dw d JOIN st ON st.user_id = d.user_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact per-minute P95 latency band (the observability query):
+    // value-domain histogram per minute -> within-minute cumulative
+    // counts -> first value whose cumulative count reaches the 95th
+    // order statistic. No corpus sort; windows run over the
+    // (minute, value) HISTOGRAM, which is bounded by value-domain x
+    // minutes at any scale.
+    "q189_minute_p95" -> Q(
+      (s, dir) => {
+        val h = t(s, dir, "events")
+          .select(expr("ts DIV 60000000000").as("minute"),
+            floor(col("value") * 1000).cast("long").as("v"))
+          .groupBy(col("minute"), col("v")).agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("minute")).orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        h.withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("minute"))))
+          .filter(col("cum") * 100 >= col("n") * 95)
+          .groupBy(col("minute"))
+          .agg(first(col("n")).cast("long").as("n"), min(col("v")).as("p95_milli"))
+          .orderBy(col("minute"))
+      },
+      Some(
+        """WITH h AS (
+          | SELECT epoch_ns(ts) // 60000000000 AS minute,
+          |  CAST(floor(value * 1000) AS BIGINT) AS v, count(*) AS cnt
+          | FROM events GROUP BY 1, 2),
+          |c AS (
+          | SELECT minute, v, cnt,
+          |  sum(cnt) OVER (PARTITION BY minute ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |  sum(cnt) OVER (PARTITION BY minute) AS n
+          | FROM h)
+          |SELECT minute, CAST(any_value(n) AS BIGINT) AS n,
+          | min(v) AS p95_milli
+          |FROM c WHERE cum * 100 >= n * 95
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // STREAMING anomaly monitor: q103's 3-sigma per-minute volume
     // flags as a stream — Complete-mode minute-count histogram state
     // (minutes-domain-bounded), the shared integer flag math applied
