@@ -571,6 +571,88 @@ object CurationQueries {
           |FROM c WHERE cum * 100 >= n * 95
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q3 shape (shipping-priority revenue): the classic
+    // 3-way customer/orders/lineitem join with date predicates on
+    // both fact sides and a top-10 on aggregated revenue. Revenue in
+    // integer "cent-permyriad" units (floor(price*100) x
+    // (100 - floor(disc*100))) so both engines agree bit-for-bit —
+    // the repo's no-double-aggregates convention. Filters push to
+    // the scans; the orders side joins broadcast-free on the big key
+    // (both fact-sized) and the top-10 is TakeOrderedAndProject.
+    "q190_ship_priority" -> Q(
+      (s, dir) => {
+        val cutoff = "1998-06-01"
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("rev")).as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("l_orderkey"))
+          .limit(10)
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"), col("revenue_u"))
+      },
+      Some(
+        """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+          | o_orderpriority, CAST(sum(
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS revenue_u
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+          | AND l_shipdate > TIMESTAMP '1998-06-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue_u DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape (local-supplier volume): the 5-way
+    // customer/orders/lineitem/supplier/nation join with the
+    // same-nation constraint. supplier/nation/customer-key frames are
+    // dimension-sized and broadcast; the fact-fact join shuffles once
+    // on the order key. Same integer revenue units as q190.
+    "q191_local_supplier_volume" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev")).as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("n_name"))
+      },
+      Some(
+        """SELECT n_name, CAST(sum(
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS revenue_u
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE c_nationkey = s_nationkey
+          |GROUP BY n_name
+          |ORDER BY revenue_u DESC, n_name""".stripMargin)),
+
     // STREAMING anomaly monitor: q103's 3-sigma per-minute volume
     // flags as a stream — Complete-mode minute-count histogram state
     // (minutes-domain-bounded), the shared integer flag math applied

@@ -428,6 +428,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin")) // offsets frame broadcast
   }
 
+  test("5-way star join: dimensions broadcast, facts shuffle once") {
+    val p = plan("q191_local_supplier_volume")
+    // customer/supplier/nation are dimension-sized -> broadcast; only
+    // the lineitem x orders fact join may sort-merge on the order key
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"$smj sort-merge joins (expected <= 1):\n$p")
+  }
+
   test("mixture reweight: corpus never shuffles past the count aggregate") {
     val p = plan("q175_mixture_reweight")
     // counts + targets are catalog-sized: both joins broadcast
