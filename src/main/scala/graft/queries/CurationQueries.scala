@@ -653,6 +653,60 @@ object CurationQueries {
           |GROUP BY n_name
           |ORDER BY revenue_u DESC, n_name""".stripMargin)),
 
+    // TPC-H Q4 shape (order-priority checking): orders in a date
+    // window having AT LEAST ONE lineitem shipped late — the
+    // correlated-EXISTS pattern, planned as a left-semi join so the
+    // fact side deduplicates before the count. Counts per priority.
+    "q192_priority_check" -> Q(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        // correlated predicate: lineitem shipped AFTER its order date,
+        // expressed as a left-semi join with the non-equi conjunct in
+        // the join condition
+        val j = o.join(t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_shipdate")),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"), "left_semi")
+        j.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          | AND o_orderdate < TIMESTAMP '1998-01-01'
+          | AND EXISTS (SELECT 1 FROM lineitem l
+          |   WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    // join so zero-order customers survive, then the count-of-counts
+    // histogram — the shape that catches "how many customers have N
+    // orders" without losing the N=0 bucket.
+    "q193_customer_distribution" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"))
+        val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          | SELECT c_custkey, count(o_orderkey) AS c_count
+          | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          | GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
     // STREAMING anomaly monitor: q103's 3-sigma per-minute volume
     // flags as a stream — Complete-mode minute-count histogram state
     // (minutes-domain-bounded), the shared integer flag math applied
