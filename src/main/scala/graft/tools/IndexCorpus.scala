@@ -50,9 +50,10 @@ object IndexCorpus {
     try {
       args.headOption match {
         case Some("build")  => build(spark, args.drop(1))
+        case Some("update") => update(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
-        case _ => sys.error("usage: IndexCorpus build|search ...")
+        case _ => sys.error("usage: IndexCorpus build|update|search ...")
       }
     } finally spark.stop()
   }
@@ -146,6 +147,74 @@ object IndexCorpus {
       .toDF("key", "value")
       .coalesce(1).write.mode("overwrite").json(s"$out/summary")
     res
+  }
+
+  /** Incremental maintenance: ingest NEW vectors into an existing
+    * index without touching the codebooks — assign each to its
+    * nearest IVF cell and PQ-encode with the FROZEN codebooks (the
+    * production ingest path: centroids retrain offline on a cadence,
+    * appends land continuously). Appends to `assignments` and
+    * `pq_codes`; ids already present are rejected (callers dedup
+    * upstream — see q78's incremental contract).
+    */
+  def update(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: update <indexDir> <newEmb.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "vec_id")
+    val vecCol = flags.getOrElse("vec", "embedding")
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      }.toArray
+    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_.getLong(2)).map(_.getLong(3))
+        }.toArray
+      }.toArray
+    val residual = spark.read.json(s"$idx/summary")
+      .filter(col("key") === "residual")
+      .collect().headOption.exists(_.getLong(1) == 1L)
+    val dims = cents(0).length
+    val pqM = books.length
+    val sub = dims / pqM
+
+    // localCheckpoint cuts the lineage back to the assignments path:
+    // the appends below must not carry a plan that re-reads the very
+    // files they are adding to
+    val existing = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    val base = graft.Scratch.localCheckpoint(
+      spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+        .select(col(idCol).cast("long").as("id"),
+          SemDedup.microsVec(col(vecCol)).as("mv"))
+        .join(existing, Seq("id"), "left_anti"))
+
+    val asgn = graft.Scratch.cache(SemDedup.assignDist(base, cents)
+      .select(col("id"), col("cluster").cast("long").as("cell")))
+    asgn.write.mode("append").parquet(s"$idx/assignments")
+
+    val encBase =
+      if (!residual) base
+      else {
+        val centsDf = cents.zipWithIndex
+          .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+        base.join(asgn, Seq("id")).join(broadcast(centsDf), Seq("cell"))
+          .select(col("id"),
+            zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv"))
+      }
+    val newCodes = (0 until pqM).map { s =>
+      SemDedup.assignDist(
+        encBase.select(col("id"), slice(col("mv"), s * sub + 1, sub).as("mv")),
+        books(s))
+        .select(col("id"), lit(s.toLong).as("s"),
+          col("cluster").cast("long").as("code"))
+    }.reduce(_ unionByName _)
+    newCodes.write.mode("append").parquet(s"$idx/pq_codes")
+    Seq("ingested" -> asgn.count())
   }
 
   /** Search the persisted index: route, ADC-score the probed cells,

@@ -76,6 +76,44 @@ class IndexCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("update mode: new vectors ingest with frozen codebooks; duplicates rejected") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(emb).filter(size(col("embedding")) === 64)
+    val tmp = Files.createTempDirectory("graft_index_upd").toString
+    // index the first half, then ingest the rest incrementally
+    full.filter(col("vec_id") < 250).write.parquet(s"$tmp/old.parquet")
+    full.filter(col("vec_id") >= 250).write.parquet(s"$tmp/new.parquet")
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(s"$tmp/old.parquet", idx))
+    val centsBefore = spark.read.parquet(s"$idx/ivf_centroids")
+      .collect().map(_.toSeq).toSet
+    val n = IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet")).head._2
+    assert(n == full.filter(col("vec_id") >= 250).count())
+    // codebooks/centroids untouched; assignments/codes cover everyone
+    assert(spark.read.parquet(s"$idx/ivf_centroids")
+      .collect().map(_.toSeq).toSet == centsBefore)
+    assert(spark.read.parquet(s"$idx/assignments").count() == full.count())
+    assert(spark.read.parquet(s"$idx/pq_codes").count() == full.count() * 2)
+    // re-ingesting the same batch is a no-op (left-anti dedup)
+    assert(IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet")).head._2 == 0L)
+    // an ingested vector's cell must be its true nearest frozen
+    // centroid (spot-check one id against driver math)
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val mv = full.filter(col("vec_id") === 300)
+      .select(graft.ops.SemDedup.microsVec(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    val want = cents.toSeq.map { case (j, c) =>
+      var d = 0L; var i = 0
+      while (i < 64) { val x = mv(i) - c(i); d += x * x; i += 1 }
+      (d, j)
+    }.min._2
+    val got = spark.read.parquet(s"$idx/assignments")
+      .filter(col("id") === 300).head().getLong(1)
+    assert(got == want)
+  }
+
   test("residual mode: codes quantize (vector - cell centroid); search honors it") {
     import org.apache.spark.sql.functions._
     val idx = Files.createTempDirectory("graft_index_res").toString
