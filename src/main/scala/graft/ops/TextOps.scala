@@ -678,6 +678,18 @@ object TextOps {
     * cumsum per bucket. No global sort, no single-partition window.
     */
   def curriculumPhases(docs: DataFrame, idCol: String, scoreCol: Column,
+      tokCol: Column, phases: Int, nBuckets: Int = 32): DataFrame =
+    curriculumAssign(docs, idCol, scoreCol, tokCol, phases, nBuckets)
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("phase"))
+
+  /** The per-doc phase assignment behind [[curriculumPhases]]:
+    * (id, score, toks, phase) — the artifact a trainer's data loader
+    * consumes (CurateCorpus writes it as `curriculum/`).
+    */
+  def curriculumAssign(docs: DataFrame, idCol: String, scoreCol: Column,
       tokCol: Column, phases: Int, nBuckets: Int = 32): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -698,10 +710,7 @@ object TextOps {
     b.join(broadcast(offDf), Seq("bucket"))
       .withColumn("cum", sum(col("toks")).over(w) + col("off"))
       .withColumn("phase", expr(s"((cum - 1) * $phases) DIV $total"))
-      .groupBy(col("phase"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
-        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
-      .orderBy(col("phase"))
+      .select(col("id"), col("score"), col("toks"), col("phase"))
   }
 
   /** Degenerate-repetition detector (the "model is looping" / spammy

@@ -34,6 +34,7 @@ import graft.ops.{BloomExpressions, Dedup, TextOps}
   *     [--id doc_id] [--text text] [--lang en|any]
   *     [--min-tokens 5] [--max-tokens 100000]
   *     [--holdout h.parquet] [--temperature none|0.5] [--source source]
+  *     [--target-shares src0:300,src1:40] [--curriculum 3]
   *     [--shards 16] [--salt epoch1]"
   */
 object CurateCorpus {
@@ -160,12 +161,44 @@ object CurateCorpus {
           .join(contaminated, Seq(idCol), "left_anti"))
     }
 
-    // 6. temperature mixture flattening (optional)
-    val afterMix = flags.getOrElse("temperature", "none") match {
-      case "none" => afterDecon
-      case _ => stage("mixture", TextOps.temperatureSample(
-        afterDecon, col(idCol), col(srcCol))
-        .drop("src", "n_docs", "samp_den"))
+    // 6. mixture control (optional): explicit target shares
+    // (mixtureReweight's permille plan realized by a salted-hash keep
+    // rule, q175's arithmetic) wins over temperature flattening when
+    // both are given
+    val afterMix = flags.get("target-shares") match {
+      case Some(spec) =>
+        val targets = spec.split(",").toSeq.map { kv =>
+          val Array(src, pm) = kv.split(":")
+          src -> pm.toInt
+        }
+        val plan = broadcast(TextOps.mixtureReweight(
+          afterDecon, col(srcCol), targets)
+          .select(col("source").as(srcCol), col("keep_permille")))
+        stage("reweight", afterDecon.join(plan, Seq(srcCol))
+          .filter(pmod(TextOps.hash32(concat(col(idCol).cast("string"),
+            lit("_mixkeep"))), lit(1000L)) < col("keep_permille"))
+          .drop("keep_permille"))
+      case None => flags.getOrElse("temperature", "none") match {
+        case "none" => afterDecon
+        case _ => stage("mixture", TextOps.temperatureSample(
+          afterDecon, col(idCol), col(srcCol))
+          .drop("src", "n_docs", "samp_den"))
+      }
+    }
+
+    // 6b. curriculum sidecar (optional): per-doc phase assignments
+    // (token-balanced, easiest-first by character length) written
+    // next to the corpus for the trainer's data loader, plus the
+    // per-phase stats in the funnel log
+    flags.get("curriculum").map(_.toInt).foreach { phases =>
+      val assign = TextOps.curriculumAssign(afterMix, idCol,
+        length(col(textCol)).cast("long"), TextOps.tokenCount(col(textCol)),
+        phases)
+      assign.withColumnRenamed("id", idCol)
+        .write.mode("overwrite").parquet(s"$out/curriculum")
+      funnel += ("curriculum_phases" ->
+        spark.read.parquet(s"$out/curriculum")
+          .select(col("phase")).distinct().count())
     }
 
     // 7. deterministic reshard + partitioned write

@@ -1,5 +1,7 @@
 package graft.tools
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -50,5 +52,25 @@ class CurateCorpusSpec extends AnyFunSuite {
     // funnel artifact exists and matches
     val fj = spark.read.json(s"$tmp/out/funnel")
     assert(fj.count() == funnel.length)
+  }
+
+  test("target-shares reweight stage and curriculum sidecar") {
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = Files.createTempDirectory("graft_curate2").toString
+    val funnel = CurateCorpus.run(spark, Array(in, s"$tmp/out",
+      "--target-shares", "src0:200,src1:40", "--curriculum", "3",
+      "--shards", "2", "--salt", "e1")).toMap
+    // unlisted sources get target 0 -> only src0/src1 docs survive
+    val outDf = spark.read.parquet(s"$tmp/out/corpus")
+    assert(outDf.select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("src0", "src1")))
+    assert(funnel("reweight") == outDf.count())
+    // curriculum sidecar: one phase per doc, phases contiguous 0..2
+    val cur = spark.read.parquet(s"$tmp/out/curriculum")
+    assert(cur.count() == outDf.count())
+    assert(funnel("curriculum_phases") <= 3L)
+    val phases = cur.select(col("phase")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(phases.forall(p => p >= 0 && p < 3))
   }
 }
