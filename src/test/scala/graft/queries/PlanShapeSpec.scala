@@ -428,6 +428,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin")) // offsets frame broadcast
   }
 
+  test("fact-fact join pushes both date filters to the parquet scans") {
+    val p = plan("q190_ship_priority")
+    // o_orderdate < cutoff and l_shipdate > cutoff must reach the
+    // scans as PushedFilters, not post-scan Filters over full reads
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate")
+      || p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
   test("5-way star join: dimensions broadcast, facts shuffle once") {
     val p = plan("q191_local_supplier_volume")
     // customer/supplier/nation are dimension-sized -> broadcast; only
