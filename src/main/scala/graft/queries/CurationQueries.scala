@@ -118,6 +118,23 @@ object CurationQueries {
        |  * 1000) // 10 AS BIGINT) AS overlap_permille
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The exact-P95 order statistic over a (minute, v, cnt) histogram
+    * — shared by the batch (q189) and streaming (q194) embodiments;
+    * windows only ever run on the histogram.
+    */
+  private[queries] def p95FromHist(h: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("minute")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    h.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("minute"))))
+      .filter(col("cum") * 100 >= col("n") * 95)
+      .groupBy(col("minute"))
+      .agg(first(col("n")).cast("long").as("n"), min(col("v")).as("p95_milli"))
+  }
+
   def all: Map[String, Q] = Map(
 
     // Product quantization (the memory half of at-scale ANN: IVF
@@ -538,23 +555,11 @@ object CurationQueries {
     // (minute, value) HISTOGRAM, which is bounded by value-domain x
     // minutes at any scale.
     "q189_minute_p95" -> Q(
-      (s, dir) => {
-        val h = t(s, dir, "events")
+      (s, dir) => CurationQueries.p95FromHist(t(s, dir, "events")
           .select(expr("ts DIV 60000000000").as("minute"),
             floor(col("value") * 1000).cast("long").as("v"))
-          .groupBy(col("minute"), col("v")).agg(count(lit(1)).as("cnt"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("minute")).orderBy(col("v"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)
-        h.withColumn("cum", sum(col("cnt")).over(w))
-          .withColumn("n", sum(col("cnt")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("minute"))))
-          .filter(col("cum") * 100 >= col("n") * 95)
-          .groupBy(col("minute"))
-          .agg(first(col("n")).cast("long").as("n"), min(col("v")).as("p95_milli"))
-          .orderBy(col("minute"))
-      },
+          .groupBy(col("minute"), col("v")).agg(count(lit(1)).as("cnt")))
+        .orderBy(col("minute")),
       Some(
         """WITH h AS (
           | SELECT epoch_ns(ts) // 60000000000 AS minute,
@@ -706,6 +711,53 @@ object CurationQueries {
           | GROUP BY c_custkey)
           |GROUP BY c_count
           |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // STREAMING per-minute P95: q189's exact order statistic as a
+    // stream — Complete-mode (minute, v) histogram state (bounded by
+    // value-domain x minutes), the shared p95FromHist helper on each
+    // snapshot; end-of-input equals q189's oracle.
+    "q194_streaming_p95" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.p95Src(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "p95", ev)
+        val out = "/tmp/graft_stream_p95_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+          val query = stream
+            .groupBy(col("minute"), col("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try CurationQueries.p95FromHist(batch)
+                .write.mode("overwrite").parquet(out)
+              finally batch.unpersist()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out).orderBy(col("minute"))
+      },
+      Some(
+        """WITH h AS (
+          | SELECT epoch_ns(ts) // 60000000000 AS minute,
+          |  CAST(floor(value * 1000) AS BIGINT) AS v, count(*) AS cnt
+          | FROM events GROUP BY 1, 2),
+          |c AS (
+          | SELECT minute, v, cnt,
+          |  sum(cnt) OVER (PARTITION BY minute ORDER BY v
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |  sum(cnt) OVER (PARTITION BY minute) AS n
+          | FROM h)
+          |SELECT minute, CAST(any_value(n) AS BIGINT) AS n,
+          | min(v) AS p95_milli
+          |FROM c WHERE cum * 100 >= n * 95
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // STREAMING anomaly monitor: q103's 3-sigma per-minute volume
     // flags as a stream — Complete-mode minute-count histogram state

@@ -138,10 +138,21 @@ object SlowLogQueries {
       .select(expr("ts DIV 60000000000").as("minute"))
   }
 
+  /** The q189 per-minute latency input as a stream fixture (q194
+    * keeps the (minute, value) histogram as Complete-mode state).
+    */
+  private[queries] def p95Src(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    Registry.table(s, dir, "events")
+      .select(expr("ts DIV 60000000000").as("minute"),
+        floor(col("value") * 1000).cast("long").as("v"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
-      "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _)
+      "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
+      "p95" -> p95Src _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
