@@ -164,6 +164,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumAssign: differential vs naive global sort on 300 seeded docs with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // heavy ties in both score and token count to stress bucket
+    // boundaries and the (score, id) tie-break
+    val docs = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(5).toLong)
+    }
+    val got = TextOps.curriculumAssign(
+      docs.toDF("doc_id", "sc", "tk"), "doc_id", col("sc"), col("tk"),
+      phases = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val total = math.max(docs.map(_._3).sum, 1L)
+    var cum = 0L
+    val want = docs.sortBy(d => (d._2, d._1)).map { case (id, _, tk) =>
+      cum += tk
+      id -> ((cum - 1) * 4) / total
+    }.toMap
+    assert(got == want)
+  }
+
   test("crossLabelLeakage counts each shared gram once per label pair") {
     import spark.implicits._
     val g = "a b c d e f g h" // one 8-gram
