@@ -712,6 +712,126 @@ object CurationQueries {
           |GROUP BY c_count
           |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // Session-gap sensitivity sweep: session counts at FOUR gap
+    // thresholds from ONE per-user lag pass — sessions(g) = users +
+    // gaps exceeding g. Prices the q16/q43 sessionization knob
+    // without re-scanning per threshold.
+    "q195_session_gap_sweep" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gaps = t(s, dir, "events")
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        val sec = 1000L * 1000 * 1000
+        val thresholds = Seq(60L, 300L, 1800L, 7200L)
+        gaps.agg(
+            count_distinct(col("user_id")).as("n_users"),
+            thresholds.map(g => sum(when(col("gap") > g * sec, 1L)
+              .otherwise(0L)).as(s"b_$g")): _*)
+          .select(explode(array(thresholds.map(g =>
+            struct(lit(g).as("gap_seconds"),
+              (col("n_users") + col(s"b_$g")).as("n_sessions"))): _*))
+            .as("r"))
+          .select(col("r.gap_seconds"), col("r.n_sessions"))
+          .orderBy(col("gap_seconds"))
+      },
+      Some(
+        """WITH g AS (
+          | SELECT user_id, epoch_ns(ts) -
+          |  epoch_ns(lag(ts) OVER (PARTITION BY user_id
+          |   ORDER BY ts, event_id)) AS gap
+          | FROM events),
+          |u AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+          |t(gap_seconds) AS (VALUES (60), (300), (1800), (7200))
+          |SELECT CAST(t.gap_seconds AS BIGINT) AS gap_seconds,
+          | CAST(u.n_users + (SELECT count(*) FROM g
+          |   WHERE g.gap > CAST(t.gap_seconds AS BIGINT) * 1000000000) AS BIGINT)
+          |  AS n_sessions
+          |FROM t, u ORDER BY gap_seconds""".stripMargin)),
+
+    // Jaccard-threshold sensitivity: near-dup pair counts at three
+    // thresholds from ONE verified candidate set (the i_cnt/u_cnt
+    // pairs q24 already computes) — prices the dedup similarity knob
+    // with zero extra corpus passes.
+    "q196_jaccard_sweep" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.minhashPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, bands = 4, rows = 4, num = 0, den = 1)
+        pairs.agg(
+            sum(when(col("i_cnt") * 2 >= col("u_cnt"), 1L).otherwise(0L))
+              .as("ge_50"),
+            sum(when(col("i_cnt") * 10 >= col("u_cnt") * 7, 1L).otherwise(0L))
+              .as("ge_70"),
+            sum(when(col("i_cnt") * 10 >= col("u_cnt") * 9, 1L).otherwise(0L))
+              .as("ge_90"))
+          .select(explode(array(
+            struct(lit(50L).as("threshold_pct"), col("ge_50").as("n_pairs")),
+            struct(lit(70L).as("threshold_pct"), col("ge_70").as("n_pairs")),
+            struct(lit(90L).as("threshold_pct"), col("ge_90").as("n_pairs"))))
+            .as("r"))
+          .select(col("r.threshold_pct"), col("r.n_pairs"))
+          .orderBy(col("threshold_pct"))
+      },
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |c AS (
+           | SELECT
+           |  CAST(sum(CASE WHEN i_cnt * 2 >= u_cnt THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS ge_50,
+           |  CAST(sum(CASE WHEN i_cnt * 10 >= u_cnt * 7 THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS ge_70,
+           |  CAST(sum(CASE WHEN i_cnt * 10 >= u_cnt * 9 THEN 1 ELSE 0 END)
+           |   AS BIGINT) AS ge_90
+           | FROM chk)
+           |SELECT CAST(50 AS BIGINT) AS threshold_pct, ge_50 AS n_pairs FROM c
+           |UNION ALL SELECT 70, ge_70 FROM c
+           |UNION ALL SELECT 90, ge_90 FROM c
+           |ORDER BY threshold_pct""".stripMargin)),
+
+    // Decontamination n-gram-size sensitivity: contaminated-doc
+    // counts at n = 4 / 8 / 16 against the q74 holdout rule — the
+    // knob that trades decontam recall (small n over-matches) against
+    // precision (large n under-matches). One scan per n (gram
+    // universes differ), each the bounded q74 semi-join shape.
+    "q197_decontam_n_sweep" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        def hitsAt(n: Int): DataFrame = {
+          val grams = docs.select(col("doc_id"),
+            explode(TextOps.ngramsDistinct(col("text"), n)).as("gram"))
+          val test = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("gram")).distinct()
+          grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+            .join(test, Seq("gram"), "left_semi")
+            .agg(lit(n.toLong).as("n_gram"),
+              count_distinct(col("doc_id")).as("n_contaminated"))
+        }
+        hitsAt(4).unionByName(hitsAt(8)).unionByName(hitsAt(16))
+          .orderBy(col("n_gram"))
+      },
+      Some {
+        def cte(n: Int) = {
+          val cat = (1 to n).map(i => s"t[i+${i - 1}]")
+            .mkString(" || ' ' || ").replace("t[i+0]", "t[i]")
+          s"""g$n AS (
+             | SELECT doc_id, unnest(list_distinct(
+             |  list_transform(generate_series(1, len(t) - ${n - 1}),
+             |   i -> $cat))) AS gram FROM tk),
+             |h$n AS (
+             | SELECT CAST($n AS BIGINT) AS n_gram,
+             |  count(DISTINCT tr.doc_id) AS n_contaminated
+             | FROM (SELECT doc_id, gram FROM g$n WHERE doc_id % 10 <> 0) tr
+             | WHERE gram IN (SELECT gram FROM g$n WHERE doc_id % 10 = 0))"""
+            .stripMargin
+        }
+        s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |${cte(4)},
+           |${cte(8)},
+           |${cte(16)}
+           |SELECT * FROM h4 UNION ALL SELECT * FROM h8
+           |UNION ALL SELECT * FROM h16 ORDER BY n_gram""".stripMargin
+      }),
+
     // STREAMING per-minute P95: q189's exact order statistic as a
     // stream — Complete-mode (minute, v) histogram state (bounded by
     // value-domain x minutes), the shared p95FromHist helper on each
