@@ -832,6 +832,58 @@ object CurationQueries {
            |UNION ALL SELECT * FROM h16 ORDER BY n_gram""".stripMargin
       }),
 
+    // Lagged cross-correlation between event streams: does error
+    // volume TRACK or FOLLOW purchase volume? Minute-level counts of
+    // the two types, self-joined at lags 0/1/5 minutes on the
+    // minutes-domain frame (never the corpus), then q152's exact
+    // Pearson moments per lag. Correlation over OBSERVED minute pairs
+    // (inner join) — the documented semantics; round(corr, 6) is the
+    // session's proven cross-engine double contract.
+    "q198_lagged_xcorr" -> Q(
+      (s, dir) => {
+        val m = t(s, dir, "events")
+          .select(expr("ts DIV 60000000000").as("minute"), col("event_type"))
+          .groupBy(col("minute"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("x"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("y"))
+        val pairs = Seq(0L, 1L, 5L).map { g =>
+          m.select(col("minute"), col("x"))
+            .join(m.select((col("minute") - g).as("minute"), col("y")),
+              Seq("minute"))
+            .select(lit(g).as("lag_minutes"), col("x"), col("y"))
+        }.reduce(_ unionByName _)
+        Eval.pearson(pairs, col("lag_minutes"), col("x"), col("y"))
+          .withColumnRenamed("grp", "lag_minutes")
+          .orderBy(col("lag_minutes"))
+      },
+      Some(
+        """WITH m AS (
+          | SELECT epoch_ns(ts) // 60000000000 AS minute,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS x,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS y
+          | FROM events GROUP BY 1),
+          |l(lag) AS (VALUES (0), (1), (5)),
+          |p AS (
+          | SELECT l.lag, a.x, b.y
+          | FROM l CROSS JOIN m a JOIN m b ON b.minute = a.minute + l.lag),
+          |ag AS (
+          | SELECT lag, count(*) AS n,
+          |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          |  CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          |  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          |  CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+          | FROM p GROUP BY 1)
+          |SELECT CAST(lag AS BIGINT) AS lag_minutes, CAST(n AS BIGINT) AS n,
+          | CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+          |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+          |   sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+          |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr
+          |FROM ag ORDER BY lag_minutes""".stripMargin)),
+
     // STREAMING per-minute P95: q189's exact order statistic as a
     // stream — Complete-mode (minute, v) histogram state (bounded by
     // value-domain x minutes), the shared p95FromHist helper on each
