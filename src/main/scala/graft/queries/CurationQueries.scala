@@ -884,6 +884,52 @@ object CurationQueries {
           |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS corr
           |FROM ag ORDER BY lag_minutes""".stripMargin)),
 
+    // Robust (median/MAD) anomaly flags — the outlier-resistant
+    // complement to q103's mean/sigma rule: a sustained incident
+    // inflates the mean and hides itself, but not the median. Exact
+    // integer order statistics ((n+1) DIV 2-th smallest, ties broken
+    // by minute) over the MINUTES-DOMAIN frame — the global windows
+    // here sort ~minutes rows, never the corpus. flag = dev > 5*MAD.
+    "q199_robust_anomaly" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val cnt = t(s, dir, "events")
+          .select(expr("ts DIV 60000000000").as("minute"))
+          .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
+        val n = cnt.count()
+        val med = cnt
+          .withColumn("rn", row_number().over(w.orderBy(col("cnt"), col("minute"))))
+          .filter(col("rn") === (n + 1) / 2)
+          .select(col("cnt").as("med"))
+        val dev = cnt.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("cnt") - col("med")))
+        val mad = dev
+          .withColumn("rn", row_number().over(w.orderBy(col("dev"), col("minute"))))
+          .filter(col("rn") === (n + 1) / 2)
+          .select(col("dev").as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("minute"), col("cnt"), col("dev"),
+            (col("dev") > col("mad") * 5).cast("long").as("flag"))
+          .orderBy(col("minute"))
+      },
+      Some(
+        """WITH m AS (
+          | SELECT epoch_ns(ts) // 60000000000 AS minute, count(*) AS cnt
+          | FROM events GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM m),
+          |med AS (
+          | SELECT cnt AS med FROM (
+          |  SELECT cnt, row_number() OVER (ORDER BY cnt, minute) AS rn FROM m)
+          | WHERE rn = (SELECT (n + 1) // 2 FROM n)),
+          |d AS (SELECT minute, cnt, abs(cnt - med.med) AS dev FROM m, med),
+          |mad AS (
+          | SELECT dev AS mad FROM (
+          |  SELECT dev, row_number() OVER (ORDER BY dev, minute) AS rn FROM d)
+          | WHERE rn = (SELECT (n + 1) // 2 FROM n))
+          |SELECT minute, cnt, dev,
+          | CAST(dev > mad.mad * 5 AS BIGINT) AS flag
+          |FROM d, mad ORDER BY minute""".stripMargin)),
+
     // STREAMING per-minute P95: q189's exact order statistic as a
     // stream — Complete-mode (minute, v) histogram state (bounded by
     // value-domain x minutes), the shared p95FromHist helper on each
