@@ -930,6 +930,53 @@ object CurationQueries {
           | CAST(dev > mad.mad * 5 AS BIGINT) AS flag
           |FROM d, mad ORDER BY minute""".stripMargin)),
 
+    // Release scorecard: the one-row executive summary a corpus
+    // release attaches — size, composition, duplication involvement,
+    // and self-contamination, every number integer-exact and each
+    // derived from an operator the board already verifies piecewise
+    // (token counts, q24 pairs, q74 rule). Two bounded passes: the
+    // doc-stat aggregate and the pair/gram summaries.
+    "q200_release_scorecard" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L)))
+            .as("n_tokens"),
+          count_distinct(col("source")).as("n_sources"),
+          count_distinct(col("lang")).as("n_langs"))
+        val involved = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct().agg(count(lit(1)).as("n_dup_involved"))
+        stats.crossJoin(broadcast(involved))
+          .withColumn("dup_permille",
+            expr("(n_dup_involved * 1000) DIV n_docs"))
+          .withColumn("mean_tokens", expr("n_tokens DIV n_docs"))
+          .select(col("n_docs"), col("n_tokens"), col("mean_tokens"),
+            col("n_sources"), col("n_langs"),
+            col("n_dup_involved"), col("dup_permille"))
+      },
+      Some(
+        s"""WITH ${OpsQueries.minhashCtes},
+           |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |inv AS (SELECT count(*) AS n_dup_involved FROM (
+           | SELECT DISTINCT doc_id FROM (
+           |  SELECT id_a AS doc_id FROM pr
+           |  UNION ALL SELECT id_b AS doc_id FROM pr))),
+           |st AS (
+           | SELECT count(*) AS n_docs,
+           |  CAST(sum(coalesce(len($toksSql), 0)) AS BIGINT) AS n_tokens,
+           |  count(DISTINCT source) AS n_sources,
+           |  count(DISTINCT lang) AS n_langs
+           | FROM documents)
+           |SELECT n_docs, n_tokens,
+           | CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+           | n_sources, n_langs,
+           | CAST(n_dup_involved AS BIGINT) AS n_dup_involved,
+           | CAST(n_dup_involved * 1000 // n_docs AS BIGINT) AS dup_permille
+           |FROM st, inv""".stripMargin)),
+
     // STREAMING per-minute P95: q189's exact order statistic as a
     // stream — Complete-mode (minute, v) histogram state (bounded by
     // value-domain x minutes), the shared p95FromHist helper on each
