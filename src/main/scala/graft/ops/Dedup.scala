@@ -717,19 +717,29 @@ object Dedup {
     * `autoBroadcastJoinThreshold`, the size-adaptive cutoff is a
     * CONFIG, not a burned-in constant — an operator fleet tuned for a
     * beefier driver raises it, a test forces the distributed path
-    * with 0. An explicit per-call `driverMaxEdges` argument still
-    * wins over the session conf (callers that pass a value know
-    * their graph better than the session default does).
+    * with 0. ANY explicit per-call `driverMaxEdges >= 0` wins over
+    * the session conf (callers that pass a value know their graph
+    * better than the session default does); the negative
+    * [[UseSessionReplayCap]] sentinel — the parameter default — defers
+    * to the conf. A negative sentinel rather than value-equality with
+    * the default, so a caller explicitly passing the default cap
+    * still wins over the conf.
     */
   val DriverReplayCapKey = "spark.graft.driverReplayMaxEdges"
 
+  /** Default for `driverMaxEdges` parameters: "not passed — resolve
+    * from [[DriverReplayCapKey]], falling back to
+    * [[DriverCcMaxEdges]]".
+    */
+  val UseSessionReplayCap = -1L
+
   def driverReplayCap(df: DataFrame, passed: Long): Long =
-    if (passed != DriverCcMaxEdges) passed
+    if (passed >= 0L) passed
     else df.sparkSession.conf
       .get(DriverReplayCapKey, DriverCcMaxEdges.toString).toLong
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
-      driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+      driverMaxEdges: Long = UseSessionReplayCap): DataFrame = {
     val replayCap = driverReplayCap(pairs, driverMaxEdges)
     // AQE is OFF for the duration of the loop (restored after). Adaptive
     // planning re-optimizes and resubmits every shuffle stage of every

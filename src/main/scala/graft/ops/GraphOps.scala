@@ -94,7 +94,7 @@ object GraphOps {
     * the previous edge set twice and the plan doubles per round).
     */
   def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3,
-      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+      driverMaxEdges: Long = Dedup.UseSessionReplayCap): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("id_a").as("node"))
         .union(e.select(col("id_b").as("node")))
@@ -165,7 +165,7 @@ object GraphOps {
     * shape); the edge table is lineage-cut once up front.
     */
   def labelPropagation(rawPairs: DataFrame, rounds: Int = 3,
-      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+      driverMaxEdges: Long = Dedup.UseSessionReplayCap): DataFrame = {
     val pairs = graft.Scratch.localCheckpoint(
       rawPairs.select(col("id_a"), col("id_b")))
     val sym = graft.Scratch.cache(
@@ -281,7 +281,7 @@ object GraphOps {
   }
 
   def pagerank(pairs: DataFrame, iters: Int, scale: Long = 1000000L,
-      driverMaxEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+      driverMaxEdges: Long = Dedup.UseSessionReplayCap): DataFrame = {
     // The loop builds one ~3*iters-shuffle-stage plan over a graph
     // orders of magnitude smaller than the corpus that produced it —
     // the q60 regime, where AQE's per-stage re-planning costs more

@@ -102,8 +102,13 @@ object Quantize {
         .select(col("id"), lit(s).as("s"), col("cluster").as("code"))
     }.reduce(_ unionByName _)
     // (pid, s, code) -> ADC distance table, driver-computed from the
-    // nProbes collected probe vectors (bounded like the codebooks)
-    val probeVecs = base.filter(col("id") < nProbes)
+    // nProbes collected probe vectors (bounded like the codebooks).
+    // Probes are the nProbes LOWEST ids actually present — not
+    // `id < nProbes`, which silently evaluates fewer (or zero) probes
+    // on a sparse or offset id space. orderBy+limit plans as a
+    // bounded-heap TakeOrderedAndProject, never a global sort.
+    val probeSel = graft.Scratch.cache(base.orderBy(col("id")).limit(nProbes))
+    val probeVecs = probeSel
       .select(col("id"), col("mv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     val table = probeVecs.flatMap { case (pid, pv) =>
@@ -121,8 +126,7 @@ object Quantize {
       .filter(col("id") =!= col("pid"))
       .groupBy(col("pid"), col("id"))
       .agg(sum(col("d")).as("adc"))
-    val probes = base.filter(col("id") < nProbes)
-      .select(col("id").as("pid"), col("v").as("pv"))
+    val probes = probeSel.select(col("id").as("pid"), col("v").as("pv"))
     val exact = base.select(col("id"), col("v"))
       .crossJoin(broadcast(probes))
       .filter(col("id") =!= col("pid"))

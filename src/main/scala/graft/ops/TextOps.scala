@@ -643,10 +643,14 @@ object TextOps {
     * the target — capped at 1000 (no upsampling) — plus the expected
     * post-sampling doc count and the deficit where the source simply
     * has too few docs. All arithmetic integer permille; sources
-    * absent from `targets` get target 0 (dropped by the plan).
+    * absent from `targets` get target 0 (dropped by the plan), and
+    * targets absent from the corpus (a typo'd source name, an empty
+    * domain) still emit a row with n_docs=0 / keep_permille=0 and the
+    * full target mass as deficit — a silent disappearance would read
+    * as "share satisfied" when the source contributed nothing.
     *
-    * Scale: one map-side-combinable count per source + a
-    * catalog-sized broadcast join; the corpus itself never shuffles.
+    * Scale: one map-side-combinable count per source + catalog-sized
+    * broadcast joins; the corpus itself never shuffles.
     */
   def mixtureReweight(docs: DataFrame, srcCol: Column,
       targets: Seq[(String, Int)]): DataFrame = {
@@ -655,11 +659,22 @@ object TextOps {
     val counts = docs.groupBy(srcCol.as("source"))
       .agg(count(lit(1)).as("n_docs"))
     val tgt = targets.toDF("source", "target_permille")
-    counts.join(broadcast(tgt), Seq("source"), "left")
+    // present sources (target 0 if unlisted) ∪ corpus-absent targets.
+    // Union-of-two-broadcast-joins rather than one full-outer join:
+    // full outer can't broadcast-hash, and both sides here are
+    // catalog-sized, so this keeps the q175 no-shuffle plan pin.
+    val present = counts.join(broadcast(tgt), Seq("source"), "left")
       .na.fill(0, Seq("target_permille"))
-      .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+      .select(col("source"), col("n_docs"), col("target_permille"))
+    val absent = tgt
+      .join(broadcast(counts.select(col("source"))), Seq("source"), "left_anti")
+      .select(col("source"), lit(0L).as("n_docs"), col("target_permille"))
+    present.unionByName(absent)
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_total"))))
       .withColumn("keep_permille",
-        least(lit(1000L), expr("(target_permille * n_total) DIV n_docs")))
+        when(col("n_docs") === 0L, lit(0L)).otherwise(
+          least(lit(1000L), expr("(target_permille * n_total) DIV n_docs"))))
       .withColumn("expected_docs", expr("(n_docs * keep_permille) DIV 1000"))
       .withColumn("deficit_docs",
         greatest(lit(0L), expr("(target_permille * n_total) DIV 1000 - expected_docs")))
@@ -697,6 +712,14 @@ object TextOps {
       scoreCol.cast("long").as("score"),
       coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
     val agg = base.agg(max(col("score")), sum(col("toks"))).head()
+    // empty input (upstream filter/decontam dropped every doc):
+    // max(score) aggregates to NULL — return the empty assignment
+    // rather than NPE on getLong
+    if (agg.isNullAt(0)) {
+      return base.withColumn("phase", lit(0L))
+        .select(col("id"), col("score"), col("toks"), col("phase"))
+        .limit(0)
+    }
     val maxS = agg.getLong(0); val total = math.max(agg.getLong(1), 1L)
     val b = base.withColumn("bucket",
       expr(s"(score * $nBuckets) DIV ${maxS + 1}"))

@@ -119,11 +119,16 @@ object CoreQueries {
              |SELECT bucket, event_type, cnt, rn FROM r WHERE rn <= 3
              |ORDER BY bucket, rn""".stripMargin)),
 
-    // J1/J2 — broadcast dimension enrichment with 'unknown' sentinel
+    // J1/J2 — dimension enrichment with 'unknown' sentinel. Only
+    // `nation` (fixed 25 rows) is hint-broadcast; `customer` scales
+    // with sf, so its join strategy is left to AQE (broadcast at small
+    // sf, shuffle join at scale) — the reference's analog of this
+    // enrichment joins against a schema catalog, which maps to the
+    // nation side, not the customer side.
     "q06_join_enrich" -> Q(
       (s, dir) => {
         val orders = t(s, dir, "orders")
-        val customer = broadcast(t(s, dir, "customer"))
+        val customer = t(s, dir, "customer")
         val nation = broadcast(t(s, dir, "nation"))
         orders
           .join(customer, col("o_custkey") === col("c_custkey"), "left")

@@ -619,9 +619,13 @@ object CurationQueries {
 
     // TPC-H Q5 shape (local-supplier volume): the 5-way
     // customer/orders/lineitem/supplier/nation join with the
-    // same-nation constraint. supplier/nation/customer-key frames are
-    // dimension-sized and broadcast; the fact-fact join shuffles once
-    // on the order key. Same integer revenue units as q190.
+    // same-nation constraint. Only `nation` is genuinely fixed-size
+    // (25 rows) and carries a broadcast hint; customer and supplier
+    // SCALE WITH sf (15M / 1M rows per TB of TPC-H), so forcing them
+    // broadcast would bypass AQE's size check and OOM at the 100 TB
+    // target — their join strategy is left to AQE/statistics (which
+    // still picks broadcast at small sf). The fact-fact join shuffles
+    // once on the order key. Same integer revenue units as q190.
     "q191_local_supplier_volume" -> Q(
       (s, dir) => {
         val c = t(s, dir, "customer")
@@ -636,8 +640,8 @@ object CurationQueries {
           .select(col("s_suppkey"), col("s_nationkey"))
         val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
           .filter(col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))

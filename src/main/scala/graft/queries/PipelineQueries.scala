@@ -143,12 +143,16 @@ object PipelineQueries {
         // bloom keys are xxhash64 — Spark-internal only (build and
         // probe use the same fn; the ORACLE-visible comparison is the
         // exact semi-join on gram strings), so no md5 portability tax
+        val nTest = test.count()
         val bloom = BloomExpressions.buildLongBloom(test,
-          xxhash64(col("gram")), expectedItems = test.count())
+          xxhash64(col("gram")), expectedItems = nTest)
         grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
           .filter(BloomExpressions.mightContain(
             xxhash64(col("gram")), bloom))
-          .join(broadcast(test), Seq("gram"), "left_semi")
+          // test is corpus-derived → broadcast only under the gate
+          // (the count is already paid for by the bloom sizing)
+          .join(graft.ops.Hints.broadcastIfSmall(test, nTest),
+            Seq("gram"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
           .orderBy(col("doc_id"))
       },

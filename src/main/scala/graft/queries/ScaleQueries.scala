@@ -441,12 +441,14 @@ object ScaleQueries {
             col("gram")).distinct())
         // sized to the (set, gram) count — an upper bound on distinct
         // grams, so the bloom only gets sparser
+        val nTest = test.count()
         val bloom = BloomExpressions.buildLongBloom(
           test.select(col("gram")), xxhash64(col("gram")),
-          expectedItems = test.count())
+          expectedItems = nTest)
         grams.filter(pmod(col("doc_id"), lit(10)) > 2)
           .filter(BloomExpressions.mightContain(xxhash64(col("gram")), bloom))
-          .join(broadcast(test), Seq("gram"))
+          // test is corpus-derived → broadcast only under the gate
+          .join(graft.ops.Hints.broadcastIfSmall(test, nTest), Seq("gram"))
           .groupBy(col("doc_id"), col("tset"))
           .agg(count(lit(1)).as("n_hits"))
           .orderBy(col("doc_id"), col("tset"))

@@ -149,13 +149,17 @@ object CurateCorpus {
         val holdGrams = graft.Scratch.cache(spark.read.parquet(h)
           .select(explode(TextOps.ngramsDistinct(col(textCol), 8)).as("gram"))
           .distinct())
+        val nHold = holdGrams.count()
         val bloom = BloomExpressions.buildLongBloom(holdGrams,
-          xxhash64(col("gram")), expectedItems = holdGrams.count())
+          xxhash64(col("gram")), expectedItems = nHold)
         val contaminated = afterNear
           .select(col(idCol), explode(TextOps.ngramsDistinct(col(textCol), 8))
             .as("gram"))
           .filter(BloomExpressions.mightContain(xxhash64(col("gram")), bloom))
-          .join(broadcast(holdGrams), Seq("gram"), "left_semi")
+          // the holdout is user-supplied and usually benchmark-sized,
+          // but nothing bounds it — broadcast only under the gate
+          .join(graft.ops.Hints.broadcastIfSmall(holdGrams, nHold),
+            Seq("gram"), "left_semi")
           .select(col(idCol)).distinct()
         stage("decontam", afterNear
           .join(contaminated, Seq(idCol), "left_anti"))

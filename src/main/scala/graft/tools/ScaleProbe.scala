@@ -80,12 +80,14 @@ object ScaleProbe {
           explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
         val test = grams.filter(pmod(col("doc_id"), lit(10)) === 0)
           .select(col("gram")).distinct().cache()
+        val nTest = test.count()
         val bloom = graft.ops.BloomExpressions.buildLongBloom(test,
-          xxhash64(col("gram")), expectedItems = test.count())
+          xxhash64(col("gram")), expectedItems = nTest)
         grams.filter(pmod(col("doc_id"), lit(10)) =!= 0)
           .filter(graft.ops.BloomExpressions.mightContain(
             xxhash64(col("gram")), bloom))
-          .join(broadcast(test), Seq("gram"), "left_semi")
+          .join(graft.ops.Hints.broadcastIfSmall(test, nTest),
+            Seq("gram"), "left_semi")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       }
       // release diff of the replicated corpus against an edited copy —

@@ -43,6 +43,35 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out("b") == (4L, 0L, 0L, 0L))
   }
 
+  test("mixtureReweight: corpus-absent target surfaces as all-deficit, not silence") {
+    import spark.implicits._
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(5)("b"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    // 'x' (a typo'd --target-shares name) has zero corpus docs: it
+    // must still emit a row — n_docs 0, keep 0, expected 0, and the
+    // FULL target mass (300 permille of 10 docs = 3) as deficit
+    val out = TextOps.mixtureReweight(docs, col("source"),
+      Seq("a" -> 300, "x" -> 300)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.contains("x"), "absent target disappeared from the plan")
+    assert(out("x") == (0L, 0L, 0L, 3L))
+    assert(out("a") == (5L, 600L, 3L, 0L))
+  }
+
+  test("curriculumAssign: empty input returns an empty frame, not NPE") {
+    import spark.implicits._
+    val docs = Seq.empty[(Long, Long, String)].toDF("doc_id", "sc", "text")
+    val out = TextOps.curriculumAssign(docs, "doc_id", col("sc"),
+      TextOps.tokenCount(col("text")), phases = 3)
+    assert(out.columns.toSeq == Seq("id", "score", "toks", "phase"))
+    assert(out.count() == 0L)
+    // and the aggregate view built on it is empty too
+    assert(TextOps.curriculumPhases(docs, "doc_id", col("sc"),
+      TextOps.tokenCount(col("text")), phases = 3).count() == 0L)
+  }
+
   test("curriculumPhases: contiguous score ranges with ~equal token mass") {
     import spark.implicits._
     // 12 docs, 10 tokens each, scores 1..12 -> 3 phases of exactly 4
@@ -162,6 +191,21 @@ class CurationOpsSpec extends AnyFunSuite {
     (0L until 4L).foreach { i =>
       assert(out(i) == (i, i, 0L), s"vec $i: ${out(i)}")
     }
+  }
+
+  test("pqAdcRecall: probes are the lowest ids PRESENT, not id < nProbes") {
+    import spark.implicits._
+    // offset id space (1000..): the old `id < nProbes` rule would
+    // select ZERO probes here and report recall over an empty set
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 12).map { i =>
+      (1000L + i, Array.fill(8)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.pqAdcRecall(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 2, iters = 1, nProbes = 3, topK = 2)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(out.toSeq == Seq(1000L, 1001L, 1002L), out.mkString(","))
+    graft.Scratch.release()
   }
 
   test("curriculumAssign: differential vs naive global sort on 300 seeded docs with ties") {

@@ -86,6 +86,32 @@ class GraphPathEquivalenceSpec extends AnyFunSuite {
     assert(viaArg == viaDefault)
   }
 
+  test("explicitly passing the default cap VALUE still wins over the conf") {
+    // the sentinel-vs-value-equality trap: driverMaxEdges =
+    // DriverCcMaxEdges passed EXPLICITLY must resolve to exactly that
+    // cap, not be mistaken for "not passed" and overridden by a
+    // conf that says "never driver-replay". 60 edges < 1M cap, so a
+    // correctly-resolved explicit arg takes the driver-replay path
+    // even while the conf demands the loop.
+    val pairs = randomPairs(seed = 11, n = 60, nodes = 20)
+    assert(Dedup.driverReplayCap(pairs, Dedup.DriverCcMaxEdges) ==
+      Dedup.DriverCcMaxEdges)
+    val viaExplicitDefault = withCap(0L) {
+      assert(Dedup.driverReplayCap(pairs, Dedup.DriverCcMaxEdges) ==
+        Dedup.DriverCcMaxEdges, "explicit default value lost to conf")
+      Dedup.connectedComponents(pairs,
+        driverMaxEdges = Dedup.DriverCcMaxEdges).collect().map(_.toSeq).toSet
+    }
+    graft.Scratch.release()
+    // and the unpassed sentinel DOES defer to the conf
+    val viaConf = withCap(0L) {
+      assert(Dedup.driverReplayCap(pairs, Dedup.UseSessionReplayCap) == 0L)
+      Dedup.connectedComponents(pairs).collect().map(_.toSeq).toSet
+    }
+    graft.Scratch.release()
+    assert(viaExplicitDefault == viaConf) // paths differ, rows identical
+  }
+
   test("modularity contribution is exact past int64 (DECIMAL(38,0) regime)") {
     // m*e_in > 2^61: these magnitudes overflow 4*m*e_in in int64 by
     // ~6 orders of magnitude; DECIMAL(38,0) must match BigInt exactly.

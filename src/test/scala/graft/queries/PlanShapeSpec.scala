@@ -26,10 +26,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("dimension joins broadcast") {
+  test("dimension joins broadcast (nation hinted; customer left to AQE)") {
     val p = plan("q06_join_enrich")
+    // at test sf both sides plan broadcast via file-size statistics
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
+    // but only the fixed-size side (nation, 25 rows) may carry a
+    // FORCED hint — customer scales with sf, and a hint on it would
+    // bypass AQE's size check and OOM at the 100 TB target
+    val opt = Registry.queries("q06_join_enrich")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val hinted = "strategy=broadcast".r.findAllIn(opt).size
+    assert(hinted <= 1, s"$hinted forced broadcast hints (expected <= 1, nation only):\n$opt")
   }
 
   test("mixture sampling broadcasts the source-count table") {
@@ -437,15 +445,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(l_shipdate"), p)
   }
 
-  test("5-way star join: dimensions broadcast, facts shuffle once") {
+  test("5-way star join: no forced broadcast of sf-scaling inputs") {
     val p = plan("q191_local_supplier_volume")
-    // customer/supplier/nation are dimension-sized -> broadcast; only
-    // the lineitem x orders fact join may sort-merge on the order key
+    // nation (25 rows, fixed) broadcasts; at test sf AQE/statistics
+    // also broadcast customer/supplier, but only by MEASURED size
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
     val smj = "SortMergeJoin".r.findAllIn(p).size
     assert(smj <= 1, s"$smj sort-merge joins (expected <= 1):\n$p")
+    // the scale pin: customer and supplier SCALE WITH sf (15M / 1M
+    // rows per TB) — a forced hint on either would bypass AQE's size
+    // check and guarantee an OOM at 100 TB. Only the one fixed-size
+    // side (nation) may carry a hint.
+    val opt = Registry.queries("q191_local_supplier_volume")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val hinted = "strategy=broadcast".r.findAllIn(opt).size
+    assert(hinted <= 1, s"$hinted forced broadcast hints (expected <= 1, nation only):\n$opt")
   }
 
   test("mixture reweight: corpus never shuffles past the count aggregate") {
