@@ -71,6 +71,57 @@ object Quantize {
       (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
   }
 
+  /** Residual product quantization — the second rung of the IVF-PQ
+    * ladder: a coarse IVF router (fixed-point Lloyd over the FULL
+    * vectors) absorbs the corpus's cluster structure, and the PQ
+    * codebooks then quantize each vector's RESIDUAL against its cell
+    * centroid, spending their bits on what the router couldn't
+    * explain. Output per vector: the cell, the m codes, and the exact
+    * integer squared reconstruction error of the residual encoding
+    * (sum of winning per-subspace distances) — directly comparable to
+    * [[pqCodes]]'s `err_q` on the same corpus, which is the standard
+    * "residual beats global at equal bits" audit.
+    *
+    * Scale: identical posture to [[pqCodes]] plus one extra
+    * assign/update pass (the router) and one broadcast centroid join
+    * + `zip_with` to form residuals — still zero corpus self-joins,
+    * only (ivfK + m*k) centroid rows on the driver. Residual values
+    * are signed; every downstream quantity is a squared distance or a
+    * truncating mean, both of which Spark and DuckDB compute
+    * identically on negatives (DIV == // by truncation).
+    */
+  def residualPqCodes(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, ivfK: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dims / m
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
+        SemDedup.microsVec(col(vecCol)).as("mv")))
+    val cells = SemDedup.lloyd(base, ivfK, dims, iters)
+    val centsDf = cells.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+    val res = graft.Scratch.cache(base
+      .join(SemDedup.assignDist(base, cells)
+        .select(col("id"), col("cluster").cast("long").as("cell")), Seq("id"))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
+    val parts = (0 until m).map { s =>
+      val sl = graft.Scratch.cache(res.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv")))
+      val books = SemDedup.lloyd(sl, k, sub, iters)
+      SemDedup.assignDist(sl, books).select(col("id"),
+        col("cluster").cast("long").as(s"code$s"), col("d").as(s"err$s"))
+    }
+    val joined = parts.foldLeft(res.select(col("id"), col("cell")))(
+      _.join(_, Seq("id")))
+    joined.select(col("id") +: col("cell") +:
+      (0 until m).map(s => col(s"code$s")) :+
+      (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
+  }
+
   /** Asymmetric-distance (ADC) recall gate for the PQ index: rank
     * the corpus for each probe by the PQ-approximated distance — the
     * probe's exact subspace slices against each vector's CODEBOOK

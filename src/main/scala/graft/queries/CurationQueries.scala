@@ -28,34 +28,46 @@ object CurationQueries {
     * final assign keeping the winning distance), then the code/error
     * join. Exact integer arithmetic end to end.
     */
-  private def pqOracle: String = {
-    def chain(s: Int): String = {
-      val lo = s * 32
-      val ex = s"ex$s"
-      def d(cent: String, out: String) =
-        s"""$out AS (SELECT $ex.id, c.j, sum(($ex.m - c.c) * ($ex.m - c.c)) AS d
-           |  FROM $ex JOIN $cent c USING (i) GROUP BY 1, 2)""".stripMargin
-      s"""$ex AS MATERIALIZED (
-         | SELECT id, gi - $lo AS i, m FROM exall
-         | WHERE gi >= $lo AND gi < ${lo + 32}),
-         |c0_$s AS MATERIALIZED (
-         | SELECT seed.j, $ex.i, $ex.m AS c FROM $ex JOIN seed USING (id)),
-         |${d(s"c0_$s", s"d1_$s")},
-         |a1_$s AS MATERIALIZED (SELECT id, j FROM (
-         |  SELECT id, j, row_number() OVER (
-         |   PARTITION BY id ORDER BY d, j) AS rn FROM d1_$s) WHERE rn = 1),
-         |u1_$s AS MATERIALIZED (
-         | SELECT a1_$s.j, $ex.i, CAST(sum($ex.m) AS BIGINT) // count(*) AS c
-         | FROM a1_$s JOIN $ex USING (id) GROUP BY 1, 2),
-         |c1_$s AS MATERIALIZED (SELECT * FROM u1_$s UNION ALL
-         | SELECT j, i, c FROM c0_$s
-         | WHERE j NOT IN (SELECT j FROM u1_$s)),
-         |${d(s"c1_$s", s"d2_$s")},
-         |a2_$s AS MATERIALIZED (SELECT id, j, d FROM (
-         |  SELECT id, j, d, row_number() OVER (
-         |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$s) WHERE rn = 1)"""
-        .stripMargin
-    }
+  /** One subspace's Lloyd chain (q156's fixed-point contract: seed ->
+    * assign -> truncating-mean update -> final assign keeping the
+    * winning distance) over 32-wide slices of `src` = (id, gi, m).
+    * Shared by the global (q185, src=exall) and residual (q201,
+    * src=exres) oracles — the chain is IDENTICAL, only the vector
+    * stream differs.
+    */
+  private def pqSubChain(src: String, s: Int): String = {
+    val lo = s * 32
+    val ex = s"ex$s"
+    def d(cent: String, out: String) =
+      s"""$out AS (SELECT $ex.id, c.j, sum(($ex.m - c.c) * ($ex.m - c.c)) AS d
+         |  FROM $ex JOIN $cent c USING (i) GROUP BY 1, 2)""".stripMargin
+    s"""$ex AS MATERIALIZED (
+       | SELECT id, gi - $lo AS i, m FROM $src
+       | WHERE gi >= $lo AND gi < ${lo + 32}),
+       |c0_$s AS MATERIALIZED (
+       | SELECT seed.j, $ex.i, $ex.m AS c FROM $ex JOIN seed USING (id)),
+       |${d(s"c0_$s", s"d1_$s")},
+       |a1_$s AS MATERIALIZED (SELECT id, j FROM (
+       |  SELECT id, j, row_number() OVER (
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM d1_$s) WHERE rn = 1),
+       |u1_$s AS MATERIALIZED (
+       | SELECT a1_$s.j, $ex.i, CAST(sum($ex.m) AS BIGINT) // count(*) AS c
+       | FROM a1_$s JOIN $ex USING (id) GROUP BY 1, 2),
+       |c1_$s AS MATERIALIZED (SELECT * FROM u1_$s UNION ALL
+       | SELECT j, i, c FROM c0_$s
+       | WHERE j NOT IN (SELECT j FROM u1_$s)),
+       |${d(s"c1_$s", s"d2_$s")},
+       |a2_$s AS MATERIALIZED (SELECT id, j, d FROM (
+       |  SELECT id, j, d, row_number() OVER (
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$s) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  /** (id, gi, m) fixed-point micros stream of the 64-dim embeddings,
+    * plus the lowest-4-id seed map — the preamble both PQ oracles
+    * start from.
+    */
+  private def pqPreamble: String =
     s"""exall AS MATERIALIZED (
        | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
@@ -63,10 +75,47 @@ object CurationQueries {
        | FROM embeddings WHERE len(embedding) = 64),
        |seed AS (
        | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
-       | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
-       |${chain(0)},
-       |${chain(1)}""".stripMargin
-  }
+       | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4))"""
+      .stripMargin
+
+  private def pqOracle: String =
+    s"""$pqPreamble,
+       |${pqSubChain("exall", 0)},
+       |${pqSubChain("exall", 1)}""".stripMargin
+
+  /** The q201 oracle: the IVF router's full-64-dim Lloyd chain (same
+    * fixed-point contract, k=4 lowest-id seeds, one truncating-mean
+    * round, final assign), residuals against the winning cell
+    * centroid, then the two per-subspace chains of [[pqSubChain]]
+    * running over the RESIDUAL stream.
+    */
+  private def residualPqOracle: String =
+    s"""$pqPreamble,
+       |cI0 AS MATERIALIZED (
+       | SELECT seed.j, exall.gi AS i, exall.m AS c
+       | FROM exall JOIN seed USING (id)),
+       |dI1 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+       |  FROM exall JOIN cI0 c ON c.i = exall.gi GROUP BY 1, 2),
+       |aI1 AS MATERIALIZED (SELECT id, j FROM (
+       |  SELECT id, j, row_number() OVER (
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
+       |uI1 AS MATERIALIZED (
+       | SELECT aI1.j, exall.gi AS i, CAST(sum(exall.m) AS BIGINT) // count(*) AS c
+       | FROM aI1 JOIN exall USING (id) GROUP BY 1, 2),
+       |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
+       | SELECT j, i, c FROM cI0
+       | WHERE j NOT IN (SELECT j FROM uI1)),
+       |dI2 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+       |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
+       |aI2 AS MATERIALIZED (SELECT id, j FROM (
+       |  SELECT id, j, row_number() OVER (
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM dI2) WHERE rn = 1),
+       |exres AS MATERIALIZED (
+       | SELECT exall.id, exall.gi, exall.m - c.c AS m
+       | FROM exall JOIN aI2 USING (id)
+       | JOIN cI1 c ON c.j = aI2.j AND c.i = exall.gi),
+       |${pqSubChain("exres", 0)},
+       |${pqSubChain("exres", 1)}""".stripMargin
 
   private def pqCodesOracle: String =
     s"""WITH $pqOracle
@@ -159,6 +208,190 @@ object CurationQueries {
         .withColumnRenamed("pid", "vec_id")
         .orderBy(col("vec_id")),
       Some(pqAdcOracle)),
+
+    // Residual PQ (q185's ladder, second rung): IVF cell + codes +
+    // exact integer reconstruction error of the RESIDUAL encoding.
+    // The oracle unrolls the router chain AND both subspace chains.
+    // QuantizeResidualSpec pins the headline claim this query's
+    // numbers feed: sum(residual err_q) <= sum(global err_q).
+    "q201_residual_pq" -> Q(
+      (s, dir) => graft.ops.Quantize.residualPqCodes(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, ivfK = 4, m = 2, k = 4, iters = 1)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(
+        s"""WITH $residualPqOracle
+           |SELECT a2_0.id AS vec_id, CAST(aI2.j AS BIGINT) AS cell,
+           | CAST(a2_0.j AS BIGINT) AS code0, CAST(a2_1.j AS BIGINT) AS code1,
+           | CAST(a2_0.d + a2_1.d AS BIGINT) AS err_q
+           |FROM a2_0 JOIN a2_1 USING (id) JOIN aI2 USING (id)
+           |ORDER BY vec_id""".stripMargin)),
+
+    // IndexCorpus incremental-update equivalence, driver-checked end
+    // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
+    // 3/4 subset, `update`-ingest the remaining vectors with FROZEN
+    // centroids/codebooks, read the persisted assignments+codes back,
+    // and hash them against the oracle's closed form — every vector
+    // (old AND new) assigned to the SUBSET-trained centroids and
+    // codebooks. That identity is exactly the frozen-codebook
+    // contract: update must encode exactly as build would have, given
+    // build's models. Fresh temp dir per invocation (update appends).
+    "q202_index_update_equiv" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q202").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        graft.tools.IndexCorpus.update(s,
+          Array(s"$tmp/idx", s"$dir/embeddings.parquet"))
+        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+          .groupBy(col("id"))
+          .agg(max(when(col("s") === 0, col("code"))).as("code0"),
+            max(when(col("s") === 1, col("code"))).as("code1"))
+        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+          .select(col("id").as("vec_id"), col("cell"),
+            col("code0"), col("code1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |exA AS MATERIALIZED (SELECT * FROM exall WHERE id % 4 <> 0),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM exA ORDER BY id LIMIT 4)),
+           |cI0 AS MATERIALIZED (
+           | SELECT seed.j, exA.gi AS i, exA.m AS c
+           | FROM exA JOIN seed USING (id)),
+           |dI1 AS (SELECT exA.id, c.j, sum((exA.m - c.c) * (exA.m - c.c)) AS d
+           |  FROM exA JOIN cI0 c ON c.i = exA.gi GROUP BY 1, 2),
+           |aI1 AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
+           |uI1 AS MATERIALIZED (
+           | SELECT aI1.j, exA.gi AS i, CAST(sum(exA.m) AS BIGINT) // count(*) AS c
+           | FROM aI1 JOIN exA USING (id) GROUP BY 1, 2),
+           |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
+           | SELECT j, i, c FROM cI0
+           | WHERE j NOT IN (SELECT j FROM uI1)),
+           |dIF AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+           |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
+           |aIF AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dIF) WHERE rn = 1),
+           |${pqSubChain("exA", 0)},
+           |${pqSubChain("exA", 1)},
+           |exF0 AS MATERIALIZED (
+           | SELECT id, gi AS i, m FROM exall WHERE gi < 32),
+           |dF_0 AS (SELECT exF0.id, c.j, sum((exF0.m - c.c) * (exF0.m - c.c)) AS d
+           |  FROM exF0 JOIN c1_0 c USING (i) GROUP BY 1, 2),
+           |aF_0 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_0) WHERE rn = 1),
+           |exF1 AS MATERIALIZED (
+           | SELECT id, gi - 32 AS i, m FROM exall WHERE gi >= 32),
+           |dF_1 AS (SELECT exF1.id, c.j, sum((exF1.m - c.c) * (exF1.m - c.c)) AS d
+           |  FROM exF1 JOIN c1_1 c USING (i) GROUP BY 1, 2),
+           |aF_1 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_1) WHERE rn = 1)
+           |SELECT aIF.id AS vec_id, CAST(aIF.j AS BIGINT) AS cell,
+           | CAST(aF_0.j AS BIGINT) AS code0, CAST(aF_1.j AS BIGINT) AS code1
+           |FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)
+           |ORDER BY vec_id""".stripMargin)),
+
+    // The full production ingest path in one driver row: RESIDUAL PQ
+    // + frozen-model incremental update. Build a residual IVF-PQ
+    // index on the 3/4 subset, update-ingest the rest (update reads
+    // the residual flag from the persisted summary and must encode
+    // residuals against the FROZEN centroids), and hash the combined
+    // artifacts against the closed form: assign all vectors to the
+    // subset-trained cells, form residuals, code them with the
+    // subset-trained residual codebooks.
+    "q203_index_residual_update" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q203").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1", "--residual", "true"))
+        graft.tools.IndexCorpus.update(s,
+          Array(s"$tmp/idx", s"$dir/embeddings.parquet"))
+        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+          .groupBy(col("id"))
+          .agg(max(when(col("s") === 0, col("code"))).as("code0"),
+            max(when(col("s") === 1, col("code"))).as("code1"))
+        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+          .select(col("id").as("vec_id"), col("cell"),
+            col("code0"), col("code1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |exA AS MATERIALIZED (SELECT * FROM exall WHERE id % 4 <> 0),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM exA ORDER BY id LIMIT 4)),
+           |cI0 AS MATERIALIZED (
+           | SELECT seed.j, exA.gi AS i, exA.m AS c
+           | FROM exA JOIN seed USING (id)),
+           |dI1 AS (SELECT exA.id, c.j, sum((exA.m - c.c) * (exA.m - c.c)) AS d
+           |  FROM exA JOIN cI0 c ON c.i = exA.gi GROUP BY 1, 2),
+           |aI1 AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
+           |uI1 AS MATERIALIZED (
+           | SELECT aI1.j, exA.gi AS i, CAST(sum(exA.m) AS BIGINT) // count(*) AS c
+           | FROM aI1 JOIN exA USING (id) GROUP BY 1, 2),
+           |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
+           | SELECT j, i, c FROM cI0
+           | WHERE j NOT IN (SELECT j FROM uI1)),
+           |dIF AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+           |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
+           |aIF AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dIF) WHERE rn = 1),
+           |exresF AS MATERIALIZED (
+           | SELECT exall.id, exall.gi, exall.m - c.c AS m
+           | FROM exall JOIN aIF USING (id)
+           | JOIN cI1 c ON c.j = aIF.j AND c.i = exall.gi),
+           |exresA AS MATERIALIZED (
+           | SELECT * FROM exresF WHERE id % 4 <> 0),
+           |${pqSubChain("exresA", 0)},
+           |${pqSubChain("exresA", 1)},
+           |exF0 AS MATERIALIZED (
+           | SELECT id, gi AS i, m FROM exresF WHERE gi < 32),
+           |dF_0 AS (SELECT exF0.id, c.j, sum((exF0.m - c.c) * (exF0.m - c.c)) AS d
+           |  FROM exF0 JOIN c1_0 c USING (i) GROUP BY 1, 2),
+           |aF_0 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_0) WHERE rn = 1),
+           |exF1 AS MATERIALIZED (
+           | SELECT id, gi - 32 AS i, m FROM exresF WHERE gi >= 32),
+           |dF_1 AS (SELECT exF1.id, c.j, sum((exF1.m - c.c) * (exF1.m - c.c)) AS d
+           |  FROM exF1 JOIN c1_1 c USING (i) GROUP BY 1, 2),
+           |aF_1 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_1) WHERE rn = 1)
+           |SELECT aIF.id AS vec_id, CAST(aIF.j AS BIGINT) AS cell,
+           | CAST(aF_0.j AS BIGINT) AS code0, CAST(aF_1.j AS BIGINT) AS code1
+           |FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)
+           |ORDER BY vec_id""".stripMargin)),
 
     // Perplexity-proxy quality filter: per-doc mean bigram surprisal
     // in integer bits under the corpus's own bigram LM. Complements

@@ -193,6 +193,29 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("residualPqCodes: residual encoding beats global PQ at equal bits") {
+    // the headline claim of the IVF-PQ second rung, measured on the
+    // driver's own corpus: total squared reconstruction error of the
+    // residual codes <= the global codes' (same m, k, iters). Not a
+    // mathematical identity — a measured property of clustered data —
+    // so it is pinned here rather than inside the q201 oracle hash.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val g = Quantize.pqCodes(emb, "vec_id", "embedding",
+      dims = 64, m = 2, k = 4, iters = 1)
+      .agg(sum(col("err_q"))).head().getLong(0)
+    graft.Scratch.release()
+    val res = Quantize.residualPqCodes(emb, "vec_id", "embedding",
+      dims = 64, ivfK = 4, m = 2, k = 4, iters = 1)
+    val r = res.agg(sum(col("err_q"))).head().getLong(0)
+    assert(r <= g, s"residual $r > global $g")
+    // and the schema contract q201 hashes
+    assert(res.columns.toSeq == Seq("id", "cell", "code0", "code1", "err_q"))
+    graft.Scratch.release()
+  }
+
   test("pqAdcRecall: probes are the lowest ids PRESENT, not id < nProbes") {
     import spark.implicits._
     // offset id space (1000..): the old `id < nProbes` rule would
