@@ -21,22 +21,20 @@ object Eval {
     *
     * Scale posture: the corpus collapses ONCE to the (score, label)
     * histogram — score-DOMAIN sized, not corpus-sized; the sweep's
-    * descending-cumulative windows run on that histogram. The global
-    * (unpartitioned) windows are deliberate and safe ONLY because the
-    * frame is domain-sized — never hand this a corpus-sized frame.
+    * descending-cumulative sums run through [[Prefix.cumSums]], which
+    * GUARDS that claim: one-partition window under the session cap,
+    * the bucketed distributed prefix sum above it (a heavy-tailed
+    * score domain at 100x no longer funnels through one reducer).
     */
   def thresholdSweep(df: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
-    val hist = df.groupBy(scoreCol.as("threshold"))
+    val hist = graft.Scratch.cache(df.groupBy(scoreCol.as("threshold"))
       .agg(count(lit(1)).as("cnt"),
-        sum(labelCol.cast("long")).as("pos"))
-    val wDesc = Window.orderBy(col("threshold").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    hist
-      .withColumn("n_pred", sum(col("cnt")).over(wDesc))
-      .withColumn("tp", sum(col("pos")).over(wDesc))
-      .withColumn("total_pos", sum(col("pos")).over(wAll))
+        sum(labelCol.cast("long")).as("pos")))
+    Prefix.cumSums(
+      Prefix.withGlobal(hist, "total_pos" -> sum(col("pos"))),
+      "threshold", desc = true,
+      Seq(col("cnt") -> "n_pred", col("pos") -> "tp"))
       // integer DIV throughout: double `/` would round above 2^53,
       // silently breaking the bit-for-bit oracle claim at corpus scale
       .select(col("threshold"),
@@ -144,11 +142,12 @@ object Eval {
         .agg(count(lit(1)).as("obs")))
     val rm = cells.groupBy(col("r")).agg(sum(col("obs")).as("rn"))
     val cm = cells.groupBy(col("c")).agg(sum(col("obs")).as("cn"))
-    val full = rm.crossJoin(broadcast(cm))
-      .join(cells, Seq("r", "c"), "left")
-      .select(col("r"), col("c"), col("rn"), col("cn"),
-        coalesce(col("obs"), lit(0L)).as("obs"))
-      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+    val full = Prefix.withGlobal(
+      rm.crossJoin(broadcast(cm))
+        .join(cells, Seq("r", "c"), "left")
+        .select(col("r"), col("c"), col("rn"), col("cn"),
+          coalesce(col("obs"), lit(0L)).as("obs")),
+      "n" -> sum(col("obs")))
     val scored = full
       .withColumn("dev",
         expr("CAST(obs AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn"))
@@ -161,8 +160,8 @@ object Eval {
         expr("""CAST((sq DIV den) * 1000000 +
                |  ((sq % den) * 1000000) DIV den AS BIGINT)""".stripMargin)
           .as("contrib_micros"))
-    scored.withColumn("chi2_total_micros",
-      sum(col("contrib_micros")).over(Window.partitionBy()).cast("long"))
+    Prefix.withGlobal(scored,
+      "chi2_total_micros" -> sum(col("contrib_micros")).cast("long"))
   }
 
   /** Per-group Pearson correlation of two numeric columns. The moment
@@ -326,22 +325,23 @@ object Eval {
     * final verdict equals the batch operator's by construction.
     */
   def ksDriftFromHist(gHist: DataFrame): DataFrame = {
-    val aHist = gHist.groupBy(col("v"))
-      .agg(sum(col("cnt")).as("cnt_all"))
-      .withColumn("cum_all", sum(col("cnt_all")).over(
-        Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // value-DOMAIN-sized at any corpus scale, but GUARDED: the
+    // cumulative sum routes through Prefix (bucketed prefix sum past
+    // the session cap) instead of trusting the bound
+    val aHist = Prefix.cumSum(
+      gHist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all")),
+      "v", col("cnt_all"), "cum_all")
     val wG = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the global histogram is value-DOMAIN-sized at any corpus scale —
-    // broadcast it so the windowed group frame keeps its grp layout
+    // broadcast the global histogram so the windowed group frame
+    // keeps its grp layout
     val joined = gHist
       .withColumn("cum_g", sum(col("cnt")).over(wG))
       .join(broadcast(aHist), Seq("v"))
-    val totals = gHist.groupBy(col("grp"))
-      .agg(sum(col("cnt")).cast("long").as("n_g"))
-      .withColumn("n_all",
-        sum(col("n_g")).over(Window.partitionBy()).cast("long"))
+    val totals = Prefix.withGlobal(
+      gHist.groupBy(col("grp"))
+        .agg(sum(col("cnt")).cast("long").as("n_g")),
+      "n_all" -> sum(col("n_g")).cast("long"))
     val d = joined.join(broadcast(totals), Seq("grp"))
       .select(col("grp"), col("n_g"), col("n_all"),
         greatest(

@@ -75,17 +75,17 @@ object Skew {
     * sized, like the percentile operators. Nothing else moves.
     */
   def keySkewProfile(df: DataFrame, keyCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val coc = df.groupBy(keyCol.as("key"))
+    val coc = graft.Scratch.cache(df.groupBy(keyCol.as("key"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("cnt")).agg(count(lit(1)).as("k"))
-    val wCum = Window.orderBy(col("cnt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    coc
-      .withColumn("kcum", sum(col("k")).over(wCum))
-      .withColumn("n_keys", sum(col("k")).over(wAll))
-      .withColumn("n_rows", sum(col("cnt") * col("k")).over(wAll))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("k")))
+    // count-of-counts is size-DOMAIN-sized, and now guarded: the
+    // cumulative rank routes through Prefix's capped window, the
+    // global totals through a broadcast 1-row aggregate
+    Prefix.cumSum(
+      Prefix.withGlobal(coc,
+        "n_keys" -> sum(col("k")),
+        "n_rows" -> sum(col("cnt") * col("k"))),
+      "cnt", col("k"), "kcum")
       .groupBy(col("n_keys"), col("n_rows"))
       .agg(
         max(col("cnt")).as("top1_cnt"),

@@ -496,9 +496,10 @@ object TextOps {
       docs.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("nobs")),
       Seq("cls"), "left")
       .select(col("cls"), col("tgt"), coalesce(col("nobs"), lit(0L)).as("obs"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val rates = obs
-      .withColumn("scale1e6", min(expr("(obs * 1000000) DIV tgt")).over(wAll))
+    // class-domain-sized: the global min attaches via a broadcast
+    // 1-row aggregate, never an unpartitioned window
+    val rates = Prefix.withGlobal(obs,
+      "scale1e6" -> min(expr("(obs * 1000000) DIV tgt")))
       .withColumn("final_n", expr("(scale1e6 * tgt) DIV 1000000"))
       .withColumn("permille",
         when(col("obs") > 0, expr("(final_n * 1000) DIV obs")).otherwise(0L))
@@ -991,13 +992,15 @@ object TextOps {
       .select(expr(s"($idCol * $buckets) DIV (m + 1)").as("dec"),
         explode(ngramsDistinct(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(min(col("dec")).as("decile"))
-    val wCum = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    firstDec.groupBy(col("decile"))
-      .agg(count(lit(1)).as("new_grams"))
-      .withColumn("cum_grams", sum(col("new_grams")).over(wCum).cast("long"))
-      .withColumn("total", sum(col("new_grams")).over(Window.partitionBy()))
-      .select(col("decile"), col("new_grams"), col("cum_grams"),
+    // `buckets` rows — cached so the Prefix guard's stats pass doesn't
+    // recompute the gram aggregate
+    val byDec = graft.Scratch.cache(firstDec.groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_grams")))
+    Prefix.cumSum(
+      Prefix.withGlobal(byDec, "total" -> sum(col("new_grams"))),
+      "decile", col("new_grams"), "cum_grams")
+      .select(col("decile"), col("new_grams"),
+        col("cum_grams").cast("long").as("cum_grams"),
         expr("(new_grams * 1000) DIV total").as("share_permille"))
   }
 

@@ -1189,9 +1189,9 @@ object AuditQueries {
           .filter(col("fa") =!= col("fb"))
           .groupBy(least(col("fa"), col("fb")).as("fold"))
           .agg(count(lit(1)).as("leaked_pairs"))
-        perFold.join(leaked, Seq("fold"), "left")
-          .withColumn("total", sum(col("n_docs"))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        graft.ops.Prefix.withGlobal(
+          perFold.join(leaked, Seq("fold"), "left"),
+          "total" -> sum(col("n_docs")))
           .select(col("fold"), col("n_docs"), col("n_clusters"),
             expr("(n_docs * 1000) DIV total").as("share_permille"),
             coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs"))

@@ -645,10 +645,8 @@ object OpsQueries {
         val bf = Similarity.topKCosine(emb, "vec_id", "embedding",
           typedLit(q.map(_.toFloat).toSeq), 10)
           .select(col("id"))
-        ivf.join(bf, Seq("id"), "left_semi")
-          .withColumn("recall_at_10",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()).cast("long"))
+        graft.ops.Prefix.withGlobal(ivf.join(bf, Seq("id"), "left_semi"),
+          "recall_at_10" -> count(lit(1)).cast("long"))
           .withColumnRenamed("id", "vec_id")
           .orderBy(col("cos").desc, col("vec_id"))
       },
@@ -684,10 +682,8 @@ object OpsQueries {
         val bf = Similarity.topKCosine(emb, "vec_id", "embedding",
           typedLit(emb.filter(col("vec_id") === 0)
             .select(col("embedding")).head().getSeq[Float](0)), 10)
-        bf.join(ivf, Seq("id"), "left_semi")
-          .withColumn("recall_at_10",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()).cast("long"))
+        graft.ops.Prefix.withGlobal(bf.join(ivf, Seq("id"), "left_semi"),
+          "recall_at_10" -> count(lit(1)).cast("long"))
           .withColumnRenamed("id", "vec_id")
           .orderBy(col("cos").desc, col("vec_id"))
       },

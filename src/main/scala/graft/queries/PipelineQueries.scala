@@ -105,12 +105,18 @@ object PipelineQueries {
           .select(explode(TextOps.tokens(col("text"))).as("token"))
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt"))).head().getLong(0)
-        val rankW = Window.orderBy(col("cnt").desc, col("token"))
+        // the LIMIT-50 above IS the scale guard here (the window can
+        // never see more than 50 rows); the constant marker partition
+        // records that as a deliberate one-partition choice in-plan
+        val rankW = Window.partitionBy(col("_p"))
+          .orderBy(col("cnt").desc, col("token"))
         counts.orderBy(col("cnt").desc, col("token")).limit(50)
+          .withColumn("_p", lit(0))
           .withColumn("rank", row_number().over(rankW))
           .withColumn("cum_cnt", sum(col("cnt")).over(
             rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("ppm", expr(s"cum_cnt * 1000000 DIV ${total}L"))
+          .drop("_p")
           .orderBy(col("rank"))
       },
       Some(
@@ -468,14 +474,13 @@ object PipelineQueries {
             when(col("toks") < 16, 0).when(col("toks") < 32, 1)
               .when(col("toks") < 64, 2).when(col("toks") < 128, 3)
               .when(col("toks") < 256, 4).otherwise(5).cast("long"))
-        bucketed.groupBy(col("bucket")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("toks")).as("sum_tokens"),
-          min(col("toks")).as("min_tokens"),
-          max(col("toks")).as("max_tokens"))
-          .withColumn("cum_tokens", sum(col("sum_tokens")).over(
-            Window.orderBy(col("bucket"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        graft.ops.Prefix.cumSum(
+          graft.Scratch.cache(bucketed.groupBy(col("bucket")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("sum_tokens"),
+            min(col("toks")).as("min_tokens"),
+            max(col("toks")).as("max_tokens"))),
+          "bucket", col("sum_tokens"), "cum_tokens")
           .orderBy(col("bucket"))
       },
       Some(

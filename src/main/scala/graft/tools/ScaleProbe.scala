@@ -29,6 +29,16 @@ object ScaleProbe {
   private def enabled(label: String): Boolean =
     only.forall(_.exists(label.contains))
 
+  /** SPARK_GRAFT_SCALES=1,128 overrides the replication points (the
+    * leading 1 stays the untimed JIT warm-up). Default x2/x8/x32;
+    * the x128 decade exists to time the headline dedup/ANN ops where
+    * data, not per-job overhead, dominates.
+    */
+  private val scales: Seq[Int] =
+    sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 8, 32))
+
   private def time(label: String, k: Int)(df: => DataFrame): Unit = {
     if (!enabled(label)) return
     val t0 = System.nanoTime()
@@ -47,7 +57,7 @@ object ScaleProbe {
     val n = base.count()
     // k=1 is an untimed warm-up (JIT + codegen); the timed points must
     // be large enough that per-job overhead stops dominating
-    for (k <- Seq(1, 2, 8, 32)) {
+    for (k <- scales) {
       val docs = (0 until k).map(i =>
         base.withColumn("doc_id", col("doc_id") + lit(i * n)))
         .reduce(_ unionByName _)
@@ -264,7 +274,7 @@ object ScaleProbe {
     // suffix), while cross-replica shingles can never collide. True
     // output is exactly k-fold the base output, so a scale-correct
     // banded plan must show ~linear wall time here.
-    for (k <- Seq(1, 2, 8, 32)) {
+    for (k <- scales) {
       val docs = (0 until k).map { i =>
         base.withColumn("doc_id", col("doc_id") + lit(i * n))
           .withColumn("text", concat_ws(" ",
@@ -300,7 +310,7 @@ object ScaleProbe {
     // corpus; the audit's shuffles stay dimension-sized regardless of k
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embN = embBase.count()
-    for (k <- Seq(1, 2, 8, 32)) {
+    for (k <- scales) {
       val emb = (0 until k).map(i =>
         embBase.withColumn("vec_id", col("vec_id") + lit(i * embN)))
         .reduce(_ unionByName _).cache()
@@ -327,13 +337,25 @@ object ScaleProbe {
         println(f"[scale] ${"semdedup_fit"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         graft.Scratch.release()
       }
+      // PQ encode + ADC probe scoring (q185/q186 shapes): codebook
+      // fits and assignment are broadcast-centroid passes, the ADC
+      // table is (nProbes x m x k) — both linear in the corpus.
+      // Drives its own actions (lloyd collects) -> wall clock.
+      if (k > 1 && enabled("pq_adc")) {
+        val t0 = System.nanoTime()
+        graft.ops.Quantize.pqAdcRecall(emb, "vec_id", "embedding",
+          dims = 64, m = 2, k = 4, iters = 1, nProbes = 5, topK = 10)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"[scale] ${"pq_adc"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
       emb.unpersist()
     }
     // event-side linear ops: anomaly flags (q103) and the z-order
     // layout audit (q106) — both reduce to key-bounded aggregates
     val evBase = graft.queries.Registry.table(spark, "/root/testdata/sf0.1", "events")
     val evN = evBase.count()
-    for (k <- Seq(1, 2, 8, 32)) {
+    for (k <- scales) {
       val ev = (0 until k).map(i =>
         evBase.withColumn("event_id", col("event_id") + lit(i * evN)))
         .reduce(_ unionByName _).cache()
