@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.ops.{Bpe, Dedup, Eval, TextOps}
+import graft.ops.{Bpe, Dedup, Eval, Spans, TextOps}
 
 /** Round-6 curation-pipeline additions: LM-surprisal quality scoring,
   * mixture reweighting, token-balanced curriculum phases, and the
@@ -21,6 +21,77 @@ object CurationQueries {
   private def t = Registry.table _
 
   private val toksSql = OpsQueries.toksSql
+
+  /** One-row release scorecard over a (doc_id, text, source, lang)
+    * corpus — size/composition, near-dup involvement (q24's pairs),
+    * span-dedup ROI (q169's cross-document duplicate-8-gram spans,
+    * corpus-global), and self-contamination under q74/q111's rule
+    * with the registry's synthetic split (doc_id % 10 <= 2 is the
+    * held-out set). Driver-checked as q200; AuditCorpus emits it as
+    * the `release_scorecard` report.
+    *
+    * Scale: every branch collapses to a one-row aggregate before the
+    * final crossJoins (fixed-size → broadcast is safe); the heavy
+    * intermediates (positional grams, band pairs) are the same
+    * banded/blocked shapes the piecewise queries use — nothing
+    * all-pairs, nothing data-sized on the driver.
+    */
+  def releaseScorecard(docs0: DataFrame): DataFrame = {
+    val docs = graft.Scratch.cache(docs0)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L)))
+        .as("n_tokens"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"))
+    val involved = Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, bands = 4, rows = 4, num = 1, den = 2)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().agg(count(lit(1)).as("n_dup_involved"))
+    // q169's machinery, corpus-global: tokens inside merged
+    // cross-document duplicate-8-gram spans
+    val grams = graft.Scratch.cache(SpanQueries.posGrams(docs, SpanQueries.n))
+    val dupG = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val spanTok = Spans.mergeSpans(
+      grams.join(dupG, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("pos")),
+      "doc_id", "pos", SpanQueries.n)
+      .agg(coalesce(sum(col("span_len")), lit(0L)).as("dup_span_tokens"))
+    // q111's rule: train docs sharing any distinct 8-gram with the
+    // held-out split
+    val g8 = docs.select(col("doc_id"),
+      explode(TextOps.ngramsDistinct(col("text"), 8)).as("gram"))
+    val testG = g8.filter(pmod(col("doc_id"), lit(10)) <= 2)
+      .select(col("gram")).distinct()
+    val contam = g8.filter(pmod(col("doc_id"), lit(10)) > 2)
+      .join(testG, Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("contam_docs"))
+    val nTrain = docs.filter(pmod(col("doc_id"), lit(10)) > 2)
+      .agg(count(lit(1)).as("n_train"))
+    stats.crossJoin(broadcast(involved))
+      .crossJoin(broadcast(spanTok))
+      .crossJoin(broadcast(contam))
+      .crossJoin(broadcast(nTrain))
+      .withColumn("mean_tokens",
+        expr("CASE WHEN n_docs = 0 THEN 0 ELSE n_tokens DIV n_docs END"))
+      .withColumn("dup_permille",
+        expr("CASE WHEN n_docs = 0 THEN 0" +
+          " ELSE n_dup_involved * 1000 DIV n_docs END"))
+      .withColumn("span_savings_permille",
+        expr("CASE WHEN n_tokens = 0 THEN 0" +
+          " ELSE dup_span_tokens * 1000 DIV n_tokens END"))
+      .withColumn("contam_permille",
+        expr("CASE WHEN n_train = 0 THEN 0" +
+          " ELSE contam_docs * 1000 DIV n_train END"))
+      .select(col("n_docs"), col("n_tokens"), col("mean_tokens"),
+        col("n_sources"), col("n_langs"),
+        col("n_dup_involved"), col("dup_permille"),
+        col("dup_span_tokens"), col("span_savings_permille"),
+        col("contam_docs"), col("contam_permille"))
+  }
 
   /** Generated DuckDB oracle for [[graft.ops.Quantize.pqCodes]] at
     * dims=64, m=2, k=4, iters=1: per subspace, the q156 fixed-point
@@ -1169,31 +1240,14 @@ object CurationQueries {
 
     // Release scorecard: the one-row executive summary a corpus
     // release attaches — size, composition, duplication involvement,
-    // and self-contamination, every number integer-exact and each
-    // derived from an operator the board already verifies piecewise
-    // (token counts, q24 pairs, q74 rule). Two bounded passes: the
-    // doc-stat aggregate and the pair/gram summaries.
+    // span-dedup ROI, and self-contamination, every number
+    // integer-exact and each derived from an operator the board
+    // already verifies piecewise (token counts, q24 pairs, q169
+    // spans, q74/q111 rule). Bounded passes: the doc-stat aggregate
+    // and the pair/gram/span summaries; AuditCorpus emits the same
+    // card via [[releaseScorecard]].
     "q200_release_scorecard" -> Q(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val stats = docs.agg(
-          count(lit(1)).as("n_docs"),
-          sum(coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L)))
-            .as("n_tokens"),
-          count_distinct(col("source")).as("n_sources"),
-          count_distinct(col("lang")).as("n_langs"))
-        val involved = Dedup.minhashPairs(docs, "doc_id", "text",
-          n = 3, bands = 4, rows = 4, num = 1, den = 2)
-          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-          .distinct().agg(count(lit(1)).as("n_dup_involved"))
-        stats.crossJoin(broadcast(involved))
-          .withColumn("dup_permille",
-            expr("(n_dup_involved * 1000) DIV n_docs"))
-          .withColumn("mean_tokens", expr("n_tokens DIV n_docs"))
-          .select(col("n_docs"), col("n_tokens"), col("mean_tokens"),
-            col("n_sources"), col("n_langs"),
-            col("n_dup_involved"), col("dup_permille"))
-      },
+      (s, dir) => releaseScorecard(t(s, dir, "documents")),
       Some(
         s"""WITH ${OpsQueries.minhashCtes},
            |pr AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
@@ -1201,6 +1255,25 @@ object CurationQueries {
            | SELECT DISTINCT doc_id FROM (
            |  SELECT id_a AS doc_id FROM pr
            |  UNION ALL SELECT id_b AS doc_id FROM pr))),
+           |${SpanQueries.posGramSql},
+           |d8 AS (SELECT gram FROM pgr GROUP BY gram
+           |       HAVING count(DISTINCT doc_id) >= 2),
+           |hits AS (SELECT doc_id, pos FROM pgr
+           |         WHERE gram IN (SELECT gram FROM d8)),
+           |${SpanQueries.spanSql},
+           |spc AS (SELECT COALESCE(sum(span_len), 0) AS dup_span_tokens
+           |        FROM sp),
+           |gd AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |  generate_series(1, len(t) - 7),
+           |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+           |   || ' ' || t[i+7]))) AS gram FROM tk),
+           |te AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 10 <= 2),
+           |ctm AS (SELECT count(DISTINCT doc_id) AS contam_docs FROM gd
+           |        WHERE doc_id % 10 > 2
+           |          AND gram IN (SELECT gram FROM te)),
+           |ntr AS (SELECT count(*) AS n_train FROM documents
+           |        WHERE doc_id % 10 > 2),
            |st AS (
            | SELECT count(*) AS n_docs,
            |  CAST(sum(coalesce(len($toksSql), 0)) AS BIGINT) AS n_tokens,
@@ -1208,11 +1281,22 @@ object CurationQueries {
            |  count(DISTINCT lang) AS n_langs
            | FROM documents)
            |SELECT n_docs, n_tokens,
-           | CAST(n_tokens // n_docs AS BIGINT) AS mean_tokens,
+           | CAST(CASE WHEN n_docs = 0 THEN 0
+           |  ELSE n_tokens // n_docs END AS BIGINT) AS mean_tokens,
            | n_sources, n_langs,
            | CAST(n_dup_involved AS BIGINT) AS n_dup_involved,
-           | CAST(n_dup_involved * 1000 // n_docs AS BIGINT) AS dup_permille
-           |FROM st, inv""".stripMargin)),
+           | CAST(CASE WHEN n_docs = 0 THEN 0
+           |  ELSE n_dup_involved * 1000 // n_docs END AS BIGINT)
+           |  AS dup_permille,
+           | CAST(dup_span_tokens AS BIGINT) AS dup_span_tokens,
+           | CAST(CASE WHEN n_tokens = 0 THEN 0
+           |  ELSE dup_span_tokens * 1000 // n_tokens END AS BIGINT)
+           |  AS span_savings_permille,
+           | CAST(contam_docs AS BIGINT) AS contam_docs,
+           | CAST(CASE WHEN n_train = 0 THEN 0
+           |  ELSE contam_docs * 1000 // n_train END AS BIGINT)
+           |  AS contam_permille
+           |FROM st, inv, spc, ctm, ntr""".stripMargin)),
 
     // STREAMING per-minute P95: q189's exact order statistic as a
     // stream — Complete-mode (minute, v) histogram state (bounded by

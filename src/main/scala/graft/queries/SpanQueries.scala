@@ -21,16 +21,16 @@ object SpanQueries {
     Registry.table(spark, dir, name)
 
   /** 0-based positional 8-grams of every document: (doc_id, pos, gram). */
-  private def posGrams(docs: DataFrame, n: Int): DataFrame =
+  private[queries] def posGrams(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       posexplode(TextOps.ngrams(col("text"), n)).as(Seq("pos", "gram")))
 
-  private val n = 8
+  private[queries] val n = 8
 
   /** DuckDB positional-gram CTEs shared by the two oracles: tk
     * tokenizes, pg emits ({'pos','gram'}) structs unnested to rows.
     */
-  private val posGramSql: String =
+  private[queries] val posGramSql: String =
     s"""tk AS (
        | SELECT doc_id, ${OpsQueries.toksSql} AS t FROM documents),
        |pgs AS (
@@ -45,7 +45,7 @@ object SpanQueries {
   /** Islands merge + per-span CTEs over a `hits(doc_id, pos)` CTE —
     * the SQL twin of [[graft.ops.Spans.mergeSpans]].
     */
-  private val spanSql: String =
+  private[queries] val spanSql: String =
     s"""lg AS (
        | SELECT doc_id, pos,
        |  CASE WHEN lag(pos) OVER w IS NULL

@@ -108,6 +108,25 @@ object AuditCorpus {
         col("score"), col("label"), nbins = 10)
     })
 
+    // q200's one-row release card (size, near-dup involvement,
+    // span-dedup ROI, self-contamination). The contamination split is
+    // the registry's doc_id%10 convention — for a non-integral id the
+    // split key falls back to a deterministic hash so the card stays
+    // emittable on any corpus.
+    report("release_scorecard", {
+      val idIsIntegral = docs.schema(idCol).dataType.typeName match {
+        case "long" | "integer" | "short" | "byte" => true
+        case _ => false
+      }
+      val splitId = if (idIsIntegral) col(idCol).cast("long")
+        else abs(xxhash64(col(idCol)))
+      graft.queries.CurationQueries.releaseScorecard(docs.select(
+        splitId.as("doc_id"), col(textCol).as("text"),
+        col(srcCol).as("source"),
+        (if (docs.columns.contains(langCol)) col(langCol)
+         else lit("und")).as("lang")))
+    })
+
     // q179's degenerate-repetition verdicts, collapsed to the
     // (token-run, bigram-loop) histogram — value-domain-sized
     report("repeat_runs", TextOps.repeatRuns(docs, idCol, textCol)

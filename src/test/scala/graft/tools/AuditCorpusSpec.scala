@@ -45,6 +45,17 @@ class AuditCorpusSpec extends AnyFunSuite {
     assert(res("cross_label_leakage") <= nLangs * (nLangs - 1) / 2)
     assert(res("tokenizer_fertility") == nLangs)
     assert(res.contains("surprisal_hist"))
+    // release scorecard: one row, internally coherent (span tokens
+    // bounded by total tokens, contamination bounded by train split)
+    assert(res("release_scorecard") == 1L)
+    val card = spark.read.parquet(s"$out/release_scorecard").head()
+    assert(card.getAs[Long]("n_docs") == spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count())
+    assert(card.getAs[Long]("dup_span_tokens") >= 0L &&
+      card.getAs[Long]("dup_span_tokens") <= card.getAs[Long]("n_tokens"))
+    assert(card.getAs[Long]("span_savings_permille") <= 1000L)
+    assert(card.getAs[Long]("contam_docs") >= 0L &&
+      card.getAs[Long]("contam_permille") <= 1000L)
     // summary json lists every report
     val summary = spark.read.json(s"$out/summary")
     assert(summary.count() == res.size)
