@@ -615,4 +615,58 @@ object Similarity {
     }
     tables.reduce(_ unionByName _).filter(col("cos") >= minCos)
   }
+
+  /** Exact retrieval-quality metrics for a bounded anchor sample:
+    * each anchor (ids in [0, nAnchors), [[hardNegatives]]' contract)
+    * ranks the whole corpus by cosine (ties broken by candidate id)
+    * and relevance = label equality. Emits per anchor, all integer-
+    * exact under truncating division: total relevant count, hits in
+    * the top-k, rank of the first relevant hit (0 = none),
+    * `mrr_x1e6 = 1e6 DIV first_rank`, and
+    * `ap_x1e6 = (sum over relevant top-k hits of relcum * 1e6 DIV
+    * rank) DIV min(n_rel, k)` — truncated average precision.
+    *
+    * Scale posture = [[truncationRecall]]: an AUDIT over a bounded
+    * probe set, not a serving path. Anchors broadcast; the corpus is
+    * scored in place and each anchor's ranking is one window
+    * partition (corpus-sized rows per anchor — acceptable because
+    * nAnchors is a small constant; the serving-scale family is
+    * IVF/LSH, q38/q50/q58).
+    */
+  def retrievalMetrics(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nAnchors: Int, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val ws = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val anchors = emb.filter(col(idCol) < nAnchors)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("av"),
+        col(labelCol).as("al"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col(labelCol).as("cl"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        round(cosine(col("cv"), col("av")), 6).as("cos"),
+        (col("cl") === col("al")).cast("long").as("rel"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("relcum", sum(col("rel")).over(ws))
+      .groupBy(col("anchor_id"))
+      .agg(sum(col("rel")).as("n_rel"),
+        sum(when(col("rnk") <= k, col("rel")).otherwise(0L))
+          .as("hits_at_k"),
+        coalesce(min(when(col("rel") === 1L, col("rnk"))), lit(0L))
+          .as("first_rank"),
+        sum(when(col("rnk") <= k && col("rel") === 1L,
+          expr("relcum * 1000000 DIV rnk")).otherwise(0L)).as("ap_num"))
+      .withColumn("mrr_x1e6", expr(
+        "CASE WHEN first_rank = 0 THEN 0 ELSE 1000000 DIV first_rank END"))
+      .withColumn("ap_x1e6", expr(
+        s"CASE WHEN n_rel = 0 THEN 0" +
+          s" ELSE ap_num DIV least(n_rel, ${k}L) END"))
+      .select(col("anchor_id"), col("n_rel"), col("hits_at_k"),
+        col("first_rank"), col("mrr_x1e6"), col("ap_x1e6"))
+  }
 }

@@ -1119,4 +1119,40 @@ object TextOps {
       .orderBy(col("score").desc, col("bigram").asc)
       .limit(k)
   }
+
+  /** DSIR-style hashed-n-gram importance scores (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * bucket every bigram occurrence by a portable 32-bit hash into
+    * `nBuckets` bins, estimate per-bucket target/source likelihood
+    * ratios with add-one smoothing in exact integer arithmetic
+    * (`(n_target + 1) * 1e6 DIV (n_source + 1)`), then score each
+    * SOURCE document by the truncating mean ratio of its bigram
+    * stream. High scores = documents whose hashed-feature profile
+    * looks like the target distribution — the upweighting signal an
+    * importance-resampling selection step consumes.
+    *
+    * Output: one row per source doc — (id, n_grams, w_sum, score),
+    * docs with no bigrams omitted (no features, no estimate).
+    *
+    * Scale: two key-shuffles over the bigram stream (bucket counts,
+    * per-doc sums); the ratio table is `nBuckets` rows — broadcast
+    * onto the stream, so the corpus never reshuffles for the lookup.
+    * Everything truncating-integer, so cross-engine exact.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 64): DataFrame = {
+    val g = df.select(col(idCol).as("id"), isTarget.as("is_t"),
+        explode(ngrams(col(textCol), 2)).as("gram"))
+      .withColumn("bucket", pmod(hash32(col("gram")), lit(nBuckets.toLong)))
+    val ratios = g.groupBy(col("bucket")).agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("ns"))
+      .select(col("bucket"),
+        expr("(nt + 1) * 1000000 DIV (ns + 1)").as("w"))
+    g.filter(!col("is_t"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+      .withColumn("score", expr("w_sum DIV n_grams"))
+  }
 }

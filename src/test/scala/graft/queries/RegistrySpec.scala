@@ -16,7 +16,8 @@ class RegistrySpec extends AnyFunSuite {
       "PipelineQueries" -> PipelineQueries.all, "ScaleQueries" -> ScaleQueries.all,
       "AuditQueries" -> AuditQueries.all, "SpanQueries" -> SpanQueries.all,
       "LearnQueries" -> LearnQueries.all,
-      "CurationQueries" -> CurationQueries.all)
+      "CurationQueries" -> CurationQueries.all,
+      "SelectionQueries" -> SelectionQueries.all)
     val perMap = maps.map(_._2.size).sum
     assert(Registry.all.size == perMap,
       s"merged=${Registry.all.size} != sum=$perMap — a name collides")
