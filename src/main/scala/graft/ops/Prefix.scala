@@ -44,6 +44,22 @@ object Prefix {
   val MaxWindowRowsKey = "spark.graft.maxSinglePartitionWindowRows"
   val DefaultMaxWindowRows = 65536L
 
+  /** Always-zero marker that Catalyst cannot constant-fold away.
+    *
+    * `partitionBy(lit(0))` does NOT survive optimization: on
+    * file-backed plans FoldablePropagation inlines the literal and
+    * EliminateWindowPartitions then strips the now-foldable partition
+    * expression, leaving an empty partitionSpec — exactly the
+    * "No Partition Defined" WindowExec this marker exists to audit
+    * away (observed on Spark 4.1: the marker held on a
+    * LocalTableScan plan but folded on the parquet plan). Deriving
+    * the zero from a real column (`x % 1`, null-guarded) keeps the
+    * expression non-foldable, so the deliberate one-partition choice
+    * stays visible in the executed plan.
+    */
+  def markerZero(c: Column): Column =
+    coalesce(pmod(c.cast("long"), lit(1L)), lit(0L))
+
   /** Append one output column per `(valueCol, outCol)` pair: the
     * running total of `valueCol` (cast to long) in `orderCol` order
     * (ascending, or descending when `desc`) — the guarded prefix sum
@@ -75,7 +91,8 @@ object Prefix {
       // audited one-partition path: the constant marker column keeps
       // the partitionSpec non-empty (plan-visible, warning-free)
       val w = ordered(Window.partitionBy(col("_pfx_p")))
-      vals.zip(vNames).foldLeft(base.withColumn("_pfx_p", lit(0))) {
+      vals.zip(vNames).foldLeft(
+        base.withColumn("_pfx_p", markerZero(col(orderCol)))) {
         case (d, ((_, out), nm)) => d.withColumn(out, sum(col(nm)).over(w))
       }.drop("_pfx_p" +: vNames: _*)
     } else {

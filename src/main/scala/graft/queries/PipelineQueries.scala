@@ -106,12 +106,14 @@ object PipelineQueries {
           .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         val total = counts.agg(sum(col("cnt"))).head().getLong(0)
         // the LIMIT-50 above IS the scale guard here (the window can
-        // never see more than 50 rows); the constant marker partition
-        // records that as a deliberate one-partition choice in-plan
+        // never see more than 50 rows); the marker partition records
+        // that as a deliberate one-partition choice in-plan (column-
+        // derived so the optimizer can't fold it away — Prefix
+        // .markerZero scaladoc)
         val rankW = Window.partitionBy(col("_p"))
           .orderBy(col("cnt").desc, col("token"))
         counts.orderBy(col("cnt").desc, col("token")).limit(50)
-          .withColumn("_p", lit(0))
+          .withColumn("_p", graft.ops.Prefix.markerZero(col("cnt")))
           .withColumn("rank", row_number().over(rankW))
           .withColumn("cum_cnt", sum(col("cnt")).over(
             rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

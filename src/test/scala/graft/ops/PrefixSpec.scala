@@ -72,6 +72,18 @@ class PrefixSpec extends AnyFunSuite {
     assert(p.contains("Window"))
     assert(!p.contains("windowspecdefinition(v"), // no bare orderBy-only spec
       "unpartitioned window slipped through:\n" + p)
+    // ... and the marker must survive on a FILE-backED plan too: a
+    // lit(0) marker held on LocalTableScan but FoldablePropagation +
+    // EliminateWindowPartitions stripped it from the parquet plan
+    // (empty partitionSpec, "No Partition Defined" at runtime) — the
+    // exact regression this pin originally missed
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prefix_pin").toString
+    df.write.mode("overwrite").parquet(dir)
+    val pf = Prefix.cumSum(spark.read.parquet(dir), "v", col("a"), "c")
+      .queryExecution.executedPlan.toString
+    assert(pf.contains("windowspecdefinition(_pfx_p"),
+      "marker partition folded away on the file-backed plan:\n" + pf)
   }
 
   test("converted operators are row-identical when forced distributed") {
