@@ -1201,18 +1201,26 @@ object CurationQueries {
     "q199_robust_anomaly" -> Q(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
-        val cnt = t(s, dir, "events")
+        // minutes-domain frame: the one-partition order-statistic
+        // windows are deliberate (marker partition, Prefix.markerZero
+        // scaladoc); cached because med/dev/mad re-derive from it
+        val cnt = graft.Scratch.cache(t(s, dir, "events")
           .select(expr("ts DIV 60000000000").as("minute"))
-          .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("minute")).agg(count(lit(1)).as("cnt")))
         val n = cnt.count()
+        val wk = w.partitionBy(col("_p"))
         val med = cnt
-          .withColumn("rn", row_number().over(w.orderBy(col("cnt"), col("minute"))))
+          .withColumn("_p", graft.ops.Prefix.markerZero(col("minute")))
+          .withColumn("rn", row_number().over(
+            wk.orderBy(col("cnt"), col("minute"))))
           .filter(col("rn") === (n + 1) / 2)
           .select(col("cnt").as("med"))
-        val dev = cnt.crossJoin(broadcast(med))
-          .withColumn("dev", abs(col("cnt") - col("med")))
+        val dev = graft.Scratch.cache(cnt.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("cnt") - col("med"))))
         val mad = dev
-          .withColumn("rn", row_number().over(w.orderBy(col("dev"), col("minute"))))
+          .withColumn("_p", graft.ops.Prefix.markerZero(col("minute")))
+          .withColumn("rn", row_number().over(
+            wk.orderBy(col("dev"), col("minute"))))
           .filter(col("rn") === (n + 1) / 2)
           .select(col("dev").as("mad"))
         dev.crossJoin(broadcast(mad))
