@@ -1140,19 +1140,33 @@ object TextOps {
     * Everything truncating-integer, so cross-engine exact.
     */
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int = 64): DataFrame = {
-    val g = df.select(col(idCol).as("id"), isTarget.as("is_t"),
+      isTarget: Column, nBuckets: Int = 64): DataFrame =
+    df.filter(!isTarget)
+      .select(col(idCol).as("id"),
         explode(ngrams(col(textCol), 2)).as("gram"))
-      .withColumn("bucket", pmod(hash32(col("gram")), lit(nBuckets.toLong)))
-    val ratios = g.groupBy(col("bucket")).agg(
+      .withColumn("bucket", dsirBucket(col("gram"), nBuckets))
+      .join(broadcast(dsirRatios(df, textCol, isTarget, nBuckets)),
+        Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+      .withColumn("score", expr("w_sum DIV n_grams"))
+
+  /** [[dsirScores]]' hashed-feature bucket for one bigram. */
+  def dsirBucket(gram: Column, nBuckets: Int): Column =
+    pmod(hash32(gram), lit(nBuckets.toLong))
+
+  /** [[dsirScores]]' frozen ratio table — (bucket, w), `nBuckets`
+    * rows. Split out so an online scorer (q209's stream) can apply
+    * the offline-fit ratios via a stream-static broadcast join.
+    */
+  def dsirRatios(df: DataFrame, textCol: String, isTarget: Column,
+      nBuckets: Int): DataFrame =
+    df.select(isTarget.as("is_t"),
+        explode(ngrams(col(textCol), 2)).as("gram"))
+      .withColumn("bucket", dsirBucket(col("gram"), nBuckets))
+      .groupBy(col("bucket")).agg(
         sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
         sum(when(!col("is_t"), 1L).otherwise(0L)).as("ns"))
       .select(col("bucket"),
         expr("(nt + 1) * 1000000 DIV (ns + 1)").as("w"))
-    g.filter(!col("is_t"))
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
-      .withColumn("score", expr("w_sum DIV n_grams"))
-  }
 }

@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
-import graft.ops.{Dedup, Prefix, Similarity, TextOps}
+import graft.ops.{Dedup, Prefix, SemDedup, Similarity, TextOps}
 
 /** Round-7 additions: data-selection and retrieval-quality analytics
   * (q204+) — concat-and-chunk packing stats, DSIR-style importance
@@ -24,6 +25,30 @@ object SelectionQueries {
 
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
+
+  /** q205's oracle, shared verbatim by q209 (streaming end-of-input
+    * state must equal the batch scores exactly).
+    */
+  private val dsirOracle: String =
+    s"""WITH tk AS (
+       | SELECT doc_id, doc_id % 10 <= 2 AS is_t, $toksSql AS t
+       | FROM documents),
+       |g AS (
+       | SELECT doc_id, is_t,
+       |  ('0x' || substr(md5(gram), 1, 8))::BIGINT % 64 AS bucket
+       | FROM (SELECT doc_id, is_t,
+       |   unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS gram FROM tk)),
+       |rt AS (
+       | SELECT bucket,
+       |  (sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000
+       |   // (sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1) AS w
+       | FROM g GROUP BY 1)
+       |SELECT g.doc_id AS id, count(*) AS n_grams,
+       | CAST(sum(rt.w) AS BIGINT) AS w_sum,
+       | CAST(sum(rt.w) // count(*) AS BIGINT) AS score
+       |FROM g JOIN rt USING (bucket) WHERE NOT g.is_t
+       |GROUP BY 1 ORDER BY score DESC, id LIMIT 50""".stripMargin
 
   def all: Map[String, Q] = Map(
 
@@ -83,26 +108,7 @@ object SelectionQueries {
           nBuckets = 64)
         .orderBy(col("score").desc, col("id"))
         .limit(50),
-      Some(
-        s"""WITH tk AS (
-           | SELECT doc_id, doc_id % 10 <= 2 AS is_t, $toksSql AS t
-           | FROM documents),
-           |g AS (
-           | SELECT doc_id, is_t,
-           |  ('0x' || substr(md5(gram), 1, 8))::BIGINT % 64 AS bucket
-           | FROM (SELECT doc_id, is_t,
-           |   unnest(list_transform(generate_series(1, len(t) - 1),
-           |    i -> t[i] || ' ' || t[i+1])) AS gram FROM tk)),
-           |rt AS (
-           | SELECT bucket,
-           |  (sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000
-           |   // (sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1) AS w
-           | FROM g GROUP BY 1)
-           |SELECT g.doc_id AS id, count(*) AS n_grams,
-           | CAST(sum(rt.w) AS BIGINT) AS w_sum,
-           | CAST(sum(rt.w) // count(*) AS BIGINT) AS score
-           |FROM g JOIN rt USING (bucket) WHERE NOT g.is_t
-           |GROUP BY 1 ORDER BY score DESC, id LIMIT 50""".stripMargin)),
+      Some(dsirOracle)),
 
     // Exact retrieval metrics over the bounded anchor sample
     // (ops/Similarity.retrievalMetrics): per anchor — relevant
@@ -333,6 +339,263 @@ object SelectionQueries {
            | SELECT *, row_number() OVER
            |  (PARTITION BY anchor_id ORDER BY rrf_x1e6 DESC, cand_id)
            |  AS rnk FROM fused)
-           |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin))
+           |WHERE rnk <= 10 ORDER BY anchor_id, rnk""".stripMargin)),
+
+    // STREAMING DSIR scoring: the production split of q205 — the
+    // ratio table is fit OFFLINE (batch, full corpus), the SOURCE
+    // docs arrive as a stream and are scored by a stream-static
+    // broadcast join against the frozen 64-row table; Complete-mode
+    // per-doc (n_grams, w_sum) state, foreachBatch snapshot computes
+    // the truncating mean and keeps the top 50. End-of-input equals
+    // q205's batch output exactly (same oracle).
+    "q209_streaming_dsir" -> Q(
+      (s, dir) => {
+        val ratios = TextOps.dsirRatios(t(s, dir, "documents"), "text",
+          pmod(col("doc_id"), lit(10)) <= 2, nBuckets = 64)
+        val ev = SlowLogQueries.dsirSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "dsir", ev)
+        val out = "/tmp/graft_stream_dsir_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+          val query = stream
+            .select(col("doc_id"),
+              explode(TextOps.ngrams(col("text"), 2)).as("gram"))
+            .withColumn("bucket", TextOps.dsirBucket(col("gram"), 64))
+            .join(broadcast(ratios), Seq("bucket"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try batch
+                .withColumn("score", expr("w_sum DIV n_grams"))
+                .orderBy(col("score").desc, col("doc_id"))
+                .limit(50)
+                .select(col("doc_id").as("id"), col("n_grams"),
+                  col("w_sum"), col("score"))
+                .write.mode("overwrite").parquet(out)
+              finally batch.unpersist()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out).orderBy(col("score").desc, col("id"))
+      },
+      Some(dsirOracle)),
+
+    // IVF nprobe recall sweep: ONE cell assignment (IndexCorpus's
+    // fixed-point Lloyd contract: lowest-id seeding, k=4, one round)
+    // plus ONE brute-force top-10 ranking price EVERY nprobe point —
+    // recall@10 at nprobe 1..4 is just "how many true neighbors live
+    // in the first n probed cells", read off the probe-rank of each
+    // neighbor's cell. The knob-pricing shape (q195-q197) applied to
+    // the ANN serving knob. Oracle re-derives the identical integer
+    // Lloyd round (q202's chain over the full corpus).
+    "q210_nprobe_sweep" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val base = graft.Scratch.cache(
+          emb.filter(size(col("embedding")) === 64)
+            .select(col("vec_id").as("id"),
+              SemDedup.microsVec(col("embedding")).as("mv")))
+        val cells = SemDedup.lloyd(base, 4, 64, 1)
+        val assign = SemDedup.assignDist(base, cells)
+          .select(col("id"), col("cluster").cast("long").as("cell"))
+        val qmv = base.filter(col("id") === 0)
+          .select(col("mv")).head().getSeq[Long](0).toArray
+        val rankDf = cells.zipWithIndex.map { case (c, j) =>
+            var d = 0L
+            var i = 0
+            while (i < c.length) {
+              val t = c(i) - qmv(i); d += t * t; i += 1
+            }
+            (j.toLong, d)
+          }.sortBy { case (j, d) => (d, j) }
+          .zipWithIndex.map { case ((j, _), r) => (j, (r + 1).toLong) }
+          .toSeq.toDF("cell", "cell_rank")
+        val qe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+        val hit = Similarity.topKCosine(emb, "vec_id", "embedding",
+            typedLit(qe), 10)
+          .select(col("id"))
+          .join(assign, Seq("id"))
+          .join(broadcast(rankDf), Seq("cell"))
+        (1L to 4L).toDF("nprobe")
+          .join(hit, expr("cell_rank <= nprobe"), "left")
+          .groupBy(col("nprobe"))
+          .agg(count(col("id")).as("recall_at_10"))
+          .orderBy(col("nprobe"))
+      },
+      Some(
+        s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
+           |c0 AS MATERIALIZED (
+           | SELECT seed.j, e.gi AS i, e.m AS c
+           | FROM exall e JOIN seed USING (id)),
+           |d1 AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+           |  FROM exall e JOIN c0 c ON c.i = e.gi GROUP BY 1, 2),
+           |a1 AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM d1) WHERE rn = 1),
+           |u1 AS MATERIALIZED (
+           | SELECT a1.j, e.gi AS i, CAST(sum(e.m) AS BIGINT) // count(*) AS c
+           | FROM a1 JOIN exall e USING (id) GROUP BY 1, 2),
+           |c1 AS MATERIALIZED (SELECT * FROM u1 UNION ALL
+           | SELECT j, i, c FROM c0
+           | WHERE j NOT IN (SELECT j FROM u1)),
+           |dF AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+           |  FROM exall e JOIN c1 c ON c.i = e.gi GROUP BY 1, 2),
+           |aF AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF) WHERE rn = 1),
+           |qd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi, m FROM exall WHERE id = 0) q
+           | JOIN c1 c ON c.i = q.gi GROUP BY 1),
+           |pr AS (
+           | SELECT j, row_number() OVER (ORDER BY d, j) AS cell_rank
+           | FROM qd),
+           |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |bf AS (SELECT vec_id FROM (
+           | SELECT vec_id,
+           |  round(${OpsQueries.cosSql("embedding", "qe")}, 6) AS cos
+           | FROM embeddings, qv
+           | ORDER BY cos DESC, vec_id LIMIT 10)),
+           |hit AS (
+           | SELECT bf.vec_id, pr.cell_rank FROM bf
+           | JOIN aF ON aF.id = bf.vec_id
+           | JOIN pr ON pr.j = aF.j)
+           |SELECT CAST(np AS BIGINT) AS nprobe,
+           | CAST((SELECT count(*) FROM hit WHERE cell_rank <= np)
+           |  AS BIGINT) AS recall_at_10
+           |FROM generate_series(1, 4) t(np) ORDER BY nprobe""".stripMargin)),
+
+    // Packing-order sweep: q204's boundary-split count under TWO
+    // concatenation orders — raw id order vs source-grouped
+    // (source, id) order — from ONE cached token-count pass. Grouping
+    // by source is the free packing lever (same data, fewer split
+    // docs when sources have length structure); this query prices it.
+    "q211_pack_order_sweep" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val tk = graft.Scratch.cache(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks")))
+        // catalog-sized source index (deterministic lexicographic),
+        // marker-partitioned LIMIT-free window over a distinct frame
+        val srcIdx = tk.select(col("source")).distinct()
+          .withColumn("_p", Prefix.markerZero(length(col("source"))))
+          .withColumn("src_idx", row_number().over(
+            w.partitionBy(col("_p")).orderBy(col("source"))).cast("long"))
+          .drop("_p")
+        val boundary = expr(s"CASE WHEN toks > 0 AND" +
+          s" (cum - 1) DIV $SeqLen > (cum - toks) DIV $SeqLen" +
+          " THEN 1 ELSE 0 END")
+        val byId = Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
+          .select(col("doc_id"), boundary.as("b_id"))
+        val bySrc = Prefix.cumSum(
+            tk.join(broadcast(srcIdx), Seq("source"))
+              .withColumn("ord",
+                expr("src_idx * 1000000000000 + doc_id")),
+            "ord", col("toks"), "cum")
+          .select(col("doc_id"), boundary.as("b_src"))
+        tk.join(byId, Seq("doc_id")).join(bySrc, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("b_id")).as("boundary_id_order"),
+            sum(col("b_src")).as("boundary_src_order"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, source,
+           |  CAST(len($toksSql) AS BIGINT) AS toks FROM documents),
+           |c1 AS (
+           | SELECT doc_id, source, toks, sum(toks) OVER (ORDER BY doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           | FROM tk),
+           |c2 AS (
+           | SELECT doc_id, source, toks, sum(toks) OVER (
+           |  ORDER BY source, doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           | FROM tk),
+           |f1 AS (
+           | SELECT doc_id, CASE WHEN toks > 0
+           |   AND (cum - 1) // $SeqLen > (cum - toks) // $SeqLen
+           |  THEN 1 ELSE 0 END AS b_id FROM c1),
+           |f2 AS (
+           | SELECT doc_id, CASE WHEN toks > 0
+           |   AND (cum - 1) // $SeqLen > (cum - toks) // $SeqLen
+           |  THEN 1 ELSE 0 END AS b_src FROM c2)
+           |SELECT tk.source, count(*) AS n_docs,
+           | CAST(sum(f1.b_id) AS BIGINT) AS boundary_id_order,
+           | CAST(sum(f2.b_src) AS BIGINT) AS boundary_src_order
+           |FROM tk JOIN f1 USING (doc_id) JOIN f2 USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Near-dup cluster density: per CC cluster (>= 2 docs), how many
+    // of the possible pairs are DIRECT band-verified pairs — density
+    // 1000 = clique (true duplicate group), low density = chain/hub
+    // of pairwise-dissimilar docs glued by transitivity (the failure
+    // mode that makes keep-one-per-cluster dedup destructive).
+    // Clusters from the same pointer-doubling CC as q25; oracle walks
+    // the closure recursively.
+    "q212_cluster_density" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+          .select(col("id_a"), col("id_b"))
+        val lab = Dedup.dedupClusters(docs, "doc_id", "text",
+          n = 3, bands = 4, rows = 4, num = 1, den = 2)
+        val direct = pairs
+          .join(lab.select(col("doc_id").as("id_a"), col("cluster")),
+            Seq("id_a"))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_direct"))
+        lab.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+          .filter(col("csize") >= 2)
+          .join(direct, Seq("cluster"), "left")
+          .withColumn("n_direct", coalesce(col("n_direct"), lit(0L)))
+          .withColumn("possible", expr("csize * (csize - 1) DIV 2"))
+          .withColumn("density_permille",
+            expr("n_direct * 1000 DIV possible"))
+          .orderBy(col("cluster"))
+      },
+      Some(
+        s"""WITH RECURSIVE ${OpsQueries.minhashCtes},
+           |pairs AS (SELECT id_a, id_b FROM chk WHERE i_cnt * 2 >= u_cnt),
+           |sym AS (
+           | SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL
+           | SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach(a, b) AS (
+           | SELECT doc_id, doc_id FROM documents
+           | UNION
+           | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+           |comp AS (SELECT a AS doc_id, min(b) AS cluster
+           |         FROM reach GROUP BY a),
+           |cl AS (SELECT cluster, count(*) AS csize FROM comp GROUP BY 1),
+           |dp AS (
+           | SELECT comp.cluster, count(*) AS n_direct
+           | FROM pairs JOIN comp ON comp.doc_id = pairs.id_a GROUP BY 1)
+           |SELECT cl.cluster, CAST(csize AS BIGINT) AS csize,
+           | CAST(COALESCE(dp.n_direct, 0) AS BIGINT) AS n_direct,
+           | CAST(csize * (csize - 1) // 2 AS BIGINT) AS possible,
+           | CAST(COALESCE(dp.n_direct, 0) * 1000
+           |  // (csize * (csize - 1) // 2) AS BIGINT) AS density_permille
+           |FROM cl LEFT JOIN dp USING (cluster)
+           |WHERE csize >= 2 ORDER BY cluster""".stripMargin))
   )
 }

@@ -148,11 +148,21 @@ object SlowLogQueries {
         floor(col("value") * 1000).cast("long").as("v"))
   }
 
+  /** The q205 SOURCE-split docs as a stream fixture (q209 scores the
+    * arriving docs against the offline-fit DSIR ratio table).
+    */
+  private[queries] def dsirSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(10)) > 2)
+      .select(col("doc_id"), col("text"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
-      "p95" -> p95Src _)
+      "p95" -> p95Src _, "dsir" -> dsirSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
