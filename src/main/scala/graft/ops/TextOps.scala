@@ -1131,6 +1131,15 @@ object TextOps {
     * looks like the target distribution — the upweighting signal an
     * importance-resampling selection step consumes.
     *
+    * Sibling of [[importanceWeights]] (q157) — same hashed-feature
+    * machinery, DIFFERENT statistic: q157 emits the calibrated
+    * target SHARE of each bucket, P(target | bucket) =
+    * (t+1)*1e6 DIV (r+2), for threshold selection over ALL docs;
+    * this op emits the target/source likelihood RATIO p/q — DSIR's
+    * actual sampling weight — over the source split only, and is the
+    * statistic q209 applies online against the frozen
+    * [[dsirRatios]] table.
+    *
     * Output: one row per source doc — (id, n_grams, w_sum, score),
     * docs with no bigrams omitted (no features, no estimate).
     *

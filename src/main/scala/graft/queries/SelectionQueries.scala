@@ -101,7 +101,9 @@ object SelectionQueries {
     // (doc_id % 10 <= 2) plays the target distribution; the top 50
     // source docs by mean bucket ratio are the ones importance
     // resampling would upweight. Ratio table is 64 rows (broadcast);
-    // top-k plans as TakeOrderedAndProject.
+    // top-k plans as TakeOrderedAndProject. Complements q157, which
+    // emits the calibrated bucket SHARE for threshold selection —
+    // this is the p/q sampling weight itself (see the op scaladocs).
     "q205_dsir_weights" -> Q(
       (s, dir) => TextOps.dsirScores(t(s, dir, "documents"),
           "doc_id", "text", pmod(col("doc_id"), lit(10)) <= 2,
