@@ -26,11 +26,12 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
-  /** q205's oracle, shared verbatim by q209 (streaming end-of-input
-    * state must equal the batch scores exactly).
+  /** The DSIR scoring CTE chain ending at `sc(id, n_grams, w_sum,
+    * score)` — q205/q209 select its top 50; q214 applies the
+    * acceptance rule over the full frame.
     */
-  private val dsirOracle: String =
-    s"""WITH tk AS (
+  private val dsirCtes: String =
+    s"""tk AS (
        | SELECT doc_id, doc_id % 10 <= 2 AS is_t, $toksSql AS t
        | FROM documents),
        |g AS (
@@ -43,12 +44,21 @@ object SelectionQueries {
        | SELECT bucket,
        |  (sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) * 1000000
        |   // (sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1) AS w
-       | FROM g GROUP BY 1)
-       |SELECT g.doc_id AS id, count(*) AS n_grams,
-       | CAST(sum(rt.w) AS BIGINT) AS w_sum,
-       | CAST(sum(rt.w) // count(*) AS BIGINT) AS score
-       |FROM g JOIN rt USING (bucket) WHERE NOT g.is_t
-       |GROUP BY 1 ORDER BY score DESC, id LIMIT 50""".stripMargin
+       | FROM g GROUP BY 1),
+       |sc AS (
+       | SELECT g.doc_id AS id, count(*) AS n_grams,
+       |  CAST(sum(rt.w) AS BIGINT) AS w_sum,
+       |  CAST(sum(rt.w) // count(*) AS BIGINT) AS score
+       | FROM g JOIN rt USING (bucket) WHERE NOT g.is_t
+       | GROUP BY 1)""".stripMargin
+
+  /** q205's oracle, shared verbatim by q209 (streaming end-of-input
+    * state must equal the batch scores exactly).
+    */
+  private val dsirOracle: String =
+    s"""WITH $dsirCtes
+       |SELECT id, n_grams, w_sum, score FROM sc
+       |ORDER BY score DESC, id LIMIT 50""".stripMargin
 
   def all: Map[String, Q] = Map(
 
@@ -598,6 +608,161 @@ object SelectionQueries {
            | CAST(COALESCE(dp.n_direct, 0) * 1000
            |  // (csize * (csize - 1) // 2) AS BIGINT) AS density_permille
            |FROM cl LEFT JOIN dp USING (cluster)
-           |WHERE csize >= 2 ORDER BY cluster""".stripMargin))
+           |WHERE csize >= 2 ORDER BY cluster""".stripMargin)),
+
+    // Bitlen-discounted DCG@10: the rank-discounted companion to
+    // q206's MRR/AP — gains are binary relevance, the log2 discount
+    // is replaced by bitlen(rank + 1) (floor(log2)+1, the engine's
+    // standing integer-log trick), so DCG, ideal DCG and the
+    // permille ratio are exact integers both engines agree on. The
+    // ideal prefix sums come from a broadcast 10-row discount table,
+    // not a second ranking pass.
+    "q213_bitlen_dcg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        val emb = t(s, dir, "embeddings")
+        val anchors = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"),
+            col("embedding").as("av"), col("label").as("al"))
+        val scored = emb.select(col("vec_id").as("cand_id"),
+            col("embedding").as("cv"), col("label").as("cl"))
+          .crossJoin(broadcast(anchors))
+          .filter(col("cand_id") =!= col("anchor_id"))
+          .select(col("anchor_id"),
+            round(Similarity.cosine(col("cv"), col("av")), 6).as("cos"),
+            (col("cl") === col("al")).cast("long").as("rel"),
+            col("cand_id"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+        val agg = scored.groupBy(col("anchor_id")).agg(
+          sum(col("rel")).as("n_rel"),
+          sum(when(col("rnk") <= 10, expr(
+            "rel * 1000000 DIV length(conv(rnk + 1, 10, 2))"))
+            .otherwise(0L)).as("dcg_x1e6"))
+        val disc = (1L to 10L).map(i =>
+          (i, 1000000L / (64 - java.lang.Long.numberOfLeadingZeros(i + 1))))
+          .toDF("i", "d")
+        agg.crossJoin(broadcast(disc))
+          .filter(col("i") <= least(col("n_rel"), lit(10L)))
+          .groupBy(col("anchor_id"), col("n_rel"), col("dcg_x1e6"))
+          .agg(sum(col("d")).as("idcg_x1e6"))
+          .withColumn("ndcg_permille",
+            expr("dcg_x1e6 * 1000 DIV idcg_x1e6"))
+          .select(col("anchor_id"), col("n_rel"), col("dcg_x1e6"),
+            col("idcg_x1e6"), col("ndcg_permille"))
+          .orderBy(col("anchor_id"))
+      },
+      Some(
+        s"""WITH a AS (
+           | SELECT vec_id AS anchor_id, embedding AS av, label AS al
+           | FROM embeddings WHERE vec_id < 8),
+           |sc AS (
+           | SELECT a.anchor_id, e.vec_id AS cand_id,
+           |  round(${OpsQueries.cosSql("e.embedding", "a.av")}, 6) AS cos,
+           |  CAST(e.label = a.al AS BIGINT) AS rel
+           | FROM embeddings e, a WHERE e.vec_id <> a.anchor_id),
+           |r AS (
+           | SELECT *, row_number() OVER
+           |  (PARTITION BY anchor_id ORDER BY cos DESC, cand_id) AS rnk
+           | FROM sc),
+           |ag AS (
+           | SELECT anchor_id, sum(rel) AS n_rel,
+           |  sum(CASE WHEN rnk <= 10 THEN
+           |   rel * 1000000 // length(printf('%b', rnk + 1))
+           |   ELSE 0 END) AS dcg_x1e6
+           | FROM r GROUP BY 1),
+           |disc AS (
+           | SELECT i, 1000000 // length(printf('%b', i + 1)) AS d
+           | FROM generate_series(1, 10) t(i)),
+           |ideal AS (
+           | SELECT ag.anchor_id, sum(disc.d) AS idcg_x1e6
+           | FROM ag JOIN disc ON disc.i <= least(ag.n_rel, 10)
+           | GROUP BY 1)
+           |SELECT ag.anchor_id, CAST(n_rel AS BIGINT) AS n_rel,
+           | CAST(dcg_x1e6 AS BIGINT) AS dcg_x1e6,
+           | CAST(idcg_x1e6 AS BIGINT) AS idcg_x1e6,
+           | CAST(dcg_x1e6 * 1000 // idcg_x1e6 AS BIGINT) AS ndcg_permille
+           |FROM ag JOIN ideal USING (anchor_id)
+           |ORDER BY anchor_id""".stripMargin)),
+
+    // Deterministic importance RESAMPLING on q205's weights: accept a
+    // source doc when a salted hash falls under its (capped) score —
+    // P(keep) ~ min(1, p/q), DSIR's sampling step made engine-
+    // reproducible (the same rule family as q87's temperature
+    // sampler). Per source: docs with evidence, accepted docs and
+    // their token mass, acceptance permille.
+    "q214_importance_resample" -> Q(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sc = TextOps.dsirScores(docs, "doc_id", "text",
+          pmod(col("doc_id"), lit(10)) <= 2, nBuckets = 64)
+        sc.withColumn("acc",
+            (pmod(TextOps.hash32(concat(col("id").cast("string"),
+              lit("_dsir"))), lit(1000000L)) <
+              least(col("score"), lit(1000000L))).cast("long"))
+          .join(docs.select(col("doc_id").as("id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks")),
+            Seq("id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("acc")).as("n_kept"),
+            sum(col("toks")).as("n_tokens"),
+            sum(col("acc") * col("toks")).as("kept_tokens"))
+          .withColumn("kept_permille",
+            expr("n_kept * 1000 DIV n_docs"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""WITH $dsirCtes,
+           |acc AS (
+           | SELECT sc.id, sc.score,
+           |  CASE WHEN ('0x' || substr(md5(CAST(sc.id AS VARCHAR)
+           |    || '_dsir'), 1, 8))::BIGINT % 1000000
+           |   < least(sc.score, 1000000) THEN 1 ELSE 0 END AS acc
+           | FROM sc)
+           |SELECT d.source, count(*) AS n_docs,
+           | CAST(sum(acc.acc) AS BIGINT) AS n_kept,
+           | CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens,
+           | CAST(sum(acc.acc * len($toksSql)) AS BIGINT) AS kept_tokens,
+           | CAST(sum(acc.acc) * 1000 // count(*) AS BIGINT)
+           |  AS kept_permille
+           |FROM acc JOIN documents d ON d.doc_id = acc.id
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Padding-waste audit: the "why pack at all" number — pad each
+    // doc alone to the 512 sequence length (the no-packing batching
+    // strategy) and price the wasted pad tokens per source, against
+    // which q204's boundary-split cost trades. Pure per-source
+    // aggregates off the token counts; no window at all.
+    "q215_pad_waste" -> Q(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          sum(expr(s"((toks + ${SeqLen - 1}) DIV $SeqLen) * $SeqLen"))
+            .as("padded_tokens"))
+        .withColumn("waste_permille", expr(
+          "CASE WHEN padded_tokens = 0 THEN 0" +
+            " ELSE (padded_tokens - n_tokens) * 1000 DIV padded_tokens END"))
+        .orderBy(col("source")),
+      Some(
+        s"""WITH tk AS (
+           | SELECT source, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(toks) AS BIGINT) AS n_tokens,
+           | CAST(sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |  AS BIGINT) AS padded_tokens,
+           | CAST(CASE WHEN sum(((toks + ${SeqLen - 1}) // $SeqLen)
+           |    * $SeqLen) = 0 THEN 0
+           |  ELSE (sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |    - sum(toks)) * 1000
+           |   // sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen) END
+           |  AS BIGINT) AS waste_permille
+           |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
