@@ -20,6 +20,8 @@ import graft.ops.{BloomExpressions, Dedup, TextOps}
   *                              keep best-quality doc per cluster)
   *   5. decontamination        (8-gram overlap vs a holdout table,
   *                              broadcast-bloom prune + exact semi-join)
+  *   5b. DSIR selection        (hashed-bigram likelihood ratios vs a
+  *                              target corpus, P(keep) ~ min(1, p/q))
   *   6. mixture flattening     (temperature sampling, alpha = 1/2)
   *   7. reshard + write        (deterministic epoch shuffle, shard=K/)
   *
@@ -33,7 +35,8 @@ import graft.ops.{BloomExpressions, Dedup, TextOps}
   *   sbt "runMain graft.tools.CurateCorpus <in.parquet> <outDir>
   *     [--id doc_id] [--text text] [--lang en|any]
   *     [--min-tokens 5] [--max-tokens 100000]
-  *     [--holdout h.parquet] [--temperature none|0.5] [--source source]
+  *     [--holdout h.parquet] [--dsir-target t.parquet]
+  *     [--temperature none|0.5] [--source source]
   *     [--target-shares src0:300,src1:40] [--curriculum 3]
   *     [--shards 16] [--salt epoch1]"
   */
@@ -165,6 +168,43 @@ object CurateCorpus {
           .join(contaminated, Seq(idCol), "left_anti"))
     }
 
+    // 5b. DSIR importance selection (optional): fit the hashed-bigram
+    // target/source likelihood-ratio table against a TARGET corpus
+    // (q205's statistic, ops/TextOps.dsirRatios) and keep each doc
+    // with P ~ min(1, p/q) under the deterministic salted-hash rule
+    // (q214's resampling step). The ratio table is 64 rows broadcast;
+    // the corpus pays one gram explode + one doc-keyed aggregate.
+    val afterDsir = flags.get("dsir-target") match {
+      case None => afterDecon
+      case Some(tPath) =>
+        // 4096 buckets (q157's feature-space sizing): still a
+        // broadcast-trivial table, sharp enough that a distinctive
+        // target vocabulary separates from the body
+        val nB = flags.getOrElse("dsir-buckets", "4096").toInt
+        val combined = spark.read.parquet(tPath)
+          .select(col(textCol), lit(true).as("_ist"))
+          .unionByName(afterDecon
+            .select(col(textCol), lit(false).as("_ist")))
+        val ratios = broadcast(TextOps.dsirRatios(
+          combined, textCol, col("_ist"), nBuckets = nB))
+        val scores = afterDecon
+          .select(col(idCol),
+            explode(TextOps.ngrams(col(textCol), 2)).as("gram"))
+          .withColumn("bucket", TextOps.dsirBucket(col("gram"), nB))
+          .join(ratios, Seq("bucket"))
+          .groupBy(col(idCol))
+          .agg(expr("sum(w) DIV count(1)").as("_score"))
+        stage("dsir_select", afterDecon
+          .join(scores, Seq(idCol), "left")
+          // docs with no bigrams carry no evidence: keep them (the
+          // quality stage owns length policy, not the selector)
+          .filter(col("_score").isNull ||
+            pmod(TextOps.hash32(concat(col(idCol).cast("string"),
+              lit("_dsir"))), lit(1000000L)) <
+              least(col("_score"), lit(1000000L)))
+          .drop("_score"))
+    }
+
     // 6. mixture control (optional): explicit target shares
     // (mixtureReweight's permille plan realized by a salted-hash keep
     // rule, q175's arithmetic) wins over temperature flattening when
@@ -176,16 +216,16 @@ object CurateCorpus {
           src -> pm.toInt
         }
         val plan = broadcast(TextOps.mixtureReweight(
-          afterDecon, col(srcCol), targets)
+          afterDsir, col(srcCol), targets)
           .select(col("source").as(srcCol), col("keep_permille")))
-        stage("reweight", afterDecon.join(plan, Seq(srcCol))
+        stage("reweight", afterDsir.join(plan, Seq(srcCol))
           .filter(pmod(TextOps.hash32(concat(col(idCol).cast("string"),
             lit("_mixkeep"))), lit(1000L)) < col("keep_permille"))
           .drop("keep_permille"))
       case None => flags.getOrElse("temperature", "none") match {
-        case "none" => afterDecon
+        case "none" => afterDsir
         case _ => stage("mixture", TextOps.temperatureSample(
-          afterDecon, col(idCol), col(srcCol))
+          afterDsir, col(idCol), col(srcCol))
           .drop("src", "n_docs", "samp_den"))
       }
     }

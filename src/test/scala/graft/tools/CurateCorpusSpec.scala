@@ -73,4 +73,34 @@ class CurateCorpusSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq
     assert(phases.forall(p => p >= 0 && p < 3))
   }
+
+  test("dsir-target selection stage: deterministic, bounded, biased " +
+    "toward the target profile") {
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val tmp = Files.createTempDirectory("graft_curate3").toString
+    // target = the labeled-en slice: selection should keep en docs at
+    // a higher rate than the rest (their hashed-bigram profile IS the
+    // target profile)
+    spark.read.parquet(in).filter(col("lang") === "en")
+      .write.mode("overwrite").parquet(s"$tmp/target")
+    def run(out: String) = CurateCorpus.run(spark, Array(in, out,
+      "--dsir-target", s"$tmp/target", "--shards", "2", "--salt", "e1"))
+      .toMap
+    val f1 = run(s"$tmp/out1")
+    assert(f1.contains("dsir_select"))
+    assert(f1("dsir_select") <= f1("near_dedup") && f1("dsir_select") > 0)
+    // deterministic: same inputs -> identical survivor count
+    val f2 = run(s"$tmp/out2")
+    assert(f1("dsir_select") == f2("dsir_select"))
+    // bias check on the written corpus
+    val outDf = spark.read.parquet(s"$tmp/out1/corpus")
+    val keptEn = outDf.filter(col("lang") === "en").count().toDouble
+    val baseEn = spark.read.parquet(in)
+      .filter(col("lang") === "en").count().toDouble
+    val keptOther = (outDf.count() - keptEn).max(1.0)
+    val baseOther = 500.0 - baseEn
+    assert(keptEn / baseEn > keptOther / baseOther,
+      s"en keep rate ${keptEn / baseEn} should beat " +
+        s"non-en ${keptOther / baseOther}")
+  }
 }
