@@ -1020,6 +1020,184 @@ object CurationQueries {
           |GROUP BY c_count
           |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // TPC-H Q7 shape (volume shipping): revenue between DIFFERENT
+    // (supplier nation, customer nation) pairs by ship year — the
+    // two-sided dimension decoration pattern: nation broadcasts
+    // TWICE under different roles; the three fact joins shuffle on
+    // their keys. Output bounded by nations^2 x years.
+    "q216_volume_shipping" -> Q(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("s_nationkey"),
+            col("n_name").as("supp_nation"))), Seq("s_nationkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+            col("n_name").as("cust_nation"))), Seq("c_nationkey"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("rev")).as("revenue_u"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(
+        """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+          | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS revenue_u
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ns ON s_nationkey = ns.n_nationkey
+          |JOIN nation nc ON c_nationkey = nc.n_nationkey
+          |WHERE s_nationkey <> c_nationkey
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q18 shape (large-volume orders): orders whose total
+    // quantity clears a threshold — the group-HAVING-then-decorate
+    // pattern: the qualifying key set comes from ONE fact aggregate,
+    // then joins back for order/customer detail; top 20 plans as
+    // TakeOrderedAndProject.
+    "q217_large_orders" -> Q(
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(floor(col("l_quantity")).cast("long")).as("total_qty"))
+          .filter(col("total_qty") > 250)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("price_u"))
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("total_qty"), col("price_u"))
+          .orderBy(col("price_u").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(
+        """WITH big AS (
+          | SELECT l_orderkey, CAST(sum(floor(l_quantity)) AS BIGINT)
+          |  AS total_qty
+          | FROM lineitem GROUP BY 1
+          | HAVING sum(floor(l_quantity)) > 250)
+          |SELECT o_orderkey, o_custkey, total_qty,
+          | CAST(floor(o_totalprice * 100) AS BIGINT) AS price_u
+          |FROM orders JOIN big ON o_orderkey = l_orderkey
+          |ORDER BY price_u DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // TPC-H Q10 shape (returned items): revenue lost to 'R'-flagged
+    // lineitems per customer, nation-decorated, top 20 — the
+    // filter-early fact aggregation with a broadcast dimension tail.
+    "q218_returned_items" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val n = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("n_name"))
+          .agg(sum(col("rev")).as("revenue_u"))
+          .orderBy(col("revenue_u").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT c_custkey, n_name, CAST(sum(
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS revenue_u
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |GROUP BY 1, 2 ORDER BY revenue_u DESC, c_custkey
+          |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q2 shape (min-cost supplier), adapted to this schema's
+    // lineitem as the part-supplier relation (no partsupp table):
+    // per part, the supplier achieving the MIN integer unit price —
+    // the correlated-min-subquery pattern as one argmin aggregate
+    // (struct-min: price then suppkey tie-break), never a self-join.
+    "q219_min_cost_supplier" -> Q(
+      (s, dir) => {
+        val unit = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)" +
+              " DIV greatest(CAST(floor(l_quantity) AS BIGINT), 1)")
+              .as("unit_u"))
+        unit.groupBy(col("l_partkey"))
+          .agg(min(struct(col("unit_u"), col("l_suppkey"))).as("m"))
+          .select(col("l_partkey").as("p_partkey"),
+            col("m.l_suppkey").as("best_suppkey"),
+            col("m.unit_u").as("min_unit_u"))
+          .orderBy(col("p_partkey"))
+          .limit(50)
+      },
+      Some(
+        """WITH unit AS (
+          | SELECT l_partkey, l_suppkey,
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT)
+          |   // greatest(CAST(floor(l_quantity) AS BIGINT), 1) AS unit_u
+          | FROM lineitem),
+          |r AS (
+          | SELECT l_partkey, l_suppkey, unit_u, row_number() OVER
+          |  (PARTITION BY l_partkey ORDER BY unit_u, l_suppkey) AS rn
+          | FROM unit)
+          |SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey,
+          | unit_u AS min_unit_u
+          |FROM r WHERE rn = 1 ORDER BY p_partkey LIMIT 50""".stripMargin)),
+
+    // TPC-H Q16 shape (supplier diversity): distinct suppliers per
+    // (brand, type, size) over the lineitem part-supplier relation,
+    // size-bucketed to a bounded grouping — count_distinct after a
+    // fact-to-part key shuffle (part is sf-scaling: no broadcast
+    // hint, AQE picks the strategy).
+    "q220_supplier_diversity" -> Q(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_size").isin(1, 10, 25, 40))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size").cast("long").as("p_size"))
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"),
+            col("p_type"), col("p_size"))
+      },
+      Some(
+        """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+          | count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size IN (1, 10, 25, 40)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
     // Session-gap sensitivity sweep: session counts at FOUR gap
     // thresholds from ONE per-user lag pass — sessions(g) = users +
     // gaps exceeding g. Prices the q16/q43 sessionization knob

@@ -464,6 +464,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hinted <= 1, s"$hinted forced broadcast hints (expected <= 1, nation only):\n$opt")
   }
 
+  test("q216 volume shipping: nation broadcasts twice, no forced " +
+    "hint on sf-scaling sides") {
+    val p = plan("q216_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // same scale rule as q191: only the fixed-size nation (under two
+    // roles) may carry forced hints — customer/supplier/orders scale
+    // with sf and must stay under AQE's measured-size check
+    val opt = Registry.queries("q216_volume_shipping")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val hinted = "strategy=broadcast".r.findAllIn(opt).size
+    assert(hinted <= 2,
+      s"$hinted forced broadcast hints (expected <= 2, nation roles only):\n$opt")
+  }
+
   test("mixture reweight: corpus never shuffles past the count aggregate") {
     val p = plan("q175_mixture_reweight")
     // counts + targets are catalog-sized: both joins broadcast
