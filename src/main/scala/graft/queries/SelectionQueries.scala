@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.ops.{Dedup, Prefix, SemDedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Prefix, SemDedup, Similarity, TextOps}
 
 /** Round-7 additions: data-selection and retrieval-quality analytics
   * (q204+) — concat-and-chunk packing stats, DSIR-style importance
@@ -763,6 +763,110 @@ object SelectionQueries {
            |    - sum(toks)) * 1000
            |   // sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen) END
            |  AS BIGINT) AS waste_permille
-           |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin))
+           |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pack MANIFEST: the artifact an LM data loader actually
+    // consumes — per training sequence, which docs land in it and
+    // how many of its SeqLen token slots each contributes (interval
+    // intersection of the doc's cumulative span with the sequence
+    // window). Every interior sequence must sum to exactly SeqLen
+    // tokens — the oracle hash enforces it. First 50 sequences.
+    "q221_pack_manifest" -> Q(
+      (s, dir) => {
+        val tk = t(s, dir, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
+          .filter(col("toks") > 0)
+          .select(col("doc_id"), col("toks"), col("cum"),
+            explode(sequence(expr(s"(cum - toks) DIV $SeqLen"),
+              expr(s"(cum - 1) DIV $SeqLen"))).as("seq_id"))
+          .filter(col("seq_id") < 50)
+          .groupBy(col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            sum(expr(s"least(cum, (seq_id + 1) * $SeqLen)" +
+              s" - greatest(cum - toks, seq_id * $SeqLen)"))
+              .as("n_tokens"))
+          .orderBy(col("seq_id"))
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents),
+           |c AS (
+           | SELECT doc_id, toks, sum(toks) OVER (ORDER BY doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           | FROM tk),
+           |sp AS (
+           | SELECT doc_id, toks, cum,
+           |  unnest(generate_series(
+           |   CAST((cum - toks) // $SeqLen AS BIGINT),
+           |   CAST((cum - 1) // $SeqLen AS BIGINT))) AS seq_id
+           | FROM c WHERE toks > 0)
+           |SELECT seq_id, count(*) AS n_docs,
+           | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           | CAST(sum(least(cum, (seq_id + 1) * $SeqLen)
+           |  - greatest(cum - toks, seq_id * $SeqLen)) AS BIGINT)
+           |  AS n_tokens
+           |FROM sp WHERE seq_id < 50
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Frame-level dedup across payloads: q39's frame digests grouped
+    // — the multimodal twin of exact text dedup (the same intro/
+    // outro/watermark frames recur across videos; dropping them is
+    // the first multimodal dedup pass). Digest-keyed aggregate, the
+    // payloads themselves never shuffle.
+    "q222_frame_dedup" -> Q(
+      (s, dir) => {
+        val docs = Multimodal.synthesizePayload(
+          t(s, dir, "documents"), "text")
+        Multimodal.sampleFrames(docs, "doc_id", "payload",
+            frameBytes = 100)
+          .groupBy(col("frame_digest"))
+          .agg(count(lit(1)).as("n_frames"),
+            count_distinct(col("id")).as("n_docs"),
+            min(col("id")).as("first_doc"))
+          .filter(col("n_frames") >= 2)
+          .orderBy(col("n_frames").desc, col("frame_digest"))
+      },
+      Some(
+        """WITH fr AS (
+          | SELECT doc_id, md5(substring(text, f * 100 + 1, 100)) AS d
+          | FROM documents,
+          |  unnest(generate_series(0,
+          |    CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS t(f))
+          |SELECT d AS frame_digest, count(*) AS n_frames,
+          | count(DISTINCT doc_id) AS n_docs,
+          | min(doc_id) AS first_doc
+          |FROM fr GROUP BY 1 HAVING count(*) >= 2
+          |ORDER BY n_frames DESC, frame_digest""".stripMargin)),
+
+    // Payload integrity audit: per source — payload count, byte
+    // mass, size extremes, and distinct 4-byte magic prefixes (a
+    // container-format sanity check: one modality per source should
+    // show few prefixes; an explosion means mixed/corrupt headers).
+    // Pure per-source aggregates over binary columns.
+    "q223_payload_audit" -> Q(
+      (s, dir) => Multimodal.synthesizePayload(
+          t(s, dir, "documents"), "text")
+        .select(col("source"), col("payload"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          hex(substring(col("payload"), 1, 4)).as("magic"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes")).as("total_bytes"),
+          min(col("n_bytes")).as("min_bytes"),
+          max(col("n_bytes")).as("max_bytes"),
+          count_distinct(col("magic")).as("n_magics"))
+        .orderBy(col("source")),
+      Some(
+        """SELECT source, count(*) AS n_payloads,
+          | CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+          | CAST(min(length(text)) AS BIGINT) AS min_bytes,
+          | CAST(max(length(text)) AS BIGINT) AS max_bytes,
+          | count(DISTINCT upper(hex(encode(substr(text, 1, 4)))))
+          |  AS n_magics
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
