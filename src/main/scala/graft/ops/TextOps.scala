@@ -531,10 +531,25 @@ object TextOps {
   def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
-    val ranked = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .select(col("token"), dense_rank().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("token"))).as("rank"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // dense_rank over (cnt DESC, token) — but that key is UNIQUE per
+    // row (one row per token), so dense_rank == row_number, which
+    // decomposes distributed: (# tokens in strictly-higher count
+    // tiers, via the guarded prefix sum over the COUNT-OF-COUNTS
+    // domain frame) + (position within the token's own tier, a
+    // cnt-partitioned window). No vocabulary-sized single-partition
+    // window — the former global dense_rank funneled the whole
+    // vocabulary (Heap's-law-unbounded at corpus scale) through one
+    // reducer.
+    val tiers = Prefix.cumSum(
+        counts.groupBy(col("cnt")).agg(count(lit(1)).as("m")),
+        "cnt", col("m"), "cum_ge", desc = true)
+      .select(col("cnt"), (col("cum_ge") - col("m")).as("higher"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cnt")).orderBy(col("token"))
+    val ranked = counts.join(tiers, Seq("cnt"))
+      .select(col("token"),
+        (col("higher") + row_number().over(wi)).as("rank"))
     tok.join(ranked, Seq("token"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),

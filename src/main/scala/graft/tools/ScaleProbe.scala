@@ -261,6 +261,18 @@ object ScaleProbe {
         col("n_chars"), TextOps.tokenCount(col("text")), phases = 3))
       time("prefix_templates", k)(TextOps.prefixTemplates(
         docs, col("source"), "text", k = 6))
+      // round-7 ops: DSIR = two bucket-keyed gram passes + one
+      // doc-keyed aggregate (ratio table is 64 rows at any scale);
+      // frame dedup = the mapPartitions digest kernel + one
+      // digest-keyed aggregate. Both linear per-doc shapes.
+      time("dsir_scores", k)(TextOps.dsirScores(docs, "doc_id", "text",
+        pmod(col("doc_id"), lit(10)) <= 2, nBuckets = 64))
+      time("frame_dedup", k)(graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.synthesizePayload(docs, "text"),
+        "doc_id", "payload", frameBytes = 100)
+        .groupBy(col("frame_digest"))
+        .agg(count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= 2))
       graft.Scratch.release()
       docs.unpersist()
     }

@@ -392,6 +392,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 4L, 5L, 1L), (1L, 1L, 3L, 3L)))
   }
 
+  test("token rarity: decomposed rank equals a global dense_rank, " +
+    "also when forced down the distributed prefix-sum path") {
+    // random LCG corpus: repeated small-vocab tokens so count tiers
+    // hold many tokens and ties exercise the within-tier window
+    var seed = 41L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33) }
+    val docs = (0L until 200L).map { i =>
+      val words = (0 until (next() % 12 + 1).toInt)
+        .map(_ => s"t${next() % 40}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def naive = {
+      val tok = docs.select(col("doc_id").as("id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val ranked = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .select(col("token"), dense_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token"))).as("rank"))
+      tok.join(ranked, Seq("token"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("rank")).cast("long").as("rank_sum"))
+    }
+    val expect = naive.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def got = TextOps.tokenRarity(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    val was = spark.conf.getOption(Prefix.MaxWindowRowsKey)
+    spark.conf.set(Prefix.MaxWindowRowsKey, "0")
+    try assert(got == expect, "distributed path diverges")
+    finally was match {
+      case Some(v) => spark.conf.set(Prefix.MaxWindowRowsKey, v)
+      case None => spark.conf.unset(Prefix.MaxWindowRowsKey)
+    }
+  }
+
   test("source overlap: identical sources estimate 1000 permille") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight nine ten"
