@@ -327,9 +327,14 @@ object Eval {
   def ksDriftFromHist(gHist: DataFrame): DataFrame = {
     // value-DOMAIN-sized at any corpus scale, but GUARDED: the
     // cumulative sum routes through Prefix (bucketed prefix sum past
-    // the session cap) instead of trusting the bound
+    // the session cap) instead of trusting the bound. The global
+    // histogram aggregate is cached: cumSum's eager stats action
+    // would otherwise re-run the (grp,v)->v collapse on every call —
+    // per MICRO-BATCH under q178 (tiny domain-sized cache, released
+    // by the harness's Scratch.release at query end)
     val aHist = Prefix.cumSum(
-      gHist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all")),
+      graft.Scratch.cache(
+        gHist.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))),
       "v", col("cnt_all"), "cum_all")
     val wG = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -64,7 +64,9 @@ object Prefix {
     * running total of `valueCol` (cast to long) in `orderCol` order
     * (ascending, or descending when `desc`) — the guarded prefix sum
     * described in the object doc, all sums sharing ONE pass/window.
-    * `orderCol` must be numeric with distinct values per row.
+    * `orderCol` must be numeric with distinct values per row (at
+    * most one NULL — the post-groupBy null group — which sorts where
+    * the window default puts it: first ascending, last descending).
     */
   def cumSums(df: DataFrame, orderCol: String, desc: Boolean,
       vals: Seq[(Column, String)], nBuckets: Int = 64): DataFrame = {
@@ -76,8 +78,8 @@ object Prefix {
     val base = vals.zip(vNames).foldLeft(df) { case (d, ((c, _), nm)) =>
       d.withColumn(nm, c.cast("long"))
     }
-    val ord = col(orderCol).cast("long")
-    val st = base.agg(count(lit(1)), min(ord), max(ord)).head()
+    val ordD = col(orderCol).cast("double")
+    val st = base.agg(count(lit(1)), min(ordD), max(ordD)).head()
     val n = st.getLong(0)
     if (n == 0L) {
       return vals.zip(vNames).foldLeft(base) { case (d, ((_, out), nm)) =>
@@ -96,19 +98,42 @@ object Prefix {
         case (d, ((_, out), nm)) => d.withColumn(out, sum(col(nm)).over(w))
       }.drop("_pfx_p" +: vNames: _*)
     } else {
-      val lo = st.getLong(1)
-      val hi = st.getLong(2)
-      val width = math.max(1L, (hi - lo) / nBuckets + 1)
-      val b = base.withColumn("_pfx_b", expr(
-        s"(CAST($orderCol AS BIGINT) - ${lo}L) DIV ${width}L"))
+      // Bucketing runs on the DOUBLE view of the order column: the
+      // long->double cast is monotone (non-strict), so bucket order
+      // always matches value order — immune both to span overflow
+      // (`hi - lo` over hash-range long domains wrapped negative
+      // under the old integer math, scrambling bucket ids) and to
+      // sub-integer domains (a fractional score range used to
+      // collapse to ONE bucket via CAST AS BIGINT, silently
+      // re-funneling the whole frame through a single reducer).
+      // Rows that collapse to one double (> 2^53 longs) share a
+      // bucket; the intra-bucket window still orders them by the raw
+      // column. A NULL order key (at most one per call site — every
+      // caller passes a post-groupBy frame keyed by the order
+      // column) gets a sentinel bucket that sorts FIRST ascending
+      // and LAST descending, exactly where the capped path's window
+      // default puts nulls. NaN order keys are unsupported (cast
+      // long/double histogram keys never produce them).
+      val lo = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+      val hi = if (st.isNullAt(2)) 0.0 else st.getDouble(2)
+      val width = math.max((hi - lo) / nBuckets, 1e-300)
+      val nullBucket = Long.MinValue
+      val b = base.withColumn("_pfx_b",
+        coalesce(floor((ordD - lit(lo)) / lit(width)).cast("long"),
+          lit(nullBucket)))
       val totals = b.groupBy(col("_pfx_b"))
         .agg(sum(col(vNames.head)).as("t0"),
           vNames.tail.zipWithIndex.map { case (nm, i) =>
             sum(col(nm)).as(s"t${i + 1}")
           }: _*)
         .collect()
-        .map(r => r.getLong(0) -> vNames.indices.map(i => r.getLong(i + 1)))
-      val inOrder = if (desc) totals.sortBy(-_._1) else totals.sortBy(_._1)
+        .map(r => r.getLong(0) -> vNames.indices.map(i =>
+          if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      // Ordering.Long.reverse, not sortBy(-id): negating the null
+      // sentinel (Long.MinValue) would overflow back onto itself
+      val inOrder =
+        if (desc) totals.sortBy(_._1)(Ordering.Long.reverse)
+        else totals.sortBy(_._1)
       val offsets = inOrder.map(_._1).zipWithIndex.map { case (bk, pos) =>
         org.apache.spark.sql.Row.fromSeq(bk +: vNames.indices.map { i =>
           inOrder.take(pos).map(_._2(i)).sum

@@ -534,22 +534,40 @@ object TextOps {
     val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     // dense_rank over (cnt DESC, token) — but that key is UNIQUE per
     // row (one row per token), so dense_rank == row_number, which
-    // decomposes distributed: (# tokens in strictly-higher count
-    // tiers, via the guarded prefix sum over the COUNT-OF-COUNTS
-    // domain frame) + (position within the token's own tier, a
-    // cnt-partitioned window). No vocabulary-sized single-partition
-    // window — the former global dense_rank funneled the whole
-    // vocabulary (Heap's-law-unbounded at corpus scale) through one
-    // reducer.
+    // decomposes distributed in TWO levels: (# tokens in strictly-
+    // higher count tiers, via the guarded prefix sum over the
+    // COUNT-OF-COUNTS domain frame) + (# tokens in the same tier
+    // with a strictly-smaller 4-char prefix, a cnt-partitioned
+    // prefix sum over the (tier, prefix) frame) + (position within
+    // the (tier, prefix) cell). The second level matters: under
+    // Zipf's law the cnt=1 tier alone holds ~half the vocabulary, so
+    // a window partitioned by cnt ALONE would still funnel hundreds
+    // of millions of hapax tokens through one reducer at corpus
+    // scale. Prefix-truncation is monotone under Spark's UTF8String
+    // byte comparison (UTF-8 byte order == codepoint order), so
+    // (cnt DESC, pfx ASC, token ASC) == (cnt DESC, token ASC) and
+    // the decomposition is exact.
+    val pfx = substring(col("token"), 1, 4)
     val tiers = Prefix.cumSum(
         counts.groupBy(col("cnt")).agg(count(lit(1)).as("m")),
         "cnt", col("m"), "cum_ge", desc = true)
       .select(col("cnt"), (col("cum_ge") - col("m")).as("higher"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cnt")).orderBy(col("pfx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pfxOffsets = counts
+      .groupBy(col("cnt"), pfx.as("pfx")).agg(count(lit(1)).as("mp"))
+      .withColumn("smaller", sum(col("mp")).over(wp) - col("mp"))
+      .select(col("cnt"), col("pfx"), col("smaller"))
     val wi = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cnt")).orderBy(col("token"))
-    val ranked = counts.join(tiers, Seq("cnt"))
+      .partitionBy(col("cnt"), col("pfx")).orderBy(col("token"))
+    val ranked = counts.withColumn("pfx", pfx)
+      .join(tiers, Seq("cnt"))
+      .join(pfxOffsets, Seq("cnt", "pfx"))
       .select(col("token"),
-        (col("higher") + row_number().over(wi)).as("rank"))
+        (col("higher") + col("smaller") + row_number().over(wi))
+          .as("rank"))
     tok.join(ranked, Seq("token"))
       .groupBy(col("id").as(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -727,16 +745,22 @@ object TextOps {
     val base = docs.select(col(idCol).as("id"),
       scoreCol.cast("long").as("score"),
       coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
-    val agg = base.agg(max(col("score")), sum(col("toks"))).head()
+    val agg = base.agg(count(lit(1)), max(col("score")),
+      sum(col("toks"))).head()
     // empty input (upstream filter/decontam dropped every doc):
-    // max(score) aggregates to NULL — return the empty assignment
-    // rather than NPE on getLong
-    if (agg.isNullAt(0)) {
+    // return the empty assignment rather than NPE on getLong. A
+    // NON-empty frame whose score column is all-null is a caller
+    // bug (wrong column / all-null signal) — fail loudly instead of
+    // silently emitting zero rows.
+    if (agg.getLong(0) == 0L) {
       return base.withColumn("phase", lit(0L))
         .select(col("id"), col("score"), col("toks"), col("phase"))
         .limit(0)
     }
-    val maxS = agg.getLong(0); val total = math.max(agg.getLong(1), 1L)
+    require(!agg.isNullAt(1),
+      "curriculumAssign: score column is null for every row — " +
+        "check the scoreCol expression")
+    val maxS = agg.getLong(1); val total = math.max(agg.getLong(2), 1L)
     val b = base.withColumn("bucket",
       expr(s"(score * $nBuckets) DIV ${maxS + 1}"))
     val totals = b.groupBy(col("bucket")).agg(sum(col("toks")).as("tot"))
@@ -1165,12 +1189,23 @@ object TextOps {
     */
   def dsirScores(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 64): DataFrame =
-    df.filter(!isTarget)
-      .select(col(idCol).as("id"),
+    dsirScoresAgainst(df.filter(!isTarget), idCol, textCol,
+      dsirRatios(df, textCol, isTarget, nBuckets), nBuckets)
+
+  /** Score a doc frame against an already-fit `(bucket, w)` ratio
+    * table — the ONE implementation of the DSIR scoring plan
+    * (explode bigrams -> bucket -> broadcast ratio join -> doc-keyed
+    * truncating mean). Works on batch and streaming frames alike;
+    * [[dsirScores]], q209's stream, and CurateCorpus's
+    * `--dsir-target` stage all route through here so the statistic
+    * can never silently diverge between them.
+    */
+  def dsirScoresAgainst(df: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         explode(ngrams(col(textCol), 2)).as("gram"))
       .withColumn("bucket", dsirBucket(col("gram"), nBuckets))
-      .join(broadcast(dsirRatios(df, textCol, isTarget, nBuckets)),
-        Seq("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
       .withColumn("score", expr("w_sum DIV n_grams"))

@@ -72,9 +72,12 @@ object SelectionQueries {
     // single-reducer window at scale.
     "q204_pack_chunks" -> Q(
       (s, dir) => {
-        val tk = t(s, dir, "documents").select(col("doc_id"),
-          col("source"),
-          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        // cached: cumSum's eager stats pass and the main plan both
+        // read it — uncached, tokenCount over the corpus would run
+        // twice (three times above the cap)
+        val tk = graft.Scratch.cache(t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks")))
         Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -373,22 +376,16 @@ object SelectionQueries {
             .schema(ev.schema)
             .option("maxFilesPerTrigger", 8)
             .parquet(src)
-          val query = stream
-            .select(col("doc_id"),
-              explode(TextOps.ngrams(col("text"), 2)).as("gram"))
-            .withColumn("bucket", TextOps.dsirBucket(col("gram"), 64))
-            .join(broadcast(ratios), Seq("bucket"))
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
+          val query = TextOps.dsirScoresAgainst(
+              stream, "doc_id", "text", ratios, 64)
             .writeStream
             .outputMode(OutputMode.Complete)
             .foreachBatch { (batch: DataFrame, _: Long) =>
               batch.persist()
               try batch
-                .withColumn("score", expr("w_sum DIV n_grams"))
-                .orderBy(col("score").desc, col("doc_id"))
+                .orderBy(col("score").desc, col("id"))
                 .limit(50)
-                .select(col("doc_id").as("id"), col("n_grams"),
+                .select(col("id"), col("n_grams"),
                   col("w_sum"), col("score"))
                 .write.mode("overwrite").parquet(out)
               finally batch.unpersist()
@@ -773,8 +770,10 @@ object SelectionQueries {
     // tokens — the oracle hash enforces it. First 50 sequences.
     "q221_pack_manifest" -> Q(
       (s, dir) => {
-        val tk = t(s, dir, "documents").select(col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        // cached for the same reason as q204's tk frame
+        val tk = graft.Scratch.cache(t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks")))
         Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
           .filter(col("toks") > 0)
           .select(col("doc_id"), col("toks"), col("cum"),

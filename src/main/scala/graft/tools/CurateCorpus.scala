@@ -185,15 +185,11 @@ object CurateCorpus {
           .select(col(textCol), lit(true).as("_ist"))
           .unionByName(afterDecon
             .select(col(textCol), lit(false).as("_ist")))
-        val ratios = broadcast(TextOps.dsirRatios(
-          combined, textCol, col("_ist"), nBuckets = nB))
-        val scores = afterDecon
-          .select(col(idCol),
-            explode(TextOps.ngrams(col(textCol), 2)).as("gram"))
-          .withColumn("bucket", TextOps.dsirBucket(col("gram"), nB))
-          .join(ratios, Seq("bucket"))
-          .groupBy(col(idCol))
-          .agg(expr("sum(w) DIV count(1)").as("_score"))
+        val ratios = TextOps.dsirRatios(
+          combined, textCol, col("_ist"), nBuckets = nB)
+        val scores = TextOps.dsirScoresAgainst(
+            afterDecon, idCol, textCol, ratios, nB)
+          .select(col("id").as(idCol), col("score").as("_score"))
         stage("dsir_select", afterDecon
           .join(scores, Seq(idCol), "left")
           // docs with no bigrams carry no evidence: keep them (the

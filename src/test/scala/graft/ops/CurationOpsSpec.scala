@@ -70,6 +70,15 @@ class CurationOpsSpec extends AnyFunSuite {
     // and the aggregate view built on it is empty too
     assert(TextOps.curriculumPhases(docs, "doc_id", col("sc"),
       TextOps.tokenCount(col("text")), phases = 3).count() == 0L)
+    // a NON-empty frame with an all-null score column is a caller
+    // bug (wrong column): fail loudly, never silently emit zero rows
+    val badScores = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.curriculumAssign(badScores, "doc_id",
+        lit(null).cast("long"), TextOps.tokenCount(col("text")),
+        phases = 3).count()
+    }
+    assert(e.getMessage.contains("score column is null"))
   }
 
   test("curriculumPhases: contiguous score ranges with ~equal token mass") {

