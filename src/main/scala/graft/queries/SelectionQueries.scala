@@ -841,6 +841,70 @@ object SelectionQueries {
           |FROM fr GROUP BY 1 HAVING count(*) >= 2
           |ORDER BY n_frames DESC, frame_digest""".stripMargin)),
 
+    // IVF cell-balance audit: occupancy of every routing cell vs the
+    // uniform expectation — a skewed cell is a hot serving partition
+    // (one probe pays the whole corpus) and the number RecallProbe
+    // watches when comparing seedings. Same fixed-point Lloyd
+    // contract (and oracle chain) as q210; the audit is one
+    // assignment pass + a 4-row aggregate.
+    "q224_ivf_cell_balance" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val base = graft.Scratch.cache(
+          emb.filter(size(col("embedding")) === 64)
+            .select(col("vec_id").as("id"),
+              SemDedup.microsVec(col("embedding")).as("mv")))
+        val cells = SemDedup.lloyd(base, 4, 64, 1)
+        val assign = SemDedup.assignDist(base, cells)
+          .select(col("id"), col("cluster").cast("long").as("cell"))
+        assign.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+          .crossJoin(broadcast(assign.agg(count(lit(1)).as("n_total"))))
+          .withColumn("expected", expr("n_total DIV 4"))
+          .withColumn("dev_permille", expr(
+            "CASE WHEN expected = 0 THEN 0" +
+              " ELSE abs(n_vecs - expected) * 1000 DIV expected END"))
+          .select(col("cell"), col("n_vecs"), col("expected"),
+            col("dev_permille"))
+          .orderBy(col("cell"))
+      },
+      Some(
+        s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
+           |c0 AS MATERIALIZED (
+           | SELECT seed.j, e.gi AS i, e.m AS c
+           | FROM exall e JOIN seed USING (id)),
+           |d1 AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+           |  FROM exall e JOIN c0 c ON c.i = e.gi GROUP BY 1, 2),
+           |a1 AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM d1) WHERE rn = 1),
+           |u1 AS MATERIALIZED (
+           | SELECT a1.j, e.gi AS i, CAST(sum(e.m) AS BIGINT) // count(*) AS c
+           | FROM a1 JOIN exall e USING (id) GROUP BY 1, 2),
+           |c1 AS MATERIALIZED (SELECT * FROM u1 UNION ALL
+           | SELECT j, i, c FROM c0
+           | WHERE j NOT IN (SELECT j FROM u1)),
+           |dF AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+           |  FROM exall e JOIN c1 c ON c.i = e.gi GROUP BY 1, 2),
+           |aF AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF) WHERE rn = 1),
+           |occ AS (SELECT j AS cell, count(*) AS n_vecs FROM aF GROUP BY 1),
+           |tot AS (SELECT count(*) AS n_total FROM aF)
+           |SELECT CAST(cell AS BIGINT) AS cell,
+           | CAST(n_vecs AS BIGINT) AS n_vecs,
+           | CAST(n_total // 4 AS BIGINT) AS expected,
+           | CAST(CASE WHEN n_total // 4 = 0 THEN 0
+           |  ELSE abs(n_vecs - n_total // 4) * 1000 // (n_total // 4) END
+           |  AS BIGINT) AS dev_permille
+           |FROM occ, tot ORDER BY cell""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
