@@ -905,6 +905,85 @@ object SelectionQueries {
            |  AS BIGINT) AS dev_permille
            |FROM occ, tot ORDER BY cell""".stripMargin)),
 
+    // TPC-H Q6 shape (forecast revenue change): the pure pushed-
+    // filter scan-aggregate — date window, discount band, quantity
+    // cap, all reaching the parquet scan as PushedFilters (plan-
+    // pinned), one integer revenue cell out. The query that measures
+    // whether predicate pushdown works at all.
+    "q225_forecast_revenue" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_quantity") < 24 &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07)
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *
+          floor(col("l_discount") * 100).cast("long")).as("revenue_u"),
+          count(lit(1)).as("n_items")),
+      Some(
+        """SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+          |  AS revenue_u,
+          | count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_quantity < 24
+          |  AND l_discount >= 0.03 AND l_discount <= 0.07""".stripMargin)),
+
+    // STREAMING padding-waste monitor: q215's per-source card as a
+    // stream — per-doc token counts arrive, Complete-mode per-source
+    // (docs, tokens, padded) state, foreachBatch computes the
+    // permille; end-of-input equals q215's batch oracle exactly.
+    "q226_streaming_pad_waste" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.padSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "pad", ev)
+        val out = "/tmp/graft_stream_pad_out_" +
+          Integer.toHexString(dir.hashCode)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+          val query = stream
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("toks")).as("n_tokens"),
+              sum(expr(s"((toks + ${SeqLen - 1}) DIV $SeqLen) * $SeqLen"))
+                .as("padded_tokens"))
+            .writeStream
+            .outputMode(OutputMode.Complete)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.persist()
+              try batch
+                .withColumn("waste_permille", expr(
+                  "CASE WHEN padded_tokens = 0 THEN 0" +
+                    " ELSE (padded_tokens - n_tokens) * 1000" +
+                    " DIV padded_tokens END"))
+                .write.mode("overwrite").parquet(out)
+              finally batch.unpersist()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out).orderBy(col("source"))
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT source, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(toks) AS BIGINT) AS n_tokens,
+           | CAST(sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |  AS BIGINT) AS padded_tokens,
+           | CAST(CASE WHEN sum(((toks + ${SeqLen - 1}) // $SeqLen)
+           |    * $SeqLen) = 0 THEN 0
+           |  ELSE (sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |    - sum(toks)) * 1000
+           |   // sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen) END
+           |  AS BIGINT) AS waste_permille
+           |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

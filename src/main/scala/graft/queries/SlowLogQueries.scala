@@ -158,11 +158,21 @@ object SlowLogQueries {
       .select(col("doc_id"), col("text"))
   }
 
+  /** The q215 per-doc token counts as a stream fixture (q226 keeps
+    * the per-source (docs, tokens, padded) card as Complete state).
+    */
+  private[queries] def padSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("toks"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
-      "p95" -> p95Src _, "dsir" -> dsirSrc _)
+      "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes

@@ -445,6 +445,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("GreaterThan(l_shipdate"), p)
   }
 
+  test("q225 Q6 shape: every predicate reaches the parquet scan as " +
+    "a PushedFilter and the read schema is pruned to the 4 columns") {
+    // formatted explain — the plain treeString truncates the
+    // PushedFilters list mid-entry
+    val p = Registry.queries("q225_forecast_revenue")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p)
+    assert(p.contains("LessThanOrEqual(l_discount"), p)
+    // column pruning: a 4-column projection must not read the
+    // 11-column table
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey"),
+      read)
+  }
+
   test("5-way star join: no forced broadcast of sf-scaling inputs") {
     val p = plan("q191_local_supplier_volume")
     // nation (25 rows, fixed) broadcasts; at test sf AQE/statistics
