@@ -762,6 +762,137 @@ object SelectionQueries {
            |  AS BIGINT) AS waste_permille
            |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q14 shape (promotion effect): the conditional-share
+    // aggregate — PROMO-part revenue over total revenue in a date
+    // window, as one pass with a CASE inside the sum; integer
+    // permille out. Part joins on its key; nation-free.
+    "q227_promo_share" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-07-01")))
+          .select(col("l_partkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+        l.join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(0L)).as("promo_rev_u"),
+            sum(col("rev")).as("total_rev_u"))
+          .withColumn("promo_permille", expr(
+            "CASE WHEN total_rev_u = 0 THEN 0" +
+              " ELSE promo_rev_u * 1000 DIV total_rev_u END"))
+      },
+      Some(
+        """SELECT
+          | CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+          |   CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT))
+          |  ELSE 0 END) AS BIGINT) AS promo_rev_u,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS total_rev_u,
+          | CAST(CASE WHEN sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT))) = 0 THEN 0
+          |  ELSE sum(CASE WHEN p_type = 'PROMO' THEN
+          |    CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |    (100 - CAST(floor(l_discount * 100) AS BIGINT))
+          |   ELSE 0 END) * 1000
+          |   // sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |    (100 - CAST(floor(l_discount * 100) AS BIGINT))) END
+          |  AS BIGINT) AS promo_permille
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin)),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive brackets):
+    // OR-of-conjunctions over (brand, quantity band, size band) —
+    // the predicate shape that defeats naive pushdown and forces the
+    // optimizer to keep a residual filter; revenue per bracket plus
+    // the overall cell.
+    "q228_bracket_revenue" -> Q(
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").select(col("l_partkey"),
+          col("l_quantity"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev"))
+        val p = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .withColumn("bracket",
+            when(col("p_brand") === "Brand#1" &&
+              col("l_quantity") >= 1 && col("l_quantity") <= 11 &&
+              col("p_size").between(1, 5), lit(1L))
+            .when(col("p_brand") === "Brand#7" &&
+              col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+              col("p_size").between(1, 10), lit(2L))
+            .when(col("p_brand") === "Brand#20" &&
+              col("l_quantity") >= 20 && col("l_quantity") <= 30 &&
+              col("p_size").between(1, 15), lit(3L))
+            .otherwise(lit(0L)))
+          .filter(col("bracket") > 0)
+          .groupBy(col("bracket"))
+          .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revenue_u"))
+          .orderBy(col("bracket"))
+      },
+      Some(
+        """WITH j AS (
+          | SELECT CASE
+          |   WHEN p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+          |    AND p_size BETWEEN 1 AND 5 THEN 1
+          |   WHEN p_brand = 'Brand#7' AND l_quantity BETWEEN 10 AND 20
+          |    AND p_size BETWEEN 1 AND 10 THEN 2
+          |   WHEN p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30
+          |    AND p_size BETWEEN 1 AND 15 THEN 3
+          |   ELSE 0 END AS bracket,
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev
+          | FROM lineitem JOIN part ON l_partkey = p_partkey)
+          |SELECT CAST(bracket AS BIGINT) AS bracket,
+          | count(*) AS n_items, CAST(sum(rev) AS BIGINT) AS revenue_u
+          |FROM j WHERE bracket > 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q15 shape (top supplier): suppliers whose windowed
+    // revenue EQUALS the maximum — the max-of-aggregate pattern as a
+    // broadcast 1-row join (Prefix.withGlobal), keeping ties, never
+    // a sorted limit (a limit would drop tied winners).
+    "q229_top_supplier" -> Q(
+      (s, dir) => {
+        val revs = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+          .select(col("l_suppkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("rev")).as("total_rev_u"))
+        Prefix.withGlobal(revs, "max_rev" -> max(col("total_rev_u")))
+          .filter(col("total_rev_u") === col("max_rev"))
+          .join(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_rev_u"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """WITH r AS (
+          | SELECT l_suppkey,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |   AS total_rev_u
+          | FROM lineitem
+          | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |   AND l_shipdate < TIMESTAMP '1996-04-01'
+          | GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_rev_u
+          |FROM r JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE total_rev_u = (SELECT max(total_rev_u) FROM r)
+          |ORDER BY s_suppkey""".stripMargin)),
+
     // Pack MANIFEST: the artifact an LM data loader actually
     // consumes — per training sequence, which docs land in it and
     // how many of its SeqLen token slots each contributes (interval
