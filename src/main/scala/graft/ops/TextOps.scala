@@ -1205,7 +1205,12 @@ object TextOps {
     df.select(col(idCol).as("id"),
         explode(ngrams(col(textCol), 2)).as("gram"))
       .withColumn("bucket", dsirBucket(col("gram"), nBuckets))
-      .join(broadcast(ratios), Seq("bucket"))
+      // LEFT join: a gram whose bucket was unseen at fit time (novel
+      // streaming vocabulary) gets the add-one-smoothed default ratio
+      // (0+1)*1e6 DIV (0+1) = 1e6, instead of silently dropping the
+      // gram (and, when all grams miss, the whole doc)
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .withColumn("w", coalesce(col("w"), lit(1000000L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("w_sum"))
       .withColumn("score", expr("w_sum DIV n_grams"))

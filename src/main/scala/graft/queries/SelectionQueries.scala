@@ -514,6 +514,9 @@ object SelectionQueries {
           " THEN 1 ELSE 0 END")
         val byId = Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
           .select(col("doc_id"), boundary.as("b_id"))
+        // packed (src_idx, doc_id) key: safe here because fixture
+        // doc_ids are dense non-negative longs < 1e12 (PackCorpus,
+        // the general CLI, validates this precondition explicitly)
         val bySrc = Prefix.cumSum(
             tk.join(broadcast(srcIdx), Seq("source"))
               .withColumn("ord",
@@ -641,12 +644,18 @@ object SelectionQueries {
         val disc = (1L to 10L).map(i =>
           (i, 1000000L / (64 - java.lang.Long.numberOfLeadingZeros(i + 1))))
           .toDF("i", "d")
-        agg.crossJoin(broadcast(disc))
+        // LEFT-join the ideal table back so an anchor with zero
+        // relevant candidates still emits a row (all-zero metrics) —
+        // consistent with sibling q206, which keeps such anchors
+        val ideal = agg.crossJoin(broadcast(disc))
           .filter(col("i") <= least(col("n_rel"), lit(10L)))
-          .groupBy(col("anchor_id"), col("n_rel"), col("dcg_x1e6"))
+          .groupBy(col("anchor_id"))
           .agg(sum(col("d")).as("idcg_x1e6"))
+        agg.join(ideal, Seq("anchor_id"), "left")
+          .withColumn("idcg_x1e6", coalesce(col("idcg_x1e6"), lit(0L)))
           .withColumn("ndcg_permille",
-            expr("dcg_x1e6 * 1000 DIV idcg_x1e6"))
+            when(col("idcg_x1e6") === 0L, lit(0L))
+              .otherwise(expr("dcg_x1e6 * 1000 DIV idcg_x1e6")))
           .select(col("anchor_id"), col("n_rel"), col("dcg_x1e6"),
             col("idcg_x1e6"), col("ndcg_permille"))
           .orderBy(col("anchor_id"))
@@ -679,9 +688,10 @@ object SelectionQueries {
            | GROUP BY 1)
            |SELECT ag.anchor_id, CAST(n_rel AS BIGINT) AS n_rel,
            | CAST(dcg_x1e6 AS BIGINT) AS dcg_x1e6,
-           | CAST(idcg_x1e6 AS BIGINT) AS idcg_x1e6,
-           | CAST(dcg_x1e6 * 1000 // idcg_x1e6 AS BIGINT) AS ndcg_permille
-           |FROM ag JOIN ideal USING (anchor_id)
+           | CAST(COALESCE(idcg_x1e6, 0) AS BIGINT) AS idcg_x1e6,
+           | CAST(CASE WHEN COALESCE(idcg_x1e6, 0) = 0 THEN 0
+           |  ELSE dcg_x1e6 * 1000 // idcg_x1e6 END AS BIGINT) AS ndcg_permille
+           |FROM ag LEFT JOIN ideal USING (anchor_id)
            |ORDER BY anchor_id""".stripMargin)),
 
     // Deterministic importance RESAMPLING on q205's weights: accept a

@@ -36,6 +36,7 @@ import graft.ops.{BloomExpressions, Dedup, TextOps}
   *     [--id doc_id] [--text text] [--lang en|any]
   *     [--min-tokens 5] [--max-tokens 100000]
   *     [--holdout h.parquet] [--dsir-target t.parquet]
+  *     [--dsir-buckets 4096]
   *     [--temperature none|0.5] [--source source]
   *     [--target-shares src0:300,src1:40] [--curriculum 3]
   *     [--shards 16] [--salt epoch1]"

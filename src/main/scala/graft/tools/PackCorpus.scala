@@ -72,6 +72,21 @@ object PackCorpus {
     val tk = graft.Scratch.cache(order match {
       case "id" => tk0.withColumn("ord", col("id"))
       case "source" =>
+        // The source-order key packs (src_idx, id) into one long, so
+        // it is only collision-free for non-null ids in [0, 1e12).
+        // Snowflake/hash-range/negative/non-numeric ids (the cast
+        // yields null) would silently collide or interleave across
+        // source blocks, violating cumSum's distinct-order contract
+        // and corrupting the manifest — fail loudly instead. Cheap:
+        // a column-pruned scan of the id column only.
+        val badIds = docs
+          .select(col(idCol).cast("long").as("id"))
+          .filter(col("id").isNull || col("id") < 0L ||
+            col("id") >= 1000000000000L)
+          .count()
+        require(badIds == 0L, s"--order source requires ids castable " +
+          s"to long in [0, 1e12) (got $badIds violating rows); " +
+          "re-index doc ids densely or use --order id")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_p")).orderBy(col("source"))
         val srcIdx = tk0.select(col("source")).distinct()
