@@ -41,7 +41,7 @@ object Registry {
     CoreQueries.all ++ SlowLogQueries.all ++ OpsQueries.all ++
       ExtendedQueries.all ++ PipelineQueries.all ++ ScaleQueries.all ++
       AuditQueries.all ++ SpanQueries.all ++ LearnQueries.all ++
-      CurationQueries.all ++ SelectionQueries.all
+      CurationQueries.all ++ SelectionQueries.all ++ WarehouseQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

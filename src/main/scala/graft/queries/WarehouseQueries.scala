@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 warehouse shapes: the hard TPC-H join patterns the board
+  * lacked — Q1's canonical wide multi-aggregate pricing summary
+  * (q230), Q21's double EXISTS/NOT-EXISTS self-join on the fact
+  * table realized as semi+anti joins (q231), and the two correlated
+  * scalar-aggregate subqueries Q17 (q232) and a Q20-style dominant-
+  * supplier pattern (q233), both decorrelated into aggregate-joins —
+  * one aggregation pass per key, never per-row re-aggregation.
+  *
+  * Money math follows the registry convention (q190/q227): integer
+  * revenue units `floor(price*100) * (100 - floor(disc*100))` so the
+  * DuckDB oracle reproduces every hash bit-for-bit — no DECIMAL in
+  * final results, no float accumulation order hazard.
+  *
+  * Scale notes: every join here shuffles on its key or semi/anti-
+  * joins the fact table against itself on the order key; the only
+  * broadcast() hints are fixed-size inputs (the 25-row nation
+  * table), per the q191 rule — sf-scaling frames (filtered part
+  * subsets, per-part aggregates) are left to AQE, which will
+  * broadcast them when runtime stats allow and shuffle when not.
+  */
+object WarehouseQueries {
+
+  import Registry.Q
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Registry.table(spark, dir, name)
+
+  /** Integer revenue units: cents x (100 - discount%). */
+  private def revU(price: String, disc: String) =
+    floor(col(price) * 100).cast("long") *
+      (lit(100L) - floor(col(disc) * 100).cast("long"))
+
+  def all: Map[String, Q] = Map(
+
+    // TPC-H Q1 shape (pricing summary): the canonical wide
+    // multi-aggregate scan — one pass over lineitem, six aggregates
+    // with expression arithmetic per row, grouped by the 6-cell
+    // (returnflag, linestatus) domain. Whole-stage-codegen hash agg
+    // with map-side partials; integer units make disc_price and
+    // charge exact (charge = cents x (100-d%) x (100+t%), so 1e4 x
+    // the dollar value). Averages are truncating integer ratios of
+    // the group sums.
+    "q230_pricing_summary" -> Q(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("ep_u"),
+          floor(col("l_discount") * 100).cast("long").as("disc_c"),
+          floor(col("l_tax") * 100).cast("long").as("tax_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty")).as("sum_qty"),
+          sum(col("ep_u")).as("sum_base_u"),
+          sum(col("ep_u") * (lit(100L) - col("disc_c"))).as("sum_disc_u"),
+          sum(col("ep_u") * (lit(100L) - col("disc_c")) *
+            (lit(100L) + col("tax_c"))).as("sum_charge_u"),
+          sum(col("disc_c")).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_centi", expr("sum_qty * 100 DIV count_order"))
+        .withColumn("avg_price_u", expr("sum_base_u DIV count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+          |  AS BIGINT) AS sum_base_u,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |  AS sum_disc_u,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |  (100 - CAST(floor(l_discount * 100) AS BIGINT)) *
+          |  (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS BIGINT)
+          |  AS sum_charge_u,
+          | CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+          |  AS sum_disc_c,
+          | count(*) AS count_order,
+          | CAST(sum(CAST(l_quantity AS BIGINT)) * 100 // count(*)
+          |  AS BIGINT) AS avg_qty_centi,
+          | CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+          |  // count(*) AS BIGINT) AS avg_price_u
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // classic double-correlated self-join stress on the fact table.
+    // The schema has no commit/receipt dates, so "failed the order"
+    // is marked by l_returnflag = 'R' on a finalized ('F') order:
+    // count, per supplier, the returned line items on orders where
+    // at least one OTHER supplier also shipped (EXISTS -> LEFT SEMI
+    // self-join on the order key with a suppkey-inequality residual)
+    // but no OTHER supplier's item was returned (NOT EXISTS -> LEFT
+    // ANTI self-join, same shape). Both realized as single-shuffle
+    // joins on l_orderkey — PlanShapeSpec pins semi+anti presence
+    // and the absence of any cartesian/nested-loop fallback.
+    "q231_waiting_supplier" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l2 = li.select(col("l_orderkey").as("o2"),
+          col("l_suppkey").as("s2"))
+        val l3 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(l2, col("l_orderkey") === col("o2") &&
+            col("l_suppkey") =!= col("s2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("o3") &&
+            col("l_suppkey") =!= col("s3"), "left_anti")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          | AND o_orderstatus = 'F'
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |WHERE l1.l_returnflag = 'R'
+          | AND EXISTS (SELECT 1 FROM lineitem l2
+          |  WHERE l2.l_orderkey = l1.l_orderkey
+          |   AND l2.l_suppkey <> l1.l_suppkey)
+          | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |  WHERE l3.l_orderkey = l1.l_orderkey
+          |   AND l3.l_suppkey <> l1.l_suppkey
+          |   AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar-aggregate subquery — "lines whose quantity is under 20%
+    // of the part's average" — DECORRELATED: one groupBy computes
+    // (count, sum qty) per part, joined back to the line rows; the
+    // per-row predicate qty < 0.2 * avg becomes the integer-exact
+    // cross-multiplication qty * 5 * n < sum_qty. The brand filter
+    // restricts lineitem FIRST (partkey-equijoin against the
+    // filtered part list), and because the restriction is by the
+    // aggregation key, per-part aggregates over the restricted frame
+    // equal those over the full table — the subquery never scans
+    // unqualified parts' lines. One cached pass feeds both the
+    // aggregate and the probe side.
+    "q232_small_qty_revenue" -> Q(
+      (s, dir) => {
+        val qual = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+          .select(col("p_partkey"))
+        val li = graft.Scratch.cache(t(s, dir, "lineitem")
+          .join(qual, col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"),
+            floor(col("l_extendedprice") * 100).cast("long").as("ep_u")))
+        val ag = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sq"))
+        li.join(ag, Seq("l_partkey"))
+          .filter(col("qty") * lit(5L) * col("n") < col("sq"))
+          .agg(count(lit(1)).as("n_small"),
+            coalesce(sum(col("ep_u")), lit(0L)).as("s"))
+          .select(col("n_small"),
+            expr("s DIV 7").as("avg_yearly_u"))
+      },
+      Some(
+        """WITH q AS (SELECT p_partkey FROM part
+          |  WHERE p_brand = 'Brand#23' AND p_size <= 15),
+          |li AS (
+          | SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) AS ep_u
+          | FROM lineitem JOIN q ON l_partkey = p_partkey),
+          |ag AS (
+          | SELECT l_partkey, count(*) AS n, sum(qty) AS sq
+          | FROM li GROUP BY 1)
+          |SELECT count(*) AS n_small,
+          | CAST(CAST(COALESCE(sum(ep_u), 0) AS BIGINT) // 7 AS BIGINT)
+          |  AS avg_yearly_u
+          |FROM li JOIN ag USING (l_partkey)
+          |WHERE qty * 5 * n < sq""".stripMargin)),
+
+    // TPC-H Q20 shape (qualifying suppliers): the nested
+    // IN-subquery-with-correlated-aggregate pattern, restated for
+    // this schema (no partsupp table): suppliers who DOMINATED the
+    // 1996 supply of some red part — their (supplier, part) shipped
+    // quantity exceeds half the part's total — surfaced by name and
+    // nation. Decorrelation: the per-part total is ONE aggregate
+    // joined to the (supplier, part) rollup (never recomputed per
+    // row), and the outer IN becomes a LEFT SEMI join onto supplier.
+    // Both rollups come from one cached scan of the 1996 window; the
+    // only broadcast() is the fixed-size nation table.
+    "q233_dominant_supplier" -> Q(
+      (s, dir) => {
+        val li = graft.Scratch.cache(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty")))
+        val partQty = li.groupBy(col("l_partkey"))
+          .agg(sum(col("qty")).as("part_qty"))
+        val suppPart = li
+          .join(t(s, dir, "part")
+            .filter(col("p_name").startsWith("red"))
+            .select(col("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("qty")).as("supp_qty"))
+        val dominant = suppPart.join(partQty, Seq("l_partkey"))
+          .filter(col("supp_qty") * 2 > col("part_qty"))
+        t(s, dir, "supplier")
+          .join(dominant, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(
+        """WITH li AS (
+          | SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+          | FROM lineitem
+          | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |   AND l_shipdate < TIMESTAMP '1997-01-01'),
+          |pq AS (SELECT l_partkey, sum(qty) AS part_qty
+          |       FROM li GROUP BY 1),
+          |sp AS (SELECT l_suppkey, l_partkey, sum(qty) AS supp_qty
+          |       FROM li JOIN part ON l_partkey = p_partkey
+          |       WHERE p_name LIKE 'red%' GROUP BY 1, 2)
+          |SELECT s_suppkey, s_name, n_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (
+          | SELECT l_suppkey FROM sp JOIN pq USING (l_partkey)
+          | WHERE supp_qty * 2 > part_qty)
+          |ORDER BY s_suppkey""".stripMargin))
+  )
+}

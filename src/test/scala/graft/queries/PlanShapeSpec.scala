@@ -498,6 +498,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"$hinted forced broadcast hints (expected <= 2, nation roles only):\n$opt")
   }
 
+  test("q231 Q21 shape: EXISTS/NOT-EXISTS realize as semi + anti " +
+    "joins on the order key, never a cartesian") {
+    val p = plan("q231_waiting_supplier")
+    // the double self-correlation must plan as ONE semi and ONE anti
+    // join on l_orderkey with the suppkey inequality as a join
+    // residual — a nested-loop or cartesian fallback here would scan
+    // lineitem^2 at scale
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // top-20 must be a bounded-heap TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q232/q233 correlated scalar aggregates decorrelate to ONE " +
+    "aggregate-join (no per-row re-aggregation, no forced broadcast " +
+    "of sf-scaling sides)") {
+    for (q <- Seq("q232_small_qty_revenue", "q233_dominant_supplier")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+      val opt = Registry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      // q232's part filter and per-part aggregate SCALE with sf — no
+      // forced hints there; q233 may hint only the 25-row nation
+      val hinted = "strategy=broadcast".r.findAllIn(opt).size
+      val allowed = if (q.startsWith("q233")) 1 else 0
+      assert(hinted <= allowed,
+        s"$q: $hinted forced broadcast hints (expected <= $allowed):\n$opt")
+    }
+    // q232's decorrelated aggregate feeds from the SAME cached scan
+    // as the probe side — one pass over the brand-restricted lines
+    assert(plan("q232_small_qty_revenue").contains("InMemoryTableScan"))
+  }
+
   test("mixture reweight: corpus never shuffles past the count aggregate") {
     val p = plan("q175_mixture_reweight")
     // counts + targets are catalog-sized: both joins broadcast
