@@ -6,17 +6,211 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata structs; decode /
-  * feature-extract runs batched per partition (`mapPartitions`) so a
-  * real decoder would amortize codec/model initialization per task —
-  * the Scala analog of `mapInPandas` batch UDFs.
+  * feature-extract runs batched per partition (`mapPartitions`) so
+  * codec/model initialization amortizes per task — the Scala analog
+  * of `mapInPandas` batch UDFs.
   *
-  * The decode itself is a STUB (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake metadata from
-  * the raw bytes. The Spark-side plumbing — schema, partitioning,
-  * batch iteration, output shape — is real and oracle-checked (byte
-  * length and md5 digest are computed from the actual payload).
+  * IMAGES decode FOR REAL via the JDK's own codec
+  * (`javax.imageio.ImageIO`, PNG/JPEG — no external dependency):
+  * [[decodeImages]] / [[resizeImages]] / [[extractImageFeatures]]
+  * parse the actual payload bytes into pixels and derive their
+  * outputs from decoded channel values. Test images come from
+  * [[synthesizeImages]] — deterministic PNGs whose pixel (x,y,c) is
+  * pure modular arithmetic in (id,x,y,c), so a DuckDB oracle can
+  * recompute every channel statistic WITHOUT a codec: the hashes
+  * only match if the decode returns the exact encoded pixels.
+  *
+  * Audio/video decode remains a STUB (the container has no codecs
+  * for those): [[decodeStub]] derives deterministic fake metadata
+  * from raw bytes; the Spark-side plumbing — schema, partitioning,
+  * batch iteration, output shape — is real and oracle-checked.
   */
 object Multimodal {
+
+  // ---- real image path (javax.imageio) -----------------------------
+
+  /** Deterministic synthetic-image spec shared with every oracle:
+    * width `8 + id % 5`, height `8 + id % 3`, channel value
+    * `(id*31 + x*7 + y*13 + c*97) mod 256` (c = 0/1/2 for R/G/B).
+    */
+  def imageWidth(id: Long): Int = (8 + id % 5).toInt
+  def imageHeight(id: Long): Int = (8 + id % 3).toInt
+  def pixelValue(id: Long, x: Int, y: Int, c: Int): Int =
+    java.lang.Math.floorMod(id * 31 + x * 7 + y * 13 + c * 97, 256L).toInt
+
+  /** Encode one synthetic image to real PNG bytes (lossless — decode
+    * returns the exact [[pixelValue]] grid).
+    */
+  def encodePng(id: Long): Array[Byte] = {
+    val w = imageWidth(id); val h = imageHeight(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pixelValue(id, x, y, 0) << 16) |
+          (pixelValue(id, x, y, 1) << 8) | pixelValue(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (id, payload) frame of real PNG payloads, batched per partition
+    * (encoder state amortized; in-memory stream cache — no temp-file
+    * I/O per image).
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else Iterator.single(Row(r.getLong(0), encodePng(r.getLong(0))))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("px_checksum", LongType)))
+
+  /** Decode each payload's header+pixels with the REAL JDK codec and
+    * emit dimensions, per-channel sums, and a position-weighted red
+    * checksum (`sum (y*w + x + 1) * r` — pixel scrambling flips it).
+    * Undecodable payloads yield a null-metadata row instead of
+    * failing the job (one corrupt file never kills a 100 TB pass).
+    */
+  def decodeImages(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val img = readImage(r.getAs[Array[Byte]](1))
+          if (img == null) Row(id, null, null, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                val red = (v >> 16) & 0xff
+                sr += red; sg += (v >> 8) & 0xff; sb += v & 0xff
+                ck += (y.toLong * w + x + 1) * red
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, sr, sg, sb, ck)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageMetaSchema)
+  }
+
+  /** Null-safe ImageIO decode: null/corrupt bytes -> null. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+
+  /** REAL resize: decode with ImageIO, nearest-neighbor resample to
+    * (targetW, targetH) — source pixel `(x*w DIV tw, y*h DIV th)`,
+    * the deterministic kernel both engines can reproduce (Graphics2D
+    * interpolation would be JVM-implementation-defined) — and emit
+    * the resized grid's channel sums. Batched per partition like
+    * every media op.
+    */
+  def resizeImages(media: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val img = readImage(r.getAs[Array[Byte]](1))
+          if (img == null) Row(id, null, null, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+            var y = 0
+            while (y < targetH) {
+              val sy = y * h / targetH
+              var x = 0
+              while (x < targetW) {
+                val v = img.getRGB(x * w / targetW, sy)
+                val red = (v >> 16) & 0xff
+                sr += red; sg += (v >> 8) & 0xff; sb += v & 0xff
+                ck += (y.toLong * targetW + x + 1) * red
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, targetW, targetH, sr, sg, sb, ck)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageMetaSchema)
+  }
+
+  /** REAL pixel features: decode, then `dims` components where
+    * component d sums (r+g+b) over pixels whose row-major index ≡ d
+    * (mod dims) — a strided-pooling signature of the decoded grid.
+    * Integer-valued floats (< 2^24), so downstream cosine math stays
+    * oracle-exact. The on-ramp from image columns into the ANN /
+    * near-dup vector operators.
+    */
+  def extractImageFeatures(media: DataFrame, idCol: String,
+      payloadCol: String, dims: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val img = if (r.isNullAt(0)) null else readImage(r.getAs[Array[Byte]](1))
+          if (img == null) Iterator.empty // undecodable: no features
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val acc = new Array[Long](dims)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                acc((y * w + x) % dims) +=
+                  ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(Row(r.getLong(0), acc.map(_.toFloat).toSeq))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("id", LongType),

@@ -27,6 +27,30 @@ object OpsQueries {
   /** whitespace tokens, empties dropped */
   private[queries] val toksSql = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** Synthetic-image dimension CTE, mirroring
+    * [[graft.ops.Multimodal.imageWidth]]/`imageHeight`.
+    */
+  private[queries] val pixelDimsCte =
+    """d AS (SELECT doc_id, CAST(8 + doc_id % 5 AS INTEGER) AS w,
+      |      CAST(8 + doc_id % 3 AS INTEGER) AS h FROM documents)""".stripMargin
+
+  /** Full decoded-pixel oracle CTE chain `d` + `px(doc_id,w,h,x,y,
+    * r,g,b)`, mirroring [[graft.ops.Multimodal.pixelValue]]. DuckDB's
+    * generate_series cannot take lateral column bounds, so the grid
+    * is the fixed 12x10 envelope (max w = 8+4, max h = 8+2) filtered
+    * to each image's true extent.
+    */
+  private[queries] val pixelCtes =
+    s"""$pixelDimsCte,
+       |px AS (
+       | SELECT doc_id, w, h, x, y,
+       |  (doc_id*31 + x*7 + y*13) % 256 AS r,
+       |  (doc_id*31 + x*7 + y*13 + 97) % 256 AS g,
+       |  (doc_id*31 + x*7 + y*13 + 194) % 256 AS b
+       | FROM d, generate_series(0, 11) AS tx(x),
+       |  generate_series(0, 9) AS ty(y)
+       | WHERE x < w AND y < h)""".stripMargin
+
   /** DuckDB equivalent of TextOps.hash32 */
   private def h32(e: String) = s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
@@ -740,26 +764,41 @@ object OpsQueries {
           |   CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS t(f)
           |ORDER BY doc_id, frame_idx""".stripMargin)),
 
-    // batched binary->binary resize; targetBytes=40 < every document
-    // length (min 44 across SFs), so the oracle only needs the
-    // truncation arm — DuckDB's md5 is VARCHAR-only and can't hash the
-    // NUL zero-padding; the pad arm stays pinned by OpsSpec. Docs are
-    // ASCII, so char slicing equals the kernel's byte slicing.
+    // REAL image resize: PNG payloads ([[Multimodal.synthesizeImages]])
+    // are decoded by the JDK codec, nearest-neighbor resampled to 6x4
+    // (source pixel (x*w DIV 6, y*h DIV 4)), and the RESIZED grid's
+    // channel sums + position-weighted checksum emitted. The oracle
+    // recomputes the resample arithmetically from the deterministic
+    // pixel spec — a wrong decode or wrong sample index flips the
+    // hash. (The byte-level truncation resize remains covered by
+    // OpsSpec's resizePayloads pin.)
     "q49_multimodal_resize" -> Q(
       (s, dir) => {
-        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
-        Multimodal.resizePayloads(docs, "doc_id", "payload", targetBytes = 40)
+        val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
+        Multimodal.resizeImages(imgs, "id", "payload", targetW = 6, targetH = 4)
           .withColumnRenamed("id", "doc_id")
-          .select(col("doc_id"),
-            length(col("payload")).as("n_bytes"),
-            md5(col("payload")).as("digest"))
           .orderBy(col("doc_id"))
       },
       Some(
-        """SELECT doc_id,
-          | CAST(40 AS INTEGER) AS n_bytes,
-          | md5(substring(text, 1, 40)) AS digest
-          |FROM documents ORDER BY doc_id""".stripMargin)),
+        s"""WITH $pixelDimsCte,
+           |rp AS (
+           | SELECT doc_id, w, h, x, y,
+           |  (x * w) // 6 AS sx, (y * h) // 4 AS sy
+           | FROM d, generate_series(0, 5) AS tx(x),
+           |  generate_series(0, 3) AS ty(y)),
+           |px AS (
+           | SELECT doc_id, x, y,
+           |  (doc_id*31 + sx*7 + sy*13) % 256 AS r,
+           |  (doc_id*31 + sx*7 + sy*13 + 97) % 256 AS g,
+           |  (doc_id*31 + sx*7 + sy*13 + 194) % 256 AS b
+           | FROM rp)
+           |SELECT doc_id, CAST(6 AS INTEGER) AS width,
+           | CAST(4 AS INTEGER) AS height,
+           | CAST(sum(r) AS BIGINT) AS sum_r,
+           | CAST(sum(g) AS BIGINT) AS sum_g,
+           | CAST(sum(b) AS BIGINT) AS sum_b,
+           | CAST(sum((y*6 + x + 1) * r) AS BIGINT) AS px_checksum
+           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // per-stratum quality floor by EXACT discrete median (lower
     // median = order statistic at rank (n+1) DIV 2): integer-exact
@@ -952,31 +991,61 @@ object OpsQueries {
            | min(doc_id) AS first_id, max(doc_id) AS last_id
            |FROM c GROUP BY 1, 2 ORDER BY lang, block""".stripMargin)),
 
-    // multimodal -> similarity composition: batched (stub) feature
-    // extraction over binary payloads feeding exact ANN top-k — the
-    // pipeline on-ramp from media columns into the vector operators.
-    // Feature components are integer-valued floats (exact in both
-    // engines), so the cosines are oracle-checkable.
+    // multimodal -> similarity composition over REAL decoded pixels:
+    // PNG payloads decode via the JDK codec, 16-dim strided-pooling
+    // features (component d = sum of r+g+b over pixels with row-major
+    // index ≡ d mod 16) feed exact ANN top-k — the pipeline on-ramp
+    // from image columns into the vector operators. Components are
+    // integer-valued floats (exact in both engines), so the cosines
+    // are oracle-checkable; the oracle re-derives the features from
+    // the deterministic pixel spec WITHOUT a codec.
     "q55_multimodal_ann" -> Q(
       (s, dir) => {
-        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
+        val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
         val feats = graft.Scratch.cache(
-          Multimodal.extractFeatures(docs, "doc_id", "payload", dims = 16))
+          Multimodal.extractImageFeatures(imgs, "id", "payload", dims = 16))
         val qv = typedLit(feats.filter(col("id") === 0)
           .select(col("features")).head().getSeq[Float](0))
         Similarity.topKCosine(feats, "id", "features", qv, 10)
           .withColumnRenamed("id", "doc_id")
       },
       Some(
-        s"""WITH f AS (
-           | SELECT doc_id, list_transform(generate_series(0, 15), d ->
-           |  CAST((('0x' || substr(md5(text || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
-           |   % 1001) - 500 AS FLOAT)) AS features
-           | FROM documents),
+        s"""WITH $pixelCtes,
+           |fd AS (
+           | SELECT doc_id, (y*w + x) % 16 AS dim,
+           |  CAST(sum(r + g + b) AS BIGINT) AS s
+           | FROM px GROUP BY 1, 2),
+           |f AS (
+           | SELECT doc_id, list(CAST(s AS FLOAT) ORDER BY dim) AS features
+           | FROM fd GROUP BY doc_id),
            |q AS (SELECT features AS qe FROM f WHERE doc_id = 0),
            |c AS (SELECT doc_id, round(${cosSql("features", "qe", 16)}, 6) AS cos
            |      FROM f, q)
            |SELECT doc_id, cos FROM c ORDER BY cos DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Decoded-image audit: REAL JDK decode of every PNG payload —
+    // dimensions, per-channel sums, position-weighted checksum. The
+    // oracle recomputes all five statistics from the deterministic
+    // pixel spec by pure arithmetic (no codec on the DuckDB side):
+    // the hash only matches if ImageIO returned the exact encoded
+    // pixel grid. MultimodalSpec additionally pins a known image's
+    // bytes (PNG magic, round-trip pixel identity, corrupt-payload
+    // null channel).
+    "q234_image_decode" -> Q(
+      (s, dir) => {
+        val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
+        Multimodal.decodeImages(imgs, "id", "payload")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH $pixelCtes
+           |SELECT doc_id, max(w) AS width, max(h) AS height,
+           | CAST(sum(r) AS BIGINT) AS sum_r,
+           | CAST(sum(g) AS BIGINT) AS sum_g,
+           | CAST(sum(b) AS BIGINT) AS sum_b,
+           | CAST(sum((y*w + x + 1) * r) AS BIGINT) AS px_checksum
+           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     "q30_multimodal_meta" -> Q(
       (s, dir) => {

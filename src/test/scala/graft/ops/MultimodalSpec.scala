@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Pins the REAL image path: PNG bytes out of [[Multimodal.encodePng]]
+  * are a genuine PNG container, the JDK codec round-trips the exact
+  * pixel grid, the decode/resize/feature kernels compute the
+  * documented statistics, and corrupt payloads degrade to null rows
+  * instead of failing the job.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "MultimodalSpec")
+  import spark.implicits._
+
+  test("encodePng emits a real PNG container (magic + IHDR dims)") {
+    val bytes = Multimodal.encodePng(3L)
+    // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // IHDR width/height are big-endian ints at offsets 16/20
+    def be32(off: Int) = (0 until 4).map(i =>
+      (bytes(off + i) & 0xff) << (8 * (3 - i))).sum
+    assert(be32(16) == Multimodal.imageWidth(3L))  // 11
+    assert(be32(20) == Multimodal.imageHeight(3L)) // 8
+  }
+
+  test("ImageIO round-trips the exact deterministic pixel grid") {
+    val id = 3L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(id)))
+    assert(img.getWidth == Multimodal.imageWidth(id))
+    assert(img.getHeight == Multimodal.imageHeight(id))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val v = img.getRGB(x, y)
+      assert(((v >> 16) & 0xff) == Multimodal.pixelValue(id, x, y, 0))
+      assert(((v >> 8) & 0xff) == Multimodal.pixelValue(id, x, y, 1))
+      assert((v & 0xff) == Multimodal.pixelValue(id, x, y, 2))
+    }
+  }
+
+  test("decodeImages computes channel sums from decoded pixels; " +
+    "corrupt payload yields a null row, not a failure") {
+    val media = Multimodal.synthesizeImages(
+      Seq(0L, 3L).toDF("doc_id"), "doc_id")
+      .union(Seq((99L, "not a png".getBytes("UTF-8")))
+        .toDF("id", "payload"))
+    val rows = Multimodal.decodeImages(media, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // id=3: 11x8 grid; expected stats by direct arithmetic
+    val (w, h) = (Multimodal.imageWidth(3L), Multimodal.imageHeight(3L))
+    val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+    assert(rows(3L).getInt(1) == w && rows(3L).getInt(2) == h)
+    assert(rows(3L).getLong(3) ==
+      px.map { case (x, y) => Multimodal.pixelValue(3L, x, y, 0).toLong }.sum)
+    assert(rows(3L).getLong(6) == px.map { case (x, y) =>
+      (y.toLong * w + x + 1) * Multimodal.pixelValue(3L, x, y, 0) }.sum)
+    // corrupt: id present, every metadata column null
+    assert(rows(99L).isNullAt(1) && rows(99L).isNullAt(6))
+  }
+
+  test("resizeImages nearest-neighbor samples (x*w DIV tw, y*h DIV th)") {
+    val media = Multimodal.synthesizeImages(Seq(7L).toDF("doc_id"), "doc_id")
+    val r = Multimodal.resizeImages(media, "id", "payload", 6, 4).head()
+    val (w, h) = (Multimodal.imageWidth(7L), Multimodal.imageHeight(7L))
+    val rp = for (y <- 0 until 4; x <- 0 until 6)
+      yield (x * w / 6, y * h / 4)
+    assert(r.getInt(1) == 6 && r.getInt(2) == 4)
+    assert(r.getLong(3) == rp.map { case (sx, sy) =>
+      Multimodal.pixelValue(7L, sx, sy, 0).toLong }.sum)
+    assert(r.getLong(5) == rp.map { case (sx, sy) =>
+      Multimodal.pixelValue(7L, sx, sy, 2).toLong }.sum)
+  }
+
+  test("extractImageFeatures pools r+g+b by row-major index mod dims") {
+    val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
+    val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)
+      .head().getSeq[Float](1)
+    val (w, h) = (Multimodal.imageWidth(4L), Multimodal.imageHeight(4L))
+    val exp = new Array[Long](16)
+    for (y <- 0 until h; x <- 0 until w)
+      exp((y * w + x) % 16) += (0 to 2)
+        .map(c => Multimodal.pixelValue(4L, x, y, c).toLong).sum
+    assert(feats.map(_.toLong) == exp.toSeq)
+  }
+}
