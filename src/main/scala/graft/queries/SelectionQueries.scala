@@ -1125,6 +1125,139 @@ object SelectionQueries {
            |  AS BIGINT) AS waste_permille
            |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // UPDATE-mode variant of the q226 padding monitor: the
+    // eviction-friendly sink design for UNBOUNDED key domains.
+    // Complete mode re-emits every key each batch — fine when keys
+    // are a bounded catalog (sources), quadratic output when they
+    // are not. Here each micro-batch emits ONLY the sources whose
+    // aggregate changed (Update semantics), the sink appends
+    // (epoch, row) records, and the final card is the latest-wins
+    // compaction per key — end-of-input equals q215's batch oracle
+    // exactly, proving no update was lost or duplicated.
+    "q235_streaming_pad_update" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.padSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "pad", ev)
+        val out = "/tmp/graft_stream_padu_out_" +
+          Integer.toHexString(dir.hashCode)
+        // append-only sink: re-runs must start clean
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+          val query = stream
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("toks")).as("n_tokens"),
+              sum(expr(s"((toks + ${SeqLen - 1}) DIV $SeqLen) * $SeqLen"))
+                .as("padded_tokens"))
+            .writeStream
+            .outputMode(OutputMode.Update)
+            .foreachBatch { (batch: DataFrame, epoch: Long) =>
+              // ONLY changed sources arrive here — append them
+              // stamped with the epoch; compaction happens at read
+              batch.withColumn("epoch", lit(epoch))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("epoch").desc)
+        s.read.parquet(out)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "epoch")
+          .withColumn("waste_permille", expr(
+            "CASE WHEN padded_tokens = 0 THEN 0" +
+              " ELSE (padded_tokens - n_tokens) * 1000" +
+              " DIV padded_tokens END"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("padded_tokens"), col("waste_permille"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT source, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(toks) AS BIGINT) AS n_tokens,
+           | CAST(sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |  AS BIGINT) AS padded_tokens,
+           | CAST(CASE WHEN sum(((toks + ${SeqLen - 1}) // $SeqLen)
+           |    * $SeqLen) = 0 THEN 0
+           |  ELSE (sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen)
+           |    - sum(toks)) * 1000
+           |   // sum(((toks + ${SeqLen - 1}) // $SeqLen) * $SeqLen) END
+           |  AS BIGINT) AS waste_permille
+           |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // FULL-breadth manifest integrity: q221 checks the first 50
+    // sequences row-by-row; this grades the COMPLETE packing
+    // manifest as one artifact — count, sequence count (max+1:
+    // spans touch every interior id), total filled slots (== total
+    // tokens), and q66's order-independent bit_xor fingerprint over
+    // every (doc, seq, start_slot, n_slots) row. One map-side-
+    // combinable aggregate; any lost, duplicated, or mis-sliced
+    // manifest row anywhere in the corpus flips the hash.
+    "q236_manifest_checksum" -> Q(
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        Prefix.cumSum(tk, "doc_id", col("toks"), "cum")
+          .filter(col("toks") > 0)
+          .select(col("doc_id"), col("toks"), col("cum"),
+            explode(sequence(expr(s"(cum - toks) DIV $SeqLen"),
+              expr(s"(cum - 1) DIV $SeqLen"))).as("seq_id"))
+          .withColumn("start_slot", expr(
+            s"greatest(cum - toks, seq_id * $SeqLen) - seq_id * $SeqLen"))
+          .withColumn("n_slots", expr(
+            s"least(cum, (seq_id + 1) * $SeqLen)" +
+              s" - greatest(cum - toks, seq_id * $SeqLen)"))
+          .agg(count(lit(1)).as("n_rows"),
+            (max(col("seq_id")) + 1).as("n_seqs"),
+            sum(col("n_slots")).as("total_slots"),
+            bit_xor(TextOps.rowHash(col("doc_id"), col("seq_id"),
+              col("start_slot"), col("n_slots"))).as("manifest_xor"))
+      },
+      Some(
+        s"""WITH tk AS (
+           | SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS toks
+           | FROM documents),
+           |c AS (
+           | SELECT doc_id, toks, sum(toks) OVER (ORDER BY doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           | FROM tk),
+           |sp AS (
+           | SELECT doc_id, toks, cum,
+           |  unnest(generate_series(
+           |   CAST((cum - toks) // $SeqLen AS BIGINT),
+           |   CAST((cum - 1) // $SeqLen AS BIGINT))) AS seq_id
+           | FROM c WHERE toks > 0),
+           |m AS (
+           | SELECT doc_id, seq_id,
+           |  greatest(cum - toks, seq_id * $SeqLen) - seq_id * $SeqLen
+           |   AS start_slot,
+           |  least(cum, (seq_id + 1) * $SeqLen)
+           |   - greatest(cum - toks, seq_id * $SeqLen) AS n_slots
+           | FROM sp)
+           |SELECT count(*) AS n_rows,
+           | CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+           | CAST(sum(n_slots) AS BIGINT) AS total_slots,
+           | CAST(bit_xor(('0x' || substr(md5(
+           |   CAST(doc_id AS VARCHAR) || chr(1) ||
+           |   CAST(seq_id AS VARCHAR) || chr(1) ||
+           |   CAST(start_slot AS VARCHAR) || chr(1) ||
+           |   CAST(n_slots AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT)
+           |  AS manifest_xor
+           |FROM m""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
