@@ -32,15 +32,21 @@ import org.apache.spark.sql.functions._
   *     needs a sequential scan per cluster; the lower-id rule is the
   *     standard order-free simplification and errs on dropping more.)
   *
-  * 100 TB posture: assignment is a broadcast join of the exploded
-  * vectors against the CATALOG-sized (k x dims) centroid frame, then
-  * an id-keyed distance aggregate and struct-min argmax — all
-  * map-side combinable, no giant literal expressions (a per-centroid
-  * literal formula stacks k x dims constants into one codegen stage
-  * and re-analyzes them every iteration; measured 17 s -> ~2 s at
-  * 2000 x 64 with k = 8). Each Lloyd round's update collapses to
-  * (k x dims) partial sums; only catalog-sized statistics reach the
-  * driver (same posture as [[Similarity.ivfCentroids]]). The prune
+  * 100 TB posture: assignment is a FUSED codegen'd scan
+  * ([[VectorExpressions.nearestCentroid]]) — the (k x dims) codebook
+  * rides inside the expression as a reference object (not a literal
+  * formula: a per-centroid literal stacks k x dims constants into
+  * one codegen stage and re-analyzes them every iteration; measured
+  * 17 s -> ~2 s at 2000 x 64 with k = 8), costing k x dims long
+  * multiply-adds per row with ZERO shuffle. Each Lloyd round is ONE
+  * corpus pass: the assignment projection feeds the (cluster, dim)
+  * sum/count aggregate directly (map-side combine leaves k x dims
+  * rows per partition), so the round's shuffle is centroid-domain-
+  * sized and only (k x dims) longs reach the driver (same posture as
+  * [[Similarity.ivfCentroids]]). Wall-clock per round = corpus scan,
+  * not job-chain overhead — the fix that moved the semdedup_fit /
+  * pq_adc scaling exponents out of the overhead-bound regime
+  * (SCALING.md round-8 decade). The prune
   * self-joins WITHIN cluster cells only: pick k ~ N/target_cell so
   * cells stay bounded, and the join shuffles (cluster, id, vec) once
   * on the cluster key. Cell skew at extreme scale: sub-block hot
@@ -56,50 +62,44 @@ object SemDedup {
   def microsVec(vecCol: Column): Column =
     transform(vecCol, v => Quantize.micros(v).cast("long"))
 
-  /** The (k x dims) centroid frame (j, i, c) — catalog-sized,
-    * broadcast into the assignment join.
-    */
-  private def centroidFrame(df: DataFrame,
-      cents: Array[Array[Long]]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    cents.zipWithIndex.flatMap { case (c, j) =>
-      c.zipWithIndex.map { case (v, i) => (j, i, v) }
-    }.toSeq.toDF("j", "i", "c")
-  }
-
   /** Nearest-centroid assignment (min integer squared L2, ties to
-    * the lowest centroid id) over `base` = (id, mv): explode, join
-    * the broadcast centroid frame on dimension, aggregate distances
-    * per (id, j), then struct-min argmax per id. Returns (id, cluster).
+    * the lowest centroid id) over `base` = (id, mv), as ONE fused
+    * codegen'd expression ([[VectorExpressions.nearestCentroid]]):
+    * k*dims long multiply-adds per row, zero shuffle — the codebook
+    * rides inside the expression. Replaces the former
+    * explode + dimension-join + double-aggregation plan, which
+    * shuffled corpus x dims x k intermediate rows per call;
+    * SemDedupSpec pins row-identity between the two formulations.
+    * Returns (id, cluster).
     */
   private[graft] def assign(base: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
-    base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
-      .join(broadcast(centroidFrame(base, cents)), Seq("i"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("d"), col("j"))).as("s"))
-      .select(col("id"), col("s").getField("j").as("cluster"))
+    base.select(col("id"),
+      graft.ops.VectorExpressions.nearestCentroid(col("mv"), cents)
+        .cast("int").as("cluster"))
 
   /** [[assign]] keeping the winning squared distance: (id, cluster,
     * d) — the PQ audit needs the per-vector quantization error, not
-    * just the code.
+    * just the code. Same fused kernel, evaluated for index and
+    * distance in one projection (2 x k x dims flops per row beats
+    * any shuffle by orders of magnitude).
     */
   private[graft] def assignDist(base: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
-    base.select(col("id"), posexplode(col("mv")).as(Seq("i", "m")))
-      .join(broadcast(centroidFrame(base, cents)), Seq("i"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum((col("m") - col("c")) * (col("m") - col("c"))).as("d"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("d"), col("j"))).as("s"))
-      .select(col("id"), col("s").getField("j").as("cluster"),
-        col("s").getField("d").as("d"))
+    base.select(col("id"),
+      graft.ops.VectorExpressions.nearestCentroid(col("mv"), cents)
+        .cast("int").as("cluster"),
+      graft.ops.VectorExpressions.nearestCentroidDist(col("mv"), cents)
+        .as("d"))
 
   /** Lloyd rounds over a cached (id, mv) frame; see object doc for
-    * the exact-arithmetic contract.
+    * the exact-arithmetic contract. Each round is ONE fused
+    * assignment+update pass: the codegen'd nearest-centroid
+    * projection feeds the per-(cluster, dim) sum/count aggregate
+    * directly (map-side combine leaves k x dims rows per partition),
+    * so a round costs a single corpus scan plus one
+    * centroid-domain-sized shuffle — no join, no corpus x dims x k
+    * intermediate. Only (k x dims) longs reach the driver per round.
     */
   private[graft] def lloyd(base: DataFrame, k: Int, dims: Int,
       iters: Int): Array[Array[Long]] = {
@@ -107,8 +107,10 @@ object SemDedup {
       .select(col("mv")).collect()
       .map(_.getSeq[Long](0).toArray)
     (0 until iters).foreach { _ =>
-      val sums = base.join(assign(base, cents), Seq("id"))
-        .select(col("cluster"), posexplode(col("mv")).as(Seq("i", "m")))
+      val sums = base
+        .select(graft.ops.VectorExpressions
+            .nearestCentroid(col("mv"), cents).cast("int").as("cluster"),
+          posexplode(col("mv")).as(Seq("i", "m")))
         .groupBy(col("cluster"), col("i"))
         .agg(sum(col("m")).as("s"), count(lit(1)).as("n"))
         .collect()

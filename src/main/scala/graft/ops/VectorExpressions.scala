@@ -67,6 +67,36 @@ object VectorKernels {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Fused nearest-centroid scan over a fixed-point long vector:
+    * argmin_j of the integer squared L2 to each codebook row, ties to
+    * the lowest j (strict `<` keeps the earlier winner — identical to
+    * the `min(struct(d, j))` the groupBy formulation used). Returns
+    * the winning index, or the winning distance when `emitDist` —
+    * k*dims long multiply-adds per row, no explode, no join, no
+    * shuffle. All arithmetic in Long: bit-identical to the former
+    * two-aggregation plan (and to the DuckDB oracles).
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Long]],
+      emitDist: Boolean): Long = {
+    var bestJ = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var d = 0L
+      var i = 0
+      while (i < n) {
+        val x = v.getLong(i) - c(i)
+        d += x * x
+        i += 1
+      }
+      if (d < bestD) { bestD = d; bestJ = j }
+      j += 1
+    }
+    if (emitDist) bestD else bestJ.toLong
+  }
+
   /** Sign-bit LSH bucket: bit p set when dot(v, planes(p)) >= 0. */
   def lshBucket(v: ArrayData, cv: Int, planes: Array[Array[Int]]): Long = {
     var bucket = 0L
@@ -126,10 +156,49 @@ case class LshBucketExpr(child: Expression, planes: Array[Array[Int]])
   override def prettyName: String = "lsh_bucket"
 }
 
+/** nearest_centroid(mv): long — the (k x dims) codebook ships inside
+  * the expression as a reference object (centroid-sized, never
+  * shuffled); `emitDist` selects winning index vs winning distance.
+  * Requires an array<long> child (the fixed-point micros view every
+  * Lloyd caller already builds).
+  */
+case class NearestCentroidExpr(child: Expression,
+    cents: Array[Array[Long]], emitDist: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid needs array<long>, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroid(input.asInstanceOf[ArrayData], cents, emitDist)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.nearestCentroid($c, $ref, $emitDist);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr =
+    copy(child = c)
+  override def prettyName: String =
+    if (emitDist) "nearest_centroid_dist" else "nearest_centroid"
+}
+
 object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def lshBucket(vec: Column, planes: Array[Array[Int]]): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(vec), planes))
+  def nearestCentroid(vec: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(
+      ColumnBridge.expression(vec), cents, emitDist = false))
+  def nearestCentroidDist(vec: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(NearestCentroidExpr(
+      ColumnBridge.expression(vec), cents, emitDist = true))
 }

@@ -45,6 +45,29 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L)              // no lower-id near-dup
   }
 
+  test("fused nearest-centroid kernel == brute-force argmin over a " +
+    "seeded random corpus (index, distance, and tie rule)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = vecs(rows: _*)
+    val cents = SemDedup.fixedPointCentroids(df, "vec_id", "embedding",
+      k = 5, dims = 8, iters = 2)
+    val base = df.select(col("vec_id").cast("long").as("id"),
+      SemDedup.microsVec(col("embedding")).as("mv"))
+    val got = SemDedup.assignDist(base, cents).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // driver-side reference: same integer micros, strict < tie rule
+    val micros = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    for ((id, mv) <- micros) {
+      val ds = cents.map(c =>
+        mv.zip(c).map { case (m, v) => (m - v) * (m - v) }.sum)
+      val bestJ = ds.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+      assert(got(id) == (bestJ, ds(bestJ)), s"id=$id")
+    }
+  }
+
   test("prune only fires within a cluster and above tau") {
     // near-dup pair split across clusters must NOT drop (the SemDeDup
     // contract: comparisons are per-cell)
