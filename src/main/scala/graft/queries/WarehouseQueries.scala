@@ -189,6 +189,130 @@ object WarehouseQueries {
           |FROM li JOIN ag USING (l_partkey)
           |WHERE qty * 5 * n < sq""".stripMargin)),
 
+    // TPC-H Q8 shape (national market share): the 8-way multi-level
+    // star — lineitem fans out to orders -> customer -> nation ->
+    // region on one side and supplier -> nation on the other, with
+    // part filtering the fact rows. nation (twice, two roles) and
+    // region carry broadcast hints (fixed-size: 25/5 rows);
+    // customer/supplier/part/orders scale with sf and are left to
+    // AQE (q191 rule). Share = conditional-sum permille per order
+    // year, all integer units.
+    "q237_market_share" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            revU("l_extendedprice", "l_discount").as("rev"))
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+        val pt = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val n1 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+        val reg = broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey")))
+        val n2 = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"),
+            col("n_name").as("supp_nation")))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(n1, col("c_nationkey") === col("c_nk"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(n2, col("s_nationkey") === col("s_nk"))
+          .groupBy(col("yr"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("supp_nation") === "NATION_5", col("rev"))
+              .otherwise(0L)).as("nation_rev_u"),
+            sum(col("rev")).as("total_rev_u"))
+          .withColumn("mkt_share_permille", expr(
+            "CASE WHEN total_rev_u = 0 THEN 0" +
+              " ELSE nation_rev_u * 1000 DIV total_rev_u END"))
+          .orderBy(col("yr"))
+      },
+      Some(
+        """WITH rev AS (
+          | SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT)) AS rev
+          | FROM lineitem
+          | JOIN orders ON o_orderkey = l_orderkey
+          | JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+          | JOIN customer ON c_custkey = o_custkey
+          | JOIN nation n1 ON n1.n_nationkey = c_nationkey
+          | JOIN region ON r_regionkey = n1.n_regionkey
+          |  AND r_name = 'ASIA'
+          | JOIN supplier ON s_suppkey = l_suppkey
+          | JOIN nation n2 ON n2.n_nationkey = s_nationkey
+          | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          |   AND o_orderdate < TIMESTAMP '1998-01-01')
+          |SELECT yr, count(*) AS n_items,
+          | CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+          |  ELSE 0 END) AS BIGINT) AS nation_rev_u,
+          | CAST(sum(rev) AS BIGINT) AS total_rev_u,
+          | CAST(CASE WHEN sum(rev) = 0 THEN 0
+          |  ELSE sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+          |   ELSE 0 END) * 1000 // sum(rev) END AS BIGINT)
+          |  AS mkt_share_permille
+          |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q9 shape (product-type profit): the expression-heavy
+    // multi-level star — per (supplier nation, order year) profit
+    // where each line's amount is revenue units minus cost units
+    // (this schema has no partsupp, so unit cost is the part's
+    // retail price: amount = rev_u - retail_cents * 100 * qty, all
+    // in the same 1e-4-dollar units; negative amounts are real and
+    // keep the integer math honest). Only the 25-row nation table is
+    // hinted; part/supplier/orders join by key under AQE.
+    "q238_product_profit" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"),
+            revU("l_extendedprice", "l_discount").as("rev"))
+        val pt = t(s, dir, "part")
+          .filter(col("p_name").contains("gear"))
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100).cast("long").as("cost_c"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        li.join(pt, col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .withColumn("amount_u",
+            col("rev") - col("cost_c") * lit(100L) * col("qty"))
+          .groupBy(col("n_name"), col("yr"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("amount_u")).as("profit_u"))
+          .orderBy(col("n_name"), col("yr").desc)
+      },
+      Some(
+        """SELECT n_name, year(o_orderdate) AS yr, count(*) AS n_items,
+          | CAST(sum(
+          |  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT)) -
+          |  CAST(floor(p_retailprice * 100) AS BIGINT) * 100 *
+          |   CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_u
+          |FROM lineitem
+          |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN supplier ON s_suppkey = l_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
+
     // TPC-H Q20 shape (qualifying suppliers): the nested
     // IN-subquery-with-correlated-aggregate pattern, restated for
     // this schema (no partsupp table): suppliers who DOMINATED the

@@ -58,11 +58,20 @@ object ScaleProbe {
     // k=1 is an untimed warm-up (JIT + codegen); the timed points must
     // be large enough that per-job overhead stops dominating
     for (k <- scales) {
-      val docs = (0 until k).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * n)))
-        .reduce(_ unionByName _)
-        .cache()
-      docs.count() // materialize input outside the timed region
+      // LAZY replica build: under SPARK_GRAFT_PROBE filters that
+      // disable every probe in this loop, the k-way union + cache
+      // never materializes (a x512+ union would cost minutes of
+      // driver analysis for probes that then don't run)
+      var docsForced = false
+      lazy val docs = {
+        val d = (0 until k).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * n)))
+          .reduce(_ unionByName _)
+          .cache()
+        d.count() // materialize input outside the timed region
+        docsForced = true
+        d
+      }
       time("exact_dedup", k)(Dedup.exactDedup(
         docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
         col("fp"), "doc_id"))
@@ -274,7 +283,7 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_frames"))
         .filter(col("n_frames") >= 2))
       graft.Scratch.release()
-      docs.unpersist()
+      if (docsForced) docs.unpersist()
     }
     // Banded dedup + CC at scale. The pair emitters are excluded from
     // the loop above because IDENTICAL replicas make their OUTPUT
@@ -287,13 +296,18 @@ object ScaleProbe {
     // output is exactly k-fold the base output, so a scale-correct
     // banded plan must show ~linear wall time here.
     for (k <- scales) {
-      val docs = (0 until k).map { i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * n))
-          .withColumn("text", concat_ws(" ",
-            transform(split(col("text"), " "),
-              t => concat(t, lit("\u0001" + i.toString)))))
-      }.reduce(_ unionByName _).cache()
-      docs.count()
+      var docsForced = false
+      lazy val docs = { // lazy: see the first replica loop
+        val d = (0 until k).map { i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * n))
+            .withColumn("text", concat_ws(" ",
+              transform(split(col("text"), " "),
+                t => concat(t, lit("\u0001" + i.toString)))))
+        }.reduce(_ unionByName _).cache()
+        d.count()
+        docsForced = true
+        d
+      }
       time("minhash_band_lsh", k)(Dedup.minhashPairs(docs, "doc_id", "text",
         n = 3, bands = 4, rows = 4, num = 1, den = 2))
       graft.Scratch.release()
@@ -316,17 +330,30 @@ object ScaleProbe {
         println(f"[scale] ${"cc_distributed"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         graft.Scratch.release()
       }
-      docs.unpersist()
+      if (docsForced) docs.unpersist()
     }
     // embedding-side linear ops (q100 shape): replicate the vector
     // corpus; the audit's shuffles stay dimension-sized regardless of k
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embN = embBase.count()
     for (k <- scales) {
-      val emb = (0 until k).map(i =>
-        embBase.withColumn("vec_id", col("vec_id") + lit(i * embN)))
-        .reduce(_ unionByName _).cache()
-      emb.count()
+      // k-way replication as ONE range crossJoin, not a k-way union:
+      // identical replica rows and the same shifted-id scheme, but
+      // plan analysis stays O(1) in k (a 512-way union costs minutes
+      // of driver-side analysis before a single task runs — at the
+      // x512/x2048 decades that fixed cost would drown the signal
+      // being measured). The 1-row-per-replica range side broadcasts.
+      var embForced = false
+      lazy val emb = { // lazy: see the first replica loop
+        val e = embBase.crossJoin(
+            broadcast(spark.range(k).select(col("id").as("_rep"))))
+          .withColumn("vec_id", col("vec_id") + col("_rep") * lit(embN))
+          .drop("_rep")
+          .repartition(32).cache()
+        e.count()
+        embForced = true
+        e
+      }
       time("quantize_audit", k)(
         graft.ops.Quantize.quantizeAudit(emb, "embedding"))
       time("embedding_audit", k)(
@@ -361,17 +388,22 @@ object ScaleProbe {
         println(f"[scale] ${"pq_adc"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         graft.Scratch.release()
       }
-      emb.unpersist()
+      if (embForced) emb.unpersist()
     }
     // event-side linear ops: anomaly flags (q103) and the z-order
     // layout audit (q106) — both reduce to key-bounded aggregates
     val evBase = graft.queries.Registry.table(spark, "/root/testdata/sf0.1", "events")
     val evN = evBase.count()
     for (k <- scales) {
-      val ev = (0 until k).map(i =>
-        evBase.withColumn("event_id", col("event_id") + lit(i * evN)))
-        .reduce(_ unionByName _).cache()
-      ev.count()
+      var evForced = false
+      lazy val ev = { // lazy: see the first replica loop
+        val e = (0 until k).map(i =>
+          evBase.withColumn("event_id", col("event_id") + lit(i * evN)))
+          .reduce(_ unionByName _).cache()
+        e.count()
+        evForced = true
+        e
+      }
       time("anomaly_minutes", k) {
         val cnt = ev.select(expr("ts DIV 60000000000").as("minute"))
           .groupBy(col("minute")).agg(count(lit(1)).as("cnt"))
@@ -390,7 +422,7 @@ object ScaleProbe {
           .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")),
             count(lit(1)))
       }
-      ev.unpersist()
+      if (evForced) ev.unpersist()
     }
     // streaming-state scaling: input grows k-fold, state must not
     if (enabled("stream_state"))

@@ -535,6 +535,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q232_small_qty_revenue").contains("InMemoryTableScan"))
   }
 
+  test("q237/q238 multi-level stars: only fixed-size dimensions " +
+    "carry forced broadcast hints") {
+    for ((q, allowed) <- Seq("q237_market_share" -> 3, // nation x2 + region
+        "q238_product_profit" -> 1)) { // nation only
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      val opt = Registry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val hinted = "strategy=broadcast".r.findAllIn(opt).size
+      assert(hinted <= allowed,
+        s"$q: $hinted forced broadcast hints (expected <= $allowed):\n$opt")
+    }
+  }
+
   test("mixture reweight: corpus never shuffles past the count aggregate") {
     val p = plan("q175_mixture_reweight")
     // counts + targets are catalog-sized: both joins broadcast
