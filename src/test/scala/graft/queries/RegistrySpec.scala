@@ -17,7 +17,8 @@ class RegistrySpec extends AnyFunSuite {
       "AuditQueries" -> AuditQueries.all, "SpanQueries" -> SpanQueries.all,
       "LearnQueries" -> LearnQueries.all,
       "CurationQueries" -> CurationQueries.all,
-      "SelectionQueries" -> SelectionQueries.all)
+      "SelectionQueries" -> SelectionQueries.all,
+      "WarehouseQueries" -> WarehouseQueries.all)
     val perMap = maps.map(_._2.size).sum
     assert(Registry.all.size == perMap,
       s"merged=${Registry.all.size} != sum=$perMap — a name collides")
