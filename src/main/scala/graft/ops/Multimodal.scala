@@ -20,10 +20,16 @@ import org.apache.spark.sql.types._
   * recompute every channel statistic WITHOUT a codec: the hashes
   * only match if the decode returns the exact encoded pixels.
   *
-  * Audio/video decode remains a STUB (the container has no codecs
-  * for those): [[decodeStub]] derives deterministic fake metadata
-  * from raw bytes; the Spark-side plumbing — schema, partitioning,
-  * batch iteration, output shape — is real and oracle-checked.
+  * AUDIO decodes FOR REAL too (`javax.sound.sampled`, WAV/PCM —
+  * also JDK-native): [[decodeAudio]] parses the RIFF container and
+  * PCM frames of payloads from [[synthesizeAudio]], whose sample
+  * series is again pure arithmetic in (id, i) — same
+  * oracle-without-a-codec discipline as the image path.
+  *
+  * Only VIDEO decode remains a STUB (the JDK ships no video codec):
+  * [[decodeStub]] derives deterministic fake metadata from raw
+  * bytes; the Spark-side plumbing — schema, partitioning, batch
+  * iteration, output shape — is real and oracle-checked.
   */
 object Multimodal {
 
@@ -131,6 +137,111 @@ object Multimodal {
     if (bytes == null) null
     else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case _: java.io.IOException => null }
+
+  // ---- real audio path (javax.sound.sampled, WAV/PCM) --------------
+
+  /** Deterministic synthetic-audio spec shared with every oracle:
+    * `8000 Hz, 16-bit signed mono PCM`, `256 + id % 128` samples,
+    * sample i = `((id*37 + i*101) mod 65536) - 32768`.
+    */
+  def audioSamples(id: Long): Int = (256 + id % 128).toInt
+  def sampleValue(id: Long, i: Int): Int =
+    (java.lang.Math.floorMod(id * 37 + i.toLong * 101, 65536L) - 32768L).toInt
+
+  /** Encode one synthetic clip to a real RIFF/WAVE container via the
+    * JDK's own audio codec (PCM is lossless — decode returns the
+    * exact [[sampleValue]] series).
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioSamples(id)
+    val data = new Array[Byte](n * 2) // 16-bit little-endian
+    var i = 0
+    while (i < n) {
+      val s = sampleValue(id, i)
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (id, payload) frame of real WAV payloads, batched per partition. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(0)) Iterator.empty
+        else Iterator.single(Row(r.getLong(0), encodeWav(r.getLong(0))))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("sum_abs", LongType),
+    StructField("min_s", IntegerType),
+    StructField("max_s", IntegerType),
+    StructField("pcm_checksum", LongType)))
+
+  /** Decode each payload's RIFF header + PCM frames with the REAL JDK
+    * audio codec and emit frame count, sample rate, the absolute
+    * amplitude mass, extremes, and a position-weighted checksum
+    * (`sum (i+1) * sample_i` — sample reordering flips it).
+    * Undecodable payloads yield a null-metadata row.
+    */
+  def decodeAudio(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val bytes = r.getAs[Array[Byte]](1)
+          val ais =
+            if (bytes == null) null
+            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+          if (ais == null) Row(id, null, null, null, null, null, null)
+          else {
+            val fmt = ais.getFormat
+            val n = ais.getFrameLength.toInt
+            val pcm = ais.readAllBytes()
+            var sumAbs = 0L; var ck = 0L
+            var mn = Int.MaxValue; var mx = Int.MinValue
+            var i = 0
+            while (i < n) {
+              // 16-bit signed little-endian mono (the synthesized spec)
+              val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+              sumAbs += math.abs(s)
+              ck += (i.toLong + 1) * s
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              i += 1
+            }
+            Row(id, n, fmt.getSampleRate.toInt, sumAbs,
+              if (n == 0) null else Integer.valueOf(mn),
+              if (n == 0) null else Integer.valueOf(mx), ck)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioMetaSchema)
+  }
 
   /** REAL resize: decode with ImageIO, nearest-neighbor resample to
     * (targetW, targetH) — source pixel `(x*w DIV tw, y*h DIV th)`,

@@ -1047,6 +1047,38 @@ object OpsQueries {
            | CAST(sum((y*w + x + 1) * r) AS BIGINT) AS px_checksum
            |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Decoded-audio audit: REAL JDK decode (javax.sound.sampled) of
+    // every WAV payload — frame count, sample rate, amplitude mass,
+    // extremes, position-weighted PCM checksum. The oracle recomputes
+    // all six statistics from the deterministic sample spec by pure
+    // arithmetic (no codec on the DuckDB side): the hash only matches
+    // if the RIFF container parse and the 16-bit PCM frame decode
+    // return the exact encoded series. Companion of q234 (images);
+    // MultimodalSpec pins the RIFF magic and sample round-trip.
+    "q239_audio_decode" -> Q(
+      (s, dir) => {
+        val clips = Multimodal.synthesizeAudio(t(s, dir, "documents"), "doc_id")
+        Multimodal.decodeAudio(clips, "id", "payload")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH d AS (
+          | SELECT doc_id, CAST(256 + doc_id % 128 AS INTEGER) AS n
+          | FROM documents),
+          |sm AS (
+          | SELECT doc_id, n, i,
+          |  CAST((doc_id*37 + i*101) % 65536 - 32768 AS INTEGER) AS s
+          | FROM d, generate_series(0, 383) AS t(i)
+          | WHERE i < n)
+          |SELECT doc_id, max(n) AS n_samples,
+          | CAST(8000 AS INTEGER) AS sample_rate,
+          | CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+          | CAST(min(s) AS INTEGER) AS min_s,
+          | CAST(max(s) AS INTEGER) AS max_s,
+          | CAST(sum((i + 1) * s) AS BIGINT) AS pcm_checksum
+          |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
         val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")

@@ -75,6 +75,26 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.pixelValue(7L, sx, sy, 2).toLong }.sum)
   }
 
+  test("encodeWav emits a real RIFF/WAVE container and the JDK codec " +
+    "round-trips the exact PCM series; corrupt payload yields null row") {
+    val bytes = Multimodal.encodeWav(5L)
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val media = Multimodal.synthesizeAudio(Seq(5L).toDF("doc_id"), "doc_id")
+      .union(Seq((99L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload"))
+    val rows = Multimodal.decodeAudio(media, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val n = Multimodal.audioSamples(5L)
+    val samples = (0 until n).map(i => Multimodal.sampleValue(5L, i))
+    assert(rows(5L).getInt(1) == n)
+    assert(rows(5L).getInt(2) == 8000)
+    assert(rows(5L).getLong(3) == samples.map(s => math.abs(s).toLong).sum)
+    assert(rows(5L).getInt(4) == samples.min && rows(5L).getInt(5) == samples.max)
+    assert(rows(5L).getLong(6) ==
+      samples.zipWithIndex.map { case (s, i) => (i + 1L) * s }.sum)
+    assert(rows(99L).isNullAt(1) && rows(99L).isNullAt(6))
+  }
+
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {
     val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)
