@@ -55,12 +55,15 @@ object Quantize {
       dims: Int, m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
     val sub = dims / m
+    // cache the FLOAT source once; micros + slice views recompute per
+    // pass via the fused kernel (long-array columnar caching measured
+    // 30-100x the recompute cost at millions of rows — SCALING.md r8)
     val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"),
-        SemDedup.microsVec(col(vecCol)).as("mv")))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val mv = base.select(col("id"), SemDedup.microsVec(col("v")).as("mv"))
     val parts = (0 until m).map { s =>
-      val sl = graft.Scratch.cache(base.select(col("id"),
-        slice(col("mv"), s * sub + 1, sub).as("mv")))
+      val sl = mv.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv"))
       val cents = SemDedup.lloyd(sl, k, sub, iters)
       SemDedup.assignDist(sl, cents).select(col("id"),
         col("cluster").cast("long").as(s"code$s"), col("d").as(s"err$s"))
@@ -96,15 +99,19 @@ object Quantize {
     val spark = df.sparkSession
     import spark.implicits._
     val sub = dims / m
+    // float source cached once; the router cell derives inline from
+    // the fused kernel (no join), and only the RESIDUAL frame — the
+    // one view every subspace pass re-reads and which cannot be
+    // recomputed without the centroid join — stays materialized
     val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"),
-        SemDedup.microsVec(col(vecCol)).as("mv")))
-    val cells = SemDedup.lloyd(base, ivfK, dims, iters)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val mvDf = base.select(col("id"), SemDedup.microsVec(col("v")).as("mv"))
+    val cells = SemDedup.lloyd(mvDf, ivfK, dims, iters)
     val centsDf = cells.zipWithIndex
       .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
-    val res = graft.Scratch.cache(base
-      .join(SemDedup.assignDist(base, cells)
-        .select(col("id"), col("cluster").cast("long").as("cell")), Seq("id"))
+    val res = graft.Scratch.cache(mvDf
+      .withColumn("cell", graft.ops.VectorExpressions
+        .nearestCentroid(col("mv"), cells).cast("long"))
       .join(broadcast(centsDf), Seq("cell"))
       .select(col("id"), col("cell"),
         zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
@@ -140,58 +147,90 @@ object Quantize {
     val spark = df.sparkSession
     import spark.implicits._
     val sub = dims / m
+    // float source cached once; micros slices recompute per pass via
+    // the fused kernel (see pqCodes)
     val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        SemDedup.microsVec(col(vecCol)).as("mv")))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val mvDf = base.select(col("id"), col("v"),
+      SemDedup.microsVec(col("v")).as("mv"))
     val slices = (0 until m).map { s =>
-      graft.Scratch.cache(base.select(col("id"),
-        slice(col("mv"), s * sub + 1, sub).as("mv")))
+      mvDf.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv"))
     }
     val books = slices.map(sl => SemDedup.lloyd(sl, k, sub, iters))
-    val codes = (0 until m).map { s =>
-      SemDedup.assignDist(slices(s), books(s))
-        .select(col("id"), lit(s).as("s"), col("cluster").as("code"))
-    }.reduce(_ unionByName _)
-    // (pid, s, code) -> ADC distance table, driver-computed from the
-    // nProbes collected probe vectors (bounded like the codebooks).
-    // Probes are the nProbes LOWEST ids actually present — not
-    // `id < nProbes`, which silently evaluates fewer (or zero) probes
-    // on a sparse or offset id space. orderBy+limit plans as a
-    // bounded-heap TakeOrderedAndProject, never a global sort.
-    val probeSel = graft.Scratch.cache(base.orderBy(col("id")).limit(nProbes))
+    // ALL m subspace codes in ONE fused projection over the corpus —
+    // m nearest-centroid kernel calls per row, no per-subspace join
+    val codesWide = mvDf.select(col("id") +: (0 until m).map { s =>
+      graft.ops.VectorExpressions.nearestCentroid(
+        slice(col("mv"), s * sub + 1, sub), books(s))
+        .cast("int").as(s"code$s")
+    }: _*)
+    // Per-subspace (pid, code) -> distance tables, driver-computed
+    // from the nProbes collected probe vectors (bounded like the
+    // codebooks). Probes are the nProbes LOWEST ids actually present
+    // — not `id < nProbes`, which silently evaluates fewer (or zero)
+    // probes on a sparse or offset id space. orderBy+limit plans as
+    // a bounded-heap TakeOrderedAndProject, never a global sort.
+    val probeSel = graft.Scratch.cache(mvDf.orderBy(col("id")).limit(nProbes))
     val probeVecs = probeSel
       .select(col("id"), col("mv")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    val table = probeVecs.flatMap { case (pid, pv) =>
-      (0 until m).flatMap { s =>
-        books(s).zipWithIndex.map { case (c, j) =>
-          var d = 0L; var i = 0
-          while (i < sub) {
-            val diff = pv(s * sub + i) - c(i); d += diff * diff; i += 1
-          }
-          (pid, s, j.toLong, d)
+    def probeTable(s: Int) = probeVecs.flatMap { case (pid, pv) =>
+      books(s).zipWithIndex.map { case (c, j) =>
+        var d = 0L; var i = 0
+        while (i < sub) {
+          val diff = pv(s * sub + i) - c(i); d += diff * diff; i += 1
         }
+        (pid, j, d)
       }
-    }.toSeq.toDF("pid", "s", "code", "d")
-    val adc = codes.join(broadcast(table), Seq("s", "code"))
+    }.toSeq
+    // The ADC score assembles through m BROADCAST lookups against the
+    // (nProbes x k)-row tables — the codes frame never shuffles and
+    // nothing re-aggregates: the former (id, s, code)-exploded union
+    // + (pid, id) sum funneled corpus x m x nProbes rows through a
+    // shuffle, the scale ceiling of this operator at large corpora.
+    val adc = (0 until m).foldLeft(codesWide) { (acc, s) =>
+      val t = probeTable(s).toDF(s"_p$s", s"_c$s", s"d$s")
+      val cond =
+        if (s == 0) col("code0") === col("_c0")
+        else col("pid") === col(s"_p$s") && col(s"code$s") === col(s"_c$s")
+      acc.join(broadcast(t), cond)
+        .withColumn("pid", col(s"_p$s"))
+        .drop(s"_p$s", s"_c$s")
+    }
       .filter(col("id") =!= col("pid"))
-      .groupBy(col("pid"), col("id"))
-      .agg(sum(col("d")).as("adc"))
+      .select(col("pid"), col("id"),
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("adc"))
     val probes = probeSel.select(col("id").as("pid"), col("v").as("pv"))
     val exact = base.select(col("id"), col("v"))
       .crossJoin(broadcast(probes))
       .filter(col("id") =!= col("pid"))
       .select(col("pid"), col("id"),
         round(Similarity.cosine(col("v"), col("pv")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-    val wE = w.partitionBy(col("pid")).orderBy(col("cos").desc, col("id"))
-    val wA = w.partitionBy(col("pid")).orderBy(col("adc"), col("id"))
-    exact.join(adc, Seq("pid", "id"))
-      .withColumn("re", row_number().over(wE))
-      .withColumn("ra", row_number().over(wA))
-      .groupBy(col("pid"))
-      .agg(sum(when(col("re") <= topK && col("ra") <= topK, 1L)
-        .otherwise(0L)).cast("long").as("overlap_at_k"))
+    // Both top-k rankings via the k-bounded heap aggregate (topk_by),
+    // NOT rank windows: `row_number() OVER (PARTITION BY pid ...)`
+    // funnels the ENTIRE corpus x probes frame through nProbes
+    // reducers and sorts it — the scale ceiling of this operator.
+    // topk_by combines map-side (<= k rows per mapper per pid reach
+    // the shuffle) and never materializes an ordering. Selection is
+    // IDENTICAL: cos is pre-rounded to 6 dp, so round(cos * 1e6) is
+    // a monotone integer image, and the zero-padded id payload
+    // preserves numeric tie order (ord DESC, payload ASC == the old
+    // (cos DESC, id) / (adc ASC, id) ranks).
+    def topIds(df: DataFrame, ord: Column, out: String) =
+      df.groupBy(col("pid"))
+        .agg(TopKAgg.topKBy(ord,
+          lpad(col("id").cast("string"), 19, "0"), topK).as("t"))
+        .select(col("pid"),
+          transform(col("t"), e =>
+            e.getField("payload").cast("long")).as(out))
+    val exactTop = topIds(exact,
+      round(col("cos") * lit(1000000d)).cast("long"), "e_ids")
+    val adcTop = topIds(adc, -col("adc"), "a_ids")
+    exactTop.join(adcTop, Seq("pid"))
+      .select(col("pid"),
+        size(array_intersect(col("e_ids"), col("a_ids")))
+          .cast("long").as("overlap_at_k"))
       .select(col("pid"), col("overlap_at_k"),
         expr(s"(overlap_at_k * 1000) DIV $topK").as("overlap_permille"))
   }

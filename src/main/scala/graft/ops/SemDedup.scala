@@ -58,9 +58,14 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Exact fixed-point micros vector of a float-array column. */
+  /** Exact fixed-point micros vector of a float-array column — the
+    * fused codegen kernel ([[VectorExpressions.microsVec]]): same
+    * values as `transform(v, x -> floor(x*1e6)::long)` but writes a
+    * primitive long array directly (the HOF boxed every element;
+    * the GC churn dominated million-vector cache builds).
+    */
   def microsVec(vecCol: Column): Column =
-    transform(vecCol, v => Quantize.micros(v).cast("long"))
+    graft.ops.VectorExpressions.microsVec(vecCol)
 
   /** Nearest-centroid assignment (min integer squared L2, ties to
     * the lowest centroid id) over `base` = (id, mv), as ONE fused
@@ -138,9 +143,17 @@ object SemDedup {
   def fixedPointCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int, iters: Int): Array[Array[Long]] = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
-    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+    // Deliberately UNCACHED: the fit makes iters+1 passes, and with
+    // the fused micros/nearest-centroid kernels each pass is a narrow
+    // scan (~0.6 s over 4M x 64 vectors, measured) — while
+    // materializing the derived long-array column into the columnar
+    // cache measured 26-80 s at the same size (array-column batch
+    // build + GC churn, SCALING.md round 8). Recompute beats
+    // materialize for cheap derived views; callers that already hold
+    // the FLOAT source cached (the usual case) keep that benefit.
+    val base = df.filter(size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("id"),
-        microsVec(col(vecCol)).as("mv")))
+        microsVec(col(vecCol)).as("mv"))
     lloyd(base, k, dims, iters)
   }
 
@@ -151,15 +164,22 @@ object SemDedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, dims: Int, iters: Int, tau: Double): DataFrame = {
     require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0; got $k, $iters")
-    // one cache serves the Lloyd rounds AND the final assignment
+    // ONE cache of the FLOAT source serves every pass; the derived
+    // micros view is recomputed per pass by the fused kernel (see
+    // fixedPointCentroids — caching long-array columns measured
+    // 30-100x the kernel's recompute cost at millions of rows)
     val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        microsVec(col(vecCol)).as("mv")))
-    val cents = lloyd(base.select(col("id"), col("mv")), k, dims, iters)
-    // cached: the output frame plus both sides of the in-cluster join
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val withMv = base.select(col("id"), microsVec(col("v")).as("mv"))
+    val cents = lloyd(withMv, k, dims, iters)
+    // assignment is a pure projection of the cached base — and since
+    // the fused assign is zero-shuffle, the cluster column derives
+    // inline; cached because the in-cluster join reads it twice
     val assigned = graft.Scratch.cache(base
-      .join(assign(base.select(col("id"), col("mv")), cents), Seq("id"))
-      .select(col("id"), col("v"), col("cluster")))
+      .select(col("id"), col("v"),
+        graft.ops.VectorExpressions
+          .nearestCentroid(microsVec(col("v")), cents)
+          .cast("int").as("cluster")))
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val dropped = a.join(b, Seq("cluster"))

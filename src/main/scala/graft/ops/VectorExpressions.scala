@@ -97,6 +97,29 @@ object VectorKernels {
     if (emitDist) bestD else bestJ.toLong
   }
 
+  /** Fixed-point micros view of a float/double vector in one pass:
+    * floor(double(v_i) * 1e6) as a primitive long array — the
+    * allocation-free replacement for the interpreted
+    * `transform(v, x -> floor(x * 1e6) :: long)` HOF, which boxed
+    * every element (64 boxed Longs + a GenericArrayData per row; at
+    * millions of vectors the GC churn dominated the whole cache
+    * build — measured in SCALING.md round 8). Identical values to
+    * [[Quantize.micros]]: floor in double, truncate to long. Null
+    * elements read as 0 (embedding arrays carry no null elements —
+    * parquet fixtures and every caller's size filter guarantee it).
+    */
+  def microsVec(v: ArrayData, cv: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(get(v, i, cv) * 1e6).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Sign-bit LSH bucket: bit p set when dot(v, planes(p)) >= 0. */
   def lshBucket(v: ArrayData, cv: Int, planes: Array[Array[Int]]): Long = {
     var bucket = 0L
@@ -189,6 +212,25 @@ case class NearestCentroidExpr(child: Expression,
     if (emitDist) "nearest_centroid_dist" else "nearest_centroid"
 }
 
+/** micros_vec(vec): array<long> — fused fixed-point view, see
+  * [[VectorKernels.microsVec]].
+  */
+case class MicrosVecExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.microsVec(input.asInstanceOf[ArrayData],
+      VectorKernels.elemCode(child.dataType))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cv = VectorKernels.elemCode(child.dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.microsVec($c, $cv);")
+  }
+  override protected def withNewChildInternal(c: Expression): MicrosVecExpr =
+    copy(child = c)
+  override def prettyName: String = "micros_vec"
+}
+
 object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(
@@ -201,4 +243,6 @@ object VectorExpressions {
   def nearestCentroidDist(vec: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(NearestCentroidExpr(
       ColumnBridge.expression(vec), cents, emitDist = true))
+  def microsVec(vec: Column): Column =
+    ColumnBridge.column(MicrosVecExpr(ColumnBridge.expression(vec)))
 }
