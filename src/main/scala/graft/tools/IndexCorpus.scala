@@ -88,10 +88,14 @@ object IndexCorpus {
     GraftSession.tune(spark)
     import spark.implicits._
 
-    val base = graft.Scratch.cache(
+    // float source cached; the micros view recomputes per pass via
+    // the fused kernel (caching derived long-array columns measured
+    // 30-100x the recompute cost at millions of rows — SCALING.md r8)
+    val srcF = graft.Scratch.cache(
       spark.read.parquet(in).filter(size(col(vecCol)) === dims)
-        .select(col(idCol).cast("long").as("id"),
-          SemDedup.microsVec(col(vecCol)).as("mv")))
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val base = srcF.select(col("id"),
+      SemDedup.microsVec(col("v")).as("mv"))
     val written = Seq.newBuilder[(String, Long)]
     def write(name: String, df: DataFrame): Unit = {
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
@@ -121,10 +125,12 @@ object IndexCorpus {
             zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
       }
 
-    // PQ payload: per-subspace codebooks + long-form codes
+    // PQ payload: per-subspace codebooks + long-form codes. Slices
+    // derive per pass (narrow kernel + slice over the cached float
+    // source / materialized residual) — no derived-array caches
     val slices = (0 until pqM).map { s =>
-      graft.Scratch.cache(encBase.select(col("id"),
-        slice(col("mv"), s * sub + 1, sub).as("mv")))
+      encBase.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv"))
     }
     val books = slices.map(sl => SemDedup.lloyd(sl, pqK, sub, iters))
     write("pq_codebooks", books.zipWithIndex.flatMap { case (b, s) =>
