@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Prefix
+
 /** Round-8 warehouse shapes: the hard TPC-H join patterns the board
   * lacked — Q1's canonical wide multi-aggregate pricing summary
   * (q230), Q21's double EXISTS/NOT-EXISTS self-join on the fact
@@ -312,6 +314,84 @@ object WarehouseQueries {
           |JOIN supplier ON s_suppkey = l_suppkey
           |JOIN nation ON n_nationkey = s_nationkey
           |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
+
+    // TPC-H Q22 shape (dormant high-balance customers): the
+    // scalar-average-filter + anti-join pattern — customers in three
+    // market segments whose balance beats the positive-balance
+    // average (a 1-row broadcast scalar via Prefix.withGlobal, never
+    // an unpartitioned window) and who placed NO order since
+    // 2000-01-01 (NOT EXISTS -> LEFT ANTI against the date-filtered
+    // orders — the filter pushes into the anti-join's build side).
+    // Integer cents keep both sides hash-exact.
+    "q240_dormant_customers" -> Q(
+      (s, dir) => {
+        val sel = t(s, dir, "customer")
+          .filter(col("c_mktsegment")
+            .isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val avgRow = sel.filter(col("bal_c") > 0)
+          .agg((sum(col("bal_c")).cast("long") / count(lit(1)))
+            .cast("long").as("avg_c"))
+        val recent = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+          .select(col("o_custkey"))
+        sel.join(broadcast(avgRow))
+          .filter(col("bal_c") > col("avg_c"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_c")).as("total_bal_c"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(
+        """WITH sel AS (
+          | SELECT c_custkey, c_mktsegment,
+          |  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+          | FROM customer
+          | WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')),
+          |a AS (
+          | SELECT CAST(CAST(sum(bal_c) AS BIGINT) // count(*) AS BIGINT)
+          |  AS avg_c
+          | FROM sel WHERE bal_c > 0)
+          |SELECT c_mktsegment, count(*) AS numcust,
+          | CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+          |FROM sel, a
+          |WHERE bal_c > avg_c AND NOT EXISTS (
+          | SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          |  AND o_orderdate >= TIMESTAMP '2000-01-01')
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q11 shape (important stock): group-HAVING against a
+    // GLOBAL scalar — per-part revenue value kept only when it
+    // exceeds 1/1500 of the whole corpus's value. The global total
+    // is a second aggregate over the per-part frame, broadcast as
+    // one row; the HAVING becomes an integer cross-multiplication
+    // (value * 1500 > total), never a per-row re-aggregation or an
+    // unpartitioned window.
+    "q241_important_parts" -> Q(
+      (s, dir) => {
+        val v = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            revU("l_extendedprice", "l_discount").as("rev"))
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("rev")).as("value_u"))
+        Prefix.withGlobal(v, "total_u" -> sum(col("value_u")))
+          .filter(col("value_u") * 1500 > col("total_u"))
+          .select(col("l_partkey"), col("value_u"))
+          .orderBy(col("value_u").desc, col("l_partkey"))
+      },
+      Some(
+        """WITH v AS (
+          | SELECT l_partkey,
+          |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+          |   (100 - CAST(floor(l_discount * 100) AS BIGINT))) AS BIGINT)
+          |   AS value_u
+          | FROM lineitem GROUP BY 1),
+          |tot AS (SELECT CAST(sum(value_u) AS BIGINT) AS t FROM v)
+          |SELECT l_partkey, value_u
+          |FROM v, tot WHERE value_u * 1500 > t
+          |ORDER BY value_u DESC, l_partkey""".stripMargin)),
 
     // TPC-H Q20 shape (qualifying suppliers): the nested
     // IN-subquery-with-correlated-aggregate pattern, restated for

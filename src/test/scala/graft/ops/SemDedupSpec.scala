@@ -68,6 +68,23 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused micros_vec == the HOF formulation it replaced " +
+    "(floor(double(v) * 1e6) :: long), element for element") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i =>
+      i -> Seq.fill(12)((rnd.nextFloat() * 4 - 2) *
+        math.pow(10, rnd.nextInt(5) - 2).toFloat))
+    val df = vecs(rows: _*)
+    val got = df.select(col("vec_id"),
+        SemDedup.microsVec(col("embedding")).as("mv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ref = df.select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * lit(1000000d)).cast("long")).as("mv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == ref)
+  }
+
   test("prune only fires within a cluster and above tau") {
     // near-dup pair split across clusters must NOT drop (the SemDeDup
     // contract: comparisons are per-cell)

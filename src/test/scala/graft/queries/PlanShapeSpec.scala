@@ -551,6 +551,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q240 Q22 shape: scalar-average broadcast + anti join, " +
+    "no cartesian over data-sized frames") {
+    val p = plan("q240_dormant_customers")
+    // the 1-row average may ride a BroadcastNestedLoopJoin (that IS
+    // the broadcast scalar); the NOT EXISTS must be a LeftAnti join
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q241 Q11 shape: HAVING-vs-global-scalar is one aggregate + " +
+    "1-row broadcast, never a re-aggregation or window") {
+    val p = plan("q241_important_parts")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // exactly two aggregations: per-part value + the 1-row total
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("mixture reweight: corpus never shuffles past the count aggregate") {
     val p = plan("q175_mixture_reweight")
     // counts + targets are catalog-sized: both joins broadcast
