@@ -393,6 +393,41 @@ object WarehouseQueries {
           |FROM v, tot WHERE value_u * 1500 > t
           |ORDER BY value_u DESC, l_partkey""".stripMargin)),
 
+    // TPC-H Q12 shape (shipping-mode priority split): fact-dimension
+    // join with a CONDITIONAL-COUNT pivot — per line status (the
+    // schema's ship-mode analog), how many shipped lines belonged to
+    // high-priority orders (1-URGENT / 2-HIGH) vs not, in a one-year
+    // ship window. One shuffle on the order key, two CASE-sum
+    // aggregates; the date filter pushes to the lineitem scan. With
+    // this row, all 22 TPC-H query shapes have a board analog.
+    "q242_priority_split" -> Q(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+          .select(col("l_orderkey"), col("l_linestatus"))
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some(
+        """SELECT l_linestatus,
+          | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+          |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TPC-H Q20 shape (qualifying suppliers): the nested
     // IN-subquery-with-correlated-aggregate pattern, restated for
     // this schema (no partsupp table): suppliers who DOMINATED the
