@@ -1258,6 +1258,64 @@ object SelectionQueries {
            |  AS manifest_xor
            |FROM m""".stripMargin)),
 
+    // STREAMING multimodal ingest: real PNG payloads arrive as a
+    // file stream, each micro-batch decodes its images with the
+    // actual JDK codec (decode lives in foreachBatch — the batched
+    // mapPartitions kernel runs on every epoch's frame) and appends
+    // one ADDITIVE partial aggregate per (width, height): counts and
+    // channel sums. The final card just re-sums the partials —
+    // decode-once, merge-anywhere, the ingest-monitor design where
+    // per-batch output is dimension-bounded regardless of stream
+    // length. End-of-input equals the arithmetic pixel oracle
+    // aggregated per dimension cell: a lost batch, double decode, or
+    // wrong pixel anywhere flips the hash.
+    "q243_streaming_image_ingest" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.imgSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "img", ev)
+        val out = "/tmp/graft_stream_img_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              Multimodal.decodeImages(batch, "id", "payload")
+                .groupBy(col("width"), col("height"))
+                .agg(count(lit(1)).as("n"), sum(col("sum_r")).as("r"),
+                  sum(col("sum_g")).as("g"), sum(col("sum_b")).as("b"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .groupBy(col("width"), col("height"))
+          .agg(sum(col("n")).as("n_images"), sum(col("r")).as("sum_r"),
+            sum(col("g")).as("sum_g"), sum(col("b")).as("sum_b"))
+          .orderBy(col("width"), col("height"))
+      },
+      Some(
+        s"""WITH ${OpsQueries.pixelCtes},
+           |dims AS (
+           | SELECT w AS width, h AS height, count(*) AS n_images
+           | FROM d GROUP BY 1, 2),
+           |sums AS (
+           | SELECT w AS width, h AS height,
+           |  CAST(sum(r) AS BIGINT) AS sum_r,
+           |  CAST(sum(g) AS BIGINT) AS sum_g,
+           |  CAST(sum(b) AS BIGINT) AS sum_b
+           | FROM px GROUP BY 1, 2)
+           |SELECT width, height, n_images, sum_r, sum_g, sum_b
+           |FROM dims JOIN sums USING (width, height)
+           |ORDER BY width, height""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

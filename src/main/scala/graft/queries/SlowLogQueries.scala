@@ -168,11 +168,21 @@ object SlowLogQueries {
         graft.ops.TextOps.tokenCount(col("text")).cast("long").as("toks"))
   }
 
+  /** Real PNG payload stream (q243): one row per document, payload
+    * encoded by the JDK codec from the deterministic pixel spec.
+    */
+  private[queries] def imgSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    graft.ops.Multimodal.synthesizeImages(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
-      "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _)
+      "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
+      "img" -> imgSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
