@@ -408,17 +408,22 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid (max cosine; ties to
-    * the lowest cluster id). Narrow expression over broadcast-literal
-    * centroids.
+    * the lowest cluster id) via the fused
+    * [[VectorExpressions.nearestCentroidCos]] kernel — the codebook
+    * rides as a reference object, so the plan stays constant-size at
+    * ANY cell count (the former per-centroid `typedLit` struct stack
+    * embedded k x dims literal doubles into the plan and re-analyzed
+    * them on every use — a hard ceiling at the thousands of IVF
+    * cells a 100 TB corpus wants). Semantics identical, NaN ordering
+    * included (kernel scaladoc); the SemDedupSpec/OpsSpec battery
+    * and every IVF oracle hash pin it.
     */
   def assignClusters(embeddings: DataFrame, vecCol: String,
       centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val scored = centroids.map { case (c, w) =>
-      struct(cosine(col(vecCol), typedLit(w.toSeq)).as("cos"),
-        lit(-c).as("negc"))
-    }
+    val sorted = centroids.sortBy(_._1)
     embeddings.withColumn("_cluster",
-      -greatest(scored.toSeq: _*).getField("negc"))
+      graft.ops.VectorExpressions.nearestCentroidCos(col(vecCol),
+        sorted.map(_._2), sorted.map(_._1)))
   }
 
   /** IVF-probed ANN: rank the query's `nprobe` nearest clusters, scan

@@ -97,6 +97,44 @@ object VectorKernels {
     if (emitDist) bestD else bestJ.toLong
   }
 
+  /** Fused argmax-cosine routing over a double codebook: one pass of
+    * k cosine evaluations per row (each accumulated in index order,
+    * bit-identical to [[cosine]]), returning the winning centroid's
+    * id. Comparison uses `java.lang.Double.compare`, reproducing the
+    * `greatest(struct(cos, -id))` formulation EXACTLY — including
+    * NaN ordering (NaN > any double, NaN == NaN), which matters for
+    * zero vectors/centroids — with ties to the LOWEST id (ids must
+    * arrive ascending). Replaces the per-centroid `typedLit` struct
+    * stack, which embeds k x dims literal doubles into the plan and
+    * re-analyzes them on every use — unworkable at IVF cell counts
+    * in the thousands.
+    */
+  def nearestCentroidCos(v: ArrayData, cv: Int,
+      cents: Array[Array[Double]], ids: Array[Int]): Int = {
+    var bestCos = Double.NegativeInfinity
+    var bestId = ids(0)
+    var j = 0
+    while (j < cents.length) {
+      val w = cents(j)
+      val n = math.min(v.numElements(), w.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = get(v, i, cv)
+        val y = w(i)
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val c = d / (math.sqrt(na) * math.sqrt(nb))
+      val cmp = java.lang.Double.compare(c, bestCos)
+      if (cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
+        bestCos = c; bestId = ids(j)
+      }
+      j += 1
+    }
+    bestId
+  }
+
   /** Fixed-point micros view of a float/double vector in one pass:
     * floor(double(v_i) * 1e6) as a primitive long array — the
     * allocation-free replacement for the interpreted
@@ -212,6 +250,32 @@ case class NearestCentroidExpr(child: Expression,
     if (emitDist) "nearest_centroid_dist" else "nearest_centroid"
 }
 
+/** nearest_centroid_cos(vec): int — fused argmax-cosine routing, see
+  * [[VectorKernels.nearestCentroidCos]]. The codebook and its ids
+  * ride as reference objects.
+  */
+case class NearestCentroidCosExpr(child: Expression,
+    cents: Array[Array[Double]], ids: Array[Int])
+    extends UnaryExpression {
+  require(cents.nonEmpty && cents.length == ids.length,
+    "nearest_centroid_cos needs a non-empty codebook with matching ids")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCentroidCos(input.asInstanceOf[ArrayData],
+      VectorKernels.elemCode(child.dataType), cents, ids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cv = VectorKernels.elemCode(child.dataType)
+    val cRef = ctx.addReferenceObj("cosCentroids", cents, "double[][]")
+    val iRef = ctx.addReferenceObj("cosCentroidIds", ids, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.nearestCentroidCos($c, $cv, $cRef, $iRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroidCosExpr =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid_cos"
+}
+
 /** micros_vec(vec): array<long> — fused fixed-point view, see
   * [[VectorKernels.microsVec]].
   */
@@ -245,4 +309,8 @@ object VectorExpressions {
       ColumnBridge.expression(vec), cents, emitDist = true))
   def microsVec(vec: Column): Column =
     ColumnBridge.column(MicrosVecExpr(ColumnBridge.expression(vec)))
+  def nearestCentroidCos(vec: Column, cents: Array[Array[Double]],
+      ids: Array[Int]): Column =
+    ColumnBridge.column(NearestCentroidCosExpr(
+      ColumnBridge.expression(vec), cents, ids))
 }
