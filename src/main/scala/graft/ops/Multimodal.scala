@@ -220,23 +220,40 @@ object Multimodal {
           if (ais == null) Row(id, null, null, null, null, null, null)
           else {
             val fmt = ais.getFormat
-            val n = ais.getFrameLength.toInt
-            val pcm = ais.readAllBytes()
-            var sumAbs = 0L; var ck = 0L
-            var mn = Int.MaxValue; var mx = Int.MinValue
-            var i = 0
-            while (i < n) {
-              // 16-bit signed little-endian mono (the synthesized spec)
-              val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
-              sumAbs += math.abs(s)
-              ck += (i.toLong + 1) * s
-              if (s < mn) mn = s
-              if (s > mx) mx = s
-              i += 1
+            val frames = ais.getFrameLength
+            // The sample loop below indexes PCM as 16-bit signed
+            // little-endian mono; a *valid* WAV in any other layout
+            // (8-bit, stereo, big-endian, float, unknown length) must
+            // take the documented null-metadata path, not corrupt the
+            // stats or walk off the end of the buffer.
+            val layoutOk =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 &&
+              fmt.getChannels == 1 &&
+              !fmt.isBigEndian &&
+              frames >= 0 && frames <= Int.MaxValue.toLong
+            if (!layoutOk) Row(id, null, null, null, null, null, null)
+            else {
+              val n = frames.toInt
+              val pcm = ais.readAllBytes()
+              if (pcm.length < 2 * n) Row(id, null, null, null, null, null, null)
+              else {
+                var sumAbs = 0L; var ck = 0L
+                var mn = Int.MaxValue; var mx = Int.MinValue
+                var i = 0
+                while (i < n) {
+                  val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+                  sumAbs += math.abs(s)
+                  ck += (i.toLong + 1) * s
+                  if (s < mn) mn = s
+                  if (s > mx) mx = s
+                  i += 1
+                }
+                Row(id, n, fmt.getSampleRate.toInt, sumAbs,
+                  if (n == 0) null else Integer.valueOf(mn),
+                  if (n == 0) null else Integer.valueOf(mx), ck)
+              }
             }
-            Row(id, n, fmt.getSampleRate.toInt, sumAbs,
-              if (n == 0) null else Integer.valueOf(mn),
-              if (n == 0) null else Integer.valueOf(mx), ck)
           }
         }
       }

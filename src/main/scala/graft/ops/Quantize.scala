@@ -214,16 +214,19 @@ object Quantize {
     // topk_by combines map-side (<= k rows per mapper per pid reach
     // the shuffle) and never materializes an ordering. Selection is
     // IDENTICAL: cos is pre-rounded to 6 dp, so round(cos * 1e6) is
-    // a monotone integer image, and the zero-padded id payload
-    // preserves numeric tie order (ord DESC, payload ASC == the old
-    // (cos DESC, id) / (adc ASC, id) ranks).
+    // a monotone integer image, and the payload is the 16-digit hex
+    // of the sign-flipped id bits (`id XOR Long.MinValue`) — a
+    // fixed-width string whose lexicographic order equals signed
+    // numeric order for EVERY long, negatives included (decimal
+    // lpad diverged there). The encoding is injective, and the id
+    // arrays only ever feed array_intersect, so they stay encoded.
     def topIds(df: DataFrame, ord: Column, out: String) =
       df.groupBy(col("pid"))
         .agg(TopKAgg.topKBy(ord,
-          lpad(col("id").cast("string"), 19, "0"), topK).as("t"))
+          lpad(hex(col("id").bitwiseXOR(lit(Long.MinValue))), 16, "0"),
+          topK).as("t"))
         .select(col("pid"),
-          transform(col("t"), e =>
-            e.getField("payload").cast("long")).as(out))
+          transform(col("t"), e => e.getField("payload")).as(out))
     val exactTop = topIds(exact,
       round(col("cos") * lit(1000000d)).cast("long"), "e_ids")
     val adcTop = topIds(adc, -col("adc"), "a_ids")

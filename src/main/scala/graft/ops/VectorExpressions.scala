@@ -142,15 +142,19 @@ object VectorKernels {
     * every element (64 boxed Longs + a GenericArrayData per row; at
     * millions of vectors the GC churn dominated the whole cache
     * build — measured in SCALING.md round 8). Identical values to
-    * [[Quantize.micros]]: floor in double, truncate to long. Null
-    * elements read as 0 (embedding arrays carry no null elements —
-    * parquet fixtures and every caller's size filter guarantee it).
+    * [[Quantize.micros]]: floor in double, truncate to long. A null
+    * array element is a contract violation (the HOF this replaced
+    * produced null there, which no caller can consume) and fails
+    * fast with a clear message instead of silently reading 0.
     */
   def microsVec(v: ArrayData, cv: Int): ArrayData = {
     val n = v.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"micros_vec: null element at index $i of $n — embedding " +
+          "arrays must be null-free (filter or repair upstream)")
       out(i) = math.floor(get(v, i, cv) * 1e6).toLong
       i += 1
     }

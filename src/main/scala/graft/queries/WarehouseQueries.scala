@@ -331,8 +331,11 @@ object WarehouseQueries {
           .select(col("c_custkey"), col("c_mktsegment"),
             floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
         val avgRow = sel.filter(col("bal_c") > 0)
-          .agg((sum(col("bal_c")).cast("long") / count(lit(1)))
-            .cast("long").as("avg_c"))
+          .agg(sum(col("bal_c")).cast("long").as("sum_bal"),
+            count(lit(1)).as("cnt"))
+          // Structural integer DIV, matching the oracle's `//` exactly
+          // rather than relying on double division staying precise.
+          .select(expr("sum_bal DIV cnt").as("avg_c"))
         val recent = t(s, dir, "orders")
           .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
           .select(col("o_custkey"))

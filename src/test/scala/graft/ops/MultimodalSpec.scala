@@ -95,6 +95,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(99L).isNullAt(1) && rows(99L).isNullAt(6))
   }
 
+  test("decodeAudio rejects valid WAVs in unsupported layouts (8-bit, " +
+    "stereo, big-endian) with a null row instead of a task failure") {
+    import javax.sound.sampled._
+    def wav(fmt: AudioFormat, frames: Int, bytesPerFrame: Int): Array[Byte] = {
+      val data = new Array[Byte](frames * bytesPerFrame)
+      var i = 0
+      while (i < data.length) { data(i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 8-bit mono (the WAV writer maps 8-bit to PCM_UNSIGNED), 16-bit
+    // stereo, plus a good 16-bit mono control in the same frame.
+    val eightBit = wav(new AudioFormat(8000f, 8, 1, false, false), 300, 1)
+    val stereo = wav(new AudioFormat(8000f, 16, 2, true, false), 300, 4)
+    val media = Seq((1L, eightBit), (2L, stereo)).toDF("id", "payload")
+      .union(Multimodal.synthesizeAudio(Seq(5L).toDF("doc_id"), "doc_id"))
+    val rows = Multimodal.decodeAudio(media, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).isNullAt(1) && rows(1L).isNullAt(6))
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(6))
+    assert(rows(5L).getInt(1) == Multimodal.audioSamples(5L)) // control decodes
+  }
+
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {
     val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)
