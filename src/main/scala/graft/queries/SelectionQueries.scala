@@ -26,6 +26,35 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
+  /** Decoded-GIF pixel oracle CTE `px(doc_id, f, x, y, g)`, mirroring
+    * [[graft.ops.Multimodal.gifPixel]]: the fixed 11 x 7 frame grid
+    * over the max 5-frame envelope, filtered to each clip's true
+    * frame count (`3 + doc_id % 3`). Frame 0 depends on doc_id only
+    * through doc_id % 4 (the shared intro card).
+    */
+  private[queries] val gifPixelCtes: String =
+    s"""px AS (
+       | SELECT doc_id, f, x, y,
+       |  CASE WHEN f = 0
+       |   THEN ((doc_id % 4) * 37 + x * 7 + y * 13) % 256
+       |   ELSE (doc_id * 31 + f * 53 + x * 7 + y * 13) % 256 END AS g
+       | FROM documents,
+       |  generate_series(0, 4) AS tf(f),
+       |  generate_series(0, ${Multimodal.gifFrameW - 1}) AS tx(x),
+       |  generate_series(0, ${Multimodal.gifFrameH - 1}) AS ty(y)
+       | WHERE f < 3 + doc_id % 3)""".stripMargin
+
+  /** [[gifPixelCtes]] rolled up to per-frame fingerprints
+    * `fp(doc_id, f, sum_gray, frame_checksum)` — q222 groups these.
+    */
+  private[queries] val gifFingerprintCtes: String =
+    s"""$gifPixelCtes,
+       |fp AS (
+       | SELECT doc_id, f, CAST(sum(g) AS BIGINT) AS sum_gray,
+       |  CAST(sum((y * ${Multimodal.gifFrameW} + x + 1) * g) AS BIGINT)
+       |   AS frame_checksum
+       | FROM px GROUP BY 1, 2)""".stripMargin
+
   /** The DSIR scoring CTE chain ending at `sc(id, n_grams, w_sum,
     * score)` — q205/q209 select its top 50; q214 applies the
     * acceptance rule over the full frame.
@@ -952,35 +981,60 @@ object SelectionQueries {
            |FROM sp WHERE seq_id < 50
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Frame-level dedup across payloads: q39's frame digests grouped
-    // — the multimodal twin of exact text dedup (the same intro/
-    // outro/watermark frames recur across videos; dropping them is
-    // the first multimodal dedup pass). Digest-keyed aggregate, the
-    // payloads themselves never shuffle.
+    // Frame-level dedup across REAL decoded frames: every payload is
+    // an actual animated GIF ([[Multimodal.synthesizeVideos]]), every
+    // frame is decoded by the JDK codec, and frames are keyed by
+    // their decoded-pixel fingerprint (gray mass, position-weighted
+    // checksum) — the multimodal twin of exact text dedup (the same
+    // intro/outro/watermark frames recur across clips; dropping them
+    // is the first multimodal dedup pass). Fingerprint-keyed
+    // aggregate: only the 2-long fingerprints shuffle, never payloads
+    // or rasters. The oracle recomputes the fingerprints arithmetically
+    // from the gifPixel spec — hashes match only if the codec returned
+    // the exact encoded frames.
     "q222_frame_dedup" -> Q(
       (s, dir) => {
-        val docs = Multimodal.synthesizePayload(
-          t(s, dir, "documents"), "text")
-        Multimodal.sampleFrames(docs, "doc_id", "payload",
-            frameBytes = 100)
-          .groupBy(col("frame_digest"))
+        val clips = Multimodal.synthesizeVideos(
+          t(s, dir, "documents"), "doc_id")
+        Multimodal.decodeFrames(clips, "id", "payload")
+          .groupBy(col("sum_gray"), col("frame_checksum"))
           .agg(count(lit(1)).as("n_frames"),
             count_distinct(col("id")).as("n_docs"),
             min(col("id")).as("first_doc"))
           .filter(col("n_frames") >= 2)
-          .orderBy(col("n_frames").desc, col("frame_digest"))
+          .orderBy(col("n_frames").desc, col("sum_gray"),
+            col("frame_checksum"))
       },
       Some(
-        """WITH fr AS (
-          | SELECT doc_id, md5(substring(text, f * 100 + 1, 100)) AS d
-          | FROM documents,
-          |  unnest(generate_series(0,
-          |    CAST(ceil(length(text) / 100.0) AS INT) - 1)) AS t(f))
-          |SELECT d AS frame_digest, count(*) AS n_frames,
-          | count(DISTINCT doc_id) AS n_docs,
-          | min(doc_id) AS first_doc
-          |FROM fr GROUP BY 1 HAVING count(*) >= 2
-          |ORDER BY n_frames DESC, frame_digest""".stripMargin)),
+        s"""WITH ${SelectionQueries.gifFingerprintCtes}
+           |SELECT sum_gray, frame_checksum, count(*) AS n_frames,
+           | count(DISTINCT doc_id) AS n_docs,
+           | min(doc_id) AS first_doc
+           |FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+           |ORDER BY n_frames DESC, sum_gray, frame_checksum"""
+          .stripMargin)),
+
+    // Per-frame decode audit: the multi-frame analog of q234's image
+    // decode — one row per (clip, frame) with REAL decoded dimensions
+    // and pixel statistics. >= 3 frames per payload by construction
+    // (gifFrames = 3 + id % 3); the arithmetic oracle recomputes each
+    // frame's stats from the gifPixel spec without a codec.
+    "q244_gif_frames" -> Q(
+      (s, dir) => {
+        val clips = Multimodal.synthesizeVideos(
+          t(s, dir, "documents"), "doc_id")
+        Multimodal.decodeFrames(clips, "id", "payload")
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some(
+        s"""WITH ${SelectionQueries.gifPixelCtes}
+           |SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+           | CAST(${Multimodal.gifFrameW} AS INTEGER) AS width,
+           | CAST(${Multimodal.gifFrameH} AS INTEGER) AS height,
+           | CAST(sum(g) AS BIGINT) AS sum_gray,
+           | CAST(sum((y * ${Multimodal.gifFrameW} + x + 1) * g) AS BIGINT)
+           |  AS frame_checksum
+           |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // IVF cell-balance audit: occupancy of every routing cell vs the
     // uniform expectation — a skewed cell is a hot serving partition

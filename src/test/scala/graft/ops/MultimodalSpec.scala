@@ -121,6 +121,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(5L).getInt(1) == Multimodal.audioSamples(5L)) // control decodes
   }
 
+  test("encodeGif emits a real multi-image GIF (magic, frame count) " +
+    "and the JDK reader round-trips every frame's exact pixel grid") {
+    val id = 7L
+    val bytes = Multimodal.encodeGif(id)
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == Multimodal.gifFrames(id)) // 4
+    for (f <- 0 until Multimodal.gifFrames(id)) {
+      val img = reader.read(f)
+      assert(img.getWidth == Multimodal.gifFrameW)
+      assert(img.getHeight == Multimodal.gifFrameH)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert((img.getRGB(x, y) & 0xff) == Multimodal.gifPixel(id, f, x, y))
+    }
+    reader.dispose(); iis.close()
+  }
+
+  test("decodeFrames fans out one row per DECODED frame with exact " +
+    "pixel stats; intro frames recur across ids sharing id % 4; " +
+    "corrupt payload yields a null row") {
+    val media = Multimodal.synthesizeVideos(
+      Seq(2L, 6L).toDF("doc_id"), "doc_id") // 2 % 4 == 6 % 4
+      .union(Seq((99L, "not a gif".getBytes("UTF-8"))).toDF("id", "payload"))
+    val rows = Multimodal.decodeFrames(media, "id", "payload")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)) -> r)
+      .toMap
+    def expected(id: Long, f: Int): (Long, Long) = {
+      val px = for (y <- 0 until Multimodal.gifFrameH;
+                    x <- 0 until Multimodal.gifFrameW)
+        yield (x, y, Multimodal.gifPixel(id, f, x, y))
+      (px.map(_._3.toLong).sum,
+        px.map { case (x, y, g) =>
+          (y.toLong * Multimodal.gifFrameW + x + 1) * g }.sum)
+    }
+    for (id <- Seq(2L, 6L); f <- 0 until Multimodal.gifFrames(id)) {
+      val (sum, ck) = expected(id, f)
+      val r = rows((id, f))
+      assert(r.getInt(2) == Multimodal.gifFrameW)
+      assert(r.getLong(4) == sum && r.getLong(5) == ck, s"id=$id f=$f")
+    }
+    // shared intro card: frame 0 identical for ids congruent mod 4
+    assert(rows((2L, 0)).getLong(5) == rows((6L, 0)).getLong(5))
+    assert(rows((2L, 1)).getLong(5) != rows((6L, 1)).getLong(5))
+    assert(rows((99L, -1)).isNullAt(1) && rows((99L, -1)).isNullAt(5))
+  }
+
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {
     val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)
