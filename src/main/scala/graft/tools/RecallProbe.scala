@@ -7,8 +7,9 @@ import graft.ops.Similarity
 
 /** Diagnostic: IVF recall@10 vs nprobe at each scale factor; informs
   * the q58 parameter choice and the OpsSpec floor. Also compares the
-  * two centroid seedings ("lowest-id" oracle mode vs "kmpp" D^2
-  * sampling): on the UNSTRUCTURED synthetic embeddings the two are a
+  * three centroid seedings ("lowest-id" oracle mode, "kmpp" D^2
+  * sampling on a driver-capped hash-sample, "kpar" full-corpus
+  * k-means‖): on the UNSTRUCTURED synthetic embeddings they are a
   * statistical wash (no cluster structure for a seeding to find), so
   * the probe adds a CLUSTERED corpus — 16 direction-clusters whose
   * ids are sorted by cluster, the adversarial case where lowest-id
@@ -24,7 +25,7 @@ object RecallProbe {
       val n = emb.count()
       // both seedings at the same Lloyd budget: "lowest-id" is the
       // oracle-pinned mode, "kmpp" the production farthest-first init
-      for (init <- Seq("lowest-id", "kmpp")) {
+      for (init <- Seq("lowest-id", "kmpp", "kpar")) {
         val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding",
           k = 16, iters = 2, sampleMod = 4, init = init)
         for (nprobe <- Seq(4, 6, 8, 10)) {
@@ -60,7 +61,7 @@ object RecallProbe {
       (i.toLong, v)
     }.toDF("vec_id", "embedding").cache()
     vecs.count()
-    for (init <- Seq("lowest-id", "kmpp"); iters <- Seq(0, 1, 2)) {
+    for (init <- Seq("lowest-id", "kmpp", "kpar"); iters <- Seq(0, 1, 2)) {
       val centroids = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
         k = 16, iters = iters, init = init)
       for (nprobe <- Seq(2, 4)) {

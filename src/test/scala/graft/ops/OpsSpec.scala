@@ -424,6 +424,33 @@ class OpsSpec extends AnyFunSuite {
     assert(low.map { case (_, v) => v.indexOf(v.max) }.toSet == Set(0))
   }
 
+  test("kpar (k-means‖) seeding: deterministic, spreads seeds across " +
+    "clusters with NO driver-capped sample, and max_centroid_cos " +
+    "matches per-centroid cosine") {
+    import spark.implicits._
+    val vecs = (0 until 40).map { i =>
+      val axis = i / 10
+      val v = Array.fill(4)(0.05f * ((i * 7 % 3) - 1))
+      v(axis) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    def seeds() = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 0, init = "kpar")
+    val a = seeds(); val b = seeds()
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq, "not deterministic")
+    assert(a.length == 4)
+    val axes = a.map { case (_, v) => v.indexOf(v.max) }.toSet
+    assert(axes == Set(0, 1, 2, 3), s"kpar seeds not spread: ${axes}")
+    // the fused best-cosine kernel == max over per-centroid cosine_sim
+    val cb = a.map(_._2)
+    val rows = vecs.select(col("embedding"),
+      graft.ops.VectorExpressions.maxCentroidCos(col("embedding"), cb)
+        .as("fused"),
+      greatest(cb.map(c => Similarity.cosine(col("embedding"),
+        typedLit(c.toSeq))): _*).as("manual")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12))
+  }
+
   test("IVF recall: exact variant is 10/10 by construction, plain is data-limited") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .cache()
