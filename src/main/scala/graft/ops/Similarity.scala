@@ -559,6 +559,65 @@ object Similarity {
       .limit(kNearest)
   }
 
+  /** Predicate-constrained (filtered) IVF probe, PRE-filter strategy:
+    * search within a stratum (same-language near-dup, same-source
+    * contamination, ...) by applying `predicate` INSIDE the probed
+    * cells before ranking. Both the cell-membership filter and the
+    * predicate reach the scan (at 100 TB, a cell-partitioned layout
+    * makes the probe a partition-pruned read and the predicate a
+    * pushed filter on it), so the candidate volume is
+    * selectivity x nprobe/k of the corpus. Any true filtered
+    * neighbor that lives in a probed cell is returned by
+    * construction — pre-filtering can never lose a probed-cell
+    * member to the predicate, which is why it dominates post-filter
+    * at low selectivity (q245's measured sweep).
+    */
+  def topKCosineIvfFiltered(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Array[Double], kNearest: Int,
+      centroids: Array[(Int, Array[Double])], nprobe: Int,
+      predicate: Column): DataFrame = {
+    val probes = centroids
+      .map { case (c, w) => c -> cosScalar(queryVec, w) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe).map(_._1).toSet
+    val qLit = typedLit(queryVec.toSeq)
+    assignClusters(embeddings.filter(predicate), vecCol, centroids)
+      .filter(col("_cluster").isin(probes.toSeq: _*))
+      .select(col(idCol).as("id"), round(cosine(col(vecCol), qLit), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(kNearest)
+  }
+
+  /** Predicate-constrained IVF probe, POST-filter strategy: rank the
+    * top `kNearest * overFetch` of the probed cells WITHOUT the
+    * predicate, then filter and truncate to k. The shape a serving
+    * stack is forced into when the predicate is not available at
+    * scan time (late-bound ACLs, a joined attribute); recall decays
+    * with selectivity — at selectivity s the over-fetch window holds
+    * ~s·k·overFetch stratum members, so low-selectivity strata
+    * starve (q245 measures the decay against pre-filter).
+    */
+  def topKCosineIvfPostFiltered(embeddings: DataFrame, idCol: String,
+      vecCol: String, queryVec: Array[Double], kNearest: Int,
+      centroids: Array[(Int, Array[Double])], nprobe: Int,
+      predicate: Column, overFetch: Int = 4): DataFrame = {
+    val probes = centroids
+      .map { case (c, w) => c -> cosScalar(queryVec, w) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(nprobe).map(_._1).toSet
+    val qLit = typedLit(queryVec.toSeq)
+    assignClusters(embeddings, vecCol, centroids)
+      .filter(col("_cluster").isin(probes.toSeq: _*))
+      .select(col(idCol).as("id"), predicate.as("_keep"),
+        round(cosine(col(vecCol), qLit), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(kNearest * overFetch)
+      .filter(col("_keep"))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(kNearest)
+  }
+
   private def cosScalar(a: Array[Double], b: Array[Double]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

@@ -26,6 +26,50 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
+  /** The integer-Lloyd IVF oracle chain (q210's contract: lowest-id
+    * seeding, k=4, one round, fixed-point micros) ending at
+    * `aF(id, j)` cell assignments, `pr(j, cell_rank)` probe ranks
+    * for the id=0 query, and `qv(qe)` the query embedding — q245
+    * builds its filtered-recall arithmetic on top.
+    */
+  private val ivfAssignCtes: String =
+    """exall AS MATERIALIZED (
+      | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+      |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |   AS BIGINT) AS m
+      | FROM embeddings WHERE len(embedding) = 64),
+      |seed AS (
+      | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+      | FROM (SELECT DISTINCT id FROM exall ORDER BY id LIMIT 4)),
+      |c0 AS MATERIALIZED (
+      | SELECT seed.j, e.gi AS i, e.m AS c
+      | FROM exall e JOIN seed USING (id)),
+      |d1 AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+      |  FROM exall e JOIN c0 c ON c.i = e.gi GROUP BY 1, 2),
+      |a1 AS MATERIALIZED (SELECT id, j FROM (
+      |  SELECT id, j, row_number() OVER (
+      |   PARTITION BY id ORDER BY d, j) AS rn FROM d1) WHERE rn = 1),
+      |u1 AS MATERIALIZED (
+      | SELECT a1.j, e.gi AS i, CAST(sum(e.m) AS BIGINT) // count(*) AS c
+      | FROM a1 JOIN exall e USING (id) GROUP BY 1, 2),
+      |c1 AS MATERIALIZED (SELECT * FROM u1 UNION ALL
+      | SELECT j, i, c FROM c0
+      | WHERE j NOT IN (SELECT j FROM u1)),
+      |dF AS (SELECT e.id, c.j, sum((e.m - c.c) * (e.m - c.c)) AS d
+      |  FROM exall e JOIN c1 c ON c.i = e.gi GROUP BY 1, 2),
+      |aF AS MATERIALIZED (SELECT id, j FROM (
+      |  SELECT id, j, row_number() OVER (
+      |   PARTITION BY id ORDER BY d, j) AS rn FROM dF) WHERE rn = 1),
+      |qd AS (
+      | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+      | FROM (SELECT gi, m FROM exall WHERE id = 0) q
+      | JOIN c1 c ON c.i = q.gi GROUP BY 1),
+      |pr AS (
+      | SELECT j, row_number() OVER (ORDER BY d, j) AS cell_rank
+      | FROM qd),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"""
+      .stripMargin
+
   /** Decoded-GIF pixel oracle CTE `px(doc_id, f, x, y, g)`, mirroring
     * [[graft.ops.Multimodal.gifPixel]]: the fixed 11 x 7 frame grid
     * over the max 5-frame envelope, filtered to each clip's true
@@ -1035,6 +1079,135 @@ object SelectionQueries {
            | CAST(sum((y * ${Multimodal.gifFrameW} + x + 1) * g) AS BIGINT)
            |  AS frame_checksum
            |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Filtered (predicate-constrained) ANN audit: real pipelines
+    // search within a stratum (same-language near-dup, same-source
+    // contamination); this query prices the two serving strategies —
+    // PRE-filter (predicate pushed inside the probed cells,
+    // Similarity.topKCosineIvfFiltered) vs POST-filter with 4x
+    // over-fetch (topKCosineIvfPostFiltered) — against exact filtered
+    // brute force at ~50%/10%/1% selectivity strata (id % 2/10/100).
+    // Like q210, ONE cell assignment + ONE scored pass price every
+    // (stratum, nprobe) point analytically: a true filtered neighbor
+    // is recovered by pre-filter iff its cell is probed, and by
+    // post-filter iff additionally its UNFILTERED rank within the
+    // probed cells fits the 40-row over-fetch window (the top-10
+    // truncation can never cut a true member - at most 9 stratum rows
+    // beat it anywhere). Per-stratum exact top-10 via
+    // TakeOrderedAndProject on the filtered scan; the better-rank
+    // counts join the 500-row scored frame against a 120-row
+    // broadcast. Oracle re-derives the identical integer Lloyd chain
+    // (q210's) plus the same rank arithmetic.
+    "q245_filtered_ann" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val emb = t(s, dir, "embeddings")
+        val base = graft.Scratch.cache(
+          emb.filter(size(col("embedding")) === 64)
+            .select(col("vec_id").as("id"),
+              SemDedup.microsVec(col("embedding")).as("mv")))
+        val cells = SemDedup.lloyd(base, 4, 64, 1)
+        val assign = SemDedup.assignDist(base, cells)
+          .select(col("id"), col("cluster").cast("long").as("cell"))
+        val qmv = base.filter(col("id") === 0)
+          .select(col("mv")).head().getSeq[Long](0).toArray
+        val rankDf = cells.zipWithIndex.map { case (c, j) =>
+            var d = 0L
+            var i = 0
+            while (i < c.length) {
+              val u = c(i) - qmv(i); d += u * u; i += 1
+            }
+            (j.toLong, d)
+          }.sortBy { case (j, d) => (d, j) }
+          .zipWithIndex.map { case ((j, _), r) => (j, (r + 1).toLong) }
+          .toSeq.toDF("cell", "cell_rank")
+        val qe = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+        // one scored pass: 6-dp integer cosine image + probe rank of
+        // every vector's cell
+        val scored = graft.Scratch.cache(
+          emb.filter(size(col("embedding")) === 64)
+            .select(col("vec_id").as("id"),
+              round(round(Similarity.cosine(col("embedding"),
+                typedLit(qe)), 6) * lit(1000000d)).cast("long").as("ci"))
+            .join(assign, Seq("id"))
+            .join(broadcast(rankDf), Seq("cell")))
+        // exact filtered top-10 per stratum: TakeOrderedAndProject
+        // over each stratum's filtered scan
+        val members = Seq(2L, 10L, 100L).map { sel =>
+            scored.filter(pmod(col("id"), lit(sel)) === 0)
+              .orderBy(col("ci").desc, col("id"))
+              .limit(10)
+              .select(lit(sel).as("sel"), col("id").as("mid"),
+                col("ci").as("mci"), col("cell_rank").as("mrank"))
+          }.reduce(_ union _)
+        val combos = members.crossJoin((1L to 4L).toDF("np")) // <= 120 rows
+        // count strictly-better-ranked vectors among the probed cells
+        // (corpus streamed, combos broadcast; missing combos = 0)
+        val better = scored.join(broadcast(combos),
+            col("cell_rank") <= col("np") && (col("ci") > col("mci") ||
+              (col("ci") === col("mci") && col("id") < col("mid"))))
+          .groupBy(col("sel"), col("np"), col("mid"))
+          .agg(count(lit(1)).as("n_better"))
+        val pr = combos.join(better, Seq("sel", "np", "mid"), "left")
+          .na.fill(0L, Seq("n_better"))
+        val elig = Seq(2L, 10L, 100L).toDF("sel")
+          .join(scored, pmod(col("id"), col("sel")) === 0)
+          .groupBy(col("sel")).agg(count(lit(1)).as("n_eligible"))
+        pr.groupBy(col("sel"), col("np"))
+          .agg(
+            sum(when(col("mrank") <= col("np"), 1L).otherwise(0L))
+              .as("recall_pre_at_10"),
+            sum(when(col("mrank") <= col("np") &&
+                col("n_better") + 1 <= 40, 1L).otherwise(0L))
+              .as("recall_post_at_10"))
+          .join(broadcast(elig), Seq("sel"))
+          .select(col("sel").as("stratum_mod"), col("np").as("nprobe"),
+            col("n_eligible"), col("recall_pre_at_10"),
+            col("recall_post_at_10"))
+          .orderBy(col("stratum_mod"), col("nprobe"))
+      },
+      Some(
+        s"""WITH $ivfAssignCtes,
+           |sc AS MATERIALIZED (
+           | SELECT e.vec_id AS id,
+           |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "qe")},
+           |   6) * 1000000) AS BIGINT) AS ci,
+           |  pr.cell_rank
+           | FROM embeddings e CROSS JOIN qv
+           | JOIN aF ON aF.id = e.vec_id
+           | JOIN pr ON pr.j = aF.j
+           | WHERE len(e.embedding) = 64),
+           |mem AS MATERIALIZED (
+           | SELECT sel, id AS mid, ci AS mci, cell_rank AS mrank
+           | FROM (
+           |  SELECT s.sel, sc.id, sc.ci, sc.cell_rank,
+           |   row_number() OVER (PARTITION BY s.sel
+           |    ORDER BY sc.ci DESC, sc.id) AS rk
+           |  FROM (SELECT unnest([2, 10, 100]) AS sel) s
+           |  JOIN sc ON sc.id % s.sel = 0)
+           | WHERE rk <= 10),
+           |pb AS (
+           | SELECT m.sel, t.np, m.mid, m.mrank, count(sc.id) AS n_better
+           | FROM mem m
+           | CROSS JOIN generate_series(1, 4) t(np)
+           | LEFT JOIN sc ON sc.cell_rank <= t.np
+           |   AND (sc.ci > m.mci OR (sc.ci = m.mci AND sc.id < m.mid))
+           | GROUP BY 1, 2, 3, 4),
+           |elig AS (
+           | SELECT s.sel, count(*) AS n_eligible
+           | FROM (SELECT unnest([2, 10, 100]) AS sel) s
+           | JOIN sc ON sc.id % s.sel = 0
+           | GROUP BY 1)
+           |SELECT CAST(pb.sel AS BIGINT) AS stratum_mod,
+           | CAST(pb.np AS BIGINT) AS nprobe,
+           | CAST(elig.n_eligible AS BIGINT) AS n_eligible,
+           | CAST(sum(CASE WHEN mrank <= np THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS recall_pre_at_10,
+           | CAST(sum(CASE WHEN mrank <= np AND n_better + 1 <= 40
+           |  THEN 1 ELSE 0 END) AS BIGINT) AS recall_post_at_10
+           |FROM pb JOIN elig ON elig.sel = pb.sel
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
 
     // IVF cell-balance audit: occupancy of every routing cell vs the
     // uniform expectation — a skewed cell is a hot serving partition

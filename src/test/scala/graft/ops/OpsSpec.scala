@@ -451,6 +451,46 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12))
   }
 
+  test("filtered IVF probe: pre-filter returns the exact filtered " +
+    "top-k of the probed cells; post-filter is a subset of it") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray.map(_.toDouble)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 16)
+    val pred = pmod(col("vec_id"), lit(10)) === 0
+    val pre = Similarity.topKCosineIvfFiltered(emb, "vec_id", "embedding",
+      q, 10, centroids, nprobe = 4, pred).collect()
+    assert(pre.nonEmpty)
+    // every result satisfies the predicate
+    assert(pre.forall(_.getLong(0) % 10 == 0))
+    // pre == brute-force top-10 over (probed cells ∩ predicate):
+    // recompute the probed restriction manually
+    val probed = Similarity.assignClusters(emb, "embedding", centroids)
+    val cellsOfTop = {
+      val probes = centroids.map { case (c, w) =>
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- q.indices) { d += q(i) * w(i); na += q(i) * q(i); nb += w(i) * w(i) }
+        c -> d / (math.sqrt(na) * math.sqrt(nb))
+      }.sortBy { case (c, s) => (-s, c) }.take(4).map(_._1).toSet
+      probes
+    }
+    val manual = probed
+      .filter(col("_cluster").isin(cellsOfTop.toSeq: _*) && pred)
+      .select(col("vec_id").as("id"),
+        round(Similarity.cosine(col("embedding"),
+          typedLit(q.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(10).collect()
+    assert(pre.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      manual.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // post-filter can only ever return pre-filter members (the
+    // over-fetch window loses low-selectivity members, never adds)
+    val post = Similarity.topKCosineIvfPostFiltered(emb, "vec_id",
+      "embedding", q, 10, centroids, nprobe = 4, pred, overFetch = 4)
+      .collect()
+    val preIds = pre.map(_.getLong(0)).toSet
+    assert(post.forall(r => preIds.contains(r.getLong(0))))
+  }
+
   test("IVF recall: exact variant is 10/10 by construction, plain is data-limited") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .cache()
