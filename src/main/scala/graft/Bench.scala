@@ -173,10 +173,17 @@ object Bench {
           case _ => Map.empty[String, Double]
         }
       } catch { case _: Throwable => Map.empty } // first run / no file
+    // max(2x, +0.5 s): a query is a cross-round suspect only when it
+    // is BOTH >= 2x its prior committed time AND >= 0.5 s absolute
+    // above it. The ratio alone flapped on sub-second queries every
+    // round (r8/r9 carried 8 suspects, all ~1 s or below, all suite
+    // noise): at that magnitude a 2x ratio is within in-suite jitter,
+    // while a genuine regression on a query that matters clears half
+    // a second easily.
     val crossRoundSuspects = afterRetry.collect {
       case (name, sec, true, _, _)
         if priorQueries.get(name).exists(p =>
-          p > 0 && sec >= 0.15 && sec / p >= 2.0) => name
+          p > 0 && sec >= 2.0 * p && sec >= p + 0.5) => name
     }
     val staticSuspects = Seq("q21_quality", "q26_simhash_pairs",
       "q42_approx_distinct", "q74_ngram_decontam", "q75_reshard",
@@ -230,8 +237,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val note = "full-materialization timing (toRdd); slowest " +
       s"$retryCount re-timed once + noise suspects (static seeds + " +
-      "measured >=1.8x suite-vs-retry delta + >=2x vs prior committed " +
-      "run in BENCH_HISTORY.json) re-timed quiet " +
+      "measured >=1.8x suite-vs-retry delta + max(2x, +0.5s) vs prior " +
+      "committed run in BENCH_HISTORY.json) re-timed quiet " +
       "(post-suite GC+settle, min of successful runs), min reported " +
       "(suite-noise control)"
     val isolated = quiet.toSeq.sortBy(_._1)
@@ -245,9 +252,15 @@ object Bench {
     // (last 8 runs kept) — the repo-resident artifact that makes
     // per-query round-over-round diffs possible for the judge, the
     // next round's Bench, and anyone else, without /tmp archaeology.
+    // this run's timestamp keys BOTH the history entry and the stdout
+    // summary, so every round artifact names the exact committed
+    // history entry that carries its per-query map (the /tmp detail
+    // file is ephemeral; the artifact stays self-contained by
+    // reference into the repo)
+    val runAt = java.time.Instant.now().toString
     try {
       val entry =
-        s"""{"at":"${java.time.Instant.now()}","sf":"$sfDir","value":${f3(total)},"n_queries":${results.size},"queries":$qs,"isolated":$isolated,"cross_round_suspects":$crossRound}"""
+        s"""{"at":"$runAt","sf":"$sfDir","value":${f3(total)},"n_queries":${results.size},"queries":$qs,"isolated":$isolated,"cross_round_suspects":$crossRound}"""
       val p = java.nio.file.Paths.get(historyPath)
       val prior: Seq[String] =
         if (java.nio.file.Files.exists(p)) {
@@ -283,7 +296,7 @@ object Bench {
         "WRITE-FAILED:see-stderr"
       }
     val short =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"$detail","note":"$note","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"$detail","history_entry_at":"$runAt","history_file":"$historyPath","note":"$note","sf":"$sfDir"}"""
     // The consumer's tail parse has failed three rounds running
     // ("parsed": null) because the summary sat behind sbt's logger
     // prefix and ahead of its [success] trailer. Defense in depth:

@@ -90,10 +90,14 @@ object ScaleQueries {
 
     // top-50 most similar document pairs by integer TF-IDF dot
     // product through the df-capped inverted index (posting lists
-    // bounded by maxDf=20 — the scale guarantee; see ops/DocSim.scala)
+    // bounded by maxDf=50 — the scale guarantee; see ops/DocSim.scala).
+    // maxDf=50 on the fixture vocabulary (31 tokens, 30 of them in
+    // >100 docs) admits exactly the one discriminative token band, so
+    // the driver row checks 50 REAL pairs — the earlier maxDf=20
+    // admitted nothing and the row was vacuously green at 0 == 0.
     "q101_docsim_pairs" -> Q(
       (s, dir) => DocSim.tfidfPairs(t(s, dir, "documents"),
-        "doc_id", "text", maxDf = 20, topN = 50),
+        "doc_id", "text", maxDf = 50, topN = 50),
       Some(
         s"""WITH tok AS (
            | SELECT doc_id AS id, unnest(${OpsQueries.toksSql}) AS token
@@ -101,7 +105,7 @@ object ScaleQueries {
            |tf AS (SELECT id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
            |dfq AS (
            | SELECT token, count(*) AS df FROM tf GROUP BY 1
-           | HAVING count(*) BETWEEN 2 AND 20),
+           | HAVING count(*) BETWEEN 2 AND 50),
            |w AS (
            | SELECT token, id, tf * (${DocSim.Scale} // df) AS w
            | FROM tf JOIN dfq USING (token)),

@@ -589,7 +589,8 @@ object SelectionQueries {
           .select(col("doc_id"), boundary.as("b_id"))
         // packed (src_idx, doc_id) key: safe here because fixture
         // doc_ids are dense non-negative longs < 1e12 (PackCorpus,
-        // the general CLI, validates this precondition explicitly)
+        // the general CLI, densely re-indexes arbitrary ids via
+        // rank-over-id before packing)
         val bySrc = Prefix.cumSum(
             tk.join(broadcast(srcIdx), Seq("source"))
               .withColumn("ord",

@@ -72,30 +72,35 @@ object PackCorpus {
     val tk = graft.Scratch.cache(order match {
       case "id" => tk0.withColumn("ord", col("id"))
       case "source" =>
-        // The source-order key packs (src_idx, id) into one long, so
-        // it is only collision-free for non-null ids in [0, 1e12).
-        // Snowflake/hash-range/negative/non-numeric ids (the cast
-        // yields null) would silently collide or interleave across
-        // source blocks, violating cumSum's distinct-order contract
-        // and corrupting the manifest — fail loudly instead. Cheap:
-        // a column-pruned scan of the id column only.
-        val badIds = docs
-          .select(col(idCol).cast("long").as("id"))
-          .filter(col("id").isNull || col("id") < 0L ||
-            col("id") >= 1000000000000L)
-          .count()
-        require(badIds == 0L, s"--order source requires ids castable " +
-          s"to long in [0, 1e12) (got $badIds violating rows); " +
-          "re-index doc ids densely or use --order id")
+        // The source-order key packs (src_idx, dense_rank(id)) into
+        // one long. Ids are DENSELY RE-INDEXED first — rank-over-id
+        // via the guarded distributed prefix sum (bucketed offsets,
+        // never a single reducer) — so ANY distinct long ids work:
+        // negative, snowflake, hash-range. The only preconditions
+        // left are the ones packing semantics need regardless of
+        // ordering: ids castable to long, non-null, and unique —
+        // checked in one column-pruned aggregate.
+        val idCheck = docs.select(col(idCol).cast("long").as("id"))
+          .agg(count(lit(1)).as("n"), count(col("id")).as("nn"),
+            count_distinct(col("id")).as("nd")).head()
+        require(idCheck.getLong(0) == idCheck.getLong(1),
+          s"--order source requires ids castable to non-null long " +
+            s"(${idCheck.getLong(0) - idCheck.getLong(1)} null rows)")
+        require(idCheck.getLong(0) == idCheck.getLong(2),
+          s"--order source requires unique ids " +
+            s"(${idCheck.getLong(0) - idCheck.getLong(2)} duplicates)")
+        val nDocs = idCheck.getLong(0)
+        val dense = Prefix.cumSum(tk0, "id", lit(1L), "_dense")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_p")).orderBy(col("source"))
         val srcIdx = tk0.select(col("source")).distinct()
           .withColumn("_p", Prefix.markerZero(length(col("source"))))
           .withColumn("src_idx", row_number().over(w).cast("long"))
           .drop("_p")
-        tk0.join(broadcast(srcIdx), Seq("source"))
-          .withColumn("ord", expr("src_idx * 1000000000000 + id"))
-          .drop("src_idx")
+        dense.join(broadcast(srcIdx), Seq("source"))
+          .withColumn("ord",
+            col("src_idx") * lit(nDocs + 1L) + col("_dense"))
+          .drop("src_idx", "_dense")
       case o => throw new IllegalArgumentException(
         s"--order must be id or source, got $o")
     })

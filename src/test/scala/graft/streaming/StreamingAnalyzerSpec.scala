@@ -204,6 +204,57 @@ class StreamingAnalyzerSpec extends AnyFunSuite {
       "late row behind the watermark must not join — state was evicted")
   }
 
+  test("streaming dedup state is bounded by the watermark horizon: " +
+    "8x the input keeps the same state ceiling as 2x") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keysPerMinute distinct keys per event-minute, fed in 4-minute
+    // micro-batches; dropDuplicatesWithinWatermark must evict keys
+    // behind the 10-minute horizon, so the state ceiling depends on
+    // horizon x rate, NEVER on total input volume — the SCALING.md
+    // flat-state claim, asserted in-spec at two input scales.
+    val keysPerMinute = 25
+    val horizonMinutes = 10
+    val batchSpan = 4
+    def run(totalMinutes: Int, name: String): (Long, Long) = {
+      val mem = MemoryStream[(Timestamp, String)]
+      val q = StreamingAnalyzer.dedupStream(
+          mem.toDF().toDF("timestamp", "doc_key"),
+          Seq("doc_key"), "timestamp", s"$horizonMinutes minutes")
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+      (0 until totalMinutes by batchSpan).foreach { m0 =>
+        mem.addData((m0 until m0 + batchSpan).flatMap { m =>
+          (0 until keysPerMinute).map(i =>
+            (new Timestamp(Timestamp.valueOf("2026-08-12 10:00:00").getTime
+              + m * 60000L), s"k_${m}_$i"))
+        })
+        q.processAllAvailable()
+      }
+      val lastState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val maxState = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+      q.stop()
+      (lastState, maxState)
+    }
+    val (last2x, max2x) = run(2 * horizonMinutes, "dedup_state_2x")   // 500 keys
+    val (last8x, max8x) = run(8 * horizonMinutes, "dedup_state_8x")   // 2000 keys
+    // ceiling: dropDuplicatesWithinWatermark keeps an entry until the
+    // watermark passes eventTime + delay, and the watermark itself
+    // lags maxEventTime by delay — so the live span is 2 x horizon,
+    // plus batch-granularity slack (watermark advances at batch ends,
+    // eviction lags one batch plus the in-flight span). Measured: 600
+    // rows = 24 event-minutes of keys at both input scales.
+    val bound = keysPerMinute.toLong * (2 * horizonMinutes + 2 * batchSpan)
+    assert(max2x <= bound, s"2x max state $max2x > bound $bound")
+    assert(max8x <= bound, s"8x max state $max8x > bound $bound")
+    // flat across input scale: 4x more input (2000 distinct keys fed
+    // vs 500), same state ceiling — volume-independent by horizon
+    assert(max8x <= max2x + keysPerMinute * 2 * batchSpan,
+      s"state grew with input volume: 2x last=$last2x/max=$max2x, " +
+        s"8x last=$last8x/max=$max8x")
+  }
+
   test("streaming misra-gries keeps ONE state row regardless of key cardinality") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -85,4 +85,51 @@ class PackCorpusSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(pa == pb)
   }
+
+  test("source order densely re-indexes snowflake/negative ids: " +
+    "manifest identical to the dense-id corpus in the same order") {
+    val tmp = Files.createTempDirectory("graft_pack3").toString
+    // remap the dense fixture ids through an order-preserving but
+    // WILD id space: negative for even rows, >= 1e12 for odd — the
+    // exact inputs the old [0, 1e12) validation rejected
+    val docs = spark.read.parquet(in)
+    val wildExpr = when(pmod(col("doc_id"), lit(2)) === 0,
+        col("doc_id") - lit(5000000L))
+      .otherwise(col("doc_id") + lit(3000000000000L))
+    // interleave parity so wild-id RANK order == original id order
+    // does NOT hold trivially: sort mapping must come from the dense
+    // re-index, not from luck. Verify the mapping is order-preserving
+    // is false: evens (negative) all sort before odds (>=1e12).
+    val wild = docs.withColumn("doc_id", wildExpr)
+    val wildPath = s"$tmp/wild.parquet"
+    wild.write.parquet(wildPath)
+    val r = PackCorpus.run(spark, Array(wildPath, s"$tmp/w",
+      "--seq-len", "256", "--order", "source")).toMap
+    assert(r("manifest") > 0)
+    // reference: the SAME corpus with ids pre-ranked densely by hand
+    // (evens first, then odds — matching the wild ids' sort order)
+    val ref = docs.withColumn("_rk",
+        when(pmod(col("doc_id"), lit(2)) === 0, col("doc_id"))
+          .otherwise(col("doc_id") + lit(1000000L)))
+      .withColumn("doc_id", col("_rk")).drop("_rk")
+    val refPath = s"$tmp/ref.parquet"
+    ref.write.parquet(refPath)
+    PackCorpus.run(spark, Array(refPath, s"$tmp/r",
+      "--seq-len", "256", "--order", "source"))
+    // identical packing geometry: map wild ids back and compare
+    val wm = spark.read.parquet(s"$tmp/w/manifest")
+      .withColumn("orig", when(col("doc_id") < 0,
+          col("doc_id") + lit(5000000L))
+        .otherwise(col("doc_id") - lit(3000000000000L)))
+    val rm = spark.read.parquet(s"$tmp/r/manifest")
+      .withColumn("orig", when(pmod(col("doc_id"), lit(2)) === 0,
+          col("doc_id"))
+        .otherwise(col("doc_id") - lit(1000000L)))
+    val wset = wm.select(col("orig"), col("seq_id"), col("start_slot"),
+      col("n_slots")).collect().map(_.toSeq).toSet
+    val rset = rm.select(col("orig"), col("seq_id"), col("start_slot"),
+      col("n_slots")).collect().map(_.toSeq).toSet
+    assert(wset == rset,
+      "wild-id packing must equal the hand-ranked dense packing")
+  }
 }
