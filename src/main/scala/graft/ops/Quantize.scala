@@ -238,6 +238,141 @@ object Quantize {
         expr(s"(overlap_at_k * 1000) DIV $topK").as("overlap_permille"))
   }
 
+  /** End-to-end IVF + residual-PQ ANN search — the full serving
+    * ladder in one operator (unifying the q38 coarse probe, the q201
+    * residual index, and the q186 ADC scoring): coarse-probe the
+    * `nprobe` nearest IVF cells, score ONLY code tuples via
+    * per-probed-cell residual ADC tables, take the `rerank` best
+    * candidates, and re-rank exactly on the float vectors. Reports,
+    * per probe: the candidate count, pure-ADC recall@k, and
+    * post-re-rank recall@k vs the exact cosine ranking.
+    *
+    * Scale posture: the corpus ships ONLY its (cell, m codes) tuples
+    * into the candidate join — vectors never move. The ADC tables
+    * (nProbes x nprobe x k^m rows) and every codebook are driver-
+    * computed catalog-sized broadcasts; candidate ranking is the
+    * k-bounded-heap `topk_by` (<= rerank rows per mapper per probe
+    * reach the shuffle, no per-probe corpus sort); only the
+    * rerank x nProbes winning ids rejoin the float source for the
+    * exact pass. Re-rank can only help: an exact-top-k member
+    * surviving the ADC cut has at most k-1 exact-betters anywhere,
+    * so it always survives the exact re-rank too (pinned in spec).
+    */
+  def ivfResidualSearchRecall(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, ivfK: Int, m: Int, k: Int, iters: Int,
+      nprobe: Int, nProbes: Int, rerank: Int, topK: Int): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
+    require(m == 2, "ivfResidualSearchRecall materializes (code0, " +
+      "code1) ADC rows for m = 2 (the registry contract); generalize " +
+      "the row shape before calling with other m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sub = dims / m
+    // ---- index build: identical contract to residualPqCodes ----
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val mvDf = base.select(col("id"), SemDedup.microsVec(col("v")).as("mv"))
+    val cells = SemDedup.lloyd(mvDf, ivfK, dims, iters)
+    val centsDf = cells.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+    val res = graft.Scratch.cache(mvDf
+      .withColumn("cell", graft.ops.VectorExpressions
+        .nearestCentroid(col("mv"), cells).cast("long"))
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
+    val books = (0 until m).map { s =>
+      SemDedup.lloyd(res.select(col("id"),
+        slice(col("mv"), s * sub + 1, sub).as("mv")), k, sub, iters)
+    }
+    // the only corpus-wide frame the search reads: (cell, codes)
+    val codes = res.select(col("id") +: col("cell") +: (0 until m).map { s =>
+      graft.ops.VectorExpressions.nearestCentroid(
+        slice(col("mv"), s * sub + 1, sub), books(s))
+        .cast("long").as(s"code$s")
+    }: _*)
+    // ---- probes: the nProbes lowest ids, floats collected ----
+    val probeSel = graft.Scratch.cache(base.orderBy(col("id")).limit(nProbes))
+    val probeVecs: Array[(Long, Array[Long], Seq[Float])] = probeSel
+      .select(col("id"), col("v")).collect()
+      .map { r =>
+        val fv = r.getSeq[Float](1)
+        (r.getLong(0),
+          fv.map(x => math.floor(x.toDouble * 1e6).toLong).toArray, fv)
+      }
+    // ---- driver-side coarse probe + residual ADC tables ----
+    def sqDist(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val adcRows = probeVecs.flatMap { case (pid, qmv, _) =>
+      val probed = cells.zipWithIndex
+        .map { case (c, j) => (j, sqDist(qmv, c)) }
+        .sortBy { case (j, d) => (d, j) }.take(nprobe).map(_._1)
+      probed.flatMap { j =>
+        val qres = qmv.zip(cells(j)).map { case (a, b) => a - b }
+        val tabs = (0 until m).map { s =>
+          val sl = qres.slice(s * sub, (s + 1) * sub)
+          books(s).map(entry => sqDist(sl, entry))
+        }
+        // enumerate every code tuple's ADC score for this (pid, cell)
+        def tuples(s: Int): Seq[(Seq[Long], Long)] =
+          if (s == m) Seq(Seq.empty -> 0L)
+          else for {
+            (rest, d) <- tuples(s + 1)
+            c <- 0 until k
+          } yield (c.toLong +: rest) -> (tabs(s)(c) + d)
+        tuples(0).map { case (cs, d) => (pid, j.toLong, cs, d) }
+      }
+    }
+    val adcTab = adcRows.map { case (pid, cell, cs, d) =>
+        (pid, cell, cs.head, cs(1), d)
+      }.toSeq.toDF("pid", "cell", "code0", "code1", "adc")
+    // ---- candidate scoring: codes frame x broadcast ADC tables ----
+    val cand = codes.join(broadcast(adcTab),
+        Seq("cell", "code0", "code1"))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"), col("adc"))
+    val hexId = lpad(hex(col("id").bitwiseXOR(lit(Long.MinValue))), 16, "0")
+    def topPayloads(df: DataFrame, ord: Column, n: Int, out: String) =
+      df.groupBy(col("pid"))
+        .agg(TopKAgg.topKBy(ord, hexId, n).as("t"))
+        .select(col("pid"),
+          transform(col("t"), e => e.getField("payload")).as(out))
+    val nCand = cand.groupBy(col("pid")).agg(count(lit(1)).as("n_cand"))
+    val adcTop = topPayloads(cand, -col("adc"), topK, "a_ids")
+    val shortlist = topPayloads(cand, -col("adc"), rerank, "r_ids")
+      .select(col("pid"), explode(col("r_ids")).as("hexid"))
+      .withColumn("id", (conv(col("hexid"), 16, 10)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        - lit(BigDecimal("9223372036854775808"))).cast("long"))
+    // ---- exact re-rank of the shortlist (rerank x nProbes rows) ----
+    val probeFloats = probeVecs.map { case (pid, _, fv) => (pid, fv) }
+      .toSeq.toDF("pid", "pv")
+    val rr = shortlist
+      .join(base, Seq("id"))
+      .join(broadcast(probeFloats), Seq("pid"))
+      .select(col("pid"), col("id"),
+        round(round(Similarity.cosine(col("v"), col("pv")), 6)
+          * lit(1000000d)).cast("long").as("ci"))
+    val rrTop = topPayloads(rr, col("ci"), topK, "rr_ids")
+    // ---- exact reference ranking over the full corpus ----
+    val exact = base.crossJoin(broadcast(probeFloats))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"),
+        round(round(Similarity.cosine(col("v"), col("pv")), 6)
+          * lit(1000000d)).cast("long").as("ci"))
+    val exTop = topPayloads(exact, col("ci"), topK, "e_ids")
+    exTop.join(adcTop, Seq("pid")).join(rrTop, Seq("pid"))
+      .join(nCand, Seq("pid"))
+      .select(col("pid"), col("n_cand"),
+        size(array_intersect(col("e_ids"), col("a_ids")))
+          .cast("long").as("recall_adc_at_10"),
+        size(array_intersect(col("e_ids"), col("rr_ids")))
+          .cast("long").as("recall_at_10"))
+  }
+
   /** Per-dimension quantization audit over (id, Array[Float]) rows:
     * one row per dimension with the quantization range, code range,
     * and reconstruction-error certificate.

@@ -299,6 +299,97 @@ object CurationQueries {
            |FROM a2_0 JOIN a2_1 USING (id) JOIN aI2 USING (id)
            |ORDER BY vec_id""".stripMargin)),
 
+    // End-to-end IVF + residual-PQ search (the q38/q201/q186 ladder
+    // unified in one serving pass): coarse-probe the 2 nearest cells,
+    // score candidates by per-probed-cell residual ADC tables (the
+    // corpus ships ONLY its (cell, code0, code1) tuples), exact
+    // re-rank of the 50 ADC-best on the float vectors, recall@10 vs
+    // the exact cosine ranking — both the pure-ADC and post-re-rank
+    // numbers, per probe. Re-rank can only help (an exact-top-10
+    // member surviving the ADC cut has <= 9 exact-betters anywhere);
+    // CurationOpsSpec pins recall_at_10 >= recall_adc_at_10 and
+    // PlanShapeSpec pins the serving shape (codes join broadcast,
+    // no cartesian).
+    // The oracle re-derives the full residual-PQ chain (q201's) plus
+    // the probe/ADC/re-rank arithmetic.
+    "q246_ivf_rpq_search" -> Q(
+      (s, dir) => graft.ops.Quantize.ivfResidualSearchRecall(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, ivfK = 4, m = 2, k = 4, iters = 1,
+        nprobe = 2, nProbes = 10, rerank = 50, topK = 10)
+        .withColumnRenamed("pid", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(
+        s"""WITH $residualPqOracle,
+           |pqd AS (
+           | SELECT p.pid, c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi AS i, m FROM exall
+           |   WHERE id < 10) p
+           | JOIN cI1 c ON c.i = p.i GROUP BY 1, 2),
+           |ppr AS MATERIALIZED (
+           | SELECT pid, j, row_number() OVER (
+           |  PARTITION BY pid ORDER BY d, j) AS cr
+           | FROM pqd),
+           |qres AS MATERIALIZED (
+           | SELECT p.pid, ppr.j AS cell, p.i AS gi, p.m - c.c AS m
+           | FROM (SELECT id AS pid, gi AS i, m FROM exall
+           |   WHERE id < 10) p
+           | JOIN ppr ON ppr.pid = p.pid AND ppr.cr <= 2
+           | JOIN cI1 c ON c.j = ppr.j AND c.i = p.i),
+           |rt0 AS MATERIALIZED (
+           | SELECT q.pid, q.cell, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT pid, cell, gi AS i, m FROM qres WHERE gi < 32) q
+           | JOIN c1_0 c USING (i) GROUP BY 1, 2, 3),
+           |rt1 AS MATERIALIZED (
+           | SELECT q.pid, q.cell, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT pid, cell, gi - 32 AS i, m FROM qres
+           |   WHERE gi >= 32) q
+           | JOIN c1_1 c USING (i) GROUP BY 1, 2, 3),
+           |cand AS MATERIALIZED (
+           | SELECT rt0.pid, aI2.id, rt0.d + rt1.d AS adc
+           | FROM aI2
+           | JOIN a2_0 ON a2_0.id = aI2.id
+           | JOIN a2_1 ON a2_1.id = aI2.id
+           | JOIN rt0 ON rt0.cell = aI2.j AND rt0.j = a2_0.j
+           | JOIN rt1 ON rt1.pid = rt0.pid AND rt1.cell = aI2.j
+           |   AND rt1.j = a2_1.j
+           | WHERE aI2.id <> rt0.pid),
+           |ca AS MATERIALIZED (
+           | SELECT pid, id, row_number() OVER (
+           |  PARTITION BY pid ORDER BY adc, id) AS ra
+           | FROM cand),
+           |exa AS MATERIALIZED (
+           | SELECT p.pid, e.vec_id AS id,
+           |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
+           |   6) * 1000000) AS BIGINT) AS ci
+           | FROM embeddings e, (SELECT vec_id AS pid, embedding AS pv
+           |   FROM embeddings WHERE vec_id < 10 AND len(embedding) = 64) p
+           | WHERE e.vec_id <> p.pid AND len(e.embedding) = 64),
+           |re AS MATERIALIZED (
+           | SELECT pid, id, row_number() OVER (
+           |  PARTITION BY pid ORDER BY ci DESC, id) AS re
+           | FROM exa),
+           |rrk AS MATERIALIZED (
+           | SELECT ca.pid, ca.id, row_number() OVER (
+           |  PARTITION BY ca.pid ORDER BY exa.ci DESC, ca.id) AS rr
+           | FROM ca JOIN exa ON exa.pid = ca.pid AND exa.id = ca.id
+           | WHERE ca.ra <= 50),
+           |nc AS (SELECT pid, count(*) AS n_cand FROM cand GROUP BY 1),
+           |ov AS (
+           | SELECT ca.pid,
+           |  sum(CASE WHEN ca.ra <= 10 AND re.re <= 10
+           |   THEN 1 ELSE 0 END) AS o_adc,
+           |  sum(CASE WHEN rrk.rr <= 10 AND re.re <= 10
+           |   THEN 1 ELSE 0 END) AS o_rr
+           | FROM ca
+           | JOIN re ON re.pid = ca.pid AND re.id = ca.id
+           | LEFT JOIN rrk ON rrk.pid = ca.pid AND rrk.id = ca.id
+           | GROUP BY 1)
+           |SELECT ov.pid AS vec_id, CAST(nc.n_cand AS BIGINT) AS n_cand,
+           | CAST(ov.o_adc AS BIGINT) AS recall_adc_at_10,
+           | CAST(ov.o_rr AS BIGINT) AS recall_at_10
+           |FROM ov JOIN nc USING (pid) ORDER BY vec_id""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

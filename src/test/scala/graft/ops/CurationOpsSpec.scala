@@ -225,6 +225,29 @@ class CurationOpsSpec extends AnyFunSuite {
     graft.Scratch.release()
   }
 
+  test("ivfResidualSearchRecall: exact re-rank never loses an " +
+    "ADC-recovered true neighbor, candidates stay cell-bounded") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.filter(size(col("embedding")) === 64).count()
+    val rows = Quantize.ivfResidualSearchRecall(emb, "vec_id", "embedding",
+      dims = 64, ivfK = 4, m = 2, k = 4, iters = 1,
+      nprobe = 2, nProbes = 5, rerank = 50, topK = 10).collect()
+    graft.Scratch.release()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nCand, adc, rr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // an exact-top-10 member with ADC rank <= 10 <= 50 survives the
+      // exact re-rank by construction — re-rank is monotone
+      assert(rr >= adc, s"re-rank lost neighbors: $r")
+      assert(rr <= 10 && adc <= 10)
+      // the probe scanned code tuples from 2 of 4 cells, never the
+      // whole corpus
+      assert(nCand > 0 && nCand < n, s"candidates not cell-bounded: $r")
+    }
+  }
+
   test("pqAdcRecall: probes are the lowest ids PRESENT, not id < nProbes") {
     import spark.implicits._
     // offset id space (1000..): the old `id < nProbes` rule would

@@ -576,4 +576,21 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastNestedLoopJoin")) // 1-row total frame
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q246 IVF+residual-PQ search: codes score via broadcast ADC " +
+    "tables, rankings are bounded-heap aggregates, no cartesian") {
+    val p = plan("q246_ivf_rpq_search")
+    // candidate scoring = codes frame x broadcast (cell, code0,
+    // code1) ADC table — an equi BroadcastHashJoin; vectors never
+    // join the candidate path
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the ONLY nested-loop is the deliberate nProbes-row probe
+    // broadcast feeding the exact reference ranking
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    // topk_by rankings are ObjectHashAggregate (k-bounded heaps),
+    // never a per-probe rank window over the corpus
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
