@@ -44,21 +44,36 @@ object SemDecadeProbe {
     }
     val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val embN = embBase.count()
-    def replicated(k: Int) = embBase.crossJoin(
+    // cache-mode replication keeps ScaleProbe's exact shape (base on
+    // the left, repartition(32) before caching) so the x2048 point is
+    // directly comparable with SCALING.md round 8's
+    def replicatedForCache(k: Int) = embBase.crossJoin(
         broadcast(spark.range(k.toLong).select(col("id").as("_rep"))))
+      .withColumn("vec_id", col("vec_id") + col("_rep") * lit(embN))
+      .drop("_rep")
+    // recompute-mode replication must be partition-parallel WITHOUT a
+    // shuffle or a cache: the 32-slice range is the STREAMED side and
+    // the 2000-row parquet base broadcasts, so every recomputing pass
+    // runs 32-wide from the start (base-on-the-left leaves the whole
+    // replicated frame in the parquet scan's single partition — a
+    // 32x parallelism artifact that would masquerade as storage tax)
+    def replicatedRecompute(k: Int) = spark.range(k.toLong)
+      .select(col("id").as("_rep"))
+      .crossJoin(broadcast(embBase))
       .withColumn("vec_id", col("vec_id") + col("_rep") * lit(embN))
       .drop("_rep")
     // JIT warm-up (untimed): one small fit through every kernel
     graft.ops.SemDedup.fixedPointCentroids(
-      replicated(8), "vec_id", "embedding", k = 8, dims = 64, iters = 1)
+      replicatedRecompute(8), "vec_id", "embedding",
+      k = 8, dims = 64, iters = 1)
     graft.Scratch.release()
     for (mode <- modes; k <- ks) {
       val emb =
         if (mode == "cache") {
-          val e = replicated(k).repartition(32).cache()
+          val e = replicatedForCache(k).repartition(32).cache()
           e.count()
           e
-        } else replicated(k)
+        } else replicatedRecompute(k)
       val g0 = gcMs
       val t0 = System.nanoTime()
       graft.ops.SemDedup.fixedPointCentroids(
