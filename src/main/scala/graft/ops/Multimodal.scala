@@ -507,6 +507,68 @@ object Multimodal {
     spark.createDataFrame(rdd, gifFrameSchema)
   }
 
+  /** REAL per-frame features: decode every GIF frame and pool gray
+    * mass by row-major pixel index mod `dims` — the frame-level
+    * strided-pooling signature (the multi-frame analog of
+    * [[extractImageFeatures]]), the on-ramp from video-shaped
+    * payloads into the ANN / near-dup vector operators at FRAME
+    * granularity. Components are integer-valued floats (< 77 * 255,
+    * far under 2^24), so downstream cosine math stays oracle-exact.
+    */
+  def extractFrameFeatures(media: DataFrame, idCol: String,
+      payloadCol: String, dims: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (r.isNullAt(0) || bytes == null) Iterator.empty
+          else {
+            val id = r.getLong(0)
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Iterator.empty }
+            else {
+              val reader = readers.next()
+              val out =
+                try {
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  Array.tabulate(n) { f =>
+                    val img = reader.read(f)
+                    val w = img.getWidth; val h = img.getHeight
+                    val acc = new Array[Long](dims)
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        acc((y * w + x) % dims) += img.getRGB(x, y) & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Row(id, f, acc.map(_.toFloat).toSeq)
+                  }
+                } catch {
+                  case _: java.io.IOException => Array.empty[Row]
+                } finally {
+                  reader.dispose()
+                  iis.close()
+                }
+              out.iterator
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("n_bytes", IntegerType),

@@ -1210,6 +1210,51 @@ object SelectionQueries {
            |FROM pb JOIN elig ON elig.sel = pb.sel
            |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
 
+    // Frame-level similarity search on REAL decoded frames: every
+    // GIF frame becomes an 8-dim strided-pooling feature vector
+    // (Multimodal.extractFrameFeatures — integer-valued floats from
+    // actually decoded pixels), and a probe frame retrieves its 20
+    // nearest frames ACROSS clips by cosine — the full multimodal
+    // ladder (decode -> per-frame features -> vector search) at
+    // frame granularity. Shared intro cards and colliding body
+    // offsets surface as exact cos=1 hits, deterministically
+    // tie-broken. The oracle recomputes features and cosines from
+    // the gifPixel spec — green only if the codec returned exact
+    // frames.
+    "q247_frame_ann" -> Q(
+      (s, dir) => {
+        val clips = Multimodal.synthesizeVideos(
+          t(s, dir, "documents"), "doc_id")
+        val feats = graft.Scratch.cache(
+          Multimodal.extractFrameFeatures(clips, "id", "payload", dims = 8))
+        val probe = feats
+          .filter(col("id") === 0 && col("frame_idx") === 1)
+          .select(col("features")).head().getSeq[Float](0)
+        feats.filter(!(col("id") === 0 && col("frame_idx") === 1))
+          .select(col("id"), col("frame_idx"),
+            round(round(Similarity.cosine(col("features"),
+              typedLit(probe)), 6) * lit(1000000d)).cast("long")
+              .as("cos_x1e6"))
+          .orderBy(col("cos_x1e6").desc, col("id"), col("frame_idx"))
+          .limit(20)
+      },
+      Some(
+        s"""WITH $gifPixelCtes,
+           |fd AS (
+           | SELECT doc_id, f, (y * ${Multimodal.gifFrameW} + x) % 8 AS d,
+           |  CAST(sum(g) AS DOUBLE) AS v
+           | FROM px GROUP BY 1, 2, 3),
+           |fv AS MATERIALIZED (
+           | SELECT doc_id, f, list(v ORDER BY d) AS feat
+           | FROM fd GROUP BY 1, 2),
+           |pv AS (SELECT feat AS pf FROM fv WHERE doc_id = 0 AND f = 1)
+           |SELECT doc_id AS id, CAST(f AS INTEGER) AS frame_idx,
+           | CAST(round(round(${OpsQueries.cosSql("feat", "pf", 8)}, 6)
+           |  * 1000000) AS BIGINT) AS cos_x1e6
+           |FROM fv CROSS JOIN pv
+           |WHERE NOT (doc_id = 0 AND f = 1)
+           |ORDER BY cos_x1e6 DESC, id, frame_idx LIMIT 20""".stripMargin)),
+
     // IVF cell-balance audit: occupancy of every routing cell vs the
     // uniform expectation — a skewed cell is a hot serving partition
     // (one probe pays the whole corpus) and the number RecallProbe

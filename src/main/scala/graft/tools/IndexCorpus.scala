@@ -35,6 +35,7 @@ import graft.ops.SemDedup
   *     [--pq-m 2] [--pq-k 4] [--iters 1]
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
+  *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
   */
 object IndexCorpus {
 
@@ -226,6 +227,15 @@ object IndexCorpus {
   /** Search the persisted index: route, ADC-score the probed cells,
     * top-k. The probe vector is read from `emb` by id (the serving
     * path would pass the vector directly — same math).
+    *
+    * `--filter <sqlExpr>` constrains the search to a stratum by
+    * PRE-filtering candidates INSIDE the probed cells (the dominant
+    * strategy of the q245 sweep — a probed-cell stratum member is
+    * never lost to the predicate; the expression sees the
+    * assignment columns `id`, `cell`). `--rerank <N>` re-ranks the
+    * N ADC-best candidates EXACTLY on the float source (the q246
+    * ladder): only N ids rejoin the vectors, and the output gains
+    * the exact `cos_x1e6` next to the ADC score.
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 3, "usage: search <indexDir> <emb.parquet> <probeId> [flags]")
@@ -235,6 +245,8 @@ object IndexCorpus {
     val vecCol = flags.getOrElse("vec", "embedding")
     val k = flags.getOrElse("k", "10").toInt
     val nprobe = flags.getOrElse("nprobe", "2").toInt
+    val filterSql = flags.get("filter")
+    val rerankN = flags.get("rerank").map(_.toInt)
     GraftSession.tune(spark)
     import spark.implicits._
 
@@ -265,36 +277,58 @@ object IndexCorpus {
     val probedCells = cents.toSeq
       .map { case (j, c) => (l2(pv, 0, c), j) }.sorted.take(nprobe)
       .map(_._2)
-    val members = spark.read.parquet(s"$idx/assignments")
+    val members0 = spark.read.parquet(s"$idx/assignments")
       .filter(col("cell").isin(probedCells: _*))
       .filter(col("id") =!= probeId)
+    // pre-filter INSIDE the probed cells: cell restriction and the
+    // stratum predicate reach the same scan
+    val members = filterSql.fold(members0)(f => members0.filter(expr(f)))
     val codes = spark.read.parquet(s"$idx/pq_codes")
-    if (!residual) {
-      // global PQ: one (s, code) -> distance table for the probe
-      val table = books.toSeq.map { case ((s, j), c) =>
-        (s, j, l2(pv, s.toInt * sub, c))
-      }.toDF("s", "code", "d")
-      codes.join(members.select(col("id")), Seq("id"), "left_semi")
-        .join(broadcast(table), Seq("s", "code"))
-        .groupBy(col("id")).agg(sum(col("d")).as("adc"))
-        .orderBy(col("adc"), col("id"))
-        .limit(k)
-    } else {
-      // residual PQ: the codes quantize (vector - cell centroid), so
-      // the probe's table is keyed by CELL too — its residual against
-      // each probed cell vs the codebook entries (nprobe x m x k rows)
-      val table = probedCells.flatMap { pc =>
-        val cc = cents(pc)
-        val pr = Array.tabulate(dims)(i => pv(i) - cc(i))
-        books.toSeq.map { case ((s, j), c) =>
-          (pc, s, j, l2(pr, s.toInt * sub, c))
-        }
-      }.toDF("cell", "s", "code", "d")
-      codes.join(members, Seq("id")) // attach the candidate's cell
-        .join(broadcast(table), Seq("cell", "s", "code"))
-        .groupBy(col("id")).agg(sum(col("d")).as("adc"))
-        .orderBy(col("adc"), col("id"))
-        .limit(k)
+    val adcRanked =
+      if (!residual) {
+        // global PQ: one (s, code) -> distance table for the probe
+        val table = books.toSeq.map { case ((s, j), c) =>
+          (s, j, l2(pv, s.toInt * sub, c))
+        }.toDF("s", "code", "d")
+        codes.join(members.select(col("id")), Seq("id"), "left_semi")
+          .join(broadcast(table), Seq("s", "code"))
+          .groupBy(col("id")).agg(sum(col("d")).as("adc"))
+      } else {
+        // residual PQ: the codes quantize (vector - cell centroid), so
+        // the probe's table is keyed by CELL too — its residual against
+        // each probed cell vs the codebook entries (nprobe x m x k rows)
+        val table = probedCells.flatMap { pc =>
+          val cc = cents(pc)
+          val pr = Array.tabulate(dims)(i => pv(i) - cc(i))
+          books.toSeq.map { case ((s, j), c) =>
+            (pc, s, j, l2(pr, s.toInt * sub, c))
+          }
+        }.toDF("cell", "s", "code", "d")
+        codes.join(members, Seq("id")) // attach the candidate's cell
+          .join(broadcast(table), Seq("cell", "s", "code"))
+          .groupBy(col("id")).agg(sum(col("d")).as("adc"))
+      }
+    rerankN match {
+      case None =>
+        adcRanked.orderBy(col("adc"), col("id")).limit(k)
+      case Some(n) =>
+        // q246's ladder through the artifacts: shortlist the n
+        // ADC-best, rejoin ONLY those ids to the float source, exact
+        // cosine re-rank to k
+        val shortlist = adcRanked.orderBy(col("adc"), col("id")).limit(n)
+        val pf = spark.read.parquet(in)
+          .filter(col(idCol).cast("long") === probeId &&
+            size(col(vecCol)) === dims)
+          .select(col(vecCol)).head().getSeq[Float](0)
+        spark.read.parquet(in)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .join(broadcast(shortlist), Seq("id"))
+          .select(col("id"), col("adc"),
+            round(round(graft.ops.Similarity.cosine(col("v"),
+              typedLit(pf)), 6) * lit(1000000d)).cast("long")
+              .as("cos_x1e6"))
+          .orderBy(col("cos_x1e6").desc, col("id"))
+          .limit(k)
     }
   }
 }

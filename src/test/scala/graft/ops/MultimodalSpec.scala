@@ -170,6 +170,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows((99L, -1)).isNullAt(1) && rows((99L, -1)).isNullAt(5))
   }
 
+  test("extractFrameFeatures pools decoded gray by row-major index " +
+    "mod dims, one vector per frame") {
+    val media = Multimodal.synthesizeVideos(Seq(5L).toDF("doc_id"), "doc_id")
+    val rows = Multimodal.extractFrameFeatures(media, "id", "payload", 8)
+      .collect().map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    assert(rows.size == Multimodal.gifFrames(5L))
+    for (f <- 0 until Multimodal.gifFrames(5L)) {
+      val exp = new Array[Long](8)
+      for (y <- 0 until Multimodal.gifFrameH; x <- 0 until Multimodal.gifFrameW)
+        exp((y * Multimodal.gifFrameW + x) % 8) +=
+          Multimodal.gifPixel(5L, f, x, y)
+      assert(rows(f).map(_.toLong) == exp.toSeq, s"frame $f")
+    }
+  }
+
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {
     val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)

@@ -164,4 +164,48 @@ class IndexCorpusSpec extends AnyFunSuite {
     val cr = spark.read.parquet(s"$idx/pq_codes").collect().map(_.toSeq).toSet
     assert(cg != cr, "residual build produced identical codes to global")
   }
+
+  test("--filter pre-filters inside the probed cells; --rerank " +
+    "re-ranks the ADC shortlist by exact cosine") {
+    import org.apache.spark.sql.functions._
+    val idx = Files.createTempDirectory("graft_index_f").toString
+    IndexCorpus.build(spark, Array(emb, idx))
+    // stratum search: every hit satisfies the predicate, and the
+    // answer equals the unfiltered ADC ranking restricted to the
+    // stratum (pre-filter never loses a probed-cell stratum member)
+    val filtered = IndexCorpus.search(spark, Array(idx, emb, "7",
+      "--k", "5", "--nprobe", "2", "--filter", "id % 10 = 0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(filtered.nonEmpty && filtered.forall(_._1 % 10 == 0))
+    val wide = IndexCorpus.search(spark, Array(idx, emb, "7",
+      "--k", "500", "--nprobe", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantF = wide.filter(_._1 % 10 == 0)
+      .sortBy { case (id, adc) => (adc, id) }.take(5)
+    assert(filtered == wantF, s"got=$filtered want=$wantF")
+    // rerank: output ordered by exact cosine over the 50 ADC-best —
+    // re-derive with driver math from the shortlist + float source
+    val reranked = IndexCorpus.search(spark, Array(idx, emb, "7",
+      "--k", "5", "--nprobe", "2", "--rerank", "50"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val shortlist = wide.sortBy { case (id, adc) => (adc, id) }
+      .take(50).map(_._1).toSet
+    val vecs = spark.read.parquet(emb)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosTo(pid: Long, id: Long): Long = {
+      val a = vecs(pid); val b = vecs(id)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c * 1000000).toLongExact
+    }
+    val wantR = shortlist.toSeq.map(id => (id, cosTo(7L, id)))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(reranked == wantR, s"got=$reranked want=$wantR")
+  }
 }
