@@ -1589,6 +1589,57 @@ object SelectionQueries {
            |FROM dims JOIN sums USING (width, height)
            |ORDER BY width, height""".stripMargin)),
 
+    // STREAMING multi-frame ingest: real animated-GIF payloads arrive
+    // as a file stream; each micro-batch decodes EVERY frame of its
+    // clips with the actual JDK codec (decodeFrames in foreachBatch)
+    // and appends one ADDITIVE partial per frame_idx: clip count,
+    // gray mass, checksum mass. The final card re-sums partials —
+    // decode-once, merge-anywhere, per-batch output bounded by the
+    // max frame count regardless of stream length (q243's design at
+    // FRAME granularity). End-of-input equals the arithmetic frame
+    // oracle aggregated per frame_idx.
+    "q248_streaming_frame_ingest" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.gifSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "gif", ev)
+        val out = "/tmp/graft_stream_gif_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              Multimodal.decodeFrames(batch, "id", "payload")
+                .groupBy(col("frame_idx"))
+                .agg(count(lit(1)).as("n"),
+                  sum(col("sum_gray")).as("g"),
+                  sum(col("frame_checksum")).as("c"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .groupBy(col("frame_idx"))
+          .agg(sum(col("n")).as("n_clips"),
+            sum(col("g")).as("total_gray"),
+            sum(col("c")).as("total_checksum"))
+          .orderBy(col("frame_idx"))
+      },
+      Some(
+        s"""WITH $gifFingerprintCtes
+           |SELECT CAST(f AS INTEGER) AS frame_idx,
+           | count(*) AS n_clips,
+           | CAST(sum(sum_gray) AS BIGINT) AS total_gray,
+           | CAST(sum(frame_checksum) AS BIGINT) AS total_checksum
+           |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

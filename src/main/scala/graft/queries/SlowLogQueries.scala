@@ -177,12 +177,18 @@ object SlowLogQueries {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id")
   }
 
+  private[queries] def gifSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    graft.ops.Multimodal.synthesizeVideos(
+      s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
       "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
-      "img" -> imgSrc _)
+      "img" -> imgSrc _, "gif" -> gifSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
