@@ -282,6 +282,28 @@ object ScaleProbe {
         .groupBy(col("frame_digest"))
         .agg(count(lit(1)).as("n_frames"))
         .filter(col("n_frames") >= 2))
+      // round-10 multi-frame path: encode + REAL JDK GIF decode of
+      // 3-5 frames per clip, then the fingerprint-keyed dedup
+      // aggregate (q222's shape) — per-clip work is constant, so
+      // the whole chain must scale linearly in k. The clip-id frame
+      // is a PRUNED range, not the wide cached union: the media
+      // chain composes three .rdd conversions, and each re-analyzes
+      // its whole lineage — over the k-branch full-schema union that
+      // driver-side analysis tax is 4-8x the actual decode work with
+      // run-to-run swings (measured in graft.tools.GifProbe; the
+      // same k-way-union lesson as the embedding loop's crossJoin
+      // replication note). Same ids, same clips, same decode volume.
+      val clipIds = spark.range(n * k).select(col("id").as("doc_id"))
+      time("gif_frame_decode", k)(graft.ops.Multimodal.decodeFrames(
+        graft.ops.Multimodal.synthesizeVideos(clipIds, "doc_id"),
+        "id", "payload")
+        .groupBy(col("sum_gray"), col("frame_checksum"))
+        .agg(count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= 2))
+      time("frame_features", k)(graft.ops.Multimodal.extractFrameFeatures(
+        graft.ops.Multimodal.synthesizeVideos(clipIds, "doc_id"),
+        "id", "payload", dims = 8)
+        .select(sum(element_at(col("features"), 1)).as("s")))
       graft.Scratch.release()
       if (docsForced) docs.unpersist()
     }
@@ -374,6 +396,24 @@ object ScaleProbe {
         graft.ops.SemDedup.fixedPointCentroids(
           emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
         println(f"[scale] ${"semdedup_fit"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
+      // round-10 filtered IVF probe (q245's pre-filter strategy):
+      // one routed, predicate-restricted scan — candidate volume is
+      // selectivity x nprobe/cells of the corpus, linear in k.
+      // Drives its own actions (ivfCentroids collects) -> wall clock.
+      if (k > 1 && enabled("filtered_ivf")) {
+        val t0 = System.nanoTime()
+        val cents = graft.ops.Similarity.ivfCentroids(
+          emb, "vec_id", "embedding", k = 16, iters = 1, sampleMod = 4)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0)
+          .toArray.map(_.toDouble)
+        graft.ops.Similarity.topKCosineIvfFiltered(emb, "vec_id",
+          "embedding", q, 10, cents, nprobe = 4,
+          pmod(col("vec_id"), lit(10)) === 0)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"[scale] ${"filtered_ivf"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         graft.Scratch.release()
       }
       // PQ encode + ADC probe scoring (q185/q186 shapes): codebook
