@@ -46,4 +46,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the suite measuring operators instead of JVM pressure.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // Optional pinned INITIAL heap (SPARK_DRIVER_XMS=8g): G1 otherwise
+  // starts small and grows adaptively, and allocation-heavy FIRST
+  // stages can measure heap-growth machinery instead of the operator
+  // (see SCALING.md round 10, GifProbe bisection). Opt-in only —
+  // default behavior unchanged.
+  sys.env.get("SPARK_DRIVER_XMS").map(x => s"-Xms$x").toSeq
