@@ -160,27 +160,36 @@ object CurationQueries {
     * centroid, then the two per-subspace chains of [[pqSubChain]]
     * running over the RESIDUAL stream.
     */
+  /** The full-corpus IVF router chain (k=4 lowest-id seeds, one
+    * truncating-mean round, final assign): `cI1` centroids + `aI2`
+    * assignments over `exall`. Shared by the residual-PQ oracle and
+    * the q249 filtered-search oracle.
+    */
+  private def routerCtes: String =
+    """cI0 AS MATERIALIZED (
+      | SELECT seed.j, exall.gi AS i, exall.m AS c
+      | FROM exall JOIN seed USING (id)),
+      |dI1 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+      |  FROM exall JOIN cI0 c ON c.i = exall.gi GROUP BY 1, 2),
+      |aI1 AS MATERIALIZED (SELECT id, j FROM (
+      |  SELECT id, j, row_number() OVER (
+      |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
+      |uI1 AS MATERIALIZED (
+      | SELECT aI1.j, exall.gi AS i, CAST(sum(exall.m) AS BIGINT) // count(*) AS c
+      | FROM aI1 JOIN exall USING (id) GROUP BY 1, 2),
+      |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
+      | SELECT j, i, c FROM cI0
+      | WHERE j NOT IN (SELECT j FROM uI1)),
+      |dI2 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+      |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
+      |aI2 AS MATERIALIZED (SELECT id, j FROM (
+      |  SELECT id, j, row_number() OVER (
+      |   PARTITION BY id ORDER BY d, j) AS rn FROM dI2) WHERE rn = 1)"""
+      .stripMargin
+
   private def residualPqOracle: String =
     s"""$pqPreamble,
-       |cI0 AS MATERIALIZED (
-       | SELECT seed.j, exall.gi AS i, exall.m AS c
-       | FROM exall JOIN seed USING (id)),
-       |dI1 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
-       |  FROM exall JOIN cI0 c ON c.i = exall.gi GROUP BY 1, 2),
-       |aI1 AS MATERIALIZED (SELECT id, j FROM (
-       |  SELECT id, j, row_number() OVER (
-       |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
-       |uI1 AS MATERIALIZED (
-       | SELECT aI1.j, exall.gi AS i, CAST(sum(exall.m) AS BIGINT) // count(*) AS c
-       | FROM aI1 JOIN exall USING (id) GROUP BY 1, 2),
-       |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
-       | SELECT j, i, c FROM cI0
-       | WHERE j NOT IN (SELECT j FROM uI1)),
-       |dI2 AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
-       |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
-       |aI2 AS MATERIALIZED (SELECT id, j FROM (
-       |  SELECT id, j, row_number() OVER (
-       |   PARTITION BY id ORDER BY d, j) AS rn FROM dI2) WHERE rn = 1),
+       |$routerCtes,
        |exres AS MATERIALIZED (
        | SELECT exall.id, exall.gi, exall.m - c.c AS m
        | FROM exall JOIN aI2 USING (id)
@@ -389,6 +398,55 @@ object CurationQueries {
            | CAST(ov.o_adc AS BIGINT) AS recall_adc_at_10,
            | CAST(ov.o_rr AS BIGINT) AS recall_at_10
            |FROM ov JOIN nc USING (pid) ORDER BY vec_id""".stripMargin)),
+
+    // Filtered ANN served THROUGH THE CLI ARTIFACTS, driver-checked:
+    // build the IVF+PQ index with IndexCorpus, then `search --filter`
+    // a stratum (id % 10 = 0) with the predicate pre-filtered inside
+    // the probed cells, and hash the (id, adc) answer against the
+    // oracle's closed form — full-corpus router chain + global PQ
+    // chains + probe routing + ADC lookup + stratum filter. Fresh
+    // temp dir per invocation.
+    "q249_filtered_index_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q249").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--filter", "id % 10 = 0"))
+      },
+      Some(
+        s"""WITH $pqOracle,
+           |$routerCtes,
+           |pqd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+           |pcells AS (
+           | SELECT j FROM (
+           |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |pt0 AS (
+           | SELECT c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall
+           |   WHERE id = 7 AND gi < 32) p
+           | JOIN c1_0 c USING (i) GROUP BY 1),
+           |pt1 AS (
+           | SELECT c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+           | FROM (SELECT gi - 32 AS i, m FROM exall
+           |   WHERE id = 7 AND gi >= 32) p
+           | JOIN c1_1 c USING (i) GROUP BY 1)
+           |SELECT a2_0.id AS id, CAST(pt0.d + pt1.d AS BIGINT) AS adc
+           |FROM aI2
+           |JOIN a2_0 ON a2_0.id = aI2.id
+           |JOIN a2_1 ON a2_1.id = aI2.id
+           |JOIN pt0 ON pt0.j = a2_0.j
+           |JOIN pt1 ON pt1.j = a2_1.j
+           |WHERE aI2.j IN (SELECT j FROM pcells)
+           | AND a2_0.id <> 7 AND a2_0.id % 10 = 0
+           |ORDER BY adc, a2_0.id LIMIT 10""".stripMargin)),
 
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
