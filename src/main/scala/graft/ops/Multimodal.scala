@@ -140,11 +140,42 @@ object Multimodal {
     spark.createDataFrame(rdd, imageMetaSchema)
   }
 
-  /** Null-safe ImageIO decode: null/corrupt bytes -> null. */
+  /** Pixel-count ceiling for every image/frame decode: a payload whose
+    * header claims more pixels than this decodes as null instead of
+    * being read. Decompression-bomb defence — `ImageIO.read` allocates
+    * the full `w*h` raster BEFORE seeing whether the data backs it, so
+    * a 12-byte header edit claiming 65535x65535 would otherwise OOM an
+    * executor (an Error, uncatchable) mid-pass. 2^24 pixels = a 64 MB
+    * ARGB raster, comfortably above any real thumbnail corpus.
+    */
+  val maxDecodePixels: Long = 1L << 24
+
+  /** Null-safe image decode: null/corrupt/oversized bytes -> null.
+    * Probes header-only dimensions via the reader API before any
+    * raster allocation (see [[maxDecodePixels]]), and catches NonFatal
+    * rather than just IOException — the JDK codecs surface unchecked
+    * exceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+    * IllegalArgument) on truncated or bit-flipped containers, and the
+    * null-row contract must hold for those too (MultimodalFuzzSpec).
+    */
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     if (bytes == null) null
-    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case _: java.io.IOException => null }
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); null }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxDecodePixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   // ---- real audio path (javax.sound.sampled, WAV/PCM) --------------
 
@@ -217,14 +248,14 @@ object Multimodal {
         it.map { r =>
           val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
           val bytes = r.getAs[Array[Byte]](1)
+          // NonFatal (not just Unsupported/IOException): malformed RIFF
+          // headers can drive the JDK parser into unchecked exceptions,
+          // and the null-row contract must hold for those too.
           val ais =
             if (bytes == null) null
             else try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(bytes))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (ais == null) Row(id, null, null, null, null, null, null)
           else {
             val fmt = ais.getFormat
@@ -243,8 +274,13 @@ object Multimodal {
             if (!layoutOk) Row(id, null, null, null, null, null, null)
             else {
               val n = frames.toInt
-              val pcm = ais.readAllBytes()
-              if (pcm.length < 2 * n) Row(id, null, null, null, null, null, null)
+              // the codec stream can still fail mid-read on a payload
+              // whose header passed validation (truncated data chunk)
+              val pcm =
+                try ais.readAllBytes()
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (pcm == null || pcm.length < 2 * n)
+                Row(id, null, null, null, null, null, null)
               else {
                 var sumAbs = 0L; var ck = 0L
                 var mn = Int.MaxValue; var mx = Int.MinValue
@@ -266,6 +302,65 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, audioMetaSchema)
+  }
+
+  /** REAL audio fingerprints: decode the PCM series and pool absolute
+    * amplitude by sample index mod `dims` — the strided-pooling
+    * signature shared with [[extractImageFeatures]] /
+    * [[extractFrameFeatures]], and the on-ramp from audio-shaped
+    * payloads into the ANN / near-dup vector operators (clip-level
+    * near-dup, cross-source audio contamination). Components are
+    * integer-valued floats bounded by `384 * 32768 < 2^24`, so
+    * downstream cosine math stays oracle-exact. Identical PCM ==
+    * identical vector (cosine 1), which is what audio dedup keys on.
+    * Undecodable or unsupported-layout payloads emit no row, mirroring
+    * the image extractor; format guards are [[decodeAudio]]'s.
+    */
+  def extractAudioFeatures(media: DataFrame, idCol: String,
+      payloadCol: String, dims: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = if (r.isNullAt(0)) null else r.getAs[Array[Byte]](1)
+          val ais =
+            if (bytes == null) null
+            else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (ais == null) Iterator.empty
+          else {
+            val fmt = ais.getFormat
+            val frames = ais.getFrameLength
+            val layoutOk =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              fmt.getSampleSizeInBits == 16 &&
+              fmt.getChannels == 1 &&
+              !fmt.isBigEndian &&
+              frames >= 0 && frames <= Int.MaxValue.toLong
+            val pcm =
+              if (!layoutOk) null
+              else try ais.readAllBytes()
+              catch { case scala.util.control.NonFatal(_) => null }
+            val n = if (frames >= 0 && frames <= Int.MaxValue.toLong) frames.toInt else 0
+            if (pcm == null || pcm.length < 2 * n) Iterator.empty
+            else {
+              val acc = new Array[Long](dims)
+              var i = 0
+              while (i < n) {
+                val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+                acc(i % dims) += math.abs(s)
+                i += 1
+              }
+              Iterator.single(Row(r.getLong(0), acc.map(_.toFloat).toSeq))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** REAL resize: decode with ImageIO, nearest-neighbor resample to
@@ -477,6 +572,13 @@ object Multimodal {
                   reader.setInput(iis)
                   val n = reader.getNumImages(true)
                   Array.tabulate(n) { f =>
+                    // header-only dim probe before raster allocation:
+                    // a bomb frame makes the whole payload unreadable
+                    // (caught below -> the single null row)
+                    val wc = reader.getWidth(f).toLong
+                    val hc = reader.getHeight(f).toLong
+                    if (wc <= 0 || hc <= 0 || wc * hc > maxDecodePixels)
+                      throw new java.io.IOException("frame exceeds pixel cap")
                     val img = reader.read(f)
                     val w = img.getWidth; val h = img.getHeight
                     var sum = 0L; var ck = 0L
@@ -494,7 +596,9 @@ object Multimodal {
                     Row(id, f, w, h, sum, ck)
                   }
                 } catch {
-                  case _: java.io.IOException => Array(nullRow)
+                  // NonFatal: the GIF reader throws unchecked exceptions
+                  // (bad LZW tables, truncated palettes) on corrupt data
+                  case scala.util.control.NonFatal(_) => Array(nullRow)
                 } finally {
                   reader.dispose()
                   iis.close()
@@ -541,6 +645,10 @@ object Multimodal {
                   reader.setInput(iis)
                   val n = reader.getNumImages(true)
                   Array.tabulate(n) { f =>
+                    val wc = reader.getWidth(f).toLong
+                    val hc = reader.getHeight(f).toLong
+                    if (wc <= 0 || hc <= 0 || wc * hc > maxDecodePixels)
+                      throw new java.io.IOException("frame exceeds pixel cap")
                     val img = reader.read(f)
                     val w = img.getWidth; val h = img.getHeight
                     val acc = new Array[Long](dims)
@@ -556,7 +664,7 @@ object Multimodal {
                     Row(id, f, acc.map(_.toFloat).toSeq)
                   }
                 } catch {
-                  case _: java.io.IOException => Array.empty[Row]
+                  case scala.util.control.NonFatal(_) => Array.empty[Row]
                 } finally {
                   reader.dispose()
                   iis.close()

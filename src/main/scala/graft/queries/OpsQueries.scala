@@ -1079,6 +1079,41 @@ object OpsQueries {
           | CAST(sum((i + 1) * s) AS BIGINT) AS pcm_checksum
           |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Audio fingerprints: REAL decode + strided |s| pooling by sample
+    // index mod 8 — the audio->vector on-ramp into the ANN / near-dup
+    // operators (identical PCM -> identical vector, cosine 1). The
+    // oracle recomputes all eight pooled components from the
+    // deterministic sample spec by pure arithmetic; the hash only
+    // matches if decode returns the exact encoded series AND the
+    // pooling strides land each sample in the right component.
+    // Composition with topKCosine is pinned in MultimodalSpec.
+    "q250_audio_fingerprint" -> Q(
+      (s, dir) => {
+        val clips = Multimodal.synthesizeAudio(t(s, dir, "documents"), "doc_id")
+        val feats = Multimodal.extractAudioFeatures(clips, "id", "payload", 8)
+        feats.select(
+          col("id").as("doc_id") +:
+            (0 until 8).map(d =>
+              element_at(col("features"), d + 1).cast("long").as(s"e$d")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val comps = (0 until 8).map(d =>
+          s" CAST(sum(CASE WHEN i % 8 = $d THEN abs(s) ELSE 0 END) AS BIGINT) AS e$d")
+          .mkString(",\n")
+        s"""WITH d AS (
+           | SELECT doc_id, CAST(256 + doc_id % 128 AS INTEGER) AS n
+           | FROM documents),
+           |sm AS (
+           | SELECT doc_id, n, i,
+           |  CAST((doc_id*37 + i*101) % 65536 - 32768 AS INTEGER) AS s
+           | FROM d, generate_series(0, 383) AS t(i)
+           | WHERE i < n)
+           |SELECT doc_id,
+           |$comps
+           |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
         val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")

@@ -185,6 +185,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("extractAudioFeatures pools |s| by sample index mod dims, and " +
+    "the fingerprints compose with the ANN operators: ids 65536 apart " +
+    "share identical PCM and find each other at cosine 1") {
+    // sampleValue(id, i) = ((id*37 + i*101) mod 65536) - 32768 and
+    // audioSamples(id) = 256 + id % 128: ids 65536 apart (37 coprime
+    // to 65536, 65536 % 128 == 0) encode bit-identical clips — the
+    // planted exact-dup audio dedup keys on
+    val ids = Seq(1L, 65537L, 2L)
+    assert((0 until Multimodal.audioSamples(1L)).forall(i =>
+      Multimodal.sampleValue(1L, i) == Multimodal.sampleValue(65537L, i)))
+    val media = Multimodal.synthesizeAudio(ids.toDF("doc_id"), "doc_id")
+    val feats = Multimodal.extractAudioFeatures(media, "id", "payload", 8)
+    val byId = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // exact pooled components for id=2 by direct arithmetic
+    val exp = new Array[Long](8)
+    for (i <- 0 until Multimodal.audioSamples(2L))
+      exp(i % 8) += math.abs(Multimodal.sampleValue(2L, i)).toLong
+    assert(byId(2L).map(_.toLong) == exp.toSeq)
+    assert(byId(1L) == byId(65537L)) // identical PCM -> identical vector
+    // on-ramp: brute-force cosine top-k over the fingerprints puts the
+    // planted dup first at exactly 1.0
+    val q = typedLit(byId(1L))
+    val top = Similarity.topKCosine(feats, "id", "features", q, 2).collect()
+    assert(top.map(_.getLong(0)).toSet == Set(1L, 65537L))
+    assert(top.forall(_.getDouble(1) == 1.0))
+    // corrupt payload contributes no fingerprint row
+    val bad = Seq((9L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload")
+    assert(Multimodal.extractAudioFeatures(bad, "id", "payload", 8)
+      .collect().isEmpty)
+  }
+
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {
     val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
     val feats = Multimodal.extractImageFeatures(media, "id", "payload", 16)

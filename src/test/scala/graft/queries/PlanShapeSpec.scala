@@ -593,4 +593,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q245 filtered ANN: per-stratum top-10 is a bounded heap, cell " +
+    "ranks broadcast, no cartesian") {
+    val p = plan("q245_filtered_ann")
+    // exact per-stratum top-10 on the filtered scan must be
+    // TakeOrderedAndProject (bounded heap), never global sort + limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the 4-row cell-rank frame joins broadcast; the corpus never
+    // shuffles against it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q247 frame ANN: probe is a literal (no join), top-20 is a " +
+    "bounded heap over the cached frame features") {
+    val p = plan("q247_frame_ann")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the probe vector rides as a typedLit inside the cosine
+    // expression — scoring must not introduce any join at all
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p)
+    assert(p.contains("InMemoryTableScan"), p) // decoded features cached
+  }
 }
