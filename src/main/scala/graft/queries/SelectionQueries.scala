@@ -1640,6 +1640,68 @@ object SelectionQueries {
            | CAST(sum(frame_checksum) AS BIGINT) AS total_checksum
            |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // STREAMING audio ingest: real WAV payloads arrive as a file
+    // stream; each micro-batch decodes its clips' PCM with the actual
+    // JDK codec (decodeAudio in foreachBatch) and appends one ADDITIVE
+    // partial per clip-length: clip count, amplitude mass, checksum
+    // mass. The final card re-sums partials — decode-once,
+    // merge-anywhere, per-batch output bounded by the 128-value
+    // length domain regardless of stream length (q243's design for
+    // the audio modality, completing streaming ingest across all
+    // three media types). End-of-input equals q239's arithmetic
+    // sample oracle aggregated per length.
+    "q251_streaming_audio_ingest" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.wavSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "wav", ev)
+        val out = "/tmp/graft_stream_wav_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              Multimodal.decodeAudio(batch, "id", "payload")
+                .groupBy(col("n_samples"))
+                .agg(count(lit(1)).as("n"),
+                  sum(col("sum_abs")).as("a"),
+                  sum(col("pcm_checksum")).as("c"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .groupBy(col("n_samples"))
+          .agg(sum(col("n")).as("n_clips"),
+            sum(col("a")).as("total_abs"),
+            sum(col("c")).as("total_checksum"))
+          .orderBy(col("n_samples"))
+      },
+      Some(
+        """WITH d AS (
+          | SELECT doc_id, CAST(256 + doc_id % 128 AS INTEGER) AS n
+          | FROM documents),
+          |sm AS (
+          | SELECT doc_id, n, i,
+          |  CAST((doc_id*37 + i*101) % 65536 - 32768 AS INTEGER) AS s
+          | FROM d, generate_series(0, 383) AS t(i)
+          | WHERE i < n),
+          |per AS (
+          | SELECT doc_id, max(n) AS n_samples,
+          |  sum(abs(s)) AS sum_abs, sum((i + 1) * s) AS pcm_checksum
+          | FROM sm GROUP BY doc_id)
+          |SELECT n_samples, count(*) AS n_clips,
+          | CAST(sum(sum_abs) AS BIGINT) AS total_abs,
+          | CAST(sum(pcm_checksum) AS BIGINT) AS total_checksum
+          |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

@@ -304,6 +304,13 @@ object ScaleProbe {
         graft.ops.Multimodal.synthesizeVideos(clipIds, "doc_id"),
         "id", "payload", dims = 8)
         .select(sum(element_at(col("features"), 1)).as("s")))
+      // audio fingerprint on-ramp (q250): encode + REAL JDK WAV
+      // decode + strided pooling — per-clip work constant (256-383
+      // samples), so linear in k like the other media chains
+      time("audio_fingerprint", k)(graft.ops.Multimodal.extractAudioFeatures(
+        graft.ops.Multimodal.synthesizeAudio(clipIds, "doc_id"),
+        "id", "payload", dims = 8)
+        .select(sum(element_at(col("features"), 1)).as("s")))
       graft.Scratch.release()
       if (docsForced) docs.unpersist()
     }
