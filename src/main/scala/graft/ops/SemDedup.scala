@@ -157,6 +157,85 @@ object SemDedup {
     lloyd(base, k, dims, iters)
   }
 
+  /** Clustering-quality card for the fixed-point Lloyd fit: one row
+    * per non-empty cluster with
+    *   - `n` members,
+    *   - `sil_avg_permille` — mean SIMPLIFIED silhouette (centroid
+    *     form: a = squared distance to own centroid, b = runner-up
+    *     centroid's squared distance; s = (b - a) * 1000 DIV b,
+    *     which is >= 0 because assignment is argmin). The classic
+    *     silhouette needs all-pairs distances; the centroid
+    *     simplification is the standard O(n·k) surrogate and the only
+    *     one that survives 100 TB,
+    *   - `s_mean` — mean squared distance to own centroid (cluster
+    *     scatter, micros² domain),
+    *   - `db_permille` — Davies-Bouldin in the SQUARED-distance
+    *     variant: max over other clusters of
+    *     (s_mean_j + s_mean_k) * 1000 DIV m_jk with m_jk the squared
+    *     centroid-centroid distance (lower = better separated;
+    *     coincident centroids are excluded from the max and a cluster
+    *     with no positive-distance peer reports NULL).
+    *
+    * Everything is exact integer arithmetic on the micros view, so a
+    * DuckDB replay of the Lloyd trajectory reproduces each metric
+    * bit-for-bit. 100 TB posture: the corpus is touched by pure fused
+    * projections (3 × k × dims long ops per row, zero shuffle) plus
+    * ONE k-sized aggregate; the k² centroid-pair matrix is computed
+    * on the driver from the codebook it already holds and broadcast.
+    * Scatter sums accumulate in DECIMAL(38,0) (HUGEINT twin) — a
+    * 64-dim micros distance is < 2^48, so int64 would overflow past
+    * ~2^15 rows per cluster.
+    */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, iters: Int): DataFrame = {
+    require(k >= 2 && iters >= 0, s"need k >= 2, iters >= 0; got $k, $iters")
+    val spark = df.sparkSession
+    val base = df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"),
+        microsVec(col(vecCol)).as("mv"))
+    val cents = lloyd(base, k, dims, iters)
+    val scored = base.select(
+      graft.ops.VectorExpressions.nearestCentroid(col("mv"), cents)
+        .as("cluster"),
+      graft.ops.VectorExpressions.nearestCentroidDist(col("mv"), cents)
+        .as("da"),
+      graft.ops.VectorExpressions.secondCentroidDist(col("mv"), cents)
+        .as("db"))
+      .withColumn("sil",
+        expr("CASE WHEN db = 0 THEN 0 ELSE (db - da) * 1000 DIV db END"))
+    // k-row aggregate read three times below (card, peer side, DB
+    // join) — cache it so the corpus is scanned once, not thrice
+    val perCluster = graft.Scratch.cache(scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(sil) DIV count(1)").as("sil_avg_permille"),
+        expr("CAST(sum(CAST(da AS DECIMAL(38,0))) DIV count(1) AS BIGINT)")
+          .as("s_mean")))
+    val pairRows = for {
+      a <- cents.indices; b <- cents.indices if a != b
+    } yield {
+      var m = 0L
+      var i = 0
+      while (i < dims) {
+        val x = cents(a)(i) - cents(b)(i); m += x * x; i += 1
+      }
+      (a.toLong, b.toLong, m)
+    }
+    import spark.implicits._
+    val mdf = broadcast(pairRows.toDF("cluster", "j2", "m"))
+    val peers = perCluster
+      .select(col("cluster").as("j2"), col("s_mean").as("s_peer"))
+    val dbp = perCluster.select(col("cluster"), col("s_mean"))
+      .join(mdf, Seq("cluster"))
+      .join(broadcast(peers), Seq("j2"))
+      .filter(col("m") > 0)
+      .groupBy(col("cluster"))
+      .agg(max(expr("(s_mean + s_peer) * 1000 DIV m")).as("db_permille"))
+    perCluster.join(dbp, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col("n"),
+        col("sil_avg_permille"), col("s_mean"), col("db_permille"))
+      .orderBy(col("cluster"))
+  }
+
   /** Per-vector SemDeDup verdict: (id, cluster, dropped) for every
     * `dims`-dimensional vector, where dropped = 1 iff a lower-id
     * vector in the same k-means cluster has round(cosine, 6) >= tau.

@@ -1702,6 +1702,142 @@ object SelectionQueries {
           | CAST(sum(pcm_checksum) AS BIGINT) AS total_checksum
           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Clustering-quality card for the semdedup Lloyd fit (same
+    // k=8/iters=2 trajectory as q156): per cluster — size, mean
+    // SIMPLIFIED silhouette (centroid form, the O(n*k) surrogate
+    // that survives 100 TB; permille), mean within-cluster scatter,
+    // and squared-distance Davies-Bouldin vs the worst peer. The
+    // corpus is touched only by fused zero-shuffle projections
+    // (winner + runner-up centroid distances from the codebook
+    // reference object); the oracle replays the full Lloyd chain and
+    // ranks d3 per id — rank 1 is a, rank 2 is b.
+    "q252_cluster_quality" -> Q(
+      (s, dir) => SemDedup.clusterQuality(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, dims = 64, iters = 2),
+      Some {
+        def d(cent: String) =
+          s"""SELECT ex.id, c.j, sum((ex.m - c.c) * (ex.m - c.c)) AS d
+             |  FROM ex JOIN $cent c USING (i) GROUP BY 1, 2""".stripMargin
+        def a(dist: String) =
+          s"""SELECT id, j FROM (
+             |  SELECT id, j, row_number() OVER (
+             |   PARTITION BY id ORDER BY d, j) AS rn FROM $dist)
+             |  WHERE rn = 1""".stripMargin
+        def u(assign: String) =
+          s"""SELECT $assign.j, ex.i,
+             |  CAST(sum(ex.m) AS BIGINT) // count(*) AS c
+             |  FROM $assign JOIN ex USING (id) GROUP BY 1, 2""".stripMargin
+        def c(upd: String, prev: String) =
+          s"""SELECT * FROM $upd UNION ALL
+             |  SELECT j, i, c FROM $prev
+             |  WHERE j NOT IN (SELECT j FROM $upd)""".stripMargin
+        s"""WITH ex AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS i,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM ex ORDER BY id LIMIT 8)),
+           |c0 AS MATERIALIZED (
+           | SELECT seed.j, ex.i, ex.m AS c FROM ex JOIN seed USING (id)),
+           |d1 AS (${d("c0")}),
+           |a1 AS MATERIALIZED (${a("d1")}),
+           |u1 AS MATERIALIZED (${u("a1")}),
+           |c1 AS MATERIALIZED (${c("u1", "c0")}),
+           |d2 AS (${d("c1")}),
+           |a2 AS MATERIALIZED (${a("d2")}),
+           |u2 AS MATERIALIZED (${u("a2")}),
+           |c2 AS MATERIALIZED (${c("u2", "c1")}),
+           |d3 AS MATERIALIZED (${d("c2")}),
+           |r AS MATERIALIZED (
+           | SELECT id, j, d, row_number() OVER (
+           |  PARTITION BY id ORDER BY d, j) AS rn FROM d3),
+           |ab AS (
+           | SELECT w.id, w.j AS cluster, w.d AS da, ru.d AS db
+           | FROM (SELECT * FROM r WHERE rn = 1) w
+           | JOIN (SELECT * FROM r WHERE rn = 2) ru USING (id)),
+           |sil AS (
+           | SELECT cluster, da,
+           |  CASE WHEN db = 0 THEN 0 ELSE (db - da) * 1000 // db END AS sil
+           | FROM ab),
+           |s AS MATERIALIZED (
+           | SELECT cluster, count(*) AS n, sum(sil) // count(*) AS sil_avg,
+           |  sum(da) // count(*) AS s_mean
+           | FROM sil GROUP BY 1),
+           |mm AS (
+           | SELECT cj.j AS j1, ck.j AS j2,
+           |  sum((cj.c - ck.c) * (cj.c - ck.c)) AS m
+           | FROM c2 cj JOIN c2 ck ON cj.i = ck.i AND cj.j <> ck.j
+           | GROUP BY 1, 2),
+           |dbi AS (
+           | SELECT s1.cluster,
+           |  max((s1.s_mean + s2.s_mean) * 1000 // mm.m) AS dbp
+           | FROM s s1 JOIN mm ON mm.j1 = s1.cluster
+           | JOIN s s2 ON s2.cluster = mm.j2
+           | WHERE mm.m > 0 GROUP BY 1)
+           |SELECT CAST(s.cluster AS BIGINT) AS cluster,
+           | CAST(n AS BIGINT) AS n,
+           | CAST(sil_avg AS BIGINT) AS sil_avg_permille,
+           | CAST(s_mean AS BIGINT) AS s_mean,
+           | CAST(dbp AS BIGINT) AS db_permille
+           |FROM s LEFT JOIN dbi ON dbi.cluster = s.cluster
+           |ORDER BY 1""".stripMargin
+      }),
+
+    // STREAMING vector ingest into a FROZEN IVF router (the q202
+    // frozen-codebook discipline): the router is fit once on the
+    // static corpus (lowest-id seeds, k=4, one Lloyd round — the
+    // ivfAssignCtes contract), then vectors arrive as a file stream
+    // and each micro-batch assigns its vectors with the fused
+    // nearest-centroid kernel and appends one ADDITIVE partial per
+    // cell (count + id mass) — per-batch output bounded by the cell
+    // count regardless of stream length. End-of-input re-sum equals
+    // the batch assignment of the whole corpus per cell (aF
+    // aggregated), completing streaming coverage for the ANN family:
+    // a live index ingest whose cell occupancy is exactly auditable.
+    "q253_streaming_ivf_ingest" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.embSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "emb", ev)
+        val out = "/tmp/graft_stream_emb_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        val base = ev.select(col("vec_id").cast("long").as("id"),
+          SemDedup.microsVec(col("embedding")).as("mv"))
+        val cells = SemDedup.lloyd(base, 4, 64, 1)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              SemDedup.assign(
+                batch.select(col("vec_id").cast("long").as("id"),
+                  SemDedup.microsVec(col("embedding")).as("mv")), cells)
+                .groupBy(col("cluster"))
+                .agg(count(lit(1)).as("n"), sum(col("id")).as("idm"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .groupBy(col("cluster").cast("long").as("cell"))
+          .agg(sum(col("n")).as("n_vecs"), sum(col("idm")).as("id_checksum"))
+          .orderBy(col("cell"))
+      },
+      Some(
+        s"""WITH $ivfAssignCtes
+           |SELECT CAST(j AS BIGINT) AS cell,
+           | count(*) AS n_vecs,
+           | CAST(sum(id) AS BIGINT) AS id_checksum
+           |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

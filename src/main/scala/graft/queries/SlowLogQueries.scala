@@ -189,12 +189,20 @@ object SlowLogQueries {
       s.read.parquet(s"$dir/documents.parquet"), "doc_id")
   }
 
+  private[queries] def embSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
       "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
-      "img" -> imgSrc _, "gif" -> gifSrc _, "wav" -> wavSrc _)
+      "img" -> imgSrc _, "gif" -> gifSrc _, "wav" -> wavSrc _,
+      "emb" -> embSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes

@@ -68,6 +68,83 @@ class SemDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("fused second-centroid kernel == brute-force runner-up distance " +
+    "(duplicates count: a tied nearest makes runner-up == winner)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 150L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = vecs(rows: _*)
+    val cents = SemDedup.fixedPointCentroids(df, "vec_id", "embedding",
+      k = 5, dims = 8, iters = 2)
+    val base = df.select(col("vec_id").cast("long").as("id"),
+      SemDedup.microsVec(col("embedding")).as("mv"))
+    val got = base.select(col("id"),
+      graft.ops.VectorExpressions.secondCentroidDist(col("mv"), cents)
+        .as("d2")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val micros = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    for ((id, mv) <- micros) {
+      val ds = cents.map(c =>
+        mv.zip(c).map { case (m, v) => (m - v) * (m - v) }.sum).sorted
+      assert(got(id) == ds(1), s"id=$id")
+    }
+    // and the tied-nearest contract: two coincident centroids that
+    // are unambiguously nearest (micros of [-1,1] floats are <= 1e6,
+    // so the third row at 1e7 per dim is always the far one)
+    val tied = Array(Array(0L, 0L), Array(0L, 0L),
+      Array(10000000L, 10000000L))
+    val one = base.limit(1).select(
+      graft.ops.VectorExpressions.nearestCentroidDist(col("mv"), tied)
+        .as("d1"),
+      graft.ops.VectorExpressions.secondCentroidDist(col("mv"), tied)
+        .as("d2")).collect().head
+    assert(one.getLong(0) == one.getLong(1))
+  }
+
+  test("cluster quality card: silhouette/scatter/DB match a driver " +
+    "reference on a seeded two-blob corpus") {
+    val rnd = new scala.util.Random(11)
+    // two well-separated blobs -> silhouette near 1000, DB small
+    val rows = (0L until 60L).map { i =>
+      val b = if (i % 2 == 0) 0.9f else -0.9f
+      i -> Seq.fill(4)(b + rnd.nextFloat() * 0.05f)
+    }
+    val df = vecs(rows: _*)
+    val out = SemDedup.clusterQuality(df, "vec_id", "embedding",
+      k = 2, dims = 4, iters = 2).collect()
+    assert(out.length == 2)
+    // driver reference replaying the same integer contract
+    val cents = SemDedup.fixedPointCentroids(df, "vec_id", "embedding",
+      k = 2, dims = 4, iters = 2)
+    val micros = df.select(col("vec_id").cast("long").as("id"),
+      SemDedup.microsVec(col("embedding")).as("mv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val scored = micros.map { case (_, mv) =>
+      val ds = cents.map(c =>
+        mv.zip(c).map { case (m, v) => (m - v) * (m - v) }.sum)
+      val j = ds.zipWithIndex.minBy { case (d, k) => (d, k) }._2
+      val da = ds(j)
+      val db = ds.sorted.apply(1)
+      (j, da, if (db == 0) 0L else (db - da) * 1000L / db)
+    }
+    for (r <- out) {
+      val j = r.getLong(0).toInt
+      val mine = scored.filter(_._1 == j)
+      assert(r.getLong(1) == mine.length)                   // n
+      assert(r.getLong(2) == mine.map(_._3).sum / mine.length) // sil
+      assert(r.getLong(3) == mine.map(_._2).sum / mine.length) // s_mean
+      // DB for k=2: (s0 + s1) * 1000 / m01, same for both clusters
+      val sM = (0 to 1).map(c => {
+        val m = scored.filter(_._1 == c); m.map(_._2).sum / m.length
+      })
+      val m01 = cents(0).zip(cents(1))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getLong(4) == (sM(0) + sM(1)) * 1000L / m01)
+      // separated blobs: tight clusters, near-max silhouette
+      assert(r.getLong(2) > 900L && r.getLong(4) < 100L)
+    }
+  }
+
   test("fused micros_vec == the HOF formulation it replaced " +
     "(floor(double(v) * 1e6) :: long), element for element") {
     val rnd = new scala.util.Random(7)
