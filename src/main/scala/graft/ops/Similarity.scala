@@ -727,6 +727,47 @@ object Similarity {
       .withColumn("mean_milli",
         floor(col("total") * 1000.0 / col("n")).cast("long"))
 
+  /** Embedding drift across ingestion batches: per-batch fixed-point
+    * centroid (truncating integer mean of the micros view per dim)
+    * plus, for every batch after the first, the squared L2 shift from
+    * the PREVIOUS batch's centroid — the embedding-space monitoring
+    * card that catches a re-trained encoder, a corrupted shard, or a
+    * distribution break between ingestion waves. Also reports each
+    * centroid's squared norm (drift toward/away from the origin).
+    *
+    * `batchCol` is any integer batch key (a date bucket, a shard
+    * index, an ingestion wave). All arithmetic is exact integer
+    * micros, so DuckDB replays it bit-for-bit.
+    *
+    * 100 TB posture: the corpus collapses in ONE pass to the
+    * (batch × dims) centroid frame (posexplode + map-side-combined
+    * sum/count — the per-partition partial is batch × dims rows, not
+    * corpus rows); the shift join and norms live entirely on that
+    * centroid-domain frame. Centroid sums hold to ~2^43 rows per
+    * batch (|m| <= 2^20 for unit-scale floats).
+    */
+  def batchCentroidDrift(df: DataFrame, idCol: String, vecCol: String,
+      batchCol: Column, dims: Int): DataFrame = {
+    val base = df.filter(size(col(vecCol)) === dims)
+      .select(batchCol.cast("long").as("batch"),
+        graft.ops.VectorExpressions.microsVec(col(vecCol)).as("mv"))
+    val cent = base
+      .select(col("batch"), posexplode(col("mv")).as(Seq("i", "m")))
+      .groupBy(col("batch"), col("i"))
+      .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+      .select(col("batch"), col("i"), expr("s DIV cnt").as("c"), col("cnt"))
+    val nv = cent.filter(col("i") === 0)
+      .select(col("batch"), col("cnt").as("n_vecs"))
+    val prev = cent.select((col("batch") + 1).as("batch"), col("i"),
+      col("c").as("cp"))
+    val shift = cent.join(prev, Seq("batch", "i"), "left")
+      .groupBy(col("batch"))
+      .agg(sum(when(col("cp").isNotNull,
+          (col("c") - col("cp")) * (col("c") - col("cp")))).as("shift_sq"),
+        sum(col("c") * col("c")).as("centroid_norm_sq"))
+    nv.join(shift, Seq("batch")).orderBy(col("batch"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket self-join, then exact
     * cosine >= minCos (rounded compare). Only same-bucket pairs are
     * ever materialized.

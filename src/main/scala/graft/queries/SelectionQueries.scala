@@ -1838,6 +1838,41 @@ object SelectionQueries {
            | CAST(sum(id) AS BIGINT) AS id_checksum
            |FROM aF GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Embedding drift across ingestion batches (vec_id % 8 as the
+    // synthetic wave key): per-batch fixed-point centroid, squared
+    // L2 shift from the previous batch, and centroid norm — the
+    // monitoring card that catches a re-trained encoder or a
+    // corrupted shard between waves. Corpus collapses in one pass to
+    // the (batch x dims) centroid frame; everything downstream is
+    // centroid-domain.
+    "q254_embedding_drift" -> Q(
+      (s, dir) => Similarity.batchCentroidDrift(t(s, dir, "embeddings"),
+        "vec_id", "embedding", pmod(col("vec_id"), lit(8)), dims = 64),
+      Some(
+        """WITH ex AS MATERIALIZED (
+          | SELECT vec_id % 8 AS batch,
+          |  unnest(range(len(embedding))) AS i,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings WHERE len(embedding) = 64),
+          |cent AS MATERIALIZED (
+          | SELECT batch, i, CAST(sum(m) AS BIGINT) // count(*) AS c,
+          |  count(*) AS cnt
+          | FROM ex GROUP BY 1, 2),
+          |sh AS (
+          | SELECT a.batch,
+          |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq,
+          |  CAST(sum(a.c * a.c) AS BIGINT) AS centroid_norm_sq
+          | FROM cent a LEFT JOIN cent b
+          |  ON b.batch = a.batch - 1 AND b.i = a.i
+          | GROUP BY 1)
+          |SELECT CAST(nv.batch AS BIGINT) AS batch,
+          | CAST(nv.cnt AS BIGINT) AS n_vecs,
+          | sh.shift_sq, sh.centroid_norm_sq
+          |FROM (SELECT batch, cnt FROM cent WHERE i = 0) nv
+          |JOIN sh ON sh.batch = nv.batch
+          |ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

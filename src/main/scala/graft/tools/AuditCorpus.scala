@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Eval, Quantize, Scrub, Similarity, Skew, TextOps}
+import graft.ops.{Eval, Quantize, Scrub, SemDedup, Similarity, Skew, TextOps}
 
 /** CLI: the pre-release audit battery as ONE job — parquet in, a
   * directory of audit reports out, one parquet dataset per report plus
@@ -160,6 +160,10 @@ object AuditCorpus {
           emb, vecCol, col(labelCol), dims))
       report("truncation_recall", Similarity.truncationRecall(
         emb, vecId, vecCol, nProbes = 10, k = 10, prefixDims = dims / 4))
+      report("cluster_quality", SemDedup.clusterQuality(
+        emb, vecId, vecCol, k = 8, dims = dims, iters = 2))
+      report("embedding_drift", Similarity.batchCentroidDrift(
+        emb, vecId, vecCol, pmod(col(vecId), lit(8)), dims))
       emb.unpersist()
     }
 

@@ -405,6 +405,19 @@ object ScaleProbe {
         println(f"[scale] ${"semdedup_fit"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
         graft.Scratch.release()
       }
+      // round-10 cluster-quality card (q252's shape): the Lloyd fit
+      // plus three fused zero-shuffle projections and a k-row
+      // aggregate — expected to track semdedup_fit (the fit
+      // dominates; the card adds ~1 corpus scan). Drives its own
+      // per-round actions -> wall clock.
+      if (k > 1 && enabled("cluster_quality")) {
+        val t0 = System.nanoTime()
+        graft.ops.SemDedup.clusterQuality(
+          emb, "vec_id", "embedding", k = 8, dims = 64, iters = 2)
+          .queryExecution.toRdd.foreach(_ => ())
+        println(f"[scale] ${"cluster_quality"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
       // round-10 filtered IVF probe (q245's pre-filter strategy):
       // one routed, predicate-restricted scan — candidate volume is
       // selectivity x nprobe/cells of the corpus, linear in k.

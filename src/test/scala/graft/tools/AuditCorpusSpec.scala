@@ -18,6 +18,10 @@ class AuditCorpusSpec extends AnyFunSuite {
     // vector reports present and probe-shaped
     assert(res("truncation_recall") == 10L)
     assert(res("centroid_distances") == 45L) // C(10,2) label pairs
+    // round-10 vector reports: one row per non-empty Lloyd cluster /
+    // per ingestion batch (vec_id % 8)
+    assert(res("cluster_quality") >= 1L && res("cluster_quality") <= 8L)
+    assert(res("embedding_drift") >= 1L && res("embedding_drift") <= 8L)
 
     val nSources = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
