@@ -1873,6 +1873,91 @@ object SelectionQueries {
           |JOIN sh ON sh.batch = nv.batch
           |ORDER BY 1""".stripMargin)),
 
+    // STREAMING semantic dedup against a FROZEN reference corpus:
+    // arrivals (the 'emb' stream) are LSH-bucketed per micro-batch
+    // and joined against the static reference side (vec_id % 4 <> 0,
+    // bucketed ONCE and cached across batches — the stream-static
+    // join production shape); an arrival is a dup iff some
+    // same-bucket reference vector other than itself has
+    // round(cos, 6) >= 0.35. Per-arrival verdicts append (each id
+    // lands in exactly one batch); the oracle replays the md5-derived
+    // hyperplanes and the bucket-blocked join in SQL (q29's
+    // contract). At 100 TB the bucket key is the shuffle key on both
+    // sides — the standard LSH-blocked join, never all-pairs.
+    "q255_streaming_semantic_dedup" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.embSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "emb", ev)
+        val out = "/tmp/graft_stream_semdup_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        val planes = Similarity.hyperplanes(8, 64)
+        val statC = graft.Scratch.cache(
+          ev.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+            .select(col("vec_id").as("sid"), col("embedding").as("sv"),
+              Similarity.lshBucket(col("embedding"), planes).as("bucket")))
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch
+                .select(col("vec_id"), col("embedding"),
+                  Similarity.lshBucket(col("embedding"), planes)
+                    .as("bucket"))
+                .join(statC, Seq("bucket"), "left")
+                .withColumn("hit",
+                  col("sid").isNotNull && col("sid") =!= col("vec_id") &&
+                    round(Similarity.cosine(col("embedding"), col("sv")),
+                      6) >= 0.35)
+                .groupBy(col("vec_id"))
+                .agg(sum(when(col("hit"), 1L).otherwise(0L))
+                  .as("n_matches"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out)
+          .groupBy(col("vec_id"))
+          .agg(sum(col("n_matches")).as("n_matches"))
+          .select(col("vec_id"), col("n_matches"),
+            (col("n_matches") > 0).cast("long").as("is_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || " +
+          s"CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  sum(CASE WHEN (${OpsQueries.dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
+           | FROM embeddings, w WHERE len(embedding) = 64
+           | GROUP BY vec_id, embedding),
+           |st AS (SELECT * FROM b WHERE vec_id % 4 <> 0),
+           |m AS (
+           | SELECT a.vec_id, count(*) AS n_matches
+           | FROM b a JOIN st s ON s.bucket = a.bucket
+           |  AND s.vec_id <> a.vec_id
+           | WHERE round(${OpsQueries.cosSql("a.embedding", "s.embedding")},
+           |   6) >= 0.35
+           | GROUP BY 1)
+           |SELECT a.vec_id, CAST(coalesce(m.n_matches, 0) AS BIGINT)
+           |  AS n_matches,
+           | CAST(CASE WHEN coalesce(m.n_matches, 0) > 0 THEN 1 ELSE 0 END
+           |  AS BIGINT) AS is_dup
+           |FROM b a LEFT JOIN m ON m.vec_id = a.vec_id
+           |ORDER BY a.vec_id""".stripMargin
+      }),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
