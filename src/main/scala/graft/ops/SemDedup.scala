@@ -230,7 +230,9 @@ object SemDedup {
       .filter(col("m") > 0)
       .groupBy(col("cluster"))
       .agg(max(expr("(s_mean + s_peer) * 1000 DIV m")).as("db_permille"))
-    perCluster.join(dbp, Seq("cluster"), "left")
+    // dbp is k-row: hint it so the final stitch never plans a
+    // sort-merge join on a frame statistics can't size
+    perCluster.join(broadcast(dbp), Seq("cluster"), "left")
       .select(col("cluster").cast("long").as("cluster"), col("n"),
         col("sil_avg_permille"), col("s_mean"), col("db_permille"))
       .orderBy(col("cluster"))

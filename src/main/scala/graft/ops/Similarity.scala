@@ -751,21 +751,25 @@ object Similarity {
     val base = df.filter(size(col(vecCol)) === dims)
       .select(batchCol.cast("long").as("batch"),
         graft.ops.VectorExpressions.microsVec(col(vecCol)).as("mv"))
-    val cent = base
+    // (batch x dims) centroid frame read three times below (counts,
+    // lag side, shift join) — cache it so the corpus collapses once
+    val cent = graft.Scratch.cache(base
       .select(col("batch"), posexplode(col("mv")).as(Seq("i", "m")))
       .groupBy(col("batch"), col("i"))
       .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
-      .select(col("batch"), col("i"), expr("s DIV cnt").as("c"), col("cnt"))
+      .select(col("batch"), col("i"), expr("s DIV cnt").as("c"), col("cnt")))
     val nv = cent.filter(col("i") === 0)
       .select(col("batch"), col("cnt").as("n_vecs"))
     val prev = cent.select((col("batch") + 1).as("batch"), col("i"),
       col("c").as("cp"))
-    val shift = cent.join(prev, Seq("batch", "i"), "left")
+    val shift = cent.join(broadcast(prev), Seq("batch", "i"), "left")
       .groupBy(col("batch"))
       .agg(sum(when(col("cp").isNotNull,
           (col("c") - col("cp")) * (col("c") - col("cp")))).as("shift_sq"),
         sum(col("c") * col("c")).as("centroid_norm_sq"))
-    nv.join(shift, Seq("batch")).orderBy(col("batch"))
+    // both sides are batch-domain (tiny); hint the stitched side so
+    // the plan never sort-merges frames statistics can't size
+    nv.join(broadcast(shift), Seq("batch")).orderBy(col("batch"))
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket self-join, then exact
