@@ -194,6 +194,52 @@ object VectorKernels {
     best
   }
 
+  /** The `n` nearest codebook rows to `v` by integer squared L2,
+    * as an array of centroid indices ordered exactly like
+    * `row_number() OVER (ORDER BY d, j)` ranks 1..n (ties to the
+    * lower index — selection uses strict `<` per rank, so an
+    * equal-distance later row never displaces an earlier one). The
+    * multi-probe primitive: one fused codebook scan per row emits
+    * the whole probe set, no explode of distances, no shuffle.
+    */
+  def topCentroids(v: ArrayData, cents: Array[Array[Long]],
+      n: Int): ArrayData = {
+    val kk = cents.length
+    val ds = new Array[Long](kk)
+    var j = 0
+    while (j < kk) {
+      val c = cents(j)
+      val nn = math.min(v.numElements(), c.length)
+      var d = 0L
+      var i = 0
+      while (i < nn) {
+        val x = v.getLong(i) - c(i)
+        d += x * x
+        i += 1
+      }
+      ds(j) = d
+      j += 1
+    }
+    val m = math.min(n, kk)
+    val out = new Array[Long](m)
+    val used = new Array[Boolean](kk)
+    var r = 0
+    while (r < m) {
+      var bj = -1
+      var bd = Long.MaxValue
+      var q = 0
+      while (q < kk) {
+        if (!used(q) && ds(q) < bd) { bd = ds(q); bj = q }
+        q += 1
+      }
+      used(bj) = true
+      out(r) = bj.toLong
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Fixed-point micros view of a float/double vector in one pass:
     * floor(double(v_i) * 1e6) as a primitive long array — the
     * allocation-free replacement for the interpreted
@@ -345,6 +391,38 @@ case class SecondCentroidDistExpr(child: Expression,
   override def prettyName: String = "second_centroid_dist"
 }
 
+/** top_centroids(mv): array<long> — the n nearest codebook indices in
+  * (d, j) rank order ([[VectorKernels.topCentroids]]); exploding it
+  * yields the multi-probe cell set in one fused scan. The codebook
+  * rides as a reference object.
+  */
+case class TopCentroidsExpr(child: Expression,
+    cents: Array[Array[Long]], n: Int) extends UnaryExpression {
+  require(cents.nonEmpty && n >= 1,
+    "top_centroids needs a non-empty codebook and n >= 1")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_centroids needs array<long>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.topCentroids(input.asInstanceOf[ArrayData], cents, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.topCentroids($c, $ref, $n);")
+  }
+  override protected def withNewChildInternal(c: Expression): TopCentroidsExpr =
+    copy(child = c)
+  override def prettyName: String = "top_centroids"
+}
+
 /** nearest_centroid_cos(vec): int — fused argmax-cosine routing, see
   * [[VectorKernels.nearestCentroidCos]]. The codebook and its ids
   * ride as reference objects.
@@ -428,6 +506,9 @@ object VectorExpressions {
   def secondCentroidDist(vec: Column, cents: Array[Array[Long]]): Column =
     ColumnBridge.column(SecondCentroidDistExpr(
       ColumnBridge.expression(vec), cents))
+  def topCentroids(vec: Column, cents: Array[Array[Long]], n: Int): Column =
+    ColumnBridge.column(TopCentroidsExpr(
+      ColumnBridge.expression(vec), cents, n))
   def microsVec(vec: Column): Column =
     ColumnBridge.column(MicrosVecExpr(ColumnBridge.expression(vec)))
   def nearestCentroidCos(vec: Column, cents: Array[Array[Double]],

@@ -70,6 +70,51 @@ object SelectionQueries {
       |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"""
       .stripMargin
 
+  /** The k=8 / iters=2 fixed-point Lloyd oracle chain (q156's
+    * trajectory: lowest-id seeds, truncating-integer-mean updates,
+    * empty cluster keeps its centroid), ending at final centroids
+    * `c2(j, i, c)` and the full distance frame `d3(id, j, d)` —
+    * q252 ranks it for silhouette a/b, q255 derives cells and
+    * multi-probe sets from it.
+    */
+  private val lloyd8Ctes: String = {
+    def d(cent: String) =
+      s"""SELECT ex.id, c.j, sum((ex.m - c.c) * (ex.m - c.c)) AS d
+         |  FROM ex JOIN $cent c USING (i) GROUP BY 1, 2""".stripMargin
+    def a(dist: String) =
+      s"""SELECT id, j FROM (
+         |  SELECT id, j, row_number() OVER (
+         |   PARTITION BY id ORDER BY d, j) AS rn FROM $dist)
+         |  WHERE rn = 1""".stripMargin
+    def u(assign: String) =
+      s"""SELECT $assign.j, ex.i,
+         |  CAST(sum(ex.m) AS BIGINT) // count(*) AS c
+         |  FROM $assign JOIN ex USING (id) GROUP BY 1, 2""".stripMargin
+    def c(upd: String, prev: String) =
+      s"""SELECT * FROM $upd UNION ALL
+         |  SELECT j, i, c FROM $prev
+         |  WHERE j NOT IN (SELECT j FROM $upd)""".stripMargin
+    s"""ex AS MATERIALIZED (
+       | SELECT vec_id AS id, unnest(range(len(embedding))) AS i,
+       |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+       |   AS BIGINT) AS m
+       | FROM embeddings WHERE len(embedding) = 64),
+       |seed AS (
+       | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+       | FROM (SELECT DISTINCT id FROM ex ORDER BY id LIMIT 8)),
+       |c0 AS MATERIALIZED (
+       | SELECT seed.j, ex.i, ex.m AS c FROM ex JOIN seed USING (id)),
+       |d1 AS (${d("c0")}),
+       |a1 AS MATERIALIZED (${a("d1")}),
+       |u1 AS MATERIALIZED (${u("a1")}),
+       |c1 AS MATERIALIZED (${c("u1", "c0")}),
+       |d2 AS (${d("c1")}),
+       |a2 AS MATERIALIZED (${a("d2")}),
+       |u2 AS MATERIALIZED (${u("a2")}),
+       |c2 AS MATERIALIZED (${c("u2", "c1")}),
+       |d3 AS MATERIALIZED (${d("c2")})""".stripMargin
+  }
+
   /** Decoded-GIF pixel oracle CTE `px(doc_id, f, x, y, g)`, mirroring
     * [[graft.ops.Multimodal.gifPixel]]: the fixed 11 x 7 frame grid
     * over the max 5-frame envelope, filtered to each clip's true
@@ -1703,7 +1748,8 @@ object SelectionQueries {
           |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Clustering-quality card for the semdedup Lloyd fit (same
-    // k=8/iters=2 trajectory as q156): per cluster — size, mean
+    // k=8/iters=2 trajectory as q156, shared chain in lloyd8Ctes):
+    // per cluster — size, mean
     // SIMPLIFIED silhouette (centroid form, the O(n*k) surrogate
     // that survives 100 TB; permille), mean within-cluster scatter,
     // and squared-distance Davies-Bouldin vs the worst peer. The
@@ -1715,41 +1761,7 @@ object SelectionQueries {
       (s, dir) => SemDedup.clusterQuality(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8, dims = 64, iters = 2),
       Some {
-        def d(cent: String) =
-          s"""SELECT ex.id, c.j, sum((ex.m - c.c) * (ex.m - c.c)) AS d
-             |  FROM ex JOIN $cent c USING (i) GROUP BY 1, 2""".stripMargin
-        def a(dist: String) =
-          s"""SELECT id, j FROM (
-             |  SELECT id, j, row_number() OVER (
-             |   PARTITION BY id ORDER BY d, j) AS rn FROM $dist)
-             |  WHERE rn = 1""".stripMargin
-        def u(assign: String) =
-          s"""SELECT $assign.j, ex.i,
-             |  CAST(sum(ex.m) AS BIGINT) // count(*) AS c
-             |  FROM $assign JOIN ex USING (id) GROUP BY 1, 2""".stripMargin
-        def c(upd: String, prev: String) =
-          s"""SELECT * FROM $upd UNION ALL
-             |  SELECT j, i, c FROM $prev
-             |  WHERE j NOT IN (SELECT j FROM $upd)""".stripMargin
-        s"""WITH ex AS MATERIALIZED (
-           | SELECT vec_id AS id, unnest(range(len(embedding))) AS i,
-           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-           |   AS BIGINT) AS m
-           | FROM embeddings WHERE len(embedding) = 64),
-           |seed AS (
-           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
-           | FROM (SELECT DISTINCT id FROM ex ORDER BY id LIMIT 8)),
-           |c0 AS MATERIALIZED (
-           | SELECT seed.j, ex.i, ex.m AS c FROM ex JOIN seed USING (id)),
-           |d1 AS (${d("c0")}),
-           |a1 AS MATERIALIZED (${a("d1")}),
-           |u1 AS MATERIALIZED (${u("a1")}),
-           |c1 AS MATERIALIZED (${c("u1", "c0")}),
-           |d2 AS (${d("c1")}),
-           |a2 AS MATERIALIZED (${a("d2")}),
-           |u2 AS MATERIALIZED (${u("a2")}),
-           |c2 AS MATERIALIZED (${c("u2", "c1")}),
-           |d3 AS MATERIALIZED (${d("c2")}),
+        s"""WITH $lloyd8Ctes,
            |r AS MATERIALIZED (
            | SELECT id, j, d, row_number() OVER (
            |  PARTITION BY id ORDER BY d, j) AS rn FROM d3),
@@ -1873,17 +1885,21 @@ object SelectionQueries {
           |JOIN sh ON sh.batch = nv.batch
           |ORDER BY 1""".stripMargin)),
 
-    // STREAMING semantic dedup against a FROZEN reference corpus:
-    // arrivals (the 'emb' stream) are LSH-bucketed per micro-batch
-    // and joined against the static reference side (vec_id % 4 <> 0,
-    // bucketed ONCE and cached across batches — the stream-static
-    // join production shape); an arrival is a dup iff some
-    // same-bucket reference vector other than itself has
-    // round(cos, 6) >= 0.35. Per-arrival verdicts append (each id
-    // lands in exactly one batch); the oracle replays the md5-derived
-    // hyperplanes and the bucket-blocked join in SQL (q29's
-    // contract). At 100 TB the bucket key is the shuffle key on both
-    // sides — the standard LSH-blocked join, never all-pairs.
+    // STREAMING semantic dedup against a FROZEN reference corpus —
+    // SemDeDup's cluster blocking, not LSH (RECALL.md round 10: at
+    // tau=0.35 in 64-d, a single 8-plane sign-LSH band catches 2.8%
+    // of the exact dup arrivals; the frozen k=8 Lloyd cells catch
+    // 50%, and multi-probe nprobe=3 reaches 78% at 38% of all-pairs
+    // candidate volume — the measured ladder that picked this
+    // design). The router is fit once on the static corpus; the
+    // reference side (vec_id % 4 <> 0) is assigned to its rank-1
+    // cell and cached across batches. Each micro-batch emits every
+    // arrival's 3 nearest cells with ONE fused top_centroids scan
+    // (no distance explode), joins the probe set against the
+    // reference cells, and appends per-arrival verdicts (an arrival
+    // is a dup iff some probed-cell reference vector other than
+    // itself has round(cos, 6) >= 0.35). The oracle derives cells
+    // and probe sets from the shared Lloyd chain's distance frame.
     "q255_streaming_semantic_dedup" -> Q(
       (s, dir) => {
         val ev = SlowLogQueries.embSrc(s, dir)
@@ -1893,11 +1909,14 @@ object SelectionQueries {
         val outPath = new org.apache.hadoop.fs.Path(out)
         val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(outPath)) fs.delete(outPath, true)
-        val planes = Similarity.hyperplanes(8, 64)
+        val base = ev.select(col("vec_id").cast("long").as("id"),
+          SemDedup.microsVec(col("embedding")).as("mv"))
+        val cents = SemDedup.lloyd(base, 8, 64, 2)
         val statC = graft.Scratch.cache(
           ev.filter(pmod(col("vec_id"), lit(4)) =!= 0)
             .select(col("vec_id").as("sid"), col("embedding").as("sv"),
-              Similarity.lshBucket(col("embedding"), planes).as("bucket")))
+              graft.ops.VectorExpressions.nearestCentroid(
+                SemDedup.microsVec(col("embedding")), cents).as("cell")))
         SlowLogQueries.withShufflePartitions(s, 8) {
           val stream = s.readStream
             .schema(ev.schema)
@@ -1908,9 +1927,10 @@ object SelectionQueries {
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
               batch
                 .select(col("vec_id"), col("embedding"),
-                  Similarity.lshBucket(col("embedding"), planes)
-                    .as("bucket"))
-                .join(statC, Seq("bucket"), "left")
+                  explode(graft.ops.VectorExpressions.topCentroids(
+                    SemDedup.microsVec(col("embedding")), cents, 3))
+                    .as("cell"))
+                .join(statC, Seq("cell"), "left")
                 .withColumn("hit",
                   col("sid").isNotNull && col("sid") =!= col("vec_id") &&
                     round(Similarity.cosine(col("embedding"), col("sv")),
@@ -1930,33 +1950,31 @@ object SelectionQueries {
             (col("n_matches") > 0).cast("long").as("is_dup"))
           .orderBy(col("vec_id"))
       },
-      Some {
-        val wSql = s"list_transform(generate_series(0, 63), d -> " +
-          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || " +
-          s"CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
-        s"""WITH w AS (
-           | SELECT p, $wSql AS wv FROM generate_series(0, 7) AS t(p)),
-           |b AS (
-           | SELECT vec_id, embedding,
-           |  sum(CASE WHEN (${OpsQueries.dotSql("embedding", "wv")}) >= 0
-           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS bucket
-           | FROM embeddings, w WHERE len(embedding) = 64
-           | GROUP BY vec_id, embedding),
-           |st AS (SELECT * FROM b WHERE vec_id % 4 <> 0),
+      Some(
+        s"""WITH $lloyd8Ctes,
+           |rk AS MATERIALIZED (
+           | SELECT id, j, row_number() OVER (
+           |  PARTITION BY id ORDER BY d, j) AS rn FROM d3),
+           |cell AS MATERIALIZED (SELECT id, j FROM rk WHERE rn = 1),
+           |pr AS (SELECT id, j FROM rk WHERE rn <= 3),
+           |emb AS MATERIALIZED (
+           | SELECT vec_id AS id, embedding FROM embeddings
+           | WHERE len(embedding) = 64),
            |m AS (
-           | SELECT a.vec_id, count(*) AS n_matches
-           | FROM b a JOIN st s ON s.bucket = a.bucket
-           |  AND s.vec_id <> a.vec_id
-           | WHERE round(${OpsQueries.cosSql("a.embedding", "s.embedding")},
+           | SELECT a.id AS vec_id, count(*) AS n_matches
+           | FROM pr a JOIN cell s ON s.j = a.j
+           |  AND s.id % 4 <> 0 AND s.id <> a.id
+           | JOIN emb ea ON ea.id = a.id
+           | JOIN emb eb ON eb.id = s.id
+           | WHERE round(${OpsQueries.cosSql("ea.embedding", "eb.embedding")},
            |   6) >= 0.35
            | GROUP BY 1)
-           |SELECT a.vec_id, CAST(coalesce(m.n_matches, 0) AS BIGINT)
-           |  AS n_matches,
+           |SELECT e.id AS vec_id,
+           | CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
            | CAST(CASE WHEN coalesce(m.n_matches, 0) > 0 THEN 1 ELSE 0 END
            |  AS BIGINT) AS is_dup
-           |FROM b a LEFT JOIN m ON m.vec_id = a.vec_id
-           |ORDER BY a.vec_id""".stripMargin
-      }),
+           |FROM emb e LEFT JOIN m ON m.vec_id = e.id
+           |ORDER BY 1""".stripMargin)),
 
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a

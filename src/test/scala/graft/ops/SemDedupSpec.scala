@@ -101,6 +101,36 @@ class SemDedupSpec extends AnyFunSuite {
     assert(one.getLong(0) == one.getLong(1))
   }
 
+  test("fused top_centroids kernel == brute-force (d, j) rank order " +
+    "over a seeded random corpus") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val df = vecs(rows: _*)
+    val cents = SemDedup.fixedPointCentroids(df, "vec_id", "embedding",
+      k = 6, dims = 8, iters = 2)
+    val base = df.select(col("vec_id").cast("long").as("id"),
+      SemDedup.microsVec(col("embedding")).as("mv"))
+    val got = base.select(col("id"),
+      graft.ops.VectorExpressions.topCentroids(col("mv"), cents, 3)
+        .as("top")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val micros = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    for ((id, mv) <- micros) {
+      val ds = cents.map(c =>
+        mv.zip(c).map { case (m, v) => (m - v) * (m - v) }.sum)
+      val want = ds.zipWithIndex.sortBy { case (d, j) => (d, j) }
+        .take(3).map(_._2.toLong).toSeq
+      assert(got(id) == want, s"id=$id")
+    }
+    // n > k returns all k indices, still rank-ordered
+    val all = base.limit(1).select(
+      graft.ops.VectorExpressions.topCentroids(col("mv"), cents, 99))
+      .collect().head.getSeq[Long](0)
+    assert(all.length == 6 && all.toSet == (0L until 6L).toSet)
+  }
+
   test("cluster quality card: silhouette/scatter/DB match a driver " +
     "reference on a seeded two-blob corpus") {
     val rnd = new scala.util.Random(11)
