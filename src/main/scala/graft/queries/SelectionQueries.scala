@@ -1976,6 +1976,85 @@ object SelectionQueries {
            |FROM emb e LEFT JOIN m ON m.vec_id = e.id
            |ORDER BY 1""".stripMargin)),
 
+    // Blocking-recall audit for q255's strategy ladder, as a
+    // driver-checked query: a DETERMINISTIC arrival sample
+    // (vec_id % 10 = 0) is scored against the FULL reference side
+    // (vec_id % 4 <> 0) — exact truth needs all pairs, so the
+    // sample bounds the differential at sample x corpus (linear in
+    // the corpus; the sample side broadcasts). For nprobe = 1..3:
+    // exact dup pairs, pairs caught inside the probed cells,
+    // candidate volume, and recall in permille. This is RECALL.md's
+    // round-10 ladder as a hash-pinned row — re-measured on every
+    // driver run, so a blocking regression (centroid change, probe
+    // bug) fails correctness, not just a doc claim.
+    "q256_blocking_recall_audit" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .filter(size(col("embedding")) === 64)
+        val base = emb.select(col("vec_id").cast("long").as("id"),
+          SemDedup.microsVec(col("embedding")).as("mv"))
+        val cents = SemDedup.lloyd(base, 8, 64, 2)
+        val arr = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id").as("aid"), col("embedding").as("av"),
+            graft.ops.VectorExpressions.topCentroids(
+              SemDedup.microsVec(col("embedding")), cents, 3)
+              .as("probes"))
+        val stat = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .select(col("vec_id").as("sid"), col("embedding").as("sv"),
+            graft.ops.VectorExpressions.nearestCentroid(
+              SemDedup.microsVec(col("embedding")), cents).as("cell"))
+        val scored = broadcast(arr).crossJoin(stat)
+          .filter(col("sid") =!= col("aid"))
+          .select(
+            (array_position(col("probes"), col("cell")))
+              .cast("long").as("pos"),
+            (round(Similarity.cosine(col("av"), col("sv")), 6) >= 0.35)
+              .cast("long").as("dup"))
+        val ladder = broadcast(s.range(1, 4).select(col("id").as("nprobe")))
+        ladder.crossJoin(scored)
+          .groupBy(col("nprobe"))
+          .agg(sum(col("dup")).as("exact_pairs"),
+            sum(when(col("pos") > 0 && col("pos") <= col("nprobe"),
+              col("dup")).otherwise(0L)).as("caught_pairs"),
+            sum(when(col("pos") > 0 && col("pos") <= col("nprobe"), 1L)
+              .otherwise(0L)).as("candidates"))
+          .withColumn("recall_permille", expr(
+            "CASE WHEN exact_pairs = 0 THEN NULL" +
+              " ELSE caught_pairs * 1000 DIV exact_pairs END"))
+          .orderBy(col("nprobe"))
+      },
+      Some(
+        s"""WITH $lloyd8Ctes,
+           |rk AS MATERIALIZED (
+           | SELECT id, j, row_number() OVER (
+           |  PARTITION BY id ORDER BY d, j) AS rn FROM d3),
+           |cell AS MATERIALIZED (SELECT id, j FROM rk WHERE rn = 1),
+           |emb AS MATERIALIZED (
+           | SELECT vec_id AS id, embedding FROM embeddings
+           | WHERE len(embedding) = 64),
+           |sc AS MATERIALIZED (
+           | SELECT coalesce(pk.rn, 0) AS pos,
+           |  CASE WHEN round(
+           |   ${OpsQueries.cosSql("ea.embedding", "eb.embedding")}, 6)
+           |   >= 0.35 THEN 1 ELSE 0 END AS dup
+           | FROM emb ea JOIN emb eb
+           |  ON ea.id % 10 = 0 AND eb.id % 4 <> 0 AND eb.id <> ea.id
+           | JOIN cell cs ON cs.id = eb.id
+           | LEFT JOIN (SELECT id, j, rn FROM rk WHERE rn <= 3) pk
+           |  ON pk.id = ea.id AND pk.j = cs.j),
+           |np AS (SELECT n AS nprobe FROM generate_series(1, 3) AS t(n))
+           |SELECT nprobe,
+           | CAST(sum(dup) AS BIGINT) AS exact_pairs,
+           | CAST(sum(CASE WHEN pos > 0 AND pos <= nprobe THEN dup
+           |  ELSE 0 END) AS BIGINT) AS caught_pairs,
+           | CAST(sum(CASE WHEN pos > 0 AND pos <= nprobe THEN 1
+           |  ELSE 0 END) AS BIGINT) AS candidates,
+           | CAST(CASE WHEN sum(dup) = 0 THEN NULL
+           |  ELSE sum(CASE WHEN pos > 0 AND pos <= nprobe THEN dup
+           |   ELSE 0 END) * 1000 // sum(dup) END AS BIGINT)
+           |  AS recall_permille
+           |FROM np, sc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
