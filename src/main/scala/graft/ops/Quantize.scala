@@ -74,6 +74,79 @@ object Quantize {
       (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
   }
 
+  /** [[pqCodes]] with an EXPLICIT dim→subspace allocation instead of
+    * contiguous slices — the permutation half of OPQ (Ge et al.,
+    * CVPR 2013): re-group dimensions so each subspace carries
+    * comparable variance before fitting its codebook (the full OPQ
+    * also learns a rotation; the allocation step alone is
+    * permutation-exact in integer arithmetic, so it keeps the
+    * engine's bit-reproducibility contract where a learned rotation
+    * could not). `alloc(s)` lists the 0-based dims of subspace `s`,
+    * in order; per-subspace gathers are literal `element_at` maps —
+    * plan-sized, codegen'd, zero shuffle. Same output contract and
+    * scale posture as [[pqCodes]].
+    */
+  def pqCodesAllocated(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, iters: Int,
+      alloc: Array[Array[Int]]): DataFrame = {
+    val m = alloc.length
+    require(m >= 1 && alloc.map(_.length).sum == dims &&
+      alloc.flatten.sorted.sameElements(0 until dims),
+      s"alloc must partition 0..${dims - 1}")
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    val mv = base.select(col("id"), SemDedup.microsVec(col("v")).as("mv"))
+    val parts = (0 until m).map { s =>
+      val gathered = mv.select(col("id"),
+        array(alloc(s).map(i => element_at(col("mv"), i + 1)): _*)
+          .as("mv"))
+      val cents = SemDedup.lloyd(gathered, k, alloc(s).length, iters)
+      SemDedup.assignDist(gathered, cents).select(col("id"),
+        col("cluster").cast("long").as(s"code$s"), col("d").as(s"err$s"))
+    }
+    val joined = parts.reduce(_.join(_, Seq("id")))
+    joined.select(col("id") +:
+      (0 until m).map(s => col(s"code$s")) :+
+      (0 until m).map(s => col(s"err$s")).reduce(_ + _).as("err_q"): _*)
+  }
+
+  /** Variance-balanced dim→subspace allocation for
+    * [[pqCodesAllocated]]: rank dimensions by exact integer corpus
+    * variance numerator (n·Σm² − (Σm)², accumulated in
+    * DECIMAL(38,0) — the HUGEINT twin; m² alone passes 2^63 once a
+    * dim sees ~2^23 rows) and snake-assign ranks to the m subspaces
+    * (round r gives rank r·m..r·m+m−1 to subspaces 0..m−1 on even
+    * rounds and m−1..0 on odd ones), so every subspace receives one
+    * dim per variance decile. One corpus pass to a dims-sized
+    * aggregate; only `dims` rows reach the driver.
+    */
+  def varianceBalancedAllocation(df: DataFrame, vecCol: String,
+      dims: Int, m: Int): Array[Array[Int]] = {
+    require(m >= 1 && dims % m == 0, s"need m | dims; got $m, $dims")
+    val rows = df.filter(size(col(vecCol)) === dims)
+      .select(posexplode(SemDedup.microsVec(col(vecCol)))
+        .as(Seq("i", "mm")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mm")).cast("decimal(38,0)").as("sm"),
+        sum(col("mm").cast("decimal(38,0)") * col("mm")).as("sq"))
+      .select(col("i"),
+        (col("n") * col("sq") - col("sm") * col("sm")).as("vnum"))
+      .collect()
+    val ranked = rows
+      .map(r => (r.getInt(0), BigDecimal(r.getDecimal(1))))
+      .sortBy { case (i, v) => (-v, i) }
+      .map(_._1)
+    val alloc = Array.fill(m)(Vector.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      val round = r / m
+      val pos = r % m
+      val s = if (round % 2 == 0) pos else m - 1 - pos
+      alloc(s) += dim
+    }
+    alloc.map(_.result().toArray)
+  }
+
   /** Residual product quantization — the second rung of the IVF-PQ
     * ladder: a coarse IVF router (fixed-point Lloyd over the FULL
     * vectors) absorbs the corpus's cluster structure, and the PQ

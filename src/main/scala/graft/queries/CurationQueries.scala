@@ -106,33 +106,72 @@ object CurationQueries {
     * src=exres) oracles — the chain is IDENTICAL, only the vector
     * stream differs.
     */
-  private def pqSubChain(src: String, s: Int): String = {
-    val lo = s * 32
-    val ex = s"ex$s"
+  /** One per-subspace fixed-point Lloyd chain (1 round + final
+    * assign-with-distance) over a pre-built (id, i, m) stream named
+    * `ex`, emitting `a2_$tag(id, j, d)` — shared by the contiguous
+    * slices ([[pqSubChain]]) and the variance-balanced gathers
+    * (q257's oracle).
+    */
+  private def pqChainOver(ex: String, tag: String): String = {
     def d(cent: String, out: String) =
       s"""$out AS (SELECT $ex.id, c.j, sum(($ex.m - c.c) * ($ex.m - c.c)) AS d
          |  FROM $ex JOIN $cent c USING (i) GROUP BY 1, 2)""".stripMargin
-    s"""$ex AS MATERIALIZED (
-       | SELECT id, gi - $lo AS i, m FROM $src
-       | WHERE gi >= $lo AND gi < ${lo + 32}),
-       |c0_$s AS MATERIALIZED (
+    s"""c0_$tag AS MATERIALIZED (
        | SELECT seed.j, $ex.i, $ex.m AS c FROM $ex JOIN seed USING (id)),
-       |${d(s"c0_$s", s"d1_$s")},
-       |a1_$s AS MATERIALIZED (SELECT id, j FROM (
+       |${d(s"c0_$tag", s"d1_$tag")},
+       |a1_$tag AS MATERIALIZED (SELECT id, j FROM (
        |  SELECT id, j, row_number() OVER (
-       |   PARTITION BY id ORDER BY d, j) AS rn FROM d1_$s) WHERE rn = 1),
-       |u1_$s AS MATERIALIZED (
-       | SELECT a1_$s.j, $ex.i, CAST(sum($ex.m) AS BIGINT) // count(*) AS c
-       | FROM a1_$s JOIN $ex USING (id) GROUP BY 1, 2),
-       |c1_$s AS MATERIALIZED (SELECT * FROM u1_$s UNION ALL
-       | SELECT j, i, c FROM c0_$s
-       | WHERE j NOT IN (SELECT j FROM u1_$s)),
-       |${d(s"c1_$s", s"d2_$s")},
-       |a2_$s AS MATERIALIZED (SELECT id, j, d FROM (
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM d1_$tag) WHERE rn = 1),
+       |u1_$tag AS MATERIALIZED (
+       | SELECT a1_$tag.j, $ex.i, CAST(sum($ex.m) AS BIGINT) // count(*) AS c
+       | FROM a1_$tag JOIN $ex USING (id) GROUP BY 1, 2),
+       |c1_$tag AS MATERIALIZED (SELECT * FROM u1_$tag UNION ALL
+       | SELECT j, i, c FROM c0_$tag
+       | WHERE j NOT IN (SELECT j FROM u1_$tag)),
+       |${d(s"c1_$tag", s"d2_$tag")},
+       |a2_$tag AS MATERIALIZED (SELECT id, j, d FROM (
        |  SELECT id, j, d, row_number() OVER (
-       |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$s) WHERE rn = 1)"""
+       |   PARTITION BY id ORDER BY d, j) AS rn FROM d2_$tag) WHERE rn = 1)"""
       .stripMargin
   }
+
+  private def pqSubChain(src: String, s: Int): String = {
+    val lo = s * 32
+    s"""ex$s AS MATERIALIZED (
+       | SELECT id, gi - $lo AS i, m FROM $src
+       | WHERE gi >= $lo AND gi < ${lo + 32}),
+       |${pqChainOver(s"ex$s", s.toString)}"""
+      .stripMargin
+  }
+
+  /** q257's balanced half: exact integer variance numerator per dim
+    * (HUGEINT — [[graft.ops.Quantize.varianceBalancedAllocation]]'s
+    * DECIMAL(38,0) twin), rank DESC with ties to the lower dim,
+    * snake-assignment to 2 subspaces, then the two Lloyd chains over
+    * the gathered streams (local index = rank // 2, matching the
+    * Spark side's gather order).
+    */
+  private def pqBalancedCtes: String =
+    s"""vr AS MATERIALIZED (
+       | SELECT gi, count(*) AS n,
+       |  CAST(sum(m) AS HUGEINT) AS sm,
+       |  CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS sq
+       | FROM exall GROUP BY 1),
+       |sa AS MATERIALIZED (
+       | SELECT gi,
+       |  CASE WHEN (r // 2) % 2 = 0 THEN r % 2 ELSE 1 - (r % 2) END AS s,
+       |  r // 2 AS i
+       | FROM (SELECT gi, row_number() OVER (
+       |   ORDER BY (n * sq - sm * sm) DESC, gi) - 1 AS r FROM vr)),
+       |exb0 AS MATERIALIZED (
+       | SELECT exall.id, sa.i, exall.m FROM exall
+       | JOIN sa ON sa.gi = exall.gi WHERE sa.s = 0),
+       |exb1 AS MATERIALIZED (
+       | SELECT exall.id, sa.i, exall.m FROM exall
+       | JOIN sa ON sa.gi = exall.gi WHERE sa.s = 1),
+       |${pqChainOver("exb0", "b0")},
+       |${pqChainOver("exb1", "b1")}"""
+      .stripMargin
 
   /** (id, gi, m) fixed-point micros stream of the 64-dim embeddings,
     * plus the lowest-4-id seed map — the preamble both PQ oracles
@@ -276,6 +315,51 @@ object CurationQueries {
         .withColumnRenamed("id", "vec_id")
         .orderBy(col("vec_id")),
       Some(pqCodesOracle)),
+
+    // OPQ-lite (the permutation half of OPQ, Ge et al. 2013):
+    // variance-balanced dim→subspace allocation vs q185's contiguous
+    // slices, at equal bits (2 subspaces x 4 codes). Dims are ranked
+    // by exact integer variance and snake-assigned so each subspace
+    // carries comparable energy; the card compares mean integer
+    // reconstruction error per variant. (A learned rotation would
+    // break bit-reproducibility; the allocation step is
+    // permutation-exact.) The oracle replays the variance ranking,
+    // the snake, and all four Lloyd chains. MEASURED on this corpus:
+    // balanced reads +0.6% error — the synthetic embeddings' per-dim
+    // variance spread is only 1.31x max/min, so there is no energy
+    // imbalance to harvest; the operator earns its keep on real
+    // encoder outputs (first-PC-heavy, spreads of 10-100x), and the
+    // card exists to MEASURE that rather than assume it.
+    "q257_pq_balanced_alloc" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val contig = graft.ops.Quantize.pqCodes(emb, "vec_id",
+          "embedding", dims = 64, m = 2, k = 4, iters = 1)
+        val alloc = graft.ops.Quantize.varianceBalancedAllocation(
+          emb, "embedding", dims = 64, m = 2)
+        val bal = graft.ops.Quantize.pqCodesAllocated(emb, "vec_id",
+          "embedding", dims = 64, k = 4, iters = 1, alloc)
+        def card(df: DataFrame, tag: String) = df
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("CAST(sum(CAST(err_q AS DECIMAL(38,0))) DIV count(1)" +
+              " AS BIGINT)").as("mean_err"))
+          .select(lit(tag).as("variant"), col("n_vecs"), col("mean_err"))
+        card(contig, "contiguous").unionByName(card(bal, "balanced"))
+          .orderBy(col("variant"))
+      },
+      Some(
+        s"""WITH $pqOracle,
+           |$pqBalancedCtes
+           |SELECT * FROM (
+           | SELECT 'contiguous' AS variant, count(*) AS n_vecs,
+           |  CAST(sum(a2_0.d + a2_1.d) // count(*) AS BIGINT) AS mean_err
+           | FROM a2_0 JOIN a2_1 USING (id)
+           | UNION ALL
+           | SELECT 'balanced' AS variant, count(*) AS n_vecs,
+           |  CAST(sum(a2_b0.d + a2_b1.d) // count(*) AS BIGINT)
+           |   AS mean_err
+           | FROM a2_b0 JOIN a2_b1 USING (id))
+           |ORDER BY variant""".stripMargin)),
 
     // ADC search over the q185 index: rank by probe-slice-vs-codebook
     // distances (the corpus ships only its codes), recall vs the
