@@ -202,6 +202,47 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodesAllocated: contiguous allocation reproduces pqCodes " +
+    "bit-for-bit; a variance-skewed corpus rewards balancing") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, s"driver testdata at $dir")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // identity: alloc = the contiguous slices -> identical frame
+    val contig = Quantize.pqCodes(emb, "vec_id", "embedding",
+      dims = 64, m = 2, k = 4, iters = 1).orderBy(col("id")).collect()
+    graft.Scratch.release()
+    val viaAlloc = Quantize.pqCodesAllocated(emb, "vec_id", "embedding",
+      dims = 64, k = 4, iters = 1,
+      Array((0 until 32).toArray, (32 until 64).toArray))
+      .orderBy(col("id")).collect()
+    assert(contig.toSeq == viaAlloc.toSeq)
+    graft.Scratch.release()
+    // value: put ALL the energy in dims 0..7 — contiguous slicing
+    // gives subspace 1 nothing to do while subspace 0 drowns;
+    // variance-balanced snake allocation splits the hot dims 4/4
+    // and must cut reconstruction error
+    val rnd = new scala.util.Random(29)
+    val skew = (0L until 200L).map { i =>
+      val v = Array.tabulate(16)(d =>
+        if (d < 8) rnd.nextFloat() * 2 - 1 else rnd.nextFloat() * 0.01f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val alloc = Quantize.varianceBalancedAllocation(
+      skew, "embedding", dims = 16, m = 2)
+    // every subspace got exactly half of the hot dims
+    assert(alloc.forall(_.count(_ < 8) == 4), alloc.map(_.toSeq).toSeq)
+    val eC = Quantize.pqCodes(skew, "vec_id", "embedding",
+      dims = 16, m = 2, k = 4, iters = 2)
+      .agg(sum(col("err_q"))).head().getLong(0)
+    graft.Scratch.release()
+    val eB = Quantize.pqCodesAllocated(skew, "vec_id", "embedding",
+      dims = 16, k = 4, iters = 2, alloc)
+      .agg(sum(col("err_q"))).head().getLong(0)
+    assert(eB < eC, s"balanced $eB >= contiguous $eC")
+    graft.Scratch.release()
+  }
+
   test("residualPqCodes: residual encoding beats global PQ at equal bits") {
     // the headline claim of the IVF-PQ second rung, measured on the
     // driver's own corpus: total squared reconstruction error of the
