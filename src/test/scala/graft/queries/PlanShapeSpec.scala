@@ -617,4 +617,30 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("SortMergeJoin"), p)
     assert(p.contains("InMemoryTableScan"), p) // decoded features cached
   }
+
+  test("q252 cluster quality: corpus touched by fused projections " +
+    "only; every stitch join broadcasts; no sort-merge anywhere") {
+    val p = plan("q252_cluster_quality")
+    // winner + runner-up distances come from the fused kernels, not
+    // an exploded distance frame
+    assert(p.contains("nearest_centroid"), p)
+    assert(p.contains("second_centroid_dist"), p)
+    // k-row card stitches (DB pairs, peers, final left join) must all
+    // broadcast — a SortMergeJoin here means a k-row frame shuffled
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q256 blocking-recall audit: sample side broadcasts, probe " +
+    "membership is the fused top_centroids kernel, ladder is a " +
+    "3-row broadcast") {
+    val p = plan("q256_blocking_recall_audit")
+    assert(p.contains("top_centroids"), p)
+    // the only cross joins are the broadcast sample x reference
+    // differential and the 3-row nprobe ladder
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the hinted cross
+  }
 }
