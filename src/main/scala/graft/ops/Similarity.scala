@@ -751,13 +751,23 @@ object Similarity {
     val base = df.filter(size(col(vecCol)) === dims)
       .select(batchCol.cast("long").as("batch"),
         graft.ops.VectorExpressions.microsVec(col(vecCol)).as("mv"))
-    // (batch x dims) centroid frame read three times below (counts,
-    // lag side, shift join) — cache it so the corpus collapses once
+    // (batch x dims) centroid frame read three times downstream —
+    // cache it so the corpus collapses once
     val cent = graft.Scratch.cache(base
       .select(col("batch"), posexplode(col("mv")).as(Seq("i", "m")))
       .groupBy(col("batch"), col("i"))
       .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
       .select(col("batch"), col("i"), expr("s DIV cnt").as("c"), col("cnt")))
+    centroidDriftFrom(cent)
+  }
+
+  /** The drift card from a pre-built `(batch, i, c, cnt)` centroid
+    * frame — shared by [[batchCentroidDrift]] and the streaming
+    * embodiment, whose micro-batches append additive `(batch, i,
+    * sum, count)` partials that re-sum to the same centroids (sums
+    * are additive; the truncating mean is taken ONCE, at read time).
+    */
+  def centroidDriftFrom(cent: DataFrame): DataFrame = {
     val nv = cent.filter(col("i") === 0)
       .select(col("batch"), col("cnt").as("n_vecs"))
     val prev = cent.select((col("batch") + 1).as("batch"), col("i"),

@@ -26,6 +26,36 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
+  /** The q254 embedding-drift card, shared verbatim by its streaming
+    * embodiment q258 — the two queries MUST agree bit-for-bit (the
+    * micro-batch partials are additive, the truncating mean is taken
+    * once), so they share one oracle.
+    */
+  private val driftOracleSql: String =
+    """WITH ex AS MATERIALIZED (
+      | SELECT vec_id % 8 AS batch,
+      |  unnest(range(len(embedding))) AS i,
+      |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+      |   AS BIGINT) AS m
+      | FROM embeddings WHERE len(embedding) = 64),
+      |cent AS MATERIALIZED (
+      | SELECT batch, i, CAST(sum(m) AS BIGINT) // count(*) AS c,
+      |  count(*) AS cnt
+      | FROM ex GROUP BY 1, 2),
+      |sh AS (
+      | SELECT a.batch,
+      |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq,
+      |  CAST(sum(a.c * a.c) AS BIGINT) AS centroid_norm_sq
+      | FROM cent a LEFT JOIN cent b
+      |  ON b.batch = a.batch - 1 AND b.i = a.i
+      | GROUP BY 1)
+      |SELECT CAST(nv.batch AS BIGINT) AS batch,
+      | CAST(nv.cnt AS BIGINT) AS n_vecs,
+      | sh.shift_sq, sh.centroid_norm_sq
+      |FROM (SELECT batch, cnt FROM cent WHERE i = 0) nv
+      |JOIN sh ON sh.batch = nv.batch
+      |ORDER BY 1""".stripMargin
+
   /** The integer-Lloyd IVF oracle chain (q210's contract: lowest-id
     * seeding, k=4, one round, fixed-point micros) ending at
     * `aF(id, j)` cell assignments, `pr(j, cell_rank)` probe ranks
@@ -1860,30 +1890,54 @@ object SelectionQueries {
     "q254_embedding_drift" -> Q(
       (s, dir) => Similarity.batchCentroidDrift(t(s, dir, "embeddings"),
         "vec_id", "embedding", pmod(col("vec_id"), lit(8)), dims = 64),
-      Some(
-        """WITH ex AS MATERIALIZED (
-          | SELECT vec_id % 8 AS batch,
-          |  unnest(range(len(embedding))) AS i,
-          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-          |   AS BIGINT) AS m
-          | FROM embeddings WHERE len(embedding) = 64),
-          |cent AS MATERIALIZED (
-          | SELECT batch, i, CAST(sum(m) AS BIGINT) // count(*) AS c,
-          |  count(*) AS cnt
-          | FROM ex GROUP BY 1, 2),
-          |sh AS (
-          | SELECT a.batch,
-          |  CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq,
-          |  CAST(sum(a.c * a.c) AS BIGINT) AS centroid_norm_sq
-          | FROM cent a LEFT JOIN cent b
-          |  ON b.batch = a.batch - 1 AND b.i = a.i
-          | GROUP BY 1)
-          |SELECT CAST(nv.batch AS BIGINT) AS batch,
-          | CAST(nv.cnt AS BIGINT) AS n_vecs,
-          | sh.shift_sq, sh.centroid_norm_sq
-          |FROM (SELECT batch, cnt FROM cent WHERE i = 0) nv
-          |JOIN sh ON sh.batch = nv.batch
-          |ORDER BY 1""".stripMargin)),
+      Some(driftOracleSql)),
+
+    // STREAMING embodiment of the q254 drift card: each micro-batch
+    // appends only its ADDITIVE (batch, dim, sum, count) partials —
+    // 8 x 64 rows per trigger, independent of arrival volume — and
+    // the card re-sums them at read time before the single
+    // truncating mean (sums are associative across micro-batches;
+    // the mean is taken ONCE, so the result is bit-identical to the
+    // batch query no matter how arrivals split across triggers).
+    // Same oracle as q254 — THAT is the check: streaming ingestion
+    // changes nothing about the answer. At 100 TB the state is the
+    // partials table (waves x dims x triggers rows), never vectors.
+    "q258_streaming_embedding_drift" -> Q(
+      (s, dir) => {
+        val ev = SlowLogQueries.embSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "emb", ev)
+        val out = "/tmp/graft_stream_drift_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.filter(size(col("embedding")) === 64)
+                .select(pmod(col("vec_id"), lit(8)).cast("long").as("batch"),
+                  posexplode(SemDedup.microsVec(col("embedding")))
+                    .as(Seq("i", "m")))
+                .groupBy(col("batch"), col("i"))
+                .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        val cent = graft.Scratch.cache(s.read.parquet(out)
+          .groupBy(col("batch"), col("i"))
+          .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+          .select(col("batch"), col("i"), expr("s DIV cnt").as("c"),
+            col("cnt")))
+        Similarity.centroidDriftFrom(cent)
+      },
+      Some(driftOracleSql)),
 
     // STREAMING semantic dedup against a FROZEN reference corpus —
     // SemDeDup's cluster blocking, not LSH (RECALL.md round 10: at

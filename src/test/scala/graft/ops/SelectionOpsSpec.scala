@@ -80,4 +80,42 @@ class SelectionOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("mrr_x1e6") == 0L)
     assert(row.getAs[Long]("ap_x1e6") == 0L)
   }
+
+  test("centroidDriftFrom: micro-batch (sum, count) partials re-sum to " +
+    "the exact batch drift card, whatever the trigger split") {
+    import spark.implicits._
+    // 12 vectors, 4 dims, 3 waves (id % 3). Values chosen so the
+    // truncating mean actually truncates (odd sums / even counts).
+    val emb = (0L to 11L).map { i =>
+      (i, Seq(i * 0.013f, 1.7f - i * 0.031f, (i % 5) * 0.4f, 0.001f * i))
+    }.toDF("id", "v")
+    val whole = Similarity.batchCentroidDrift(
+      emb, "id", "v", pmod(col("id"), lit(3)), dims = 4)
+    // two "triggers" split by arrival id — each cuts ACROSS waves,
+    // exactly like parquet micro-batches would
+    def partials(half: org.apache.spark.sql.DataFrame) =
+      half.select(pmod(col("id"), lit(3)).cast("long").as("batch"),
+          posexplode(SemDedup.microsVec(col("v"))).as(Seq("i", "m")))
+        .groupBy(col("batch"), col("i"))
+        .agg(sum(col("m")).as("s"), count(lit(1)).as("cnt"))
+    val resummed = partials(emb.filter(col("id") < 7))
+      .unionAll(partials(emb.filter(col("id") >= 7)))
+      .groupBy(col("batch"), col("i"))
+      .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+      .select(col("batch"), col("i"), expr("s DIV cnt").as("c"), col("cnt"))
+    val a = whole.collect().map(_.toSeq).toSeq
+    val b = Similarity.centroidDriftFrom(resummed).collect()
+      .map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.size == 3) // one card row per wave
+    // the mean must be taken once: a per-half mean-of-means would
+    // diverge on wave 0 (ids 0,3,6 | 9 split 3-vs-1) — pin that the
+    // shared path did NOT do that, via a hand-check of dim 1 wave 0:
+    // micros(1.7 - 0.031*i) for i in {0,3,6,9} sum / 4, truncating
+    val m = (x: Float) => math.floor(x.toDouble * 1e6).toLong
+    val exp = Seq(0L, 3L, 6L, 9L).map(i => m(1.7f - i * 0.031f)).sum / 4
+    val c10 = resummed.filter(col("batch") === 0 && col("i") === 1)
+      .collect().head.getAs[Long]("c")
+    assert(c10 == exp)
+  }
 }
