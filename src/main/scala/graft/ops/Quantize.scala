@@ -467,6 +467,66 @@ object Quantize {
         (col("max_err") <= expr("((hi - lo) DIV 255) + 1")).cast("long"))
   }
 
+  /** Scalar-quantization retrieval cost, measured: asymmetric-distance
+    * recall@k of int8 storage — queries stay full precision (micros),
+    * the corpus is replaced by its [[quantizeAudit]]-formula round
+    * trip (code = ((m-lo)*255) DIV wd, dv = lo + (code*wd) DIV 255) —
+    * versus the exact integer-L2 ranking. This is the 4x-compression
+    * counterpart of q186's PQ ADC recall: SQ8 keeps per-dimension
+    * resolution (256 steps each) where PQ shares one codebook per
+    * subspace, so its recall floor is usually far higher; this query
+    * prices that trade in the same overlap@k units.
+    *
+    * All integer: per-dim micros diffs <= ~4e6, squared 1.6e13, x64
+    * dims ~1e15 << 2^63. Ranks break ties by candidate id — both
+    * rankings and the DuckDB oracle replay bit-for-bit.
+    *
+    * 100 TB posture: ONE corpus pass builds the dimension-keyed
+    * min/max table (map-side-combined; dims rows reach the driver —
+    * same bounded-collect class as Lloyd codebooks), the range
+    * tables ride inside fused expressions (reference objects, never
+    * shuffled), and scoring is probes x corpus with two fused long
+    * kernels per pair — no explode, no self-join, no HOF boxing.
+    */
+  def sq8AdcRecall(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nProbes: Int, k: Int): DataFrame = {
+    require(nProbes >= 1 && k >= 1, s"need positive nProbes/k")
+    val base = graft.Scratch.cache(df.filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("cid"),
+        VectorExpressions.microsVec(col(vecCol)).as("mv")))
+    val stats = base.select(posexplode(col("mv")).as(Seq("i", "m")))
+      .groupBy(col("i"))
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .collect() // dims rows — bounded, like a codebook
+    val lo = new Array[Long](dims)
+    val wd = new Array[Long](dims)
+    stats.foreach { r =>
+      val i = r.getAs[Int]("i")
+      lo(i) = r.getAs[Long]("lo")
+      wd(i) = r.getAs[Long]("hi") - lo(i)
+    }
+    val probes = base.filter(col("cid") < nProbes)
+      .select(col("cid").as("pid"), col("mv").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+    val wE = w.partitionBy(col("pid")).orderBy(col("d_exact"), col("cid"))
+    val wQ = w.partitionBy(col("pid")).orderBy(col("d_sq8"), col("cid"))
+    base
+      .select(col("cid"), col("mv"),
+        VectorExpressions.sq8Dequant(col("mv"), lo, wd).as("dv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cid") =!= col("pid"))
+      .select(col("pid"), col("cid"),
+        VectorExpressions.sqDist(col("mv"), col("qv")).as("d_exact"),
+        VectorExpressions.sqDist(col("dv"), col("qv")).as("d_sq8"))
+      .withColumn("re", row_number().over(wE))
+      .withColumn("rq", row_number().over(wQ))
+      .groupBy(col("pid"))
+      .agg(sum(when(col("re") <= k && col("rq") <= k, 1L).otherwise(0L))
+        .cast("long").as("overlap_at_k"))
+      .select(col("pid"), col("overlap_at_k"),
+        expr(s"(overlap_at_k * 1000) DIV $k").as("overlap_permille"))
+  }
+
   /** Per-VECTOR quality audit, grouped by dimensionality — the
     * release check that catches ragged arrays, zero/degenerate
     * vectors, and norm drift before an index build. Norms are exact

@@ -267,6 +267,50 @@ object VectorKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** Integer squared L2 between two long arrays, folded in index
+    * order over min(len) — the distance primitive of the fixed-point
+    * ANN family as ONE codegen'd call (the `aggregate(zip_with(...))`
+    * HOF form boxes a Long per element and evaluates interpreted).
+    * Bound: 64 dims of |m| <= 2^21 micros give <= 2^48 — room for
+    * ~32k dims before 2^63.
+    */
+  def sqDistL(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i) - b.getLong(i)
+      d += x * x
+      i += 1
+    }
+    d
+  }
+
+  /** Fused scalar-quantization round trip: per dimension i,
+    *   code  = ((m - lo_i) * 255) DIV wd_i       (0 when wd_i = 0)
+    *   dv_i  = lo_i + (code * wd_i) DIV 255
+    * — [[Quantize.quantizeAudit]]'s exact formulas, applied as one
+    * allocation-light kernel with the 2 x dims range tables shipped
+    * as reference objects. PRECONDITION: lo/wd computed over the
+    * same frame (m >= lo_i keeps every operand nonnegative, where
+    * truncating Java division == DuckDB floor `//`); out-of-range
+    * inputs would break that equivalence, so callers must not reuse
+    * stale tables on new arrivals.
+    */
+  def sq8Dequant(v: ArrayData, lo: Array[Long], wd: Array[Long]): ArrayData = {
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val l = lo(i)
+      val w = wd(i)
+      out(i) = if (w > 0) l + ((v.getLong(i) - l) * 255 / w) * w / 255 else l
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Sign-bit LSH bucket: bit p set when dot(v, planes(p)) >= 0. */
   def lshBucket(v: ArrayData, cv: Int, planes: Array[Array[Int]]): Long = {
     var bucket = 0L
@@ -491,6 +535,50 @@ case class MicrosVecExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "micros_vec"
 }
 
+/** sq_dist(a, b): long — integer squared L2 over two array<long>
+  * children, see [[VectorKernels.sqDistL]].
+  */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // array<long> children only (micros_vec upstream) — checked lazily
+  // via getLong, never at construction (children may be unresolved)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sqDistL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.ops.VectorKernels.sqDistL($l, $r);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sq_dist"
+}
+
+/** sq8_dequant(mv): array<long> — fused int8 scalar-quantization
+  * round trip; the per-dimension range tables ship as reference
+  * objects (2 x dims longs, never shuffled). See
+  * [[VectorKernels.sq8Dequant]] for the formulas and precondition.
+  */
+case class Sq8DequantExpr(child: Expression, lo: Array[Long],
+    wd: Array[Long]) extends UnaryExpression {
+  require(lo.length == wd.length && wd.forall(_ >= 0),
+    "sq8_dequant: lo/wd must be same-length with nonnegative widths")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.sq8Dequant(input.asInstanceOf[ArrayData], lo, wd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sq8Lo", lo, "long[]")
+    val wdRef = ctx.addReferenceObj("sq8Wd", wd, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.VectorKernels.sq8Dequant($c, $loRef, $wdRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8DequantExpr =
+    copy(child = c)
+  override def prettyName: String = "sq8_dequant"
+}
+
 object VectorExpressions {
   def cosine(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(
@@ -511,6 +599,11 @@ object VectorExpressions {
       ColumnBridge.expression(vec), cents, n))
   def microsVec(vec: Column): Column =
     ColumnBridge.column(MicrosVecExpr(ColumnBridge.expression(vec)))
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDistExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sq8Dequant(vec: Column, lo: Array[Long], wd: Array[Long]): Column =
+    ColumnBridge.column(Sq8DequantExpr(ColumnBridge.expression(vec), lo, wd))
   def nearestCentroidCos(vec: Column, cents: Array[Array[Double]],
       ids: Array[Int]): Column =
     ColumnBridge.column(NearestCentroidCosExpr(

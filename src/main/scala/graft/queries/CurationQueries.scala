@@ -373,6 +373,57 @@ object CurationQueries {
         .orderBy(col("vec_id")),
       Some(pqAdcOracle)),
 
+    // Scalar (int8) quantization ADC recall — the other arm of the
+    // compression-vs-retrieval trade: q100 certifies SQ8's per-dim
+    // reconstruction error, this prices what that error costs in
+    // recall@10 (asymmetric: full-precision query vs dequantized
+    // corpus), in the same overlap units as q186's PQ number. SQ8
+    // keeps 256 steps per dimension where 2x4 PQ shares 4 centroids
+    // per 32-dim subspace, so this row should (and does) sit far
+    // above q186's — the measured justification for int8 as the
+    // default storage tier and PQ as the deep-compression tier.
+    "q259_sq8_adc_recall" -> Q(
+      (s, dir) => graft.ops.Quantize.sq8AdcRecall(t(s, dir, "embeddings"),
+        "vec_id", "embedding", dims = 64, nProbes = 10, k = 10)
+        .withColumnRenamed("pid", "vec_id")
+        .orderBy(col("vec_id")),
+      Some(
+        """WITH ex AS MATERIALIZED (
+          | SELECT vec_id AS id, unnest(range(len(embedding))) AS i,
+          |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+          |   AS BIGINT) AS m
+          | FROM embeddings WHERE len(embedding) = 64),
+          |st AS MATERIALIZED (
+          | SELECT i, min(m) AS lo, max(m) - min(m) AS wd
+          | FROM ex GROUP BY 1),
+          |dq AS MATERIALIZED (
+          | SELECT ex.id, ex.i, ex.m,
+          |  CASE WHEN st.wd > 0
+          |   THEN st.lo + ((ex.m - st.lo) * 255 // st.wd) * st.wd // 255
+          |   ELSE st.lo END AS dv
+          | FROM ex JOIN st USING (i)),
+          |pr AS MATERIALIZED (
+          | SELECT id AS pid, i, m AS qm FROM ex WHERE id < 10),
+          |sc AS MATERIALIZED (
+          | SELECT pr.pid, dq.id AS cid,
+          |  sum((pr.qm - dq.m) * (pr.qm - dq.m)) AS d_exact,
+          |  sum((pr.qm - dq.dv) * (pr.qm - dq.dv)) AS d_sq8
+          | FROM dq JOIN pr USING (i) WHERE dq.id <> pr.pid
+          | GROUP BY 1, 2),
+          |r AS (
+          | SELECT pid, cid,
+          |  row_number() OVER (PARTITION BY pid
+          |   ORDER BY d_exact, cid) AS re,
+          |  row_number() OVER (PARTITION BY pid
+          |   ORDER BY d_sq8, cid) AS rq
+          | FROM sc)
+          |SELECT pid AS vec_id,
+          | CAST(sum(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          |  AS BIGINT) AS overlap_at_k,
+          | CAST(sum(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          |  * 1000 // 10 AS BIGINT) AS overlap_permille
+          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Residual PQ (q185's ladder, second rung): IVF cell + codes +
     // exact integer reconstruction error of the RESIDUAL encoding.
     // The oracle unrolls the router chain AND both subspace chains.

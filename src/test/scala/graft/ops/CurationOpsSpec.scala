@@ -338,4 +338,51 @@ class CurationOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSet == Set(("de", "en", 1L), ("de", "fr", 1L), ("en", "fr", 1L)))
   }
+
+  test("sq8Dequant/sqDist kernels: hand formulas + HOF differential") {
+    import spark.implicits._
+    // lo/wd tables: dim0 [0, 1000] wd=1000, dim1 degenerate wd=0 at 77
+    val lo = Array(0L, 77L)
+    val wd = Array(1000L, 0L)
+    // m=333 -> code = 333*255 DIV 1000 = 84 -> dv = (84*1000) DIV 255
+    // = 329; degenerate dim always reconstructs to lo
+    val df = Seq((Seq(333L, 77L), Seq(329L, 77L)))
+      .toDF("mv", "expected")
+    val got = df.select(
+      VectorExpressions.sq8Dequant(col("mv"), lo, wd).as("dv"),
+      col("expected")).collect().head
+    assert(got.getSeq[Long](0) == got.getSeq[Long](1))
+    // sqDist == the aggregate(zip_with(...)) HOF on arbitrary longs,
+    // negatives included
+    val pairs = Seq(
+      (Seq(1L, -5L, 7L), Seq(4L, 0L, -7L)),
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(2000000L, -2000000L), Seq(-2000000L, 2000000L)))
+      .toDF("a", "b")
+    val diff = pairs.select(
+      VectorExpressions.sqDist(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("h")).collect()
+    assert(diff.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(diff.last.getLong(0) == 2L * 4000000L * 4000000L)
+  }
+
+  test("sq8AdcRecall: zero quantization error (values on the int8 " +
+    "grid) ranks exactly like full precision") {
+    import spark.implicits._
+    // 2-dim corpus on an exact int8 grid: values k/64 (dyadic, so
+    // micros = 15625k exactly), k in {0..51} -> lo = 0, wd =
+    // 15625*51 = 255*3125, and every m = 3125*(5k) sits on a code
+    // boundary -> dequantization is the identity -> every rank pair
+    // agrees, overlap = k
+    val vals = Seq(0, 5, 13, 26, 38, 51).map(k => k / 64f)
+    val emb = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, Seq(v, vals((i + 1) % vals.size)))
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.sq8AdcRecall(emb, "vec_id", "embedding",
+      dims = 2, nProbes = 2, k = 3).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("overlap_at_k") == 3L))
+    assert(out.forall(_.getAs[Long]("overlap_permille") == 1000L))
+  }
 }
