@@ -671,6 +671,86 @@ object TextOps {
       .withColumn("bits_x100", expr("bits_sum * 100 DIV n_bigrams"))
   }
 
+  /** BM25 top-k lexical retrieval, in an exact-integer rank-preserving
+    * form — the lexical arm of a hybrid retrieval stack (the embedding
+    * arm is [[Similarity]]'s ANN family; q208 fuses rankings via RRF).
+    *
+    * Queries are data-derived (deterministic): for each probe doc
+    * (id < nQueries), the distinct first `qTerms` tokens. Scoring is
+    * Okapi BM25 at the standard k1 = 1.2, b = 0.75, made integer by
+    * clearing denominators (k1 = 6/5, b = 3/4):
+    *
+    *   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    *     == 22*tf*avgdl / (10*tf*avgdl + 3*avgdl + 9*dl)
+    *
+    * so term = idf * 22000 * tf * avgdl DIV (10*tf*avgdl + 3*avgdl
+    * + 9*dl) — ONE truncating division per (query term, doc), summed.
+    * idf is the cross-engine integer log2: bitlen(N DIV df) - 1 =
+    * floor(log2(N/df)); terms in more than half the corpus get idf 0
+    * and are pruned BEFORE candidate generation (exactly the stopword
+    * cut classic BM25 approximates — their score contribution is
+    * identically 0, and the pruning is part of the contract: a doc
+    * matching ONLY such terms is not a candidate). avgdl = total
+    * terms DIV total docs (all docs, term-less included).
+    *
+    * The indexing unit is the word `gram`-gram (gram = 1 is classic
+    * unigram BM25). On small-vocabulary corpora every unigram is a
+    * stopword by the idf-0 rule (the synthetic `documents` table:
+    * ~30 words, each in ~80% of docs) and unigram BM25 rightly
+    * retrieves nothing — bigrams restore a discriminative term space
+    * there, exactly as phrase indexing does in production engines.
+    *
+    * Overflow: idf <= 62, so idf * 22000 * tf * avgdl stays in long
+    * for tf * avgdl up to ~6.7e12 — petabyte-corpus safe for any
+    * realistic document length.
+    *
+    * 100 TB posture: the corpus tokenizes ONCE into a (doc, term) tf
+    * aggregate (map-side combined); query terms, their df counts, and
+    * the global scalars are catalog-sized broadcasts, so candidate
+    * generation is a broadcast semi-join that touches only posting
+    * lists of the (pruned) query terms; the only corpus-keyed shuffle
+    * joins the candidate set to per-doc lengths (AQE broadcasts the
+    * candidate side at runtime when small). The final top-k window
+    * partitions by query over candidates only.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int, qTerms: Int, topK: Int, gram: Int = 1): DataFrame = {
+    require(nQueries >= 1 && qTerms >= 1 && topK >= 1 && gram >= 1,
+      s"need positive nQueries/qTerms/topK/gram, got " +
+        s"($nQueries, $qTerms, $topK, $gram)")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(ngrams(col(textCol), gram)).as("t"))
+    val tf = graft.Scratch.cache(
+      toks.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val g = broadcast(docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("toktot")))
+      .select(col("n"), expr("toktot DIV n").as("avgdl")))
+    val qt = broadcast(docs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long").as("qid"),
+        explode(array_distinct(slice(ngrams(col(textCol), gram), 1, qTerms)))
+          .as("t")))
+    val dfq = broadcast(tf.join(qt.select(col("t")).distinct(), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df")))
+    val cand = tf.join(qt, Seq("t"))
+      .join(dfq, Seq("t"))
+      .crossJoin(g)
+      .withColumn("idf",
+        (length(conv(expr("n DIV df"), 10, 2)) - 1).cast("long"))
+      .filter(col("idf") > 0)
+      .join(dl, Seq("id"))
+      .withColumn("term", expr(
+        "idf * 22000 * tf * avgdl DIV (10*tf*avgdl + 3*avgdl + 9*dl)"))
+    val sc = cand.groupBy(col("qid"), col("id"))
+      .agg(sum(col("term")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid").as("query_id"), col("rnk").cast("long").as("rnk"),
+        col("id").as("doc_id"), col("score"))
+  }
+
   /** Mixture reweighting plan (the DoReMi-style "hit these domain
     * shares" step, downsample-only): given target corpus shares in
     * permille, emit per source the integer keep-rate that realizes

@@ -2109,6 +2109,66 @@ object SelectionQueries {
            |  AS recall_permille
            |FROM np, sc GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // BM25 top-10 lexical retrieval (integer-exact Okapi at k1=1.2,
+    // b=0.75 with denominators cleared; idf = floor(log2(N/df)) via
+    // the cross-engine bitlen trick, idf-0 terms pruned before
+    // candidate generation). Indexed on word BIGRAMS: the synthetic
+    // corpus's ~30-word vocabulary makes every unigram a stopword
+    // (df ~80% of N), so unigram BM25 rightly retrieves nothing —
+    // bigrams keep idf informative. Queries are the distinct first 4
+    // bigrams of docs 0-4 — the lexical arm whose rankings q208's
+    // RRF fusion consumes.
+    "q260_bm25_topk" -> Q(
+      (s, dir) => TextOps.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", nQueries = 5, qTerms = 4, topK = 10, gram = 2)
+        .orderBy(col("query_id"), col("rnk")),
+      Some(
+        s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT id AS qid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 5),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+           |sc AS MATERIALIZED (
+           | SELECT qid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1, 2),
+           |r AS (
+           | SELECT qid, id, score, row_number() OVER (
+           |  PARTITION BY qid ORDER BY score DESC, id) AS rnk
+           | FROM sc)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           | CAST(rnk AS BIGINT) AS rnk,
+           | CAST(id AS BIGINT) AS doc_id, score
+           |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should

@@ -339,6 +339,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSet == Set(("de", "en", 1L), ("de", "fr", 1L), ("en", "fr", 1L)))
   }
 
+  test("bm25TopK: hand-computed integer Okapi scores, idf-0 pruning, " +
+    "rank order") {
+    import spark.implicits._
+    // N=4, tokens=12 -> avgdl = 3; df(apple)=2 -> idf 1,
+    // df(banana)=1 -> idf 2, df(cherry)=2 -> idf 1 but cherry is not
+    // a query term; query doc 0 = {apple, banana}
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple cherry"),
+      (2L, "cherry durian"),
+      (3L, "durian elderberry fig grape")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text",
+      nQueries = 1, qTerms = 4, topK = 10)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc0: apple 1*22000*1*3 DIV 57 = 1157, banana 2*22000*1*3 DIV
+    // 57 = 2315 -> 3472; doc1: apple 1*22000*3*3 DIV 135 = 1466;
+    // docs 2/3 match no positive-idf query term -> absent
+    assert(out.toSeq == Seq((0L, 1L, 0L, 3472L), (0L, 2L, 1L, 1466L)))
+  }
+
   test("sq8Dequant/sqDist kernels: hand formulas + HOF differential") {
     import spark.implicits._
     // lo/wd tables: dim0 [0, 1000] wd=1000, dim1 degenerate wd=0 at 77
