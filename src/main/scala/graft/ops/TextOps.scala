@@ -715,9 +715,26 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       nQueries: Int, qTerms: Int, topK: Int, gram: Int = 1): DataFrame = {
-    require(nQueries >= 1 && qTerms >= 1 && topK >= 1 && gram >= 1,
-      s"need positive nQueries/qTerms/topK/gram, got " +
-        s"($nQueries, $qTerms, $topK, $gram)")
+    require(topK >= 1, s"need positive topK, got $topK")
+    val sc = bm25Scores(docs, idCol, textCol, nQueries, qTerms, gram)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    sc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid").as("query_id"), col("rnk").cast("long").as("rnk"),
+        col("id").as("doc_id"), col("score"))
+  }
+
+  /** The [[bm25TopK]] candidate scores before ranking — one row per
+    * (query, candidate doc matching >= 1 positive-idf query term),
+    * columns (qid, id, score). Exposed so fusion queries (RRF with a
+    * dense ranking) can rank the full candidate list their own way.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int, qTerms: Int, gram: Int): DataFrame = {
+    require(nQueries >= 1 && qTerms >= 1 && gram >= 1,
+      s"need positive nQueries/qTerms/gram, got " +
+        s"($nQueries, $qTerms, $gram)")
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(ngrams(col(textCol), gram)).as("t"))
     val tf = graft.Scratch.cache(
@@ -741,14 +758,8 @@ object TextOps {
       .join(dl, Seq("id"))
       .withColumn("term", expr(
         "idf * 22000 * tf * avgdl DIV (10*tf*avgdl + 3*avgdl + 9*dl)"))
-    val sc = cand.groupBy(col("qid"), col("id"))
+    cand.groupBy(col("qid"), col("id"))
       .agg(sum(col("term")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    sc.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("qid").as("query_id"), col("rnk").cast("long").as("rnk"),
-        col("id").as("doc_id"), col("score"))
   }
 
   /** Mixture reweighting plan (the DoReMi-style "hit these domain

@@ -2169,6 +2169,124 @@ object SelectionQueries {
            | CAST(id AS BIGINT) AS doc_id, score
            |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
 
+    // HYBRID retrieval: RRF fusion (k=60) of the q260 BM25-bigram
+    // candidate ranking with the exact-cosine dense ranking, per
+    // anchor 0-4 — the canonical modern search stack (lexical +
+    // vector + reciprocal-rank fusion) as one oracle-checked query.
+    // The dense arm ranks the whole corpus; the lexical arm ranks
+    // only BM25 candidates, contributing 0 fusion mass where absent
+    // (LEFT join, the standard partial-list RRF treatment). Anchors
+    // broadcast in both arms; each ranking windows over its own
+    // candidate frame.
+    "q261_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val anchors = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("av")))
+        val cosR = emb.select(col("vec_id").as("id"),
+            col("embedding").as("cv"))
+          .crossJoin(anchors)
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            round(Similarity.cosine(col("cv"), col("av")), 6).as("cos"))
+          .withColumn("rnk_cos", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("id"))).cast("long"))
+          .select(col("qid"), col("id"), col("rnk_cos"))
+        val bmR = TextOps.bm25Scores(docs, "doc_id", "text",
+            nQueries = 5, qTerms = 4, gram = 2)
+          .filter(col("id") =!= col("qid"))
+          .withColumn("rnk_bm25", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+          .select(col("qid"), col("id"), col("rnk_bm25"))
+        cosR.join(bmR, Seq("qid", "id"), "left")
+          .withColumn("rrf_x1e6", expr(
+            "1000000 DIV (60 + rnk_cos) + CASE WHEN rnk_bm25 IS NULL" +
+              " THEN 0 ELSE 1000000 DIV (60 + rnk_bm25) END"))
+          .withColumn("rnk", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("qid").as("query_id"), col("rnk"),
+            col("id").as("doc_id"), col("rnk_cos"), col("rnk_bm25"),
+            col("rrf_x1e6"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH a AS MATERIALIZED (
+           | SELECT vec_id AS qid, embedding AS av
+           | FROM embeddings WHERE vec_id < 5),
+           |cosr AS MATERIALIZED (
+           | SELECT qid, cand_id AS id, row_number() OVER
+           |   (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rnk_cos
+           | FROM (
+           |  SELECT a.qid, e.vec_id AS cand_id,
+           |   round(${OpsQueries.cosSql("e.embedding", "a.av")}, 6) AS cos
+           |  FROM embeddings e, a WHERE e.vec_id <> a.qid)),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT id AS qid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 5),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0
+           |  AND tf.id <> qt.qid),
+           |bsc AS MATERIALIZED (
+           | SELECT qid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1, 2),
+           |bmr AS MATERIALIZED (
+           | SELECT qid, id, row_number() OVER
+           |   (PARTITION BY qid ORDER BY score DESC, id) AS rnk_bm25
+           | FROM bsc),
+           |f AS (
+           | SELECT cosr.qid, cosr.id, cosr.rnk_cos, bmr.rnk_bm25,
+           |  1000000 // (60 + cosr.rnk_cos)
+           |   + CASE WHEN bmr.rnk_bm25 IS NULL THEN 0
+           |      ELSE 1000000 // (60 + bmr.rnk_bm25) END AS rrf_x1e6
+           | FROM cosr LEFT JOIN bmr
+           |  ON bmr.qid = cosr.qid AND bmr.id = cosr.id),
+           |r AS (
+           | SELECT qid, id, rnk_cos, rnk_bm25, rrf_x1e6,
+           |  row_number() OVER (PARTITION BY qid
+           |   ORDER BY rrf_x1e6 DESC, id) AS rnk
+           | FROM f)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           | CAST(rnk AS BIGINT) AS rnk, CAST(id AS BIGINT) AS doc_id,
+           | CAST(rnk_cos AS BIGINT) AS rnk_cos,
+           | CAST(rnk_bm25 AS BIGINT) AS rnk_bm25,
+           | CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
+           |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
