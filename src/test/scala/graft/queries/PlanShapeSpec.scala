@@ -643,4 +643,32 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p) // the hinted cross
   }
+
+  test("q259 sq8 recall: fused quantize/distance kernels, probes " +
+    "broadcast, micros base cached across stats and scoring") {
+    val p = plan("q259_sq8_adc_recall")
+    assert(p.contains("sq8_dequant") && p.contains("sq_dist"), p)
+    assert(!p.contains("zip_with"), p) // no interpreted HOF math
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 10-probe cross
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q260 bm25: postings cached once and met by broadcast query " +
+    "terms; top-k limits inside the window (WindowGroupLimit)") {
+    val p = plan("q260_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // dl join is size-adaptive here
+    assert(p.contains("BroadcastHashJoin"), p) // qt/dfq catalog sides
+    assert(p.contains("InMemoryTableScan"), p) // tf postings, 4 consumers
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q261 hybrid rrf: fused cosine arm, no cartesian, fusion rank " +
+    "limits inside the window") {
+    val p = plan("q261_hybrid_rrf")
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
