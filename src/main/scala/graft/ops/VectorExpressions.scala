@@ -311,6 +311,42 @@ object VectorKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** The code half of [[sq8Dequant]]: per dimension,
+    * code = ((m - lo_i) * 255) DIV wd_i, 0 when wd_i = 0 — what an
+    * SQ8 index artifact persists (one byte of information per
+    * dimension; longs in the frame, the parquet encoder dictionary-
+    * packs them). Same precondition as [[sq8Dequant]].
+    */
+  def sq8Codes(v: ArrayData, lo: Array[Long], wd: Array[Long]): ArrayData = {
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = wd(i)
+      out(i) = if (w > 0) (v.getLong(i) - lo(i)) * 255 / w else 0L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Reconstruction from persisted SQ8 codes:
+    * dv_i = lo_i + (code_i * wd_i) DIV 255 — the search-time half;
+    * [[sq8Dequant]] == sq8FromCodes(sq8Codes(v)) by construction.
+    */
+  def sq8FromCodes(codes: ArrayData, lo: Array[Long],
+      wd: Array[Long]): ArrayData = {
+    val n = math.min(codes.numElements(), lo.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = lo(i) + codes.getLong(i) * wd(i) / 255
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Sign-bit LSH bucket: bit p set when dot(v, planes(p)) >= 0. */
   def lshBucket(v: ArrayData, cv: Int, planes: Array[Array[Int]]): Long = {
     var bucket = 0L
@@ -555,28 +591,47 @@ case class SqDistExpr(left: Expression, right: Expression)
   override def prettyName: String = "sq_dist"
 }
 
-/** sq8_dequant(mv): array<long> — fused int8 scalar-quantization
-  * round trip; the per-dimension range tables ship as reference
-  * objects (2 x dims longs, never shuffled). See
-  * [[VectorKernels.sq8Dequant]] for the formulas and precondition.
+/** sq8_dequant(mv) / sq8_codes(mv) / sq8_from_codes(codes):
+  * array<long> — the fused int8 scalar-quantization family (round
+  * trip, persisted codes, reconstruction from codes); the
+  * per-dimension range tables ship as reference objects (2 x dims
+  * longs, never shuffled). See [[VectorKernels.sq8Dequant]] for the
+  * formulas and precondition. `mode`: 0 = dequant, 1 = codes,
+  * 2 = from-codes.
   */
-case class Sq8DequantExpr(child: Expression, lo: Array[Long],
-    wd: Array[Long]) extends UnaryExpression {
+case class Sq8Expr(child: Expression, lo: Array[Long],
+    wd: Array[Long], mode: Int) extends UnaryExpression {
   require(lo.length == wd.length && wd.forall(_ >= 0),
-    "sq8_dequant: lo/wd must be same-length with nonnegative widths")
+    "sq8: lo/wd must be same-length with nonnegative widths")
+  require(mode >= 0 && mode <= 2, s"sq8: unknown mode $mode")
+  private def kernel = mode match {
+    case 0 => "sq8Dequant"
+    case 1 => "sq8Codes"
+    case _ => "sq8FromCodes"
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any =
-    VectorKernels.sq8Dequant(input.asInstanceOf[ArrayData], lo, wd)
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    mode match {
+      case 0 => VectorKernels.sq8Dequant(a, lo, wd)
+      case 1 => VectorKernels.sq8Codes(a, lo, wd)
+      case _ => VectorKernels.sq8FromCodes(a, lo, wd)
+    }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val loRef = ctx.addReferenceObj("sq8Lo", lo, "long[]")
     val wdRef = ctx.addReferenceObj("sq8Wd", wd, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.ops.VectorKernels.sq8Dequant($c, $loRef, $wdRef);")
+      s"${ev.value} = graft.ops.VectorKernels.$kernel($c, $loRef, $wdRef);")
   }
-  override protected def withNewChildInternal(c: Expression): Sq8DequantExpr =
+  override protected def withNewChildInternal(c: Expression): Sq8Expr =
     copy(child = c)
-  override def prettyName: String = "sq8_dequant"
+  override def prettyName: String = mode match {
+    case 0 => "sq8_dequant"
+    case 1 => "sq8_codes"
+    case _ => "sq8_from_codes"
+  }
 }
 
 object VectorExpressions {
@@ -603,7 +658,11 @@ object VectorExpressions {
     ColumnBridge.column(SqDistExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sq8Dequant(vec: Column, lo: Array[Long], wd: Array[Long]): Column =
-    ColumnBridge.column(Sq8DequantExpr(ColumnBridge.expression(vec), lo, wd))
+    ColumnBridge.column(Sq8Expr(ColumnBridge.expression(vec), lo, wd, 0))
+  def sq8Codes(vec: Column, lo: Array[Long], wd: Array[Long]): Column =
+    ColumnBridge.column(Sq8Expr(ColumnBridge.expression(vec), lo, wd, 1))
+  def sq8FromCodes(codes: Column, lo: Array[Long], wd: Array[Long]): Column =
+    ColumnBridge.column(Sq8Expr(ColumnBridge.expression(codes), lo, wd, 2))
   def nearestCentroidCos(vec: Column, cents: Array[Array[Double]],
       ids: Array[Int]): Column =
     ColumnBridge.column(NearestCentroidCosExpr(

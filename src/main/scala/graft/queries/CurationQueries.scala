@@ -583,6 +583,55 @@ object CurationQueries {
            | AND a2_0.id <> 7 AND a2_0.id % 10 = 0
            |ORDER BY adc, a2_0.id LIMIT 10""".stripMargin)),
 
+    // SQ8-tier index search, driver-checked end to end THROUGH THE
+    // CLI ARTIFACTS: build persists the int8 range table + code
+    // arrays next to IVF/PQ, search --tier sq8 routes probe 7 to its
+    // 2 nearest cells and ADC-scores ONLY those cells' members
+    // against their code-array reconstructions (full-precision
+    // probe). The oracle replays the router chain + the
+    // quantize/dequantize formulas + the cell-restricted ADC in
+    // closed form. Fresh temp dir per invocation.
+    "q262_sq8_index_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q262").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |pqd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+           |pcells AS (
+           | SELECT j FROM (
+           |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi)
+           |SELECT dq.id,
+           | CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           |FROM dq JOIN (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | USING (i)
+           |JOIN aI2 ON aI2.id = dq.id
+           |WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 7
+           |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

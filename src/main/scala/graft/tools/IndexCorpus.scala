@@ -29,13 +29,23 @@ import graft.ops.SemDedup
   * byte-identical and IndexCorpusSpec can re-derive a search answer
   * from the persisted files alone.
   *
+  * An optional SECOND storage tier, `--sq8 true`, persists int8
+  * scalar-quantization artifacts alongside PQ: `sq8_ranges` (per-dim
+  * lo/width, the [[graft.ops.Quantize.quantizeAudit]] formulas) and
+  * `sq8_codes` (per-vector code arrays — one byte of information per
+  * dimension, 4x vs fp32). `search --tier sq8` then ADC-scores the
+  * probed cells against SQ8 reconstructions instead of PQ tables —
+  * the measured ladder (RECALL.md round 10: SQ8 9.9/10 vs PQ 0.8/10
+  * recall@10) made concrete as a serving choice per query.
+  *
   * Usage:
   *   runMain graft.tools.IndexCorpus build <emb.parquet> <indexDir>
   *     [--id vec_id] [--vec embedding] [--dims 64] [--ivf-k 8]
-  *     [--pq-m 2] [--pq-k 4] [--iters 1]
+  *     [--pq-m 2] [--pq-k 4] [--iters 1] [--residual true]
+  *     [--sq8 true]
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
-  *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
+  *     [--filter "<sqlExpr over id, cell>"] [--rerank N] [--tier sq8]
   */
 object IndexCorpus {
 
@@ -147,9 +157,30 @@ object IndexCorpus {
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _))
 
+    // optional SQ8 tier: per-dim range table + per-vector code arrays
+    val sq8 = flags.getOrElse("sq8", "false").toBoolean
+    if (sq8) {
+      write("sq8_ranges", base
+        .select(posexplode(col("mv")).as(Seq("i", "m")))
+        .groupBy(col("i"))
+        .agg(min(col("m")).as("lo"), (max(col("m")) - min(col("m"))).as("wd"))
+        .select(col("i").cast("long").as("i"), col("lo"), col("wd")))
+      val rows = spark.read.parquet(s"$out/sq8_ranges").collect()
+      val lo = new Array[Long](dims)
+      val wd = new Array[Long](dims)
+      rows.foreach { r =>
+        val i = r.getAs[Long]("i").toInt
+        lo(i) = r.getAs[Long]("lo")
+        wd(i) = r.getAs[Long]("wd")
+      }
+      write("sq8_codes", base.select(col("id"),
+        graft.ops.VectorExpressions.sq8Codes(col("mv"), lo, wd).as("codes")))
+    }
+
     val res = written.result()
     (Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
-      ("iters", iters), ("residual", if (residual) 1 else 0))
+      ("iters", iters), ("residual", if (residual) 1 else 0),
+      ("sq8", if (sq8) 1 else 0))
       .map { case (k, v) => (k, v.toLong) } ++ res)
       .toDF("key", "value")
       .coalesce(1).write.mode("overwrite").json(s"$out/summary")
@@ -284,8 +315,32 @@ object IndexCorpus {
     // stratum predicate reach the same scan
     val members = filterSql.fold(members0)(f => members0.filter(expr(f)))
     val codes = spark.read.parquet(s"$idx/pq_codes")
+    val tier = flags.getOrElse("tier", "pq")
+    require(tier == "pq" || tier == "sq8", s"unknown --tier $tier")
     val adcRanked =
-      if (!residual) {
+      if (tier == "sq8") {
+        // SQ8 tier: reconstruct each candidate from its code array via
+        // the broadcast range tables (reference objects inside the
+        // fused kernel) and score against the FULL-precision probe —
+        // asymmetric distance, same contract as q259
+        val hasSq8 = spark.read.json(s"$idx/summary")
+          .filter(col("key") === "sq8")
+          .collect().headOption.exists(_.getLong(1) == 1L)
+        require(hasSq8, s"$idx was built without --sq8 true")
+        val rows = spark.read.parquet(s"$idx/sq8_ranges").collect()
+        val lo = new Array[Long](dims)
+        val wd = new Array[Long](dims)
+        rows.foreach { r =>
+          val i = r.getAs[Long]("i").toInt
+          lo(i) = r.getAs[Long]("lo")
+          wd(i) = r.getAs[Long]("wd")
+        }
+        spark.read.parquet(s"$idx/sq8_codes")
+          .join(members.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), graft.ops.VectorExpressions.sqDist(
+            graft.ops.VectorExpressions.sq8FromCodes(col("codes"), lo, wd),
+            typedLit(pv.toSeq)).as("adc"))
+      } else if (!residual) {
         // global PQ: one (s, code) -> distance table for the probe
         val table = books.toSeq.map { case ((s, j), c) =>
           (s, j, l2(pv, s.toInt * sub, c))

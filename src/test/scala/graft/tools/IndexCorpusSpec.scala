@@ -208,4 +208,60 @@ class IndexCorpusSpec extends AnyFunSuite {
       .sortBy { case (id, c) => (-c, id) }.take(5)
     assert(reranked == wantR, s"got=$reranked want=$wantR")
   }
+
+  test("--sq8 tier: codes in [0,255], reconstruction == the fused " +
+    "round trip, search answer re-derivable from the artifacts") {
+    import org.apache.spark.sql.functions._
+    val idx = Files.createTempDirectory("graft_index_sq8").toString
+    val res = IndexCorpus.build(spark,
+      Array(emb, idx, "--ivf-k", "4", "--sq8", "true")).toMap
+    assert(res.contains("sq8_ranges") && res("sq8_ranges") == 64L)
+    assert(res("sq8_codes") == res("assignments")) // one row per vector
+
+    val ranges = spark.read.parquet(s"$idx/sq8_ranges").collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ranges.values.forall(_._2 >= 0))
+    val codeRows = spark.read.parquet(s"$idx/sq8_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codeRows.values.forall(_.forall(c => c >= 0 && c <= 255)))
+
+    // reconstruction from persisted codes == the in-memory fused
+    // round trip of the original micros (the artifact loses nothing
+    // the round trip wouldn't)
+    val micros = spark.read.parquet(emb)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"),
+        graft.ops.SemDedup.microsVec(col("embedding")).as("mv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def recon(id: Long): Seq[Long] = codeRows(id).zipWithIndex.map {
+      case (c, i) => val (lo, wd) = ranges(i); lo + c * wd / 255
+    }
+    def roundTrip(id: Long): Seq[Long] = micros(id).zipWithIndex.map {
+      case (m, i) =>
+        val (lo, wd) = ranges(i)
+        if (wd > 0) lo + ((m - lo) * 255 / wd) * wd / 255 else lo
+    }
+    micros.keys.take(20).foreach { id =>
+      assert(recon(id) == roundTrip(id), s"id=$id")
+    }
+
+    // search --tier sq8 == hand ADC over probed-cell members
+    val got = IndexCorpus.search(spark,
+      Array(idx, emb, "7", "--k", "5", "--nprobe", "2", "--tier", "sq8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val pv = micros(7L)
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probed = cents.toSeq.map { case (j, c) => (l2(pv, c.toSeq), j) }
+      .sorted.take(2).map(_._2).toSet
+    val assign = spark.read.parquet(s"$idx/assignments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = assign.collect {
+      case (id, cell) if probed(cell) && id != 7L => (id, l2(pv, recon(id)))
+    }.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(got == want, s"got=$got want=$want")
+  }
 }
