@@ -762,6 +762,62 @@ object TextOps {
       .agg(sum(col("term")).as("score"))
   }
 
+  /** FROZEN BM25 collection statistics for the streaming embodiment:
+    * (query-weight table (qid, t, idf) — idf-0 terms already pruned,
+    * catalog-sized, broadcast to every micro-batch — and the integer
+    * avgdl scalar). Exactly [[bm25Scores]]'s internal stats, exposed
+    * so arrivals can be scored per micro-batch with NO cross-batch
+    * state beyond these constants: a document's score needs only its
+    * own tokens + the frozen table, which is what makes BM25 serving
+    * embarrassingly streamable once the index statistics are pinned.
+    */
+  def bm25FrozenStats(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int, qTerms: Int, gram: Int): (DataFrame, Long) = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(ngrams(col(textCol), gram)).as("t"))
+    val qt = broadcast(docs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long").as("qid"),
+        explode(array_distinct(slice(ngrams(col(textCol), gram), 1, qTerms)))
+          .as("t")))
+    val scal = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("toktot")))
+      .select(col("n"), expr("toktot DIV n").as("avgdl"))
+      .collect().head
+    val n = scal.getAs[Long]("n")
+    val avgdl = scal.getAs[Long]("avgdl")
+    val dfq = toks.select(col("id"), col("t")).distinct()
+      .join(qt.select(col("t")).distinct(), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val qw = qt.join(broadcast(dfq), Seq("t"))
+      .withColumn("idf",
+        (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+      .filter(col("idf") > 0)
+      .select(col("qid"), col("t"), col("idf"))
+    (qw, avgdl)
+  }
+
+  /** Score a frame of ARRIVING documents against [[bm25FrozenStats]]:
+    * per-arrival tf/dl derive from the arrival's own tokens (complete
+    * within any micro-batch — rows are whole documents), the weight
+    * table broadcasts, and the per-(query, doc) scores are exactly
+    * [[bm25Scores]]'s — the shared q260 oracle is the proof.
+    */
+  def bm25ScoreArrivals(arrivals: DataFrame, idCol: String,
+      textCol: String, qw: DataFrame, avgdl: Long, gram: Int): DataFrame = {
+    val toks = arrivals.select(col(idCol).cast("long").as("id"),
+      explode(ngrams(col(textCol), gram)).as("t"))
+    val tf = graft.Scratch.cache(
+      toks.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    tf.join(broadcast(qw), Seq("t"))
+      .join(dl, Seq("id"))
+      .withColumn("term", expr(
+        s"idf * 22000 * tf * $avgdl DIV " +
+          s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("term")).as("score"))
+  }
+
   /** Mixture reweighting plan (the DoReMi-style "hit these domain
     * shares" step, downsample-only): given target corpus shares in
     * permille, emit per source the integer keep-rate that realizes

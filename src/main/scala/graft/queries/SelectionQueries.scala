@@ -26,6 +26,58 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
+  /** The q260 integer-BM25 top-10 card over word bigrams, shared
+    * verbatim by its streaming embodiment q263 (frozen collection
+    * statistics make per-arrival scores batch-identical, so the two
+    * queries MUST agree bit-for-bit).
+    */
+  private lazy val bm25OracleSql: String =
+    s"""WITH tk AS MATERIALIZED (
+       | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+       |toks AS MATERIALIZED (
+       | SELECT id, unnest(list_transform(
+       |  generate_series(1, len(tt) - 1),
+       |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+       |tf AS MATERIALIZED (
+       | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS MATERIALIZED (
+       | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+       |g AS MATERIALIZED (
+       | SELECT (SELECT count(*) FROM documents) AS n,
+       |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+       |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+       |qt AS MATERIALIZED (
+       | SELECT id AS qid,
+       |  unnest(list_distinct(list_slice(list_transform(
+       |   generate_series(1, len(tt) - 1),
+       |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+       | FROM tk WHERE id < 5),
+       |dfq AS MATERIALIZED (
+       | SELECT tf.t, count(*) AS df
+       | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+       | GROUP BY 1),
+       |cand AS MATERIALIZED (
+       | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+       |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+       |   AS idf
+       | FROM qt JOIN dfq ON dfq.t = qt.t
+       | JOIN tf ON tf.t = qt.t
+       | JOIN dl ON dl.id = tf.id, g
+       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+       |sc AS MATERIALIZED (
+       | SELECT qid, id,
+       |  CAST(sum(idf * 22000 * tf * avgdl
+       |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+       | FROM cand GROUP BY 1, 2),
+       |r AS (
+       | SELECT qid, id, score, row_number() OVER (
+       |  PARTITION BY qid ORDER BY score DESC, id) AS rnk
+       | FROM sc)
+       |SELECT CAST(qid AS BIGINT) AS query_id,
+       | CAST(rnk AS BIGINT) AS rnk,
+       | CAST(id AS BIGINT) AS doc_id, score
+       |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin
+
   /** The q254 embedding-drift card, shared verbatim by its streaming
     * embodiment q258 — the two queries MUST agree bit-for-bit (the
     * micro-batch partials are additive, the truncating mean is taken
@@ -2122,52 +2174,56 @@ object SelectionQueries {
       (s, dir) => TextOps.bm25TopK(t(s, dir, "documents"),
         "doc_id", "text", nQueries = 5, qTerms = 4, topK = 10, gram = 2)
         .orderBy(col("query_id"), col("rnk")),
-      Some(
-        s"""WITH tk AS MATERIALIZED (
-           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
-           |toks AS MATERIALIZED (
-           | SELECT id, unnest(list_transform(
-           |  generate_series(1, len(tt) - 1),
-           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
-           |tf AS MATERIALIZED (
-           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
-           |dl AS MATERIALIZED (
-           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-           |g AS MATERIALIZED (
-           | SELECT (SELECT count(*) FROM documents) AS n,
-           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
-           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
-           |qt AS MATERIALIZED (
-           | SELECT id AS qid,
-           |  unnest(list_distinct(list_slice(list_transform(
-           |   generate_series(1, len(tt) - 1),
-           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
-           | FROM tk WHERE id < 5),
-           |dfq AS MATERIALIZED (
-           | SELECT tf.t, count(*) AS df
-           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
-           | GROUP BY 1),
-           |cand AS MATERIALIZED (
-           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
-           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
-           |   AS idf
-           | FROM qt JOIN dfq ON dfq.t = qt.t
-           | JOIN tf ON tf.t = qt.t
-           | JOIN dl ON dl.id = tf.id, g
-           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
-           |sc AS MATERIALIZED (
-           | SELECT qid, id,
-           |  CAST(sum(idf * 22000 * tf * avgdl
-           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
-           | FROM cand GROUP BY 1, 2),
-           |r AS (
-           | SELECT qid, id, score, row_number() OVER (
-           |  PARTITION BY qid ORDER BY score DESC, id) AS rnk
-           | FROM sc)
-           |SELECT CAST(qid AS BIGINT) AS query_id,
-           | CAST(rnk AS BIGINT) AS rnk,
-           | CAST(id AS BIGINT) AS doc_id, score
-           |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+      Some(bm25OracleSql)),
+
+    // STREAMING embodiment of q260: arrivals score against FROZEN
+    // collection statistics (the broadcast (qid, term, idf) weight
+    // table + the avgdl scalar, both fit once on the static corpus —
+    // the q253 frozen-router pattern for lexical search). A
+    // document's BM25 score needs only its OWN tokens plus those
+    // constants, so each micro-batch appends its (query, doc, score)
+    // rows with zero cross-batch state and the final top-10 re-rank
+    // over the appended frame is bit-identical to the batch query —
+    // the shared q260 oracle IS the check.
+    "q263_streaming_bm25" -> Q(
+      (s, dir) => {
+        val docsS = t(s, dir, "documents")
+        val (qw, avgdl) = TextOps.bm25FrozenStats(docsS,
+          "doc_id", "text", nQueries = 5, qTerms = 4, gram = 2)
+        val qwC = graft.Scratch.cache(qw)
+        val ev = SlowLogQueries.docSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "doc", ev)
+        val out = "/tmp/graft_stream_bm25_out_" +
+          Integer.toHexString(dir.hashCode)
+        val outPath = new org.apache.hadoop.fs.Path(out)
+        val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(outPath)) fs.delete(outPath, true)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              TextOps.bm25ScoreArrivals(batch, "doc_id", "text",
+                qwC, avgdl, gram = 2)
+                .write.mode("append").parquet(out)
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+        s.read.parquet(out)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("qid").as("query_id"),
+            col("rnk").cast("long").as("rnk"),
+            col("id").as("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(bm25OracleSql)),
 
     // HYBRID retrieval: RRF fusion (k=60) of the q260 BM25-bigram
     // candidate ranking with the exact-cosine dense ranking, per

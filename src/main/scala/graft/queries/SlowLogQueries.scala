@@ -158,6 +158,16 @@ object SlowLogQueries {
       .select(col("doc_id"), col("text"))
   }
 
+  /** The FULL documents table as a stream fixture (q263 scores every
+    * arrival against frozen BM25 collection statistics — the whole
+    * corpus must arrive so the shared q260 oracle applies verbatim).
+    */
+  private[queries] def docSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+  }
+
   /** The q215 per-doc token counts as a stream fixture (q226 keeps
     * the per-source (docs, tokens, padded) card as Complete state).
     */
@@ -202,7 +212,7 @@ object SlowLogQueries {
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
       "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
       "img" -> imgSrc _, "gif" -> gifSrc _, "wav" -> wavSrc _,
-      "emb" -> embSrc _)
+      "emb" -> embSrc _, "doc" -> docSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
