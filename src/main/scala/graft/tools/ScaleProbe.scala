@@ -337,6 +337,12 @@ object ScaleProbe {
         docsForced = true
         d
       }
+      // round-10 BM25 (q260's shape): postings aggregate + broadcast
+      // query-term joins — one corpus tokenization pass dominates, so
+      // the fit should be ~linear in k (query count fixed)
+      time("bm25_topk", k)(TextOps.bm25TopK(docs, "doc_id", "text",
+        nQueries = 5, qTerms = 4, topK = 10, gram = 2))
+      graft.Scratch.release()
       time("minhash_band_lsh", k)(Dedup.minhashPairs(docs, "doc_id", "text",
         n = 3, bands = 4, rows = 4, num = 1, den = 2))
       graft.Scratch.release()
@@ -392,6 +398,19 @@ object ScaleProbe {
       // probe count fixed -> cost is nProbes x corpus, linear in k
       time("trunc_recall", k)(graft.ops.Similarity.truncationRecall(
         emb, "vec_id", "embedding", nProbes = 10, k = 10, prefixDims = 16))
+      // round-10 SQ8 ADC recall (q259's shape): one stats pass (dims
+      // rows to the driver) + probes x corpus through two fused long
+      // kernels — linear in k, same class as trunc_recall. Drives its
+      // own action (the stats collect) -> wall clock.
+      if (enabled("sq8_recall")) { // runs at k=1 too: untimed JIT warm-up
+        val t0 = System.nanoTime()
+        graft.ops.Quantize.sq8AdcRecall(
+          emb, "vec_id", "embedding", dims = 64, nProbes = 10, k = 10)
+          .queryExecution.toRdd.foreach(_ => ())
+        if (k > 1)
+          println(f"[scale] ${"sq8_recall"}%-18s x$k%-2d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        graft.Scratch.release()
+      }
       // SemDeDup's LINEAR stages (q156): Lloyd fit + assignment are
       // broadcast-centroid passes (drives its own per-round actions
       // -> wall clock). The within-cell prune is excluded: replicas
