@@ -762,6 +762,86 @@ object TextOps {
       .agg(sum(col("term")).as("score"))
   }
 
+  /** BM25 with pseudo-relevance-feedback query expansion (two-round
+    * retrieval, the classic PRF shape): round 1 ranks by [[bm25Scores]];
+    * the top `fbDocs` documents per query are assumed relevant; the
+    * `fbTerms` highest-weight NEW terms from those documents (weight =
+    * feedback tf x idf, positive-idf only, original query terms
+    * excluded, ties to the lexicographically first term) join the
+    * query; round 2 rescores the corpus with the expanded term set
+    * (expansion terms weigh like originals — the simplest Rocchio
+    * point, documented as contract) and returns the top `topK`.
+    *
+    * Bounded driver step: the feedback set is nQueries x fbDocs
+    * (qid, doc) pairs — collected like a codebook, never the corpus.
+    * Everything else is the [[bm25Scores]] machinery: catalog-sized
+    * broadcasts meeting the one corpus-wide postings aggregate.
+    */
+  def bm25PrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int, qTerms: Int, topK: Int, gram: Int,
+      fbDocs: Int, fbTerms: Int): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"need positive fbDocs/fbTerms, got ($fbDocs, $fbTerms)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    val r1 = bm25Scores(docs, idCol, textCol, nQueries, qTerms, gram)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= fbDocs)
+      .select(col("qid"), col("id"))
+    val fbPairs = r1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fb = broadcast(docs.sparkSession
+      .createDataFrame(fbPairs.toSeq).toDF("qid", "id"))
+
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(ngrams(col(textCol), gram)).as("t"))
+    val tf = graft.Scratch.cache(
+      toks.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val scal = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("toktot")))
+      .select(col("n"), expr("toktot DIV n").as("avgdl"))
+      .collect().head
+    val n = scal.getAs[Long]("n")
+    val avgdl = scal.getAs[Long]("avgdl")
+    val qt = broadcast(docs.filter(col(idCol) < nQueries)
+      .select(col(idCol).cast("long").as("qid"),
+        explode(array_distinct(slice(ngrams(col(textCol), gram), 1, qTerms)))
+          .as("t")))
+    // feedback term weights: tf summed over the query's feedback docs
+    val fbw = broadcast(tf.join(fb, Seq("id"))
+      .groupBy(col("qid"), col("t")).agg(sum(col("tf")).as("fbw")))
+    // idf for every term seen in ANY feedback doc or query (small)
+    val terms = broadcast(fbw.select(col("t"))
+      .union(qt.select(col("t"))).distinct())
+    val dfe = broadcast(tf.join(terms, Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+      .filter(col("idf") > 0)
+      .select(col("t"), col("idf")))
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy((col("fbw") * col("idf")).desc, col("t"))
+    val expTerms = fbw.join(dfe, Seq("t"))
+      .join(qt, Seq("qid", "t"), "left_anti")
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= fbTerms)
+      .select(col("qid"), col("t"), col("idf"))
+    val qw2 = broadcast(qt.join(dfe, Seq("t"))
+      .select(col("qid"), col("t"), col("idf"))
+      .unionByName(expTerms))
+    val scored = tf.join(qw2, Seq("t"))
+      .join(dl, Seq("id"))
+      .withColumn("term", expr(
+        s"idf * 22000 * tf * $avgdl DIV " +
+          s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("term")).as("score"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid").as("query_id"), col("rnk").cast("long").as("rnk"),
+        col("id").as("doc_id"), col("score"))
+  }
+
   /** FROZEN BM25 collection statistics for the streaming embodiment:
     * (query-weight table (qid, t, idf) — idf-0 terms already pruned,
     * catalog-sized, broadcast to every micro-batch — and the integer

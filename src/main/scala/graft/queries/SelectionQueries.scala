@@ -2225,6 +2225,106 @@ object SelectionQueries {
       },
       Some(bm25OracleSql)),
 
+    // Pseudo-relevance-feedback query expansion (two-round BM25, the
+    // classic PRF shape): round 1 = q260's ranking; the top-3 docs
+    // per query donate their 2 highest-weight NEW bigrams (feedback
+    // tf x idf, positive idf only, ties to the first term); round 2
+    // rescores the corpus with the expanded term set. The feedback
+    // set is a bounded 5x3 driver collect (codebook class);
+    // everything else is broadcast tables against the one postings
+    // aggregate. The oracle replays both rounds end to end.
+    "q264_bm25_prf" -> Q(
+      (s, dir) => TextOps.bm25PrfTopK(t(s, dir, "documents"),
+        "doc_id", "text", nQueries = 5, qTerms = 4, topK = 10,
+        gram = 2, fbDocs = 3, fbTerms = 2)
+        .orderBy(col("query_id"), col("rnk")),
+      Some(
+        s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT id AS qid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 5),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+           |sc AS MATERIALIZED (
+           | SELECT qid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1, 2),
+           |r AS MATERIALIZED (
+           | SELECT qid, id, score, row_number() OVER (
+           |  PARTITION BY qid ORDER BY score DESC, id) AS rnk
+           | FROM sc),
+           |fb AS MATERIALIZED (
+           | SELECT qid, id FROM r WHERE rnk <= 3),
+           |fbw AS MATERIALIZED (
+           | SELECT fb.qid, tf.t, CAST(sum(tf.tf) AS BIGINT) AS fbw
+           | FROM fb JOIN tf ON tf.id = fb.id GROUP BY 1, 2),
+           |terms AS MATERIALIZED (
+           | SELECT DISTINCT t FROM fbw
+           | UNION SELECT DISTINCT t FROM qt),
+           |idfs AS MATERIALIZED (
+           | SELECT d.t, CAST(length(printf('%b',
+           |    (SELECT n FROM g) // d.df)) - 1 AS BIGINT) AS idf
+           | FROM (SELECT tf.t, count(*) AS df
+           |       FROM tf JOIN terms ON terms.t = tf.t GROUP BY 1) d
+           | WHERE length(printf('%b', (SELECT n FROM g) // d.df)) - 1
+           |  > 0),
+           |expt AS MATERIALIZED (
+           | SELECT qid, t, idf FROM (
+           |  SELECT fbw.qid, fbw.t, idfs.idf, row_number() OVER (
+           |   PARTITION BY fbw.qid
+           |   ORDER BY fbw.fbw * idfs.idf DESC, fbw.t) AS rn
+           |  FROM fbw JOIN idfs ON idfs.t = fbw.t
+           |  WHERE NOT EXISTS (SELECT 1 FROM qt
+           |   WHERE qt.qid = fbw.qid AND qt.t = fbw.t))
+           | WHERE rn <= 2),
+           |qw2 AS MATERIALIZED (
+           | SELECT qt.qid, qt.t, idfs.idf
+           | FROM qt JOIN idfs ON idfs.t = qt.t
+           | UNION ALL SELECT qid, t, idf FROM expt),
+           |sc2 AS MATERIALIZED (
+           | SELECT qw2.qid, tf.id,
+           |  CAST(sum(qw2.idf * 22000 * tf.tf * g.avgdl
+           |   // (10*tf.tf*g.avgdl + 3*g.avgdl + 9*dl.dl))
+           |   AS BIGINT) AS score
+           | FROM qw2 JOIN tf ON tf.t = qw2.t
+           | JOIN dl ON dl.id = tf.id, g
+           | GROUP BY 1, 2),
+           |r2 AS (
+           | SELECT qid, id, score, row_number() OVER (
+           |  PARTITION BY qid ORDER BY score DESC, id) AS rnk
+           | FROM sc2)
+           |SELECT CAST(qid AS BIGINT) AS query_id,
+           | CAST(rnk AS BIGINT) AS rnk,
+           | CAST(id AS BIGINT) AS doc_id, score
+           |FROM r2 WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+
     // HYBRID retrieval: RRF fusion (k=60) of the q260 BM25-bigram
     // candidate ranking with the exact-cosine dense ranking, per
     // anchor 0-4 — the canonical modern search stack (lexical +

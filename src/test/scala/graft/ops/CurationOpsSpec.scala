@@ -360,6 +360,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 1L, 0L, 3472L), (0L, 2L, 1L, 1466L)))
   }
 
+  test("bm25PrfTopK: hand-computed expansion; no-new-terms feedback " +
+    "degenerates to plain BM25") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple cherry"),
+      (2L, "cherry durian"),
+      (3L, "durian elderberry fig grape")).toDF("doc_id", "text")
+    // fbDocs=2 -> feedback {doc0, doc1}; candidate terms by fbw*idf:
+    // apple 4*1 / banana 1*2 are ORIGINAL -> excluded; cherry fbw=1,
+    // idf=bitlen(4//2)-1=1 -> expansion = {cherry}. Round 2: doc1
+    // gains cherry 66000 DIV (10*1*3 + 9 + 9*4 = 75) = 880 -> 2346;
+    // doc2 enters at 66000 DIV (30 + 9 + 18 = 57) = 1157
+    val out = TextOps.bm25PrfTopK(docs, "doc_id", "text",
+      nQueries = 1, qTerms = 4, topK = 10, gram = 1,
+      fbDocs = 2, fbTerms = 1)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq ==
+      Seq((1L, 0L, 3472L), (2L, 1L, 2346L), (3L, 2L, 1157L)))
+    // fbDocs=1 -> feedback {doc0} only donates the ORIGINAL terms ->
+    // empty expansion -> identical to plain bm25TopK
+    val prf1 = TextOps.bm25PrfTopK(docs, "doc_id", "text",
+      nQueries = 1, qTerms = 4, topK = 10, gram = 1,
+      fbDocs = 1, fbTerms = 1).orderBy(col("rnk")).collect()
+      .map(_.toSeq).toSeq
+    val plain = TextOps.bm25TopK(docs, "doc_id", "text",
+      nQueries = 1, qTerms = 4, topK = 10, gram = 1)
+      .orderBy(col("rnk")).collect().map(_.toSeq).toSeq
+    assert(prf1 == plain)
+  }
+
   test("sq8Dequant/sqDist kernels: hand formulas + HOF differential") {
     import spark.implicits._
     // lo/wd tables: dim0 [0, 1000] wd=1000, dim1 degenerate wd=0 at 77
