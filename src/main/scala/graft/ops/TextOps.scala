@@ -784,19 +784,14 @@ object TextOps {
       s"need positive fbDocs/fbTerms, got ($fbDocs, $fbTerms)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
-    val r1 = bm25Scores(docs, idCol, textCol, nQueries, qTerms, gram)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= fbDocs)
-      .select(col("qid"), col("id"))
-    val fbPairs = r1.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val fb = broadcast(docs.sparkSession
-      .createDataFrame(fbPairs.toSeq).toDF("qid", "id"))
-
+    // ONE postings aggregate serves both rounds (the second corpus
+    // tokenization a bm25Scores call would pay is the dominant cost)
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(ngrams(col(textCol), gram)).as("t"))
     val tf = graft.Scratch.cache(
       toks.groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dl = graft.Scratch.cache(
+      tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")))
     val scal = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum(col("dl")).as("toktot")))
       .select(col("n"), expr("toktot DIV n").as("avgdl"))
@@ -807,18 +802,36 @@ object TextOps {
       .select(col(idCol).cast("long").as("qid"),
         explode(array_distinct(slice(ngrams(col(textCol), gram), 1, qTerms)))
           .as("t")))
-    // feedback term weights: tf summed over the query's feedback docs
+    def idfOf(termSet: DataFrame): DataFrame =
+      broadcast(tf.join(termSet, Seq("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .withColumn("idf",
+          (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+        .filter(col("idf") > 0)
+        .select(col("t"), col("idf")))
+    def rescore(qw: DataFrame): DataFrame =
+      tf.join(qw, Seq("t"))
+        .join(dl, Seq("id"))
+        .withColumn("term", expr(
+          s"idf * 22000 * tf * $avgdl DIV " +
+            s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+        .groupBy(col("qid"), col("id")).agg(sum(col("term")).as("score"))
+
+    // round 1: the original query terms, exactly bm25Scores' values
+    val qw1 = qt.join(idfOf(qt.select(col("t")).distinct()), Seq("t"))
+      .select(col("qid"), col("t"), col("idf"))
+    val fbPairs = rescore(broadcast(qw1))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= fbDocs)
+      .select(col("qid"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fb = broadcast(docs.sparkSession
+      .createDataFrame(fbPairs.toSeq).toDF("qid", "id"))
+
+    // expansion: feedback term weights -> idf -> top NEW terms
     val fbw = broadcast(tf.join(fb, Seq("id"))
       .groupBy(col("qid"), col("t")).agg(sum(col("tf")).as("fbw")))
-    // idf for every term seen in ANY feedback doc or query (small)
-    val terms = broadcast(fbw.select(col("t"))
-      .union(qt.select(col("t"))).distinct())
-    val dfe = broadcast(tf.join(terms, Seq("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .withColumn("idf",
-        (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
-      .filter(col("idf") > 0)
-      .select(col("t"), col("idf")))
+    val dfe = idfOf(fbw.select(col("t")).distinct())
     val wE = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy((col("fbw") * col("idf")).desc, col("t"))
@@ -827,16 +840,8 @@ object TextOps {
       .withColumn("rn", row_number().over(wE))
       .filter(col("rn") <= fbTerms)
       .select(col("qid"), col("t"), col("idf"))
-    val qw2 = broadcast(qt.join(dfe, Seq("t"))
-      .select(col("qid"), col("t"), col("idf"))
-      .unionByName(expTerms))
-    val scored = tf.join(qw2, Seq("t"))
-      .join(dl, Seq("id"))
-      .withColumn("term", expr(
-        s"idf * 22000 * tf * $avgdl DIV " +
-          s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
-      .groupBy(col("qid"), col("id")).agg(sum(col("term")).as("score"))
-    scored.withColumn("rnk", row_number().over(w))
+    val qw2 = broadcast(qw1.unionByName(expTerms))
+    rescore(qw2).withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid").as("query_id"), col("rnk").cast("long").as("rnk"),
         col("id").as("doc_id"), col("score"))

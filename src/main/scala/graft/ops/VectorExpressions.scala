@@ -312,10 +312,10 @@ object VectorKernels {
   }
 
   /** The code half of [[sq8Dequant]]: per dimension,
-    * code = ((m - lo_i) * 255) DIV wd_i, 0 when wd_i = 0 — what an
-    * SQ8 index artifact persists (one byte of information per
-    * dimension; longs in the frame, the parquet encoder dictionary-
-    * packs them). Same precondition as [[sq8Dequant]].
+    * code = ((m - lo_i) * 255) DIV wd_i, 0 when wd_i = 0 — the
+    * long-array view for in-memory math; [[sq8PackBytes]] is the
+    * one-byte-per-dim form the index artifact persists. Same
+    * precondition as [[sq8Dequant]].
     */
   def sq8Codes(v: ArrayData, lo: Array[Long], wd: Array[Long]): ArrayData = {
     val n = math.min(v.numElements(), lo.length)
@@ -341,6 +341,42 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       out(i) = lo(i) + codes.getLong(i) * wd(i) / 255
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** [[sq8Codes]] packed to ONE BYTE per dimension — what the index
+    * artifact actually persists (64 B/vector vs 512 B as longs: the
+    * honest 4x-vs-fp32 storage story). Codes are in [0, 255], stored
+    * as the two's-complement byte with the same low 8 bits; unpack
+    * restores via `& 0xFF`.
+    */
+  def sq8PackBytes(v: ArrayData, lo: Array[Long],
+      wd: Array[Long]): Array[Byte] = {
+    val n = math.min(v.numElements(), lo.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val w = wd(i)
+      out(i) = (if (w > 0) (v.getLong(i) - lo(i)) * 255 / w else 0L).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unpack-and-dequantize straight from the packed byte codes:
+    * dv_i = lo_i + ((b_i & 0xFF) * wd_i) DIV 255 — one fused call on
+    * the search path, no intermediate code array.
+    */
+  def sq8UnpackDequant(b: Array[Byte], lo: Array[Long],
+      wd: Array[Long]): ArrayData = {
+    val n = math.min(b.length, lo.length)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = lo(i) + (b(i) & 0xFF).toLong * wd(i) / 255
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -597,27 +633,32 @@ case class SqDistExpr(left: Expression, right: Expression)
   * per-dimension range tables ship as reference objects (2 x dims
   * longs, never shuffled). See [[VectorKernels.sq8Dequant]] for the
   * formulas and precondition. `mode`: 0 = dequant, 1 = codes,
-  * 2 = from-codes.
+  * 2 = from-codes, 3 = pack-bytes (array<long> -> binary, one byte
+  * per dim), 4 = unpack-dequant (binary -> array<long>).
   */
 case class Sq8Expr(child: Expression, lo: Array[Long],
     wd: Array[Long], mode: Int) extends UnaryExpression {
   require(lo.length == wd.length && wd.forall(_ >= 0),
     "sq8: lo/wd must be same-length with nonnegative widths")
-  require(mode >= 0 && mode <= 2, s"sq8: unknown mode $mode")
+  require(mode >= 0 && mode <= 4, s"sq8: unknown mode $mode")
   private def kernel = mode match {
     case 0 => "sq8Dequant"
     case 1 => "sq8Codes"
-    case _ => "sq8FromCodes"
+    case 2 => "sq8FromCodes"
+    case 3 => "sq8PackBytes"
+    case _ => "sq8UnpackDequant"
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    if (mode == 3) BinaryType
+    else ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    mode match {
-      case 0 => VectorKernels.sq8Dequant(a, lo, wd)
-      case 1 => VectorKernels.sq8Codes(a, lo, wd)
-      case _ => VectorKernels.sq8FromCodes(a, lo, wd)
-    }
+  override def nullSafeEval(input: Any): Any = mode match {
+    case 0 => VectorKernels.sq8Dequant(input.asInstanceOf[ArrayData], lo, wd)
+    case 1 => VectorKernels.sq8Codes(input.asInstanceOf[ArrayData], lo, wd)
+    case 2 => VectorKernels.sq8FromCodes(input.asInstanceOf[ArrayData], lo, wd)
+    case 3 => VectorKernels.sq8PackBytes(input.asInstanceOf[ArrayData], lo, wd)
+    case _ => VectorKernels.sq8UnpackDequant(
+      input.asInstanceOf[Array[Byte]], lo, wd)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val loRef = ctx.addReferenceObj("sq8Lo", lo, "long[]")
@@ -630,7 +671,9 @@ case class Sq8Expr(child: Expression, lo: Array[Long],
   override def prettyName: String = mode match {
     case 0 => "sq8_dequant"
     case 1 => "sq8_codes"
-    case _ => "sq8_from_codes"
+    case 2 => "sq8_from_codes"
+    case 3 => "sq8_pack_bytes"
+    case _ => "sq8_unpack_dequant"
   }
 }
 
@@ -663,6 +706,10 @@ object VectorExpressions {
     ColumnBridge.column(Sq8Expr(ColumnBridge.expression(vec), lo, wd, 1))
   def sq8FromCodes(codes: Column, lo: Array[Long], wd: Array[Long]): Column =
     ColumnBridge.column(Sq8Expr(ColumnBridge.expression(codes), lo, wd, 2))
+  def sq8PackBytes(vec: Column, lo: Array[Long], wd: Array[Long]): Column =
+    ColumnBridge.column(Sq8Expr(ColumnBridge.expression(vec), lo, wd, 3))
+  def sq8UnpackDequant(bin: Column, lo: Array[Long], wd: Array[Long]): Column =
+    ColumnBridge.column(Sq8Expr(ColumnBridge.expression(bin), lo, wd, 4))
   def nearestCentroidCos(vec: Column, cents: Array[Array[Double]],
       ids: Array[Int]): Column =
     ColumnBridge.column(NearestCentroidCosExpr(

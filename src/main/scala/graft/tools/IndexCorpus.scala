@@ -32,8 +32,9 @@ import graft.ops.SemDedup
   * An optional SECOND storage tier, `--sq8 true`, persists int8
   * scalar-quantization artifacts alongside PQ: `sq8_ranges` (per-dim
   * lo/width, the [[graft.ops.Quantize.quantizeAudit]] formulas) and
-  * `sq8_codes` (per-vector code arrays — one byte of information per
-  * dimension, 4x vs fp32). `search --tier sq8` then ADC-scores the
+  * `sq8_codes` (per-vector codes packed ONE BYTE per dimension into
+  * a binary column — 64 B/vector at dims = 64, the real 4x vs
+  * fp32). `search --tier sq8` then ADC-scores the
   * probed cells against SQ8 reconstructions instead of PQ tables —
   * the measured ladder (RECALL.md round 10: SQ8 9.9/10 vs PQ 0.8/10
   * recall@10) made concrete as a serving choice per query.
@@ -173,8 +174,12 @@ object IndexCorpus {
         lo(i) = r.getAs[Long]("lo")
         wd(i) = r.getAs[Long]("wd")
       }
+      // ONE BYTE per dimension on disk (64 B/vector at dims = 64 —
+      // the real 4x-vs-fp32 artifact, not longs a parquet encoder
+      // merely dictionary-packs)
       write("sq8_codes", base.select(col("id"),
-        graft.ops.VectorExpressions.sq8Codes(col("mv"), lo, wd).as("codes")))
+        graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
+          .as("codes")))
     }
 
     val res = written.result()
@@ -338,7 +343,7 @@ object IndexCorpus {
         spark.read.parquet(s"$idx/sq8_codes")
           .join(members.select(col("id")), Seq("id"), "left_semi")
           .select(col("id"), graft.ops.VectorExpressions.sqDist(
-            graft.ops.VectorExpressions.sq8FromCodes(col("codes"), lo, wd),
+            graft.ops.VectorExpressions.sq8UnpackDequant(col("codes"), lo, wd),
             typedLit(pv.toSeq)).as("adc"))
       } else if (!residual) {
         // global PQ: one (s, code) -> distance table for the probe

@@ -398,13 +398,24 @@ class CurationOpsSpec extends AnyFunSuite {
     val lo = Array(0L, 77L)
     val wd = Array(1000L, 0L)
     // m=333 -> code = 333*255 DIV 1000 = 84 -> dv = (84*1000) DIV 255
-    // = 329; degenerate dim always reconstructs to lo
-    val df = Seq((Seq(333L, 77L), Seq(329L, 77L)))
+    // = 329; degenerate dim always reconstructs to lo; m=1000 hits
+    // code 255 (byte -1 when packed — the unsigned round trip)
+    val df = Seq(
+      (Seq(333L, 77L), Seq(329L, 77L)),
+      (Seq(1000L, 77L), Seq(1000L, 77L)))
       .toDF("mv", "expected")
     val got = df.select(
       VectorExpressions.sq8Dequant(col("mv"), lo, wd).as("dv"),
-      col("expected")).collect().head
-    assert(got.getSeq[Long](0) == got.getSeq[Long](1))
+      VectorExpressions.sq8UnpackDequant(
+        VectorExpressions.sq8PackBytes(col("mv"), lo, wd), lo, wd)
+        .as("dv2"),
+      col("expected")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+      // packed-byte round trip == the in-memory round trip, code 255
+      // included (two's-complement byte restored via & 0xFF)
+      assert(r.getSeq[Long](1) == r.getSeq[Long](0))
+    }
     // sqDist == the aggregate(zip_with(...)) HOF on arbitrary longs,
     // negatives included
     val pairs = Seq(

@@ -221,9 +221,13 @@ class IndexCorpusSpec extends AnyFunSuite {
     val ranges = spark.read.parquet(s"$idx/sq8_ranges").collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     assert(ranges.values.forall(_._2 >= 0))
+    // artifact codes are PACKED bytes: one per dimension, unsigned
+    // semantics restored via & 0xFF
     val codeRows = spark.read.parquet(s"$idx/sq8_codes").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).map(b => (b & 0xFF).toLong).toSeq).toMap
     assert(codeRows.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codeRows.values.forall(_.length == 64)) // 64 B per vector
 
     // reconstruction from persisted codes == the in-memory fused
     // round trip of the original micros (the artifact loses nothing
