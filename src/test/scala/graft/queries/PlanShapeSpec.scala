@@ -671,4 +671,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q264 bm25 prf: round 2 reuses the cached postings (round 1 " +
+    "ran during construction), no cartesian, top-k inside the window") {
+    val p = plan("q264_bm25_prf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"), p) // shared tf postings
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
