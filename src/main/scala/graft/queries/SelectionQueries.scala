@@ -2443,6 +2443,81 @@ object SelectionQueries {
            | CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
            |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
 
+    // Retrieval exposure-bias audit: per SOURCE, its share of the
+    // dense top-50 results (pooled over the 5 anchors) against its
+    // corpus share — the curation-fairness card that catches a
+    // retrieval stack systematically over-serving one source
+    // (bias_permille = 1000 means exposure proportional to corpus
+    // presence; sources with ZERO hits still emit a row — a silent
+    // disappearance would read as balanced). Anchors broadcast; the
+    // per-anchor ranking is one scored corpus pass; everything after
+    // rank <= 50 is catalog-sized.
+    "q265_retrieval_exposure" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val anchors = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("av")))
+        val hits = emb.select(col("vec_id").as("cand"),
+            col("embedding").as("cv"))
+          .crossJoin(anchors)
+          .filter(col("cand") =!= col("qid"))
+          .select(col("qid"), col("cand"),
+            round(Similarity.cosine(col("cv"), col("av")), 6).as("cos"))
+          .withColumn("rnk", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("cand"))))
+          .filter(col("rnk") <= 50)
+          .join(docs.select(col("doc_id").as("cand"), col("source")),
+            Seq("cand"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_topk"))
+        val shares = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val n = broadcast(docs.agg(count(lit(1)).as("n")))
+        shares.join(hits, Seq("source"), "left")
+          .crossJoin(n)
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_topk"), lit(0L)).as("n_topk"),
+            expr("coalesce(n_topk, 0) * 1000 DIV 250")
+              .as("exposure_permille"),
+            expr("n_docs * 1000 DIV n").as("corpus_permille"))
+          .withColumn("bias_permille", expr(
+            "CASE WHEN corpus_permille = 0 THEN NULL" +
+              " ELSE exposure_permille * 1000 DIV corpus_permille END"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""WITH a AS MATERIALIZED (
+           | SELECT vec_id AS qid, embedding AS av
+           | FROM embeddings WHERE vec_id < 5),
+           |r AS MATERIALIZED (
+           | SELECT qid, cand, row_number() OVER (
+           |  PARTITION BY qid ORDER BY cos DESC, cand) AS rnk
+           | FROM (
+           |  SELECT a.qid, e.vec_id AS cand,
+           |   round(${OpsQueries.cosSql("e.embedding", "a.av")}, 6)
+           |    AS cos
+           |  FROM embeddings e, a WHERE e.vec_id <> a.qid)),
+           |hits AS MATERIALIZED (
+           | SELECT d.source, count(*) AS n_topk
+           | FROM r JOIN documents d ON d.doc_id = r.cand
+           | WHERE r.rnk <= 50 GROUP BY 1),
+           |sh AS MATERIALIZED (
+           | SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+           |g AS (SELECT count(*) AS n FROM documents)
+           |SELECT sh.source, sh.n_docs,
+           | CAST(coalesce(hits.n_topk, 0) AS BIGINT) AS n_topk,
+           | CAST(coalesce(hits.n_topk, 0) * 1000 // 250 AS BIGINT)
+           |  AS exposure_permille,
+           | CAST(sh.n_docs * 1000 // g.n AS BIGINT) AS corpus_permille,
+           | CAST(CASE WHEN sh.n_docs * 1000 // g.n = 0 THEN NULL
+           |  ELSE (coalesce(hits.n_topk, 0) * 1000 // 250) * 1000
+           |   // (sh.n_docs * 1000 // g.n) END AS BIGINT)
+           |  AS bias_permille
+           |FROM sh LEFT JOIN hits ON hits.source = sh.source, g
+           |ORDER BY 1""".stripMargin)),
+
     // Payload integrity audit: per source — payload count, byte
     // mass, size extremes, and distinct 4-byte magic prefixes (a
     // container-format sanity check: one modality per source should
