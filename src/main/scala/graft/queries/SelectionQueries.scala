@@ -2443,6 +2443,99 @@ object SelectionQueries {
            | CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
            |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
 
+    // Learning-to-rank feature export: ONE frame per (query,
+    // candidate) carrying the features a ranker trains on — exact
+    // cosine (x1e6), the BM25-bigram score (0 where the doc matches
+    // no positive-idf query term — the candidate-set absence IS a
+    // feature), and document token length. The dense arm covers the
+    // full corpus so every (query, doc) pair gets a row; the lexical
+    // arm LEFT-joins in. This is q261's fusion input as data rather
+    // than ranks — what an offline LTR pipeline actually persists.
+    "q266_ltr_features" -> Q(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val anchors = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("av")))
+        val cosF = emb.select(col("vec_id").as("id"),
+            col("embedding").as("cv"))
+          .crossJoin(anchors)
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            round(round(Similarity.cosine(col("cv"), col("av")), 6)
+              * lit(1000000d)).cast("long").as("cos_x1e6"))
+        val bm = TextOps.bm25Scores(docs, "doc_id", "text",
+          nQueries = 5, qTerms = 4, gram = 2)
+        val tl = docs.select(col("doc_id").as("id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        cosF.join(bm, Seq("qid", "id"), "left")
+          .join(tl, Seq("id"))
+          .select(col("qid").as("query_id"), col("id").as("doc_id"),
+            col("cos_x1e6"),
+            coalesce(col("score"), lit(0L)).as("bm25_score"),
+            col("n_toks"))
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some(
+        s"""WITH a AS MATERIALIZED (
+           | SELECT vec_id AS qid, embedding AS av
+           | FROM embeddings WHERE vec_id < 5),
+           |cosr AS MATERIALIZED (
+           | SELECT a.qid, e.vec_id AS id,
+           |  CAST(round(round(
+           |   ${OpsQueries.cosSql("e.embedding", "a.av")}, 6)
+           |   * 1000000) AS BIGINT) AS cos_x1e6
+           | FROM embeddings e, a WHERE e.vec_id <> a.qid),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT id AS qid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 5),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+           |sc AS MATERIALIZED (
+           | SELECT qid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1, 2),
+           |tl AS MATERIALIZED (
+           | SELECT doc_id AS id, CAST(len($toksSql) AS BIGINT)
+           |  AS n_toks
+           | FROM documents)
+           |SELECT CAST(cosr.qid AS BIGINT) AS query_id,
+           | CAST(cosr.id AS BIGINT) AS doc_id, cosr.cos_x1e6,
+           | CAST(coalesce(sc.score, 0) AS BIGINT) AS bm25_score,
+           | tl.n_toks
+           |FROM cosr
+           |LEFT JOIN sc ON sc.qid = cosr.qid AND sc.id = cosr.id
+           |JOIN tl ON tl.id = cosr.id
+           |ORDER BY 1, 2""".stripMargin)),
+
     // Retrieval exposure-bias audit: per SOURCE, its share of the
     // dense top-50 results (pooled over the 5 anchors) against its
     // corpus share — the curation-fairness card that catches a
