@@ -2443,6 +2443,66 @@ object SelectionQueries {
            | CAST(rrf_x1e6 AS BIGINT) AS rrf_x1e6
            |FROM r WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
 
+    // Lexical index serving, driver-checked end to end THROUGH THE
+    // LexIndex CLI ARTIFACTS: build persists postings/doclens/stats,
+    // search takes a RAW QUERY STRING (here: doc 0's first 5 tokens
+    // — whose bigrams are exactly the q260 qid-0 query set) and
+    // scores only the searched terms' posting lists. The oracle is
+    // the q260 chain restricted to qid 0 — artifact round-trip and
+    // string-query tokenization must both be exact for the hash to
+    // land. Fresh temp dir per invocation.
+    "q267_lex_index_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q267").toString
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        val q0 = t(s, dir, "documents").filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(
+        s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id = 0),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+           |sc AS (
+           | SELECT id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1)
+           |SELECT CAST(id AS BIGINT) AS id, score
+           |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+
     // Learning-to-rank feature export: ONE frame per (query,
     // candidate) carrying the features a ranker trains on — exact
     // cosine (x1e6), the BM25-bigram score (0 where the doc matches

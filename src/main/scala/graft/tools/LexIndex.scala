@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.TextOps
+
+/** CLI: lexical (BM25) index BUILD / SEARCH split with persisted
+  * artifacts — [[IndexCorpus]]'s counterpart for the lexical arm of a
+  * hybrid retrieval stack. Build tokenizes the corpus ONCE into the
+  * classic IR artifacts; search runs against the files alone, so the
+  * serving path never touches the raw corpus:
+  *
+  *   - `postings`   (t, id, tf)   — the inverted index, term-keyed;
+  *   - `doclens`    (id, dl)      — per-document term counts;
+  *   - `stats`      (key, value)  — n docs, total terms, avgdl, gram.
+  *
+  * Scoring is [[TextOps.bm25Scores]]'s exact-integer Okapi contract
+  * (k1 = 1.2, b = 0.75 with cleared denominators; idf =
+  * floor(log2(n/df)), idf-0 terms pruned — a search term in more
+  * than half the corpus contributes nothing and generates no
+  * candidates). The q267 driver row proves a search through the
+  * artifacts equals the q260 oracle chain bit-for-bit.
+  *
+  * 100 TB posture: build is one tokenize + postings aggregate
+  * (map-side combined; what shuffles is the (id, term) partial
+  * domain); search touches ONLY the searched terms' posting lists
+  * (term-keyed parquet predicate) plus the doc-length join — the
+  * corpus text never loads at serve time.
+  *
+  * Usage:
+  *   runMain graft.tools.LexIndex build <docs.parquet> <indexDir>
+  *     [--id doc_id] [--text text] [--gram 2]
+  *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
+  *     [--k 10]
+  */
+object LexIndex {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-lexindex")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args.headOption match {
+        case Some("build") => build(spark, args.drop(1))
+        case Some("search") =>
+          search(spark, args.drop(1)).show(100, truncate = false)
+        case _ => sys.error("usage: LexIndex build|search ...")
+      }
+    } finally spark.stop()
+  }
+
+  private def flagsOf(args: Array[String], from: Int): Map[String, String] =
+    args.drop(from).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  /** Build the postings/doclens/stats artifacts; returns
+    * (artifact, rows) per write.
+    */
+  def build(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: build <docs.parquet> <indexDir> [flags]")
+    val (in, out) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "doc_id")
+    val textCol = flags.getOrElse("text", "text")
+    val gram = flags.getOrElse("gram", "2").toInt
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val docs = spark.read.parquet(in)
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(TextOps.ngrams(col(textCol), gram)).as("t"))
+    val postings = graft.Scratch.cache(
+      toks.groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
+    val written = Seq.newBuilder[(String, Long)]
+    def write(name: String, df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      written += (name -> spark.read.parquet(s"$out/$name").count())
+    }
+    write("postings", postings)
+    write("doclens", postings.groupBy(col("id"))
+      .agg(sum(col("tf")).as("dl")))
+    val n = docs.count()
+    val toktot = spark.read.parquet(s"$out/doclens")
+      .agg(sum(col("dl"))).head().getLong(0)
+    write("stats", Seq(
+      ("n", n), ("toktot", toktot),
+      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
+      .toDF("key", "value"))
+    written.result()
+  }
+
+  /** Search the persisted index with a raw query string: tokenize it
+    * with the index's own gram setting (distinct terms, query-side
+    * tf ignored — the standard set-of-terms BM25 form this engine
+    * pins everywhere), look each term's df up in the postings,
+    * prune idf-0 terms, score ONLY the surviving terms' posting
+    * lists, top-k by (score desc, id).
+    */
+  def search(spark: SparkSession, args: Array[String]): DataFrame = {
+    require(args.length >= 2, "usage: search <indexDir> <query> [flags]")
+    val (idx, query) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val k = flags.getOrElse("k", "10").toInt
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val stats = spark.read.parquet(s"$idx/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stats("n")
+    val avgdl = stats("avgdl")
+    val gram = stats("gram").toInt
+    // tokenize the query string with the same kernel the index used
+    val qTerms = Seq(query).toDF("text")
+      .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
+        .as("t"))
+    val postings = spark.read.parquet(s"$idx/postings")
+    val dfq = broadcast(postings
+      .join(broadcast(qTerms), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+      .filter(col("idf") > 0)
+      .select(col("t"), col("idf")))
+    postings.join(dfq, Seq("t"))
+      .join(spark.read.parquet(s"$idx/doclens"), Seq("id"))
+      .withColumn("term", expr(
+        s"idf * 22000 * tf * $avgdl DIV " +
+          s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+      .groupBy(col("id")).agg(sum(col("term")).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(k)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** Build/search e2e over the persisted lexical artifacts: the search
+  * answer must match the hand-computed integer BM25 values of
+  * CurationOpsSpec's pins, straight from the files.
+  */
+class LexIndexSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "LexIndexSpec")
+
+  private def corpusDir(): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("lexidx_corpus").toString
+    Seq(
+      (0L, "apple banana"),
+      (1L, "apple apple apple cherry"),
+      (2L, "cherry durian"),
+      (3L, "durian elderberry fig grape"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    s"$d/documents.parquet"
+  }
+
+  test("build artifacts + string-query search reproduce the " +
+    "hand-computed BM25 values; unknown terms yield no rows") {
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx").toString
+    val res = LexIndex.build(spark,
+      Array(in, s"$idx/lex", "--gram", "1")).toMap
+    // 10 distinct (term, doc) postings: apple{0,1} banana{0}
+    // cherry{1,2} durian{2,3} elderberry/fig/grape{3}
+    assert(res("postings") == 10L)
+    assert(res("doclens") == 4L)
+    assert(res("stats") == 4L)
+
+    // "apple banana": doc0 = 1157 + 2315 = 3472, doc1 = 1466
+    // (CurationOpsSpec's bm25TopK pin, served from the files)
+    val got = LexIndex.search(spark, Array(s"$idx/lex", "apple banana"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3472L), (1L, 1466L)))
+
+    // single term re-ranks: doc1 (tf 3 -> 1466) above doc0 (1157)
+    val one = LexIndex.search(spark, Array(s"$idx/lex", "apple"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((1L, 1466L), (0L, 1157L)))
+
+    // a term absent from the corpus generates no candidates
+    assert(LexIndex.search(spark, Array(s"$idx/lex", "kumquat"))
+      .collect().isEmpty)
+
+    // duplicate query terms collapse (set-of-terms form)
+    val dup = LexIndex.search(spark, Array(s"$idx/lex", "apple apple"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dup == one)
+  }
+}
