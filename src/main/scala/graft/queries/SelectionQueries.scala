@@ -26,6 +26,51 @@ object SelectionQueries {
   /** Training-sequence length for q204's concat-and-chunk model. */
   private val SeqLen = 512L
 
+  /** The q267 single-query lexical search card (doc 0's first five
+    * tokens as the phrase, full-corpus BM25 statistics), shared by
+    * q268 — whose build-subset-then-update index must be
+    * state-identical to the full build for this oracle to hash.
+    */
+  private lazy val lexSearchOracleSql: String =
+    s"""WITH tk AS MATERIALIZED (
+       | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+       |toks AS MATERIALIZED (
+       | SELECT id, unnest(list_transform(
+       |  generate_series(1, len(tt) - 1),
+       |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+       |tf AS MATERIALIZED (
+       | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS MATERIALIZED (
+       | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+       |g AS MATERIALIZED (
+       | SELECT (SELECT count(*) FROM documents) AS n,
+       |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+       |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+       |qt AS MATERIALIZED (
+       | SELECT unnest(list_distinct(list_slice(list_transform(
+       |   generate_series(1, len(tt) - 1),
+       |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+       | FROM tk WHERE id = 0),
+       |dfq AS MATERIALIZED (
+       | SELECT tf.t, count(*) AS df
+       | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+       | GROUP BY 1),
+       |cand AS MATERIALIZED (
+       | SELECT tf.id, tf.tf, dl.dl, g.avgdl,
+       |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+       |   AS idf
+       | FROM qt JOIN dfq ON dfq.t = qt.t
+       | JOIN tf ON tf.t = qt.t
+       | JOIN dl ON dl.id = tf.id, g
+       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+       |sc AS (
+       | SELECT id,
+       |  CAST(sum(idf * 22000 * tf * avgdl
+       |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+       | FROM cand GROUP BY 1)
+       |SELECT CAST(id AS BIGINT) AS id, score
+       |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin
+
   /** The q260 integer-BM25 top-10 card over word bigrams, shared
     * verbatim by its streaming embodiment q263 (frozen collection
     * statistics make per-arrival scores batch-identical, so the two
@@ -2463,45 +2508,36 @@ object SelectionQueries {
           .head().getString(0)
         graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
       },
-      Some(
-        s"""WITH tk AS MATERIALIZED (
-           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
-           |toks AS MATERIALIZED (
-           | SELECT id, unnest(list_transform(
-           |  generate_series(1, len(tt) - 1),
-           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
-           |tf AS MATERIALIZED (
-           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
-           |dl AS MATERIALIZED (
-           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
-           |g AS MATERIALIZED (
-           | SELECT (SELECT count(*) FROM documents) AS n,
-           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
-           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
-           |qt AS MATERIALIZED (
-           | SELECT unnest(list_distinct(list_slice(list_transform(
-           |   generate_series(1, len(tt) - 1),
-           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
-           | FROM tk WHERE id = 0),
-           |dfq AS MATERIALIZED (
-           | SELECT tf.t, count(*) AS df
-           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
-           | GROUP BY 1),
-           |cand AS MATERIALIZED (
-           | SELECT tf.id, tf.tf, dl.dl, g.avgdl,
-           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
-           |   AS idf
-           | FROM qt JOIN dfq ON dfq.t = qt.t
-           | JOIN tf ON tf.t = qt.t
-           | JOIN dl ON dl.id = tf.id, g
-           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
-           |sc AS (
-           | SELECT id,
-           |  CAST(sum(idf * 22000 * tf * avgdl
-           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
-           | FROM cand GROUP BY 1)
-           |SELECT CAST(id AS BIGINT) AS id, score
-           |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin)),
+      Some(lexSearchOracleSql)),
+
+    // LexIndex INCREMENTAL ingest is EXACT (unlike the vector
+    // index's frozen-codebook approximation): build on the 3/4
+    // subset (doc_id % 4 <> 3), `update` the rest, search the same
+    // q267 phrase — postings append, df derives from postings at
+    // query time, stats rewrite, so the updated index is
+    // state-identical to a full build and q267's FULL-CORPUS oracle
+    // applies verbatim. That shared oracle IS the equivalence proof,
+    // re-checked on every driver run.
+    "q268_lex_index_update" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q268").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .write.mode("overwrite").parquet(s"$tmp/part1.parquet")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .write.mode("overwrite").parquet(s"$tmp/part2.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/part1.parquet", s"$tmp/lex", "--gram", "2"))
+        graft.tools.LexIndex.update(s, Array(
+          s"$tmp/lex", s"$tmp/part2.parquet"))
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracleSql)),
 
     // Learning-to-rank feature export: ONE frame per (query,
     // candidate) carrying the features a ranker trains on — exact

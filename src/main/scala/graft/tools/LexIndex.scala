@@ -29,9 +29,21 @@ import graft.ops.TextOps
   * (term-keyed parquet predicate) plus the doc-length join — the
   * corpus text never loads at serve time.
   *
+  * `update` ingests NEW documents into an existing index: their
+  * postings and doc lengths APPEND (df needs no maintenance — search
+  * derives it from the postings at query time, so appended lists
+  * update every term's df automatically) and the scalar stats
+  * rewrite from the updated doclens. Unlike the vector index's
+  * frozen-codebook update (an approximation the q202 row prices),
+  * the lexical update is EXACT: an updated index is state-identical
+  * to a fresh build over the union — q268 proves it under the
+  * driver hash by sharing q267's full-build oracle.
+  *
   * Usage:
   *   runMain graft.tools.LexIndex build <docs.parquet> <indexDir>
   *     [--id doc_id] [--text text] [--gram 2]
+  *   runMain graft.tools.LexIndex update <indexDir> <newDocs.parquet>
+  *     [--id doc_id] [--text text]
   *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
   *     [--k 10]
   */
@@ -48,10 +60,11 @@ object LexIndex {
     spark.sparkContext.setLogLevel("WARN")
     try {
       args.headOption match {
-        case Some("build") => build(spark, args.drop(1))
+        case Some("build")  => build(spark, args.drop(1))
+        case Some("update") => update(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
-        case _ => sys.error("usage: LexIndex build|search ...")
+        case _ => sys.error("usage: LexIndex build|update|search ...")
       }
     } finally spark.stop()
   }
@@ -95,6 +108,48 @@ object LexIndex {
       ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
       .toDF("key", "value"))
     written.result()
+  }
+
+  /** Incremental ingest: append the new documents' postings and doc
+    * lengths (ids already present are rejected — callers dedup
+    * upstream, the q78 incremental contract), rewrite the scalar
+    * stats from the updated doclens. The tokenizer gram comes from
+    * the index's own stats. EXACT by construction: see object doc.
+    */
+  def update(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: update <indexDir> <newDocs.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "doc_id")
+    val textCol = flags.getOrElse("text", "text")
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val stats0 = spark.read.parquet(s"$idx/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gram = stats0("gram").toInt
+    // localCheckpoint cuts lineage back to the artifacts the appends
+    // below write into (same discipline as IndexCorpus.update)
+    val existing = spark.read.parquet(s"$idx/doclens").select(col("id"))
+    val fresh = graft.Scratch.localCheckpoint(
+      spark.read.parquet(in)
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .join(existing, Seq("id"), "left_anti"))
+    val nNew = fresh.count()
+    val newPostings = graft.Scratch.cache(fresh
+      .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
+      .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
+    newPostings.write.mode("append").parquet(s"$idx/postings")
+    newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").parquet(s"$idx/doclens")
+    val n = stats0("n") + nNew
+    val toktot = spark.read.parquet(s"$idx/doclens")
+      .agg(sum(col("dl"))).head().getLong(0)
+    Seq(("n", n), ("toktot", toktot),
+      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    Seq("ingested" -> nNew)
   }
 
   /** Search the persisted index with a raw query string: tokenize it

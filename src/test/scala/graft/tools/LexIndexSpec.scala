@@ -60,4 +60,34 @@ class LexIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(dup == one)
   }
+
+  test("update: subset build + incremental ingest answers exactly " +
+    "like a full build; already-ingested ids are rejected") {
+    import spark.implicits._
+    val in = corpusDir()
+    val sub = Files.createTempDirectory("lexidx_sub").toString
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.mode("overwrite").parquet(s"$sub/part.parquet")
+
+    val full = Files.createTempDirectory("lexidx_full").toString
+    LexIndex.build(spark, Array(in, s"$full/lex", "--gram", "1"))
+    val inc = Files.createTempDirectory("lexidx_inc").toString
+    LexIndex.build(spark,
+      Array(s"$sub/part.parquet", s"$inc/lex", "--gram", "1"))
+    // feed the WHOLE corpus: docs 0-1 must be rejected, 2-3 ingested
+    val res = LexIndex.update(spark, Array(s"$inc/lex", in)).toMap
+    assert(res("ingested") == 2L)
+
+    for (q <- Seq("apple banana", "cherry durian", "kumquat")) {
+      val a = LexIndex.search(spark, Array(s"$full/lex", q))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val b = LexIndex.search(spark, Array(s"$inc/lex", q))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a == b, s"query '$q': full=$a incremental=$b")
+    }
+    // stats rewrote to the full-corpus values
+    val st = spark.read.parquet(s"$inc/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("n") == 4L && st("toktot") == 12L && st("avgdl") == 3L)
+  }
 }
