@@ -632,6 +632,142 @@ object CurationQueries {
            |WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 7
            |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin)),
 
+    // CAPSTONE hybrid serving, driver-checked end to end THROUGH
+    // BOTH artifact CLIs: the same item 0 queries its vector index
+    // (IndexCorpus --tier sq8, 2 probed cells, ADC top-50) and its
+    // lexical index (LexIndex, doc 0's first-5-token phrase, BM25
+    // top-50); the two arms fuse by RRF(60) over the candidate
+    // UNION (an arm's absentee contributes 0 mass). At fusion time
+    // nothing reads the corpus — only persisted index files. The
+    // oracle replays the router + SQ8 chains, the lexical chain, and
+    // the fusion arithmetic in closed form. Fresh temp dir per
+    // invocation.
+    "q269_hybrid_index_search" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val mk = graft.ops.Prefix.markerZero(col("id"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q269").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        val q0 = t(s, dir, "documents").filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        val dense = graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "0",
+          "--k", "50", "--nprobe", "2", "--tier", "sq8"))
+          .withColumn("rd", row_number().over(w.partitionBy(mk)
+            .orderBy(col("adc"), col("id"))).cast("long"))
+          .select(col("id"), col("rd"))
+        val lex = graft.tools.LexIndex.search(s, Array(
+          s"$tmp/lex", q0, "--k", "50"))
+          .withColumn("rl", row_number().over(w.partitionBy(mk)
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+          .select(col("id"), col("rl"))
+        dense.join(lex, Seq("id"), "full_outer")
+          .withColumn("rrf_x1e6", expr(
+            "CASE WHEN rd IS NULL THEN 0 ELSE 1000000 DIV (60 + rd) END" +
+              " + CASE WHEN rl IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rl) END"))
+          .withColumn("rnk", row_number().over(w.partitionBy(mk)
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("id"), col("rrf_x1e6"), col("rnk"))
+          .orderBy(col("rnk"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |pqd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 0) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+           |pcells AS (
+           | SELECT j FROM (
+           |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi),
+           |dadc AS MATERIALIZED (
+           | SELECT dq.id,
+           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           | FROM dq JOIN (SELECT gi AS i, m FROM exall WHERE id = 0) q
+           |  USING (i)
+           | JOIN aI2 ON aI2.id = dq.id
+           | WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 0
+           | GROUP BY 1),
+           |dd AS MATERIALIZED (
+           | SELECT id, rd FROM (
+           |  SELECT id, row_number() OVER (ORDER BY adc, id) AS rd
+           |  FROM dadc) WHERE rd <= 50),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |ltoks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |ltf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM ltoks GROUP BY 1, 2),
+           |ldl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM ltoks GROUP BY 1),
+           |lg AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM ldl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |lqt AS MATERIALIZED (
+           | SELECT unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id = 0),
+           |ldfq AS MATERIALIZED (
+           | SELECT ltf.t, count(*) AS df
+           | FROM ltf JOIN (SELECT DISTINCT t FROM lqt) q ON q.t = ltf.t
+           | GROUP BY 1),
+           |lcand AS MATERIALIZED (
+           | SELECT ltf.id, ltf.tf, ldl.dl, lg.avgdl,
+           |  CAST(length(printf('%b', lg.n // ldfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM lqt JOIN ldfq ON ldfq.t = lqt.t
+           | JOIN ltf ON ltf.t = lqt.t
+           | JOIN ldl ON ldl.id = ltf.id, lg
+           | WHERE length(printf('%b', lg.n // ldfq.df)) - 1 > 0),
+           |lsc AS MATERIALIZED (
+           | SELECT id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM lcand GROUP BY 1),
+           |ll AS MATERIALIZED (
+           | SELECT id, rl FROM (
+           |  SELECT id, row_number() OVER (ORDER BY score DESC, id)
+           |   AS rl
+           |  FROM lsc) WHERE rl <= 50),
+           |f AS (
+           | SELECT coalesce(dd.id, ll.id) AS id,
+           |  CASE WHEN dd.id IS NULL THEN 0
+           |   ELSE 1000000 // (60 + dd.rd) END
+           |  + CASE WHEN ll.id IS NULL THEN 0
+           |   ELSE 1000000 // (60 + ll.rl) END AS rrf
+           | FROM dd FULL JOIN ll ON ll.id = dd.id)
+           |SELECT CAST(id AS BIGINT) AS id,
+           | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
+           |FROM (
+           | SELECT id, rrf, CAST(row_number() OVER (
+           |  ORDER BY rrf DESC, id) AS BIGINT) AS rnk FROM f)
+           |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN
