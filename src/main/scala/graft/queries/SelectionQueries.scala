@@ -2632,6 +2632,145 @@ object SelectionQueries {
            |JOIN tl ON tl.id = cosr.id
            |ORDER BY 1, 2""".stripMargin)),
 
+    // Retrieval-arm comparison against LABEL ground truth: per
+    // anchor, hits@10 in the same-label relevant set for each of the
+    // three arms — exact cosine, BM25-bigram, and their RRF fusion
+    // (q261's exact semantics) — the measured answer to "which arm
+    // earns its place in the stack" with real (label) relevance
+    // rather than self-referential ranks. All three rankings derive
+    // from the SAME two scored passes q261 runs; the label table
+    // joins in at catalog cost.
+    "q270_retrieval_arms" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents")
+        val anchors = broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("av"),
+            col("label").as("albl")))
+        val cosR = emb.select(col("vec_id").as("id"),
+            col("embedding").as("cv"))
+          .crossJoin(anchors.select(col("qid"), col("av")))
+          .filter(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            round(Similarity.cosine(col("cv"), col("av")), 6).as("cos"))
+          .withColumn("rnk_cos", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("id"))).cast("long"))
+          .select(col("qid"), col("id"), col("rnk_cos"))
+        val bmR = TextOps.bm25Scores(docs, "doc_id", "text",
+            nQueries = 5, qTerms = 4, gram = 2)
+          .filter(col("id") =!= col("qid"))
+          .withColumn("rnk_bm25", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("id"))).cast("long"))
+          .select(col("qid"), col("id"), col("rnk_bm25"))
+        val fused = cosR.join(bmR, Seq("qid", "id"), "left")
+          .withColumn("rrf_x1e6", expr(
+            "1000000 DIV (60 + rnk_cos) + CASE WHEN rnk_bm25 IS NULL" +
+              " THEN 0 ELSE 1000000 DIV (60 + rnk_bm25) END"))
+          .withColumn("rnk_rrf", row_number().over(w
+            .partitionBy(col("qid"))
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+          .select(col("qid"), col("id"), col("rnk_cos"),
+            col("rnk_bm25"), col("rnk_rrf"))
+        val rel = emb.select(col("vec_id").as("id"), col("label"))
+          .join(broadcast(anchors.select(col("qid"), col("albl"))),
+            col("label") === col("albl") && col("id") =!= col("qid"))
+          .select(col("qid"), col("id"))
+        rel.join(fused, Seq("qid", "id"), "left")
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_rel"),
+            sum(when(col("rnk_cos") <= 10, 1L).otherwise(0L))
+              .as("hits_cos"),
+            sum(when(col("rnk_bm25") <= 10, 1L).otherwise(0L))
+              .as("hits_bm25"),
+            sum(when(col("rnk_rrf") <= 10, 1L).otherwise(0L))
+              .as("hits_rrf"))
+          .select(col("qid").as("query_id"), col("n_rel"),
+            col("hits_cos"), col("hits_bm25"), col("hits_rrf"))
+          .orderBy(col("query_id"))
+      },
+      Some(
+        s"""WITH a AS MATERIALIZED (
+           | SELECT vec_id AS qid, embedding AS av, label AS albl
+           | FROM embeddings WHERE vec_id < 5),
+           |cosr AS MATERIALIZED (
+           | SELECT qid, cand_id AS id, row_number() OVER
+           |   (PARTITION BY qid ORDER BY cos DESC, cand_id) AS rnk_cos
+           | FROM (
+           |  SELECT a.qid, e.vec_id AS cand_id,
+           |   round(${OpsQueries.cosSql("e.embedding", "a.av")}, 6) AS cos
+           |  FROM embeddings e, a WHERE e.vec_id <> a.qid)),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |toks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |tf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2),
+           |dl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+           |g AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |qt AS MATERIALIZED (
+           | SELECT id AS qid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 5),
+           |dfq AS MATERIALIZED (
+           | SELECT tf.t, count(*) AS df
+           | FROM tf JOIN (SELECT DISTINCT t FROM qt) q ON q.t = tf.t
+           | GROUP BY 1),
+           |cand AS MATERIALIZED (
+           | SELECT qt.qid, tf.id, tf.tf, dl.dl, g.avgdl,
+           |  CAST(length(printf('%b', g.n // dfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM qt JOIN dfq ON dfq.t = qt.t
+           | JOIN tf ON tf.t = qt.t
+           | JOIN dl ON dl.id = tf.id, g
+           | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0
+           |  AND tf.id <> qt.qid),
+           |bsc AS MATERIALIZED (
+           | SELECT qid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM cand GROUP BY 1, 2),
+           |bmr AS MATERIALIZED (
+           | SELECT qid, id, row_number() OVER
+           |   (PARTITION BY qid ORDER BY score DESC, id) AS rnk_bm25
+           | FROM bsc),
+           |fr AS MATERIALIZED (
+           | SELECT qid, id, rnk_cos, rnk_bm25,
+           |  row_number() OVER (PARTITION BY qid
+           |   ORDER BY rrf DESC, id) AS rnk_rrf
+           | FROM (
+           |  SELECT cosr.qid, cosr.id, cosr.rnk_cos, bmr.rnk_bm25,
+           |   1000000 // (60 + cosr.rnk_cos)
+           |    + CASE WHEN bmr.rnk_bm25 IS NULL THEN 0
+           |       ELSE 1000000 // (60 + bmr.rnk_bm25) END AS rrf
+           |  FROM cosr LEFT JOIN bmr
+           |   ON bmr.qid = cosr.qid AND bmr.id = cosr.id)),
+           |rel AS MATERIALIZED (
+           | SELECT a.qid, e.vec_id AS id
+           | FROM embeddings e JOIN a
+           |  ON e.label = a.albl AND e.vec_id <> a.qid)
+           |SELECT CAST(rel.qid AS BIGINT) AS query_id,
+           | count(*) AS n_rel,
+           | CAST(sum(CASE WHEN fr.rnk_cos <= 10 THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS hits_cos,
+           | CAST(sum(CASE WHEN fr.rnk_bm25 <= 10 THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS hits_bm25,
+           | CAST(sum(CASE WHEN fr.rnk_rrf <= 10 THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS hits_rrf
+           |FROM rel LEFT JOIN fr
+           | ON fr.qid = rel.qid AND fr.id = rel.id
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Retrieval exposure-bias audit: per SOURCE, its share of the
     // dense top-50 results (pooled over the 5 anchors) against its
     // corpus share — the curation-fairness card that catches a
