@@ -679,4 +679,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p) // shared tf postings
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q265 exposure audit: anchors broadcast, top-50 limits inside " +
+    "the window, shares stitched on hash joins") {
+    val p = plan("q265_retrieval_exposure")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("cosine_sim"), p) // fused kernel in the scoring arm
+  }
+
+  test("q266 ltr features: fused cosine, cached postings, lexical " +
+    "arm joins in without a cartesian") {
+    val p = plan("q266_ltr_features")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q270 retrieval arms: both scored passes fused-kernel, no " +
+    "cartesian, label/rel stitches are hash joins") {
+    val p = plan("q270_retrieval_arms")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("InMemoryTableScan"), p) // bm25 postings cached
+  }
 }
