@@ -318,6 +318,7 @@ object Multimodal {
     */
   def extractAudioFeatures(media: DataFrame, idCol: String,
       payloadCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),
@@ -621,6 +622,7 @@ object Multimodal {
     */
   def extractFrameFeatures(media: DataFrame, idCol: String,
       payloadCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),

@@ -480,7 +480,7 @@ object Similarity {
     * only): first seed = heaviest candidate, then D²·weight
     * proportional draws with a fixed-seed PRNG.
     */
-  private def weightedKmpp(cand: Array[Array[Double]], w: Array[Double],
+  private[ops] def weightedKmpp(cand: Array[Array[Double]], w: Array[Double],
       k: Int): Array[(Int, Array[Double])] = {
     if (cand.isEmpty) return Array.empty
     var firstIdx = 0
@@ -488,6 +488,8 @@ object Similarity {
     while (i < cand.length) { if (w(i) > w(firstIdx)) firstIdx = i; i += 1 }
     val rnd = new scala.util.Random(42)
     val seeds = scala.collection.mutable.ArrayBuffer(cand(firstIdx))
+    val picked = new Array[Boolean](cand.length)
+    picked(firstIdx) = true
     val minCos = cand.map(v => cosScalar(v, seeds.head))
     while (seeds.size < math.min(k, cand.length)) {
       var total = 0.0
@@ -502,12 +504,26 @@ object Similarity {
         var found = -1
         i = 0
         while (i < cand.length && found < 0) {
-          acc += w(i) * 2.0 * (1.0 - minCos(i))
-          if (acc >= target) found = i
+          val inc = w(i) * 2.0 * (1.0 - minCos(i))
+          acc += inc
+          // inc > 0 guard: a zero-weight candidate (already a seed,
+          // or weight 0) is a zero-probability outcome and must not
+          // be selected on the target=0 boundary
+          if (inc > 0 && acc >= target) found = i
           i += 1
         }
-        pick = if (found >= 0) found else cand.length - 1
-      } else pick = seeds.size % cand.length // degenerate: no spread left
+        pick = if (found >= 0) found
+          else { val u = picked.indexWhere(p => !p)
+                 if (u >= 0) u else cand.length - 1 }
+      } else {
+        // degenerate (no spread left, e.g. all remaining weights 0):
+        // take the first UNPICKED candidate so distinct candidates
+        // never collapse into duplicate seed centroids. One always
+        // exists: picks-so-far = seeds.size < cand.length.
+        pick = picked.indexWhere(p => !p)
+        if (pick < 0) pick = seeds.size % cand.length
+      }
+      picked(pick) = true
       val nw = cand(pick)
       seeds += nw
       i = 0
@@ -766,13 +782,24 @@ object Similarity {
     * embodiment, whose micro-batches append additive `(batch, i,
     * sum, count)` partials that re-sum to the same centroids (sums
     * are additive; the truncating mean is taken ONCE, at read time).
+    *
+    * "Previous batch" means the previous batch key IN SORT ORDER,
+    * not `batch - 1`: the distinct keys are dense-ranked first, so a
+    * gapped key sequence (e.g. yyyymmdd buckets across a month end)
+    * still drifts against the actual prior wave. The rank frame is
+    * batch-domain (a handful of rows), computed with a single-
+    * partition window by design — never corpus-domain.
     */
   def centroidDriftFrom(cent: DataFrame): DataFrame = {
+    val rk = cent.select(col("batch")).distinct()
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("batch"))))
+    val ranked = cent.join(broadcast(rk), Seq("batch"))
     val nv = cent.filter(col("i") === 0)
       .select(col("batch"), col("cnt").as("n_vecs"))
-    val prev = cent.select((col("batch") + 1).as("batch"), col("i"),
+    val prev = ranked.select((col("rk") + 1).as("rk"), col("i"),
       col("c").as("cp"))
-    val shift = cent.join(broadcast(prev), Seq("batch", "i"), "left")
+    val shift = ranked.join(broadcast(prev), Seq("rk", "i"), "left")
       .groupBy(col("batch"))
       .agg(sum(when(col("cp").isNotNull,
           (col("c") - col("cp")) * (col("c") - col("cp")))).as("shift_sq"),

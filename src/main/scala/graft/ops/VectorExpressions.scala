@@ -648,6 +648,18 @@ case class Sq8Expr(child: Expression, lo: Array[Long],
     case 3 => "sq8PackBytes"
     case _ => "sq8UnpackDequant"
   }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (mode, child.dataType) match {
+      case (4, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (m, ArrayType(LongType, _)) if m <= 3 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (m, other) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs ${if (m == 4) "binary" else "array<long>"}, " +
+            s"got $other")
+    }
   override def dataType: DataType =
     if (mode == 3) BinaryType
     else ArrayType(LongType, containsNull = false)

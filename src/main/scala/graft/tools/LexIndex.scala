@@ -100,6 +100,12 @@ object LexIndex {
     write("postings", postings)
     write("doclens", postings.groupBy(col("id"))
       .agg(sum(col("tf")).as("dl")))
+    // the doc-id MANIFEST: every ingested id, including zero-token
+    // documents (text shorter than the gram) that never reach
+    // doclens — update's dedup anti-joins THIS, not doclens, so
+    // re-ingesting an empty doc can't double-count n / avgdl's
+    // denominator
+    write("docids", docs.select(col(idCol).cast("long").as("id")))
     val n = docs.count()
     val toktot = spark.read.parquet(s"$out/doclens")
       .agg(sum(col("dl"))).head().getLong(0)
@@ -129,13 +135,24 @@ object LexIndex {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val gram = stats0("gram").toInt
     // localCheckpoint cuts lineage back to the artifacts the appends
-    // below write into (same discipline as IndexCorpus.update)
-    val existing = spark.read.parquet(s"$idx/doclens").select(col("id"))
+    // below write into (same discipline as IndexCorpus.update).
+    // Dedup against the docids MANIFEST, not doclens: a zero-token
+    // document never appears in doclens, so a doclens anti-join would
+    // re-admit it and double-count n. Pre-manifest indexes (no
+    // docids artifact) fall back to doclens with the old caveat.
+    val fs = new org.apache.hadoop.fs.Path(s"$idx/docids")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = fs.exists(new org.apache.hadoop.fs.Path(s"$idx/docids"))
+    val existing =
+      if (hasManifest) spark.read.parquet(s"$idx/docids").select(col("id"))
+      else spark.read.parquet(s"$idx/doclens").select(col("id"))
     val fresh = graft.Scratch.localCheckpoint(
       spark.read.parquet(in)
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
         .join(existing, Seq("id"), "left_anti"))
     val nNew = fresh.count()
+    if (hasManifest)
+      fresh.select(col("id")).write.mode("append").parquet(s"$idx/docids")
     val newPostings = graft.Scratch.cache(fresh
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))

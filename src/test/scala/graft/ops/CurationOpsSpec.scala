@@ -431,6 +431,26 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(diff.last.getLong(0) == 2L * 4000000L * 4000000L)
   }
 
+  test("Sq8Expr: a mode/child-type mismatch fails at ANALYSIS time " +
+    "(checkInputDataTypes), not as a runtime ClassCastException") {
+    import spark.implicits._
+    val lo = Array(0L); val wd = Array(1000L)
+    val df = Seq((Seq(333L), Array[Byte](84))).toDF("mv", "bin")
+    // binary child under an array<long> mode, and vice versa
+    val badDequant = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.sq8Dequant(col("bin"), lo, wd)).collect()
+    }
+    assert(badDequant.getMessage.contains("array<long>"))
+    val badUnpack = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorExpressions.sq8UnpackDequant(col("mv"), lo, wd))
+        .collect()
+    }
+    assert(badUnpack.getMessage.contains("binary"))
+    // the well-typed forms still analyze and run
+    assert(df.select(VectorExpressions.sq8Dequant(col("mv"), lo, wd))
+      .collect().head.getSeq[Long](0) == Seq(329L))
+  }
+
   test("sq8AdcRecall: zero quantization error (values on the int8 " +
     "grid) ranks exactly like full precision") {
     import spark.implicits._

@@ -214,6 +214,14 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = Seq((9L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload")
     assert(Multimodal.extractAudioFeatures(bad, "id", "payload", 8)
       .collect().isEmpty)
+    // dims < 1 is a driver-side argument error, not an executor-task
+    // ArithmeticException
+    intercept[IllegalArgumentException] {
+      Multimodal.extractAudioFeatures(media, "id", "payload", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.extractFrameFeatures(media, "id", "payload", 0)
+    }
   }
 
   test("extractImageFeatures pools r+g+b by row-major index mod dims") {

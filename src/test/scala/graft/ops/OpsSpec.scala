@@ -451,6 +451,22 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12))
   }
 
+  test("weightedKmpp degenerate branch (all remaining weights 0) " +
+    "picks distinct unpicked candidates, never duplicate seeds") {
+    // firstIdx = 2 (only positive weight); every later round has
+    // total weight 0, so the degenerate branch fires each time —
+    // the old seeds.size % cand.length arithmetic re-picked index 2
+    val cand = Array(
+      Array(1.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val w = Array(0.0, 0.0, 5.0)
+    val seeds = Similarity.weightedKmpp(cand, w, k = 3)
+    assert(seeds.length == 3)
+    assert(seeds.map(_._2.toSeq).distinct.length == 3,
+      s"duplicate seeds: ${seeds.map(_._2.toSeq).toSeq}")
+  }
+
   test("filtered IVF probe: pre-filter returns the exact filtered " +
     "top-k of the probed cells; post-filter is a subset of it") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -118,4 +118,34 @@ class SelectionOpsSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("c")
     assert(c10 == exp)
   }
+
+  test("centroidDriftFrom: GAPPED batch keys (yyyymmdd across a month " +
+    "end) drift against the actual prior wave, not batch-1") {
+    import spark.implicits._
+    // three waves with non-consecutive keys: 20260130, 20260131,
+    // 20260201 — under the old (batch+1) join the 20260201 wave had
+    // no 'previous' and reported NULL shift_sq
+    val emb = (0L to 11L).map { i =>
+      val day = (i % 3) match {
+        case 0 => 20260130L; case 1 => 20260131L; case _ => 20260201L
+      }
+      (i, day, Seq(i * 0.013f, 1.7f - i * 0.031f, (i % 5) * 0.4f))
+    }.toDF("id", "day", "v")
+    val gapped = Similarity.batchCentroidDrift(
+      emb, "id", "v", col("day"), dims = 3)
+      .collect().map(r => (r.getAs[Long]("batch"),
+        Option(r.getAs[java.lang.Long]("shift_sq")).map(_.toLong),
+        r.getAs[Long]("centroid_norm_sq"))).toSeq
+    // same data with DENSE keys 0,1,2 — drift values must agree
+    val dense = Similarity.batchCentroidDrift(
+      emb, "id", "v", pmod(col("id"), lit(3)), dims = 3)
+      .collect().map(r => (r.getAs[Long]("batch"),
+        Option(r.getAs[java.lang.Long]("shift_sq")).map(_.toLong),
+        r.getAs[Long]("centroid_norm_sq"))).toSeq
+    assert(gapped.map(_._1) == Seq(20260130L, 20260131L, 20260201L))
+    assert(gapped.map(t => (t._2, t._3)) == dense.map(t => (t._2, t._3)))
+    // the first wave has no prior (NULL shift); every later one does
+    assert(gapped.head._2.isEmpty)
+    assert(gapped.tail.forall(_._2.nonEmpty))
+  }
 }

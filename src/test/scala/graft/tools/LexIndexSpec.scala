@@ -90,4 +90,32 @@ class LexIndexSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st("n") == 4L && st("toktot") == 12L && st("avgdl") == 3L)
   }
+
+  test("update: a zero-token document (no grams at the index's gram " +
+    "size) is still deduped on re-ingest — n does not double-count") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("lexidx_zero").toString
+    // gram=2: doc 7 ("solo") emits NO bigrams, so it never reaches
+    // doclens — only the docids manifest knows it was ingested
+    Seq((7L, "solo"), (8L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/docs.parquet")
+    val idx = Files.createTempDirectory("lexidx_zeroidx").toString
+    LexIndex.build(spark, Array(s"$d/docs.parquet", s"$idx/lex",
+      "--gram", "2"))
+    val st0 = spark.read.parquet(s"$idx/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st0("n") == 2L)
+    assert(spark.read.parquet(s"$idx/lex/doclens").count() == 1L)
+    assert(spark.read.parquet(s"$idx/lex/docids").count() == 2L)
+
+    // re-feed the SAME corpus: both docs (including the zero-token
+    // one) must be rejected; n and avgdl's denominator stay at 2
+    val res = LexIndex.update(spark, Array(s"$idx/lex", s"$d/docs.parquet"))
+      .toMap
+    assert(res("ingested") == 0L)
+    val st1 = spark.read.parquet(s"$idx/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st1("n") == 2L && st1("toktot") == st0("toktot"))
+  }
 }
