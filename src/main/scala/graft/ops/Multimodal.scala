@@ -33,11 +33,12 @@ import org.apache.spark.sql.types._
   * to one row per DECODED frame with per-frame pixel statistics,
   * under the same oracle-without-a-codec discipline (the frame grid
   * is pure arithmetic in (id, frame, x, y)). For opaque containers
-  * the JDK has no codec for (MP4 et al.), [[decodeStub]] /
-  * [[sampleFrames]] keep the byte-level plumbing — schema,
-  * partitioning, batch iteration, fan-out shape — real and
-  * oracle-checked, with the codec call clearly marked as the
-  * substitution point.
+  * the JDK has no codec for (MP4 et al.), [[sampleFrames]] keeps the
+  * byte-level plumbing — schema, partitioning, batch iteration,
+  * fan-out shape — real and oracle-checked, with the codec call
+  * clearly marked as the substitution point. (The former md5-fake
+  * decode/resize/feature stubs are retired: every decode path here
+  * runs an actual JDK codec.)
   */
 object Multimodal {
 
@@ -138,6 +139,59 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, imageMetaSchema)
+  }
+
+  val imageIdentitySchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", IntegerType),
+    StructField("px_digest", StringType)))
+
+  /** REAL metadata + content-identity card: decode each payload with
+    * the JDK codec and emit dimensions plus an md5 digest of the
+    * row-major decoded RGB stream (`"r,g,b"` pixels joined by `";"`)
+    * — the integrity fingerprint a media-dedup manifest keys on
+    * (identical rasters collide regardless of container bytes;
+    * any single-pixel decode error flips it). Undecodable payloads
+    * yield a null-metadata row instead of failing the job — one
+    * corrupt file never kills a 100 TB pass. Retired the former md5
+    * byte-length stub (`decodeStub`): this runs the actual codec.
+    */
+  def extractImageMetadata(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          val img = readImage(r.getAs[Array[Byte]](1))
+          if (img == null) Row(id, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sb = new java.lang.StringBuilder(w * h * 12)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y)
+                if (y > 0 || x > 0) sb.append(';')
+                sb.append((v >> 16) & 0xff).append(',')
+                  .append((v >> 8) & 0xff).append(',').append(v & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            md.reset()
+            val digest = md.digest(sb.toString.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Row(id, w, h, w * h, digest)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageIdentitySchema)
   }
 
   /** Pixel-count ceiling for every image/frame decode: a payload whose
@@ -679,121 +733,12 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  val mediaMetaSchema: StructType = StructType(Seq(
-    StructField("id", LongType),
-    StructField("n_bytes", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("digest", StringType)))
-
-  /** STUB decoder: a real implementation would parse the media header
-    * and run feature extraction here. Deterministic fake: dimensions
-    * derived from the byte length, digest from the payload md5.
-    */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val digest = md.digest(bytes).map(b => f"$b%02x").mkString
-    val n = bytes.length
-    (n, n % 512, (n / 512) % 512, digest)
-  }
-
-  /** Batched per-partition decode of (id, payload) -> metadata rows.
-    * One decoder instance per partition, streamed via iterator — no
-    * per-row setup, no full-partition buffering.
-    */
-  def extractMetadata(media: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
-      .mapPartitions { it =>
-        // per-partition init of the (stub) decoder happens here;
-        // a null payload yields null metadata instead of an NPE
-        // (O10: one malformed row never fails the job)
-        it.map { r =>
-          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-          val bytes = r.getAs[Array[Byte]](1)
-          if (bytes == null) Row(id, null, null, null, null)
-          else {
-            val (n, w, h, digest) = decodeStub(bytes)
-            Row(id, n, w, h, digest)
-          }
-        }
-      }
-    spark.createDataFrame(rdd, mediaMetaSchema)
-  }
-
   /** Synthesizes a binary media column from text (UTF-8 bytes) — the
     * test-table embodiment; production input would be real payload
     * bytes from parquet/object storage.
     */
   def synthesizePayload(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload", col(textCol).cast("binary"))
-
-  /** STUB resize: a real implementation would decode, scale to the
-    * target dimensions, and re-encode; the deterministic fake
-    * truncates or zero-pads the payload to targetBytes so the
-    * batched-transform plumbing (binary in -> binary out, per-
-    * partition init) is real and testable.
-    */
-  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
-    java.util.Arrays.copyOf(bytes, targetBytes)
-
-  /** Batched payload resize: (id, payload) -> (id, payload resized). */
-  def resizePayloads(media: DataFrame, idCol: String, payloadCol: String,
-      targetBytes: Int): DataFrame = {
-    val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("payload", org.apache.spark.sql.types.BinaryType)))
-    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
-      .mapPartitions { it =>
-        it.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          if (r.isNullAt(0) || bytes == null) Iterator.empty
-          else Iterator.single(Row(r.getLong(0), resizeStub(bytes, targetBytes)))
-        }
-      }
-    spark.createDataFrame(rdd, schema)
-  }
-
-  /** STUB feature extractor: a real implementation would decode the
-    * payload and run a vision/audio model per partition batch; the
-    * deterministic fake derives a dims-length vector from md5 of the
-    * payload bytes + dimension index. Components are INTEGER-valued
-    * floats ((hash32 % 1001) - 500) — exactly representable in both
-    * engines, so the downstream cosine math is oracle-checkable with
-    * no float-rounding hazard (cosine is scale-invariant, a magnitude
-    * normalization would add nothing).
-    */
-  def featureStub(bytes: Array[Byte], dims: Int): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val text = new String(bytes, "UTF-8") // stub: real decoders read the codec, not UTF-8
-    Array.tabulate(dims) { d =>
-      val h = graft.ops.SketchKernels.hash32(md, text + "_" + d)
-      (h % 1001L - 500L).toFloat
-    }
-  }
-
-  /** Batched per-partition feature extraction: (id, payload) ->
-    * (id, features array<float>) — the multimodal on-ramp to the
-    * similarity/dedup operators (ANN top-k, near-dup pairs, kNN join).
-    */
-  def extractFeatures(media: DataFrame, idCol: String, payloadCol: String,
-      dims: Int): DataFrame = {
-    val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val rdd = media.select(col(idCol).cast("long"), col(payloadCol)).rdd
-      .mapPartitions { it =>
-        // per-partition init of the (stub) model happens here
-        it.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          if (r.isNullAt(0) || bytes == null) Iterator.empty
-          else Iterator.single(Row(r.getLong(0), featureStub(bytes, dims).toSeq))
-        }
-      }
-    spark.createDataFrame(rdd, schema)
-  }
 
   val frameSchema: StructType = StructType(Seq(
     StructField("id", LongType),

@@ -770,8 +770,7 @@ object OpsQueries {
     // channel sums + position-weighted checksum emitted. The oracle
     // recomputes the resample arithmetically from the deterministic
     // pixel spec — a wrong decode or wrong sample index flips the
-    // hash. (The byte-level truncation resize remains covered by
-    // OpsSpec's resizePayloads pin.)
+    // hash.
     "q49_multimodal_resize" -> Q(
       (s, dir) => {
         val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
@@ -879,27 +878,30 @@ object OpsQueries {
     // per-group mean-pooled feature centroids in the dimension-pivoted
     // layout (posexplode -> one (grp, dim) hash agg; vectors never ride
     // a shuffle whole). Exact: integer-valued features, floor over an
-    // IEEE-identical double division
+    // IEEE-identical double division. The features now come from the
+    // REAL image decode ([[Multimodal.extractImageFeatures]] over the
+    // synthesized PNGs — the former md5 featureStub is retired); the
+    // oracle re-derives the pooled components arithmetically from the
+    // deterministic pixel spec, no codec on the DuckDB side.
     "q64_feature_centroids" -> Q(
       (s, dir) => {
-        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
-        val feats = Multimodal.extractFeatures(docs, "doc_id", "payload", dims = 16)
+        val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
+        val feats = Multimodal.extractImageFeatures(imgs, "id", "payload",
+          dims = 16)
         Similarity.groupCentroids(feats, pmod(col("id"), lit(8)), "features")
           .orderBy(col("grp"), col("dim"))
       },
       Some(
-        s"""WITH f AS (
-           | SELECT doc_id, list_transform(generate_series(0, 15), d ->
-           |  (('0x' || substr(md5(text || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
-           |   % 1001) - 500) AS fe
-           | FROM documents),
-           |e AS (
-           | SELECT doc_id % 8 AS grp, i - 1 AS dim, fe[i] AS x
-           | FROM f, generate_series(1, 16) AS t(i))
-           |SELECT CAST(grp AS BIGINT) AS grp, CAST(dim AS INTEGER) AS dim,
+        s"""WITH $pixelCtes,
+           |fd AS (
+           | SELECT doc_id, (y*w + x) % 16 AS dim,
+           |  CAST(sum(r + g + b) AS BIGINT) AS x
+           | FROM px GROUP BY 1, 2)
+           |SELECT CAST(doc_id % 8 AS BIGINT) AS grp,
+           | CAST(dim AS INTEGER) AS dim,
            | count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
            | CAST(floor(sum(x) * 1000.0 / count(*)) AS BIGINT) AS mean_milli
-           |FROM e GROUP BY grp, dim ORDER BY grp, dim""".stripMargin)),
+           |FROM fd GROUP BY grp, dim ORDER BY grp, dim""".stripMargin)),
 
     // tf-idf top terms per doc (inverted-index shape): integer-exact
     // rational idf (tf * SCALE * N DIV df) — no ln(), which is
@@ -1114,19 +1116,30 @@ object OpsQueries {
            |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // REAL media metadata + content-identity card: every PNG payload
+    // is decoded by the actual JDK codec and fingerprinted over its
+    // ROW-MAJOR DECODED RGB STREAM (md5 of "r,g,b" pixels joined by
+    // ';') — the digest a media-dedup manifest keys on: identical
+    // rasters collide whatever the container bytes, and any
+    // single-pixel decode error flips the hash. The oracle rebuilds
+    // the exact same pixel string arithmetically from the
+    // deterministic pixel spec (no codec on the DuckDB side) and
+    // md5s it — so the row only matches if ImageIO returned every
+    // pixel exactly. Retires the former md5-of-payload-bytes stub.
     "q30_multimodal_meta" -> Q(
       (s, dir) => {
-        val docs = Multimodal.synthesizePayload(t(s, dir, "documents"), "text")
-        Multimodal.extractMetadata(docs, "doc_id", "payload")
+        val imgs = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
+        Multimodal.extractImageMetadata(imgs, "id", "payload")
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
       Some(
-        """SELECT doc_id,
-          | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-          | CAST(octet_length(encode(text)) % 512 AS INTEGER) AS width,
-          | CAST((octet_length(encode(text)) // 512) % 512 AS INTEGER) AS height,
-          | md5(text) AS digest
-          |FROM documents ORDER BY doc_id""".stripMargin))
+        s"""WITH $pixelCtes
+           |SELECT doc_id, max(w) AS width, max(h) AS height,
+           | CAST(max(w) * max(h) AS INTEGER) AS n_pixels,
+           | md5(string_agg(
+           |   CAST(r AS VARCHAR) || ',' || CAST(g AS VARCHAR) || ',' ||
+           |   CAST(b AS VARCHAR), ';' ORDER BY y, x)) AS px_digest
+           |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

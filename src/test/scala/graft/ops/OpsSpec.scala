@@ -611,23 +611,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getString(1) == out(2).getString(1))
   }
 
-  test("multimodal resize truncates or pads to the target size") {
-    val media = Multimodal.synthesizePayload(docs, "text")
-    val resized = Multimodal.resizePayloads(media, "doc_id", "payload", 16)
-    val byId = resized.collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    assert(byId.values.forall(_.length == 16))
-    assert(new String(byId(5L).take(9), "UTF-8") == "short doc") // padded
-    assert(new String(byId(0L), "UTF-8") == "the quick brown " ) // truncated
-  }
-
-  test("multimodal metadata derives from real payload bytes") {
-    val media = Multimodal.synthesizePayload(docs, "text")
-    val meta = Multimodal.extractMetadata(media, "doc_id", "payload")
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(4))).toMap
-    assert(meta(5L)._1 == "short doc".getBytes("UTF-8").length)
+  test("multimodal metadata card: real decode, md5 over the row-major " +
+    "decoded RGB stream; corrupt payload yields the null-metadata row") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeImages(Seq(4L).toDF("doc_id"), "doc_id")
+    val meta = Multimodal.extractImageMetadata(media, "id", "payload")
+      .collect().head
+    val (w, h) = (Multimodal.imageWidth(4L), Multimodal.imageHeight(4L))
+    assert(meta.getInt(1) == w && meta.getInt(2) == h)
+    assert(meta.getInt(3) == w * h)
+    // recompute the digest from the deterministic pixel spec — the
+    // q30 oracle's contract, sans codec
+    val s = (for (y <- 0 until h; x <- 0 until w) yield
+      (0 to 2).map(c => Multimodal.pixelValue(4L, x, y, c)).mkString(","))
+      .mkString(";")
     val md = java.security.MessageDigest.getInstance("MD5")
-    val expected = md.digest("short doc".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    assert(meta(5L)._2 == expected)
+    val expected = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(meta.getString(4) == expected)
+    // a raster-identical payload in a DIFFERENT container byte stream
+    // must collide (content identity, not byte identity): re-encode
+    // the same pixels as BMP and compare digests
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (Multimodal.pixelValue(4L, x, y, 0) << 16) |
+        (Multimodal.pixelValue(4L, x, y, 1) << 8) |
+        Multimodal.pixelValue(4L, x, y, 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val bmp = Seq((4L, bos.toByteArray)).toDF("id", "payload")
+    val bmpMeta = Multimodal.extractImageMetadata(bmp, "id", "payload")
+      .collect().head
+    assert(bmpMeta.getString(4) == expected)
+    // corrupt payload -> null metadata, not a task failure
+    val bad = Seq((9L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val badRow = Multimodal.extractImageMetadata(bad, "id", "payload")
+      .collect().head
+    assert(badRow.getLong(0) == 9L && badRow.isNullAt(1) && badRow.isNullAt(4))
   }
 }
