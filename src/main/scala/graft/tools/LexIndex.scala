@@ -60,11 +60,14 @@ object LexIndex {
     spark.sparkContext.setLogLevel("WARN")
     try {
       args.headOption match {
-        case Some("build")  => build(spark, args.drop(1))
-        case Some("update") => update(spark, args.drop(1))
+        case Some("build")   => build(spark, args.drop(1))
+        case Some("update")  => update(spark, args.drop(1))
+        case Some("delete")  => delete(spark, args.drop(1))
+        case Some("compact") => compact(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
-        case _ => sys.error("usage: LexIndex build|update|search ...")
+        case _ =>
+          sys.error("usage: LexIndex build|update|delete|compact|search ...")
       }
     } finally spark.stop()
   }
@@ -167,6 +170,107 @@ object LexIndex {
       .toDF("key", "value")
       .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
     Seq("ingested" -> nNew)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Live doc ids = manifest minus tombstones (manifest-less legacy
+    * indexes fall back to doclens ids).
+    */
+  private def liveIds(spark: SparkSession, idx: String): DataFrame = {
+    val all =
+      if (exists(spark, s"$idx/docids"))
+        spark.read.parquet(s"$idx/docids").select(col("id"))
+      else spark.read.parquet(s"$idx/doclens").select(col("id"))
+    if (exists(spark, s"$idx/tombstones"))
+      all.join(spark.read.parquet(s"$idx/tombstones"), Seq("id"), "left_anti")
+    else all
+  }
+
+  /** Retract documents from the index. Deletion is a TOMBSTONE, not a
+    * rewrite: the doc ids append to a `tombstones` artifact (O(deleted)
+    * cost — at 100 TB a delete wave must not repay the build) and the
+    * scalar stats rewrite from the surviving doclens, so n / avgdl are
+    * immediately exact. [[search]] anti-joins the tombstones before
+    * deriving df, which makes post-delete answers IDENTICAL to a fresh
+    * build over the surviving corpus — the q271 driver row proves it
+    * under the full-chain oracle. Physical space comes back at the
+    * next [[compact]]. Ids not present (or already deleted) are
+    * ignored; re-ingesting a tombstoned id via [[update]] is rejected
+    * by the docids manifest (deletes are permanent retractions —
+    * redacted or opted-out documents must not resurface).
+    */
+  def delete(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: delete <indexDir> <ids.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "doc_id")
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val doomed = graft.Scratch.localCheckpoint(
+      spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
+        .distinct()
+        .join(liveIds(spark, idx), Seq("id"), "left_semi"))
+    val nDel = doomed.count()
+    doomed.write.mode("append").parquet(s"$idx/tombstones")
+    rewriteStats(spark, idx)
+    Seq("deleted" -> nDel)
+  }
+
+  /** Fold the tombstones into the files: rewrite postings / doclens /
+    * docids without the deleted ids, each re-coalesced (repeated
+    * `update` appends accumulate one parquet fragment per ingest —
+    * compaction merges them), then drop the tombstone set. Answers are
+    * unchanged by construction (search already honored the tombstones)
+    * — q272 pins that under the driver hash; what changes is physical:
+    * fragment count and dead rows, which LexIndexSpec asserts.
+    */
+  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 1, "usage: compact <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    val live = liveIds(spark, idx)
+    val written = Seq.newBuilder[(String, Long)]
+    Seq("postings", "doclens", "docids").foreach { name =>
+      val path = s"$idx/$name"
+      if (exists(spark, path)) {
+        // localCheckpoint materializes the survivors BEFORE the
+        // overwrite truncates the very files the plan reads
+        val survivors = graft.Scratch.localCheckpoint(
+          spark.read.parquet(path)
+            .join(broadcast(live.select(col("id"))), Seq("id"), "left_semi"))
+        survivors.coalesce(1).write.mode("overwrite").parquet(path)
+        written += (name -> spark.read.parquet(path).count())
+      }
+    }
+    val tomb = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    rewriteStats(spark, idx)
+    written.result()
+  }
+
+  /** Rewrite the scalar stats frame from the CURRENT live state —
+    * shared by build/update/delete/compact so n and avgdl always
+    * reflect exactly the searchable documents.
+    */
+  private def rewriteStats(spark: SparkSession, idx: String): Unit = {
+    import spark.implicits._
+    val gram = spark.read.parquet(s"$idx/stats")
+      .filter(col("key") === "gram").head().getLong(1)
+    val live = graft.Scratch.cache(liveIds(spark, idx))
+    val n = live.count()
+    val toktot = spark.read.parquet(s"$idx/doclens")
+      .join(broadcast(live), Seq("id"), "left_semi")
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    Seq(("n", n), ("toktot", toktot),
+      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
   }
 
   /** Search the persisted index with a raw query string: tokenize it
