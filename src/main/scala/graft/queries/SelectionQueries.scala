@@ -27,13 +27,20 @@ object SelectionQueries {
   private val SeqLen = 512L
 
   /** The q267 single-query lexical search card (doc 0's first five
-    * tokens as the phrase, full-corpus BM25 statistics), shared by
+    * tokens as the phrase, corpus-wide BM25 statistics), shared by
     * q268 — whose build-subset-then-update index must be
-    * state-identical to the full build for this oracle to hash.
+    * state-identical to the full build for this oracle to hash — and,
+    * restricted by `where`, by q271/q272: a post-delete (and
+    * post-compact) index must answer exactly like a fresh build over
+    * the SURVIVING corpus, so the oracle is the same chain with the
+    * retracted documents filtered out of every statistic (tf, dl, n,
+    * avgdl, df).
     */
-  private lazy val lexSearchOracleSql: String =
-    s"""WITH tk AS MATERIALIZED (
-       | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+  private def lexSearchOracle(where: String): String =
+    s"""WITH docs AS MATERIALIZED (
+       | SELECT doc_id, text FROM documents $where),
+       |tk AS MATERIALIZED (
+       | SELECT doc_id AS id, $toksSql AS tt FROM docs),
        |toks AS MATERIALIZED (
        | SELECT id, unnest(list_transform(
        |  generate_series(1, len(tt) - 1),
@@ -43,9 +50,9 @@ object SelectionQueries {
        |dl AS MATERIALIZED (
        | SELECT id, count(*) AS dl FROM toks GROUP BY 1),
        |g AS MATERIALIZED (
-       | SELECT (SELECT count(*) FROM documents) AS n,
+       | SELECT (SELECT count(*) FROM docs) AS n,
        |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM dl)
-       |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+       |   // (SELECT count(*) FROM docs) AS BIGINT) AS avgdl),
        |qt AS MATERIALIZED (
        | SELECT unnest(list_distinct(list_slice(list_transform(
        |   generate_series(1, len(tt) - 1),
@@ -70,6 +77,8 @@ object SelectionQueries {
        | FROM cand GROUP BY 1)
        |SELECT CAST(id AS BIGINT) AS id, score
        |FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin
+
+  private lazy val lexSearchOracleSql: String = lexSearchOracle("")
 
   /** The q260 integer-BM25 top-10 card over word bigrams, shared
     * verbatim by its streaming embodiment q263 (frozen collection
@@ -2538,6 +2547,65 @@ object SelectionQueries {
         graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
       },
       Some(lexSearchOracleSql)),
+
+    // LexIndex RETRACTION: build on the full corpus, `delete` the
+    // doc_id % 4 == 3 quarter (a tombstone append, O(deleted) — no
+    // rebuild), then search. The deleted documents must vanish from
+    // results AND from every collection statistic (df derives from
+    // the tombstone-filtered postings; n/avgdl rewrite from the
+    // survivors), so the oracle is q267's chain over the SURVIVING
+    // corpus only — post-delete answers equal a fresh build over the
+    // survivors, bit for bit. The resurrection rule (update cannot
+    // re-admit a tombstoned id) and the physical claims live in
+    // LexIndexSpec.
+    "q271_lex_index_delete" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q271").toString
+        val docs = t(s, dir, "documents")
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet"))
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracle("WHERE doc_id % 4 <> 3"))),
+
+    // LexIndex COMPACTION: q271's delete followed by `compact` —
+    // the tombstones fold into postings/doclens, append fragments
+    // merge, the retraction set survives — and the search answers
+    // must be UNCHANGED by the physical rewrite: the same
+    // survivor-corpus oracle as q271, re-hashed through an index
+    // whose dead rows are now physically gone rather than
+    // anti-joined away. Fragment/dead-row/resurrection assertions
+    // are LexIndexSpec's compact test.
+    "q272_lex_index_compact" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q272").toString
+        val docs = t(s, dir, "documents")
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet"))
+        graft.tools.LexIndex.compact(s, Array(s"$tmp/lex"))
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracle("WHERE doc_id % 4 <> 3"))),
 
     // Learning-to-rank feature export: ONE frame per (query,
     // candidate) carrying the features a ranker trains on — exact

@@ -39,11 +39,22 @@ import graft.ops.TextOps
   * to a fresh build over the union — q268 proves it under the
   * driver hash by sharing q267's full-build oracle.
   *
+  * Lifecycle: `delete` retracts documents by TOMBSTONE (O(deleted);
+  * q271 proves post-delete search == a fresh build over the
+  * survivors), `compact` folds the tombstones into the files and
+  * merges append fragments without forgetting the retraction set
+  * (q272 proves answers unchanged). The docids artifact is the
+  * EVER-INGESTED manifest — it only grows, which is what makes
+  * retraction permanent across update/compact.
+  *
   * Usage:
   *   runMain graft.tools.LexIndex build <docs.parquet> <indexDir>
   *     [--id doc_id] [--text text] [--gram 2]
   *   runMain graft.tools.LexIndex update <indexDir> <newDocs.parquet>
   *     [--id doc_id] [--text text]
+  *   runMain graft.tools.LexIndex delete <indexDir> <ids.parquet>
+  *     [--id doc_id]
+  *   runMain graft.tools.LexIndex compact <indexDir>
   *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
   *     [--k 10]
   */
@@ -120,10 +131,13 @@ object LexIndex {
   }
 
   /** Incremental ingest: append the new documents' postings and doc
-    * lengths (ids already present are rejected — callers dedup
-    * upstream, the q78 incremental contract), rewrite the scalar
-    * stats from the updated doclens. The tokenizer gram comes from
-    * the index's own stats. EXACT by construction: see object doc.
+    * lengths (ids already present OR ever retracted are rejected —
+    * the docids manifest is EVER-INGESTED, so a tombstoned id can
+    * never resurface; see [[delete]]), then rewrite the scalar stats
+    * from the live state via [[rewriteStats]] — the shared path, so a
+    * delete-then-update sequence can't write a toktot that still
+    * counts tombstoned documents. The tokenizer gram comes from the
+    * index's own stats. EXACT by construction: see object doc.
     */
   def update(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: update <indexDir> <newDocs.parquet> [flags]")
@@ -142,33 +156,36 @@ object LexIndex {
     // Dedup against the docids MANIFEST, not doclens: a zero-token
     // document never appears in doclens, so a doclens anti-join would
     // re-admit it and double-count n. Pre-manifest indexes (no
-    // docids artifact) fall back to doclens with the old caveat.
-    val fs = new org.apache.hadoop.fs.Path(s"$idx/docids")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasManifest = fs.exists(new org.apache.hadoop.fs.Path(s"$idx/docids"))
-    val existing =
+    // docids artifact) fall back to doclens plus the tombstones (a
+    // legacy index that saw a delete must still reject the retracted
+    // ids even though its doclens was compacted).
+    val hasManifest = exists(spark, s"$idx/docids")
+    val known =
       if (hasManifest) spark.read.parquet(s"$idx/docids").select(col("id"))
       else spark.read.parquet(s"$idx/doclens").select(col("id"))
+    val existing =
+      if (!hasManifest && exists(spark, s"$idx/tombstones"))
+        known.unionByName(
+          spark.read.parquet(s"$idx/tombstones").select(col("id")))
+      else known
     val fresh = graft.Scratch.localCheckpoint(
       spark.read.parquet(in)
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
         .join(existing, Seq("id"), "left_anti"))
     val nNew = fresh.count()
-    if (hasManifest)
-      fresh.select(col("id")).write.mode("append").parquet(s"$idx/docids")
     val newPostings = graft.Scratch.cache(fresh
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
     newPostings.write.mode("append").parquet(s"$idx/postings")
     newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
       .write.mode("append").parquet(s"$idx/doclens")
-    val n = stats0("n") + nNew
-    val toktot = spark.read.parquet(s"$idx/doclens")
-      .agg(sum(col("dl"))).head().getLong(0)
-    Seq(("n", n), ("toktot", toktot),
-      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
-      .toDF("key", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
+    // manifest append LAST: a failure mid-update must not leave ids
+    // in the manifest with no indexed content (the anti-join would
+    // then permanently block re-ingesting those documents)
+    if (hasManifest)
+      fresh.select(col("id")).write.mode("append").parquet(s"$idx/docids")
+    refresh(spark, idx)
+    rewriteStats(spark, idx)
     Seq("ingested" -> nNew)
   }
 
@@ -176,6 +193,16 @@ object LexIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Invalidate any cached plan that scans the index files. Every
+    * mutating command calls this after its writes: a search may have
+    * left a (query-scoped, not-yet-released) cached scan of the old
+    * file set in the session's CacheManager, and a later same-shaped
+    * plan would silently reuse it — reading appended-over listings or
+    * compacted-away files.
+    */
+  private def refresh(spark: SparkSession, idx: String): Unit =
+    spark.catalog.refreshByPath(idx)
 
   /** Live doc ids = manifest minus tombstones (manifest-less legacy
     * indexes fall back to doclens ids).
@@ -197,11 +224,14 @@ object LexIndex {
     * immediately exact. [[search]] anti-joins the tombstones before
     * deriving df, which makes post-delete answers IDENTICAL to a fresh
     * build over the surviving corpus — the q271 driver row proves it
-    * under the full-chain oracle. Physical space comes back at the
-    * next [[compact]]. Ids not present (or already deleted) are
-    * ignored; re-ingesting a tombstoned id via [[update]] is rejected
-    * by the docids manifest (deletes are permanent retractions —
-    * redacted or opted-out documents must not resurface).
+    * by hashing a post-delete search against the survivor-corpus
+    * oracle chain. Physical space comes back at the next [[compact]].
+    * Ids not present (or already deleted) are ignored; re-ingesting a
+    * tombstoned id via [[update]] is rejected because the docids
+    * manifest is EVER-INGESTED — neither delete nor compact ever
+    * removes an id from it (deletes are permanent retractions —
+    * redacted or opted-out documents must not resurface; LexIndexSpec
+    * exercises the resurrection rule both before and after compact).
     */
   def delete(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: delete <indexDir> <ids.parquet> [flags]")
@@ -217,39 +247,65 @@ object LexIndex {
         .join(liveIds(spark, idx), Seq("id"), "left_semi"))
     val nDel = doomed.count()
     doomed.write.mode("append").parquet(s"$idx/tombstones")
+    refresh(spark, idx)
     rewriteStats(spark, idx)
     Seq("deleted" -> nDel)
   }
 
-  /** Fold the tombstones into the files: rewrite postings / doclens /
-    * docids without the deleted ids, each re-coalesced (repeated
+  /** Fold the tombstones into the content files: rewrite postings and
+    * doclens without the deleted ids (an anti-join against the SMALL
+    * tombstone set — O(index) rewrite but O(deleted) join state, never
+    * a broadcast of the live ids), each re-coalesced (repeated
     * `update` appends accumulate one parquet fragment per ingest —
-    * compaction merges them), then drop the tombstone set. Answers are
-    * unchanged by construction (search already honored the tombstones)
-    * — q272 pins that under the driver hash; what changes is physical:
-    * fragment count and dead rows, which LexIndexSpec asserts.
+    * compaction merges them; docids merges too, UNFILTERED). What
+    * compact must NOT do is forget: the docids manifest keeps every
+    * ever-ingested id and the tombstones artifact survives (distinct,
+    * coalesced) as the permanent retraction set — otherwise a
+    * post-compact [[update]] would re-admit a retracted id. Answers
+    * are unchanged by construction (search already honored the
+    * tombstones) — q272 pins that by hashing a delete-then-compact
+    * search against the same survivor-corpus oracle as q271; the
+    * physical claims (dead rows gone, fragments merged, retraction
+    * still enforced) are LexIndexSpec's compact tests.
     */
   def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 1, "usage: compact <indexDir>")
     val idx = args(0)
     GraftSession.tune(spark)
-    val live = liveIds(spark, idx)
+    refresh(spark, idx)
+    val hasTomb = exists(spark, s"$idx/tombstones")
     val written = Seq.newBuilder[(String, Long)]
-    Seq("postings", "doclens", "docids").foreach { name =>
+    def rewrite(name: String, filtered: Boolean): Unit = {
       val path = s"$idx/$name"
       if (exists(spark, path)) {
-        // localCheckpoint materializes the survivors BEFORE the
-        // overwrite truncates the very files the plan reads
-        val survivors = graft.Scratch.localCheckpoint(
-          spark.read.parquet(path)
-            .join(broadcast(live.select(col("id"))), Seq("id"), "left_semi"))
-        survivors.coalesce(1).write.mode("overwrite").parquet(path)
+        val src = spark.read.parquet(path)
+        val out =
+          if (filtered && hasTomb)
+            src.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
+              Seq("id"), "left_anti")
+          else src
+        // localCheckpoint is LAZY — the count() forces every
+        // partition into block storage BEFORE the overwrite
+        // truncates the very files the plan reads
+        val snap = graft.Scratch.localCheckpoint(out)
+        snap.count()
+        snap.coalesce(1).write.mode("overwrite").parquet(path)
+        refresh(spark, path)
         written += (name -> spark.read.parquet(path).count())
       }
     }
-    val tomb = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
-    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tomb)) fs.delete(tomb, true)
+    rewrite("postings", filtered = true)
+    rewrite("doclens", filtered = true)
+    rewrite("docids", filtered = false)
+    if (hasTomb) {
+      val tomb = graft.Scratch.localCheckpoint(
+        spark.read.parquet(s"$idx/tombstones").select(col("id")).distinct())
+      tomb.count()
+      tomb.coalesce(1).write.mode("overwrite").parquet(s"$idx/tombstones")
+      refresh(spark, s"$idx/tombstones")
+      written += ("tombstones" -> spark.read
+        .parquet(s"$idx/tombstones").count())
+    }
     rewriteStats(spark, idx)
     written.result()
   }
@@ -276,9 +332,13 @@ object LexIndex {
   /** Search the persisted index with a raw query string: tokenize it
     * with the index's own gram setting (distinct terms, query-side
     * tf ignored — the standard set-of-terms BM25 form this engine
-    * pins everywhere), look each term's df up in the postings,
-    * prune idf-0 terms, score ONLY the surviving terms' posting
-    * lists, top-k by (score desc, id).
+    * pins everywhere), restrict the postings to the searched terms,
+    * anti-join the tombstones (a retracted document must neither
+    * appear in results nor inflate df — the q271 contract), derive
+    * df, prune idf-0 terms, score the surviving candidate lists,
+    * top-k by (score desc, id). The tombstone anti-join runs AFTER
+    * the term restriction, so its left side is the searched posting
+    * lists, never the whole index.
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 2, "usage: search <indexDir> <query> [flags]")
@@ -297,15 +357,21 @@ object LexIndex {
     val qTerms = Seq(query).toDF("text")
       .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
         .as("t"))
-    val postings = spark.read.parquet(s"$idx/postings")
-    val dfq = broadcast(postings
+    val qPost0 = spark.read.parquet(s"$idx/postings")
       .join(broadcast(qTerms), Seq("t"))
+    val qPost = graft.Scratch.cache(
+      if (exists(spark, s"$idx/tombstones"))
+        qPost0.join(
+          spark.read.parquet(s"$idx/tombstones").select(col("id")),
+          Seq("id"), "left_anti")
+      else qPost0)
+    val dfq = broadcast(qPost
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
       .filter(col("idf") > 0)
       .select(col("t"), col("idf")))
-    postings.join(dfq, Seq("t"))
+    qPost.join(dfq, Seq("t"))
       .join(spark.read.parquet(s"$idx/doclens"), Seq("id"))
       .withColumn("term", expr(
         s"idf * 22000 * tf * $avgdl DIV " +

@@ -118,4 +118,130 @@ class LexIndexSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st1("n") == 2L && st1("toktot") == st0("toktot"))
   }
+
+  private def searchPairs(idx: String, q: String): Seq[(Long, Long)] =
+    LexIndex.search(spark, Array(idx, q))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("delete: post-delete search equals a fresh build over the " +
+    "survivors (results, df, and n/avgdl all exclude the retracted " +
+    "docs); absent ids are ignored") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_del").toString
+    LexIndex.build(spark, Array(in, s"$idx/lex", "--gram", "1"))
+    // retract docs 1 and 2 (plus an id the index never saw)
+    val ids = Files.createTempDirectory("lexidx_delids").toString
+    Seq(1L, 2L, 99L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ids/del.parquet")
+    val res = LexIndex.delete(spark,
+      Array(s"$idx/lex", s"$ids/del.parquet")).toMap
+    assert(res("deleted") == 2L)
+
+    // the survivor reference: a fresh index over docs {0, 3}
+    val surv = Files.createTempDirectory("lexidx_surv").toString
+    spark.read.parquet(in)
+      .filter(col("doc_id") === 0 || col("doc_id") === 3)
+      .write.mode("overwrite").parquet(s"$surv/docs.parquet")
+    val ref = Files.createTempDirectory("lexidx_refidx").toString
+    LexIndex.build(spark,
+      Array(s"$surv/docs.parquet", s"$ref/lex", "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian", "durian fig", "apple"))
+      assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$ref/lex", q),
+        s"query '$q'")
+    // stats rewrote to the survivor corpus: docs 0 (dl 2) and 3 (dl 4)
+    val st = spark.read.parquet(s"$idx/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("n") == 2L && st("toktot") == 6L && st("avgdl") == 3L)
+    // double-delete is a no-op
+    assert(LexIndex.delete(spark,
+      Array(s"$idx/lex", s"$ids/del.parquet")).toMap.apply("deleted") == 0L)
+  }
+
+  test("compact: dead rows gone, fragments merged, answers unchanged, " +
+    "and retraction still enforced afterwards (ever-ingested manifest " +
+    "+ surviving tombstones)") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_cmp").toString
+    // subset build + update so the artifacts carry append FRAGMENTS
+    val sub = Files.createTempDirectory("lexidx_cmp_sub").toString
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.mode("overwrite").parquet(s"$sub/part.parquet")
+    LexIndex.build(spark, Array(s"$sub/part.parquet", s"$idx/lex",
+      "--gram", "1"))
+    LexIndex.update(spark, Array(s"$idx/lex", in))
+    val ids = Files.createTempDirectory("lexidx_cmp_ids").toString
+    Seq(1L, 2L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ids/del.parquet")
+    LexIndex.delete(spark, Array(s"$idx/lex", s"$ids/del.parquet"))
+    val before = Seq("apple banana", "durian fig", "apple")
+      .map(q => q -> searchPairs(s"$idx/lex", q))
+
+    def fragments(name: String): Int =
+      new java.io.File(s"$idx/lex/$name").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    assert(fragments("postings") > 1, "update should have appended a fragment")
+    // dead postings present pre-compact (docs 1 and 2 still on disk)
+    assert(spark.read.parquet(s"$idx/lex/postings")
+      .filter(col("id").isin(1L, 2L)).count() > 0)
+
+    LexIndex.compact(spark, Array(s"$idx/lex"))
+
+    // physical: one fragment per artifact, zero dead rows
+    for (n <- Seq("postings", "doclens", "docids"))
+      assert(fragments(n) == 1, s"$n fragments")
+    assert(spark.read.parquet(s"$idx/lex/postings")
+      .filter(col("id").isin(1L, 2L)).count() == 0)
+    assert(spark.read.parquet(s"$idx/lex/doclens")
+      .filter(col("id").isin(1L, 2L)).count() == 0)
+    // logical: answers unchanged
+    for ((q, want) <- before)
+      assert(searchPairs(s"$idx/lex", q) == want, s"query '$q'")
+    // the manifest is EVER-INGESTED: compact kept the retracted ids,
+    // and the tombstones artifact survived
+    assert(spark.read.parquet(s"$idx/lex/docids").count() == 4L)
+    assert(spark.read.parquet(s"$idx/lex/tombstones").count() == 2L)
+    // resurrection rule: re-feeding a tombstoned id after compact is
+    // rejected — the retraction is permanent
+    val res = LexIndex.update(spark, Array(s"$idx/lex", in)).toMap
+    assert(res("ingested") == 0L)
+    assert(searchPairs(s"$idx/lex", "apple banana") ==
+      before.head._2, "post-update answers must not resurface doc 1")
+  }
+
+  test("delete then update: stats stay consistent (toktot excludes the " +
+    "tombstoned docs the moment update rewrites them)") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_du").toString
+    // build on docs {0,1,2}, delete doc 1, then update with doc 3:
+    // n = 3 and toktot must count docs {0,2,3} only
+    val sub = Files.createTempDirectory("lexidx_du_sub").toString
+    spark.read.parquet(in).filter(col("doc_id") < 3)
+      .write.mode("overwrite").parquet(s"$sub/part.parquet")
+    LexIndex.build(spark, Array(s"$sub/part.parquet", s"$idx/lex",
+      "--gram", "1"))
+    val ids = Files.createTempDirectory("lexidx_du_ids").toString
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ids/del.parquet")
+    LexIndex.delete(spark, Array(s"$idx/lex", s"$ids/del.parquet"))
+    LexIndex.update(spark, Array(s"$idx/lex", in))
+    val st = spark.read.parquet(s"$idx/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dl: doc0=2, doc2=2, doc3=4 -> toktot 8, n 3, avgdl 2
+    assert(st("n") == 3L, s"n = ${st("n")}")
+    assert(st("toktot") == 8L, s"toktot = ${st("toktot")}")
+    assert(st("avgdl") == 2L)
+    // and the search agrees with a fresh build over {0,2,3}
+    val surv = Files.createTempDirectory("lexidx_du_surv").toString
+    spark.read.parquet(in).filter(col("doc_id") =!= 1)
+      .write.mode("overwrite").parquet(s"$surv/docs.parquet")
+    val ref = Files.createTempDirectory("lexidx_du_ref").toString
+    LexIndex.build(spark,
+      Array(s"$surv/docs.parquet", s"$ref/lex", "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian"))
+      assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$ref/lex", q),
+        s"query '$q'")
+  }
 }
