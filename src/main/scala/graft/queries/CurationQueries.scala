@@ -768,6 +768,67 @@ object CurationQueries {
            |  ORDER BY rrf DESC, id) AS BIGINT) AS rnk FROM f)
            |WHERE rnk <= 10 ORDER BY rnk""".stripMargin)),
 
+    // Vector-index RETRACTION + COMPACTION, driver-checked end to end
+    // THROUGH THE CLI ARTIFACTS: build the SQ8 index on the full
+    // corpus, `delete` the vec_id % 5 == 3 fifth (a tombstone append
+    // — the router, codebooks, and sq8 ranges NEVER retrain on
+    // delete), `compact` (membership artifacts rewritten over the
+    // survivors, tombstones kept as the permanent retraction set),
+    // then run q262's search. The oracle is q262's closed-form chain
+    // with ONE extra predicate — the retracted ids excluded from the
+    // candidates — which is precisely "a fresh build over the
+    // survivors fed the same frozen model". Resurrection/fragment
+    // assertions live in IndexCorpusSpec. Fresh temp dir per
+    // invocation.
+    "q273_index_delete_compact" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q273").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(5)) === 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet"))
+        graft.tools.IndexCorpus.compact(s, Array(s"$tmp/idx"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |pqd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+           |pcells AS (
+           | SELECT j FROM (
+           |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi)
+           |SELECT dq.id,
+           | CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           |FROM dq JOIN (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | USING (i)
+           |JOIN aI2 ON aI2.id = dq.id
+           |WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 7
+           | AND dq.id % 5 <> 3
+           |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

@@ -44,6 +44,9 @@ import graft.ops.SemDedup
   *     [--id vec_id] [--vec embedding] [--dims 64] [--ivf-k 8]
   *     [--pq-m 2] [--pq-k 4] [--iters 1] [--residual true]
   *     [--sq8 true]
+  *   runMain graft.tools.IndexCorpus delete <indexDir> <ids.parquet>
+  *     [--id vec_id]
+  *   runMain graft.tools.IndexCorpus compact <indexDir>
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
   *     [--filter "<sqlExpr over id, cell>"] [--rerank N] [--tier sq8]
@@ -61,11 +64,14 @@ object IndexCorpus {
     spark.sparkContext.setLogLevel("WARN")
     try {
       args.headOption match {
-        case Some("build")  => build(spark, args.drop(1))
-        case Some("update") => update(spark, args.drop(1))
+        case Some("build")   => build(spark, args.drop(1))
+        case Some("update")  => update(spark, args.drop(1))
+        case Some("delete")  => delete(spark, args.drop(1))
+        case Some("compact") => compact(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
-        case _ => sys.error("usage: IndexCorpus build|update|search ...")
+        case _ =>
+          sys.error("usage: IndexCorpus build|update|delete|compact|search ...")
       }
     } finally spark.stop()
   }
@@ -74,6 +80,105 @@ object IndexCorpus {
     args.drop(from).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Invalidate any cached plan over the index files after a mutating
+    * command — a not-yet-released query-scoped cached scan of the old
+    * file set would otherwise serve stale listings to a same-shaped
+    * later plan (the [[LexIndex]] lifecycle discipline).
+    */
+  private def refresh(spark: SparkSession, idx: String): Unit =
+    spark.catalog.refreshByPath(idx)
+
+  /** Retract vectors from the index. Same contract as
+    * [[LexIndex.delete]]: a TOMBSTONE append (O(deleted) — a delete
+    * wave must never repay the build), honored by [[search]] via an
+    * anti-join on the cell-restricted candidates, so post-delete
+    * answers equal a fresh build over the survivors fed the SAME
+    * frozen model (the router and codebooks never retrain on delete)
+    * — the q273 driver row proves it. Ids not present (or already
+    * deleted) are ignored; re-ingesting a tombstoned id via
+    * [[update]] is rejected permanently (IndexCorpusSpec exercises
+    * the resurrection rule before and after compact).
+    */
+  def delete(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: delete <indexDir> <ids.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "vec_id")
+    GraftSession.tune(spark)
+
+    val live0 = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    val live =
+      if (exists(spark, s"$idx/tombstones"))
+        live0.join(spark.read.parquet(s"$idx/tombstones"),
+          Seq("id"), "left_anti")
+      else live0
+    val doomed = graft.Scratch.localCheckpoint(
+      spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
+        .distinct()
+        .join(live, Seq("id"), "left_semi"))
+    val nDel = doomed.count()
+    doomed.write.mode("append").parquet(s"$idx/tombstones")
+    refresh(spark, idx)
+    Seq("deleted" -> nDel)
+  }
+
+  /** Fold the tombstones into the membership artifacts: rewrite
+    * assignments / pq_codes / sq8_codes without the deleted ids (an
+    * anti-join against the SMALL tombstone set), each re-coalesced
+    * (repeated [[update]] appends accumulate a parquet fragment per
+    * ingest). The model artifacts (centroids, codebooks, sq8 ranges,
+    * summary) are untouched — compaction is a membership rewrite,
+    * never a retrain. The tombstone set SURVIVES (distinct,
+    * coalesced) as the permanent retraction artifact, so a
+    * post-compact update still rejects retracted ids. Answers are
+    * unchanged by construction (search already honored the
+    * tombstones) — q273 searches after delete + compact against the
+    * survivor-restricted oracle; the physical claims are
+    * IndexCorpusSpec's.
+    */
+  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 1, "usage: compact <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    refresh(spark, idx)
+    val hasTomb = exists(spark, s"$idx/tombstones")
+    val written = Seq.newBuilder[(String, Long)]
+    Seq("assignments", "pq_codes", "sq8_codes").foreach { name =>
+      val path = s"$idx/$name"
+      if (exists(spark, path)) {
+        val src = spark.read.parquet(path)
+        val out =
+          if (hasTomb)
+            src.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
+              Seq("id"), "left_anti")
+          else src
+        // the checkpoint is LAZY — count() forces every partition
+        // into block storage BEFORE the overwrite truncates the very
+        // files the plan reads
+        val snap = graft.Scratch.localCheckpoint(out)
+        snap.count()
+        snap.coalesce(1).write.mode("overwrite").parquet(path)
+        refresh(spark, path)
+        written += (name -> spark.read.parquet(path).count())
+      }
+    }
+    if (hasTomb) {
+      val tomb = graft.Scratch.localCheckpoint(
+        spark.read.parquet(s"$idx/tombstones").select(col("id")).distinct())
+      tomb.count()
+      tomb.coalesce(1).write.mode("overwrite").parquet(s"$idx/tombstones")
+      refresh(spark, s"$idx/tombstones")
+      written += ("tombstones" -> spark.read
+        .parquet(s"$idx/tombstones").count())
+    }
+    written.result()
+  }
 
   /** Build the index artifacts; returns (artifact, rows) per write.
     * `--residual true` quantizes each vector's RESIDUAL against its
@@ -228,8 +333,16 @@ object IndexCorpus {
 
     // localCheckpoint cuts the lineage back to the assignments path:
     // the appends below must not carry a plan that re-reads the very
-    // files they are adding to
-    val existing = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    // files they are adding to. Dedup is against assignments PLUS the
+    // tombstones: a retracted id must never re-enter, even after a
+    // compact rewrote it out of assignments (permanent retraction —
+    // see delete()).
+    val existing0 = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    val existing =
+      if (exists(spark, s"$idx/tombstones"))
+        existing0.unionByName(
+          spark.read.parquet(s"$idx/tombstones").select(col("id")))
+      else existing0
     val base = graft.Scratch.localCheckpoint(
       spark.read.parquet(in).filter(size(col(vecCol)) === dims)
         .select(col(idCol).cast("long").as("id"),
@@ -257,6 +370,7 @@ object IndexCorpus {
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _)
     newCodes.write.mode("append").parquet(s"$idx/pq_codes")
+    refresh(spark, idx)
     Seq("ingested" -> asgn.count())
   }
 
@@ -313,9 +427,17 @@ object IndexCorpus {
     val probedCells = cents.toSeq
       .map { case (j, c) => (l2(pv, 0, c), j) }.sorted.take(nprobe)
       .map(_._2)
-    val members0 = spark.read.parquet(s"$idx/assignments")
+    val membersAll = spark.read.parquet(s"$idx/assignments")
       .filter(col("cell").isin(probedCells: _*))
       .filter(col("id") =!= probeId)
+    // retraction: tombstoned ids must not surface — the anti-join
+    // runs on the CELL-RESTRICTED candidates, never the whole index
+    val members0 =
+      if (exists(spark, s"$idx/tombstones"))
+        membersAll.join(
+          spark.read.parquet(s"$idx/tombstones").select(col("id")),
+          Seq("id"), "left_anti")
+      else membersAll
     // pre-filter INSIDE the probed cells: cell restriction and the
     // stratum predicate reach the same scan
     val members = filterSql.fold(members0)(f => members0.filter(expr(f)))

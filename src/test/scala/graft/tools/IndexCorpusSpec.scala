@@ -268,4 +268,73 @@ class IndexCorpusSpec extends AnyFunSuite {
     }.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("delete + compact lifecycle: tombstoned ids vanish from search " +
+    "(== unfiltered ranking restricted to survivors), compact removes " +
+    "dead rows and merges fragments without forgetting the retraction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_del").toString
+    val idx = s"$tmp/idx"
+    // build on a half, update the rest — the membership artifacts
+    // carry append fragments for compact to merge
+    val full = spark.read.parquet(emb).filter(size(col("embedding")) === 64)
+    full.filter(col("vec_id") < 250).write.parquet(s"$tmp/old.parquet")
+    full.filter(col("vec_id") >= 250).write.parquet(s"$tmp/new.parquet")
+    IndexCorpus.build(spark,
+      Array(s"$tmp/old.parquet", idx, "--sq8", "true"))
+    IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet"))
+
+    def fragments(name: String): Int =
+      new java.io.File(s"$idx/$name").listFiles()
+        .count(f => f.getName.startsWith("part-"))
+    assert(fragments("assignments") > 1, "update should append a fragment")
+
+    def searchIds(k: Int, tier: String = "pq"): Seq[(Long, Long)] =
+      IndexCorpus.search(spark,
+        Array(idx, emb, "7", "--k", k.toString, "--nprobe", "2",
+          "--tier", tier))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wide = searchIds(500)
+    // retract the unfiltered top hit plus an id the index never saw
+    val victim = wide.head._1
+    Seq(victim, 999999L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    val nDel = IndexCorpus.delete(spark,
+      Array(idx, s"$tmp/del.parquet")).toMap.apply("deleted")
+    assert(nDel == 1L)
+
+    // post-delete == unfiltered ranking restricted to the survivors
+    // — the frozen model never retrains, only membership changes
+    val want = wide.filter(_._1 != victim).take(5)
+    assert(searchIds(5) == want)
+    // double-delete is a no-op
+    assert(IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+      .toMap.apply("deleted") == 0L)
+
+    // compact: answers unchanged (both tiers), dead rows gone,
+    // fragments merged, model artifacts untouched, tombstones kept
+    val sq8Before = searchIds(5, tier = "sq8")
+    val centsBefore = spark.read.parquet(s"$idx/ivf_centroids")
+      .collect().map(_.toSeq).toSet
+    IndexCorpus.compact(spark, Array(idx))
+    assert(searchIds(5) == want)
+    assert(searchIds(5, tier = "sq8") == sq8Before)
+    for (n <- Seq("assignments", "pq_codes", "sq8_codes")) {
+      assert(fragments(n) == 1, s"$n fragments")
+      assert(spark.read.parquet(s"$idx/$n")
+        .filter(col("id") === victim).count() == 0, s"$n dead rows")
+    }
+    assert(spark.read.parquet(s"$idx/ivf_centroids")
+      .collect().map(_.toSeq).toSet == centsBefore)
+    assert(spark.read.parquet(s"$idx/tombstones").count() == 1L)
+
+    // resurrection rule: re-feeding the retracted id after compact is
+    // rejected permanently
+    full.filter(col("vec_id") === victim)
+      .write.mode("overwrite").parquet(s"$tmp/back.parquet")
+    assert(IndexCorpus.update(spark, Array(idx, s"$tmp/back.parquet"))
+      .head._2 == 0L)
+    assert(searchIds(5) == want, "update must not resurface the victim")
+  }
 }
