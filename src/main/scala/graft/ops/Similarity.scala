@@ -875,6 +875,44 @@ object Similarity {
     tables.reduce(_ unionByName _).filter(col("cos") >= minCos)
   }
 
+  /** kNN-GRAPH construction — the batch analog of the graph-based
+    * ANN (HNSW-class) index-build step, and the edge source for the
+    * graph suite (k-core / triangles / label propagation run over
+    * exactly this shape of (node, neighbor) list): LSH-blocked
+    * candidate pairs -> exact cosine verify -> per-node top-k edges.
+    *
+    * Candidates come from [[nearDupPairsMultiTable]]'s OR-construction
+    * (L plane tables, first-table-wins exactly-once emission — a pair
+    * is verified ONCE no matter how many tables bucket it together);
+    * each undirected verified pair then feeds BOTH endpoints'
+    * neighbor lists, and each node keeps its k best by
+    * (cos desc, neighbor id). `minCos` floors the edges (a kNN graph
+    * for clustering usually wants a similarity floor; pass -1.0 to
+    * keep every verified candidate).
+    *
+    * 100 TB posture: no cartesian anywhere — candidate volume is the
+    * sum of per-bucket self-join fan-outs (tunable by plane count),
+    * the verify is one fused-kernel pass over the candidate pairs,
+    * and the per-node ranking is one hash-partitioned window over
+    * candidates (WindowGroupLimit pushes the top-k below the sort at
+    * shuffle time). Returns (id, nbr, cos, rn).
+    */
+  def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, planeTables: Seq[Array[Array[Int]]],
+      minCos: Double = -1.0): DataFrame = {
+    val pairs = graft.Scratch.cache(
+      nearDupPairsMultiTable(embeddings, idCol, vecCol, planeTables,
+        minCos)) // both mirror arms below read it
+    val mirrored = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos").desc, col("nbr").asc)
+    mirrored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Exact retrieval-quality metrics for a bounded anchor sample:
     * each anchor (ids in [0, nAnchors), [[hardNegatives]]' contract)
     * ranks the whole corpus by cosine (ties broken by candidate id)

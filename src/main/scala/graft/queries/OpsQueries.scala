@@ -646,6 +646,51 @@ object OpsQueries {
            |ORDER BY qid, rn""".stripMargin
       }),
 
+    // kNN-GRAPH construction (the HNSW-class graph-ANN lineage's
+    // batch build step): LSH-blocked candidate pairs (2 tables x 6
+    // planes — 64 buckets each, dense enough that every node finds
+    // candidates) -> exact cosine verify, once per pair -> per-node
+    // top-3 edges. The oracle replays the OR-construction blocking
+    // (a single OR-join emits each candidate pair exactly once —
+    // set-identical to the operator's first-table-wins emission),
+    // mirrors each undirected pair into both endpoints' lists, and
+    // ranks. Plan pin (PlanShapeSpec): no cartesian anywhere.
+    "q274_knn_graph" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(12, 64)
+        Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 3, Seq(all.take(6), all.drop(6)))
+          .orderBy(col("id"), col("rn"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 11) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN p < 6 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
+           |  CAST(sum(CASE WHEN p >= 6 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << (p - 6)) ELSE 0::BIGINT END) AS BIGINT) AS b1
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |pr AS MATERIALIZED (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+           | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1)
+           | WHERE x.vec_id < y.vec_id),
+           |m AS (
+           | SELECT id_a AS id, id_b AS nbr, cos FROM pr
+           | UNION ALL
+           | SELECT id_b AS id, id_a AS nbr, cos FROM pr),
+           |r AS (
+           | SELECT id, nbr, cos, CAST(row_number() OVER
+           |  (PARTITION BY id ORDER BY cos DESC, nbr) AS INTEGER) AS rn
+           | FROM m)
+           |SELECT id, nbr, cos, rn FROM r WHERE rn <= 3
+           |ORDER BY id, rn""".stripMargin
+      }),
+
     // IVF ANN — deterministic coarse quantizer + probed search, run at
     // FULL probe fan-out (nprobe = k = 16) so the registered output is
     // provably the brute-force top-10: probing every cell makes the

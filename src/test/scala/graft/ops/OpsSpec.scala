@@ -338,6 +338,53 @@ class OpsSpec extends AnyFunSuite {
     assert(onePairs.subsetOf(twoPairs.toSet)) // OR-construction only adds
   }
 
+  test("knn graph: per-node top-k over the blocked candidates matches " +
+    "driver math; rn contiguous; minCos floors the edges") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = Similarity.hyperplanes(12, 64)
+    val tables = Seq(all.take(6), all.drop(6))
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding", 3, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+
+    // reference: the SAME blocked candidate pairs (exactly-once
+    // emission is pinned by the multi-table test above), mirrored and
+    // ranked driver-side
+    val pairs = Similarity.nearDupPairsMultiTable(
+      emb, "vec_id", "embedding", tables, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (id, es) =>
+        es.sortBy { case (_, nbr, c) => (-c, nbr) }.take(3).zipWithIndex
+          .map { case ((_, nbr, c), i) => (id, nbr, c, i + 1) }
+      }
+    assert(got.sorted == want.sorted)
+
+    // rn is contiguous 1..m per node, m <= k
+    got.groupBy(_._1).foreach { case (id, es) =>
+      assert(es.map(_._4).sorted == (1 to es.length), s"node $id")
+      assert(es.length <= 3)
+    }
+    // a similarity floor drops exactly the below-floor edges of the
+    // unfloored graph (per-node ranking recomputed over survivors)
+    val floored = Similarity.knnGraph(
+      emb, "vec_id", "embedding", 3, tables, minCos = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    assert(floored.forall(_._3 >= 0.2))
+    val wantF = pairs.filter(_._3 >= 0.2)
+      .flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (id, es) =>
+        es.sortBy { case (_, nbr, c) => (-c, nbr) }.take(3).zipWithIndex
+          .map { case ((_, nbr, c), i) => (id, nbr, c, i + 1) }
+      }
+    assert(floored.sorted == wantF.sorted)
+    // drop the operator-scoped caches: a lingering cached embeddings
+    // projection would substitute InMemoryTableScan into later
+    // suites' plan-shape assertions (suites share the JVM)
+    graft.Scratch.release()
+  }
+
   test("text kernels agree with the HOF formulation incl. edge shapes") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
@@ -531,6 +578,10 @@ class OpsSpec extends AnyFunSuite {
     // measured 3-8 (RecallProbe). The floor guards against regression
     // to broken-assignment territory, not against the data's geometry.
     plainRecalls.foreach(r => assert(r >= 2, s"plain IVF recall collapsed: $plainRecalls"))
+    // a full-table cache left behind would substitute
+    // InMemoryTableScan into later suites' plan-shape assertions
+    // (suites share one JVM) — drop it before leaving the test
+    emb.unpersist(false)
   }
 
   test("exact IVF prunes cells on a clustered corpus") {

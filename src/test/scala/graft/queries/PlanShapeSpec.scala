@@ -100,6 +100,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("knn graph: blocked equi-joins only (no cartesian), fused " +
+    "cosine verify, per-node top-k as WindowGroupLimit") {
+    val p = plan("q274_knn_graph")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("cosine_sim"), "verify must use the fused kernel")
+    assert(p.contains("WindowGroupLimit"),
+      "per-node top-k must push the group limit below the sort")
+    // the candidate-pair frame is cached once and read by both
+    // mirror arms
+    assert(p.contains("InMemoryTableScan"))
+  }
+
   test("ANN paths use the fused vector kernels, not interpreted HOFs") {
     for (q <- Seq("q27_ann_topk", "q28_ann_lsh", "q29_embed_neardup")) {
       val p = plan(q)
