@@ -2607,6 +2607,49 @@ object SelectionQueries {
       },
       Some(lexSearchOracle("WHERE doc_id % 4 <> 3"))),
 
+    // STREAMING lexical index MAINTENANCE: bootstrap an EMPTY index,
+    // then let each micro-batch of arriving documents append its
+    // postings/doclens and rewrite the scalar stats through
+    // LexIndex.ingestFrame — the same exact-ingest core the update
+    // CLI runs, so the index is searchable (and exact for what has
+    // arrived) BETWEEN batches, and the end-of-stream state is
+    // identical to one batch build over the full corpus. The search
+    // after the stream drains therefore hashes against q267's
+    // full-corpus oracle verbatim — that shared oracle IS the
+    // equivalence proof (the q268 argument, per micro-batch).
+    "q275_streaming_lex_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q275").toString
+        val docs = t(s, dir, "documents")
+        docs.limit(0).write.parquet(s"$tmp/seed.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/seed.parquet", s"$tmp/lex", "--gram", "2"))
+        val ev = SlowLogQueries.docSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "doc", ev)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.tools.LexIndex.ingestFrame(s, s"$tmp/lex",
+                batch, "doc_id", "text")
+              ()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracleSql)),
+
     // Learning-to-rank feature export: ONE frame per (query,
     // candidate) carrying the features a ranker trains on — exact
     // cosine (x1e6), the BM25-bigram score (0 where the doc matches

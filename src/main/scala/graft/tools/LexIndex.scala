@@ -121,8 +121,11 @@ object LexIndex {
     // denominator
     write("docids", docs.select(col(idCol).cast("long").as("id")))
     val n = docs.count()
+    // coalesce: a ZERO-DOC build is the legitimate bootstrap of the
+    // streaming ingest path (q275 builds empty, then micro-batches
+    // populate via ingestFrame)
     val toktot = spark.read.parquet(s"$out/doclens")
-      .agg(sum(col("dl"))).head().getLong(0)
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
     write("stats", Seq(
       ("n", n), ("toktot", toktot),
       ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
@@ -145,8 +148,22 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     val textCol = flags.getOrElse("text", "text")
+    Seq("ingested" ->
+      ingestFrame(spark, idx, spark.read.parquet(in), idCol, textCol))
+  }
+
+  /** The incremental-ingest core shared by the [[update]] CLI and the
+    * STREAMING maintenance path (q275's foreachBatch calls this once
+    * per micro-batch — each batch appends its postings/doclens and
+    * rewrites the scalar stats, so the index is SEARCHABLE and exact
+    * between batches, and the end-of-stream state is identical to one
+    * batch build over everything that arrived). The per-batch stats
+    * rewrite costs one doclens aggregate — metadata-sized next to the
+    * corpus text the batch just tokenized.
+    */
+  def ingestFrame(spark: SparkSession, idx: String, docs: DataFrame,
+      idCol: String, textCol: String): Long = {
     GraftSession.tune(spark)
-    import spark.implicits._
 
     val stats0 = spark.read.parquet(s"$idx/stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -169,7 +186,7 @@ object LexIndex {
           spark.read.parquet(s"$idx/tombstones").select(col("id")))
       else known
     val fresh = graft.Scratch.localCheckpoint(
-      spark.read.parquet(in)
+      docs
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
         .join(existing, Seq("id"), "left_anti"))
     val nNew = fresh.count()
@@ -186,7 +203,7 @@ object LexIndex {
       fresh.select(col("id")).write.mode("append").parquet(s"$idx/docids")
     refresh(spark, idx)
     rewriteStats(spark, idx)
-    Seq("ingested" -> nNew)
+    nNew
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

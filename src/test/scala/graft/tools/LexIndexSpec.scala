@@ -210,6 +210,42 @@ class LexIndexSpec extends AnyFunSuite {
       before.head._2, "post-update answers must not resurface doc 1")
   }
 
+  test("streaming-ingest core: an empty bootstrap build plus " +
+    "per-batch ingestFrame is searchable between batches and " +
+    "end-state-identical to a full build") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_stream").toString
+    // zero-doc bootstrap (the q275 shape)
+    val seed = Files.createTempDirectory("lexidx_seed").toString
+    spark.read.parquet(in).limit(0)
+      .write.mode("overwrite").parquet(s"$seed/seed.parquet")
+    val res0 = LexIndex.build(spark,
+      Array(s"$seed/seed.parquet", s"$idx/lex", "--gram", "1")).toMap
+    assert(res0("postings") == 0L && res0("stats") == 4L)
+
+    // batch 1: docs {0, 1} — the index must be exact for what arrived
+    val b1 = spark.read.parquet(in).filter(col("doc_id") < 2)
+    assert(LexIndex.ingestFrame(spark, s"$idx/lex", b1,
+      "doc_id", "text") == 2L)
+    val mid = searchPairs(s"$idx/lex", "apple banana")
+    val ref1 = Files.createTempDirectory("lexidx_ref1").toString
+    val sub = Files.createTempDirectory("lexidx_sub1").toString
+    b1.write.mode("overwrite").parquet(s"$sub/docs.parquet")
+    LexIndex.build(spark,
+      Array(s"$sub/docs.parquet", s"$ref1/lex", "--gram", "1"))
+    assert(mid == searchPairs(s"$ref1/lex", "apple banana"))
+
+    // batch 2: the full corpus (0-1 deduped away) -> == full build
+    assert(LexIndex.ingestFrame(spark, s"$idx/lex",
+      spark.read.parquet(in), "doc_id", "text") == 2L)
+    val full = Files.createTempDirectory("lexidx_full2").toString
+    LexIndex.build(spark, Array(in, s"$full/lex", "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian", "durian fig"))
+      assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$full/lex", q),
+        s"query '$q'")
+  }
+
   test("delete then update: stats stay consistent (toktot excludes the " +
     "tombstoned docs the moment update rewrites them)") {
     import spark.implicits._
