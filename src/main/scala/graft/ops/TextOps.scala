@@ -384,6 +384,60 @@ object TextOps {
       .withColumn("n_tokens", tokenCount(col("chunk_text")))
   }
 
+  /** Multi-vector (maxsim, ColBERT-style late-interaction) retrieval:
+    * every document becomes a BAG of chunk vectors ([[chunkDocs]]'s
+    * token windows, each a `buckets`-dim hashed token-count vector
+    * kept SPARSE as (id, chunk, bucket, cnt) rows), and a query
+    * (itself a document's chunk bag, ids < nQueries) scores a
+    * candidate as
+    *
+    *   maxsim(q, d) = sum over q's chunks of
+    *                    max over d's chunks of dot(qc, dc)
+    *
+    * — the late-interaction form: each query chunk independently
+    * finds its best-matching passage, then evidence sums. All
+    * integer-exact (counts, products, sums), so the q276 oracle
+    * replays it in closed form. Counts are non-negative, so a
+    * (query-chunk, doc) pair whose chunks share NO hash bucket
+    * contributes its true max of 0 by simply not appearing.
+    *
+    * 100 TB posture: the only join is corpus-chunk-buckets against
+    * the BROADCAST query bag keyed by bucket (candidates = docs
+    * sharing at least one hashed token bucket with the query); the
+    * max and sum reductions are two hash aggregates over the dot
+    * frame, and the final per-query top-k is one ranking window.
+    * No cartesian, nothing corpus-sized on the driver.
+    */
+  def maxsimTopK(docs: DataFrame, idCol: String, textCol: String,
+      nQueries: Int, topK: Int, chunk: Int = 32, stride: Int = 24,
+      buckets: Int = 16): DataFrame = {
+    val ch = chunkDocs(docs, idCol, textCol, chunk, stride)
+    val vecs = graft.Scratch.cache(ch
+      .select(col(idCol).cast("long").as("id"), col("chunk_idx"),
+        explode(tokens(col("chunk_text"))).as("tok"))
+      .select(col("id"), col("chunk_idx"),
+        pmod(hash32(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("id"), col("chunk_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))) // query + corpus sides both read it
+    val qv = broadcast(vecs.filter(col("id") < nQueries)
+      .select(col("id").as("qid"), col("chunk_idx").as("qc"),
+        col("bucket"), col("cnt").as("qcnt")))
+    val dots = vecs.join(qv, Seq("bucket"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("qc"), col("id"), col("chunk_idx"))
+      .agg(sum(col("qcnt") * col("cnt")).as("dot"))
+    val best = dots.groupBy(col("qid"), col("qc"), col("id"))
+      .agg(max(col("dot")).as("best"))
+    val sc = best.groupBy(col("qid"), col("id"))
+      .agg(sum(col("best")).as("maxsim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("maxsim").desc, col("id"))
+    sc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("id").as("doc_id"), col("maxsim"))
+  }
+
   /** Passage-level dedup (the sub-document variant of exact dedup —
     * "remove duplicated paragraphs wherever they recur"): docs split
     * into non-overlapping `chunk`-token passages; a passage survives

@@ -2650,6 +2650,62 @@ object SelectionQueries {
       },
       Some(lexSearchOracleSql)),
 
+    // MULTI-VECTOR (maxsim, late-interaction) retrieval: documents
+    // become bags of chunk vectors (q69's 32/24 token windows, each a
+    // 16-bucket hashed token-count vector kept sparse), and each of
+    // the 5 anchor queries scores a candidate as the sum over its own
+    // chunks of the best-matching candidate chunk's dot product —
+    // each query passage independently finds its best evidence, then
+    // evidence sums. Integer-exact end to end; the oracle replays the
+    // chunker, the md5 bucket hash, and the dot/max/sum chain.
+    "q276_maxsim_topk" -> Q(
+      (s, dir) => TextOps.maxsimTopK(t(s, dir, "documents"),
+        "doc_id", "text", nQueries = 5, topK = 10)
+        .orderBy(col("query_id"), col("rnk")),
+      Some(
+        s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id, $toksSql AS t FROM documents
+           | WHERE len($toksSql) > 0),
+           |ch AS MATERIALIZED (
+           | SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+           |  array_to_string(list_slice(t, s + 1, s + 32), ' ')
+           |   AS chunk_text
+           | FROM (
+           |  SELECT doc_id, t,
+           |   unnest(generate_series(0, len(t) - 1, 24)) AS s
+           |  FROM tk)),
+           |vt AS MATERIALIZED (
+           | SELECT doc_id AS id, chunk_idx,
+           |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+           |  count(*) AS cnt
+           | FROM (
+           |  SELECT doc_id, chunk_idx,
+           |   unnest(list_filter(string_split(chunk_text, ' '),
+           |    x -> x <> '')) AS tok
+           |  FROM ch)
+           | GROUP BY 1, 2, 3),
+           |qv AS MATERIALIZED (
+           | SELECT id AS qid, chunk_idx AS qc, bucket, cnt AS qcnt
+           | FROM vt WHERE id < 5),
+           |d AS MATERIALIZED (
+           | SELECT qv.qid, qv.qc, vt.id, vt.chunk_idx,
+           |  sum(qv.qcnt * vt.cnt) AS dot
+           | FROM vt JOIN qv USING (bucket)
+           | WHERE vt.id <> qv.qid
+           | GROUP BY 1, 2, 3, 4),
+           |b AS (
+           | SELECT qid, qc, id, max(dot) AS best FROM d GROUP BY 1, 2, 3),
+           |sc AS (
+           | SELECT qid, id, CAST(sum(best) AS BIGINT) AS maxsim
+           | FROM b GROUP BY 1, 2),
+           |r AS (
+           | SELECT qid, id, maxsim, CAST(row_number() OVER
+           |  (PARTITION BY qid ORDER BY maxsim DESC, id) AS BIGINT) AS rnk
+           | FROM sc)
+           |SELECT CAST(qid AS BIGINT) AS query_id, rnk,
+           | CAST(id AS BIGINT) AS doc_id, maxsim
+           |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     // Learning-to-rank feature export: ONE frame per (query,
     // candidate) carrying the features a ranker trains on — exact
     // cosine (x1e6), the BM25-bigram score (0 where the doc matches
@@ -2785,11 +2841,18 @@ object SelectionQueries {
             .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
           .select(col("qid"), col("id"), col("rnk_cos"),
             col("rnk_bm25"), col("rnk_rrf"))
+        // the fourth arm: multi-vector maxsim (q276's operator) —
+        // its top-10 per anchor joins in as a hit flag
+        val msR = TextOps.maxsimTopK(docs, "doc_id", "text",
+            nQueries = 5, topK = 10)
+          .select(col("query_id").as("qid"), col("doc_id").as("id"),
+            lit(1L).as("ms_hit"))
         val rel = emb.select(col("vec_id").as("id"), col("label"))
           .join(broadcast(anchors.select(col("qid"), col("albl"))),
             col("label") === col("albl") && col("id") =!= col("qid"))
           .select(col("qid"), col("id"))
         rel.join(fused, Seq("qid", "id"), "left")
+          .join(msR, Seq("qid", "id"), "left")
           .groupBy(col("qid"))
           .agg(count(lit(1)).as("n_rel"),
             sum(when(col("rnk_cos") <= 10, 1L).otherwise(0L))
@@ -2797,9 +2860,11 @@ object SelectionQueries {
             sum(when(col("rnk_bm25") <= 10, 1L).otherwise(0L))
               .as("hits_bm25"),
             sum(when(col("rnk_rrf") <= 10, 1L).otherwise(0L))
-              .as("hits_rrf"))
+              .as("hits_rrf"),
+            sum(coalesce(col("ms_hit"), lit(0L))).as("hits_maxsim"))
           .select(col("qid").as("query_id"), col("n_rel"),
-            col("hits_cos"), col("hits_bm25"), col("hits_rrf"))
+            col("hits_cos"), col("hits_bm25"), col("hits_rrf"),
+            col("hits_maxsim"))
           .orderBy(col("query_id"))
       },
       Some(
@@ -2869,7 +2934,45 @@ object SelectionQueries {
            |rel AS MATERIALIZED (
            | SELECT a.qid, e.vec_id AS id
            | FROM embeddings e JOIN a
-           |  ON e.label = a.albl AND e.vec_id <> a.qid)
+           |  ON e.label = a.albl AND e.vec_id <> a.qid),
+           |mch AS MATERIALIZED (
+           | SELECT id AS doc_id, CAST(s // 24 AS INTEGER) AS chunk_idx,
+           |  array_to_string(list_slice(tt, s + 1, s + 32), ' ')
+           |   AS chunk_text
+           | FROM (
+           |  SELECT id, tt,
+           |   unnest(generate_series(0, len(tt) - 1, 24)) AS s
+           |  FROM tk WHERE len(tt) > 0)),
+           |mvt AS MATERIALIZED (
+           | SELECT doc_id AS id, chunk_idx,
+           |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+           |  count(*) AS cnt
+           | FROM (
+           |  SELECT doc_id, chunk_idx,
+           |   unnest(list_filter(string_split(chunk_text, ' '),
+           |    x -> x <> '')) AS tok
+           |  FROM mch)
+           | GROUP BY 1, 2, 3),
+           |mqv AS MATERIALIZED (
+           | SELECT id AS qid, chunk_idx AS qc, bucket, cnt AS qcnt
+           | FROM mvt WHERE id < 5),
+           |md AS MATERIALIZED (
+           | SELECT mqv.qid, mqv.qc, mvt.id, mvt.chunk_idx,
+           |  sum(mqv.qcnt * mvt.cnt) AS dot
+           | FROM mvt JOIN mqv USING (bucket)
+           | WHERE mvt.id <> mqv.qid
+           | GROUP BY 1, 2, 3, 4),
+           |msc AS MATERIALIZED (
+           | SELECT qid, id, sum(best) AS maxsim FROM (
+           |  SELECT qid, qc, id, max(dot) AS best FROM md
+           |  GROUP BY 1, 2, 3)
+           | GROUP BY 1, 2),
+           |msr AS MATERIALIZED (
+           | SELECT qid, id FROM (
+           |  SELECT qid, id, row_number() OVER
+           |   (PARTITION BY qid ORDER BY maxsim DESC, id) AS rnk
+           |  FROM msc)
+           | WHERE rnk <= 10)
            |SELECT CAST(rel.qid AS BIGINT) AS query_id,
            | count(*) AS n_rel,
            | CAST(sum(CASE WHEN fr.rnk_cos <= 10 THEN 1 ELSE 0 END)
@@ -2877,9 +2980,13 @@ object SelectionQueries {
            | CAST(sum(CASE WHEN fr.rnk_bm25 <= 10 THEN 1 ELSE 0 END)
            |  AS BIGINT) AS hits_bm25,
            | CAST(sum(CASE WHEN fr.rnk_rrf <= 10 THEN 1 ELSE 0 END)
-           |  AS BIGINT) AS hits_rrf
+           |  AS BIGINT) AS hits_rrf,
+           | CAST(sum(CASE WHEN msr.id IS NOT NULL THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS hits_maxsim
            |FROM rel LEFT JOIN fr
            | ON fr.qid = rel.qid AND fr.id = rel.id
+           |LEFT JOIN msr
+           | ON msr.qid = rel.qid AND msr.id = rel.id
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Retrieval exposure-bias audit: per SOURCE, its share of the
