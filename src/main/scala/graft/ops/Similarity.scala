@@ -788,12 +788,17 @@ object Similarity {
     * gapped key sequence (e.g. yyyymmdd buckets across a month end)
     * still drifts against the actual prior wave. The rank frame is
     * batch-domain (a handful of rows), computed with a single-
-    * partition window by design — never corpus-domain.
+    * partition window by design — never corpus-domain; the marker
+    * partition key (column-derived zero, [[graft.ops.Prefix
+    * .markerZero]]) keeps that intent explicit in the plan instead
+    * of tripping WindowExec's no-partition warning on every run.
     */
   def centroidDriftFrom(cent: DataFrame): DataFrame = {
     val rk = cent.select(col("batch")).distinct()
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("batch"))))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.ops.Prefix.markerZero(col("batch")))
+          .orderBy(col("batch"))))
     val ranked = cent.join(broadcast(rk), Seq("batch"))
     val nv = cent.filter(col("i") === 0)
       .select(col("batch"), col("cnt").as("n_vecs"))

@@ -356,6 +356,15 @@ object LexIndex {
     * top-k by (score desc, id). The tombstone anti-join runs AFTER
     * the term restriction, so its left side is the searched posting
     * lists, never the whole index.
+    *
+    * The term restriction is a LITERAL `t IN (...)` predicate, not a
+    * join: the query string is a driver value, so its terms collect
+    * from one 1-row tokenize (the SAME kernel the index used) and
+    * inline into the scan — PushedFilters reaches the postings
+    * parquet, and row-group stats + dictionary pages prune everything
+    * but the searched lists. A broadcast join (the old form) planned
+    * a FULL postings scan per query; the ServeProbe x8-x128 decade
+    * measures the difference (SCALING.md round 12).
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 2, "usage: search <indexDir> <query> [flags]")
@@ -370,12 +379,18 @@ object LexIndex {
     val n = stats("n")
     val avgdl = stats("avgdl")
     val gram = stats("gram").toInt
-    // tokenize the query string with the same kernel the index used
-    val qTerms = Seq(query).toDF("text")
+    // tokenize the query string with the same kernel the index used;
+    // a handful of terms collects to the driver so they can inline
+    // into the scan predicate
+    val terms = Seq(query).toDF("text")
       .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
         .as("t"))
+      .collect().map(_.getString(0)).toSeq
+    if (terms.isEmpty)
+      // a query shorter than the gram has no terms, hence no candidates
+      return spark.range(0).select(col("id"), col("id").as("score"))
     val qPost0 = spark.read.parquet(s"$idx/postings")
-      .join(broadcast(qTerms), Seq("t"))
+      .filter(col("t").isin(terms: _*))
     val qPost = graft.Scratch.cache(
       if (exists(spark, s"$idx/tombstones"))
         qPost0.join(

@@ -1,0 +1,158 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.TextOps
+
+/** Serve-path scale decade (SCALING.md round 12): replicate the
+  * sf0.01 corpus x8/x32/x128 and measure what a QUERY costs against
+  * the persisted index artifacts as the corpus grows. Build cost is
+  * priced elsewhere (SCALING.md rounds 6-10); this probe prices the
+  * READ path, including after `delete` (tombstone anti-join live)
+  * and after `compact` (tombstones folded into the files).
+  *
+  * Lexical replication gives replicas SUFFIXED tokens, so the
+  * vocabulary grows with the corpus while each searched term's
+  * posting list stays constant-size — exactly the regime where
+  * "search touches only the searched lists" must show a FLAT curve
+  * (the literal `t IN (...)` scan predicate prunes row groups by
+  * min/max + dictionary), and a full-scan plan shows a linear one.
+  *
+  * Vector replication keeps the geometry (duplicate vectors, fresh
+  * ids) and probes TWO router configurations per scale: FIXED cell
+  * count (probed-cell size grows linearly — the anti-pattern) vs
+  * router SCALED with the corpus (constant cell size — the
+  * production setting). The gap between those two curves is the
+  * probed-cell-volume attribution; what remains in the scaled curve
+  * is the corpus-linear artifact scan (assignments filter is pushed;
+  * sq8_codes pays a semi-join pass).
+  *
+  * Output: one `[serveprobe] {json}` line per measurement; searches
+  * report the MIN of three runs (serve latency, not warm-up).
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.ServeProbe"            # x8,x32,x128
+  *   SPARK_GRAFT_SCALES=8,32 sbt "runMain ..."       # custom decade
+  */
+object ServeProbe {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "8,32,128")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder.master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+
+    def emit(probe: String, scale: Int, sec: Double, extra: String = ""): Unit =
+      println(f"""[serveprobe] {"probe":"$probe","scale":$scale,"sec":$sec%.3f$extra}""")
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def minOf3(body: => Unit): Double =
+      (1 to 3).map { _ => val (_, s) = time(body); graft.Scratch.release(); s }.min
+
+    for (scale <- scales) {
+      val tmp = Files.createTempDirectory(s"serveprobe_x$scale").toString
+
+      // ---------- lexical: replica-suffixed tokens ----------
+      val reps = broadcast(spark.range(scale).select(col("id").as("_r")))
+      spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .crossJoin(reps)
+        .select(
+          (col("doc_id") + col("_r") * lit(1000000L)).as("doc_id"),
+          array_join(transform(TextOps.tokens(col("text")),
+            t => concat(t, lit("_"), col("_r"))), " ").as("text"))
+        .write.parquet(s"$tmp/docs.parquet")
+      val (_, tBuild) = time {
+        LexIndex.build(spark, Array(s"$tmp/docs.parquet", s"$tmp/lex",
+          "--gram", "2"))
+      }
+      emit("lex_build", scale, tBuild)
+      // the query: replica-0 doc 0's first five (suffixed) tokens —
+      // its posting lists are the SAME SIZE at every scale
+      val q0 = spark.read.parquet(s"$base/documents.parquet")
+        .filter(col("doc_id") === 0)
+        .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5)))
+        .head().getString(0)
+        .split(' ').map(_ + "_0").mkString(" ")
+      emit("lex_search", scale, minOf3 {
+        LexIndex.search(spark, Array(s"$tmp/lex", q0, "--k", "10")).collect()
+      })
+      // retract 1/8 of every replica, then price the read path with
+      // live tombstones and again after compaction
+      spark.read.parquet(s"$tmp/docs.parquet")
+        .filter(pmod(col("doc_id"), lit(8L)) === 3)
+        .select(col("doc_id"))
+        .write.parquet(s"$tmp/del.parquet")
+      val (_, tDel) = time {
+        LexIndex.delete(spark, Array(s"$tmp/lex", s"$tmp/del.parquet"))
+      }
+      emit("lex_delete", scale, tDel)
+      emit("lex_search_post_delete", scale, minOf3 {
+        LexIndex.search(spark, Array(s"$tmp/lex", q0, "--k", "10")).collect()
+      })
+      val (_, tCmp) = time { LexIndex.compact(spark, Array(s"$tmp/lex")) }
+      emit("lex_compact", scale, tCmp)
+      emit("lex_search_post_compact", scale, minOf3 {
+        LexIndex.search(spark, Array(s"$tmp/lex", q0, "--k", "10")).collect()
+      })
+
+      // ---------- vector: fixed vs scaled router ----------
+      val embN = spark.read.parquet(s"$base/embeddings.parquet").count()
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(reps)
+        .select((col("vec_id") + col("_r") * lit(embN)).as("vec_id"),
+          col("embedding"))
+        .write.parquet(s"$tmp/emb.parquet")
+      for ((mode, ivfK) <- Seq(("fixed", 8), ("scaled", 8 * scale))) {
+        val idx = s"$tmp/vec_$mode"
+        val (_, tB) = time {
+          IndexCorpus.build(spark, Array(s"$tmp/emb.parquet", idx,
+            "--ivf-k", ivfK.toString, "--pq-m", "2", "--pq-k", "4",
+            "--iters", "1", "--sq8", "true"))
+        }
+        emit(s"vec_build_$mode", scale, tB, s""","ivf_k":$ivfK""")
+        emit(s"vec_search_$mode", scale, minOf3 {
+          IndexCorpus.search(spark, Array(idx, s"$tmp/emb.parquet", "7",
+            "--k", "10", "--nprobe", "2", "--tier", "sq8")).collect()
+        }, s""","ivf_k":$ivfK""")
+      }
+      // post-delete / post-compact vector search on the scaled router
+      spark.read.parquet(s"$tmp/emb.parquet")
+        .filter(pmod(col("vec_id"), lit(8L)) === 3)
+        .select(col("vec_id"))
+        .write.parquet(s"$tmp/vdel.parquet")
+      val (_, tVDel) = time {
+        IndexCorpus.delete(spark, Array(s"$tmp/vec_scaled", s"$tmp/vdel.parquet"))
+      }
+      emit("vec_delete", scale, tVDel)
+      emit("vec_search_post_delete", scale, minOf3 {
+        IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "2",
+          "--tier", "sq8")).collect()
+      })
+      val (_, tVCmp) = time {
+        IndexCorpus.compact(spark, Array(s"$tmp/vec_scaled"))
+      }
+      emit("vec_compact", scale, tVCmp)
+      emit("vec_search_post_compact", scale, minOf3 {
+        IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "2",
+          "--tier", "sq8")).collect()
+      })
+      graft.Scratch.release()
+    }
+    spark.stop()
+  }
+}

@@ -100,6 +100,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("lex index search: the searched terms reach the postings scan " +
+    "as a pushed literal In predicate (no full postings scan per query)") {
+    val p = plan("q267_lex_index_search")
+    // the scan over the postings artifact must carry PushedFilters
+    // with the In(t, ...) literal — the serve-path contract ServeProbe
+    // prices (a broadcast-join form scans every posting per query)
+    val scanLine = p.linesIterator
+      .filter(_.contains("postings")).mkString("\n")
+    assert(scanLine.contains("PushedFilters: [In(t, ") ||
+      p.contains("PushedFilters: [In(t, "),
+      s"postings scan lost the term pushdown:\n$scanLine")
+  }
+
   test("knn graph: blocked equi-joins only (no cartesian), fused " +
     "cosine verify, per-node top-k as WindowGroupLimit") {
     val p = plan("q274_knn_graph")
