@@ -244,7 +244,12 @@ object IndexCorpus {
 
     // PQ payload: per-subspace codebooks + long-form codes. Slices
     // derive per pass (narrow kernel + slice over the cached float
-    // source / materialized residual) — no derived-array caches
+    // source / materialized residual) — no derived-array caches.
+    // Codes carry the CELL key (appended last — readers index the
+    // first columns positionally): search can then meet the code
+    // artifact with a pushed literal `cell IN (...)` instead of a
+    // corpus-linear semi join (the round-12 serve-path lever).
+    val cellOf = spark.read.parquet(s"$out/assignments")
     val slices = (0 until pqM).map { s =>
       encBase.select(col("id"),
         slice(col("mv"), s * sub + 1, sub).as("mv"))
@@ -261,7 +266,9 @@ object IndexCorpus {
       SemDedup.assignDist(slices(s), books(s))
         .select(col("id"), lit(s.toLong).as("s"),
           col("cluster").cast("long").as("code"))
-    }.reduce(_ unionByName _))
+    }.reduce(_ unionByName _)
+      .join(cellOf, Seq("id"))
+      .select(col("id"), col("s"), col("code"), col("cell")))
 
     // optional SQ8 tier: per-dim range table + per-vector code arrays
     val sq8 = flags.getOrElse("sq8", "false").toBoolean
@@ -281,10 +288,13 @@ object IndexCorpus {
       }
       // ONE BYTE per dimension on disk (64 B/vector at dims = 64 —
       // the real 4x-vs-fp32 artifact, not longs a parquet encoder
-      // merely dictionary-packs)
+      // merely dictionary-packs); cell key appended for the pushed
+      // probed-cell restriction at search time
       write("sq8_codes", base.select(col("id"),
         graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
-          .as("codes")))
+          .as("codes"))
+        .join(cellOf, Seq("id"))
+        .select(col("id"), col("codes"), col("cell")))
     }
 
     val res = written.result()
@@ -362,14 +372,49 @@ object IndexCorpus {
           .select(col("id"),
             zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv"))
       }
-    val newCodes = (0 until pqM).map { s =>
+    val hasCellKey = spark.read.parquet(s"$idx/pq_codes")
+      .schema.fieldNames.contains("cell")
+    val newCodes0 = (0 until pqM).map { s =>
       SemDedup.assignDist(
         encBase.select(col("id"), slice(col("mv"), s * sub + 1, sub).as("mv")),
         books(s))
         .select(col("id"), lit(s.toLong).as("s"),
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _)
+    // legacy (pre-cell-key) indexes append in the old shape; current
+    // ones carry the cell so the search-time pushdown keeps working
+    // over the appended rows too
+    val newCodes =
+      if (hasCellKey) newCodes0.join(asgn, Seq("id"))
+        .select(col("id"), col("s"), col("code"), col("cell"))
+      else newCodes0
     newCodes.write.mode("append").parquet(s"$idx/pq_codes")
+    // the SQ8 tier ingests too (frozen per-dim ranges, like the
+    // frozen codebooks) — without this append an updated vector
+    // would be silently unsearchable under `--tier sq8`
+    val hasSq8 = spark.read.json(s"$idx/summary")
+      .filter(col("key") === "sq8")
+      .collect().headOption.exists(_.getLong(1) == 1L)
+    if (hasSq8) {
+      val rows = spark.read.parquet(s"$idx/sq8_ranges").collect()
+      val lo = new Array[Long](dims)
+      val wd = new Array[Long](dims)
+      rows.foreach { r =>
+        val i = r.getAs[Long]("i").toInt
+        lo(i) = r.getAs[Long]("lo")
+        wd(i) = r.getAs[Long]("wd")
+      }
+      val sq8HasCell = spark.read.parquet(s"$idx/sq8_codes")
+        .schema.fieldNames.contains("cell")
+      val newSq80 = base.select(col("id"),
+        graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
+          .as("codes"))
+      val newSq8 =
+        if (sq8HasCell) newSq80.join(asgn, Seq("id"))
+          .select(col("id"), col("codes"), col("cell"))
+        else newSq80
+      newSq8.write.mode("append").parquet(s"$idx/sq8_codes")
+    }
     refresh(spark, idx)
     Seq("ingested" -> asgn.count())
   }
@@ -441,7 +486,19 @@ object IndexCorpus {
     // pre-filter INSIDE the probed cells: cell restriction and the
     // stratum predicate reach the same scan
     val members = filterSql.fold(members0)(f => members0.filter(expr(f)))
-    val codes = spark.read.parquet(s"$idx/pq_codes")
+    // code artifacts written by this round carry the cell key: the
+    // probed-cell restriction becomes a pushed literal `cell IN` on
+    // the code scan itself (row-group pruning), instead of a
+    // corpus-linear semi join — SCALING.md round 12's "next lever",
+    // taken. The id-level semi join below still applies the stratum
+    // filter and the tombstone retraction; legacy cell-less
+    // artifacts just skip the scan-level restriction.
+    def cellRestrict(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (df.schema.fieldNames.contains("cell"))
+        df.filter(col("cell").isin(probedCells: _*)).drop("cell")
+      else df
+    val codes = cellRestrict(spark.read.parquet(s"$idx/pq_codes"))
     val tier = flags.getOrElse("tier", "pq")
     require(tier == "pq" || tier == "sq8", s"unknown --tier $tier")
     val adcRanked =
@@ -462,7 +519,7 @@ object IndexCorpus {
           lo(i) = r.getAs[Long]("lo")
           wd(i) = r.getAs[Long]("wd")
         }
-        spark.read.parquet(s"$idx/sq8_codes")
+        cellRestrict(spark.read.parquet(s"$idx/sq8_codes"))
           .join(members.select(col("id")), Seq("id"), "left_semi")
           .select(col("id"), graft.ops.VectorExpressions.sqDist(
             graft.ops.VectorExpressions.sq8UnpackDequant(col("codes"), lo, wd),

@@ -113,6 +113,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"postings scan lost the term pushdown:\n$scanLine")
   }
 
+  test("sq8 index search: the probed cells reach the code-artifact " +
+    "scan as a pushed literal In predicate") {
+    val p = plan("q262_sq8_index_search")
+    // both membership scans carry the literal probed-cell
+    // restriction — neither the assignments nor the sq8 code
+    // artifact is met by a corpus-linear pass
+    assert(p.contains("PushedFilters: [In(cell, ") ||
+      p.contains("PushedFilters: [IsNotNull(cell), In(cell, "),
+      s"code scan lost the probed-cell pushdown:\n" +
+        p.linesIterator.filter(_.contains("sq8_codes")).mkString("\n"))
+    graft.Scratch.release()
+  }
+
   test("knn graph: blocked equi-joins only (no cartesian), fused " +
     "cosine verify, per-node top-k as WindowGroupLimit") {
     val p = plan("q274_knn_graph")

@@ -289,12 +289,22 @@ class IndexCorpusSpec extends AnyFunSuite {
       new java.io.File(s"$idx/$name").listFiles()
         .count(f => f.getName.startsWith("part-"))
     assert(fragments("assignments") > 1, "update should append a fragment")
+    // the SQ8 tier ingests on update too (frozen ranges): every
+    // vector has a code row, and codes quantize the raw micros with
+    // the HALF-corpus-frozen ranges — an updated vector is as
+    // searchable under --tier sq8 as a built one
+    assert(spark.read.parquet(s"$idx/sq8_codes").count() == full.count())
 
     def searchIds(k: Int, tier: String = "pq"): Seq[(Long, Long)] =
       IndexCorpus.search(spark,
         Array(idx, emb, "7", "--k", k.toString, "--nprobe", "2",
           "--tier", tier))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // sq8 search must surface UPDATED vectors (ids >= 250): the old
+    // ingest path skipped the sq8 append, silently hiding them
+    val sq8Wide = searchIds(500, tier = "sq8")
+    assert(sq8Wide.exists(_._1 >= 250),
+      "sq8 tier lost the updated vectors")
     val wide = searchIds(500)
     // retract the unfiltered top hit plus an id the index never saw
     val victim = wide.head._1
