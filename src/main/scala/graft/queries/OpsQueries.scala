@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, GraphOps, Multimodal, Similarity, TextOps}
 
 /** Driver-contract queries for the training-data pipeline operators
   * (dedup, similarity search, text analysis, multimodal) over the
@@ -689,6 +689,79 @@ object OpsQueries {
            | FROM m)
            |SELECT id, nbr, cos, rn FROM r WHERE rn <= 3
            |ORDER BY id, rn""".stripMargin
+      }),
+
+    // the kNN graph FEEDING the graph suite — the point of building
+    // it: q274's per-node top-3 edges collapse to an undirected pair
+    // set and flow through the same degree-oriented triangle counter
+    // the near-dup graph uses (q113). Per-node triangle participation
+    // over a SIMILARITY graph is the classic local-density signal
+    // (dense semantic cliques vs hub nodes). The oracle composes
+    // q274's blocking/ranking chain with q113's orientation chain.
+    "q277_knn_graph_triangles" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(12, 64)
+        val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, Seq(all.take(6), all.drop(6)))
+        GraphOps.triangleCounts(edges.select(
+          least(col("id"), col("nbr")).as("id_a"),
+          greatest(col("id"), col("nbr")).as("id_b")).distinct())
+          .orderBy(col("node"))
+      },
+      Some {
+        val wSql = s"list_transform(generate_series(0, 63), d -> " +
+          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+        s"""WITH w AS (
+           | SELECT p, $wSql AS wv FROM generate_series(0, 11) AS t(p)),
+           |b AS (
+           | SELECT vec_id, embedding,
+           |  CAST(sum(CASE WHEN p < 6 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
+           |  CAST(sum(CASE WHEN p >= 6 AND (${dotSql("embedding", "wv")}) >= 0
+           |      THEN (1::BIGINT << (p - 6)) ELSE 0::BIGINT END) AS BIGINT) AS b1
+           | FROM embeddings, w GROUP BY vec_id, embedding),
+           |cp AS MATERIALIZED (
+           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+           | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1)
+           | WHERE x.vec_id < y.vec_id),
+           |m AS (
+           | SELECT id_a AS id, id_b AS nbr, cos FROM cp
+           | UNION ALL
+           | SELECT id_b AS id, id_a AS nbr, cos FROM cp),
+           |r AS (
+           | SELECT id, nbr, row_number() OVER
+           |  (PARTITION BY id ORDER BY cos DESC, nbr) AS rn
+           | FROM m),
+           |pr AS MATERIALIZED (
+           | SELECT DISTINCT least(id, nbr) AS id_a,
+           |  greatest(id, nbr) AS id_b
+           | FROM r WHERE rn <= 3),
+           |sym AS (
+           | SELECT id_a AS u, id_b AS v FROM pr
+           | UNION ALL SELECT id_b, id_a FROM pr),
+           |d AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY 1),
+           |wd AS (
+           | SELECT id_a, id_b, da.deg AS da, db.deg AS db FROM pr
+           | JOIN d da ON da.node = id_a JOIN d db ON db.node = id_b),
+           |o AS MATERIALIZED (
+           | SELECT
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN id_a ELSE id_b END AS u,
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN id_b ELSE id_a END AS v,
+           |  CASE WHEN row(da, id_a) < row(db, id_b)
+           |       THEN db ELSE da END AS dv
+           | FROM wd),
+           |wg AS (
+           | SELECT a.u, a.v, b.v AS w FROM o a JOIN o b USING (u)
+           | WHERE row(a.dv, a.v) < row(b.dv, b.v)),
+           |tr AS (
+           | SELECT wg.u, wg.v, wg.w FROM wg
+           | JOIN o ON o.u = wg.v AND o.v = wg.w),
+           |ex AS (SELECT unnest([u, v, w]) AS node FROM tr)
+           |SELECT node, count(*) AS n_tri FROM ex
+           |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // IVF ANN — deterministic coarse quantizer + probed search, run at
