@@ -12,9 +12,12 @@ import graft.ops.TextOps
   * classic IR artifacts; search runs against the files alone, so the
   * serving path never touches the raw corpus:
   *
-  *   - `postings`   (t, id, tf)   — the inverted index, term-keyed;
-  *   - `doclens`    (id, dl)      — per-document term counts;
-  *   - `stats`      (key, value)  — n docs, total terms, avgdl, gram.
+  *   - `postings`  (t, id, tf, dl) — the inverted index, term-keyed,
+  *     with the document length DENORMALIZED into each row so the
+  *     serve path scores from the searched lists alone;
+  *   - `doclens`   (id, dl)       — per-document term counts (the
+  *     authoritative source for stats rewrites);
+  *   - `stats`     (key, value)   — n docs, total terms, avgdl, gram.
   *
   * Scoring is [[TextOps.bm25Scores]]'s exact-integer Okapi contract
   * (k1 = 1.2, b = 0.75 with cleared denominators; idf =
@@ -104,16 +107,22 @@ object LexIndex {
     val docs = spark.read.parquet(in)
     val toks = docs.select(col(idCol).cast("long").as("id"),
       explode(TextOps.ngrams(col(textCol), gram)).as("t"))
-    val postings = graft.Scratch.cache(
+    val postings0 = graft.Scratch.cache(
       toks.groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
     val written = Seq.newBuilder[(String, Long)]
     def write(name: String, df: DataFrame): Unit = {
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       written += (name -> spark.read.parquet(s"$out/$name").count())
     }
-    write("postings", postings)
-    write("doclens", postings.groupBy(col("id"))
-      .agg(sum(col("tf")).as("dl")))
+    // the document length DENORMALIZES into every posting row (dl,
+    // appended last — positional readers unaffected): search then
+    // scores from the searched lists ALONE, with no corpus-sized
+    // doclens join on the serve path (the impact-ordered-postings
+    // layout; doclens stays authoritative for stats rewrites)
+    val dlDf = postings0.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    write("postings", postings0.join(dlDf, Seq("id"))
+      .select(col("t"), col("id"), col("tf"), col("dl")))
+    write("doclens", dlDf)
     // the doc-id MANIFEST: every ingested id, including zero-token
     // documents (text shorter than the gram) that never reach
     // doclens — update's dedup anti-joins THIS, not doclens, so
@@ -193,9 +202,17 @@ object LexIndex {
     val newPostings = graft.Scratch.cache(fresh
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
-    newPostings.write.mode("append").parquet(s"$idx/postings")
-    newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-      .write.mode("append").parquet(s"$idx/doclens")
+    val newDl = newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    // match the index's own postings layout: current indexes carry
+    // the denormalized dl; pre-dl legacy indexes keep their shape
+    val hasDl = spark.read.parquet(s"$idx/postings")
+      .schema.fieldNames.contains("dl")
+    val appendPostings =
+      if (hasDl) newPostings.join(newDl, Seq("id"))
+        .select(col("t"), col("id"), col("tf"), col("dl"))
+      else newPostings
+    appendPostings.write.mode("append").parquet(s"$idx/postings")
+    newDl.write.mode("append").parquet(s"$idx/doclens")
     // manifest append LAST: a failure mid-update must not leave ids
     // in the manifest with no indexed content (the anti-join would
     // then permanently block re-ingesting those documents)
@@ -389,8 +406,8 @@ object LexIndex {
     if (terms.isEmpty)
       // a query shorter than the gram has no terms, hence no candidates
       return spark.range(0).select(col("id"), col("id").as("score"))
-    val qPost0 = spark.read.parquet(s"$idx/postings")
-      .filter(col("t").isin(terms: _*))
+    val postingsAll = spark.read.parquet(s"$idx/postings")
+    val qPost0 = postingsAll.filter(col("t").isin(terms: _*))
     val qPost = graft.Scratch.cache(
       if (exists(spark, s"$idx/tombstones"))
         qPost0.join(
@@ -403,8 +420,15 @@ object LexIndex {
         (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
       .filter(col("idf") > 0)
       .select(col("t"), col("idf")))
-    qPost.join(dfq, Seq("t"))
-      .join(spark.read.parquet(s"$idx/doclens"), Seq("id"))
+    // current indexes carry dl inside the posting rows — the score
+    // derives from the searched lists alone; a legacy (pre-dl) index
+    // pays the doclens join it was built with
+    val scored =
+      if (postingsAll.schema.fieldNames.contains("dl"))
+        qPost.join(dfq, Seq("t"))
+      else qPost.join(dfq, Seq("t"))
+        .join(spark.read.parquet(s"$idx/doclens"), Seq("id"))
+    scored
       .withColumn("term", expr(
         s"idf * 22000 * tf * $avgdl DIV " +
           s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
