@@ -20,6 +20,61 @@ object CurationQueries {
 
   private def t = Registry.table _
 
+  /** The q202 frozen-model update-equivalence closed form: every
+    * vector (old AND new) assigned to the SUBSET-trained centroids
+    * and codebooks. Shared verbatim by q278 — the STREAMING ingest
+    * must leave artifacts identical to the one-shot update.
+    */
+  private lazy val indexUpdateEquivOracle: String =
+    s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |exA AS MATERIALIZED (SELECT * FROM exall WHERE id % 4 <> 0),
+           |seed AS (
+           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+           | FROM (SELECT DISTINCT id FROM exA ORDER BY id LIMIT 4)),
+           |cI0 AS MATERIALIZED (
+           | SELECT seed.j, exA.gi AS i, exA.m AS c
+           | FROM exA JOIN seed USING (id)),
+           |dI1 AS (SELECT exA.id, c.j, sum((exA.m - c.c) * (exA.m - c.c)) AS d
+           |  FROM exA JOIN cI0 c ON c.i = exA.gi GROUP BY 1, 2),
+           |aI1 AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
+           |uI1 AS MATERIALIZED (
+           | SELECT aI1.j, exA.gi AS i, CAST(sum(exA.m) AS BIGINT) // count(*) AS c
+           | FROM aI1 JOIN exA USING (id) GROUP BY 1, 2),
+           |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
+           | SELECT j, i, c FROM cI0
+           | WHERE j NOT IN (SELECT j FROM uI1)),
+           |dIF AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
+           |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
+           |aIF AS MATERIALIZED (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dIF) WHERE rn = 1),
+           |${pqSubChain("exA", 0)},
+           |${pqSubChain("exA", 1)},
+           |exF0 AS MATERIALIZED (
+           | SELECT id, gi AS i, m FROM exall WHERE gi < 32),
+           |dF_0 AS (SELECT exF0.id, c.j, sum((exF0.m - c.c) * (exF0.m - c.c)) AS d
+           |  FROM exF0 JOIN c1_0 c USING (i) GROUP BY 1, 2),
+           |aF_0 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_0) WHERE rn = 1),
+           |exF1 AS MATERIALIZED (
+           | SELECT id, gi - 32 AS i, m FROM exall WHERE gi >= 32),
+           |dF_1 AS (SELECT exF1.id, c.j, sum((exF1.m - c.c) * (exF1.m - c.c)) AS d
+           |  FROM exF1 JOIN c1_1 c USING (i) GROUP BY 1, 2),
+           |aF_1 AS (SELECT id, j FROM (
+           |  SELECT id, j, row_number() OVER (
+           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_1) WHERE rn = 1)
+           |SELECT aIF.id AS vec_id, CAST(aIF.j AS BIGINT) AS cell,
+           | CAST(aF_0.j AS BIGINT) AS code0, CAST(aF_1.j AS BIGINT) AS code1
+           |FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)
+           |ORDER BY vec_id""".stripMargin
+
   private val toksSql = OpsQueries.toksSql
 
   /** One-row release scorecard over a (doc_id, text, source, lang)
@@ -859,55 +914,55 @@ object CurationQueries {
             col("code0"), col("code1"))
           .orderBy(col("vec_id"))
       },
-      Some(
-        s"""WITH exall AS MATERIALIZED (
-           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
-           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
-           |   AS BIGINT) AS m
-           | FROM embeddings WHERE len(embedding) = 64),
-           |exA AS MATERIALIZED (SELECT * FROM exall WHERE id % 4 <> 0),
-           |seed AS (
-           | SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
-           | FROM (SELECT DISTINCT id FROM exA ORDER BY id LIMIT 4)),
-           |cI0 AS MATERIALIZED (
-           | SELECT seed.j, exA.gi AS i, exA.m AS c
-           | FROM exA JOIN seed USING (id)),
-           |dI1 AS (SELECT exA.id, c.j, sum((exA.m - c.c) * (exA.m - c.c)) AS d
-           |  FROM exA JOIN cI0 c ON c.i = exA.gi GROUP BY 1, 2),
-           |aI1 AS MATERIALIZED (SELECT id, j FROM (
-           |  SELECT id, j, row_number() OVER (
-           |   PARTITION BY id ORDER BY d, j) AS rn FROM dI1) WHERE rn = 1),
-           |uI1 AS MATERIALIZED (
-           | SELECT aI1.j, exA.gi AS i, CAST(sum(exA.m) AS BIGINT) // count(*) AS c
-           | FROM aI1 JOIN exA USING (id) GROUP BY 1, 2),
-           |cI1 AS MATERIALIZED (SELECT * FROM uI1 UNION ALL
-           | SELECT j, i, c FROM cI0
-           | WHERE j NOT IN (SELECT j FROM uI1)),
-           |dIF AS (SELECT exall.id, c.j, sum((exall.m - c.c) * (exall.m - c.c)) AS d
-           |  FROM exall JOIN cI1 c ON c.i = exall.gi GROUP BY 1, 2),
-           |aIF AS MATERIALIZED (SELECT id, j FROM (
-           |  SELECT id, j, row_number() OVER (
-           |   PARTITION BY id ORDER BY d, j) AS rn FROM dIF) WHERE rn = 1),
-           |${pqSubChain("exA", 0)},
-           |${pqSubChain("exA", 1)},
-           |exF0 AS MATERIALIZED (
-           | SELECT id, gi AS i, m FROM exall WHERE gi < 32),
-           |dF_0 AS (SELECT exF0.id, c.j, sum((exF0.m - c.c) * (exF0.m - c.c)) AS d
-           |  FROM exF0 JOIN c1_0 c USING (i) GROUP BY 1, 2),
-           |aF_0 AS (SELECT id, j FROM (
-           |  SELECT id, j, row_number() OVER (
-           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_0) WHERE rn = 1),
-           |exF1 AS MATERIALIZED (
-           | SELECT id, gi - 32 AS i, m FROM exall WHERE gi >= 32),
-           |dF_1 AS (SELECT exF1.id, c.j, sum((exF1.m - c.c) * (exF1.m - c.c)) AS d
-           |  FROM exF1 JOIN c1_1 c USING (i) GROUP BY 1, 2),
-           |aF_1 AS (SELECT id, j FROM (
-           |  SELECT id, j, row_number() OVER (
-           |   PARTITION BY id ORDER BY d, j) AS rn FROM dF_1) WHERE rn = 1)
-           |SELECT aIF.id AS vec_id, CAST(aIF.j AS BIGINT) AS cell,
-           | CAST(aF_0.j AS BIGINT) AS code0, CAST(aF_1.j AS BIGINT) AS code1
-           |FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)
-           |ORDER BY vec_id""".stripMargin)),
+      Some(indexUpdateEquivOracle)),
+
+    // STREAMING vector-index MAINTENANCE — q275's lexical story for
+    // the ANN index: build on the 3/4 subset (frozen router +
+    // codebooks), then let each micro-batch of arriving vectors
+    // ingest through IndexCorpus.ingestFrame (frozen-model assign +
+    // encode + append; already-present ids anti-joined away, so the
+    // 3/4 that re-arrive are rejected and only the held-out quarter
+    // lands). The index is searchable between batches; the
+    // end-of-stream artifacts must be IDENTICAL to the one-shot
+    // update, so q202's closed-form oracle applies verbatim — that
+    // shared oracle IS the equivalence proof.
+    "q278_streaming_vec_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q278").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        val ev = SlowLogQueries.embSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "emb", ev)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.tools.IndexCorpus.ingestFrame(s, s"$tmp/idx",
+                batch, "vec_id", "embedding")
+              ()
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+          .groupBy(col("id"))
+          .agg(max(when(col("s") === 0, col("code"))).as("code0"),
+            max(when(col("s") === 1, col("code"))).as("code1"))
+        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+          .select(col("id").as("vec_id"), col("cell"),
+            col("code0"), col("code1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(indexUpdateEquivOracle)),
 
     // The full production ingest path in one driver row: RESIDUAL PQ
     // + frozen-model incremental update. Build a residual IVF-PQ

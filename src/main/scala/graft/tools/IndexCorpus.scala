@@ -321,6 +321,21 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     val vecCol = flags.getOrElse("vec", "embedding")
+    Seq("ingested" ->
+      ingestFrame(spark, idx, spark.read.parquet(in), idCol, vecCol))
+  }
+
+  /** The frozen-model ingest core shared by the [[update]] CLI and
+    * the STREAMING maintenance path (q278's foreachBatch calls this
+    * once per micro-batch): assign against the frozen router, encode
+    * with the frozen codebooks (and frozen SQ8 ranges), append. The
+    * index is searchable between batches; the end-of-stream state is
+    * identical to one batch update over everything that arrived —
+    * q278 shares q202's closed-form oracle.
+    */
+  def ingestFrame(spark: SparkSession, idx: String,
+      raw: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): Long = {
     GraftSession.tune(spark)
     import spark.implicits._
 
@@ -354,7 +369,7 @@ object IndexCorpus {
           spark.read.parquet(s"$idx/tombstones").select(col("id")))
       else existing0
     val base = graft.Scratch.localCheckpoint(
-      spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+      raw.filter(size(col(vecCol)) === dims)
         .select(col(idCol).cast("long").as("id"),
           SemDedup.microsVec(col(vecCol)).as("mv"))
         .join(existing, Seq("id"), "left_anti"))
@@ -416,7 +431,7 @@ object IndexCorpus {
       newSq8.write.mode("append").parquet(s"$idx/sq8_codes")
     }
     refresh(spark, idx)
-    Seq("ingested" -> asgn.count())
+    asgn.count()
   }
 
   /** Search the persisted index: route, ADC-score the probed cells,
