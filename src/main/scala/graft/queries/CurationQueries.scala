@@ -884,6 +884,38 @@ object CurationQueries {
            | AND dq.id % 5 <> 3
            |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin)),
 
+    // EXACT-tier index search: recall 10/10 BY CONSTRUCTION through
+    // the CLI artifacts — the strongest oracle shape on the board for
+    // an index query, because the oracle is plain brute force, not a
+    // replay of the index math. Triangle-inequality pruning over the
+    // persisted per-cell radii (phase 1 scores the nprobe nearest
+    // cells exactly; phase 2 scores every cell whose lower bound
+    // d(q,c)-r could still beat the kth) provably loses nothing, so
+    // the top-10 by exact squared-L2 must equal the full scan's.
+    "q279_index_exact_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q279").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--tier", "exact"))
+      },
+      Some(
+        s"""WITH exall AS MATERIALIZED (
+           | SELECT vec_id AS id, unnest(range(len(embedding))) AS gi,
+           |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+           |   AS BIGINT) AS m
+           | FROM embeddings WHERE len(embedding) = 64),
+           |q AS (SELECT gi, m AS qm FROM exall WHERE id = 7)
+           |SELECT exall.id,
+           | CAST(sum((q.qm - exall.m) * (q.qm - exall.m)) AS BIGINT) AS d
+           |FROM exall JOIN q USING (gi)
+           |WHERE exall.id <> 7
+           |GROUP BY 1 ORDER BY d, exall.id LIMIT 10""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

@@ -49,7 +49,7 @@ import graft.ops.SemDedup
   *   runMain graft.tools.IndexCorpus compact <indexDir>
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
-  *     [--filter "<sqlExpr over id, cell>"] [--rerank N] [--tier sq8]
+  *     [--filter "<sqlExpr over id, cell>"] [--rerank N] [--tier sq8|exact]
   */
 object IndexCorpus {
 
@@ -168,6 +168,20 @@ object IndexCorpus {
         written += (name -> spark.read.parquet(path).count())
       }
     }
+    // radii are CELL-keyed, so the tombstone anti-join does not apply
+    // — fold the appended per-ingest maxes to one row per cell. Post-
+    // delete radii may overestimate (max over fewer members), which
+    // only weakens the exact tier's pruning, never its answers.
+    if (exists(spark, s"$idx/ivf_radii")) {
+      val path = s"$idx/ivf_radii"
+      val snap = graft.Scratch.localCheckpoint(
+        spark.read.parquet(path)
+          .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
+      snap.count()
+      snap.coalesce(1).write.mode("overwrite").parquet(path)
+      refresh(spark, path)
+      written += ("ivf_radii" -> spark.read.parquet(path).count())
+    }
     if (hasTomb) {
       val tomb = graft.Scratch.localCheckpoint(
         spark.read.parquet(s"$idx/tombstones").select(col("id")).distinct())
@@ -219,13 +233,20 @@ object IndexCorpus {
       written += (name -> spark.read.parquet(s"$out/$name").count())
     }
 
-    // IVF router: full-dim fixed-point cells + assignments
+    // IVF router: full-dim fixed-point cells + assignments + per-cell
+    // RADII (max member squared distance — the triangle-inequality
+    // bound `--tier exact` prunes with; one cached assignment pass
+    // feeds both artifacts)
     val cells = SemDedup.lloyd(base, ivfK, dims, iters)
     write("ivf_centroids", cells.zipWithIndex.flatMap { case (c, j) =>
       c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
     }.toSeq.toDF("cell", "i", "c"))
-    write("assignments", SemDedup.assignDist(base, cells)
+    val asgnAll = graft.Scratch.cache(SemDedup.assignDist(base, cells))
+    write("assignments", asgnAll
       .select(col("id"), col("cluster").cast("long").as("cell")))
+    write("ivf_radii", asgnAll
+      .groupBy(col("cluster").cast("long").as("cell"))
+      .agg(max(col("d")).as("r2")))
 
     // Encoding input: raw vectors, or residuals against the cell
     // centroid (one broadcast join + a zip_with — still one narrow
@@ -374,9 +395,18 @@ object IndexCorpus {
           SemDedup.microsVec(col(vecCol)).as("mv"))
         .join(existing, Seq("id"), "left_anti"))
 
-    val asgn = graft.Scratch.cache(SemDedup.assignDist(base, cents)
-      .select(col("id"), col("cluster").cast("long").as("cell")))
+    val asgnD = graft.Scratch.cache(SemDedup.assignDist(base, cents)
+      .select(col("id"), col("cluster").cast("long").as("cell"),
+        col("d")))
+    val asgn = asgnD.select(col("id"), col("cell"))
     asgn.write.mode("append").parquet(s"$idx/assignments")
+    // an ingested vector may sit FARTHER from its cell centroid than
+    // any built one — append the per-cell max so the exact tier's
+    // pruning bound stays an overestimate (search maxes per cell at
+    // read time; appends never race a rewrite)
+    if (exists(spark, s"$idx/ivf_radii"))
+      asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2"))
+        .write.mode("append").parquet(s"$idx/ivf_radii")
 
     val encBase =
       if (!residual) base
@@ -487,6 +517,64 @@ object IndexCorpus {
     val probedCells = cents.toSeq
       .map { case (j, c) => (l2(pv, 0, c), j) }.sorted.take(nprobe)
       .map(_._2)
+
+    // EXACT tier: recall 10/10 by construction through the artifacts.
+    // Triangle inequality in true (square-rooted) distance space: any
+    // member x of cell j satisfies d(q, x) >= d(q, c_j) - r_j, so a
+    // cell whose lower bound exceeds the current kth-best distance
+    // cannot contribute — prune it WITHOUT reading it. Two phases:
+    // score the nprobe nearest cells exactly on the float source
+    // (that top-k's kth distance is a valid upper bound on the final
+    // kth), then score every unpruned remaining cell and re-rank.
+    // Fewer than k phase-1 hits -> no pruning -> exhaustive scan
+    // (still exact). Stored radii only ever OVERESTIMATE after a
+    // delete/compact (max over fewer members) — an overestimate
+    // weakens pruning, never correctness; update appends per-batch
+    // cell maxes and search maxes per cell at read time.
+    if (flags.getOrElse("tier", "pq") == "exact") {
+      require(filterSql.isEmpty && rerankN.isEmpty,
+        "--tier exact composes with neither --filter nor --rerank")
+      require(exists(spark, s"$idx/ivf_radii"),
+        s"$idx has no ivf_radii artifact (rebuild to enable --tier exact)")
+      val r2 = spark.read.parquet(s"$idx/ivf_radii")
+        .groupBy(col("cell")).agg(max(col("r2")).as("r2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dc = cents.toSeq
+        .map { case (j, c) => j -> math.sqrt(l2(pv, 0, c).toDouble) }
+      def score(cellIds: Seq[Long]): DataFrame = {
+        val m0 = spark.read.parquet(s"$idx/assignments")
+          .filter(col("cell").isin(cellIds: _*))
+          .filter(col("id") =!= probeId)
+        val m =
+          if (exists(spark, s"$idx/tombstones"))
+            m0.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
+              Seq("id"), "left_anti")
+          else m0
+        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("id"),
+            SemDedup.microsVec(col(vecCol)).as("mv"))
+          .join(m.select(col("id")), Seq("id"), "left_semi")
+          .select(col("id"), graft.ops.VectorExpressions.sqDist(
+            col("mv"), typedLit(pv.toSeq)).as("d"))
+      }
+      val phase1 = dc.map { case (j, d) => (d, j) }.sorted
+        .take(nprobe).map(_._2)
+      val top1 = score(phase1).orderBy(col("d"), col("id")).limit(k)
+        .collect()
+      val dk =
+        if (top1.length < k) Double.MaxValue
+        else top1.last.getAs[Long]("d").toDouble
+      val survivors = dc.collect {
+        case (j, d) if !phase1.contains(j) && {
+          val lb = math.max(0.0,
+            d - math.sqrt(r2.getOrElse(j, Long.MaxValue).toDouble))
+          lb * lb <= dk
+        } => j
+      }
+      return score(phase1 ++ survivors)
+        .orderBy(col("d"), col("id")).limit(k)
+    }
+
     val membersAll = spark.read.parquet(s"$idx/assignments")
       .filter(col("cell").isin(probedCells: _*))
       .filter(col("id") =!= probeId)

@@ -19,7 +19,7 @@ class IndexCorpusSpec extends AnyFunSuite {
   test("index build + search: answer re-derivable from artifacts; rebuild identical") {
     val idx = Files.createTempDirectory("graft_index").toString
     val res = IndexCorpus.build(spark, Array(emb, idx)).toMap
-    assert(res.keySet == Set("ivf_centroids", "assignments",
+    assert(res.keySet == Set("ivf_centroids", "assignments", "ivf_radii",
       "pq_codebooks", "pq_codes"))
     val nVec = res("assignments")
     assert(res("pq_codes") == nVec * 2) // long form: one row per subspace
@@ -267,6 +267,55 @@ class IndexCorpusSpec extends AnyFunSuite {
       case (id, cell) if probed(cell) && id != 7L => (id, l2(pv, recon(id)))
     }.toSeq.sortBy { case (id, d) => (d, id) }.take(5)
     assert(got == want, s"got=$got want=$want")
+  }
+
+  test("--tier exact: answer equals brute-force squared-L2 top-k by " +
+    "construction, including after update (radii grow) and delete") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val full = spark.read.parquet(emb).filter(size(col("embedding")) === 64)
+    val tmp = Files.createTempDirectory("graft_index_exact").toString
+    val idx = s"$tmp/idx"
+    // build on a half, update the rest: the exact guarantee must hold
+    // with radii stitched from the build pass PLUS the appended
+    // per-ingest maxes (an updated vector can exceed its cell radius)
+    full.filter(col("vec_id") < 250).write.parquet(s"$tmp/old.parquet")
+    full.filter(col("vec_id") >= 250).write.parquet(s"$tmp/new.parquet")
+    IndexCorpus.build(spark, Array(s"$tmp/old.parquet", idx,
+      "--ivf-k", "4"))
+    IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet"))
+
+    val micros = full
+      .select(col("vec_id"), graft.ops.SemDedup.microsVec(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val pv = micros(7L)
+    def d2(x: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < 64) { val y = x(i) - pv(i); d += y * y; i += 1 }
+      d
+    }
+    def brute(excluded: Set[Long]): Seq[(Long, Long)] =
+      micros.toSeq.collect {
+        case (id, v) if id != 7L && !excluded(id) => (id, d2(v))
+      }.sortBy { case (id, d) => (d, id) }.take(10)
+    def exact(): Seq[(Long, Long)] =
+      IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "10",
+        "--nprobe", "2", "--tier", "exact"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(exact() == brute(Set.empty))
+
+    // retraction honored by the exact tier too
+    val victim = brute(Set.empty).head._1
+    Seq(victim).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    assert(exact() == brute(Set(victim)))
+    // compact folds the radii fragments without breaking the bound
+    IndexCorpus.compact(spark, Array(idx))
+    assert(spark.read.parquet(s"$idx/ivf_radii").count() ==
+      spark.read.parquet(s"$idx/ivf_radii").select("cell").distinct().count())
+    assert(exact() == brute(Set(victim)))
   }
 
   test("delete + compact lifecycle: tombstoned ids vanish from search " +
