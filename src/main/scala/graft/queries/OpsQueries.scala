@@ -22,6 +22,42 @@ object OpsQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Registry.table(spark, dir, name)
 
+  /** The q274 kNN-graph chain up to the undirected edge set `pr` —
+    * OR-construction blocking (2 tables x 6 planes), exact cosine,
+    * per-node top-3, mirrored pairs deduped — shared by the q277
+    * triangle oracle and the q280 community oracle.
+    */
+  private lazy val knnPairCtes: String = {
+    val wSql = s"list_transform(generate_series(0, 63), d -> " +
+      s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
+    s"""w AS (
+       | SELECT p, $wSql AS wv FROM generate_series(0, 11) AS t(p)),
+       |b AS (
+       | SELECT vec_id, embedding,
+       |  CAST(sum(CASE WHEN p < 6 AND (${dotSql("embedding", "wv")}) >= 0
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
+       |  CAST(sum(CASE WHEN p >= 6 AND (${dotSql("embedding", "wv")}) >= 0
+       |      THEN (1::BIGINT << (p - 6)) ELSE 0::BIGINT END) AS BIGINT) AS b1
+       | FROM embeddings, w GROUP BY vec_id, embedding),
+       |cp AS MATERIALIZED (
+       | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
+       | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1)
+       | WHERE x.vec_id < y.vec_id),
+       |m AS (
+       | SELECT id_a AS id, id_b AS nbr, cos FROM cp
+       | UNION ALL
+       | SELECT id_b AS id, id_a AS nbr, cos FROM cp),
+       |r AS (
+       | SELECT id, nbr, row_number() OVER
+       |  (PARTITION BY id ORDER BY cos DESC, nbr) AS rn
+       | FROM m),
+       |pr AS MATERIALIZED (
+       | SELECT DISTINCT least(id, nbr) AS id_a,
+       |  greatest(id, nbr) AS id_b
+       | FROM r WHERE rn <= 3)""".stripMargin
+  }
+
   // ---- shared oracle SQL fragments -----------------------------------
 
   /** whitespace tokens, empties dropped */
@@ -709,34 +745,7 @@ object OpsQueries {
           .orderBy(col("node"))
       },
       Some {
-        val wSql = s"list_transform(generate_series(0, 63), d -> " +
-          s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
-        s"""WITH w AS (
-           | SELECT p, $wSql AS wv FROM generate_series(0, 11) AS t(p)),
-           |b AS (
-           | SELECT vec_id, embedding,
-           |  CAST(sum(CASE WHEN p < 6 AND (${dotSql("embedding", "wv")}) >= 0
-           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END) AS BIGINT) AS b0,
-           |  CAST(sum(CASE WHEN p >= 6 AND (${dotSql("embedding", "wv")}) >= 0
-           |      THEN (1::BIGINT << (p - 6)) ELSE 0::BIGINT END) AS BIGINT) AS b1
-           | FROM embeddings, w GROUP BY vec_id, embedding),
-           |cp AS MATERIALIZED (
-           | SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-           |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos
-           | FROM b x JOIN b y ON (x.b0 = y.b0 OR x.b1 = y.b1)
-           | WHERE x.vec_id < y.vec_id),
-           |m AS (
-           | SELECT id_a AS id, id_b AS nbr, cos FROM cp
-           | UNION ALL
-           | SELECT id_b AS id, id_a AS nbr, cos FROM cp),
-           |r AS (
-           | SELECT id, nbr, row_number() OVER
-           |  (PARTITION BY id ORDER BY cos DESC, nbr) AS rn
-           | FROM m),
-           |pr AS MATERIALIZED (
-           | SELECT DISTINCT least(id, nbr) AS id_a,
-           |  greatest(id, nbr) AS id_b
-           | FROM r WHERE rn <= 3),
+        s"""WITH $knnPairCtes,
            |sym AS (
            | SELECT id_a AS u, id_b AS v FROM pr
            | UNION ALL SELECT id_b, id_a FROM pr),
@@ -762,6 +771,44 @@ object OpsQueries {
            |ex AS (SELECT unnest([u, v, w]) AS node FROM tr)
            |SELECT node, count(*) AS n_tri FROM ex
            |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // semantic communities: 3-round majority-label propagation over
+    // the kNN graph (q131's operator fed by q274's edges) — cluster
+    // structure of the SIMILARITY graph without any centroid model.
+    // The oracle unrolls the three rounds over the shared kNN pair
+    // chain.
+    "q280_knn_graph_communities" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(12, 64)
+        val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, Seq(all.take(6), all.drop(6)))
+        GraphOps.labelPropagation(edges.select(
+          least(col("id"), col("nbr")).as("id_a"),
+          greatest(col("id"), col("nbr")).as("id_b")).distinct(),
+          rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        val round = (prev: String, cn: String, ln: String) =>
+          s"""$cn AS MATERIALIZED (
+             | SELECT s.src, l.lbl, count(*) AS c
+             | FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+             |$ln AS MATERIALIZED (
+             | SELECT src AS node, lbl FROM (
+             |  SELECT src, lbl, row_number() OVER (
+             |   PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM $cn)
+             | WHERE rn = 1)""".stripMargin
+        s"""WITH $knnPairCtes,
+           |sym AS MATERIALIZED (
+           | SELECT id_a AS src, id_b AS dst FROM pr
+           | UNION ALL SELECT id_b, id_a FROM pr),
+           |l0 AS MATERIALIZED (
+           | SELECT DISTINCT src AS node, src AS lbl FROM sym),
+           |${round("l0", "c1", "l1")},
+           |${round("l1", "c2", "l2")},
+           |${round("l2", "c3", "l3")}
+           |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
       }),
 
     // IVF ANN — deterministic coarse quantizer + probed search, run at
