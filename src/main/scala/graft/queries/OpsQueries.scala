@@ -811,6 +811,69 @@ object OpsQueries {
            |SELECT node, lbl AS community FROM l3 ORDER BY node""".stripMargin
       }),
 
+    // partition quality of the q280 communities: Newman modularity
+    // over the kNN graph (q166's operator and integer contract —
+    // per-community e_in / deg_sum / cut edges and the DECIMAL(38)
+    // contribution 4m*e_in - deg_sum^2 as a lossless string). This
+    // closes the semantic-graph story: construct (q274) -> local
+    // density (q277) -> communities (q280) -> partition quality.
+    "q281_knn_graph_modularity" -> Q(
+      (s, dir) => {
+        val all = Similarity.hyperplanes(12, 64)
+        val pairs = Similarity.knnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, Seq(all.take(6), all.drop(6)))
+          .select(least(col("id"), col("nbr")).as("id_a"),
+            greatest(col("id"), col("nbr")).as("id_b")).distinct()
+        GraphOps.modularity(pairs,
+          GraphOps.labelPropagation(pairs, rounds = 3))
+          .withColumn("contrib_4m2", col("contrib_4m2").cast("string"))
+      },
+      Some {
+        val round = (prev: String, cn: String, ln: String) =>
+          s"""$cn AS MATERIALIZED (
+             | SELECT s.src, l.lbl, count(*) AS c
+             | FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+             |$ln AS MATERIALIZED (
+             | SELECT src AS node, lbl FROM (
+             |  SELECT src, lbl, row_number() OVER (
+             |   PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM $cn)
+             | WHERE rn = 1)""".stripMargin
+        s"""WITH $knnPairCtes,
+           |sym AS MATERIALIZED (
+           | SELECT id_a AS src, id_b AS dst FROM pr
+           | UNION ALL SELECT id_b, id_a FROM pr),
+           |l0 AS MATERIALIZED (
+           | SELECT DISTINCT src AS node, src AS lbl FROM sym),
+           |${round("l0", "c1", "l1")},
+           |${round("l1", "c2", "l2")},
+           |${round("l2", "c3", "l3")},
+           |mm AS (SELECT count(*) AS m FROM pr),
+           |e AS (
+           | SELECT la.lbl AS community, count(*) AS e_in
+           | FROM pr
+           | JOIN l3 la ON la.node = pr.id_a
+           | JOIN l3 lb ON lb.node = pr.id_b
+           | WHERE la.lbl = lb.lbl GROUP BY 1),
+           |dg AS (
+           | SELECT node, count(*) AS deg FROM (
+           |  SELECT id_a AS node FROM pr
+           |  UNION ALL SELECT id_b FROM pr) s GROUP BY 1),
+           |dc AS (
+           | SELECT l3.lbl AS community, sum(dg.deg) AS deg_sum,
+           |  count(*) AS n_nodes
+           | FROM l3 JOIN dg ON dg.node = l3.node GROUP BY 1)
+           |SELECT dc.community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+           | CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in,
+           | CAST(dc.deg_sum AS BIGINT) AS deg_sum,
+           | CAST(dc.deg_sum - 2 * coalesce(e.e_in, 0) AS BIGINT)
+           |  AS cut_edges,
+           | CAST(CAST(4 * CAST(mm.m AS DECIMAL(38,0)) * coalesce(e.e_in, 0)
+           |   - CAST(dc.deg_sum AS DECIMAL(38,0)) * dc.deg_sum
+           |   AS DECIMAL(38,0)) AS VARCHAR) AS contrib_4m2
+           |FROM dc LEFT JOIN e ON e.community = dc.community CROSS JOIN mm
+           |ORDER BY dc.community""".stripMargin
+      }),
+
     // IVF ANN — deterministic coarse quantizer + probed search, run at
     // FULL probe fan-out (nprobe = k = 16) so the registered output is
     // provably the brute-force top-10: probing every cell makes the
