@@ -192,25 +192,32 @@ object Bench {
     // noise): at that magnitude a 2x ratio is within in-suite jitter,
     // while a genuine regression on a query that matters clears half
     // a second easily.
-    // PRELIMINARY verdict — this only selects the quiet re-time set;
-    // the committed verdict is recomputed below from the post-quiet
-    // numbers, so a suspect that re-times back under the threshold
-    // drops off the committed list instead of flapping across rounds.
-    // A suspect must regress vs BOTH references: the history MIN (so
-    // one noise-slow committed run can't move the baseline) AND the
-    // LATEST entry (so a legitimate cost change — q30's stub -> real
-    // decode — stops flagging the moment its new time is committed;
-    // the stale min ages out of the 8-entry window on its own).
+    // PRELIMINARY verdict — this only selects the quiet re-time set,
+    // so it is deliberately GENEROUS: regressed vs the history MIN
+    // alone (one noise-slow committed run can't move that baseline,
+    // and an extra re-time costs seconds). The COMMITTED verdict
+    // (recomputed below from the post-quiet numbers) additionally
+    // requires regression vs the LATEST entry, which retires
+    // legitimate cost changes — q30's stub -> real decode — the
+    // moment their new time is committed; the stale min ages out of
+    // the 8-entry window on its own. (The round-12 advisory: the old
+    // code required BOTH references in the preliminary set too, and
+    // since min <= latest the min conjunct was logically dead — the
+    // baseline was effectively the latest entry alone, the opposite
+    // of the comment's claim.)
     def regressed(sec: Double, ref: Option[Double]): Boolean =
       ref.exists(p => p > 0 && sec >= 2.0 * p && sec >= p + 0.5)
-    def suspectsIn(times: Seq[(String, Double, Boolean)]): Seq[String] =
+    def suspectsIn(times: Seq[(String, Double, Boolean)],
+        retireVsLatest: Boolean): Seq[String] =
       times.collect {
         case (name, sec, true)
           if regressed(sec, priorQueries.get(name)) &&
-            regressed(sec, latestQueries.get(name)) => name
+            (!retireVsLatest || regressed(sec, latestQueries.get(name)))
+          => name
       }
     val crossRoundSuspects = suspectsIn(
-      afterRetry.map { case (n, s, ok, _, _) => (n, s, ok) })
+      afterRetry.map { case (n, s, ok, _, _) => (n, s, ok) },
+      retireVsLatest = false)
     val staticSuspects = Seq("q21_quality", "q26_simhash_pairs",
       "q42_approx_distinct", "q74_ngram_decontam", "q75_reshard",
       "q76_length_buckets", "q77_data_card", "q97_upsert",
@@ -265,7 +272,8 @@ object Bench {
       s"$retryCount re-timed once + noise suspects (static seeds + " +
       "measured >=1.8x suite-vs-retry delta + max(2x, +0.5s) vs the " +
       "committed-history per-query MIN in BENCH_HISTORY.json) re-timed " +
-      "quiet; committed suspect verdict recomputed post-quiet " +
+      "quiet; committed suspect verdict recomputed post-quiet vs MIN " +
+      "and latest-entry (legit-cost-change retire) " +
       "(post-suite GC+settle, min of successful runs), min reported " +
       "(suite-noise control)"
     val isolated = quiet.toSeq.sortBy(_._1)
@@ -276,11 +284,12 @@ object Bench {
     // the quiet re-time is a real cross-round regression worth
     // committing — a clean run commits an empty list
     val finalSuspects = suspectsIn(
-      results.map { case (n, s, ok, _, _) => (n, s, ok) })
+      results.map { case (n, s, ok, _, _) => (n, s, ok) },
+      retireVsLatest = true)
     val crossRound = finalSuspects.sorted
       .map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"isolated":$isolated,"cross_round_suspects":$crossRound,"prior_run_queries":${priorQueries.size},"gc_ms_and_stored_bytes":$diag,"note":"$note","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"isolated":$isolated,"cross_round_suspects":$crossRound,"prior_run_queries":${latestQueries.size},"history_min_queries":${priorQueries.size},"gc_ms_and_stored_bytes":$diag,"note":"$note","sf":"$sfDir"}"""
     // Append this run's per-query map to the COMMITTED history file
     // (last 8 runs kept) — the repo-resident artifact that makes
     // per-query round-over-round diffs possible for the judge, the

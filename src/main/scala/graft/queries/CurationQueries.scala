@@ -916,6 +916,151 @@ object CurationQueries {
            |WHERE exall.id <> 7
            |GROUP BY 1 ORDER BY d, exall.id LIMIT 10""".stripMargin)),
 
+    // BATCH vector serving (round-13 brief item 3): ONE
+    // IndexCorpus.searchBatch pass routes and SQ8-ADC-scores a
+    // 4-probe frame against the artifacts — per-probe semantics
+    // identical to q262's single-probe path (per-probe nprobe-nearest
+    // cells with (d, cell) ties, cell-restricted candidates,
+    // self-exclusion, integer ADC, per-probe top-10 by (adc, id)).
+    // The oracle is q262's chain generalized per probe: the router
+    // CTE gains a pid dimension and the final ranking partitions by
+    // it. Probes route via one broadcast centroid join + one
+    // WindowGroupLimit; the probed-cell UNION (bounded by ivf_k)
+    // prunes the membership scans at partition level — no per-probe
+    // jobs, no driver loop.
+    "q283_index_batch_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q283").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 4)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |prb AS MATERIALIZED (
+           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 4),
+           |pqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM prb q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |pcells AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi),
+           |badc AS MATERIALIZED (
+           | SELECT q.pid, dq.id,
+           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           | FROM dq JOIN prb q USING (i)
+           | JOIN aI2 ON aI2.id = dq.id
+           | JOIN pcells pc ON pc.pid = q.pid AND pc.j = aI2.j
+           | WHERE dq.id <> q.pid
+           | GROUP BY 1, 2),
+           |brk AS (
+           | SELECT pid, id, adc, row_number() OVER (
+           |  PARTITION BY pid ORDER BY adc, id) AS rnk FROM badc)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(rnk AS BIGINT) AS rnk, CAST(id AS BIGINT) AS id, adc
+           |FROM brk WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+
+    // GRAPH-tier ANN serving (round-13 brief item 4 — the ladder's
+    // missing rung between IVF and exact): `graph` persists q274's
+    // LSH-blocked kNN graph as an index artifact, and
+    // `search --tier graph` runs a DETERMINISTIC beam traversal over
+    // it — seeds are the IVF router's probed-cell members (top-beam
+    // by exact cosine), then each hop expands the beam's adjacency
+    // rows (pushed literal id IN + id-bucket partition filter) and
+    // scores only NEW candidates by pushed literal lookups against
+    // the float source. With nprobe 1 the seeds see ONE cell; the
+    // hops must carry the beam across cell boundaries along graph
+    // edges — that reach is the tier's value, measured as recall in
+    // RECALL.md's ladder. The oracle replays the graph construction
+    // (q274's chain), the router seeds, and both hops in closed form;
+    // (cos desc, id) ties everywhere make the walk hashable.
+    "q284_index_graph_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q284").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |allcos AS MATERIALIZED (
+           | SELECT e.vec_id AS id,
+           |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
+           |   6) * 1000000) AS BIGINT) AS c
+           | FROM embeddings e, (SELECT embedding AS pv FROM embeddings
+           |   WHERE vec_id = 7) p
+           | WHERE e.vec_id <> 7 AND len(e.embedding) = 64),
+           |gpqd AS (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+           |gcell AS (
+           | SELECT j FROM (
+           |  SELECT j, row_number() OVER (ORDER BY d, j) AS rr FROM gpqd)
+           | WHERE rr <= 1),
+           |sc0 AS MATERIALIZED (
+           | SELECT id, c FROM (
+           |  SELECT a.id, allcos.c, row_number() OVER (
+           |   ORDER BY allcos.c DESC, a.id) AS rr
+           |  FROM aI2 a JOIN allcos ON allcos.id = a.id
+           |  WHERE a.j IN (SELECT j FROM gcell) AND a.id <> 7)
+           | WHERE rr <= 6),
+           |sc1 AS MATERIALIZED (
+           | SELECT id, c FROM sc0
+           | UNION ALL
+           | SELECT id, c FROM allcos WHERE id IN (
+           |  SELECT DISTINCT eg.nbr FROM eg JOIN (
+           |   SELECT id FROM (SELECT id, row_number() OVER (
+           |    ORDER BY c DESC, id) AS rr FROM sc0) WHERE rr <= 6) b0
+           |  ON eg.id = b0.id)
+           | AND id <> 7 AND id NOT IN (SELECT id FROM sc0)),
+           |sc2 AS MATERIALIZED (
+           | SELECT id, c FROM sc1
+           | UNION ALL
+           | SELECT id, c FROM allcos WHERE id IN (
+           |  SELECT DISTINCT eg.nbr FROM eg JOIN (
+           |   SELECT id FROM (SELECT id, row_number() OVER (
+           |    ORDER BY c DESC, id) AS rr FROM sc1) WHERE rr <= 6) b1
+           |  ON eg.id = b1.id)
+           | AND id <> 7 AND id NOT IN (SELECT id FROM sc1))
+           |SELECT CAST(id AS BIGINT) AS id, c AS cos_x1e6 FROM (
+           | SELECT id, c, row_number() OVER (ORDER BY c DESC, id) AS rr
+           | FROM sc2)
+           |WHERE rr <= 5 ORDER BY rr""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN
@@ -937,11 +1082,11 @@ object CurationQueries {
           "--iters", "1"))
         graft.tools.IndexCorpus.update(s,
           Array(s"$tmp/idx", s"$dir/embeddings.parquet"))
-        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+        val codes = graft.tools.Artifacts.read(s, s"$tmp/idx", "pq_codes")
           .groupBy(col("id"))
           .agg(max(when(col("s") === 0, col("code"))).as("code0"),
             max(when(col("s") === 1, col("code"))).as("code1"))
-        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+        graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments").join(codes, Seq("id"))
           .select(col("id").as("vec_id"), col("cell"),
             col("code0"), col("code1"))
           .orderBy(col("vec_id"))
@@ -985,11 +1130,11 @@ object CurationQueries {
             .start()
           try { query.processAllAvailable() } finally { query.stop() }
         }
-        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+        val codes = graft.tools.Artifacts.read(s, s"$tmp/idx", "pq_codes")
           .groupBy(col("id"))
           .agg(max(when(col("s") === 0, col("code"))).as("code0"),
             max(when(col("s") === 1, col("code"))).as("code1"))
-        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+        graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments").join(codes, Seq("id"))
           .select(col("id").as("vec_id"), col("cell"),
             col("code0"), col("code1"))
           .orderBy(col("vec_id"))
@@ -1016,11 +1161,11 @@ object CurationQueries {
           "--iters", "1", "--residual", "true"))
         graft.tools.IndexCorpus.update(s,
           Array(s"$tmp/idx", s"$dir/embeddings.parquet"))
-        val codes = s.read.parquet(s"$tmp/idx/pq_codes")
+        val codes = graft.tools.Artifacts.read(s, s"$tmp/idx", "pq_codes")
           .groupBy(col("id"))
           .agg(max(when(col("s") === 0, col("code"))).as("code0"),
             max(when(col("s") === 1, col("code"))).as("code1"))
-        s.read.parquet(s"$tmp/idx/assignments").join(codes, Seq("id"))
+        graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments").join(codes, Seq("id"))
           .select(col("id").as("vec_id"), col("cell"),
             col("code0"), col("code1"))
           .orderBy(col("vec_id"))

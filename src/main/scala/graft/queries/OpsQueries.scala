@@ -27,7 +27,7 @@ object OpsQueries {
     * per-node top-3, mirrored pairs deduped — shared by the q277
     * triangle oracle and the q280 community oracle.
     */
-  private lazy val knnPairCtes: String = {
+  private[queries] lazy val knnPairCtes: String = {
     val wSql = s"list_transform(generate_series(0, 63), d -> " +
       s"(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 1001) - 500)"
     s"""w AS (

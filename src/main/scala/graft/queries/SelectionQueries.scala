@@ -2650,6 +2650,72 @@ object SelectionQueries {
       },
       Some(lexSearchOracleSql)),
 
+    // BATCH lexical serving (round-13 brief item 3): ONE
+    // LexIndex.searchBatch pass scores a 5-query frame — the same 5
+    // query phrases q260 scores — against the persisted artifacts,
+    // with per-query semantics identical to the single-query path
+    // (same tokenizer, set-of-terms BM25, per-query top-10 by
+    // (score desc, id)). The oracle is q260's chain VERBATIM — the
+    // shared oracle IS the proof that amortized serving changes
+    // nothing but the job count (ServeProbe prices the amortization:
+    // one job's fixed cost across all probes instead of per probe).
+    "q282_lex_batch_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q282").toString
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ",
+              slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+          .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+        graft.tools.LexIndex.searchBatch(s, Array(
+          s"$tmp/lex", s"$tmp/queries.parquet", "--id", "query_id",
+          "--text", "text", "--k", "10"))
+          .select(col("query_id"), col("rnk"), col("id").as("doc_id"),
+            col("score"))
+      },
+      Some(bm25OracleSql)),
+
+    // INCREMENTAL compaction (round-13 brief item 6): build on the
+    // 3/4 subset, `update` the doc_id % 4 == 3 quarter (its postings
+    // land in their own segment), delete the doc_id % 8 == 3 half of
+    // that quarter, then `compact --threshold 250` — only the
+    // tombstone-dense update segment rewrites; the build segment's
+    // files are untouched (LexIndexSpec asserts the physical claim).
+    // Answers must equal a fresh build over the survivors, so the
+    // oracle is q267's chain restricted to doc_id % 8 <> 3 — the same
+    // survivor-oracle shape as q271/q272, now with a partial rewrite
+    // underneath.
+    "q285_lex_incremental_compact" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q285").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .write.mode("overwrite").parquet(s"$tmp/part1.parquet")
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .write.mode("overwrite").parquet(s"$tmp/part2.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/part1.parquet", s"$tmp/lex", "--gram", "2"))
+        graft.tools.LexIndex.update(s, Array(
+          s"$tmp/lex", s"$tmp/part2.parquet"))
+        docs.filter(pmod(col("doc_id"), lit(8)) === 3)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet"))
+        graft.tools.LexIndex.compact(s, Array(s"$tmp/lex",
+          "--threshold", "250"))
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracle("WHERE doc_id % 8 <> 3"))),
+
     // MULTI-VECTOR (maxsim, late-interaction) retrieval: documents
     // become bags of chunk vectors (q69's 32/24 token windows, each a
     // 16-bucket hashed token-count vector kept sparse), and each of

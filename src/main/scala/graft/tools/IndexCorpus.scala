@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
@@ -17,13 +17,27 @@ import graft.ops.SemDedup
   *     ([[graft.ops.Quantize.pqCodes]]'s layout in long form), so the
   *     search set ships log2(k)-bit codes, not vectors.
   *
+  * Storage goes through [[Artifacts]] (round 13): artifacts are
+  * manifest-listed SEGMENTS, and the corpus-sized membership
+  * artifacts (`assignments`, `pq_codes`, `sq8_codes`) are PARTITIONED
+  * by `cell` — so build/update/compact writes parallelize across
+  * `repartition(cell)` tasks (the round-12 `weak` was one
+  * `coalesce(1)` task writing the whole index), the serve path's
+  * probed-cell restriction prunes whole cell DIRECTORIES
+  * (PartitionFilters) before row-group stats are consulted, and every
+  * command publishes in ONE atomic manifest flip — compact never
+  * overwrites the files it reads, so a crash mid-compact leaves the
+  * prior index serving byte-identically (IndexCorpusSpec's crash
+  * test). Model artifacts (centroids, codebooks, sq8 ranges, summary)
+  * are catalog-sized single segments.
+  *
   * Search routes a probe to its `nprobe` nearest cells (driver math
   * on the catalog-sized centroid frame), scores ONLY those cells'
   * members by ADC (probe slices vs codebook entries, one broadcast
   * join), and returns the top-k (id, adc). Global-PQ simplification:
   * codes quantize the raw vectors, not per-cell residuals — the
-  * standard first rung of the IVF-PQ ladder; residual encoding slots
-  * into the same artifact layout.
+  * standard first rung of the IVF-PQ ladder; `--residual true` is the
+  * second rung (same artifact layout, flag recorded in `summary`).
   *
   * Every artifact is integer-exact parquet, so a rebuilt index is
   * byte-identical and IndexCorpusSpec can re-derive a search answer
@@ -39,17 +53,40 @@ import graft.ops.SemDedup
   * the measured ladder (RECALL.md round 10: SQ8 9.9/10 vs PQ 0.8/10
   * recall@10) made concrete as a serving choice per query.
   *
+  * The GRAPH tier (round 13) completes the serving ladder: `graph`
+  * persists a kNN graph over the corpus
+  * ([[graft.ops.Similarity.knnGraph]] — LSH-blocked candidates, exact
+  * cosine verify, per-node top-deg; q274's kernel), partitioned by an
+  * id bucket, and `search --tier graph` runs a deterministic BEAM
+  * traversal over it: seeds from the IVF router's probed cells, then
+  * `--hops` rounds of expand-score-prune (each hop reads only the
+  * frontier's adjacency rows — pushed literal `id IN` + bucket
+  * partition filter — and scores only NEW candidates by pushed
+  * literal id lookups against the float source). Per-hop cost is
+  * O(beam x degree) rows however large the corpus; recall vs the
+  * exact tier is measured in RECALL.md's ladder.
+  *
   * Usage:
   *   runMain graft.tools.IndexCorpus build <emb.parquet> <indexDir>
   *     [--id vec_id] [--vec embedding] [--dims 64] [--ivf-k 8]
   *     [--pq-m 2] [--pq-k 4] [--iters 1] [--residual true]
   *     [--sq8 true]
+  *   runMain graft.tools.IndexCorpus update <indexDir> <newEmb.parquet>
+  *     [--id vec_id] [--vec embedding]
   *   runMain graft.tools.IndexCorpus delete <indexDir> <ids.parquet>
   *     [--id vec_id]
   *   runMain graft.tools.IndexCorpus compact <indexDir>
+  *     [--threshold <permille>]
+  *   runMain graft.tools.IndexCorpus graph <indexDir> <emb.parquet>
+  *     [--id vec_id] [--vec embedding] [--deg 3] [--planes 12]
+  *     [--bands 2] [--min-cos -1.0]
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
-  *     [--filter "<sqlExpr over id, cell>"] [--rerank N] [--tier sq8|exact]
+  *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
+  *     [--tier sq8|exact|graph] [--beam 8] [--hops 2]
+  *   runMain graft.tools.IndexCorpus searchBatch <indexDir>
+  *     <emb.parquet> <probes.parquet> [--id vec_id] [--vec embedding]
+  *     [--k 10] [--nprobe 2] [--tier pq|sq8]
   */
 object IndexCorpus {
 
@@ -68,10 +105,14 @@ object IndexCorpus {
         case Some("update")  => update(spark, args.drop(1))
         case Some("delete")  => delete(spark, args.drop(1))
         case Some("compact") => compact(spark, args.drop(1))
+        case Some("graph")   => graph(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
+        case Some("searchBatch") =>
+          searchBatch(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
-          sys.error("usage: IndexCorpus build|update|delete|compact|search ...")
+          sys.error("usage: IndexCorpus build|update|delete|compact|" +
+            "graph|search|searchBatch ...")
       }
     } finally spark.stop()
   }
@@ -81,16 +122,37 @@ object IndexCorpus {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /** The membership artifacts' pruning key IS the IVF cell. */
+  private val cellBucket: Option[(String, Column)] = Some("cell" -> col("cell"))
+
+  /** The graph artifact's pruning key: an arithmetic id bucket, so
+    * the traversal derives the frontier's buckets with driver math
+    * (no hash job per hop).
+    */
+  private val graphBuckets = 16L
+  private val graphBucket: Option[(String, Column)] =
+    Some("gb" -> pmod(col("id"), lit(graphBuckets)))
+
+  /** Summary lookup BY NAME (key filter + named value column — the
+    * round-12 advisory was a positional `getLong(1)` silently bound
+    * to JSON schema inference order). New-layout indexes persist the
+    * summary as a (key, value) parquet artifact; legacy flat indexes
+    * keep their JSON readable.
+    */
+  private def summaryVal(spark: SparkSession, idx: String,
+      key: String): Option[Long] = {
+    val df =
+      if (Artifacts.manifested(spark, idx))
+        Artifacts.read(spark, idx, "summary")
+      else spark.read.json(s"$idx/summary")
+    df.filter(col("key") === key)
+      .select(col("value").cast("long").as("value"))
+      .collect().headOption.map(_.getAs[Long]("value"))
   }
 
-  /** Invalidate any cached plan over the index files after a mutating
-    * command — a not-yet-released query-scoped cached scan of the old
-    * file set would otherwise serve stale listings to a same-shaped
-    * later plan (the [[LexIndex]] lifecycle discipline).
-    */
+  private def summaryFlag(spark: SparkSession, idx: String,
+      key: String): Boolean = summaryVal(spark, idx, key).contains(1L)
+
   private def refresh(spark: SparkSession, idx: String): Unit =
     spark.catalog.refreshByPath(idx)
 
@@ -111,11 +173,12 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
 
-    val live0 = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
     val live =
-      if (exists(spark, s"$idx/tombstones"))
-        live0.join(spark.read.parquet(s"$idx/tombstones"),
+      if (Artifacts.exists(spark, idx, "tombstones"))
+        live0.join(Artifacts.read(spark, idx, "tombstones"),
           Seq("id"), "left_anti")
       else live0
     val doomed = graft.Scratch.localCheckpoint(
@@ -123,75 +186,77 @@ object IndexCorpus {
         .distinct()
         .join(live, Seq("id"), "left_semi"))
     val nDel = doomed.count()
-    doomed.write.mode("append").parquet(s"$idx/tombstones")
+    val pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("deleted" -> nDel)
   }
 
   /** Fold the tombstones into the membership artifacts: rewrite
     * assignments / pq_codes / sq8_codes without the deleted ids (an
-    * anti-join against the SMALL tombstone set), each re-coalesced
-    * (repeated [[update]] appends accumulate a parquet fragment per
-    * ingest). The model artifacts (centroids, codebooks, sq8 ranges,
-    * summary) are untouched — compaction is a membership rewrite,
-    * never a retrain. The tombstone set SURVIVES (distinct,
-    * coalesced) as the permanent retraction artifact, so a
-    * post-compact update still rejects retracted ids. Answers are
-    * unchanged by construction (search already honored the
-    * tombstones) — q273 searches after delete + compact against the
-    * survivor-restricted oracle; the physical claims are
-    * IndexCorpusSpec's.
+    * anti-join against the SMALL tombstone set), per-cell-partitioned
+    * rewrite segments replacing what they compact via one atomic
+    * manifest flip — compact never overwrites the files it reads
+    * (crash mid-compact = prior index intact; the spec's failpoint
+    * proves it). The model artifacts (centroids, codebooks, sq8
+    * ranges, summary) are untouched — compaction is a membership
+    * rewrite, never a retrain. The tombstone set SURVIVES (distinct)
+    * as the permanent retraction artifact, so a post-compact update
+    * still rejects retracted ids.
+    *
+    * `--threshold <permille>` compacts INCREMENTALLY (the
+    * [[Artifacts.compactSegments]] kernel): only segments whose
+    * tombstone-hit density crosses the threshold rewrite; cold
+    * segments' files stay untouched, so compact cost tracks where the
+    * deletes landed, not the index size. Answers are unchanged either
+    * way (search already honored the tombstones) — q273/q285 pin it
+    * against survivor-restricted oracles.
     */
-  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
-    require(args.length >= 1, "usage: compact <indexDir>")
+  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] =
+    compactImpl(spark, args, crashBeforeCommit = false)
+
+  private[tools] def compactImpl(spark: SparkSession, args: Array[String],
+      crashBeforeCommit: Boolean): Seq[(String, Long)] = {
+    require(args.length >= 1, "usage: compact <indexDir> [flags]")
     val idx = args(0)
+    val flags = flagsOf(args, 1)
+    val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
-    val hasTomb = exists(spark, s"$idx/tombstones")
-    val written = Seq.newBuilder[(String, Long)]
-    Seq("assignments", "pq_codes", "sq8_codes").foreach { name =>
-      val path = s"$idx/$name"
-      if (exists(spark, path)) {
-        val src = spark.read.parquet(path)
-        val out =
-          if (hasTomb)
-            src.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
-              Seq("id"), "left_anti")
-          else src
-        // the checkpoint is LAZY — count() forces every partition
-        // into block storage BEFORE the overwrite truncates the very
-        // files the plan reads
-        val snap = graft.Scratch.localCheckpoint(out)
-        snap.count()
-        snap.coalesce(1).write.mode("overwrite").parquet(path)
-        refresh(spark, path)
-        written += (name -> spark.read.parquet(path).count())
+    val tomb =
+      if (Artifacts.exists(spark, idx, "tombstones"))
+        Some(graft.Scratch.cache(Artifacts.read(spark, idx, "tombstones")
+          .select(col("id")).distinct()))
+      else None
+    var pend = Map.empty[String, Seq[String]]
+    Seq(("assignments", cellBucket), ("pq_codes", cellBucket),
+      ("sq8_codes", cellBucket), ("knn_graph", graphBucket))
+      .foreach { case (name, bucket) =>
+        Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+          filtered = true, bucket)
+          .foreach(segs => pend += name -> segs)
       }
-    }
     // radii are CELL-keyed, so the tombstone anti-join does not apply
     // — fold the appended per-ingest maxes to one row per cell. Post-
     // delete radii may overestimate (max over fewer members), which
     // only weakens the exact tier's pruning, never its answers.
-    if (exists(spark, s"$idx/ivf_radii")) {
-      val path = s"$idx/ivf_radii"
-      val snap = graft.Scratch.localCheckpoint(
-        spark.read.parquet(path)
+    if (Artifacts.exists(spark, idx, "ivf_radii"))
+      pend = Artifacts.withReplaced(spark, idx, pend, "ivf_radii",
+        Artifacts.read(spark, idx, "ivf_radii")
           .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
-      snap.count()
-      snap.coalesce(1).write.mode("overwrite").parquet(path)
-      refresh(spark, path)
-      written += ("ivf_radii" -> spark.read.parquet(path).count())
+    tomb.foreach { ts =>
+      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
     }
-    if (hasTomb) {
-      val tomb = graft.Scratch.localCheckpoint(
-        spark.read.parquet(s"$idx/tombstones").select(col("id")).distinct())
-      tomb.count()
-      tomb.coalesce(1).write.mode("overwrite").parquet(s"$idx/tombstones")
-      refresh(spark, s"$idx/tombstones")
-      written += ("tombstones" -> spark.read
-        .parquet(s"$idx/tombstones").count())
+    if (crashBeforeCommit)
+      sys.error("injected crash: compact before manifest commit")
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
+    refresh(spark, idx)
+    pend.keys.toSeq.sorted.map { name =>
+      name -> Artifacts.read(spark, idx, name).count()
     }
-    written.result()
   }
 
   /** Build the index artifacts; returns (artifact, rows) per write.
@@ -227,10 +292,13 @@ object IndexCorpus {
         .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
     val base = srcF.select(col("id"),
       SemDedup.microsVec(col("v")).as("mv"))
+    var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
-    def write(name: String, df: DataFrame): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
-      written += (name -> spark.read.parquet(s"$out/$name").count())
+    def write(name: String, df: DataFrame,
+        bucket: Option[(String, Column)] = None): Unit = {
+      pend = Artifacts.withReplaced(spark, out, pend, name, df, bucket)
+      written += (name ->
+        Artifacts.readSegs(spark, out, name, pend(name)).count())
     }
 
     // IVF router: full-dim fixed-point cells + assignments + per-cell
@@ -242,8 +310,9 @@ object IndexCorpus {
       c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
     }.toSeq.toDF("cell", "i", "c"))
     val asgnAll = graft.Scratch.cache(SemDedup.assignDist(base, cells))
-    write("assignments", asgnAll
-      .select(col("id"), col("cluster").cast("long").as("cell")))
+    val cellOf = asgnAll
+      .select(col("id"), col("cluster").cast("long").as("cell"))
+    write("assignments", cellOf, cellBucket)
     write("ivf_radii", asgnAll
       .groupBy(col("cluster").cast("long").as("cell"))
       .agg(max(col("d")).as("r2")))
@@ -257,7 +326,7 @@ object IndexCorpus {
         val centsDf = cells.zipWithIndex
           .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
         graft.Scratch.cache(base
-          .join(spark.read.parquet(s"$out/assignments"), Seq("id"))
+          .join(cellOf, Seq("id"))
           .join(broadcast(centsDf), Seq("cell"))
           .select(col("id"),
             zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv")))
@@ -266,11 +335,9 @@ object IndexCorpus {
     // PQ payload: per-subspace codebooks + long-form codes. Slices
     // derive per pass (narrow kernel + slice over the cached float
     // source / materialized residual) — no derived-array caches.
-    // Codes carry the CELL key (appended last — readers index the
-    // first columns positionally): search can then meet the code
-    // artifact with a pushed literal `cell IN (...)` instead of a
-    // corpus-linear semi join (the round-12 serve-path lever).
-    val cellOf = spark.read.parquet(s"$out/assignments")
+    // Codes carry the CELL key as their PARTITION column: search
+    // meets the code artifact with a literal `cell IN (...)` that
+    // prunes whole directories.
     val slices = (0 until pqM).map { s =>
       encBase.select(col("id"),
         slice(col("mv"), s * sub + 1, sub).as("mv"))
@@ -289,52 +356,69 @@ object IndexCorpus {
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _)
       .join(cellOf, Seq("id"))
-      .select(col("id"), col("s"), col("code"), col("cell")))
+      .select(col("id"), col("s"), col("code"), col("cell")), cellBucket)
 
     // optional SQ8 tier: per-dim range table + per-vector code arrays
     val sq8 = flags.getOrElse("sq8", "false").toBoolean
     if (sq8) {
-      write("sq8_ranges", base
+      val rangesDf = base
         .select(posexplode(col("mv")).as(Seq("i", "m")))
         .groupBy(col("i"))
         .agg(min(col("m")).as("lo"), (max(col("m")) - min(col("m"))).as("wd"))
-        .select(col("i").cast("long").as("i"), col("lo"), col("wd")))
-      val rows = spark.read.parquet(s"$out/sq8_ranges").collect()
-      val lo = new Array[Long](dims)
-      val wd = new Array[Long](dims)
-      rows.foreach { r =>
-        val i = r.getAs[Long]("i").toInt
-        lo(i) = r.getAs[Long]("lo")
-        wd(i) = r.getAs[Long]("wd")
-      }
+        .select(col("i").cast("long").as("i"), col("lo"), col("wd"))
+      write("sq8_ranges", rangesDf)
+      val (lo, wd) = rangeArrays(spark, out, dims, pend)
       // ONE BYTE per dimension on disk (64 B/vector at dims = 64 —
       // the real 4x-vs-fp32 artifact, not longs a parquet encoder
-      // merely dictionary-packs); cell key appended for the pushed
+      // merely dictionary-packs); cell partition key for the pushed
       // probed-cell restriction at search time
       write("sq8_codes", base.select(col("id"),
         graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
           .as("codes"))
         .join(cellOf, Seq("id"))
-        .select(col("id"), col("codes"), col("cell")))
+        .select(col("id"), col("codes"), col("cell")), cellBucket)
     }
 
     val res = written.result()
-    (Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
-      ("iters", iters), ("residual", if (residual) 1 else 0),
-      ("sq8", if (sq8) 1 else 0))
-      .map { case (k, v) => (k, v.toLong) } ++ res)
-      .toDF("key", "value")
-      .coalesce(1).write.mode("overwrite").json(s"$out/summary")
+    write("summary",
+      (Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
+        ("iters", iters), ("residual", if (residual) 1 else 0),
+        ("sq8", if (sq8) 1 else 0))
+        .map { case (k, v) => (k, v.toLong) } ++ res)
+        .toDF("key", "value"))
+    Artifacts.commit(spark, out, pend)
+    refresh(spark, out)
     res
+  }
+
+  /** Per-dim SQ8 (lo, width) arrays from the persisted range table
+    * (pending-aware during build).
+    */
+  private def rangeArrays(spark: SparkSession, idx: String, dims: Int,
+      pend: Map[String, Seq[String]] = Map.empty)
+      : (Array[Long], Array[Long]) = {
+    val rows = (pend.get("sq8_ranges") match {
+      case Some(segs) => Artifacts.readSegs(spark, idx, "sq8_ranges", segs)
+      case None       => Artifacts.read(spark, idx, "sq8_ranges")
+    }).collect()
+    val lo = new Array[Long](dims)
+    val wd = new Array[Long](dims)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      lo(i) = r.getAs[Long]("lo")
+      wd(i) = r.getAs[Long]("wd")
+    }
+    (lo, wd)
   }
 
   /** Incremental maintenance: ingest NEW vectors into an existing
     * index without touching the codebooks — assign each to its
     * nearest IVF cell and PQ-encode with the FROZEN codebooks (the
     * production ingest path: centroids retrain offline on a cadence,
-    * appends land continuously). Appends to `assignments` and
-    * `pq_codes`; ids already present are rejected (callers dedup
-    * upstream — see q78's incremental contract).
+    * appends land continuously). Appends segments to `assignments`
+    * and `pq_codes` (and `sq8_codes` when the tier exists); ids
+    * already present are rejected (callers dedup upstream — see
+    * q78's incremental contract).
     */
   def update(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: update <indexDir> <newEmb.parquet> [flags]")
@@ -349,45 +433,37 @@ object IndexCorpus {
   /** The frozen-model ingest core shared by the [[update]] CLI and
     * the STREAMING maintenance path (q278's foreachBatch calls this
     * once per micro-batch): assign against the frozen router, encode
-    * with the frozen codebooks (and frozen SQ8 ranges), append. The
-    * index is searchable between batches; the end-of-stream state is
-    * identical to one batch update over everything that arrived —
-    * q278 shares q202's closed-form oracle.
+    * with the frozen codebooks (and frozen SQ8 ranges), append — all
+    * of a batch's segments publish in ONE manifest flip. The index is
+    * searchable between batches; the end-of-stream state is identical
+    * to one batch update over everything that arrived — q278 shares
+    * q202's closed-form oracle.
     */
   def ingestFrame(spark: SparkSession, idx: String,
       raw: org.apache.spark.sql.DataFrame,
       idCol: String, vecCol: String): Long = {
     GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
     import spark.implicits._
 
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
-      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
-        rows.sortBy(_.getLong(1)).map(_.getLong(2))
-      }.toArray
-    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
-      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
-        rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
-          rs.sortBy(_.getLong(2)).map(_.getLong(3))
-        }.toArray
-      }.toArray
-    val residual = spark.read.json(s"$idx/summary")
-      .filter(col("key") === "residual")
-      .collect().headOption.exists(_.getLong(1) == 1L)
+    val cents = centroidArrays(spark, idx)
+    val books = codebookArrays(spark, idx)
+    val residual = summaryFlag(spark, idx, "residual")
     val dims = cents(0).length
     val pqM = books.length
     val sub = dims / pqM
 
     // localCheckpoint cuts the lineage back to the assignments path:
     // the appends below must not carry a plan that re-reads the very
-    // files they are adding to. Dedup is against assignments PLUS the
-    // tombstones: a retracted id must never re-enter, even after a
-    // compact rewrote it out of assignments (permanent retraction —
+    // files they are superseding. Dedup is against assignments PLUS
+    // the tombstones: a retracted id must never re-enter, even after
+    // a compact rewrote it out of assignments (permanent retraction —
     // see delete()).
-    val existing0 = spark.read.parquet(s"$idx/assignments").select(col("id"))
+    val existing0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
     val existing =
-      if (exists(spark, s"$idx/tombstones"))
+      if (Artifacts.exists(spark, idx, "tombstones"))
         existing0.unionByName(
-          spark.read.parquet(s"$idx/tombstones").select(col("id")))
+          Artifacts.read(spark, idx, "tombstones").select(col("id")))
       else existing0
     val base = graft.Scratch.localCheckpoint(
       raw.filter(size(col(vecCol)) === dims)
@@ -399,14 +475,15 @@ object IndexCorpus {
       .select(col("id"), col("cluster").cast("long").as("cell"),
         col("d")))
     val asgn = asgnD.select(col("id"), col("cell"))
-    asgn.write.mode("append").parquet(s"$idx/assignments")
+    var pend = Artifacts.withAppended(spark, idx, Map(), "assignments",
+      asgn, cellBucket)
     // an ingested vector may sit FARTHER from its cell centroid than
     // any built one — append the per-cell max so the exact tier's
     // pruning bound stays an overestimate (search maxes per cell at
     // read time; appends never race a rewrite)
-    if (exists(spark, s"$idx/ivf_radii"))
-      asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2"))
-        .write.mode("append").parquet(s"$idx/ivf_radii")
+    if (Artifacts.exists(spark, idx, "ivf_radii"))
+      pend = Artifacts.withAppended(spark, idx, pend, "ivf_radii",
+        asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2")))
 
     val encBase =
       if (!residual) base
@@ -417,51 +494,97 @@ object IndexCorpus {
           .select(col("id"),
             zip_with(col("mv"), col("cv"), (a, b) => a - b).as("mv"))
       }
-    val hasCellKey = spark.read.parquet(s"$idx/pq_codes")
-      .schema.fieldNames.contains("cell")
-    val newCodes0 = (0 until pqM).map { s =>
+    val newCodes = (0 until pqM).map { s =>
       SemDedup.assignDist(
         encBase.select(col("id"), slice(col("mv"), s * sub + 1, sub).as("mv")),
         books(s))
         .select(col("id"), lit(s.toLong).as("s"),
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _)
-    // legacy (pre-cell-key) indexes append in the old shape; current
-    // ones carry the cell so the search-time pushdown keeps working
-    // over the appended rows too
-    val newCodes =
-      if (hasCellKey) newCodes0.join(asgn, Seq("id"))
-        .select(col("id"), col("s"), col("code"), col("cell"))
-      else newCodes0
-    newCodes.write.mode("append").parquet(s"$idx/pq_codes")
+      .join(asgn, Seq("id"))
+      .select(col("id"), col("s"), col("code"), col("cell"))
+    pend = Artifacts.withAppended(spark, idx, pend, "pq_codes",
+      newCodes, cellBucket)
     // the SQ8 tier ingests too (frozen per-dim ranges, like the
     // frozen codebooks) — without this append an updated vector
     // would be silently unsearchable under `--tier sq8`
-    val hasSq8 = spark.read.json(s"$idx/summary")
-      .filter(col("key") === "sq8")
-      .collect().headOption.exists(_.getLong(1) == 1L)
-    if (hasSq8) {
-      val rows = spark.read.parquet(s"$idx/sq8_ranges").collect()
-      val lo = new Array[Long](dims)
-      val wd = new Array[Long](dims)
-      rows.foreach { r =>
-        val i = r.getAs[Long]("i").toInt
-        lo(i) = r.getAs[Long]("lo")
-        wd(i) = r.getAs[Long]("wd")
-      }
-      val sq8HasCell = spark.read.parquet(s"$idx/sq8_codes")
-        .schema.fieldNames.contains("cell")
-      val newSq80 = base.select(col("id"),
-        graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
-          .as("codes"))
-      val newSq8 =
-        if (sq8HasCell) newSq80.join(asgn, Seq("id"))
-          .select(col("id"), col("codes"), col("cell"))
-        else newSq80
-      newSq8.write.mode("append").parquet(s"$idx/sq8_codes")
+    if (summaryFlag(spark, idx, "sq8")) {
+      val (lo, wd) = rangeArrays(spark, idx, dims)
+      pend = Artifacts.withAppended(spark, idx, pend, "sq8_codes",
+        base.select(col("id"),
+          graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
+            .as("codes"))
+          .join(asgn, Seq("id"))
+          .select(col("id"), col("codes"), col("cell")), cellBucket)
     }
+    val n = asgn.count()
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
-    asgn.count()
+    n
+  }
+
+  /** cell -> centroid long array, from the persisted frame. */
+  private def centroidArrays(spark: SparkSession, idx: String)
+      : Array[Array[Long]] =
+    Artifacts.read(spark, idx, "ivf_centroids").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      }.toArray
+
+  /** s -> code -> codebook entry long array. */
+  private def codebookArrays(spark: SparkSession, idx: String)
+      : Array[Array[Array[Long]]] =
+    Artifacts.read(spark, idx, "pq_codebooks").collect()
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_.getLong(2)).map(_.getLong(3))
+        }.toArray
+      }.toArray
+
+  /** Persist the kNN GRAPH artifact — q274's construction kernel
+    * ([[graft.ops.Similarity.knnGraph]]: LSH OR-construction
+    * candidates, fused exact-cosine verify, per-node top-deg via
+    * WindowGroupLimit — no cartesian) written as a `knn_graph`
+    * segment partitioned by the arithmetic id bucket the beam
+    * traversal prunes with. Graph parameters persist to `graph_meta`
+    * so a traversal (and RECALL.md's ladder) can state what it
+    * searched.
+    */
+  def graph(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: graph <indexDir> <emb.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "vec_id")
+    val vecCol = flags.getOrElse("vec", "embedding")
+    val deg = flags.getOrElse("deg", "3").toInt
+    val planes = flags.getOrElse("planes", "12").toInt
+    val bands = flags.getOrElse("bands", "2").toInt
+    val minCos = flags.getOrElse("min-cos", "-1.0").toDouble
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
+    import spark.implicits._
+
+    val dims = summaryVal(spark, idx, "dims")
+      .getOrElse(sys.error(s"$idx has no summary dims")).toInt
+    val all = graft.ops.Similarity.hyperplanes(planes, dims)
+    val per = planes / bands
+    val tables = (0 until bands).map(b => all.slice(b * per, (b + 1) * per))
+    val edges = graft.ops.Similarity.knnGraph(
+      spark.read.parquet(in), idCol, vecCol, deg, tables, minCos)
+      .select(col("id"), col("nbr"),
+        round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
+        col("rn").cast("long").as("rn"))
+    var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
+      edges, graphBucket)
+    pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
+      ("deg", deg.toLong), ("planes", planes.toLong),
+      ("bands", bands.toLong), ("gbuckets", graphBuckets))
+      .toDF("key", "value"))
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
+    refresh(spark, idx)
+    Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
   }
 
   /** Search the persisted index: route, ADC-score the probed cells,
@@ -490,20 +613,9 @@ object IndexCorpus {
     GraftSession.tune(spark)
     import spark.implicits._
 
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
-      .groupBy(_.getLong(0)).map { case (j, rows) =>
-        j -> rows.sortBy(_.getLong(1)).map(_.getLong(2))
-      }
-    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
-      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rows) =>
-        sj -> rows.sortBy(_.getLong(2)).map(_.getLong(3))
-      }
-    val residual = spark.read.json(s"$idx/summary")
-      .filter(col("key") === "residual")
-      .collect().headOption.exists(_.getLong(1) == 1L)
+    val cents = centroidArrays(spark, idx).zipWithIndex
+      .map { case (c, j) => j.toLong -> c }.toMap
     val dims = cents.head._2.length
-    val pqM = books.keys.map(_._1).max.toInt + 1
-    val sub = dims / pqM
 
     val pv = spark.read.parquet(in)
       .filter(col(idCol).cast("long") === probeId && size(col(vecCol)) === dims)
@@ -519,10 +631,13 @@ object IndexCorpus {
       .map(_._2)
 
     // EXACT tier: recall 10/10 by construction through the artifacts.
-    // Triangle inequality in true (square-rooted) distance space: any
-    // member x of cell j satisfies d(q, x) >= d(q, c_j) - r_j, so a
-    // cell whose lower bound exceeds the current kth-best distance
-    // cannot contribute — prune it WITHOUT reading it. Two phases:
+    // Triangle inequality kept in INTEGER space (round-12 advisory: a
+    // floating-point sqrt comparison could over-prune by ulps on an
+    // exact tie): any member x of cell j satisfies
+    // d(q,x) >= d(q,c_j) - r_j in true distances, so with squared
+    // D = d(q,c_j)^2, R = r_j^2, dk = kth-best squared distance, cell
+    // j can contribute only if D <= dk + R + 2*sqrt(dk*R) — the
+    // sqrt's ceiling (+ slack) only ever WEAKENS pruning. Two phases:
     // score the nprobe nearest cells exactly on the float source
     // (that top-k's kth distance is a valid upper bound on the final
     // kth), then score every unpruned remaining cell and re-rank.
@@ -534,21 +649,20 @@ object IndexCorpus {
     if (flags.getOrElse("tier", "pq") == "exact") {
       require(filterSql.isEmpty && rerankN.isEmpty,
         "--tier exact composes with neither --filter nor --rerank")
-      require(exists(spark, s"$idx/ivf_radii"),
+      require(Artifacts.exists(spark, idx, "ivf_radii"),
         s"$idx has no ivf_radii artifact (rebuild to enable --tier exact)")
-      val r2 = spark.read.parquet(s"$idx/ivf_radii")
+      val r2 = Artifacts.read(spark, idx, "ivf_radii")
         .groupBy(col("cell")).agg(max(col("r2")).as("r2"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val dc = cents.toSeq
-        .map { case (j, c) => j -> math.sqrt(l2(pv, 0, c).toDouble) }
+      val dc = cents.toSeq.map { case (j, c) => j -> l2(pv, 0, c) }
       def score(cellIds: Seq[Long]): DataFrame = {
-        val m0 = spark.read.parquet(s"$idx/assignments")
+        val m0 = Artifacts.read(spark, idx, "assignments")
           .filter(col("cell").isin(cellIds: _*))
           .filter(col("id") =!= probeId)
         val m =
-          if (exists(spark, s"$idx/tombstones"))
-            m0.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
-              Seq("id"), "left_anti")
+          if (Artifacts.exists(spark, idx, "tombstones"))
+            m0.join(Artifacts.read(spark, idx, "tombstones")
+              .select(col("id")), Seq("id"), "left_anti")
           else m0
         spark.read.parquet(in).filter(size(col(vecCol)) === dims)
           .select(col(idCol).cast("long").as("id"),
@@ -561,47 +675,145 @@ object IndexCorpus {
         .take(nprobe).map(_._2)
       val top1 = score(phase1).orderBy(col("d"), col("id")).limit(k)
         .collect()
-      val dk =
-        if (top1.length < k) Double.MaxValue
-        else top1.last.getAs[Long]("d").toDouble
+      val dkOpt =
+        if (top1.length < k) None // no bound -> nothing prunes
+        else Some(top1.last.getAs[Long]("d"))
       val survivors = dc.collect {
-        case (j, d) if !phase1.contains(j) && {
-          val lb = math.max(0.0,
-            d - math.sqrt(r2.getOrElse(j, Long.MaxValue).toDouble))
-          lb * lb <= dk
-        } => j
+        case (j, dSq) if !phase1.contains(j) && (dkOpt match {
+          case None => true
+          case Some(dk) =>
+            val r = r2.getOrElse(j, Long.MaxValue)
+            r == Long.MaxValue || {
+              // integer-space bound with ceil slack: never over-prunes
+              val cross = 2L * math.ceil(
+                math.sqrt(dk.toDouble * r.toDouble)).toLong + 2L
+              dSq <= dk + r + cross
+            }
+        }) => j
       }
       return score(phase1 ++ survivors)
         .orderBy(col("d"), col("id")).limit(k)
     }
 
-    val membersAll = spark.read.parquet(s"$idx/assignments")
+    // GRAPH tier: deterministic beam traversal over the persisted kNN
+    // graph, seeded from the IVF router's probed cells — the serving
+    // rung HNSW-class indexes add above IVF. Each hop touches only
+    // the frontier's adjacency rows (literal `id IN` + arithmetic
+    // bucket partition filter) and scores only NEW candidates by
+    // literal id lookups against the float source — per-hop work is
+    // O(beam x degree) rows at any corpus size. Ties break (cos desc,
+    // id) everywhere, so the answer is hashable; q284's oracle
+    // replays the graph construction, the router seeds, and every
+    // hop in closed form.
+    if (flags.getOrElse("tier", "pq") == "graph") {
+      require(filterSql.isEmpty && rerankN.isEmpty,
+        "--tier graph composes with neither --filter nor --rerank")
+      require(Artifacts.exists(spark, idx, "knn_graph"),
+        s"$idx has no knn_graph artifact (run `graph` first)")
+      val beam = flags.getOrElse("beam", "8").toInt
+      val hops = flags.getOrElse("hops", "2").toInt
+      require(k <= beam, s"--k $k must be <= --beam $beam")
+      // the bucket count the graph was WRITTEN with governs the
+      // partition math — never the current compile-time constant
+      val gB = Artifacts.read(spark, idx, "graph_meta")
+        .filter(col("key") === "gbuckets")
+        .select(col("value").cast("long").as("value"))
+        .collect().headOption.map(_.getAs[Long]("value"))
+        .getOrElse(graphBuckets)
+      val pf = spark.read.parquet(in)
+        .filter(col(idCol).cast("long") === probeId &&
+          size(col(vecCol)) === dims)
+        .select(col(vecCol)).head().getSeq[Float](0)
+      val tombOpt =
+        if (Artifacts.exists(spark, idx, "tombstones"))
+          Some(Artifacts.read(spark, idx, "tombstones").select(col("id")))
+        else None
+      def cosOf(idsDf: DataFrame): Seq[(Long, Long)] = {
+        val cand = tombOpt.fold(idsDf)(ts =>
+          idsDf.join(ts, Seq("id"), "left_anti"))
+        // dims filter: the graph may carry edges to ragged vectors
+        // (knnGraph indexes the raw table); they are unscorable
+        // against the probe and drop here — same as the oracle's
+        // len = dims restriction
+        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .join(cand, Seq("id"), "left_semi")
+          .select(col("id"),
+            round(round(graft.ops.Similarity.cosine(col("v"),
+              typedLit(pf)), 6) * lit(1000000d)).cast("long")
+              .as("cos_x1e6"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      // seeds: the probed cells' members, scored exactly, top-beam
+      val seedMembers0 = Artifacts.read(spark, idx, "assignments")
+        .filter(col("cell").isin(probedCells: _*))
+        .filter(col("id") =!= probeId)
+        .select(col("id"))
+      val visited = scala.collection.mutable.Map.empty[Long, Long]
+      cosOf(seedMembers0)
+        .sortBy { case (id, c) => (-c, id) }.take(beam)
+        .foreach { case (id, c) => visited(id) = c }
+      val graphDf = Artifacts.read(spark, idx, "knn_graph")
+      var hop = 0
+      var frontierChanged = true
+      while (hop < hops && frontierChanged) {
+        val beamIds = visited.toSeq
+          .sortBy { case (id, c) => (-c, id) }.take(beam).map(_._1)
+        val gbs = beamIds.map(i => ((i % gB) + gB) % gB)
+          .distinct.map(Long.box)
+        val nbrs = graphDf
+          .filter(col("gb").isin(gbs: _*))
+          .filter(col("id").isin(beamIds.map(Long.box): _*))
+          .select(col("nbr")).distinct()
+          .collect().map(_.getLong(0))
+          .filter(n => n != probeId && !visited.contains(n))
+        if (nbrs.isEmpty) frontierChanged = false
+        else {
+          val newScores = cosOf(
+            nbrs.toSeq.toDF("id").select(col("id").cast("long").as("id")))
+          newScores.foreach { case (id, c) => visited(id) = c }
+          hop += 1
+        }
+      }
+      return visited.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+        .map { case (id, c) => (id, c) }
+        .toDF("id", "cos_x1e6")
+    }
+
+    val membersAll = Artifacts.read(spark, idx, "assignments")
       .filter(col("cell").isin(probedCells: _*))
       .filter(col("id") =!= probeId)
     // retraction: tombstoned ids must not surface — the anti-join
     // runs on the CELL-RESTRICTED candidates, never the whole index
     val members0 =
-      if (exists(spark, s"$idx/tombstones"))
+      if (Artifacts.exists(spark, idx, "tombstones"))
         membersAll.join(
-          spark.read.parquet(s"$idx/tombstones").select(col("id")),
+          Artifacts.read(spark, idx, "tombstones").select(col("id")),
           Seq("id"), "left_anti")
       else membersAll
     // pre-filter INSIDE the probed cells: cell restriction and the
     // stratum predicate reach the same scan
     val members = filterSql.fold(members0)(f => members0.filter(expr(f)))
-    // code artifacts written by this round carry the cell key: the
-    // probed-cell restriction becomes a pushed literal `cell IN` on
-    // the code scan itself (row-group pruning), instead of a
-    // corpus-linear semi join — SCALING.md round 12's "next lever",
-    // taken. The id-level semi join below still applies the stratum
-    // filter and the tombstone retraction; legacy cell-less
-    // artifacts just skip the scan-level restriction.
-    def cellRestrict(df: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
+    // the code artifacts are PARTITIONED by cell: the probed-cell
+    // restriction is a literal partition predicate — whole cell
+    // directories prune before any file opens (the round-13 upgrade
+    // of round 12's row-group pruning). The id-level semi join below
+    // still applies the stratum filter and the tombstone retraction;
+    // legacy cell-less artifacts just skip the scan-level restriction.
+    def cellRestrict(df: DataFrame): DataFrame =
       if (df.schema.fieldNames.contains("cell"))
         df.filter(col("cell").isin(probedCells: _*)).drop("cell")
       else df
-    val codes = cellRestrict(spark.read.parquet(s"$idx/pq_codes"))
+    val books = codebookArrays(spark, idx).zipWithIndex.flatMap {
+      case (bk, s) => bk.zipWithIndex.map { case (c, j) =>
+        (s.toLong, j.toLong) -> c
+      }
+    }.toMap
+    val residual = summaryFlag(spark, idx, "residual")
+    val pqM = books.keys.map(_._1).max.toInt + 1
+    val sub = dims / pqM
+    val codes = cellRestrict(Artifacts.read(spark, idx, "pq_codes"))
     val tier = flags.getOrElse("tier", "pq")
     require(tier == "pq" || tier == "sq8", s"unknown --tier $tier")
     val adcRanked =
@@ -610,19 +822,10 @@ object IndexCorpus {
         // the broadcast range tables (reference objects inside the
         // fused kernel) and score against the FULL-precision probe —
         // asymmetric distance, same contract as q259
-        val hasSq8 = spark.read.json(s"$idx/summary")
-          .filter(col("key") === "sq8")
-          .collect().headOption.exists(_.getLong(1) == 1L)
-        require(hasSq8, s"$idx was built without --sq8 true")
-        val rows = spark.read.parquet(s"$idx/sq8_ranges").collect()
-        val lo = new Array[Long](dims)
-        val wd = new Array[Long](dims)
-        rows.foreach { r =>
-          val i = r.getAs[Long]("i").toInt
-          lo(i) = r.getAs[Long]("lo")
-          wd(i) = r.getAs[Long]("wd")
-        }
-        cellRestrict(spark.read.parquet(s"$idx/sq8_codes"))
+        require(summaryFlag(spark, idx, "sq8"),
+          s"$idx was built without --sq8 true")
+        val (lo, wd) = rangeArrays(spark, idx, dims)
+        cellRestrict(Artifacts.read(spark, idx, "sq8_codes"))
           .join(members.select(col("id")), Seq("id"), "left_semi")
           .select(col("id"), graft.ops.VectorExpressions.sqDist(
             graft.ops.VectorExpressions.sq8UnpackDequant(col("codes"), lo, wd),
@@ -673,4 +876,153 @@ object IndexCorpus {
           .limit(k)
     }
   }
+
+  /** BATCH serving: route and ADC-score EVERY probe of a probe-id
+    * frame in ONE pass over the artifacts (round-13 brief item 3 —
+    * the single-probe path pays the ~second-scale job floor per
+    * probe; here thousands of probes amortize it). Per-probe
+    * semantics are IDENTICAL to [[search]]: same router (per-probe
+    * nprobe nearest cells, ties to the lowest cell), same
+    * cell-restricted candidates, same tombstone retraction and
+    * self-exclusion, same integer ADC, per-probe top-k by (adc, id) —
+    * q283's oracle is the per-probe replay of q262's chain.
+    *
+    * Plan shape: probes route via one broadcast join against the
+    * catalog-sized centroid frame (per-probe top-nprobe is one
+    * WindowGroupLimit); the UNION of probed cells (bounded by ivf_k)
+    * restricts the membership scans as a literal partition predicate;
+    * the per-(probe, s, code) distance tables derive distributedly
+    * from the probes x the broadcast codebooks; and the per-probe
+    * top-k is one WindowGroupLimit — no per-probe jobs, no driver
+    * loop over probes.
+    */
+  def searchBatch(spark: SparkSession, args: Array[String]): DataFrame = {
+    require(args.length >= 3,
+      "usage: searchBatch <indexDir> <emb.parquet> <probes.parquet> [flags]")
+    val (idx, in, probesIn) = (args(0), args(1), args(2))
+    val flags = flagsOf(args, 3)
+    val idCol = flags.getOrElse("id", "vec_id")
+    val vecCol = flags.getOrElse("vec", "embedding")
+    val k = flags.getOrElse("k", "10").toInt
+    val nprobe = flags.getOrElse("nprobe", "2").toInt
+    val tier = flags.getOrElse("tier", "pq")
+    require(tier == "pq" || tier == "sq8",
+      s"searchBatch supports --tier pq|sq8, got $tier")
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    val cents = centroidArrays(spark, idx)
+    val dims = cents(0).length
+    val centsDf = cents.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+
+    // probe vectors: the probe-id frame semi-joins the float source
+    val probes = graft.Scratch.cache(spark.read.parquet(in)
+      .filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("pid"),
+        SemDedup.microsVec(col(vecCol)).as("pmv"))
+      .join(spark.read.parquet(probesIn)
+        .select(col(idCol).cast("long").as("pid")).distinct(),
+        Seq("pid"), "left_semi"))
+
+    // route every probe: broadcast centroid join, per-probe
+    // top-nprobe by (distance, cell) — one WindowGroupLimit
+    val wRoute = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("cd"), col("cell"))
+    val routed = graft.Scratch.cache(probes
+      .join(broadcast(centsDf), lit(true))
+      .select(col("pid"), col("pmv"), col("cell"),
+        graft.ops.VectorExpressions.sqDist(col("pmv"),
+          col("cv").cast("array<long>")).as("cd"))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cell")))
+    // the union of probed cells — bounded by ivf_k — inlines as the
+    // membership scans' literal partition predicate
+    val probedCells = routed.select(col("cell")).distinct()
+      .collect().map(r => Long.box(r.getLong(0))).toSeq
+
+    val membersAll = Artifacts.read(spark, idx, "assignments")
+      .filter(col("cell").isin(probedCells: _*))
+    val members0 =
+      if (Artifacts.exists(spark, idx, "tombstones"))
+        membersAll.join(
+          Artifacts.read(spark, idx, "tombstones").select(col("id")),
+          Seq("id"), "left_anti")
+      else membersAll
+    // candidates: a probe meets exactly its OWN probed cells' members
+    val cand = members0.join(routed, Seq("cell"))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("cell"), col("id"))
+
+    val scored =
+      if (tier == "sq8") {
+        require(summaryFlag(spark, idx, "sq8"),
+          s"$idx was built without --sq8 true")
+        val (lo, wd) = rangeArrays(spark, idx, dims)
+        cellRestrictB(Artifacts.read(spark, idx, "sq8_codes"), probedCells)
+          .join(cand.select(col("pid"), col("id")), Seq("id"))
+          .join(broadcast(probes), Seq("pid"))
+          .select(col("pid"), col("id"),
+            graft.ops.VectorExpressions.sqDist(
+              graft.ops.VectorExpressions.sq8UnpackDequant(
+                col("codes"), lo, wd),
+              col("pmv")).as("adc"))
+      } else {
+        val books = codebookArrays(spark, idx)
+        val pqM = books.length
+        val sub = dims / pqM
+        val bookDf = books.zipWithIndex.flatMap { case (bk, s) =>
+          bk.zipWithIndex.map { case (c, j) =>
+            (s.toLong, j.toLong, c.toSeq)
+          }
+        }.toSeq.toDF("s", "code", "bv")
+        val residual = summaryFlag(spark, idx, "residual")
+        if (!residual) {
+          // per-(probe, s, code) distance tables, derived
+          // distributedly: probes x broadcast codebooks
+          val table = probes
+            .join(broadcast(bookDf), lit(true))
+            .select(col("pid"), col("s"), col("code"),
+              graft.ops.VectorExpressions.sqDist(
+                slice(col("pmv"), col("s").cast("int") * sub + 1, lit(sub)),
+                col("bv").cast("array<long>")).as("d"))
+          cellRestrictB(Artifacts.read(spark, idx, "pq_codes"), probedCells)
+            .join(cand.select(col("pid"), col("id")), Seq("id"))
+            .join(broadcast(table), Seq("pid", "s", "code"))
+            .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
+        } else {
+          // residual tables are keyed by (probe, cell): the probe's
+          // residual against each of ITS probed cells
+          val table = probes.join(routed, Seq("pid"))
+            .join(broadcast(centsDf), Seq("cell"))
+            .select(col("pid"), col("cell"),
+              zip_with(col("pmv"), col("cv").cast("array<long>"),
+                (a, b) => a - b).as("rmv"))
+            .join(broadcast(bookDf), lit(true))
+            .select(col("pid"), col("cell"), col("s"), col("code"),
+              graft.ops.VectorExpressions.sqDist(
+                slice(col("rmv"), col("s").cast("int") * sub + 1, lit(sub)),
+                col("bv").cast("array<long>")).as("d"))
+          Artifacts.read(spark, idx, "pq_codes")
+            .filter(col("cell").isin(probedCells: _*))
+            .join(cand.select(col("pid"), col("id")), Seq("id"))
+            .join(broadcast(table), Seq("pid", "cell", "s", "code"))
+            .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
+        }
+      }
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("adc"), col("id"))
+    scored.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("pid").as("probe_id"), col("rnk"), col("id"), col("adc"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  private def cellRestrictB(df: DataFrame,
+      probedCells: Seq[java.lang.Long]): DataFrame =
+    if (df.schema.fieldNames.contains("cell"))
+      df.filter(col("cell").isin(probedCells: _*)).drop("cell")
+    else df
 }

@@ -17,7 +17,27 @@ import graft.ops.TextOps
   *     serve path scores from the searched lists alone;
   *   - `doclens`   (id, dl)       — per-document term counts (the
   *     authoritative source for stats rewrites);
-  *   - `stats`     (key, value)   — n docs, total terms, avgdl, gram.
+  *   - `stats`     (key, value)   — n docs, total terms, avgdl, gram,
+  *     term-bucket count.
+  *
+  * Storage goes through [[Artifacts]] (round 13): every artifact is a
+  * set of manifest-listed SEGMENTS, postings segments PARTITIONED by
+  * a term-hash bucket `tb = pmod(hash(t), buckets)`. Consequences the
+  * round-12 `coalesce(1)` layout couldn't give:
+  *
+  *   - builds/compacts write with `repartition(tb)` — every core
+  *     writes, nothing funnels through one task;
+  *   - the serve path's literal `t IN (...)` predicate is joined by a
+  *     literal `tb IN (...)` PARTITION filter (buckets derived from
+  *     the same hash at query time), so untouched posting buckets are
+  *     pruned at directory level before row-group stats are even
+  *     consulted;
+  *   - a command's writes (an ingest's postings+doclens+docids+stats)
+  *     publish in ONE manifest flip — no half-applied ingest states
+  *     (closing the round-12 advisory crash window where content
+  *     could land without its manifest row), and compact never
+  *     overwrites the files it reads, so a crash mid-compact leaves
+  *     the old index serving byte-identically.
   *
   * Scoring is [[TextOps.bm25Scores]]'s exact-integer Okapi contract
   * (k1 = 1.2, b = 0.75 with cleared denominators; idf =
@@ -26,40 +46,40 @@ import graft.ops.TextOps
   * candidates). The q267 driver row proves a search through the
   * artifacts equals the q260 oracle chain bit-for-bit.
   *
-  * 100 TB posture: build is one tokenize + postings aggregate
-  * (map-side combined; what shuffles is the (id, term) partial
-  * domain); search touches ONLY the searched terms' posting lists
-  * (term-keyed parquet predicate) plus the doc-length join — the
-  * corpus text never loads at serve time.
-  *
   * `update` ingests NEW documents into an existing index: their
-  * postings and doc lengths APPEND (df needs no maintenance — search
-  * derives it from the postings at query time, so appended lists
-  * update every term's df automatically) and the scalar stats
-  * rewrite from the updated doclens. Unlike the vector index's
-  * frozen-codebook update (an approximation the q202 row prices),
-  * the lexical update is EXACT: an updated index is state-identical
-  * to a fresh build over the union — q268 proves it under the
-  * driver hash by sharing q267's full-build oracle.
+  * postings and doc lengths APPEND as new segments (df needs no
+  * maintenance — search derives it from the postings at query time)
+  * and the scalar stats rewrite from the updated doclens. The lexical
+  * update is EXACT: an updated index is state-identical to a fresh
+  * build over the union — q268 proves it under the driver hash by
+  * sharing q267's full-build oracle.
   *
   * Lifecycle: `delete` retracts documents by TOMBSTONE (O(deleted);
   * q271 proves post-delete search == a fresh build over the
   * survivors), `compact` folds the tombstones into the files and
-  * merges append fragments without forgetting the retraction set
-  * (q272 proves answers unchanged). The docids artifact is the
-  * EVER-INGESTED manifest — it only grows, which is what makes
-  * retraction permanent across update/compact.
+  * merges append segments without forgetting the retraction set
+  * (q272 proves answers unchanged). `compact --threshold <permille>`
+  * is INCREMENTAL: only segments whose tombstone-hit density crosses
+  * the threshold rewrite; cold segments' files are untouched (q285 +
+  * LexIndexSpec prove answers unchanged and cold files unmodified),
+  * so a retraction wave localized in recent appends costs the dirty
+  * segments, not the index. The docids artifact is the EVER-INGESTED
+  * manifest — it only grows, which is what makes retraction permanent
+  * across update/compact.
   *
   * Usage:
   *   runMain graft.tools.LexIndex build <docs.parquet> <indexDir>
-  *     [--id doc_id] [--text text] [--gram 2]
+  *     [--id doc_id] [--text text] [--gram 2] [--buckets 16]
   *   runMain graft.tools.LexIndex update <indexDir> <newDocs.parquet>
   *     [--id doc_id] [--text text]
   *   runMain graft.tools.LexIndex delete <indexDir> <ids.parquet>
   *     [--id doc_id]
   *   runMain graft.tools.LexIndex compact <indexDir>
+  *     [--threshold <permille>]
   *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
   *     [--k 10]
+  *   runMain graft.tools.LexIndex searchBatch <indexDir>
+  *     <queries.parquet> [--id query_id] [--text text] [--k 10]
   */
 object LexIndex {
 
@@ -80,8 +100,11 @@ object LexIndex {
         case Some("compact") => compact(spark, args.drop(1))
         case Some("search") =>
           search(spark, args.drop(1)).show(100, truncate = false)
+        case Some("searchBatch") =>
+          searchBatch(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
-          sys.error("usage: LexIndex build|update|delete|compact|search ...")
+          sys.error("usage: LexIndex build|update|delete|compact|" +
+            "search|searchBatch ...")
       }
     } finally spark.stop()
   }
@@ -90,6 +113,29 @@ object LexIndex {
     args.drop(from).sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+
+  /** Working-state read: current manifest overridden by this
+    * command's PENDING (written, not yet committed) segments — stats
+    * rewrites must see the post-command state before the flip.
+    */
+  private def rd(spark: SparkSession, idx: String, name: String,
+      pending: Map[String, Seq[String]]): DataFrame =
+    pending.get(name) match {
+      case Some(segs) => Artifacts.readSegs(spark, idx, name, segs)
+      case None       => Artifacts.read(spark, idx, name)
+    }
+
+  private def has(spark: SparkSession, idx: String, name: String,
+      pending: Map[String, Seq[String]]): Boolean =
+    pending.get(name).exists(_.nonEmpty) || Artifacts.exists(spark, idx, name)
+
+  /** The term-hash bucket expression — MUST match between build and
+    * search (search derives each query term's bucket with the same
+    * Spark murmur3 `hash`, then inlines the buckets as a literal
+    * partition predicate).
+    */
+  private def termBucket(buckets: Long) =
+    "tb" -> pmod(hash(col("t")), lit(buckets))
 
   /** Build the postings/doclens/stats artifacts; returns
     * (artifact, rows) per write.
@@ -101,6 +147,7 @@ object LexIndex {
     val idCol = flags.getOrElse("id", "doc_id")
     val textCol = flags.getOrElse("text", "text")
     val gram = flags.getOrElse("gram", "2").toInt
+    val buckets = flags.getOrElse("buckets", "16").toLong
     GraftSession.tune(spark)
     import spark.implicits._
 
@@ -109,10 +156,12 @@ object LexIndex {
       explode(TextOps.ngrams(col(textCol), gram)).as("t"))
     val postings0 = graft.Scratch.cache(
       toks.groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
+    var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
-    def write(name: String, df: DataFrame): Unit = {
-      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
-      written += (name -> spark.read.parquet(s"$out/$name").count())
+    def write(name: String, df: DataFrame,
+        bucket: Option[(String, org.apache.spark.sql.Column)] = None): Unit = {
+      pend += name -> Seq(Artifacts.writeSegment(spark, out, name, df, bucket))
+      written += (name -> rd(spark, out, name, pend).count())
     }
     // the document length DENORMALIZES into every posting row (dl,
     // appended last — positional readers unaffected): search then
@@ -121,7 +170,8 @@ object LexIndex {
     // layout; doclens stays authoritative for stats rewrites)
     val dlDf = postings0.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
     write("postings", postings0.join(dlDf, Seq("id"))
-      .select(col("t"), col("id"), col("tf"), col("dl")))
+      .select(col("t"), col("id"), col("tf"), col("dl")),
+      Some(termBucket(buckets)))
     write("doclens", dlDf)
     // the doc-id MANIFEST: every ingested id, including zero-token
     // documents (text shorter than the gram) that never reach
@@ -133,23 +183,30 @@ object LexIndex {
     // coalesce: a ZERO-DOC build is the legitimate bootstrap of the
     // streaming ingest path (q275 builds empty, then micro-batches
     // populate via ingestFrame)
-    val toktot = spark.read.parquet(s"$out/doclens")
+    val toktot = rd(spark, out, "doclens", pend)
       .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
     write("stats", Seq(
       ("n", n), ("toktot", toktot),
-      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong))
+      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong),
+      ("buckets", buckets))
       .toDF("key", "value"))
+    Artifacts.commit(spark, out, pend)
+    refresh(spark, out)
     written.result()
   }
 
   /** Incremental ingest: append the new documents' postings and doc
-    * lengths (ids already present OR ever retracted are rejected —
-    * the docids manifest is EVER-INGESTED, so a tombstoned id can
-    * never resurface; see [[delete]]), then rewrite the scalar stats
-    * from the live state via [[rewriteStats]] — the shared path, so a
-    * delete-then-update sequence can't write a toktot that still
-    * counts tombstoned documents. The tokenizer gram comes from the
-    * index's own stats. EXACT by construction: see object doc.
+    * lengths as new segments (ids already present OR ever retracted
+    * are rejected — the docids manifest is EVER-INGESTED, so a
+    * tombstoned id can never resurface; see [[delete]]), then rewrite
+    * the scalar stats from the live state via [[statsFrame]] — the
+    * shared path, so a delete-then-update sequence can't write a
+    * toktot that still counts tombstoned documents. All four segments
+    * publish in ONE manifest flip — an ingest is atomic; a crash
+    * before the flip leaves the previous index state (no
+    * indexed-but-unmanifested content, no duplicate re-ingest rows).
+    * The tokenizer gram comes from the index's own stats. EXACT by
+    * construction: see object doc.
     */
   def update(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: update <indexDir> <newDocs.parquet> [flags]")
@@ -173,81 +230,61 @@ object LexIndex {
   def ingestFrame(spark: SparkSession, idx: String, docs: DataFrame,
       idCol: String, textCol: String): Long = {
     GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
 
-    val stats0 = spark.read.parquet(s"$idx/stats").collect()
+    val stats0 = Artifacts.read(spark, idx, "stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val gram = stats0("gram").toInt
-    // localCheckpoint cuts lineage back to the artifacts the appends
-    // below write into (same discipline as IndexCorpus.update).
-    // Dedup against the docids MANIFEST, not doclens: a zero-token
-    // document never appears in doclens, so a doclens anti-join would
-    // re-admit it and double-count n. Pre-manifest indexes (no
-    // docids artifact) fall back to doclens plus the tombstones (a
-    // legacy index that saw a delete must still reject the retracted
-    // ids even though its doclens was compacted).
-    val hasManifest = exists(spark, s"$idx/docids")
-    val known =
-      if (hasManifest) spark.read.parquet(s"$idx/docids").select(col("id"))
-      else spark.read.parquet(s"$idx/doclens").select(col("id"))
-    val existing =
-      if (!hasManifest && exists(spark, s"$idx/tombstones"))
-        known.unionByName(
-          spark.read.parquet(s"$idx/tombstones").select(col("id")))
-      else known
+    val buckets = stats0.getOrElse("buckets", 16L)
+    // localCheckpoint cuts lineage back to the artifacts this command
+    // supersedes (same discipline as IndexCorpus.update). Dedup
+    // against the docids MANIFEST, not doclens: a zero-token document
+    // never appears in doclens, so a doclens anti-join would re-admit
+    // it and double-count n.
+    val known = Artifacts.read(spark, idx, "docids").select(col("id"))
     val fresh = graft.Scratch.localCheckpoint(
       docs
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-        .join(existing, Seq("id"), "left_anti"))
+        .join(known, Seq("id"), "left_anti"))
     val nNew = fresh.count()
     val newPostings = graft.Scratch.cache(fresh
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
     val newDl = newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    // match the index's own postings layout: current indexes carry
-    // the denormalized dl; pre-dl legacy indexes keep their shape
-    val hasDl = spark.read.parquet(s"$idx/postings")
-      .schema.fieldNames.contains("dl")
-    val appendPostings =
-      if (hasDl) newPostings.join(newDl, Seq("id"))
-        .select(col("t"), col("id"), col("tf"), col("dl"))
-      else newPostings
-    appendPostings.write.mode("append").parquet(s"$idx/postings")
-    newDl.write.mode("append").parquet(s"$idx/doclens")
-    // manifest append LAST: a failure mid-update must not leave ids
-    // in the manifest with no indexed content (the anti-join would
-    // then permanently block re-ingesting those documents)
-    if (hasManifest)
-      fresh.select(col("id")).write.mode("append").parquet(s"$idx/docids")
+    var pend = Map.empty[String, Seq[String]]
+    pend = Artifacts.withAppended(spark, idx, pend, "postings",
+      newPostings.join(newDl, Seq("id"))
+        .select(col("t"), col("id"), col("tf"), col("dl")),
+      Some(termBucket(buckets)))
+    pend = Artifacts.withAppended(spark, idx, pend, "doclens", newDl)
+    pend = Artifacts.withAppended(spark, idx, pend, "docids",
+      fresh.select(col("id")))
+    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
+      statsFrame(spark, idx, pend))
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
-    rewriteStats(spark, idx)
     nNew
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   /** Invalidate any cached plan that scans the index files. Every
-    * mutating command calls this after its writes: a search may have
+    * mutating command calls this after its commit: a search may have
     * left a (query-scoped, not-yet-released) cached scan of the old
     * file set in the session's CacheManager, and a later same-shaped
-    * plan would silently reuse it — reading appended-over listings or
-    * compacted-away files.
+    * plan would silently reuse it — reading superseded listings.
     */
   private def refresh(spark: SparkSession, idx: String): Unit =
     spark.catalog.refreshByPath(idx)
 
-  /** Live doc ids = manifest minus tombstones (manifest-less legacy
-    * indexes fall back to doclens ids).
+  /** Live doc ids = manifest minus tombstones, against the working
+    * state (`pending` overrides).
     */
-  private def liveIds(spark: SparkSession, idx: String): DataFrame = {
-    val all =
-      if (exists(spark, s"$idx/docids"))
-        spark.read.parquet(s"$idx/docids").select(col("id"))
-      else spark.read.parquet(s"$idx/doclens").select(col("id"))
-    if (exists(spark, s"$idx/tombstones"))
-      all.join(spark.read.parquet(s"$idx/tombstones"), Seq("id"), "left_anti")
+  private def liveIds(spark: SparkSession, idx: String,
+      pending: Map[String, Seq[String]]): DataFrame = {
+    val all = rd(spark, idx, "docids", pending).select(col("id"))
+    if (has(spark, idx, "tombstones", pending))
+      all.join(rd(spark, idx, "tombstones", pending).select(col("id")),
+        Seq("id"), "left_anti")
     else all
   }
 
@@ -273,94 +310,126 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     GraftSession.tune(spark)
-    import spark.implicits._
+    Artifacts.requireManifest(spark, idx)
 
     val doomed = graft.Scratch.localCheckpoint(
       spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
         .distinct()
-        .join(liveIds(spark, idx), Seq("id"), "left_semi"))
+        .join(liveIds(spark, idx, Map()), Seq("id"), "left_semi"))
     val nDel = doomed.count()
-    doomed.write.mode("append").parquet(s"$idx/tombstones")
+    var pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
+      statsFrame(spark, idx, pend))
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
-    rewriteStats(spark, idx)
     Seq("deleted" -> nDel)
   }
 
   /** Fold the tombstones into the content files: rewrite postings and
     * doclens without the deleted ids (an anti-join against the SMALL
-    * tombstone set — O(index) rewrite but O(deleted) join state, never
-    * a broadcast of the live ids), each re-coalesced (repeated
-    * `update` appends accumulate one parquet fragment per ingest —
-    * compaction merges them; docids merges too, UNFILTERED). What
-    * compact must NOT do is forget: the docids manifest keeps every
-    * ever-ingested id and the tombstones artifact survives (distinct,
-    * coalesced) as the permanent retraction set — otherwise a
-    * post-compact [[update]] would re-admit a retracted id. Answers
-    * are unchanged by construction (search already honored the
-    * tombstones) — q272 pins that by hashing a delete-then-compact
-    * search against the same survivor-corpus oracle as q271; the
-    * physical claims (dead rows gone, fragments merged, retraction
-    * still enforced) are LexIndexSpec's compact tests.
+    * tombstone set — O(rewritten) join state, never a broadcast of
+    * the live ids), each rewritten segment replacing what it compacts
+    * via one atomic manifest flip — compact never overwrites the
+    * files it reads, so a crash at ANY point leaves the previous
+    * index serving byte-identically (LexIndexSpec's crash test drives
+    * the failpoint). What compact must NOT do is forget: the docids
+    * manifest keeps every ever-ingested id and the tombstones
+    * artifact survives (distinct) as the permanent retraction set —
+    * otherwise a post-compact [[update]] would re-admit a retracted
+    * id.
+    *
+    * Default (no flags) is a FULL compact: every content artifact
+    * consolidates to one segment. `--threshold <permille>` compacts
+    * INCREMENTALLY: a segment rewrites only when its tombstone-hit
+    * density (dead rows / rows) reaches the threshold; cold segments
+    * keep their files byte-identical (the spec asserts it), so a
+    * delete wave localized in recent appends costs the dirty
+    * segments, not a full-index rewrite. Answers are unchanged either
+    * way (search already honored the tombstones) — q272/q285 pin that
+    * against the same survivor-corpus oracle as q271.
     */
-  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
-    require(args.length >= 1, "usage: compact <indexDir>")
+  def compact(spark: SparkSession, args: Array[String]): Seq[(String, Long)] =
+    compactImpl(spark, args, crashBeforeCommit = false)
+
+  /** `crashBeforeCommit` is the spec's failpoint: do all the segment
+    * writes, then throw instead of flipping the manifest — proving a
+    * mid-compact crash leaves the prior index state fully serving.
+    */
+  private[tools] def compactImpl(spark: SparkSession, args: Array[String],
+      crashBeforeCommit: Boolean): Seq[(String, Long)] = {
+    require(args.length >= 1, "usage: compact <indexDir> [flags]")
     val idx = args(0)
+    val flags = flagsOf(args, 1)
+    val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
-    val hasTomb = exists(spark, s"$idx/tombstones")
+    val hasTomb = Artifacts.exists(spark, idx, "tombstones")
+    val tomb =
+      if (hasTomb) Some(graft.Scratch.cache(
+        Artifacts.read(spark, idx, "tombstones").select(col("id")).distinct()))
+      else None
+    val stats0 = Artifacts.read(spark, idx, "stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buckets = stats0.getOrElse("buckets", 16L)
+    var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
-    def rewrite(name: String, filtered: Boolean): Unit = {
-      val path = s"$idx/$name"
-      if (exists(spark, path)) {
-        val src = spark.read.parquet(path)
-        val out =
-          if (filtered && hasTomb)
-            src.join(spark.read.parquet(s"$idx/tombstones").select(col("id")),
-              Seq("id"), "left_anti")
-          else src
-        // localCheckpoint is LAZY — the count() forces every
-        // partition into block storage BEFORE the overwrite
-        // truncates the very files the plan reads
-        val snap = graft.Scratch.localCheckpoint(out)
-        snap.count()
-        snap.coalesce(1).write.mode("overwrite").parquet(path)
-        refresh(spark, path)
-        written += (name -> spark.read.parquet(path).count())
-      }
+
+    // content artifacts: postings/doclens filter the tombstones,
+    // docids merges UNFILTERED (the ever-ingested manifest must not
+    // forget). Full mode rewrites each to ONE segment; threshold mode
+    // rewrites only tombstone-dense segments and leaves cold ones
+    // ([[Artifacts.compactSegments]] — docids never rewrites
+    // incrementally: an unfiltered manifest merge buys nothing a
+    // delete wave needs back).
+    val plan: Seq[(String, Boolean,
+      Option[(String, org.apache.spark.sql.Column)])] = thresholdPm match {
+      case None => Seq(
+        ("postings", true, Some(termBucket(buckets))),
+        ("doclens", true, None), ("docids", false, None))
+      case Some(_) => Seq(
+        ("postings", true, Some(termBucket(buckets))),
+        ("doclens", true, None))
     }
-    rewrite("postings", filtered = true)
-    rewrite("doclens", filtered = true)
-    rewrite("docids", filtered = false)
-    if (hasTomb) {
-      val tomb = graft.Scratch.localCheckpoint(
-        spark.read.parquet(s"$idx/tombstones").select(col("id")).distinct())
-      tomb.count()
-      tomb.coalesce(1).write.mode("overwrite").parquet(s"$idx/tombstones")
-      refresh(spark, s"$idx/tombstones")
-      written += ("tombstones" -> spark.read
-        .parquet(s"$idx/tombstones").count())
+    plan.foreach { case (name, filtered, bucket) =>
+      Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+        filtered, bucket).foreach(segs => pend += name -> segs)
     }
-    rewriteStats(spark, idx)
+    tomb.foreach { ts =>
+      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
+    }
+    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
+      statsFrame(spark, idx, pend))
+    if (crashBeforeCommit)
+      sys.error("injected crash: compact before manifest commit")
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
+    refresh(spark, idx)
+    pend.keys.toSeq.sorted.foreach { name =>
+      written += (name -> Artifacts.read(spark, idx, name).count())
+    }
     written.result()
   }
 
-  /** Rewrite the scalar stats frame from the CURRENT live state —
-    * shared by build/update/delete/compact so n and avgdl always
-    * reflect exactly the searchable documents.
+  /** The scalar stats frame recomputed from the CURRENT live state
+    * (pending overrides) — shared by build/update/delete/compact so n
+    * and avgdl always reflect exactly the searchable documents.
     */
-  private def rewriteStats(spark: SparkSession, idx: String): Unit = {
+  private def statsFrame(spark: SparkSession, idx: String,
+      pending: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
-    val gram = spark.read.parquet(s"$idx/stats")
-      .filter(col("key") === "gram").head().getLong(1)
-    val live = graft.Scratch.cache(liveIds(spark, idx))
+    val stats0 = rd(spark, idx, "stats", Map()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = graft.Scratch.cache(liveIds(spark, idx, pending))
     val n = live.count()
-    val toktot = spark.read.parquet(s"$idx/doclens")
+    val toktot = rd(spark, idx, "doclens", pending)
       .join(broadcast(live), Seq("id"), "left_semi")
       .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
     Seq(("n", n), ("toktot", toktot),
-      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram))
+      ("avgdl", if (n > 0) toktot / n else 0L), ("gram", stats0("gram")),
+      ("buckets", stats0.getOrElse("buckets", 16L)))
       .toDF("key", "value")
-      .coalesce(1).write.mode("overwrite").parquet(s"$idx/stats")
   }
 
   /** Search the persisted index with a raw query string: tokenize it
@@ -374,14 +443,14 @@ object LexIndex {
     * the term restriction, so its left side is the searched posting
     * lists, never the whole index.
     *
-    * The term restriction is a LITERAL `t IN (...)` predicate, not a
-    * join: the query string is a driver value, so its terms collect
-    * from one 1-row tokenize (the SAME kernel the index used) and
-    * inline into the scan — PushedFilters reaches the postings
-    * parquet, and row-group stats + dictionary pages prune everything
-    * but the searched lists. A broadcast join (the old form) planned
-    * a FULL postings scan per query; the ServeProbe x8-x128 decade
-    * measures the difference (SCALING.md round 12).
+    * The term restriction is a LITERAL `t IN (...)` data predicate
+    * PLUS a literal `tb IN (...)` PARTITION predicate (the terms'
+    * murmur3 buckets, derived by the same expression the build
+    * partitioned with): PushedFilters prunes row groups by min/max +
+    * dictionary, PartitionFilters prunes whole bucket DIRECTORIES —
+    * the round-13 upgrade over row-group-only pruning. A broadcast
+    * join (the round-11 form) planned a FULL postings scan per query;
+    * the ServeProbe decades measure the difference (SCALING.md).
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 2, "usage: search <indexDir> <query> [flags]")
@@ -391,27 +460,36 @@ object LexIndex {
     GraftSession.tune(spark)
     import spark.implicits._
 
-    val stats = spark.read.parquet(s"$idx/stats").collect()
+    val stats = Artifacts.read(spark, idx, "stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = stats("n")
     val avgdl = stats("avgdl")
     val gram = stats("gram").toInt
-    // tokenize the query string with the same kernel the index used;
-    // a handful of terms collects to the driver so they can inline
-    // into the scan predicate
-    val terms = Seq(query).toDF("text")
+    val buckets = stats.getOrElse("buckets", 16L)
+    // tokenize the query string with the same kernel the index used,
+    // deriving each term's bucket in the same tiny job; a handful of
+    // (term, bucket) pairs collects to the driver so both inline into
+    // the scan predicates
+    val termRows = Seq(query).toDF("text")
       .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
         .as("t"))
-      .collect().map(_.getString(0)).toSeq
+      .select(col("t"), pmod(hash(col("t")), lit(buckets)).as("tb"))
+      .collect()
+    val terms = termRows.map(_.getString(0)).toSeq
     if (terms.isEmpty)
       // a query shorter than the gram has no terms, hence no candidates
       return spark.range(0).select(col("id"), col("id").as("score"))
-    val postingsAll = spark.read.parquet(s"$idx/postings")
-    val qPost0 = postingsAll.filter(col("t").isin(terms: _*))
+    val tbs = termRows.map(r => Long.box(r.getLong(1))).distinct.toSeq
+    val postingsAll = Artifacts.read(spark, idx, "postings")
+    val qPost0 = (
+      if (postingsAll.schema.fieldNames.contains("tb"))
+        postingsAll.filter(col("tb").isin(tbs: _*))
+      else postingsAll)
+      .filter(col("t").isin(terms: _*))
     val qPost = graft.Scratch.cache(
-      if (exists(spark, s"$idx/tombstones"))
+      if (Artifacts.exists(spark, idx, "tombstones"))
         qPost0.join(
-          spark.read.parquet(s"$idx/tombstones").select(col("id")),
+          Artifacts.read(spark, idx, "tombstones").select(col("id")),
           Seq("id"), "left_anti")
       else qPost0)
     val dfq = broadcast(qPost
@@ -427,12 +505,107 @@ object LexIndex {
       if (postingsAll.schema.fieldNames.contains("dl"))
         qPost.join(dfq, Seq("t"))
       else qPost.join(dfq, Seq("t"))
-        .join(spark.read.parquet(s"$idx/doclens"), Seq("id"))
+        .join(Artifacts.read(spark, idx, "doclens"), Seq("id"))
     scored
       .withColumn("term", expr(
         s"idf * 22000 * tf * $avgdl DIV " +
           s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
       .groupBy(col("id")).agg(sum(col("term")).as("score"))
       .orderBy(col("score").desc, col("id")).limit(k)
+  }
+
+  /** BATCH serving: score EVERY query of a (query_id, text) frame in
+    * ONE pass over the index — the production shape (round-13 brief
+    * item 3: thousands of probes amortize one job's fixed cost; the
+    * single-query path pays the ~second-scale job floor per probe).
+    * Per-query semantics are IDENTICAL to [[search]]: same tokenizer,
+    * same set-of-terms form, same tombstone handling, same integer
+    * BM25, per-query top-k by (score desc, id) — q282's oracle is the
+    * per-query replay of q267's chain.
+    *
+    * Plan shape: the UNION of all queries' terms restricts the
+    * postings scan (literal `tb IN` partition filter always — the
+    * bucket set is at most `buckets` values; plus the literal
+    * `t IN` data filter while the term union stays inline-able), the
+    * (query_id, t) pairs broadcast onto the restricted lists, df
+    * derives ONCE per term (it is a per-term global), and the
+    * per-query top-k is one WindowGroupLimit — no per-query jobs, no
+    * driver loop.
+    */
+  def searchBatch(spark: SparkSession, args: Array[String]): DataFrame = {
+    require(args.length >= 2,
+      "usage: searchBatch <indexDir> <queries.parquet> [flags]")
+    val (idx, in) = (args(0), args(1))
+    val flags = flagsOf(args, 2)
+    val idCol = flags.getOrElse("id", "query_id")
+    val textCol = flags.getOrElse("text", "text")
+    val k = flags.getOrElse("k", "10").toInt
+    // terms inline into the scan as literals while the union is small
+    // (driver-bounded); past the cap only the bucket partition filter
+    // restricts the scan and the terms meet it as a broadcast join
+    val maxInline = flags.getOrElse("max-inline-terms", "4096").toInt
+    GraftSession.tune(spark)
+
+    val stats = Artifacts.read(spark, idx, "stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = stats("n")
+    val avgdl = stats("avgdl")
+    val gram = stats("gram").toInt
+    val buckets = stats.getOrElse("buckets", 16L)
+
+    val qTerms = graft.Scratch.cache(spark.read.parquet(in)
+      .select(col(idCol).cast("long").as("qid"), col(textCol).as("text"))
+      .select(col("qid"),
+        explode(array_distinct(TextOps.ngrams(col("text"), gram))).as("t")))
+    // the distinct (t, tb) union: tb set is bounded by the bucket
+    // count; the term list inlines only below the cap
+    val termRows = qTerms.select(col("t")).distinct()
+      .select(col("t"), pmod(hash(col("t")), lit(buckets)).as("tb"))
+      .limit(maxInline + 1).collect()
+    val inline = termRows.length <= maxInline
+    val postingsAll = Artifacts.read(spark, idx, "postings")
+    val bucketed = postingsAll.schema.fieldNames.contains("tb")
+    val scanned0 =
+      if (!bucketed) postingsAll
+      else if (inline)
+        postingsAll.filter(col("tb").isin(
+          termRows.map(r => Long.box(r.getLong(1))).distinct.toSeq: _*))
+      else {
+        val allTbs = qTerms
+          .select(pmod(hash(col("t")), lit(buckets)).as("tb"))
+          .distinct().collect().map(r => Long.box(r.getLong(0))).toSeq
+        postingsAll.filter(col("tb").isin(allTbs: _*))
+      }
+    val scanned =
+      if (inline) scanned0.filter(col("t").isin(
+        termRows.map(_.getString(0)).toSeq: _*))
+      else scanned0.join(broadcast(qTerms.select(col("t")).distinct()),
+        Seq("t"), "left_semi")
+    val qPost = graft.Scratch.cache(
+      if (Artifacts.exists(spark, idx, "tombstones"))
+        scanned.join(
+          Artifacts.read(spark, idx, "tombstones").select(col("id")),
+          Seq("id"), "left_anti")
+      else scanned)
+    // df is a PER-TERM global — derived once from the restricted
+    // lists, shared by every query that searched the term
+    val dfq = qPost
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+      .filter(col("idf") > 0)
+      .select(col("t"), col("idf"))
+    val scored = qPost.join(broadcast(qTerms), Seq("t"))
+      .join(broadcast(dfq), Seq("t"))
+      .withColumn("term", expr(
+        s"idf * 22000 * tf * $avgdl DIV " +
+          s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+      .groupBy(col("qid"), col("id")).agg(sum(col("term")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("rnk"), col("id"), col("score"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 }

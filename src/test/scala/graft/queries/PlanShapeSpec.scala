@@ -101,27 +101,38 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("lex index search: the searched terms reach the postings scan " +
-    "as a pushed literal In predicate (no full postings scan per query)") {
+    "as a pushed literal In predicate AND their hash buckets as a " +
+    "PartitionFilter (directory pruning, round 13)") {
     val p = plan("q267_lex_index_search")
     // the scan over the postings artifact must carry PushedFilters
     // with the In(t, ...) literal — the serve-path contract ServeProbe
-    // prices (a broadcast-join form scans every posting per query)
+    // prices (a broadcast-join form scans every posting per query) —
+    // and, since the postings segments are partitioned by the term
+    // hash bucket, a PartitionFilters In(tb, ...) that prunes whole
+    // bucket directories before any file opens
     val scanLine = p.linesIterator
       .filter(_.contains("postings")).mkString("\n")
     assert(scanLine.contains("PushedFilters: [In(t, ") ||
       p.contains("PushedFilters: [In(t, "),
       s"postings scan lost the term pushdown:\n$scanLine")
+    assert(p.contains("PartitionFilters: [tb#") ||
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("tb#")),
+      s"postings scan lost the bucket partition filter:\n$scanLine")
   }
 
   test("sq8 index search: the probed cells reach the code-artifact " +
-    "scan as a pushed literal In predicate") {
+    "scan as a PartitionFilter (cell is the partition key — whole " +
+    "cell directories prune, round 13's upgrade of row-group pruning)") {
     val p = plan("q262_sq8_index_search")
     // both membership scans carry the literal probed-cell
-    // restriction — neither the assignments nor the sq8 code
-    // artifact is met by a corpus-linear pass
-    assert(p.contains("PushedFilters: [In(cell, ") ||
-      p.contains("PushedFilters: [IsNotNull(cell), In(cell, "),
-      s"code scan lost the probed-cell pushdown:\n" +
+    // restriction as a PARTITION predicate — neither the assignments
+    // nor the sq8 code artifact is met by a corpus-linear pass
+    val cellPartLines = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .toSeq
+    assert(cellPartLines.nonEmpty,
+      s"code scan lost the probed-cell partition filter:\n" +
         p.linesIterator.filter(_.contains("sq8_codes")).mkString("\n"))
     graft.Scratch.release()
   }

@@ -31,15 +31,15 @@ class IndexCorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
     // independent re-derivation from the persisted files
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
       .groupBy(_.getLong(0)).map { case (j, rs) =>
         j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
-    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+    val books = Artifacts.read(spark, idx, "pq_codebooks").collect()
       .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rs) =>
         sj -> rs.sortBy(_.getLong(2)).map(_.getLong(3)) }
-    val assign = spark.read.parquet(s"$idx/assignments").collect()
+    val assign = Artifacts.read(spark, idx, "assignments").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val codes = spark.read.parquet(s"$idx/pq_codes").collect()
+    val codes = Artifacts.read(spark, idx, "pq_codes").collect()
       .groupBy(_.getLong(0)).map { case (id, rs) =>
         id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
     val pv = {
@@ -70,8 +70,8 @@ class IndexCorpusSpec extends AnyFunSuite {
     val idx2 = Files.createTempDirectory("graft_index2").toString
     IndexCorpus.build(spark, Array(emb, idx2))
     for (art <- Seq("ivf_centroids", "assignments", "pq_codebooks", "pq_codes")) {
-      val a = spark.read.parquet(s"$idx/$art").collect().map(_.toSeq).toSet
-      val b = spark.read.parquet(s"$idx2/$art").collect().map(_.toSeq).toSet
+      val a = Artifacts.read(spark, idx, art).collect().map(_.toSeq).toSet
+      val b = Artifacts.read(spark, idx2, art).collect().map(_.toSeq).toSet
       assert(a == b, s"$art differs across rebuilds")
     }
   }
@@ -85,20 +85,20 @@ class IndexCorpusSpec extends AnyFunSuite {
     full.filter(col("vec_id") >= 250).write.parquet(s"$tmp/new.parquet")
     val idx = s"$tmp/idx"
     IndexCorpus.build(spark, Array(s"$tmp/old.parquet", idx))
-    val centsBefore = spark.read.parquet(s"$idx/ivf_centroids")
+    val centsBefore = Artifacts.read(spark, idx, "ivf_centroids")
       .collect().map(_.toSeq).toSet
     val n = IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet")).head._2
     assert(n == full.filter(col("vec_id") >= 250).count())
     // codebooks/centroids untouched; assignments/codes cover everyone
-    assert(spark.read.parquet(s"$idx/ivf_centroids")
+    assert(Artifacts.read(spark, idx, "ivf_centroids")
       .collect().map(_.toSeq).toSet == centsBefore)
-    assert(spark.read.parquet(s"$idx/assignments").count() == full.count())
-    assert(spark.read.parquet(s"$idx/pq_codes").count() == full.count() * 2)
+    assert(Artifacts.read(spark, idx, "assignments").count() == full.count())
+    assert(Artifacts.read(spark, idx, "pq_codes").count() == full.count() * 2)
     // re-ingesting the same batch is a no-op (left-anti dedup)
     assert(IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet")).head._2 == 0L)
     // an ingested vector's cell must be its true nearest frozen
     // centroid (spot-check one id against driver math)
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
       .groupBy(_.getLong(0)).map { case (j, rs) =>
         j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
     val mv = full.filter(col("vec_id") === 300)
@@ -109,7 +109,7 @@ class IndexCorpusSpec extends AnyFunSuite {
       while (i < 64) { val x = mv(i) - c(i); d += x * x; i += 1 }
       (d, j)
     }.min._2
-    val got = spark.read.parquet(s"$idx/assignments")
+    val got = Artifacts.read(spark, idx, "assignments")
       .filter(col("id") === 300).head().getLong(1)
     assert(got == want)
   }
@@ -122,15 +122,15 @@ class IndexCorpusSpec extends AnyFunSuite {
       Array(idx, emb, "7", "--k", "5", "--nprobe", "2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
       .groupBy(_.getLong(0)).map { case (j, rs) =>
         j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
-    val books = spark.read.parquet(s"$idx/pq_codebooks").collect()
+    val books = Artifacts.read(spark, idx, "pq_codebooks").collect()
       .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rs) =>
         sj -> rs.sortBy(_.getLong(2)).map(_.getLong(3)) }
-    val assign = spark.read.parquet(s"$idx/assignments").collect()
+    val assign = Artifacts.read(spark, idx, "assignments").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val codes = spark.read.parquet(s"$idx/pq_codes").collect()
+    val codes = Artifacts.read(spark, idx, "pq_codes").collect()
       .groupBy(_.getLong(0)).map { case (id, rs) =>
         id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
     val pv = spark.read.parquet(emb)
@@ -160,8 +160,8 @@ class IndexCorpusSpec extends AnyFunSuite {
     // at least some vectors (the residual actually changed the input)
     val idxG = Files.createTempDirectory("graft_index_g").toString
     IndexCorpus.build(spark, Array(emb, idxG))
-    val cg = spark.read.parquet(s"$idxG/pq_codes").collect().map(_.toSeq).toSet
-    val cr = spark.read.parquet(s"$idx/pq_codes").collect().map(_.toSeq).toSet
+    val cg = Artifacts.read(spark, idxG, "pq_codes").collect().map(_.toSeq).toSet
+    val cr = Artifacts.read(spark, idx, "pq_codes").collect().map(_.toSeq).toSet
     assert(cg != cr, "residual build produced identical codes to global")
   }
 
@@ -218,12 +218,12 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(res.contains("sq8_ranges") && res("sq8_ranges") == 64L)
     assert(res("sq8_codes") == res("assignments")) // one row per vector
 
-    val ranges = spark.read.parquet(s"$idx/sq8_ranges").collect()
+    val ranges = Artifacts.read(spark, idx, "sq8_ranges").collect()
       .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
     assert(ranges.values.forall(_._2 >= 0))
     // artifact codes are PACKED bytes: one per dimension, unsigned
     // semantics restored via & 0xFF
-    val codeRows = spark.read.parquet(s"$idx/sq8_codes").collect()
+    val codeRows = Artifacts.read(spark, idx, "sq8_codes").collect()
       .map(r => r.getLong(0) ->
         r.getAs[Array[Byte]](1).map(b => (b & 0xFF).toLong).toSeq).toMap
     assert(codeRows.values.forall(_.forall(c => c >= 0 && c <= 255)))
@@ -253,7 +253,7 @@ class IndexCorpusSpec extends AnyFunSuite {
     val got = IndexCorpus.search(spark,
       Array(idx, emb, "7", "--k", "5", "--nprobe", "2", "--tier", "sq8"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val cents = spark.read.parquet(s"$idx/ivf_centroids").collect()
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
       .groupBy(_.getLong(0)).map { case (j, rs) =>
         j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
     val pv = micros(7L)
@@ -261,7 +261,7 @@ class IndexCorpusSpec extends AnyFunSuite {
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
     val probed = cents.toSeq.map { case (j, c) => (l2(pv, c.toSeq), j) }
       .sorted.take(2).map(_._2).toSet
-    val assign = spark.read.parquet(s"$idx/assignments").collect()
+    val assign = Artifacts.read(spark, idx, "assignments").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = assign.collect {
       case (id, cell) if probed(cell) && id != 7L => (id, l2(pv, recon(id)))
@@ -313,8 +313,8 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(exact() == brute(Set(victim)))
     // compact folds the radii fragments without breaking the bound
     IndexCorpus.compact(spark, Array(idx))
-    assert(spark.read.parquet(s"$idx/ivf_radii").count() ==
-      spark.read.parquet(s"$idx/ivf_radii").select("cell").distinct().count())
+    assert(Artifacts.read(spark, idx, "ivf_radii").count() ==
+      Artifacts.read(spark, idx, "ivf_radii").select("cell").distinct().count())
     assert(exact() == brute(Set(victim)))
   }
 
@@ -335,14 +335,13 @@ class IndexCorpusSpec extends AnyFunSuite {
     IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet"))
 
     def fragments(name: String): Int =
-      new java.io.File(s"$idx/$name").listFiles()
-        .count(f => f.getName.startsWith("part-"))
-    assert(fragments("assignments") > 1, "update should append a fragment")
+      Artifacts.segmentsOf(spark, idx, name).size
+    assert(fragments("assignments") > 1, "update should append a segment")
     // the SQ8 tier ingests on update too (frozen ranges): every
     // vector has a code row, and codes quantize the raw micros with
     // the HALF-corpus-frozen ranges — an updated vector is as
     // searchable under --tier sq8 as a built one
-    assert(spark.read.parquet(s"$idx/sq8_codes").count() == full.count())
+    assert(Artifacts.read(spark, idx, "sq8_codes").count() == full.count())
 
     def searchIds(k: Int, tier: String = "pq"): Seq[(Long, Long)] =
       IndexCorpus.search(spark,
@@ -374,19 +373,19 @@ class IndexCorpusSpec extends AnyFunSuite {
     // compact: answers unchanged (both tiers), dead rows gone,
     // fragments merged, model artifacts untouched, tombstones kept
     val sq8Before = searchIds(5, tier = "sq8")
-    val centsBefore = spark.read.parquet(s"$idx/ivf_centroids")
+    val centsBefore = Artifacts.read(spark, idx, "ivf_centroids")
       .collect().map(_.toSeq).toSet
     IndexCorpus.compact(spark, Array(idx))
     assert(searchIds(5) == want)
     assert(searchIds(5, tier = "sq8") == sq8Before)
     for (n <- Seq("assignments", "pq_codes", "sq8_codes")) {
-      assert(fragments(n) == 1, s"$n fragments")
-      assert(spark.read.parquet(s"$idx/$n")
+      assert(fragments(n) == 1, s"$n segments")
+      assert(Artifacts.read(spark, idx, n)
         .filter(col("id") === victim).count() == 0, s"$n dead rows")
     }
-    assert(spark.read.parquet(s"$idx/ivf_centroids")
+    assert(Artifacts.read(spark, idx, "ivf_centroids")
       .collect().map(_.toSeq).toSet == centsBefore)
-    assert(spark.read.parquet(s"$idx/tombstones").count() == 1L)
+    assert(Artifacts.read(spark, idx, "tombstones").count() == 1L)
 
     // resurrection rule: re-feeding the retracted id after compact is
     // rejected permanently
@@ -395,5 +394,210 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(IndexCorpus.update(spark, Array(idx, s"$tmp/back.parquet"))
       .head._2 == 0L)
     assert(searchIds(5) == want, "update must not resurface the victim")
+  }
+
+  test("compact crash-safety: a compact that fails before the manifest " +
+    "flip leaves the prior index serving byte-identically; a later " +
+    "compact succeeds and vacuums the orphans") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_crash").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--sq8", "true"))
+    Seq(7L + 1, 7L + 2).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    def searchIds(tier: String): Seq[(Long, Long)] =
+      IndexCorpus.search(spark,
+        Array(idx, emb, "7", "--k", "5", "--nprobe", "2", "--tier", tier))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = Seq("pq", "sq8").map(t => t -> searchIds(t))
+
+    intercept[RuntimeException] {
+      IndexCorpus.compactImpl(spark, Array(idx), crashBeforeCommit = true)
+    }
+    spark.catalog.refreshByPath(idx)
+    for ((t, want) <- before)
+      assert(searchIds(t) == want, s"tier $t after crash")
+
+    IndexCorpus.compact(spark, Array(idx))
+    for (n <- Seq("assignments", "pq_codes", "sq8_codes")) {
+      val segs = Artifacts.segmentsOf(spark, idx, n)
+      assert(segs.size == 1, s"$n segments")
+      val onDisk = new java.io.File(s"$idx/$n").listFiles()
+        .map(_.getName).filter(d => d.startsWith("seg=") ||
+          d.startsWith(".seg-")).toSet
+      assert(onDisk == segs.toSet, s"$n orphans: $onDisk vs $segs")
+    }
+    for ((t, want) <- before)
+      assert(searchIds(t) == want, s"tier $t post-compact")
+  }
+
+  test("incremental compact (--threshold): only tombstone-dense " +
+    "segments rewrite; cold segments' files untouched; answers " +
+    "unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_inccmp").toString
+    val idx = s"$tmp/idx"
+    val full = spark.read.parquet(emb).filter(size(col("embedding")) === 64)
+    // segment 0: build on ids < 250; segment 1: update with the rest
+    full.filter(col("vec_id") < 250).write.parquet(s"$tmp/old.parquet")
+    full.filter(col("vec_id") >= 250).write.parquet(s"$tmp/new.parquet")
+    IndexCorpus.build(spark, Array(s"$tmp/old.parquet", idx))
+    IndexCorpus.update(spark, Array(idx, s"$tmp/new.parquet"))
+    // the delete wave hits ONLY the update batch -> only its segment
+    // is tombstone-dense
+    full.filter(col("vec_id") >= 250 && pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    def searchIds(): Seq[(Long, Long)] =
+      IndexCorpus.search(spark,
+        Array(idx, emb, "7", "--k", "10", "--nprobe", "2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = searchIds()
+
+    def fileSet(name: String, seg: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/$name/$seg"))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath + "@" + f.lastModified()).toSet
+    }
+    val cold = Seq("assignments", "pq_codes").map { n =>
+      val seg = Artifacts.segmentsOf(spark, idx, n).head // the build seg
+      (n, seg, fileSet(n, seg))
+    }
+
+    // ~1/3 of the update segment is dead -> 100 permille threshold
+    // rewrites it; the build segment has zero dead rows
+    IndexCorpus.compact(spark, Array(idx, "--threshold", "100"))
+
+    for ((n, seg, files) <- cold) {
+      assert(Artifacts.segmentsOf(spark, idx, n).contains(seg),
+        s"$n cold segment replaced")
+      assert(fileSet(n, seg) == files, s"$n cold files modified")
+    }
+    assert(Artifacts.read(spark, idx, "assignments")
+      .filter(col("id") >= 250 && pmod(col("id"), lit(3)) === 0)
+      .count() == 0, "dirty segment kept dead rows")
+    assert(searchIds() == before, "incremental compact changed answers")
+  }
+
+  test("batch search: per-probe results identical to the single-probe " +
+    "path across pq, sq8, and residual tiers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_batch").toString
+    Seq(0L, 1L, 7L, 12L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+    def check(idx: String, tier: String): Unit = {
+      val got = IndexCorpus.searchBatch(spark, Array(idx, emb,
+        s"$tmp/probes.parquet", "--k", "5", "--nprobe", "2",
+        "--tier", tier))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val want = Seq(0L, 1L, 7L, 12L).flatMap { pid =>
+        IndexCorpus.search(spark, Array(idx, emb, pid.toString,
+          "--k", "5", "--nprobe", "2", "--tier", tier))
+          .collect().zipWithIndex.map { case (r, i) =>
+            (pid, i + 1L, r.getLong(0), r.getLong(1))
+          }
+      }
+      assert(got == want, s"tier=$tier got=$got want=$want")
+    }
+    val idxS = s"$tmp/idxS"
+    IndexCorpus.build(spark, Array(emb, idxS, "--sq8", "true"))
+    check(idxS, "pq")
+    check(idxS, "sq8")
+    val idxR = s"$tmp/idxR"
+    IndexCorpus.build(spark, Array(emb, idxR, "--residual", "true"))
+    check(idxR, "pq")
+  }
+
+  test("graph tier: beam traversal re-derivable from the persisted " +
+    "graph + float source; honors retraction; deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_graph").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+      "--planes", "12", "--bands", "2"))
+    def searchGraph(): Seq[(Long, Long)] =
+      IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+        "--nprobe", "1", "--tier", "graph", "--beam", "6", "--hops", "2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = searchGraph()
+    assert(got == searchGraph(), "graph tier nondeterministic")
+
+    // full driver-math replication of the traversal from the
+    // persisted artifacts + float source
+    val vecs = spark.read.parquet(emb)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosTo(id: Long): Long = {
+      val a = vecs(7L); val b = vecs(id)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (c * 1000000).toLongExact
+    }
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val micros = spark.read.parquet(emb)
+      .filter(col("vec_id") === 7 && size(col("embedding")) === 64)
+      .select(graft.ops.SemDedup.microsVec(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    def l2c(c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < 64) { val x = micros(i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probed = cents.toSeq.map { case (j, c) => (l2c(c), j) }
+      .sorted.take(1).map(_._2).toSet
+    val assign = Artifacts.read(spark, idx, "assignments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Artifacts.read(spark, idx, "knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSeq }
+    val visited = scala.collection.mutable.Map.empty[Long, Long]
+    assign.collect { case (id, cell) if probed(cell) && id != 7L => id }
+      .toSeq.map(id => (id, cosTo(id)))
+      .sortBy { case (id, c) => (-c, id) }.take(6)
+      .foreach { case (id, c) => visited(id) = c }
+    var continue = true
+    var hop = 0
+    while (hop < 2 && continue) {
+      val beamIds = visited.toSeq
+        .sortBy { case (id, c) => (-c, id) }.take(6).map(_._1)
+      val nbrs = beamIds.flatMap(b => edges.getOrElse(b, Seq.empty))
+        .distinct.filter(nb => nb != 7L && !visited.contains(nb))
+      if (nbrs.isEmpty) continue = false
+      else {
+        nbrs.foreach(nb => visited(nb) = cosTo(nb))
+        hop += 1
+      }
+    }
+    val want = visited.toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got == want, s"got=$got want=$want")
+
+    // traversal hops past the seed cell: at least one result must sit
+    // OUTSIDE the probed cell (that is the point of the graph tier)
+    assert(got.exists { case (id, _) => !probed(assign(id)) },
+      "graph traversal never left the seed cell")
+
+    // retraction: delete the top hit; it must vanish from the beam
+    Seq(got.head._1).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    val after = searchGraph()
+    assert(!after.exists(_._1 == got.head._1), "tombstoned id surfaced")
   }
 }

@@ -38,7 +38,7 @@ class LexIndexSpec extends AnyFunSuite {
     // cherry{1,2} durian{2,3} elderberry/fig/grape{3}
     assert(res("postings") == 10L)
     assert(res("doclens") == 4L)
-    assert(res("stats") == 4L)
+    assert(res("stats") == 5L)
 
     // "apple banana": doc0 = 1157 + 2315 = 3472, doc1 = 1466
     // (CurationOpsSpec's bm25TopK pin, served from the files)
@@ -178,19 +178,19 @@ class LexIndexSpec extends AnyFunSuite {
     val before = Seq("apple banana", "durian fig", "apple")
       .map(q => q -> searchPairs(s"$idx/lex", q))
 
-    def fragments(name: String): Int =
-      new java.io.File(s"$idx/lex/$name").listFiles()
-        .count(f => f.getName.startsWith("part-"))
-    assert(fragments("postings") > 1, "update should have appended a fragment")
+    def segsOf(name: String): Seq[String] =
+      Artifacts.segmentsOf(spark, s"$idx/lex", name)
+    assert(segsOf("postings").size > 1,
+      "update should have appended a segment")
     // dead postings present pre-compact (docs 1 and 2 still on disk)
     assert(spark.read.parquet(s"$idx/lex/postings")
       .filter(col("id").isin(1L, 2L)).count() > 0)
 
     LexIndex.compact(spark, Array(s"$idx/lex"))
 
-    // physical: one fragment per artifact, zero dead rows
+    // physical: one segment per artifact, zero dead rows
     for (n <- Seq("postings", "doclens", "docids"))
-      assert(fragments(n) == 1, s"$n fragments")
+      assert(segsOf(n).size == 1, s"$n segments")
     assert(spark.read.parquet(s"$idx/lex/postings")
       .filter(col("id").isin(1L, 2L)).count() == 0)
     assert(spark.read.parquet(s"$idx/lex/doclens")
@@ -222,7 +222,7 @@ class LexIndexSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$seed/seed.parquet")
     val res0 = LexIndex.build(spark,
       Array(s"$seed/seed.parquet", s"$idx/lex", "--gram", "1")).toMap
-    assert(res0("postings") == 0L && res0("stats") == 4L)
+    assert(res0("postings") == 0L && res0("stats") == 5L)
 
     // batch 1: docs {0, 1} — the index must be exact for what arrived
     val b1 = spark.read.parquet(in).filter(col("doc_id") < 2)
@@ -244,6 +244,140 @@ class LexIndexSpec extends AnyFunSuite {
     for (q <- Seq("apple banana", "cherry durian", "durian fig"))
       assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$full/lex", q),
         s"query '$q'")
+  }
+
+  test("compact crash-safety: a compact that fails before the manifest " +
+    "flip leaves the prior index serving byte-identically, and a later " +
+    "compact succeeds (stale staging vacuumed)") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_crash").toString
+    LexIndex.build(spark, Array(in, s"$idx/lex", "--gram", "1"))
+    val ids = Files.createTempDirectory("lexidx_crash_ids").toString
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ids/del.parquet")
+    LexIndex.delete(spark, Array(s"$idx/lex", s"$ids/del.parquet"))
+    val before = Seq("apple banana", "cherry durian", "apple")
+      .map(q => q -> searchPairs(s"$idx/lex", q))
+    val statsBefore = spark.read.parquet(s"$idx/lex/stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the failpoint: every rewrite segment lands on disk, then the
+    // command dies BEFORE the manifest commit
+    intercept[RuntimeException] {
+      LexIndex.compactImpl(spark, Array(s"$idx/lex"),
+        crashBeforeCommit = true)
+    }
+    spark.catalog.refreshByPath(s"$idx/lex")
+    // manifest readers (the serve path) still see the pre-compact
+    // state, answers and stats byte-identical
+    for ((q, want) <- before)
+      assert(searchPairs(s"$idx/lex", q) == want, s"query '$q' after crash")
+    assert(Artifacts.read(spark, s"$idx/lex", "stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == statsBefore)
+
+    // a subsequent compact completes and vacuums the crash's orphans:
+    // each artifact ends at exactly one manifest-listed segment and
+    // no unreferenced seg dirs remain on disk
+    LexIndex.compact(spark, Array(s"$idx/lex"))
+    for (n <- Seq("postings", "doclens", "docids", "tombstones")) {
+      val segs = Artifacts.segmentsOf(spark, s"$idx/lex", n)
+      assert(segs.size == 1, s"$n segments")
+      val onDisk = new java.io.File(s"$idx/lex/$n").listFiles()
+        .map(_.getName).filter(d => d.startsWith("seg=") ||
+          d.startsWith(".seg-")).toSet
+      assert(onDisk == segs.toSet, s"$n orphans: $onDisk vs $segs")
+    }
+    for ((q, want) <- before)
+      assert(searchPairs(s"$idx/lex", q) == want, s"query '$q' post-compact")
+  }
+
+  test("incremental compact (--threshold): only tombstone-dense " +
+    "segments rewrite; cold segments' files are untouched; answers " +
+    "unchanged") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_inc_cmp").toString
+    // segment 0: docs {0,1} (build); segment 1: docs {2,3} (update)
+    val sub = Files.createTempDirectory("lexidx_inc_sub").toString
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.mode("overwrite").parquet(s"$sub/part.parquet")
+    LexIndex.build(spark, Array(s"$sub/part.parquet", s"$idx/lex",
+      "--gram", "1"))
+    LexIndex.update(spark, Array(s"$idx/lex", in))
+    // delete doc 3 — ONLY the update segment is dirty
+    val ids = Files.createTempDirectory("lexidx_inc_ids").toString
+    Seq(3L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$ids/del.parquet")
+    LexIndex.delete(spark, Array(s"$idx/lex", s"$ids/del.parquet"))
+    val before = Seq("apple banana", "cherry durian", "durian fig")
+      .map(q => q -> searchPairs(s"$idx/lex", q))
+
+    def fileSet(name: String, seg: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$idx/lex/$name/$seg"))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath + "@" + f.lastModified()).toSet
+    }
+    val coldSegs = Seq("postings", "doclens").map { n =>
+      // the build segment holds docs {0,1} — no tombstone hits
+      val seg = Artifacts.segmentsOf(spark, s"$idx/lex", n).head
+      (n, seg, fileSet(n, seg))
+    }
+
+    // 250 permille: the dirty update segment (1 of 2 docs dead in
+    // doclens, 4 of 6 posting rows dead) crosses; the cold build
+    // segment (0 dead) does not
+    LexIndex.compact(spark, Array(s"$idx/lex", "--threshold", "250"))
+
+    for ((n, seg, files) <- coldSegs) {
+      assert(Artifacts.segmentsOf(spark, s"$idx/lex", n).contains(seg),
+        s"$n cold segment replaced")
+      assert(fileSet(n, seg) == files, s"$n cold files modified")
+    }
+    // the dirty segments rewrote: doc 3's rows are physically gone
+    assert(spark.read.parquet(s"$idx/lex/postings")
+      .filter(col("id") === 3L).count() == 0)
+    assert(spark.read.parquet(s"$idx/lex/doclens")
+      .filter(col("id") === 3L).count() == 0)
+    // answers unchanged; the retraction set survives for the cold rows
+    for ((q, want) <- before)
+      assert(searchPairs(s"$idx/lex", q) == want, s"query '$q'")
+    assert(spark.read.parquet(s"$idx/lex/tombstones").count() == 1L)
+  }
+
+  test("batch search: one pass scores every query with semantics " +
+    "identical to the single-query path") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_batch").toString
+    LexIndex.build(spark, Array(in, s"$idx/lex", "--gram", "1"))
+    val qs = Files.createTempDirectory("lexidx_batch_q").toString
+    val queries = Seq(
+      (0L, "apple banana"), (1L, "apple"), (2L, "cherry durian"),
+      (3L, "kumquat"), (4L, "durian elderberry fig"))
+    queries.toDF("query_id", "text")
+      .write.mode("overwrite").parquet(s"$qs/q.parquet")
+    val got = LexIndex.searchBatch(spark,
+      Array(s"$idx/lex", s"$qs/q.parquet", "--k", "3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = queries.flatMap { case (qid, text) =>
+      LexIndex.search(spark, Array(s"$idx/lex", text, "--k", "3"))
+        .collect().zipWithIndex.map { case (r, i) =>
+          (qid, i + 1L, r.getLong(0), r.getLong(1))
+        }
+    }
+    assert(got == want, s"got=$got want=$want")
+    // the single-term inline cap path (terms forced through the
+    // broadcast-join form) must score identically
+    val got2 = LexIndex.searchBatch(spark,
+      Array(s"$idx/lex", s"$qs/q.parquet", "--k", "3",
+        "--max-inline-terms", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got2 == got)
   }
 
   test("delete then update: stats stay consistent (toktot excludes the " +
