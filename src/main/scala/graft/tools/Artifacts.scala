@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   idx/_manifest/m-000000000007.tsv   // name \t seg=<n> lines
   *   idx/postings/seg=3/tb=0..B-1/part-*.parquet
-  *   idx/pq_codes/seg=5/cell=0..K-1/part-*.parquet
+  *   idx/pq_codes/seg=5/cb=0..63/part-*.parquet   // cb = pmod(cell, 64)
   *   idx/doclens/seg=4/part-*.parquet
   * }}}
   *
@@ -30,15 +30,18 @@ import org.apache.spark.sql.functions._
   *     segments (an ingest's postings+doclens+docids+stats, a
   *     compact's full rewrite) become visible in ONE flip — a crash
   *     anywhere before the rename leaves the previous index state
-  *     serving byte-identically (ArtifactsSpec / the compact crash
-  *     tests), and an ingest can no longer be observed half-applied
+  *     serving byte-identically (the failpoint-driven crash tests in
+  *     LexIndexSpec / IndexCorpusSpec), and an ingest can no longer
+  *     be observed half-applied
   *     (the round-12 advisory on the docids-append crash window).
-  *   - Segments are PARTITIONED by a pruning key where one exists
-  *     (postings by a term-hash bucket, vector membership by `cell`),
-  *     so the serve path's literal `t IN`/`cell IN` predicates prune
-  *     whole DIRECTORIES (PartitionFilters) instead of just row
-  *     groups, and writes parallelize across the cluster
-  *     (`repartition(key)` — no single-task funnel).
+  *   - Segments are PARTITIONED by a BOUNDED bucket of their pruning
+  *     key (postings by a term-hash bucket, vector membership by a
+  *     cell bucket — see [[Bucket]] for why never the raw key), with
+  *     rows sorted by the fine key within write tasks: the serve
+  *     path's literal predicates prune whole DIRECTORIES
+  *     (PartitionFilters on the bucket) and then row groups (min/max
+  *     on the sorted key), and writes parallelize across the cluster
+  *     (`repartition(bucket)` — no single-task funnel).
   *   - [[vacuum]] deletes segment dirs no manifest of the retained
   *     window references. Single-writer discipline (the CLI contract;
   *     Scratch.scala documents the same for caches): readers in this
@@ -132,13 +135,26 @@ object Artifacts {
 
   private def normalize(df: DataFrame): DataFrame = {
     val noSeg = if (df.columns.contains("seg")) df.drop("seg") else df
-    Seq("cell", "tb", "gb").foldLeft(noSeg) { (d, c) =>
+    Seq("cell", "tb", "gb", "cb").foldLeft(noSeg) { (d, c) =>
       if (d.columns.contains(c) &&
         d.schema(c).dataType != org.apache.spark.sql.types.LongType)
         d.withColumn(c, col(c).cast("long"))
       else d
     }
   }
+
+  /** A segment's physical layout: partition by `expr` (written as
+    * column `name` — a BOUNDED bucket, never a raw high-cardinality
+    * key: one directory per distinct value), rows sorted by `sortBy`
+    * within write tasks so the fine-grained key's row-group min/max
+    * stats prune within each bucket directory. The round-13
+    * ServeProbe decade measured why the bound matters: partitioning
+    * vector artifacts by raw `cell` put 1024 directories under every
+    * segment at a scaled router and tripled serve latency on listing
+    * alone — the bucket keeps directory count constant while the
+    * sorted data column keeps the selective predicate effective.
+    */
+  case class Bucket(name: String, expr: Column, sortBy: Seq[String] = Nil)
 
   private def nextSegNo(spark: SparkSession, idx: String, name: String): Long = {
     val dir = new Path(s"$idx/$name")
@@ -173,15 +189,19 @@ object Artifacts {
     * `key=0` dir when bucketed so partition discovery stays uniform).
     */
   def writeSegment(spark: SparkSession, idx: String, name: String,
-      df: DataFrame, bucket: Option[(String, Column)] = None): String = {
+      df: DataFrame, bucket: Option[Bucket] = None): String = {
     val n = nextSegNo(spark, idx, name)
     val staged = s"$idx/$name/.seg-$n"
     val f = fs(spark, idx)
     bucket match {
-      case Some((bname, bexpr)) =>
+      case Some(Bucket(bname, bexpr, sortBy)) =>
         val withB = df.withColumn(bname, bexpr.cast("long"))
-        withB.repartition(col(bname))
-          .write.mode("overwrite").partitionBy(bname).parquet(staged)
+        val arranged0 = withB.repartition(col(bname))
+        val arranged =
+          if (sortBy.isEmpty) arranged0
+          else arranged0.sortWithinPartitions(
+            (bname +: sortBy).map(col): _*)
+        arranged.write.mode("overwrite").partitionBy(bname).parquet(staged)
         if (listPartFiles(f, new Path(staged)).isEmpty) {
           // empty input: partitionBy wrote no dirs — materialize the
           // schema (sans bucket key) under a synthetic key=0 dir so
@@ -289,7 +309,7 @@ object Artifacts {
     */
   def withAppended(spark: SparkSession, idx: String,
       pend: Map[String, Seq[String]], name: String, df: DataFrame,
-      bucket: Option[(String, Column)] = None): Map[String, Seq[String]] = {
+      bucket: Option[Bucket] = None): Map[String, Seq[String]] = {
     val seg = writeSegment(spark, idx, name, df, bucket)
     val cur = pend.getOrElse(name, segmentsOf(spark, idx, name))
     pend + (name -> (cur :+ seg))
@@ -300,7 +320,7 @@ object Artifacts {
     */
   def withReplaced(spark: SparkSession, idx: String,
       pend: Map[String, Seq[String]], name: String, df: DataFrame,
-      bucket: Option[(String, Column)] = None): Map[String, Seq[String]] =
+      bucket: Option[Bucket] = None): Map[String, Seq[String]] =
     pend + (name -> Seq(writeSegment(spark, idx, name, df, bucket)))
 
   /** Current manifest overridden by a command's pending entries — the
@@ -323,7 +343,7 @@ object Artifacts {
     */
   def compactSegments(spark: SparkSession, idx: String, name: String,
       tomb: Option[DataFrame], thresholdPm: Option[Long], filtered: Boolean,
-      bucket: Option[(String, Column)]): Option[Seq[String]] = {
+      bucket: Option[Bucket]): Option[Seq[String]] = {
     if (!exists(spark, idx, name)) return None
     thresholdPm match {
       case None =>

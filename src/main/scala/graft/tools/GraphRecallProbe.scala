@@ -1,0 +1,68 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+
+/** Measure the GRAPH serving tier's recall@10 against the `--tier
+  * exact` ground truth (q279's contract: exact == brute force by
+  * construction), per probe, across beam/hops/nprobe settings — the
+  * ladder row RECALL.md's round-13 section records. Uses the same
+  * graph parameters as q284 (deg 3, 12 planes x 2 bands) over the
+  * sf0.01 embeddings.
+  *
+  * Output: one `[graphrecall] {json}` line per (config, summary).
+  *
+  * Usage: sbt "runMain graft.tools.GraphRecallProbe"
+  */
+object GraphRecallProbe {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder.master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+    val emb = s"$base/embeddings.parquet"
+    val tmp = Files.createTempDirectory("graphrecall").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+      "--planes", "12", "--bands", "2"))
+    val probes = (0L until 20L).toSeq
+
+    def ids(args: Array[String]): Set[Long] =
+      IndexCorpus.search(spark, args).collect().map(_.getLong(0)).toSet
+    val exact = probes.map { p =>
+      p -> ids(Array(idx, emb, p.toString, "--k", "10", "--nprobe", "2",
+        "--tier", "exact"))
+    }.toMap
+
+    for ((beam, hops, nprobe) <- Seq((10, 0, 1), (10, 2, 1), (16, 3, 1),
+      (32, 3, 1), (16, 3, 2))) {
+      val hits = probes.map { p =>
+        val got = ids(Array(idx, emb, p.toString, "--k", "10",
+          "--nprobe", nprobe.toString, "--tier", "graph",
+          "--beam", beam.toString, "--hops", hops.toString))
+        (got intersect exact(p)).size
+      }
+      graft.Scratch.release()
+      println(s"""[graphrecall] {"beam":$beam,"hops":$hops,""" +
+        s""""nprobe":$nprobe,"mean_recall_at_10":${hits.sum / 20.0},""" +
+        s""""min":${hits.min},"max":${hits.max}}""")
+    }
+    // context row: the IVF-cell-only baseline (what the seeds alone
+    // see — the graph's value is everything above this)
+    val cellOnly = probes.map { p =>
+      val got = ids(Array(idx, emb, p.toString, "--k", "10",
+        "--nprobe", "1", "--tier", "graph", "--beam", "10", "--hops", "0"))
+      (got intersect exact(p)).size
+    }
+    println(s"""[graphrecall] {"baseline":"nprobe1-seeds-only",""" +
+      s""""mean_recall_at_10":${cellOnly.sum / 20.0}}""")
+    spark.stop()
+  }
+}

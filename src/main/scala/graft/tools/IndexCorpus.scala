@@ -20,11 +20,13 @@ import graft.ops.SemDedup
   * Storage goes through [[Artifacts]] (round 13): artifacts are
   * manifest-listed SEGMENTS, and the corpus-sized membership
   * artifacts (`assignments`, `pq_codes`, `sq8_codes`) are PARTITIONED
-  * by `cell` — so build/update/compact writes parallelize across
-  * `repartition(cell)` tasks (the round-12 `weak` was one
+  * by a BOUNDED cell bucket `cb = pmod(cell, 64)` with `cell` a
+  * sorted data column — so build/update/compact writes parallelize
+  * across `repartition(cb)` tasks (the round-12 `weak` was one
   * `coalesce(1)` task writing the whole index), the serve path's
-  * probed-cell restriction prunes whole cell DIRECTORIES
-  * (PartitionFilters) before row-group stats are consulted, and every
+  * probed-cell restriction prunes whole bucket DIRECTORIES
+  * (PartitionFilters on cb) then row groups (min/max on the sorted
+  * cell column), and every
   * command publishes in ONE atomic manifest flip — compact never
   * overwrites the files it reads, so a crash mid-compact leaves the
   * prior index serving byte-identically (IndexCorpusSpec's crash
@@ -122,16 +124,52 @@ object IndexCorpus {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
-  /** The membership artifacts' pruning key IS the IVF cell. */
-  private val cellBucket: Option[(String, Column)] = Some("cell" -> col("cell"))
+  /** The membership artifacts' partition key is a BOUNDED bucket of
+    * the IVF cell — `cb = pmod(cell, 64)` — with `cell` kept as a
+    * sorted DATA column. The first round-13 decade partitioned by raw
+    * `cell` and measured the failure mode directly: a scaled router
+    * (ivf_k = 1024 at x128) put 1024 directories under every segment
+    * and serve latency tripled on listing alone, compact quadrupled.
+    * The bucket caps directory count at any router size; the probed
+    * cells still prune as `cb IN` PartitionFilters (whole
+    * directories) followed by `cell IN` row-group min/max pruning on
+    * the sorted column.
+    */
+  private val cellBuckets = 64L
+  private def cellBucket(buckets: Long = cellBuckets)
+      : Option[Artifacts.Bucket] =
+    Some(Artifacts.Bucket("cb", pmod(col("cell"), lit(buckets)),
+      Seq("cell")))
+
+  /** Restrict a cell-keyed frame to the probed cells: the bucket
+    * column prunes directories (PartitionFilters), the cell column
+    * prunes row groups within them. Legacy frames lacking either
+    * column just skip that level.
+    */
+  private def restrictCells(df: DataFrame, cells: Seq[Long],
+      buckets: Long): DataFrame = {
+    val withCb =
+      if (df.schema.fieldNames.contains("cb"))
+        df.filter(col("cb").isin(cells
+          .map(c => Long.box(((c % buckets) + buckets) % buckets))
+          .distinct: _*))
+      else df
+    if (withCb.schema.fieldNames.contains("cell"))
+      withCb.filter(col("cell").isin(cells.map(Long.box): _*))
+    else withCb
+  }
+
+  private def cellBucketsOf(spark: SparkSession, idx: String): Long =
+    summaryVal(spark, idx, "cbuckets").getOrElse(cellBuckets)
 
   /** The graph artifact's pruning key: an arithmetic id bucket, so
     * the traversal derives the frontier's buckets with driver math
     * (no hash job per hop).
     */
   private val graphBuckets = 16L
-  private val graphBucket: Option[(String, Column)] =
-    Some("gb" -> pmod(col("id"), lit(graphBuckets)))
+  private val graphBucket: Option[Artifacts.Bucket] =
+    Some(Artifacts.Bucket("gb", pmod(col("id"), lit(graphBuckets)),
+      Seq("id")))
 
   /** Summary lookup BY NAME (key filter + named value column — the
     * round-12 advisory was a positional `getLong(1)` silently bound
@@ -231,8 +269,9 @@ object IndexCorpus {
           .select(col("id")).distinct()))
       else None
     var pend = Map.empty[String, Seq[String]]
-    Seq(("assignments", cellBucket), ("pq_codes", cellBucket),
-      ("sq8_codes", cellBucket), ("knn_graph", graphBucket))
+    val cb = cellBucket(cellBucketsOf(spark, idx))
+    Seq(("assignments", cb), ("pq_codes", cb),
+      ("sq8_codes", cb), ("knn_graph", graphBucket))
       .foreach { case (name, bucket) =>
         Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
           filtered = true, bucket)
@@ -295,7 +334,7 @@ object IndexCorpus {
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
     def write(name: String, df: DataFrame,
-        bucket: Option[(String, Column)] = None): Unit = {
+        bucket: Option[Artifacts.Bucket] = None): Unit = {
       pend = Artifacts.withReplaced(spark, out, pend, name, df, bucket)
       written += (name ->
         Artifacts.readSegs(spark, out, name, pend(name)).count())
@@ -312,7 +351,7 @@ object IndexCorpus {
     val asgnAll = graft.Scratch.cache(SemDedup.assignDist(base, cells))
     val cellOf = asgnAll
       .select(col("id"), col("cluster").cast("long").as("cell"))
-    write("assignments", cellOf, cellBucket)
+    write("assignments", cellOf, cellBucket())
     write("ivf_radii", asgnAll
       .groupBy(col("cluster").cast("long").as("cell"))
       .agg(max(col("d")).as("r2")))
@@ -356,7 +395,8 @@ object IndexCorpus {
           col("cluster").cast("long").as("code"))
     }.reduce(_ unionByName _)
       .join(cellOf, Seq("id"))
-      .select(col("id"), col("s"), col("code"), col("cell")), cellBucket)
+      .select(col("id"), col("s"), col("code"), col("cell")),
+      cellBucket())
 
     // optional SQ8 tier: per-dim range table + per-vector code arrays
     val sq8 = flags.getOrElse("sq8", "false").toBoolean
@@ -376,14 +416,14 @@ object IndexCorpus {
         graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
           .as("codes"))
         .join(cellOf, Seq("id"))
-        .select(col("id"), col("codes"), col("cell")), cellBucket)
+        .select(col("id"), col("codes"), col("cell")), cellBucket())
     }
 
     val res = written.result()
     write("summary",
       (Seq(("dims", dims), ("ivf_k", ivfK), ("pq_m", pqM), ("pq_k", pqK),
         ("iters", iters), ("residual", if (residual) 1 else 0),
-        ("sq8", if (sq8) 1 else 0))
+        ("sq8", if (sq8) 1 else 0), ("cbuckets", cellBuckets.toInt))
         .map { case (k, v) => (k, v.toLong) } ++ res)
         .toDF("key", "value"))
     Artifacts.commit(spark, out, pend)
@@ -475,8 +515,9 @@ object IndexCorpus {
       .select(col("id"), col("cluster").cast("long").as("cell"),
         col("d")))
     val asgn = asgnD.select(col("id"), col("cell"))
+    val cbIngest = cellBucket(cellBucketsOf(spark, idx))
     var pend = Artifacts.withAppended(spark, idx, Map(), "assignments",
-      asgn, cellBucket)
+      asgn, cbIngest)
     // an ingested vector may sit FARTHER from its cell centroid than
     // any built one — append the per-cell max so the exact tier's
     // pruning bound stays an overestimate (search maxes per cell at
@@ -504,7 +545,7 @@ object IndexCorpus {
       .join(asgn, Seq("id"))
       .select(col("id"), col("s"), col("code"), col("cell"))
     pend = Artifacts.withAppended(spark, idx, pend, "pq_codes",
-      newCodes, cellBucket)
+      newCodes, cbIngest)
     // the SQ8 tier ingests too (frozen per-dim ranges, like the
     // frozen codebooks) — without this append an updated vector
     // would be silently unsearchable under `--tier sq8`
@@ -515,7 +556,7 @@ object IndexCorpus {
           graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
             .as("codes"))
           .join(asgn, Seq("id"))
-          .select(col("id"), col("codes"), col("cell")), cellBucket)
+          .select(col("id"), col("codes"), col("cell")), cbIngest)
     }
     val n = asgn.count()
     Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
@@ -616,6 +657,7 @@ object IndexCorpus {
     val cents = centroidArrays(spark, idx).zipWithIndex
       .map { case (c, j) => j.toLong -> c }.toMap
     val dims = cents.head._2.length
+    val cbN = cellBucketsOf(spark, idx)
 
     val pv = spark.read.parquet(in)
       .filter(col(idCol).cast("long") === probeId && size(col(vecCol)) === dims)
@@ -656,8 +698,8 @@ object IndexCorpus {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val dc = cents.toSeq.map { case (j, c) => j -> l2(pv, 0, c) }
       def score(cellIds: Seq[Long]): DataFrame = {
-        val m0 = Artifacts.read(spark, idx, "assignments")
-          .filter(col("cell").isin(cellIds: _*))
+        val m0 = restrictCells(
+          Artifacts.read(spark, idx, "assignments"), cellIds, cbN)
           .filter(col("id") =!= probeId)
         val m =
           if (Artifacts.exists(spark, idx, "tombstones"))
@@ -745,8 +787,8 @@ object IndexCorpus {
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       }
       // seeds: the probed cells' members, scored exactly, top-beam
-      val seedMembers0 = Artifacts.read(spark, idx, "assignments")
-        .filter(col("cell").isin(probedCells: _*))
+      val seedMembers0 = restrictCells(
+        Artifacts.read(spark, idx, "assignments"), probedCells, cbN)
         .filter(col("id") =!= probeId)
         .select(col("id"))
       val visited = scala.collection.mutable.Map.empty[Long, Long]
@@ -781,8 +823,8 @@ object IndexCorpus {
         .toDF("id", "cos_x1e6")
     }
 
-    val membersAll = Artifacts.read(spark, idx, "assignments")
-      .filter(col("cell").isin(probedCells: _*))
+    val membersAll = restrictCells(
+      Artifacts.read(spark, idx, "assignments"), probedCells, cbN)
       .filter(col("id") =!= probeId)
     // retraction: tombstoned ids must not surface — the anti-join
     // runs on the CELL-RESTRICTED candidates, never the whole index
@@ -802,9 +844,7 @@ object IndexCorpus {
     // still applies the stratum filter and the tombstone retraction;
     // legacy cell-less artifacts just skip the scan-level restriction.
     def cellRestrict(df: DataFrame): DataFrame =
-      if (df.schema.fieldNames.contains("cell"))
-        df.filter(col("cell").isin(probedCells: _*)).drop("cell")
-      else df
+      restrictCells(df, probedCells, cbN).drop("cell", "cb")
     val books = codebookArrays(spark, idx).zipWithIndex.flatMap {
       case (bk, s) => bk.zipWithIndex.map { case (c, j) =>
         (s.toLong, j.toLong) -> c
@@ -913,6 +953,7 @@ object IndexCorpus {
 
     val cents = centroidArrays(spark, idx)
     val dims = cents(0).length
+    val cbN = cellBucketsOf(spark, idx)
     val centsDf = cents.zipWithIndex
       .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
 
@@ -943,8 +984,9 @@ object IndexCorpus {
     val probedCells = routed.select(col("cell")).distinct()
       .collect().map(r => Long.box(r.getLong(0))).toSeq
 
-    val membersAll = Artifacts.read(spark, idx, "assignments")
-      .filter(col("cell").isin(probedCells: _*))
+    val membersAll = restrictCells(
+      Artifacts.read(spark, idx, "assignments"),
+      probedCells.map(Long.unbox), cbN)
     val members0 =
       if (Artifacts.exists(spark, idx, "tombstones"))
         membersAll.join(
@@ -961,7 +1003,8 @@ object IndexCorpus {
         require(summaryFlag(spark, idx, "sq8"),
           s"$idx was built without --sq8 true")
         val (lo, wd) = rangeArrays(spark, idx, dims)
-        cellRestrictB(Artifacts.read(spark, idx, "sq8_codes"), probedCells)
+        restrictCells(Artifacts.read(spark, idx, "sq8_codes"),
+          probedCells.map(Long.unbox), cbN).drop("cell", "cb")
           .join(cand.select(col("pid"), col("id")), Seq("id"))
           .join(broadcast(probes), Seq("pid"))
           .select(col("pid"), col("id"),
@@ -988,7 +1031,8 @@ object IndexCorpus {
               graft.ops.VectorExpressions.sqDist(
                 slice(col("pmv"), col("s").cast("int") * sub + 1, lit(sub)),
                 col("bv").cast("array<long>")).as("d"))
-          cellRestrictB(Artifacts.read(spark, idx, "pq_codes"), probedCells)
+          restrictCells(Artifacts.read(spark, idx, "pq_codes"),
+            probedCells.map(Long.unbox), cbN).drop("cell", "cb")
             .join(cand.select(col("pid"), col("id")), Seq("id"))
             .join(broadcast(table), Seq("pid", "s", "code"))
             .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
@@ -1005,8 +1049,8 @@ object IndexCorpus {
               graft.ops.VectorExpressions.sqDist(
                 slice(col("rmv"), col("s").cast("int") * sub + 1, lit(sub)),
                 col("bv").cast("array<long>")).as("d"))
-          Artifacts.read(spark, idx, "pq_codes")
-            .filter(col("cell").isin(probedCells: _*))
+          restrictCells(Artifacts.read(spark, idx, "pq_codes"),
+            probedCells.map(Long.unbox), cbN).drop("cb")
             .join(cand.select(col("pid"), col("id")), Seq("id"))
             .join(broadcast(table), Seq("pid", "cell", "s", "code"))
             .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
@@ -1020,9 +1064,4 @@ object IndexCorpus {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  private def cellRestrictB(df: DataFrame,
-      probedCells: Seq[java.lang.Long]): DataFrame =
-    if (df.schema.fieldNames.contains("cell"))
-      df.filter(col("cell").isin(probedCells: _*)).drop("cell")
-    else df
 }

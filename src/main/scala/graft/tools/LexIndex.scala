@@ -135,7 +135,7 @@ object LexIndex {
     * partition predicate).
     */
   private def termBucket(buckets: Long) =
-    "tb" -> pmod(hash(col("t")), lit(buckets))
+    Artifacts.Bucket("tb", pmod(hash(col("t")), lit(buckets)), Seq("t"))
 
   /** Build the postings/doclens/stats artifacts; returns
     * (artifact, rows) per write.
@@ -159,7 +159,7 @@ object LexIndex {
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
     def write(name: String, df: DataFrame,
-        bucket: Option[(String, org.apache.spark.sql.Column)] = None): Unit = {
+        bucket: Option[Artifacts.Bucket] = None): Unit = {
       pend += name -> Seq(Artifacts.writeSegment(spark, out, name, df, bucket))
       written += (name -> rd(spark, out, name, pend).count())
     }
@@ -383,8 +383,8 @@ object LexIndex {
     // ([[Artifacts.compactSegments]] — docids never rewrites
     // incrementally: an unfiltered manifest merge buys nothing a
     // delete wave needs back).
-    val plan: Seq[(String, Boolean,
-      Option[(String, org.apache.spark.sql.Column)])] = thresholdPm match {
+    val plan: Seq[(String, Boolean, Option[Artifacts.Bucket])] =
+      thresholdPm match {
       case None => Seq(
         ("postings", true, Some(termBucket(buckets))),
         ("doclens", true, None), ("docids", false, None))

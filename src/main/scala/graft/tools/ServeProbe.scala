@@ -88,6 +88,54 @@ object ServeProbe {
       emit("lex_search", scale, minOf3 {
         LexIndex.search(spark, Array(s"$tmp/lex", q0, "--k", "10")).collect()
       })
+      // DIVERGENCE CONTROL (round 13): the same query scored through
+      // a JOIN-form scan — the terms meet a FULL postings scan as a
+      // broadcast join instead of inlining as literal predicates, so
+      // neither PartitionFilters nor PushedFilters restrict the scan.
+      // The gap between this row and lex_search is what the pushdown
+      // saves, measured; it must GROW with the corpus while
+      // lex_search stays flat.
+      emit("lex_search_fullscan", scale, minOf3 {
+        import spark.implicits._
+        val stats = Artifacts.read(spark, s"$tmp/lex", "stats").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (n, avgdl, gram) = (stats("n"), stats("avgdl"),
+          stats("gram").toInt)
+        val terms = Seq(q0).toDF("text")
+          .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
+            .as("t"))
+        val qPost = Artifacts.read(spark, s"$tmp/lex", "postings")
+          .join(broadcast(terms), Seq("t"))
+        val dfq = broadcast(qPost.groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("idf",
+            (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
+          .filter(col("idf") > 0).select(col("t"), col("idf")))
+        qPost.join(dfq, Seq("t"))
+          .withColumn("term", expr(
+            s"idf * 22000 * tf * $avgdl DIV " +
+              s"(10*tf*$avgdl + 3*$avgdl + 9*dl)"))
+          .groupBy(col("id")).agg(sum(col("term")).as("score"))
+          .orderBy(col("score").desc, col("id")).limit(10).collect()
+      })
+      // BATCH amortization (round 13): 256 queries in ONE
+      // searchBatch pass vs 256 single-probe jobs — the marginal
+      // per-query cost is the row to read (the single-probe path
+      // pays the ~second per-job floor each time)
+      val nBatchQ = 256
+      spark.read.parquet(s"$base/documents.parquet")
+        .crossJoin(reps)
+        .filter(col("doc_id") * scale + col("_r") < nBatchQ)
+        .select((col("doc_id") + col("_r") * lit(1000000L)).as("query_id"),
+          array_join(transform(
+            slice(TextOps.tokens(col("text")), 1, 5),
+            t => concat(t, lit("_"), col("_r"))), " ").as("text"))
+        .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+      val nq = spark.read.parquet(s"$tmp/queries.parquet").count()
+      emit("lex_search_batch", scale, minOf3 {
+        LexIndex.searchBatch(spark, Array(s"$tmp/lex",
+          s"$tmp/queries.parquet", "--k", "10")).collect()
+      }, s""","n_queries":$nq""")
       // retract 1/8 of every replica, then price the read path with
       // live tombstones and again after compaction
       spark.read.parquet(s"$tmp/docs.parquet")
@@ -106,6 +154,32 @@ object ServeProbe {
       emit("lex_search_post_compact", scale, minOf3 {
         LexIndex.search(spark, Array(s"$tmp/lex", q0, "--k", "10")).collect()
       })
+      // INCREMENTAL compact (round 13): ingest a SMALL batch (its
+      // postings land in their own segment), delete half of it, and
+      // compact with a threshold — only the dirty segment rewrites,
+      // so the cost must track the batch size, not the index size
+      // (compare with the full-rewrite lex_compact row above).
+      spark.read.parquet(s"$tmp/docs.parquet")
+        .select((col("doc_id") + lit(500000L)).as("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(64L)) === 0)
+        .write.mode("overwrite").parquet(s"$tmp/extra.parquet")
+      LexIndex.update(spark, Array(s"$tmp/lex", s"$tmp/extra.parquet"))
+      spark.read.parquet(s"$tmp/extra.parquet")
+        .filter(pmod(col("doc_id"), lit(128L)) === 0)
+        .select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$tmp/del2.parquet")
+      LexIndex.delete(spark, Array(s"$tmp/lex", s"$tmp/del2.parquet"))
+      val (_, tIncCmp) = time {
+        LexIndex.compact(spark, Array(s"$tmp/lex", "--threshold", "250"))
+      }
+      emit("lex_compact_incremental", scale, tIncCmp)
+
+      if (sys.env.get("SPARK_GRAFT_SERVE_SKIP").exists(_.contains("vec"))) {
+        graft.Scratch.release()
+        // the scaled-router build is k*n Lloyd work — x512+ lexical
+        // rungs skip the vector half (SPARK_GRAFT_SERVE_SKIP=vec)
+        println(s"[serveprobe] skipping vector probes at x$scale")
+      } else {
 
       // ---------- vector: fixed vs scaled router ----------
       val embN = spark.read.parquet(s"$base/embeddings.parquet").count()
@@ -151,7 +225,18 @@ object ServeProbe {
           s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "2",
           "--tier", "sq8")).collect()
       })
+      // BATCH amortization, vector arm (round 13): 64 probes through
+      // ONE searchBatch routing+scoring pass vs 64 per-probe jobs
+      spark.read.parquet(s"$tmp/emb.parquet")
+        .filter(col("vec_id") < 64).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+      emit("vec_search_batch", scale, minOf3 {
+        IndexCorpus.searchBatch(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", s"$tmp/probes.parquet",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8")).collect()
+      }, s""","n_probes":64""")
       graft.Scratch.release()
+      }
     }
     spark.stop()
   }

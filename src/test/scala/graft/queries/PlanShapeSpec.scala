@@ -121,19 +121,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"postings scan lost the bucket partition filter:\n$scanLine")
   }
 
-  test("sq8 index search: the probed cells reach the code-artifact " +
-    "scan as a PartitionFilter (cell is the partition key — whole " +
-    "cell directories prune, round 13's upgrade of row-group pruning)") {
+  test("sq8 index search: the probed cells prune the code artifacts " +
+    "at BOTH levels — cb PartitionFilter (whole bucket directories) " +
+    "and pushed In(cell) row-group predicate on the sorted column") {
     val p = plan("q262_sq8_index_search")
     // both membership scans carry the literal probed-cell
-    // restriction as a PARTITION predicate — neither the assignments
-    // nor the sq8 code artifact is met by a corpus-linear pass
-    val cellPartLines = p.linesIterator
-      .filter(l => l.contains("PartitionFilters") && l.contains("cell#"))
+    // restriction as a bucket PARTITION predicate plus a pushed data
+    // predicate — neither the assignments nor the sq8 code artifact
+    // is met by a corpus-linear pass
+    val cbPartLines = p.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("cb#"))
       .toSeq
-    assert(cellPartLines.nonEmpty,
-      s"code scan lost the probed-cell partition filter:\n" +
+    assert(cbPartLines.nonEmpty,
+      s"code scan lost the cell-bucket partition filter:\n" +
         p.linesIterator.filter(_.contains("sq8_codes")).mkString("\n"))
+    assert(p.contains("In(cell, ") || p.contains("In(cell,"),
+      "code scan lost the pushed In(cell) row-group predicate")
+    graft.Scratch.release()
+  }
+
+  test("batch lex serving: bucket partition filter on the postings " +
+    "scan; per-query top-k pushes as WindowGroupLimit") {
+    val p = plan("q282_lex_batch_search")
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("tb#")),
+      "batch postings scan lost the bucket partition filter")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must push the group limit below the sort")
+    graft.Scratch.release()
+  }
+
+  test("batch vec serving: cell-bucket partition filter on the code " +
+    "scans; per-probe routing and top-k as WindowGroupLimit; no " +
+    "cartesian product") {
+    val p = plan("q283_index_batch_search")
+    assert(p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("cb#")),
+      "batch code scan lost the cell-bucket partition filter")
+    assert(p.contains("WindowGroupLimit"),
+      "per-probe top-k must push the group limit below the sort")
+    assert(!p.contains("CartesianProduct"))
     graft.Scratch.release()
   }
 

@@ -1,0 +1,145 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+
+/** The segment/manifest storage layer's own contracts, unit-level —
+  * the index CLIs' lifecycle specs cover the composed behavior; this
+  * pins the layer primitives they build on.
+  */
+class ArtifactsSpec extends AnyFunSuite {
+
+  lazy val spark = GraftSession.local(4, "ArtifactsSpec")
+
+  private def freshIdx(): String =
+    Files.createTempDirectory("artifacts_spec").toString + "/idx"
+
+  test("writeSegment + commit: nothing visible before the flip; " +
+    "manifest versions increase; merged overlays pending entries") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // written but uncommitted: manifest readers see nothing
+    assert(Artifacts.currentManifest(spark, idx).isEmpty)
+    assert(!Artifacts.exists(spark, idx, "rows") ||
+      Artifacts.segmentsOf(spark, idx, "rows").isEmpty)
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+    assert(Artifacts.currentManifest(spark, idx).map(_._1).contains(0L))
+    assert(Artifacts.read(spark, idx, "rows").count() == 2L)
+
+    // append via the pending-map helper, single flip
+    val pend = Artifacts.withAppended(spark, idx, Map(), "rows",
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(Artifacts.read(spark, idx, "rows").count() == 2L,
+      "pending append leaked before commit")
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    assert(Artifacts.currentManifest(spark, idx).map(_._1).contains(1L))
+    assert(Artifacts.read(spark, idx, "rows").count() == 3L)
+    assert(Artifacts.segmentsOf(spark, idx, "rows").size == 2)
+  }
+
+  test("bucketed segments: partition column appears, normalizes to " +
+    "long, and an EMPTY frame still yields a readable segment") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val b = Some(Artifacts.Bucket("tb", pmod(col("id"), lit(4)), Seq("id")))
+    val seg = Artifacts.writeSegment(spark, idx, "data",
+      Seq((0L, 10L), (1L, 11L), (5L, 15L)).toDF("id", "x"), b)
+    Artifacts.commit(spark, idx, Map("data" -> Seq(seg)))
+    val df = Artifacts.read(spark, idx, "data")
+    assert(df.schema("tb").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(df.filter(col("tb") === 1L).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+
+    // empty bucketed write: schema-bearing file under a synthetic
+    // key=0 dir (q275's zero-doc bootstrap depends on this shape)
+    val idx2 = freshIdx()
+    val segE = Artifacts.writeSegment(spark, idx2, "data",
+      Seq.empty[(Long, Long)].toDF("id", "x"), b)
+    Artifacts.commit(spark, idx2, Map("data" -> Seq(segE)))
+    val empty = Artifacts.read(spark, idx2, "data")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSet == Set("id", "x", "tb"))
+    // and a later non-empty append unions cleanly with it
+    val segF = Artifacts.writeSegment(spark, idx2, "data",
+      Seq((2L, 22L)).toDF("id", "x"), b)
+    Artifacts.commit(spark, idx2, Map("data" -> Seq(segE, segF)))
+    assert(Artifacts.read(spark, idx2, "data").count() == 1L)
+  }
+
+  test("vacuum: unreferenced segments and stale staging dirs deleted, " +
+    "referenced ones kept") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    val segB = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "b")).toDF("id", "v"))
+    // only segB committed -> segA is an orphan (a crashed command)
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(segB)))
+    Artifacts.vacuum(spark, idx)
+    val onDisk = new java.io.File(s"$idx/rows").listFiles()
+      .map(_.getName).filter(_.startsWith("seg")).toSet
+    assert(onDisk == Set(segB), s"vacuum left $onDisk")
+    assert(Artifacts.read(spark, idx, "rows")
+      .select(col("id")).head().getLong(0) == 2L)
+    // segment numbering continues past the vacuumed orphan
+    val segC = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(segC != segA && segC != segB)
+  }
+
+  test("legacy flat dirs stay readable; mutation is refused") {
+    import spark.implicits._
+    val idx = freshIdx()
+    Seq((7L, "x")).toDF("id", "v")
+      .write.parquet(s"$idx/rows") // round-12-style flat artifact
+    assert(Artifacts.exists(spark, idx, "rows"))
+    assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+    intercept[IllegalArgumentException] {
+      Artifacts.requireManifest(spark, idx)
+    }
+  }
+
+  test("compactSegments: full mode consolidates + filters tombstones; " +
+    "threshold mode rewrites only dense segments and reports None " +
+    "when nothing crosses") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val s1 = Artifacts.writeSegment(spark, idx, "rows",
+      (1L to 10L).map(i => (i, i * 10)).toDF("id", "x"))
+    val s2 = Artifacts.writeSegment(spark, idx, "rows",
+      (11L to 14L).map(i => (i, i * 10)).toDF("id", "x"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(s1, s2)))
+    val tomb = Some(Seq(11L, 12L).toDF("id"))
+
+    // threshold 300 permille: only s2 (2/4 dead) crosses; s1 (0/10)
+    // stays byte-identical
+    val inc = Artifacts.compactSegments(spark, idx, "rows", tomb,
+      Some(300L), filtered = true, None)
+    assert(inc.isDefined)
+    assert(inc.get.head == s1, "cold segment replaced")
+    assert(inc.get.size == 2 && inc.get.last != s2)
+    Artifacts.commit(spark, idx, Map("rows" -> inc.get))
+    assert(Artifacts.read(spark, idx, "rows").count() == 12L)
+
+    // nothing dense any more -> None (no write at all)
+    assert(Artifacts.compactSegments(spark, idx, "rows", tomb,
+      Some(300L), filtered = true, None).isEmpty)
+
+    // full mode: one segment, tombstones gone
+    val fullSegs = Artifacts.compactSegments(spark, idx, "rows", tomb,
+      None, filtered = true, None)
+    Artifacts.commit(spark, idx, Map("rows" -> fullSegs.get))
+    assert(fullSegs.get.size == 1)
+    assert(Artifacts.read(spark, idx, "rows").count() == 12L)
+    assert(Artifacts.read(spark, idx, "rows")
+      .filter(col("id").isin(11L, 12L)).count() == 0L)
+  }
+}
