@@ -1061,6 +1061,92 @@ object CurationQueries {
            | FROM sc2)
            |WHERE rr <= 5 ORDER BY rr""".stripMargin)),
 
+    // BATCHED graph-tier serving: q284's beam walk for THREE probes
+    // as ONE synchronized BSP traversal (searchBatch --tier graph) —
+    // per hop, all probes' beams expand through a single graph join,
+    // all new candidates score in one float-source pass, and the
+    // per-probe prune is one WindowGroupLimit. Per-probe semantics
+    // are identical to the single-probe walk, so the oracle is
+    // q284's closed-form replay generalized by probe: router seeds,
+    // both hops, and the final ranking all PARTITION BY pid.
+    "q286_index_batch_graph_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q286").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some {
+        def hopCtes(i: Int): String = {
+          val prev = if (i == 1) "sc0" else s"sc${i - 1}"
+          s"""bm$i AS (
+             | SELECT pid, id FROM (
+             |  SELECT pid, id, row_number() OVER (
+             |   PARTITION BY pid ORDER BY c DESC, id) AS rr FROM $prev)
+             | WHERE rr <= 6),
+             |nb$i AS (
+             | SELECT DISTINCT b.pid, eg.nbr AS id
+             | FROM eg JOIN bm$i b ON eg.id = b.id),
+             |new$i AS (
+             | SELECT al.pid, al.id, al.c FROM allc al
+             | JOIN nb$i ON nb$i.pid = al.pid AND nb$i.id = al.id
+             | LEFT JOIN $prev s ON s.pid = al.pid AND s.id = al.id
+             | WHERE s.id IS NULL),
+             |sc$i AS MATERIALIZED (
+             | SELECT * FROM $prev UNION ALL SELECT * FROM new$i)"""
+            .stripMargin
+        }
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |prbv AS MATERIALIZED (
+           | SELECT vec_id AS pid, embedding AS pv FROM embeddings
+           | WHERE vec_id < 3 AND len(embedding) = 64),
+           |allc AS MATERIALIZED (
+           | SELECT p.pid, e.vec_id AS id,
+           |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
+           |   6) * 1000000) AS BIGINT) AS c
+           | FROM embeddings e, prbv p
+           | WHERE e.vec_id <> p.pid AND len(e.embedding) = 64),
+           |gpqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi AS i, m FROM exall WHERE id < 3) q
+           | JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |gcell AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS rr FROM gpqd)
+           | WHERE rr <= 1),
+           |sc0 AS MATERIALIZED (
+           | SELECT pid, id, c FROM (
+           |  SELECT al.pid, al.id, al.c, row_number() OVER (
+           |   PARTITION BY al.pid ORDER BY al.c DESC, al.id) AS rr
+           |  FROM aI2 a JOIN gcell g ON g.j = a.j
+           |  JOIN allc al ON al.pid = g.pid AND al.id = a.id)
+           | WHERE rr <= 6),
+           |${hopCtes(1)},
+           |${hopCtes(2)}
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(rr AS BIGINT) AS rnk, CAST(id AS BIGINT) AS id,
+           | c AS cos_x1e6
+           |FROM (SELECT pid, id, c, row_number() OVER (
+           |  PARTITION BY pid ORDER BY c DESC, id) AS rr FROM sc2)
+           |WHERE rr <= 5 ORDER BY 1, 2""".stripMargin
+      }),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

@@ -946,10 +946,14 @@ object IndexCorpus {
     val k = flags.getOrElse("k", "10").toInt
     val nprobe = flags.getOrElse("nprobe", "2").toInt
     val tier = flags.getOrElse("tier", "pq")
-    require(tier == "pq" || tier == "sq8",
-      s"searchBatch supports --tier pq|sq8, got $tier")
+    require(tier == "pq" || tier == "sq8" || tier == "graph",
+      s"searchBatch supports --tier pq|sq8|graph, got $tier")
     GraftSession.tune(spark)
     import spark.implicits._
+
+    if (tier == "graph")
+      return searchBatchGraph(spark, idx, in, probesIn, idCol, vecCol,
+        k, nprobe, flags)
 
     val cents = centroidArrays(spark, idx)
     val dims = cents(0).length
@@ -1064,4 +1068,113 @@ object IndexCorpus {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** BATCHED graph-tier serving: the q284 beam walk for EVERY probe
+    * as ONE synchronized BSP traversal — per hop, all probes' beams
+    * expand through a single graph join, all new candidates score in
+    * a single float-source pass, and the per-probe beam prune is one
+    * WindowGroupLimit. Per-probe semantics are IDENTICAL to the
+    * single-probe `--tier graph` walk (same seeds, same
+    * expand-score-prune rounds, same (cos desc, id) ties; the spec
+    * checks the batch against per-probe replays and q286's oracle
+    * unrolls every hop per probe in closed form).
+    *
+    * Scale trade vs the single-probe path: per-probe literal
+    * pushdowns become per-hop JOINS against the graph and float
+    * artifacts — a scan per hop AMORTIZED over the whole probe frame
+    * (the batch bet everywhere in this file), with per-hop state
+    * bounded at probes x beam rows and lineage cut per hop.
+    */
+  private def searchBatchGraph(spark: SparkSession, idx: String,
+      in: String, probesIn: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, flags: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    val beam = flags.getOrElse("beam", "8").toInt
+    val hops = flags.getOrElse("hops", "2").toInt
+    require(k <= beam, s"--k $k must be <= --beam $beam")
+    require(Artifacts.exists(spark, idx, "knn_graph"),
+      s"$idx has no knn_graph artifact (run `graph` first)")
+    val cents = centroidArrays(spark, idx)
+    val dims = cents(0).length
+    val cbN = cellBucketsOf(spark, idx)
+    val centsDf = cents.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.toSeq) }.toSeq.toDF("cell", "cv")
+
+    val probes = graft.Scratch.cache(spark.read.parquet(in)
+      .filter(size(col(vecCol)) === dims)
+      .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pv"),
+        SemDedup.microsVec(col(vecCol)).as("pmv"))
+      .join(spark.read.parquet(probesIn)
+        .select(col(idCol).cast("long").as("pid")).distinct(),
+        Seq("pid"), "left_semi"))
+    val wRoute = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cd"), col("cell"))
+    val routed = graft.Scratch.cache(probes
+      .join(broadcast(centsDf), lit(true))
+      .select(col("pid"), col("cell"),
+        graft.ops.VectorExpressions.sqDist(col("pmv"),
+          col("cv").cast("array<long>")).as("cd"))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cell")))
+    val probedCells = routed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+    val tombOpt =
+      if (Artifacts.exists(spark, idx, "tombstones"))
+        Some(Artifacts.read(spark, idx, "tombstones").select(col("id")))
+      else None
+    // exact cosine of each (pid, candidate) pair: one float-source
+    // pass for the whole frame; tombstoned and ragged ids drop (the
+    // single-probe contract)
+    def scoreIds(cand: DataFrame): DataFrame = {
+      val live = tombOpt.fold(cand)(ts =>
+        cand.join(ts, Seq("id"), "left_anti"))
+      spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        .join(live, Seq("id"))
+        .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
+        .select(col("pid"), col("id"),
+          round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
+            6) * lit(1000000d)).cast("long").as("c"))
+    }
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("c").desc, col("id"))
+    // seeds: each probe's probed-cell members, scored, top-beam
+    val seedCand = restrictCells(
+      Artifacts.read(spark, idx, "assignments"), probedCells, cbN)
+      .join(routed, Seq("cell"))
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"))
+    var visited = graft.Scratch.localCheckpoint(
+      scoreIds(seedCand)
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam).drop("rn"))
+    val graphDf = Artifacts.read(spark, idx, "knn_graph")
+      .select(col("id"), col("nbr"))
+    var hop = 0
+    var frontierLive = true
+    while (hop < hops && frontierLive) {
+      val beamDf = visited
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= beam)
+        .select(col("pid"), col("id"))
+      val fresh = graphDf.join(broadcast(beamDf), Seq("id"))
+        .select(col("pid"), col("nbr").as("id")).distinct()
+        .filter(col("id") =!= col("pid"))
+        .join(visited.select(col("pid"), col("id")),
+          Seq("pid", "id"), "left_anti")
+      val newScores = scoreIds(fresh)
+      if (newScores.isEmpty) frontierLive = false
+      else {
+        visited = graft.Scratch.localCheckpoint(
+          visited.unionByName(newScores))
+        hop += 1
+      }
+    }
+    visited.withColumn("rnk", row_number().over(wBeam).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("pid").as("probe_id"), col("rnk"), col("id"),
+        col("c").as("cos_x1e6"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
 }

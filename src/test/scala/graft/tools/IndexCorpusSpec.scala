@@ -600,4 +600,43 @@ class IndexCorpusSpec extends AnyFunSuite {
     val after = searchGraph()
     assert(!after.exists(_._1 == got.head._1), "tombstoned id surfaced")
   }
+
+  test("batched graph tier: the BSP walk's per-probe results equal " +
+    "the single-probe beam traversal, including under retraction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_bgraph").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+      "--planes", "12", "--bands", "2"))
+    Seq(0L, 1L, 7L, 12L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+    def check(): Unit = {
+      val got = IndexCorpus.searchBatch(spark, Array(idx, emb,
+        s"$tmp/probes.parquet", "--k", "5", "--nprobe", "1",
+        "--tier", "graph", "--beam", "6", "--hops", "2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val want = Seq(0L, 1L, 7L, 12L).flatMap { pid =>
+        IndexCorpus.search(spark, Array(idx, emb, pid.toString,
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+          .collect().zipWithIndex.map { case (r, i) =>
+            (pid, i + 1L, r.getLong(0), r.getLong(1))
+          }
+      }
+      assert(got == want, s"got=$got want=$want")
+    }
+    check()
+    // delete a node every walk visits-adjacent: equivalence must
+    // survive the tombstone path in both forms
+    val victim = IndexCorpus.search(spark, Array(idx, emb, "7",
+      "--k", "1", "--nprobe", "1", "--tier", "graph",
+      "--beam", "6", "--hops", "2")).head().getLong(0)
+    Seq(victim).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    check()
+  }
 }
