@@ -1147,6 +1147,152 @@ object CurationQueries {
            |WHERE rr <= 5 ORDER BY 1, 2""".stripMargin
       }),
 
+    // CAPSTONE hybrid serving AT BATCH SCALE: q269's two-arm fusion
+    // (SQ8-ADC dense arm + BM25 lexical arm, RRF(60) over the
+    // candidate union) for THREE items in ONE pass per arm — each
+    // arm is its searchBatch kernel (q283's routed ADC, q282's
+    // union-of-terms BM25), the fusion is one full-outer join + one
+    // WindowGroupLimit. Nothing reads the corpus at fusion time. The
+    // oracle is q269's closed-form replay generalized per probe:
+    // dense chain, lexical chain, and fusion all keyed by pid.
+    "q287_hybrid_batch_serving" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q287").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        t(s, dir, "documents").filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ",
+              slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+          .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+        val dense = graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "50", "--nprobe", "2", "--tier", "sq8"))
+          .select(col("probe_id").as("pid"), col("id"),
+            col("rnk").as("rd"))
+        val lex = graft.tools.LexIndex.searchBatch(s, Array(
+          s"$tmp/lex", s"$tmp/queries.parquet", "--k", "50"))
+          .select(col("query_id").as("pid"), col("id"),
+            col("rnk").as("rl"))
+        dense.join(lex, Seq("pid", "id"), "full_outer")
+          .withColumn("rrf_x1e6", expr(
+            "CAST(CASE WHEN rd IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rd) END" +
+              " + CASE WHEN rl IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rl) END AS BIGINT)"))
+          .withColumn("rnk", row_number().over(w.partitionBy(col("pid"))
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("pid").as("probe_id"), col("id"),
+            col("rrf_x1e6"), col("rnk"))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |prb AS MATERIALIZED (
+           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 3),
+           |pqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM prb q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |pcells AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi),
+           |dadc AS MATERIALIZED (
+           | SELECT q.pid, dq.id,
+           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           | FROM dq JOIN prb q USING (i)
+           | JOIN aI2 ON aI2.id = dq.id
+           | JOIN pcells pc ON pc.pid = q.pid AND pc.j = aI2.j
+           | WHERE dq.id <> q.pid
+           | GROUP BY 1, 2),
+           |dd AS MATERIALIZED (
+           | SELECT pid, id, rd FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY adc, id) AS rd
+           |  FROM dadc) WHERE rd <= 50),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |ltoks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |ltf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM ltoks GROUP BY 1, 2),
+           |ldl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM ltoks GROUP BY 1),
+           |lg AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM ldl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |lqt AS MATERIALIZED (
+           | SELECT id AS pid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 3),
+           |ldfq AS MATERIALIZED (
+           | SELECT ltf.t, count(*) AS df
+           | FROM ltf JOIN (SELECT DISTINCT t FROM lqt) q ON q.t = ltf.t
+           | GROUP BY 1),
+           |lcand AS MATERIALIZED (
+           | SELECT lqt.pid, ltf.id, ltf.tf, ldl.dl, lg.avgdl,
+           |  CAST(length(printf('%b', lg.n // ldfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM lqt JOIN ldfq ON ldfq.t = lqt.t
+           | JOIN ltf ON ltf.t = lqt.t
+           | JOIN ldl ON ldl.id = ltf.id, lg
+           | WHERE length(printf('%b', lg.n // ldfq.df)) - 1 > 0),
+           |lsc AS MATERIALIZED (
+           | SELECT pid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM lcand GROUP BY 1, 2),
+           |ll AS MATERIALIZED (
+           | SELECT pid, id, rl FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY score DESC, id) AS rl
+           |  FROM lsc) WHERE rl <= 50),
+           |f AS (
+           | SELECT coalesce(dd.pid, ll.pid) AS pid,
+           |  coalesce(dd.id, ll.id) AS id,
+           |  CASE WHEN dd.id IS NULL THEN 0
+           |   ELSE 1000000 // (60 + dd.rd) END
+           |  + CASE WHEN ll.id IS NULL THEN 0
+           |   ELSE 1000000 // (60 + ll.rl) END AS rrf
+           | FROM dd FULL JOIN ll
+           |  ON ll.pid = dd.pid AND ll.id = dd.id)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(id AS BIGINT) AS id,
+           | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
+           |FROM (
+           | SELECT pid, id, rrf, CAST(row_number() OVER (
+           |  PARTITION BY pid ORDER BY rrf DESC, id) AS BIGINT) AS rnk
+           | FROM f)
+           |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

@@ -591,6 +591,16 @@ object IndexCorpus {
     * traversal prunes with. Graph parameters persist to `graph_meta`
     * so a traversal (and RECALL.md's ladder) can state what it
     * searched.
+    *
+    * Maintenance contract: the graph is a MODEL-CLASS artifact, like
+    * the router and codebooks — rebuilt on a cadence (re-run this
+    * command), never incrementally patched by [[update]]. Vectors
+    * ingested since the last graph build are reachable through the
+    * pq/sq8/exact tiers immediately and join the graph tier at the
+    * next rebuild; DELETED nodes need no graph rewrite — their
+    * outgoing edges fold out at the next [[compact]] (tombstone
+    * anti-join on `id`) and edges INTO them are dropped by the
+    * traversal's scoring-side tombstone filter either way.
     */
   def graph(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
     require(args.length >= 2, "usage: graph <indexDir> <emb.parquet> [flags]")
