@@ -235,6 +235,27 @@ object ServeProbe {
           s"$tmp/emb.parquet", s"$tmp/probes.parquet",
           "--k", "10", "--nprobe", "2", "--tier", "sq8")).collect()
       }, s""","n_probes":64""")
+      // GRAPH tier (round 13): construction is offline like the
+      // router; the walks price the read path — per-hop pushed
+      // lookups (single) vs per-hop joins amortized over the frame
+      // (batch)
+      val (_, tG) = time {
+        IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", "--deg", "3", "--planes", "14",
+          "--bands", "2"))
+      }
+      emit("vec_graph_build", scale, tG)
+      emit("vec_search_graph", scale, minOf3 {
+        IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "1",
+          "--tier", "graph", "--beam", "16", "--hops", "2")).collect()
+      })
+      emit("vec_search_graph_batch", scale, minOf3 {
+        IndexCorpus.searchBatch(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb.parquet", s"$tmp/probes.parquet",
+          "--k", "10", "--nprobe", "1", "--tier", "graph",
+          "--beam", "16", "--hops", "2")).collect()
+      }, s""","n_probes":64""")
       graft.Scratch.release()
       }
     }
