@@ -29,9 +29,14 @@ object GraphRecallProbe {
     val emb = s"$base/embeddings.parquet"
     val tmp = Files.createTempDirectory("graphrecall").toString
     val idx = s"$tmp/idx"
+    // SPARK_GRAFT_GRAPH_DEG/_PLANES measure how the CONNECTIVITY
+    // ceiling moves with graph density (RECALL.md's claim that the
+    // walk's recall is bounded by the graph, not the walk)
+    val deg = sys.env.getOrElse("SPARK_GRAFT_GRAPH_DEG", "3")
+    val planes = sys.env.getOrElse("SPARK_GRAFT_GRAPH_PLANES", "12")
     IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
-    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
-      "--planes", "12", "--bands", "2"))
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
+      "--planes", planes, "--bands", "2"))
     val probes = (0L until 20L).toSeq
 
     def ids(args: Array[String]): Set[Long] =
@@ -50,7 +55,8 @@ object GraphRecallProbe {
         (got intersect exact(p)).size
       }
       graft.Scratch.release()
-      println(s"""[graphrecall] {"beam":$beam,"hops":$hops,""" +
+      println(s"""[graphrecall] {"deg":$deg,"planes":$planes,""" +
+        s""""beam":$beam,"hops":$hops,""" +
         s""""nprobe":$nprobe,"mean_recall_at_10":${hits.sum / 20.0},""" +
         s""""min":${hits.min},"max":${hits.max}}""")
     }
