@@ -132,7 +132,12 @@ object LexIndex {
   /** The term-hash bucket expression — MUST match between build and
     * search (search derives each query term's bucket with the same
     * Spark murmur3 `hash`, then inlines the buckets as a literal
-    * partition predicate).
+    * partition predicate). The count is a BUILD-TIME knob recorded in
+    * stats and honored by every later command, so deployments size it
+    * to the corpus (the 16 default fits the test scales; at 100 TB
+    * you want enough buckets that one bucket's posting lists are a
+    * few files — search cost is per-bucket-touched, and a query
+    * touches at most |terms| buckets at any count).
     */
   private def termBucket(buckets: Long) =
     Artifacts.Bucket("tb", pmod(hash(col("t")), lit(buckets)), Seq("t"))
