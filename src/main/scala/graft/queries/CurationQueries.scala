@@ -1147,6 +1147,68 @@ object CurationQueries {
            |WHERE rr <= 5 ORDER BY 1, 2""".stripMargin
       }),
 
+    // FILTERED batch serving: q249's stratum pre-filter (the
+    // dominant strategy of the q245 sweep — filter INSIDE the probed
+    // cells, so a stratum member is never lost to the predicate) at
+    // batch scale, through one searchBatch pass over four probes.
+    // The oracle is q249's PQ-ADC chain generalized per probe: the
+    // probe tables, the probed-cell restriction, and the ranking all
+    // keyed by pid; the stratum predicate applies to the candidates.
+    "q288_filtered_batch_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q288").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 4)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "10", "--nprobe", "2", "--filter", "id % 10 = 0"))
+      },
+      Some(
+        s"""WITH $pqOracle,
+           |$routerCtes,
+           |prb8 AS MATERIALIZED (
+           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 4),
+           |fpqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM prb8 q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |fpc AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS r FROM fpqd)
+           | WHERE r <= 2),
+           |fpt0 AS MATERIALIZED (
+           | SELECT p.pid, c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi AS i, m FROM exall
+           |   WHERE id < 4 AND gi < 32) p
+           | JOIN c1_0 c USING (i) GROUP BY 1, 2),
+           |fpt1 AS MATERIALIZED (
+           | SELECT p.pid, c.j, sum((p.m - c.c) * (p.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi - 32 AS i, m FROM exall
+           |   WHERE id < 4 AND gi >= 32) p
+           | JOIN c1_1 c USING (i) GROUP BY 1, 2),
+           |fadc AS MATERIALIZED (
+           | SELECT pc.pid, a2_0.id,
+           |  CAST(fpt0.d + fpt1.d AS BIGINT) AS adc
+           | FROM aI2
+           | JOIN a2_0 ON a2_0.id = aI2.id
+           | JOIN a2_1 ON a2_1.id = aI2.id
+           | JOIN fpc pc ON pc.j = aI2.j
+           | JOIN fpt0 ON fpt0.j = a2_0.j AND fpt0.pid = pc.pid
+           | JOIN fpt1 ON fpt1.j = a2_1.j AND fpt1.pid = pc.pid
+           | WHERE a2_0.id <> pc.pid AND a2_0.id % 10 = 0)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(rnk AS BIGINT) AS rnk, CAST(id AS BIGINT) AS id, adc
+           |FROM (
+           | SELECT pid, id, adc, row_number() OVER (
+           |  PARTITION BY pid ORDER BY adc, id) AS rnk FROM fadc)
+           |WHERE rnk <= 10 ORDER BY 1, 2""".stripMargin)),
+
     // CAPSTONE hybrid serving AT BATCH SCALE: q269's two-arm fusion
     // (SQ8-ADC dense arm + BM25 lexical arm, RRF(60) over the
     // candidate union) for THREE items in ONE pass per arm — each

@@ -88,7 +88,8 @@ import graft.ops.SemDedup
   *     [--tier sq8|exact|graph] [--beam 8] [--hops 2]
   *   runMain graft.tools.IndexCorpus searchBatch <indexDir>
   *     <emb.parquet> <probes.parquet> [--id vec_id] [--vec embedding]
-  *     [--k 10] [--nprobe 2] [--tier pq|sq8]
+  *     [--k 10] [--nprobe 2] [--tier pq|sq8|graph]
+  *     [--filter "<sqlExpr>"] [--rerank N] [--beam 8] [--hops 2]
   */
 object IndexCorpus {
 
@@ -1007,9 +1008,13 @@ object IndexCorpus {
           Artifacts.read(spark, idx, "tombstones").select(col("id")),
           Seq("id"), "left_anti")
       else membersAll
-    // candidates: a probe meets exactly its OWN probed cells' members
-    val cand = members0.join(routed, Seq("cell"))
+    // candidates: a probe meets exactly its OWN probed cells' members;
+    // --filter PRE-filters inside the probed cells (the single-probe
+    // contract — a probed-cell stratum member is never lost to the
+    // predicate; the expression sees id and cell)
+    val cand0 = members0.join(routed, Seq("cell"))
       .filter(col("id") =!= col("pid"))
+    val cand = flags.get("filter").fold(cand0)(f => cand0.filter(expr(f)))
       .select(col("pid"), col("cell"), col("id"))
 
     val scored =
@@ -1072,10 +1077,43 @@ object IndexCorpus {
       }
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("adc"), col("id"))
-    scored.withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("pid").as("probe_id"), col("rnk"), col("id"), col("adc"))
-      .orderBy(col("probe_id"), col("rnk"))
+    flags.get("rerank").map(_.toInt) match {
+      case None =>
+        scored.withColumn("rnk", row_number().over(wTop).cast("long"))
+          .filter(col("rnk") <= k)
+          .select(col("pid").as("probe_id"), col("rnk"), col("id"),
+            col("adc"))
+          .orderBy(col("probe_id"), col("rnk"))
+      case Some(n) =>
+        // the q246 ladder at batch scale: per-probe ADC shortlist
+        // (one WindowGroupLimit), ONE float-source rejoin for all
+        // probes' shortlists, exact cosine re-rank per probe
+        val shortlist = scored
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= n)
+          .select(col("pid"), col("id"), col("adc"))
+        val pf = spark.read.parquet(in)
+          .filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pv"))
+          .join(spark.read.parquet(probesIn)
+            .select(col(idCol).cast("long").as("pid")).distinct(),
+            Seq("pid"), "left_semi")
+        val wCos = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid"))
+          .orderBy(col("cos_x1e6").desc, col("id"))
+        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .join(shortlist, Seq("id"))
+          .join(broadcast(pf), Seq("pid"))
+          .select(col("pid"), col("id"), col("adc"),
+            round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
+              6) * lit(1000000d)).cast("long").as("cos_x1e6"))
+          .withColumn("rnk", row_number().over(wCos).cast("long"))
+          .filter(col("rnk") <= k)
+          .select(col("pid").as("probe_id"), col("rnk"), col("id"),
+            col("adc"), col("cos_x1e6"))
+          .orderBy(col("probe_id"), col("rnk"))
+    }
   }
 
   /** BATCHED graph-tier serving: the q284 beam walk for EVERY probe

@@ -514,6 +514,34 @@ class IndexCorpusSpec extends AnyFunSuite {
     val idxR = s"$tmp/idxR"
     IndexCorpus.build(spark, Array(emb, idxR, "--residual", "true"))
     check(idxR, "pq")
+
+    // --filter and --rerank parity with the single-probe path
+    val gotF = IndexCorpus.searchBatch(spark, Array(idxS, emb,
+      s"$tmp/probes.parquet", "--k", "5", "--nprobe", "2",
+      "--filter", "id % 10 = 0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val wantF = Seq(0L, 1L, 7L, 12L).flatMap { pid =>
+      IndexCorpus.search(spark, Array(idxS, emb, pid.toString,
+        "--k", "5", "--nprobe", "2", "--filter", "id % 10 = 0"))
+        .collect().zipWithIndex.map { case (r, i) =>
+          (pid, i + 1L, r.getLong(0), r.getLong(1))
+        }
+    }
+    assert(gotF == wantF, s"filter: got=$gotF want=$wantF")
+    val gotR = IndexCorpus.searchBatch(spark, Array(idxS, emb,
+      s"$tmp/probes.parquet", "--k", "5", "--nprobe", "2",
+      "--rerank", "50"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val wantR = Seq(0L, 1L, 7L, 12L).flatMap { pid =>
+      IndexCorpus.search(spark, Array(idxS, emb, pid.toString,
+        "--k", "5", "--nprobe", "2", "--rerank", "50"))
+        .collect().zipWithIndex.map { case (r, i) =>
+          (pid, i + 1L, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+    }
+    assert(gotR == wantR, s"rerank: got=$gotR want=$wantR")
   }
 
   test("graph tier: beam traversal re-derivable from the persisted " +
