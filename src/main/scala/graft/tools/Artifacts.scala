@@ -43,11 +43,18 @@ import org.apache.spark.sql.functions._
   *     on the sorted key), and writes parallelize across the cluster
   *     (`repartition(bucket)` — no single-task funnel).
   *   - [[vacuum]] deletes segment dirs no manifest of the retained
-  *     window references. Single-writer discipline (the CLI contract;
-  *     Scratch.scala documents the same for caches): readers in this
-  *     JVM are refreshed by the mutating command, external concurrent
-  *     readers would need a retention window — `keepManifests`
-  *     retains the trailing manifests for that and for debugging.
+  *     window references. The window is CONFIGURABLE
+  *     (`spark.graft.keepManifests`, or `--keep-manifests N` on any
+  *     mutating CLI command; default 1): with window 1 the layer is a
+  *     crash-safe SINGLE-WRITER index — readers in this JVM are
+  *     refreshed by the mutating command, and an EXTERNAL reader that
+  *     resolved the previous manifest can lose its segment files
+  *     mid-scan. With window N >= 2, a reader pinned to any of the
+  *     trailing N manifests keeps serving byte-identically through
+  *     later commits + vacuums (ArtifactsSpec's pinned-reader test
+  *     proves both sides) — the snapshot-isolation contract a
+  *     concurrently-served index needs; size N to cover the longest
+  *     reader, as any snapshot-versioned table format does.
   *
   * Legacy (round-12 and earlier) indexes — flat `idx/name` dirs, no
   * manifest — stay READABLE ([[read]] falls back to the flat path) so
@@ -56,13 +63,27 @@ import org.apache.spark.sql.functions._
   */
 object Artifacts {
 
-  // Only the CURRENT manifest's segments survive a vacuum: the CLIs
-  // are single-writer and refresh their own session after mutating,
-  // so retained history would only serve hypothetical concurrent
-  // external readers (a real deployment would set a retention window
-  // here) while making casual direct reads of an artifact dir union
-  // superseded segments.
-  private val keepManifests = 1
+  /** Retention window: how many trailing manifests (and every segment
+    * any of them references) a [[vacuum]] preserves. Default 1 =
+    * single-writer only; >= 2 gives external concurrent readers
+    * pinned to a recent manifest snapshot isolation (object doc).
+    * Session-scoped so one writer process serves one policy.
+    */
+  private def keepManifests(spark: SparkSession): Int = {
+    val n = spark.conf.get("spark.graft.keepManifests", "1").toInt
+    require(n >= 1, s"spark.graft.keepManifests must be >= 1, got $n")
+    n
+  }
+
+  /** Mutating CLI commands pass their parsed flags here so
+    * `--keep-manifests N` sets the session retention window before
+    * the command's vacuum runs.
+    */
+  def applyRetentionFlag(spark: SparkSession,
+      flags: Map[String, String]): Unit =
+    flags.get("keep-manifests").foreach { n =>
+      spark.conf.set("spark.graft.keepManifests", n.toInt.toString)
+    }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -80,14 +101,46 @@ object Artifacts {
     if (files.isEmpty) return None
     val latest = files.maxBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
     val ver = latest.stripPrefix("m-").stripSuffix(".tsv").toLong
-    val in = f.open(new Path(dir, latest))
+    Some((ver, parseManifest(f, new Path(dir, latest))))
+  }
+
+  private def parseManifest(f: FileSystem, p: Path)
+      : Map[String, Seq[String]] = {
+    val in = f.open(p)
     val text = try {
       scala.io.Source.fromInputStream(in, "UTF-8").mkString
     } finally in.close()
-    val m = text.linesIterator.filter(_.nonEmpty).toSeq
+    text.linesIterator.filter(_.nonEmpty).toSeq
       .map { l => val Array(n, s) = l.split('\t'); (n, s) }
       .groupBy(_._1).map { case (n, rows) => n -> rows.map(_._2) }
-    Some((ver, m))
+  }
+
+  /** All retained manifest versions, ascending — a vacuum with window
+    * N leaves the trailing N here.
+    */
+  def manifestVersions(spark: SparkSession, idx: String): Seq[Long] = {
+    val dir = new Path(manifestDir(idx))
+    val f = fs(spark, idx)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
+      .map(_.stripPrefix("m-").stripSuffix(".tsv").toLong)
+      .sorted.toSeq
+  }
+
+  /** The (artifact -> segments) map of a SPECIFIC retained manifest —
+    * the pinned-reader entry point: resolve a version once, then
+    * [[readSegs]] against its lists. With a retention window >= 2 the
+    * pinned version's files stay live through later commit + vacuum
+    * cycles (ArtifactsSpec proves byte-identical serving); with the
+    * default window 1 only the current version is resolvable.
+    */
+  def manifestAt(spark: SparkSession, idx: String, ver: Long)
+      : Map[String, Seq[String]] = {
+    val p = new Path(manifestDir(idx), f"m-$ver%012d.tsv")
+    val f0 = fs(spark, idx)
+    require(f0.exists(p), s"manifest v$ver of $idx is not retained")
+    parseManifest(f0, p)
   }
 
   /** Segment dirs of `name` per the current manifest (empty if the
@@ -253,19 +306,27 @@ object Artifacts {
   }
 
   /** Delete segment dirs (and stale staging dirs) that no manifest in
-    * the retained window references, and manifests beyond the window.
-    * Safe after a commit: a crash mid-vacuum only leaves garbage.
+    * the retained window (see [[keepManifests]]) references, manifests
+    * beyond the window, and crash-orphaned manifest temp files
+    * (`.m-*.tmp` left by a writer that died between create and
+    * rename — reads never see them, but they would otherwise
+    * accumulate forever). Safe after a commit: a crash mid-vacuum
+    * only leaves garbage.
     */
   def vacuum(spark: SparkSession, idx: String): Unit = {
     val f = fs(spark, idx)
     val mdir = new Path(manifestDir(idx))
     if (!f.exists(mdir)) return
-    val mfiles = f.listStatus(mdir).map(_.getPath.getName)
+    val names = f.listStatus(mdir).map(_.getPath.getName)
+    names.filter(n => n.startsWith(".m-") && n.endsWith(".tmp"))
+      .foreach(n => f.delete(new Path(mdir, n), false))
+    val mfiles = names
       .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
       .sortBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
     if (mfiles.isEmpty) return
-    val keep = mfiles.takeRight(keepManifests)
-    mfiles.dropRight(keepManifests)
+    val window = keepManifests(spark)
+    val keep = mfiles.takeRight(window)
+    mfiles.dropRight(window)
       .foreach(n => f.delete(new Path(mdir, n), false))
     // union of segments referenced by any retained manifest
     val referenced: Set[(String, String)] = keep.flatMap { n =>

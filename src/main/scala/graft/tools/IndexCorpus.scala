@@ -81,7 +81,7 @@ import graft.ops.SemDedup
   *     [--threshold <permille>]
   *   runMain graft.tools.IndexCorpus graph <indexDir> <emb.parquet>
   *     [--id vec_id] [--vec embedding] [--deg 3] [--planes 12]
-  *     [--bands 2] [--min-cos -1.0]
+  *     [--bands 2] [--min-cos -1.0] [--gbuckets 16]
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
   *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
@@ -90,6 +90,10 @@ import graft.ops.SemDedup
   *     <emb.parquet> <probes.parquet> [--id vec_id] [--vec embedding]
   *     [--k 10] [--nprobe 2] [--tier pq|sq8|graph]
   *     [--filter "<sqlExpr>"] [--rerank N] [--beam 8] [--hops 2]
+  *
+  * Every mutating command accepts `--keep-manifests N` (sets
+  * `spark.graft.keepManifests` for the session): the vacuum retention
+  * window external concurrent readers pin against ([[Artifacts]]).
   */
 object IndexCorpus {
 
@@ -165,12 +169,24 @@ object IndexCorpus {
 
   /** The graph artifact's pruning key: an arithmetic id bucket, so
     * the traversal derives the frontier's buckets with driver math
-    * (no hash job per hop).
+    * (no hash job per hop). The count is a BUILD-TIME knob
+    * (`graph --gbuckets N`) recorded in graph_meta; every later
+    * command (traversal AND compact rewrite) derives the bucket from
+    * the persisted value — never this compile-time default — so the
+    * partition math always matches what the graph was written with.
     */
   private val graphBuckets = 16L
-  private val graphBucket: Option[Artifacts.Bucket] =
-    Some(Artifacts.Bucket("gb", pmod(col("id"), lit(graphBuckets)),
+  private def graphBucket(buckets: Long): Option[Artifacts.Bucket] =
+    Some(Artifacts.Bucket("gb", pmod(col("id"), lit(buckets)),
       Seq("id")))
+
+  private def graphBucketsOf(spark: SparkSession, idx: String): Long =
+    if (!Artifacts.exists(spark, idx, "graph_meta")) graphBuckets
+    else Artifacts.read(spark, idx, "graph_meta")
+      .filter(col("key") === "gbuckets")
+      .select(col("value").cast("long").as("value"))
+      .collect().headOption.map(_.getAs[Long]("value"))
+      .getOrElse(graphBuckets)
 
   /** Summary lookup BY NAME (key filter + named value column — the
     * round-12 advisory was a positional `getLong(1)` silently bound
@@ -212,6 +228,7 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     GraftSession.tune(spark)
+    Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
 
     val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
@@ -262,6 +279,7 @@ object IndexCorpus {
     val flags = flagsOf(args, 1)
     val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
+    Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
     val tomb =
@@ -271,8 +289,13 @@ object IndexCorpus {
       else None
     var pend = Map.empty[String, Seq[String]]
     val cb = cellBucket(cellBucketsOf(spark, idx))
+    // knn_graph rewrites with the bucket count it was WRITTEN with
+    // (graph_meta's gbuckets), like cellBucketsOf does for cb — a
+    // compact must never silently re-partition the graph while
+    // graph_meta still advertises the old count
     Seq(("assignments", cb), ("pq_codes", cb),
-      ("sq8_codes", cb), ("knn_graph", graphBucket))
+      ("sq8_codes", cb),
+      ("knn_graph", graphBucket(graphBucketsOf(spark, idx))))
       .foreach { case (name, bucket) =>
         Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
           filtered = true, bucket)
@@ -467,6 +490,7 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     val vecCol = flags.getOrElse("vec", "embedding")
+    Artifacts.applyRetentionFlag(spark, flags)
     Seq("ingested" ->
       ingestFrame(spark, idx, spark.read.parquet(in), idCol, vecCol))
   }
@@ -613,7 +637,9 @@ object IndexCorpus {
     val planes = flags.getOrElse("planes", "12").toInt
     val bands = flags.getOrElse("bands", "2").toInt
     val minCos = flags.getOrElse("min-cos", "-1.0").toDouble
+    val gB = flags.get("gbuckets").map(_.toLong).getOrElse(graphBuckets)
     GraftSession.tune(spark)
+    Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     import spark.implicits._
 
@@ -628,10 +654,10 @@ object IndexCorpus {
         round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
         col("rn").cast("long").as("rn"))
     var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
-      edges, graphBucket)
+      edges, graphBucket(gB))
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
       ("deg", deg.toLong), ("planes", planes.toLong),
-      ("bands", bands.toLong), ("gbuckets", graphBuckets))
+      ("bands", bands.toLong), ("gbuckets", gB))
       .toDF("key", "value"))
     Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
@@ -759,20 +785,16 @@ object IndexCorpus {
     // replays the graph construction, the router seeds, and every
     // hop in closed form.
     if (flags.getOrElse("tier", "pq") == "graph") {
-      require(filterSql.isEmpty && rerankN.isEmpty,
-        "--tier graph composes with neither --filter nor --rerank")
       require(Artifacts.exists(spark, idx, "knn_graph"),
         s"$idx has no knn_graph artifact (run `graph` first)")
       val beam = flags.getOrElse("beam", "8").toInt
       val hops = flags.getOrElse("hops", "2").toInt
       require(k <= beam, s"--k $k must be <= --beam $beam")
+      rerankN.foreach(n => require(n >= k,
+        s"--rerank $n must be >= --k $k"))
       // the bucket count the graph was WRITTEN with governs the
       // partition math — never the current compile-time constant
-      val gB = Artifacts.read(spark, idx, "graph_meta")
-        .filter(col("key") === "gbuckets")
-        .select(col("value").cast("long").as("value"))
-        .collect().headOption.map(_.getAs[Long]("value"))
-        .getOrElse(graphBuckets)
+      val gB = graphBucketsOf(spark, idx)
       val pf = spark.read.parquet(in)
         .filter(col(idCol).cast("long") === probeId &&
           size(col(vecCol)) === dims)
@@ -781,37 +803,90 @@ object IndexCorpus {
         if (Artifacts.exists(spark, idx, "tombstones"))
           Some(Artifacts.read(spark, idx, "tombstones").select(col("id")))
         else None
-      def cosOf(idsDf: DataFrame): Seq[(Long, Long)] = {
-        val cand = tombOpt.fold(idsDf)(ts =>
+      // candidate ADMISSION (tombstones + the --filter stratum
+      // predicate over `id`): applied to the seeds AND to every hop's
+      // expansion BEFORE the beam prune — the q245 pre-filter
+      // contract lifted to the walk: a stratum member is never lost
+      // to a non-member occupying a beam slot, and the traversal is
+      // confined to the stratum subgraph (its connectivity bounds
+      // recall, like graph density does — RECALL.md's knob).
+      def admit(idsDf: DataFrame): DataFrame = {
+        val live = tombOpt.fold(idsDf)(ts =>
           idsDf.join(ts, Seq("id"), "left_anti"))
-        // dims filter: the graph may carry edges to ragged vectors
-        // (knnGraph indexes the raw table); they are unscorable
-        // against the probe and drop here — same as the oracle's
-        // len = dims restriction
-        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
-          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-          .join(cand, Seq("id"), "left_semi")
-          .select(col("id"),
-            round(round(graft.ops.Similarity.cosine(col("v"),
-              typedLit(pf)), 6) * lit(1000000d)).cast("long")
-              .as("cos_x1e6"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        filterSql.fold(live)(f => live.filter(expr(f)))
       }
-      // seeds: the probed cells' members, scored exactly, top-beam
+      // traversal metric: exact cosine by default. With --rerank the
+      // walk scores candidates by PQ-ADC instead — code lookups only,
+      // never the float source (the HNSW-style cheap-walk/exact-tail
+      // split: per-hop cost stays O(beam x degree) CODE rows, and the
+      // float source is touched once, for the final shortlist).
+      val walkByAdc = rerankN.isDefined
+      val books0 = if (walkByAdc) codebookArrays(spark, idx) else Array.empty[Array[Array[Long]]]
+      val residualW = walkByAdc && summaryFlag(spark, idx, "residual")
+      val adcTable: DataFrame = if (!walkByAdc) null else {
+        val pqM = books0.length
+        val sub = dims / pqM
+        if (!residualW)
+          books0.zipWithIndex.flatMap { case (bk, s) =>
+            bk.zipWithIndex.map { case (c, j) =>
+              (s.toLong, j.toLong, l2(pv, s * sub, c))
+            }
+          }.toSeq.toDF("s", "code", "d")
+        else
+          // residual codes quantize (vector - cell centroid): the
+          // probe's table is keyed by the CANDIDATE's cell — walk
+          // candidates live in ANY cell, so derive all ivf_k tables
+          // (catalog-sized: ivf_k x m x k rows)
+          cents.toSeq.flatMap { case (cell, cc) =>
+            val pr = Array.tabulate(dims)(i => pv(i) - cc(i))
+            books0.zipWithIndex.toSeq.flatMap { case (bk, s) =>
+              bk.zipWithIndex.toSeq.map { case (c, j) =>
+                (cell, s.toLong, j.toLong, l2(pr, s * sub, c))
+              }
+            }
+          }.toDF("cell", "s", "code", "d")
+      }
+      // (id, score): cos_x1e6 (higher better) or ADC (lower better)
+      def scoreOf(idsDf: DataFrame): Seq[(Long, Long)] = {
+        val cand = admit(idsDf)
+        if (walkByAdc)
+          Artifacts.read(spark, idx, "pq_codes")
+            .join(cand.select(col("id")), Seq("id"), "left_semi")
+            .join(broadcast(adcTable),
+              if (residualW) Seq("cell", "s", "code") else Seq("s", "code"))
+            .groupBy(col("id")).agg(sum(col("d")).as("sc"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        else
+          // dims filter: the graph may carry edges to ragged vectors
+          // (knnGraph indexes the raw table); they are unscorable
+          // against the probe and drop here — same as the oracle's
+          // len = dims restriction
+          spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+            .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+            .join(cand, Seq("id"), "left_semi")
+            .select(col("id"),
+              round(round(graft.ops.Similarity.cosine(col("v"),
+                typedLit(pf)), 6) * lit(1000000d)).cast("long")
+                .as("cos_x1e6"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      def sortKey(p: (Long, Long)): (Long, Long) =
+        if (walkByAdc) (p._2, p._1) else (-p._2, p._1)
+      // seeds: the probed cells' members, scored, top-beam
       val seedMembers0 = restrictCells(
         Artifacts.read(spark, idx, "assignments"), probedCells, cbN)
         .filter(col("id") =!= probeId)
         .select(col("id"))
       val visited = scala.collection.mutable.Map.empty[Long, Long]
-      cosOf(seedMembers0)
-        .sortBy { case (id, c) => (-c, id) }.take(beam)
+      scoreOf(seedMembers0)
+        .sortBy(sortKey).take(beam)
         .foreach { case (id, c) => visited(id) = c }
       val graphDf = Artifacts.read(spark, idx, "knn_graph")
       var hop = 0
       var frontierChanged = true
       while (hop < hops && frontierChanged) {
         val beamIds = visited.toSeq
-          .sortBy { case (id, c) => (-c, id) }.take(beam).map(_._1)
+          .sortBy(sortKey).take(beam).map(_._1)
         val gbs = beamIds.map(i => ((i % gB) + gB) % gB)
           .distinct.map(Long.box)
         val nbrs = graphDf
@@ -822,16 +897,31 @@ object IndexCorpus {
           .filter(n => n != probeId && !visited.contains(n))
         if (nbrs.isEmpty) frontierChanged = false
         else {
-          val newScores = cosOf(
+          val newScores = scoreOf(
             nbrs.toSeq.toDF("id").select(col("id").cast("long").as("id")))
           newScores.foreach { case (id, c) => visited(id) = c }
           hop += 1
         }
       }
-      return visited.toSeq
-        .sortBy { case (id, c) => (-c, id) }.take(k)
-        .map { case (id, c) => (id, c) }
-        .toDF("id", "cos_x1e6")
+      return rerankN match {
+        case None =>
+          visited.toSeq.sortBy(sortKey).take(k)
+            .toDF("id", "cos_x1e6")
+        case Some(n) =>
+          // exact tail: the n ADC-best visited rejoin the float
+          // source ONCE; output shape matches the pq-tier rerank
+          val shortlist = visited.toSeq.sortBy(sortKey).take(n)
+            .toDF("id", "adc")
+          spark.read.parquet(in)
+            .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+            .join(broadcast(shortlist), Seq("id"))
+            .select(col("id"), col("adc"),
+              round(round(graft.ops.Similarity.cosine(col("v"),
+                typedLit(pf)), 6) * lit(1000000d)).cast("long")
+                .as("cos_x1e6"))
+            .orderBy(col("cos_x1e6").desc, col("id"))
+            .limit(k)
+      }
     }
 
     val membersAll = restrictCells(
@@ -1171,22 +1261,72 @@ object IndexCorpus {
       if (Artifacts.exists(spark, idx, "tombstones"))
         Some(Artifacts.read(spark, idx, "tombstones").select(col("id")))
       else None
-    // exact cosine of each (pid, candidate) pair: one float-source
-    // pass for the whole frame; tombstoned and ragged ids drop (the
-    // single-probe contract)
-    def scoreIds(cand: DataFrame): DataFrame = {
+    val filterSql = flags.get("filter")
+    val rerankN = flags.get("rerank").map(_.toInt)
+    rerankN.foreach(n => require(n >= k, s"--rerank $n must be >= --k $k"))
+    // candidate ADMISSION (tombstones + the --filter stratum
+    // predicate over `id`), applied BEFORE every beam prune — the
+    // single-probe walk's contract at batch scale
+    def admit(cand: DataFrame): DataFrame = {
       val live = tombOpt.fold(cand)(ts =>
         cand.join(ts, Seq("id"), "left_anti"))
-      spark.read.parquet(in).filter(size(col(vecCol)) === dims)
-        .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-        .join(live, Seq("id"))
-        .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
-        .select(col("pid"), col("id"),
-          round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
-            6) * lit(1000000d)).cast("long").as("c"))
+      filterSql.fold(live)(f => live.filter(expr(f)))
+    }
+    // traversal metric (the single-probe contract): exact cosine by
+    // default; with --rerank the walk scores by PQ-ADC — one codes
+    // join per hop for the whole frame, float source only at the tail
+    val walkByAdc = rerankN.isDefined
+    val residualW = walkByAdc && summaryFlag(spark, idx, "residual")
+    val adcTables: DataFrame = if (!walkByAdc) null else {
+      val books = codebookArrays(spark, idx)
+      val pqM = books.length
+      val sub = dims / pqM
+      val bookDf = books.zipWithIndex.flatMap { case (bk, s) =>
+        bk.zipWithIndex.map { case (c, j) => (s.toLong, j.toLong, c.toSeq) }
+      }.toSeq.toDF("s", "code", "bv")
+      if (!residualW)
+        // per-(probe, s, code) tables, derived distributedly
+        probes.join(broadcast(bookDf), lit(true))
+          .select(col("pid"), col("s"), col("code"),
+            graft.ops.VectorExpressions.sqDist(
+              slice(col("pmv"), col("s").cast("int") * sub + 1, lit(sub)),
+              col("bv").cast("array<long>")).as("d"))
+      else
+        // residual: keyed by the CANDIDATE's cell — walk candidates
+        // live in any cell, so each probe derives all ivf_k tables
+        probes.join(broadcast(centsDf), lit(true))
+          .select(col("pid"), col("cell"),
+            zip_with(col("pmv"), col("cv").cast("array<long>"),
+              (a, b) => a - b).as("rmv"))
+          .join(broadcast(bookDf), lit(true))
+          .select(col("pid"), col("cell"), col("s"), col("code"),
+            graft.ops.VectorExpressions.sqDist(
+              slice(col("rmv"), col("s").cast("int") * sub + 1, lit(sub)),
+              col("bv").cast("array<long>")).as("d"))
+    }
+    // score each admitted (pid, id) pair: one pass for the frame
+    def scoreIds(cand0: DataFrame): DataFrame = {
+      val live = admit(cand0)
+      if (walkByAdc)
+        Artifacts.read(spark, idx, "pq_codes")
+          .join(live, Seq("id"))
+          .join(adcTables,
+            if (residualW) Seq("pid", "cell", "s", "code")
+            else Seq("pid", "s", "code"))
+          .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("c"))
+      else
+        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .join(live, Seq("id"))
+          .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
+          .select(col("pid"), col("id"),
+            round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
+              6) * lit(1000000d)).cast("long").as("c"))
     }
     val wBeam = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("c").desc, col("id"))
+      .partitionBy(col("pid"))
+      .orderBy(
+        (if (walkByAdc) col("c").asc else col("c").desc), col("id"))
     // seeds: each probe's probed-cell members, scored, top-beam
     val seedCand = restrictCells(
       Artifacts.read(spark, idx, "assignments"), probedCells, cbN)
@@ -1219,10 +1359,37 @@ object IndexCorpus {
         hop += 1
       }
     }
-    visited.withColumn("rnk", row_number().over(wBeam).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("pid").as("probe_id"), col("rnk"), col("id"),
-        col("c").as("cos_x1e6"))
-      .orderBy(col("probe_id"), col("rnk"))
+    rerankN match {
+      case None =>
+        visited.withColumn("rnk", row_number().over(wBeam).cast("long"))
+          .filter(col("rnk") <= k)
+          .select(col("pid").as("probe_id"), col("rnk"), col("id"),
+            col("c").as("cos_x1e6"))
+          .orderBy(col("probe_id"), col("rnk"))
+      case Some(n) =>
+        // exact tail at batch scale: per-probe ADC shortlist (one
+        // WindowGroupLimit), ONE float-source rejoin for the whole
+        // frame, per-probe exact cosine re-rank — the pq-tier batch
+        // rerank's shape over the walk's survivors
+        val shortlist = visited
+          .withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= n)
+          .select(col("pid"), col("id"), col("c").as("adc"))
+        val wCos = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid"))
+          .orderBy(col("cos_x1e6").desc, col("id"))
+        spark.read.parquet(in).filter(size(col(vecCol)) === dims)
+          .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+          .join(shortlist, Seq("id"))
+          .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
+          .select(col("pid"), col("id"), col("adc"),
+            round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
+              6) * lit(1000000d)).cast("long").as("cos_x1e6"))
+          .withColumn("rnk", row_number().over(wCos).cast("long"))
+          .filter(col("rnk") <= k)
+          .select(col("pid").as("probe_id"), col("rnk"), col("id"),
+            col("adc"), col("cos_x1e6"))
+          .orderBy(col("probe_id"), col("rnk"))
+    }
   }
 }

@@ -80,6 +80,10 @@ import graft.ops.TextOps
   *     [--k 10]
   *   runMain graft.tools.LexIndex searchBatch <indexDir>
   *     <queries.parquet> [--id query_id] [--text text] [--k 10]
+  *
+  * Every mutating command accepts `--keep-manifests N` (sets
+  * `spark.graft.keepManifests` for the session): the vacuum retention
+  * window external concurrent readers pin against ([[Artifacts]]).
   */
 object LexIndex {
 
@@ -219,6 +223,7 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     val textCol = flags.getOrElse("text", "text")
+    Artifacts.applyRetentionFlag(spark, flags)
     Seq("ingested" ->
       ingestFrame(spark, idx, spark.read.parquet(in), idCol, textCol))
   }
@@ -315,6 +320,7 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     GraftSession.tune(spark)
+    Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
 
     val doomed = graft.Scratch.localCheckpoint(
@@ -368,6 +374,7 @@ object LexIndex {
     val flags = flagsOf(args, 1)
     val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
+    Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
     val hasTomb = Artifacts.exists(spark, idx, "tombstones")
@@ -600,7 +607,12 @@ object LexIndex {
         (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
       .filter(col("idf") > 0)
       .select(col("t"), col("idf"))
-    val scored = qPost.join(broadcast(qTerms), Seq("t"))
+    // legacy (pre-dl) indexes stay servable at batch scale too: the
+    // same doclens-join fallback the single-query path keeps
+    val qPostDl =
+      if (postingsAll.schema.fieldNames.contains("dl")) qPost
+      else qPost.join(Artifacts.read(spark, idx, "doclens"), Seq("id"))
+    val scored = qPostDl.join(broadcast(qTerms), Seq("t"))
       .join(broadcast(dfq), Seq("t"))
       .withColumn("term", expr(
         s"idf * 22000 * tf * $avgdl DIV " +

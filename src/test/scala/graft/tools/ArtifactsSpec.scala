@@ -95,6 +95,65 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(segC != segA && segC != segB)
   }
 
+  test("retention window >= 2: a reader pinned to the PREVIOUS " +
+    "manifest keeps serving byte-identically through a later " +
+    "commit + vacuum; window 1 reclaims it (single-writer contract)") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(segA)))       // v0
+    // the external reader resolves v0 ONCE and pins its segment list
+    val pinnedVer = Artifacts.manifestVersions(spark, idx).max
+    val pinned = Artifacts.manifestAt(spark, idx, pinnedVer)("rows")
+    val before = Artifacts.readSegs(spark, idx, "rows", pinned)
+      .orderBy(col("id")).collect().toSeq
+
+    try {
+      spark.conf.set("spark.graft.keepManifests", "2")
+      // a full-rewrite "compact": v1 replaces the artifact wholesale
+      val segB = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(segB)))     // v1
+      Artifacts.vacuum(spark, idx)
+      // window 2: v0 and its segment survive — the pinned reader's
+      // scan is byte-identical
+      assert(Artifacts.manifestVersions(spark, idx) == Seq(0L, 1L))
+      assert(Artifacts.readSegs(spark, idx, "rows", pinned)
+        .orderBy(col("id")).collect().toSeq == before,
+        "pinned reader lost its snapshot inside the retention window")
+      // current readers see v1
+      assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+
+      // shrink the window to 1: the next vacuum reclaims v0's files —
+      // the documented single-writer-only contract
+      spark.conf.set("spark.graft.keepManifests", "1")
+      Artifacts.vacuum(spark, idx)
+      assert(Artifacts.manifestVersions(spark, idx) == Seq(1L))
+      assert(!new java.io.File(s"$idx/rows/$segA").exists(),
+        "window-1 vacuum left the superseded segment")
+      intercept[Exception] {
+        Artifacts.manifestAt(spark, idx, pinnedVer)
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
+  test("vacuum deletes crash-orphaned manifest temp files") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg)))
+    // simulate a writer that died between tmp-create and rename
+    val orphan = new java.io.File(s"$idx/_manifest/.m-000000000009.tmp")
+    java.nio.file.Files.write(orphan.toPath, "rows\tseg=9\n".getBytes)
+    assert(orphan.exists())
+    Artifacts.vacuum(spark, idx)
+    assert(!orphan.exists(), "vacuum left the crash-orphaned tmp")
+    // the real manifest and its data are untouched
+    assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+  }
+
   test("legacy flat dirs stay readable; mutation is refused") {
     import spark.implicits._
     val idx = freshIdx()

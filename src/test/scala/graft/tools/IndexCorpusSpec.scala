@@ -667,4 +667,162 @@ class IndexCorpusSpec extends AnyFunSuite {
     IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
     check()
   }
+
+  test("graph tier --filter/--rerank: stratum pre-filter confines the " +
+    "walk; --rerank walks by PQ-ADC with an exact tail; batch " +
+    "equals single-probe in every mode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_gfr").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+      "--planes", "12", "--bands", "2"))
+
+    // shared driver-side artifacts for the replays
+    val vecs = spark.read.parquet(emb)
+      .filter(size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cosTo(id: Long): Long = {
+      val a = vecs(7L); val b = vecs(id)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      (BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    }
+    val cents = Artifacts.read(spark, idx, "ivf_centroids").collect()
+      .groupBy(_.getLong(0)).map { case (j, rs) =>
+        j -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val micros = spark.read.parquet(emb)
+      .filter(col("vec_id") === 7 && size(col("embedding")) === 64)
+      .select(graft.ops.SemDedup.microsVec(col("embedding")))
+      .head().getSeq[Long](0).toArray
+    def l2(off: Int, c: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < c.length) { val x = micros(off + i) - c(i); d += x * x; i += 1 }
+      d
+    }
+    val probed = cents.toSeq.map { case (j, c) => (l2(0, c), j) }
+      .sorted.take(1).map(_._2).toSet
+    val assign = Artifacts.read(spark, idx, "assignments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Artifacts.read(spark, idx, "knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSeq }
+    // generic walk replay: `admit` is the stratum predicate, `score`
+    // the traversal metric, `better` its ordering
+    def walk(admit: Long => Boolean, score: Long => Option[Long],
+        asc: Boolean): Map[Long, Long] = {
+      def key(p: (Long, Long)): (Long, Long) =
+        if (asc) (p._2, p._1) else (-p._2, p._1)
+      val visited = scala.collection.mutable.Map.empty[Long, Long]
+      assign.collect { case (id, cell)
+        if probed(cell) && id != 7L && admit(id) => id }
+        .toSeq.flatMap(id => score(id).map(id -> _))
+        .sortBy(key).take(6)
+        .foreach { case (id, c) => visited(id) = c }
+      var go = true; var hop = 0
+      while (hop < 2 && go) {
+        val beamIds = visited.toSeq.sortBy(key).take(6).map(_._1)
+        val nbrs = beamIds.flatMap(b => edges.getOrElse(b, Seq.empty))
+          .distinct.filter(nb => nb != 7L && !visited.contains(nb) &&
+            admit(nb))
+        val scored = nbrs.flatMap(nb => score(nb).map(nb -> _))
+        if (scored.isEmpty) go = false
+        else { scored.foreach { case (nb, c) => visited(nb) = c }; hop += 1 }
+      }
+      visited.toMap
+    }
+
+    // --filter: walk confined to the stratum (id % 2 = 0)
+    val gotF = IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+      "--nprobe", "1", "--tier", "graph", "--beam", "6", "--hops", "2",
+      "--filter", "id % 2 = 0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotF.nonEmpty && gotF.forall(_._1 % 2 == 0))
+    val wantF = walk(_ % 2 == 0,
+      id => if (vecs.contains(id)) Some(cosTo(id)) else None, asc = false)
+      .toSeq.sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(gotF == wantF, s"got=$gotF want=$wantF")
+
+    // --rerank: the walk scores by PQ-ADC (codes only), the exact
+    // cosine touches only the final shortlist
+    val books = Artifacts.read(spark, idx, "pq_codebooks").collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).map { case (sj, rs) =>
+        sj -> rs.sortBy(_.getLong(2)).map(_.getLong(3)) }
+    val codes = Artifacts.read(spark, idx, "pq_codes").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    def adcOf(id: Long): Option[Long] = codes.get(id).map { cs =>
+      (0 until 2).map(s => l2(s * 32, books((s.toLong, cs(s.toLong))))).sum
+    }
+    val gotR = IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+      "--nprobe", "1", "--tier", "graph", "--beam", "6", "--hops", "2",
+      "--rerank", "6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val visitedR = walk(_ => true, adcOf, asc = true)
+    val wantR = visitedR.toSeq.sortBy { case (id, a) => (a, id) }.take(6)
+      .map { case (id, a) => (id, a, cosTo(id)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(5)
+    assert(gotR == wantR, s"got=$gotR want=$wantR")
+
+    // batch twins: per-probe rows identical to the single-probe path
+    Seq(0L, 7L, 12L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+    for (extra <- Seq(Seq("--filter", "id % 2 = 0"),
+      Seq("--rerank", "6"),
+      Seq("--filter", "id % 2 = 0", "--rerank", "6"))) {
+      val got = IndexCorpus.searchBatch(spark, Array(idx, emb,
+        s"$tmp/probes.parquet", "--k", "5", "--nprobe", "1",
+        "--tier", "graph", "--beam", "6", "--hops", "2") ++ extra)
+        .collect().map(_.toSeq).toSeq
+      val want = Seq(0L, 7L, 12L).flatMap { pid =>
+        IndexCorpus.search(spark, Array(idx, emb, pid.toString,
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2") ++ extra)
+          .collect().zipWithIndex.map { case (r, i) =>
+            Seq[Any](pid, i + 1L) ++ r.toSeq
+          }
+      }
+      assert(got == want, s"mode=$extra got=$got want=$want")
+    }
+  }
+
+  test("graph --gbuckets: compact rewrites knn_graph with the " +
+    "PERSISTED bucket count (graph_meta), not the compile-time " +
+    "default — the traversal's partition math stays valid") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_gb").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "4"))
+    // a bucket count that differs from the compile-time 16
+    IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+      "--planes", "12", "--bands", "2", "--gbuckets", "4"))
+    def searchGraph(): Seq[(Long, Long)] =
+      IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+        "--nprobe", "1", "--tier", "graph", "--beam", "6", "--hops", "2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = searchGraph()
+    assert(before.nonEmpty)
+    // delete one non-result id so compact has tombstones to fold,
+    // then FULL-compact: the knn_graph rewrite must re-bucket with
+    // graph_meta's 4, keeping every row's gb == pmod(id, 4)
+    val victim = Artifacts.read(spark, idx, "assignments")
+      .filter(!col("id").isin(7L +: before.map(x => Long.box(x._1)): _*))
+      .select(col("id")).head().getLong(0)
+    Seq(victim).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    val preCompact = searchGraph()
+    IndexCorpus.compact(spark, Array(idx))
+    val g = Artifacts.read(spark, idx, "knn_graph")
+    assert(g.filter(col("gb") =!= pmod(col("id"), lit(4L))).count() == 0L,
+      "compact re-partitioned knn_graph with the wrong bucket count")
+    assert(searchGraph() == preCompact,
+      "graph-tier answer changed across compact")
+  }
 }

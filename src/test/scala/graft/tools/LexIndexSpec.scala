@@ -380,6 +380,37 @@ class LexIndexSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("legacy pre-dl postings layout: BOTH search and searchBatch " +
+    "fall back to the doclens join and score identically") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_legacy").toString
+    LexIndex.build(spark, Array(in, s"$idx/lex", "--gram", "1"))
+    val single = LexIndex.search(spark,
+      Array(s"$idx/lex", "apple banana"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qs = Files.createTempDirectory("lexidx_legacy_q").toString
+    Seq((0L, "apple banana"), (1L, "cherry durian"))
+      .toDF("query_id", "text")
+      .write.mode("overwrite").parquet(s"$qs/q.parquet")
+    val batch = LexIndex.searchBatch(spark,
+      Array(s"$idx/lex", s"$qs/q.parquet", "--k", "3"))
+      .collect().map(_.toSeq).toSeq
+    // strip the denormalized dl column — the round-12 postings layout
+    val legacy = Artifacts.read(spark, s"$idx/lex", "postings").drop("dl")
+      .select(col("t"), col("id"), col("tf"))
+    val seg = Artifacts.writeSegment(spark, s"$idx/lex", "postings", legacy)
+    Artifacts.commit(spark, s"$idx/lex",
+      Artifacts.merged(spark, s"$idx/lex", Map("postings" -> Seq(seg))))
+    spark.catalog.refreshByPath(s"$idx/lex")
+    assert(LexIndex.search(spark, Array(s"$idx/lex", "apple banana"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == single)
+    assert(LexIndex.searchBatch(spark,
+      Array(s"$idx/lex", s"$qs/q.parquet", "--k", "3"))
+      .collect().map(_.toSeq).toSeq == batch,
+      "searchBatch cannot serve a legacy pre-dl index")
+  }
+
   test("delete then update: stats stay consistent (toktot excludes the " +
     "tombstoned docs the moment update rewrites them)") {
     import spark.implicits._
