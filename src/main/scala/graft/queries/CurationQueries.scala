@@ -291,6 +291,106 @@ object CurationQueries {
        |${pqSubChain("exres", 0)},
        |${pqSubChain("exres", 1)}""".stripMargin
 
+  /** Probe-7 exact-cosine score CTE `name(id, c)` over the len-64
+    * corpus — the traversal metric (and rerank tail) of the
+    * single-probe graph-walk oracles.
+    */
+  private def probe7CosCte(name: String): String =
+    s"""$name AS MATERIALIZED (
+       | SELECT e.vec_id AS id,
+       |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
+       |   6) * 1000000) AS BIGINT) AS c
+       | FROM embeddings e, (SELECT embedding AS pv FROM embeddings
+       |   WHERE vec_id = 7) p
+       | WHERE e.vec_id <> 7 AND len(e.embedding) = 64)""".stripMargin
+
+  /** Probe 7's nprobe-1 router cell over cI1 (`gcell(j)`). */
+  private def probe7CellCtes: String =
+    s"""gpqd AS (
+       | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+       | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+       | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+       |gcell AS (
+       | SELECT j FROM (
+       |  SELECT j, row_number() OVER (ORDER BY d, j) AS rr FROM gpqd)
+       | WHERE rr <= 1)""".stripMargin
+
+  /** One unrolled hop of the SINGLE-probe beam-walk oracle: the
+    * previous state's top-`beam` by `ord` expands along `eg`, new
+    * candidates score from `allsc(id, c)` (`ord` = "c DESC, id" for
+    * the cosine walk, "c, id" for the ADC walk), `pred` is the
+    * stratum conjunct of a filtered walk (admission BEFORE the next
+    * beam prune — the q245 pre-filter contract on the walk).
+    */
+  private def walkHop(i: Int, beam: Int, ord: String,
+      pred: String): String = {
+    val prev = if (i == 1) "sc0" else s"sc${i - 1}"
+    s"""sc$i AS MATERIALIZED (
+       | SELECT id, c FROM $prev
+       | UNION ALL
+       | SELECT id, c FROM allsc WHERE id IN (
+       |  SELECT DISTINCT eg.nbr FROM eg JOIN (
+       |   SELECT id FROM (SELECT id, row_number() OVER (
+       |    ORDER BY $ord) AS rr FROM $prev) WHERE rr <= $beam) b$i
+       |  ON eg.id = b$i.id)
+       | AND id <> 7 AND id NOT IN (SELECT id FROM $prev)$pred)"""
+      .stripMargin
+  }
+
+  /** One unrolled hop of the BATCHED beam-walk oracle — the q286
+    * shape parametrized: per-pid top-`beam` frontier by `ord`, scores
+    * from `allsc(pid, id, c)`, `pred` the stratum conjunct (alias
+    * `al`).
+    */
+  private def batchWalkHop(i: Int, beam: Int, ord: String,
+      pred: String): String = {
+    val prev = if (i == 1) "sc0" else s"sc${i - 1}"
+    s"""bm$i AS (
+       | SELECT pid, id FROM (
+       |  SELECT pid, id, row_number() OVER (
+       |   PARTITION BY pid ORDER BY $ord) AS rr FROM $prev)
+       | WHERE rr <= $beam),
+       |nb$i AS (
+       | SELECT DISTINCT b.pid, eg.nbr AS id
+       | FROM eg JOIN bm$i b ON eg.id = b.id),
+       |new$i AS (
+       | SELECT al.pid, al.id, al.c FROM allsc al
+       | JOIN nb$i ON nb$i.pid = al.pid AND nb$i.id = al.id
+       | LEFT JOIN $prev s ON s.pid = al.pid AND s.id = al.id
+       | WHERE s.id IS NULL$pred),
+       |sc$i AS MATERIALIZED (
+       | SELECT * FROM $prev UNION ALL SELECT * FROM new$i)"""
+      .stripMargin
+  }
+
+  /** Batched probe CTEs shared by the batch-walk oracles: `prbv`
+    * (pids < `nPids` with float vectors), `xallc(pid, id, c)` = exact
+    * cosine of every (probe, len-64 candidate) pair, and the per-pid
+    * nprobe-1 router cell `gcell(pid, j)`. Each walk oracle supplies
+    * its own `allsc` traversal metric (cos walks alias xallc; ADC
+    * walks derive the per-pid code-distance chain).
+    */
+  private def batchWalkPreamble(nPids: Int): String =
+    s"""prbv AS MATERIALIZED (
+       | SELECT vec_id AS pid, embedding AS pv FROM embeddings
+       | WHERE vec_id < $nPids AND len(embedding) = 64),
+       |xallc AS MATERIALIZED (
+       | SELECT p.pid, e.vec_id AS id,
+       |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
+       |   6) * 1000000) AS BIGINT) AS c
+       | FROM embeddings e, prbv p
+       | WHERE e.vec_id <> p.pid AND len(e.embedding) = 64),
+       |g1d AS (
+       | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+       | FROM (SELECT id AS pid, gi AS i, m FROM exall
+       |   WHERE id < $nPids) q
+       | JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+       |gcell AS MATERIALIZED (
+       | SELECT pid, j FROM (
+       |  SELECT pid, j, row_number() OVER (
+       |   PARTITION BY pid ORDER BY d, j) AS rr FROM g1d)
+       | WHERE rr <= 1)""".stripMargin
+
   private def pqCodesOracle: String =
     s"""WITH $pqOracle
        |SELECT a2_0.id AS vec_id, CAST(a2_0.j AS BIGINT) AS code0,
@@ -1346,6 +1446,413 @@ object CurationQueries {
            |   ELSE 1000000 // (60 + ll.rl) END AS rrf
            | FROM dd FULL JOIN ll
            |  ON ll.pid = dd.pid AND ll.id = dd.id)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(id AS BIGINT) AS id,
+           | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
+           |FROM (
+           | SELECT pid, id, rrf, CAST(row_number() OVER (
+           |  PARTITION BY pid ORDER BY rrf DESC, id) AS BIGINT) AS rnk
+           | FROM f)
+           |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+
+    // FILTERED graph-tier serving (round-14 brief item 2): the q245
+    // stratum pre-filter lifted to the beam walk — the predicate
+    // admits candidates BEFORE every beam prune (seeds and each hop),
+    // so a stratum member is never lost to a non-member occupying a
+    // beam slot and the traversal is confined to the stratum
+    // subgraph. The oracle is q284's closed-form walk replay with the
+    // conjunct applied at the same admission points.
+    "q289_graph_filtered_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q289").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2", "--filter", "id % 2 = 0"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |${probe7CosCte("allsc")},
+           |$probe7CellCtes,
+           |sc0 AS MATERIALIZED (
+           | SELECT id, c FROM (
+           |  SELECT a.id, allsc.c, row_number() OVER (
+           |   ORDER BY allsc.c DESC, a.id) AS rr
+           |  FROM aI2 a JOIN allsc ON allsc.id = a.id
+           |  WHERE a.j IN (SELECT j FROM gcell) AND a.id <> 7
+           |   AND a.id % 2 = 0)
+           | WHERE rr <= 6),
+           |${walkHop(1, 6, "c DESC, id", " AND id % 2 = 0")},
+           |${walkHop(2, 6, "c DESC, id", " AND id % 2 = 0")}
+           |SELECT CAST(id AS BIGINT) AS id, c AS cos_x1e6 FROM (
+           | SELECT id, c, row_number() OVER (ORDER BY c DESC, id) AS rr
+           | FROM sc2)
+           |WHERE rr <= 5 ORDER BY rr""".stripMargin)),
+
+    // RERANKED graph-tier serving (round-14 brief item 2): with
+    // --rerank the walk scores candidates by PQ-ADC — code lookups
+    // only, the HNSW-style cheap-walk/exact-tail split — and the
+    // float source is touched ONCE, for the final shortlist's exact
+    // cosine re-rank. The oracle replays the same walk with the ADC
+    // metric (probe slice-distance tables against the q185 codebook
+    // chain, summed by each candidate's codes) and the exact tail.
+    "q290_graph_rerank_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q290").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2", "--rerank", "6"))
+      },
+      Some(
+        s"""WITH $pqOracle,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |${probe7CosCte("xcos")},
+           |pt0 AS MATERIALIZED (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7 AND gi < 32) q
+           | JOIN c1_0 c USING (i) GROUP BY 1),
+           |pt1 AS MATERIALIZED (
+           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT gi - 32 AS i, m FROM exall
+           |   WHERE id = 7 AND gi >= 32) q
+           | JOIN c1_1 c USING (i) GROUP BY 1),
+           |allsc AS MATERIALIZED (
+           | SELECT a2_0.id, CAST(p0.d + p1.d AS BIGINT) AS c
+           | FROM a2_0 JOIN a2_1 USING (id)
+           | JOIN pt0 p0 ON p0.j = a2_0.j
+           | JOIN pt1 p1 ON p1.j = a2_1.j
+           | WHERE a2_0.id <> 7),
+           |$probe7CellCtes,
+           |sc0 AS MATERIALIZED (
+           | SELECT id, c FROM (
+           |  SELECT a.id, allsc.c, row_number() OVER (
+           |   ORDER BY allsc.c, a.id) AS rr
+           |  FROM aI2 a JOIN allsc ON allsc.id = a.id
+           |  WHERE a.j IN (SELECT j FROM gcell) AND a.id <> 7)
+           | WHERE rr <= 6),
+           |${walkHop(1, 6, "c, id", "")},
+           |${walkHop(2, 6, "c, id", "")},
+           |short AS (
+           | SELECT id, c AS adc FROM (
+           |  SELECT id, c, row_number() OVER (ORDER BY c, id) AS rr
+           |  FROM sc2)
+           | WHERE rr <= 6)
+           |SELECT CAST(id AS BIGINT) AS id, adc, c AS cos_x1e6 FROM (
+           | SELECT s.id, s.adc, x.c, row_number() OVER (
+           |  ORDER BY x.c DESC, s.id) AS rr
+           | FROM short s JOIN xcos x ON x.id = s.id)
+           |WHERE rr <= 5 ORDER BY rr""".stripMargin)),
+
+    // FILTERED graph-tier serving AT BATCH SCALE: q289's stratum
+    // walk for three probes through ONE BSP traversal — admission
+    // (tombstones + predicate) before every per-probe beam prune,
+    // exactly the single-probe contract per pid. Oracle = q286's
+    // per-pid replay with the conjunct at the same points.
+    "q291_graph_batch_filtered" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q291").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2", "--filter", "id % 2 = 0"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |${batchWalkPreamble(3)},
+           |allsc AS (SELECT pid, id, c FROM xallc),
+           |sc0 AS MATERIALIZED (
+           | SELECT pid, id, c FROM (
+           |  SELECT al.pid, al.id, al.c, row_number() OVER (
+           |   PARTITION BY al.pid ORDER BY al.c DESC, al.id) AS rr
+           |  FROM aI2 a JOIN gcell g ON g.j = a.j
+           |  JOIN allsc al ON al.pid = g.pid AND al.id = a.id
+           |  WHERE al.id % 2 = 0)
+           | WHERE rr <= 6),
+           |${batchWalkHop(1, 6, "c DESC, id", " AND al.id % 2 = 0")},
+           |${batchWalkHop(2, 6, "c DESC, id", " AND al.id % 2 = 0")}
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(rr AS BIGINT) AS rnk, CAST(id AS BIGINT) AS id,
+           | c AS cos_x1e6
+           |FROM (SELECT pid, id, c, row_number() OVER (
+           |  PARTITION BY pid ORDER BY c DESC, id) AS rr FROM sc2)
+           |WHERE rr <= 5 ORDER BY 1, 2""".stripMargin)),
+
+    // RERANKED graph-tier serving AT BATCH SCALE: q290's ADC walk +
+    // exact tail for three probes — per hop ONE codes join for the
+    // whole frame, ONE float-source rejoin for all shortlists.
+    // Oracle: per-pid ADC tables against the q185 codebook chain,
+    // the walk per pid, the exact tail per pid.
+    "q292_graph_batch_rerank" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q292").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2", "--rerank", "6"))
+      },
+      Some(
+        s"""WITH $pqOracle,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |${batchWalkPreamble(3)},
+           |bpt0 AS MATERIALIZED (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi AS i, m FROM exall
+           |   WHERE id < 3 AND gi < 32) q
+           | JOIN c1_0 c USING (i) GROUP BY 1, 2),
+           |bpt1 AS MATERIALIZED (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM (SELECT id AS pid, gi - 32 AS i, m FROM exall
+           |   WHERE id < 3 AND gi >= 32) q
+           | JOIN c1_1 c USING (i) GROUP BY 1, 2),
+           |allsc AS MATERIALIZED (
+           | SELECT p0.pid, a2_0.id, CAST(p0.d + p1.d AS BIGINT) AS c
+           | FROM a2_0 JOIN a2_1 USING (id)
+           | JOIN bpt0 p0 ON p0.j = a2_0.j
+           | JOIN bpt1 p1 ON p1.j = a2_1.j AND p1.pid = p0.pid
+           | WHERE a2_0.id <> p0.pid),
+           |sc0 AS MATERIALIZED (
+           | SELECT pid, id, c FROM (
+           |  SELECT al.pid, al.id, al.c, row_number() OVER (
+           |   PARTITION BY al.pid ORDER BY al.c, al.id) AS rr
+           |  FROM aI2 a JOIN gcell g ON g.j = a.j
+           |  JOIN allsc al ON al.pid = g.pid AND al.id = a.id)
+           | WHERE rr <= 6),
+           |${batchWalkHop(1, 6, "c, id", "")},
+           |${batchWalkHop(2, 6, "c, id", "")},
+           |short AS (
+           | SELECT pid, id, c AS adc FROM (
+           |  SELECT pid, id, c, row_number() OVER (
+           |   PARTITION BY pid ORDER BY c, id) AS rr FROM sc2)
+           | WHERE rr <= 6)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(rr AS BIGINT) AS rnk, CAST(id AS BIGINT) AS id,
+           | adc, c AS cos_x1e6
+           |FROM (
+           | SELECT s.pid, s.id, s.adc, x.c, row_number() OVER (
+           |  PARTITION BY s.pid ORDER BY x.c DESC, s.id) AS rr
+           | FROM short s JOIN xallc x ON x.pid = s.pid AND x.id = s.id)
+           |WHERE rr <= 5 ORDER BY 1, 2""".stripMargin)),
+
+    // THREE-ARM hybrid batch serving (round-14 brief item 2's last
+    // clause): q287's fusion with the GRAPH tier as a third arm —
+    // SQ8-ADC dense + BM25 lexical + graph beam walk, each arm its
+    // searchBatch kernel at k=20, RRF(60) over the 3-way candidate
+    // union (absent arm contributes 0), one WindowGroupLimit. The
+    // oracle is q287's dense+lexical chains at 20 plus the q286 walk
+    // chain at beam 20, fused by the same integer RRF.
+    "q293_hybrid_graph_arm" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q293").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        t(s, dir, "embeddings").filter(col("vec_id") < 3)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        t(s, dir, "documents").filter(col("doc_id") < 3)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ",
+              slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+          .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+        val dense = graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "20", "--nprobe", "2", "--tier", "sq8"))
+          .select(col("probe_id").as("pid"), col("id"),
+            col("rnk").as("rd"))
+        val lex = graft.tools.LexIndex.searchBatch(s, Array(
+          s"$tmp/lex", s"$tmp/queries.parquet", "--k", "20"))
+          .select(col("query_id").as("pid"), col("id"),
+            col("rnk").as("rl"))
+        val gra = graft.tools.IndexCorpus.searchBatch(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet",
+          "--k", "20", "--nprobe", "1", "--tier", "graph",
+          "--beam", "20", "--hops", "2"))
+          .select(col("probe_id").as("pid"), col("id"),
+            col("rnk").as("rg"))
+        dense.join(lex, Seq("pid", "id"), "full_outer")
+          .join(gra, Seq("pid", "id"), "full_outer")
+          .withColumn("rrf_x1e6", expr(
+            "CAST(CASE WHEN rd IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rd) END" +
+              " + CASE WHEN rl IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rl) END" +
+              " + CASE WHEN rg IS NULL THEN 0" +
+              " ELSE 1000000 DIV (60 + rg) END AS BIGINT)"))
+          .withColumn("rnk", row_number().over(w.partitionBy(col("pid"))
+            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("pid").as("probe_id"), col("id"),
+            col("rrf_x1e6"), col("rnk"))
+          .orderBy(col("probe_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |prb AS MATERIALIZED (
+           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 3),
+           |pqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM prb q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |pcells AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi),
+           |dadc AS MATERIALIZED (
+           | SELECT q.pid, dq.id,
+           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           | FROM dq JOIN prb q USING (i)
+           | JOIN aI2 ON aI2.id = dq.id
+           | JOIN pcells pc ON pc.pid = q.pid AND pc.j = aI2.j
+           | WHERE dq.id <> q.pid
+           | GROUP BY 1, 2),
+           |dd AS MATERIALIZED (
+           | SELECT pid, id, rd FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY adc, id) AS rd
+           |  FROM dadc) WHERE rd <= 20),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |ltoks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |ltf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM ltoks GROUP BY 1, 2),
+           |ldl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM ltoks GROUP BY 1),
+           |lg AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM ldl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |lqt AS MATERIALIZED (
+           | SELECT id AS pid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 3),
+           |ldfq AS MATERIALIZED (
+           | SELECT ltf.t, count(*) AS df
+           | FROM ltf JOIN (SELECT DISTINCT t FROM lqt) q ON q.t = ltf.t
+           | GROUP BY 1),
+           |lcand AS MATERIALIZED (
+           | SELECT lqt.pid, ltf.id, ltf.tf, ldl.dl, lg.avgdl,
+           |  CAST(length(printf('%b', lg.n // ldfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM lqt JOIN ldfq ON ldfq.t = lqt.t
+           | JOIN ltf ON ltf.t = lqt.t
+           | JOIN ldl ON ldl.id = ltf.id, lg
+           | WHERE length(printf('%b', lg.n // ldfq.df)) - 1 > 0),
+           |lsc AS MATERIALIZED (
+           | SELECT pid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM lcand GROUP BY 1, 2),
+           |ll AS MATERIALIZED (
+           | SELECT pid, id, rl FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY score DESC, id) AS rl
+           |  FROM lsc) WHERE rl <= 20),
+           |${batchWalkPreamble(3)},
+           |allsc AS (SELECT pid, id, c FROM xallc),
+           |sc0 AS MATERIALIZED (
+           | SELECT pid, id, c FROM (
+           |  SELECT al.pid, al.id, al.c, row_number() OVER (
+           |   PARTITION BY al.pid ORDER BY al.c DESC, al.id) AS rr
+           |  FROM aI2 a JOIN gcell g ON g.j = a.j
+           |  JOIN allsc al ON al.pid = g.pid AND al.id = a.id)
+           | WHERE rr <= 20),
+           |${batchWalkHop(1, 20, "c DESC, id", "")},
+           |${batchWalkHop(2, 20, "c DESC, id", "")},
+           |gg AS MATERIALIZED (
+           | SELECT pid, id, rg FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY c DESC, id) AS rg FROM sc2)
+           | WHERE rg <= 20),
+           |f2 AS (
+           | SELECT coalesce(dd.pid, ll.pid) AS pid,
+           |  coalesce(dd.id, ll.id) AS id, dd.rd, ll.rl
+           | FROM dd FULL JOIN ll ON ll.pid = dd.pid AND ll.id = dd.id),
+           |f3 AS (
+           | SELECT coalesce(f2.pid, gg.pid) AS pid,
+           |  coalesce(f2.id, gg.id) AS id, f2.rd, f2.rl, gg.rg
+           | FROM f2 FULL JOIN gg ON gg.pid = f2.pid AND gg.id = f2.id),
+           |f AS (
+           | SELECT pid, id,
+           |  CASE WHEN rd IS NULL THEN 0 ELSE 1000000 // (60 + rd) END
+           |  + CASE WHEN rl IS NULL THEN 0 ELSE 1000000 // (60 + rl) END
+           |  + CASE WHEN rg IS NULL THEN 0 ELSE 1000000 // (60 + rg) END
+           |   AS rrf
+           | FROM f3)
            |SELECT CAST(pid AS BIGINT) AS probe_id,
            | CAST(id AS BIGINT) AS id,
            | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
