@@ -90,6 +90,7 @@ import graft.ops.SemDedup
   *     <emb.parquet> <probes.parquet> [--id vec_id] [--vec embedding]
   *     [--k 10] [--nprobe 2] [--tier pq|sq8|graph]
   *     [--filter "<sqlExpr>"] [--rerank N] [--beam 8] [--hops 2]
+  *     [--max-broadcast-probes 65536]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -1070,6 +1071,19 @@ object IndexCorpus {
       .join(spark.read.parquet(probesIn)
         .select(col(idCol).cast("long").as("pid")).distinct(),
         Seq("pid"), "left_semi"))
+    // probe-side frames (the probe vectors, the probe-derived distance
+    // tables, the rerank vector frame) BROADCAST while the probe
+    // count fits the cap; past it the SAME joins run as merge-hinted
+    // shuffles (the hint keeps AQE from re-broadcasting a frame the
+    // caller declared too big) — millions of probes serve without
+    // exceeding executor memory, at one extra exchange. Note the pq
+    // distance table carries pqM x pqK rows PER PROBE — size the cap
+    // to the derived frame, not just the probe count.
+    val maxBcast = flags.getOrElse("max-broadcast-probes", "65536").toLong
+    val probeSide: DataFrame => DataFrame = {
+      val n = probes.count()
+      df => if (n <= maxBcast) broadcast(df) else df.hint("merge")
+    }
 
     // route every probe: broadcast centroid join, per-probe
     // top-nprobe by (distance, cell) — one WindowGroupLimit
@@ -1115,7 +1129,7 @@ object IndexCorpus {
         restrictCells(Artifacts.read(spark, idx, "sq8_codes"),
           probedCells.map(Long.unbox), cbN).drop("cell", "cb")
           .join(cand.select(col("pid"), col("id")), Seq("id"))
-          .join(broadcast(probes), Seq("pid"))
+          .join(probeSide(probes), Seq("pid"))
           .select(col("pid"), col("id"),
             graft.ops.VectorExpressions.sqDist(
               graft.ops.VectorExpressions.sq8UnpackDequant(
@@ -1143,7 +1157,7 @@ object IndexCorpus {
           restrictCells(Artifacts.read(spark, idx, "pq_codes"),
             probedCells.map(Long.unbox), cbN).drop("cell", "cb")
             .join(cand.select(col("pid"), col("id")), Seq("id"))
-            .join(broadcast(table), Seq("pid", "s", "code"))
+            .join(probeSide(table), Seq("pid", "s", "code"))
             .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
         } else {
           // residual tables are keyed by (probe, cell): the probe's
@@ -1161,7 +1175,7 @@ object IndexCorpus {
           restrictCells(Artifacts.read(spark, idx, "pq_codes"),
             probedCells.map(Long.unbox), cbN).drop("cb")
             .join(cand.select(col("pid"), col("id")), Seq("id"))
-            .join(broadcast(table), Seq("pid", "cell", "s", "code"))
+            .join(probeSide(table), Seq("pid", "cell", "s", "code"))
             .groupBy(col("pid"), col("id")).agg(sum(col("d")).as("adc"))
         }
       }
@@ -1194,7 +1208,7 @@ object IndexCorpus {
         spark.read.parquet(in).filter(size(col(vecCol)) === dims)
           .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
           .join(shortlist, Seq("id"))
-          .join(broadcast(pf), Seq("pid"))
+          .join(probeSide(pf), Seq("pid"))
           .select(col("pid"), col("id"), col("adc"),
             round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
               6) * lit(1000000d)).cast("long").as("cos_x1e6"))
@@ -1244,6 +1258,16 @@ object IndexCorpus {
       .join(spark.read.parquet(probesIn)
         .select(col(idCol).cast("long").as("pid")).distinct(),
         Seq("pid"), "left_semi"))
+    // the same probe-count broadcast cap as the pq/sq8 batch path:
+    // probe-derived frames (probe vectors, per-hop beam frames, the
+    // ADC tables) broadcast under the cap, merge-hinted shuffle past
+    // it — unbounded probe frames serve without exceeding executor
+    // memory
+    val maxBcast = flags.getOrElse("max-broadcast-probes", "65536").toLong
+    val probeSide: DataFrame => DataFrame = {
+      val n = probes.count()
+      df => if (n <= maxBcast) broadcast(df) else df.hint("merge")
+    }
     val wRoute = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("cd"), col("cell"))
     val routed = graft.Scratch.cache(probes
@@ -1318,7 +1342,7 @@ object IndexCorpus {
         spark.read.parquet(in).filter(size(col(vecCol)) === dims)
           .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
           .join(live, Seq("id"))
-          .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
+          .join(probeSide(probes.select(col("pid"), col("pv"))), Seq("pid"))
           .select(col("pid"), col("id"),
             round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
               6) * lit(1000000d)).cast("long").as("c"))
@@ -1346,7 +1370,7 @@ object IndexCorpus {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam)
         .select(col("pid"), col("id"))
-      val fresh = graphDf.join(broadcast(beamDf), Seq("id"))
+      val fresh = graphDf.join(probeSide(beamDf), Seq("id"))
         .select(col("pid"), col("nbr").as("id")).distinct()
         .filter(col("id") =!= col("pid"))
         .join(visited.select(col("pid"), col("id")),
@@ -1381,7 +1405,7 @@ object IndexCorpus {
         spark.read.parquet(in).filter(size(col(vecCol)) === dims)
           .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
           .join(shortlist, Seq("id"))
-          .join(broadcast(probes.select(col("pid"), col("pv"))), Seq("pid"))
+          .join(probeSide(probes.select(col("pid"), col("pv"))), Seq("pid"))
           .select(col("pid"), col("id"), col("adc"),
             round(round(graft.ops.Similarity.cosine(col("v"), col("pv")),
               6) * lit(1000000d)).cast("long").as("cos_x1e6"))

@@ -80,6 +80,7 @@ import graft.ops.TextOps
   *     [--k 10]
   *   runMain graft.tools.LexIndex searchBatch <indexDir>
   *     <queries.parquet> [--id query_id] [--text text] [--k 10]
+  *     [--max-inline-terms 4096] [--max-broadcast-probes 262144]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -556,6 +557,14 @@ object LexIndex {
     // (driver-bounded); past the cap only the bucket partition filter
     // restricts the scan and the terms meet it as a broadcast join
     val maxInline = flags.getOrElse("max-inline-terms", "4096").toInt
+    // the probe frame broadcasts onto the restricted posting lists
+    // while it fits executor memory; past the cap (measured in
+    // (query, term) pairs — the broadcast's actual row count) the
+    // same join runs as a SHUFFLE (merge-hinted, so AQE can't
+    // re-broadcast a frame the caller declared too big) — millions
+    // of probes serve without a driver-side OOM, at one extra
+    // exchange of the probe pairs
+    val maxBcast = flags.getOrElse("max-broadcast-probes", "262144").toLong
     GraftSession.tune(spark)
 
     val stats = Artifacts.read(spark, idx, "stats").collect()
@@ -612,7 +621,10 @@ object LexIndex {
     val qPostDl =
       if (postingsAll.schema.fieldNames.contains("dl")) qPost
       else qPost.join(Artifacts.read(spark, idx, "doclens"), Seq("id"))
-    val scored = qPostDl.join(broadcast(qTerms), Seq("t"))
+    val probeSide =
+      if (qTerms.count() <= maxBcast) broadcast(qTerms)
+      else qTerms.hint("merge")
+    val scored = qPostDl.join(probeSide, Seq("t"))
       .join(broadcast(dfq), Seq("t"))
       .withColumn("term", expr(
         s"idf * 22000 * tf * $avgdl DIV " +

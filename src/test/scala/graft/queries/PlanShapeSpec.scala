@@ -164,6 +164,79 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.Scratch.release()
   }
 
+  test("batch serving probe-side broadcast cap: under the cap the " +
+    "probe frame broadcasts onto the restricted lists; past it the " +
+    "same join falls back to a merge-hinted SHUFFLE (lexical and " +
+    "vector paths, both modes pinned)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("plan_bcap").toString
+    graft.tools.LexIndex.build(spark,
+      Array(s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 4)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.ops.TextOps.tokens(col("text")), 1, 5))
+          .as("text"))
+      .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+    def lexPlan(extra: String*): String = {
+      val df = graft.tools.LexIndex.searchBatch(spark,
+        Array(s"$tmp/lex", s"$tmp/queries.parquet", "--k", "5") ++ extra)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val pB = lexPlan()
+    assert(!pB.contains("SortMergeJoin"),
+      s"default-cap lexical batch plan shuffled the probe join:\n$pB")
+    val pS = lexPlan("--max-broadcast-probes", "0")
+    assert(pS.contains("SortMergeJoin"),
+      s"past-cap lexical batch plan did not fall back to a shuffle:\n$pS")
+
+    graft.tools.IndexCorpus.build(spark, Array(s"$dir/embeddings.parquet",
+      s"$tmp/idx", "--ivf-k", "4", "--sq8", "true"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 4).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+    def vecPlan(extra: String*): String = {
+      val df = graft.tools.IndexCorpus.searchBatch(spark,
+        Array(s"$tmp/idx", s"$dir/embeddings.parquet",
+          s"$tmp/probes.parquet", "--k", "5", "--nprobe", "2",
+          "--tier", "sq8") ++ extra)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // the probe join is the pid-keyed one; pin it specifically (the
+    // cell-keyed candidate join is free to shuffle in either mode)
+    def pidSmj(p: String): Boolean = p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("pid#"))
+    def pidBcast(p: String): Boolean = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("pid#"))
+    val vB = vecPlan()
+    assert(pidBcast(vB) && !pidSmj(vB),
+      s"default-cap vector batch plan lost the probe broadcast:\n$vB")
+    val vS = vecPlan("--max-broadcast-probes", "0")
+    assert(pidSmj(vS),
+      s"past-cap vector batch plan did not fall back to a shuffle:\n$vS")
+    // both modes must return identical answers (the cap is a plan
+    // knob, never a semantics knob)
+    val a = graft.tools.IndexCorpus.searchBatch(spark,
+      Array(s"$tmp/idx", s"$dir/embeddings.parquet", s"$tmp/probes.parquet",
+        "--k", "5", "--nprobe", "2", "--tier", "sq8")).collect().toSeq
+    val b = graft.tools.IndexCorpus.searchBatch(spark,
+      Array(s"$tmp/idx", s"$dir/embeddings.parquet", s"$tmp/probes.parquet",
+        "--k", "5", "--nprobe", "2", "--tier", "sq8",
+        "--max-broadcast-probes", "0")).collect().toSeq
+    assert(a == b, "broadcast/shuffle modes disagree")
+    val al = graft.tools.LexIndex.searchBatch(spark,
+      Array(s"$tmp/lex", s"$tmp/queries.parquet", "--k", "5"))
+      .collect().toSeq
+    val bl = graft.tools.LexIndex.searchBatch(spark,
+      Array(s"$tmp/lex", s"$tmp/queries.parquet", "--k", "5",
+        "--max-broadcast-probes", "0")).collect().toSeq
+    assert(al == bl, "broadcast/shuffle lexical modes disagree")
+    graft.Scratch.release()
+  }
+
   test("knn graph: blocked equi-joins only (no cartesian), fused " +
     "cosine verify, per-node top-k as WindowGroupLimit") {
     val p = plan("q274_knn_graph")
