@@ -918,6 +918,51 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** APPEND-side candidate generator for an incrementally maintained
+    * kNN graph: exactly the pairs [[nearDupPairsMultiTable]] over
+    * `all` would emit whose AT LEAST ONE endpoint is in `newIds` —
+    * per table, the all-side meets only the NEW side's buckets, so
+    * the join fan-out is proportional to the append wave, never the
+    * corpus (an append must not repay the build — the graph twin of
+    * the tombstone-delete discipline). Cross-table exactly-once by
+    * the same first-table-wins rule; within a table an (old, new)
+    * pair emits once by construction and a (new, new) pair
+    * canonicalizes to id_a < id_b. Same (id_a, id_b, cos) contract:
+    * cosine rounded to 6dp, floored at `minCos`.
+    */
+  def knnGraphAppendPairs(all: DataFrame, newIds: DataFrame,
+      idCol: String, vecCol: String,
+      planeTables: Seq[Array[Array[Int]]], minCos: Double): DataFrame = {
+    val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
+      lshBucket(col(vecCol), p).as(s"b$t")
+    }
+    val marked = graft.Scratch.cache(all.select(
+      (col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols): _*)
+      .join(broadcast(newIds.select(col("id"), lit(1L).as("isn"))),
+        Seq("id"), "left")
+      .withColumn("isn", coalesce(col("isn"), lit(0L))))
+    val tables = planeTables.indices.map { t =>
+      val aSide = marked.select(
+        col(s"b$t").as("bk") +: col("id").as("id_a") +: col("v").as("v_a") +:
+          col("isn").as("isn_a") +:
+          (0 until t).map(u => col(s"b$u").as(s"a$u")): _*)
+      val bSide = marked.filter(col("isn") === 1L).select(
+        col(s"b$t").as("bk") +: col("id").as("id_b") +: col("v").as("v_b") +:
+          (0 until t).map(u => col(s"b$u").as(s"bb$u")): _*)
+      val joined = aSide.join(bSide, Seq("bk"))
+        .filter(col("id_a") =!= col("id_b"))
+        // (new, new) pairs appear in both orders; (old, new) only as
+        // a = old (the b side is new-only)
+        .filter(col("isn_a") === 0L || col("id_a") < col("id_b"))
+      val fresh = (0 until t).foldLeft(joined) { (df, u) =>
+        df.filter(col(s"a$u") =!= col(s"bb$u"))
+      }
+      fresh.select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+    }
+    tables.reduce(_ unionByName _).filter(col("cos") >= minCos)
+  }
+
   /** Exact retrieval-quality metrics for a bounded anchor sample:
     * each anchor (ids in [0, nAnchors), [[hardNegatives]]' contract)
     * ranks the whole corpus by cosine (ties broken by candidate id)

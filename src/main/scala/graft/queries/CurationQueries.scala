@@ -291,6 +291,32 @@ object CurationQueries {
        |${pqSubChain("exres", 0)},
        |${pqSubChain("exres", 1)}""".stripMargin
 
+  /** The q284 full-build graph-walk oracle: q274's graph chain, the
+    * nprobe-1 router seeds, both hops, (cos desc, id) ties — shared
+    * VERBATIM by q294 (graph --append must be indistinguishable from
+    * this full rebuild).
+    */
+  private lazy val graphSearchOracle: String =
+    s"""WITH $pqPreamble,
+       |$routerCtes,
+       |${OpsQueries.knnPairCtes},
+       |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+       |${probe7CosCte("allsc")},
+       |$probe7CellCtes,
+       |sc0 AS MATERIALIZED (
+       | SELECT id, c FROM (
+       |  SELECT a.id, allsc.c, row_number() OVER (
+       |   ORDER BY allsc.c DESC, a.id) AS rr
+       |  FROM aI2 a JOIN allsc ON allsc.id = a.id
+       |  WHERE a.j IN (SELECT j FROM gcell) AND a.id <> 7)
+       | WHERE rr <= 6),
+       |${walkHop(1, 6, "c DESC, id", "")},
+       |${walkHop(2, 6, "c DESC, id", "")}
+       |SELECT CAST(id AS BIGINT) AS id, c AS cos_x1e6 FROM (
+       | SELECT id, c, row_number() OVER (ORDER BY c DESC, id) AS rr
+       | FROM sc2)
+       |WHERE rr <= 5 ORDER BY rr""".stripMargin
+
   /** Probe-7 exact-cosine score CTE `name(id, c)` over the len-64
     * corpus — the traversal metric (and rerank tail) of the
     * single-probe graph-walk oracles.
@@ -1111,55 +1137,37 @@ object CurationQueries {
           "--k", "5", "--nprobe", "1", "--tier", "graph",
           "--beam", "6", "--hops", "2"))
       },
-      Some(
-        s"""WITH $pqPreamble,
-           |$routerCtes,
-           |${OpsQueries.knnPairCtes},
-           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
-           |allcos AS MATERIALIZED (
-           | SELECT e.vec_id AS id,
-           |  CAST(round(round(${OpsQueries.cosSql("e.embedding", "p.pv")},
-           |   6) * 1000000) AS BIGINT) AS c
-           | FROM embeddings e, (SELECT embedding AS pv FROM embeddings
-           |   WHERE vec_id = 7) p
-           | WHERE e.vec_id <> 7 AND len(e.embedding) = 64),
-           |gpqd AS (
-           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
-           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
-           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
-           |gcell AS (
-           | SELECT j FROM (
-           |  SELECT j, row_number() OVER (ORDER BY d, j) AS rr FROM gpqd)
-           | WHERE rr <= 1),
-           |sc0 AS MATERIALIZED (
-           | SELECT id, c FROM (
-           |  SELECT a.id, allcos.c, row_number() OVER (
-           |   ORDER BY allcos.c DESC, a.id) AS rr
-           |  FROM aI2 a JOIN allcos ON allcos.id = a.id
-           |  WHERE a.j IN (SELECT j FROM gcell) AND a.id <> 7)
-           | WHERE rr <= 6),
-           |sc1 AS MATERIALIZED (
-           | SELECT id, c FROM sc0
-           | UNION ALL
-           | SELECT id, c FROM allcos WHERE id IN (
-           |  SELECT DISTINCT eg.nbr FROM eg JOIN (
-           |   SELECT id FROM (SELECT id, row_number() OVER (
-           |    ORDER BY c DESC, id) AS rr FROM sc0) WHERE rr <= 6) b0
-           |  ON eg.id = b0.id)
-           | AND id <> 7 AND id NOT IN (SELECT id FROM sc0)),
-           |sc2 AS MATERIALIZED (
-           | SELECT id, c FROM sc1
-           | UNION ALL
-           | SELECT id, c FROM allcos WHERE id IN (
-           |  SELECT DISTINCT eg.nbr FROM eg JOIN (
-           |   SELECT id FROM (SELECT id, row_number() OVER (
-           |    ORDER BY c DESC, id) AS rr FROM sc1) WHERE rr <= 6) b1
-           |  ON eg.id = b1.id)
-           | AND id <> 7 AND id NOT IN (SELECT id FROM sc1))
-           |SELECT CAST(id AS BIGINT) AS id, c AS cos_x1e6 FROM (
-           | SELECT id, c, row_number() OVER (ORDER BY c DESC, id) AS rr
-           | FROM sc2)
-           |WHERE rr <= 5 ORDER BY rr""".stripMargin)),
+      Some(graphSearchOracle)),
+
+    // GRAPH APPEND equivalence, driver-checked THROUGH THE ARTIFACTS
+    // (round-14 brief item 4): build the graph over a 3/4 subset,
+    // `graph --append` the full file (LSH-blocks only new-vs-all,
+    // appends one superseding edge segment — no full rebuild), then
+    // search. The walk must be indistinguishable from a from-scratch
+    // graph over the union — q294 shares q284's full-build oracle
+    // VERBATIM (the q268/q278 equivalence discipline), which IS the
+    // proof.
+    "q294_graph_append_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q294").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$tmp/old.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "--append", "true"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(graphSearchOracle)),
 
     // BATCHED graph-tier serving: q284's beam walk for THREE probes
     // as ONE synchronized BSP traversal (searchBatch --tier graph) —

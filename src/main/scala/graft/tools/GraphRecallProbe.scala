@@ -34,6 +34,67 @@ object GraphRecallProbe {
     // walk's recall is bounded by the graph, not the walk)
     val deg = sys.env.getOrElse("SPARK_GRAFT_GRAPH_DEG", "3")
     val planes = sys.env.getOrElse("SPARK_GRAFT_GRAPH_PLANES", "12")
+
+    // STALENESS mode (round 14): price the graph's model-class
+    // contract — vectors ingested AFTER the last graph build reach
+    // the walk only as probed-cell seeds, never through hops, until
+    // a rebuild or `--append`. Measures recall@10 vs exact as 1/8,
+    // 1/4, 1/2 of the corpus arrives post-build, then proves
+    // `graph --append` restores the full-build recall at
+    // wave-proportional cost (append == rebuild, q294's identity).
+    if (sys.env.get("SPARK_GRAFT_GRAPH_STALENESS").contains("1")) {
+      import org.apache.spark.sql.functions._
+      IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
+      def ids2(args: Array[String]): Set[Long] =
+        IndexCorpus.search(spark, args).collect().map(_.getLong(0)).toSet
+      val probes2 = (0L until 20L).toSeq
+      val exact2 = probes2.map { p =>
+        p -> ids2(Array(idx, emb, p.toString, "--k", "10", "--nprobe", "2",
+          "--tier", "exact"))
+      }.toMap
+      def recall(): Double = probes2.map { p =>
+        (ids2(Array(idx, emb, p.toString, "--k", "10", "--nprobe", "1",
+          "--tier", "graph", "--beam", "32", "--hops", "3"))
+          intersect exact2(p)).size
+      }.sum / 20.0
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tFull) = timed {
+        IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
+          "--planes", planes, "--bands", "2"))
+      }
+      graft.Scratch.release()
+      println(s"""[graphstale] {"deg":$deg,"planes":$planes,""" +
+        s""""post_build_share":0.0,"mean_recall_at_10":${recall()},""" +
+        f""""build_sec":$tFull%.2f}""")
+      for (frac <- Seq(8, 4, 2)) {
+        spark.read.parquet(emb)
+          .filter(pmod(col("vec_id"), lit(frac.toLong)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/sub$frac.parquet")
+        IndexCorpus.graph(spark, Array(idx, s"$tmp/sub$frac.parquet",
+          "--deg", deg, "--planes", planes, "--bands", "2"))
+        graft.Scratch.release()
+        println(s"""[graphstale] {"deg":$deg,"planes":$planes,""" +
+          s""""post_build_share":${1.0 / frac},""" +
+          s""""mean_recall_at_10":${recall()}}""")
+      }
+      // append from the most-stale state (1/2 post-build): recall
+      // must return to the full-build row, at wave cost
+      val (_, tApp) = timed {
+        IndexCorpus.graph(spark, Array(idx, emb, "--append", "true"))
+      }
+      graft.Scratch.release()
+      println(s"""[graphstale] {"deg":$deg,"planes":$planes,""" +
+        s""""post_build_share":0.5,"appended":true,""" +
+        s""""mean_recall_at_10":${recall()},""" +
+        f""""append_sec":$tApp%.2f,"full_rebuild_sec":$tFull%.2f}""")
+      spark.stop()
+      return
+    }
+
     IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
     IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
       "--planes", planes, "--bands", "2"))

@@ -82,6 +82,7 @@ import graft.ops.SemDedup
   *   runMain graft.tools.IndexCorpus graph <indexDir> <emb.parquet>
   *     [--id vec_id] [--vec embedding] [--deg 3] [--planes 12]
   *     [--bands 2] [--min-cos -1.0] [--gbuckets 16]
+  *     [--append true]   # fold NEW vectors in, == full rebuild
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
   *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
@@ -634,16 +635,19 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     val vecCol = flags.getOrElse("vec", "embedding")
-    val deg = flags.getOrElse("deg", "3").toInt
-    val planes = flags.getOrElse("planes", "12").toInt
-    val bands = flags.getOrElse("bands", "2").toInt
-    val minCos = flags.getOrElse("min-cos", "-1.0").toDouble
-    val gB = flags.get("gbuckets").map(_.toLong).getOrElse(graphBuckets)
     GraftSession.tune(spark)
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     import spark.implicits._
 
+    if (flags.getOrElse("append", "false").toBoolean)
+      return graphAppend(spark, idx, in, idCol, vecCol)
+
+    val deg = flags.getOrElse("deg", "3").toInt
+    val planes = flags.getOrElse("planes", "12").toInt
+    val bands = flags.getOrElse("bands", "2").toInt
+    val minCos = flags.getOrElse("min-cos", "-1.0").toDouble
+    val gB = flags.get("gbuckets").map(_.toLong).getOrElse(graphBuckets)
     val dims = summaryVal(spark, idx, "dims")
       .getOrElse(sys.error(s"$idx has no summary dims")).toInt
     val all = graft.ops.Similarity.hyperplanes(planes, dims)
@@ -653,17 +657,137 @@ object IndexCorpus {
       spark.read.parquet(in), idCol, vecCol, deg, tables, minCos)
       .select(col("id"), col("nbr"),
         round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
-        col("rn").cast("long").as("rn"))
+        col("rn").cast("long").as("rn"),
+        lit(0L).as("ver"))
     var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
       edges, graphBucket(gB))
+    // the coverage manifest: which ids the graph has CONSIDERED —
+    // --append's new set is the input minus this, so repeated appends
+    // stay wave-proportional
+    pend = Artifacts.withReplaced(spark, idx, pend, "graph_ids",
+      spark.read.parquet(in).select(col(idCol).cast("long").as("id")),
+      graphBucket(gB))
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
       ("deg", deg.toLong), ("planes", planes.toLong),
-      ("bands", bands.toLong), ("gbuckets", gB))
+      ("bands", bands.toLong), ("gbuckets", gB),
+      ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
       .toDF("key", "value"))
     Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
+  }
+
+  /** `graph --append`: fold NEW vectors into the persisted kNN graph
+    * WITHOUT a full rebuild — the graph-tier answer to the staleness
+    * window its model-class contract creates (vectors ingested after
+    * the last build are unreachable through hops until the next
+    * rebuild; RECALL.md's staleness table prices it).
+    *
+    * EXACT by construction: the result equals a from-scratch `graph`
+    * over the union, on the build's own parameters (all read from
+    * graph_meta — never CLI flags). Why: the LSH tables are
+    * deterministic, so a full rebuild's candidate set = old pairs +
+    * pairs touching a new node
+    * ([[graft.ops.Similarity.knnGraphAppendPairs]] generates exactly
+    * the latter, wave-proportionally); and per node, top-deg of
+    * (full old candidates + new pairs) = top-deg of (old top-deg +
+    * new pairs), because candidates the old build already ranked
+    * below deg can only rank lower once more arrive. The persisted
+    * cos_x1e6 IS the build's ranking key (knnGraph ranks the 6dp-
+    * rounded cosine), so merge-ranking superseded adjacency against
+    * new pairs is exact, not approximate — IndexCorpusSpec pins
+    * append == rebuild on the artifact values and q294 shares q284's
+    * full-build oracle verbatim.
+    *
+    * Storage: one APPENDED edge segment carrying the new nodes'
+    * adjacency plus re-ranked adjacency for affected old nodes, at
+    * `ver = gver + 1`; readers take the per-node LATEST version
+    * (supersede-on-read), so nothing rewrites and the manifest flip
+    * publishes the wave atomically. Superseded rows are reclaimed at
+    * the next full `graph` rebuild (or compact's tombstone fold for
+    * deleted nodes).
+    */
+  private def graphAppend(spark: SparkSession, idx: String, in: String,
+      idCol: String, vecCol: String): Seq[(String, Long)] = {
+    import spark.implicits._
+    require(Artifacts.exists(spark, idx, "knn_graph"),
+      s"$idx has no knn_graph artifact (run `graph` first)")
+    val meta = Artifacts.read(spark, idx, "graph_meta").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(meta.contains("gver"),
+      s"$idx's graph predates --append support (re-run `graph` to enable)")
+    val deg = meta("deg").toInt
+    val planes = meta("planes").toInt
+    val bands = meta("bands").toInt
+    val gB = meta("gbuckets")
+    val minCos = meta("min_cos_x1e6").toDouble / 1000000d
+    val newVer = meta("gver") + 1L
+    val dims = summaryVal(spark, idx, "dims")
+      .getOrElse(sys.error(s"$idx has no summary dims")).toInt
+    val allPlanes = graft.ops.Similarity.hyperplanes(planes, dims)
+    val per = planes / bands
+    val tables = (0 until bands).map(b =>
+      allPlanes.slice(b * per, (b + 1) * per))
+
+    val raw = spark.read.parquet(in)
+    val newIds = graft.Scratch.localCheckpoint(
+      raw.select(col(idCol).cast("long").as("id")).distinct()
+        .join(Artifacts.read(spark, idx, "graph_ids").select(col("id")),
+          Seq("id"), "left_anti"))
+    val nNew = newIds.count()
+    if (nNew == 0L) return Seq("appended" -> 0L)
+
+    val pairs = graft.ops.Similarity.knnGraphAppendPairs(
+      raw, newIds, idCol, vecCol, tables, minCos)
+    val mirrored = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
+      .unionByName(pairs
+        .select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos")))
+      .select(col("id"), col("nbr"),
+        round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"))
+    // affected nodes: every endpoint of a new pair (new nodes + old
+    // nodes whose top-deg may change). Their CURRENT adjacency
+    // (latest version) merges with the new candidates and re-ranks;
+    // untouched nodes' segments stay byte-identical.
+    val affected = mirrored.select(col("id")).distinct()
+    val current = latestAdjacency(
+      Artifacts.read(spark, idx, "knn_graph")
+        .join(affected, Seq("id"), "left_semi")
+        .select(col("id"), col("nbr"), col("cos_x1e6"), col("ver")))
+      .select(col("id"), col("nbr"), col("cos_x1e6"))
+    val wDeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cos_x1e6").desc, col("nbr"))
+    val reRanked = current.unionByName(mirrored)
+      .withColumn("rn", row_number().over(wDeg).cast("long"))
+      .filter(col("rn") <= deg)
+      .withColumn("ver", lit(newVer))
+    var pend = Artifacts.withAppended(spark, idx, Map(), "knn_graph",
+      reRanked, graphBucket(gB))
+    pend = Artifacts.withAppended(spark, idx, pend, "graph_ids",
+      newIds, graphBucket(gB))
+    pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta",
+      (meta + ("gver" -> newVer)).toSeq.toDF("key", "value"))
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.vacuum(spark, idx)
+    refresh(spark, idx)
+    Seq("appended" -> nNew)
+  }
+
+  /** Per-node LATEST-version adjacency of a (possibly appended)
+    * knn_graph frame: appended segments SUPERSEDE a node's earlier
+    * rows rather than add to them. Pre-append graphs (no ver column)
+    * read as version 0. Call this AFTER any frontier/bucket
+    * restriction — the window then runs over beam x degree rows, not
+    * the artifact.
+    */
+  private def latestAdjacency(g0: DataFrame): DataFrame = {
+    val g = if (g0.columns.contains("ver")) g0
+      else g0.withColumn("ver", lit(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    g.withColumn("mxv", max(col("ver")).over(w))
+      .filter(col("ver") === col("mxv")).drop("mxv")
   }
 
   /** Search the persisted index: route, ADC-score the probed cells,
@@ -890,9 +1014,11 @@ object IndexCorpus {
           .sortBy(sortKey).take(beam).map(_._1)
         val gbs = beamIds.map(i => ((i % gB) + gB) % gB)
           .distinct.map(Long.box)
-        val nbrs = graphDf
+        // latest-version adjacency AFTER the frontier restriction:
+        // appended segments supersede a node's earlier rows
+        val nbrs = latestAdjacency(graphDf
           .filter(col("gb").isin(gbs: _*))
-          .filter(col("id").isin(beamIds.map(Long.box): _*))
+          .filter(col("id").isin(beamIds.map(Long.box): _*)))
           .select(col("nbr")).distinct()
           .collect().map(_.getLong(0))
           .filter(n => n != probeId && !visited.contains(n))
@@ -1362,7 +1488,6 @@ object IndexCorpus {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam).drop("rn"))
     val graphDf = Artifacts.read(spark, idx, "knn_graph")
-      .select(col("id"), col("nbr"))
     var hop = 0
     var frontierLive = true
     while (hop < hops && frontierLive) {
@@ -1370,7 +1495,9 @@ object IndexCorpus {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= beam)
         .select(col("pid"), col("id"))
-      val fresh = graphDf.join(probeSide(beamDf), Seq("id"))
+      // latest-version adjacency AFTER the frontier join (supersede-
+      // on-read over beam x degree rows, never the artifact)
+      val fresh = latestAdjacency(graphDf.join(probeSide(beamDf), Seq("id")))
         .select(col("pid"), col("nbr").as("id")).distinct()
         .filter(col("id") =!= col("pid"))
         .join(visited.select(col("pid"), col("id")),

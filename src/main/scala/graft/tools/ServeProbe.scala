@@ -60,11 +60,16 @@ object ServeProbe {
     def minOf3(body: => Unit): Double =
       (1 to 3).map { _ => val (_, s) = time(body); graft.Scratch.release(); s }.min
 
+    val skips = sys.env.getOrElse("SPARK_GRAFT_SERVE_SKIP", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     for (scale <- scales) {
       val tmp = Files.createTempDirectory(s"serveprobe_x$scale").toString
-
-      // ---------- lexical: replica-suffixed tokens ----------
       val reps = broadcast(spark.range(scale).select(col("id").as("_r")))
+
+      if (skips.contains("lex")) {
+        println(s"[serveprobe] skipping lexical probes at x$scale")
+      } else {
+      // ---------- lexical: replica-suffixed tokens ----------
       spark.read.parquet(s"$base/documents.parquet")
         .select(col("doc_id"), col("text"))
         .crossJoin(reps)
@@ -173,8 +178,9 @@ object ServeProbe {
         LexIndex.compact(spark, Array(s"$tmp/lex", "--threshold", "250"))
       }
       emit("lex_compact_incremental", scale, tIncCmp)
+      }
 
-      if (sys.env.get("SPARK_GRAFT_SERVE_SKIP").exists(_.contains("vec"))) {
+      if (skips.contains("vec")) {
         graft.Scratch.release()
         // the scaled-router build is k*n Lloyd work — x512+ lexical
         // rungs skip the vector half (SPARK_GRAFT_SERVE_SKIP=vec)
@@ -189,7 +195,17 @@ object ServeProbe {
         .select((col("vec_id") + col("_r") * lit(embN)).as("vec_id"),
           col("embedding"))
         .write.parquet(s"$tmp/emb.parquet")
-      for ((mode, ivfK) <- Seq(("fixed", 8), ("scaled", 8 * scale))) {
+      // SPARK_GRAFT_SERVE_IVFK overrides the scaled router size (the
+      // x512/x2048 rungs want k ~ sqrt(n): k*n Lloyd work at k = 8*x
+      // is quadratic in the replica count and unpayable at 8M rows);
+      // SPARK_GRAFT_SERVE_SKIP=fixed drops the fixed-router control
+      // arm at those rungs
+      val scaledK = sys.env.get("SPARK_GRAFT_SERVE_IVFK")
+        .map(_.toInt).getOrElse(8 * scale)
+      val routerArms =
+        if (skips.contains("fixed")) Seq(("scaled", scaledK))
+        else Seq(("fixed", 8), ("scaled", scaledK))
+      for ((mode, ivfK) <- routerArms) {
         val idx = s"$tmp/vec_$mode"
         val (_, tB) = time {
           IndexCorpus.build(spark, Array(s"$tmp/emb.parquet", idx,
@@ -202,6 +218,32 @@ object ServeProbe {
             "--k", "10", "--nprobe", "2", "--tier", "sq8")).collect()
         }, s""","ivf_k":$ivfK""")
       }
+      // DIVERGENCE CONTROL (round 14): the same probe ADC-scored over
+      // EVERY sq8 code row — no cb PartitionFilter, no cell row-group
+      // pruning. The gap vs vec_search_scaled is what the pushed
+      // probed-cell restriction saves; it must GROW with the corpus
+      // while the pushed row stays governed by cell size.
+      emit("vec_search_fullscan", scale, minOf3 {
+        val idx = s"$tmp/vec_scaled"
+        val dims = 64
+        val rng = Artifacts.read(spark, idx, "sq8_ranges").collect()
+        val lo = new Array[Long](dims); val wd = new Array[Long](dims)
+        rng.foreach { r =>
+          val i = r.getAs[Long]("i").toInt
+          lo(i) = r.getAs[Long]("lo"); wd(i) = r.getAs[Long]("wd")
+        }
+        val pv = spark.read.parquet(s"$tmp/emb.parquet")
+          .filter(col("vec_id") === 7 && size(col("embedding")) === dims)
+          .select(graft.ops.SemDedup.microsVec(col("embedding")))
+          .head().getSeq[Long](0)
+        Artifacts.read(spark, idx, "sq8_codes")
+          .filter(col("id") =!= 7L)
+          .select(col("id"), graft.ops.VectorExpressions.sqDist(
+            graft.ops.VectorExpressions.sq8UnpackDequant(
+              col("codes"), lo, wd),
+            typedLit(pv)).as("adc"))
+          .orderBy(col("adc"), col("id")).limit(10).collect()
+      })
       // post-delete / post-compact vector search on the scaled router
       spark.read.parquet(s"$tmp/emb.parquet")
         .filter(pmod(col("vec_id"), lit(8L)) === 3)
@@ -239,6 +281,10 @@ object ServeProbe {
       // router; the walks price the read path — per-hop pushed
       // lookups (single) vs per-hop joins amortized over the frame
       // (batch)
+      if (skips.contains("graph")) {
+        println(s"[serveprobe] skipping graph probes at x$scale")
+        graft.Scratch.release()
+      } else {
       val (_, tG) = time {
         IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
           s"$tmp/emb.parquet", "--deg", "3", "--planes", "14",
@@ -256,7 +302,35 @@ object ServeProbe {
           "--k", "10", "--nprobe", "1", "--tier", "graph",
           "--beam", "16", "--hops", "2")).collect()
       }, s""","n_probes":64""")
+      // GRAPH APPEND (round 14): ingest a 1/8 wave of fresh vectors,
+      // fold them into the graph with --append — cost must track the
+      // WAVE (new-vs-all blocking), not the graph (compare with the
+      // full vec_graph_build row above)
+      val waveN = spark.read.parquet(s"$tmp/emb.parquet")
+        .filter(pmod(col("vec_id"), lit(8L)) === 5).count()
+      spark.read.parquet(s"$tmp/emb.parquet")
+        .filter(pmod(col("vec_id"), lit(8L)) === 5)
+        .select((col("vec_id") + lit(embN * scale * 10L)).as("vec_id"),
+          col("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/wave.parquet")
+      IndexCorpus.update(spark,
+        Array(s"$tmp/vec_scaled", s"$tmp/wave.parquet"))
+      spark.read.parquet(s"$tmp/emb.parquet")
+        .unionByName(spark.read.parquet(s"$tmp/wave.parquet"))
+        .write.mode("overwrite").parquet(s"$tmp/emb_plus.parquet")
+      val (_, tGA) = time {
+        IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb_plus.parquet", "--append", "true"))
+      }
+      emit("vec_graph_append", scale, tGA,
+        s""","wave":$waveN,"full_build_sec":$tG""")
+      emit("vec_search_graph_post_append", scale, minOf3 {
+        IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
+          s"$tmp/emb_plus.parquet", "7", "--k", "10", "--nprobe", "1",
+          "--tier", "graph", "--beam", "16", "--hops", "2")).collect()
+      })
       graft.Scratch.release()
+      }
       }
     }
     spark.stop()

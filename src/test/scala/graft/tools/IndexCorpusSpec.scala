@@ -668,6 +668,55 @@ class IndexCorpusSpec extends AnyFunSuite {
     check()
   }
 
+  test("graph --append == full rebuild: appended adjacency (latest " +
+    "version per node) is value-identical to a from-scratch graph " +
+    "over the union; searches agree; repeated append is a no-op") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val full = spark.read.parquet(emb)
+    val tmp = Files.createTempDirectory("graft_index_gapp").toString
+    full.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      .write.parquet(s"$tmp/old.parquet")
+    // appended index: graph over 3/4, then --append the full file
+    val idxA = s"$tmp/idxA"
+    IndexCorpus.build(spark, Array(emb, idxA, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idxA, s"$tmp/old.parquet",
+      "--deg", "3", "--planes", "12", "--bands", "2"))
+    val nApp = IndexCorpus.graph(spark,
+      Array(idxA, emb, "--append", "true")).head._2
+    assert(nApp == full.select(col("vec_id")).distinct().count() -
+      full.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+        .select(col("vec_id")).distinct().count())
+    // rebuilt reference: graph over the full file in one shot
+    val idxB = s"$tmp/idxB"
+    IndexCorpus.build(spark, Array(emb, idxB, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idxB, emb,
+      "--deg", "3", "--planes", "12", "--bands", "2"))
+    // latest-version adjacency of A == B's single version, by VALUE
+    def adjacency(idx: String): Set[(Long, Long, Long)] = {
+      val g = Artifacts.read(spark, idx, "knn_graph")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      g.withColumn("mxv", max(col("ver")).over(w))
+        .filter(col("ver") === col("mxv"))
+        .select(col("id"), col("nbr"), col("cos_x1e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    }
+    assert(adjacency(idxA) == adjacency(idxB),
+      "append diverged from the full rebuild")
+    // the serving answer agrees too
+    def searchOn(idx: String): Seq[Seq[Any]] =
+      IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+        "--nprobe", "1", "--tier", "graph", "--beam", "6", "--hops", "2"))
+        .collect().map(_.toSeq).toSeq
+    assert(searchOn(idxA) == searchOn(idxB))
+    // re-appending the same file: nothing new, artifacts unchanged
+    assert(IndexCorpus.graph(spark,
+      Array(idxA, emb, "--append", "true")).head._2 == 0L)
+    assert(adjacency(idxA) == adjacency(idxB))
+  }
+
   test("graph tier --filter/--rerank: stratum pre-filter confines the " +
     "walk; --rerank walks by PQ-ADC with an exact tail; batch " +
     "equals single-probe in every mode") {
