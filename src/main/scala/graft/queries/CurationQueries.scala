@@ -291,6 +291,200 @@ object CurationQueries {
        |${pqSubChain("exres", 0)},
        |${pqSubChain("exres", 1)}""".stripMargin
 
+  /** The q293 oracle: q287's dense (SQ8-ADC) and lexical (BM25)
+    * chains at k=20 plus the q286-shape graph walk at beam 20, fused
+    * by integer RRF(60) over the 3-way full-outer candidate union.
+    * Shared VERBATIM by q295 — per-probe fusion is independent, so
+    * the streaming union over micro-batches must equal the one-shot
+    * batch fusion.
+    */
+  private lazy val hybridGraphArmOracle: String =
+    s"""WITH $pqPreamble,
+           |$routerCtes,
+           |${OpsQueries.knnPairCtes},
+           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
+           |prb AS MATERIALIZED (
+           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 3),
+           |pqd AS (
+           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+           | FROM prb q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
+           |pcells AS MATERIALIZED (
+           | SELECT pid, j FROM (
+           |  SELECT pid, j, row_number() OVER (
+           |   PARTITION BY pid ORDER BY d, j) AS r FROM pqd)
+           | WHERE r <= 2),
+           |st AS MATERIALIZED (
+           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+           | FROM exall GROUP BY 1),
+           |dq AS MATERIALIZED (
+           | SELECT exall.id, exall.gi AS i,
+           |  CASE WHEN st.wd > 0
+           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+           |    * st.wd // 255
+           |   ELSE st.lo END AS dv
+           | FROM exall JOIN st ON st.i = exall.gi),
+           |dadc AS MATERIALIZED (
+           | SELECT q.pid, dq.id,
+           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+           | FROM dq JOIN prb q USING (i)
+           | JOIN aI2 ON aI2.id = dq.id
+           | JOIN pcells pc ON pc.pid = q.pid AND pc.j = aI2.j
+           | WHERE dq.id <> q.pid
+           | GROUP BY 1, 2),
+           |dd AS MATERIALIZED (
+           | SELECT pid, id, rd FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY adc, id) AS rd
+           |  FROM dadc) WHERE rd <= 20),
+           |tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |ltoks AS MATERIALIZED (
+           | SELECT id, unnest(list_transform(
+           |  generate_series(1, len(tt) - 1),
+           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
+           |ltf AS MATERIALIZED (
+           | SELECT id, t, count(*) AS tf FROM ltoks GROUP BY 1, 2),
+           |ldl AS MATERIALIZED (
+           | SELECT id, count(*) AS dl FROM ltoks GROUP BY 1),
+           |lg AS MATERIALIZED (
+           | SELECT (SELECT count(*) FROM documents) AS n,
+           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM ldl)
+           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
+           |lqt AS MATERIALIZED (
+           | SELECT id AS pid,
+           |  unnest(list_distinct(list_slice(list_transform(
+           |   generate_series(1, len(tt) - 1),
+           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
+           | FROM tk WHERE id < 3),
+           |ldfq AS MATERIALIZED (
+           | SELECT ltf.t, count(*) AS df
+           | FROM ltf JOIN (SELECT DISTINCT t FROM lqt) q ON q.t = ltf.t
+           | GROUP BY 1),
+           |lcand AS MATERIALIZED (
+           | SELECT lqt.pid, ltf.id, ltf.tf, ldl.dl, lg.avgdl,
+           |  CAST(length(printf('%b', lg.n // ldfq.df)) - 1 AS BIGINT)
+           |   AS idf
+           | FROM lqt JOIN ldfq ON ldfq.t = lqt.t
+           | JOIN ltf ON ltf.t = lqt.t
+           | JOIN ldl ON ldl.id = ltf.id, lg
+           | WHERE length(printf('%b', lg.n // ldfq.df)) - 1 > 0),
+           |lsc AS MATERIALIZED (
+           | SELECT pid, id,
+           |  CAST(sum(idf * 22000 * tf * avgdl
+           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
+           | FROM lcand GROUP BY 1, 2),
+           |ll AS MATERIALIZED (
+           | SELECT pid, id, rl FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY score DESC, id) AS rl
+           |  FROM lsc) WHERE rl <= 20),
+           |${batchWalkPreamble(3)},
+           |allsc AS (SELECT pid, id, c FROM xallc),
+           |sc0 AS MATERIALIZED (
+           | SELECT pid, id, c FROM (
+           |  SELECT al.pid, al.id, al.c, row_number() OVER (
+           |   PARTITION BY al.pid ORDER BY al.c DESC, al.id) AS rr
+           |  FROM aI2 a JOIN gcell g ON g.j = a.j
+           |  JOIN allsc al ON al.pid = g.pid AND al.id = a.id)
+           | WHERE rr <= 20),
+           |${batchWalkHop(1, 20, "c DESC, id", "")},
+           |${batchWalkHop(2, 20, "c DESC, id", "")},
+           |gg AS MATERIALIZED (
+           | SELECT pid, id, rg FROM (
+           |  SELECT pid, id, row_number() OVER (
+           |   PARTITION BY pid ORDER BY c DESC, id) AS rg FROM sc2)
+           | WHERE rg <= 20),
+           |f2 AS (
+           | SELECT coalesce(dd.pid, ll.pid) AS pid,
+           |  coalesce(dd.id, ll.id) AS id, dd.rd, ll.rl
+           | FROM dd FULL JOIN ll ON ll.pid = dd.pid AND ll.id = dd.id),
+           |f3 AS (
+           | SELECT coalesce(f2.pid, gg.pid) AS pid,
+           |  coalesce(f2.id, gg.id) AS id, f2.rd, f2.rl, gg.rg
+           | FROM f2 FULL JOIN gg ON gg.pid = f2.pid AND gg.id = f2.id),
+           |f AS (
+           | SELECT pid, id,
+           |  CASE WHEN rd IS NULL THEN 0 ELSE 1000000 // (60 + rd) END
+           |  + CASE WHEN rl IS NULL THEN 0 ELSE 1000000 // (60 + rl) END
+           |  + CASE WHEN rg IS NULL THEN 0 ELSE 1000000 // (60 + rg) END
+           |   AS rrf
+           | FROM f3)
+           |SELECT CAST(pid AS BIGINT) AS probe_id,
+           | CAST(id AS BIGINT) AS id,
+           | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
+           |FROM (
+           | SELECT pid, id, rrf, CAST(row_number() OVER (
+           |  PARTITION BY pid ORDER BY rrf DESC, id) AS BIGINT) AS rnk
+           | FROM f)
+           |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin
+
+  /** One three-arm fusion pass (SQ8-ADC + BM25 + graph walk, each
+    * its searchBatch kernel at k=20, RRF(60), per-probe top-10) over
+    * a probe frame against the indexes persisted under `tmp` —
+    * shared by the one-shot q293 and q295's per-micro-batch handler.
+    */
+  private def fuseThreeArms(s: org.apache.spark.sql.SparkSession,
+      dir: String, tmp: String, probesPath: String,
+      queriesPath: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val dense = graft.tools.IndexCorpus.searchBatch(s, Array(
+      s"$tmp/idx", s"$dir/embeddings.parquet", probesPath,
+      "--k", "20", "--nprobe", "2", "--tier", "sq8"))
+      .select(col("probe_id").as("pid"), col("id"),
+        col("rnk").as("rd"))
+    val lex = graft.tools.LexIndex.searchBatch(s, Array(
+      s"$tmp/lex", queriesPath, "--k", "20"))
+      .select(col("query_id").as("pid"), col("id"),
+        col("rnk").as("rl"))
+    val gra = graft.tools.IndexCorpus.searchBatch(s, Array(
+      s"$tmp/idx", s"$dir/embeddings.parquet", probesPath,
+      "--k", "20", "--nprobe", "1", "--tier", "graph",
+      "--beam", "20", "--hops", "2"))
+      .select(col("probe_id").as("pid"), col("id"),
+        col("rnk").as("rg"))
+    dense.join(lex, Seq("pid", "id"), "full_outer")
+      .join(gra, Seq("pid", "id"), "full_outer")
+      .withColumn("rrf_x1e6", expr(
+        "CAST(CASE WHEN rd IS NULL THEN 0" +
+          " ELSE 1000000 DIV (60 + rd) END" +
+          " + CASE WHEN rl IS NULL THEN 0" +
+          " ELSE 1000000 DIV (60 + rl) END" +
+          " + CASE WHEN rg IS NULL THEN 0" +
+          " ELSE 1000000 DIV (60 + rg) END AS BIGINT)"))
+      .withColumn("rnk", row_number().over(w.partitionBy(col("pid"))
+        .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("pid").as("probe_id"), col("id"),
+        col("rrf_x1e6"), col("rnk"))
+  }
+
+  /** q293's one-shot body: persist all three index artifacts under
+    * `tmp`, write the probe/query frames, run ONE fusion pass.
+    */
+  private def hybridGraphArmServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, tmp: String): DataFrame = {
+    graft.tools.IndexCorpus.build(s, Array(
+      s"$dir/embeddings.parquet", s"$tmp/idx",
+      "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+      "--sq8", "true"))
+    graft.tools.IndexCorpus.graph(s, Array(
+      s"$tmp/idx", s"$dir/embeddings.parquet",
+      "--deg", "3", "--planes", "12", "--bands", "2"))
+    graft.tools.LexIndex.build(s, Array(
+      s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+    Registry.table(s, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+    Registry.table(s, dir, "documents").filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+      .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+    fuseThreeArms(s, dir, tmp, s"$tmp/probes.parquet",
+      s"$tmp/queries.parquet")
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** The q284 full-build graph-walk oracle: q274's graph chain, the
     * nprobe-1 router seeds, both hops, (cos desc, id) ties — shared
     * VERBATIM by q294 (graph --append must be indistinguishable from
@@ -1696,10 +1890,23 @@ object CurationQueries {
     // oracle is q287's dense+lexical chains at 20 plus the q286 walk
     // chain at beam 20, fused by the same integer RRF.
     "q293_hybrid_graph_arm" -> Q(
+      (s, dir) => hybridGraphArmServe(s, dir,
+        java.nio.file.Files.createTempDirectory("graft_q293").toString),
+      Some(hybridGraphArmOracle)),
+
+    // STREAMING hybrid serving (round-14 stretch): q293's three-arm
+    // fusion as a monitor over a PROBE STREAM — each micro-batch's
+    // arriving probe ids serve through the SAME persisted indexes
+    // (one searchBatch pass per arm per batch) and their fused
+    // top-10 append to the sink. Per-probe fusion is independent, so
+    // the end-of-stream union over all batches is IDENTICAL to the
+    // one-shot batch fusion over every probe that arrived — q295
+    // shares q293's oracle verbatim (the q263/q275 streaming
+    // discipline), which IS the equivalence proof.
+    "q295_streaming_hybrid_serve" -> Q(
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
         val tmp = java.nio.file.Files
-          .createTempDirectory("graft_q293").toString
+          .createTempDirectory("graft_q295").toString
         graft.tools.IndexCorpus.build(s, Array(
           s"$dir/embeddings.parquet", s"$tmp/idx",
           "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
@@ -1709,166 +1916,45 @@ object CurationQueries {
           "--deg", "3", "--planes", "12", "--bands", "2"))
         graft.tools.LexIndex.build(s, Array(
           s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
-        t(s, dir, "embeddings").filter(col("vec_id") < 3)
-          .select(col("vec_id"))
-          .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+        // every possible probe's lexical query text, fixed up front
         t(s, dir, "documents").filter(col("doc_id") < 3)
           .select(col("doc_id").as("query_id"),
             concat_ws(" ",
               slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
-          .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
-        val dense = graft.tools.IndexCorpus.searchBatch(s, Array(
-          s"$tmp/idx", s"$dir/embeddings.parquet",
-          s"$tmp/probes.parquet",
-          "--k", "20", "--nprobe", "2", "--tier", "sq8"))
-          .select(col("probe_id").as("pid"), col("id"),
-            col("rnk").as("rd"))
-        val lex = graft.tools.LexIndex.searchBatch(s, Array(
-          s"$tmp/lex", s"$tmp/queries.parquet", "--k", "20"))
-          .select(col("query_id").as("pid"), col("id"),
-            col("rnk").as("rl"))
-        val gra = graft.tools.IndexCorpus.searchBatch(s, Array(
-          s"$tmp/idx", s"$dir/embeddings.parquet",
-          s"$tmp/probes.parquet",
-          "--k", "20", "--nprobe", "1", "--tier", "graph",
-          "--beam", "20", "--hops", "2"))
-          .select(col("probe_id").as("pid"), col("id"),
-            col("rnk").as("rg"))
-        dense.join(lex, Seq("pid", "id"), "full_outer")
-          .join(gra, Seq("pid", "id"), "full_outer")
-          .withColumn("rrf_x1e6", expr(
-            "CAST(CASE WHEN rd IS NULL THEN 0" +
-              " ELSE 1000000 DIV (60 + rd) END" +
-              " + CASE WHEN rl IS NULL THEN 0" +
-              " ELSE 1000000 DIV (60 + rl) END" +
-              " + CASE WHEN rg IS NULL THEN 0" +
-              " ELSE 1000000 DIV (60 + rg) END AS BIGINT)"))
-          .withColumn("rnk", row_number().over(w.partitionBy(col("pid"))
-            .orderBy(col("rrf_x1e6").desc, col("id"))).cast("long"))
-          .filter(col("rnk") <= 10)
-          .select(col("pid").as("probe_id"), col("id"),
-            col("rrf_x1e6"), col("rnk"))
-          .orderBy(col("probe_id"), col("rnk"))
+          .write.mode("overwrite").parquet(s"$tmp/queriesAll.parquet")
+        val ev = SlowLogQueries.hybprobeSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "hybprobe", ev)
+        val out = s"$tmp/served"
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                val bp = batch.select(col("vec_id"))
+                if (!bp.isEmpty) {
+                  bp.write.mode("overwrite")
+                    .parquet(s"$tmp/bprobes.parquet")
+                  s.read.parquet(s"$tmp/queriesAll.parquet")
+                    .join(s.read.parquet(s"$tmp/bprobes.parquet")
+                      .select(col("vec_id").as("query_id")),
+                      Seq("query_id"), "left_semi")
+                    .write.mode("overwrite")
+                    .parquet(s"$tmp/bqueries.parquet")
+                  fuseThreeArms(s, dir, tmp,
+                    s"$tmp/bprobes.parquet", s"$tmp/bqueries.parquet")
+                    .write.mode("append").parquet(out)
+                }
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        s.read.parquet(out).orderBy(col("probe_id"), col("rnk"))
       },
-      Some(
-        s"""WITH $pqPreamble,
-           |$routerCtes,
-           |${OpsQueries.knnPairCtes},
-           |eg AS MATERIALIZED (SELECT id, nbr FROM r WHERE rn <= 3),
-           |prb AS MATERIALIZED (
-           | SELECT id AS pid, gi AS i, m FROM exall WHERE id < 3),
-           |pqd AS (
-           | SELECT q.pid, c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
-           | FROM prb q JOIN cI1 c ON c.i = q.i GROUP BY 1, 2),
-           |pcells AS MATERIALIZED (
-           | SELECT pid, j FROM (
-           |  SELECT pid, j, row_number() OVER (
-           |   PARTITION BY pid ORDER BY d, j) AS r FROM pqd)
-           | WHERE r <= 2),
-           |st AS MATERIALIZED (
-           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
-           | FROM exall GROUP BY 1),
-           |dq AS MATERIALIZED (
-           | SELECT exall.id, exall.gi AS i,
-           |  CASE WHEN st.wd > 0
-           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
-           |    * st.wd // 255
-           |   ELSE st.lo END AS dv
-           | FROM exall JOIN st ON st.i = exall.gi),
-           |dadc AS MATERIALIZED (
-           | SELECT q.pid, dq.id,
-           |  CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
-           | FROM dq JOIN prb q USING (i)
-           | JOIN aI2 ON aI2.id = dq.id
-           | JOIN pcells pc ON pc.pid = q.pid AND pc.j = aI2.j
-           | WHERE dq.id <> q.pid
-           | GROUP BY 1, 2),
-           |dd AS MATERIALIZED (
-           | SELECT pid, id, rd FROM (
-           |  SELECT pid, id, row_number() OVER (
-           |   PARTITION BY pid ORDER BY adc, id) AS rd
-           |  FROM dadc) WHERE rd <= 20),
-           |tk AS MATERIALIZED (
-           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
-           |ltoks AS MATERIALIZED (
-           | SELECT id, unnest(list_transform(
-           |  generate_series(1, len(tt) - 1),
-           |  i -> tt[i] || ' ' || tt[i+1])) AS t FROM tk),
-           |ltf AS MATERIALIZED (
-           | SELECT id, t, count(*) AS tf FROM ltoks GROUP BY 1, 2),
-           |ldl AS MATERIALIZED (
-           | SELECT id, count(*) AS dl FROM ltoks GROUP BY 1),
-           |lg AS MATERIALIZED (
-           | SELECT (SELECT count(*) FROM documents) AS n,
-           |  CAST((SELECT CAST(sum(dl) AS BIGINT) FROM ldl)
-           |   // (SELECT count(*) FROM documents) AS BIGINT) AS avgdl),
-           |lqt AS MATERIALIZED (
-           | SELECT id AS pid,
-           |  unnest(list_distinct(list_slice(list_transform(
-           |   generate_series(1, len(tt) - 1),
-           |   i -> tt[i] || ' ' || tt[i+1]), 1, 4))) AS t
-           | FROM tk WHERE id < 3),
-           |ldfq AS MATERIALIZED (
-           | SELECT ltf.t, count(*) AS df
-           | FROM ltf JOIN (SELECT DISTINCT t FROM lqt) q ON q.t = ltf.t
-           | GROUP BY 1),
-           |lcand AS MATERIALIZED (
-           | SELECT lqt.pid, ltf.id, ltf.tf, ldl.dl, lg.avgdl,
-           |  CAST(length(printf('%b', lg.n // ldfq.df)) - 1 AS BIGINT)
-           |   AS idf
-           | FROM lqt JOIN ldfq ON ldfq.t = lqt.t
-           | JOIN ltf ON ltf.t = lqt.t
-           | JOIN ldl ON ldl.id = ltf.id, lg
-           | WHERE length(printf('%b', lg.n // ldfq.df)) - 1 > 0),
-           |lsc AS MATERIALIZED (
-           | SELECT pid, id,
-           |  CAST(sum(idf * 22000 * tf * avgdl
-           |   // (10*tf*avgdl + 3*avgdl + 9*dl)) AS BIGINT) AS score
-           | FROM lcand GROUP BY 1, 2),
-           |ll AS MATERIALIZED (
-           | SELECT pid, id, rl FROM (
-           |  SELECT pid, id, row_number() OVER (
-           |   PARTITION BY pid ORDER BY score DESC, id) AS rl
-           |  FROM lsc) WHERE rl <= 20),
-           |${batchWalkPreamble(3)},
-           |allsc AS (SELECT pid, id, c FROM xallc),
-           |sc0 AS MATERIALIZED (
-           | SELECT pid, id, c FROM (
-           |  SELECT al.pid, al.id, al.c, row_number() OVER (
-           |   PARTITION BY al.pid ORDER BY al.c DESC, al.id) AS rr
-           |  FROM aI2 a JOIN gcell g ON g.j = a.j
-           |  JOIN allsc al ON al.pid = g.pid AND al.id = a.id)
-           | WHERE rr <= 20),
-           |${batchWalkHop(1, 20, "c DESC, id", "")},
-           |${batchWalkHop(2, 20, "c DESC, id", "")},
-           |gg AS MATERIALIZED (
-           | SELECT pid, id, rg FROM (
-           |  SELECT pid, id, row_number() OVER (
-           |   PARTITION BY pid ORDER BY c DESC, id) AS rg FROM sc2)
-           | WHERE rg <= 20),
-           |f2 AS (
-           | SELECT coalesce(dd.pid, ll.pid) AS pid,
-           |  coalesce(dd.id, ll.id) AS id, dd.rd, ll.rl
-           | FROM dd FULL JOIN ll ON ll.pid = dd.pid AND ll.id = dd.id),
-           |f3 AS (
-           | SELECT coalesce(f2.pid, gg.pid) AS pid,
-           |  coalesce(f2.id, gg.id) AS id, f2.rd, f2.rl, gg.rg
-           | FROM f2 FULL JOIN gg ON gg.pid = f2.pid AND gg.id = f2.id),
-           |f AS (
-           | SELECT pid, id,
-           |  CASE WHEN rd IS NULL THEN 0 ELSE 1000000 // (60 + rd) END
-           |  + CASE WHEN rl IS NULL THEN 0 ELSE 1000000 // (60 + rl) END
-           |  + CASE WHEN rg IS NULL THEN 0 ELSE 1000000 // (60 + rg) END
-           |   AS rrf
-           | FROM f3)
-           |SELECT CAST(pid AS BIGINT) AS probe_id,
-           | CAST(id AS BIGINT) AS id,
-           | CAST(rrf AS BIGINT) AS rrf_x1e6, rnk
-           |FROM (
-           | SELECT pid, id, rrf, CAST(row_number() OVER (
-           |  PARTITION BY pid ORDER BY rrf DESC, id) AS BIGINT) AS rnk
-           | FROM f)
-           |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin)),
+      Some(hybridGraphArmOracle)),
 
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a

@@ -206,13 +206,26 @@ object SlowLogQueries {
       .select(col("vec_id"), col("embedding"))
   }
 
+  /** q295's probe stream: the three hybrid-serving probe ids, ONE
+    * PER FILE (range-partitioned) so maxFilesPerTrigger=1 delivers
+    * them across distinct micro-batches — the streaming-vs-one-shot
+    * equivalence is only a claim if the stream actually has more
+    * than one trigger.
+    */
+  private[queries] def hybprobeSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 3).select(col("vec_id"))
+      .repartitionByRange(3, col("vec_id"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
       "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
       "img" -> imgSrc _, "gif" -> gifSrc _, "wav" -> wavSrc _,
-      "emb" -> embSrc _, "doc" -> docSrc _)
+      "emb" -> embSrc _, "doc" -> docSrc _, "hybprobe" -> hybprobeSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
