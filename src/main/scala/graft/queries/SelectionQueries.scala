@@ -36,7 +36,8 @@ object SelectionQueries {
     * retracted documents filtered out of every statistic (tf, dl, n,
     * avgdl, df).
     */
-  private def lexSearchOracle(where: String): String =
+  private def lexSearchOracle(where: String,
+      candPred: String = ""): String =
     s"""WITH docs AS MATERIALIZED (
        | SELECT doc_id, text FROM documents $where),
        |tk AS MATERIALIZED (
@@ -69,7 +70,7 @@ object SelectionQueries {
        | FROM qt JOIN dfq ON dfq.t = qt.t
        | JOIN tf ON tf.t = qt.t
        | JOIN dl ON dl.id = tf.id, g
-       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0$candPred),
        |sc AS (
        | SELECT id,
        |  CAST(sum(idf * 22000 * tf * avgdl
@@ -85,7 +86,9 @@ object SelectionQueries {
     * statistics make per-arrival scores batch-identical, so the two
     * queries MUST agree bit-for-bit).
     */
-  private lazy val bm25OracleSql: String =
+  private lazy val bm25OracleSql: String = bm25Oracle("")
+
+  private def bm25Oracle(candPred: String): String =
     s"""WITH tk AS MATERIALIZED (
        | SELECT doc_id AS id, $toksSql AS tt FROM documents),
        |toks AS MATERIALIZED (
@@ -117,7 +120,7 @@ object SelectionQueries {
        | FROM qt JOIN dfq ON dfq.t = qt.t
        | JOIN tf ON tf.t = qt.t
        | JOIN dl ON dl.id = tf.id, g
-       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0),
+       | WHERE length(printf('%b', g.n // dfq.df)) - 1 > 0$candPred),
        |sc AS MATERIALIZED (
        | SELECT qid, id,
        |  CAST(sum(idf * 22000 * tf * avgdl
@@ -2518,6 +2521,51 @@ object SelectionQueries {
         graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
       },
       Some(lexSearchOracleSql)),
+
+    // FILTERED lexical serving (round 14 — the stratum surface the
+    // vector arm already had): `--filter` restricts CANDIDATES only,
+    // after df derives — term statistics stay corpus-level (the
+    // filter-query contract: a stratum member's score is identical to
+    // the unfiltered search's and a member is never lost), and the
+    // predicate applies to the SEARCHED lists, never the whole index.
+    // The oracle is q267's chain with the conjunct on the candidate
+    // set alone (df/n/avgdl untouched).
+    "q296_lex_filtered_search" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q296").toString
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        val q0 = t(s, dir, "documents").filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0,
+          "--k", "10", "--filter", "id % 2 = 0"))
+      },
+      Some(lexSearchOracle("", " AND tf.id % 2 = 0"))),
+
+    // ... and at BATCH scale: one searchBatch pass, the same
+    // candidates-only restriction per query (q282's oracle with the
+    // conjunct on the candidate set).
+    "q297_lex_batch_filtered" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q297").toString
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        t(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ",
+              slice(TextOps.tokens(col("text")), 1, 5)).as("text"))
+          .write.mode("overwrite").parquet(s"$tmp/queries.parquet")
+        graft.tools.LexIndex.searchBatch(s, Array(
+          s"$tmp/lex", s"$tmp/queries.parquet", "--id", "query_id",
+          "--text", "text", "--k", "10", "--filter", "id % 2 = 0"))
+          .select(col("query_id"), col("rnk"), col("id").as("doc_id"),
+            col("score"))
+      },
+      Some(bm25Oracle(" AND tf.id % 2 = 0"))),
 
     // LexIndex INCREMENTAL ingest is EXACT (unlike the vector
     // index's frozen-codebook approximation): build on the 3/4

@@ -77,10 +77,11 @@ import graft.ops.TextOps
   *   runMain graft.tools.LexIndex compact <indexDir>
   *     [--threshold <permille>]
   *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
-  *     [--k 10]
+  *     [--k 10] [--filter "<sqlExpr over id, t, tf, dl>"]
   *   runMain graft.tools.LexIndex searchBatch <indexDir>
   *     <queries.parquet> [--id query_id] [--text text] [--k 10]
-  *     [--max-inline-terms 4096] [--max-broadcast-probes 262144]
+  *     [--filter "<sqlExpr>"] [--max-inline-terms 4096]
+  *     [--max-broadcast-probes 262144]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -470,6 +471,7 @@ object LexIndex {
     val (idx, query) = (args(0), args(1))
     val flags = flagsOf(args, 2)
     val k = flags.getOrElse("k", "10").toInt
+    val filterSql = flags.get("filter")
     GraftSession.tune(spark)
     import spark.implicits._
 
@@ -511,13 +513,20 @@ object LexIndex {
         (length(conv(expr(s"$n DIV df"), 10, 2)) - 1).cast("long"))
       .filter(col("idf") > 0)
       .select(col("t"), col("idf")))
+    // --filter restricts CANDIDATES only, after df derives: term
+    // statistics stay corpus-level (the filter-query contract — a
+    // stratum member's score is identical to the unfiltered search's,
+    // and a member is never lost), applied to the searched lists,
+    // never the whole index. The expression sees the posting columns
+    // (id, t, tf, dl).
+    val cand = filterSql.fold(qPost: DataFrame)(f => qPost.filter(expr(f)))
     // current indexes carry dl inside the posting rows — the score
     // derives from the searched lists alone; a legacy (pre-dl) index
     // pays the doclens join it was built with
     val scored =
       if (postingsAll.schema.fieldNames.contains("dl"))
-        qPost.join(dfq, Seq("t"))
-      else qPost.join(dfq, Seq("t"))
+        cand.join(dfq, Seq("t"))
+      else cand.join(dfq, Seq("t"))
         .join(Artifacts.read(spark, idx, "doclens"), Seq("id"))
     scored
       .withColumn("term", expr(
@@ -618,9 +627,12 @@ object LexIndex {
       .select(col("t"), col("idf"))
     // legacy (pre-dl) indexes stay servable at batch scale too: the
     // same doclens-join fallback the single-query path keeps
-    val qPostDl =
+    val qPostDl0 =
       if (postingsAll.schema.fieldNames.contains("dl")) qPost
       else qPost.join(Artifacts.read(spark, idx, "doclens"), Seq("id"))
+    // --filter: candidates only, after df — the single-query contract
+    val qPostDl = flags.get("filter")
+      .fold(qPostDl0)(f => qPostDl0.filter(expr(f)))
     val probeSide =
       if (qTerms.count() <= maxBcast) broadcast(qTerms)
       else qTerms.hint("merge")

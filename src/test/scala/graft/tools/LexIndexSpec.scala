@@ -380,6 +380,73 @@ class LexIndexSpec extends AnyFunSuite {
     assert(got2 == got)
   }
 
+  test("--filter restricts candidates only: stratum members keep " +
+    "their UNFILTERED scores (df stays corpus-level), non-members " +
+    "vanish; batch path agrees with single-query per query") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_filter").toString
+    LexIndex.build(spark, Array(in, s"$idx/lex", "--gram", "1"))
+    val unfiltered = LexIndex.search(spark,
+      Array(s"$idx/lex", "apple banana cherry"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val filtered = LexIndex.search(spark,
+      Array(s"$idx/lex", "apple banana cherry",
+        "--filter", "id % 2 = 0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(filtered == unfiltered.filter(_._1 % 2 == 0),
+      s"filtered=$filtered unfiltered=$unfiltered")
+    // batch == single, filtered
+    val qs = Files.createTempDirectory("lexidx_filter_q").toString
+    val queries = Seq((0L, "apple banana cherry"), (1L, "durian fig"))
+    queries.toDF("query_id", "text")
+      .write.mode("overwrite").parquet(s"$qs/q.parquet")
+    val got = LexIndex.searchBatch(spark,
+      Array(s"$idx/lex", s"$qs/q.parquet", "--k", "3",
+        "--filter", "id % 2 = 0"))
+      .collect().map(_.toSeq).toSeq
+    val want = queries.flatMap { case (qid, text) =>
+      LexIndex.search(spark, Array(s"$idx/lex", text, "--k", "3",
+        "--filter", "id % 2 = 0"))
+        .collect().zipWithIndex.map { case (r, i) =>
+          Seq[Any](qid, i + 1L) ++ r.toSeq
+        }
+    }
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("--keep-manifests through the CLI: a mutating command run with " +
+    "a retention window keeps the previous snapshot's files; the " +
+    "default window reclaims them") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_keep").toString + "/lex"
+    try {
+      LexIndex.build(spark, Array(in, idx, "--gram", "1"))
+      val pinnedVer = Artifacts.manifestVersions(spark, idx).max
+      val pinned = Artifacts.manifestAt(spark, idx, pinnedVer)("postings")
+      val before = Artifacts.readSegs(spark, idx, "postings", pinned)
+        .orderBy(col("t"), col("id")).collect().toSeq
+      Seq(1L).toDF("doc_id")
+        .write.mode("overwrite").parquet(s"$idx/../del.parquet")
+      // delete + FULL compact (rewrites postings) under window 2: the
+      // pinned reader's segment files must survive both vacuums
+      LexIndex.delete(spark, Array(idx, s"$idx/../del.parquet",
+        "--keep-manifests", "2"))
+      LexIndex.compact(spark, Array(idx, "--keep-manifests", "2"))
+      assert(Artifacts.readSegs(spark, idx, "postings", pinned)
+        .orderBy(col("t"), col("id")).collect().toSeq == before,
+        "pinned reader lost its snapshot through CLI mutations")
+      // drop back to the default window: the next mutation's vacuum
+      // reclaims everything but the current snapshot
+      LexIndex.compact(spark, Array(idx, "--keep-manifests", "1"))
+      assert(Artifacts.manifestVersions(spark, idx).size == 1)
+      intercept[Exception] {
+        Artifacts.readSegs(spark, idx, "postings", pinned).collect()
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
   test("legacy pre-dl postings layout: BOTH search and searchBatch " +
     "fall back to the doclens join and score identically") {
     import spark.implicits._
