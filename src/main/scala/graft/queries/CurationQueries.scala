@@ -1956,6 +1956,62 @@ object CurationQueries {
       },
       Some(hybridGraphArmOracle)),
 
+    // STREAMING graph maintenance: q294's single append generalized
+    // to a WAVE STREAM — build the graph on the 3/4 subset, then each
+    // micro-batch of arriving vectors folds in via `graph --append`
+    // (the batch appends to a cumulative corpus file first, so each
+    // append's new-vs-all blocking sees everything covered so far).
+    // Appends COMPOSE: each is exact vs a rebuild over its covered
+    // set (per-node top-deg monotonicity — candidates ranked below
+    // deg can only sink as more arrive), so the end-of-stream graph
+    // equals ONE full rebuild over the union and q298 shares q284's
+    // full-build oracle verbatim — the multi-wave inductive claim
+    // q294's single append cannot express. The 'gwave' fixture splits
+    // the quarter across two files so the stream really runs multiple
+    // sequential appends.
+    "q298_streaming_graph_append" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q298").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        val cum = s"$tmp/cum.parquet"
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(cum)
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", cum, "--deg", "3", "--planes", "12",
+          "--bands", "2"))
+        val ev = SlowLogQueries.gwaveSrc(s, dir)
+        val src = SlowLogQueries.stableStreamSrc(dir, "gwave", ev)
+        SlowLogQueries.withShufflePartitions(s, 8) {
+          val stream = s.readStream
+            .schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+          val query = stream.writeStream
+            .outputMode(OutputMode.Append)
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                if (!batch.isEmpty) {
+                  batch.write.mode("append").parquet(cum)
+                  graft.tools.IndexCorpus.graph(s,
+                    Array(s"$tmp/idx", cum, "--append", "true"))
+                  ()
+                }
+            }
+            .start()
+          try { query.processAllAvailable() } finally { query.stop() }
+        }
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(graphSearchOracle)),
+
     // IndexCorpus incremental-update equivalence, driver-checked end
     // to end THROUGH THE CLI ARTIFACTS: build the IVF+PQ index on a
     // 3/4 subset, `update`-ingest the remaining vectors with FROZEN

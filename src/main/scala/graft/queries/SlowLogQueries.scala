@@ -219,13 +219,27 @@ object SlowLogQueries {
       .repartitionByRange(3, col("vec_id"))
   }
 
+  /** q298's graph-maintenance wave: the held-out vec_id % 4 == 0
+    * quarter split across two files so the streaming `graph --append`
+    * path exercises MULTIPLE sequential waves (the inductive
+    * append-composition claim), not one.
+    */
+  private[queries] def gwaveSrc(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.tune(s)
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .repartitionByRange(2, col("vec_id"))
+  }
+
   private val streamSrcs: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("vol" -> volSrc _, "voltop" -> voltopSrc _, "dedup" -> dedupSrc _,
       "hop" -> hopSrc _, "ssjoin" -> ssjoinSrc _, "sess" -> sessSrc _,
       "nbtest" -> nbtestSrc _, "drift" -> driftSrc _, "anom" -> anomSrc _,
       "p95" -> p95Src _, "dsir" -> dsirSrc _, "pad" -> padSrc _,
       "img" -> imgSrc _, "gif" -> gifSrc _, "wav" -> wavSrc _,
-      "emb" -> embSrc _, "doc" -> docSrc _, "hybprobe" -> hybprobeSrc _)
+      "emb" -> embSrc _, "doc" -> docSrc _, "hybprobe" -> hybprobeSrc _,
+      "gwave" -> gwaveSrc _)
 
   /** Write every stream-source fixture for `dir` if not already
     * cached — harness warm-up hook so the one-time fixture writes
