@@ -95,6 +95,51 @@ object GraphRecallProbe {
       return
     }
 
+    // FILTERED-walk recall (round 14): the stratum predicate confines
+    // the traversal to the stratum SUBGRAPH (q289's admission
+    // contract), so recall vs a stratum brute force is bounded by the
+    // subgraph's connectivity — which thins as selectivity rises.
+    // This card prices that, per selectivity, against exact stratum
+    // ground truth (brute-force cosine among members).
+    if (sys.env.get("SPARK_GRAFT_GRAPH_FILTERED").contains("1")) {
+      import org.apache.spark.sql.functions._
+      IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
+      IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
+        "--planes", planes, "--bands", "2"))
+      val probesF = (0L until 20L).toSeq
+      val vecs = spark.read.parquet(emb)
+        .filter(size(col("embedding")) === 64)
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      def bruteTop10(p: Long, sel: Long): Set[Long] = {
+        val a = vecs(p)
+        vecs.toSeq.collect { case (id, b) if id != p && id % sel == 0 =>
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          (id, d / (math.sqrt(na) * math.sqrt(nb)))
+        }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      }
+      for (sel <- Seq(1L, 2L, 4L, 8L)) {
+        val hits = probesF.map { p =>
+          val got = IndexCorpus.search(spark, Array(idx, emb,
+            p.toString, "--k", "10", "--nprobe", "1", "--tier", "graph",
+            "--beam", "32", "--hops", "3",
+            "--filter", s"id % $sel = 0"))
+            .collect().map(_.getLong(0)).toSet
+          (got intersect bruteTop10(p, sel)).size
+        }
+        graft.Scratch.release()
+        println(s"""[graphfilter] {"deg":$deg,"planes":$planes,""" +
+          s""""selectivity":"1/$sel",""" +
+          s""""mean_recall_at_10":${hits.sum / 20.0},""" +
+          s""""min":${hits.min},"max":${hits.max}}""")
+      }
+      spark.stop()
+      return
+    }
+
     IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
     IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
       "--planes", planes, "--bands", "2"))
