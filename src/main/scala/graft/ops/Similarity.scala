@@ -854,7 +854,7 @@ object Similarity {
     */
   def nearDupPairsMultiTable(embeddings: DataFrame, idCol: String,
       vecCol: String, planeTables: Seq[Array[Array[Int]]],
-      minCos: Double): DataFrame = {
+      minCos: Double, chunkRows: Int = Int.MaxValue): DataFrame = {
     val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
       lshBucket(col(vecCol), p).as(s"b$t")
     }
@@ -868,8 +868,39 @@ object Similarity {
       val bSide = bucketed.select(
         col(s"b$t").as("bk") +: col("id").as("id_b") +: col("v").as("v_b") +:
           (0 until t).map(u => col(s"b$u").as(s"bb$u")): _*)
-      val joined = aSide.join(bSide, Seq("bk"))
-        .filter(col("id_a") < col("id_b"))
+      val met =
+        if (chunkRows == Int.MaxValue) aSide.join(bSide, Seq("bk"))
+        else {
+          // Skew-parallel grid decomposition: a hot bucket (n rows)
+          // otherwise lands its whole n^2/2 pair enumeration in ONE
+          // shuffle task — the measured single-thread tail of the
+          // x512 graph build (SCALING.md round 14). Split each bucket
+          // into S = ceil(n/chunkRows) row-chunks and join on grid
+          // cell (bk, ga, gb): an a-row sits in one row-chunk ga and
+          // meets every column-chunk gb (exploded), a b-row the
+          // mirror, so unordered pair (x, y) with id_x < id_y meets
+          // in EXACTLY cell (ga(x), gb(y)) — the same pair set,
+          // exactly once, now across S^2 tasks. Cold buckets get
+          // S = 1 (the explode is a no-op); S is data-adaptive from
+          // a per-bucket count joined back (no driver collect).
+          val cnts = bucketed.groupBy(col(s"b$t").as("bk"))
+            .agg(count(lit(1)).as("gn"))
+          val gS = ceil(col("gn") / lit(chunkRows.toDouble)).cast("int")
+          val aG = aSide.join(cnts, Seq("bk"))
+            .withColumn("ga",
+              pmod(xxhash64(col("id_a")), gS.cast("long")).cast("int"))
+            .withColumn("gb",
+              explode(sequence(lit(0), gS - 1)))
+            .drop("gn")
+          val bG = bSide.join(cnts, Seq("bk"))
+            .withColumn("gb",
+              pmod(xxhash64(col("id_b")), gS.cast("long")).cast("int"))
+            .withColumn("ga",
+              explode(sequence(lit(0), gS - 1)))
+            .drop("gn")
+          aG.join(bG, Seq("bk", "ga", "gb")).drop("ga", "gb")
+        }
+      val joined = met.filter(col("id_a") < col("id_b"))
       // drop pairs already found by an earlier table
       val fresh = (0 until t).foldLeft(joined) { (df, u) =>
         df.filter(col(s"a$u") =!= col(s"bb$u"))
@@ -904,10 +935,10 @@ object Similarity {
     */
   def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, planeTables: Seq[Array[Array[Int]]],
-      minCos: Double = -1.0): DataFrame = {
+      minCos: Double = -1.0, chunkRows: Int = Int.MaxValue): DataFrame = {
     val pairs = graft.Scratch.cache(
       nearDupPairsMultiTable(embeddings, idCol, vecCol, planeTables,
-        minCos)) // both mirror arms below read it
+        minCos, chunkRows)) // both mirror arms below read it
     val mirrored = pairs
       .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
       .unionByName(pairs
@@ -932,7 +963,8 @@ object Similarity {
     */
   def knnGraphAppendPairs(all: DataFrame, newIds: DataFrame,
       idCol: String, vecCol: String,
-      planeTables: Seq[Array[Array[Int]]], minCos: Double): DataFrame = {
+      planeTables: Seq[Array[Array[Int]]], minCos: Double,
+      chunkRows: Int = Int.MaxValue): DataFrame = {
     val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
       lshBucket(col(vecCol), p).as(s"b$t")
     }
@@ -949,8 +981,36 @@ object Similarity {
       val bSide = marked.filter(col("isn") === 1L).select(
         col(s"b$t").as("bk") +: col("id").as("id_b") +: col("v").as("v_b") +:
           (0 until t).map(u => col(s"b$u").as(s"bb$u")): _*)
-      val joined = aSide.join(bSide, Seq("bk"))
-        .filter(col("id_a") =!= col("id_b"))
+      val met =
+        if (chunkRows == Int.MaxValue) aSide.join(bSide, Seq("bk"))
+        else {
+          // Same skew-parallel grid as [[nearDupPairsMultiTable]],
+          // asymmetric: the a-side (whole corpus) chunks by ITS
+          // per-bucket count, the b-side (the append wave) by its
+          // own — a hot bucket's n_all x n_new enumeration spreads
+          // over Sa x Sb tasks. Buckets with no new rows drop at the
+          // count join (they contribute no pairs either way).
+          val cntA = marked.groupBy(col(s"b$t").as("bk"))
+            .agg(count(lit(1)).as("gna"))
+          val cntB = marked.filter(col("isn") === 1L)
+            .groupBy(col(s"b$t").as("bk"))
+            .agg(count(lit(1)).as("gnb"))
+          val cnts = cntA.join(cntB, Seq("bk"))
+          val gSa = ceil(col("gna") / lit(chunkRows.toDouble)).cast("int")
+          val gSb = ceil(col("gnb") / lit(chunkRows.toDouble)).cast("int")
+          val aG = aSide.join(cnts, Seq("bk"))
+            .withColumn("ga",
+              pmod(xxhash64(col("id_a")), gSa.cast("long")).cast("int"))
+            .withColumn("gb", explode(sequence(lit(0), gSb - 1)))
+            .drop("gna", "gnb")
+          val bG = bSide.join(cnts, Seq("bk"))
+            .withColumn("gb",
+              pmod(xxhash64(col("id_b")), gSb.cast("long")).cast("int"))
+            .withColumn("ga", explode(sequence(lit(0), gSa - 1)))
+            .drop("gna", "gnb")
+          aG.join(bG, Seq("bk", "ga", "gb")).drop("ga", "gb")
+        }
+      val joined = met.filter(col("id_a") =!= col("id_b"))
         // (new, new) pairs appear in both orders; (old, new) only as
         // a = old (the b side is new-only)
         .filter(col("isn_a") === 0L || col("id_a") < col("id_b"))

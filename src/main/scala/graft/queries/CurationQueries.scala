@@ -1363,6 +1363,33 @@ object CurationQueries {
       },
       Some(graphSearchOracle)),
 
+    // SKEW-PARALLEL graph build (`--chunk-rows`): the LSH bucket
+    // self-joins split into data-adaptive grid cells — a hot bucket's
+    // quadratic pair enumeration spreads over ceil(n/chunk)^2 tasks
+    // instead of single-threading one shuffle task (the measured x512
+    // build tail, SCALING.md round 14). The pair SET is unchanged
+    // (grid cell (ga(x), gb(y)) meets each ordered pair exactly once),
+    // so the build is indistinguishable through the artifacts and the
+    // walk — q299 shares q284's full-build oracle VERBATIM (the
+    // q268/q278 equivalence discipline).
+    "q299_graph_salted_build" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q299").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2",
+          "--chunk-rows", "8"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(graphSearchOracle)),
+
     // BATCHED graph-tier serving: q284's beam walk for THREE probes
     // as ONE synchronized BSP traversal (searchBatch --tier graph) —
     // per hop, all probes' beams expand through a single graph join,

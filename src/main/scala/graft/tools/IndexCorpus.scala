@@ -640,8 +640,17 @@ object IndexCorpus {
     Artifacts.requireManifest(spark, idx)
     import spark.implicits._
 
+    // --chunk-rows N > 0 turns on the skew-parallel grid split of the
+    // LSH bucket self-joins (Similarity.nearDupPairsMultiTable): the
+    // pair SET is identical (q299 shares q284's oracle verbatim), but
+    // a hot bucket's quadratic enumeration spreads over
+    // ceil(n/N)^2 tasks instead of single-threading one shuffle task
+    // — the measured x512 build tail (SCALING.md round 14).
+    val chunkRows0 = flags.getOrElse("chunk-rows", "0").toInt
+    val chunkRows = if (chunkRows0 > 0) chunkRows0 else Int.MaxValue
+
     if (flags.getOrElse("append", "false").toBoolean)
-      return graphAppend(spark, idx, in, idCol, vecCol)
+      return graphAppend(spark, idx, in, idCol, vecCol, chunkRows)
 
     val deg = flags.getOrElse("deg", "3").toInt
     val planes = flags.getOrElse("planes", "12").toInt
@@ -654,7 +663,8 @@ object IndexCorpus {
     val per = planes / bands
     val tables = (0 until bands).map(b => all.slice(b * per, (b + 1) * per))
     val edges = graft.ops.Similarity.knnGraph(
-      spark.read.parquet(in), idCol, vecCol, deg, tables, minCos)
+      spark.read.parquet(in), idCol, vecCol, deg, tables, minCos,
+      chunkRows)
       .select(col("id"), col("nbr"),
         round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
         col("rn").cast("long").as("rn"),
@@ -709,7 +719,8 @@ object IndexCorpus {
     * deleted nodes).
     */
   private def graphAppend(spark: SparkSession, idx: String, in: String,
-      idCol: String, vecCol: String): Seq[(String, Long)] = {
+      idCol: String, vecCol: String,
+      chunkRows: Int = Int.MaxValue): Seq[(String, Long)] = {
     import spark.implicits._
     require(Artifacts.exists(spark, idx, "knn_graph"),
       s"$idx has no knn_graph artifact (run `graph` first)")
@@ -739,7 +750,7 @@ object IndexCorpus {
     if (nNew == 0L) return Seq("appended" -> 0L)
 
     val pairs = graft.ops.Similarity.knnGraphAppendPairs(
-      raw, newIds, idCol, vecCol, tables, minCos)
+      raw, newIds, idCol, vecCol, tables, minCos, chunkRows)
     val mirrored = pairs
       .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
       .unionByName(pairs

@@ -285,10 +285,15 @@ object ServeProbe {
         println(s"[serveprobe] skipping graph probes at x$scale")
         graft.Scratch.release()
       } else {
+      // SPARK_GRAFT_SERVE_CHUNK > 0 turns on the skew-parallel grid
+      // split of the LSH self-joins (--chunk-rows): same edge set
+      // (q299's oracle equivalence), but the replica construction's
+      // hot buckets stop single-threading the build tail
+      val chunk = sys.env.getOrElse("SPARK_GRAFT_SERVE_CHUNK", "0")
       val (_, tG) = time {
         IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
           s"$tmp/emb.parquet", "--deg", "3", "--planes", "14",
-          "--bands", "2"))
+          "--bands", "2", "--chunk-rows", chunk))
       }
       emit("vec_graph_build", scale, tG)
       emit("vec_search_graph", scale, minOf3 {
@@ -320,7 +325,8 @@ object ServeProbe {
         .write.mode("overwrite").parquet(s"$tmp/emb_plus.parquet")
       val (_, tGA) = time {
         IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
-          s"$tmp/emb_plus.parquet", "--append", "true"))
+          s"$tmp/emb_plus.parquet", "--append", "true",
+          "--chunk-rows", chunk))
       }
       emit("vec_graph_append", scale, tGA,
         s""","wave":$waveN,"full_build_sec":$tG""")

@@ -385,6 +385,52 @@ class OpsSpec extends AnyFunSuite {
     graft.Scratch.release()
   }
 
+  test("skew-parallel grid split (chunkRows) emits EXACTLY the unsalted " +
+    "pair set — multi-table, knn graph, and append pairs") {
+    // skewed fixture: 3 replicas of every vector under distinct ids —
+    // duplicates share every LSH bucket, so each bucket is a hot
+    // bucket and tiny chunkRows forces multi-cell grids everywhere
+    val base = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val emb = (0 until 3).map(r => base.select(
+      (col("vec_id") + lit(r * 10000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val all = Similarity.hyperplanes(12, 64)
+    val tables = Seq(all.take(6), all.drop(6))
+
+    val plain = Similarity.nearDupPairsMultiTable(
+      emb, "vec_id", "embedding", tables, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val salted = Similarity.nearDupPairsMultiTable(
+      emb, "vec_id", "embedding", tables, 0.3, chunkRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.length == salted.toSet.size) // exactly-once survives
+    assert(salted.toSet == plain.toSet)
+
+    // the graph built through the grid is identical edge-for-edge
+    val gPlain = Similarity.knnGraph(emb, "vec_id", "embedding", 3, tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val gSalted = Similarity.knnGraph(emb, "vec_id", "embedding", 3, tables,
+      minCos = -1.0, chunkRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(gSalted == gPlain)
+
+    // append-wave pairs: asymmetric grid (corpus x wave) — same set
+    val newIds = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      .select(col("vec_id").as("id"))
+    val aPlain = Similarity.knnGraphAppendPairs(
+      emb, newIds, "vec_id", "embedding", tables, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val aSalted = Similarity.knnGraphAppendPairs(
+      emb, newIds, "vec_id", "embedding", tables, 0.3, chunkRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(aSalted.length == aSalted.toSet.size)
+    assert(aSalted.toSet == aPlain.toSet)
+    graft.Scratch.release()
+  }
+
   test("text kernels agree with the HOF formulation incl. edge shapes") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("text"))
