@@ -281,6 +281,42 @@ object CurationQueries {
       |   PARTITION BY id ORDER BY d, j) AS rn FROM dI2) WHERE rn = 1)"""
       .stripMargin
 
+  /** The q262 SQ8-tier search card (probe 7, 2 probed cells, ADC over
+    * the cell-restricted code reconstructions), shared VERBATIM by
+    * q301 — whose post-delete index is searched `--at` the pre-delete
+    * manifest, so time-travel must reproduce the full-corpus answer
+    * bit for bit (the tombstones artifact does not exist at v_b and
+    * every statistic reads pre-delete).
+    */
+  private lazy val sq8SearchOracleSql: String =
+    s"""WITH $pqPreamble,
+       |$routerCtes,
+       |pqd AS (
+       | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
+       | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
+       | JOIN cI1 c ON c.i = q.i GROUP BY 1),
+       |pcells AS (
+       | SELECT j FROM (
+       |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
+       | WHERE r <= 2),
+       |st AS MATERIALIZED (
+       | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
+       | FROM exall GROUP BY 1),
+       |dq AS MATERIALIZED (
+       | SELECT exall.id, exall.gi AS i,
+       |  CASE WHEN st.wd > 0
+       |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
+       |    * st.wd // 255
+       |   ELSE st.lo END AS dv
+       | FROM exall JOIN st ON st.i = exall.gi)
+       |SELECT dq.id,
+       | CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
+       |FROM dq JOIN (SELECT gi AS i, m FROM exall WHERE id = 7) q
+       | USING (i)
+       |JOIN aI2 ON aI2.id = dq.id
+       |WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 7
+       |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin
+
   private def residualPqOracle: String =
     s"""$pqPreamble,
        |$routerCtes,
@@ -978,34 +1014,41 @@ object CurationQueries {
           s"$tmp/idx", s"$dir/embeddings.parquet", "7",
           "--k", "10", "--nprobe", "2", "--tier", "sq8"))
       },
-      Some(
-        s"""WITH $pqPreamble,
-           |$routerCtes,
-           |pqd AS (
-           | SELECT c.j, sum((q.m - c.c) * (q.m - c.c)) AS d
-           | FROM (SELECT gi AS i, m FROM exall WHERE id = 7) q
-           | JOIN cI1 c ON c.i = q.i GROUP BY 1),
-           |pcells AS (
-           | SELECT j FROM (
-           |  SELECT j, row_number() OVER (ORDER BY d, j) AS r FROM pqd)
-           | WHERE r <= 2),
-           |st AS MATERIALIZED (
-           | SELECT gi AS i, min(m) AS lo, max(m) - min(m) AS wd
-           | FROM exall GROUP BY 1),
-           |dq AS MATERIALIZED (
-           | SELECT exall.id, exall.gi AS i,
-           |  CASE WHEN st.wd > 0
-           |   THEN st.lo + ((exall.m - st.lo) * 255 // st.wd)
-           |    * st.wd // 255
-           |   ELSE st.lo END AS dv
-           | FROM exall JOIN st ON st.i = exall.gi)
-           |SELECT dq.id,
-           | CAST(sum((q.m - dq.dv) * (q.m - dq.dv)) AS BIGINT) AS adc
-           |FROM dq JOIN (SELECT gi AS i, m FROM exall WHERE id = 7) q
-           | USING (i)
-           |JOIN aI2 ON aI2.id = dq.id
-           |WHERE aI2.j IN (SELECT j FROM pcells) AND dq.id <> 7
-           |GROUP BY 1 ORDER BY adc, dq.id LIMIT 10""".stripMargin)),
+      Some(sq8SearchOracleSql)),
+
+    // TIME-TRAVEL serving, vector arm (round 14, the q300 twin):
+    // build --sq8 (manifest v_b), delete HALF the corpus
+    // (vec_id % 2 = 0) with `--keep-manifests 2`, then
+    // `search --at v_b --tier sq8`: assignments, codes, ranges and the
+    // (absent-at-v_b) tombstones all resolve against the pre-delete
+    // manifest, so q262's FULL-corpus oracle applies VERBATIM through
+    // an index whose current state tombstones half the candidates.
+    "q301_vec_time_travel" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q301").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        val vb = graft.tools.Artifacts.manifestVersions(s, s"$tmp/idx").last
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet", "--keep-manifests", "2"))
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8",
+          "--at", vb.toString))
+      },
+      Some(sq8SearchOracleSql)),
 
     // CAPSTONE hybrid serving, driver-checked end to end THROUGH
     // BOTH artifact CLIs: the same item 0 queries its vector index

@@ -2764,6 +2764,46 @@ object SelectionQueries {
       },
       Some(lexSearchOracle("WHERE doc_id % 8 <> 3"))),
 
+    // TIME-TRAVEL serving (round 14): `search --at V` resolves every
+    // artifact against RETAINED manifest V — the snapshot-read surface
+    // over the configurable vacuum window. Build (manifest v_b), then
+    // delete HALF the corpus (doc_id % 2 = 0, doc 0 itself included)
+    // with `--keep-manifests 2`, then search `--at v_b`: the answer
+    // must be the FULL-corpus one — doc 0 back in its slot, df/n/avgdl
+    // pre-delete — so q267's unrestricted oracle applies VERBATIM
+    // through an index whose CURRENT state would fail it (half the
+    // docs tombstoned, every statistic shrunk). The shared oracle IS
+    // the proof that --at serves version V exactly, not approximately.
+    "q300_lex_time_travel" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q300").toString
+        val docs = t(s, dir, "documents")
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        val vb = graft.tools.Artifacts.manifestVersions(s, s"$tmp/lex").last
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet", "--keep-manifests", "2"))
+        // the retention flag is session-scoped; restore so later
+        // queries keep their own policy (v_b stays retained — nothing
+        // vacuums this index again)
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0,
+          "--k", "10", "--at", vb.toString))
+      },
+      Some(lexSearchOracleSql)),
+
     // MULTI-VECTOR (maxsim, late-interaction) retrieval: documents
     // become bags of chunk vectors (q69's 32/24 token windows, each a
     // 16-bucket hashed token-count vector kept sparse), and each of

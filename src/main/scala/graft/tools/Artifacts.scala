@@ -90,12 +90,57 @@ object Artifacts {
 
   private def manifestDir(idx: String) = s"$idx/_manifest"
 
-  /** (version, name -> seg dirs) of the newest manifest, if any. */
+  private def pinKey(idx: String) =
+    "spark.graft.pinnedManifest." +
+      java.net.URLEncoder.encode(idx, "UTF-8")
+
+  /** TIME-TRAVEL read scope: every artifact resolution of `idx`
+    * inside `body` uses manifest `ver` instead of the newest — the
+    * snapshot-read surface over the retention window ([[vacuum]]
+    * keeps the trailing `spark.graft.keepManifests` versions, so any
+    * of them is a servable point-in-time state). Resolution happens
+    * at DataFrame CONSTRUCTION (the segment file lists are fixed
+    * then), so frames built inside the scope stay pinned after it
+    * exits. Fails fast if `ver` is not retained. Mutating commands
+    * must never run inside a pin — they would derive the next state
+    * from a stale snapshot — so they refuse ([[assertUnpinned]]).
+    */
+  def withPinned[A](spark: SparkSession, idx: String, ver: Long)(body: => A): A = {
+    val key = pinKey(idx)
+    require(spark.conf.getOption(key).isEmpty,
+      s"manifest pin already active for $idx (no nesting)")
+    val p = new Path(manifestDir(idx), f"m-$ver%012d.tsv")
+    require(fs(spark, idx).exists(p),
+      s"manifest v$ver of $idx is not retained " +
+        s"(retained: ${manifestVersions(spark, idx).mkString(",")})")
+    spark.conf.set(key, ver.toString)
+    try body finally spark.conf.unset(key)
+  }
+
+  /** Mutating commands call this before reading working state: a
+    * commit derived under a pin would silently fork history off the
+    * pinned version instead of the newest.
+    */
+  def assertUnpinned(spark: SparkSession, idx: String): Unit =
+    require(spark.conf.getOption(pinKey(idx)).isEmpty,
+      s"$idx is pinned to a historical manifest; mutating commands " +
+        "must run outside Artifacts.withPinned")
+
+  /** (version, name -> seg dirs) of the newest manifest — or of the
+    * [[withPinned]] version when a pin scope is active for `idx`.
+    */
   def currentManifest(spark: SparkSession, idx: String)
       : Option[(Long, Map[String, Seq[String]])] = {
     val dir = new Path(manifestDir(idx))
     val f = fs(spark, idx)
     if (!f.exists(dir)) return None
+    spark.conf.getOption(pinKey(idx)).foreach { v =>
+      val ver = v.toLong
+      val p = new Path(dir, f"m-$ver%012d.tsv")
+      require(f.exists(p),
+        s"pinned manifest v$ver of $idx vanished (vacuumed mid-scope?)")
+      return Some((ver, parseManifest(f, p)))
+    }
     val files = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
     if (files.isEmpty) return None
@@ -291,6 +336,7 @@ object Artifacts {
     */
   def commit(spark: SparkSession, idx: String,
       segs: Map[String, Seq[String]]): Unit = {
+    assertUnpinned(spark, idx) // version n+1 must derive from the newest
     val f = fs(spark, idx)
     val dir = new Path(manifestDir(idx))
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -314,6 +360,7 @@ object Artifacts {
     * only leaves garbage.
     */
   def vacuum(spark: SparkSession, idx: String): Unit = {
+    assertUnpinned(spark, idx)
     val f = fs(spark, idx)
     val mdir = new Path(manifestDir(idx))
     if (!f.exists(mdir)) return

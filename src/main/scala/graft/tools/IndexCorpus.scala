@@ -87,15 +87,20 @@ import graft.ops.SemDedup
   *     <probeId> [--id vec_id] [--vec embedding] [--k 10] [--nprobe 2]
   *     [--filter "<sqlExpr over id, cell>"] [--rerank N]
   *     [--tier sq8|exact|graph] [--beam 8] [--hops 2]
+  *     [--at <manifestVersion>]
   *   runMain graft.tools.IndexCorpus searchBatch <indexDir>
   *     <emb.parquet> <probes.parquet> [--id vec_id] [--vec embedding]
   *     [--k 10] [--nprobe 2] [--tier pq|sq8|graph]
   *     [--filter "<sqlExpr>"] [--rerank N] [--beam 8] [--hops 2]
-  *     [--max-broadcast-probes 65536]
+  *     [--max-broadcast-probes 65536] [--at <manifestVersion>]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
   * window external concurrent readers pin against ([[Artifacts]]).
+  * `search`/`searchBatch --at V` is the TIME-TRAVEL read over that
+  * window: every artifact resolves against retained manifest V, so
+  * post-V deletes/updates are invisible, exactly (q301 proves it with
+  * the full-corpus sq8 oracle through a post-delete index).
   */
 object IndexCorpus {
 
@@ -816,6 +821,14 @@ object IndexCorpus {
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 3, "usage: search <indexDir> <emb.parquet> <probeId> [flags]")
+    flagsOf(args, 3).get("at") match {
+      case Some(v) => // time-travel: resolve every artifact at manifest v
+        Artifacts.withPinned(spark, args(0), v.toLong)(searchImpl(spark, args))
+      case None => searchImpl(spark, args)
+    }
+  }
+
+  private def searchImpl(spark: SparkSession, args: Array[String]): DataFrame = {
     val (idx, in, probeId) = (args(0), args(1), args(2).toLong)
     val flags = flagsOf(args, 3)
     val idCol = flags.getOrElse("id", "vec_id")
@@ -1178,6 +1191,16 @@ object IndexCorpus {
   def searchBatch(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 3,
       "usage: searchBatch <indexDir> <emb.parquet> <probes.parquet> [flags]")
+    flagsOf(args, 3).get("at") match {
+      case Some(v) =>
+        Artifacts.withPinned(spark, args(0), v.toLong)(
+          searchBatchImpl(spark, args))
+      case None => searchBatchImpl(spark, args)
+    }
+  }
+
+  private def searchBatchImpl(spark: SparkSession,
+      args: Array[String]): DataFrame = {
     val (idx, in, probesIn) = (args(0), args(1), args(2))
     val flags = flagsOf(args, 3)
     val idCol = flags.getOrElse("id", "vec_id")

@@ -78,14 +78,21 @@ import graft.ops.TextOps
   *     [--threshold <permille>]
   *   runMain graft.tools.LexIndex search <indexDir> "<query text>"
   *     [--k 10] [--filter "<sqlExpr over id, t, tf, dl>"]
+  *     [--at <manifestVersion>]
   *   runMain graft.tools.LexIndex searchBatch <indexDir>
   *     <queries.parquet> [--id query_id] [--text text] [--k 10]
   *     [--filter "<sqlExpr>"] [--max-inline-terms 4096]
-  *     [--max-broadcast-probes 262144]
+  *     [--max-broadcast-probes 262144] [--at <manifestVersion>]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
   * window external concurrent readers pin against ([[Artifacts]]).
+  * `search`/`searchBatch --at V` is the TIME-TRAVEL read over that
+  * window: every artifact (postings, stats, tombstones, ...) resolves
+  * against retained manifest V, so the answer is the one the index
+  * served at that version — updates and deletes that came after are
+  * invisible, exactly (q300's full-corpus oracle through a
+  * post-delete index is the driver-checked proof).
   */
 object LexIndex {
 
@@ -468,6 +475,14 @@ object LexIndex {
     */
   def search(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 2, "usage: search <indexDir> <query> [flags]")
+    flagsOf(args, 2).get("at") match {
+      case Some(v) => // time-travel: resolve every artifact at manifest v
+        Artifacts.withPinned(spark, args(0), v.toLong)(searchImpl(spark, args))
+      case None => searchImpl(spark, args)
+    }
+  }
+
+  private def searchImpl(spark: SparkSession, args: Array[String]): DataFrame = {
     val (idx, query) = (args(0), args(1))
     val flags = flagsOf(args, 2)
     val k = flags.getOrElse("k", "10").toInt
@@ -557,6 +572,16 @@ object LexIndex {
   def searchBatch(spark: SparkSession, args: Array[String]): DataFrame = {
     require(args.length >= 2,
       "usage: searchBatch <indexDir> <queries.parquet> [flags]")
+    flagsOf(args, 2).get("at") match {
+      case Some(v) =>
+        Artifacts.withPinned(spark, args(0), v.toLong)(
+          searchBatchImpl(spark, args))
+      case None => searchBatchImpl(spark, args)
+    }
+  }
+
+  private def searchBatchImpl(spark: SparkSession,
+      args: Array[String]): DataFrame = {
     val (idx, in) = (args(0), args(1))
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "query_id")

@@ -138,6 +138,55 @@ class ArtifactsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.keepManifests", "1")
   }
 
+  test("withPinned: reads inside the scope resolve the pinned " +
+    "manifest; mutating primitives refuse under a pin; frames built " +
+    "inside stay pinned after exit; unretained versions fail fast") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(segA)))        // v0
+    try {
+      spark.conf.set("spark.graft.keepManifests", "2")
+      val segB = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((9L, "z")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(segB)))      // v1
+      Artifacts.vacuum(spark, idx)
+
+      // unpinned: v1; pinned to 0: v0's rows AND v0's version number
+      assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+      val (verIn, oldRows) = Artifacts.withPinned(spark, idx, 0L) {
+        (Artifacts.currentManifest(spark, idx).map(_._1),
+          Artifacts.read(spark, idx, "rows"))
+      }
+      assert(verIn.contains(0L))
+      // resolution happened at construction: the frame serves v0 even
+      // after the scope exits (the time-travel search shape)
+      assert(oldRows.orderBy(col("id")).collect().map(_.getLong(0))
+        .toSeq == Seq(1L, 2L))
+      // scope exited: current reads are v1 again
+      assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+
+      // mutating primitives refuse under a pin — a commit derived
+      // from a historical snapshot would fork the version chain
+      Artifacts.withPinned(spark, idx, 0L) {
+        intercept[IllegalArgumentException] {
+          Artifacts.commit(spark, idx, Map("rows" -> Seq(segB)))
+        }
+        intercept[IllegalArgumentException] {
+          Artifacts.vacuum(spark, idx)
+        }
+      }
+      // ... and the refusal released the pin correctly (finally)
+      assert(Artifacts.read(spark, idx, "rows").count() == 1L)
+
+      // pinning a version outside the retained window fails fast
+      intercept[IllegalArgumentException] {
+        Artifacts.withPinned(spark, idx, 7L)(())
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
   test("vacuum deletes crash-orphaned manifest temp files") {
     import spark.implicits._
     val idx = freshIdx()

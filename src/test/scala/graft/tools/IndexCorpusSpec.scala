@@ -544,6 +544,47 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(gotR == wantR, s"rerank: got=$gotR want=$wantR")
   }
 
+  test("--at: time-travel search serves the pinned manifest exactly " +
+    "across tiers (pre-delete answers through a post-delete index, " +
+    "batch == single); unretained versions fail fast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_tt").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx, "--sq8", "true"))
+    val vb = Artifacts.manifestVersions(spark, idx).max
+    def single(tier: String, extra: Seq[String] = Seq.empty) =
+      IndexCorpus.search(spark, Array(idx, emb, "7", "--k", "5",
+        "--nprobe", "2", "--tier", tier) ++ extra)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val beforePq = single("pq")
+    val beforeSq8 = single("sq8")
+    spark.read.parquet(emb)
+      .filter(pmod(col("vec_id"), lit(2)) === 0).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    try {
+      IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet",
+        "--keep-manifests", "2"))
+      // current state: every even id is tombstoned
+      assert(single("sq8").forall(_._1 % 2 != 0))
+      // --at v_build: the full-corpus answers, bit for bit, on both
+      // code tiers (tombstones don't exist at that version)
+      assert(single("pq", Seq("--at", vb.toString)) == beforePq)
+      assert(single("sq8", Seq("--at", vb.toString)) == beforeSq8)
+      // batch surface takes the same flag with the same semantics
+      Seq(7L).toDF("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/probes.parquet")
+      val bat = IndexCorpus.searchBatch(spark, Array(idx, emb,
+        s"$tmp/probes.parquet", "--k", "5", "--nprobe", "2",
+        "--tier", "sq8", "--at", vb.toString))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(bat == beforeSq8, s"batch time-travel drifted: $bat")
+      intercept[IllegalArgumentException] {
+        IndexCorpus.search(spark, Array(idx, emb, "7", "--at", "99"))
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
   test("graph tier: beam traversal re-derivable from the persisted " +
     "graph + float source; honors retraction; deterministic") {
     import org.apache.spark.sql.functions._

@@ -447,6 +447,48 @@ class LexIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.keepManifests", "1")
   }
 
+  test("--at: time-travel search serves the pinned manifest exactly " +
+    "(pre-delete answers through a post-delete index, batch == " +
+    "single), and an unretained version fails fast") {
+    import spark.implicits._
+    val in = corpusDir()
+    val base = Files.createTempDirectory("lexidx_tt").toString
+    val idx = s"$base/lex"
+    LexIndex.build(spark, Array(in, idx, "--gram", "1"))
+    val vb = Artifacts.manifestVersions(spark, idx).max
+    val before = searchPairs(idx, "apple banana")
+    assert(before.map(_._1).contains(0L))
+    Seq(0L, 2L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$base/del.parquet")
+    try {
+      LexIndex.delete(spark, Array(idx, s"$base/del.parquet",
+        "--keep-manifests", "2"))
+      // the current state answers differently (doc 0 tombstoned,
+      // n/avgdl shrunk) — so the --at equality below is non-vacuous
+      val now = searchPairs(idx, "apple banana")
+      assert(!now.map(_._1).contains(0L) && now != before)
+      // --at v_build: the pre-delete answer, bit for bit — the
+      // tombstones artifact does not exist at that version and every
+      // statistic reads pre-delete
+      val at = LexIndex.search(spark, Array(idx, "apple banana",
+        "--at", vb.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(at == before, s"time-travel drifted: $at vs $before")
+      // batch surface takes the same flag with the same semantics
+      Seq((0L, "apple banana")).toDF("query_id", "text")
+        .write.mode("overwrite").parquet(s"$base/q.parquet")
+      val bat = LexIndex.searchBatch(spark, Array(idx,
+        s"$base/q.parquet", "--at", vb.toString))
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("score")))
+        .toSeq
+      assert(bat == before, s"batch time-travel drifted: $bat")
+      // a version outside the retained window refuses, fast
+      intercept[IllegalArgumentException] {
+        LexIndex.search(spark, Array(idx, "apple", "--at", "99"))
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
   test("legacy pre-dl postings layout: BOTH search and searchBatch " +
     "fall back to the doclens join and score identically") {
     import spark.implicits._
