@@ -1050,6 +1050,42 @@ object CurationQueries {
       },
       Some(sq8SearchOracleSql)),
 
+    // INDEX EXPORT, vector arm (q305's twin): build --sq8 (v0),
+    // delete half the corpus with retention window 2 (v1), then
+    // `export --at 0` materializes the pre-delete snapshot as a
+    // standalone index and a PLAIN `search --tier sq8` on the export
+    // answers q262's FULL-corpus oracle verbatim — the export carries
+    // exactly the artifacts (and absent tombstones) of the pinned
+    // version, re-bucketed and re-sorted so it serves with the same
+    // directory/row-group pruning as a fresh build.
+    "q306_vec_index_export" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q306").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1",
+          "--sq8", "true"))
+        val vb = graft.tools.Artifacts.manifestVersions(s, s"$tmp/idx").last
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet", "--keep-manifests", "2"))
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        graft.tools.IndexCorpus.export(s, Array(
+          s"$tmp/idx", s"$tmp/exp", "--at", vb.toString))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/exp", s"$dir/embeddings.parquet", "7",
+          "--k", "10", "--nprobe", "2", "--tier", "sq8"))
+      },
+      Some(sq8SearchOracleSql)),
+
     // CAPSTONE hybrid serving, driver-checked end to end THROUGH
     // BOTH artifact CLIs: the same item 0 queries its vector index
     // (IndexCorpus --tier sq8, 2 probed cells, ADC top-50) and its
@@ -2156,6 +2192,56 @@ object CurationQueries {
           .agg(max(when(col("s") === 0, col("code"))).as("code0"),
             max(when(col("s") === 1, col("code"))).as("code1"))
         graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments").join(codes, Seq("id"))
+          .select(col("id").as("vec_id"), col("cell"),
+            col("code0"), col("code1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(indexUpdateEquivOracle)),
+
+    // CONCURRENT vector ingest — q302's two-writer story for the ANN
+    // index: build on the 3/4 subset (frozen router + codebooks),
+    // split the held-out quarter into two disjoint waves, and ingest
+    // both SIMULTANEOUSLY from two threads through
+    // IndexCorpus.ingestFrame. Every artifact there is a pure append
+    // of base-independent segments, so the loser of the CAS version
+    // race rebases onto the winner and retries — the final artifacts
+    // must be IDENTICAL to the one-shot update whichever writer wins,
+    // and q202's closed-form oracle applies verbatim. The rebase
+    // mechanics and the overlap guard live in ArtifactsSpec /
+    // IndexCorpusSpec's concurrent-ingest test.
+    "q303_concurrent_vec_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q303").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        val waves = Seq(0, 4).map(r => t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(8)) === r))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val futs = waves.map { w =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                gate.await()
+                graft.tools.IndexCorpus.ingestFrame(s, s"$tmp/idx",
+                  w, "vec_id", "embedding")
+              }
+            })
+          }
+          gate.countDown()
+          futs.foreach(_.get())
+        } finally pool.shutdown()
+        val codes = graft.tools.Artifacts.read(s, s"$tmp/idx", "pq_codes")
+          .groupBy(col("id"))
+          .agg(max(when(col("s") === 0, col("code"))).as("code0"),
+            max(when(col("s") === 1, col("code"))).as("code1"))
+        graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments")
+          .join(codes, Seq("id"))
           .select(col("id").as("vec_id"), col("cell"),
             col("code0"), col("code1"))
           .orderBy(col("vec_id"))

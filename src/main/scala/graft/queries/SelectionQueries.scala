@@ -2665,6 +2665,142 @@ object SelectionQueries {
     // after the stream drains therefore hashes against q267's
     // full-corpus oracle verbatim — that shared oracle IS the
     // equivalence proof (the q268 argument, per micro-batch).
+    // INDEX HISTORY: drive the full lexical lifecycle — build on the
+    // 3/4 subset (v0), ingest the rest (v1), retract the odd half
+    // (v2), retention window 4 — then read `history`: one row per
+    // RETAINED manifest version with the collection statistics that
+    // version serves (each read through Artifacts.withPinned, i.e.
+    // exactly what `search --at v` would score with). The oracle
+    // re-derives every version's (n, toktot, avgdl) in closed form
+    // from the corpus and the command sequence — the version chain's
+    // values are auditable, not just monotone counters.
+    "q304_lex_index_history" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q304").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .write.mode("overwrite").parquet(s"$tmp/part1.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/part1.parquet", s"$tmp/lex", "--gram", "2"))
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.LexIndex.update(s, Array(
+          s"$tmp/lex", s"$dir/documents.parquet",
+          "--keep-manifests", "4"))
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet"))
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        graft.tools.LexIndex.history(s, Array(s"$tmp/lex"))
+          .orderBy(col("version"))
+      },
+      Some(s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |dl AS MATERIALIZED (
+           | SELECT id, greatest(len(tt) - 1, 0) AS dl FROM tk),
+           |v AS (
+           | SELECT 0 AS version,
+           |  (SELECT count(*) FROM dl WHERE id % 4 <> 3) AS n,
+           |  (SELECT sum(dl) FROM dl WHERE id % 4 <> 3) AS toktot
+           | UNION ALL
+           | SELECT 1, (SELECT count(*) FROM dl),
+           |  (SELECT sum(dl) FROM dl)
+           | UNION ALL
+           | SELECT 2, (SELECT count(*) FROM dl WHERE id % 2 = 0),
+           |  (SELECT sum(dl) FROM dl WHERE id % 2 = 0))
+           |SELECT CAST(version AS BIGINT) AS version,
+           | CAST(n AS BIGINT) AS n, CAST(toktot AS BIGINT) AS toktot,
+           | CAST(toktot // n AS BIGINT) AS avgdl
+           |FROM v ORDER BY version""".stripMargin)),
+
+    // INDEX EXPORT, time-travel form — the ship-a-point-in-time-index
+    // operation: build on the full corpus (v0), retract a quarter
+    // with retention window 2 (v1), then `export --at 0` materializes
+    // the PRE-DELETE snapshot as a brand-new standalone index (fresh
+    // v0 manifest, one repartition-parallel segment per artifact, no
+    // retention coupling to the source) and a plain search on the
+    // EXPORT answers q267's FULL-corpus oracle verbatim — through a
+    // source whose current state tombstones the quarter. Export
+    // mechanics (standalone-ness, faithful tombstone carry,
+    // clobber refusal) are LexIndexSpec's history+export test.
+    "q305_lex_index_export" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q305").toString
+        val docs = t(s, dir, "documents")
+        graft.tools.LexIndex.build(s, Array(
+          s"$dir/documents.parquet", s"$tmp/lex", "--gram", "2"))
+        docs.filter(pmod(col("doc_id"), lit(4)) === 3)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet", "--keep-manifests", "2"))
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        graft.tools.LexIndex.export(s, Array(
+          s"$tmp/lex", s"$tmp/exp", "--at", "0"))
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/exp", q0, "--k", "10"))
+      },
+      Some(lexSearchOracleSql)),
+
+    // CONCURRENT lexical ingest — TWO WRITERS, ONE INDEX: bootstrap
+    // an empty index, split the corpus into doc_id-parity halves,
+    // and ingest both halves SIMULTANEOUSLY from two threads through
+    // LexIndex.ingestFrame. The CAS manifest commit serializes them:
+    // whichever writer loses the version race rebases its appended
+    // segments onto the winner's manifest and re-derives the stats
+    // frame (Artifacts.commitAppendsWithRetry), so the final index is
+    // state-identical to a full build REGARDLESS of interleaving and
+    // q267's full-corpus oracle applies verbatim — that shared oracle
+    // IS the lost-update-freedom proof, re-checked under a live race
+    // on every driver run. The CAS/rebase mechanics and the
+    // disjointness guard (overlapping writers abort rather than
+    // double-ingest) are pinned in ArtifactsSpec / LexIndexSpec.
+    "q302_concurrent_lex_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q302").toString
+        val docs = t(s, dir, "documents")
+        docs.limit(0).write.parquet(s"$tmp/seed.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/seed.parquet", s"$tmp/lex", "--gram", "2"))
+        val halves = Seq(0, 1).map(p =>
+          docs.filter(pmod(col("doc_id"), lit(2)) === p))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val futs = halves.map { h =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                gate.await()
+                graft.tools.LexIndex.ingestFrame(s, s"$tmp/lex",
+                  h, "doc_id", "text")
+              }
+            })
+          }
+          gate.countDown()
+          futs.foreach(_.get())
+        } finally pool.shutdown()
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracleSql)),
+
     "q275_streaming_lex_ingest" -> Q(
       (s, dir) => {
         val tmp = java.nio.file.Files

@@ -60,8 +60,41 @@ import org.apache.spark.sql.functions._
   * manifest — stay READABLE ([[read]] falls back to the flat path) so
   * persisted artifacts from previous builds keep serving; mutation of
   * a legacy index is refused rather than half-migrated.
+  *
+  * MULTI-WRITER contract (round 14): commits are OPTIMISTIC-
+  * CONCURRENCY safe. Publishing manifest v(n+1) atomically CLAIMS
+  * that version slot ([[commitAt]] — a POSIX hard link on local
+  * filesystems, fails with EEXIST atomically; rename-refuses-existing
+  * on HDFS-like stores): two writers racing to the same version can
+  * never silently overwrite each other (before this, local-fs rename
+  * REPLACED the loser's manifest — a lost update). [[commit]] turns a
+  * lost race into [[CommitConflictException]]; append-shaped commands
+  * (the ingest paths) instead REBASE and retry via
+  * [[commitAppendsWithRetry]] — their new segments are valid against
+  * any base, so the retry re-reads the winner's manifest, re-appends,
+  * re-derives state-dependent artifacts (stats), and CAS-publishes
+  * again. Segment NUMBERS are claimed the same way (`.segclaim-<n>`
+  * exclusive-create in [[writeSegment]]) so two writers never stage
+  * into the same directory, and [[vacuum]] protects a concurrent
+  * writer's not-yet-committed segments with a grace age
+  * (`spark.graft.vacuumGraceMs`): never-referenced dirs younger than
+  * the grace are presumed in-flight; segments referenced only by
+  * manifests being evicted reclaim immediately (the single-writer
+  * window-1 behavior, unchanged).
   */
 object Artifacts {
+
+  /** A CAS commit lost its race: another writer published this
+    * version after the command resolved its base state. Single-writer
+    * commands surface this (their pending map may be stale); append-
+    * shaped commands catch it upstream and rebase.
+    */
+  final case class CommitConflictException(idx: String, ver: Long,
+      detail: String = "")
+    extends RuntimeException(
+      s"concurrent commit on $idx: manifest v$ver was published by " +
+        s"another writer after this command resolved its base state" +
+        (if (detail.isEmpty) "" else s" — $detail"))
 
   /** Retention window: how many trailing manifests (and every segment
     * any of them references) a [[vacuum]] preserves. Default 1 =
@@ -80,10 +113,14 @@ object Artifacts {
     * the command's vacuum runs.
     */
   def applyRetentionFlag(spark: SparkSession,
-      flags: Map[String, String]): Unit =
+      flags: Map[String, String]): Unit = {
     flags.get("keep-manifests").foreach { n =>
       spark.conf.set("spark.graft.keepManifests", n.toInt.toString)
     }
+    flags.get("vacuum-grace-ms").foreach { n =>
+      spark.conf.set("spark.graft.vacuumGraceMs", n.toLong.toString)
+    }
+  }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,10 +296,51 @@ object Artifacts {
     val f = fs(spark, idx)
     if (!f.exists(dir)) return 0L
     val used = f.listStatus(dir).map(_.getPath.getName).collect {
-      case n if n.startsWith("seg=")  => n.stripPrefix("seg=").toLong
-      case n if n.startsWith(".seg-") => n.stripPrefix(".seg-").toLong
+      case n if n.startsWith("seg=")       => n.stripPrefix("seg=").toLong
+      case n if n.startsWith(".seg-")      => n.stripPrefix(".seg-").toLong
+      case n if n.startsWith(".segclaim-") => n.stripPrefix(".segclaim-").toLong
     }
     if (used.isEmpty) 0L else used.max + 1L
+  }
+
+  /** Exclusive-create `p`: true iff THIS caller created it. Local
+    * filesystems get the atomic O_EXCL create; elsewhere Hadoop's
+    * createNewFile (atomic on HDFS's namenode).
+    */
+  private def tryCreateExclusive(f: FileSystem, p: Path): Boolean =
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try f.createNewFile(p)
+      catch { case _: java.io.IOException => false }
+    }
+
+  /** Claim the next free segment number of `name` with an atomic
+    * `.segclaim-<n>` marker — two concurrent writers can never stage
+    * into (or publish) the same segment directory. The claim lives
+    * only for the duration of the segment write ([[writeSegment]]
+    * deletes it after the rename); a crash-orphaned claim ages out of
+    * [[vacuum]]'s grace window.
+    */
+  private def claimSegNo(spark: SparkSession, idx: String,
+      name: String): Long = {
+    val f = fs(spark, idx)
+    val dir = new Path(s"$idx/$name")
+    if (!f.exists(dir)) f.mkdirs(dir)
+    var n = nextSegNo(spark, idx, name)
+    var guard = 0
+    while (!tryCreateExclusive(f, new Path(dir, s".segclaim-$n"))) {
+      n += 1
+      guard += 1
+      require(guard < 100000, s"could not claim a segment number in $dir")
+    }
+    n
   }
 
   private def listPartFiles(f: FileSystem, dir: Path): Seq[Path] = {
@@ -288,10 +366,10 @@ object Artifacts {
     */
   def writeSegment(spark: SparkSession, idx: String, name: String,
       df: DataFrame, bucket: Option[Bucket] = None): String = {
-    val n = nextSegNo(spark, idx, name)
+    val n = claimSegNo(spark, idx, name)
     val staged = s"$idx/$name/.seg-$n"
     val f = fs(spark, idx)
-    bucket match {
+    try bucket match {
       case Some(Bucket(bname, bexpr, sortBy)) =>
         val withB = df.withColumn(bname, bexpr.cast("long"))
         val arranged0 = withB.repartition(col(bname))
@@ -316,6 +394,7 @@ object Artifacts {
             .write.mode("overwrite").parquet(staged)
         }
     }
+    finally f.delete(new Path(s"$idx/$name/.segclaim-$n"), false)
     val segName = s"seg=$n"
     require(f.rename(new Path(staged), new Path(s"$idx/$name/$segName")),
       s"rename failed for $staged")
@@ -330,53 +409,159 @@ object Artifacts {
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 1), df.schema)
 
+  /** Version of the newest manifest, or -1 when the index has none
+    * (the next commit then publishes v0).
+    */
+  def currentVersion(spark: SparkSession, idx: String): Long =
+    currentManifest(spark, idx).map(_._1).getOrElse(-1L)
+
   /** Atomically publish a new manifest: `segs` is the FULL artifact ->
-    * segments map that readers should see from now on. Written to a
-    * temp name and renamed — the flip is the only commit point.
+    * segments map that readers should see from now on. The version
+    * slot is CLAIMED atomically ([[commitAt]]); losing the claim —
+    * another writer committed after this command resolved its base —
+    * raises [[CommitConflictException]] instead of silently
+    * overwriting the winner (the pre-round-14 local-fs behavior).
     */
   def commit(spark: SparkSession, idx: String,
       segs: Map[String, Seq[String]]): Unit = {
+    val base = currentVersion(spark, idx)
+    if (!commitAt(spark, idx, base, segs))
+      throw CommitConflictException(idx, base + 1)
+  }
+
+  /** CAS publish of manifest v(base+1): true iff THIS writer owns
+    * that version from now on, false when another writer claimed it
+    * first (nothing published; the caller's segments stay pending).
+    * Crash-atomic either way: the body lands under a writer-unique
+    * temp name first, and the claim is a single atomic filesystem
+    * operation — a reader can never observe a partial manifest.
+    */
+  def commitAt(spark: SparkSession, idx: String, base: Long,
+      segs: Map[String, Seq[String]]): Boolean = {
     assertUnpinned(spark, idx) // version n+1 must derive from the newest
     val f = fs(spark, idx)
     val dir = new Path(manifestDir(idx))
     if (!f.exists(dir)) f.mkdirs(dir)
-    val ver = currentManifest(spark, idx).map(_._1 + 1).getOrElse(0L)
+    val ver = base + 1
     val body = segs.toSeq.sortBy(_._1)
       .flatMap { case (n, ss) => ss.sorted.map(s => s"$n\t$s") }
       .mkString("", "\n", "\n")
-    val tmp = new Path(dir, f".m-$ver%012d.tmp")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir, f".m-$ver%012d-$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, new Path(dir, f"m-$ver%012d.tsv")),
-      s"manifest rename failed for $idx v$ver")
+    val dst = new Path(dir, f"m-$ver%012d.tsv")
+    val won = claimAtomic(f, tmp, dst)
+    if (f.exists(tmp)) f.delete(tmp, false)
+    won
   }
 
-  /** Delete segment dirs (and stale staging dirs) that no manifest in
-    * the retained window (see [[keepManifests]]) references, manifests
-    * beyond the window, and crash-orphaned manifest temp files
-    * (`.m-*.tmp` left by a writer that died between create and
-    * rename — reads never see them, but they would otherwise
-    * accumulate forever). Safe after a commit: a crash mid-vacuum
-    * only leaves garbage.
+  /** Atomically claim `dst` with the content of `tmp`: true iff this
+    * writer published it. On a local filesystem the claim is a POSIX
+    * hard link — link(2) fails with EEXIST atomically, and crucially
+    * local RENAME would have silently REPLACED an existing `dst`. On
+    * HDFS-like filesystems rename itself refuses an existing
+    * destination, so exists-check + rename IS the claim there.
+    */
+  private def claimAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else if (f.exists(dst)) false
+    else f.rename(tmp, dst)
+
+  /** Optimistic-concurrency commit for APPEND-shaped commands (the
+    * ingest paths). `deltas` are the command's already-written new
+    * segments per artifact — base-independent, so a lost CAS race is
+    * recoverable: re-read the winner's manifest, append the deltas to
+    * whatever it now holds, let `finish` re-derive state-dependent
+    * replace-style artifacts (the lexical stats frame) from that
+    * rebased working map, and CAS again. `validateRebase` runs once
+    * per observed competing commit — the command's chance to verify
+    * the winner didn't semantically conflict (overlapping doc ids
+    * ingested by both writers) before its work is merged; it throws
+    * to abort. Returns the committed version.
+    */
+  def commitAppendsWithRetry(spark: SparkSession, idx: String,
+      deltas: Map[String, Seq[String]],
+      finish: Map[String, Seq[String]] => Map[String, Seq[String]] = identity,
+      validateRebase: () => Unit = () => (),
+      maxAttempts: Int = 50): Long = {
+    var base = currentVersion(spark, idx)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > maxAttempts)
+        throw CommitConflictException(idx, base + 1,
+          s"gave up after $maxAttempts rebase attempts")
+      val cur = currentManifest(spark, idx).map(_._2).getOrElse(Map.empty)
+      val withDeltas = deltas.foldLeft(cur) { case (m, (n, ss)) =>
+        m + (n -> (m.getOrElse(n, Seq.empty) ++ ss))
+      }
+      if (commitAt(spark, idx, base, finish(withDeltas))) return base + 1
+      // lost the race: someone committed base+1 (or later) meanwhile
+      val now = currentVersion(spark, idx)
+      require(now > base, s"CAS failed but version did not advance on $idx")
+      base = now
+      validateRebase()
+    }
+    -1L // unreachable
+  }
+
+  /** How long [[vacuum]] presumes a never-referenced segment dir,
+    * staging dir, claim marker, or manifest temp file belongs to a
+    * LIVE concurrent writer (one that has written but not yet
+    * committed). Younger-than-grace entries survive; older ones are
+    * crash orphans and reclaim. Size it above the longest
+    * write-to-commit gap of any concurrent writer (the same
+    * size-to-the-slowest-participant contract as the manifest
+    * retention window). 0 = trust no one (the single-writer tests'
+    * setting: every uncommitted dir is an orphan).
+    */
+  private def vacuumGraceMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.vacuumGraceMs", "3600000").toLong
+
+  /** Delete segment dirs that no manifest in the retained window (see
+    * [[keepManifests]]) references, manifests beyond the window, and
+    * crash-orphaned staging dirs / claim markers / manifest temp
+    * files. Concurrent-writer safe: a segment referenced by an
+    * EVICTED manifest reclaims immediately (it was superseded — the
+    * single-writer window-1 behavior), but a NEVER-referenced entry
+    * is deleted only past the grace age ([[vacuumGraceMs]]) — younger
+    * ones are another writer's in-flight work between its
+    * [[writeSegment]] and its commit. Safe after a commit: a crash
+    * mid-vacuum only leaves garbage.
     */
   def vacuum(spark: SparkSession, idx: String): Unit = {
     assertUnpinned(spark, idx)
     val f = fs(spark, idx)
     val mdir = new Path(manifestDir(idx))
     if (!f.exists(mdir)) return
+    val grace = vacuumGraceMs(spark)
+    val cutoff = System.currentTimeMillis() - grace
+    def aged(p: Path): Boolean =
+      try f.getFileStatus(p).getModificationTime <= cutoff
+      catch { case _: java.io.IOException => false } // vanished: not ours
     val names = f.listStatus(mdir).map(_.getPath.getName)
     names.filter(n => n.startsWith(".m-") && n.endsWith(".tmp"))
-      .foreach(n => f.delete(new Path(mdir, n), false))
+      .foreach { n =>
+        val p = new Path(mdir, n)
+        if (aged(p)) f.delete(p, false)
+      }
     val mfiles = names
       .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
       .sortBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
     if (mfiles.isEmpty) return
     val window = keepManifests(spark)
     val keep = mfiles.takeRight(window)
-    mfiles.dropRight(window)
-      .foreach(n => f.delete(new Path(mdir, n), false))
-    // union of segments referenced by any retained manifest
-    val referenced: Set[(String, String)] = keep.flatMap { n =>
+    val evict = mfiles.dropRight(window)
+    def refsOf(ms: Seq[String]): Set[(String, String)] = ms.flatMap { n =>
       val in = f.open(new Path(mdir, n))
       val text = try {
         scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -385,16 +570,80 @@ object Artifacts {
         val Array(a, s) = l.split('\t'); (a, s)
       }.toSeq
     }.toSet
+    // referenced = retained manifests' segments (keep); graveyard =
+    // segments ONLY evicted manifests reference (reclaim now — they
+    // were committed and superseded, no writer still needs them)
+    val referenced = refsOf(keep)
+    val graveyard = refsOf(evict) -- referenced
+    evict.foreach(n => f.delete(new Path(mdir, n), false))
     val artifactDirs = f.listStatus(new Path(idx))
       .filter(s => s.isDirectory && s.getPath.getName != "_manifest")
       .map(_.getPath)
     artifactDirs.foreach { ad =>
       f.listStatus(ad).map(_.getPath).foreach { seg =>
         val nm = seg.getName
-        val live = nm.startsWith("seg=") && referenced((ad.getName, nm))
-        if ((nm.startsWith("seg=") || nm.startsWith(".seg-")) && !live)
-          f.delete(seg, true)
+        val key = (ad.getName, nm)
+        val transient = nm.startsWith(".seg-") || nm.startsWith(".segclaim-")
+        if (nm.startsWith("seg=") || transient) {
+          if (!referenced(key)) {
+            // superseded (graveyard) -> now; never-referenced -> only
+            // past the grace age (could be a live writer's pending work)
+            if (graveyard(key) || aged(seg)) f.delete(seg, true)
+          }
+        }
       }
+    }
+  }
+
+  /** One row per RETAINED manifest version (ascending): the version
+    * chain a reader can pin or time-travel to, with the artifact and
+    * segment counts it references. Bounded by the retention window —
+    * driver-sized output by construction. CLI `history` wrappers
+    * join index-specific per-version stats onto this.
+    */
+  def history(spark: SparkSession, idx: String): DataFrame = {
+    import spark.implicits._
+    manifestVersions(spark, idx).map { v =>
+      val m = manifestAt(spark, idx, v)
+      (v, m.size.toLong, m.values.map(_.size).sum.toLong)
+    }.toDF("version", "artifacts", "segments")
+  }
+
+  /** Materialize a (possibly historical) snapshot of `src` as a
+    * brand-new standalone index at `dst`: every artifact the chosen
+    * manifest references is read back and rewritten as ONE fresh
+    * segment — repartitioned by its surfaced bucket column and
+    * re-sorted by that bucket's conventional fine key (tb->t, cb->
+    * cell, gb->id — the pairs [[normalize]] already hard-codes), so
+    * the export serves with the same directory/row-group pruning as
+    * the source — and `dst` gets a single v0 manifest: no history, no
+    * tombstone debt beyond what the snapshot itself carried, fully
+    * parallel (no single-task funnel). This is the ship-a-point-in-
+    * time-index operation: an export at a retained pre-delete version
+    * answers exactly as the source did then (q305/q306), on a
+    * different cluster, with no retention-window coupling back to
+    * `src`. Export is a faithful snapshot, NOT a compact: if the
+    * snapshot had tombstones, the export carries them too.
+    */
+  def exportSnapshot(spark: SparkSession, src: String, dst: String,
+      ver: Option[Long]): Seq[(String, Long)] = {
+    requireManifest(spark, src)
+    val v = ver.getOrElse(currentVersion(spark, src))
+    val m = manifestAt(spark, src, v)
+    require(!fs(spark, dst).exists(new Path(manifestDir(dst))),
+      s"$dst already holds an index (export refuses to overwrite)")
+    val sortOf = Map("tb" -> "t", "cb" -> "cell", "gb" -> "id")
+    val written = m.toSeq.sortBy(_._1).collect {
+      case (name, segs) if segs.nonEmpty =>
+        val df = readSegs(spark, src, name, segs)
+        val bucket = df.columns.find(sortOf.contains).map { b =>
+          Bucket(b, col(b), Seq(sortOf(b)).filter(df.columns.contains))
+        }
+        name -> writeSegment(spark, dst, name, df, bucket)
+    }
+    commit(spark, dst, written.map { case (n, s) => n -> Seq(s) }.toMap)
+    written.map { case (n, _) =>
+      n -> read(spark, dst, n).count()
     }
   }
 

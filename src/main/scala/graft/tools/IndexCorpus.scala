@@ -93,10 +93,16 @@ import graft.ops.SemDedup
   *     [--k 10] [--nprobe 2] [--tier pq|sq8|graph]
   *     [--filter "<sqlExpr>"] [--rerank N] [--beam 8] [--hops 2]
   *     [--max-broadcast-probes 65536] [--at <manifestVersion>]
+  *   runMain graft.tools.IndexCorpus history <indexDir>
+  *   runMain graft.tools.IndexCorpus export <srcIndexDir> <dstIndexDir>
+  *     [--at <manifestVersion>]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
-  * window external concurrent readers pin against ([[Artifacts]]).
+  * window external concurrent readers pin against ([[Artifacts]]),
+  * and `--vacuum-grace-ms MS` (the age below which vacuum presumes a
+  * never-referenced segment belongs to a live CONCURRENT writer —
+  * see the multi-writer contract in [[Artifacts]]'s object doc).
   * `search`/`searchBatch --at V` is the TIME-TRAVEL read over that
   * window: every artifact resolves against retained manifest V, so
   * post-V deletes/updates are invisible, exactly (q301 proves it with
@@ -124,9 +130,12 @@ object IndexCorpus {
           search(spark, args.drop(1)).show(100, truncate = false)
         case Some("searchBatch") =>
           searchBatch(spark, args.drop(1)).show(100, truncate = false)
+        case Some("history") =>
+          history(spark, args.drop(1)).show(100, truncate = false)
+        case Some("export") => export(spark, args.drop(1))
         case _ =>
           sys.error("usage: IndexCorpus build|update|delete|compact|" +
-            "graph|search|searchBatch ...")
+            "graph|search|searchBatch|history|export ...")
       }
     } finally spark.stop()
   }
@@ -548,15 +557,22 @@ object IndexCorpus {
         col("d")))
     val asgn = asgnD.select(col("id"), col("cell"))
     val cbIngest = cellBucket(cellBucketsOf(spark, idx))
-    var pend = Artifacts.withAppended(spark, idx, Map(), "assignments",
-      asgn, cbIngest)
+    // CONCURRENT-WRITER path (mirrors LexIndex.ingestFrame): every
+    // artifact here is a pure APPEND of base-independent segments, so
+    // a lost CAS race rebases onto the winner's manifest and retries —
+    // two ingests of disjoint vector batches serialize safely in
+    // either order. validateRebase aborts if a competitor ingested (or
+    // tombstoned) any of OUR ids meanwhile — merging would
+    // double-index them.
+    var deltas = Map("assignments" ->
+      Seq(Artifacts.writeSegment(spark, idx, "assignments", asgn, cbIngest)))
     // an ingested vector may sit FARTHER from its cell centroid than
     // any built one — append the per-cell max so the exact tier's
     // pruning bound stays an overestimate (search maxes per cell at
     // read time; appends never race a rewrite)
     if (Artifacts.exists(spark, idx, "ivf_radii"))
-      pend = Artifacts.withAppended(spark, idx, pend, "ivf_radii",
-        asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2")))
+      deltas += "ivf_radii" -> Seq(Artifacts.writeSegment(spark, idx,
+        "ivf_radii", asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2"))))
 
     val encBase =
       if (!residual) base
@@ -576,25 +592,85 @@ object IndexCorpus {
     }.reduce(_ unionByName _)
       .join(asgn, Seq("id"))
       .select(col("id"), col("s"), col("code"), col("cell"))
-    pend = Artifacts.withAppended(spark, idx, pend, "pq_codes",
-      newCodes, cbIngest)
+    deltas += "pq_codes" -> Seq(Artifacts.writeSegment(spark, idx,
+      "pq_codes", newCodes, cbIngest))
     // the SQ8 tier ingests too (frozen per-dim ranges, like the
     // frozen codebooks) — without this append an updated vector
     // would be silently unsearchable under `--tier sq8`
     if (summaryFlag(spark, idx, "sq8")) {
       val (lo, wd) = rangeArrays(spark, idx, dims)
-      pend = Artifacts.withAppended(spark, idx, pend, "sq8_codes",
-        base.select(col("id"),
+      deltas += "sq8_codes" -> Seq(Artifacts.writeSegment(spark, idx,
+        "sq8_codes", base.select(col("id"),
           graft.ops.VectorExpressions.sq8PackBytes(col("mv"), lo, wd)
             .as("codes"))
           .join(asgn, Seq("id"))
-          .select(col("id"), col("codes"), col("cell")), cbIngest)
+          .select(col("id"), col("codes"), col("cell")), cbIngest))
     }
     val n = asgn.count()
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    val mySeg = deltas("assignments")
+    Artifacts.commitAppendsWithRetry(spark, idx, deltas,
+      validateRebase = () => {
+        val mine = Artifacts.readSegs(spark, idx, "assignments", mySeg)
+          .select(col("id"))
+        var committed = Artifacts.read(spark, idx, "assignments")
+          .select(col("id"))
+        if (Artifacts.exists(spark, idx, "tombstones"))
+          committed = committed.unionByName(
+            Artifacts.read(spark, idx, "tombstones").select(col("id")))
+        val clash = committed.join(mine, Seq("id"), "left_semi").count()
+        if (clash > 0) throw Artifacts.CommitConflictException(idx,
+          Artifacts.currentVersion(spark, idx) + 1,
+          s"$clash vector ids were concurrently ingested or retracted " +
+            "by another writer; re-run this ingest to re-dedup")
+      })
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     n
+  }
+
+  /** Per-version membership statistics over the RETAINED manifest
+    * chain: (version, vectors, tombstones, live) — each version read
+    * through `Artifacts.withPinned`, so a row is exactly the state a
+    * `search --at version` serves from (`vectors` counts assignment
+    * rows, which keep dead entries until a compact folds the
+    * tombstones in; `live` is the anti-joined serving population).
+    */
+  def history(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: history <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
+    import spark.implicits._
+    Artifacts.manifestVersions(spark, idx).map { v =>
+      Artifacts.withPinned(spark, idx, v) {
+        val asgn = Artifacts.read(spark, idx, "assignments")
+          .select(col("id"))
+        val nVec = asgn.count()
+        val (nTomb, nLive) =
+          if (Artifacts.exists(spark, idx, "tombstones")) {
+            val ts = Artifacts.read(spark, idx, "tombstones")
+              .select(col("id")).distinct()
+            (ts.count(), asgn.join(ts, Seq("id"), "left_anti").count())
+          } else (0L, nVec)
+        (v, nVec, nTomb, nLive)
+      }
+    }.toDF("version", "vectors", "tombstones", "live")
+  }
+
+  /** Materialize a (possibly historical) snapshot as a brand-new
+    * standalone index — `export <src> <dst> [--at V]`; see
+    * [[Artifacts.exportSnapshot]]. q306 proves a pre-delete export
+    * serves the full-corpus sq8 oracle through a post-delete source.
+    */
+  def export(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: export <srcIndexDir> <dstIndexDir> [--at V]")
+    val flags = flagsOf(args, 2)
+    GraftSession.tune(spark)
+    val res = Artifacts.exportSnapshot(spark, args(0), args(1),
+      flags.get("at").map(_.toLong))
+    refresh(spark, args(1))
+    res
   }
 
   /** cell -> centroid long array, from the persisted frame. */

@@ -83,10 +83,16 @@ import graft.ops.TextOps
   *     <queries.parquet> [--id query_id] [--text text] [--k 10]
   *     [--filter "<sqlExpr>"] [--max-inline-terms 4096]
   *     [--max-broadcast-probes 262144] [--at <manifestVersion>]
+  *   runMain graft.tools.LexIndex history <indexDir>
+  *   runMain graft.tools.LexIndex export <srcIndexDir> <dstIndexDir>
+  *     [--at <manifestVersion>]
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
-  * window external concurrent readers pin against ([[Artifacts]]).
+  * window external concurrent readers pin against ([[Artifacts]]),
+  * and `--vacuum-grace-ms MS` (the age below which vacuum presumes a
+  * never-referenced segment belongs to a live CONCURRENT writer —
+  * see the multi-writer contract in [[Artifacts]]'s object doc).
   * `search`/`searchBatch --at V` is the TIME-TRAVEL read over that
   * window: every artifact (postings, stats, tombstones, ...) resolves
   * against retained manifest V, so the answer is the one the index
@@ -115,9 +121,12 @@ object LexIndex {
           search(spark, args.drop(1)).show(100, truncate = false)
         case Some("searchBatch") =>
           searchBatch(spark, args.drop(1)).show(100, truncate = false)
+        case Some("history") =>
+          history(spark, args.drop(1)).show(100, truncate = false)
+        case Some("export") => export(spark, args.drop(1))
         case _ =>
           sys.error("usage: LexIndex build|update|delete|compact|" +
-            "search|searchBatch ...")
+            "search|searchBatch|history|export ...")
       }
     } finally spark.stop()
   }
@@ -270,20 +279,82 @@ object LexIndex {
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
     val newDl = newPostings.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    var pend = Map.empty[String, Seq[String]]
-    pend = Artifacts.withAppended(spark, idx, pend, "postings",
+    // CONCURRENT-WRITER path: the three content segments are written
+    // once (base-independent deltas), then the commit rebases onto
+    // whatever manifest is current at publish time — a competing
+    // ingest that wins the CAS race is merged under, not clobbered
+    // (Artifacts.commitAppendsWithRetry). The stats frame is the one
+    // state-DEPENDENT artifact, so it re-derives from the rebased
+    // working map on every attempt. Rebasing is sound only while the
+    // writers' batches are DISJOINT: this command deduped `fresh`
+    // against the docids manifest it started from, so if a competitor
+    // committed any of OUR ids meanwhile, merging would double-ingest
+    // them — validateRebase detects that and aborts (re-running the
+    // command re-dedups against the merged state).
+    val segP = Artifacts.writeSegment(spark, idx, "postings",
       newPostings.join(newDl, Seq("id"))
         .select(col("t"), col("id"), col("tf"), col("dl")),
       Some(termBucket(buckets)))
-    pend = Artifacts.withAppended(spark, idx, pend, "doclens", newDl)
-    pend = Artifacts.withAppended(spark, idx, pend, "docids",
+    val segD = Artifacts.writeSegment(spark, idx, "doclens", newDl)
+    val segI = Artifacts.writeSegment(spark, idx, "docids",
       fresh.select(col("id")))
-    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
-      statsFrame(spark, idx, pend))
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    val deltas = Map("postings" -> Seq(segP), "doclens" -> Seq(segD),
+      "docids" -> Seq(segI))
+    Artifacts.commitAppendsWithRetry(spark, idx, deltas,
+      finish = pend => pend + ("stats" ->
+        Seq(Artifacts.writeSegment(spark, idx, "stats",
+          statsFrame(spark, idx, pend)))),
+      validateRebase = () => {
+        val mine = Artifacts.readSegs(spark, idx, "docids", Seq(segI))
+        val clash = Artifacts.read(spark, idx, "docids")
+          .join(mine, Seq("id"), "left_semi").count()
+        if (clash > 0) throw Artifacts.CommitConflictException(idx,
+          Artifacts.currentVersion(spark, idx) + 1,
+          s"$clash doc ids were concurrently ingested by another " +
+            "writer; re-run this ingest to re-dedup against the merged state")
+      })
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     nNew
+  }
+
+  /** Per-version collection statistics over the RETAINED manifest
+    * chain: (version, n, toktot, avgdl) — each version's scalar stats
+    * artifact read through `Artifacts.withPinned`, so the row is
+    * exactly what a `search --at version` serves from. The lifecycle
+    * audit surface: q304's oracle re-derives every version's row in
+    * closed form from the corpus and the command sequence.
+    */
+  def history(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: history <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
+    import spark.implicits._
+    Artifacts.manifestVersions(spark, idx).map { v =>
+      val s0 = Artifacts.withPinned(spark, idx, v) {
+        Artifacts.read(spark, idx, "stats").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      (v, s0("n"), s0("toktot"), s0("avgdl"))
+    }.toDF("version", "n", "toktot", "avgdl")
+  }
+
+  /** Materialize a (possibly historical) snapshot as a brand-new
+    * standalone index: `export <src> <dst> [--at V]` — see
+    * [[Artifacts.exportSnapshot]]. The export then serves exactly as
+    * the source did at V (q305 proves a pre-delete export answers the
+    * full-corpus oracle), with no retention-window coupling to src.
+    */
+  def export(spark: SparkSession, args: Array[String]): Seq[(String, Long)] = {
+    require(args.length >= 2, "usage: export <srcIndexDir> <dstIndexDir> [--at V]")
+    val flags = flagsOf(args, 2)
+    GraftSession.tune(spark)
+    val res = Artifacts.exportSnapshot(spark, args(0), args(1),
+      flags.get("at").map(_.toLong))
+    refresh(spark, args(1))
+    res
   }
 
   /** Invalidate any cached plan that scans the index files. Every

@@ -83,7 +83,12 @@ class ArtifactsSpec extends AnyFunSuite {
       Seq((2L, "b")).toDF("id", "v"))
     // only segB committed -> segA is an orphan (a crashed command)
     Artifacts.commit(spark, idx, Map("rows" -> Seq(segB)))
-    Artifacts.vacuum(spark, idx)
+    try {
+      // grace 0: trust no never-referenced dir (the single-writer
+      // setting; the multi-writer grace behavior has its own test)
+      spark.conf.set("spark.graft.vacuumGraceMs", "0")
+      Artifacts.vacuum(spark, idx)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
     val onDisk = new java.io.File(s"$idx/rows").listFiles()
       .map(_.getName).filter(_.startsWith("seg")).toSet
     assert(onDisk == Set(segB), s"vacuum left $onDisk")
@@ -197,7 +202,15 @@ class ArtifactsSpec extends AnyFunSuite {
     val orphan = new java.io.File(s"$idx/_manifest/.m-000000000009.tmp")
     java.nio.file.Files.write(orphan.toPath, "rows\tseg=9\n".getBytes)
     assert(orphan.exists())
-    Artifacts.vacuum(spark, idx)
+    // fresh temp files are presumed a live writer's (grace window) —
+    // only aged ones are crash orphans
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      Artifacts.vacuum(spark, idx)
+      assert(orphan.exists(), "vacuum deleted a within-grace tmp")
+      spark.conf.set("spark.graft.vacuumGraceMs", "0")
+      Artifacts.vacuum(spark, idx)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
     assert(!orphan.exists(), "vacuum left the crash-orphaned tmp")
     // the real manifest and its data are untouched
     assert(Artifacts.read(spark, idx, "rows").count() == 1L)
@@ -249,5 +262,147 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.read(spark, idx, "rows").count() == 12L)
     assert(Artifacts.read(spark, idx, "rows")
       .filter(col("id").isin(11L, 12L)).count() == 0L)
+  }
+
+  test("CAS commit: a stale-base publish LOSES (returns false, winner's " +
+    "manifest intact) instead of silently replacing it; plain commit " +
+    "surfaces the conflict") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    // writer A resolves its base ...
+    val baseA = Artifacts.currentVersion(spark, idx)
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "A")).toDF("id", "v"))
+    // ... writer B commits v1 first ...
+    val segB = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "B")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, segB)))    // v1
+    // ... A's CAS at the stale base MUST lose, and B's manifest MUST
+    // survive byte-identically (local-fs rename would have replaced it)
+    assert(!Artifacts.commitAt(spark, idx, baseA,
+      Map("rows" -> Seq(seg0, segA))), "stale-base CAS won")
+    assert(Artifacts.currentVersion(spark, idx) == 1L)
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "winner's commit was clobbered")
+    // writer A re-resolves and commits cleanly on top of the winner
+    Artifacts.commit(spark, idx,
+      Map("rows" -> Seq(seg0, segB, segA)))                         // v2
+    assert(Artifacts.currentVersion(spark, idx) == 2L)
+    assert(Artifacts.read(spark, idx, "rows").count() == 3L)
+  }
+
+  test("commitAppendsWithRetry: a lost race REBASES onto the winner " +
+    "(both writers' appends survive, state-dependent artifacts " +
+    "re-derive) and validateRebase can abort a semantic conflict") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "base")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "A")).toDF("id", "v"))
+    val segB = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "B")).toDF("id", "v"))
+
+    // the finish callback doubles as the interleaving failpoint: on
+    // writer A's FIRST attempt a competing writer B commits, so A's
+    // CAS loses and the retry must rebase onto B's manifest
+    var finishCalls = 0
+    var validations = 0
+    val statsSegs = Seq.newBuilder[String]
+    val ver = Artifacts.commitAppendsWithRetry(spark, idx,
+      deltas = Map("rows" -> Seq(segA)),
+      finish = pend => {
+        finishCalls += 1
+        if (finishCalls == 1)
+          Artifacts.commit(spark, idx,                              // v1: B wins
+            Artifacts.merged(spark, idx, Map("rows" ->
+              (Artifacts.segmentsOf(spark, idx, "rows") :+ segB))))
+        // a state-DEPENDENT artifact derived from the working map —
+        // must re-derive per attempt (the lexical stats shape)
+        val n = Artifacts.readSegs(spark, idx, "rows", pend("rows")).count()
+        val s = Artifacts.writeSegment(spark, idx, "stats",
+          Seq(("n", n)).toDF("key", "value"))
+        statsSegs += s
+        pend + ("stats" -> Seq(s))
+      },
+      validateRebase = () => validations += 1)
+    assert(ver == 2L, s"rebased commit landed at v$ver")
+    assert(finishCalls == 2 && validations == 1)
+    // BOTH writers' rows serve; the re-derived stats count all 3
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Artifacts.read(spark, idx, "stats").head().getLong(1) == 3L)
+
+    // semantic conflict: validateRebase throws -> nothing published
+    val segC = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((9L, "C")).toDF("id", "v"))
+    var first = true
+    intercept[Artifacts.CommitConflictException] {
+      Artifacts.commitAppendsWithRetry(spark, idx,
+        deltas = Map("rows" -> Seq(segC)),
+        finish = pend => {
+          if (first) {
+            first = false
+            Artifacts.commit(spark, idx,
+              Artifacts.merged(spark, idx, Map.empty))              // v3
+          }
+          pend
+        },
+        validateRebase = () => throw Artifacts.CommitConflictException(
+          idx, 99L, "overlapping ids"))
+    }
+    assert(!Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).contains(9L),
+      "aborted writer's segment leaked into the manifest")
+  }
+
+  test("concurrent writeSegment: two threads never claim the same " +
+    "segment dir; vacuum's grace protects a not-yet-committed segment") {
+    import spark.implicits._
+    val idx = freshIdx()
+    // two threads race 8 segment writes each into one artifact
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fs = (0 until 2).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          for (i <- 0 until 8)
+            names.add(Artifacts.writeSegment(spark, idx, "rows",
+              Seq((t * 100L + i, s"w$t")).toDF("id", "v")))
+        }
+      })
+    }
+    gate.countDown()
+    fs.foreach(_.get())
+    pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    val all = names.asScala.toSeq
+    assert(all.size == 16 && all.distinct.size == 16,
+      s"duplicate segment claims: $all")
+
+    // commit only the first 15: the 16th is "another writer's pending
+    // segment" — a default-grace vacuum must NOT reclaim it, a grace-0
+    // vacuum does
+    val (committed, pending) = (all.sorted.init, all.sorted.last)
+    Artifacts.commit(spark, idx, Map("rows" -> committed))
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000") // the default
+      Artifacts.vacuum(spark, idx)
+      assert(new java.io.File(s"$idx/rows/$pending").exists(),
+        "vacuum reclaimed a within-grace pending segment")
+      spark.conf.set("spark.graft.vacuumGraceMs", "0")
+      Artifacts.vacuum(spark, idx)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    assert(!new java.io.File(s"$idx/rows/$pending").exists(),
+      "grace-0 vacuum left the orphan")
+    assert(Artifacts.read(spark, idx, "rows").count() == 15L)
   }
 }

@@ -114,6 +114,93 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("history + export: per-version membership matches the " +
+    "lifecycle; a pre-delete export is a STANDALONE index serving " +
+    "the pre-delete answers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_hist").toString
+    val idx = s"$tmp/idx"
+    def ids(i: String, extra: String*): Seq[(Long, Long)] =
+      IndexCorpus.search(spark, Array(i, emb, "7", "--k", "5",
+        "--nprobe", "2") ++ extra)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      spark.conf.set("spark.graft.keepManifests", "3")
+      IndexCorpus.build(spark, Array(emb, idx))
+      val n = Artifacts.read(spark, idx, "assignments").count()
+      val preDelete = ids(idx)
+      Seq(preDelete.head._1).toDF("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+      IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+      val hist = IndexCorpus.history(spark, Array(idx)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // v0: no tombstones; v1: one tombstone, assignments keep the
+      // dead row until compact, live drops by one
+      assert(hist == Seq((0L, n, 0L, n), (1L, n, 1L, n - 1L)),
+        s"history was $hist")
+
+      val exp = s"$tmp/exp_v0"
+      IndexCorpus.export(spark, Array(idx, exp, "--at", "0"))
+      assert(ids(exp) == preDelete, "pre-delete export diverged")
+      assert(Artifacts.manifestVersions(spark, exp) == Seq(0L))
+      // current export carries the tombstone: same post-delete answer
+      val exp2 = s"$tmp/exp_cur"
+      IndexCorpus.export(spark, Array(idx, exp2))
+      assert(ids(exp2) == ids(idx), "current export diverged")
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
+  test("CONCURRENT ingest: two writers ingesting disjoint vector " +
+    "batches serialize via CAS rebase — artifacts and answers equal " +
+    "the sequential ingest") {
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(emb).filter(size(col("embedding")) === 64)
+    val tmp = Files.createTempDirectory("graft_index_conc").toString
+    full.filter(col("vec_id") < 250).write.parquet(s"$tmp/old.parquet")
+    val idx = s"$tmp/idx"
+    val ref = s"$tmp/ref"
+    IndexCorpus.build(spark, Array(s"$tmp/old.parquet", idx))
+    IndexCorpus.build(spark, Array(s"$tmp/old.parquet", ref))
+    val waveA = full.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 0)
+    val waveB = full.filter(col("vec_id") >= 250 && col("vec_id") % 2 === 1)
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futs = Seq(waveA, waveB).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            IndexCorpus.ingestFrame(spark, idx, w, "vec_id", "embedding")
+          }
+        })
+      }
+      gate.countDown()
+      assert(futs.map(_.get()).sum ==
+        full.filter(col("vec_id") >= 250).count())
+      pool.shutdown()
+      // both ingests committed on top of the build
+      assert(Artifacts.currentVersion(spark, idx) == 2L)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    // sequential reference: same waves, one writer
+    assert(IndexCorpus.ingestFrame(spark, ref, waveA, "vec_id",
+      "embedding") == waveA.count())
+    assert(IndexCorpus.ingestFrame(spark, ref, waveB, "vec_id",
+      "embedding") == waveB.count())
+    // artifact VALUES identical (segment layout may differ)
+    for (a <- Seq("assignments", "pq_codes"))
+      assert(Artifacts.read(spark, idx, a).drop("cb").collect().map(_.toSeq)
+        .toSet == Artifacts.read(spark, ref, a).drop("cb").collect()
+        .map(_.toSeq).toSet, s"artifact $a diverged")
+    // and a served answer is identical
+    def ids(i: String) = IndexCorpus.search(spark,
+      Array(i, emb, "300", "--k", "5", "--nprobe", "2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ids(idx) == ids(ref))
+  }
+
   test("residual mode: codes quantize (vector - cell centroid); search honors it") {
     import org.apache.spark.sql.functions._
     val idx = Files.createTempDirectory("graft_index_res").toString
@@ -420,7 +507,10 @@ class IndexCorpusSpec extends AnyFunSuite {
     for ((t, want) <- before)
       assert(searchIds(t) == want, s"tier $t after crash")
 
-    IndexCorpus.compact(spark, Array(idx))
+    // --vacuum-grace-ms 0: reclaim the crash's orphans NOW (default
+    // grace presumes fresh uncommitted dirs are a live concurrent
+    // writer's — ArtifactsSpec pins that side)
+    IndexCorpus.compact(spark, Array(idx, "--vacuum-grace-ms", "0"))
     for (n <- Seq("assignments", "pq_codes", "sq8_codes")) {
       val segs = Artifacts.segmentsOf(spark, idx, n)
       assert(segs.size == 1, s"$n segments")

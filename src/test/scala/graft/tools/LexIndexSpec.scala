@@ -246,6 +246,99 @@ class LexIndexSpec extends AnyFunSuite {
         s"query '$q'")
   }
 
+  test("history + export: per-version stats match the lifecycle; an " +
+    "export --at a retained version is a STANDALONE index serving " +
+    "that version's answers (source untouched)") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_hist").toString
+    val idx = s"$tmp/lex"
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.parquet(s"$tmp/part1.parquet")
+    try {
+      spark.conf.set("spark.graft.keepManifests", "4")
+      LexIndex.build(spark, Array(s"$tmp/part1.parquet", idx, "--gram", "1"))
+      LexIndex.update(spark, Array(idx, in))
+      Seq(1L).toDF("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+      LexIndex.delete(spark, Array(idx, s"$tmp/del.parquet"))
+      // docs: 0 "apple banana"(2) 1 "apple apple apple cherry"(4)
+      //       2 "cherry durian"(2) 3 "durian elderberry fig grape"(4)
+      // v0 = build{0,1}; v1 = +{2,3}; v2 = -{1}
+      val hist = LexIndex.history(spark, Array(idx)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(hist == Seq((0L, 2L, 6L, 3L), (1L, 4L, 12L, 3L),
+        (2L, 3L, 8L, 2L)), s"history was $hist")
+
+      // export the PRE-DELETE version: a standalone index whose
+      // answers equal the full build's, even though the SOURCE now
+      // tombstones doc 1
+      val exp = s"$tmp/exp_v1"
+      LexIndex.export(spark, Array(idx, exp, "--at", "1"))
+      val full = Files.createTempDirectory("lexidx_hist_full").toString
+      LexIndex.build(spark, Array(in, s"$full/lex", "--gram", "1"))
+      for (q <- Seq("apple banana", "cherry durian", "apple"))
+        assert(searchPairs(exp, q) == searchPairs(s"$full/lex", q),
+          s"export-at-1 query '$q'")
+      // the export is v0 of a FRESH history, one segment per artifact
+      assert(Artifacts.manifestVersions(spark, exp) == Seq(0L))
+      assert(Artifacts.segmentsOf(spark, exp, "postings").size == 1)
+      // current-version export carries the tombstones (faithful
+      // snapshot, not a compact) and serves the post-delete answers
+      val exp2 = s"$tmp/exp_cur"
+      LexIndex.export(spark, Array(idx, exp2))
+      for (q <- Seq("apple banana", "cherry durian", "apple"))
+        assert(searchPairs(exp2, q) == searchPairs(idx, q),
+          s"current export query '$q'")
+      // refuses to clobber an existing index
+      intercept[IllegalArgumentException] {
+        LexIndex.export(spark, Array(idx, exp2))
+      }
+    } finally spark.conf.set("spark.graft.keepManifests", "1")
+  }
+
+  test("CONCURRENT ingest: two writers ingesting disjoint batches into " +
+    "one index serialize via CAS rebase — the final index answers " +
+    "exactly like a full build, whichever writer wins each race") {
+    import spark.implicits._
+    val in = corpusDir()
+    val idx = Files.createTempDirectory("lexidx_conc").toString
+    val empty = Files.createTempDirectory("lexidx_conc_e").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$empty/none.parquet")
+    LexIndex.build(spark,
+      Array(s"$empty/none.parquet", s"$idx/lex", "--gram", "1"))
+    try {
+      // a prior test's --vacuum-grace-ms 0 would let one writer's
+      // post-commit vacuum reclaim the other's pending segments
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val docs = spark.read.parquet(in)
+      val halves = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futs = halves.map { h =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            LexIndex.ingestFrame(spark, s"$idx/lex", h, "doc_id", "text")
+          }
+        })
+      }
+      gate.countDown()
+      assert(futs.map(_.get()).sum == 4L)
+      pool.shutdown()
+      // both commits landed (v0 build + one per writer, in either order)
+      assert(Artifacts.currentVersion(spark, s"$idx/lex") == 2L)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    val full = Files.createTempDirectory("lexidx_conc_full").toString
+    LexIndex.build(spark, Array(in, s"$full/lex", "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian", "durian fig", "apple"))
+      assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$full/lex", q),
+        s"query '$q'")
+  }
+
   test("compact crash-safety: a compact that fails before the manifest " +
     "flip leaves the prior index serving byte-identically, and a later " +
     "compact succeeds (stale staging vacuumed)") {
@@ -276,10 +369,12 @@ class LexIndexSpec extends AnyFunSuite {
     assert(Artifacts.read(spark, s"$idx/lex", "stats").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap == statsBefore)
 
-    // a subsequent compact completes and vacuums the crash's orphans:
+    // a subsequent compact completes and vacuums the crash's orphans
+    // (--vacuum-grace-ms 0: reclaim NOW; the default grace would
+    // presume the fresh dirs belong to a live concurrent writer):
     // each artifact ends at exactly one manifest-listed segment and
     // no unreferenced seg dirs remain on disk
-    LexIndex.compact(spark, Array(s"$idx/lex"))
+    LexIndex.compact(spark, Array(s"$idx/lex", "--vacuum-grace-ms", "0"))
     for (n <- Seq("postings", "doclens", "docids", "tombstones")) {
       val segs = Artifacts.segmentsOf(spark, s"$idx/lex", n)
       assert(segs.size == 1, s"$n segments")
