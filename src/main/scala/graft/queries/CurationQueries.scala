@@ -1086,6 +1086,45 @@ object CurationQueries {
       },
       Some(sq8SearchOracleSql)),
 
+    // INDEX INTEGRITY AUDIT, vector arm (q307's twin): build on the
+    // 3/4 subset, ingest the held-out quarter, retract the
+    // vec_id % 8 == 2 eighth, then `fsck`: every membership/encoding
+    // invariant audited from the artifacts alone — no assignment
+    // dupes, every assigned id PQ-coded exactly once per subspace,
+    // no orphaned codes, every code row's denormalized cell agreeing
+    // with the assignment, all manifest-listed segments on disk. All
+    // five rows pin at (0, 0) == structural health through the full
+    // mutation history; the oracle is the closed-form zero card,
+    // which a corrupted lifecycle (a lost segment, a double ingest, a
+    // stale-cell code) would hash-break.
+    "q308_vec_index_fsck" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q308").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        graft.tools.IndexCorpus.update(s,
+          Array(s"$tmp/idx", s"$dir/embeddings.parquet"))
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(8)) === 2)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet"))
+        graft.tools.IndexCorpus.fsck(s, Array(s"$tmp/idx"))
+      },
+      Some("""SELECT 'assignment_dupes' AS invariant,
+           | CAST(0 AS BIGINT) AS observed, CAST(0 AS BIGINT) AS expected
+           |UNION ALL SELECT 'codes_cell_mismatch', 0, 0
+           |UNION ALL SELECT 'codes_incomplete', 0, 0
+           |UNION ALL SELECT 'codes_orphans', 0, 0
+           |UNION ALL SELECT 'segments_missing', 0, 0
+           |ORDER BY invariant""".stripMargin)),
+
     // CAPSTONE hybrid serving, driver-checked end to end THROUGH
     // BOTH artifact CLIs: the same item 0 queries its vector index
     // (IndexCorpus --tier sq8, 2 probed cells, ADC top-50) and its

@@ -2718,6 +2718,55 @@ object SelectionQueries {
            | CAST(toktot // n AS BIGINT) AS avgdl
            |FROM v ORDER BY version""".stripMargin)),
 
+    // INDEX INTEGRITY AUDIT (`fsck`): drive the full lexical
+    // lifecycle — build on the 3/4 subset, ingest the rest, retract
+    // the odd half — then audit every invariant the serving contract
+    // rests on WITHOUT a rebuild: manifest-listed segments all on
+    // disk, the scalar stats equal to a fresh recount of the live
+    // state, every posting row's denormalized dl agreeing with
+    // doclens, every id's tf-sum equal to its dl. The oracle
+    // re-derives the two value rows (stats_n / stats_toktot) in
+    // closed form from the corpus and the command sequence and pins
+    // the three structural rows at zero — so the fsck itself is
+    // verified, not just executed.
+    "q307_lex_index_fsck" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q307").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .write.mode("overwrite").parquet(s"$tmp/part1.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/part1.parquet", s"$tmp/lex", "--gram", "2"))
+        graft.tools.LexIndex.update(s, Array(
+          s"$tmp/lex", s"$dir/documents.parquet"))
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet"))
+        graft.tools.LexIndex.fsck(s, Array(s"$tmp/lex"))
+      },
+      Some(s"""WITH tk AS MATERIALIZED (
+           | SELECT doc_id AS id, $toksSql AS tt FROM documents),
+           |dl AS MATERIALIZED (
+           | SELECT id, greatest(len(tt) - 1, 0) AS dl FROM tk),
+           |live AS (SELECT * FROM dl WHERE id % 2 = 0)
+           |SELECT 'postings_dl_mismatch' AS invariant,
+           | CAST(0 AS BIGINT) AS observed, CAST(0 AS BIGINT) AS expected
+           |UNION ALL
+           |SELECT 'postings_tf_sum_mismatch', 0, 0
+           |UNION ALL
+           |SELECT 'segments_missing', 0, 0
+           |UNION ALL
+           |SELECT 'stats_n', (SELECT CAST(count(*) AS BIGINT) FROM live),
+           | (SELECT CAST(count(*) AS BIGINT) FROM live)
+           |UNION ALL
+           |SELECT 'stats_toktot',
+           | (SELECT CAST(sum(dl) AS BIGINT) FROM live),
+           | (SELECT CAST(sum(dl) AS BIGINT) FROM live)
+           |ORDER BY invariant""".stripMargin)),
+
     // INDEX EXPORT, time-travel form — the ship-a-point-in-time-index
     // operation: build on the full corpus (v0), retract a quarter
     // with retention window 2 (v1), then `export --at 0` materializes

@@ -647,6 +647,23 @@ object Artifacts {
     }
   }
 
+  /** Physical integrity of the CURRENT manifest: (listed, missing)
+    * segment-directory counts across every artifact — `missing > 0`
+    * means the manifest references files the filesystem lost (a
+    * mis-sized vacuum grace, an external deletion), the one failure
+    * mode a serving index cannot self-heal. CLI `fsck` wrappers put
+    * this first and add index-specific value checks.
+    */
+  def segmentCheck(spark: SparkSession, idx: String): (Long, Long) = {
+    val f = fs(spark, idx)
+    val m = currentManifest(spark, idx).map(_._2).getOrElse(Map.empty)
+    val listed = m.values.map(_.size).sum.toLong
+    val missing = m.toSeq.flatMap { case (name, segs) =>
+      segs.filterNot(s => f.exists(new Path(s"$idx/$name/$s")))
+    }.size.toLong
+    (listed, missing)
+  }
+
   /** Guard for mutating commands: a manifest must exist (new-layout
     * index). Legacy flat indexes are read-only under this layer.
     */

@@ -96,6 +96,7 @@ import graft.ops.SemDedup
   *   runMain graft.tools.IndexCorpus history <indexDir>
   *   runMain graft.tools.IndexCorpus export <srcIndexDir> <dstIndexDir>
   *     [--at <manifestVersion>]
+  *   runMain graft.tools.IndexCorpus fsck <indexDir>
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -133,9 +134,11 @@ object IndexCorpus {
         case Some("history") =>
           history(spark, args.drop(1)).show(100, truncate = false)
         case Some("export") => export(spark, args.drop(1))
+        case Some("fsck") =>
+          fsck(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
           sys.error("usage: IndexCorpus build|update|delete|compact|" +
-            "graph|search|searchBatch|history|export ...")
+            "graph|search|searchBatch|history|export|fsck ...")
       }
     } finally spark.stop()
   }
@@ -656,6 +659,75 @@ object IndexCorpus {
         (v, nVec, nTomb, nLive)
       }
     }.toDF("version", "vectors", "tombstones", "live")
+  }
+
+  /** Index INTEGRITY audit (`fsck <indexDir>`), the vector arm of
+    * LexIndex.fsck: (invariant, observed, expected) rows over the
+    * invariants the ANN serving contract rests on — healthy means
+    * observed == expected everywhere.
+    *
+    *   - segments_missing: manifest-listed dirs absent on disk.
+    *   - assignment_dupes: ids with more than one assignment row
+    *     (the ingest dedup contract — a dupe double-counts ADC mass).
+    *   - codes_incomplete: assigned ids whose pq_codes rows don't
+    *     cover all pq_m subspaces exactly once.
+    *   - codes_orphans: pq_codes ids with no assignment row (an
+    *     encode that outlived its membership).
+    *   - codes_cell_mismatch: pq_codes rows whose denormalized cell
+    *     disagrees with the assignment (the probed-cell restriction
+    *     would silently skip or mis-route them).
+    *
+    * Checks run over ALL rows including tombstoned ones (assignments
+    * and codes carry dead rows symmetrically until compact). q308
+    * drives the full lifecycle and hashes every row against the
+    * closed-form corpus recount.
+    */
+  def fsck(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: fsck <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
+    import spark.implicits._
+    val (_, missing) = Artifacts.segmentCheck(spark, idx)
+    // value checks read the content artifacts — uncomputable when the
+    // manifest references lost files ((-1, 0) then; segments_missing
+    // carries the diagnosis)
+    val valueRows: Seq[(String, Long, Long)] =
+      try {
+        val pqM = summaryVal(spark, idx, "pq_m").getOrElse(2L)
+        val asgn = graft.Scratch.cache(
+          Artifacts.read(spark, idx, "assignments")
+            .select(col("id"), col("cell")))
+        val dupes = asgn.groupBy(col("id")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).count()
+        val codes = graft.Scratch.cache(
+          Artifacts.read(spark, idx, "pq_codes")
+            .select(col("id"), col("s"), col("cell").as("code_cell")))
+        val incomplete = asgn.select(col("id"))
+          .join(codes.groupBy(col("id"))
+            .agg(count_distinct(col("s")).as("m"), count(lit(1)).as("rows")),
+            Seq("id"), "left_outer")
+          .filter(col("m").isNull || col("m") =!= pqM || col("rows") =!= pqM)
+          .count()
+        val orphans = codes.select(col("id")).distinct()
+          .join(asgn.select(col("id")), Seq("id"), "left_anti").count()
+        val cellMismatch = codes
+          .join(asgn, Seq("id"), "inner")
+          .filter(col("code_cell") =!= col("cell")).count()
+        Seq(
+          ("assignment_dupes", dupes, 0L),
+          ("codes_cell_mismatch", cellMismatch, 0L),
+          ("codes_incomplete", incomplete, 0L),
+          ("codes_orphans", orphans, 0L))
+      } catch {
+        case _: Throwable if missing > 0 =>
+          Seq("assignment_dupes", "codes_cell_mismatch",
+            "codes_incomplete", "codes_orphans").map((_, -1L, 0L))
+      }
+    (("segments_missing", missing, 0L) +: valueRows)
+      .toDF("invariant", "observed", "expected")
+      .orderBy(col("invariant"))
   }
 
   /** Materialize a (possibly historical) snapshot as a brand-new

@@ -86,6 +86,7 @@ import graft.ops.TextOps
   *   runMain graft.tools.LexIndex history <indexDir>
   *   runMain graft.tools.LexIndex export <srcIndexDir> <dstIndexDir>
   *     [--at <manifestVersion>]
+  *   runMain graft.tools.LexIndex fsck <indexDir>
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -124,9 +125,11 @@ object LexIndex {
         case Some("history") =>
           history(spark, args.drop(1)).show(100, truncate = false)
         case Some("export") => export(spark, args.drop(1))
+        case Some("fsck") =>
+          fsck(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
           sys.error("usage: LexIndex build|update|delete|compact|" +
-            "search|searchBatch|history|export ...")
+            "search|searchBatch|history|export|fsck ...")
       }
     } finally spark.stop()
   }
@@ -339,6 +342,78 @@ object LexIndex {
       }
       (v, s0("n"), s0("toktot"), s0("avgdl"))
     }.toDF("version", "n", "toktot", "avgdl")
+  }
+
+  /** Index INTEGRITY audit (`fsck <indexDir>`): one row per invariant
+    * the serving contract rests on, as (invariant, observed, expected) —
+    * a healthy index reads observed == expected on every row.
+    *
+    *   - segments_missing: manifest-listed segment dirs absent on
+    *     disk (the unrecoverable failure — a mis-sized vacuum grace
+    *     or external deletion).
+    *   - stats_n / stats_toktot: the scalar stats artifact vs a fresh
+    *     recount of the live state (docids minus tombstones; doclens
+    *     restricted to live ids) — BM25's collection statistics must
+    *     equal what a from-scratch rebuild would compute (the q268/
+    *     q271 equivalence, auditable without a rebuild).
+    *   - postings_dl_mismatch: posting rows whose denormalized dl
+    *     disagrees with the doclens artifact for that id.
+    *   - postings_tf_sum_mismatch: ids whose postings tf-sum != dl
+    *     (the tokenizer identity: document length IS the sum of its
+    *     term frequencies).
+    *
+    * The content checks run over ALL rows including tombstoned ones
+    * (postings and doclens carry dead rows symmetrically until a
+    * compact folds them out). q307 drives a full lifecycle and hashes
+    * every row against the closed-form corpus recount.
+    */
+  def fsck(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: fsck <indexDir>")
+    val idx = args(0)
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, idx)
+    import spark.implicits._
+    val (_, missing) = Artifacts.segmentCheck(spark, idx)
+    // value checks read the content artifacts — uncomputable when the
+    // manifest references lost files, so they report (-1, 0) then and
+    // the segments_missing row carries the diagnosis
+    val valueRows: Seq[(String, Long, Long)] =
+      try {
+        val stats0 = Artifacts.read(spark, idx, "stats").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val live = graft.Scratch.cache(liveIds(spark, idx, Map.empty))
+        val nLive = live.count()
+        val tokLive = Artifacts.read(spark, idx, "doclens")
+          .join(broadcast(live), Seq("id"), "left_semi")
+          .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+        val postings = graft.Scratch.cache(
+          Artifacts.read(spark, idx, "postings")
+            .select(col("id"), col("tf"), col("dl")))
+        val doclens = Artifacts.read(spark, idx, "doclens")
+          .select(col("id"), col("dl").as("dl_doc"))
+        val dlMismatch = postings.select(col("id"), col("dl")).distinct()
+          .join(doclens, Seq("id"), "left_outer")
+          .filter(col("dl_doc").isNull || col("dl") =!= col("dl_doc"))
+          .count()
+        val tfSumMismatch = postings
+          .groupBy(col("id"), col("dl"))
+          .agg(sum(col("tf")).as("tfsum"))
+          .filter(col("tfsum") =!= col("dl"))
+          .count()
+        Seq(
+          ("postings_dl_mismatch", dlMismatch, 0L),
+          ("postings_tf_sum_mismatch", tfSumMismatch, 0L),
+          ("stats_n", stats0("n"), nLive),
+          ("stats_toktot", stats0("toktot"), tokLive))
+      } catch {
+        case _: Throwable if missing > 0 =>
+          Seq("postings_dl_mismatch", "postings_tf_sum_mismatch",
+            "stats_n", "stats_toktot").map((_, -1L, 0L))
+      }
+    (("segments_missing", missing, 0L) +: valueRows)
+      .toDF("invariant", "observed", "expected")
+      .orderBy(col("invariant"))
   }
 
   /** Materialize a (possibly historical) snapshot as a brand-new

@@ -152,6 +152,47 @@ class IndexCorpusSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.keepManifests", "1")
   }
 
+  test("fsck: a healthy lifecycle is all-zeros; a duplicate " +
+    "assignment, an orphaned code, and a lost segment are detected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_index_fsck").toString
+    val idx = s"$tmp/idx"
+    IndexCorpus.build(spark, Array(emb, idx))
+    Seq(3L).toDF("vec_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    IndexCorpus.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    def fsckMap() = IndexCorpus.fsck(spark, Array(idx)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val healthy = fsckMap()
+    assert(healthy.size == 5)
+    assert(healthy.values.forall { case (o, e) => o == e && o == 0L },
+      s"healthy index failed fsck: $healthy")
+
+    // corruption: append a DUPLICATE assignment for id 5 in a wrong
+    // cell (also a cell mismatch for its codes), an assignment for an
+    // id that has NO codes (incomplete), and a code row for a
+    // never-assigned id (orphan). Segments must match the artifact's
+    // bucketed layout (uniform partition depth).
+    val cb = Some(Artifacts.Bucket("cb",
+      pmod(col("cell"), lit(64L)), Seq("cell")))
+    val dupSeg = Artifacts.writeSegment(spark, idx, "assignments",
+      Seq((5L, 3L), (888888L, 0L)).toDF("id", "cell"), cb)
+    val orphSeg = Artifacts.writeSegment(spark, idx, "pq_codes",
+      Seq((999999L, 0L, 1L, 2L)).toDF("id", "s", "code", "cell"), cb)
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, Map(
+      "assignments" ->
+        (Artifacts.segmentsOf(spark, idx, "assignments") :+ dupSeg),
+      "pq_codes" ->
+        (Artifacts.segmentsOf(spark, idx, "pq_codes") :+ orphSeg))))
+    spark.catalog.refreshByPath(idx)
+    val broken = fsckMap()
+    assert(broken("assignment_dupes")._1 >= 1L, s"$broken")
+    assert(broken("codes_orphans")._1 >= 1L, s"$broken")
+    assert(broken("codes_cell_mismatch")._1 >= 1L, s"$broken")
+    assert(broken("codes_incomplete")._1 >= 1L, s"$broken")
+  }
+
   test("CONCURRENT ingest: two writers ingesting disjoint vector " +
     "batches serialize via CAS rebase — artifacts and answers equal " +
     "the sequential ingest") {

@@ -298,6 +298,55 @@ class LexIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.keepManifests", "1")
   }
 
+  test("fsck: a healthy lifecycle reads observed == expected on every " +
+    "invariant; injected corruption (a lost segment, a forged dl) is " +
+    "detected") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_fsck").toString
+    val idx = s"$tmp/lex"
+    LexIndex.build(spark, Array(in, idx, "--gram", "1"))
+    Seq(2L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    LexIndex.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    val rows = LexIndex.fsck(spark, Array(idx)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.size == 5)
+    assert(rows.forall { case (_, o, e) => o == e },
+      s"healthy index failed fsck: $rows")
+    // docs 0,1,3 live: n=3, toktot=2+4+4=10
+    assert(rows.find(_._1 == "stats_n").get._2 == 3L)
+    assert(rows.find(_._1 == "stats_toktot").get._2 == 10L)
+
+    // corruption 1: a manifest-listed segment dir vanishes
+    val seg = Artifacts.segmentsOf(spark, idx, "doclens").head
+    val segDir = new java.io.File(s"$idx/doclens/$seg")
+    val moved = new java.io.File(s"$tmp/stash")
+    assert(segDir.renameTo(moved))
+    spark.catalog.refreshByPath(idx)
+    val broken = LexIndex.fsck(spark, Array(idx)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(broken.find(_._1 == "segments_missing").get._2 >= 1L,
+      s"fsck missed the lost segment: $broken")
+    assert(moved.renameTo(segDir)) // restore
+
+    // corruption 2: forge a posting row whose dl disagrees with
+    // doclens — lands as a new (uncommitted-to-docids) posting
+    // segment, written with the artifact's tb-bucketed layout
+    spark.catalog.refreshByPath(idx)
+    val forged = Artifacts.writeSegment(spark, idx, "postings",
+      Seq(("zzz", 0L, 1L, 999L)).toDF("t", "id", "tf", "dl"),
+      Some(Artifacts.Bucket("tb", pmod(hash(col("t")), lit(16L)), Seq("t"))))
+    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx,
+      Map("postings" ->
+        (Artifacts.segmentsOf(spark, idx, "postings") :+ forged))))
+    spark.catalog.refreshByPath(idx)
+    val forgedRows = LexIndex.fsck(spark, Array(idx)).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(forgedRows("postings_dl_mismatch") >= 1L)
+    assert(forgedRows("postings_tf_sum_mismatch") >= 1L)
+  }
+
   test("CONCURRENT ingest: two writers ingesting disjoint batches into " +
     "one index serialize via CAS rebase — the final index answers " +
     "exactly like a full build, whichever writer wins each race") {
