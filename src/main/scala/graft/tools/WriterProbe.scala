@@ -1,0 +1,138 @@
+package graft.tools
+
+import java.nio.file.Files
+import java.util.concurrent.{Callable, CountDownLatch, Executors}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.TextOps
+
+/** Concurrent-writer ingest decade (SCALING.md round 14): price what
+  * the CAS/rebase commit path BUYS, not just that it is safe. W
+  * disjoint ingest waves land in ONE lexical index, sequentially vs
+  * from W concurrent threads, at growing corpus replication.
+  *
+  * The mechanism being priced: an ingest command is a CHAIN of
+  * driver-coordinated steps (dedup scan, tokenize/aggregate jobs,
+  * three segment writes, a stats recount, manifest IO) — at small
+  * per-wave volumes most of the wall-clock is the fixed per-command
+  * latency between jobs, which concurrent writers OVERLAP; as the
+  * per-wave data grows the executor pool saturates and the win must
+  * shrink toward 1x. Both ends are measured. Safety is asserted
+  * inline: the manifest version chain counts exactly one commit per
+  * wave (no lost updates under the live race) and the concurrent
+  * index's collection statistics equal the sequential reference's.
+  *
+  * Output: one `[writerprobe] {json}` line per (scale, writers) cell.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.WriterProbe"              # x1,x8 / W=2,4
+  *   SPARK_GRAFT_SCALES=1,8,32 SPARK_GRAFT_WRITERS=2,4,8 sbt "..."
+  */
+object WriterProbe {
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,8")
+      .split(',').map(_.trim.toInt).toSeq
+    val writerCounts = sys.env.getOrElse("SPARK_GRAFT_WRITERS", "2,4")
+      .split(',').map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder.master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+    import spark.implicits._
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm-up: one throwaway build+ingest so the first measured cell
+    // doesn't charge codegen/JIT to the sequential arm (which runs
+    // first in every cell)
+    locally {
+      val wtmp = Files.createTempDirectory("writerprobe_warm").toString
+      val d0 = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      d0.limit(0).write.parquet(s"$wtmp/seed.parquet")
+      LexIndex.build(spark, Array(s"$wtmp/seed.parquet", s"$wtmp/lex",
+        "--gram", "2"))
+      LexIndex.ingestFrame(spark, s"$wtmp/lex", d0.limit(100),
+        "doc_id", "text")
+      graft.Scratch.release()
+    }
+
+    for (scale <- scales) {
+      val tmp = Files.createTempDirectory(s"writerprobe_x$scale").toString
+      // replica-suffixed corpus (the ServeProbe convention: vocabulary
+      // grows with the corpus, every wave is real novel text)
+      val reps = broadcast(spark.range(scale).select(col("id").as("_r")))
+      spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .crossJoin(reps)
+        .select(
+          (col("doc_id") + col("_r") * lit(1000000L)).as("doc_id"),
+          array_join(transform(TextOps.tokens(col("text")),
+            t => concat(t, lit("_"), col("_r"))), " ").as("text"))
+        .write.parquet(s"$tmp/docs.parquet")
+      val docs = spark.read.parquet(s"$tmp/docs.parquet")
+      val nDocs = docs.count()
+
+      for (w <- writerCounts) {
+        val waves = (0 until w).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(w.toLong)) === i.toLong))
+
+        def freshIdx(tag: String): String = {
+          val idx = s"$tmp/lex_${tag}_$w"
+          docs.limit(0).write.parquet(s"$tmp/seed_${tag}_$w.parquet")
+          LexIndex.build(spark,
+            Array(s"$tmp/seed_${tag}_$w.parquet", idx, "--gram", "2"))
+          idx
+        }
+
+        val seqIdx = freshIdx("seq")
+        val tSeq = time {
+          waves.foreach(wv =>
+            LexIndex.ingestFrame(spark, seqIdx, wv, "doc_id", "text"))
+        }
+        graft.Scratch.release()
+
+        val concIdx = freshIdx("conc")
+        val pool = Executors.newFixedThreadPool(w)
+        val gate = new CountDownLatch(1)
+        val futs = waves.map { wv =>
+          pool.submit(new Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              LexIndex.ingestFrame(spark, concIdx, wv, "doc_id", "text")
+            }
+          })
+        }
+        val tConc = time { gate.countDown(); futs.foreach(_.get()) }
+        pool.shutdown()
+        graft.Scratch.release()
+
+        // safety, asserted in the measurement itself: one commit per
+        // wave landed (empty-build v0 + w ingests), and the concurrent
+        // index's collection statistics equal the sequential ones
+        val vers = Artifacts.manifestVersions(spark, concIdx).max
+        require(vers == w.toLong,
+          s"expected v$w after $w concurrent ingests, got v$vers")
+        def stats(idx: String) = Artifacts.read(spark, idx, "stats")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (sSeq, sConc) = (stats(seqIdx), stats(concIdx))
+        require(sSeq == sConc,
+          s"concurrent stats $sConc diverged from sequential $sSeq")
+        require(sSeq("n") == nDocs, s"lost docs: ${sSeq("n")} of $nDocs")
+
+        println(f"""[writerprobe] {"probe":"lex_ingest","scale":$scale,"writers":$w,"docs":$nDocs,"seq_sec":$tSeq%.3f,"conc_sec":$tConc%.3f,"speedup":${tSeq / tConc}%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}
