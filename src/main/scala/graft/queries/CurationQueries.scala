@@ -1086,6 +1086,60 @@ object CurationQueries {
       },
       Some(sq8SearchOracleSql)),
 
+    // INDEX HISTORY, vector arm (q304's twin): build on the 3/4
+    // subset (v0), ingest the rest (v1), retract the vec_id % 8 == 2
+    // eighth (v2), retention window 4 — then `history`: one row per
+    // retained manifest version with the membership that version
+    // serves (withPinned reads: assignment rows keep dead entries
+    // until compact, so `vectors` is monotone while `live` drops by
+    // the tombstoned eighth). The oracle re-derives all three rows in
+    // closed form from the valid-dim embedding population and the
+    // command sequence.
+    "q309_vec_index_history" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q309").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.IndexCorpus.update(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet",
+          "--keep-manifests", "4"))
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(8)) === 2)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet"))
+        prevKeep match {
+          case Some(p) => s.conf.set("spark.graft.keepManifests", p)
+          case None    => s.conf.unset("spark.graft.keepManifests")
+        }
+        graft.tools.IndexCorpus.history(s, Array(s"$tmp/idx"))
+          .orderBy(col("version"))
+      },
+      Some("""WITH pop AS MATERIALIZED (
+           | SELECT vec_id AS id FROM embeddings
+           | WHERE len(embedding) = 64),
+           |v AS (
+           | SELECT 0 AS version,
+           |  (SELECT count(*) FROM pop WHERE id % 4 <> 0) AS vectors,
+           |  0 AS tombstones
+           | UNION ALL
+           | SELECT 1, (SELECT count(*) FROM pop), 0
+           | UNION ALL
+           | SELECT 2, (SELECT count(*) FROM pop),
+           |  (SELECT count(*) FROM pop WHERE id % 8 = 2))
+           |SELECT CAST(version AS BIGINT) AS version,
+           | CAST(vectors AS BIGINT) AS vectors,
+           | CAST(tombstones AS BIGINT) AS tombstones,
+           | CAST(vectors - tombstones AS BIGINT) AS live
+           |FROM v ORDER BY version""".stripMargin)),
+
     // INDEX INTEGRITY AUDIT, vector arm (q307's twin): build on the
     // 3/4 subset, ingest the held-out quarter, retract the
     // vec_id % 8 == 2 eighth, then `fsck`: every membership/encoding
