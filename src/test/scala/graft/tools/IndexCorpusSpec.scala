@@ -149,6 +149,17 @@ class IndexCorpusSpec extends AnyFunSuite {
       val exp2 = s"$tmp/exp_cur"
       IndexCorpus.export(spark, Array(idx, exp2))
       assert(ids(exp2) == ids(idx), "current export diverged")
+
+      // the GRAPH tier exports too: build the kNN graph (gb-bucketed,
+      // ver-versioned adjacency + unbucketed graph_meta), export, and
+      // the exported graph walk must answer exactly like the source's
+      IndexCorpus.graph(spark, Array(idx, emb, "--deg", "3",
+        "--planes", "12", "--bands", "2"))
+      val exp3 = s"$tmp/exp_graph"
+      IndexCorpus.export(spark, Array(idx, exp3))
+      val gArgs = Seq("--tier", "graph", "--beam", "6", "--hops", "2")
+      assert(ids(exp3, gArgs: _*) == ids(idx, gArgs: _*),
+        "graph-tier export diverged")
     } finally spark.conf.set("spark.graft.keepManifests", "1")
   }
 
