@@ -388,6 +388,76 @@ class LexIndexSpec extends AnyFunSuite {
         s"query '$q'")
   }
 
+  test("LIVE readers during concurrent writers: with the retention " +
+    "window sized to the writer count, every search issued during the " +
+    "commit storm succeeds and serves a COMMITTED snapshot (validated " +
+    "post-hoc against the retained versions via time travel)") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_live").toString
+    val idx = s"$tmp/lex"
+    // base index: docs 0-1 (so the probe term 'apple' always answers)
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.parquet(s"$tmp/base.parquet")
+    LexIndex.build(spark, Array(s"$tmp/base.parquet", idx, "--gram", "1"))
+    val docs = spark.read.parquet(in)
+    val waves = Seq(docs.filter(col("doc_id") === 2),
+      docs.filter(col("doc_id") === 3))
+    try {
+      // window 3 = base + one per writer: nothing a live reader can
+      // resolve is ever vacuumed mid-scan
+      spark.conf.set("spark.graft.keepManifests", "3")
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writerFuts = waves.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            try LexIndex.ingestFrame(spark, idx, w, "doc_id", "text")
+            finally { writersDone.incrementAndGet(); () }
+          }
+        })
+      }
+      // the reader hammers the index for the storm's whole duration;
+      // every answer it gets must later prove to be SOME committed
+      // version's answer — no torn reads, no missing-file failures
+      val observed = new java.util.concurrent.ConcurrentLinkedQueue[
+        Seq[(Long, Long)]]()
+      val reader = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var n = 0
+          while (writersDone.get() < 2 || n < 5) {
+            observed.add(searchPairs(idx, "apple"))
+            n += 1
+          }
+          n
+        }
+      })
+      gate.countDown()
+      writerFuts.foreach(_.get())
+      val nReads = reader.get()
+      pool.shutdown()
+      assert(nReads >= 5, s"reader only completed $nReads searches")
+      // post-hoc validation: replay every retained version via --at
+      val valid = Artifacts.manifestVersions(spark, idx).map { v =>
+        LexIndex.search(spark,
+          Array(idx, "apple", "--at", v.toString))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }.toSet
+      import scala.jdk.CollectionConverters._
+      val distinctSeen = observed.asScala.toSeq.distinct
+      for (ans <- distinctSeen)
+        assert(valid(ans),
+          s"a live read served a non-committed state: $ans not in $valid")
+    } finally {
+      spark.conf.set("spark.graft.keepManifests", "1")
+      spark.conf.unset("spark.graft.vacuumGraceMs")
+    }
+  }
+
   test("compact crash-safety: a compact that fails before the manifest " +
     "flip leaves the prior index serving byte-identically, and a later " +
     "compact succeeds (stale staging vacuumed)") {
