@@ -472,6 +472,13 @@ object Artifacts {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // local fs without hard links (some container/overlay
+          // mounts): degrade to the check+rename claim — a narrower
+          // window than link(2), still strictly better than blind
+          // rename (which REPLACES an existing dst on POSIX)
+          if (f.exists(dst)) false else f.rename(tmp, dst)
       }
     } else if (f.exists(dst)) false
     else f.rename(tmp, dst)
