@@ -417,17 +417,37 @@ object Artifacts {
 
   /** Atomically publish a new manifest: `segs` is the FULL artifact ->
     * segments map that readers should see from now on. The version
-    * slot is CLAIMED atomically ([[commitAt]]); losing the claim —
-    * another writer committed after this command resolved its base —
+    * slot is CLAIMED atomically ([[commitAt]]); losing the claim
     * raises [[CommitConflictException]] instead of silently
     * overwriting the winner (the pre-round-14 local-fs behavior).
+    *
+    * The base is resolved HERE, at publish time — only correct when
+    * no competing writer can have committed since this command read
+    * its working state (a fresh index dir: build, export). A command
+    * that DERIVES its map from index state must use [[commitFromBase]]
+    * with the version it derived from, or the CAS would happily
+    * publish a stale rewrite on top of a competitor's commit.
     */
   def commit(spark: SparkSession, idx: String,
-      segs: Map[String, Seq[String]]): Unit = {
-    val base = currentVersion(spark, idx)
+      segs: Map[String, Seq[String]]): Unit =
+    commitFromBase(spark, idx, currentVersion(spark, idx), segs)
+
+  /** Structural-command commit: publish a state DERIVED at manifest
+    * version `base`. Throws [[CommitConflictException]] when ANY
+    * commit landed after `base` — the pending rewrite (a compact's
+    * consolidated segments, a delete's stats frame, a graph build's
+    * adjacency) came from a snapshot that is no longer newest, and
+    * publishing it would silently DROP the competing command's work
+    * (the ingest-vs-compact race in LexIndexSpec: the compact's
+    * consolidated postings lack the documents a concurrent ingest
+    * committed meanwhile). Structural commands surface the conflict;
+    * only append-shaped commands may rebase
+    * ([[commitAppendsWithRetry]]).
+    */
+  def commitFromBase(spark: SparkSession, idx: String, base: Long,
+      segs: Map[String, Seq[String]]): Unit =
     if (!commitAt(spark, idx, base, segs))
       throw CommitConflictException(idx, base + 1)
-  }
 
   /** CAS publish of manifest v(base+1): true iff THIS writer owns
     * that version from now on, false when another writer claimed it

@@ -249,6 +249,9 @@ object IndexCorpus {
     GraftSession.tune(spark)
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
+    // structural command: derived against THIS snapshot; publish
+    // conflicts rather than dropping a competitor's commit
+    val base = Artifacts.currentVersion(spark, idx)
 
     val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
     val live =
@@ -262,7 +265,8 @@ object IndexCorpus {
         .join(live, Seq("id"), "left_semi"))
     val nDel = doomed.count()
     val pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("deleted" -> nDel)
@@ -301,6 +305,9 @@ object IndexCorpus {
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
+    // structural command: the rewrite is derived from THIS snapshot
+    // (see LexIndex.compactImpl's ingest-vs-compact race note)
+    val base = Artifacts.currentVersion(spark, idx)
     val tomb =
       if (Artifacts.exists(spark, idx, "tombstones"))
         Some(graft.Scratch.cache(Artifacts.read(spark, idx, "tombstones")
@@ -333,7 +340,8 @@ object IndexCorpus {
     }
     if (crashBeforeCommit)
       sys.error("injected crash: compact before manifest commit")
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.map { name =>
@@ -791,6 +799,10 @@ object IndexCorpus {
     GraftSession.tune(spark)
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
+    // structural command: the graph is derived from THIS snapshot's
+    // membership; publish conflicts rather than dropping a
+    // concurrent commit
+    val base = Artifacts.currentVersion(spark, idx)
     import spark.implicits._
 
     // --chunk-rows N > 0 turns on the skew-parallel grid split of the
@@ -835,7 +847,8 @@ object IndexCorpus {
       ("bands", bands.toLong), ("gbuckets", gB),
       ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
       .toDF("key", "value"))
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
@@ -877,6 +890,10 @@ object IndexCorpus {
     import spark.implicits._
     require(Artifacts.exists(spark, idx, "knn_graph"),
       s"$idx has no knn_graph artifact (run `graph` first)")
+    // structural: the appended adjacency merge-ranks against THIS
+    // snapshot's persisted edges — a concurrent commit makes that
+    // derivation stale, so publish must conflict
+    val base = Artifacts.currentVersion(spark, idx)
     val meta = Artifacts.read(spark, idx, "graph_meta").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(meta.contains("gver"),
@@ -933,7 +950,8 @@ object IndexCorpus {
       newIds, graphBucket(gB))
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta",
       (meta + ("gver" -> newVer)).toSeq.toDF("key", "value"))
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("appended" -> nNew)

@@ -477,6 +477,10 @@ object LexIndex {
     GraftSession.tune(spark)
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
+    // structural command: the whole derivation (dedup, stats recount)
+    // is against THIS snapshot — publish refuses if anything commits
+    // in between (Artifacts.commitFromBase scaladoc)
+    val base = Artifacts.currentVersion(spark, idx)
 
     val doomed = graft.Scratch.localCheckpoint(
       spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
@@ -486,7 +490,8 @@ object LexIndex {
     var pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
     pend = Artifacts.withReplaced(spark, idx, pend, "stats",
       statsFrame(spark, idx, pend))
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("deleted" -> nDel)
@@ -532,6 +537,12 @@ object LexIndex {
     Artifacts.applyRetentionFlag(spark, flags)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
+    // structural command: the consolidated rewrite is derived from
+    // THIS snapshot — a commit landing mid-compact (a concurrent
+    // ingest) makes the rewrite stale, so publish must conflict, not
+    // silently drop the competitor's appends (LexIndexSpec's
+    // ingest-vs-compact race)
+    val base = Artifacts.currentVersion(spark, idx)
     val hasTomb = Artifacts.exists(spark, idx, "tombstones")
     val tomb =
       if (hasTomb) Some(graft.Scratch.cache(
@@ -570,7 +581,8 @@ object LexIndex {
       statsFrame(spark, idx, pend))
     if (crashBeforeCommit)
       sys.error("injected crash: compact before manifest commit")
-    Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, pend))
+    Artifacts.commitFromBase(spark, idx, base,
+      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.foreach { name =>

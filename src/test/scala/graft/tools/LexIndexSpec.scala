@@ -458,6 +458,74 @@ class LexIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("ingest racing a compact: the ingest ALWAYS lands (rebase), the " +
+    "compact either completes or fails LOUDLY with " +
+    "CommitConflictException (never a silent lost update), and the " +
+    "index equals the expected corpus either way") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_race").toString
+    val idx = s"$tmp/lex"
+    // base: docs 0-2 with doc 1 tombstoned, so compact has real work
+    spark.read.parquet(in).filter(col("doc_id") < 3)
+      .write.parquet(s"$tmp/base.parquet")
+    LexIndex.build(spark, Array(s"$tmp/base.parquet", idx, "--gram", "1"))
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    LexIndex.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    val wave = spark.read.parquet(in).filter(col("doc_id") === 3)
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ingestF = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          LexIndex.ingestFrame(spark, idx, wave, "doc_id", "text")
+        }
+      })
+      val compactF = pool.submit(
+        new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] = {
+            gate.await()
+            try { LexIndex.compact(spark, Array(idx)); None }
+            catch { case e: Throwable => Some(e) }
+          }
+        })
+      gate.countDown()
+      assert(ingestF.get() == 1L, "the racing ingest was lost")
+      compactF.get() match {
+        case None => () // compact won its slot or ran clear of the race
+        case Some(e) =>
+          // a structural command may NOT rebase: it must surface the
+          // conflict (its pending rewrite was derived from a stale
+          // base) — and a rerun on the settled state must succeed
+          def conflict(t: Throwable): Boolean = t match {
+            case _: Artifacts.CommitConflictException => true
+            case null => false
+            case t2 => conflict(t2.getCause)
+          }
+          assert(conflict(e), s"compact failed with a non-conflict: $e")
+          LexIndex.compact(spark, Array(idx))
+      }
+      pool.shutdown()
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    // whatever interleaving happened: survivors 0,2 plus the ingested
+    // doc 3 — byte-equal to a fresh build over exactly that corpus
+    val ref = Files.createTempDirectory("lexidx_race_ref").toString
+    spark.read.parquet(in).filter(col("doc_id").isin(0L, 2L, 3L))
+      .write.parquet(s"$ref/docs.parquet")
+    LexIndex.build(spark, Array(s"$ref/docs.parquet", s"$ref/lex",
+      "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian", "durian fig"))
+      assert(searchPairs(idx, q) == searchPairs(s"$ref/lex", q),
+        s"query '$q'")
+    // and the invariants hold
+    val fsckRows = LexIndex.fsck(spark, Array(idx)).collect()
+    assert(fsckRows.forall(r => r.getLong(1) == r.getLong(2)),
+      s"post-race fsck: ${fsckRows.mkString(",")}")
+  }
+
   test("compact crash-safety: a compact that fails before the manifest " +
     "flip leaves the prior index serving byte-identically, and a later " +
     "compact succeeds (stale staging vacuumed)") {
