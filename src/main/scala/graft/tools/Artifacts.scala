@@ -61,26 +61,43 @@ import org.apache.spark.sql.functions._
   * persisted artifacts from previous builds keep serving; mutation of
   * a legacy index is refused rather than half-migrated.
   *
-  * MULTI-WRITER contract (round 14): commits are OPTIMISTIC-
-  * CONCURRENCY safe. Publishing manifest v(n+1) atomically CLAIMS
-  * that version slot ([[commitAt]] — a POSIX hard link on local
-  * filesystems, fails with EEXIST atomically; rename-refuses-existing
-  * on HDFS-like stores): two writers racing to the same version can
-  * never silently overwrite each other (before this, local-fs rename
-  * REPLACED the loser's manifest — a lost update). [[commit]] turns a
-  * lost race into [[CommitConflictException]]; append-shaped commands
-  * (the ingest paths) instead REBASE and retry via
+  * MULTI-WRITER contract (round 14, hardened round 15): commits are
+  * OPTIMISTIC-CONCURRENCY safe ON STORES WITH AN ATOMIC
+  * CLAIM-IF-ABSENT PRIMITIVE — see [[claimClass]]'s store matrix:
+  * local filesystems (POSIX link(2)) and HDFS-class stores
+  * (rename-refuses-existing) qualify; S3-class object stores do NOT
+  * (their rename replaces silently) and commits there are REFUSED
+  * unless the deployment declares the index single-writer
+  * (`spark.graft.allowNonAtomicCommit=true`). Publishing manifest
+  * v(n+1) atomically CLAIMS that version slot ([[commitAt]]): two
+  * writers racing to the same version can never silently overwrite
+  * each other (before this, local-fs rename REPLACED the loser's
+  * manifest — a lost update), and a recycled slot (vacuumed away
+  * under a small retention window) is detected by the post-claim
+  * max-version re-check (the ABA guard in [[commitAt]]). [[commit]]
+  * turns a lost race into [[CommitConflictException]]; append-shaped
+  * commands (the ingest paths) REBASE and retry via
   * [[commitAppendsWithRetry]] — their new segments are valid against
   * any base, so the retry re-reads the winner's manifest, re-appends,
   * re-derives state-dependent artifacts (stats), and CAS-publishes
-  * again. Segment NUMBERS are claimed the same way (`.segclaim-<n>`
-  * exclusive-create in [[writeSegment]]) so two writers never stage
-  * into the same directory, and [[vacuum]] protects a concurrent
-  * writer's not-yet-committed segments with a grace age
+  * again; STRUCTURAL commands (compact, delete, graph) RE-DERIVE
+  * from the merged state and retry bounded times via
+  * [[commitStructuralWithRetry]], so a compact under live ingest
+  * lands instead of stranding at a conflict. Segment NUMBERS are
+  * claimed the same way (`.segclaim-<n>` exclusive-create in
+  * [[writeSegment]]) so two writers never stage into the same
+  * directory, and [[vacuum]] protects a concurrent writer's
+  * not-yet-committed segments with a grace age
   * (`spark.graft.vacuumGraceMs`): never-referenced dirs younger than
   * the grace are presumed in-flight; segments referenced only by
   * manifests being evicted reclaim immediately (the single-writer
-  * window-1 behavior, unchanged).
+  * window-1 behavior, unchanged). Size the retention window to
+  * concurrent writers + readers: `keepManifests >= writers + 1`
+  * keeps a competitor's post-commit vacuum from evicting the
+  * manifest an in-flight command just listed, and the window (plus
+  * the grace) can be PERSISTED INTO THE INDEX
+  * ([[persistRetention]]) so no narrower-configured process can
+  * vacuum the policy out from under the others.
   */
 object Artifacts {
 
@@ -99,27 +116,99 @@ object Artifacts {
   /** Retention window: how many trailing manifests (and every segment
     * any of them references) a [[vacuum]] preserves. Default 1 =
     * single-writer only; >= 2 gives external concurrent readers
-    * pinned to a recent manifest snapshot isolation (object doc).
-    * Session-scoped so one writer process serves one policy.
+    * pinned to a recent manifest snapshot isolation (object doc); a
+    * MULTI-WRITER deployment wants >= concurrent writers + 1, so a
+    * competitor's post-commit vacuum can never evict the manifest
+    * another in-flight command just listed.
+    *
+    * The effective window is the MAX of the session conf and the
+    * policy PERSISTED IN THE INDEX ([[persistRetention]] — written
+    * whenever a command passes `--keep-manifests`): retention is a
+    * property of the index, not of whichever writer process happens
+    * to vacuum last, so a second process with a narrower session
+    * default cannot vacuum the first process's pinned readers out.
     */
-  private def keepManifests(spark: SparkSession): Int = {
+  private def keepManifests(spark: SparkSession, idx: String): Int = {
     val n = spark.conf.get("spark.graft.keepManifests", "1").toInt
     require(n >= 1, s"spark.graft.keepManifests must be >= 1, got $n")
-    n
+    math.max(n, persistedRetention(spark, idx)
+      .getOrElse("keepManifests", 1L).toInt)
   }
 
   /** Mutating CLI commands pass their parsed flags here so
-    * `--keep-manifests N` sets the session retention window before
-    * the command's vacuum runs.
+    * `--keep-manifests N` / `--vacuum-grace-ms MS` set the session
+    * policy before the command's vacuum runs AND persist into the
+    * index (an explicit flag SETS the index policy — see
+    * [[persistRetention]]; session-conf-only processes then honor it
+    * via the max-of read in [[keepManifests]]).
     */
   def applyRetentionFlag(spark: SparkSession,
-      flags: Map[String, String]): Unit = {
+      flags: Map[String, String], idx: String): Unit = {
     flags.get("keep-manifests").foreach { n =>
       spark.conf.set("spark.graft.keepManifests", n.toInt.toString)
     }
     flags.get("vacuum-grace-ms").foreach { n =>
       spark.conf.set("spark.graft.vacuumGraceMs", n.toLong.toString)
     }
+    val kv = Seq(
+      flags.get("keep-manifests").map("keepManifests" -> _.toLong),
+      flags.get("vacuum-grace-ms").map("vacuumGraceMs" -> _.toLong)
+    ).flatten.toMap
+    if (kv.nonEmpty) persistRetention(spark, idx, kv)
+  }
+
+  /** The retention policy committed INTO the index: the union of the
+    * `_manifest/s-*.tsv` settings files (max-merged when a racing
+    * pair of policy writes left more than one — the safe direction).
+    * [[keepManifests]] / [[vacuumGraceMs]] take the MAX of this and
+    * the session conf, so a writer process that never stated a policy
+    * (narrow session default) cannot vacuum out what the index's
+    * committed policy protects.
+    */
+  private[tools] def persistedRetention(spark: SparkSession,
+      idx: String): Map[String, Long] = {
+    val f = fs(spark, idx)
+    val mdir = new Path(manifestDir(idx))
+    if (!f.exists(mdir)) return Map.empty
+    val files = f.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith("s-") && p.getName.endsWith(".tsv"))
+    files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
+      val in = f.open(p)
+      val text = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      } finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foldLeft(acc) { (m, l) =>
+        val Array(k, v) = l.split('\t')
+        m + (k -> math.max(v.toLong, m.getOrElse(k, Long.MinValue)))
+      }
+    }
+  }
+
+  /** Persist a retention policy into the index: an EXPLICIT
+    * `--keep-manifests` / `--vacuum-grace-ms` flag is a deliberate
+    * administrative policy change, so the given keys SET (including
+    * narrowing — the CLI contract since round 13); untouched keys
+    * carry over. The new settings file lands first, then the files it
+    * supersedes are reclaimed — a reader always sees at least one
+    * policy file, and a concurrent writer's newer file is not in the
+    * pre-write listing so racing SETs degrade to max-merge rather
+    * than losing a key.
+    */
+  def persistRetention(spark: SparkSession, idx: String,
+      kv: Map[String, Long]): Unit = {
+    val f = fs(spark, idx)
+    val mdir = new Path(manifestDir(idx))
+    if (!f.exists(mdir)) f.mkdirs(mdir)
+    val before = f.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith("s-") && p.getName.endsWith(".tsv"))
+    val merged = persistedRetention(spark, idx) ++ kv
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val p = new Path(mdir, s"s-$nonce.tsv")
+    val out = f.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    before.foreach(old => f.delete(old, false))
   }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -178,12 +267,31 @@ object Artifacts {
         s"pinned manifest v$ver of $idx vanished (vacuumed mid-scope?)")
       return Some((ver, parseManifest(f, p)))
     }
-    val files = f.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
-    if (files.isEmpty) return None
-    val latest = files.maxBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
-    val ver = latest.stripPrefix("m-").stripSuffix(".tsv").toLong
-    Some((ver, parseManifest(f, new Path(dir, latest))))
+    // list-then-open: under multi-writer operation a competitor's
+    // post-commit vacuum can evict the manifest between our listing
+    // and our open (a too-small retention window — the doc says size
+    // it to writers + 1). Retry the resolution a few times so the
+    // transient window surfaces as a fresh (newer) manifest rather
+    // than a FileNotFoundException mid-command.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val files = f.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
+      if (files.isEmpty) return None
+      val latest = files.maxBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
+      val ver = latest.stripPrefix("m-").stripSuffix(".tsv").toLong
+      try return Some((ver, parseManifest(f, new Path(dir, latest))))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 5) throw new java.io.FileNotFoundException(
+            s"manifest v$ver of $idx vanished $attempt times between " +
+              "listing and open — a concurrent vacuum with too small a " +
+              "retention window (size keepManifests >= writers + 1)? " +
+              s"last error: ${e.getMessage}")
+      }
+    }
+    None // unreachable
   }
 
   private def parseManifest(f: FileSystem, p: Path)
@@ -455,11 +563,25 @@ object Artifacts {
     * Crash-atomic either way: the body lands under a writer-unique
     * temp name first, and the claim is a single atomic filesystem
     * operation — a reader can never observe a partial manifest.
+    *
+    * ABA guard: with a small retention window, [[vacuum]] can have
+    * DELETED manifest file v(base+1) after later versions superseded
+    * it — the version SLOT is then claimable again, and a slow
+    * writer's stale claim would "win" while never being the newest
+    * manifest (its commit silently lost). So after a successful
+    * claim the writer re-checks that its version is the MAXIMUM
+    * retained one; any higher manifest necessarily existed BEFORE the
+    * claim (versions only grow, and vacuum never deletes the newest),
+    * so seeing one proves the slot was recycled — the claim is
+    * withdrawn and the commit reports the loss. Race-free: when no
+    * higher version is visible after the claim, none ever existed,
+    * hence the slot was genuinely fresh.
     */
   def commitAt(spark: SparkSession, idx: String, base: Long,
       segs: Map[String, Seq[String]]): Boolean = {
     assertUnpinned(spark, idx) // version n+1 must derive from the newest
     val f = fs(spark, idx)
+    assertClaimCapable(spark, idx, f)
     val dir = new Path(manifestDir(idx))
     if (!f.exists(dir)) f.mkdirs(dir)
     val ver = base + 1
@@ -473,15 +595,70 @@ object Artifacts {
     val dst = new Path(dir, f"m-$ver%012d.tsv")
     val won = claimAtomic(f, tmp, dst)
     if (f.exists(tmp)) f.delete(tmp, false)
-    won
+    if (won && manifestVersions(spark, idx).exists(_ > ver)) {
+      // recycled slot (see ABA guard above): withdraw and lose
+      f.delete(dst, false)
+      false
+    } else won
+  }
+
+  /** STORE MATRIX for the CAS claim — what makes the multi-writer
+    * contract hold is an atomic claim-if-absent primitive, and
+    * filesystems differ in whether they have one:
+    *
+    *   - `link`   (local `file:`): POSIX link(2), fails EEXIST
+    *     atomically. Hardlink-less mounts (some overlay/container
+    *     filesystems) degrade to check+rename — an acknowledged
+    *     TOCTOU window, still strictly better than blind rename.
+    *   - `rename` (`hdfs:`, `viewfs:`, `webhdfs:`, `o3fs:`, `ofs:`):
+    *     the namenode's rename refuses an existing destination, so
+    *     exists-check + rename IS the claim.
+    *   - `none`   (S3-class object stores — `s3:`, `s3a:`, `s3n:`,
+    *     `gs:`, `wasb:`, `abfs:`, `oss:`, `cos:`, `swift:` — and any
+    *     scheme not in the matrix): rename is copy+delete and
+    *     REPLACES silently; two racing writers both "succeed" and one
+    *     commit is lost. Multi-writer commits are REFUSED on these
+    *     stores ([[assertClaimCapable]]) unless the deployment
+    *     explicitly opts into single-writer operation with
+    *     `spark.graft.allowNonAtomicCommit=true` (meaning: the caller
+    *     guarantees at most one concurrent writer per index — the
+    *     pre-round-14 contract; commits are still crash-atomic via
+    *     temp + rename, only the concurrent-writer claim is void).
+    */
+  private[tools] def claimClass(scheme: String): String = scheme match {
+    case "file" => "link"
+    case "hdfs" | "viewfs" | "webhdfs" | "swebhdfs" | "o3fs" | "ofs" =>
+      "rename"
+    case _ => "none"
+  }
+
+  /** Refuse commits on stores without an atomic claim primitive (see
+    * [[claimClass]]) unless `spark.graft.allowNonAtomicCommit=true`
+    * declares the index single-writer. The scheme comes from the
+    * index PATH when it names one, else from the resolved filesystem
+    * (local paths have no URI scheme).
+    */
+  private[tools] def assertClaimCapable(spark: SparkSession, idx: String,
+      f: FileSystem): Unit = {
+    val scheme = Option(new Path(idx).toUri.getScheme)
+      .getOrElse(f.getUri.getScheme)
+    if (claimClass(scheme) == "none" &&
+      !spark.conf.get("spark.graft.allowNonAtomicCommit", "false").toBoolean)
+      throw new IllegalStateException(
+        s"scheme '$scheme' has no atomic claim-if-absent primitive " +
+          "(object-store rename replaces silently) — the multi-writer " +
+          "commit contract cannot hold there. Set " +
+          "spark.graft.allowNonAtomicCommit=true to run this index " +
+          "SINGLE-WRITER (caller guarantees no concurrent writers), " +
+          "or keep indexes on a link/rename-capable store " +
+          "(see Artifacts.claimClass's store matrix)")
   }
 
   /** Atomically claim `dst` with the content of `tmp`: true iff this
-    * writer published it. On a local filesystem the claim is a POSIX
-    * hard link — link(2) fails with EEXIST atomically, and crucially
-    * local RENAME would have silently REPLACED an existing `dst`. On
-    * HDFS-like filesystems rename itself refuses an existing
-    * destination, so exists-check + rename IS the claim there.
+    * writer published it. The per-scheme primitive is [[claimClass]]'s
+    * store matrix; [[assertClaimCapable]] has already refused schemes
+    * with no atomic primitive (unless the session opted into
+    * single-writer mode, where check+rename is accepted best-effort).
     */
   private def claimAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
     if (f.getUri.getScheme == "file") {
@@ -531,14 +708,80 @@ object Artifacts {
       val withDeltas = deltas.foldLeft(cur) { case (m, (n, ss)) =>
         m + (n -> (m.getOrElse(n, Seq.empty) ++ ss))
       }
-      if (commitAt(spark, idx, base, finish(withDeltas))) return base + 1
-      // lost the race: someone committed base+1 (or later) meanwhile
+      val finished = finish(withDeltas)
+      if (commitAt(spark, idx, base, finished)) return base + 1
+      // lost the race: someone committed base+1 (or later) meanwhile.
+      // The attempt's finish-created segments (the re-derived stats
+      // frame) are garbage NOW — the retry re-derives fresh ones — so
+      // reclaim them here instead of leaking one orphan per lost
+      // attempt to the grace-age vacuum. Safe: this writer claimed
+      // those segment numbers exclusively, no competitor references
+      // them, and they never reached a manifest.
+      val f0 = fs(spark, idx)
+      finished.foreach { case (n, ss) =>
+        ss.diff(withDeltas.getOrElse(n, Seq.empty)).foreach { s =>
+          f0.delete(new Path(s"$idx/$n/$s"), true)
+        }
+      }
       val now = currentVersion(spark, idx)
       require(now > base, s"CAS failed but version did not advance on $idx")
       base = now
       validateRebase()
     }
     -1L // unreachable
+  }
+
+  /** Bounded rebase-retry for STRUCTURAL commands (compact, delete,
+    * graph build — whole-state rewrites whose output depends on the
+    * base snapshot). A lost CAS race no longer strands the command at
+    * a [[CommitConflictException]] requiring a manual rerun (the
+    * round-14 surface): the command RE-DERIVES its rewrite from the
+    * new newest state via `derive` and publishes again, up to
+    * `maxAttempts` times (`spark.graft.structuralRetries`, default 5 —
+    * bounded so a structural command under SUSTAINED faster ingest
+    * eventually surfaces the starvation instead of spinning forever).
+    *
+    * `derive(base)` must return the FULL artifact map to publish,
+    * derived entirely from the state at manifest `base` (re-reading
+    * every input — the previous attempt's reads are stale). Fresh
+    * segments a lost attempt wrote are reclaimed before the retry
+    * (they were claimed exclusively and never reached a manifest).
+    * Returns the committed version.
+    */
+  def commitStructuralWithRetry(spark: SparkSession, idx: String,
+      maxAttempts: Int = 0)(derive: Long => Map[String, Seq[String]]): Long = {
+    val attempts =
+      if (maxAttempts > 0) maxAttempts
+      else spark.conf.get("spark.graft.structuralRetries", "5").toInt
+    var attempt = 0
+    var lastMap = Map.empty[String, Seq[String]]
+    while (attempt < attempts) {
+      attempt += 1
+      val base = currentVersion(spark, idx)
+      val prev = lastMap
+      val next = derive(base)
+      lastMap = next
+      // reclaim the PREVIOUS lost attempt's fresh segments: anything
+      // it wrote that neither the retained manifests nor this
+      // attempt's map reference (derive re-wrote everything)
+      if (prev.nonEmpty) {
+        val f0 = fs(spark, idx)
+        val retained = manifestVersions(spark, idx)
+          .flatMap(v => scala.util.Try(manifestAt(spark, idx, v)).toOption)
+          .flatMap(_.toSeq.flatMap { case (n, ss) => ss.map((n, _)) })
+          .toSet
+        prev.foreach { case (n, ss) =>
+          ss.filterNot(s => retained((n, s)) ||
+            next.getOrElse(n, Seq.empty).contains(s)).foreach { s =>
+            f0.delete(new Path(s"$idx/$n/$s"), true)
+          }
+        }
+      }
+      if (commitAt(spark, idx, base, next)) return base + 1
+    }
+    throw CommitConflictException(idx, currentVersion(spark, idx) + 1,
+      s"structural command lost $attempts consecutive rebase attempts " +
+        "(sustained concurrent ingest?) — re-run when the write load drains")
   }
 
   /** How long [[vacuum]] presumes a never-referenced segment dir,
@@ -551,8 +794,9 @@ object Artifacts {
     * retention window). 0 = trust no one (the single-writer tests'
     * setting: every uncommitted dir is an orphan).
     */
-  private def vacuumGraceMs(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.vacuumGraceMs", "3600000").toLong
+  private def vacuumGraceMs(spark: SparkSession, idx: String): Long =
+    math.max(spark.conf.get("spark.graft.vacuumGraceMs", "3600000").toLong,
+      persistedRetention(spark, idx).getOrElse("vacuumGraceMs", Long.MinValue))
 
   /** Delete segment dirs that no manifest in the retained window (see
     * [[keepManifests]]) references, manifests beyond the window, and
@@ -570,7 +814,7 @@ object Artifacts {
     val f = fs(spark, idx)
     val mdir = new Path(manifestDir(idx))
     if (!f.exists(mdir)) return
-    val grace = vacuumGraceMs(spark)
+    val grace = vacuumGraceMs(spark, idx)
     val cutoff = System.currentTimeMillis() - grace
     def aged(p: Path): Boolean =
       try f.getFileStatus(p).getModificationTime <= cutoff
@@ -585,7 +829,7 @@ object Artifacts {
       .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
       .sortBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
     if (mfiles.isEmpty) return
-    val window = keepManifests(spark)
+    val window = keepManifests(spark, idx)
     val keep = mfiles.takeRight(window)
     val evict = mfiles.dropRight(window)
     def refsOf(ms: Seq[String]): Set[(String, String)] = ms.flatMap { n =>
@@ -625,8 +869,9 @@ object Artifacts {
   /** One row per RETAINED manifest version (ascending): the version
     * chain a reader can pin or time-travel to, with the artifact and
     * segment counts it references. Bounded by the retention window —
-    * driver-sized output by construction. CLI `history` wrappers
-    * join index-specific per-version stats onto this.
+    * driver-sized output by construction. The CLI `history` commands
+    * derive their version chain from this and pin each version for
+    * their index-specific per-version stats.
     */
   def history(spark: SparkSession, idx: String): DataFrame = {
     import spark.implicits._

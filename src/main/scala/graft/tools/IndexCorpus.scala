@@ -247,26 +247,27 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     GraftSession.tune(spark)
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
-    // structural command: derived against THIS snapshot; publish
-    // conflicts rather than dropping a competitor's commit
-    val base = Artifacts.currentVersion(spark, idx)
-
-    val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
-    val live =
-      if (Artifacts.exists(spark, idx, "tombstones"))
-        live0.join(Artifacts.read(spark, idx, "tombstones"),
-          Seq("id"), "left_anti")
-      else live0
-    val doomed = graft.Scratch.localCheckpoint(
-      spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
-        .distinct()
-        .join(live, Seq("id"), "left_semi"))
-    val nDel = doomed.count()
-    val pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
+    // structural command: derived against one snapshot; a competing
+    // commit CAS-fails the publish and the derivation re-runs from
+    // the merged state, bounded times (commitStructuralWithRetry)
+    var nDel = 0L
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))
+      val live =
+        if (Artifacts.exists(spark, idx, "tombstones"))
+          live0.join(Artifacts.read(spark, idx, "tombstones"),
+            Seq("id"), "left_anti")
+        else live0
+      val doomed = graft.Scratch.localCheckpoint(
+        spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
+          .distinct()
+          .join(live, Seq("id"), "left_semi"))
+      nDel = doomed.count()
+      val pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+      Artifacts.merged(spark, idx, pend)
+    }
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("deleted" -> nDel)
@@ -302,46 +303,48 @@ object IndexCorpus {
     val flags = flagsOf(args, 1)
     val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
     // structural command: the rewrite is derived from THIS snapshot
     // (see LexIndex.compactImpl's ingest-vs-compact race note)
-    val base = Artifacts.currentVersion(spark, idx)
-    val tomb =
-      if (Artifacts.exists(spark, idx, "tombstones"))
-        Some(graft.Scratch.cache(Artifacts.read(spark, idx, "tombstones")
-          .select(col("id")).distinct()))
-      else None
     var pend = Map.empty[String, Seq[String]]
-    val cb = cellBucket(cellBucketsOf(spark, idx))
-    // knn_graph rewrites with the bucket count it was WRITTEN with
-    // (graph_meta's gbuckets), like cellBucketsOf does for cb — a
-    // compact must never silently re-partition the graph while
-    // graph_meta still advertises the old count
-    Seq(("assignments", cb), ("pq_codes", cb),
-      ("sq8_codes", cb),
-      ("knn_graph", graphBucket(graphBucketsOf(spark, idx))))
-      .foreach { case (name, bucket) =>
-        Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
-          filtered = true, bucket)
-          .foreach(segs => pend += name -> segs)
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      refresh(spark, idx)
+      pend = Map.empty[String, Seq[String]]
+      val tomb =
+        if (Artifacts.exists(spark, idx, "tombstones"))
+          Some(graft.Scratch.cache(Artifacts.read(spark, idx, "tombstones")
+            .select(col("id")).distinct()))
+        else None
+      val cb = cellBucket(cellBucketsOf(spark, idx))
+      // knn_graph rewrites with the bucket count it was WRITTEN with
+      // (graph_meta's gbuckets), like cellBucketsOf does for cb — a
+      // compact must never silently re-partition the graph while
+      // graph_meta still advertises the old count
+      Seq(("assignments", cb), ("pq_codes", cb),
+        ("sq8_codes", cb),
+        ("knn_graph", graphBucket(graphBucketsOf(spark, idx))))
+        .foreach { case (name, bucket) =>
+          Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+            filtered = true, bucket)
+            .foreach(segs => pend += name -> segs)
+        }
+      // radii are CELL-keyed, so the tombstone anti-join does not apply
+      // — fold the appended per-ingest maxes to one row per cell. Post-
+      // delete radii may overestimate (max over fewer members), which
+      // only weakens the exact tier's pruning, never its answers.
+      if (Artifacts.exists(spark, idx, "ivf_radii"))
+        pend = Artifacts.withReplaced(spark, idx, pend, "ivf_radii",
+          Artifacts.read(spark, idx, "ivf_radii")
+            .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
+      tomb.foreach { ts =>
+        pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
       }
-    // radii are CELL-keyed, so the tombstone anti-join does not apply
-    // — fold the appended per-ingest maxes to one row per cell. Post-
-    // delete radii may overestimate (max over fewer members), which
-    // only weakens the exact tier's pruning, never its answers.
-    if (Artifacts.exists(spark, idx, "ivf_radii"))
-      pend = Artifacts.withReplaced(spark, idx, pend, "ivf_radii",
-        Artifacts.read(spark, idx, "ivf_radii")
-          .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
-    tomb.foreach { ts =>
-      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
+      if (crashBeforeCommit)
+        sys.error("injected crash: compact before manifest commit")
+      Artifacts.merged(spark, idx, pend)
     }
-    if (crashBeforeCommit)
-      sys.error("injected crash: compact before manifest commit")
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.map { name =>
@@ -517,7 +520,7 @@ object IndexCorpus {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "vec_id")
     val vecCol = flags.getOrElse("vec", "embedding")
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Seq("ingested" ->
       ingestFrame(spark, idx, spark.read.parquet(in), idCol, vecCol))
   }
@@ -653,7 +656,11 @@ object IndexCorpus {
     GraftSession.tune(spark)
     Artifacts.requireManifest(spark, idx)
     import spark.implicits._
-    Artifacts.manifestVersions(spark, idx).map { v =>
+    // the layer-level version chain ([[Artifacts.history]] — bounded
+    // by the retention window) drives which snapshots get a stats row
+    val chain = Artifacts.history(spark, idx)
+      .select(col("version")).collect().map(_.getLong(0)).toSeq
+    chain.map { v =>
       Artifacts.withPinned(spark, idx, v) {
         val asgn = Artifacts.read(spark, idx, "assignments")
           .select(col("id"))
@@ -797,12 +804,8 @@ object IndexCorpus {
     val idCol = flags.getOrElse("id", "vec_id")
     val vecCol = flags.getOrElse("vec", "embedding")
     GraftSession.tune(spark)
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
-    // structural command: the graph is derived from THIS snapshot's
-    // membership; publish conflicts rather than dropping a
-    // concurrent commit
-    val base = Artifacts.currentVersion(spark, idx)
     import spark.implicits._
 
     // --chunk-rows N > 0 turns on the skew-parallel grid split of the
@@ -827,28 +830,32 @@ object IndexCorpus {
     val all = graft.ops.Similarity.hyperplanes(planes, dims)
     val per = planes / bands
     val tables = (0 until bands).map(b => all.slice(b * per, (b + 1) * per))
-    val edges = graft.ops.Similarity.knnGraph(
-      spark.read.parquet(in), idCol, vecCol, deg, tables, minCos,
-      chunkRows)
-      .select(col("id"), col("nbr"),
-        round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
-        col("rn").cast("long").as("rn"),
-        lit(0L).as("ver"))
-    var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
-      edges, graphBucket(gB))
-    // the coverage manifest: which ids the graph has CONSIDERED —
-    // --append's new set is the input minus this, so repeated appends
-    // stay wave-proportional
-    pend = Artifacts.withReplaced(spark, idx, pend, "graph_ids",
-      spark.read.parquet(in).select(col(idCol).cast("long").as("id")),
-      graphBucket(gB))
-    pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
-      ("deg", deg.toLong), ("planes", planes.toLong),
-      ("bands", bands.toLong), ("gbuckets", gB),
-      ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
-      .toDF("key", "value"))
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
+    // structural command: the graph derives from one membership
+    // snapshot; a competing commit CAS-fails the publish and the
+    // build re-derives, bounded times (commitStructuralWithRetry)
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      val edges = graft.ops.Similarity.knnGraph(
+        spark.read.parquet(in), idCol, vecCol, deg, tables, minCos,
+        chunkRows)
+        .select(col("id"), col("nbr"),
+          round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
+          col("rn").cast("long").as("rn"),
+          lit(0L).as("ver"))
+      var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
+        edges, graphBucket(gB))
+      // the coverage manifest: which ids the graph has CONSIDERED —
+      // --append's new set is the input minus this, so repeated appends
+      // stay wave-proportional
+      pend = Artifacts.withReplaced(spark, idx, pend, "graph_ids",
+        spark.read.parquet(in).select(col(idCol).cast("long").as("id")),
+        graphBucket(gB))
+      pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
+        ("deg", deg.toLong), ("planes", planes.toLong),
+        ("bands", bands.toLong), ("gbuckets", gB),
+        ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
+        .toDF("key", "value"))
+      Artifacts.merged(spark, idx, pend)
+    }
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
@@ -890,10 +897,13 @@ object IndexCorpus {
     import spark.implicits._
     require(Artifacts.exists(spark, idx, "knn_graph"),
       s"$idx has no knn_graph artifact (run `graph` first)")
-    // structural: the appended adjacency merge-ranks against THIS
+    // structural: the appended adjacency merge-ranks against one
     // snapshot's persisted edges — a concurrent commit makes that
-    // derivation stale, so publish must conflict
-    val base = Artifacts.currentVersion(spark, idx)
+    // derivation stale, so the publish CAS-fails and the whole wave
+    // re-derives from the merged state (commitStructuralWithRetry);
+    // nNewOut carries the last attempt's wave size out of the closure
+    var nNewOut = 0L
+    val committed = Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
     val meta = Artifacts.read(spark, idx, "graph_meta").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(meta.contains("gver"),
@@ -917,6 +927,7 @@ object IndexCorpus {
         .join(Artifacts.read(spark, idx, "graph_ids").select(col("id")),
           Seq("id"), "left_anti"))
     val nNew = newIds.count()
+    nNewOut = nNew
     if (nNew == 0L) return Seq("appended" -> 0L)
 
     val pairs = graft.ops.Similarity.knnGraphAppendPairs(
@@ -950,11 +961,12 @@ object IndexCorpus {
       newIds, graphBucket(gB))
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta",
       (meta + ("gver" -> newVer)).toSeq.toDF("key", "value"))
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
+    Artifacts.merged(spark, idx, pend)
+    }
+    require(committed >= 0L) // structural retry returned (or threw)
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
-    Seq("appended" -> nNew)
+    Seq("appended" -> nNewOut)
   }
 
   /** Per-node LATEST-version adjacency of a (possibly appended)
@@ -1360,13 +1372,34 @@ object IndexCorpus {
     flagsOf(args, 3).get("at") match {
       case Some(v) =>
         Artifacts.withPinned(spark, args(0), v.toLong)(
-          searchBatchImpl(spark, args))
-      case None => searchBatchImpl(spark, args)
+          searchBatchImpl(spark, args, None))
+      case None => searchBatchImpl(spark, args, None)
+    }
+  }
+
+  /** [[searchBatch]] with the probe frame passed DIRECTLY instead of
+    * a parquet path — the streaming-serve entry point: a foreachBatch
+    * handler fuses each micro-batch's probes without a per-trigger
+    * write+read round-trip (the round-14 q295 shape this replaces).
+    * `args` omit the probes path: <indexDir> <emb.parquet> [flags].
+    * Semantics are byte-identical to the path form (the path form now
+    * routes through this).
+    */
+  def searchBatchFrame(spark: SparkSession, args: Array[String],
+      probes: DataFrame): DataFrame = {
+    require(args.length >= 2,
+      "usage: searchBatchFrame <indexDir> <emb.parquet> [flags] + frame")
+    val full = args.take(2) ++ Array("__probe_frame__") ++ args.drop(2)
+    flagsOf(args, 2).get("at") match {
+      case Some(v) =>
+        Artifacts.withPinned(spark, args(0), v.toLong)(
+          searchBatchImpl(spark, full, Some(probes)))
+      case None => searchBatchImpl(spark, full, Some(probes))
     }
   }
 
   private def searchBatchImpl(spark: SparkSession,
-      args: Array[String]): DataFrame = {
+      args: Array[String], probesOpt: Option[DataFrame]): DataFrame = {
     val (idx, in, probesIn) = (args(0), args(1), args(2))
     val flags = flagsOf(args, 3)
     val idCol = flags.getOrElse("id", "vec_id")
@@ -1379,8 +1412,13 @@ object IndexCorpus {
     GraftSession.tune(spark)
     import spark.implicits._
 
+    // the distinct probe-id frame: from the passed frame (streaming)
+    // or the probes parquet (CLI path form)
+    val probeIds = probesOpt.getOrElse(spark.read.parquet(probesIn))
+      .select(col(idCol).cast("long").as("pid")).distinct()
+
     if (tier == "graph")
-      return searchBatchGraph(spark, idx, in, probesIn, idCol, vecCol,
+      return searchBatchGraph(spark, idx, in, probeIds, idCol, vecCol,
         k, nprobe, flags)
 
     val cents = centroidArrays(spark, idx)
@@ -1394,9 +1432,7 @@ object IndexCorpus {
       .filter(size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("pid"),
         SemDedup.microsVec(col(vecCol)).as("pmv"))
-      .join(spark.read.parquet(probesIn)
-        .select(col(idCol).cast("long").as("pid")).distinct(),
-        Seq("pid"), "left_semi"))
+      .join(probeIds, Seq("pid"), "left_semi"))
     // probe-side frames (the probe vectors, the probe-derived distance
     // tables, the rerank vector frame) BROADCAST while the probe
     // count fits the cap; past it the SAME joins run as merge-hinted
@@ -1525,9 +1561,7 @@ object IndexCorpus {
         val pf = spark.read.parquet(in)
           .filter(size(col(vecCol)) === dims)
           .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pv"))
-          .join(spark.read.parquet(probesIn)
-            .select(col(idCol).cast("long").as("pid")).distinct(),
-            Seq("pid"), "left_semi")
+          .join(probeIds, Seq("pid"), "left_semi")
         val wCos = org.apache.spark.sql.expressions.Window
           .partitionBy(col("pid"))
           .orderBy(col("cos_x1e6").desc, col("id"))
@@ -1563,7 +1597,7 @@ object IndexCorpus {
     * bounded at probes x beam rows and lineage cut per hop.
     */
   private def searchBatchGraph(spark: SparkSession, idx: String,
-      in: String, probesIn: String, idCol: String, vecCol: String,
+      in: String, probeIds: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, flags: Map[String, String]): DataFrame = {
     import spark.implicits._
     val beam = flags.getOrElse("beam", "8").toInt
@@ -1581,9 +1615,7 @@ object IndexCorpus {
       .filter(size(col(vecCol)) === dims)
       .select(col(idCol).cast("long").as("pid"), col(vecCol).as("pv"),
         SemDedup.microsVec(col(vecCol)).as("pmv"))
-      .join(spark.read.parquet(probesIn)
-        .select(col(idCol).cast("long").as("pid")).distinct(),
-        Seq("pid"), "left_semi"))
+      .join(probeIds, Seq("pid"), "left_semi"))
     // the same probe-count broadcast cap as the pq/sq8 batch path:
     // probe-derived frames (probe vectors, per-hop beam frames, the
     // ADC tables) broadcast under the cap, merge-hinted shuffle past

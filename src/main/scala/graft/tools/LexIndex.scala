@@ -244,7 +244,7 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     val textCol = flags.getOrElse("text", "text")
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Seq("ingested" ->
       ingestFrame(spark, idx, spark.read.parquet(in), idCol, textCol))
   }
@@ -335,7 +335,11 @@ object LexIndex {
     GraftSession.tune(spark)
     Artifacts.requireManifest(spark, idx)
     import spark.implicits._
-    Artifacts.manifestVersions(spark, idx).map { v =>
+    // the layer-level version chain ([[Artifacts.history]] — bounded
+    // by the retention window) drives which snapshots get a stats row
+    val chain = Artifacts.history(spark, idx)
+      .select(col("version")).collect().map(_.getLong(0)).toSeq
+    chain.map { v =>
       val s0 = Artifacts.withPinned(spark, idx, v) {
         Artifacts.read(spark, idx, "stats").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -475,23 +479,24 @@ object LexIndex {
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "doc_id")
     GraftSession.tune(spark)
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
     // structural command: the whole derivation (dedup, stats recount)
-    // is against THIS snapshot — publish refuses if anything commits
-    // in between (Artifacts.commitFromBase scaladoc)
-    val base = Artifacts.currentVersion(spark, idx)
-
-    val doomed = graft.Scratch.localCheckpoint(
-      spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
-        .distinct()
-        .join(liveIds(spark, idx, Map()), Seq("id"), "left_semi"))
-    val nDel = doomed.count()
-    var pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
-    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
-      statsFrame(spark, idx, pend))
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
+    // is against one snapshot — a commit landing in between makes it
+    // stale, so the publish CAS-fails and the derivation re-runs from
+    // the new state, bounded times (Artifacts.commitStructuralWithRetry)
+    var nDel = 0L
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      val doomed = graft.Scratch.localCheckpoint(
+        spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
+          .distinct()
+          .join(liveIds(spark, idx, Map()), Seq("id"), "left_semi"))
+      nDel = doomed.count()
+      var pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+      pend = Artifacts.withReplaced(spark, idx, pend, "stats",
+        statsFrame(spark, idx, pend))
+      Artifacts.merged(spark, idx, pend)
+    }
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("deleted" -> nDel)
@@ -534,55 +539,59 @@ object LexIndex {
     val flags = flagsOf(args, 1)
     val thresholdPm = flags.get("threshold").map(_.toLong)
     GraftSession.tune(spark)
-    Artifacts.applyRetentionFlag(spark, flags)
+    Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
     // structural command: the consolidated rewrite is derived from
-    // THIS snapshot — a commit landing mid-compact (a concurrent
-    // ingest) makes the rewrite stale, so publish must conflict, not
-    // silently drop the competitor's appends (LexIndexSpec's
-    // ingest-vs-compact race)
-    val base = Artifacts.currentVersion(spark, idx)
-    val hasTomb = Artifacts.exists(spark, idx, "tombstones")
-    val tomb =
-      if (hasTomb) Some(graft.Scratch.cache(
-        Artifacts.read(spark, idx, "tombstones").select(col("id")).distinct()))
-      else None
-    val stats0 = Artifacts.read(spark, idx, "stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val buckets = stats0.getOrElse("buckets", 16L)
+    // one snapshot — a commit landing mid-compact (a concurrent
+    // ingest) makes the rewrite stale, so the publish CAS-fails, the
+    // lost attempt's fresh segments reclaim, and the whole derivation
+    // re-runs from the merged state, bounded times — never a silent
+    // drop of the competitor's appends (LexIndexSpec's
+    // ingest-vs-compact race and the sustained-ingest storm test)
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      refresh(spark, idx)
+      pend = Map.empty[String, Seq[String]]
+      val hasTomb = Artifacts.exists(spark, idx, "tombstones")
+      val tomb =
+        if (hasTomb) Some(graft.Scratch.cache(
+          Artifacts.read(spark, idx, "tombstones").select(col("id")).distinct()))
+        else None
+      val stats0 = Artifacts.read(spark, idx, "stats").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val buckets = stats0.getOrElse("buckets", 16L)
 
-    // content artifacts: postings/doclens filter the tombstones,
-    // docids merges UNFILTERED (the ever-ingested manifest must not
-    // forget). Full mode rewrites each to ONE segment; threshold mode
-    // rewrites only tombstone-dense segments and leaves cold ones
-    // ([[Artifacts.compactSegments]] — docids never rewrites
-    // incrementally: an unfiltered manifest merge buys nothing a
-    // delete wave needs back).
-    val plan: Seq[(String, Boolean, Option[Artifacts.Bucket])] =
-      thresholdPm match {
-      case None => Seq(
-        ("postings", true, Some(termBucket(buckets))),
-        ("doclens", true, None), ("docids", false, None))
-      case Some(_) => Seq(
-        ("postings", true, Some(termBucket(buckets))),
-        ("doclens", true, None))
+      // content artifacts: postings/doclens filter the tombstones,
+      // docids merges UNFILTERED (the ever-ingested manifest must not
+      // forget). Full mode rewrites each to ONE segment; threshold mode
+      // rewrites only tombstone-dense segments and leaves cold ones
+      // ([[Artifacts.compactSegments]] — docids never rewrites
+      // incrementally: an unfiltered manifest merge buys nothing a
+      // delete wave needs back).
+      val plan: Seq[(String, Boolean, Option[Artifacts.Bucket])] =
+        thresholdPm match {
+        case None => Seq(
+          ("postings", true, Some(termBucket(buckets))),
+          ("doclens", true, None), ("docids", false, None))
+        case Some(_) => Seq(
+          ("postings", true, Some(termBucket(buckets))),
+          ("doclens", true, None))
+      }
+      plan.foreach { case (name, filtered, bucket) =>
+        Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+          filtered, bucket).foreach(segs => pend += name -> segs)
+      }
+      tomb.foreach { ts =>
+        pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
+      }
+      pend = Artifacts.withReplaced(spark, idx, pend, "stats",
+        statsFrame(spark, idx, pend))
+      if (crashBeforeCommit)
+        sys.error("injected crash: compact before manifest commit")
+      Artifacts.merged(spark, idx, pend)
     }
-    plan.foreach { case (name, filtered, bucket) =>
-      Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
-        filtered, bucket).foreach(segs => pend += name -> segs)
-    }
-    tomb.foreach { ts =>
-      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
-    }
-    pend = Artifacts.withReplaced(spark, idx, pend, "stats",
-      statsFrame(spark, idx, pend))
-    if (crashBeforeCommit)
-      sys.error("injected crash: compact before manifest commit")
-    Artifacts.commitFromBase(spark, idx, base,
-      Artifacts.merged(spark, idx, pend))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.foreach { name =>
@@ -733,13 +742,33 @@ object LexIndex {
     flagsOf(args, 2).get("at") match {
       case Some(v) =>
         Artifacts.withPinned(spark, args(0), v.toLong)(
-          searchBatchImpl(spark, args))
-      case None => searchBatchImpl(spark, args)
+          searchBatchImpl(spark, args, None))
+      case None => searchBatchImpl(spark, args, None)
+    }
+  }
+
+  /** [[searchBatch]] with the query frame passed DIRECTLY instead of
+    * a parquet path — the streaming-serve entry point (a foreachBatch
+    * handler scores each micro-batch's queries without a per-trigger
+    * write+read round-trip). `args` omit the queries path:
+    * <indexDir> [flags]. Semantics are byte-identical to the path
+    * form (which now routes through this).
+    */
+  def searchBatchFrame(spark: SparkSession, args: Array[String],
+      queries: DataFrame): DataFrame = {
+    require(args.length >= 1,
+      "usage: searchBatchFrame <indexDir> [flags] + frame")
+    val full = args.take(1) ++ Array("__query_frame__") ++ args.drop(1)
+    flagsOf(args, 1).get("at") match {
+      case Some(v) =>
+        Artifacts.withPinned(spark, args(0), v.toLong)(
+          searchBatchImpl(spark, full, Some(queries)))
+      case None => searchBatchImpl(spark, full, Some(queries))
     }
   }
 
   private def searchBatchImpl(spark: SparkSession,
-      args: Array[String]): DataFrame = {
+      args: Array[String], queriesOpt: Option[DataFrame]): DataFrame = {
     val (idx, in) = (args(0), args(1))
     val flags = flagsOf(args, 2)
     val idCol = flags.getOrElse("id", "query_id")
@@ -766,7 +795,8 @@ object LexIndex {
     val gram = stats("gram").toInt
     val buckets = stats.getOrElse("buckets", 16L)
 
-    val qTerms = graft.Scratch.cache(spark.read.parquet(in)
+    val qTerms = graft.Scratch.cache(queriesOpt
+      .getOrElse(spark.read.parquet(in))
       .select(col(idCol).cast("long").as("qid"), col(textCol).as("text"))
       .select(col("qid"),
         explode(array_distinct(TextOps.ngrams(col("text"), gram))).as("t")))

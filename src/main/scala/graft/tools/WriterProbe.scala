@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.ops.TextOps
 
-/** Concurrent-writer ingest decade (SCALING.md round 14): price what
-  * the CAS/rebase commit path BUYS, not just that it is safe. W
-  * disjoint ingest waves land in ONE lexical index, sequentially vs
-  * from W concurrent threads, at growing corpus replication.
+/** Concurrent-writer ingest decade (SCALING.md round 14; round 15
+  * adds the VECTOR arm): price what the CAS/rebase commit path BUYS,
+  * not just that it is safe. W disjoint ingest waves land in ONE
+  * index (lexical BM25, and frozen-model IVF-PQ via
+  * IndexCorpus.ingestFrame — different per-command stage structure:
+  * centroid/codebook broadcast + assign/encode vs tokenize/aggregate),
+  * sequentially vs from W concurrent threads, at growing replication.
+  * `SPARK_GRAFT_WPROBE=lex,vec` selects the arms.
   *
   * The mechanism being priced: an ingest command is a CHAIN of
   * driver-coordinated steps (dedup scan, tokenize/aggregate jobs,
@@ -39,6 +43,8 @@ object WriterProbe {
       .split(',').map(_.trim.toInt).toSeq
     val writerCounts = sys.env.getOrElse("SPARK_GRAFT_WRITERS", "2,4")
       .split(',').map(_.trim.toInt).toSeq
+    val arms = sys.env.getOrElse("SPARK_GRAFT_WPROBE", "lex,vec")
+      .split(',').map(_.trim).toSet
     val spark = SparkSession.builder.master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -67,7 +73,7 @@ object WriterProbe {
       graft.Scratch.release()
     }
 
-    for (scale <- scales) {
+    if (arms("lex")) for (scale <- scales) {
       val tmp = Files.createTempDirectory(s"writerprobe_x$scale").toString
       // replica-suffixed corpus (the ServeProbe convention: vocabulary
       // grows with the corpus, every wave is real novel text)
@@ -131,6 +137,89 @@ object WriterProbe {
         require(sSeq("n") == nDocs, s"lost docs: ${sSeq("n")} of $nDocs")
 
         println(f"""[writerprobe] {"probe":"lex_ingest","scale":$scale,"writers":$w,"docs":$nDocs,"seq_sec":$tSeq%.3f,"conc_sec":$tConc%.3f,"speedup":${tSeq / tConc}%.2f}""")
+      }
+    }
+
+    // VECTOR arm: the model (router + codebooks) trains ONCE on the
+    // base embeddings; the waves are replica-id vectors ingested
+    // through the frozen-model path. The ingest chain here is
+    // centroid-broadcast assignment + per-subspace PQ encode + three
+    // cb-bucketed segment writes — heavier per-row compute and fewer
+    // jobs than the lexical tokenize/aggregate chain, so the
+    // overlap win profiles differently (that difference is the point
+    // of measuring both).
+    if (arms("vec")) for (scale <- scales) {
+      val tmp = Files.createTempDirectory(s"writerprobe_vec_x$scale").toString
+      val base0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      base0.write.parquet(s"$tmp/train.parquet")
+      val reps = broadcast(spark.range(scale).select(col("id").as("_r")))
+      // replica ids offset past the training ids; vectors reused
+      // verbatim (the frozen-model ingest keys novelty on the id)
+      spark.read.parquet(s"$tmp/train.parquet")
+        .crossJoin(reps)
+        .select(
+          (col("vec_id") + (col("_r") + 1) * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+        .write.parquet(s"$tmp/waves.parquet")
+      val wavesAll = spark.read.parquet(s"$tmp/waves.parquet")
+      val nVecs = wavesAll.count()
+      val nTrain = base0.count()
+
+      for (w <- writerCounts) {
+        val waves = (0 until w).map(i =>
+          wavesAll.filter(pmod(col("vec_id"), lit(w.toLong)) === i.toLong))
+
+        def freshIdx(tag: String): String = {
+          val idx = s"$tmp/vec_${tag}_$w"
+          IndexCorpus.build(spark, Array(s"$tmp/train.parquet", idx,
+            "--ivf-k", "8", "--pq-m", "4", "--pq-k", "16", "--iters", "2"))
+          idx
+        }
+
+        val seqIdx = freshIdx("seq")
+        val tSeq = time {
+          waves.foreach(wv =>
+            IndexCorpus.ingestFrame(spark, seqIdx, wv, "vec_id", "embedding"))
+        }
+        graft.Scratch.release()
+
+        val concIdx = freshIdx("conc")
+        val pool = Executors.newFixedThreadPool(w)
+        val gate = new CountDownLatch(1)
+        val futs = waves.map { wv =>
+          pool.submit(new Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              IndexCorpus.ingestFrame(spark, concIdx, wv, "vec_id", "embedding")
+            }
+          })
+        }
+        val tConc = time { gate.countDown(); futs.foreach(_.get()) }
+        pool.shutdown()
+        graft.Scratch.release()
+
+        // safety asserted inside the measurement: one commit per wave
+        // (build v0 + w ingests), and the concurrent index's
+        // membership equals the sequential one's (count + an
+        // order-independent (id, cell) checksum — the frozen model
+        // makes assignment deterministic)
+        val vers = Artifacts.manifestVersions(spark, concIdx).max
+        require(vers == w.toLong,
+          s"expected v$w after $w concurrent vec ingests, got v$vers")
+        def sig(idx: String): (Long, Long) = {
+          val r = Artifacts.read(spark, idx, "assignments")
+            .agg(count(lit(1)),
+              sum(col("id") * lit(31L) + col("cell"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (sSeq, sConc) = (sig(seqIdx), sig(concIdx))
+        require(sSeq == sConc,
+          s"concurrent vec membership $sConc diverged from sequential $sSeq")
+        require(sSeq._1 == nTrain + nVecs,
+          s"lost vectors: ${sSeq._1} of ${nTrain + nVecs}")
+
+        println(f"""[writerprobe] {"probe":"vec_ingest","scale":$scale,"writers":$w,"vecs":$nVecs,"seq_sec":$tSeq%.3f,"conc_sec":$tConc%.3f,"speedup":${tSeq / tConc}%.2f}""")
       }
     }
     spark.stop()

@@ -361,6 +361,151 @@ class ArtifactsSpec extends AnyFunSuite {
       "aborted writer's segment leaked into the manifest")
   }
 
+  test("ABA guard: a stale claim on a RECYCLED version slot (vacuumed " +
+    "away under a small window) loses instead of silently winning") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    // writer A resolves base v0 ... then two faster writers commit
+    // v1 and v2, and a window-1 vacuum deletes manifest files m-1
+    // (and m-0) — the v1 SLOT is claimable again
+    val baseA = Artifacts.currentVersion(spark, idx)
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "A")).toDF("id", "v"))
+    val seg1 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "B")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, seg1)))    // v1
+    val seg2 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((4L, "C")).toDF("id", "v"))
+    Artifacts.commit(spark, idx,
+      Map("rows" -> Seq(seg0, seg1, seg2)))                         // v2
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      Artifacts.vacuum(spark, idx) // window 1: only m-2 retained
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
+    // A's stale CAS at base v0 claims the recycled m-1 slot — the
+    // link SUCCEEDS, so only the post-claim max-version re-check
+    // stands between this and a silently lost commit
+    assert(!Artifacts.commitAt(spark, idx, baseA,
+      Map("rows" -> Seq(seg0, segA))),
+      "stale claim on a recycled version slot won")
+    // the withdrawn claim left no manifest behind, and the newest
+    // state is untouched
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
+  test("store matrix: link/rename-capable schemes commit; object-store " +
+    "schemes refuse unless the session declares single-writer") {
+    assert(Artifacts.claimClass("file") == "link")
+    for (s <- Seq("hdfs", "viewfs", "webhdfs", "o3fs", "ofs"))
+      assert(Artifacts.claimClass(s) == "rename", s)
+    for (s <- Seq("s3", "s3a", "s3n", "gs", "wasb", "abfs", "abfss",
+      "oss", "cos", "swift", "someunknownfs"))
+      assert(Artifacts.claimClass(s) == "none", s)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // local paths (no URI scheme) resolve through the filesystem and
+    // pass; an object-store path refuses with the actionable message
+    Artifacts.assertClaimCapable(spark, freshIdx(), f)
+    val e = intercept[IllegalStateException] {
+      Artifacts.assertClaimCapable(spark, "s3a://bucket/idx", f)
+    }
+    assert(e.getMessage.contains("allowNonAtomicCommit"))
+    // the explicit single-writer declaration unlocks the degrade path
+    try {
+      spark.conf.set("spark.graft.allowNonAtomicCommit", "true")
+      Artifacts.assertClaimCapable(spark, "s3a://bucket/idx", f)
+    } finally spark.conf.unset("spark.graft.allowNonAtomicCommit")
+  }
+
+  test("commitStructuralWithRetry: a lost race re-derives from the " +
+    "merged state and lands; the lost attempt's fresh segments are " +
+    "reclaimed; sustained losses surface as a bounded conflict") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "base")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    // derive() doubles as the interleaving failpoint: on the first
+    // attempt a competitor commits AFTER the derivation, so the CAS
+    // loses and the retry must re-derive from the winner's state
+    var attempts = 0
+    val attemptSegs = Seq.newBuilder[String]
+    val ver = Artifacts.commitStructuralWithRetry(spark, idx) { base =>
+      attempts += 1
+      if (attempts == 1)
+        Artifacts.commit(spark, idx,                                 // v1
+          Artifacts.merged(spark, idx, Map("rows" ->
+            (Artifacts.segmentsOf(spark, idx, "rows") :+
+              Artifacts.writeSegment(spark, idx, "rows",
+                Seq((7L, "W")).toDF("id", "v"))))))
+      // a full rewrite derived from the (now possibly newer) state
+      val n = Artifacts.read(spark, idx, "rows").count()
+      val s = Artifacts.writeSegment(spark, idx, "rows",
+        (0L until n).map(i => (100L + i, s"attempt$attempts"))
+          .toDF("id", "v"))
+      attemptSegs += s
+      Map("rows" -> Seq(s))
+    }
+    assert(ver == 2L && attempts == 2, s"v$ver after $attempts attempts")
+    // the retry saw the winner's 2 rows, so the final rewrite has 2
+    assert(Artifacts.read(spark, idx, "rows").count() == 2L)
+    // the lost first attempt's fresh segment was reclaimed eagerly
+    val Seq(lost, kept) = attemptSegs.result()
+    assert(!new java.io.File(s"$idx/rows/$lost").exists(),
+      "lost structural attempt's segment leaked")
+    assert(new java.io.File(s"$idx/rows/$kept").exists())
+
+    // sustained contention: every attempt loses -> bounded conflict
+    var n2 = 0
+    intercept[Artifacts.CommitConflictException] {
+      Artifacts.commitStructuralWithRetry(spark, idx, maxAttempts = 3) { _ =>
+        n2 += 1
+        Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, Map.empty))
+        Map("rows" -> Seq(kept))
+      }
+    }
+    assert(n2 == 3, s"retry was not bounded: $n2 attempts")
+  }
+
+  test("index-persisted retention: a narrower second process cannot " +
+    "vacuum out the window the index's committed policy protects; an " +
+    "explicit flag SETS the policy (widen and narrow)") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(segA)))          // v0
+    // process A states the policy via the CLI flag path
+    Artifacts.applyRetentionFlag(spark,
+      Map("keep-manifests" -> "2"), idx)
+    assert(Artifacts.persistedRetention(spark, idx)
+      .get("keepManifests").contains(2L))
+    val segB = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "b")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(segA, segB)))    // v1
+    // "process B": a session that never stated a policy (default
+    // window 1) runs the vacuum — the INDEX policy must win
+    spark.conf.set("spark.graft.keepManifests", "1")
+    Artifacts.vacuum(spark, idx)
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(0L, 1L),
+      "a narrower-configured process vacuumed the persisted window out")
+    // v0 stays servable
+    assert(Artifacts.manifestAt(spark, idx, 0L)("rows") == Seq(segA))
+    // an EXPLICIT flag is an administrative change: narrowing back to
+    // 1 takes effect (the CLI contract the LexIndexSpec window test
+    // pins end to end)
+    Artifacts.applyRetentionFlag(spark,
+      Map("keep-manifests" -> "1"), idx)
+    Artifacts.vacuum(spark, idx)
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(1L))
+  }
+
   test("concurrent writeSegment: two threads never claim the same " +
     "segment dir; vacuum's grace protects a not-yet-committed segment") {
     import spark.implicits._

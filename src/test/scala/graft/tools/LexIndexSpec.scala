@@ -458,6 +458,157 @@ class LexIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("SUSTAINED-ingest compact storm: a compact retries through a " +
+    "stream of concurrent ingest commits and LANDS (bounded " +
+    "rebase-retry — no manual rerun), with the final index equal to " +
+    "a fresh build over survivors + every ingested wave") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_storm").toString
+    val idx = s"$tmp/lex"
+    // base: docs 0-1 with doc 1 tombstoned — the compact has a real
+    // tombstone fold to do
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.parquet(s"$tmp/base.parquet")
+    LexIndex.build(spark, Array(s"$tmp/base.parquet", idx, "--gram", "1"))
+    Seq(1L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+    LexIndex.delete(spark, Array(idx, s"$tmp/del.parquet"))
+    // the corpus's docs 2-3 plus a synthetic doc 4: three one-doc
+    // waves so the ingester commits repeatedly through the compact
+    val docs = spark.read.parquet(in)
+      .unionByName(Seq((4L, "grape honeydew kiwi")).toDF("doc_id", "text"))
+    try {
+      // the documented multi-writer sizing rule (Artifacts object
+      // doc): window >= writers + 1, so one writer's post-commit
+      // vacuum can never evict a manifest (or the replace-style
+      // segments only it references) the other command's in-flight
+      // derivation resolved — without this the compact's stats read
+      // can lose its segment mid-derivation
+      spark.conf.set("spark.graft.keepManifests", "3")
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      // the ingest thread commits wave after wave for the compact's
+      // whole derivation window — the sustained-write shape that
+      // starved the round-14 conflict-surface-only behavior
+      val ingester = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          (2L to 4L).map { d =>
+            LexIndex.ingestFrame(spark, idx,
+              docs.filter(col("doc_id") === d), "doc_id", "text")
+          }.sum
+        }
+      })
+      val compactor = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { gate.await(); LexIndex.compact(spark, Array(idx)) }
+      })
+      gate.countDown()
+      assert(ingester.get() == 3L, "an ingest wave was lost")
+      compactor.get() // must NOT throw: the retry absorbs the races
+      pool.shutdown()
+    } finally {
+      spark.conf.set("spark.graft.keepManifests", "1")
+      spark.conf.unset("spark.graft.vacuumGraceMs")
+    }
+    // end state == fresh build over exactly {0, 2, 3, 4}
+    val ref = Files.createTempDirectory("lexidx_storm_ref").toString
+    spark.read.parquet(in)
+      .unionByName(Seq((4L, "grape honeydew kiwi")).toDF("doc_id", "text"))
+      .filter(col("doc_id").isin(0L, 2L, 3L, 4L))
+      .write.parquet(s"$ref/docs.parquet")
+    LexIndex.build(spark, Array(s"$ref/docs.parquet", s"$ref/lex",
+      "--gram", "1"))
+    for (q <- Seq("apple banana", "cherry durian", "durian fig", "grape"))
+      assert(searchPairs(idx, q) == searchPairs(s"$ref/lex", q),
+        s"query '$q'")
+    val fsckRows = LexIndex.fsck(spark, Array(idx)).collect()
+    assert(fsckRows.forall(r => r.getLong(1) == r.getLong(2)),
+      s"post-storm fsck: ${fsckRows.mkString(",")}")
+  }
+
+  test("COMPOSED storm: a reader pinned one version back serves " +
+    "byte-identically while two writers ingest concurrently and " +
+    "their post-commit vacuums run, with the window sized to " +
+    "writers + 1 — the full concurrent-serving contract in one test") {
+    import spark.implicits._
+    val in = corpusDir()
+    val tmp = Files.createTempDirectory("lexidx_composed").toString
+    val idx = s"$tmp/lex"
+    spark.read.parquet(in).filter(col("doc_id") < 2)
+      .write.parquet(s"$tmp/base.parquet")
+    LexIndex.build(spark, Array(s"$tmp/base.parquet", idx, "--gram", "1"))
+    // the external reader resolves the CURRENT version once and pins
+    // its postings segment list — the snapshot it must keep serving
+    val pinnedVer = Artifacts.manifestVersions(spark, idx).max
+    val pinnedSegs = Artifacts.manifestAt(spark, idx, pinnedVer)("postings")
+    def pinnedRead(): Seq[org.apache.spark.sql.Row] =
+      Artifacts.readSegs(spark, idx, "postings", pinnedSegs)
+        .orderBy(col("t"), col("id")).collect().toSeq
+    val before = pinnedRead()
+    val docs = spark.read.parquet(in)
+    val waves = Seq(docs.filter(col("doc_id") === 2),
+      docs.filter(col("doc_id") === 3))
+    try {
+      // writers + 1 = 3: through 2 commits the pinned version stays
+      // inside the trailing window of every post-commit vacuum
+      spark.conf.set("spark.graft.keepManifests", "3")
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writerFuts = waves.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            try LexIndex.ingestFrame(spark, idx, w, "doc_id", "text")
+            finally { writersDone.incrementAndGet(); () }
+          }
+        })
+      }
+      // the pinned reader re-scans its FIXED segment list throughout
+      // the storm: every scan must be byte-identical to the pre-storm
+      // snapshot (ingest commits + vacuums are invisible to it)
+      val mismatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reader = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var n = 0
+          while (writersDone.get() < 2 || n < 4) {
+            if (pinnedRead() != before) mismatches.incrementAndGet()
+            n += 1
+          }
+          n
+        }
+      })
+      gate.countDown()
+      writerFuts.foreach(_.get())
+      val nReads = reader.get()
+      pool.shutdown()
+      assert(nReads >= 4, s"pinned reader only completed $nReads scans")
+      assert(mismatches.get() == 0,
+        s"${mismatches.get()} pinned scans drifted during the storm")
+      // after the storm + vacuums: the pinned snapshot is STILL
+      // byte-identical, its manifest is still retained, and the
+      // current state serves all four docs
+      assert(pinnedRead() == before)
+      assert(Artifacts.manifestVersions(spark, idx).contains(pinnedVer))
+      assert(Artifacts.currentVersion(spark, idx) == pinnedVer + 2)
+      val ref = Files.createTempDirectory("lexidx_composed_ref").toString
+      spark.read.parquet(in).filter(col("doc_id") < 4)
+        .write.parquet(s"$ref/docs.parquet")
+      LexIndex.build(spark, Array(s"$ref/docs.parquet", s"$ref/lex",
+        "--gram", "1"))
+      for (q <- Seq("apple banana", "cherry durian"))
+        assert(searchPairs(idx, q) == searchPairs(s"$ref/lex", q),
+          s"query '$q'")
+    } finally {
+      spark.conf.set("spark.graft.keepManifests", "1")
+      spark.conf.unset("spark.graft.vacuumGraceMs")
+    }
+  }
+
   test("ingest racing a compact: the ingest ALWAYS lands (rebase), the " +
     "compact either completes or fails LOUDLY with " +
     "CommitConflictException (never a silent lost update), and the " +
