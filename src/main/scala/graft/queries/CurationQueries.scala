@@ -75,6 +75,19 @@ object CurationQueries {
            |FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)
            |ORDER BY vec_id""".stripMargin
 
+  /** q311's oracle: the q202/q303 frozen-model equivalence chain with
+    * the RETRACTED ids (vec_id % 8 = 1) excluded from the final
+    * artifact dump — "a fresh build over the survivors plus the
+    * ingested waves, fed the same frozen model", which is exactly
+    * what compact-under-concurrent-ingest must converge to whatever
+    * interleaving the race takes.
+    */
+  private lazy val compactUnderIngestOracle: String =
+    indexUpdateEquivOracle.replace(
+      "FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id)",
+      "FROM aIF JOIN aF_0 USING (id) JOIN aF_1 USING (id) " +
+        "WHERE aIF.id % 8 <> 1")
+
   private val toksSql = OpsQueries.toksSql
 
   /** One-row release scorecard over a (doc_id, text, source, lang)
@@ -2336,6 +2349,80 @@ object CurationQueries {
           .orderBy(col("vec_id"))
       },
       Some(indexUpdateEquivOracle)),
+
+    // COMPACT UNDER LIVE INGEST, vector arm (round 15): q310's
+    // structural-retry story through IndexCorpus. Build on the 3/4
+    // subset (frozen router + codebooks), retract vec_id % 8 = 1
+    // (persisting retention window 3 — writers + 1), then `compact`
+    // races TWO concurrent ingest waves of the held-out quarter. The
+    // compact re-derives from the merged state on every lost CAS
+    // (Artifacts.commitStructuralWithRetry) and must land; the final
+    // LIVE artifacts equal a fresh frozen-model build over
+    // (everything except the retracted ids) — the q202 equivalence
+    // chain with one exclusion predicate, hashing whichever races
+    // were lost.
+    "q311_vec_compact_under_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q311").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(s"$tmp/old.parquet",
+          s"$tmp/idx", "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+          "--iters", "1"))
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(8)) === 1)
+          .select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet", "--keep-manifests", "3"))
+        val waves = Seq(0, 4).map(r => t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(8)) === r))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val ing = pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              waves.map(w => graft.tools.IndexCorpus.ingestFrame(
+                s, s"$tmp/idx", w, "vec_id", "embedding")).sum
+            }
+          })
+          val cmp = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              gate.await()
+              graft.tools.IndexCorpus.compact(s, Array(s"$tmp/idx"))
+            }
+          })
+          gate.countDown()
+          ing.get()
+          cmp.get()
+        } finally {
+          pool.shutdown()
+          prevKeep match {
+            case Some(pk) => s.conf.set("spark.graft.keepManifests", pk)
+            case None     => s.conf.unset("spark.graft.keepManifests")
+          }
+        }
+        // live artifacts only: the tombstoned ids' rows are folded
+        // out by the compact (or anti-joined by any later one)
+        val tomb = graft.tools.Artifacts.read(s, s"$tmp/idx", "tombstones")
+          .select(col("id")).distinct()
+        val codes = graft.tools.Artifacts.read(s, s"$tmp/idx", "pq_codes")
+          .join(tomb, Seq("id"), "left_anti")
+          .groupBy(col("id"))
+          .agg(max(when(col("s") === 0, col("code"))).as("code0"),
+            max(when(col("s") === 1, col("code"))).as("code1"))
+        graft.tools.Artifacts.read(s, s"$tmp/idx", "assignments")
+          .join(tomb, Seq("id"), "left_anti")
+          .join(codes, Seq("id"))
+          .select(col("id").as("vec_id"), col("cell"),
+            col("code0"), col("code1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(compactUnderIngestOracle)),
 
     // The full production ingest path in one driver row: RESIDUAL PQ
     // + frozen-model incremental update. Build a residual IVF-PQ

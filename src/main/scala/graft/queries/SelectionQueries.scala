@@ -2850,6 +2850,75 @@ object SelectionQueries {
       },
       Some(lexSearchOracleSql)),
 
+    // COMPACT UNDER LIVE INGEST (round 15): the structural-command
+    // bounded rebase-retry, driver-visible. Build on 3/4 of the
+    // corpus, retract doc_id % 8 = 1 (persisting retention window 3
+    // into the INDEX via the flag — the multi-writer sizing rule,
+    // writers + 1), then run `compact` in one thread WHILE a second
+    // thread commits the remaining quarter as three ingest waves.
+    // Every CAS race the compact loses re-derives the consolidated
+    // rewrite from the merged state (Artifacts.commitStructuralWithRetry)
+    // — it must LAND, not strand at CommitConflictException — and
+    // whatever the interleaving, the final index answers exactly like
+    // a fresh build over (everything except the retracted ids): the
+    // q267 chain restricted to doc_id % 8 <> 1. The oracle hashing
+    // regardless of which races were lost IS the determinism claim.
+    "q310_compact_under_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q310").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(4)) =!= 3)
+          .write.mode("overwrite").parquet(s"$tmp/base.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/base.parquet", s"$tmp/lex", "--gram", "2"))
+        docs.filter(pmod(col("doc_id"), lit(8)) === 1)
+          .select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        graft.tools.LexIndex.delete(s, Array(
+          s"$tmp/lex", s"$tmp/del.parquet", "--keep-manifests", "3"))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val ing = pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              // the quarter arrives as 3 waves = 3 commits racing the
+              // compact's derivation window
+              Seq(3L, 7L, 11L).map { m =>
+                graft.tools.LexIndex.ingestFrame(s, s"$tmp/lex",
+                  docs.filter(pmod(col("doc_id"), lit(12)) === m),
+                  "doc_id", "text")
+              }.sum
+            }
+          })
+          val cmp = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              gate.await()
+              graft.tools.LexIndex.compact(s, Array(s"$tmp/lex"))
+            }
+          })
+          gate.countDown()
+          ing.get()
+          cmp.get()
+        } finally {
+          pool.shutdown()
+          // the retention flag is session-scoped; restore for later
+          // queries (the persisted window stays with THIS index)
+          prevKeep match {
+            case Some(pk) => s.conf.set("spark.graft.keepManifests", pk)
+            case None     => s.conf.unset("spark.graft.keepManifests")
+          }
+        }
+        val q0 = docs.filter(col("doc_id") === 0)
+          .select(concat_ws(" ",
+            slice(TextOps.tokens(col("text")), 1, 5)))
+          .head().getString(0)
+        graft.tools.LexIndex.search(s, Array(s"$tmp/lex", q0, "--k", "10"))
+      },
+      Some(lexSearchOracle("WHERE doc_id % 8 <> 1"))),
+
     "q275_streaming_lex_ingest" -> Q(
       (s, dir) => {
         val tmp = java.nio.file.Files

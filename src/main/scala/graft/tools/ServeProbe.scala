@@ -288,14 +288,23 @@ object ServeProbe {
       // SPARK_GRAFT_SERVE_CHUNK > 0 turns on the skew-parallel grid
       // split of the LSH self-joins (--chunk-rows): same edge set
       // (q299's oracle equivalence), but the replica construction's
-      // hot buckets stop single-threading the build tail
+      // hot buckets stop single-threading the build tail.
+      // SPARK_GRAFT_SERVE_PLANES overrides the LSH resolution — the
+      // knob that actually bounds the build at scale: candidate
+      // volume is ~n^2 / 2^(planes/bands) per table, so planes must
+      // grow with log2(n) to keep per-bucket occupancy (and with it
+      // the exact-verify volume) constant as the corpus scales —
+      // measured round 15: at x512 the chunk split moved only the
+      // ~80 s tail (the volume dominated); +6 planes cut the volume
+      // ~8x
       val chunk = sys.env.getOrElse("SPARK_GRAFT_SERVE_CHUNK", "0")
+      val gPlanes = sys.env.getOrElse("SPARK_GRAFT_SERVE_PLANES", "14")
       val (_, tG) = time {
         IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
-          s"$tmp/emb.parquet", "--deg", "3", "--planes", "14",
+          s"$tmp/emb.parquet", "--deg", "3", "--planes", gPlanes,
           "--bands", "2", "--chunk-rows", chunk))
       }
-      emit("vec_graph_build", scale, tG)
+      emit("vec_graph_build", scale, tG, s""","planes":$gPlanes""")
       emit("vec_search_graph", scale, minOf3 {
         IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
           s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "1",
