@@ -904,6 +904,10 @@ object Artifacts {
     val m = manifestAt(spark, src, v)
     require(!fs(spark, dst).exists(new Path(manifestDir(dst))),
       s"$dst already holds an index (export refuses to overwrite)")
+    // fail FAST on a store the final commit would refuse — before
+    // rewriting a corpus worth of segments onto it (the store-matrix
+    // guard; the dress-rehearsal spec drives both sides)
+    assertClaimCapable(spark, dst, fs(spark, dst))
     val sortOf = Map("tb" -> "t", "cb" -> "cell", "gb" -> "id")
     val written = m.toSeq.sortBy(_._1).collect {
       case (name, segs) if segs.nonEmpty =>

@@ -506,6 +506,44 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.manifestVersions(spark, idx) == Seq(1L))
   }
 
+  test("export dress rehearsal onto an object-store scheme: the full " +
+    "write path runs against S3-class rename semantics — refused by " +
+    "default, and correct end-to-end once the deployment declares " +
+    "the index single-writer") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.mocks3.impl",
+      classOf[MockS3FileSystem].getName)
+    // a real source index on the local store
+    val src = freshIdx()
+    val seg = Artifacts.writeSegment(spark, src, "rows",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    Artifacts.commit(spark, src, Map("rows" -> Seq(seg)))
+    // destination on the object-store scheme (mocks3: rename
+    // REPLACES an existing target — the store class the claim guard
+    // exists for)
+    val dstDir = Files.createTempDirectory("artifacts_mocks3").toString
+    val dst = s"mocks3://$dstDir/idx"
+    // default: the export's commit REFUSES — no atomic claim
+    // primitive on this store, so the multi-writer contract is void
+    val e = intercept[IllegalStateException] {
+      Artifacts.exportSnapshot(spark, src, dst, None)
+    }
+    assert(e.getMessage.contains("allowNonAtomicCommit"))
+    try {
+      // declared single-writer: the export lands end-to-end through
+      // the mock store's own write path (parquet writes, segment
+      // rename, check+rename manifest claim)
+      spark.conf.set("spark.graft.allowNonAtomicCommit", "true")
+      val dst2 = s"mocks3://$dstDir/idx2"
+      val written = Artifacts.exportSnapshot(spark, src, dst2, None)
+      assert(written.toMap.get("rows").contains(3L))
+      assert(Artifacts.currentManifest(spark, dst2).map(_._1).contains(0L))
+      assert(Artifacts.read(spark, dst2, "rows")
+        .select(col("id")).collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+    } finally spark.conf.unset("spark.graft.allowNonAtomicCommit")
+  }
+
   test("concurrent writeSegment: two threads never claim the same " +
     "segment dir; vacuum's grace protects a not-yet-committed segment") {
     import spark.implicits._

@@ -1,0 +1,85 @@
+package graft.tools
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Test-only object-store stand-in: local storage served under a
+  * `mocks3:` scheme with S3-CLASS rename semantics — rename REPLACES
+  * an existing destination instead of refusing, and no hard-link
+  * surface — i.e. exactly the store class [[Artifacts.claimClass]]
+  * maps to "none". Registered per-spec via `fs.mocks3.impl`; lets
+  * the export-to-object-store dress rehearsal run the FULL write
+  * path (Spark parquet writes, segment renames, manifest
+  * publication) against the semantics the multi-writer guard exists
+  * for, without a cloud connector. Implemented by delegation (not
+  * subclassing RawLocalFileSystem) because the raw local status
+  * objects lazily re-derive permissions from their PATH's URI and
+  * blow up on a non-`file:` scheme.
+  */
+class MockS3FileSystem extends FileSystem {
+  private var myUri: URI = URI.create("mocks3:///")
+  private val local = new RawLocalFileSystem()
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    local.initialize(URI.create("file:///"), conf)
+    myUri = URI.create(s"${name.getScheme}:///")
+  }
+
+  override def getUri: URI = myUri
+  override def getScheme: String = "mocks3"
+
+  private def toLocal(p: Path): Path =
+    new Path("file", null, p.toUri.getPath)
+
+  /** Eager plain-FileStatus copy with the path mapped back to the
+    * mock scheme — `st.getPermission` here forces the lazy raw-local
+    * permission load while the path is still `file:`.
+    */
+  private def fromLocal(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      st.getPermission, st.getOwner, st.getGroup,
+      new Path("mocks3", null, st.getPath.toUri.getPath))
+
+  override def open(f: Path, bufferSize: Int) =
+    local.open(toLocal(f), bufferSize)
+
+  override def create(f: Path, permission: FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: Progressable) =
+    local.create(toLocal(f), permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable) =
+    local.append(toLocal(f), bufferSize, progress)
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    // object-store contract: a rename onto an existing object
+    // silently REPLACES it (no atomic claim-if-absent primitive)
+    if (exists(dst) && getFileStatus(dst).isFile) delete(dst, false)
+    local.rename(toLocal(src), toLocal(dst))
+  }
+
+  override def delete(f: Path, recursive: Boolean) =
+    local.delete(toLocal(f), recursive)
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    local.listStatus(toLocal(f)).map(fromLocal)
+
+  override def setWorkingDirectory(dir: Path): Unit =
+    local.setWorkingDirectory(toLocal(dir))
+
+  override def getWorkingDirectory: Path = new Path("mocks3:///tmp")
+
+  override def mkdirs(f: Path, permission: FsPermission) =
+    local.mkdirs(toLocal(f), permission)
+
+  override def getFileStatus(f: Path): FileStatus =
+    fromLocal(local.getFileStatus(toLocal(f)))
+}
