@@ -784,6 +784,67 @@ object Artifacts {
         "(sustained concurrent ingest?) — re-run when the write load drains")
   }
 
+  /** Commit a COMPACT-shaped rewrite with DELTA-REBASE retries — the
+    * scale-correct retry for the one structural command whose
+    * re-derivation is corpus-sized. The command derives `pend` (its
+    * consolidated/folded segment lists) ONCE, reading exactly
+    * `baseMap`'s segments; on a lost CAS race the retry does NOT
+    * re-derive: for each rewritten artifact it keeps the consolidated
+    * segments and APPENDS whatever segments competitors added since
+    * the base (`cur diff base` — ingest waves, delete tombstones,
+    * radii appends are all append-shaped, so they remain valid
+    * unconsolidated next to the fold; the serve paths already handle
+    * mixed consolidated + appended segments, and the next compact
+    * folds them). Replace-style state (the lexical stats frame)
+    * re-derives per attempt via `finish` — metadata-sized. A
+    * competitor that REMOVED one of the base segments is another
+    * structural rewrite racing us — that cannot be delta-merged
+    * (both rewrites consolidate overlapping rows), so it surfaces as
+    * [[CommitConflictException]] and a re-run starts from the
+    * settled state. Net: ONE corpus-sized rewrite regardless of how
+    * many append races are lost; retries cost only the stats
+    * re-derive and a manifest flip.
+    */
+  def commitRewriteWithDeltaRetry(spark: SparkSession, idx: String,
+      baseMap: Map[String, Seq[String]], pend: Map[String, Seq[String]],
+      finish: Map[String, Seq[String]] => Map[String, Seq[String]] = identity,
+      maxAttempts: Int = 0): Long = {
+    val attempts =
+      if (maxAttempts > 0) maxAttempts
+      else spark.conf.get("spark.graft.structuralRetries", "5").toInt
+    val f0 = fs(spark, idx)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > attempts)
+        throw CommitConflictException(idx, currentVersion(spark, idx) + 1,
+          s"compact lost $attempts consecutive delta-rebase attempts " +
+            "(sustained concurrent writes?) — re-run when the load drains")
+      val (ver, cur) = currentManifest(spark, idx)
+        .getOrElse((-1L, Map.empty[String, Seq[String]]))
+      val merged = cur ++ pend.map { case (n, ss) =>
+        val baseSegs = baseMap.getOrElse(n, Seq.empty)
+        val curSegs = cur.getOrElse(n, Seq.empty)
+        if (!baseSegs.forall(curSegs.contains))
+          throw CommitConflictException(idx, ver + 1,
+            s"a competing structural rewrite of '$n' landed during this " +
+              "compact (base segments vanished) — re-run on the settled state")
+        n -> (ss ++ curSegs.diff(baseSegs))
+      }
+      val finished = finish(merged)
+      if (commitAt(spark, idx, ver, finished)) return ver + 1
+      // lost: reclaim this attempt's finish-created segments (the
+      // consolidated `pend` segments are NOT touched — they are the
+      // next attempt's whole point)
+      finished.foreach { case (n, ss) =>
+        ss.diff(merged.getOrElse(n, Seq.empty)).foreach { s =>
+          f0.delete(new Path(s"$idx/$n/$s"), true)
+        }
+      }
+    }
+    -1L // unreachable
+  }
+
   /** How long [[vacuum]] presumes a never-referenced segment dir,
     * staging dir, claim marker, or manifest temp file belongs to a
     * LIVE concurrent writer (one that has written but not yet
@@ -993,18 +1054,21 @@ object Artifacts {
     */
   def compactSegments(spark: SparkSession, idx: String, name: String,
       tomb: Option[DataFrame], thresholdPm: Option[Long], filtered: Boolean,
-      bucket: Option[Bucket]): Option[Seq[String]] = {
-    if (!exists(spark, idx, name)) return None
+      bucket: Option[Bucket], baseSegs: Option[Seq[String]] = None)
+      : Option[Seq[String]] = {
+    if (baseSegs.isEmpty && !exists(spark, idx, name)) return None
+    if (baseSegs.exists(_.isEmpty)) return None
     thresholdPm match {
       case None =>
-        val src = read(spark, idx, name)
+        val src = baseSegs.map(readSegs(spark, idx, name, _))
+          .getOrElse(read(spark, idx, name))
         val out = tomb match {
           case Some(ts) if filtered => src.join(ts, Seq("id"), "left_anti")
           case _                    => src
         }
         Some(Seq(writeSegment(spark, idx, name, out, bucket)))
       case Some(pm) =>
-        val segs = segmentsOf(spark, idx, name)
+        val segs = baseSegs.getOrElse(segmentsOf(spark, idx, name))
         val kept = Seq.newBuilder[String]
         var rewrote = 0
         segs.foreach { seg =>

@@ -308,43 +308,49 @@ object IndexCorpus {
     refresh(spark, idx)
     // structural command: the rewrite is derived from THIS snapshot
     // (see LexIndex.compactImpl's ingest-vs-compact race note)
+    // DELTA-REBASE compact (round 15; see LexIndex.compactImpl's
+    // note): the membership consolidation derives ONCE from the base
+    // manifest's segment lists; a lost CAS race merges the
+    // consolidated segments with competitors' appends-since-base
+    // (ingest waves' membership/radii appends stay valid
+    // unconsolidated) instead of re-deriving the corpus-sized rewrite
+    val baseMap = Artifacts.currentManifest(spark, idx)
+      .map(_._2).getOrElse(Map.empty)
     var pend = Map.empty[String, Seq[String]]
-    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
-      refresh(spark, idx)
-      pend = Map.empty[String, Seq[String]]
-      val tomb =
-        if (Artifacts.exists(spark, idx, "tombstones"))
-          Some(graft.Scratch.cache(Artifacts.read(spark, idx, "tombstones")
+    val tomb =
+      if (baseMap.get("tombstones").exists(_.nonEmpty))
+        Some(graft.Scratch.cache(
+          Artifacts.readSegs(spark, idx, "tombstones", baseMap("tombstones"))
             .select(col("id")).distinct()))
-        else None
-      val cb = cellBucket(cellBucketsOf(spark, idx))
-      // knn_graph rewrites with the bucket count it was WRITTEN with
-      // (graph_meta's gbuckets), like cellBucketsOf does for cb — a
-      // compact must never silently re-partition the graph while
-      // graph_meta still advertises the old count
-      Seq(("assignments", cb), ("pq_codes", cb),
-        ("sq8_codes", cb),
-        ("knn_graph", graphBucket(graphBucketsOf(spark, idx))))
-        .foreach { case (name, bucket) =>
-          Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
-            filtered = true, bucket)
-            .foreach(segs => pend += name -> segs)
-        }
-      // radii are CELL-keyed, so the tombstone anti-join does not apply
-      // — fold the appended per-ingest maxes to one row per cell. Post-
-      // delete radii may overestimate (max over fewer members), which
-      // only weakens the exact tier's pruning, never its answers.
-      if (Artifacts.exists(spark, idx, "ivf_radii"))
-        pend = Artifacts.withReplaced(spark, idx, pend, "ivf_radii",
-          Artifacts.read(spark, idx, "ivf_radii")
-            .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
-      tomb.foreach { ts =>
-        pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
+      else None
+    val cb = cellBucket(cellBucketsOf(spark, idx))
+    // knn_graph rewrites with the bucket count it was WRITTEN with
+    // (graph_meta's gbuckets), like cellBucketsOf does for cb — a
+    // compact must never silently re-partition the graph while
+    // graph_meta still advertises the old count
+    Seq(("assignments", cb), ("pq_codes", cb),
+      ("sq8_codes", cb),
+      ("knn_graph", graphBucket(graphBucketsOf(spark, idx))))
+      .foreach { case (name, bucket) =>
+        Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+          filtered = true, bucket,
+          baseSegs = Some(baseMap.getOrElse(name, Seq.empty)))
+          .foreach(segs => pend += name -> segs)
       }
-      if (crashBeforeCommit)
-        sys.error("injected crash: compact before manifest commit")
-      Artifacts.merged(spark, idx, pend)
+    // radii are CELL-keyed, so the tombstone anti-join does not apply
+    // — fold the appended per-ingest maxes to one row per cell. Post-
+    // delete radii may overestimate (max over fewer members), which
+    // only weakens the exact tier's pruning, never its answers.
+    if (baseMap.get("ivf_radii").exists(_.nonEmpty))
+      pend = Artifacts.withReplaced(spark, idx, pend, "ivf_radii",
+        Artifacts.readSegs(spark, idx, "ivf_radii", baseMap("ivf_radii"))
+          .groupBy(col("cell")).agg(max(col("r2")).as("r2")))
+    tomb.foreach { ts =>
+      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
     }
+    if (crashBeforeCommit)
+      sys.error("injected crash: compact before manifest commit")
+    Artifacts.commitRewriteWithDeltaRetry(spark, idx, baseMap, pend)
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.map { name =>

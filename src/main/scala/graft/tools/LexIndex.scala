@@ -542,56 +542,61 @@ object LexIndex {
     Artifacts.applyRetentionFlag(spark, flags, idx)
     Artifacts.requireManifest(spark, idx)
     refresh(spark, idx)
-    // structural command: the consolidated rewrite is derived from
-    // one snapshot — a commit landing mid-compact (a concurrent
-    // ingest) makes the rewrite stale, so the publish CAS-fails, the
-    // lost attempt's fresh segments reclaim, and the whole derivation
-    // re-runs from the merged state, bounded times — never a silent
-    // drop of the competitor's appends (LexIndexSpec's
-    // ingest-vs-compact race and the sustained-ingest storm test)
+    // structural command, DELTA-REBASE form (round 15): the
+    // corpus-sized consolidation derives ONCE, reading exactly the
+    // base manifest's segment lists; a commit landing mid-compact (a
+    // concurrent ingest wave, a delete) CAS-fails the publish and the
+    // retry merges the already-consolidated segments with the
+    // competitor's appends-since-base instead of re-deriving — one
+    // rewrite no matter how many append races are lost, with only the
+    // metadata-sized stats frame re-derived per attempt
+    // (Artifacts.commitRewriteWithDeltaRetry; a competing structural
+    // rewrite still surfaces as a conflict). The ingest-vs-compact
+    // race and the sustained-ingest storm tests drive this live.
+    val baseMap = Artifacts.currentManifest(spark, idx)
+      .map(_._2).getOrElse(Map.empty)
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
-    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
-      refresh(spark, idx)
-      pend = Map.empty[String, Seq[String]]
-      val hasTomb = Artifacts.exists(spark, idx, "tombstones")
-      val tomb =
-        if (hasTomb) Some(graft.Scratch.cache(
-          Artifacts.read(spark, idx, "tombstones").select(col("id")).distinct()))
-        else None
-      val stats0 = Artifacts.read(spark, idx, "stats").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val buckets = stats0.getOrElse("buckets", 16L)
+    val hasTomb = baseMap.get("tombstones").exists(_.nonEmpty)
+    val tomb =
+      if (hasTomb) Some(graft.Scratch.cache(
+        Artifacts.readSegs(spark, idx, "tombstones", baseMap("tombstones"))
+          .select(col("id")).distinct()))
+      else None
+    val stats0 = Artifacts.read(spark, idx, "stats").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val buckets = stats0.getOrElse("buckets", 16L)
 
-      // content artifacts: postings/doclens filter the tombstones,
-      // docids merges UNFILTERED (the ever-ingested manifest must not
-      // forget). Full mode rewrites each to ONE segment; threshold mode
-      // rewrites only tombstone-dense segments and leaves cold ones
-      // ([[Artifacts.compactSegments]] — docids never rewrites
-      // incrementally: an unfiltered manifest merge buys nothing a
-      // delete wave needs back).
-      val plan: Seq[(String, Boolean, Option[Artifacts.Bucket])] =
-        thresholdPm match {
-        case None => Seq(
-          ("postings", true, Some(termBucket(buckets))),
-          ("doclens", true, None), ("docids", false, None))
-        case Some(_) => Seq(
-          ("postings", true, Some(termBucket(buckets))),
-          ("doclens", true, None))
-      }
-      plan.foreach { case (name, filtered, bucket) =>
-        Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
-          filtered, bucket).foreach(segs => pend += name -> segs)
-      }
-      tomb.foreach { ts =>
-        pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
-      }
-      pend = Artifacts.withReplaced(spark, idx, pend, "stats",
-        statsFrame(spark, idx, pend))
-      if (crashBeforeCommit)
-        sys.error("injected crash: compact before manifest commit")
-      Artifacts.merged(spark, idx, pend)
+    // content artifacts: postings/doclens filter the tombstones,
+    // docids merges UNFILTERED (the ever-ingested manifest must not
+    // forget). Full mode rewrites each to ONE segment; threshold mode
+    // rewrites only tombstone-dense segments and leaves cold ones
+    // ([[Artifacts.compactSegments]] — docids never rewrites
+    // incrementally: an unfiltered manifest merge buys nothing a
+    // delete wave needs back).
+    val plan: Seq[(String, Boolean, Option[Artifacts.Bucket])] =
+      thresholdPm match {
+      case None => Seq(
+        ("postings", true, Some(termBucket(buckets))),
+        ("doclens", true, None), ("docids", false, None))
+      case Some(_) => Seq(
+        ("postings", true, Some(termBucket(buckets))),
+        ("doclens", true, None))
     }
+    plan.foreach { case (name, filtered, bucket) =>
+      Artifacts.compactSegments(spark, idx, name, tomb, thresholdPm,
+        filtered, bucket, baseSegs = Some(baseMap.getOrElse(name, Seq.empty)))
+        .foreach(segs => pend += name -> segs)
+    }
+    tomb.foreach { ts =>
+      pend = Artifacts.withReplaced(spark, idx, pend, "tombstones", ts)
+    }
+    if (crashBeforeCommit)
+      sys.error("injected crash: compact before manifest commit")
+    Artifacts.commitRewriteWithDeltaRetry(spark, idx, baseMap, pend,
+      finish = merged => merged + ("stats" ->
+        Seq(Artifacts.writeSegment(spark, idx, "stats",
+          statsFrame(spark, idx, merged)))))
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     pend.keys.toSeq.sorted.foreach { name =>

@@ -473,6 +473,78 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(n2 == 3, s"retry was not bounded: $n2 attempts")
   }
 
+  test("commitRewriteWithDeltaRetry: a lost append race keeps the " +
+    "consolidated segments (no corpus re-derive) and merges the " +
+    "competitor's appends-since-base; a competing structural rewrite " +
+    "surfaces as a conflict") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val s1 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    val s2 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "b")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(s1, s2)))        // v0
+    val baseMap = Artifacts.currentManifest(spark, idx).get._2
+    // the "compact": consolidate the base's two segments into ONE
+    val cons = Artifacts.writeSegment(spark, idx, "rows",
+      Artifacts.readSegs(spark, idx, "rows", Seq(s1, s2)))
+    // a competitor ingest APPENDS s3 and commits v1 before our publish
+    val s3 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "c")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(s1, s2, s3)))    // v1
+    var finishCalls = 0
+    val ver = Artifacts.commitRewriteWithDeltaRetry(spark, idx, baseMap,
+      Map("rows" -> Seq(cons)),
+      finish = m => { finishCalls += 1; m })
+    assert(ver == 2L)
+    // only ONE publish attempt was needed (the retry loop rebases
+    // BEFORE each attempt, so the competitor's pre-publish commit
+    // costs zero lost attempts), and the final manifest is exactly
+    // consolidated + the competitor's delta — no re-derive happened
+    assert(finishCalls == 1)
+    assert(Artifacts.segmentsOf(spark, idx, "rows").toSet ==
+      Set(cons, s3),
+      "delta rebase did not keep consolidation + competitor appends")
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // and a LIVE lost race (competitor commits between our rebase and
+    // our CAS): the retry keeps the same consolidated segment
+    val base2 = Artifacts.currentManifest(spark, idx).get._2
+    val cons2 = Artifacts.writeSegment(spark, idx, "rows",
+      Artifacts.readSegs(spark, idx, "rows", base2("rows")))
+    var calls2 = 0
+    val ver2 = Artifacts.commitRewriteWithDeltaRetry(spark, idx, base2,
+      Map("rows" -> Seq(cons2)),
+      finish = m => {
+        calls2 += 1
+        if (calls2 == 1) // the interleaving failpoint: v3 lands first
+          Artifacts.commit(spark, idx, Artifacts.merged(spark, idx,
+            Map("rows" -> (Artifacts.segmentsOf(spark, idx, "rows") :+
+              Artifacts.writeSegment(spark, idx, "rows",
+                Seq((4L, "d")).toDF("id", "v"))))))
+        m
+      })
+    assert(ver2 == 4L && calls2 == 2)
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(Artifacts.segmentsOf(spark, idx, "rows").contains(cons2),
+      "the lost race re-derived instead of delta-rebasing")
+
+    // structural competitor: a rewrite that REMOVED a base segment
+    // cannot be delta-merged — it must surface, not silently fold
+    val base3 = Artifacts.currentManifest(spark, idx).get._2
+    val cons3 = Artifacts.writeSegment(spark, idx, "rows",
+      Artifacts.readSegs(spark, idx, "rows", base3("rows")))
+    val other = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((9L, "x")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(other)))  // replaces!
+    intercept[Artifacts.CommitConflictException] {
+      Artifacts.commitRewriteWithDeltaRetry(spark, idx, base3,
+        Map("rows" -> Seq(cons3)))
+    }
+  }
+
   test("index-persisted retention: a narrower second process cannot " +
     "vacuum out the window the index's committed policy protects; an " +
     "explicit flag SETS the policy (widen and narrow)") {
