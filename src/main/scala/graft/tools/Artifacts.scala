@@ -157,6 +157,68 @@ object Artifacts {
     if (kv.nonEmpty) persistRetention(spark, idx, kv)
   }
 
+  /** Read one key/value settings file tolerantly: a file another
+    * process's [[persistRetention]] deleted between our listing and
+    * our open reads as empty (it was superseded — its keys live on in
+    * the replacement; the same list/open race [[currentManifest]]'s
+    * retry loop absorbs), and malformed lines (a pre-round-16 writer
+    * that crashed mid-write could leave a truncated last line) are
+    * skipped rather than thrown — a broken settings file must never
+    * permanently disable vacuum/retention for every process on the
+    * index.
+    */
+  private def readKvFile(f: FileSystem, p: Path): Seq[(String, Long)] = {
+    val text =
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => "" }
+    text.linesIterator.flatMap { l =>
+      l.split('\t') match {
+        case Array(k, v) => v.toLongOption.map(k -> _)
+        case _           => None
+      }
+    }.toSeq
+  }
+
+  /** Max-merge of key/value settings files under `_manifest` with the
+    * given name prefix (shared by the retention policy `s-*.tsv` and
+    * the burned-slot low-water `w-*.tsv`).
+    */
+  private def readKvMax(f: FileSystem, idx: String,
+      prefix: String): Map[String, Long] = {
+    val mdir = new Path(manifestDir(idx))
+    if (!f.exists(mdir)) return Map.empty
+    f.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".tsv"))
+      .flatMap(p => readKvFile(f, p))
+      .foldLeft(Map.empty[String, Long]) { case (m, (k, v)) =>
+        m + (k -> math.max(v, m.getOrElse(k, Long.MinValue)))
+      }
+  }
+
+  /** Crash-atomically land a key/value settings file: body to a dot
+    * temp name, rename into place, then reclaim the files it
+    * supersedes — a reader always sees either the old complete file
+    * or the new complete file, never a truncated one (the manifest
+    * discipline; a crash mid-write leaves only an ignored `.tmp`).
+    */
+  private def writeKvFile(f: FileSystem, idx: String, prefix: String,
+      kv: Map[String, Long], supersedes: Seq[Path]): Unit = {
+    val mdir = new Path(manifestDir(idx))
+    if (!f.exists(mdir)) f.mkdirs(mdir)
+    val body = kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(mdir, s".$prefix$nonce.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, new Path(mdir, s"$prefix$nonce.tsv")),
+      s"rename failed for $tmp")
+    supersedes.foreach(old => f.delete(old, false))
+  }
+
   /** The retention policy committed INTO the index: the union of the
     * `_manifest/s-*.tsv` settings files (max-merged when a racing
     * pair of policy writes left more than one — the safe direction).
@@ -166,33 +228,30 @@ object Artifacts {
     * committed policy protects.
     */
   private[tools] def persistedRetention(spark: SparkSession,
-      idx: String): Map[String, Long] = {
-    val f = fs(spark, idx)
-    val mdir = new Path(manifestDir(idx))
-    if (!f.exists(mdir)) return Map.empty
-    val files = f.listStatus(mdir).map(_.getPath)
-      .filter(p => p.getName.startsWith("s-") && p.getName.endsWith(".tsv"))
-    files.foldLeft(Map.empty[String, Long]) { (acc, p) =>
-      val in = f.open(p)
-      val text = try {
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      } finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foldLeft(acc) { (m, l) =>
-        val Array(k, v) = l.split('\t')
-        m + (k -> math.max(v.toLong, m.getOrElse(k, Long.MinValue)))
-      }
-    }
-  }
+      idx: String): Map[String, Long] =
+    readKvMax(fs(spark, idx), idx, "s-")
 
   /** Persist a retention policy into the index: an EXPLICIT
     * `--keep-manifests` / `--vacuum-grace-ms` flag is a deliberate
     * administrative policy change, so the given keys SET (including
     * narrowing — the CLI contract since round 13); untouched keys
-    * carry over. The new settings file lands first, then the files it
-    * supersedes are reclaimed — a reader always sees at least one
-    * policy file, and a concurrent writer's newer file is not in the
-    * pre-write listing so racing SETs degrade to max-merge rather
-    * than losing a key.
+    * carry over. Crash-atomic: the merged body lands under a temp
+    * name and renames into place (a crash mid-write can never leave a
+    * truncated settings file breaking every later retention read),
+    * then the files it superseded are reclaimed — a reader always
+    * sees at least one complete policy file.
+    *
+    * RACING-SET CAVEAT (the documented contract, pinned by
+    * ArtifactsSpec): settings files are NOT ordered through the
+    * manifest CAS, so two concurrent SETs merge by MAX per key. In
+    * particular an administrator's explicit NARROWING (keep 5 -> 2)
+    * is RESURRECTED to 5 if a concurrent writer's SET lands a merged
+    * file still carrying the old value — the deliberate safe
+    * direction (resurrecting a wide window never breaks a pinned
+    * reader; losing one can). To narrow authoritatively, quiesce
+    * writers first (or re-issue the narrowing flag once the racing
+    * commands drain) — the same discipline as shrinking any
+    * snapshot-retention window under live traffic.
     */
   def persistRetention(spark: SparkSession, idx: String,
       kv: Map[String, Long]): Unit = {
@@ -202,13 +261,7 @@ object Artifacts {
     val before = f.listStatus(mdir).map(_.getPath)
       .filter(p => p.getName.startsWith("s-") && p.getName.endsWith(".tsv"))
     val merged = persistedRetention(spark, idx) ++ kv
-    val body = merged.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n")
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val p = new Path(mdir, s"s-$nonce.tsv")
-    val out = f.create(p, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    before.foreach(old => f.delete(old, false))
+    writeKvFile(f, idx, "s-", merged, before.toSeq)
   }
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -296,14 +349,26 @@ object Artifacts {
 
   private def parseManifest(f: FileSystem, p: Path)
       : Map[String, Seq[String]] = {
-    val in = f.open(p)
-    val text = try {
-      scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).toSeq
+    val text = manifestText(f, p)
+    text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       .map { l => val Array(n, s) = l.split('\t'); (n, s) }
       .groupBy(_._1).map { case (n, rows) => n -> rows.map(_._2) }
   }
+
+  private def manifestText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The writer-unique commit id a manifest carries in its `#nonce`
+    * header (round 16 — the burned-slot registry's identity; see
+    * [[commitAt]]'s ABA guard). Manifests published by earlier rounds
+    * have none.
+    */
+  private def manifestNonce(f: FileSystem, p: Path): Option[String] =
+    manifestText(f, p).linesIterator
+      .find(_.startsWith("#nonce\t")).map(_.stripPrefix("#nonce\t"))
 
   /** All retained manifest versions, ascending — a vacuum with window
     * N leaves the trailing N here.
@@ -557,6 +622,54 @@ object Artifacts {
     if (!commitAt(spark, idx, base, segs))
       throw CommitConflictException(idx, base + 1)
 
+  /** BURNED-SLOT registry (round 16 — closes the round-15 ABA
+    * mis-withdrawal window): before [[vacuum]] deletes an evicted
+    * manifest file m-v it leaves a marker `g-v.tsv` carrying the
+    * evicted manifest's `#nonce` commit id. A version slot with a
+    * marker (or below the collapsed low-water mark `w-*.tsv`) is
+    * BURNED: the version chain moved past it and no claim of it can
+    * ever be a win. The marker's nonce is what makes the post-claim
+    * check exact (see [[commitAt]]): a claimant finding its OWN nonce
+    * in the marker was genuinely first and merely already superseded
+    * + evicted; a FOREIGN nonce proves the slot was recycled out from
+    * under a stale claim. Aged markers below the retained window
+    * collapse into the low-water file so the registry stays bounded
+    * (one small file, not one per historical version).
+    */
+  private def burnMarkerPath(idx: String, ver: Long): Path =
+    new Path(manifestDir(idx), f"g-$ver%012d.tsv")
+
+  /** The collapsed burn low-water: every version <= this has been
+    * evicted at some point (its individual marker was folded away).
+    */
+  private def burnLowWater(f: FileSystem, idx: String): Long =
+    readKvMax(f, idx, "w-").getOrElse("burned", -1L)
+
+  /** Nonce of the manifest that USED to occupy slot `ver` (None when
+    * the slot was never burned; Some("legacy") when the evicted
+    * manifest predated nonce headers).
+    */
+  private def burnNonce(f: FileSystem, idx: String,
+      ver: Long): Option[String] = {
+    val p = burnMarkerPath(idx, ver)
+    try {
+      if (!f.exists(p)) None
+      else Some(manifestText(f, p).linesIterator
+        .find(_.nonEmpty).getOrElse("legacy"))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private def slotBurned(f: FileSystem, idx: String, ver: Long): Boolean =
+    ver <= burnLowWater(f, idx) || burnNonce(f, idx, ver).isDefined
+
+  /** TEST FAILPOINT: runs between a successful claim and the
+    * post-claim burn-marker resolution — ArtifactsSpec injects the
+    * fast-successor and vacuum interleavings here. Identity in
+    * production.
+    */
+  private[tools] var commitAtPostClaimHook: (String, Long) => Unit =
+    (_, _) => ()
+
   /** CAS publish of manifest v(base+1): true iff THIS writer owns
     * that version from now on, false when another writer claimed it
     * first (nothing published; the caller's segments stay pending).
@@ -564,18 +677,35 @@ object Artifacts {
     * temp name first, and the claim is a single atomic filesystem
     * operation — a reader can never observe a partial manifest.
     *
-    * ABA guard: with a small retention window, [[vacuum]] can have
-    * DELETED manifest file v(base+1) after later versions superseded
-    * it — the version SLOT is then claimable again, and a slow
-    * writer's stale claim would "win" while never being the newest
-    * manifest (its commit silently lost). So after a successful
-    * claim the writer re-checks that its version is the MAXIMUM
-    * retained one; any higher manifest necessarily existed BEFORE the
-    * claim (versions only grow, and vacuum never deletes the newest),
-    * so seeing one proves the slot was recycled — the claim is
-    * withdrawn and the commit reports the loss. Race-free: when no
-    * higher version is visible after the claim, none ever existed,
-    * hence the slot was genuinely fresh.
+    * ABA guard (round 16 — exact, via the burned-slot registry): with
+    * a small retention window, [[vacuum]] can have DELETED manifest
+    * file v(base+1) after later versions superseded it — the version
+    * SLOT is then claimable again, and a slow writer's stale claim
+    * would "win" while never being the newest manifest (its commit
+    * silently lost). Since round 16 vacuum BURNS a slot before
+    * freeing it (marker `g-ver` carrying the evicted occupant's
+    * nonce), so:
+    *
+    *   - PRE-claim: a burned slot loses immediately — the chain
+    *     provably moved past `ver`.
+    *   - POST-claim: a marker appearing for `ver` names its evicted
+    *     occupant. OUR nonce => we genuinely won and were already
+    *     superseded + evicted (a fast successor built on our manifest
+    *     and a vacuum retired it — normal retention; the commit IS
+    *     incorporated downstream). A FOREIGN nonce => the burn
+    *     belongs to a previous occupant (the vacuum's marker-then-
+    *     delete landed inside our check-then-claim window), the slot
+    *     was recycled, our claim is void — withdraw the forged
+    *     mid-chain file and report the loss.
+    *
+    * This replaces the round-15 max-version heuristic, whose stated
+    * invariant ("any higher manifest existed before the claim") was
+    * FALSE for a fast successor committing v+1 on top of our genuine
+    * v before our post-claim listing — that path mis-withdrew a real
+    * win and made the retrying caller re-append deltas the successor
+    * had already incorporated (duplicate segment references). The
+    * nonce comparison cannot confuse the two: a successor never burns
+    * our slot without our manifest having BEEN the occupant.
     */
   def commitAt(spark: SparkSession, idx: String, base: Long,
       segs: Map[String, Seq[String]]): Boolean = {
@@ -585,21 +715,29 @@ object Artifacts {
     val dir = new Path(manifestDir(idx))
     if (!f.exists(dir)) f.mkdirs(dir)
     val ver = base + 1
-    val body = segs.toSeq.sortBy(_._1)
-      .flatMap { case (n, ss) => ss.sorted.map(s => s"$n\t$s") }
+    if (slotBurned(f, idx, ver)) return false // chain moved past ver
+    val nonce = java.util.UUID.randomUUID().toString
+    val body = (s"#nonce\t$nonce" +: segs.toSeq.sortBy(_._1)
+      .flatMap { case (n, ss) => ss.sorted.map(s => s"$n\t$s") })
       .mkString("", "\n", "\n")
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new Path(dir, f".m-$ver%012d-$nonce.tmp")
+    val tmp = new Path(dir, f".m-$ver%012d-${nonce.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dst = new Path(dir, f"m-$ver%012d.tsv")
-    val won = claimAtomic(f, tmp, dst)
+    val won = claimAtomic(spark, idx, f, tmp, dst)
     if (f.exists(tmp)) f.delete(tmp, false)
-    if (won && manifestVersions(spark, idx).exists(_ > ver)) {
-      // recycled slot (see ABA guard above): withdraw and lose
-      f.delete(dst, false)
-      false
-    } else won
+    if (!won) return false
+    commitAtPostClaimHook(idx, ver)
+    burnNonce(f, idx, ver) match {
+      case Some(n) if n != nonce =>
+        // recycled slot: a vacuum burned + freed a PREVIOUS occupant
+        // inside our check-then-claim window — withdraw the forged
+        // mid-chain manifest (higher versions exist; no reader can
+        // have taken ours as newest, no writer as a base)
+        f.delete(dst, false)
+        false
+      case _ => true // fresh slot, or our own already-retired win
+    }
   }
 
   /** STORE MATRIX for the CAS claim — what makes the multi-writer
@@ -613,9 +751,23 @@ object Artifacts {
     *   - `rename` (`hdfs:`, `viewfs:`, `webhdfs:`, `o3fs:`, `ofs:`):
     *     the namenode's rename refuses an existing destination, so
     *     exists-check + rename IS the claim.
+    *   - `cput`   (S3-class schemes WITH conditional create declared,
+    *     round 16): public S3 has supported conditional writes
+    *     (`If-None-Match: *` PUT) since 2024, GCS has
+    *     `if-generation-match: 0`, Azure blob `If-None-Match: *`, and
+    *     Hadoop's connectors surface them as an atomic
+    *     `create(path, overwrite = false)` that fails on an existing
+    *     object. The deployment ATTESTS the capability with
+    *     `spark.graft.conditionalCreate=true` (it depends on
+    *     connector version + store config, which this layer cannot
+    *     probe portably); the claim is then one conditional PUT of
+    *     the manifest body — no rename involved, so the
+    *     rename-replaces hazard is moot and the FULL multi-writer
+    *     contract holds on object stores.
     *   - `none`   (S3-class object stores — `s3:`, `s3a:`, `s3n:`,
     *     `gs:`, `wasb:`, `abfs:`, `oss:`, `cos:`, `swift:` — and any
-    *     scheme not in the matrix): rename is copy+delete and
+    *     scheme not in the matrix, without the conditional-create
+    *     attestation): rename is copy+delete and
     *     REPLACES silently; two racing writers both "succeed" and one
     *     commit is lost. Multi-writer commits are REFUSED on these
     *     stores ([[assertClaimCapable]]) unless the deployment
@@ -632,6 +784,21 @@ object Artifacts {
     case _ => "none"
   }
 
+  /** The effective claim class of an index's store: the static scheme
+    * matrix, upgraded from `none` to `cput` when the deployment
+    * attests conditional-create support (see [[claimClass]]).
+    */
+  private[tools] def claimClassFor(spark: SparkSession, idx: String,
+      f: FileSystem): String = {
+    val scheme = Option(new Path(idx).toUri.getScheme)
+      .getOrElse(f.getUri.getScheme)
+    val base = claimClass(scheme)
+    if (base == "none" &&
+      spark.conf.get("spark.graft.conditionalCreate", "false").toBoolean)
+      "cput"
+    else base
+  }
+
   /** Refuse commits on stores without an atomic claim primitive (see
     * [[claimClass]]) unless `spark.graft.allowNonAtomicCommit=true`
     * declares the index single-writer. The scheme comes from the
@@ -639,20 +806,20 @@ object Artifacts {
     * (local paths have no URI scheme).
     */
   private[tools] def assertClaimCapable(spark: SparkSession, idx: String,
-      f: FileSystem): Unit = {
-    val scheme = Option(new Path(idx).toUri.getScheme)
-      .getOrElse(f.getUri.getScheme)
-    if (claimClass(scheme) == "none" &&
+      f: FileSystem): Unit =
+    if (claimClassFor(spark, idx, f) == "none" &&
       !spark.conf.get("spark.graft.allowNonAtomicCommit", "false").toBoolean)
       throw new IllegalStateException(
-        s"scheme '$scheme' has no atomic claim-if-absent primitive " +
+        s"this store has no atomic claim-if-absent primitive " +
           "(object-store rename replaces silently) — the multi-writer " +
-          "commit contract cannot hold there. Set " +
+          "commit contract cannot hold there. Either attest conditional " +
+          "create support with spark.graft.conditionalCreate=true " +
+          "(S3 If-None-Match PUT / GCS if-generation-match / Azure " +
+          "If-None-Match via your Hadoop connector), set " +
           "spark.graft.allowNonAtomicCommit=true to run this index " +
           "SINGLE-WRITER (caller guarantees no concurrent writers), " +
           "or keep indexes on a link/rename-capable store " +
           "(see Artifacts.claimClass's store matrix)")
-  }
 
   /** Atomically claim `dst` with the content of `tmp`: true iff this
     * writer published it. The per-scheme primitive is [[claimClass]]'s
@@ -660,25 +827,43 @@ object Artifacts {
     * with no atomic primitive (unless the session opted into
     * single-writer mode, where check+rename is accepted best-effort).
     */
-  private def claimAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
-    if (f.getUri.getScheme == "file") {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
-          // local fs without hard links (some container/overlay
-          // mounts): degrade to the check+rename claim — a narrower
-          // window than link(2), still strictly better than blind
-          // rename (which REPLACES an existing dst on POSIX)
-          if (f.exists(dst)) false else f.rename(tmp, dst)
-      }
-    } else if (f.exists(dst)) false
-    else f.rename(tmp, dst)
+  private def claimAtomic(spark: SparkSession, idx: String,
+      f: FileSystem, tmp: Path, dst: Path): Boolean =
+    claimClassFor(spark, idx, f) match {
+      case "link" =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // local fs without hard links (some container/overlay
+            // mounts): degrade to the check+rename claim — a narrower
+            // window than link(2), still strictly better than blind
+            // rename (which REPLACES an existing dst on POSIX)
+            if (f.exists(dst)) false else f.rename(tmp, dst)
+        }
+      case "cput" =>
+        // conditional PUT: body + claim in ONE atomic operation (the
+        // connector's create(overwrite = false) maps to the store's
+        // if-absent precondition and fails on an existing object;
+        // the object becomes visible all-or-nothing at close)
+        val body = manifestText(f, tmp).getBytes("UTF-8")
+        try {
+          val out = f.create(dst, false)
+          try out.write(body) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException if f.exists(dst) => false
+        }
+      case _ => // "rename" (atomic) and opted-in "none" (best-effort)
+        if (f.exists(dst)) false else f.rename(tmp, dst)
+    }
 
   /** Optimistic-concurrency commit for APPEND-shaped commands (the
     * ingest paths). `deltas` are the command's already-written new
@@ -701,15 +886,21 @@ object Artifacts {
     var attempt = 0
     while (true) {
       attempt += 1
-      if (attempt > maxAttempts)
+      if (attempt > maxAttempts) {
+        recordContention(spark, idx, "append", attempt - 1L, -1L)
         throw CommitConflictException(idx, base + 1,
           s"gave up after $maxAttempts rebase attempts")
+      }
       val cur = currentManifest(spark, idx).map(_._2).getOrElse(Map.empty)
       val withDeltas = deltas.foldLeft(cur) { case (m, (n, ss)) =>
         m + (n -> (m.getOrElse(n, Seq.empty) ++ ss))
       }
       val finished = finish(withDeltas)
-      if (commitAt(spark, idx, base, finished)) return base + 1
+      if (commitAt(spark, idx, base, finished)) {
+        if (attempt > 1)
+          recordContention(spark, idx, "append", attempt - 1L, base + 1)
+        return base + 1
+      }
       // lost the race: someone committed base+1 (or later) meanwhile.
       // The attempt's finish-created segments (the re-derived stats
       // frame) are garbage NOW — the retry re-derives fresh ones — so
@@ -763,22 +954,37 @@ object Artifacts {
       lastMap = next
       // reclaim the PREVIOUS lost attempt's fresh segments: anything
       // it wrote that neither the retained manifests nor this
-      // attempt's map reference (derive re-wrote everything)
+      // attempt's map reference (derive re-wrote everything). FAIL
+      // CLOSED on any manifest read error (a concurrent vacuum's
+      // list/open race): derive's map can include already-committed
+      // segments (callers pass [[merged]] output), so reclaiming
+      // against an INCOMPLETE reference set could delete live data —
+      // skip the eager reclaim and leave the orphans to the grace-age
+      // vacuum instead.
       if (prev.nonEmpty) {
         val f0 = fs(spark, idx)
-        val retained = manifestVersions(spark, idx)
-          .flatMap(v => scala.util.Try(manifestAt(spark, idx, v)).toOption)
-          .flatMap(_.toSeq.flatMap { case (n, ss) => ss.map((n, _)) })
-          .toSet
-        prev.foreach { case (n, ss) =>
-          ss.filterNot(s => retained((n, s)) ||
-            next.getOrElse(n, Seq.empty).contains(s)).foreach { s =>
-            f0.delete(new Path(s"$idx/$n/$s"), true)
+        val retained = scala.util.Try {
+          manifestVersions(spark, idx)
+            .flatMap(v => manifestAt(spark, idx, v).toSeq
+              .flatMap { case (n, ss) => ss.map((n, _)) })
+            .toSet
+        }.toOption
+        retained.foreach { refs =>
+          prev.foreach { case (n, ss) =>
+            ss.filterNot(s => refs((n, s)) ||
+              next.getOrElse(n, Seq.empty).contains(s)).foreach { s =>
+              f0.delete(new Path(s"$idx/$n/$s"), true)
+            }
           }
         }
       }
-      if (commitAt(spark, idx, base, next)) return base + 1
+      if (commitAt(spark, idx, base, next)) {
+        if (attempt > 1)
+          recordContention(spark, idx, "structural", attempt - 1L, base + 1)
+        return base + 1
+      }
     }
+    recordContention(spark, idx, "structural", attempts.toLong, -1L)
     throw CommitConflictException(idx, currentVersion(spark, idx) + 1,
       s"structural command lost $attempts consecutive rebase attempts " +
         "(sustained concurrent ingest?) — re-run when the write load drains")
@@ -816,10 +1022,12 @@ object Artifacts {
     var attempt = 0
     while (true) {
       attempt += 1
-      if (attempt > attempts)
+      if (attempt > attempts) {
+        recordContention(spark, idx, "rewrite", attempts.toLong, -1L)
         throw CommitConflictException(idx, currentVersion(spark, idx) + 1,
           s"compact lost $attempts consecutive delta-rebase attempts " +
             "(sustained concurrent writes?) — re-run when the load drains")
+      }
       val (ver, cur) = currentManifest(spark, idx)
         .getOrElse((-1L, Map.empty[String, Seq[String]]))
       val merged = cur ++ pend.map { case (n, ss) =>
@@ -832,7 +1040,11 @@ object Artifacts {
         n -> (ss ++ curSegs.diff(baseSegs))
       }
       val finished = finish(merged)
-      if (commitAt(spark, idx, ver, finished)) return ver + 1
+      if (commitAt(spark, idx, ver, finished)) {
+        if (attempt > 1)
+          recordContention(spark, idx, "rewrite", attempt - 1L, ver + 1)
+        return ver + 1
+      }
       // lost: reclaim this attempt's finish-created segments (the
       // consolidated `pend` segments are NOT touched — they are the
       // next attempt's whole point)
@@ -843,6 +1055,118 @@ object Artifacts {
       }
     }
     -1L // unreachable
+  }
+
+  /** Commit a REPLACE-shaped rewrite with metadata-only retries — the
+    * scale-correct retry for structural commands whose pending map is
+    * BASE-INDEPENDENT (derived from external inputs + flags only, not
+    * from index state): the full `graph` build's kNN edges, a model
+    * retrain's codebooks. The caller derives `pend` ONCE; each
+    * attempt re-reads the newest manifest and publishes
+    * `current ++ pend` — competitors' commits to OTHER artifacts
+    * (ingest waves' membership appends) carry over untouched, while
+    * the pend artifacts replace wholesale (exactly what a re-derive
+    * from the same inputs would publish, minus re-running the
+    * derivation). A lost CAS race therefore costs one manifest read +
+    * one flip — never the corpus-sized computation (the round-15
+    * verdict's scale-killer: `Similarity.knnGraph` re-ran inside the
+    * structural retry loop on every lost race despite ignoring its
+    * base entirely).
+    *
+    * `finish` re-derives per-attempt replace-style METADATA from the
+    * merged map when a command has any (identity otherwise); its
+    * fresh segments are reclaimed on a lost attempt. Returns the
+    * committed version; surfaces [[CommitConflictException]] after
+    * bounded attempts like the other structural loops.
+    */
+  def commitReplaceWithRetry(spark: SparkSession, idx: String,
+      pend: Map[String, Seq[String]],
+      finish: Map[String, Seq[String]] => Map[String, Seq[String]] = identity,
+      maxAttempts: Int = 0): Long = {
+    val attempts =
+      if (maxAttempts > 0) maxAttempts
+      else spark.conf.get("spark.graft.structuralRetries", "5").toInt
+    val f0 = fs(spark, idx)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (attempt > attempts) {
+        recordContention(spark, idx, "replace", attempts.toLong, -1L)
+        throw CommitConflictException(idx, currentVersion(spark, idx) + 1,
+          s"replace-style command lost $attempts consecutive metadata " +
+            "rebase attempts (sustained concurrent writes?) — re-run " +
+            "when the load drains")
+      }
+      val (ver, cur) = currentManifest(spark, idx)
+        .getOrElse((-1L, Map.empty[String, Seq[String]]))
+      val merged = cur ++ pend
+      val finished = finish(merged)
+      if (commitAt(spark, idx, ver, finished)) {
+        if (attempt > 1)
+          recordContention(spark, idx, "replace", attempt - 1L, ver + 1)
+        return ver + 1
+      }
+      // lost: reclaim only finish-created segments; `pend` is reused
+      finished.foreach { case (n, ss) =>
+        ss.diff(merged.getOrElse(n, Seq.empty)).foreach { s =>
+          f0.delete(new Path(s"$idx/$n/$s"), true)
+        }
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** CONTENTION TELEMETRY (round 16): every commit-retry loop that
+    * loses at least one CAS race (or exhausts its attempts) leaves a
+    * tiny `_manifest/c-*.tsv` event — `command, lost_attempts,
+    * landed_version` with version -1 for a strand — so operators can
+    * SEE how close structural commands routinely get to starvation
+    * before one actually strands. Best-effort by design (a telemetry
+    * write must never fail a landed commit); bounded: [[vacuum]]
+    * keeps only the newest [[contentionKeep]] events.
+    */
+  private def recordContention(spark: SparkSession, idx: String,
+      kind: String, lost: Long, landedVer: Long): Unit =
+    try {
+      val f = fs(spark, idx)
+      val mdir = new Path(manifestDir(idx))
+      if (!f.exists(mdir)) f.mkdirs(mdir)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val p = new Path(mdir,
+        f"c-${System.currentTimeMillis()}%013d-$nonce.tsv")
+      val out = f.create(p, true)
+      try out.write(s"$kind\t$lost\t$landedVer\n".getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private[tools] val contentionKeep = 256
+
+  /** The retained contention events, one row per
+    * (command, lost_attempts, landed_version) — the audit surface the
+    * CLI `contention` commands wrap. Driver-sized by construction
+    * (vacuum caps the event count at [[contentionKeep]]).
+    */
+  def contentionReport(spark: SparkSession, idx: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, idx)
+    val mdir = new Path(manifestDir(idx))
+    val rows =
+      if (!f.exists(mdir)) Seq.empty[(String, Long, Long)]
+      else f.listStatus(mdir).map(_.getPath)
+        .filter(p => p.getName.startsWith("c-") && p.getName.endsWith(".tsv"))
+        .sortBy(_.getName).toSeq
+        .flatMap { p =>
+          try manifestText(f, p).linesIterator.toSeq.collect {
+            case l => l.split('\t') match {
+              case Array(k, lost, ver)
+                if lost.toLongOption.isDefined && ver.toLongOption.isDefined =>
+                Some((k, lost.toLong, ver.toLong))
+              case _ => None
+            }
+          }.flatten
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        }
+    rows.toDF("command", "lost_attempts", "landed_version")
   }
 
   /** How long [[vacuum]] presumes a never-referenced segment dir,
@@ -867,8 +1191,25 @@ object Artifacts {
     * single-writer window-1 behavior), but a NEVER-referenced entry
     * is deleted only past the grace age ([[vacuumGraceMs]]) — younger
     * ones are another writer's in-flight work between its
-    * [[writeSegment]] and its commit. Safe after a commit: a crash
-    * mid-vacuum only leaves garbage.
+    * [[writeSegment]] and its commit. Before deleting an evicted
+    * manifest file, its version slot is BURNED (marker carrying the
+    * evicted occupant's nonce — [[commitAt]]'s exact ABA guard
+    * depends on the marker-BEFORE-delete order); aged markers below
+    * the retained window collapse into the low-water file so the
+    * registry stays one small file. Safe after a commit: a crash
+    * mid-vacuum only leaves garbage (or an extra burn marker, which
+    * only makes stale claims lose — the safe direction).
+    *
+    * OBJECT-STORE CAVEAT: the grace-age checks compare file
+    * modification times, which object stores synthesize (an object's
+    * mtime is its PUT time; a "directory" has none and some
+    * connectors report 0 or now()). On such stores, run vacuum only
+    * from the single declared writer (the
+    * `allowNonAtomicCommit`/`cput` deployment modes) and size
+    * `spark.graft.vacuumGraceMs` generously — a synthetic young mtime
+    * merely delays reclaim, but a synthetic EPOCH mtime would make a
+    * live writer's staged segment look aged. The mocks3 lifecycle
+    * spec drives this path end to end with real PUT-time mtimes.
     */
   def vacuum(spark: SparkSession, idx: String): Unit = {
     assertUnpinned(spark, idx)
@@ -886,6 +1227,10 @@ object Artifacts {
         val p = new Path(mdir, n)
         if (aged(p)) f.delete(p, false)
       }
+    // contention telemetry: bounded at the newest contentionKeep events
+    names.filter(n => n.startsWith("c-") && n.endsWith(".tsv"))
+      .sorted.dropRight(contentionKeep)
+      .foreach(n => f.delete(new Path(mdir, n), false))
     val mfiles = names
       .filter(n => n.startsWith("m-") && n.endsWith(".tsv"))
       .sortBy(n => n.stripPrefix("m-").stripSuffix(".tsv").toLong)
@@ -894,20 +1239,79 @@ object Artifacts {
     val keep = mfiles.takeRight(window)
     val evict = mfiles.dropRight(window)
     def refsOf(ms: Seq[String]): Set[(String, String)] = ms.flatMap { n =>
-      val in = f.open(new Path(mdir, n))
-      val text = try {
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      } finally in.close()
-      text.linesIterator.filter(_.nonEmpty).map { l =>
-        val Array(a, s) = l.split('\t'); (a, s)
-      }.toSeq
+      manifestText(f, new Path(mdir, n)).linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+          val Array(a, s) = l.split('\t'); (a, s)
+        }.toSeq
     }.toSet
+    // Partition the evictees: a manifest whose slot marker already
+    // exists under a DIFFERENT nonce is a FORGED file — a stale
+    // claimant won a recycled slot and crashed (or is paused) before
+    // its withdrawal. Its delta segments may belong to that claimant's
+    // upcoming retry, so they must NOT graveyard (the grace age
+    // protects them like any in-flight writer's work); the forged
+    // FILE still goes, and the marker keeps the ORIGINAL occupant's
+    // nonce (never overwritten — a racing claimant resolves against
+    // the occupant it could actually have lost to).
+    def occupantNonce(n: String): Option[String] =
+      try Some(manifestNonce(f, new Path(mdir, n)).getOrElse("legacy"))
+      catch { case _: java.io.FileNotFoundException => None }
+    val evictInfo = evict.flatMap { n =>
+      val ver = n.stripPrefix("m-").stripSuffix(".tsv").toLong
+      occupantNonce(n).map { mn =>
+        (n, ver, mn, burnNonce(f, idx, ver))
+      } // vanished mid-vacuum: a racing vacuum owns its burn + delete
+    }
+    val (forged, genuine) = evictInfo.partition {
+      case (_, _, mn, Some(marked)) => marked != mn
+      case _                        => false
+    }
     // referenced = retained manifests' segments (keep); graveyard =
-    // segments ONLY evicted manifests reference (reclaim now — they
-    // were committed and superseded, no writer still needs them)
+    // segments ONLY evicted GENUINE manifests reference (reclaim now —
+    // they were committed and superseded, no writer still needs them)
     val referenced = refsOf(keep)
-    val graveyard = refsOf(evict) -- referenced
-    evict.foreach(n => f.delete(new Path(mdir, n), false))
+    val graveyard = refsOf(genuine.map(_._1)) -- referenced
+    // burn each slot BEFORE freeing it: marker (with the occupant's
+    // nonce, landed atomically via temp + rename) first, then the
+    // manifest delete — a crash in between leaves a burned-but-
+    // occupied slot, which only makes stale claims lose (they would
+    // have lost against the occupant anyway)
+    genuine.foreach { case (n, ver, mn, marked) =>
+      if (marked.isEmpty) {
+        val tmp = new Path(mdir, f".g-$ver%012d.tmp")
+        val out = f.create(tmp, true)
+        try out.write(s"$mn\n".getBytes("UTF-8")) finally out.close()
+        // racing vacuums write identical content (the nonce comes
+        // from the same immutable file), so a replace is benign
+        if (!f.rename(tmp, burnMarkerPath(idx, ver))) f.delete(tmp, false)
+      }
+      f.delete(new Path(mdir, n), false)
+    }
+    forged.foreach { case (n, _, _, _) =>
+      f.delete(new Path(mdir, n), false)
+    }
+    // collapse AGED burn markers below the retained window into the
+    // low-water file (write the new mark BEFORE deleting the markers
+    // it absorbs — losing a marker without the mark would un-burn a
+    // slot). Markers at/above the oldest retained version never
+    // collapse: a racing claimant could still need their nonce.
+    val minRetained = keep.head.stripPrefix("m-").stripSuffix(".tsv").toLong
+    val collapsible = names
+      .filter(n => n.startsWith("g-") && n.endsWith(".tsv"))
+      .map(n => n -> n.stripPrefix("g-").stripSuffix(".tsv").toLong)
+      .filter { case (n, v) =>
+        v < minRetained && aged(new Path(mdir, n))
+      }
+    if (collapsible.nonEmpty) {
+      val oldW = f.listStatus(mdir).map(_.getPath)
+        .filter(p => p.getName.startsWith("w-") && p.getName.endsWith(".tsv"))
+      val mark = math.max(burnLowWater(f, idx),
+        collapsible.map(_._2).max)
+      writeKvFile(f, idx, "w-", Map("burned" -> mark), oldW.toSeq)
+      collapsible.foreach { case (n, _) =>
+        f.delete(new Path(mdir, n), false)
+      }
+    }
     val artifactDirs = f.listStatus(new Path(idx))
       .filter(s => s.isDirectory && s.getPath.getName != "_manifest")
       .map(_.getPath)

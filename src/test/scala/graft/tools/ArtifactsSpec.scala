@@ -616,6 +616,305 @@ class ArtifactsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.allowNonAtomicCommit")
   }
 
+  test("ABA guard, fast-successor side (round 16): a competitor " +
+    "committing v+1 on top of our GENUINE win before our post-claim " +
+    "check must NOT make us withdraw — the round-15 heuristic " +
+    "mis-withdrew here and double-appended the deltas") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "base")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "A")).toDF("id", "v"))
+    val segB = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "B")).toDF("id", "v"))
+    // the failpoint: B reads A's JUST-CLAIMED manifest v1 and commits
+    // v2 on top of it (incorporating segA) before A's post-claim
+    // resolution runs; a window-1 vacuum even retires A's v1 file —
+    // the worst case (A's manifest gone, higher version present)
+    var fired = false
+    Artifacts.commitAtPostClaimHook = (_, _) => {
+      if (!fired) {
+        fired = true
+        Artifacts.commit(spark, idx,
+          Artifacts.merged(spark, idx, Map("rows" ->
+            (Artifacts.segmentsOf(spark, idx, "rows") :+ segB))))    // v2
+        try {
+          spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+          Artifacts.vacuum(spark, idx) // window 1: retires A's v1
+        } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+      }
+    }
+    try {
+      val ver = Artifacts.commitAppendsWithRetry(spark, idx,
+        deltas = Map("rows" -> Seq(segA)))
+      assert(ver == 1L, s"genuine win reported as v$ver")
+    } finally Artifacts.commitAtPostClaimHook = (_, _) => ()
+    // A's delta appears EXACTLY ONCE in the final manifest (the
+    // round-15 code path would have re-appended it onto v2)
+    val segs = Artifacts.segmentsOf(spark, idx, "rows")
+    assert(segs.count(_ == segA) == 1, s"duplicate delta refs: $segs")
+    assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      "duplicated or lost rows after the fast-successor race")
+  }
+
+  test("ABA guard, recycled-slot TOCTOU side: a foreign burn marker " +
+    "appearing inside the check-then-claim window withdraws the " +
+    "forged manifest and reports the loss") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    val segX = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((9L, "X")).toDF("id", "v"))
+    // the failpoint simulates the vacuum interleaving commitAt cannot
+    // see: the slot's previous occupant was burned (FOREIGN nonce
+    // marker) + freed between our pre-check and our claim, and a
+    // higher manifest exists (recycling implies one)
+    var fired = false
+    Artifacts.commitAtPostClaimHook = (_, ver) => {
+      if (!fired) {
+        fired = true
+        val mdir = new java.io.File(s"$idx/_manifest")
+        java.nio.file.Files.write(
+          new java.io.File(mdir, f"g-$ver%012d.tsv").toPath,
+          "previous-occupant-nonce\n".getBytes)
+        java.nio.file.Files.write(
+          new java.io.File(mdir, f"m-${ver + 1}%012d.tsv").toPath,
+          s"#nonce\tcompetitor\nrows\t$seg0\n".getBytes)
+      }
+    }
+    try {
+      assert(!Artifacts.commitAt(spark, idx, 0L,
+        Map("rows" -> Seq(seg0, segX))),
+        "claim on a freshly-recycled slot won")
+    } finally Artifacts.commitAtPostClaimHook = (_, _) => ()
+    // the forged mid-chain file was withdrawn
+    assert(!new java.io.File(s"$idx/_manifest/m-000000000001.tsv")
+      .exists(), "forged manifest left in the chain")
+  }
+
+  test("burned slots: vacuum leaves nonce markers before freeing " +
+    "manifest files; stale claims lose PRE-claim; aged markers " +
+    "collapse into the low-water mark and claims below it still lose") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    val baseA = Artifacts.currentVersion(spark, idx)
+    val seg1 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((2L, "b")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, seg1)))    // v1
+    val seg2 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((3L, "c")).toDF("id", "v"))
+    Artifacts.commit(spark, idx,
+      Map("rows" -> Seq(seg0, seg1, seg2)))                         // v2
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+      Artifacts.vacuum(spark, idx) // window 1: evicts + BURNS v0, v1
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    val mdir = new java.io.File(s"$idx/_manifest")
+    assert(mdir.listFiles().map(_.getName).count(_.startsWith("g-")) == 2,
+      "vacuum did not burn the evicted slots")
+    // stale claim on the burned v1 slot: loses before claiming (no
+    // manifest file is ever created)
+    val segA = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((7L, "A")).toDF("id", "v"))
+    assert(!Artifacts.commitAt(spark, idx, baseA,
+      Map("rows" -> Seq(seg0, segA))))
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
+    // grace 0: the markers are aged — the next vacuum collapses them
+    // into the low-water file and stale claims STILL lose
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "0")
+      Artifacts.vacuum(spark, idx)
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    val after = mdir.listFiles().map(_.getName)
+    assert(!after.exists(_.startsWith("g-")),
+      "aged markers were not collapsed")
+    assert(after.count(n => n.startsWith("w-") && n.endsWith(".tsv")) == 1,
+      s"low-water file missing: ${after.toSeq}")
+    assert(!Artifacts.commitAt(spark, idx, baseA,
+      Map("rows" -> Seq(seg0, segA))),
+      "stale claim below the low-water mark won")
+    assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
+  }
+
+  test("persistRetention: crash-atomic write (no bare temp visible), " +
+    "malformed settings lines are skipped not thrown, and the " +
+    "racing-SET max-merge resurrection is the documented contract") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg)))
+    Artifacts.persistRetention(spark, idx, Map("keepManifests" -> 2L))
+    val mdir = new java.io.File(s"$idx/_manifest")
+    assert(!mdir.listFiles().map(_.getName)
+      .exists(n => n.startsWith(".s-") && n.endsWith(".tmp")),
+      "persistRetention left a temp file")
+    // a pre-round-16 writer crashed mid-write: truncated last line —
+    // every retention read must keep working (skip, not MatchError)
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "s-deadbeef.tsv").toPath,
+      "vacuumGraceMs\t5\nkeepMani".getBytes)
+    assert(Artifacts.persistedRetention(spark, idx) ==
+      Map("keepManifests" -> 2L, "vacuumGraceMs" -> 5L))
+    Artifacts.vacuum(spark, idx) // must not throw either
+    // RACING-SET CONTRACT (pinned as documented): an explicit
+    // narrowing (2 -> 1) is resurrected by a concurrent writer's
+    // merged file still carrying the old value — max-merge is the
+    // deliberate safe direction (see persistRetention's scaladoc)
+    Artifacts.persistRetention(spark, idx, Map("keepManifests" -> 1L))
+    assert(Artifacts.persistedRetention(spark, idx)
+      .get("keepManifests").contains(1L))
+    java.nio.file.Files.write(
+      new java.io.File(mdir, "s-racer.tsv").toPath,
+      "keepManifests\t2\n".getBytes)
+    assert(Artifacts.persistedRetention(spark, idx)
+      .get("keepManifests").contains(2L),
+      "racing SET did not max-merge (contract changed — update the doc)")
+  }
+
+  test("commitReplaceWithRetry: a lost race retries METADATA-ONLY — " +
+    "the pend segments are reused, the competitor's appends to other " +
+    "artifacts carry over, and finish-created segments reclaim") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "base")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    // the replace-style pend (a graph build's edges), derived ONCE
+    val segG = Artifacts.writeSegment(spark, idx, "graph",
+      Seq((1L, 2L)).toDF("id", "nbr"))
+    var calls = 0
+    val statsSegs = Seq.newBuilder[String]
+    val ver = Artifacts.commitReplaceWithRetry(spark, idx,
+      Map("graph" -> Seq(segG)),
+      finish = m => {
+        calls += 1
+        if (calls == 1) // failpoint: an ingest appends + commits v1
+          Artifacts.commit(spark, idx,
+            Artifacts.merged(spark, idx, Map("rows" ->
+              (Artifacts.segmentsOf(spark, idx, "rows") :+
+                Artifacts.writeSegment(spark, idx, "rows",
+                  Seq((2L, "W")).toDF("id", "v"))))))
+        val s = Artifacts.writeSegment(spark, idx, "meta",
+          Seq(("k", calls.toLong)).toDF("key", "value"))
+        statsSegs += s
+        m + ("meta" -> Seq(s))
+      })
+    assert(ver == 2L && calls == 2, s"v$ver after $calls finishes")
+    // the graph pend segment was NOT re-derived, the competitor's
+    // append survived, and the lost attempt's meta segment was
+    // reclaimed eagerly (its segment NUMBER is even reused by the
+    // retry — the reclaim runs before the next attempt's write)
+    assert(Artifacts.segmentsOf(spark, idx, "graph") == Seq(segG))
+    assert(Artifacts.read(spark, idx, "rows").count() == 2L)
+    assert(statsSegs.result().size == 2)
+    assert(Artifacts.segmentsOf(spark, idx, "meta").size == 1)
+    assert(Artifacts.read(spark, idx, "meta").head().getLong(1) == 2L,
+      "the serving meta segment is not the WINNING attempt's")
+  }
+
+  test("cput claim class: the conditional-create attestation upgrades " +
+    "S3-class stores to full multi-writer commits — racing writers " +
+    "get exactly one winner per version slot on mocks3") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("fs.mocks3.impl",
+      classOf[MockS3FileSystem].getName)
+    // the FS cache keys on scheme, not conf — disable it so this test
+    // gets an instance that read conditional.enabled (the export test
+    // above may have cached a non-conditional one)
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "fs.mocks3.impl.disable.cache", true)
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "fs.mocks3.conditional.enabled", true)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // matrix: without the attestation S3-class is "none" (refused);
+    // with it, "cput" (accepted, no single-writer declaration needed)
+    assert(Artifacts.claimClassFor(spark, "s3a://b/i", f) == "none")
+    try {
+      spark.conf.set("spark.graft.conditionalCreate", "true")
+      assert(Artifacts.claimClassFor(spark, "s3a://b/i", f) == "cput")
+      Artifacts.assertClaimCapable(spark, "s3a://b/i", f)
+      val dstDir = Files.createTempDirectory("artifacts_cput").toString
+      val idx = s"mocks3://$dstDir/idx"
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))        // v0
+      // a stale-base CAS loses without clobbering the winner
+      val baseA = Artifacts.currentVersion(spark, idx)
+      val segA = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((2L, "A")).toDF("id", "v"))
+      val segB = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((3L, "B")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, segB)))  // v1
+      assert(!Artifacts.commitAt(spark, idx, baseA,
+        Map("rows" -> Seq(seg0, segA))), "stale cput claim won")
+      assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      // two threads race the SAME fresh slot: exactly one wins
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val base2 = Artifacts.currentVersion(spark, idx)
+      val segs2 = (0 until 2).map(t =>
+        Artifacts.writeSegment(spark, idx, "rows",
+          Seq((10L + t, s"t$t")).toDF("id", "v")))
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val wins = segs2.map { s =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            Artifacts.commitAt(spark, idx, base2, Map("rows" ->
+              (Artifacts.manifestAt(spark, idx, base2)("rows") :+ s)))
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get())
+      pool.shutdown()
+      assert(results.count(identity) == 1,
+        s"cput race had ${results.count(identity)} winners")
+      // the full rebase loop also lands both writers sequentially
+      assert(Artifacts.commitAppendsWithRetry(spark, idx,
+        Map("rows" -> segs2.filterNot(s => Artifacts
+          .segmentsOf(spark, idx, "rows").contains(s)).take(1)))
+        == base2 + 2)
+    } finally spark.conf.unset("spark.graft.conditionalCreate")
+  }
+
+  test("contention telemetry: a landed-after-losses structural commit " +
+    "records (command, lost_attempts, landed_version); a clean index " +
+    "reports no events") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "base")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    assert(Artifacts.contentionReport(spark, idx).count() == 0L)
+    var attempts = 0
+    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+      attempts += 1
+      if (attempts == 1) // failpoint: a competitor commits v1
+        Artifacts.commit(spark, idx, Artifacts.merged(spark, idx, Map.empty))
+      Map("rows" -> Seq(seg0))
+    }
+    val ev = Artifacts.contentionReport(spark, idx).collect()
+    assert(ev.length == 1)
+    assert(ev(0).getString(0) == "structural" &&
+      ev(0).getLong(1) == 1L && ev(0).getLong(2) == 2L,
+      s"unexpected event: ${ev(0)}")
+    // telemetry survives a vacuum (bounded, not purged)
+    Artifacts.vacuum(spark, idx)
+    assert(Artifacts.contentionReport(spark, idx).count() == 1L)
+  }
+
   test("concurrent writeSegment: two threads never claim the same " +
     "segment dir; vacuum's grace protects a not-yet-committed segment") {
     import spark.implicits._

@@ -23,12 +23,21 @@ import org.apache.hadoop.util.Progressable
 class MockS3FileSystem extends FileSystem {
   private var myUri: URI = URI.create("mocks3:///")
   private val local = new RawLocalFileSystem()
+  private var conditional = false
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
     local.initialize(URI.create("file:///"), conf)
     myUri = URI.create(s"${name.getScheme}:///")
+    // CONDITIONAL-CREATE mode (round 16): models the public S3
+    // `If-None-Match: *` conditional PUT (GA since 2024; surfaced by
+    // Hadoop's S3A as an atomic create-if-absent) — create with
+    // overwrite = false fails atomically on an existing object while
+    // rename KEEPS its replace semantics. This is the store class
+    // [[Artifacts.claimClass]] upgrades to "cput" when the deployment
+    // attests the capability.
+    conditional = conf.getBoolean("fs.mocks3.conditional.enabled", false)
   }
 
   override def getUri: URI = myUri
@@ -53,8 +62,18 @@ class MockS3FileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long, progress: Progressable) =
-    local.create(toLocal(f), permission, overwrite, bufferSize,
-      replication, blockSize, progress)
+    if (!overwrite && conditional) {
+      // atomic create-if-absent (O_EXCL — the conditional PUT model);
+      // an existing object fails the precondition at create time
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        java.nio.file.Files.newOutputStream(p,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE), null)
+    } else
+      local.create(toLocal(f), permission, overwrite, bufferSize,
+        replication, blockSize, progress)
 
   override def append(f: Path, bufferSize: Int, progress: Progressable) =
     local.append(toLocal(f), bufferSize, progress)
