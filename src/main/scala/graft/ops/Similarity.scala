@@ -933,9 +933,18 @@ object Similarity {
     * candidates (WindowGroupLimit pushes the top-k below the sort at
     * shuffle time). Returns (id, nbr, cos, rn).
     */
+  /** Observability counter: knnGraph invocations in this JVM — the
+    * engine's most expensive derivation, so the index CLI's retry
+    * contract (derive ONCE, retry metadata-only; round 16) is pinned
+    * against it by IndexCorpusSpec's raced-build test.
+    */
+  private[graft] val knnGraphCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int, planeTables: Seq[Array[Array[Int]]],
       minCos: Double = -1.0, chunkRows: Int = Int.MaxValue): DataFrame = {
+    knnGraphCalls.incrementAndGet()
     val pairs = graft.Scratch.cache(
       nearDupPairsMultiTable(embeddings, idCol, vecCol, planeTables,
         minCos, chunkRows)) // both mirror arms below read it

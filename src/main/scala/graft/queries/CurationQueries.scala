@@ -1574,6 +1574,76 @@ object CurationQueries {
       },
       Some(graphSearchOracle)),
 
+    // GRAPH BUILD UNDER LIVE INGEST (round 16): the full `graph`
+    // command — the engine's most expensive derivation — races TWO
+    // concurrent ingest waves of re-keyed extra vectors on the same
+    // index. The build derives its kNN edges ONCE and publishes via
+    // METADATA-ONLY replace retries (Artifacts.commitReplaceWithRetry:
+    // each lost CAS race costs a manifest read + flip, never a
+    // re-derivation — IndexCorpusSpec pins the single-invocation
+    // contract with a counter), and the ingest waves rebase-append
+    // around it; retention is sized writers + 1. The raced-in extras
+    // are then retracted and the graph walk must be INDISTINGUISHABLE
+    // from q284's unraced build — q312 shares q284's full-build
+    // oracle VERBATIM (the q268/q278/q294 equivalence discipline),
+    // hashing correctly whichever thread lost whichever race.
+    "q312_graph_under_ingest" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q312").toString
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        val extras = t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) === 1)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        val waves = Seq(0, 1).map(r =>
+          extras.filter(pmod(col("vec_id"), lit(2)) === r))
+        val prevKeep = s.conf.getOption("spark.graft.keepManifests")
+        s.conf.set("spark.graft.keepManifests", "3") // writers + 1
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val ing = pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              gate.await()
+              waves.map(w => graft.tools.IndexCorpus.ingestFrame(
+                s, s"$tmp/idx", w, "vec_id", "embedding")).sum
+            }
+          })
+          val gr = pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              gate.await()
+              graft.tools.IndexCorpus.graph(s, Array(
+                s"$tmp/idx", s"$dir/embeddings.parquet",
+                "--deg", "3", "--planes", "12", "--bands", "2"))
+              ()
+            }
+          })
+          gate.countDown()
+          ing.get()
+          gr.get()
+        } finally {
+          pool.shutdown()
+          prevKeep match {
+            case Some(pk) => s.conf.set("spark.graft.keepManifests", pk)
+            case None     => s.conf.unset("spark.graft.keepManifests")
+          }
+        }
+        // retract the raced-in extras — the walk's admission filter
+        // (tombstone anti-join on seeds and every hop) then serves
+        // exactly the unraced q284 state
+        extras.select(col("vec_id"))
+          .write.mode("overwrite").parquet(s"$tmp/del.parquet")
+        graft.tools.IndexCorpus.delete(s, Array(
+          s"$tmp/idx", s"$tmp/del.parquet"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(graphSearchOracle)),
+
     // BATCHED graph-tier serving: q284's beam walk for THREE probes
     // as ONE synchronized BSP traversal (searchBatch --tier graph) —
     // per hop, all probes' beams expand through a single graph join,

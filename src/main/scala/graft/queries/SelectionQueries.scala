@@ -2919,6 +2919,40 @@ object SelectionQueries {
       },
       Some(lexSearchOracle("WHERE doc_id % 8 <> 1"))),
 
+    // CONTENTION TELEMETRY (round 16): every commit-retry loop that
+    // loses a CAS race records a (command, lost_attempts,
+    // landed_version) event into the index; `contention` is the audit
+    // command that surfaces them — how close structural commands
+    // routinely get to starvation, BEFORE one strands. The row is
+    // driver-checkable because the race here is DETERMINISTIC: a
+    // structural rewrite whose derivation commits a competing append
+    // on its first attempt loses exactly one CAS (the competitor took
+    // v1), re-derives, and lands at v2 — so the audit output is the
+    // closed-form single event below, not a flaky race artifact.
+    "q313_contention_audit" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q313").toString
+        val docs = t(s, dir, "documents")
+        docs.filter(col("doc_id") < 8)
+          .write.mode("overwrite").parquet(s"$tmp/base.parquet")
+        graft.tools.LexIndex.build(s, Array(
+          s"$tmp/base.parquet", s"$tmp/lex", "--gram", "2"))   // v0
+        var attempts = 0
+        graft.tools.Artifacts.commitStructuralWithRetry(s, s"$tmp/lex") {
+          _ =>
+            attempts += 1
+            if (attempts == 1) // the competitor lands v1 mid-derivation
+              graft.tools.Artifacts.commit(s, s"$tmp/lex",
+                graft.tools.Artifacts.merged(s, s"$tmp/lex", Map.empty))
+            graft.tools.Artifacts.merged(s, s"$tmp/lex", Map.empty)
+        } // loses v1, lands v2 — exactly one recorded event
+        graft.tools.LexIndex.contention(s, Array(s"$tmp/lex"))
+      },
+      Some("""SELECT 'structural' AS command,
+             | CAST(1 AS BIGINT) AS lost_attempts,
+             | CAST(2 AS BIGINT) AS landed_version""".stripMargin)),
+
     "q275_streaming_lex_ingest" -> Q(
       (s, dir) => {
         val tmp = java.nio.file.Files

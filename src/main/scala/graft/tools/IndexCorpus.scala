@@ -80,7 +80,10 @@ import graft.ops.SemDedup
   *   runMain graft.tools.IndexCorpus compact <indexDir>
   *     [--threshold <permille>]
   *   runMain graft.tools.IndexCorpus graph <indexDir> <emb.parquet>
-  *     [--id vec_id] [--vec embedding] [--deg 3] [--planes 12]
+  *     [--id vec_id] [--vec embedding] [--deg 3]
+  *     [--planes N]      # default: AUTO-SIZED from the input count
+  *                       # (bands x log2(n/250), floor 12 — the
+  *                       # SCALING.md round-15 resolution rule)
   *     [--bands 2] [--min-cos -1.0] [--gbuckets 16]
   *     [--append true]   # fold NEW vectors in, == full rebuild
   *   runMain graft.tools.IndexCorpus search <indexDir> <emb.parquet>
@@ -97,6 +100,7 @@ import graft.ops.SemDedup
   *   runMain graft.tools.IndexCorpus export <srcIndexDir> <dstIndexDir>
   *     [--at <manifestVersion>]
   *   runMain graft.tools.IndexCorpus fsck <indexDir>
+  *   runMain graft.tools.IndexCorpus contention <indexDir>
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -136,9 +140,11 @@ object IndexCorpus {
         case Some("export") => export(spark, args.drop(1))
         case Some("fsck") =>
           fsck(spark, args.drop(1)).show(100, truncate = false)
+        case Some("contention") =>
+          contention(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
           sys.error("usage: IndexCorpus build|update|delete|compact|" +
-            "graph|search|searchBatch|history|export|fsck ...")
+            "graph|search|searchBatch|history|export|fsck|contention ...")
       }
     } finally spark.stop()
   }
@@ -751,6 +757,24 @@ object IndexCorpus {
       .orderBy(col("invariant"))
   }
 
+  /** Commit-contention telemetry (`contention <indexDir>`): one row
+    * per recorded lost-CAS event — (command, lost_attempts,
+    * landed_version; -1 = the command exhausted its retries and
+    * stranded). Makes write contention OBSERVABLE before a structural
+    * command actually starves: a deployment whose compacts routinely
+    * land at 3-4 lost attempts is one ingest wave away from a strand
+    * and should widen `spark.graft.structuralRetries` or schedule
+    * compacts off-peak. Bounded by construction (vacuum retains the
+    * newest [[Artifacts.contentionKeep]] events).
+    */
+  def contention(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: contention <indexDir>")
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, args(0))
+    Artifacts.contentionReport(spark, args(0))
+  }
+
   /** Materialize a (possibly historical) snapshot as a brand-new
     * standalone index — `export <src> <dst> [--at V]`; see
     * [[Artifacts.exportSnapshot]]. q306 proves a pre-delete export
@@ -827,8 +851,19 @@ object IndexCorpus {
       return graphAppend(spark, idx, in, idCol, vecCol, chunkRows)
 
     val deg = flags.getOrElse("deg", "3").toInt
-    val planes = flags.getOrElse("planes", "12").toInt
     val bands = flags.getOrElse("bands", "2").toInt
+    // LSH resolution: an explicit --planes wins; otherwise AUTO-SIZE
+    // from the input count ([[autoPlanes]] — the SCALING.md round-15
+    // deployment rule in code: a fixed default at 1M vectors is the
+    // measured quadratic 969-second regime)
+    val planes = flags.get("planes").map(_.toInt).getOrElse {
+      val n = spark.read.parquet(in).count()
+      val p = autoPlanes(n, bands)
+      println(s"[graph] auto-sized LSH resolution: planes=$p " +
+        s"(bands=$bands, n=$n, target occupancy ~250/bucket); " +
+        "pass --planes to override")
+      p
+    }
     val minCos = flags.getOrElse("min-cos", "-1.0").toDouble
     val gB = flags.get("gbuckets").map(_.toLong).getOrElse(graphBuckets)
     val dims = summaryVal(spark, idx, "dims")
@@ -836,35 +871,59 @@ object IndexCorpus {
     val all = graft.ops.Similarity.hyperplanes(planes, dims)
     val per = planes / bands
     val tables = (0 until bands).map(b => all.slice(b * per, (b + 1) * per))
-    // structural command: the graph derives from one membership
-    // snapshot; a competing commit CAS-fails the publish and the
-    // build re-derives, bounded times (commitStructuralWithRetry)
-    Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
-      val edges = graft.ops.Similarity.knnGraph(
-        spark.read.parquet(in), idCol, vecCol, deg, tables, minCos,
-        chunkRows)
-        .select(col("id"), col("nbr"),
-          round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
-          col("rn").cast("long").as("rn"),
-          lit(0L).as("ver"))
-      var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
-        edges, graphBucket(gB))
-      // the coverage manifest: which ids the graph has CONSIDERED —
-      // --append's new set is the input minus this, so repeated appends
-      // stay wave-proportional
-      pend = Artifacts.withReplaced(spark, idx, pend, "graph_ids",
-        spark.read.parquet(in).select(col(idCol).cast("long").as("id")),
-        graphBucket(gB))
-      pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
-        ("deg", deg.toLong), ("planes", planes.toLong),
-        ("bands", bands.toLong), ("gbuckets", gB),
-        ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
-        .toDF("key", "value"))
-      Artifacts.merged(spark, idx, pend)
-    }
+    // DELTA-REBASE structural commit (round 16): the build's output is
+    // BASE-INDEPENDENT — the edges derive from the input file + flags
+    // alone, and all three graph artifacts are replace-style — so the
+    // kNN derivation and its segment writes happen exactly ONCE, and a
+    // lost CAS race retries only the manifest merge
+    // (commitReplaceWithRetry: current ++ pend, re-read per attempt).
+    // The previous shape re-ran Similarity.knnGraph — the engine's
+    // most expensive derivation (325-969 s at x512 locally, hours at
+    // cluster scale) — inside commitStructuralWithRetry on every lost
+    // race, despite the closure ignoring its base entirely.
+    val edges = graft.ops.Similarity.knnGraph(
+      spark.read.parquet(in), idCol, vecCol, deg, tables, minCos,
+      chunkRows)
+      .select(col("id"), col("nbr"),
+        round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
+        col("rn").cast("long").as("rn"),
+        lit(0L).as("ver"))
+    var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
+      edges, graphBucket(gB))
+    // the coverage manifest: which ids the graph has CONSIDERED —
+    // --append's new set is the input minus this, so repeated appends
+    // stay wave-proportional
+    pend = Artifacts.withReplaced(spark, idx, pend, "graph_ids",
+      spark.read.parquet(in).select(col(idCol).cast("long").as("id")),
+      graphBucket(gB))
+    pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta", Seq(
+      ("deg", deg.toLong), ("planes", planes.toLong),
+      ("bands", bands.toLong), ("gbuckets", gB),
+      ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
+      .toDF("key", "value"))
+    Artifacts.commitReplaceWithRetry(spark, idx, pend)
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
+  }
+
+  /** Auto-sized LSH resolution (round 16): planes = bands x
+    * ceil(log2(n / targetOccupancy)) keeps per-bucket occupancy — and
+    * with it the quadratic candidate-pair volume of the LSH bucket
+    * self-joins — roughly constant as the corpus grows. SCALING.md
+    * round 15 measured the ladder this formula reproduces: 256k
+    * vectors want planes 20 and 1M want planes 24 (both ~250
+    * rows/bucket, near-linear build), while a fixed planes 12-14 at
+    * those sizes is the 969-second quadratic regime. Floored at the
+    * historical default 12 so small corpora keep their long-verified
+    * behavior; RECALL.md round 15 prices the recall side of the knob.
+    */
+  private[tools] def autoPlanes(n: Long, bands: Int,
+      targetOccupancy: Long = 250L): Int = {
+    val perTable = math.ceil(
+      math.log(math.max(1L, n).toDouble / targetOccupancy.toDouble) /
+        math.log(2d)).toInt
+    math.max(12, bands * math.max(1, perTable))
   }
 
   /** `graph --append`: fold NEW vectors into the persisted kNN graph
@@ -897,6 +956,16 @@ object IndexCorpus {
     * the next full `graph` rebuild (or compact's tombstone fold for
     * deleted nodes).
     */
+  /** Sentinel unwinding the structural retry loop when an append wave
+    * turns out empty (first attempt, or a competitor covered every
+    * new id on a retry): the epilogue (vacuum + refresh) still runs —
+    * the previous shape used a non-local `return` from inside the
+    * closure, which skipped both and leaked a retried attempt's
+    * segments past the eager reclaim (the round-15 ADVICE finding).
+    */
+  private case object EmptyWaveException
+    extends Exception with scala.util.control.NoStackTrace
+
   private def graphAppend(spark: SparkSession, idx: String, in: String,
       idCol: String, vecCol: String,
       chunkRows: Int = Int.MaxValue): Seq[(String, Long)] = {
@@ -905,11 +974,20 @@ object IndexCorpus {
       s"$idx has no knn_graph artifact (run `graph` first)")
     // structural: the appended adjacency merge-ranks against one
     // snapshot's persisted edges — a concurrent commit makes that
-    // derivation stale, so the publish CAS-fails and the whole wave
-    // re-derives from the merged state (commitStructuralWithRetry);
-    // nNewOut carries the last attempt's wave size out of the closure
+    // derivation stale, so the publish CAS-fails and the MERGE-RANK
+    // re-derives from the merged state (commitStructuralWithRetry).
+    // The expensive term — candidate GENERATION against the
+    // cumulative corpus — is cached across attempts (round 16): it
+    // depends only on the input wave, the LSH tables, and the new-id
+    // set, so a lost race against an INGEST (which never touches
+    // graph_ids) reuses the pairs and pays only the wave-sized
+    // merge-rank; the cache invalidates exactly when the new-id set
+    // or the persisted build parameters changed (a competing append
+    // or rebuild). nNewOut carries the wave size out of the closure.
     var nNewOut = 0L
-    val committed = Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
+    var cachedPairs: Option[(String, Long, DataFrame, DataFrame)] = None
+    try {
+      Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
     val meta = Artifacts.read(spark, idx, "graph_meta").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(meta.contains("gver"),
@@ -934,10 +1012,20 @@ object IndexCorpus {
           Seq("id"), "left_anti"))
     val nNew = newIds.count()
     nNewOut = nNew
-    if (nNew == 0L) return Seq("appended" -> 0L)
+    if (nNew == 0L) throw EmptyWaveException
 
-    val pairs = graft.ops.Similarity.knnGraphAppendPairs(
-      raw, newIds, idCol, vecCol, tables, minCos, chunkRows)
+    val paramsKey = s"$planes|$bands|${meta("min_cos_x1e6")}"
+    val pairs = cachedPairs match {
+      case Some((key, n, ids, df)) if key == paramsKey && n == nNew &&
+        newIds.join(ids, Seq("id"), "left_anti").isEmpty =>
+        df // same wave, same tables: the generation is reusable as-is
+      case _ =>
+        val p = graft.Scratch.localCheckpoint(
+          graft.ops.Similarity.knnGraphAppendPairs(
+            raw, newIds, idCol, vecCol, tables, minCos, chunkRows))
+        cachedPairs = Some((paramsKey, nNew, newIds, p))
+        p
+    }
     val mirrored = pairs
       .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
       .unionByName(pairs
@@ -968,8 +1056,10 @@ object IndexCorpus {
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta",
       (meta + ("gver" -> newVer)).toSeq.toDF("key", "value"))
     Artifacts.merged(spark, idx, pend)
+      }
+    } catch {
+      case EmptyWaveException => () // nothing to publish; epilogue runs
     }
-    require(committed >= 0L) // structural retry returned (or threw)
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
     Seq("appended" -> nNewOut)

@@ -87,6 +87,7 @@ import graft.ops.TextOps
   *   runMain graft.tools.LexIndex export <srcIndexDir> <dstIndexDir>
   *     [--at <manifestVersion>]
   *   runMain graft.tools.LexIndex fsck <indexDir>
+  *   runMain graft.tools.LexIndex contention <indexDir>
   *
   * Every mutating command accepts `--keep-manifests N` (sets
   * `spark.graft.keepManifests` for the session): the vacuum retention
@@ -127,9 +128,11 @@ object LexIndex {
         case Some("export") => export(spark, args.drop(1))
         case Some("fsck") =>
           fsck(spark, args.drop(1)).show(100, truncate = false)
+        case Some("contention") =>
+          contention(spark, args.drop(1)).show(100, truncate = false)
         case _ =>
           sys.error("usage: LexIndex build|update|delete|compact|" +
-            "search|searchBatch|history|export|fsck ...")
+            "search|searchBatch|history|export|fsck|contention ...")
       }
     } finally spark.stop()
   }
@@ -371,6 +374,18 @@ object LexIndex {
     * compact folds them out). q307 drives a full lifecycle and hashes
     * every row against the closed-form corpus recount.
     */
+  /** Commit-contention telemetry, lexical arm — see
+    * [[IndexCorpus.contention]] for the operational contract (the two
+    * CLIs share [[Artifacts.contentionReport]]).
+    */
+  def contention(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(args.length >= 1, "usage: contention <indexDir>")
+    GraftSession.tune(spark)
+    Artifacts.requireManifest(spark, args(0))
+    Artifacts.contentionReport(spark, args(0))
+  }
+
   def fsck(spark: SparkSession, args: Array[String])
       : org.apache.spark.sql.DataFrame = {
     require(args.length >= 1, "usage: fsck <indexDir>")

@@ -1057,4 +1057,104 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(searchGraph() == preCompact,
       "graph-tier answer changed across compact")
   }
+
+  test("autoPlanes reproduces the SCALING.md round-15 resolution " +
+    "ladder (256k -> 20, 1M -> 24, 32k -> 14) and floors small " +
+    "corpora at the historical default 12") {
+    assert(IndexCorpus.autoPlanes(256000L, 2) == 20)
+    assert(IndexCorpus.autoPlanes(1024000L, 2) == 24)
+    assert(IndexCorpus.autoPlanes(32000L, 2) == 14)
+    assert(IndexCorpus.autoPlanes(16000L, 2) == 12)
+    assert(IndexCorpus.autoPlanes(500L, 2) == 12)
+    assert(IndexCorpus.autoPlanes(0L, 2) == 12)
+    // more bands = proportionally more planes at the same occupancy
+    assert(IndexCorpus.autoPlanes(256000L, 4) == 40)
+  }
+
+  test("graph build racing concurrent ingest (round 16): the kNN " +
+    "derivation runs EXACTLY ONCE however the CAS races land, the " +
+    "build and both ingest waves all survive, and the edges equal " +
+    "an unraced build's; an all-covered --append wave is a clean " +
+    "zero (no non-local-return leak past vacuum/refresh)") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_graph_race").toString
+    val idx = s"$tmp/idx"
+    val flagsB = Array("--ivf-k", "4", "--pq-m", "2", "--pq-k", "4",
+      "--iters", "1")
+    IndexCorpus.build(spark, Array(emb, idx) ++ flagsB)
+    // the unraced reference build on a twin index
+    val ref = s"$tmp/ref"
+    IndexCorpus.build(spark, Array(emb, ref) ++ flagsB)
+    IndexCorpus.graph(spark, Array(ref, emb,
+      "--deg", "3", "--planes", "12", "--bands", "2"))
+    val want = Artifacts.read(spark, ref, "knn_graph")
+      .select(col("id"), col("nbr"), col("cos_x1e6"), col("rn"))
+      .collect().map(_.toSeq).toSet
+
+    val waves = Seq(1L, 3L).map(r => spark.read.parquet(emb)
+      .filter(pmod(col("vec_id"), lit(4)) === r)
+      .withColumn("vec_id", col("vec_id") + lit(100000L)))
+    val nWave = waves.map(_.count()).sum
+    assert(nWave > 0)
+    // the multi-writer sizing rules: window >= writers + 1, and a
+    // REAL grace age — an earlier test's --vacuum-grace-ms 0 is
+    // session-sticky and would let a competitor's vacuum reclaim this
+    // race's in-flight segments (the documented grace contract)
+    val prevKeep = spark.conf.getOption("spark.graft.keepManifests")
+    val prevGrace = spark.conf.getOption("spark.graft.vacuumGraceMs")
+    spark.conf.set("spark.graft.keepManifests", "3") // writers + 1
+    spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+    val callsBefore = graft.ops.Similarity.knnGraphCalls.get()
+    import java.util.concurrent.{Callable, CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val gate = new CountDownLatch(1)
+      val ing = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          gate.await()
+          waves.map(w =>
+            IndexCorpus.ingestFrame(spark, idx, w, "vec_id", "embedding")).sum
+        }
+      })
+      val gr = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          IndexCorpus.graph(spark, Array(idx, emb,
+            "--deg", "3", "--planes", "12", "--bands", "2"))
+          ()
+        }
+      })
+      gate.countDown()
+      assert(ing.get() == nWave)
+      gr.get()
+    } finally {
+      pool.shutdown()
+      prevKeep match {
+        case Some(k) => spark.conf.set("spark.graft.keepManifests", k)
+        case None    => spark.conf.unset("spark.graft.keepManifests")
+      }
+      prevGrace match {
+        case Some(g) => spark.conf.set("spark.graft.vacuumGraceMs", g)
+        case None    => spark.conf.unset("spark.graft.vacuumGraceMs")
+      }
+    }
+    // the derive-once contract: exactly ONE knnGraph invocation for
+    // the raced build, whether or not it lost CAS races to the waves
+    assert(graft.ops.Similarity.knnGraphCalls.get() - callsBefore == 1L,
+      "the raced graph build re-derived its kNN edges")
+    // the graph artifacts equal the unraced reference's ...
+    val got = Artifacts.read(spark, idx, "knn_graph")
+      .select(col("id"), col("nbr"), col("cos_x1e6"), col("rn"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "raced build's edges differ from unraced")
+    // ... and neither ingest wave was dropped by the metadata merge
+    assert(Artifacts.read(spark, idx, "assignments")
+      .filter(col("id") >= 100000L).count() == nWave,
+      "an ingest wave was lost to the graph build's commit")
+    // all-covered append wave: clean zero, epilogue ran (the index
+    // stays fully servable — vacuum/refresh were not skipped)
+    assert(IndexCorpus.graph(spark, Array(idx, emb, "--append", "true"))
+      == Seq("appended" -> 0L))
+    assert(Artifacts.read(spark, idx, "knn_graph").count() == got.size)
+  }
 }
