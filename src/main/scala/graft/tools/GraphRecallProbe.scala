@@ -141,8 +141,14 @@ object GraphRecallProbe {
     }
 
     IndexCorpus.build(spark, Array(emb, idx, "--ivf-k", "8"))
+    // "auto" (round 16) omits --planes so the ladder measures the
+    // CLI's auto-sized resolution — the matched-occupancy recall
+    // spot-check for the deployment rule
+    val planeArgs =
+      if (planes == "auto") Array.empty[String]
+      else Array("--planes", planes)
     IndexCorpus.graph(spark, Array(idx, emb, "--deg", deg,
-      "--planes", planes, "--bands", "2"))
+      "--bands", "2") ++ planeArgs)
     val probes = (0L until 20L).toSeq
 
     def ids(args: Array[String]): Set[Long] =
@@ -152,6 +158,13 @@ object GraphRecallProbe {
         "--tier", "exact"))
     }.toMap
 
+    // report the resolution actually built with (auto persists it)
+    val planesUsed = Artifacts.read(spark, idx, "graph_meta")
+      .filter(org.apache.spark.sql.functions.col("key") === "planes")
+      .head().getLong(1)
+    val planesLabel =
+      if (planes == "auto") s"""$planesUsed,"planes_mode":"auto""""
+      else planes
     for ((beam, hops, nprobe) <- Seq((10, 0, 1), (10, 2, 1), (16, 3, 1),
       (32, 3, 1), (16, 3, 2))) {
       val hits = probes.map { p =>
@@ -161,7 +174,7 @@ object GraphRecallProbe {
         (got intersect exact(p)).size
       }
       graft.Scratch.release()
-      println(s"""[graphrecall] {"deg":$deg,"planes":$planes,""" +
+      println(s"""[graphrecall] {"deg":$deg,"planes":$planesLabel,""" +
         s""""beam":$beam,"hops":$hops,""" +
         s""""nprobe":$nprobe,"mean_recall_at_10":${hits.sum / 20.0},""" +
         s""""min":${hits.min},"max":${hits.max}}""")

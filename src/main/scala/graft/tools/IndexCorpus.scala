@@ -257,7 +257,14 @@ object IndexCorpus {
     Artifacts.requireManifest(spark, idx)
     // structural command: derived against one snapshot; a competing
     // commit CAS-fails the publish and the derivation re-runs from
-    // the merged state, bounded times (commitStructuralWithRetry)
+    // the merged state, bounded times (commitStructuralWithRetry).
+    // Audited round 16 for the derive-once treatment the graph build
+    // got: UNLIKE the build, this derivation is genuinely
+    // base-DEPENDENT (the doomed set is the input anti-joined against
+    // the LIVE membership, which every competing commit can change)
+    // and its retry cost is one pruned id-column scan + a wave-sized
+    // semi-join — metadata-class, not corpus-class. Re-deriving is
+    // both required and cheap; no delta-rebase applies.
     var nDel = 0L
     Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
       val live0 = Artifacts.read(spark, idx, "assignments").select(col("id"))

@@ -298,13 +298,23 @@ object ServeProbe {
       // ~80 s tail (the volume dominated); +6 planes cut the volume
       // ~8x
       val chunk = sys.env.getOrElse("SPARK_GRAFT_SERVE_CHUNK", "0")
-      val gPlanes = sys.env.getOrElse("SPARK_GRAFT_SERVE_PLANES", "14")
+      // "auto" (round 16) omits --planes entirely so the rung measures
+      // the CLI's AUTO-SIZED resolution (IndexCorpus.autoPlanes) — the
+      // deployment-rule-in-code evidence run; any other value pins it
+      val gPlanesEnv = sys.env.getOrElse("SPARK_GRAFT_SERVE_PLANES", "14")
+      val planeArgs =
+        if (gPlanesEnv == "auto") Array.empty[String]
+        else Array("--planes", gPlanesEnv)
       val (_, tG) = time {
         IndexCorpus.graph(spark, Array(s"$tmp/vec_scaled",
-          s"$tmp/emb.parquet", "--deg", "3", "--planes", gPlanes,
-          "--bands", "2", "--chunk-rows", chunk))
+          s"$tmp/emb.parquet", "--deg", "3",
+          "--bands", "2", "--chunk-rows", chunk) ++ planeArgs)
       }
-      emit("vec_graph_build", scale, tG, s""","planes":$gPlanes""")
+      // report the resolution actually used (auto persists it too)
+      val gPlanes = Artifacts.read(spark, s"$tmp/vec_scaled", "graph_meta")
+        .filter(col("key") === "planes").head().getLong(1)
+      emit("vec_graph_build", scale, tG,
+        s""","planes":$gPlanes,"planes_mode":"$gPlanesEnv"""")
       emit("vec_search_graph", scale, minOf3 {
         IndexCorpus.search(spark, Array(s"$tmp/vec_scaled",
           s"$tmp/emb.parquet", "7", "--k", "10", "--nprobe", "1",

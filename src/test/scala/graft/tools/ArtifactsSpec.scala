@@ -386,9 +386,10 @@ class ArtifactsSpec extends AnyFunSuite {
       Artifacts.vacuum(spark, idx) // window 1: only m-2 retained
     } finally spark.conf.unset("spark.graft.vacuumGraceMs")
     assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
-    // A's stale CAS at base v0 claims the recycled m-1 slot — the
-    // link SUCCEEDS, so only the post-claim max-version re-check
-    // stands between this and a silently lost commit
+    // A's stale CAS at base v0 targets the recycled m-1 slot — since
+    // round 16 the vacuum BURNED the slot before freeing it, so the
+    // claim loses at the pre-claim marker check (the file-link race
+    // never even starts; the r15 post-claim heuristic is gone)
     assert(!Artifacts.commitAt(spark, idx, baseA,
       Map("rows" -> Seq(seg0, segA))),
       "stale claim on a recycled version slot won")
