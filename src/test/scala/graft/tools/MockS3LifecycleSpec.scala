@@ -75,6 +75,24 @@ class MockS3LifecycleSpec extends AnyFunSuite {
       s"mocks3 lifecycle diverged: mock=$mock local=$local")
     assert(local.nonEmpty && !local.map(_._1).contains(1L),
       "the retracted doc survived the lifecycle")
+    // and the SAME lifecycle under the cput claim class (conditional
+    // create attested — the multi-writer-capable object-store mode,
+    // no single-writer declaration): every command's commit goes
+    // through the conditional-PUT claim instead of check+rename
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "fs.mocks3.impl.disable.cache", true)
+    spark.sparkContext.hadoopConfiguration.setBoolean(
+      "fs.mocks3.conditional.enabled", true)
+    try {
+      spark.conf.set("spark.graft.conditionalCreate", "true")
+      val cput = lifecycle(s"${mockRoot()}/lex")
+      assert(cput == local,
+        s"cput lifecycle diverged: cput=$cput local=$local")
+    } finally {
+      spark.conf.unset("spark.graft.conditionalCreate")
+      spark.sparkContext.hadoopConfiguration.setBoolean(
+        "fs.mocks3.conditional.enabled", false)
+    }
   }
 
   test("vector CLI lifecycle on mocks3: build -> update -> delete -> " +
