@@ -1621,8 +1621,11 @@ object CurationQueries {
             }
           })
           gate.countDown()
-          ing.get()
+          // await BOTH before proceeding: a failed wave must not
+          // leave the graph thread racing the delete/search below
+          val ingRes = scala.util.Try(ing.get())
           gr.get()
+          ingRes.get
         } finally {
           pool.shutdown()
           prevKeep match {

@@ -659,8 +659,9 @@ object Artifacts {
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  private def slotBurned(f: FileSystem, idx: String, ver: Long): Boolean =
-    ver <= burnLowWater(f, idx) || burnNonce(f, idx, ver).isDefined
+  // (the pre-claim check reads only the per-slot marker — a cheap
+  // exists/GET; the low-water mark needs a directory LIST and is
+  // consulted once, post-claim, where it is load-bearing either way)
 
   /** TEST FAILPOINT: runs between a successful claim and the
     * post-claim burn-marker resolution — ArtifactsSpec injects the
@@ -686,8 +687,8 @@ object Artifacts {
     * freeing it (marker `g-ver` carrying the evicted occupant's
     * nonce), so:
     *
-    *   - PRE-claim: a burned slot loses immediately — the chain
-    *     provably moved past `ver`.
+    *   - PRE-claim: a marked slot loses immediately (a cheap per-slot
+    *     probe — no directory listing on the hot path).
     *   - POST-claim: a marker appearing for `ver` names its evicted
     *     occupant. OUR nonce => we genuinely won and were already
     *     superseded + evicted (a fast successor built on our manifest
@@ -696,7 +697,17 @@ object Artifacts {
     *     belongs to a previous occupant (the vacuum's marker-then-
     *     delete landed inside our check-then-claim window), the slot
     *     was recycled, our claim is void — withdraw the forged
-    *     mid-chain file and report the loss.
+    *     mid-chain file and report the loss. NO marker but `ver` at
+    *     or below the collapsed low-water mark => the slot was burned
+    *     at some point and its marker already folded away: if our
+    *     file survives, the fold predates us (recycled — withdraw);
+    *     if our file is ALSO gone, won-then-retired and
+    *     recycled-then-reaped are indistinguishable and neither
+    *     silent answer is safe, so the claim surfaces
+    *     [[CommitConflictException]] (reachable only under racing
+    *     vacuums with a grace shorter than this claim's window —
+    *     size `spark.graft.vacuumGraceMs` above the longest commit
+    *     window and the branch is dead code).
     *
     * This replaces the round-15 max-version heuristic, whose stated
     * invariant ("any higher manifest existed before the claim") was
@@ -715,17 +726,14 @@ object Artifacts {
     val dir = new Path(manifestDir(idx))
     if (!f.exists(dir)) f.mkdirs(dir)
     val ver = base + 1
-    if (slotBurned(f, idx, ver)) return false // chain moved past ver
+    if (burnNonce(f, idx, ver).isDefined) return false // burned slot
     val nonce = java.util.UUID.randomUUID().toString
     val body = (s"#nonce\t$nonce" +: segs.toSeq.sortBy(_._1)
       .flatMap { case (n, ss) => ss.sorted.map(s => s"$n\t$s") })
-      .mkString("", "\n", "\n")
-    val tmp = new Path(dir, f".m-$ver%012d-${nonce.take(8)}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+      .mkString("", "\n", "\n").getBytes("UTF-8")
     val dst = new Path(dir, f"m-$ver%012d.tsv")
-    val won = claimAtomic(spark, idx, f, tmp, dst)
-    if (f.exists(tmp)) f.delete(tmp, false)
+    val won = claimAtomic(f, dir, dst, ver, nonce, body,
+      claimClassFor(spark, idx, f))
     if (!won) return false
     commitAtPostClaimHook(idx, ver)
     burnNonce(f, idx, ver) match {
@@ -736,7 +744,33 @@ object Artifacts {
         // have taken ours as newest, no writer as a base)
         f.delete(dst, false)
         false
-      case _ => true // fresh slot, or our own already-retired win
+      case Some(_) => true // our own already-retired genuine win
+      case None if ver <= burnLowWater(f, idx) =>
+        // the slot was burned and its marker already COLLAPSED into
+        // the low-water mark inside our claim window (possible only
+        // under racing vacuums with a near-zero grace — collapse
+        // requires the marker to age past vacuumGraceMs)
+        if (f.exists(dst)) {
+          // the collapsed marker belonged to a PREVIOUS occupant (our
+          // file is intact, so no vacuum evicted US) — recycled slot
+          f.delete(dst, false)
+          false
+        } else
+          // our file is gone too: indistinguishable between "genuine
+          // win, superseded + evicted + collapsed" (the commit IS
+          // incorporated downstream) and "recycled + reaped as
+          // forged" (it is not). Neither silent answer is safe —
+          // false would re-append possibly-incorporated deltas, true
+          // would silently drop a possibly-lost commit — so surface
+          // it: append commands re-run safely (ingest dedups by id)
+          // and structural commands re-derive
+          throw CommitConflictException(idx, ver,
+            "ambiguous post-claim state: the version slot was burned " +
+              "and collapsed within this claim's window (racing " +
+              "vacuums with a near-zero grace) — re-run the command; " +
+              "size spark.graft.vacuumGraceMs above the longest " +
+              "commit window to make this unreachable")
+      case None => true // fresh slot, genuinely won
     }
   }
 
@@ -821,48 +855,75 @@ object Artifacts {
           "or keep indexes on a link/rename-capable store " +
           "(see Artifacts.claimClass's store matrix)")
 
-  /** Atomically claim `dst` with the content of `tmp`: true iff this
-    * writer published it. The per-scheme primitive is [[claimClass]]'s
-    * store matrix; [[assertClaimCapable]] has already refused schemes
-    * with no atomic primitive (unless the session opted into
-    * single-writer mode, where check+rename is accepted best-effort).
+  /** Atomically claim `dst` with `body`: true iff this writer
+    * published it. The per-scheme primitive is [[claimClass]]'s store
+    * matrix; [[assertClaimCapable]] has already refused schemes with
+    * no atomic primitive (unless the session opted into single-writer
+    * mode, where check+rename is accepted best-effort). The cput
+    * class PUTs the body directly (body + claim are ONE conditional
+    * request — no temp object, no read-back: the round-trips matter
+    * on exactly the stores this class exists for); link/rename
+    * classes stage a temp file first (their claim primitive is a
+    * metadata operation over an existing file).
     */
-  private def claimAtomic(spark: SparkSession, idx: String,
-      f: FileSystem, tmp: Path, dst: Path): Boolean =
-    claimClassFor(spark, idx, f) match {
-      case "link" =>
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            // local fs without hard links (some container/overlay
-            // mounts): degrade to the check+rename claim — a narrower
-            // window than link(2), still strictly better than blind
-            // rename (which REPLACES an existing dst on POSIX)
-            if (f.exists(dst)) false else f.rename(tmp, dst)
-        }
+  private def claimAtomic(f: FileSystem, dir: Path, dst: Path,
+      ver: Long, nonce: String, body: Array[Byte],
+      klass: String): Boolean =
+    klass match {
       case "cput" =>
-        // conditional PUT: body + claim in ONE atomic operation (the
-        // connector's create(overwrite = false) maps to the store's
-        // if-absent precondition and fails on an existing object;
-        // the object becomes visible all-or-nothing at close)
-        val body = manifestText(f, tmp).getBytes("UTF-8")
+        // conditional PUT: create(overwrite = false) maps to the
+        // store's if-absent precondition and fails on an existing
+        // object; on a real object store the object becomes visible
+        // all-or-nothing at close
+        val out =
+          try f.create(dst, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException =>
+              return false
+            case e: java.io.IOException =>
+              if (f.exists(dst)) return false else throw e
+          }
         try {
-          val out = f.create(dst, false)
           try out.write(body) finally out.close()
           true
         } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-          case _: java.io.IOException if f.exists(dst) => false
+          case e: java.io.IOException =>
+            // a create-time-claim store (the mocks3 model) may have
+            // materialized a partial object — never leave a truncated
+            // file as the newest manifest; surface the IO failure
+            // (this is infrastructure, not a lost race: reporting
+            // false would make the retry loop see an unadvanced
+            // version and fail confusingly)
+            scala.util.Try(f.delete(dst, false))
+            throw e
         }
-      case _ => // "rename" (atomic) and opted-in "none" (best-effort)
-        if (f.exists(dst)) false else f.rename(tmp, dst)
+      case _ =>
+        val tmp = new Path(dir, f".m-$ver%012d-${nonce.take(8)}.tmp")
+        val o = f.create(tmp, true)
+        try o.write(body) finally o.close()
+        val won = klass match {
+          case "link" =>
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+                // local fs without hard links (some container/overlay
+                // mounts): degrade to the check+rename claim — a
+                // narrower window than link(2), still strictly better
+                // than blind rename (which REPLACES an existing dst)
+                if (f.exists(dst)) false else f.rename(tmp, dst)
+            }
+          case _ => // "rename" (atomic) and opted-in "none"
+            if (f.exists(dst)) false else f.rename(tmp, dst)
+        }
+        if (f.exists(tmp)) f.delete(tmp, false)
+        won
     }
 
   /** Optimistic-concurrency commit for APPEND-shaped commands (the
@@ -946,21 +1007,16 @@ object Artifacts {
       else spark.conf.get("spark.graft.structuralRetries", "5").toInt
     var attempt = 0
     var lastMap = Map.empty[String, Seq[String]]
-    while (attempt < attempts) {
-      attempt += 1
-      val base = currentVersion(spark, idx)
-      val prev = lastMap
-      val next = derive(base)
-      lastMap = next
-      // reclaim the PREVIOUS lost attempt's fresh segments: anything
-      // it wrote that neither the retained manifests nor this
-      // attempt's map reference (derive re-wrote everything). FAIL
-      // CLOSED on any manifest read error (a concurrent vacuum's
-      // list/open race): derive's map can include already-committed
-      // segments (callers pass [[merged]] output), so reclaiming
-      // against an INCOMPLETE reference set could delete live data —
-      // skip the eager reclaim and leave the orphans to the grace-age
-      // vacuum instead.
+    // reclaim a PREVIOUS lost attempt's fresh segments: anything it
+    // wrote that neither the retained manifests nor `keep` reference.
+    // FAIL CLOSED on any manifest read error (a concurrent vacuum's
+    // list/open race): derive's map can include already-committed
+    // segments (callers pass [[merged]] output), so reclaiming
+    // against an INCOMPLETE reference set could delete live data —
+    // skip the eager reclaim and leave the orphans to the grace-age
+    // vacuum instead.
+    def reclaimLost(prev: Map[String, Seq[String]],
+        keep: Map[String, Seq[String]]): Unit =
       if (prev.nonEmpty) {
         val f0 = fs(spark, idx)
         val retained = scala.util.Try {
@@ -972,12 +1028,30 @@ object Artifacts {
         retained.foreach { refs =>
           prev.foreach { case (n, ss) =>
             ss.filterNot(s => refs((n, s)) ||
-              next.getOrElse(n, Seq.empty).contains(s)).foreach { s =>
+              keep.getOrElse(n, Seq.empty).contains(s)).foreach { s =>
               f0.delete(new Path(s"$idx/$n/$s"), true)
             }
           }
         }
       }
+    while (attempt < attempts) {
+      attempt += 1
+      val base = currentVersion(spark, idx)
+      val prev = lastMap
+      val next =
+        try derive(base)
+        catch {
+          case e: Throwable =>
+            // a derive that ABORTS a retry (the graph append's
+            // empty-wave sentinel, or any failure) must not leak the
+            // previous lost attempt's segments to the grace-age
+            // vacuum — they were exclusively claimed by this command
+            // and never reached a manifest
+            reclaimLost(prev, Map.empty)
+            throw e
+        }
+      lastMap = next
+      reclaimLost(prev, next)
       if (commitAt(spark, idx, base, next)) {
         if (attempt > 1)
           recordContention(spark, idx, "structural", attempt - 1L, base + 1)
@@ -1156,14 +1230,14 @@ object Artifacts {
         .filter(p => p.getName.startsWith("c-") && p.getName.endsWith(".tsv"))
         .sortBy(_.getName).toSeq
         .flatMap { p =>
-          try manifestText(f, p).linesIterator.toSeq.collect {
-            case l => l.split('\t') match {
-              case Array(k, lost, ver)
-                if lost.toLongOption.isDefined && ver.toLongOption.isDefined =>
-                Some((k, lost.toLong, ver.toLong))
+          try manifestText(f, p).linesIterator.toSeq.flatMap { l =>
+            l.split('\t') match {
+              case Array(k, lost, ver) =>
+                for (lo <- lost.toLongOption; v <- ver.toLongOption)
+                  yield (k, lo, v)
               case _ => None
             }
-          }.flatten
+          }
           catch { case _: java.io.FileNotFoundException => Seq.empty }
         }
     rows.toDF("command", "lost_attempts", "landed_version")

@@ -745,6 +745,42 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.manifestVersions(spark, idx) == Seq(2L))
   }
 
+  test("collapsed-marker TOCTOU: a low-water fold landing inside the " +
+    "claim window withdraws when our file survives, and SURFACES a " +
+    "conflict (never a silent answer) when it does not") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    val mdir = new java.io.File(s"$idx/_manifest")
+    // case 1: the fold belonged to a PREVIOUS occupant — our claimed
+    // file is intact, so the slot was recycled: withdraw + lose
+    var phase = 0
+    Artifacts.commitAtPostClaimHook = (_, ver) => {
+      java.nio.file.Files.write(
+        new java.io.File(mdir, "w-injected.tsv").toPath,
+        s"burned\t$ver\n".getBytes)
+      if (phase == 1) // case 2: a racing vacuum also reaped our file
+        new java.io.File(mdir, f"m-$ver%012d.tsv").delete()
+    }
+    try {
+      assert(!Artifacts.commitAt(spark, idx, 0L,
+        Map("rows" -> Seq(seg0))),
+        "claim below a freshly-collapsed low-water mark won")
+      assert(!new java.io.File(mdir, "m-000000000001.tsv").exists(),
+        "forged manifest left behind")
+      phase = 1
+      val e = intercept[Artifacts.CommitConflictException] {
+        Artifacts.commitAt(spark, idx, 0L, Map("rows" -> Seq(seg0)))
+      }
+      assert(e.getMessage.contains("ambiguous"))
+    } finally {
+      Artifacts.commitAtPostClaimHook = (_, _) => ()
+      new java.io.File(mdir, "w-injected.tsv").delete()
+    }
+  }
+
   test("persistRetention: crash-atomic write (no bare temp visible), " +
     "malformed settings lines are skipped not thrown, and the " +
     "racing-SET max-merge resurrection is the documented contract") {

@@ -1125,8 +1125,12 @@ class IndexCorpusSpec extends AnyFunSuite {
         }
       })
       gate.countDown()
-      assert(ing.get() == nWave)
-      gr.get()
+      // await BOTH before asserting: a failed ingest must not leave
+      // the graph thread racing the assertions (and later tests)
+      val ingRes = scala.util.Try(ing.get())
+      val grRes = scala.util.Try(gr.get())
+      grRes.get
+      assert(ingRes.get == nWave)
     } finally {
       pool.shutdown()
       prevKeep match {
