@@ -222,6 +222,102 @@ object WriterProbe {
         println(f"""[writerprobe] {"probe":"vec_ingest","scale":$scale,"writers":$w,"vecs":$nVecs,"seq_sec":$tSeq%.3f,"conc_sec":$tConc%.3f,"speedup":${tSeq / tConc}%.2f}""")
       }
     }
+
+    // GRAPH arm (round 16): price the q312 regime — the full `graph`
+    // build racing live ingest waves on one index. With the
+    // metadata-only replace-retry the raced build derives its kNN
+    // edges exactly once (asserted via the invocation counter), so
+    // running it CONCURRENTLY with the waves should cost about the
+    // SLOWER of the two command chains, not their sum — the overlap
+    // a re-deriving retry loop would forfeit (each lost race used to
+    // re-run the whole derivation). Safety asserted inline: one
+    // derivation, all waves present, edges equal the sequential
+    // reference's.
+    if (arms("graph")) for (scale <- scales) {
+      val tmp = Files.createTempDirectory(s"writerprobe_g$scale").toString
+      val reps = broadcast(spark.range(scale).select(col("id").as("_r")))
+      val e0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val embN = e0.count()
+      e0.crossJoin(reps)
+        .select((col("vec_id") + col("_r") * lit(embN)).as("vec_id"),
+          col("embedding"))
+        .write.parquet(s"$tmp/emb.parquet")
+      val embAll = spark.read.parquet(s"$tmp/emb.parquet")
+      val nBase = embAll.count()
+      // two ingest waves of re-keyed extras race the build
+      val waves = Seq(0L, 1L).map(i => embAll
+        .filter(pmod(col("vec_id"), lit(2L)) === i)
+        .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+          col("embedding")))
+      val nWaves = waves.map(_.count()).sum
+
+      def freshIdx(tag: String): String = {
+        val idx = s"$tmp/vec_$tag"
+        IndexCorpus.build(spark, Array(s"$tmp/emb.parquet", idx,
+          "--ivf-k", "8", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        idx
+      }
+      val prevKeep = spark.conf.getOption("spark.graft.keepManifests")
+      spark.conf.set("spark.graft.keepManifests", "3") // writers + 1
+      try {
+        // sequential reference: build the graph, then land the waves
+        val seqIdx = freshIdx("gseq")
+        val gArgs = Array(s"$tmp/emb.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2")
+        val tSeqG = time {
+          IndexCorpus.graph(spark, seqIdx +: gArgs)
+        }
+        val tSeqW = time {
+          waves.foreach(wv =>
+            IndexCorpus.ingestFrame(spark, seqIdx, wv, "vec_id", "embedding"))
+        }
+        graft.Scratch.release()
+
+        // raced: the build in one thread, the waves in another
+        val rIdx = freshIdx("grace")
+        val callsBefore = graft.ops.Similarity.knnGraphCalls.get()
+        val pool = Executors.newFixedThreadPool(2)
+        val gate = new CountDownLatch(1)
+        val ing = pool.submit(new Callable[Long] {
+          def call(): Long = {
+            gate.await()
+            waves.map(wv => IndexCorpus.ingestFrame(spark, rIdx, wv,
+              "vec_id", "embedding")).sum
+          }
+        })
+        val gr = pool.submit(new Callable[Unit] {
+          def call(): Unit = {
+            gate.await()
+            IndexCorpus.graph(spark, rIdx +: gArgs)
+            ()
+          }
+        })
+        val tRaced = time {
+          gate.countDown()
+          val ingRes = scala.util.Try(ing.get())
+          gr.get()
+          require(ingRes.get == nWaves, s"lost wave rows: $ingRes")
+        }
+        pool.shutdown()
+        graft.Scratch.release()
+        require(graft.ops.Similarity.knnGraphCalls.get() - callsBefore == 1L,
+          "the raced build re-derived its kNN edges")
+        def edges(idx: String) = Artifacts.read(spark, idx, "knn_graph")
+          .agg(count(lit(1)), sum(col("id") * lit(31L) + col("nbr")))
+          .head() match { case r => (r.getLong(0), r.getLong(1)) }
+        require(edges(rIdx) == edges(seqIdx),
+          s"raced edges ${edges(rIdx)} diverged from ${edges(seqIdx)}")
+        require(Artifacts.read(spark, rIdx, "assignments").count()
+          == nBase + nWaves, "lost membership under the race")
+        println(f"""[writerprobe] {"probe":"graph_build_under_ingest","scale":$scale,"base_vecs":$nBase,"wave_vecs":$nWaves,"seq_graph_sec":$tSeqG%.3f,"seq_waves_sec":$tSeqW%.3f,"seq_total_sec":${tSeqG + tSeqW}%.3f,"raced_sec":$tRaced%.3f,"overlap":${(tSeqG + tSeqW) / tRaced}%.2f}""")
+      } finally {
+        prevKeep match {
+          case Some(k) => spark.conf.set("spark.graft.keepManifests", k)
+          case None    => spark.conf.unset("spark.graft.keepManifests")
+        }
+      }
+    }
     spark.stop()
   }
 }
