@@ -2939,7 +2939,11 @@ object SelectionQueries {
         graft.tools.LexIndex.build(s, Array(
           s"$tmp/base.parquet", s"$tmp/lex", "--gram", "2"))   // v0
         var attempts = 0
-        graft.tools.Artifacts.commitStructuralWithRetry(s, s"$tmp/lex") {
+        // backoff disabled so the audit row stays closed-form (the
+        // jitter schedule itself is pinned by ArtifactsSpec) — the
+        // round-17 telemetry then records backoff_ms = 0 exactly
+        s.conf.set("spark.graft.retryBackoffMs", "0")
+        try graft.tools.Artifacts.commitStructuralWithRetry(s, s"$tmp/lex") {
           _ =>
             attempts += 1
             if (attempts == 1) // the competitor lands v1 mid-derivation
@@ -2947,11 +2951,13 @@ object SelectionQueries {
                 graft.tools.Artifacts.merged(s, s"$tmp/lex", Map.empty))
             graft.tools.Artifacts.merged(s, s"$tmp/lex", Map.empty)
         } // loses v1, lands v2 — exactly one recorded event
+        finally s.conf.unset("spark.graft.retryBackoffMs")
         graft.tools.LexIndex.contention(s, Array(s"$tmp/lex"))
       },
       Some("""SELECT 'structural' AS command,
              | CAST(1 AS BIGINT) AS lost_attempts,
-             | CAST(2 AS BIGINT) AS landed_version""".stripMargin)),
+             | CAST(2 AS BIGINT) AS landed_version,
+             | CAST(0 AS BIGINT) AS backoff_ms""".stripMargin)),
 
     "q275_streaming_lex_ingest" -> Q(
       (s, dir) => {

@@ -781,6 +781,56 @@ class ArtifactsSpec extends AnyFunSuite {
     }
   }
 
+  test("collapsed-marker ABA (round 17): vacuum classifies a no-marker " +
+    "evictee at/below the low-water mark as FORGED — no fresh marker " +
+    "minted with the stale claimant's own nonce, its pending segment " +
+    "not graveyarded; the claimant surfaces a conflict, never a " +
+    "silent win") {
+    import spark.implicits._
+    val idx = freshIdx()
+    val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((1L, "a")).toDF("id", "v"))
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v0
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v1
+    Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))          // v2
+    try {
+      spark.conf.set("spark.graft.vacuumGraceMs", "0")
+      Artifacts.vacuum(spark, idx) // burns + evicts v0, v1
+      Artifacts.vacuum(spark, idx) // collapses g-0, g-1 -> low-water 1
+    } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+    val mdir = new java.io.File(s"$idx/_manifest")
+    assert(!mdir.listFiles().map(_.getName).exists(_.startsWith("g-")))
+    // a stale claimant wins the collapsed-burned slot 1; a competing
+    // vacuum lands inside its claim window and evicts the forged file
+    val segX = Artifacts.writeSegment(spark, idx, "rows",
+      Seq((9L, "X")).toDF("id", "v"))
+    var fired = false
+    Artifacts.commitAtPostClaimHook = (_, _) => {
+      if (!fired) {
+        fired = true
+        try {
+          spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+          Artifacts.vacuum(spark, idx)
+        } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+      }
+    }
+    try {
+      val e = intercept[Artifacts.CommitConflictException] {
+        Artifacts.commitAt(spark, idx, 0L, Map("rows" -> Seq(seg0, segX)))
+      }
+      assert(e.getMessage.contains("ambiguous"))
+    } finally Artifacts.commitAtPostClaimHook = (_, _) => ()
+    // pre-fix, this vacuum minted g-1 with the CLAIMANT'S OWN nonce
+    // (its post-claim check then saw itself and returned true — a
+    // silently lost commit) and graveyarded segX despite the grace
+    val after = mdir.listFiles().map(_.getName)
+    assert(!after.exists(_.startsWith("g-")),
+      s"fresh marker minted for the forged evictee: ${after.toSeq}")
+    assert(!after.contains("m-000000000001.tsv"), "forged file kept")
+    assert(new java.io.File(s"$idx/rows/$segX").exists(),
+      "the stale claimant's pending segment was graveyarded")
+  }
+
   test("persistRetention: crash-atomic write (no bare temp visible), " +
     "malformed settings lines are skipped not thrown, and the " +
     "racing-SET max-merge resurrection is the documented contract") {
@@ -879,9 +929,15 @@ class ArtifactsSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.graft.conditionalCreate", "true")
       assert(Artifacts.claimClassFor(spark, "s3a://b/i", f) == "cput")
-      Artifacts.assertClaimCapable(spark, "s3a://b/i", f)
       val dstDir = Files.createTempDirectory("artifacts_cput").toString
       val idx = s"mocks3://$dstDir/idx"
+      // the capability self-test (round 17) runs against the REAL
+      // store on the first capability assertion and passes on the
+      // honest conditional mode
+      Artifacts.resetClaimCapabilityCache()
+      Artifacts.assertClaimCapable(spark, idx,
+        new org.apache.hadoop.fs.Path(idx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration))
       val seg0 = Artifacts.writeSegment(spark, idx, "rows",
         Seq((1L, "a")).toDF("id", "v"))
       Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))        // v0
@@ -926,6 +982,210 @@ class ArtifactsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.conditionalCreate")
   }
 
+  test("cput attestation is VERIFIED, not trusted (round 17): a " +
+    "mis-attested store — conditional create silently overwrites — " +
+    "fails the bootstrap self-test and commits are refused before any " +
+    "update can be lost") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hconf.setBoolean("fs.mocks3.impl.disable.cache", true)
+    hconf.setBoolean("fs.mocks3.conditional.liar", true)
+    Artifacts.resetClaimCapabilityCache()
+    try {
+      spark.conf.set("spark.graft.conditionalCreate", "true")
+      val dstDir = Files.createTempDirectory("artifacts_liar").toString
+      val idx = s"mocks3://$dstDir/idx"
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      val e = intercept[IllegalStateException] {
+        Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+      }
+      assert(e.getMessage.contains("self-test"),
+        s"wrong refusal: ${e.getMessage}")
+      // nothing was published
+      assert(Artifacts.currentManifest(spark, idx).isEmpty)
+      // the verdict is cached: a second commit refuses without
+      // re-probing (same session, same store)
+      intercept[IllegalStateException] {
+        Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+      }
+    } finally {
+      spark.conf.unset("spark.graft.conditionalCreate")
+      hconf.setBoolean("fs.mocks3.conditional.liar", false)
+      Artifacts.resetClaimCapabilityCache()
+    }
+  }
+
+  test("rename claim class raced like cput (round 17): on an " +
+    "HDFS-semantics store (rename refuses an existing destination, " +
+    "no hard links) two writers racing one version slot get exactly " +
+    "one winner, and a stale claim loses without clobbering it") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mockhdfs.impl", classOf[MockHdfsFileSystem].getName)
+    hconf.setBoolean("fs.mockhdfs.impl.disable.cache", true)
+    try {
+      // the documented extension point for rename-atomic stores the
+      // static matrix doesn't know
+      spark.conf.set("spark.graft.renameAtomicSchemes", "mockhdfs")
+      val f = new org.apache.hadoop.fs.Path("mockhdfs:///x")
+        .getFileSystem(hconf)
+      assert(Artifacts.claimClassFor(spark, "mockhdfs:///x", f) == "rename")
+      val dstDir = Files.createTempDirectory("artifacts_hdfs").toString
+      val idx = s"mockhdfs://$dstDir/idx"
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))        // v0
+      // stale-base claim loses; the winner's manifest survives
+      val segW = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((2L, "W")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, segW)))  // v1
+      val segL = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((3L, "L")).toDF("id", "v"))
+      assert(!Artifacts.commitAt(spark, idx, 0L,
+        Map("rows" -> Seq(seg0, segL))), "stale rename claim won")
+      assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // live race: two threads, one slot, exactly one winner
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val base2 = Artifacts.currentVersion(spark, idx)
+      val segs2 = (0 until 2).map(t =>
+        Artifacts.writeSegment(spark, idx, "rows",
+          Seq((10L + t, s"t$t")).toDF("id", "v")))
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val wins = segs2.map { s =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            Artifacts.commitAt(spark, idx, base2, Map("rows" ->
+              (Artifacts.manifestAt(spark, idx, base2)("rows") :+ s)))
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get())
+      pool.shutdown()
+      assert(results.count(identity) == 1,
+        s"rename race had ${results.count(identity)} winners")
+      assert(Artifacts.currentVersion(spark, idx) == base2 + 1)
+    } finally spark.conf.unset("spark.graft.renameAtomicSchemes")
+  }
+
+  test("cput deferred precondition (real-store close-time semantics): " +
+    "a lost race surfaces as an IOException at close() and must NOT " +
+    "delete the competitor's committed manifest; racing writers still " +
+    "get exactly one winner") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hconf.setBoolean("fs.mocks3.impl.disable.cache", true)
+    hconf.setBoolean("fs.mocks3.conditional.deferred", true)
+    try {
+      spark.conf.set("spark.graft.conditionalCreate", "true")
+      val dstDir = Files.createTempDirectory("artifacts_cput_def").toString
+      val idx = s"mocks3://$dstDir/idx"
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))        // v0
+      // writer W commits v1; a STALE claimant then attempts the same
+      // slot — on a close-time-conditional store its create() succeeds
+      // and the loss surfaces at close(), with W's committed object at
+      // dst (the round-16 ADVICE reproduction: the pre-fix path
+      // deleted W's manifest here and broke the version chain)
+      val segW = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((2L, "W")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, segW)))  // v1
+      val segL = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((3L, "L")).toDF("id", "v"))
+      assert(!Artifacts.commitAt(spark, idx, 0L,
+        Map("rows" -> Seq(seg0, segL))), "stale deferred-cput claim won")
+      assert(Artifacts.currentVersion(spark, idx) == 1L,
+        "the winner's manifest was destroyed by the loser's close failure")
+      assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // live race on one fresh slot: exactly one winner; the loser's
+      // close-time 412 resolves to a clean false (no exception escapes,
+      // nothing withdrawn)
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val base2 = Artifacts.currentVersion(spark, idx)
+      val segs2 = (0 until 2).map(t =>
+        Artifacts.writeSegment(spark, idx, "rows",
+          Seq((10L + t, s"t$t")).toDF("id", "v")))
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val wins = segs2.map { s =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            gate.await()
+            Artifacts.commitAt(spark, idx, base2, Map("rows" ->
+              (Artifacts.manifestAt(spark, idx, base2)("rows") :+ s)))
+          }
+        })
+      }
+      gate.countDown()
+      val results = wins.map(_.get())
+      pool.shutdown()
+      assert(results.count(identity) == 1,
+        s"deferred-cput race had ${results.count(identity)} winners")
+      assert(Artifacts.currentVersion(spark, idx) == base2 + 1)
+    } finally {
+      spark.conf.unset("spark.graft.conditionalCreate")
+      hconf.setBoolean("fs.mocks3.conditional.deferred", false)
+    }
+  }
+
+  test("writer-stamped grace age (round 17): on a store with synthetic " +
+    "EPOCH mtimes an in-flight uncommitted segment SURVIVES a " +
+    "generous-grace vacuum via its .segclaim writer stamp (the " +
+    "mtime-trusting check mis-reclaimed it), and a stamp-aged orphan " +
+    "still reclaims") {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mocks3.impl", classOf[MockS3FileSystem].getName)
+    hconf.setBoolean("fs.mocks3.impl.disable.cache", true)
+    hconf.setBoolean("fs.mocks3.mtime.skew", true)
+    try {
+      spark.conf.set("spark.graft.allowNonAtomicCommit", "true")
+      val dstDir = Files.createTempDirectory("artifacts_skew").toString
+      val idx = s"mocks3://$dstDir/idx"
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((1L, "a")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+      // a concurrent writer's IN-FLIGHT segment: written, uncommitted
+      val segP = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((2L, "p")).toDF("id", "v"))
+      try {
+        spark.conf.set("spark.graft.vacuumGraceMs", "3600000")
+        Artifacts.vacuum(spark, idx)
+      } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+      // every mtime on this store reads as epoch: the pre-round-17
+      // mtime-aged check reclaimed segP here; the writer stamp (a
+      // fresh real clock) keeps it
+      assert(new java.io.File(s"$dstDir/idx/rows/$segP").exists(),
+        "in-flight segment mis-reclaimed under synthetic mtimes")
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0, segP)))
+      assert(Artifacts.read(spark, idx, "rows").select(col("id"))
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // a stamp-AGED orphan still reclaims (grace 0), claim included
+      val segO = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((9L, "o")).toDF("id", "v"))
+      try {
+        spark.conf.set("spark.graft.vacuumGraceMs", "0")
+        Artifacts.vacuum(spark, idx)
+      } finally spark.conf.unset("spark.graft.vacuumGraceMs")
+      assert(!new java.io.File(s"$dstDir/idx/rows/$segO").exists(),
+        "stamp-aged orphan survived a grace-0 vacuum")
+      assert(!new java.io.File(s"$dstDir/idx/rows").listFiles()
+        .map(_.getName).exists(_.startsWith(".segclaim-")),
+        "orphan claims survived a grace-0 vacuum")
+    } finally {
+      spark.conf.unset("spark.graft.allowNonAtomicCommit")
+      hconf.setBoolean("fs.mocks3.mtime.skew", false)
+    }
+  }
+
   test("contention telemetry: a landed-after-losses structural commit " +
     "records (command, lost_attempts, landed_version); a clean index " +
     "reports no events") {
@@ -950,6 +1210,85 @@ class ArtifactsSpec extends AnyFunSuite {
     // telemetry survives a vacuum (bounded, not purged)
     Artifacts.vacuum(spark, idx)
     assert(Artifacts.contentionReport(spark, idx).count() == 1L)
+  }
+
+  test("retry backoff (round 17): the jitter schedule is deterministic " +
+    "given the seed, bounded by the exponential cap, and disabled at " +
+    "base 0; a 4-writer commit storm with backoff engages the sleeper " +
+    "and loses no more attempts than the zero-backoff lockstep " +
+    "baseline") {
+    import spark.implicits._
+    // the schedule itself: deterministic given (seed, attempt), inside
+    // [1, min(base * 2^(attempt-1), 2000)], off at base 0
+    val s1 = (1 to 10).map(a => Artifacts.backoffMs(spark, 42L, a))
+    val s2 = (1 to 10).map(a => Artifacts.backoffMs(spark, 42L, a))
+    assert(s1 == s2, "schedule not deterministic given the seed")
+    s1.zipWithIndex.foreach { case (ms, i) =>
+      val cap = math.min(25L << math.min(i, 6), 2000L)
+      assert(ms >= 1L && ms <= cap, s"attempt ${i + 1}: $ms outside [1,$cap]")
+    }
+    assert(s1 != (1 to 10).map(a => Artifacts.backoffMs(spark, 43L, a)),
+      "different writers got identical schedules (no desync)")
+    try {
+      spark.conf.set("spark.graft.retryBackoffMs", "0")
+      assert(Artifacts.backoffMs(spark, 42L, 3) == 0L)
+    } finally spark.conf.unset("spark.graft.retryBackoffMs")
+
+    // storm differential: 4 writers x 3 appends each racing the CAS
+    // with pre-written segments (loop body = manifest read + CAS, so
+    // contention is maximal); total lost attempts from the telemetry
+    def storm(base: Long): (Long, Long) = {
+      val idx = freshIdx()
+      val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+        Seq((0L, "base")).toDF("id", "v"))
+      Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+      val segs = (0 until 12).map(i =>
+        Artifacts.writeSegment(spark, idx, "rows",
+          Seq((100L + i, s"s$i")).toDF("id", "v")))
+      var sleeps = 0L
+      val prevSleeper = Artifacts.backoffSleeper
+      Artifacts.backoffSleeper = ms => {
+        sleeps += 1; Thread.sleep(ms)
+      }
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(4)
+      val gate = new CountDownLatch(1)
+      try {
+        spark.conf.set("spark.graft.retryBackoffMs", base.toString)
+        val fs = (0 until 4).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              gate.await()
+              for (i <- 0 until 3)
+                Artifacts.commitAppendsWithRetry(spark, idx,
+                  Map("rows" -> Seq(segs(t * 3 + i))))
+            }
+          })
+        }
+        gate.countDown()
+        fs.foreach(_.get())
+      } finally {
+        spark.conf.unset("spark.graft.retryBackoffMs")
+        Artifacts.backoffSleeper = prevSleeper
+        pool.shutdown()
+      }
+      assert(Artifacts.currentVersion(spark, idx) == 12L,
+        "not all 12 storm commits landed")
+      val lost = Artifacts.contentionReport(spark, idx)
+        .agg(sum(col("lost_attempts"))).head().getLong(0)
+      (lost, sleeps)
+    }
+    // real races: compare best-of-2 per arm so one unlucky scheduling
+    // window cannot flip the differential
+    val zeroRuns = Seq(storm(0L), storm(0L))
+    val jitRuns = Seq(storm(25L), storm(25L))
+    val lostZero = zeroRuns.map(_._1).min
+    val lostJit = jitRuns.map(_._1).min
+    assert(zeroRuns.forall(_._2 == 0L), "sleeper engaged at base 0")
+    assert(jitRuns.map(_._2).sum >= jitRuns.map(_._1).sum,
+      "lost jittered attempts did not engage the sleeper")
+    assert(lostJit <= lostZero,
+      s"backoff lost MORE attempts ($lostJit) than lockstep ($lostZero)")
   }
 
   test("concurrent writeSegment: two threads never claim the same " +

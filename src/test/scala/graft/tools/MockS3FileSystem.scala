@@ -24,6 +24,9 @@ class MockS3FileSystem extends FileSystem {
   private var myUri: URI = URI.create("mocks3:///")
   private val local = new RawLocalFileSystem()
   private var conditional = false
+  private var deferred = false
+  private var liar = false
+  private var mtimeSkew = false
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -38,6 +41,27 @@ class MockS3FileSystem extends FileSystem {
     // [[Artifacts.claimClass]] upgrades to "cput" when the deployment
     // attests the capability.
     conditional = conf.getBoolean("fs.mocks3.conditional.enabled", false)
+    // DEFERRED-PRECONDITION mode (round 17): models how a real
+    // conditional PUT actually fails — S3's `If-None-Match: *` is
+    // evaluated when the PUT COMPLETES, so `create(overwrite=false)`
+    // hands back a stream and a lost race surfaces as an IOException
+    // at close(), with the competitor's committed object intact at
+    // the destination. The body buffers locally and lands (or fails)
+    // atomically at close — both racing orders are exercised.
+    deferred = conf.getBoolean("fs.mocks3.conditional.deferred", false)
+    // LIAR mode (round 17): the deployment ATTESTS conditional-create
+    // support but the store does not actually have it —
+    // create(overwrite=false) silently overwrites, exactly the
+    // mis-attestation Artifacts' bootstrap capability self-test must
+    // catch before any commit trusts the attestation.
+    liar = conf.getBoolean("fs.mocks3.conditional.liar", false)
+    // MTIME-SKEW mode (round 17): every status reports a synthetic
+    // EPOCH modification time — the object-store connector class
+    // whose "mtimes" are meaningless. Under it, any grace-age check
+    // that trusts store mtimes sees every in-flight segment as
+    // infinitely old; vacuum must age against WRITER-declared clocks
+    // instead (the `.segclaim` ctime stamp).
+    mtimeSkew = conf.getBoolean("fs.mocks3.mtime.skew", false)
   }
 
   override def getUri: URI = myUri
@@ -46,14 +70,18 @@ class MockS3FileSystem extends FileSystem {
   private def toLocal(p: Path): Path =
     new Path("file", null, p.toUri.getPath)
 
-  /** Eager plain-FileStatus copy with the path mapped back to the
-    * mock scheme — `st.getPermission` here forces the lazy raw-local
-    * permission load while the path is still `file:`.
+  /** Plain-FileStatus copy with the path mapped back to the mock
+    * scheme. Permissions/owner are FIXED (round 17): raw-local loads
+    * them lazily via a shell `ls`, which blows up when a racing
+    * writer deletes the file between our listing and the load — and
+    * no test cares about permission fidelity on an object-store mock
+    * (real object stores have no POSIX permissions either).
     */
   private def fromLocal(st: FileStatus): FileStatus =
     new FileStatus(st.getLen, st.isDirectory, st.getReplication,
-      st.getBlockSize, st.getModificationTime, st.getAccessTime,
-      st.getPermission, st.getOwner, st.getGroup,
+      st.getBlockSize,
+      if (mtimeSkew) 0L else st.getModificationTime, st.getAccessTime,
+      FsPermission.getDefault, "", "",
       new Path("mocks3", null, st.getPath.toUri.getPath))
 
   override def open(f: Path, bufferSize: Int) =
@@ -62,7 +90,32 @@ class MockS3FileSystem extends FileSystem {
   override def create(f: Path, permission: FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long, progress: Progressable) =
-    if (!overwrite && conditional) {
+    if (!overwrite && liar)
+      // mis-attested store: "conditional" create silently REPLACES
+      local.create(toLocal(f), permission, true, bufferSize,
+        replication, blockSize, progress)
+    else if (!overwrite && deferred) {
+      // real-store conditional PUT: buffer the body, evaluate the
+      // If-None-Match precondition atomically when the PUT completes
+      val p = java.nio.file.Paths.get(f.toUri.getPath)
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.ByteArrayOutputStream() {
+          override def close(): Unit = {
+            if (p.getParent != null)
+              java.nio.file.Files.createDirectories(p.getParent)
+            try {
+              val out = java.nio.file.Files.newOutputStream(p,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              try out.write(toByteArray) finally out.close()
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                throw new java.io.IOException(
+                  "412 Precondition Failed: object exists (If-None-Match: *)")
+            }
+          }
+        }, null)
+    } else if (!overwrite && conditional) {
       // atomic create-if-absent (O_EXCL — the conditional PUT model);
       // an existing object fails the precondition at create time
       val p = java.nio.file.Paths.get(f.toUri.getPath)
