@@ -969,13 +969,66 @@ object Similarity {
     * pair emits once by construction and a (new, new) pair
     * canonicalizes to id_a < id_b. Same (id_a, id_b, cos) contract:
     * cosine rounded to 6dp, floored at `minCos`.
+    *
+    * `broadcastWave = true` (round 17) selects the wave-proportional
+    * physical shape: the new side broadcasts and the corpus side is a
+    * per-table map-side scan — no corpus cache, no corpus shuffle —
+    * for identical output (see the inline contract note). Callers
+    * gate it on the wave's row count ([[graft.tools.IndexCorpus]]'s
+    * `--max-broadcast-wave`).
     */
   def knnGraphAppendPairs(all: DataFrame, newIds: DataFrame,
       idCol: String, vecCol: String,
       planeTables: Seq[Array[Array[Int]]], minCos: Double,
-      chunkRows: Int = Int.MaxValue): DataFrame = {
+      chunkRows: Int = Int.MaxValue,
+      broadcastWave: Boolean = false): DataFrame = {
     val bucketCols = planeTables.zipWithIndex.map { case (p, t) =>
       lshBucket(col(vecCol), p).as(s"b$t")
+    }
+    // WAVE-PROPORTIONAL shape (round 17 — the SCALING.md finding that
+    // at sized resolution "append ≈ full rebuild": the cost was never
+    // the pair volume, it was the corpus-side PREPARATION — caching
+    // the whole corpus with L bucket columns and shuffling it per
+    // plane table for the bucket join). When the wave is small enough
+    // to broadcast, the corpus side never shuffles and never caches:
+    // each table is ONE map-side pass over the corpus scan (hash the
+    // buckets, hash-join the broadcast wave, emit + verify pairs), so
+    // the append costs bands linear scans + the wave-proportional
+    // verify fan-out, not a corpus materialization. Same pair set by
+    // construction — identical join keys and filters, only the
+    // physical join strategy changes (q294/q298 share the full
+    // rebuild's oracle, which pins it). The skew grid is moot here:
+    // a hot bucket's enumeration spreads across the corpus scan's
+    // input partitions instead of landing on one shuffle task.
+    if (broadcastWave) {
+      val newFlag = broadcast(newIds.select(col("id"), lit(1L).as("isn")))
+      def marked = all.select(
+        (col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols): _*)
+        .join(newFlag, Seq("id"), "left")
+        .withColumn("isn", coalesce(col("isn"), lit(0L)))
+      // the wave side IS wave-sized: checkpoint it once, broadcast per
+      // table; the corpus side re-derives from the scan per table
+      val waveSide = graft.Scratch.localCheckpoint(
+        marked.filter(col("isn") === 1L))
+      val tables = planeTables.indices.map { t =>
+        val aSide = marked.select(
+          col(s"b$t").as("bk") +: col("id").as("id_a") +:
+            col("v").as("v_a") +: col("isn").as("isn_a") +:
+            (0 until t).map(u => col(s"b$u").as(s"a$u")): _*)
+        val bSide = waveSide.select(
+          col(s"b$t").as("bk") +: col("id").as("id_b") +:
+            col("v").as("v_b") +:
+            (0 until t).map(u => col(s"b$u").as(s"bb$u")): _*)
+        val joined = aSide.join(broadcast(bSide), Seq("bk"))
+          .filter(col("id_a") =!= col("id_b"))
+          .filter(col("isn_a") === 0L || col("id_a") < col("id_b"))
+        val fresh = (0 until t).foldLeft(joined) { (df, u) =>
+          df.filter(col(s"a$u") =!= col(s"bb$u"))
+        }
+        fresh.select(col("id_a"), col("id_b"),
+          round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
+      }
+      return tables.reduce(_ unionByName _).filter(col("cos") >= minCos)
     }
     val marked = graft.Scratch.cache(all.select(
       (col(idCol).as("id") +: col(vecCol).as("v") +: bucketCols): _*)

@@ -1149,7 +1149,9 @@ object CurationQueries {
            |SELECT CAST(version AS BIGINT) AS version,
            | CAST(vectors AS BIGINT) AS vectors,
            | CAST(tombstones AS BIGINT) AS tombstones,
-           | CAST(vectors - tombstones AS BIGINT) AS live
+           | CAST(vectors - tombstones AS BIGINT) AS live,
+           | CAST(0 AS BIGINT) AS contention_events,
+           | CAST(0 AS BIGINT) AS max_lost_attempts
            |FROM v ORDER BY version""".stripMargin)),
 
     // INDEX INTEGRITY AUDIT, vector arm (q307's twin): build on the
@@ -1597,8 +1599,13 @@ object CurationQueries {
         val extras = t(s, dir, "embeddings")
           .filter(pmod(col("vec_id"), lit(4)) === 1)
           .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        // split mod 8 (round-17 ADVICE fix): the extras are all ≡ 1
+        // mod 4 and +1000000 preserves that residue, so a parity
+        // split left wave 0 EMPTY — one real wave racing an empty
+        // commit. Residues 1 and 5 mod 8 give two NON-EMPTY waves,
+        // the two-writer coverage the keepManifests = 3 sizing states
         val waves = Seq(0, 1).map(r =>
-          extras.filter(pmod(col("vec_id"), lit(2)) === r))
+          extras.filter(pmod(col("vec_id"), lit(8)) === (1 + 4 * r)))
         val prevKeep = s.conf.getOption("spark.graft.keepManifests")
         s.conf.set("spark.graft.keepManifests", "3") // writers + 1
         val pool = java.util.concurrent.Executors.newFixedThreadPool(2)

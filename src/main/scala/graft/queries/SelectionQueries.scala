@@ -2715,7 +2715,9 @@ object SelectionQueries {
            |  (SELECT sum(dl) FROM dl WHERE id % 2 = 0))
            |SELECT CAST(version AS BIGINT) AS version,
            | CAST(n AS BIGINT) AS n, CAST(toktot AS BIGINT) AS toktot,
-           | CAST(toktot // n AS BIGINT) AS avgdl
+           | CAST(toktot // n AS BIGINT) AS avgdl,
+           | CAST(0 AS BIGINT) AS contention_events,
+           | CAST(0 AS BIGINT) AS max_lost_attempts
            |FROM v ORDER BY version""".stripMargin)),
 
     // INDEX INTEGRITY AUDIT (`fsck`): drive the full lexical

@@ -1404,6 +1404,24 @@ object Artifacts {
 
   private[tools] val contentionKeep = 256
 
+  /** Per-version contention attribution (round 17): for each manifest
+    * version, how many retry-loop events LANDED there after losing at
+    * least one CAS race, and the worst lost-attempt count among them.
+    * The CLI `history` commands join this in so starvation risk shows
+    * up in the audit an operator actually runs — q313 proves the
+    * event path, but an operator should not need to know the
+    * `contention` subcommand exists to see a compact that took 4
+    * attempts to land. Strands (landed_version -1) attach to no
+    * version; the `contention` command lists them.
+    */
+  def contentionByVersion(spark: SparkSession, idx: String)
+      : Map[Long, (Long, Long)] =
+    contentionReport(spark, idx)
+      .groupBy(col("landed_version"))
+      .agg(count(lit(1)).as("events"), max(col("lost_attempts")).as("worst"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
   /** The retained contention events, one row per (command,
     * lost_attempts, landed_version, backoff_ms) — the audit surface
     * the CLI `contention` commands wrap. Rows written by round 16

@@ -679,6 +679,10 @@ object IndexCorpus {
     // by the retention window) drives which snapshots get a stats row
     val chain = Artifacts.history(spark, idx)
       .select(col("version")).collect().map(_.getLong(0)).toSeq
+    // starvation-risk columns (round 17): contention events that
+    // landed at each version + the worst lost-attempt count — in the
+    // audit an operator actually runs, not only under `contention`
+    val cont = Artifacts.contentionByVersion(spark, idx)
     chain.map { v =>
       Artifacts.withPinned(spark, idx, v) {
         val asgn = Artifacts.read(spark, idx, "assignments")
@@ -690,9 +694,11 @@ object IndexCorpus {
               .select(col("id")).distinct()
             (ts.count(), asgn.join(ts, Seq("id"), "left_anti").count())
           } else (0L, nVec)
-        (v, nVec, nTomb, nLive)
+        val (ev, worst) = cont.getOrElse(v, (0L, 0L))
+        (v, nVec, nTomb, nLive, ev, worst)
       }
-    }.toDF("version", "vectors", "tombstones", "live")
+    }.toDF("version", "vectors", "tombstones", "live",
+      "contention_events", "max_lost_attempts")
   }
 
   /** Index INTEGRITY audit (`fsck <indexDir>`), the vector arm of
@@ -854,8 +860,17 @@ object IndexCorpus {
     val chunkRows0 = flags.getOrElse("chunk-rows", "0").toInt
     val chunkRows = if (chunkRows0 > 0) chunkRows0 else Int.MaxValue
 
+    // --max-broadcast-wave N (round 17): --append waves up to N rows
+    // take the broadcast-wave candidate shape (no corpus cache or
+    // shuffle — wave-proportional cost; Similarity.knnGraphAppendPairs'
+    // broadcastWave contract); larger waves keep the shuffle-join +
+    // skew-grid path. Default 500k rows ~ 128 MB of 64-dim floats —
+    // comfortably under executor broadcast budgets at cluster scale.
+    val maxBcastWave = flags.getOrElse("max-broadcast-wave", "500000").toLong
+
     if (flags.getOrElse("append", "false").toBoolean)
-      return graphAppend(spark, idx, in, idCol, vecCol, chunkRows)
+      return graphAppend(spark, idx, in, idCol, vecCol, chunkRows,
+        maxBcastWave)
 
     val deg = flags.getOrElse("deg", "3").toInt
     val bands = flags.getOrElse("bands", "2").toInt
@@ -975,7 +990,8 @@ object IndexCorpus {
 
   private def graphAppend(spark: SparkSession, idx: String, in: String,
       idCol: String, vecCol: String,
-      chunkRows: Int = Int.MaxValue): Seq[(String, Long)] = {
+      chunkRows: Int = Int.MaxValue,
+      maxBcastWave: Long = 500000L): Seq[(String, Long)] = {
     import spark.implicits._
     require(Artifacts.exists(spark, idx, "knn_graph"),
       s"$idx has no knn_graph artifact (run `graph` first)")
@@ -1029,7 +1045,8 @@ object IndexCorpus {
       case _ =>
         val p = graft.Scratch.localCheckpoint(
           graft.ops.Similarity.knnGraphAppendPairs(
-            raw, newIds, idCol, vecCol, tables, minCos, chunkRows))
+            raw, newIds, idCol, vecCol, tables, minCos, chunkRows,
+            broadcastWave = nNew <= maxBcastWave))
         cachedPairs = Some((paramsKey, nNew, newIds, p))
         p
     }

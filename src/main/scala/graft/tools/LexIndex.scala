@@ -342,13 +342,19 @@ object LexIndex {
     // by the retention window) drives which snapshots get a stats row
     val chain = Artifacts.history(spark, idx)
       .select(col("version")).collect().map(_.getLong(0)).toSeq
+    // starvation-risk columns (round 17): contention events that
+    // landed at each version + the worst lost-attempt count — in the
+    // audit an operator actually runs, not only under `contention`
+    val cont = Artifacts.contentionByVersion(spark, idx)
     chain.map { v =>
       val s0 = Artifacts.withPinned(spark, idx, v) {
         Artifacts.read(spark, idx, "stats").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
-      (v, s0("n"), s0("toktot"), s0("avgdl"))
-    }.toDF("version", "n", "toktot", "avgdl")
+      val (ev, worst) = cont.getOrElse(v, (0L, 0L))
+      (v, s0("n"), s0("toktot"), s0("avgdl"), ev, worst)
+    }.toDF("version", "n", "toktot", "avgdl",
+      "contention_events", "max_lost_attempts")
   }
 
   /** Index INTEGRITY audit (`fsck <indexDir>`): one row per invariant

@@ -898,6 +898,19 @@ class IndexCorpusSpec extends AnyFunSuite {
     assert(IndexCorpus.graph(spark,
       Array(idxA, emb, "--append", "true")).head._2 == 0L)
     assert(adjacency(idxA) == adjacency(idxB))
+    // MODE DIFFERENTIAL (round 17): the broadcast-wave shape (the
+    // default above — the wave is tiny) and the shuffle-join + skew
+    // grid shape (--max-broadcast-wave 0 forces it) must produce
+    // value-identical adjacency — only the physical join strategy may
+    // differ between them
+    val idxC = s"$tmp/idxC"
+    IndexCorpus.build(spark, Array(emb, idxC, "--ivf-k", "4"))
+    IndexCorpus.graph(spark, Array(idxC, s"$tmp/old.parquet",
+      "--deg", "3", "--planes", "12", "--bands", "2"))
+    IndexCorpus.graph(spark, Array(idxC, emb, "--append", "true",
+      "--max-broadcast-wave", "0"))
+    assert(adjacency(idxC) == adjacency(idxB),
+      "shuffle-path append diverged from the broadcast-path append")
   }
 
   test("graph tier --filter/--rerank: stratum pre-filter confines the " +
