@@ -862,11 +862,18 @@ object IndexCorpus {
 
     // --max-broadcast-wave N (round 17): --append waves up to N rows
     // take the broadcast-wave candidate shape (no corpus cache or
-    // shuffle — wave-proportional cost; Similarity.knnGraphAppendPairs'
+    // per-table corpus shuffle — Similarity.knnGraphAppendPairs'
     // broadcastWave contract); larger waves keep the shuffle-join +
-    // skew-grid path. Default 500k rows ~ 128 MB of 64-dim floats —
-    // comfortably under executor broadcast budgets at cluster scale.
-    val maxBcastWave = flags.getOrElse("max-broadcast-wave", "500000").toLong
+    // skew-grid path. The default is 64k, set by MEASUREMENT, not by
+    // broadcast-size budget: the broadcast shape also forfeits the
+    // hot-bucket grid split, and GraphAppendProbe measured the
+    // crossover — at a 32k wave the broadcast shape wins (12.1 vs
+    // 15.1 s pair generation at x512), at a 128k wave the skewed
+    // fan-out single-threads scan tasks and loses 3.4x (117.2 vs
+    // 34.8 s at x2048, SCALING.md round 17) — LSH buckets on real
+    // embeddings are heavily non-uniform, so past ~64k new rows the
+    // grid is worth more than the avoided shuffle.
+    val maxBcastWave = flags.getOrElse("max-broadcast-wave", "65536").toLong
 
     if (flags.getOrElse("append", "false").toBoolean)
       return graphAppend(spark, idx, in, idCol, vecCol, chunkRows,
@@ -991,7 +998,7 @@ object IndexCorpus {
   private def graphAppend(spark: SparkSession, idx: String, in: String,
       idCol: String, vecCol: String,
       chunkRows: Int = Int.MaxValue,
-      maxBcastWave: Long = 500000L): Seq[(String, Long)] = {
+      maxBcastWave: Long = 65536L): Seq[(String, Long)] = {
     import spark.implicits._
     require(Artifacts.exists(spark, idx, "knn_graph"),
       s"$idx has no knn_graph artifact (run `graph` first)")
@@ -999,16 +1006,22 @@ object IndexCorpus {
     // snapshot's persisted edges — a concurrent commit makes that
     // derivation stale, so the publish CAS-fails and the MERGE-RANK
     // re-derives from the merged state (commitStructuralWithRetry).
-    // The expensive term — candidate GENERATION against the
-    // cumulative corpus — is cached across attempts (round 16): it
-    // depends only on the input wave, the LSH tables, and the new-id
-    // set, so a lost race against an INGEST (which never touches
-    // graph_ids) reuses the pairs and pays only the wave-sized
-    // merge-rank; the cache invalidates exactly when the new-id set
-    // or the persisted build parameters changed (a competing append
-    // or rebuild). nNewOut carries the wave size out of the closure.
+    // The expensive term — candidate generation + the wave-side
+    // top-deg rank — is cached across attempts (round 16; round 17
+    // caches the RANKED wave adjacency — deg rows per affected node —
+    // instead of the raw pair frame, which at x2048 was 376M rows
+    // whose block-storage pin was itself a scale hazard: evictable
+    // under memory pressure and avoidable, since regenerating the
+    // pairs is a ~35 s map-side pass while pinning them squeezed the
+    // whole executor — GraphAppendProbe round 17): it depends only on
+    // the input wave, the LSH tables, and the new-id set, so a lost
+    // race against an INGEST (which never touches graph_ids) reuses
+    // it and pays only the small merge window; the cache invalidates
+    // exactly when the new-id set or the persisted build parameters
+    // changed (a competing append or rebuild). nNewOut carries the
+    // wave size out of the closure.
     var nNewOut = 0L
-    var cachedPairs: Option[(String, Long, DataFrame, DataFrame)] = None
+    var cachedNewTop: Option[(String, Long, DataFrame, DataFrame)] = None
     try {
       Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
     val meta = Artifacts.read(spark, idx, "graph_meta").collect()
@@ -1038,38 +1051,57 @@ object IndexCorpus {
     if (nNew == 0L) throw EmptyWaveException
 
     val paramsKey = s"$planes|$bands|${meta("min_cos_x1e6")}"
-    val pairs = cachedPairs match {
+    val wDeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cos_x1e6").desc, col("nbr"))
+    // RANKED wave adjacency (round 17): per-node top-deg of the NEW
+    // candidate pairs alone. Exact under truncation — per node,
+    // top-deg(current ∪ all new pairs) = top-deg(current ∪ top-deg(new
+    // pairs)): a candidate outside the wave's own top-deg can never
+    // enter the merged top-deg. The pair frame is deliberately NOT
+    // materialized: the union's two mirror arms regenerate it (a
+    // map-side pass each), which at x2048 measures 101 s for this
+    // whole rank vs 376M rows of block storage the old shape pinned —
+    // and WindowGroupLimit keeps the per-mapper shuffle contribution
+    // at deg rows per node. Only this deg x affected-nodes result is
+    // checkpointed (it feeds affected, the merge window, and the
+    // CAS-retry reuse).
+    val newTop = cachedNewTop match {
       case Some((key, n, ids, df)) if key == paramsKey && n == nNew &&
         newIds.join(ids, Seq("id"), "left_anti").isEmpty =>
-        df // same wave, same tables: the generation is reusable as-is
+        df // same wave, same tables: the ranked generation is reusable
       case _ =>
-        val p = graft.Scratch.localCheckpoint(
-          graft.ops.Similarity.knnGraphAppendPairs(
-            raw, newIds, idCol, vecCol, tables, minCos, chunkRows,
-            broadcastWave = nNew <= maxBcastWave))
-        cachedPairs = Some((paramsKey, nNew, newIds, p))
-        p
+        val p0 = graft.ops.Similarity.knnGraphAppendPairs(
+          raw, newIds, idCol, vecCol, tables, minCos, chunkRows,
+          broadcastWave = nNew <= maxBcastWave)
+        val mirrored = p0
+          .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
+          .unionByName(p0
+            .select(col("id_b").as("id"), col("id_a").as("nbr"),
+              col("cos")))
+          .select(col("id"), col("nbr"),
+            round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"))
+        val t = graft.Scratch.localCheckpoint(
+          mirrored.withColumn("rn", row_number().over(wDeg).cast("long"))
+            .filter(col("rn") <= deg)
+            .select(col("id"), col("nbr"), col("cos_x1e6")))
+        cachedNewTop = Some((paramsKey, nNew, newIds, t))
+        t
     }
-    val mirrored = pairs
-      .select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos"))
-      .unionByName(pairs
-        .select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos")))
-      .select(col("id"), col("nbr"),
-        round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"))
     // affected nodes: every endpoint of a new pair (new nodes + old
-    // nodes whose top-deg may change). Their CURRENT adjacency
-    // (latest version) merges with the new candidates and re-ranks;
+    // nodes whose top-deg may change) — exactly the ids newTop holds
+    // (each has >= 1 candidate). Their CURRENT adjacency (latest
+    // version) merges with the ranked wave candidates and re-ranks;
     // untouched nodes' segments stay byte-identical.
-    val affected = mirrored.select(col("id")).distinct()
+    val affected = newTop.select(col("id")).distinct()
     val current = latestAdjacency(
       Artifacts.read(spark, idx, "knn_graph")
         .join(affected, Seq("id"), "left_semi")
         .select(col("id"), col("nbr"), col("cos_x1e6"), col("ver")))
       .select(col("id"), col("nbr"), col("cos_x1e6"))
-    val wDeg = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("cos_x1e6").desc, col("nbr"))
-    val reRanked = current.unionByName(mirrored)
+    // the merge window runs over <= 2 x deg rows per affected node —
+    // wave-proportional, never corpus- or pair-volume-sized
+    val reRanked = current.unionByName(newTop)
       .withColumn("rn", row_number().over(wDeg).cast("long"))
       .filter(col("rn") <= deg)
       .withColumn("ver", lit(newVer))

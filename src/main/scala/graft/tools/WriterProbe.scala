@@ -34,6 +34,10 @@ import graft.ops.TextOps
   * Usage:
   *   sbt "runMain graft.tools.WriterProbe"              # x1,x8 / W=2,4
   *   SPARK_GRAFT_SCALES=1,8,32 SPARK_GRAFT_WRITERS=2,4,8 sbt "..."
+  *   SPARK_GRAFT_WPROBE=cput sbt "Test/runMain graft.tools.WriterProbe"
+  *     # the cput arm needs the TEST classpath: it races commits on
+  *     # conditional-mode MockS3FileSystem (a test-sources class,
+  *     # referenced here only by name)
   */
 object WriterProbe {
 
@@ -315,6 +319,69 @@ object WriterProbe {
         prevKeep match {
           case Some(k) => spark.conf.set("spark.graft.keepManifests", k)
           case None    => spark.conf.unset("spark.graft.keepManifests")
+        }
+      }
+    }
+    // CPUT arm (round 17): on object stores the scarce commit
+    // resource is CONDITIONAL-PUT ATTEMPTS (request cost +
+    // rate-limit budget), not wall-clock — each lost CAS race burns
+    // one conditional PUT plus a manifest read + re-derive. This arm
+    // prices attempts-per-landed-commit on conditional-mode mocks3 at
+    // W writers x K appends each, with the retry backoff OFF (the
+    // round-16 lockstep behavior) vs ON (the round-17 default seeded
+    // jitter) — the differential the backoff buys, in the store's own
+    // currency. Segments are pre-written so the raced loop body is
+    // pure manifest-CAS traffic (the worst case).
+    if (arms("cput")) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      hconf.set("fs.mocks3.impl",
+        "graft.tools.MockS3FileSystem")
+      hconf.setBoolean("fs.mocks3.impl.disable.cache", true)
+      hconf.setBoolean("fs.mocks3.conditional.enabled", true)
+      val kPer = 4 // appends per writer
+      for (w <- writerCounts; backoffBase <- Seq(0L, 25L)) {
+        val tmp = Files.createTempDirectory(s"writerprobe_cput_$w").toString
+        val idx = s"mocks3://$tmp/idx"
+        val prevKeep = spark.conf.getOption("spark.graft.keepManifests")
+        try {
+          spark.conf.set("spark.graft.conditionalCreate", "true")
+          spark.conf.set("spark.graft.keepManifests", (w + 1).toString)
+          spark.conf.set("spark.graft.retryBackoffMs", backoffBase.toString)
+          val seg0 = Artifacts.writeSegment(spark, idx, "rows",
+            Seq((0L, "base")).toDF("id", "v"))
+          Artifacts.commit(spark, idx, Map("rows" -> Seq(seg0)))
+          val segs = (0 until w * kPer).map(i =>
+            Artifacts.writeSegment(spark, idx, "rows",
+              Seq((100L + i, s"s$i")).toDF("id", "v")))
+          val pool = Executors.newFixedThreadPool(w)
+          val gate = new CountDownLatch(1)
+          val futs = (0 until w).map { t =>
+            pool.submit(new Callable[Unit] {
+              def call(): Unit = {
+                gate.await()
+                for (i <- 0 until kPer)
+                  Artifacts.commitAppendsWithRetry(spark, idx,
+                    Map("rows" -> Seq(segs(t * kPer + i))))
+              }
+            })
+          }
+          val sec = time { gate.countDown(); futs.foreach(_.get()) }
+          pool.shutdown()
+          val landed = w.toLong * kPer
+          require(Artifacts.currentVersion(spark, idx) == landed,
+            "lost commits in the cput storm")
+          val rep = Artifacts.contentionReport(spark, idx)
+            .agg(coalesce(sum(col("lost_attempts")), lit(0L)),
+              coalesce(sum(col("backoff_ms")), lit(0L))).head()
+          val (lost, slept) = (rep.getLong(0), rep.getLong(1))
+          println(f"""[writerprobe] {"probe":"cput_contention","writers":$w,"commits":$landed,"backoff_base_ms":$backoffBase,"lost_attempts":$lost,"attempts_per_landed":${1.0 + lost.toDouble / landed}%.2f,"backoff_slept_ms":$slept,"sec":$sec%.3f}""")
+        } finally {
+          spark.conf.unset("spark.graft.conditionalCreate")
+          spark.conf.unset("spark.graft.retryBackoffMs")
+          prevKeep match {
+            case Some(k) => spark.conf.set("spark.graft.keepManifests", k)
+            case None    => spark.conf.unset("spark.graft.keepManifests")
+          }
         }
       }
     }

@@ -428,6 +428,14 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(aSalted.length == aSalted.toSet.size)
     assert(aSalted.toSet == aPlain.toSet)
+    // broadcast-wave shape (round 17): the wave side broadcasts and
+    // the corpus side stays a map-side scan — same pair set again
+    val aBcast = Similarity.knnGraphAppendPairs(
+      emb, newIds, "vec_id", "embedding", tables, 0.3,
+      broadcastWave = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(aBcast.length == aBcast.toSet.size)
+    assert(aBcast.toSet == aPlain.toSet)
     graft.Scratch.release()
   }
 
