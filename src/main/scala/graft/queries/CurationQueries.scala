@@ -1549,6 +1549,40 @@ object CurationQueries {
       },
       Some(graphSearchOracle)),
 
+    // GRAPH APPEND, SHUFFLE+GRID SHAPE (round 17): q294's scenario
+    // with the broadcast-wave physical shape DISABLED
+    // (`--max-broadcast-wave 0`) and the asymmetric skew grid engaged
+    // (`--chunk-rows 8`) — the path production takes when the append
+    // wave exceeds the measured 64k-row broadcast crossover
+    // (SCALING.md round 17). At driver scale every wave is small, so
+    // without this row the board would only ever exercise the
+    // broadcast shape; both physical shapes must be indistinguishable
+    // through the artifacts and the walk — q314 shares q284's
+    // full-build oracle VERBATIM (the q268/q278/q294 equivalence
+    // discipline), which IS the proof.
+    "q314_graph_append_shuffle_shape" -> Q(
+      (s, dir) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_q314").toString
+        t(s, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(4)) =!= 0)
+          .write.mode("overwrite").parquet(s"$tmp/old.parquet")
+        graft.tools.IndexCorpus.build(s, Array(
+          s"$dir/embeddings.parquet", s"$tmp/idx",
+          "--ivf-k", "4", "--pq-m", "2", "--pq-k", "4", "--iters", "1"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$tmp/old.parquet",
+          "--deg", "3", "--planes", "12", "--bands", "2"))
+        graft.tools.IndexCorpus.graph(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "--append", "true",
+          "--max-broadcast-wave", "0", "--chunk-rows", "8"))
+        graft.tools.IndexCorpus.search(s, Array(
+          s"$tmp/idx", s"$dir/embeddings.parquet", "7",
+          "--k", "5", "--nprobe", "1", "--tier", "graph",
+          "--beam", "6", "--hops", "2"))
+      },
+      Some(graphSearchOracle)),
+
     // SKEW-PARALLEL graph build (`--chunk-rows`): the LSH bucket
     // self-joins split into data-adaptive grid cells — a hot bucket's
     // quadratic pair enumeration spreads over ceil(n/chunk)^2 tasks
