@@ -1161,7 +1161,8 @@ object CurationQueries {
     // dupes, every assigned id PQ-coded exactly once per subspace,
     // no orphaned codes, every code row's denormalized cell agreeing
     // with the assignment, all manifest-listed segments on disk. All
-    // five rows pin at (0, 0) == structural health through the full
+    // six rows (incl. the round-17 contention_strands starvation
+    // count) pin at (0, 0) == structural health through the full
     // mutation history; the oracle is the closed-form zero card,
     // which a corrupted lifecycle (a lost segment, a double ingest, a
     // stale-cell code) would hash-break.
@@ -1190,6 +1191,7 @@ object CurationQueries {
            |UNION ALL SELECT 'codes_cell_mismatch', 0, 0
            |UNION ALL SELECT 'codes_incomplete', 0, 0
            |UNION ALL SELECT 'codes_orphans', 0, 0
+           |UNION ALL SELECT 'contention_strands', 0, 0
            |UNION ALL SELECT 'segments_missing', 0, 0
            |ORDER BY invariant""".stripMargin)),
 

@@ -2729,7 +2729,8 @@ object SelectionQueries {
     // doclens, every id's tf-sum equal to its dl. The oracle
     // re-derives the two value rows (stats_n / stats_toktot) in
     // closed form from the corpus and the command sequence and pins
-    // the three structural rows at zero — so the fsck itself is
+    // the structural rows (incl. the round-17 contention_strands
+    // starvation count) at zero — so the fsck itself is
     // verified, not just executed.
     "q307_lex_index_fsck" -> Q(
       (s, dir) => {
@@ -2754,8 +2755,10 @@ object SelectionQueries {
            |dl AS MATERIALIZED (
            | SELECT id, greatest(len(tt) - 1, 0) AS dl FROM tk),
            |live AS (SELECT * FROM dl WHERE id % 2 = 0)
-           |SELECT 'postings_dl_mismatch' AS invariant,
+           |SELECT 'contention_strands' AS invariant,
            | CAST(0 AS BIGINT) AS observed, CAST(0 AS BIGINT) AS expected
+           |UNION ALL
+           |SELECT 'postings_dl_mismatch', 0, 0
            |UNION ALL
            |SELECT 'postings_tf_sum_mismatch', 0, 0
            |UNION ALL

@@ -1422,6 +1422,20 @@ object Artifacts {
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  /** Stranded commands among the retained contention events (round
+    * 17): a strand (landed_version -1) is a writer that exhausted its
+    * retry budget and FAILED — it attaches to no version, so
+    * [[contentionByVersion]]'s history columns can never show it. The
+    * `fsck` commands surface this count as a `contention_strands`
+    * invariant (expected 0): a non-zero reading in the integrity
+    * audit means work was lost to sustained write contention and the
+    * operator should widen `spark.graft.structuralRetries` or
+    * re-schedule the stranded command off-peak.
+    */
+  def contentionStrands(spark: SparkSession, idx: String): Long =
+    contentionReport(spark, idx)
+      .filter(col("landed_version") === -1L).count()
+
   /** The retained contention events, one row per (command,
     * lost_attempts, landed_version, backoff_ms) — the audit surface
     * the CLI `contention` commands wrap. Rows written by round 16

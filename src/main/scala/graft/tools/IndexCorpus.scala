@@ -765,7 +765,11 @@ object IndexCorpus {
           Seq("assignment_dupes", "codes_cell_mismatch",
             "codes_incomplete", "codes_orphans").map((_, -1L, 0L))
       }
-    (("segments_missing", missing, 0L) +: valueRows)
+    // strands read the telemetry files alone — computable even when
+    // content artifacts are lost, so they sit outside the try
+    val strands = Artifacts.contentionStrands(spark, idx)
+    (("segments_missing", missing, 0L) +:
+      ("contention_strands", strands, 0L) +: valueRows)
       .toDF("invariant", "observed", "expected")
       .orderBy(col("invariant"))
   }

@@ -436,7 +436,11 @@ object LexIndex {
           Seq("postings_dl_mismatch", "postings_tf_sum_mismatch",
             "stats_n", "stats_toktot").map((_, -1L, 0L))
       }
-    (("segments_missing", missing, 0L) +: valueRows)
+    // strands read the telemetry files alone — computable even when
+    // content artifacts are lost, so they sit outside the try
+    val strands = Artifacts.contentionStrands(spark, idx)
+    (("segments_missing", missing, 0L) +:
+      ("contention_strands", strands, 0L) +: valueRows)
       .toDF("invariant", "observed", "expected")
       .orderBy(col("invariant"))
   }

@@ -176,7 +176,7 @@ class IndexCorpusSpec extends AnyFunSuite {
     def fsckMap() = IndexCorpus.fsck(spark, Array(idx)).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val healthy = fsckMap()
-    assert(healthy.size == 5)
+    assert(healthy.size == 6) // incl. contention_strands (round 17)
     assert(healthy.values.forall { case (o, e) => o == e && o == 0L },
       s"healthy index failed fsck: $healthy")
 

@@ -311,7 +311,7 @@ class LexIndexSpec extends AnyFunSuite {
     LexIndex.delete(spark, Array(idx, s"$tmp/del.parquet"))
     val rows = LexIndex.fsck(spark, Array(idx)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(rows.size == 5)
+    assert(rows.size == 6) // incl. contention_strands (round 17)
     assert(rows.forall { case (_, o, e) => o == e },
       s"healthy index failed fsck: $rows")
     // docs 0,1,3 live: n=3, toktot=2+4+4=10
