@@ -441,6 +441,98 @@ object Artifacts {
       .parquet(segs.map(s => s"$root/$s"): _*))
   }
 
+  /** Driver-side collect of a CATALOG-SIZED artifact (stats, summary,
+    * graph_meta, centroids, codebooks, sq8 ranges, radii — frames
+    * bounded by construction at k·dims / m·k·sub / key-value rows,
+    * never by the corpus): reads the segment part files directly
+    * through parquet-mr on the driver. Round-17 optimization: these
+    * artifacts are read-and-collected by almost every command (a
+    * single `search` resolved centroids + summary + ranges as THREE
+    * separate Spark jobs, each paying scheduling + planning for a
+    * sub-kilobyte file), and the guide's driver rule (§5) cuts the
+    * other way for metadata-class state — a bounded catalog file is
+    * exactly what a driver SHOULD read itself, the way snapshot table
+    * formats read their commit metadata. Resolution is identical to
+    * [[read]]: current manifest honoring [[withPinned]], legacy flat
+    * dir fallback. `cols` selects fields by name; values come back as
+    * Long (INT64/INT32), String (BINARY/UTF8) or Double, null for an
+    * absent field.
+    */
+  private def smallRows(spark: SparkSession, idx: String, name: String,
+      segsOpt: Option[Seq[String]], cols: Seq[String]): Seq[Array[Any]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val f = fs(spark, idx)
+    val root = s"$idx/$name"
+    val dirs: Seq[Path] = segsOpt
+      .orElse(currentManifest(spark, idx).map(_._2.getOrElse(name,
+        sys.error(s"artifact $name not in manifest of $idx")))) match {
+      case Some(segs) =>
+        require(segs.nonEmpty, s"artifact $name has no segments in $idx")
+        segs.map(s => new Path(s"$root/$s"))
+      case None => Seq(new Path(root)) // legacy flat index
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[Array[Any]]
+    dirs.flatMap(d => listPartFiles(f, d)).foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val fi = cols.map(schema.getFieldIndex(_))
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val rr = new org.apache.parquet.io.ColumnIOFactory()
+            .getColumnIO(schema).getRecordReader(pages,
+              new org.apache.parquet.example.data.simple.convert
+                .GroupRecordConverter(schema))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            out += fi.map { j =>
+              if (g.getFieldRepetitionCount(j) == 0) null
+              else schema.getType(j).asPrimitiveType().getPrimitiveTypeName match {
+                case INT64  => java.lang.Long.valueOf(g.getLong(j, 0))
+                case INT32  => java.lang.Long.valueOf(g.getInteger(j, 0).toLong)
+                case BINARY => g.getBinary(j, 0).toStringUsingUTF8
+                case DOUBLE => java.lang.Double.valueOf(g.getDouble(j, 0))
+                case other  => sys.error(
+                  s"collectSmall($name): unsupported parquet type $other")
+              }
+            }.toArray
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
+  /** Driver-side key -> value map of a (key STRING, value LONG)
+    * catalog artifact (stats, summary, graph_meta) — see [[smallRows]].
+    */
+  def collectKV(spark: SparkSession, idx: String, name: String)
+      : Map[String, Long] =
+    smallRows(spark, idx, name, None, Seq("key", "value")).map { a =>
+      a(0).asInstanceOf[String] -> a(1).asInstanceOf[java.lang.Long].longValue()
+    }.toMap
+
+  /** Driver-side collect of the named ALL-LONG columns of a
+    * catalog-sized artifact — see [[smallRows]].
+    */
+  def collectLongs(spark: SparkSession, idx: String, name: String,
+      cols: Seq[String]): Seq[Array[Long]] =
+    smallRows(spark, idx, name, None, cols)
+      .map(_.map(_.asInstanceOf[java.lang.Long].longValue()))
+
+  /** [[collectLongs]] over an explicit segment list (the pending-
+    * segment form mutating commands use mid-derivation).
+    */
+  def collectLongsSegs(spark: SparkSession, idx: String, name: String,
+      segs: Seq[String], cols: Seq[String]): Seq[Array[Long]] =
+    smallRows(spark, idx, name, Some(segs), cols)
+      .map(_.map(_.asInstanceOf[java.lang.Long].longValue()))
+
   private def normalize(df: DataFrame): DataFrame = {
     val noSeg = if (df.columns.contains("seg")) df.drop("seg") else df
     Seq("cell", "tb", "gb", "cb").foldLeft(noSeg) { (d, c) =>
@@ -552,7 +644,47 @@ object Artifacts {
     * `key=0` dir when bucketed so partition discovery stays uniform).
     */
   def writeSegment(spark: SparkSession, idx: String, name: String,
-      df: DataFrame, bucket: Option[Bucket] = None): String = {
+      df: DataFrame, bucket: Option[Bucket] = None): String =
+    writeSegmentObserved(spark, idx, name, df, bucket)._1
+
+  /** [[writeSegment]] capturing the written ROW COUNT (plus optional
+    * extra aggregates, e.g. a column sum) DURING the write itself via
+    * `Dataset.observe` — the round-17 optimization-guide fix for the
+    * read-back pattern (guide §1.2: don't compute things you throw
+    * away): every `write(df); readBack.count()` pair was re-reading
+    * an artifact that the write pass had just fully materialized,
+    * which at 100 TB is a second full scan of fresh output purely to
+    * learn a number the write already knew. The observe node rides
+    * the write's own pass; no extra job, no extra scan, exact
+    * (IndexCorpusSpec/LexIndexSpec pin the returned counts).
+    * Returns (segment dir, row count, extra metric values in order;
+    * a null aggregate — e.g. sum over zero rows — surfaces as null).
+    */
+  def writeSegmentCounted(spark: SparkSession, idx: String, name: String,
+      df: DataFrame, bucket: Option[Bucket] = None,
+      extra: Seq[Column] = Nil): (String, Long, Seq[Any]) = {
+    val (seg, obs) = writeSegmentObserved(spark, idx, name, df, bucket,
+      observe = true, extra)
+    val m = obs.get // the write action completed; metrics are posted
+    val rows = m("rows") match {
+      case l: java.lang.Long => l.longValue()
+      case other => sys.error(s"unexpected observed count: $other")
+    }
+    (seg, rows, extra.indices.map(i => m.getOrElse(s"x$i", null)))
+  }
+
+  private def writeSegmentObserved(spark: SparkSession, idx: String,
+      name: String, df0: DataFrame, bucket: Option[Bucket],
+      observe: Boolean = false, extra: Seq[Column] = Nil)
+      : (String, org.apache.spark.sql.Observation) = {
+    val obs =
+      if (observe) new org.apache.spark.sql.Observation(
+        s"graft-seg-${java.util.UUID.randomUUID()}")
+      else null
+    val df =
+      if (!observe) df0
+      else df0.observe(obs, count(lit(1)).as("rows"),
+        extra.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
     val n = claimSegNo(spark, idx, name)
     val staged = s"$idx/$name/.seg-$n"
     val f = fs(spark, idx)
@@ -589,7 +721,7 @@ object Artifacts {
     val segName = s"seg=$n"
     require(f.rename(new Path(staged), new Path(s"$idx/$name/$segName")),
       s"rename failed for $staged")
-    segName
+    (segName, obs)
   }
 
   /** Single-partition empty frame with `df`'s schema — guarantees one
@@ -1729,18 +1861,21 @@ object Artifacts {
     // guard; the dress-rehearsal spec drives both sides)
     assertClaimCapable(spark, dst, fs(spark, dst))
     val sortOf = Map("tb" -> "t", "cb" -> "cell", "gb" -> "id")
+    // counted writes (round 17): the per-artifact row counts ride the
+    // rewrite pass itself — the previous shape re-READ every exported
+    // artifact post-commit just to report its size (a second full
+    // pass over a corpus-sized export)
     val written = m.toSeq.sortBy(_._1).collect {
       case (name, segs) if segs.nonEmpty =>
         val df = readSegs(spark, src, name, segs)
         val bucket = df.columns.find(sortOf.contains).map { b =>
           Bucket(b, col(b), Seq(sortOf(b)).filter(df.columns.contains))
         }
-        name -> writeSegment(spark, dst, name, df, bucket)
+        val (seg, rows, _) = writeSegmentCounted(spark, dst, name, df, bucket)
+        (name, seg, rows)
     }
-    commit(spark, dst, written.map { case (n, s) => n -> Seq(s) }.toMap)
-    written.map { case (n, _) =>
-      n -> read(spark, dst, n).count()
-    }
+    commit(spark, dst, written.map { case (n, s, _) => n -> Seq(s) }.toMap)
+    written.map { case (n, _, rows) => n -> rows }
   }
 
   /** Physical integrity of the CURRENT manifest: (listed, missing)

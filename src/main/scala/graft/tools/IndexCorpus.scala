@@ -207,11 +207,8 @@ object IndexCorpus {
 
   private def graphBucketsOf(spark: SparkSession, idx: String): Long =
     if (!Artifacts.exists(spark, idx, "graph_meta")) graphBuckets
-    else Artifacts.read(spark, idx, "graph_meta")
-      .filter(col("key") === "gbuckets")
-      .select(col("value").cast("long").as("value"))
-      .collect().headOption.map(_.getAs[Long]("value"))
-      .getOrElse(graphBuckets)
+    else Artifacts.collectKV(spark, idx, "graph_meta")
+      .getOrElse("gbuckets", graphBuckets)
 
   /** Summary lookup BY NAME (key filter + named value column — the
     * round-12 advisory was a positional `getLong(1)` silently bound
@@ -220,15 +217,16 @@ object IndexCorpus {
     * keep their JSON readable.
     */
   private def summaryVal(spark: SparkSession, idx: String,
-      key: String): Option[Long] = {
-    val df =
-      if (Artifacts.manifested(spark, idx))
-        Artifacts.read(spark, idx, "summary")
-      else spark.read.json(s"$idx/summary")
-    df.filter(col("key") === key)
+      key: String): Option[Long] =
+    if (Artifacts.manifested(spark, idx))
+      // driver-side catalog read (round 17) — the summary is a
+      // handful of key/value rows; resolving it as a Spark job paid
+      // scheduling + planning on every command that consulted a knob
+      Artifacts.collectKV(spark, idx, "summary").get(key)
+    else spark.read.json(s"$idx/summary")
+      .filter(col("key") === key)
       .select(col("value").cast("long").as("value"))
       .collect().headOption.map(_.getAs[Long]("value"))
-  }
 
   private def summaryFlag(spark: SparkSession, idx: String,
       key: String): Boolean = summaryVal(spark, idx, key).contains(1L)
@@ -277,8 +275,13 @@ object IndexCorpus {
         spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
           .distinct()
           .join(live, Seq("id"), "left_semi"))
-      nDel = doomed.count()
-      val pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+      // counted write (round 17): the deleted-row count rides the
+      // tombstone write instead of a separate pre-write count job
+      val (segT, n, _) = Artifacts.writeSegmentCounted(
+        spark, idx, "tombstones", doomed)
+      nDel = n
+      val pend = Map("tombstones" ->
+        (Artifacts.segmentsOf(spark, idx, "tombstones") :+ segT))
       Artifacts.merged(spark, idx, pend)
     }
     Artifacts.vacuum(spark, idx)
@@ -406,11 +409,22 @@ object IndexCorpus {
       SemDedup.microsVec(col("v")).as("mv"))
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
+    // counted writes (round 17): the returned/summary row counts are
+    // captured DURING each segment write (Dataset.observe) — the
+    // previous shape re-read every artifact it had just written as a
+    // separate count job (8-9 extra jobs per build; at scale a second
+    // full pass over fresh output). Catalog-sized frames built from
+    // driver-local Seqs additionally coalesce(1): a LocalRelation
+    // write otherwise fans a 256-row centroid table across
+    // defaultParallelism tasks — 32 part files whose per-file
+    // open/footer cost is pure overhead on every later read (guide
+    // §6, small files).
     def write(name: String, df: DataFrame,
         bucket: Option[Artifacts.Bucket] = None): Unit = {
-      pend = Artifacts.withReplaced(spark, out, pend, name, df, bucket)
-      written += (name ->
-        Artifacts.readSegs(spark, out, name, pend(name)).count())
+      val (seg, rows, _) =
+        Artifacts.writeSegmentCounted(spark, out, name, df, bucket)
+      pend += name -> Seq(seg)
+      written += (name -> rows)
     }
 
     // IVF router: full-dim fixed-point cells + assignments + per-cell
@@ -420,14 +434,14 @@ object IndexCorpus {
     val cells = SemDedup.lloyd(base, ivfK, dims, iters)
     write("ivf_centroids", cells.zipWithIndex.flatMap { case (c, j) =>
       c.zipWithIndex.map { case (v, i) => (j.toLong, i.toLong, v) }
-    }.toSeq.toDF("cell", "i", "c"))
+    }.toSeq.toDF("cell", "i", "c").coalesce(1))
     val asgnAll = graft.Scratch.cache(SemDedup.assignDist(base, cells))
     val cellOf = asgnAll
       .select(col("id"), col("cluster").cast("long").as("cell"))
     write("assignments", cellOf, cellBucket())
     write("ivf_radii", asgnAll
       .groupBy(col("cluster").cast("long").as("cell"))
-      .agg(max(col("d")).as("r2")))
+      .agg(max(col("d")).as("r2")).coalesce(1))
 
     // Encoding input: raw vectors, or residuals against the cell
     // centroid (one broadcast join + a zip_with — still one narrow
@@ -461,7 +475,7 @@ object IndexCorpus {
           (s.toLong, j.toLong, i.toLong, v)
         }
       }
-    }.toDF("s", "j", "i", "c"))
+    }.toDF("s", "j", "i", "c").coalesce(1))
     write("pq_codes", (0 until pqM).map { s =>
       SemDedup.assignDist(slices(s), books(s))
         .select(col("id"), lit(s.toLong).as("s"),
@@ -479,6 +493,7 @@ object IndexCorpus {
         .groupBy(col("i"))
         .agg(min(col("m")).as("lo"), (max(col("m")) - min(col("m"))).as("wd"))
         .select(col("i").cast("long").as("i"), col("lo"), col("wd"))
+        .coalesce(1) // dims rows — one file, one footer
       write("sq8_ranges", rangesDf)
       val (lo, wd) = rangeArrays(spark, out, dims, pend)
       // ONE BYTE per dimension on disk (64 B/vector at dims = 64 —
@@ -498,7 +513,7 @@ object IndexCorpus {
         ("iters", iters), ("residual", if (residual) 1 else 0),
         ("sq8", if (sq8) 1 else 0), ("cbuckets", cellBuckets.toInt))
         .map { case (k, v) => (k, v.toLong) } ++ res)
-        .toDF("key", "value"))
+        .toDF("key", "value").coalesce(1))
     Artifacts.commit(spark, out, pend)
     refresh(spark, out)
     res
@@ -510,16 +525,18 @@ object IndexCorpus {
   private def rangeArrays(spark: SparkSession, idx: String, dims: Int,
       pend: Map[String, Seq[String]] = Map.empty)
       : (Array[Long], Array[Long]) = {
-    val rows = (pend.get("sq8_ranges") match {
-      case Some(segs) => Artifacts.readSegs(spark, idx, "sq8_ranges", segs)
-      case None       => Artifacts.read(spark, idx, "sq8_ranges")
-    }).collect()
+    val cols = Seq("i", "lo", "wd")
+    val rows = pend.get("sq8_ranges") match {
+      case Some(segs) =>
+        Artifacts.collectLongsSegs(spark, idx, "sq8_ranges", segs, cols)
+      case None => Artifacts.collectLongs(spark, idx, "sq8_ranges", cols)
+    }
     val lo = new Array[Long](dims)
     val wd = new Array[Long](dims)
     rows.foreach { r =>
-      val i = r.getAs[Long]("i").toInt
-      lo(i) = r.getAs[Long]("lo")
-      wd(i) = r.getAs[Long]("wd")
+      val i = r(0).toInt
+      lo(i) = r(1)
+      wd(i) = r(2)
     }
     (lo, wd)
   }
@@ -597,15 +614,20 @@ object IndexCorpus {
     // either order. validateRebase aborts if a competitor ingested (or
     // tombstoned) any of OUR ids meanwhile — merging would
     // double-index them.
-    var deltas = Map("assignments" ->
-      Seq(Artifacts.writeSegment(spark, idx, "assignments", asgn, cbIngest)))
+    // counted write (round 17): the ingested-row count rides the
+    // assignments write — the previous `asgn.count()` was one more
+    // job over the cached frame
+    val (segAsgn, nIngested, _) = Artifacts.writeSegmentCounted(
+      spark, idx, "assignments", asgn, cbIngest)
+    var deltas = Map("assignments" -> Seq(segAsgn))
     // an ingested vector may sit FARTHER from its cell centroid than
     // any built one — append the per-cell max so the exact tier's
     // pruning bound stays an overestimate (search maxes per cell at
     // read time; appends never race a rewrite)
     if (Artifacts.exists(spark, idx, "ivf_radii"))
       deltas += "ivf_radii" -> Seq(Artifacts.writeSegment(spark, idx,
-        "ivf_radii", asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2"))))
+        "ivf_radii", asgnD.groupBy(col("cell")).agg(max(col("d")).as("r2"))
+          .coalesce(1)))
 
     val encBase =
       if (!residual) base
@@ -639,7 +661,7 @@ object IndexCorpus {
           .join(asgn, Seq("id"))
           .select(col("id"), col("codes"), col("cell")), cbIngest))
     }
-    val n = asgn.count()
+    val n = nIngested
     val mySeg = deltas("assignments")
     Artifacts.commitAppendsWithRetry(spark, idx, deltas,
       validateRebase = () => {
@@ -807,21 +829,27 @@ object IndexCorpus {
     res
   }
 
-  /** cell -> centroid long array, from the persisted frame. */
+  /** cell -> centroid long array, from the persisted frame
+    * (driver-side catalog read — ivf_k x dims rows).
+    */
   private def centroidArrays(spark: SparkSession, idx: String)
       : Array[Array[Long]] =
-    Artifacts.read(spark, idx, "ivf_centroids").collect()
-      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
-        rows.sortBy(_.getLong(1)).map(_.getLong(2))
+    Artifacts.collectLongs(spark, idx, "ivf_centroids",
+      Seq("cell", "i", "c"))
+      .groupBy(_(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_(1)).map(_(2)).toArray
       }.toArray
 
-  /** s -> code -> codebook entry long array. */
+  /** s -> code -> codebook entry long array (driver-side catalog
+    * read — m x k x sub rows).
+    */
   private def codebookArrays(spark: SparkSession, idx: String)
       : Array[Array[Array[Long]]] =
-    Artifacts.read(spark, idx, "pq_codebooks").collect()
-      .groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
-        rows.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
-          rs.sortBy(_.getLong(2)).map(_.getLong(3))
+    Artifacts.collectLongs(spark, idx, "pq_codebooks",
+      Seq("s", "j", "i", "c"))
+      .groupBy(_(0)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.groupBy(_(1)).toSeq.sortBy(_._1).map { case (_, rs) =>
+          rs.sortBy(_(2)).map(_(3)).toArray
         }.toArray
       }.toArray
 
@@ -921,8 +949,13 @@ object IndexCorpus {
         round(col("cos") * lit(1000000d)).cast("long").as("cos_x1e6"),
         col("rn").cast("long").as("rn"),
         lit(0L).as("ver"))
-    var pend = Artifacts.withReplaced(spark, idx, Map(), "knn_graph",
-      edges, graphBucket(gB))
+    // counted write (round 17): the edge count the command reports
+    // rides the segment write — the previous shape re-read the whole
+    // knn_graph artifact post-commit as a separate count job (the
+    // engine's largest derived artifact, scanned twice per build)
+    val (segEdges, edgeRows, _) = Artifacts.writeSegmentCounted(
+      spark, idx, "knn_graph", edges, graphBucket(gB))
+    var pend: Map[String, Seq[String]] = Map("knn_graph" -> Seq(segEdges))
     // the coverage manifest: which ids the graph has CONSIDERED —
     // --append's new set is the input minus this, so repeated appends
     // stay wave-proportional
@@ -933,11 +966,11 @@ object IndexCorpus {
       ("deg", deg.toLong), ("planes", planes.toLong),
       ("bands", bands.toLong), ("gbuckets", gB),
       ("min_cos_x1e6", math.round(minCos * 1000000d)), ("gver", 0L))
-      .toDF("key", "value"))
+      .toDF("key", "value").coalesce(1))
     Artifacts.commitReplaceWithRetry(spark, idx, pend)
     Artifacts.vacuum(spark, idx)
     refresh(spark, idx)
-    Seq("knn_graph" -> Artifacts.read(spark, idx, "knn_graph").count())
+    Seq("knn_graph" -> edgeRows)
   }
 
   /** Auto-sized LSH resolution (round 16): planes = bands x
@@ -1028,8 +1061,7 @@ object IndexCorpus {
     var cachedNewTop: Option[(String, Long, DataFrame, DataFrame)] = None
     try {
       Artifacts.commitStructuralWithRetry(spark, idx) { _ =>
-    val meta = Artifacts.read(spark, idx, "graph_meta").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val meta = Artifacts.collectKV(spark, idx, "graph_meta")
     require(meta.contains("gver"),
       s"$idx's graph predates --append support (re-run `graph` to enable)")
     val deg = meta("deg").toInt
@@ -1114,7 +1146,7 @@ object IndexCorpus {
     pend = Artifacts.withAppended(spark, idx, pend, "graph_ids",
       newIds, graphBucket(gB))
     pend = Artifacts.withReplaced(spark, idx, pend, "graph_meta",
-      (meta + ("gver" -> newVer)).toSeq.toDF("key", "value"))
+      (meta + ("gver" -> newVer)).toSeq.toDF("key", "value").coalesce(1))
     Artifacts.merged(spark, idx, pend)
       }
     } catch {
@@ -1213,9 +1245,12 @@ object IndexCorpus {
         "--tier exact composes with neither --filter nor --rerank")
       require(Artifacts.exists(spark, idx, "ivf_radii"),
         s"$idx has no ivf_radii artifact (rebuild to enable --tier exact)")
-      val r2 = Artifacts.read(spark, idx, "ivf_radii")
-        .groupBy(col("cell")).agg(max(col("r2")).as("r2"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side catalog read + fold: radii are one row per cell
+      // per ingest wave — catalog-sized; the max-per-cell fold is
+      // driver math, not a Spark aggregate job
+      val r2 = Artifacts.collectLongs(spark, idx, "ivf_radii",
+        Seq("cell", "r2"))
+        .groupBy(_(0)).map { case (c, rows) => c -> rows.map(_(1)).max }
       val dc = cents.toSeq.map { case (j, c) => j -> l2(pv, 0, c) }
       def score(cellIds: Seq[Long]): DataFrame = {
         val m0 = restrictCells(

@@ -44,8 +44,11 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         starts.synchronized {
-          val site = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
+          // the action's call site arrives as the job's result-stage
+          // name (callSite.short), e.g. "count at IndexCorpus.scala:413"
+          val site = e.stageInfos.lastOption.map(_.name)
+            .orElse(Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
           starts(e.jobId) = (e.time, site)
         }

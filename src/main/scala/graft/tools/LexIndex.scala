@@ -191,10 +191,20 @@ object LexIndex {
       toks.groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
     var pend = Map.empty[String, Seq[String]]
     val written = Seq.newBuilder[(String, Long)]
+    // counted writes (round 17): every row count — and the two stats
+    // scalars — is captured DURING the segment write it describes
+    // (Dataset.observe), replacing one read-back count job per
+    // artifact plus a docs.count() pass and a doclens re-aggregate
+    // (4 extra jobs per build; at scale, second scans of output the
+    // write pass had just materialized)
     def write(name: String, df: DataFrame,
-        bucket: Option[Artifacts.Bucket] = None): Unit = {
-      pend += name -> Seq(Artifacts.writeSegment(spark, out, name, df, bucket))
-      written += (name -> rd(spark, out, name, pend).count())
+        bucket: Option[Artifacts.Bucket] = None,
+        extra: Seq[org.apache.spark.sql.Column] = Nil): Seq[Any] = {
+      val (seg, rows, xs) =
+        Artifacts.writeSegmentCounted(spark, out, name, df, bucket, extra)
+      pend += name -> Seq(seg)
+      written += (name -> rows)
+      xs
     }
     // the document length DENORMALIZES into every posting row (dl,
     // appended last — positional readers unaffected): search then
@@ -205,24 +215,27 @@ object LexIndex {
     write("postings", postings0.join(dlDf, Seq("id"))
       .select(col("t"), col("id"), col("tf"), col("dl")),
       Some(termBucket(buckets)))
-    write("doclens", dlDf)
+    // toktot observes as sum(dl) on the doclens write; a ZERO-DOC
+    // build (the legitimate bootstrap of the streaming ingest path —
+    // q275 builds empty, then micro-batches populate via ingestFrame)
+    // observes a null sum -> 0
+    val toktot = write("doclens", dlDf, extra = Seq(sum(col("dl")))) match {
+      case Seq(l: java.lang.Long) => l.longValue()
+      case Seq(null)              => 0L
+      case other => sys.error(s"unexpected observed toktot: $other")
+    }
     // the doc-id MANIFEST: every ingested id, including zero-token
     // documents (text shorter than the gram) that never reach
     // doclens — update's dedup anti-joins THIS, not doclens, so
     // re-ingesting an empty doc can't double-count n / avgdl's
-    // denominator
+    // denominator. Its observed count IS the document count.
     write("docids", docs.select(col(idCol).cast("long").as("id")))
-    val n = docs.count()
-    // coalesce: a ZERO-DOC build is the legitimate bootstrap of the
-    // streaming ingest path (q275 builds empty, then micro-batches
-    // populate via ingestFrame)
-    val toktot = rd(spark, out, "doclens", pend)
-      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    val n = written.result().collectFirst { case ("docids", c) => c }.get
     write("stats", Seq(
       ("n", n), ("toktot", toktot),
       ("avgdl", if (n > 0) toktot / n else 0L), ("gram", gram.toLong),
       ("buckets", buckets))
-      .toDF("key", "value"))
+      .toDF("key", "value").coalesce(1))
     Artifacts.commit(spark, out, pend)
     refresh(spark, out)
     written.result()
@@ -266,8 +279,7 @@ object LexIndex {
     GraftSession.tune(spark)
     Artifacts.requireManifest(spark, idx)
 
-    val stats0 = Artifacts.read(spark, idx, "stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats0 = Artifacts.collectKV(spark, idx, "stats")
     val gram = stats0("gram").toInt
     val buckets = stats0.getOrElse("buckets", 16L)
     // localCheckpoint cuts lineage back to the artifacts this command
@@ -280,7 +292,6 @@ object LexIndex {
       docs
         .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
         .join(known, Seq("id"), "left_anti"))
-    val nNew = fresh.count()
     val newPostings = graft.Scratch.cache(fresh
       .select(col("id"), explode(TextOps.ngrams(col("text"), gram)).as("t"))
       .groupBy(col("t"), col("id")).agg(count(lit(1)).as("tf")))
@@ -302,8 +313,11 @@ object LexIndex {
         .select(col("t"), col("id"), col("tf"), col("dl")),
       Some(termBucket(buckets)))
     val segD = Artifacts.writeSegment(spark, idx, "doclens", newDl)
-    val segI = Artifacts.writeSegment(spark, idx, "docids",
-      fresh.select(col("id")))
+    // counted write (round 17): the ingested-row count rides the
+    // docids write — the previous fresh.count() was a separate
+    // materialization pass over the checkpointed batch
+    val (segI, nNew, _) = Artifacts.writeSegmentCounted(spark, idx,
+      "docids", fresh.select(col("id")))
     val deltas = Map("postings" -> Seq(segP), "doclens" -> Seq(segD),
       "docids" -> Seq(segI))
     Artifacts.commitAppendsWithRetry(spark, idx, deltas,
@@ -348,8 +362,7 @@ object LexIndex {
     val cont = Artifacts.contentionByVersion(spark, idx)
     chain.map { v =>
       val s0 = Artifacts.withPinned(spark, idx, v) {
-        Artifacts.read(spark, idx, "stats").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Artifacts.collectKV(spark, idx, "stats")
       }
       val (ev, worst) = cont.getOrElse(v, (0L, 0L))
       (v, s0("n"), s0("toktot"), s0("avgdl"), ev, worst)
@@ -405,8 +418,7 @@ object LexIndex {
     // the segments_missing row carries the diagnosis
     val valueRows: Seq[(String, Long, Long)] =
       try {
-        val stats0 = Artifacts.read(spark, idx, "stats").collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val stats0 = Artifacts.collectKV(spark, idx, "stats")
         val live = graft.Scratch.cache(liveIds(spark, idx, Map.empty))
         val nLive = live.count()
         val tokLive = Artifacts.read(spark, idx, "doclens")
@@ -516,8 +528,13 @@ object LexIndex {
         spark.read.parquet(in).select(col(idCol).cast("long").as("id"))
           .distinct()
           .join(liveIds(spark, idx, Map()), Seq("id"), "left_semi"))
-      nDel = doomed.count()
-      var pend = Artifacts.withAppended(spark, idx, Map(), "tombstones", doomed)
+      // counted write (round 17): the deleted-row count rides the
+      // tombstone write instead of a separate pre-write count job
+      val (segT, n, _) = Artifacts.writeSegmentCounted(
+        spark, idx, "tombstones", doomed)
+      nDel = n
+      var pend: Map[String, Seq[String]] = Map("tombstones" ->
+        (Artifacts.segmentsOf(spark, idx, "tombstones") :+ segT))
       pend = Artifacts.withReplaced(spark, idx, pend, "stats",
         statsFrame(spark, idx, pend))
       Artifacts.merged(spark, idx, pend)
@@ -588,8 +605,7 @@ object LexIndex {
         Artifacts.readSegs(spark, idx, "tombstones", baseMap("tombstones"))
           .select(col("id")).distinct()))
       else None
-    val stats0 = Artifacts.read(spark, idx, "stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats0 = Artifacts.collectKV(spark, idx, "stats")
     val buckets = stats0.getOrElse("buckets", 16L)
 
     // content artifacts: postings/doclens filter the tombstones,
@@ -637,8 +653,7 @@ object LexIndex {
   private def statsFrame(spark: SparkSession, idx: String,
       pending: Map[String, Seq[String]]): DataFrame = {
     import spark.implicits._
-    val stats0 = rd(spark, idx, "stats", Map()).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats0 = Artifacts.collectKV(spark, idx, "stats")
     val live = graft.Scratch.cache(liveIds(spark, idx, pending))
     val n = live.count()
     val toktot = rd(spark, idx, "doclens", pending)
@@ -647,7 +662,7 @@ object LexIndex {
     Seq(("n", n), ("toktot", toktot),
       ("avgdl", if (n > 0) toktot / n else 0L), ("gram", stats0("gram")),
       ("buckets", stats0.getOrElse("buckets", 16L)))
-      .toDF("key", "value")
+      .toDF("key", "value").coalesce(1)
   }
 
   /** Search the persisted index with a raw query string: tokenize it
@@ -687,26 +702,32 @@ object LexIndex {
     GraftSession.tune(spark)
     import spark.implicits._
 
-    val stats = Artifacts.read(spark, idx, "stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = Artifacts.collectKV(spark, idx, "stats")
     val n = stats("n")
     val avgdl = stats("avgdl")
     val gram = stats("gram").toInt
     val buckets = stats.getOrElse("buckets", 16L)
-    // tokenize the query string with the same kernel the index used,
-    // deriving each term's bucket in the same tiny job; a handful of
-    // (term, bucket) pairs collects to the driver so both inline into
-    // the scan predicates
-    val termRows = Seq(query).toDF("text")
-      .select(explode(array_distinct(TextOps.ngrams(col("text"), gram)))
-        .as("t"))
-      .select(col("t"), pmod(hash(col("t")), lit(buckets)).as("tb"))
-      .collect()
-    val terms = termRows.map(_.getString(0)).toSeq
+    // tokenize the query string ON THE DRIVER with the same kernel
+    // the index used (round 17: the previous shape ran a one-row
+    // Spark job per search just to split a query string — pure
+    // scheduling overhead on the serve path). The bucket derives from
+    // the SAME catalyst Murmur3Hash expression the build partitioned
+    // with, evaluated directly, so build/search bucketing can never
+    // diverge.
+    val terms = graft.ops.TextKernels.ngrams(query, gram, distinct = true)
+      .map(_.toString).toSeq
     if (terms.isEmpty)
       // a query shorter than the gram has no terms, hence no candidates
       return spark.range(0).select(col("id"), col("id").as("score"))
-    val tbs = termRows.map(r => Long.box(r.getLong(1))).distinct.toSeq
+    val tbs = terms.map { t =>
+      // seed 42 = the `hash()` SQL function's seed the build used
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)), 42).eval(null)
+        .asInstanceOf[Int]
+      Long.box(java.lang.Math.floorMod(h.toLong, buckets))
+    }.distinct
     val postingsAll = Artifacts.read(spark, idx, "postings")
     val qPost0 = (
       if (postingsAll.schema.fieldNames.contains("tb"))
@@ -818,8 +839,7 @@ object LexIndex {
     val maxBcast = flags.getOrElse("max-broadcast-probes", "262144").toLong
     GraftSession.tune(spark)
 
-    val stats = Artifacts.read(spark, idx, "stats").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = Artifacts.collectKV(spark, idx, "stats")
     val n = stats("n")
     val avgdl = stats("avgdl")
     val gram = stats("gram").toInt
