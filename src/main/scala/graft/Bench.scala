@@ -343,17 +343,24 @@ object Bench {
         System.err.println(full)
         "WRITE-FAILED:see-stderr"
       }
+    // Round-18 contract fix (VERDICT r17 item 2): the driver computes
+    // per-query round-over-round deltas and the 8c-vs-32c scaling
+    // table from THIS line alone — BENCH_DETAIL/BENCH_HISTORY are
+    // repo-side archaeology it never parses. PERF_r17 came back with
+    // per_query {}, n_common 0 and both bench_ok flags false despite
+    // two rc=0 runs because the per-query map and the cpu count were
+    // not on the line. Additions are additive-only (total/n_queries/
+    // failed/sf keep their round-17 positions and meaning).
     val short =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries_detail":"$detail","history_entry_at":"$runAt","history_file":"$historyPath","note":"$note","sf":"$sfDir"}"""
-    // The consumer's tail parse has failed three rounds running
-    // ("parsed": null) because the summary sat behind sbt's logger
-    // prefix and ahead of its [success] trailer. Defense in depth:
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpus,"n_queries":${results.size},"queries":$qs,"failed":$failed,"queries_detail":"$detail","history_entry_at":"$runAt","history_file":"$historyPath","note":"$note","sf":"$sfDir"}"""
+    // Defense in depth for the consumer's bounded-tail stdout parse:
     // (1) the summary also lands in a side file a consumer can read
     //     without any stdout parsing at all;
-    // (2) it prints BEFORE spark.stop() (whose executor-shutdown WARNs
-    //     otherwise land between the summary and process exit) and
-    //     again as the absolute last statement, so both a bounded-tail
-    //     scan and a last-lines scan find a bare JSON line;
+    // (2) it prints exactly ONCE (round 18: the round-17 print-twice
+    //     shape put two copies in every tail), as the absolute last
+    //     statement AFTER spark.stop(), so executor-shutdown WARNs
+    //     cannot land between the summary and process exit and a
+    //     bounded tail holds at most warnings + one summary line;
     // (3) build.sbt routes forked run output through StdoutOutput, so
     //     the line arrives verbatim with no [info] prefix.
     try {
@@ -361,7 +368,6 @@ object Bench {
         java.nio.file.Paths.get("/tmp/bench_summary.json"),
         (short + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(short)
     spark.stop()
     println(short)
   }

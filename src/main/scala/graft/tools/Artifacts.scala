@@ -437,9 +437,45 @@ object Artifacts {
       segs: Seq[String]): DataFrame = {
     require(segs.nonEmpty, s"artifact $name has no segments in $idx")
     val root = s"$idx/$name"
-    normalize(spark.read.option("basePath", root)
-      .parquet(segs.map(s => s"$root/$s"): _*))
+    // Per-session memo of the CONSTRUCTED frame (round 18): committed
+    // segment directories are immutable by the storage contract
+    // (writeSegment never overwrites a published seg; vacuum deletes
+    // only segments no retained manifest references), so the frame for
+    // an exact (root, segment-list) key — its file listing, inferred
+    // schema, and analyzed plan — is a pure function of the key. A
+    // multi-command lifecycle re-resolved the SAME artifact many times
+    // per query (q310 ran 32 separate read.parquet() calls, each
+    // scheduling its own footer/schema-inference job); the memo makes
+    // every repeat resolution free. This caches an UNEXECUTED plan,
+    // never data or results — every query still computes from parquet.
+    val m = dfCache.synchronized {
+      var mm = dfCache.get(spark)
+      if (mm == null) {
+        mm = scala.collection.mutable.Map.empty
+        dfCache.put(spark, mm)
+      }
+      mm
+    }
+    val key = (root, segs.sorted)
+    m.synchronized {
+      m.get(key) match {
+        case Some(df) => df
+        case None =>
+          val df = normalize(spark.read.option("basePath", root)
+            .parquet(segs.map(s => s"$root/$s"): _*))
+          if (m.size >= 1024) m.clear() // bound the memo; keys are tiny
+          m += key -> df
+          df
+      }
+    }
   }
+
+  /** [[readSegs]] memo: session -> (artifact root, sorted segs) ->
+    * constructed frame. Weak session keys so a stopped session never
+    * pins its frames.
+    */
+  private val dfCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[(String, Seq[String]), DataFrame]]()
 
   /** Driver-side collect of a CATALOG-SIZED artifact (stats, summary,
     * graph_meta, centroids, codebooks, sq8 ranges, radii — frames
@@ -478,7 +514,12 @@ object Artifacts {
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
-        val fi = cols.map(schema.getFieldIndex(_))
+        // a field missing from THIS part file's footer (schema-evolved
+        // multi-segment artifact — e.g. a column appended in a later
+        // ingest wave) surfaces as null, matching the Spark read path
+        // this replaces (round-18 ADVICE fix: getFieldIndex threw)
+        val fi = cols.map(c =>
+          if (schema.containsField(c)) schema.getFieldIndex(c) else -1)
         var pages = reader.readNextRowGroup()
         while (pages != null) {
           val rr = new org.apache.parquet.io.ColumnIOFactory()
@@ -489,7 +530,7 @@ object Artifacts {
           while (i < pages.getRowCount) {
             val g = rr.read()
             out += fi.map { j =>
-              if (g.getFieldRepetitionCount(j) == 0) null
+              if (j < 0 || g.getFieldRepetitionCount(j) == 0) null
               else schema.getType(j).asPrimitiveType().getPrimitiveTypeName match {
                 case INT64  => java.lang.Long.valueOf(g.getLong(j, 0))
                 case INT32  => java.lang.Long.valueOf(g.getInteger(j, 0).toLong)
@@ -532,6 +573,38 @@ object Artifacts {
       segs: Seq[String], cols: Seq[String]): Seq[Array[Long]] =
     smallRows(spark, idx, name, Some(segs), cols)
       .map(_.map(_.asInstanceOf[java.lang.Long].longValue()))
+
+  /** Driver-side EXACT row count of an artifact from its parquet
+    * FOOTERS alone (round 18, VERDICT item 3): every parquet file
+    * records its row count in block metadata, so "how many rows does
+    * this artifact hold" is a metadata read — one footer per part
+    * file, no data pages, no Spark job. This replaces the post-commit
+    * `Artifacts.read(name).count()` pattern in the compact reports,
+    * which re-scanned every artifact the compact had just rewritten
+    * (and, under `--threshold`, artifacts it deliberately did NOT
+    * rewrite) purely to report sizes — at 100 TB a second full pass
+    * over the corpus per compact. Exactness is parquet's contract
+    * (the footer count is what a scan would return); segment
+    * resolution is identical to [[read]] (current/pinned manifest,
+    * legacy flat fallback).
+    */
+  def countRows(spark: SparkSession, idx: String, name: String): Long = {
+    val f = fs(spark, idx)
+    val root = s"$idx/$name"
+    val dirs: Seq[Path] = currentManifest(spark, idx) match {
+      case Some((_, m)) => m.getOrElse(name,
+          sys.error(s"artifact $name not in manifest of $idx"))
+        .map(s => new Path(s"$root/$s"))
+      case None => Seq(new Path(root))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.flatMap(d => listPartFiles(f, d)).map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try reader.getRecordCount
+      finally reader.close()
+    }.sum
+  }
 
   private def normalize(df: DataFrame): DataFrame = {
     val noSeg = if (df.columns.contains("seg")) df.drop("seg") else df
@@ -681,17 +754,23 @@ object Artifacts {
       if (observe) new org.apache.spark.sql.Observation(
         s"graft-seg-${java.util.UUID.randomUUID()}")
       else null
-    val df =
-      if (!observe) df0
-      else df0.observe(obs, count(lit(1)).as("rows"),
+    def observed(d: DataFrame): DataFrame =
+      if (!observe) d
+      else d.observe(obs, count(lit(1)).as("rows"),
         extra.zipWithIndex.map { case (c, i) => c.as(s"x$i") }: _*)
     val n = claimSegNo(spark, idx, name)
     val staged = s"$idx/$name/.seg-$n"
     val f = fs(spark, idx)
     bucket match {
       case Some(Bucket(bname, bexpr, sortBy)) =>
-        val withB = df.withColumn(bname, bexpr.cast("long"))
-        val arranged0 = withB.repartition(col(bname))
+        val withB = df0.withColumn(bname, bexpr.cast("long"))
+        // the observe sits ABOVE the repartition exchange (round-18
+        // ADVICE fix): below it the metrics ride shuffle-map tasks,
+        // where a fetch-failure re-execution or speculative duplicate
+        // can re-apply accumulator updates on a real cluster; in the
+        // result stage the count is exactly-once, matching the
+        // read-back count() it replaced
+        val arranged0 = observed(withB.repartition(col(bname)))
         val arranged =
           if (sortBy.isEmpty) arranged0
           else arranged0.sortWithinPartitions(
@@ -702,14 +781,14 @@ object Artifacts {
           // schema (sans bucket key) under a synthetic key=0 dir so
           // the artifact stays readable and depth-consistent
           f.delete(new Path(staged), true)
-          emptyLike(spark, df.drop(bname))
+          emptyLike(spark, df0)
             .write.mode("overwrite").parquet(s"$staged/$bname=0")
         }
       case None =>
-        df.write.mode("overwrite").parquet(staged)
+        observed(df0).write.mode("overwrite").parquet(staged)
         if (listPartFiles(f, new Path(staged)).isEmpty) {
           f.delete(new Path(staged), true)
-          emptyLike(spark, df)
+          emptyLike(spark, df0)
             .write.mode("overwrite").parquet(staged)
         }
     }
@@ -1548,11 +1627,13 @@ object Artifacts {
     */
   def contentionByVersion(spark: SparkSession, idx: String)
       : Map[Long, (Long, Long)] =
-    contentionReport(spark, idx)
-      .groupBy(col("landed_version"))
-      .agg(count(lit(1)).as("events"), max(col("lost_attempts")).as("worst"))
-      .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver math over the driver-local event rows (round 18): the
+    // previous shape round-tripped a <=256-row local Seq through a
+    // Spark groupBy — a scheduled job per history command for data
+    // that never left the driver
+    contentionRows(spark, idx).groupBy(_._3).map { case (v, es) =>
+      v -> (es.size.toLong, es.map(_._2).max)
+    }
 
   /** Stranded commands among the retained contention events (round
     * 17): a strand (landed_version -1) is a writer that exhausted its
@@ -1565,8 +1646,9 @@ object Artifacts {
     * re-schedule the stranded command off-peak.
     */
   def contentionStrands(spark: SparkSession, idx: String): Long =
-    contentionReport(spark, idx)
-      .filter(col("landed_version") === -1L).count()
+    // driver math, like [[contentionByVersion]] (round 18) — this sits
+    // on both `fsck` commands' hot path
+    contentionRows(spark, idx).count(_._3 == -1L).toLong
 
   /** The retained contention events, one row per (command,
     * lost_attempts, landed_version, backoff_ms) — the audit surface
@@ -1576,29 +1658,37 @@ object Artifacts {
     */
   def contentionReport(spark: SparkSession, idx: String): DataFrame = {
     import spark.implicits._
+    contentionRows(spark, idx)
+      .toDF("command", "lost_attempts", "landed_version", "backoff_ms")
+  }
+
+  /** The retained contention events as a driver-local Seq — the shared
+    * source for [[contentionReport]] (DataFrame surface) and the
+    * driver-math aggregations above.
+    */
+  private def contentionRows(spark: SparkSession, idx: String)
+      : Seq[(String, Long, Long, Long)] = {
     val f = fs(spark, idx)
     val mdir = new Path(manifestDir(idx))
-    val rows =
-      if (!f.exists(mdir)) Seq.empty[(String, Long, Long, Long)]
-      else f.listStatus(mdir).map(_.getPath)
-        .filter(p => p.getName.startsWith("c-") && p.getName.endsWith(".tsv"))
-        .sortBy(_.getName).toSeq
-        .flatMap { p =>
-          try manifestText(f, p).linesIterator.toSeq.flatMap { l =>
-            l.split('\t') match {
-              case Array(k, lost, ver) =>
-                for (lo <- lost.toLongOption; v <- ver.toLongOption)
-                  yield (k, lo, v, 0L)
-              case Array(k, lost, ver, bo) =>
-                for (lo <- lost.toLongOption; v <- ver.toLongOption;
-                     b <- bo.toLongOption)
-                  yield (k, lo, v, b)
-              case _ => None
-            }
+    if (!f.exists(mdir)) Seq.empty
+    else f.listStatus(mdir).map(_.getPath)
+      .filter(p => p.getName.startsWith("c-") && p.getName.endsWith(".tsv"))
+      .sortBy(_.getName).toSeq
+      .flatMap { p =>
+        try manifestText(f, p).linesIterator.toSeq.flatMap { l =>
+          l.split('\t') match {
+            case Array(k, lost, ver) =>
+              for (lo <- lost.toLongOption; v <- ver.toLongOption)
+                yield (k, lo, v, 0L)
+            case Array(k, lost, ver, bo) =>
+              for (lo <- lost.toLongOption; v <- ver.toLongOption;
+                   b <- bo.toLongOption)
+                yield (k, lo, v, b)
+            case _ => None
           }
-          catch { case _: java.io.FileNotFoundException => Seq.empty }
         }
-    rows.toDF("command", "lost_attempts", "landed_version", "backoff_ms")
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      }
   }
 
   /** How long [[vacuum]] presumes a never-referenced segment dir,
@@ -1967,14 +2057,22 @@ object Artifacts {
         var rewrote = 0
         segs.foreach { seg =>
           val part = readSegs(spark, idx, name, Seq(seg))
-          val dead = (tomb, filtered) match {
+          // ONE decision job per segment (round 18): dead and total
+          // row counts ride the same pruned-id-column pass — the
+          // previous shape ran a semi-join count job and then a
+          // separate part.count() job per dirty segment. The
+          // left_outer join is row-preserving because `tomb` is
+          // distinct by construction (both callers pass .distinct()).
+          val (rows, dead) = (tomb, filtered) match {
             case (Some(ts), true) =>
-              part.select(col("id"))
-                .join(broadcast(ts), Seq("id"), "left_semi")
-                .agg(count(lit(1))).head().getLong(0)
-            case _ => 0L
+              val r = part.select(col("id"))
+                .join(broadcast(ts.withColumn("__dead", lit(1))),
+                  Seq("id"), "left_outer")
+                .agg(count(lit(1)), count(col("__dead"))).head()
+              (r.getLong(0), r.getLong(1))
+            case _ => (0L, 0L)
           }
-          if (dead > 0 && dead * 1000 >= pm * part.count()) {
+          if (dead > 0 && dead * 1000 >= pm * rows) {
             val live = tomb.map(ts => part.join(ts, Seq("id"), "left_anti"))
               .getOrElse(part)
             kept += writeSegment(spark, idx, name, live, bucket)

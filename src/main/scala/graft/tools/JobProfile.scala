@@ -78,6 +78,11 @@ object JobProfile {
       fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       val wallMs = (System.nanoTime() - t0) / 1e6
       graft.Scratch.release()
+      // listener events are delivered asynchronously; settle briefly
+      // so tail JobEnd events land before the snapshot (round-18
+      // ADVICE fix — a missed tail job under-counted job time and
+      // inflated the reported driver gap)
+      Thread.sleep(300)
       val snap = starts.synchronized { jobs.toVector }
       val jobMs = snap.map(_.ms).sum
       println(f"%n==== $name: wall ${wallMs / 1000}%.3f s, " +

@@ -987,4 +987,24 @@ class LexIndexSpec extends AnyFunSuite {
       assert(searchPairs(s"$idx/lex", q) == searchPairs(s"$ref/lex", q),
         s"query '$q'")
   }
+
+  test("driver-side term buckets equal Spark's pmod(hash(t), buckets) " +
+    "for every bucket count the build could persist (round 18: the " +
+    "build/search bucket coupling is pinned, not assumed)") {
+    import spark.implicits._
+    // a vocabulary wide enough to hit every residue class, including
+    // non-ASCII and gram-joined ("a b") terms the ngram tokenizer emits
+    val vocab = (Seq("apple", "banana", "cherry durian", "Ünïcødé",
+      "", " ", "the quick", "zz top") ++ (0 until 256).map(i => s"t$i"))
+    for (buckets <- Seq(2L, 16L, 64L)) {
+      val sparkSide = vocab.toDF("t")
+        .select(col("t"),
+          pmod(hash(col("t")), lit(buckets)).cast("long").as("tb"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      vocab.foreach { t =>
+        assert(LexIndex.termBucketOf(t, buckets) == sparkSide(t),
+          s"bucket diverged for '$t' at buckets=$buckets")
+      }
+    }
+  }
 }
