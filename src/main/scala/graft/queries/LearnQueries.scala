@@ -235,11 +235,19 @@ object LearnQueries {
           .partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
         val ranked = graft.Scratch.cache(
           sc.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2))
-        val m = ranked.filter(col("rk") === 1)
-          .select(col("doc_id"), col("actual"),
-            col("cls").as("predicted"), col("score").as("s1"))
-          .join(ranked.filter(col("rk") === 2)
-            .select(col("doc_id"), col("score").as("s2")), Seq("doc_id"))
+        // margin per doc via ONE conditional aggregation over the
+        // cached rk<=2 frame: the former rk=1 x rk=2 self-join paid
+        // two hash exchanges + sorts + a SortMergeJoin (twice — the
+        // bounds branch replays the margin subtree) for rows that
+        // already share the window's doc_id partitioning. Inner-join
+        // semantics kept: docs with no runner-up row (s2 null) drop.
+        val m = ranked.groupBy(col("doc_id"))
+          .agg(
+            max(when(col("rk") === 1, col("score"))).as("s1"),
+            max(when(col("rk") === 2, col("score"))).as("s2"),
+            max(when(col("rk") === 1, col("cls"))).as("predicted"),
+            max(when(col("rk") === 1, col("actual"))).as("actual"))
+          .filter(col("s2").isNotNull)
           .select((col("s1") - col("s2")).as("margin"),
             (col("predicted") === col("actual")).cast("long").as("correct"))
         graft.ops.Eval.calibrationBins(m, col("margin"), col("correct"),

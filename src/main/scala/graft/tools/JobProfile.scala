@@ -25,7 +25,8 @@ import graft.GraftSession
   *   shape); repeat a name to see warm-vs-cold.
   */
 object JobProfile {
-  private final case class JobRec(id: Int, site: String, ms: Long)
+  private final case class JobRec(id: Int, site: String, ms: Long,
+    execId: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,7 +40,7 @@ object JobProfile {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    val starts = mutable.Map.empty[Int, (Long, String)]
+    val starts = mutable.Map.empty[Int, (Long, String, String)]
     val jobs = mutable.ArrayBuffer.empty[JobRec]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -50,12 +51,20 @@ object JobProfile {
             .orElse(Option(e.properties)
               .flatMap(p => Option(p.getProperty("callSite.short"))))
             .getOrElse("?")
-          starts(e.jobId) = (e.time, site)
+          // the SQL execution id groups an action's root job with the
+          // broadcast/subquery child jobs its execution spawned on the
+          // SQL thread pool — those children report a useless
+          // CompletableFuture call site, so the rollup re-attributes
+          // them to the first same-execution job with a real site
+          val execId = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .getOrElse("")
+          starts(e.jobId) = (e.time, site, execId)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         starts.synchronized {
-          starts.remove(e.jobId).foreach { case (t0, site) =>
-            jobs += JobRec(e.jobId, site, e.time - t0)
+          starts.remove(e.jobId).foreach { case (t0, site, execId) =>
+            jobs += JobRec(e.jobId, site, e.time - t0, execId)
           }
         }
     })
@@ -94,6 +103,24 @@ object JobProfile {
       }
       println("-- call-site rollup --")
       snap.groupBy(_.site).toSeq
+        .map { case (s, js) => (s, js.size, js.map(_.ms).sum) }
+        .sortBy(-_._3)
+        .foreach { case (s, n, ms) =>
+          println(f"  $ms%6d ms  $n%3d jobs  $s")
+        }
+      // attribute thread-pool (broadcast/subquery) jobs to the owning
+      // action: same spark.sql.execution.id, first real call site wins
+      val isPool = (s: String) => s.contains("CompletableFuture")
+      val owner = snap.filter(j => j.execId.nonEmpty && !isPool(j.site))
+        .sortBy(_.id)
+        .groupBy(_.execId).map { case (eid, js) => eid -> js.head.site }
+      println("-- rollup with broadcast jobs re-attributed by execution --")
+      snap.map { j =>
+          if (isPool(j.site) && owner.contains(j.execId))
+            j.copy(site = owner(j.execId) + " [bcast]")
+          else j
+        }
+        .groupBy(_.site).toSeq
         .map { case (s, js) => (s, js.size, js.map(_.ms).sum) }
         .sortBy(-_._3)
         .foreach { case (s, n, ms) =>
